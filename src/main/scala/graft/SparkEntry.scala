@@ -1,13 +1,787 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
+import graft.model.{AlmaSchema, CodeTables}
+import graft.operators.{FillStage, FormatStage, SplitStage, YearInference}
+import graft.streaming.Sessionize
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2 plus
+  * the corpus-scale extensions), each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Oracle-parity ground rules used throughout (so value hashes match
+  * bit-for-bit across engines):
+  *  - money/metric sums go through exact integer cents:
+  *    `sum(round(x*100)::bigint)` — order-independent, no float drift;
+  *  - ratios are single IEEE divisions of exact integers — deterministic;
+  *  - counts are always BIGINT on both sides;
+  *  - every query ends in a total ORDER BY over a unique key;
+  *  - hashes are md5 hex strings (portable), timestamps exported as
+  *    epoch microseconds.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- utils
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact integer cents: round(x*100) as long. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** DuckDB cosine between two FLOAT[] expressions, matching
+    * [[Similarity.cosine]] bit-for-bit: double products, left-to-right
+    * list_aggregate sum, d/(sqrt(a)*sqrt(b)). */
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), 'sum')"
+  private def duckCosine(a: String, b: String): String = {
+    val d = duckDot(a, b)
+    val na = s"sqrt(${duckDot(a, a)})"
+    val nb = s"sqrt(${duckDot(b, b)})"
+    s"(CASE WHEN $na > 0 AND $nb > 0 THEN $d / ($na * $nb) ELSE 0.0 END)"
+  }
+
+  /** DuckDB normalize/words/shingles matching [[TextAnalysis.normalize]]. */
+  private val duckNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val duckWords = s"string_split($duckNorm, ' ')"
+
+  /** The W1 natural-sort description synthesized from lineitem keys — the
+    * same expression in Spark and SQL. */
+  private def synthDesc: Column =
+    when(col("l_linenumber") % 7 === 0, lit("bound volume index"))
+      .when(col("l_linenumber") % 3 === 0,
+        concat(lit("ser."), (col("l_orderkey") % 5).cast("string"),
+          lit(" v."), (col("l_partkey") % 40).cast("string"),
+          lit(" no."), col("l_linenumber").cast("string")))
+      .otherwise(
+        concat(lit("v."), (col("l_partkey") % 40).cast("string"),
+          lit(" no."), col("l_linenumber").cast("string")))
+  private val duckSynthDesc =
+    """CASE WHEN l_linenumber % 7 = 0 THEN 'bound volume index'
+      | WHEN l_linenumber % 3 = 0 THEN 'ser.' || CAST(l_orderkey % 5 AS VARCHAR) || ' v.' || CAST(l_partkey % 40 AS VARCHAR) || ' no.' || CAST(l_linenumber AS VARCHAR)
+      | ELSE 'v.' || CAST(l_partkey % 40 AS VARCHAR) || ' no.' || CAST(l_linenumber AS VARCHAR) END""".stripMargin.replace("\n", "")
+
+  /** RE2-safe variant of the month canonicalization chain: identical to
+    * [[Description.monthSubs]] except the Fall pattern's lookahead
+    * (`au(?!thor|g)\w*`, not expressible in RE2) is replaced by
+    * `autum\w*`; equivalent on any vocabulary without other au- words
+    * (asserted by MonthSubSpec). */
+  private val oracleMonthSubs: Seq[(String, String)] =
+    Description.monthSubs().map {
+      case ("Fal", _) => ("Fal", """fa\w*|autum\w*""")
+      case other => other
+    }
+
+  // -------------------------------------------------------------- entry
+
+  /** Flagship: the 3-table join revenue query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- TPC-H-style relational core -------------------------------
+
+    "q01_agg_lineitem" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      // predicate + projection pushdown: scan should read 3 columns,
+      // PushedFilters on p_type/p_size
+      t(s, dir, "part")
+        .filter(col("p_type") === "PROMO" && col("p_size") >= 25)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q03_join_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q04_broadcast_lookup" -> ((s, dir) => {
+      // dimension chain nation⋈region stays broadcast; fact side never
+      // shuffles for the join (P7's broadcast-lookup generalization)
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q05_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q06_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q07_semi_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      sup.join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q08_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    "q09_set_except" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 30000)
+        .select(col("o_custkey").as("custkey"))
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") >= 5000)
+        .select(col("c_custkey").as("custkey"))
+      buyers.except(rich).orderBy(col("custkey"))
+    }),
+
+    "q10_fill_route" -> ((s, dir) => {
+      // P4/P5/P8/P9 composed over orders: blank-fill, two conditional
+      // note-appends, and the success/error routing flag
+      val o = t(s, dir, "orders")
+        .withColumn("status_filled",
+          when(col("o_orderstatus") === "P", lit("PENDING"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("Notes", lit(""))
+      val noted = FillStage.noteAppendWhen(
+        col("o_orderpriority") === "1-URGENT", "urgent")(
+        FillStage.noteAppendWhen(col("o_totalprice") < 5000, "Err: low value")(o))
+      noted
+        .withColumn("route",
+          when(col("Notes").contains("Err"), lit("err")).otherwise(lit("ok")))
+        .select(col("o_orderkey"), col("status_filled"),
+          col("Notes").as("notes"), col("route"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- Alma-semantics operators over synthesized columns ----------
+
+    "alma_format_guard" -> ((s, dir) => {
+      // P1–P3: registry projection + apostrophe numeric guard via the
+      // real FormatStage against an item-shaped frame
+      val items = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("MMS ID"),
+        (col("c_custkey") * 7).cast("string").as("Barcode"),
+        col("c_name").as("title"))
+      FormatStage(AlmaSchema.default)(items)
+        .withColumn("sort_key",
+          FormatStage.unguard(col("MMS ID")).cast("long"))
+        .orderBy(col("sort_key"))
+    }),
+
+    "alma_sort_keys" -> ((s, dir) => {
+      // R3 + W1: numeric (series, volume) keys extracted from the
+      // description drive the natural sort (v2 < v10)
+      val withDesc = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), synthDesc.as("desc_s"))
+      withDesc
+        .withColumn("ser_no", Description.seriesKey(col("desc_s")))
+        .withColumn("vol_no", Description.volumeKey(col("desc_s")))
+        .orderBy(col("ser_no"), col("vol_no"), col("desc_s"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "alma_chronj_norm" -> ((s, dir) => {
+      // R2: the sequential month/season substitution chain (RE2-safe
+      // variant; equivalence with the faithful chain is unit-tested)
+      val raw = when(col("event_type") === "click", lit("january-february"))
+        .when(col("event_type") === "view", lit("SEPT./october"))
+        .when(col("event_type") === "purchase", lit("winter"))
+        .when(col("event_type") === "signup", lit("spring-summer"))
+        .otherwise(lit("june, nov. and december"))
+      val canon = oracleMonthSubs.foldLeft(raw) { case (c, (repl, pat)) =>
+        regexp_replace(c, "(?i)" + pat, repl)
+      }
+      t(s, dir, "events")
+        .select(col("event_id"), raw.as("chron_raw"), canon.as("chron_canon"))
+        .orderBy(col("event_id"))
+    }),
+
+    "alma_year_infer" -> ((s, dir) => {
+      // W2 (windowed formulation): 2-digit years healed from the nearest
+      // 4-digit neighbors within the user_id group, century arithmetic
+      // branch-for-branch from the reference
+      val y4 = (lit(1900) + (col("event_id") * 37) % 120)
+      val chron = when(col("event_id") % 3 === 0,
+        lpad((y4 % 100).cast("string"), 2, "0"))
+        .otherwise(y4.cast("string"))
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), chron.as("chron_raw"))
+        .withColumn("Chron I", col("chron_raw"))
+        .withColumn("Notes", lit(""))
+      YearInference.inferWindowed(
+        base, mmsCol = "user_id",
+        orderCols = _ => Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"), col("chron_raw"),
+          col("Chron I").as("chron_fixed"), col("Notes").as("notes"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "alma_code_translate" -> ((s, dir) => {
+      // P7: description→code dictionary translation as a literal-map
+      // lookup (the broadcast-join degenerate case for a ≤12-row dim)
+      val mat = when(col("l_linenumber") % 3 === 0, lit("Book"))
+        .when(col("l_linenumber") % 3 === 1, lit("DVD"))
+        .otherwise(lit("Thesis"))
+      t(s, dir, "lineitem")
+        .withColumn("Material Type", mat)
+        .withColumn("mat_code",
+          FillStage.translateCode("Material Type", CodeTables.materialType))
+        .groupBy(col("mat_code"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("mat_code"))
+    }),
+
+    "alma_desc_parse" -> ((s, dir) => {
+      // R1 (full fidelity, Java-regex lookbehind — no RE2 oracle; unit
+      // specs + rows-only check): parse fixture-grammar descriptions
+      val desc = when(col("l_linenumber") % 5 === 0,
+        concat(lit("v."), (col("l_partkey") % 40).cast("string"),
+          lit(" no."), (col("l_linenumber") % 12).cast("string"),
+          lit(" (Oct 19"), lpad((col("l_orderkey") % 100).cast("string"), 2, "0"),
+          lit(")")))
+        .when(col("l_linenumber") % 5 === 1,
+          concat(lit("vol "), (col("l_partkey") % 40).cast("string"),
+            lit(" (20"), lpad((col("l_orderkey") % 100).cast("string"), 2, "0"),
+            lit(" Spring)")))
+        .when(col("l_linenumber") % 5 === 2,
+          concat(lit("v."), (col("l_partkey") % 40).cast("string"),
+            lit(" (Nov 98-Jan 99)")))
+        .when(col("l_linenumber") % 5 === 3,
+          concat(lit("ser.3 v."), (col("l_partkey") % 40).cast("string"),
+            lit(" nos.1-2 (Jan-Feb 99)")))
+        .otherwise(lit("unparseable description text"))
+      Description.withParsedDescription(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), desc.as("Description")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("Description"),
+          col("Enum A"), col("Enum B"), col("Chron I"), col("Chron J"),
+          col("Pattern"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "alma_split_pipeline" -> ((s, dir) => {
+      // end-to-end split stage (rows-only; golden-tested in ScalaTest)
+      val items = t(s, dir, "customer").select(
+        col("c_nationkey").cast("string").as("MMS ID"),
+        concat(lit("3"), col("c_custkey").cast("string")).as("Barcode"),
+        col("c_name").as("title"),
+        concat(lit("v."), (col("c_custkey") % 30).cast("string"),
+          lit(" no."), (col("c_custkey") % 4).cast("string"),
+          lit(" (Oct 19"), lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+          lit(")")).as("Description"))
+      SplitStage(items)
+    }),
+
+    // ---- Dedup suite over documents --------------------------------
+
+    "dedup_exact" -> ((s, dir) => {
+      // all fingerprint groups (sf0.01 plants no exact dups; the >1
+      // filter is Dedup.exactDuplicates and is covered by its spec)
+      Dedup.fingerprintGroups(t(s, dir, "documents"))
+        .orderBy(col("fp"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.withMinhashSignature(t(s, dir, "documents"), k = 4)
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), k = 8, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash(col("text"), bits = 16).as("sh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 2, threshold = 0.25)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_embed" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Similarity search over embeddings --------------------------
+
+    "sim_topk_cosine" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), q, k = 10)
+    }),
+
+    "sim_ann_bucket" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.annTopK(t(s, dir, "embeddings"), q, k = 5)
+    }),
+
+    // ---- Text analysis over documents --------------------------------
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars_q"), col("n_words"),
+          col("avg_word_len"), col("punct_ratio"), col("alpha_ratio"),
+          col("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Event windows / sessions ------------------------------------
+
+    "ev_window_fill" -> ((s, dir) => {
+      // the W2 window shape on real data: forward-fill the last purchase
+      // value per user (last ignoreNulls, unbounded preceding)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("last_purchase_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "ev_sessionize" -> ((s, dir) => {
+      Sessionize.sessionSummaryBatch(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_idx"),
+          col("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("value_cents"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    "ev_windowed_agg" -> ((s, dir) => {
+      // tumbling event-time window (the batch twin of the streaming
+      // watermark aggregation in graft.streaming.Sessionize)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("win_start_us"), col("event_type"))
+    }),
+
+    // ---- Multimodal binary columns -----------------------------------
+
+    "mm_payload_stats" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
+      Multimodal.payloadStats(col("payload")).foldLeft(assets) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }
+        .select(col("asset_id"), col("payload_bytes"), col("payload_md5"))
+        .orderBy(col("asset_id"))
+    }),
+
+    "mm_features" -> ((s, dir) => {
+      // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
+      Multimodal.extractFeatures(
+        Multimodal.syntheticAssets(t(s, dir, "documents")))
+        .select(col("asset_id"), col("width"), col("height"),
+          concat_ws(",", col("frame_hashes")).as("frame_hashes_csv"))
+        .orderBy(col("asset_id"))
+    }))
+
+  // ----------------------------------------------------------- oracles
+
+  // NB: DuckDB single-quoted strings are raw — regex backslashes pass
+  // through verbatim, so patterns are embedded unescaped.
+  private def duckMonthChain(inner: String): String =
+    oracleMonthSubs.foldLeft(inner) { case (acc, (repl, pat)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'gi')"
+    }
+
+  def oracleSql: Map[String, String] = {
+    val duckShingles2 =
+      s"(CASE WHEN len($duckWords) < 2 THEN [$duckNorm] ELSE list_transform(range(1, len($duckWords)), i -> $duckWords[i] || ' ' || $duckWords[i+1]) END)"
+    val duckShingles3 =
+      s"(CASE WHEN len($duckWords) < 3 THEN [$duckNorm] ELSE list_transform(range(1, len($duckWords)-1), i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2]) END)"
+    def duckMinhash(shingles: String, seed: Int): String =
+      s"list_aggregate(list_transform($shingles, s -> md5(s || ':$seed')), 'min')"
+    def duckLangScore(lang: String): String =
+      TextAnalysis.stopwords(lang)
+        .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
+        .mkString("(", " + ", ")")
+
+    Map(
+      "q01_agg_lineitem" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+          | CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+          | CAST(sum(CAST(round((l_extendedprice*(1.0-l_discount))*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+          | count(*) AS n_rows
+          |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+      "q02_filter_project" ->
+        """SELECT p_partkey, p_name, p_size FROM part
+          |WHERE p_type = 'PROMO' AND p_size >= 25 ORDER BY p_partkey""".stripMargin,
+
+      "q03_join_revenue" ->
+        """SELECT c_mktsegment,
+          | CAST(sum(CAST(round((l_extendedprice*(1.0-l_discount))*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          | count(DISTINCT o_orderkey) AS n_orders
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q04_broadcast_lookup" ->
+        """SELECT r_name, count(*) AS n_customers,
+          | CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q05_topk" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "q06_anti_join" ->
+        """SELECT c_custkey FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q07_semi_join" ->
+        """SELECT s_suppkey, s_name FROM supplier s
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q08_window_rank" ->
+        """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+          | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          |  CAST(row_number() OVER (PARTITION BY l_suppkey
+          |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+          | FROM lineitem) WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
+
+      "q09_set_except" ->
+        """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice >= 30000
+          |EXCEPT
+          |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 5000
+          |ORDER BY custkey""".stripMargin,
+
+      "q10_fill_route" ->
+        """SELECT o_orderkey,
+          | CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS status_filled,
+          | CASE
+          |  WHEN o_totalprice < 5000 AND o_orderpriority = '1-URGENT' THEN 'Err: low value; urgent'
+          |  WHEN o_totalprice < 5000 THEN 'Err: low value'
+          |  WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+          |  ELSE '' END AS notes,
+          | CASE WHEN o_totalprice < 5000 THEN 'err' ELSE 'ok' END AS route
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+      "alma_format_guard" ->
+        """SELECT '''' || CAST(c_custkey AS VARCHAR) AS "MMS ID",
+          | '''' || CAST(c_custkey * 7 AS VARCHAR) AS "Barcode",
+          | c_name AS title,
+          | '' AS "Material Type", '' AS "Item Policy", '' AS "Description",
+          | '' AS "Enum A", '' AS "Enum B", '' AS "Chron I", '' AS "Chron J",
+          | c_custkey AS sort_key
+          |FROM customer ORDER BY sort_key""".stripMargin,
+
+      "alma_sort_keys" -> {
+        val pat = """'^(?:[sS][eE][rR]\.?\s*)?(\d+)?\s*(?:[vV][oO]?[lL]?\.?\s*)(\d+)'"""
+        s"""WITH d AS (SELECT l_orderkey, l_linenumber, $duckSynthDesc AS desc_s FROM lineitem)
+           |SELECT l_orderkey, l_linenumber, desc_s,
+           | CAST(CASE WHEN regexp_extract(desc_s, $pat, 1) = '' THEN 0
+           |   ELSE CAST(regexp_extract(desc_s, $pat, 1) AS INT) END AS INT) AS ser_no,
+           | CAST(CASE WHEN regexp_extract(desc_s, $pat, 2) = '' THEN 0
+           |   ELSE CAST(regexp_extract(desc_s, $pat, 2) AS INT) END AS INT) AS vol_no
+           |FROM d ORDER BY ser_no, vol_no, desc_s, l_orderkey, l_linenumber""".stripMargin
+      },
+
+      "alma_chronj_norm" -> {
+        val raw = """CASE WHEN event_type = 'click' THEN 'january-february'
+                    | WHEN event_type = 'view' THEN 'SEPT./october'
+                    | WHEN event_type = 'purchase' THEN 'winter'
+                    | WHEN event_type = 'signup' THEN 'spring-summer'
+                    | ELSE 'june, nov. and december' END""".stripMargin.replace("\n", "")
+        s"""SELECT event_id, $raw AS chron_raw, ${duckMonthChain(s"($raw)")} AS chron_canon
+           |FROM events ORDER BY event_id""".stripMargin
+      },
+
+      "alma_year_infer" ->
+        """WITH base AS (
+          | SELECT user_id, event_id,
+          |  CASE WHEN event_id % 3 = 0
+          |   THEN lpad(CAST((1900 + (event_id * 37) % 120) % 100 AS VARCHAR), 2, '0')
+          |   ELSE CAST(1900 + (event_id * 37) % 120 AS VARCHAR) END AS chron_raw
+          | FROM events),
+          |probe AS (SELECT *, regexp_extract(chron_raw, '^(\d+)', 1) AS yr FROM base),
+          |nb AS (SELECT *,
+          |  last_value(CASE WHEN length(yr) = 4 THEN yr END IGNORE NULLS) OVER
+          |   (PARTITION BY user_id ORDER BY event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+          |  first_value(CASE WHEN length(yr) = 4 THEN yr END IGNORE NULLS) OVER
+          |   (PARTITION BY user_id ORDER BY event_id
+          |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next
+          | FROM probe),
+          |fx AS (SELECT *,
+          |  4 - length(yr) AS dg,
+          |  CAST(prev AS INT) AS prev_i, CAST(next AS INT) AS next_i,
+          |  CAST(yr AS INT) AS yr_i,
+          |  CAST(substr(prev, 1, 4 - length(yr)) || yr AS INT) AS cand1,
+          |  CAST(substr(next, 1, 4 - length(yr)) || yr AS INT) AS cand2,
+          |  CAST(substr(prev, 1, 2) AS INT) AS cent,
+          |  (CAST(prev AS INT) + CAST(next AS INT)) / 2.0 AS avg_y,
+          |  CAST(right(next, 2) AS INT) AS nd,
+          |  CAST(right(prev, 2) AS INT) AS pd
+          | FROM nb)
+          |SELECT user_id, event_id, chron_raw,
+          | CASE WHEN length(yr) > 0 AND length(yr) < 4 THEN
+          |  CASE
+          |   WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+          |    CASE
+          |     WHEN prev_i <= cand1 AND cand1 <= next_i THEN substr(prev, 1, dg) || chron_raw
+          |     WHEN prev_i <= cand2 AND cand2 <= next_i THEN substr(next, 1, dg) || chron_raw
+          |     ELSE CAST(
+          |      CASE
+          |       WHEN abs(avg_y - ((cent-1)*100 + yr_i)) <= abs(avg_y - (cent*100 + yr_i))
+          |        AND abs(avg_y - ((cent-1)*100 + yr_i)) <= abs(avg_y - ((cent+1)*100 + yr_i))
+          |        THEN cent - 1
+          |       WHEN abs(avg_y - (cent*100 + yr_i)) <= abs(avg_y - ((cent+1)*100 + yr_i))
+          |        THEN cent
+          |       ELSE cent + 1 END AS VARCHAR) || chron_raw
+          |    END
+          |   WHEN prev IS NULL AND next IS NOT NULL THEN
+          |    CAST(CASE WHEN yr_i > nd THEN next_i - nd - 100 + yr_i
+          |     ELSE next_i - nd + yr_i END AS VARCHAR)
+          |   WHEN prev IS NOT NULL AND next IS NULL THEN
+          |    CAST(CASE WHEN pd > yr_i THEN prev_i - pd + 100 + yr_i
+          |     ELSE prev_i - pd + yr_i END AS VARCHAR)
+          |   ELSE chron_raw END
+          | ELSE chron_raw END AS chron_fixed,
+          | CASE WHEN length(yr) > 0 AND length(yr) < 4 AND prev IS NULL AND next IS NULL
+          |  THEN 'Err: Problem interpreting Chron I' ELSE '' END AS notes
+          |FROM fx ORDER BY user_id, event_id""".stripMargin,
+
+      "alma_code_translate" ->
+        """SELECT mat_code, count(*) AS n_items FROM (
+          | SELECT CASE
+          |  WHEN l_linenumber % 3 = 0 THEN 'BOOK'
+          |  WHEN l_linenumber % 3 = 1 THEN 'DVD'
+          |  ELSE 'THESIS' END AS mat_code
+          | FROM lineitem) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "dedup_exact" ->
+        s"""SELECT md5($duckNorm) AS fp, count(*) AS n_dups,
+           | min(doc_id) AS keep_id
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+      "dedup_minhash" ->
+        s"""SELECT doc_id,
+           | ${duckMinhash(duckShingles3, 0)} AS mh0,
+           | ${duckMinhash(duckShingles3, 1)} AS mh1,
+           | ${duckMinhash(duckShingles3, 2)} AS mh2,
+           | ${duckMinhash(duckShingles3, 3)} AS mh3
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "dedup_minhash_pairs" ->
+        s"""WITH sig AS (SELECT doc_id,
+           | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
+           | FROM documents),
+           |band AS (
+           | ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+             .mkString(" UNION ALL ")})
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+           | AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+           | CASE WHEN list_sum(list_transform($duckWords, w ->
+           |   CASE WHEN substr(md5(w), b + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+           |  THEN (1 << b) ELSE 0 END)) AS INT) AS sh
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "dedup_jaccard" ->
+        s"""WITH d AS (SELECT doc_id, source, list_distinct($duckShingles2) AS g FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           | len(list_intersect(a.g, b.g))::DOUBLE /
+           |  len(list_distinct(a.g || b.g))::DOUBLE AS jaccard
+           |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+           |  len(list_distinct(a.g || b.g))::DOUBLE >= 0.25
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "dedup_embed" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           | ${duckCosine("a.embedding", "b.embedding")} AS score
+           |FROM embeddings a JOIN embeddings b
+           | ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "sim_topk_cosine" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS score
+           |FROM embeddings e, q
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+      "sim_ann_bucket" ->
+        s"""WITH q AS (SELECT embedding AS qe,
+           |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+           |   + CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END
+           |   + CASE WHEN embedding[33] > 0 THEN 4 ELSE 0 END
+           |   + CASE WHEN embedding[49] > 0 THEN 8 ELSE 0 END) AS qb
+           | FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS score
+           |FROM embeddings e, q
+           |WHERE (CASE WHEN e.embedding[1] > 0 THEN 1 ELSE 0 END
+           |   + CASE WHEN e.embedding[17] > 0 THEN 2 ELSE 0 END
+           |   + CASE WHEN e.embedding[33] > 0 THEN 4 ELSE 0 END
+           |   + CASE WHEN e.embedding[49] > 0 THEN 8 ELSE 0 END) = q.qb
+           |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+      "text_langid" -> {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val scoreDefs = langs.map(l => s"${duckLangScore(l)} AS s_$l").mkString(", ")
+        val best = langs.map(l => s"s_$l").reduce((a, b) => s"greatest($a, $b)")
+        val pick = langs.foldRight("'und'") { (l, acc) =>
+          s"CASE WHEN s_$l = best AND s_$l > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""WITH sc AS (SELECT doc_id, $scoreDefs FROM documents),
+           |b AS (SELECT *, $best AS best FROM sc)
+           |SELECT doc_id, $pick AS lang_pred FROM b ORDER BY doc_id""".stripMargin
+      },
+
+      "text_quality" -> {
+        val nChars = "CAST(length(text) AS BIGINT)"
+        val nWords = s"(CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END)"
+        val nAlpha = "CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)"
+        val nPunct =
+          """CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS BIGINT)"""
+        val nStop = s"CAST(${duckLangScore("en")} AS BIGINT)"
+        s"""SELECT doc_id,
+           | $nChars AS n_chars_q,
+           | $nWords AS n_words,
+           | CASE WHEN $nWords > 0 THEN $nAlpha::DOUBLE / $nWords::DOUBLE ELSE 0.0 END AS avg_word_len,
+           | CASE WHEN $nChars > 0 THEN $nPunct::DOUBLE / $nChars::DOUBLE ELSE 0.0 END AS punct_ratio,
+           | CASE WHEN $nChars > 0 THEN $nAlpha::DOUBLE / $nChars::DOUBLE ELSE 0.0 END AS alpha_ratio,
+           | CASE WHEN $nWords > 0 THEN $nStop::DOUBLE / $nWords::DOUBLE ELSE 0.0 END AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "text_tokens" ->
+        s"""SELECT doc_id,
+           | (CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END) AS n_tokens,
+           | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id, md5($duckNorm) AS fp FROM documents ORDER BY doc_id""",
+
+      "ev_window_fill" ->
+        """SELECT user_id, event_id,
+          | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+          |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+      "ev_sessionize" ->
+        """WITH g AS (SELECT user_id, ts, event_id, value,
+          |  CASE WHEN lag(ts) OVER w IS NULL
+          |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          | count(*) AS n_events,
+          | epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+      "ev_windowed_agg" ->
+        """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+          | event_type, count(*) AS n,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+      "mm_payload_stats" ->
+        """SELECT doc_id AS asset_id,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+          | md5(text) AS payload_md5
+          |FROM documents ORDER BY asset_id""".stripMargin)
+  }
 }

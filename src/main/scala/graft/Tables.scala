@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Test-table loader: one parquet per table under the scale-factor dir
+  * (TESTDATA.md). Plain `spark.read.parquet` so Catalyst gets pushdown,
+  * pruning, and partition-size planning from the source stats.
+  *
+  * The `events` table carries TIMESTAMP(NANOS) parquet, which Spark has no
+  * native type for — sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Tables.configure]]),
+  * and the loader converts the raw nanos to a microsecond timestamp with
+  * INTEGER division (`div`, not `/`: ns values ≈ 1.7e18 overflow a double's
+  * 53-bit mantissa, and truncation-toward-zero matches how other engines
+  * read the same file at µs precision). */
+object Tables {
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+}

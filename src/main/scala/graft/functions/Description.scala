@@ -1,0 +1,162 @@
+package graft.functions
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enumeration/chronology extraction from free-text journal descriptions
+  * (reference R1–R4: BatchUpdate.py:684-760, :272-298, :318-325).
+  *
+  * The three big named-group patterns are ported verbatim from
+  * BatchUpdate.py:696-700 with the Python→Java dialect changes:
+  * `(?P<name>...)` → `(?<name>...)`; `re.I` → `Pattern.CASE_INSENSITIVE`.
+  * Java supports the `(?<!\d)` lookbehind and `(?!...)` lookahead these
+  * patterns use. Order matters — first match wins (BatchUpdate.py:688-689).
+  */
+object Description {
+
+  /** Parsed enumeration/chronology fields. Empty string = not captured,
+    * matching the reference's add-in column defaults. */
+  final case class Parsed(
+      enumA: String,
+      enumB: String,
+      chronI: String,
+      chronJ: String,
+      pattern: String)
+
+  // The month/season alternation shared by all three patterns
+  // (BatchUpdate.py:696-700).
+  private val M =
+    "JAN?[A-Z]*|FE[A-Z]*|MA?R[CH]*|AP[RIL]*|MA?Y|JU?[NE]E?|JU?[LY]Y?|" +
+      "AU?G[UST]*|SE[PTEMBR]*|O[A-Z]*|NO?V[A-Z]*|D[A-Z]*|" +
+      "SP[RING]*|SU[MER]*|AUT[UMN]*|FA[L]*|W[A-Z]*"
+
+  private val enumPrefix =
+    """^\s*(?<enumAType>(?:SER\.?\s*\d+\s*)?VO?L?\s*[\.:]?\s?)\s*""" +
+      """(?<enumANum>\d+[-/]?\d*)\s*""" +
+      """(?<enumB>(?:(?:\s+NO?S?|\s+P[PTG]?)\s*\.?\s*\d+[-/]?\d*)*)\s*"""
+
+  /** (name, pattern) in match-priority order — BatchUpdate.py:696-700. */
+  val patterns: Seq[(String, Pattern)] = Seq(
+    "StdMatch" ->
+      (enumPrefix +
+        s"""(?:\\(?\\s*(?<chronJ>(?:(?:$M)\\.?\\s*[-/]?\\s*){0,2})\\s*""" +
+        """(?<chronI>(?<!\d)\d{2,4}(?:[-/]\d{1,4})?)\s*\)?)?[ \t]*$"""),
+    "YearBeforeMonth" ->
+      (enumPrefix +
+        """\(?\s*(?<chronI>(?<!\d)\d{4}(?:[-/]\d{1,4})?)\s*""" +
+        s"""(?<chronJ>(?:(?:$M)\\.?\\s*[-/]?\\s*){1,2})\\s*\\)?[ \t]*$$"""),
+    "SplitYears" ->
+      (enumPrefix +
+        s"""\\(?\\s*(?<chronJpt1>$M)\\s*(?<chronIpt1>(?<!\\d)\\d{2,4})\\s*[-/]\\s*""" +
+        s"""(?<chronJpt2>$M)\\s*(?<chronIpt2>(?<!\\d)\\d{2,4})\\s*\\)?[ \t]*$$"""))
+    .map { case (n, p) => n -> Pattern.compile(p, Pattern.CASE_INSENSITIVE) }
+
+  private def groupOrNull(m: Matcher, name: String): String =
+    try m.group(name) catch { case _: IllegalArgumentException => null }
+
+  /** R1 — multi-pattern first-match extraction (BatchUpdate.py:706-751).
+    * Group-to-field assignment mirrors :719-746: Enum A = type + number,
+    * Enum B stripped, Chron I/J either direct or joined from the two
+    * SplitYears halves with "-". */
+  def parse(description: String): Parsed = {
+    if (description == null) return Parsed("", "", "", "", "N/A")
+    val it = patterns.iterator
+    while (it.hasNext) {
+      val (name, pat) = it.next()
+      val m = pat.matcher(description)
+      if (m.matches()) { // Python re.match + trailing `$` ≡ full match here
+        val enumA =
+          Option(groupOrNull(m, "enumAType")).getOrElse("") +
+            Option(groupOrNull(m, "enumANum")).getOrElse("")
+        val enumB = Option(groupOrNull(m, "enumB")).map(_.trim).getOrElse("")
+        val chronI = Option(groupOrNull(m, "chronI")).getOrElse {
+          val p1 = Option(groupOrNull(m, "chronIpt1")).getOrElse("")
+          val p2 = Option(groupOrNull(m, "chronIpt2"))
+          p2.map(p1 + "-" + _).getOrElse(p1)
+        }
+        val chronJ = Option(groupOrNull(m, "chronJ")).getOrElse {
+          val p1 = Option(groupOrNull(m, "chronJpt1")).getOrElse("")
+          val p2 = Option(groupOrNull(m, "chronJpt2"))
+          p2.map(p1 + "-" + _).getOrElse(p1)
+        }
+        return Parsed(enumA, enumB, chronI, chronJ, name)
+      }
+    }
+    Parsed("", "", "", "", "N/A")
+  }
+
+  /** R1 as a Column: struct<enumA,enumB,chronI,chronJ,pattern>. A Scala UDF
+    * is the right tool here — the ordered multi-pattern named-group
+    * extraction has no built-in equivalent, and the regex state machines
+    * are JVM-compiled once per executor. */
+  val parseUdf = udf(parse _)
+
+  def parseDescription(description: Column): Column = parseUdf(description)
+
+  /** Apply R1 over a frame: derive the four fields + Pattern in one narrow
+    * projection (single pass, no shuffle). */
+  def withParsedDescription(
+      df: DataFrame,
+      descCol: String = "Description"): DataFrame = {
+    val parsed = parseDescription(col(descCol))
+    df.withColumn("__p", parsed)
+      .withColumn("Enum A", col("__p.enumA"))
+      .withColumn("Enum B", col("__p.enumB"))
+      .withColumn("Chron I", col("__p.chronI"))
+      .withColumn("Chron J", col("__p.chronJ"))
+      .withColumn("Pattern", col("__p.pattern"))
+      .drop("__p")
+  }
+
+  /** R2 — month/season canonicalization (BatchUpdate.py:319-325, :417-418):
+    * 16 sequential case-insensitive regex substitutions over Chron J,
+    * expressed as a chain of codegen'd `regexp_replace` calls.
+    *
+    * The reference's November replacement is the literal `"` — a typo
+    * (BatchUpdate.py:322). We implement the intent (`Nov`) by default;
+    * `novBugCompat = true` reproduces the reference byte-for-byte. */
+  def monthSubs(novBugCompat: Boolean = false): Seq[(String, String)] = Seq(
+    "Jan" -> """ja\w*""",
+    "Feb" -> """fe\w*""",
+    "Mar" -> """ma*r\w*""",
+    "Apr" -> """ap\w*""",
+    "May" -> """ma*y""",
+    "Jun" -> """j(?:une|un|n|e)""",
+    "Jul" -> """j(?:uly|ul|l|y)""",
+    "Aug" -> """au?g\w*""",
+    "Sep" -> """se\w*""",
+    "Oct" -> """oc\w*""",
+    (if (novBugCompat) "\"" else "Nov") -> """no?v\w*""",
+    "Dec" -> """de\w*""",
+    "Spr" -> """spr\w*""",
+    "Sum" -> """su\w*""",
+    "Fal" -> """fa\w*|au(?!thor|g)\w*""",
+    "Win" -> """wi\w*""")
+
+  def canonicalizeChronJ(c: Column, novBugCompat: Boolean = false): Column =
+    monthSubs(novBugCompat).foldLeft(c) { case (acc, (repl, pat)) =>
+      regexp_replace(acc, "(?i)" + pat, repl)
+    }
+
+  /** R3 — natural-sort volume keys (BatchUpdate.py:272-297): extract
+    * (series#, volume#) so v2 sorts before v10. Missing → 0. */
+  val volPattern: String =
+    """^(?:[sS][eE][rR]\.?\s*)?(\d+)?\s*(?:[vV][oO]?[lL]?\.?\s*)(\d+)"""
+
+  private def intOrZero(extracted: Column): Column =
+    // regexp_extract yields "" on miss; guard before the cast (ANSI mode)
+    when(extracted === "" || extracted.isNull, lit(0))
+      .otherwise(extracted.cast("int"))
+
+  def seriesKey(desc: Column): Column =
+    intOrZero(regexp_extract(desc, volPattern, 1))
+
+  def volumeKey(desc: Column): Column =
+    intOrZero(regexp_extract(desc, volPattern, 2))
+
+  /** R4 — leading-year probe (BatchUpdate.py:318, :332-336): digits at the
+    * start of Chron I. Empty string when absent. */
+  def leadingDigits(c: Column): Column = regexp_extract(c, """^(\d+)""", 1)
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure per-row projection over built-in (codegen'd)
+  * functions — no UDFs, no shuffles — so at 100 TB these run at scan speed
+  * and fuse into whole-stage codegen with the enclosing query. All regexes
+  * are deliberately RE2-compatible (no lookaround) so the same semantics
+  * are expressible in other engines for cross-checking.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace. The shared first step for fingerprinting/dedup. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def words(c: Column): Column = split(normalize(c), " ")
+
+  /** Token count, whitespace tokenization. Long-typed: counts are
+    * cluster-scale quantities. */
+  def tokenCount(c: Column): Column =
+    when(normalize(c) === "", lit(0L))
+      .otherwise(size(words(c)).cast("long"))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and isolated symbols
+    * each count as one token — a cheap, deterministic proxy for a real
+    * tokenizer's piece count. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Rolling-hash document fingerprint: md5 of the normalized text.
+    * Identical normalization + hash = identical fingerprint, the exact-dup
+    * key used by [[Dedup.exactDuplicates]]. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Stopword tables per language for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "et"))
+
+  private def wordHits(c: Column, word: String): Column =
+    regexp_count(c, lit("\\b" + word + "\\b"))
+
+  /** Per-language stopword-hit score. */
+  def langScore(c: Column, lang: String): Column =
+    stopwords(lang).map(w => wordHits(lower(c), w)).reduce(_ + _)
+
+  /** Language-ID: argmax of stopword scores with deterministic tie-break
+    * (alphabetical language order, "und" = undetermined when all zero). */
+  def langId(c: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => langScore(c, l))
+    val best = scores.reduce((a, b) => when(a >= b, a).otherwise(b))
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality signals: char/word counts, average word length, punctuation
+    * and alpha ratios, stopword ratio. All exact integer counts or IEEE
+    * divisions of them — deterministic across engines. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    val nWords = tokenCount(text)
+    val nAlpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("long")
+    val nStop = langScore(text, "en").cast("long")
+    Seq(
+      "n_chars_q" -> nChars,
+      "n_words" -> nWords,
+      "avg_word_len" -> when(nWords > 0,
+        nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0)),
+      "punct_ratio" -> when(nChars > 0,
+        nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0)),
+      "alpha_ratio" -> when(nChars > 0,
+        nAlpha.cast("double") / nChars.cast("double")).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nWords > 0,
+        nStop.cast("double") / nWords.cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** Attach all quality columns in one narrow pass. */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+}

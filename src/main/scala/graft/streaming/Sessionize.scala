@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is purely batch (SURVEY.md §2.6) — these are the
+  * Structured-Streaming extensions a training-data pipeline needs, written
+  * so the SAME logic runs in batch (window functions) and streaming
+  * (flatMapGroupsWithState / watermarked windows).
+  */
+object Sessionize {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of
+    * inactivity. One shuffle (user_id); boundary flags + running sum give
+    * the session index — the standard gaps-and-islands shape. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    val isNew = when(gap.isNull || gap > gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** Batch session summary (count/min/max/total per session). */
+  def sessionSummaryBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionizeBatch(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Streaming sessionization with explicit state: one state object per
+    * user, closed and emitted on timeout (event-time gap). The streaming
+    * twin of [[sessionSummaryBatch]]. */
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val tsMicros = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if tsMicros - s.lastTs <= gapMicros =>
+            cur = Some(s.copy(lastTs = tsMicros, nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            closed ::= Session(userId, new Timestamp(s.sessionStart / 1000L),
+              new Timestamp(s.lastTs / 1000L), s.nEvents, s.totalValue)
+            cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.lastTs / 1000L) + gapMinutes * 60L * 1000L)
+        case None =>
+      }
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        closed ::= Session(userId, new Timestamp(s.sessionStart / 1000L),
+          new Timestamp(s.lastTs / 1000L), s.nEvents, s.totalValue)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Watermarked tumbling-window aggregation — the streaming groupBy. */
+  def windowedCounts(
+      events: DataFrame,
+      windowMinutes: Int = 5,
+      watermarkMinutes: Int = 10): DataFrame =
+    events
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Convenience: run a streaming query over a bounded source and collect
+    * results synchronously (for tests / local smoke). */
+  def runToMemory(
+      spark: SparkSession,
+      out: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
