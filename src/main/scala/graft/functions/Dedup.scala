@@ -65,22 +65,56 @@ object Dedup {
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(s, lit(":" + seed)))))
 
+  /** Whole k-row signature as ONE `array<string>` expression, with the
+    * shingle array bound once via an outer single-element `transform` (a
+    * let-binding: the lambda variable is evaluated once, so the shingle
+    * construction doesn't get re-inlined into every hash row the way k
+    * separate `withColumn`s are after `CollapseProject`). */
+  private def signatureExpr(text: Column, k: Int, shingleSize: Int): Column =
+    transform(array(shingles(text, shingleSize)), sh =>
+      transform(sequence(lit(0), lit(k - 1)), seed =>
+        array_min(transform(sh, s =>
+          md5(concat(s, lit(":"), seed.cast("string")))))))
+
+  /** Attach the signature as a single `__sig` array column. Routed through
+    * `explode` (a Generator) so the signature expression is materialized
+    * exactly once per row — projections downstream reference the generated
+    * attribute instead of re-inlining the hash chain. */
+  private def withSignatureArray(
+      df: DataFrame, textCol: String, k: Int, shingleSize: Int): DataFrame =
+    df.select(col("*"),
+      explode(signatureExpr(col(textCol), k, shingleSize)).as("__sig"))
+
   /** k-permutation minhash signature as k columns `mh0..mh{k-1}`. */
   def withMinhashSignature(
       df: DataFrame,
       textCol: String = "text",
       k: Int = 8,
       shingleSize: Int = 3): DataFrame = {
-    val withSh = df.withColumn("__sh", shingles(col(textCol), shingleSize))
-    (0 until k).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"mh$i", minhash(col("__sh"), i))
-    }.drop("__sh")
+    val sig = withSignatureArray(df, textCol, k, shingleSize)
+    (0 until k).foldLeft(sig) { (d, i) =>
+      d.withColumn(s"mh$i", element_at(col("__sig"), i + 1))
+    }.drop("__sig")
   }
 
+  /** Sorted-prefix pair expansion: for ids sorted ascending, every (a, b)
+    * with a earlier than b — i.e. all unordered pairs, emitted as a < b. */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (b, j) =>
+      transform(slice(ids, lit(1), j), a =>
+        struct(a.as("doc_a"), b.as("doc_b")))))
+
   /** LSH candidate pairs: band the k-signature into `bands` groups of
-    * `k/bands` rows, bucket-join on (band index, band hash). Only doc ids
-    * and band hashes shuffle; each bucket yields its pairs. Output:
-    * (doc_a < doc_b) distinct candidate pairs. */
+    * `k/bands` rows and bucket on (band index, band hash).
+    *
+    * Shape chosen for scale: ONE shuffle of (band, bucket, id) triples —
+    * never the text or the signature — into a `groupBy(band, bucket)`
+    * collect, then pair expansion per bucket. The earlier self-join
+    * formulation paid the signature computation twice (once per join side)
+    * and shuffled twice; this computes it once. Bucket width bounds the
+    * quadratic pair expansion; at corpus scale add a bucket-size cap
+    * (oversized buckets = degenerate shingles, not near-dups).
+    * Output: (doc_a < doc_b) distinct candidate pairs. */
   def minhashCandidates(
       df: DataFrame,
       textCol: String = "text",
@@ -90,24 +124,20 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rowsPerBand = k / bands
-    val sig = withMinhashSignature(df, textCol, k, shingleSize)
-      .select((col(idCol) +: (0 until k).map(i => col(s"mh$i"))): _*)
-    // band hash = md5 of the concatenated band rows
+    val sig = withSignatureArray(df.select(col(idCol), col(textCol)),
+      textCol, k, shingleSize)
     val banded = sig.select(
       col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          md5(concat_ws("|",
-            (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
-    val r = banded.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws("|", slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bucket")))
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
   }
 
   // ------------------------------------------------------------------
@@ -161,9 +191,18 @@ object Dedup {
     when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
   }
 
-  /** Word-bigram Jaccard near-dups, blocked on `blockCol` so the pairwise
-    * stage is per-bucket, not global O(n²). At cluster scale the blocking
-    * key would be an LSH band; any low-cardinality prefilter works. */
+  /** Word-n-gram Jaccard near-dups via an inverted index, blocked on
+    * `blockCol` so candidate generation is per-block, not global O(n²).
+    *
+    * Shape chosen for scale: explode each doc's distinct gram set and
+    * self-join on (block, gram) — the classic set-similarity-join plan. Only
+    * (block, gram, id, setSize) rows shuffle; the gram *arrays* never
+    * travel, and intersection sizes fall out of a count aggregation instead
+    * of per-pair `array_intersect` over replicated arrays. Pairs sharing
+    * zero grams never materialize at all (they can't pass any threshold
+    * > 0). |A ∪ B| = |A| + |B| − |A ∩ B| over distinct sets, so the score
+    * is exactly the pairwise `jaccard` value. At corpus scale, add a
+    * gram-frequency cap / prefix filter to bound hot grams' pair fan-out. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String = "text",
@@ -171,13 +210,22 @@ object Dedup {
       blockCol: String = "source",
       n: Int = 2,
       threshold: Double = 0.25): DataFrame = {
+    require(threshold > 0.0, "inverted-index join requires a positive threshold")
     val grams = array_distinct(shingles(col(textCol), n))
-    val prep = df.select(col(blockCol).as("blk"), col(idCol), grams.as("g"))
-    val l = prep.select(col("blk"), col(idCol).as("doc_a"), col("g").as("ga"))
-    val r = prep.select(col("blk"), col(idCol).as("doc_b"), col("g").as("gb"))
-    l.join(r, Seq("blk"))
+    val ex = df
+      .select(col(blockCol).as("blk"), col(idCol), grams.as("g"))
+      .select(col("blk"), col(idCol), size(col("g")).as("sz"),
+        explode(col("g")).as("gram"))
+    val l = ex.select(col("blk"), col("gram"),
+      col(idCol).as("doc_a"), col("sz").as("sa"))
+    val r = ex.select(col("blk"), col("gram"),
+      col(idCol).as("doc_b"), col("sz").as("sb"))
+    l.join(r, Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("ga"), col("gb")))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
