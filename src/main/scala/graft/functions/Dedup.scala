@@ -49,15 +49,25 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Word n-gram shingles of the normalized text, as an array column
-    * (pure array expression, no explode). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = TextAnalysis.words(text)
-    when(size(ws) < n, array(TextAnalysis.normalize(text)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
+    * (pure array expression, no explode).
+    *
+    * The words array is bound ONCE as a lambda variable via a one-element
+    * `transform` (a let-binding). Referencing `words(text)` directly inside
+    * the per-shingle lambda would re-evaluate the whole
+    * `split(normalize(text))` regex chain for every element — Spark's
+    * subexpression elimination hoists common subtrees at *argument*
+    * positions but never descends into lambda bodies — turning shingling
+    * into O(words²) regex work per row (measured 11.6 s vs ~1 s on 5k docs
+    * at sf0.1). */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(TextAnalysis.words(text)), ws =>
+        when(size(ws) < n, array(concat_ws(" ", ws)))
+          .otherwise(
+            transform(
+              sequence(lit(0), size(ws) - n),
+              i => concat_ws(" ", slice(ws, i + 1, lit(n)))))),
+      1)
 
   /** One minhash value: the minimum md5 hex digest over the shingle set,
     * salted by `seed`. min over uniformly-hashed values = classic minhash;
@@ -211,11 +221,17 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.25): DataFrame = {
     require(threshold > 0.0, "inverted-index join requires a positive threshold")
-    val grams = array_distinct(shingles(col(textCol), n))
+    // (gram, setSize) pairs built inside one let-binding so the distinct
+    // gram set is computed exactly once per row, then exploded — `size(g)`
+    // and the explode input never re-inline the shingle chain separately.
+    val gramSz = element_at(
+      transform(array(array_distinct(shingles(col(textCol), n))), g =>
+        transform(g, x => struct(x.as("gram"), size(g).as("sz")))),
+      1)
     val ex = df
-      .select(col(blockCol).as("blk"), col(idCol), grams.as("g"))
-      .select(col("blk"), col(idCol), size(col("g")).as("sz"),
-        explode(col("g")).as("gram"))
+      .select(col(blockCol).as("blk"), col(idCol), explode(gramSz).as("e"))
+      .select(col("blk"), col(idCol), col("e.sz").as("sz"),
+        col("e.gram").as("gram"))
     val l = ex.select(col("blk"), col("gram"),
       col(idCol).as("doc_a"), col("sz").as("sa"))
     val r = ex.select(col("blk"), col("gram"),

@@ -55,14 +55,25 @@ object TextAnalysis {
     stopwords(lang).map(w => wordHits(lower(c), w)).reduce(_ + _)
 
   /** Language-ID: argmax of stopword scores with deterministic tie-break
-    * (alphabetical language order, "und" = undetermined when all zero). */
+    * (alphabetical language order, "und" = undetermined when all zero).
+    *
+    * Shaped as `array_max` over `(score, -rank, lang)` structs so every
+    * per-language score expression appears exactly once in the plan. The
+    * earlier formulation (`best = reduce(when(a >= b, a, b))` + a `when`
+    * cascade comparing each score to `best`) re-inlined each regexp-count
+    * sum a dozen times and blew past Janino's 64 KB method limit, kicking
+    * the whole projection out of whole-stage codegen. Struct comparison
+    * picks the max score; `-rank` breaks ties toward the alphabetically
+    * first language. */
   def langId(c: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scores = langs.map(l => langScore(c, l))
-    val best = scores.reduce((a, b) => when(a >= b, a).otherwise(b))
-    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s === best && s > 0, lit(l)).otherwise(acc)
-    }
+    val best = array_max(array(langs.zipWithIndex.map { case (l, i) =>
+      struct(langScore(c, l).as("s"), lit(-i).as("nr"), lit(l).as("lang"))
+    }: _*))
+    element_at(
+      transform(array(best), b =>
+        when(b.getField("s") > 0, b.getField("lang")).otherwise(lit("und"))),
+      1)
   }
 
   /** Quality signals: char/word counts, average word length, punctuation
