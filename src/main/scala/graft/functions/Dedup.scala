@@ -159,18 +159,26 @@ object Dedup {
     * md5(token)). No shuffle; one pass. */
   def simhash(text: Column, bits: Int = 16): Column = {
     require(bits <= 32, "md5 hex supplies 32 digit positions")
-    val ws = TextAnalysis.words(text)
-    val perBit = transform(
-      sequence(lit(0), lit(bits - 1)),
-      b => {
-        val vote = aggregate(
-          ws,
-          lit(0),
-          (acc, w) =>
-            acc + when(md5(w).substr(b + 1, lit(1)) >= "8", 1).otherwise(-1))
-        when(vote > 0, pow(lit(2), b).cast("int")).otherwise(lit(0))
-      })
-    aggregate(perBit, lit(0), (acc, x) => acc + x)
+    // Hash every word ONCE, binding the digest array as a lambda variable;
+    // the per-bit votes then read one hex digit of the materialized
+    // digests. Hashing inside the per-bit lambda would md5 each word
+    // `bits` times (subexpression elimination never enters lambda bodies).
+    val digests = transform(TextAnalysis.words(text), w => md5(w))
+    element_at(
+      transform(array(digests), hs => {
+        val perBit = transform(
+          sequence(lit(0), lit(bits - 1)),
+          b => {
+            val vote = aggregate(
+              hs,
+              lit(0),
+              (acc, h) =>
+                acc + when(h.substr(b + 1, lit(1)) >= "8", 1).otherwise(-1))
+            when(vote > 0, pow(lit(2), b).cast("int")).otherwise(lit(0))
+          })
+        aggregate(perBit, lit(0), (acc, x) => acc + x)
+      }),
+      1)
   }
 
   /** Hamming distance between two simhash ints (for near-dup thresholds). */

@@ -141,16 +141,22 @@ object YearInference {
       orderCols: DataFrame => Seq[Column] = d => sortKeys(d)): DataFrame = {
     val ord = orderCols(df)
     val w = Window.partitionBy(col(mmsCol)).orderBy(ord: _*)
-    val year = Description.leadingDigits(col(chronICol))
-    val is4 = length(year) === 4
+    // Materialize the probe + neighbor years as real columns: the Window
+    // node is a projection barrier, so `__yr` is computed once per row and
+    // the big `when`-tree references cheap attributes. Inlining the
+    // regexp_extract expression directly would let CollapseProject
+    // duplicate it into every one of its ~28 references (measured 6.5 s →
+    // 0.3 s on 100k rows).
+    val year = col("__yr")
+    val four = when(length(year) === 4, year)
     val needsFix = length(year) > 0 && length(year) < 4
-    val four = when(is4, year)
-    val prev = last(four, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val next = first(four, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing))
-    val fixed = fixChronICol(col(chronICol), year, prev, next)
-    df.withColumn("__fixed", when(needsFix, fixed))
+    val fixed = fixChronICol(col(chronICol), year, col("__prev"), col("__next"))
+    df.withColumn("__yr", Description.leadingDigits(col(chronICol)))
+      .withColumn("__prev", last(four, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__next", first(four, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("__fixed", when(needsFix, fixed))
       .withColumn("__needs", needsFix)
       .withColumn(
         notesCol,
@@ -161,7 +167,7 @@ object YearInference {
         chronICol,
         when(col("__needs") && col("__fixed").isNotNull, col("__fixed"))
           .otherwise(col(chronICol)))
-      .drop("__fixed", "__needs")
+      .drop("__yr", "__prev", "__next", "__fixed", "__needs")
   }
 
   /** Exact-fidelity W2: per-group sequential scan with in-place updates,
