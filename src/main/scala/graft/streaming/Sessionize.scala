@@ -62,10 +62,23 @@ object Sessionize {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
 
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.sessionStart / 1000L),
+        new Timestamp(s.lastTs / 1000L), s.nEvents, s.totalValue)
+
     def update(
         userId: Long,
         rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
+      // Timeout invocation: the watermark passed this session's gap —
+      // close and clear. (Must NOT fall through to the row path: with the
+      // state kept, re-registering the stale timeout would sit behind the
+      // watermark, which Spark rejects.)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(close(userId, s))
+      }
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var closed = List.empty[Session]
       var cur = state.getOption
@@ -76,24 +89,19 @@ object Sessionize {
             cur = Some(s.copy(lastTs = tsMicros, nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
           case Some(s) =>
-            closed ::= Session(userId, new Timestamp(s.sessionStart / 1000L),
-              new Timestamp(s.lastTs / 1000L), s.nEvents, s.totalValue)
+            closed ::= close(userId, s)
             cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value))
           case None =>
             cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value))
         }
       }
-      cur match {
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp((s.lastTs / 1000L) + gapMinutes * 60L * 1000L)
-        case None =>
-      }
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        closed ::= Session(userId, new Timestamp(s.sessionStart / 1000L),
-          new Timestamp(s.lastTs / 1000L), s.nEvents, s.totalValue)
+      cur.foreach { s =>
+        state.update(s)
+        // Clamp to the watermark: a batch made entirely of late events can
+        // put lastTs + gap behind it, and setTimeoutTimestamp rejects that.
+        val timeoutMs = (s.lastTs / 1000L) + gapMinutes * 60L * 1000L
+        state.setTimeoutTimestamp(
+          math.max(timeoutMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.reverseIterator
     }

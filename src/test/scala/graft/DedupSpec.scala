@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextAnalysis}
+
+/** Dedup operator suite: shingles, exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard — including a cross-check that the inverted-index Jaccard join
+  * computes exactly the naive pairwise formula. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def shingleSeq(text: String, n: Int): Seq[String] =
+    Seq(text).toDF("text")
+      .select(Dedup.shingles(col("text"), n).as("g"))
+      .as[Seq[String]].head()
+
+  test("shingles: word n-grams of the normalized text") {
+    assert(shingleSeq("The quick brown fox", 2) ==
+      Seq("the quick", "quick brown", "brown fox"))
+    assert(shingleSeq("The quick brown fox", 3) ==
+      Seq("the quick brown", "quick brown fox"))
+    // punctuation and case fold away before shingling
+    assert(shingleSeq("Quick, BROWN; fox!", 2) ==
+      Seq("quick brown", "brown fox"))
+  }
+
+  test("shingles: short text falls back to the whole normalized string") {
+    assert(shingleSeq("hello", 3) == Seq("hello"))
+    assert(shingleSeq("hello world", 3) == Seq("hello world"))
+    assert(shingleSeq("hello world again", 3) == Seq("hello world again"))
+  }
+
+  test("exact dedup: fingerprint groups and deterministic survivor") {
+    val df = Seq(
+      (1L, "Same Text here."),
+      (2L, "same text HERE"),   // normalizes identically to doc 1
+      (3L, "different entirely"),
+      (4L, "same text here"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDuplicates(df).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 3L)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+
+    val kept = Dedup.exactDedup(df).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash signature: deterministic, k columns, identical for near-identical texts") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // identical
+      (3L, "totally unrelated content words here"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.withMinhashSignature(df, k = 4, shingleSize = 2)
+      .orderBy("doc_id").collect()
+    // identical text -> identical signature
+    (0 until 4).foreach { i =>
+      assert(sig(0).getAs[String](s"mh$i") == sig(1).getAs[String](s"mh$i"))
+    }
+    // different text -> some row differs
+    assert((0 until 4).exists { i =>
+      sig(0).getAs[String](s"mh$i") != sig(2).getAs[String](s"mh$i")
+    })
+    // signature equals the directly-computed per-seed minhash
+    val direct = df.filter($"doc_id" === 1)
+      .select(Dedup.minhash(Dedup.shingles($"text", 2), 0)).as[String].head()
+    assert(sig(0).getAs[String]("mh0") == direct)
+  }
+
+  test("LSH candidates: near-identical docs collide, distinct pairs a < b") {
+    val base = "the common run of words shared by near duplicates in this corpus"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, base),
+      (4L, "completely different text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, k = 8, bands = 4, shingleSize = 2)
+      .as[(Long, Long)].collect().toSet
+    // identical docs 1 and 3 must collide in every band
+    assert(pairs.contains((1L, 3L)))
+    // ordering invariant
+    assert(pairs.forall { case (a, b) => a < b })
+    // the unrelated doc shares no shingles -> no band hash collision
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: deterministic, equal for equal word sets, hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "Alpha, beta; GAMMA delta!"),  // same normalized words
+      (3L, "omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
+      .orderBy("doc_id").as[(Long, Int)].collect().map(_._2)
+    assert(sh(0) == sh(1))
+    assert(sh(0) >= 0 && sh(0) < (1 << 16))
+    val dist = Seq((sh(0), sh(2))).toDF("a", "b")
+      .select(Dedup.hammingDistance($"a", $"b")).as[Int].head()
+    assert(dist == Integer.bitCount(sh(0) ^ sh(2)))
+  }
+
+  test("jaccard column: |A intersect B| / |A union B|") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(Dedup.jaccard($"x", $"y")).as[Double].head()
+    assert(math.abs(j - 2.0 / 4.0) < 1e-15)
+    val empty = Seq((Seq.empty[String], Seq.empty[String]))
+      .toDF("x", "y").select(Dedup.jaccard($"x", $"y")).as[Double].head()
+    assert(empty == 0.0)
+  }
+
+  test("inverted-index Jaccard pairs match the naive pairwise computation") {
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "s1", "the quick brown fox leaps over the lazy dog"),
+      (3L, "s1", "an utterly different document about spark engines"),
+      (4L, "s1", "the quick brown fox jumps over a lazy dog today"),
+      (5L, "s2", "the quick brown fox jumps over the lazy dog"),
+      (6L, "s2", "spark engines process corpus data at large scale"))
+      .toDF("doc_id", "source", "text")
+
+    val fast = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.1)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // naive reference: per-block cross join + jaccard column
+    val prep = docs.select($"source".as("blk"), $"doc_id",
+      array_distinct(Dedup.shingles($"text", 2)).as("g"))
+    val naive = prep.as("a").join(prep.as("b"), Seq("blk"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        Dedup.jaccard($"a.g", $"b.g").as("j"))
+      .filter($"j" >= 0.1)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double)].collect().toSeq
+
+    assert(fast.map(p => (p._1, p._2)) == naive.map(p => (p._1, p._2)))
+    fast.zip(naive).foreach { case (f, n) =>
+      assert(math.abs(f._3 - n._3) < 1e-12, s"score mismatch: $f vs $n")
+    }
+    // cross-block pair (1, 5) identical texts but different sources: absent
+    assert(!fast.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+}

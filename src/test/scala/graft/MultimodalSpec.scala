@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+
+/** Multimodal binary-column plumbing: synthetic assets, payload stats,
+  * and the batched feature-extraction operator over the stub codec. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "first document body"),
+    (2L, "second, quite different, document"),
+    (3L, "first document body"))
+    .toDF("doc_id", "text")
+
+  test("syntheticAssets: binary payload round-trips the text") {
+    val back = Multimodal.syntheticAssets(docs)
+      .select($"asset_id", decode($"payload", "UTF-8").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(back(1L) == "first document body")
+    assert(back(2L) == "second, quite different, document")
+  }
+
+  test("payloadStats: byte length and md5 over the raw payload") {
+    val assets = Multimodal.syntheticAssets(docs)
+    val stats = Multimodal.payloadStats($"payload").foldLeft(assets) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }.select($"asset_id", $"payload_bytes", $"payload_md5")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats(1L)._1 == "first document body".getBytes("UTF-8").length.toLong)
+    assert(stats(1L)._2.matches("[0-9a-f]{32}"))
+    // identical payloads -> identical digests; different -> different
+    assert(stats(1L) == stats(3L))
+    assert(stats(1L)._2 != stats(2L)._2)
+  }
+
+  test("extractFeatures: deterministic stub decode, fixed schema, batch shape") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs))
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("asset_id", "width", "height", "frame_hashes"))
+    val rows = feats.orderBy("asset_id").collect()
+    assert(rows.length == 3)
+    val r1 = rows(0); val r3 = rows(2)
+    // identical payloads -> identical features (deterministic codec)
+    assert(r1.getInt(1) == r3.getInt(1) && r1.getInt(2) == r3.getInt(2))
+    assert(r1.getSeq[String](3) == r3.getSeq[String](3))
+    assert(r1.getSeq[String](3).length == 3)
+    // dims in the stub's documented range
+    assert(r1.getInt(1) >= 16 && r1.getInt(1) <= 4111)
+  }
+}

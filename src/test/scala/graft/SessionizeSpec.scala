@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Event
+
+/** Sessionization: batch gaps-and-islands semantics, the streaming
+  * flatMapGroupsWithState twin (sessions closed by gap or watermark
+  * timeout), and the watermarked windowed aggregation. */
+class SessionizeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Base offset keeps event times off epoch 0: the first batch's initial
+  // watermark is 0 and a row AT the watermark sits on the late-data edge.
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp((100000L + minutes) * 60000L)
+
+  private val events = Seq(
+    // user 1: two sessions (gap 40min > 30min threshold)
+    Event(1L, ts(0), 1L, "view", 1.0),
+    Event(2L, ts(10), 1L, "click", 2.0),
+    Event(3L, ts(50), 1L, "view", 3.0),
+    Event(4L, ts(55), 1L, "purchase", 4.0),
+    // user 2: one session
+    Event(5L, ts(5), 2L, "view", 5.0),
+    Event(6L, ts(20), 2L, "view", 6.0))
+
+  test("batch sessionization: session indices break on the gap") {
+    val out = Sessionize.sessionizeBatch(events.toDF(), gapMinutes = 30)
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(3L) == 2L && out(4L) == 2L)
+    assert(out(5L) == 1L && out(6L) == 1L)
+  }
+
+  test("batch session summary: bounds, counts, exact cents") {
+    val out = Sessionize.sessionSummaryBatch(events.toDF(), gapMinutes = 30)
+      .orderBy($"user_id", $"session_idx").collect()
+    assert(out.length == 3)
+    val s1 = out(0) // user 1, session 1
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Timestamp]("session_start") == ts(0))
+    assert(s1.getAs[Timestamp]("session_end") == ts(10))
+    assert(s1.getAs[Long]("value_cents") == 300L)
+  }
+
+  test("streaming sessionization closes sessions on gap and agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = Sessionize.sessionizeStream(stream.toDS(), gapMinutes = 30)
+
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_test").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1's first session + the opening of user 2's
+      stream.addData(events.filter(_.event_id <= 2): _*)
+      query.processAllAvailable()
+      // batch 2: user 1's second session starts -> first session closes on gap
+      stream.addData(events.filter(_.event_id > 2): _*)
+      query.processAllAvailable()
+      // batch 3: a far-future event advances the watermark past every
+      // open session's timeout, flushing them
+      stream.addData(Event(99L, ts(1000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      stream.addData(Event(100L, ts(2000), 9L, "view", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("sessions_test")
+        .filter($"user_id" <= 2)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      val batch = Sessionize.sessionSummaryBatch(events.toDF(), gapMinutes = 30)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streaming $streamed differs from batch $batch")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS sessions_test")
+    }
+  }
+
+  test("watermarked windowed counts over a bounded stream match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = Sessionize.windowedCounts(stream.toDF(),
+      windowMinutes = 15, watermarkMinutes = 10)
+
+    val query = out.writeStream.format("memory")
+      .queryName("wincounts_test").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(events: _*)
+      query.processAllAvailable()
+      // advance watermark far enough to close every window
+      stream.addData(Event(100L, ts(500), 9L, "view", 0.0))
+      query.processAllAvailable()
+      stream.addData(Event(101L, ts(1000), 9L, "view", 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("wincounts_test")
+        .filter($"window.start" < ts(400))
+        .select(col("window.start"), $"event_type", $"n", $"value_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      val batch = events.toDF()
+        .groupBy(window($"ts", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .select(col("window.start"), $"event_type", $"n", $"value_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS wincounts_test")
+    }
+  }
+}

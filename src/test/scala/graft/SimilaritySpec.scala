@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** Vector-similarity suite: the native dot-product kernel (interpreted and
+  * codegen paths, null semantics), cosine, exact top-k, bucketed ANN, and
+  * blocked near-dup pairs vs a brute-force reference. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dotOf(a: Seq[Float], b: Seq[Float]): java.lang.Double = {
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d")).collect().head
+    if (r.isNullAt(0)) null else r.getDouble(0)
+  }
+
+  test("dot: exact value, strict left-to-right double accumulation") {
+    assert(dotOf(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) == 32.0)
+    assert(dotOf(Seq.empty, Seq.empty) == 0.0)
+    // accumulates in double: 0.1f products don't collapse to float rounding
+    val v = Seq.fill(10)(0.1f)
+    val expect = v.map(x => x.toDouble * x.toDouble).sum
+    assert(math.abs(dotOf(v, v) - expect) < 1e-18)
+  }
+
+  test("dot: null semantics — null array, length mismatch, null element") {
+    assert(dotOf(null, Seq(1f)) == null)
+    assert(dotOf(Seq(1f, 2f), Seq(1f)) == null)
+    val withNullElem = Seq((Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)))
+      .toDF("a", "b").select(Similarity.dot($"a", $"b")).collect().head
+    assert(withNullElem.isNullAt(0))
+  }
+
+  test("dot: interpreted eval agrees with codegen") {
+    val df = (1 to 50).map { i =>
+      (i.toLong, (0 until 8).map(j => (i * 31 + j * 7 % 13).toFloat / 10f))
+    }.toDF("id", "v")
+    val q = (0 until 8).map(j => (j + 1).toFloat / 10f)
+    val codegen = df.select($"id", Similarity.dot($"v", lit(q.toArray)).as("d"))
+      .orderBy("id").as[(Long, Double)].collect()
+    val interp = df.select($"id",
+      aggregate(zip_with($"v", lit(q.toArray), (x, y) =>
+        x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x).as("d"))
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(codegen.toSeq == interp.toSeq)
+  }
+
+  test("cosine: identical vectors -> 1, orthogonal -> 0, zero vector -> 0") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(cos(Seq(1f, 2f), Seq(1f, 2f)) - 1.0) < 1e-12)
+    assert(cos(Seq(1f, 0f), Seq(0f, 1f)) == 0.0)
+    assert(cos(Seq(0f, 0f), Seq(1f, 1f)) == 0.0) // zero-norm guard
+  }
+
+  test("bruteForceTopK: exact ranking with deterministic tie-break") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),    // cos = 1 with query
+      (2L, Seq(2f, 0f)),    // cos = 1 (tie -> id order)
+      (3L, Seq(1f, 1f)),    // cos ~ 0.707
+      (4L, Seq(0f, 1f)),    // cos = 0
+      (5L, Seq(-1f, 0f)))   // cos = -1
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, Seq(1f, 0f), k = 3)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("annTopK: probes only the query's sign bucket") {
+    // positions 1 and 2 (1-indexed) -> 2-bit bucket
+    val corpus = Seq(
+      (1L, Seq(1f, 1f)),    // bucket 3, cos=1 with query
+      (2L, Seq(0.5f, 0.6f)), // bucket 3
+      (3L, Seq(-1f, 1f)),   // bucket 2 — never scanned
+      (4L, Seq(1f, -1f)))   // bucket 1 — never scanned
+      .toDF("vec_id", "embedding")
+    val res = Similarity.annTopK(corpus, Seq(1f, 1f), k = 10,
+      positions = Seq(1, 2)).as[(Long, Double)].collect().map(_._1).toSet
+    assert(res == Set(1L, 2L))
+  }
+
+  test("cosineNearDupPairs: matches per-pair cosine, blocked, a < b") {
+    val df = Seq(
+      (1L, "x", Seq(1f, 0f, 0f)),
+      (2L, "x", Seq(0.9f, 0.1f, 0f)),
+      (3L, "x", Seq(0f, 0f, 1f)),
+      (4L, "y", Seq(1f, 0f, 0f)))   // same direction as 1, other block
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val direct = Seq((Seq(1f, 0f, 0f), Seq(0.9f, 0.1f, 0f)))
+      .toDF("a", "b").select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(pairs.head._3 - direct) < 1e-12)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Text-analysis suite: normalization, token counts, language ID (argmax +
+  * tie-break), quality signals, fingerprint stability. */
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(
+      implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("text").select(c.as("r")).as[T].head()
+
+  test("normalize: lowercase, strip non-alnum, collapse whitespace") {
+    assert(one[String](TextAnalysis.normalize($"text"), "  Héllo,   WORLD!2 ") ==
+      "h llo world 2")
+    assert(one[String](TextAnalysis.normalize($"text"), "...") == "")
+  }
+
+  test("tokenCount: whitespace tokens of normalized text, 0 for empty") {
+    assert(one[Long](TextAnalysis.tokenCount($"text"), "one two  three") == 3L)
+    assert(one[Long](TextAnalysis.tokenCount($"text"), "!!!") == 0L)
+    assert(one[Long](TextAnalysis.tokenCount($"text"), "") == 0L)
+  }
+
+  test("subwordCount: alpha runs + digit runs + isolated symbols") {
+    // "abc123!x" -> abc | 123 | ! | x
+    assert(one[Long](TextAnalysis.subwordCount($"text"), "abc123!x") == 4L)
+  }
+
+  test("langId: picks the language with most stopword hits") {
+    assert(one[String](TextAnalysis.langId($"text"),
+      "the cat and the dog of the house") == "en")
+    assert(one[String](TextAnalysis.langId($"text"),
+      "der hund und die katze und das haus") == "de")
+    assert(one[String](TextAnalysis.langId($"text"),
+      "el perro y los gatos es una casa y") == "es")
+    assert(one[String](TextAnalysis.langId($"text"),
+      "le chien est une maison et les chats") == "fr")
+    // no stopwords at all -> undetermined
+    assert(one[String](TextAnalysis.langId($"text"),
+      "zzz qqq xxx") == "und")
+    // tie -> alphabetically first language ("the" en x1, "und" de x1)
+    assert(one[String](TextAnalysis.langId($"text"), "the und") == "de")
+  }
+
+  test("quality columns: exact counts and IEEE ratios") {
+    val row = TextAnalysis.withQuality(Seq((1L, "Hi, there!")).toDF("doc_id", "text"))
+      .select($"n_chars_q", $"n_words", $"punct_ratio", $"alpha_ratio",
+        $"stopword_ratio")
+      .collect().head
+    assert(row.getLong(0) == 10L)          // chars
+    assert(row.getLong(1) == 2L)           // "hi there"
+    assert(row.getDouble(2) == 2.0 / 10.0) // ',' and '!'
+    assert(row.getDouble(3) == 7.0 / 10.0) // hithere = 7 alpha
+    assert(row.getDouble(4) == 0.0)        // no en stopwords
+  }
+
+  test("fingerprint: stable under case/punctuation noise, md5 hex shape") {
+    val fp1 = one[String](TextAnalysis.fingerprint($"text"), "Some Document")
+    val fp2 = one[String](TextAnalysis.fingerprint($"text"), "some,  document!!")
+    val fp3 = one[String](TextAnalysis.fingerprint($"text"), "another doc")
+    assert(fp1 == fp2)
+    assert(fp1 != fp3)
+    assert(fp1.matches("[0-9a-f]{32}"))
+  }
+}
