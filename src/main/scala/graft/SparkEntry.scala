@@ -292,6 +292,25 @@ object SparkEntry {
         .orderBy(col("mat_code"))
     }),
 
+    "alma_domain_validate" -> ((s, dir) => {
+      // P6: domain validation as a broadcast anti-join against the code
+      // dimension — invalid values become error-noted rows instead of the
+      // reference's interactive re-prompt
+      val mat = when(col("l_linenumber") % 4 === 0, lit("Book"))
+        .when(col("l_linenumber") % 4 === 1, lit("DVD"))
+        .when(col("l_linenumber") % 4 === 2, lit("Thesis"))
+        .otherwise(lit("Scroll")) // not in the Material Type table
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          mat.as("Material Type"))
+        .withColumn("Notes", lit(""))
+      FillStage.validateDomain(s, "Material Type")(base)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("Material Type").as("material_type"),
+          col("Notes").as("notes"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "alma_desc_parse" -> ((s, dir) => {
       // R1 (full fidelity, Java-regex lookbehind — no RE2 oracle; unit
       // specs + rows-only check): parse fixture-grammar descriptions
@@ -655,6 +674,15 @@ object SparkEntry {
           |  WHEN l_linenumber % 3 = 1 THEN 'DVD'
           |  ELSE 'THESIS' END AS mat_code
           | FROM lineitem) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "alma_domain_validate" ->
+        """SELECT l_orderkey, l_linenumber,
+          | CASE CAST(l_linenumber % 4 AS INT)
+          |  WHEN 0 THEN 'Book' WHEN 1 THEN 'DVD' WHEN 2 THEN 'Thesis'
+          |  ELSE 'Scroll' END AS material_type,
+          | CASE WHEN l_linenumber % 4 = 3
+          |  THEN 'Err: Invalid value for Material Type' ELSE '' END AS notes
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "dedup_exact" ->
         s"""SELECT md5($duckNorm) AS fp, count(*) AS n_dups,

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FormatStage, YearInference}
+import graft.model.AlmaSchema
+
+/** Physical-plan regression checks: the properties that matter at 100 TB —
+  * scan pruning/pushdown, broadcast vs shuffle joins, shuffle counts, and
+  * SQL availability of the native kernels — asserted on the real sf0.001
+  * plans so a refactor that silently de-optimizes a plan fails CI. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+
+  private def countIn(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("q02: filters reach the parquet scan, schema pruned to 3 columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), IsNotNull(p_size), " +
+      "EqualTo(p_type,PROMO), GreaterThanOrEqual(p_size,25)]"),
+      s"missing pushed filters in:\n$p")
+    // scan reads only the output + filter columns; the wide ones are pruned
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string," +
+      "p_type:string,p_size:int>"),
+      s"scan not pruned to output+filter columns in:\n$p")
+    assert(!p.contains("p_retailprice") && !p.contains("p_comment"),
+      s"unused columns not pruned in:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q01_agg_lineitem")
+    // partial + final HashAggregate pair around one exchange
+    assert(countIn(p, "HashAggregate") >= 2, p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q04: dimension chain joins broadcast; fact side never shuffles for the join") {
+    val p = plan("q04_broadcast_lookup")
+    assert(countIn(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchanges are the broadcasts and the final agg/sort
+    assert(countIn(p, "BroadcastExchange") == 2, p)
+  }
+
+  test("q05: top-k is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q05_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q06/q07: anti and semi joins planned as such") {
+    assert(plan("q06_anti_join").contains("LeftAnti"), plan("q06_anti_join"))
+    assert(plan("q07_semi_join").contains("LeftSemi"), plan("q07_semi_join"))
+  }
+
+  test("format stage: narrow plan — no exchange, scan-fused projection") {
+    val df = FormatStage(AlmaSchema.default)(
+      Tables(spark, dir, "customer").select(
+        col("c_custkey").cast("string").as("MMS ID"),
+        col("c_custkey").cast("string").as("Barcode"),
+        col("c_name").as("title")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("year inference (windowed): exactly one hash exchange on the group key") {
+    val base = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("event_id").cast("string").as("Chron I"))
+      .withColumn("Notes", lit(""))
+    val out = YearInference.inferWindowed(base, mmsCol = "user_id",
+      orderCols = _ => Seq(col("event_id")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(countIn(p, "Exchange hashpartitioning") == 1, p)
+    assert(countIn(p, "Exchange rangepartitioning") == 0, p)
+    // the year probe regex is evaluated once per row, not re-inlined per use
+    assert(countIn(p, "regexp_extract") <= 3, p)
+  }
+
+  test("minhash LSH: signature computed once, one shuffle to the band buckets") {
+    val df = graft.functions.Dedup.minhashCandidates(
+      Tables(spark, dir, "documents"), k = 8, bands = 4)
+    val p = df.queryExecution.executedPlan.toString
+    // one scan of documents (no self-join paying the signature twice)
+    assert(countIn(p, "FileScan parquet") == 1, p)
+    // the md5 signature chain appears in one generator input only
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vec_dot_f: available from SQL via extensions, codegen-capable") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot_f(array(cast(1 as float), cast(2 as float)), " +
+        "array(cast(3 as float), cast(4 as float))) AS d")
+    assert(r.collect().head.getDouble(0) == 11.0)
+  }
+
+  test("broadcast domain validation: no shuffle of the fact side") {
+    val p = plan("alma_domain_validate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
