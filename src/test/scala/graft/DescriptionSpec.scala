@@ -43,6 +43,25 @@ class DescriptionSpec extends SparkSuite {
     }
   }
 
+  test("R1 native expression agrees with the scala UDF, incl. nulls and SQL") {
+    import spark.implicits._
+    val df = (corpus.map(_._1) :+ null).toDF("Description")
+    val native = Description.withParsedDescription(df)
+      .select("Enum A", "Enum B", "Chron I", "Chron J", "Pattern")
+      .collect().map(_.toSeq).toSeq
+    val viaUdf = df.select(Description.parseUdf($"Description").as("p"))
+      .select("p.enumA", "p.enumB", "p.chronI", "p.chronJ", "p.pattern")
+      .collect().map(_.toSeq).toSeq
+    assert(native == viaUdf)
+
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT parse_description('v.3 no.2 (Oct 1998)') AS p")
+      .select("p.enumA", "p.chronI", "p.chronJ", "p.pattern")
+      .collect().head.toSeq
+    assert(sql == Seq("v.3", "1998", "Oct ", "StdMatch"))
+  }
+
   test("R3 natural-sort keys: v2 < v10, series prefix, missing -> 0") {
     import spark.implicits._
     val df = Seq("v.2 (1999)", "v.10 (1999)", "ser.3 v.1", "no vol").toDF("d")
