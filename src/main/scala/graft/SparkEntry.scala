@@ -340,6 +340,27 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "alma_nomatch_count" -> ((s, dir) => {
+      // A1: the reference's "Could not parse N item descriptions" report
+      // (BatchUpdate.py:753-758) as a conditional aggregate over R1 output
+      val desc = when(col("l_linenumber") % 5 === 4,
+        lit("unparseable description text"))
+        .otherwise(
+          concat(lit("v."), (col("l_partkey") % 40).cast("string"),
+            lit(" no."), (col("l_linenumber") % 12).cast("string"),
+            lit(" (Oct 19"),
+            lpad((col("l_orderkey") % 100).cast("string"), 2, "0"),
+            lit(")")))
+      Description.withParsedDescription(
+        t(s, dir, "lineitem")
+          .select(desc.as("Description"))
+          .transform(par(s)))
+        .agg(
+          sum(when(col("Pattern") === "N/A", 1L).otherwise(0L))
+            .as("n_unmatched"),
+          count(lit(1)).as("n_total"))
+    }),
+
     "alma_split_pipeline" -> ((s, dir) => {
       // end-to-end split stage (rows-only; golden-tested in ScalaTest)
       val items = t(s, dir, "customer").select(
@@ -674,6 +695,11 @@ object SparkEntry {
           |  WHEN l_linenumber % 3 = 1 THEN 'DVD'
           |  ELSE 'THESIS' END AS mat_code
           | FROM lineitem) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "alma_nomatch_count" ->
+        """SELECT CAST(sum(CASE WHEN l_linenumber % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+          | count(*) AS n_total
+          |FROM lineitem""".stripMargin,
 
       "alma_domain_validate" ->
         """SELECT l_orderkey, l_linenumber,
