@@ -401,6 +401,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(par(s)(t(s, dir, "documents")),
+        bits = 16, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(par(s)(t(s, dir, "documents")), n = 2, threshold = 0.25)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -530,6 +536,11 @@ object SparkEntry {
       s"(CASE WHEN len($duckWords) < 3 THEN [$duckNorm] ELSE list_transform(range(1, len($duckWords)-1), i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2]) END)"
     def duckMinhash(shingles: String, seed: Int): String =
       s"list_aggregate(list_transform($shingles, s -> md5(s || ':$seed')), 'min')"
+    val duckSimhash16 =
+      s"""CAST(list_sum(list_transform(range(0, 16), b ->
+         | CASE WHEN list_sum(list_transform($duckWords, w ->
+         |   CASE WHEN substr(md5(w), b + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |  THEN (1 << b) ELSE 0 END)) AS INT)""".stripMargin.replace("\n", "")
     def duckLangScore(lang: String): String =
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
@@ -737,11 +748,18 @@ object SparkEntry {
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "dedup_simhash" ->
-        s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
-           | CASE WHEN list_sum(list_transform($duckWords, w ->
-           |   CASE WHEN substr(md5(w), b + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
-           |  THEN (1 << b) ELSE 0 END)) AS INT) AS sh
+        s"""SELECT doc_id, $duckSimhash16 AS sh
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // oracle is the brute-force O(n²) pair scan; the engine's pigeonhole
+      // chunk blocking must reproduce it exactly
+      "dedup_simhash_pairs" ->
+        s"""WITH s AS (SELECT doc_id, $duckSimhash16 AS sh FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_jaccard" ->
         s"""WITH d AS (SELECT doc_id, source, list_distinct($duckShingles2) AS g FROM documents)

@@ -198,6 +198,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** SimHash near-dup pairs within hamming distance `maxDist`, by
+    * pigeonhole blocking: split the `bits`-bit signature into
+    * `maxDist + 1` chunks — two signatures differing in at most `maxDist`
+    * bits must agree EXACTLY on at least one chunk, so bucketing on
+    * (chunk index, chunk value) generates every qualifying pair without a
+    * global cross join. Only (chunk, value, id, sh) rows shuffle; the
+    * exact hamming check then filters false candidates. Classic
+    * multi-index hamming search; complements [[simhashDuplicates]]'s
+    * identical-signature grouping. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bits: Int = 16,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, "need 0 <= maxDist < bits")
+    val chunks = maxDist + 1
+    val w = (bits + chunks - 1) / chunks
+    val sig = df.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+    val chunkVals = (0 until chunks).map { c =>
+      val lo = c * w
+      val width = math.max(1, math.min(w, bits - lo))
+      struct(lit(c).as("ci"),
+        shiftright(col("sh"), lo).bitwiseAND(lit((1 << width) - 1)).as("cv"))
+    }
+    val banded = sig
+      .select(col(idCol), col("sh"), explode(array(chunkVals: _*)).as("b"))
+      .select(col(idCol), col("sh"), col("b.ci"), col("b.cv"))
+    val l = banded.select(col("ci"), col("cv"),
+      col(idCol).as("id_a"), col("sh").as("sha"))
+    val r = banded.select(col("ci"), col("cv"),
+      col(idCol).as("id_b"), col("sh").as("shb"))
+    l.join(r, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sha"), col("shb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   // ------------------------------------------------------------------
   // N-gram Jaccard
   // ------------------------------------------------------------------

@@ -102,6 +102,28 @@ class DedupSpec extends SparkSuite {
     assert(dist == Integer.bitCount(sh(0) ^ sh(2)))
   }
 
+  test("simhash near-dup pairs: pigeonhole blocking matches brute force") {
+    val docs = (1 to 40).map { i =>
+      // overlapping word sets so some pairs land within hamming distance
+      val words = (0 until 8).map(j => s"w${(i + j * 3) % 15}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val blocked = Dedup.simhashNearDupPairs(docs, bits = 16, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+
+    val sig = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.hammingDistance($"a.sh", $"b.sh").as("d"))
+      .filter($"d" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+
+    assert(blocked == brute)
+    assert(brute.nonEmpty, "test corpus should produce at least one pair")
+  }
+
   test("jaccard column: |A intersect B| / |A union B|") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("x", "y").select(Dedup.jaccard($"x", $"y")).as[Double].head()
