@@ -431,6 +431,16 @@ object SparkEntry {
       Similarity.annTopK(t(s, dir, "embeddings"), q, k = 5)
     }),
 
+    "sim_ivf_topk" -> ((s, dir) => {
+      // IVF scale path: coarse-quantizer cell assignment (narrow), probe
+      // only the nprobe cells nearest the query, exact cosine within them
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.ivfTopK(emb, cents, q, k = 10, nprobe = 3)
+    }),
+
     // ---- Text analysis over documents --------------------------------
 
     "text_langid" -> ((s, dir) => {
@@ -799,6 +809,24 @@ object SparkEntry {
            |   + CASE WHEN e.embedding[33] > 0 THEN 4 ELSE 0 END
            |   + CASE WHEN e.embedding[49] > 0 THEN 8 ELSE 0 END) = q.qb
            |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+      "sim_ivf_topk" -> {
+        def duckL2(a: String, b: String): String =
+          s"list_aggregate(list_transform(list_zip($a, $b), " +
+            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM c, q
+           |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),
+           |assign AS (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, e.embedding)
+           |SELECT a.vec_id, ${duckCosine("a.embedding", "q.qe")} AS score
+           |FROM assign a, q
+           |WHERE a.cell IN (SELECT cid FROM probe)
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+      },
 
       "text_langid" -> {
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted

@@ -81,6 +81,67 @@ object Similarity {
       .limit(k)
   }
 
+  def l2sq(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      VecL2F(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Coarse-quantizer assignment: nearest centroid by squared L2, ties to
+    * the lower centroid id (argmin via `array_min` over (dist, cid)
+    * structs — struct comparison is lexicographic). Centroids are a small
+    * driver-side list (the IVF coarse codebook), compiled into the plan as
+    * literals: the corpus never shuffles for assignment. */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(vec, lit(c.toArray)).as("d"), lit(i).as("cid"))
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
+  /** Pick the IVF coarse codebook deterministically: the first `k` corpus
+    * vectors in id order. A trained k-means codebook drops in without
+    * changing any downstream plan; determinism is what the correctness
+    * oracle needs. */
+  def ivfCentroids(
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Float]] =
+    corpus.orderBy(col(idCol)).select(col(vecCol)).limit(k)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** IVF top-k: assign every vector to its nearest centroid (narrow, no
+    * shuffle), probe only the `nprobe` centroids nearest the query, exact
+    * cosine within the probed cells. At cluster scale the assignment is
+    * precomputed once and the corpus is partitioned/bucketed by `ivf_cell`,
+    * so a probe touches `nprobe/k` of the data. */
+  def ivfTopK(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(queryVec)
+          .foldLeft(0.0) { case (acc, (x, q)) =>
+            val dd = x.toDouble - q.toDouble; acc + dd * dd
+          }
+        (d, i)
+      }
+      .sorted.take(nprobe).map(_._2)
+    corpus
+      .withColumn("__cell", ivfAssign(col(vecCol), centroids))
+      .filter(col("__cell").isin(probed: _*))
+      .select(col(idCol), cosine(col(vecCol), lit(queryVec.toArray)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on an existing
     * low-cardinality key (here: label; at scale: an LSH bucket) so the
     * pairwise stage stays per-block.

@@ -82,6 +82,58 @@ class SimilaritySpec extends SparkSuite {
     assert(res == Set(1L, 2L))
   }
 
+  test("l2sq kernel: exact squared distance, null on mismatch") {
+    val d = Seq((Seq(1f, 2f), Seq(4f, 6f))).toDF("a", "b")
+      .select(Similarity.l2sq($"a", $"b")).as[Double].head()
+    assert(d == 25.0) // 3² + 4²
+    val bad = Seq((Seq(1f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Similarity.l2sq($"a", $"b")).collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("ivfAssign: nearest centroid, ties to lower cid") {
+    val cents = Seq(Seq(0f, 0f), Seq(10f, 0f), Seq(0f, 10f))
+    val cells = Seq(
+      (1L, Seq(1f, 1f)),    // nearest origin -> 0
+      (2L, Seq(9f, 1f)),    // -> 1
+      (3L, Seq(1f, 9f)),    // -> 2
+      (4L, Seq(5f, 0f)))    // equidistant 0 and 1 -> tie to 0
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.ivfAssign($"embedding", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("ivfTopK: equals brute force restricted to the probed cells") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroids(corpus, k = 8)
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"embedding").first().getSeq[Float](0)
+
+    val ivf = Similarity.ivfTopK(corpus, cents, q, k = 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    // reference: same probe set computed independently, brute force within
+    val probed = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(q).foldLeft(0.0) { case (a, (x, y)) =>
+        val d = x.toDouble - y.toDouble; a + d * d
+      }, i)
+    }.sorted.take(3).map(_._2).toSet
+    val brute = corpus
+      .withColumn("cell", Similarity.ivfAssign($"embedding", cents))
+      .filter($"cell".isin(probed.toSeq: _*))
+      .select($"vec_id", Similarity.cosine($"embedding", lit(q.toArray)).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == brute)
+    assert(ivf.nonEmpty)
+    // nprobe = all cells degenerates to exact brute-force top-k
+    val full = Similarity.ivfTopK(corpus, cents, q, k = 5, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+  }
+
   test("cosineNearDupPairs: matches per-pair cosine, blocked, a < b") {
     val df = Seq(
       (1L, "x", Seq(1f, 0f, 0f)),
