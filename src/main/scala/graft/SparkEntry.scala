@@ -510,6 +510,27 @@ object SparkEntry {
         .orderBy(col("win_start_us"), col("event_type"))
     }),
 
+    "ev_stream_windowed_agg" -> ((s, dir) => {
+      // the SAME aggregation as ev_windowed_agg, executed as an actual
+      // Structured Streaming query: parquet file source → complete-mode
+      // windowed aggregation → memory sink, drained synchronously. One
+      // oracle covers both execution models.
+      import org.apache.spark.sql.streaming.OutputMode
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source wants a directory or glob; the bracket makes the
+      // single-file path a glob without widening what it matches
+      val stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("value_cents"))
+      Sessionize.runToMemory(s, agg, "ev_stream_win", OutputMode.Complete)
+        .orderBy(col("win_start_us"), col("event_type"))
+    }),
+
     // ---- Multimodal binary columns -----------------------------------
 
     "mm_payload_stats" -> ((s, dir) => {
@@ -887,6 +908,12 @@ object SparkEntry {
           |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
       "ev_windowed_agg" ->
+        """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+          | event_type, count(*) AS n,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+      "ev_stream_windowed_agg" ->
         """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
           | event_type, count(*) AS n,
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
