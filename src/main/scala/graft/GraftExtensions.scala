@@ -30,13 +30,11 @@ object GraftExtensions {
     Seq((
       new FunctionIdentifier("vec_dot_f"),
       new ExpressionInfo(
-        classOf[VecDotF].getName,
-        null,
-        "vec_dot_f",
+        classOf[VecDotF].getName, null, "vec_dot_f",
         "vec_dot_f(a, b) - dot product of two array<float> vectors, " +
           "accumulated left-to-right in double; null on length mismatch " +
           "or null element.",
-        ""),
+        "", "", "", "math_funcs", "0.1.0", "", "scala_udf"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot_f takes exactly 2 arguments")
         VecDotF(children.head, children(1))
@@ -44,13 +42,12 @@ object GraftExtensions {
       (
         new FunctionIdentifier("parse_description"),
         new ExpressionInfo(
-          classOf[graft.functions.ParseDescription].getName,
-          null,
+          classOf[graft.functions.ParseDescription].getName, null,
           "parse_description",
           "parse_description(desc) - parse a journal item description " +
             "into struct<enumA, enumB, chronI, chronJ, pattern> using the " +
             "ordered multi-pattern grammar; pattern = 'N/A' on no match.",
-          ""),
+          "", "", "", "string_funcs", "0.1.0", "", "scala_udf"),
         (children: Seq[Expression]) => {
           require(children.length == 1, "parse_description takes 1 argument")
           graft.functions.ParseDescription(children.head)

@@ -253,6 +253,6 @@ object YearInference {
         }
         sorted.iterator.map(a => Row.fromSeq(a.toSeq))
       }(rowEnc)
-      .toDF(schema.fieldNames: _*)
+      .toDF(scala.collection.immutable.ArraySeq.unsafeWrapArray(schema.fieldNames): _*)
   }
 }
