@@ -193,6 +193,28 @@ object SparkEntry {
       buyers.except(rich).orderBy(col("custkey"))
     }),
 
+    "q11_set_intersect" -> ((s, dir) => {
+      // set intersection: urgent buyers who are also high-balance customers
+      val buyers = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") >= 5000)
+        .select(col("c_custkey").as("custkey"))
+      buyers.intersect(rich).orderBy(col("custkey"))
+    }),
+
+    "q12_rollup" -> ((s, dir) => {
+      // hierarchical aggregate (rollup): per (returnflag, linestatus),
+      // per returnflag subtotal, and grand total in one pass
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("l_quantity"))).as("qty_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q10_fill_route" -> ((s, dir) => {
       // P4/P5/P8/P9 composed over orders: blank-fill, two conditional
       // note-appends, and the success/error routing flag
@@ -644,6 +666,18 @@ object SparkEntry {
           |  ELSE '' END AS notes,
           | CASE WHEN o_totalprice < 5000 THEN 'err' ELSE 'ok' END AS route
           |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+      "q11_set_intersect" ->
+        """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |INTERSECT
+          |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 5000
+          |ORDER BY custkey""".stripMargin,
+
+      "q12_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          | CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_cents
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
       "alma_format_guard" ->
         """SELECT '''' || CAST(c_custkey AS VARCHAR) AS "MMS ID",
