@@ -34,16 +34,24 @@ object Bench {
       try run(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
     }
+    // A broken query must not silently make the total LOOK faster: record
+    // the elapsed time either way, and name failures in the JSON.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try run(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -158,7 +158,8 @@ object Dedup {
     * bit b is the sign of Σ_tokens (±1 by the b-th hex digit's high bit of
     * md5(token)). No shuffle; one pass. */
   def simhash(text: Column, bits: Int = 16): Column = {
-    require(bits <= 32, "md5 hex supplies 32 digit positions")
+    // 31, not 32: bit 31's weight 2^31 overflows the int signature
+    require(bits <= 31, "signature is a positive int; max 31 bits")
     // Hash every word ONCE, binding the digest array as a lambda variable;
     // the per-bit votes then read one hex digit of the materialized
     // digests. Hashing inside the per-bit lambda would md5 each word
@@ -215,13 +216,17 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < bits, "need 0 <= maxDist < bits")
     val chunks = maxDist + 1
-    val w = (bits + chunks - 1) / chunks
     val sig = df.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+    // Balanced chunk boundaries: chunk c covers bits
+    // [c*bits/chunks, (c+1)*bits/chunks). Every chunk is non-empty for
+    // chunks <= bits; a fixed ceil-width layout would push the last
+    // chunk(s) past the signature for some (bits, maxDist), collapsing
+    // them into one global bucket and degenerating the join to n²/2.
     val chunkVals = (0 until chunks).map { c =>
-      val lo = c * w
-      val width = math.max(1, math.min(w, bits - lo))
+      val lo = c * bits / chunks
+      val hi = (c + 1) * bits / chunks
       struct(lit(c).as("ci"),
-        shiftright(col("sh"), lo).bitwiseAND(lit((1 << width) - 1)).as("cv"))
+        shiftright(col("sh"), lo).bitwiseAND(lit((1 << (hi - lo)) - 1)).as("cv"))
     }
     // Bucketed SELF-JOIN on (chunk, value): narrow chunks (bits/(maxDist+1))
     // give wide buckets at corpus scale, so the quadratic in-bucket pair
@@ -241,8 +246,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sha"), col("shb")).as("dist"))
-      .distinct()
+      // filter BEFORE the distinct: false candidates (chunk collisions
+      // above the threshold) are most of the volume in the wide-bucket
+      // regime and need not reach the dedup shuffle
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   // ------------------------------------------------------------------

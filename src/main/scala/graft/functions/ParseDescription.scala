@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -21,6 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * through [[Description.parse]].
   */
 case class ParseDescription(child: Expression) extends UnaryExpression {
+
+  // fail at analysis, not with a mid-job ClassCastException — the
+  // expression is SQL-registered, so any argument type can reach it
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.catalogString)
 
   override def dataType: DataType = ParseDescription.schema
   override def nullable: Boolean = false

@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim}
 import org.apache.spark.sql.functions._
 
-/** Similarity search over embedding columns (`array<float>`).
+/** Similarity search over embedding columns (strictly `array<float>` —
+  * the native kernels type-check at analysis; cast `array<double>`
+  * embeddings with `transform(v, x => x.cast("float"))` first).
   *
   * The vector math is pure array expressions — `zip_with` for the products,
   * `aggregate` for the sequential sum — accumulating in double with a fixed

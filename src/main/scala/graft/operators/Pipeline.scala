@@ -60,13 +60,18 @@ object Pipeline {
       val factory = store.getOrElse(
         throw new IllegalArgumentException(
           "update stage needs an ItemStore factory (no interactive confirm in a cluster)"))
-      val annotated =
-        AlmaConnector.update(CsvStage.read(spark, current), factory).cache()
-      try {
-        val (ok, bad) = AlmaConnector.routeUpdateResult(annotated)
-        (Some(CsvStage.writeStage(ok, current, "suc_")),
-          Some(CsvStage.writeStage(bad, current, "err_")))
-      } finally annotated.unpersist()
+      // Materialize the annotated result to disk BEFORE routing: the PUTs
+      // in AlmaConnector.update are not idempotent, and cache() alone is
+      // best-effort — an evicted partition (or task retry during the
+      // second routed write) would re-execute the HTTP calls. One parquet
+      // write gives the two filtered sinks a stable, re-readable input.
+      val staging = CsvStage.stagedPath(current, "upd_") + ".staging"
+      AlmaConnector.update(CsvStage.read(spark, current), factory)
+        .write.mode("overwrite").parquet(staging)
+      val annotated = spark.read.parquet(staging)
+      val (ok, bad) = AlmaConnector.routeUpdateResult(annotated)
+      (Some(CsvStage.writeStage(ok, current, "suc_")),
+        Some(CsvStage.writeStage(bad, current, "err_")))
     } else (None, None)
 
     Result(formatted, splitOut, suc, err)

@@ -55,9 +55,16 @@ object CsvStage {
   def readNaive(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
-    val header = lines.head().split(",", -1)
-    // drop exactly the first line (the reference indexes data[0] as header)
-    val body = lines.rdd.zipWithIndex().filter(_._2 > 0).map(_._1)
+    val headerLine = lines.head()
+    val header = headerLine.split(",", -1)
+    // Drop the first line (the reference indexes data[0] as header) AND
+    // any repeated header line: multi-partition outputs from writeStage
+    // carry one header per part file. (A data row byte-identical to the
+    // header cannot occur in real item files — every schema has distinct
+    // mandatory columns like Barcode.)
+    val body = lines.rdd.zipWithIndex()
+      .filter { case (l, i) => i > 0 && l != headerLine }
+      .map(_._1)
     spark.createDataset(body)
       .select(split(col("value"), ",", -1).as("c"))
       .select(header.zipWithIndex.map { case (h, i) =>

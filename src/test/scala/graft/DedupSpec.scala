@@ -122,6 +122,19 @@ class DedupSpec extends SparkSuite {
 
     assert(blocked == brute)
     assert(brute.nonEmpty, "test corpus should produce at least one pair")
+
+    // regression: (bits=16, maxDist=4) once pushed the last chunk past the
+    // signature width, collapsing it into one global bucket — the balanced
+    // layout must keep every chunk inside the signature AND stay exact
+    val blocked4 = Dedup.simhashNearDupPairs(docs, bits = 16, maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute4 = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.hammingDistance($"a.sh", $"b.sh").as("d"))
+      .filter($"d" <= 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked4 == brute4)
   }
 
   test("jaccard column: |A intersect B| / |A union B|") {
