@@ -487,6 +487,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_sample_det" -> ((s, dir) => {
+      // deterministic content-hash sampling: the reproducible train/eval
+      // split primitive (stable under reruns, joins, and repartitioning —
+      // unlike rand()-based sampling)
+      par(s)(t(s, dir, "documents"))
+        .filter(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 2) < "29")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_corpus_stats" -> ((s, dir) => {
+      // corpus profile: doc/token totals and length quantiles — the
+      // summary a pipeline checks before/after each filter stage
+      par(s)(t(s, dir, "documents"))
+        .select(TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          expr("percentile(n_tok, array(0.5D, 0.9D))").as("p50_90"))
+        .select(col("n_docs"), col("total_tokens"), col("total_chars"),
+          col("min_tokens"), col("max_tokens"),
+          col("p50_90").getItem(0).as("p50_tokens"),
+          col("p50_90").getItem(1).as("p90_tokens"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       par(s)(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -917,6 +946,24 @@ object SparkEntry {
            | (CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END) AS n_tokens,
            | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_sample_det" ->
+        """SELECT doc_id FROM documents
+          |WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+          |ORDER BY doc_id""".stripMargin,
+
+      "text_corpus_stats" -> {
+        val nTok = s"(CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END)"
+        s"""WITH t AS (SELECT $nTok AS n_tok,
+           |  CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+           |SELECT count(*) AS n_docs,
+           | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           | min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
+           | quantile_cont(n_tok, 0.5) AS p50_tokens,
+           | quantile_cont(n_tok, 0.9) AS p90_tokens
+           |FROM t""".stripMargin
+      },
 
       "text_fingerprint" ->
         s"""SELECT doc_id, md5($duckNorm) AS fp FROM documents ORDER BY doc_id""",
