@@ -424,8 +424,11 @@ object SparkEntry {
     }),
 
     "dedup_simhash_pairs" -> ((s, dir) => {
+      // 24-bit signatures: 6-bit pigeonhole chunks keep buckets selective
+      // at corpus size (4-bit chunks of a 16-bit signature collide ~16x
+      // more and the candidate join degrades toward quadratic)
       Dedup.simhashNearDupPairs(par(s)(t(s, dir, "documents")),
-        bits = 16, maxDist = 3)
+        bits = 24, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -618,11 +621,12 @@ object SparkEntry {
       s"(CASE WHEN len($duckWords) < 3 THEN [$duckNorm] ELSE list_transform(range(1, len($duckWords)-1), i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2]) END)"
     def duckMinhash(shingles: String, seed: Int): String =
       s"list_aggregate(list_transform($shingles, s -> md5(s || ':$seed')), 'min')"
-    val duckSimhash16 =
-      s"""CAST(list_sum(list_transform(range(0, 16), b ->
+    def duckSimhash(bits: Int) =
+      s"""CAST(list_sum(list_transform(range(0, $bits), b ->
          | CASE WHEN list_sum(list_transform($duckWords, w ->
          |   CASE WHEN substr(md5(w), b + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
          |  THEN (1 << b) ELSE 0 END)) AS INT)""".stripMargin.replace("\n", "")
+    val duckSimhash16 = duckSimhash(16)
     def duckLangScore(lang: String): String =
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
@@ -848,7 +852,7 @@ object SparkEntry {
       // oracle is the brute-force O(n²) pair scan; the engine's pigeonhole
       // chunk blocking must reproduce it exactly
       "dedup_simhash_pairs" ->
-        s"""WITH s AS (SELECT doc_id, $duckSimhash16 AS sh FROM documents)
+        s"""WITH s AS (SELECT doc_id, ${duckSimhash(24)} AS sh FROM documents)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
            |FROM s a JOIN s b ON a.doc_id < b.doc_id
