@@ -30,10 +30,14 @@ object FillStage {
     df.withColumn(colName, lit(value))
 
   /** Apply the registry's defaults: optional columns fill-if-blank, add-in
-    * columns overwrite-all — skipping 'x'-flagged derived columns, exactly
-    * as the reference does (BatchUpdate.py:220, :247). Values for
-    * code-table columns are validated eagerly (driver-side `require`
-    * replaces the interactive `_checkValue` loop). */
+    * columns overwrite-all — skipping 'x'-flagged derived columns
+    * (BatchUpdate.py:220, :247). Values for code-table columns are
+    * validated eagerly (driver-side `require` replaces the interactive
+    * `_checkValue` loop). NB deliberate generalization: the reference's
+    * write-back loops only execute for code-table columns (:231-239,
+    * :256-264 sit inside `if colname in code_tables`); here any column
+    * with a registry default is filled. The default registry's defaulted
+    * columns are all code-table columns, so outputs coincide there. */
   def applyDefaults(registry: ColumnRegistry)(df: DataFrame): DataFrame = {
     val e = registry.expanded
     def checked(colName: String, v: String): String = {
@@ -91,7 +95,10 @@ object FillStage {
       df(colName) === col("__valid_value"),
       "left_outer")
     noteAppendWhen(
-      col("__valid_value").isNull,
+      // blank/null = missing, not invalid: the reference treats blanks as
+      // fillable (P4) and only validates supplied values
+      col("__valid_value").isNull &&
+        col(colName).isNotNull && col(colName) =!= "",
       s"Err: Invalid value for $colName",
       notesCol)(joined).drop("__valid_value")
   }
@@ -106,11 +113,14 @@ object FillStage {
   }
 
   /** P8 — skip-errored filter (BatchUpdate.py:467-472): rows already
-    * flagged with an error or an unmatched description pattern. */
+    * flagged with an error or an unmatched description pattern. Null
+    * cells coalesce to false — under three-valued logic a null Pattern
+    * would make BOTH `filter(bad)` and `filter(!bad)` drop the row,
+    * silently losing it from every routed sink. */
   def hasError(df: DataFrame): Column = {
-    val errNote = col("Notes").isNotNull && col("Notes").contains("Err")
+    val errNote = coalesce(col("Notes").contains("Err"), lit(false))
     if (df.columns.contains("Pattern"))
-      errNote || col("Pattern") === "N/A"
+      errNote || coalesce(col("Pattern") === "N/A", lit(false))
     else errNote
   }
 

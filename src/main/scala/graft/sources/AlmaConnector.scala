@@ -37,16 +37,18 @@ object AlmaConnector {
   final class HttpItemStore(baseUrl: String, apiKey: String) extends ItemStore {
     private lazy val client = java.net.http.HttpClient.newHttpClient()
     private def uri(s: String) = java.net.URI.create(s)
+    private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     def fetch(barcode: String): (Int, String) = {
+      val sep = if (baseUrl.contains("?")) "&" else "?"
       val req = java.net.http.HttpRequest.newBuilder(
-        uri(s"$baseUrl?apikey=$apiKey&item_barcode=" +
-          java.net.URLEncoder.encode(barcode, "UTF-8"))).GET().build()
+        uri(s"$baseUrl${sep}apikey=${enc(apiKey)}&item_barcode=${enc(barcode)}"))
+        .GET().build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body())
     }
     def put(url: String, xml: String): Int = {
       val sep = if (url.contains("?")) "&" else "?"
-      val req = java.net.http.HttpRequest.newBuilder(uri(s"$url$sep apikey=$apiKey".trim))
+      val req = java.net.http.HttpRequest.newBuilder(uri(s"$url${sep}apikey=${enc(apiKey)}"))
         .header("Content-Type", "application/xml")
         .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(xml))
         .build()
@@ -56,13 +58,17 @@ object AlmaConnector {
 
   /** Run the update flow: for each non-errored row, fetch → merge → put,
     * appending a `__status` / `Notes` outcome. Returns the annotated frame;
-    * route with [[graft.operators.FillStage.route]].
+    * route with [[routeUpdateResult]] (which also drops the internal
+    * status column).
     *
     * `storeFactory` must be serializable; it is invoked once per partition
     * on the executor (connection reuse, no driver round-trips). */
   def update(
-      df: DataFrame,
+      dfIn: DataFrame,
       storeFactory: () => ItemStore): DataFrame = {
+    // the reference appends Notes when the input lacks it (BatchUpdate.py:451-455)
+    val df = if (dfIn.columns.contains("Notes")) dfIn
+      else dfIn.withColumn("Notes", org.apache.spark.sql.functions.lit(""))
     val schema = df.schema
     val out = StructType(schema.fields :+ StructField("__status", StringType))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(out))
@@ -82,10 +88,12 @@ object AlmaConnector {
       it.map { row =>
         val notes = get(row, notesIdx).getOrElse("")
         val pattern = if (patternIdx >= 0) get(row, patternIdx).getOrElse("") else ""
-        def withNote(status: String, extra: Option[String]): Row = {
+        def withNote(status: String, extra: Option[String],
+            overwrite: Boolean = false): Row = {
           val vals = row.toSeq.toArray
           extra.foreach { msg =>
-            vals(notesIdx) = if (notes.isEmpty) msg else s"$notes; $msg"
+            vals(notesIdx) =
+              if (overwrite || notes.isEmpty) msg else s"$notes; $msg"
           }
           Row.fromSeq(vals.toSeq :+ status)
         }
@@ -98,12 +106,14 @@ object AlmaConnector {
             val (code, body) = store.fetch(barcode)
             if (code != 200)
               withNote("error",
-                Some(s"Err: Problem fetching item information. Code $code"))
+                Some(s"Err: Problem fetching item information. Code $code"),
+                overwrite = true)
             else {
-              val merged = AlmaXml.merge(body, AlmaXml.ItemFields(
+              val parsed = AlmaXml.parse(body)
+              val merged = AlmaXml.merge(parsed, AlmaXml.ItemFields(
                 get(row, matIdx), get(row, polIdx), get(row, eaIdx),
                 get(row, ebIdx), get(row, ciIdx), get(row, cjIdx)))
-              AlmaXml.updateUrl(body) match {
+              AlmaXml.updateUrl(parsed) match {
                 case None =>
                   withNote("error", Some("Err: No update link in item XML"))
                 case Some(url) =>

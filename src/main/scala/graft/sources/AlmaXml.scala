@@ -30,31 +30,41 @@ object AlmaXml {
   private def nonBlank(v: Option[String]): Option[String] =
     v.filter(s => s != null && s.nonEmpty)
 
-  /** Update-or-insert one child element under item_data. */
+  /** Update-or-insert one child element under item_data. An EXISTING
+    * element keeps its other attributes — the reference mutates via
+    * `elem.text = ...` / `elem.set('desc', ...)` (BatchUpdate.py:503-505),
+    * which preserves whatever attributes the server sent; replacing the
+    * element wholesale would silently strip them from the PUT body. */
   private def upsert(
       itemData: Elem,
       tag: String,
       text: String,
       desc: Option[String]): Elem = {
-    val attrs = desc.map(d => scala.xml.Attribute(None, "desc", Text(d), scala.xml.Null))
+    val attr = desc.map(d =>
+      scala.xml.Attribute(None, "desc", Text(d), scala.xml.Null))
+    def withDesc(e: Elem): Elem = attr.map(e % _).getOrElse(e)
     val existing = (itemData \ tag).headOption
-    val newChild: Elem = {
-      val base = Elem(null, tag, scala.xml.Null, scala.xml.TopScope, minimizeEmpty = false, Text(text))
-      attrs.map(a => base % a).getOrElse(base)
-    }
     val children =
       if (existing.isDefined)
         itemData.child.map {
-          case e: Elem if e.label == tag => newChild
+          case e: Elem if e.label == tag => withDesc(e.copy(child = Text(text)))
           case n => n
         }
-      else itemData.child :+ newChild
+      else itemData.child :+ withDesc(
+        Elem(null, tag, scala.xml.Null, scala.xml.TopScope,
+          minimizeEmpty = false, Text(text)))
     itemData.copy(child = children)
   }
 
+  /** Parse once; pass the Elem to [[merge]] and [[updateUrl]] so the hot
+    * path doesn't DOM-parse the same payload twice. */
+  def parse(fetchedXml: String): Elem = XML.loadString(fetchedXml)
+
   /** Merge row fields into the fetched item XML, returning the PUT body. */
-  def merge(fetchedXml: String, fields: ItemFields): String = {
-    val root = XML.loadString(fetchedXml)
+  def merge(fetchedXml: String, fields: ItemFields): String =
+    merge(parse(fetchedXml), fields)
+
+  def merge(root: Elem, fields: ItemFields): String = {
     val itemData = (root \ "item_data").headOption match {
       case Some(e: Elem) => e
       case _ => throw new IllegalArgumentException("item_data element missing")
@@ -78,19 +88,18 @@ object AlmaXml {
     nonBlank(fields.chronI).foreach(v => updated = upsert(updated, "chronology_i", v, None))
     nonBlank(fields.chronJ).foreach(v => updated = upsert(updated, "chronology_j", v, None))
 
-    val newRoot = root match {
-      case e: Elem =>
-        e.copy(child = e.child.map {
-          case c: Elem if c.label == "item_data" => updated
-          case n => n
-        })
-      case other => other
-    }
+    val newRoot = root.copy(child = root.child.map {
+      case c: Elem if c.label == "item_data" => updated
+      case n => n
+    })
     newRoot.toString()
   }
 
   /** The update URL Alma supplies on the root's `link` attribute
     * (BatchUpdate.py:487). */
   def updateUrl(fetchedXml: String): Option[String] =
-    XML.loadString(fetchedXml).attribute("link").map(_.text)
+    updateUrl(parse(fetchedXml))
+
+  def updateUrl(root: Elem): Option[String] =
+    root.attribute("link").map(_.text)
 }

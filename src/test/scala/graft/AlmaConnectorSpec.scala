@@ -35,6 +35,23 @@ class AlmaConnectorSpec extends SparkSuite {
     assert((item \ "chronology_j").isEmpty)
   }
 
+  test("XML merge preserves attributes of updated elements") {
+    // the reference mutates elem.text / elem.set('desc', ...), keeping any
+    // other attributes the server sent
+    val xml = """<item link="u"><item_data>""" +
+      """<enumeration_a internal_id="7">1</enumeration_a>""" +
+      """<physical_material_type desc="Issue" keep="x">ISSUE</physical_material_type>""" +
+      """</item_data></item>"""
+    val merged = AlmaXml.merge(xml, AlmaXml.ItemFields(
+      materialType = Some("Book"), itemPolicy = None,
+      enumA = Some("2"), enumB = None, chronI = None, chronJ = None))
+    assert(merged.contains("""internal_id="7""""), merged)
+    assert(merged.contains(">2</enumeration_a>"), merged)
+    assert(merged.contains("""keep="x""""), merged)
+    assert(merged.contains(">BOOK</physical_material_type>"), merged)
+    assert(merged.contains("""desc="Book""""), merged)
+  }
+
   test("update URL read from the root link attribute") {
     assert(AlmaXml.updateUrl(itemXml).contains("http://stub/items/42"))
   }

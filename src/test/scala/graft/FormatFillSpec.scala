@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.model.{AlmaSchema, ColumnRegistry, ColumnSpec}
 import graft.operators.{FillStage, FormatStage}
@@ -73,6 +73,32 @@ class FormatFillSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(out("Book") == "")
     assert(out("Nonsense") == "Err: Invalid value for Material Type")
+  }
+
+  test("P8: null Pattern/Notes rows route to the error sink, never vanish") {
+    val df = Seq(
+      ("1", "", "StdMatch"),
+      ("2", null, null),
+      ("3", "Err: bad", "StdMatch"),
+      ("4", "", "N/A"))
+      .toDF("id", "Notes", "Pattern")
+    val (ok, bad) = FillStage.route(df)
+    val okIds = ok.select("id").as[String].collect().toSet
+    val badIds = bad.select("id").as[String].collect().toSet
+    assert(okIds == Set("1", "2"))
+    assert(badIds == Set("3", "4"))
+    assert(okIds.size + badIds.size == 4, "three-valued logic must not drop rows")
+  }
+
+  test("P6: blank/null values are missing (fillable), not invalid") {
+    val df = Seq(("1", "Book"), ("2", ""), ("3", null), ("4", "Scroll"))
+      .toDF("id", "Material Type").withColumn("Notes", lit(""))
+    val out = FillStage.validateDomain(spark, "Material Type")(df)
+      .select(col("id"), col("Notes")).as[(String, String)].collect().toMap
+    assert(out("1") == "")
+    assert(out("2") == "")
+    assert(out("3") == "")
+    assert(out("4") == "Err: Invalid value for Material Type")
   }
 
   test("P7: code translation") {
