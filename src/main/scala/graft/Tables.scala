@@ -22,9 +22,13 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // keyed on the events table: only ITS ts is TIMESTAMP(NANOS)-read-as-
+    // long; a future table with a legitimate epoch-long ts must not be
+    // silently divided by 1000
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(_) if name == "events" =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
     }
   }
 }

@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Description {
 
-  /** Parsed enumeration/chronology fields. Empty string = not captured,
-    * matching the reference's add-in column defaults. */
+  /** Parsed enumeration/chronology fields. `null` = the group did not
+    * participate in the match, so the existing cell is preserved — the
+    * reference assigns each field only when its group matched
+    * (BatchUpdate.py:721-744) and, on a non-match, writes nothing but
+    * Pattern = "N/A" (:749-751). Note the distinction from "": a
+    * participating-but-empty group (e.g. StdMatch's `chronJ{0,2}` on
+    * "v.3 (1998)") DOES overwrite the cell with "". */
   final case class Parsed(
       enumA: String,
       enumB: String,
@@ -51,7 +56,11 @@ object Description {
       (enumPrefix +
         s"""\\(?\\s*(?<chronJpt1>$M)\\s*(?<chronIpt1>(?<!\\d)\\d{2,4})\\s*[-/]\\s*""" +
         s"""(?<chronJpt2>$M)\\s*(?<chronIpt2>(?<!\\d)\\d{2,4})\\s*\\)?[ \t]*$$"""))
-    .map { case (n, p) => n -> Pattern.compile(p, Pattern.CASE_INSENSITIVE) }
+    // UNICODE_CHARACTER_CLASS: Python's \s/\w/\d are Unicode-aware —
+    // without it a non-breaking space in a description (common in exports)
+    // parses in the reference but would fall to N/A here
+    .map { case (n, p) => n -> Pattern.compile(p,
+      Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CHARACTER_CLASS) }
 
   private def groupOrNull(m: Matcher, name: String): String =
     try m.group(name) catch { case _: IllegalArgumentException => null }
@@ -61,30 +70,36 @@ object Description {
     * Enum B stripped, Chron I/J either direct or joined from the two
     * SplitYears halves with "-". */
   def parse(description: String): Parsed = {
-    if (description == null) return Parsed("", "", "", "", "N/A")
+    if (description == null) return Parsed(null, null, null, null, "N/A")
     val it = patterns.iterator
     while (it.hasNext) {
       val (name, pat) = it.next()
       val m = pat.matcher(description)
-      if (m.matches()) { // Python re.match + trailing `$` ≡ full match here
+      // lookingAt + the patterns' own trailing `$` ≡ Python re.match: a
+      // full `matches()` additionally demands the input be consumed, which
+      // rejects a trailing newline that Python's `$` tolerates
+      if (m.lookingAt()) {
+        val aType = groupOrNull(m, "enumAType")
+        val aNum = groupOrNull(m, "enumANum")
         val enumA =
-          Option(groupOrNull(m, "enumAType")).getOrElse("") +
-            Option(groupOrNull(m, "enumANum")).getOrElse("")
-        val enumB = Option(groupOrNull(m, "enumB")).map(_.trim).getOrElse("")
-        val chronI = Option(groupOrNull(m, "chronI")).getOrElse {
-          val p1 = Option(groupOrNull(m, "chronIpt1")).getOrElse("")
-          val p2 = Option(groupOrNull(m, "chronIpt2"))
-          p2.map(p1 + "-" + _).getOrElse(p1)
-        }
-        val chronJ = Option(groupOrNull(m, "chronJ")).getOrElse {
-          val p1 = Option(groupOrNull(m, "chronJpt1")).getOrElse("")
-          val p2 = Option(groupOrNull(m, "chronJpt2"))
-          p2.map(p1 + "-" + _).getOrElse(p1)
-        }
-        return Parsed(enumA, enumB, chronI, chronJ, name)
+          if (aType == null && aNum == null) null
+          else Option(aType).getOrElse("") + Option(aNum).getOrElse("")
+        val enumB = Option(groupOrNull(m, "enumB")).map(_.trim).orNull
+        def joined(whole: String, p1n: String, p2n: String): String =
+          if (whole != null) whole
+          else {
+            val p1 = groupOrNull(m, p1n); val p2 = groupOrNull(m, p2n)
+            if (p1 == null && p2 == null) null
+            else Option(p2).map(Option(p1).getOrElse("") + "-" + _)
+              .getOrElse(p1)
+          }
+        return Parsed(enumA, enumB,
+          joined(groupOrNull(m, "chronI"), "chronIpt1", "chronIpt2"),
+          joined(groupOrNull(m, "chronJ"), "chronJpt1", "chronJpt2"),
+          name)
       }
     }
-    Parsed("", "", "", "", "N/A")
+    Parsed(null, null, null, null, "N/A")
   }
 
   /** R1 as a Column through the scala UDF path (kept for the
@@ -101,16 +116,21 @@ object Description {
         org.apache.spark.sql.GraftSqlShim.expression(description)))
 
   /** Apply R1 over a frame: derive the four fields + Pattern in one narrow
-    * projection (single pass, no shuffle). */
+    * projection (single pass, no shuffle). A null parse field means "group
+    * did not participate" — the existing cell is preserved, exactly like
+    * the reference's conditional assignments (BatchUpdate.py:721-744);
+    * absent columns start as "". */
   def withParsedDescription(
       df: DataFrame,
       descCol: String = "Description"): DataFrame = {
     val parsed = parseDescription(col(descCol))
+    def existing(c: String): Column =
+      if (df.columns.contains(c)) col(c) else lit("")
     df.withColumn("__p", parsed)
-      .withColumn("Enum A", col("__p.enumA"))
-      .withColumn("Enum B", col("__p.enumB"))
-      .withColumn("Chron I", col("__p.chronI"))
-      .withColumn("Chron J", col("__p.chronJ"))
+      .withColumn("Enum A", coalesce(col("__p.enumA"), existing("Enum A")))
+      .withColumn("Enum B", coalesce(col("__p.enumB"), existing("Enum B")))
+      .withColumn("Chron I", coalesce(col("__p.chronI"), existing("Chron I")))
+      .withColumn("Chron J", coalesce(col("__p.chronJ"), existing("Chron J")))
       .withColumn("Pattern", col("__p.pattern"))
       .drop("__p")
   }
@@ -142,7 +162,8 @@ object Description {
 
   def canonicalizeChronJ(c: Column, novBugCompat: Boolean = false): Column =
     monthSubs(novBugCompat).foldLeft(c) { case (acc, (repl, pat)) =>
-      regexp_replace(acc, "(?i)" + pat, repl)
+      // (?U): Python's \w is Unicode-aware (see the pattern-compile note)
+      regexp_replace(acc, "(?iU)" + pat, repl)
     }
 
   /** R3 — natural-sort volume keys (BatchUpdate.py:272-297): extract

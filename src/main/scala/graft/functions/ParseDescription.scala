@@ -62,11 +62,12 @@ case class ParseDescription(child: Expression) extends UnaryExpression {
 }
 
 object ParseDescription {
+  // field null = "group did not participate; preserve the existing cell"
   val schema: StructType = StructType(Seq(
-    StructField("enumA", StringType, nullable = false),
-    StructField("enumB", StringType, nullable = false),
-    StructField("chronI", StringType, nullable = false),
-    StructField("chronJ", StringType, nullable = false),
+    StructField("enumA", StringType, nullable = true),
+    StructField("enumB", StringType, nullable = true),
+    StructField("chronI", StringType, nullable = true),
+    StructField("chronJ", StringType, nullable = true),
     StructField("pattern", StringType, nullable = false)))
 
   /** Static entry shared by interpreted eval and generated code. */

@@ -28,13 +28,14 @@ object SplitStage {
       exactSequentialFidelity: Boolean = true,
       novBugCompat: Boolean = false): DataFrame = {
 
-    // checkColumns + registry-ordered projection (shares FormatStage's
-    // resolution; split does NOT numeric-guard, only format does).
-    val (present, toAdd) = registry.resolve(df.columns.toSeq)
-    val toAddNames = toAdd.map(_.name).toSet
-    val projected = df.select(present.map { s =>
-      (if (toAddNames.contains(s.name)) lit("") else col(s.name)).as(s.name)
-    }: _*)
+    // checkColumns: verify mandatory presence and APPEND missing add-in
+    // columns, but keep every input column — only format() projects down
+    // to the registry; the reference's split preserves extras and appends
+    // (BatchUpdate.py:652-664).
+    val (_, toAdd) = registry.resolve(df.columns.toSeq)
+    val projected = df.select(
+      (df.columns.toSeq.map(col) ++
+        toAdd.map(s => lit("").as(s.name))): _*)
 
     // Pattern + Notes always appended when absent (BatchUpdate.py:202-212).
     val withMeta = Seq("Pattern", "Notes").foldLeft(projected) { (d, c) =>

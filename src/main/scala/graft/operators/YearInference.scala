@@ -36,9 +36,14 @@ object YearInference {
     * should include a unique tie-break column (e.g. Barcode) for
     * deterministic output. */
   def sortKeys(df: DataFrame, tieBreak: Seq[String] = Seq("Barcode")): Seq[Column] = {
-    val desc = col("Description")
-    Seq(col("MMS ID"), Description.seriesKey(desc), Description.volumeKey(desc),
-      desc) ++ tieBreak.filter(df.columns.contains).map(col)
+    // no Description -> sort on the group key alone (the reference's
+    // sort_key does the same, BatchUpdate.py:289-293)
+    val descKeys =
+      if (df.columns.contains("Description")) {
+        val desc = col("Description")
+        Seq(Description.seriesKey(desc), Description.volumeKey(desc), desc)
+      } else Seq.empty
+    (col("MMS ID") +: descKeys) ++ tieBreak.filter(df.columns.contains).map(col)
   }
 
   /** W1 as a global sort (range partitioned, spillable). For pipelines that
@@ -211,7 +216,9 @@ object YearInference {
       }.getOrElse((0, 0))
 
     df.as[Row](rowEnc)
-      .groupByKey(r => Option(r.get(mmsIdx)).map(_.toString).getOrElse(""))
+      // prefix-disambiguated key: null and "" are DIFFERENT groups (the
+      // reference never merges them; inferWindowed's partitionBy agrees)
+      .groupByKey(r => Option(r.get(mmsIdx)).map("v" + _).getOrElse("n"))
       .flatMapGroups { (_, it) =>
         val rows = it.map(_.toSeq.toArray).toArray
         // in-group natural sort (W1 order is a precondition, :331)

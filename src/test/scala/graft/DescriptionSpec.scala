@@ -17,11 +17,36 @@ class DescriptionSpec extends SparkSuite {
     }
   }
 
+  private def assigned(p: Description.Parsed): Description.Parsed =
+    // the psv expectations were produced with empty starting cells, where
+    // "not assigned" (null) and "assigned empty" both read back as ""
+    Description.Parsed(
+      Option(p.enumA).getOrElse(""), Option(p.enumB).getOrElse(""),
+      Option(p.chronI).getOrElse(""), Option(p.chronJ).getOrElse(""),
+      p.pattern)
+
   test("R1 parse matches the reference on the whole corpus") {
     corpus.foreach { case (desc, expected) =>
-      val got = Description.parse(desc)
+      val got = assigned(Description.parse(desc))
       assert(got == expected, s"for description '$desc'")
     }
+  }
+
+  test("R1 preserves existing cells for non-participating groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("v.3", "1998", "keepJ"),          // StdMatch, chron section absent
+      ("junk text", "1997", "alsoKeep"), // no match at all
+      ("v.4 (1999)", "x", "y"))          // chron participates: overwritten
+      .toDF("Description", "Chron I", "Chron J")
+    val out = Description.withParsedDescription(df)
+      .select(col("Description"), col("Chron I"), col("Chron J"), col("Pattern"))
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("v.3") == (("1998", "keepJ", "StdMatch")))
+    assert(out("junk text") == (("1997", "alsoKeep", "N/A")))
+    assert(out("v.4 (1999)") == (("1999", "", "StdMatch")))
   }
 
   test("R1 null-safety") {
@@ -46,8 +71,9 @@ class DescriptionSpec extends SparkSuite {
   test("R1 native expression agrees with the scala UDF, incl. nulls and SQL") {
     import spark.implicits._
     val df = (corpus.map(_._1) :+ null).toDF("Description")
-    val native = Description.withParsedDescription(df)
-      .select("Enum A", "Enum B", "Chron I", "Chron J", "Pattern")
+    val native = df
+      .select(Description.parseDescription($"Description").as("p"))
+      .select("p.enumA", "p.enumB", "p.chronI", "p.chronJ", "p.pattern")
       .collect().map(_.toSeq).toSeq
     val viaUdf = df.select(Description.parseUdf($"Description").as("p"))
       .select("p.enumA", "p.enumB", "p.chronI", "p.chronJ", "p.pattern")

@@ -53,7 +53,9 @@ class PropertySpec extends AnyFunSuite {
       val named = Seq("StdMatch", "YearBeforeMonth", "SplitYears")
       assert(named.contains(p.pattern) || p.pattern == "N/A", s"'$desc' -> $p")
       if (p.pattern == "N/A")
-        assert(p == Description.Parsed("", "", "", "", "N/A"), s"'$desc' -> $p")
+        // no-match assigns nothing: all fields null (preserve-existing)
+        assert(p == Description.Parsed(null, null, null, null, "N/A"),
+          s"'$desc' -> $p")
     }
   }
 
