@@ -558,7 +558,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          sum(cents(col("value"))).as("value_cents"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("value_cents"))
         .orderBy(col("win_start_us"), col("event_type"))
@@ -570,6 +570,7 @@ object SparkEntry {
       // windowed aggregation → memory sink, drained synchronously. One
       // oracle covers both execution models.
       import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s) // TIMESTAMP(NANOS) needs nanosAsLong before inference
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       // the file source wants a directory or glob; the bracket makes the
       // single-file path a glob without widening what it matches
@@ -578,7 +579,7 @@ object SparkEntry {
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          sum(cents(col("value"))).as("value_cents"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("value_cents"))
       Sessionize.runToMemory(s, agg, "ev_stream_win", OutputMode.Complete)

@@ -26,20 +26,23 @@ object Dedup {
 
   /** Fingerprint groups: one hash aggregation (map-side partial, then one
     * shuffle on the 128-bit key) with group size and survivor id. */
-  def fingerprintGroups(df: DataFrame, textCol: String = "text"): DataFrame =
+  def fingerprintGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
   /** Exact duplicate groups only (size > 1). */
-  def exactDuplicates(df: DataFrame, textCol: String = "text"): DataFrame =
-    fingerprintGroups(df, textCol).filter(col("n_dups") > 1)
+  def exactDuplicates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    fingerprintGroups(df, textCol, idCol).filter(col("n_dups") > 1)
 
-  /** Keep one representative per fingerprint (the min doc_id): the
+  /** Keep one representative per fingerprint (the min id): the
     * dropDuplicates analog with a deterministic survivor. */
-  def exactDedup(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def exactDedup(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col("doc_id"))
+      .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -165,7 +168,10 @@ object Dedup {
     // digests. Hashing inside the per-bit lambda would md5 each word
     // `bits` times (subexpression elimination never enters lambda bodies).
     val digests = transform(TextAnalysis.words(text), w => md5(w))
-    element_at(
+    // null text yields null (matching SQL semantics and the oracle);
+    // without the guard the per-bit votes read null as 0 votes and every
+    // null-text doc would share signature 0, flooding near-dup pairs
+    when(text.isNull, lit(null).cast("int")).otherwise(element_at(
       transform(array(digests), hs => {
         val perBit = transform(
           sequence(lit(0), lit(bits - 1)),
@@ -179,7 +185,7 @@ object Dedup {
           })
         aggregate(perBit, lit(0), (acc, x) => acc + x)
       }),
-      1)
+      1))
   }
 
   /** Hamming distance between two simhash ints (for near-dup thresholds). */

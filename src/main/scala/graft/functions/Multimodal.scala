@@ -85,8 +85,15 @@ object Multimodal {
       // per-partition codec init happens here in a real implementation
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val (w, h) = codec.decodeDims(payload)
-        Row(r.getLong(idIdx), w, h, codec.frameSampleHashes(payload, frameSamples))
+        if (payload == null)
+          // a null blob yields null features; one bad asset must not
+          // kill a corpus-wide extraction job
+          Row(r.getLong(idIdx), null, null, null)
+        else {
+          val (w, h) = codec.decodeDims(payload)
+          Row(r.getLong(idIdx), w, h,
+            codec.frameSampleHashes(payload, frameSamples))
+        }
       }
     }(enc)
   }

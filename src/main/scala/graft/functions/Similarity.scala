@@ -74,6 +74,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       positions: Seq[Int] = defaultPositions): DataFrame = {
+    require(queryVec.length >= positions.max,
+      s"query vector (dim ${queryVec.length}) shorter than max sign " +
+        s"position ${positions.max}; pass positions within the embedding dim")
     val qBucket = positions.zipWithIndex
       .map { case (p, i) => if (queryVec(p - 1) > 0) 1 << i else 0 }.sum
     corpus

@@ -62,9 +62,19 @@ object Sessionize {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
 
+    def toTs(micros: Long): Timestamp = {
+      val t = new Timestamp(micros / 1000L)
+      t.setNanos(((micros % 1000000L) * 1000L).toInt)
+      t
+    }
+    // full microsecond precision: Timestamp.getTime is ms-truncated, and
+    // the batch twin compares gaps in unix_micros
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
     def close(userId: Long, s: SessionState): Session =
-      Session(userId, new Timestamp(s.sessionStart / 1000L),
-        new Timestamp(s.lastTs / 1000L), s.nEvents, s.totalValue)
+      Session(userId, toTs(s.sessionStart), toTs(s.lastTs),
+        s.nEvents, s.totalValue)
 
     def update(
         userId: Long,
@@ -79,14 +89,19 @@ object Sessionize {
         state.remove()
         return Iterator.single(close(userId, s))
       }
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var closed = List.empty[Session]
       var cur = state.getOption
       sorted.foreach { e =>
-        val tsMicros = e.ts.getTime * 1000L
+        val tsMicros = micros(e.ts)
         cur match {
           case Some(s) if tsMicros - s.lastTs <= gapMicros =>
-            cur = Some(s.copy(lastTs = tsMicros, nEvents = s.nEvents + 1,
+            // monotone bounds: a late (cross-batch) event inside the gap
+            // must not regress lastTs or miss extending sessionStart
+            cur = Some(s.copy(
+              sessionStart = math.min(s.sessionStart, tsMicros),
+              lastTs = math.max(s.lastTs, tsMicros),
+              nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
           case Some(s) =>
             closed ::= close(userId, s)
