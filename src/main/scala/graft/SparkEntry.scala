@@ -359,7 +359,10 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("Description"),
           col("Enum A"), col("Enum B"), col("Chron I"), col("Chron J"),
           col("Pattern"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // ties beyond Description are byte-identical rows, so this order
+        // is output-deterministic
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("Description"))
     }),
 
     "alma_nomatch_count" -> ((s, dir) => {
@@ -1009,6 +1012,80 @@ object SparkEntry {
         """SELECT doc_id AS asset_id,
           | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
           | md5(text) AS payload_md5
-          |FROM documents ORDER BY asset_id""".stripMargin)
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // FakeCodec is closed-form over md5 of the utf-8 payload
+      // (Multimodal.scala FakeCodec): dims from hex digits 1-3 / 4-6,
+      // frame hash i = md5(payload ++ byte(i)). chr(i) appends the same
+      // single byte in DuckDB's utf-8 varchar for i < 0x80.
+      "mm_features" -> {
+        def hex3(s: String): String =
+          s"((strpos('0123456789abcdef', substr($s,1,1))-1)*256" +
+            s" + (strpos('0123456789abcdef', substr($s,2,1))-1)*16" +
+            s" + (strpos('0123456789abcdef', substr($s,3,1))-1))"
+        s"""WITH h AS (SELECT doc_id AS asset_id, md5(text) AS hh, text FROM documents)
+           |SELECT asset_id,
+           | CAST(16 + ${hex3("substr(hh,1,3)")} AS INT) AS width,
+           | CAST(16 + ${hex3("substr(hh,4,3)")} AS INT) AS height,
+           | md5(text || chr(0)) || ',' || md5(text || chr(1)) || ',' || md5(text || chr(2)) AS frame_hashes_csv
+           |FROM h ORDER BY asset_id""".stripMargin
+      },
+
+      // R1 oracle: the five synthesized description shapes are closed-form
+      // in (l_partkey, l_orderkey, l_linenumber), so the expected parse is
+      // the same CASE arithmetic — no regex engine involved. Shape-to-field
+      // derivations follow Description.patterns group semantics (note the
+      // trailing spaces the chronJ group captures).
+      "alma_desc_parse" ->
+        """WITH d AS (SELECT l_orderkey, l_linenumber,
+          |  CAST(l_partkey % 40 AS VARCHAR) AS p,
+          |  lpad(CAST(l_orderkey % 100 AS VARCHAR), 2, '0') AS o2,
+          |  CAST(l_linenumber % 5 AS INT) AS m,
+          |  CAST(l_linenumber % 12 AS VARCHAR) AS ln12
+          | FROM lineitem)
+          |SELECT l_orderkey, l_linenumber,
+          | CASE m
+          |  WHEN 0 THEN 'v.' || p || ' no.' || ln12 || ' (Oct 19' || o2 || ')'
+          |  WHEN 1 THEN 'vol ' || p || ' (20' || o2 || ' Spring)'
+          |  WHEN 2 THEN 'v.' || p || ' (Nov 98-Jan 99)'
+          |  WHEN 3 THEN 'ser.3 v.' || p || ' nos.1-2 (Jan-Feb 99)'
+          |  ELSE 'unparseable description text' END AS "Description",
+          | CASE m WHEN 0 THEN 'v.' || p WHEN 1 THEN 'vol ' || p
+          |  WHEN 2 THEN 'v.' || p WHEN 3 THEN 'ser.3 v.' || p
+          |  ELSE '' END AS "Enum A",
+          | CASE m WHEN 0 THEN 'no.' || ln12 WHEN 3 THEN 'nos.1-2'
+          |  ELSE '' END AS "Enum B",
+          | CASE m WHEN 0 THEN '19' || o2 WHEN 1 THEN '20' || o2
+          |  WHEN 2 THEN '98-99' WHEN 3 THEN '99' ELSE '' END AS "Chron I",
+          | CASE m WHEN 0 THEN 'Oct ' WHEN 1 THEN 'Spring'
+          |  WHEN 2 THEN 'Nov-Jan' WHEN 3 THEN 'Jan-Feb ' ELSE '' END AS "Chron J",
+          | CASE m WHEN 4 THEN 'N/A' WHEN 1 THEN 'YearBeforeMonth'
+          |  WHEN 2 THEN 'SplitYears' ELSE 'StdMatch' END AS "Pattern"
+          |FROM d ORDER BY l_orderkey, l_linenumber, 3""".stripMargin,
+
+      // Full split-stage oracle: the customer-derived fixture is uniform
+      // (every description is the StdMatch shape with a 4-digit year, every
+      // barcode valid), so fills, parse, barcode checks, year inference
+      // (no-op on 4-digit years), and Chron J canonicalization are all
+      // closed-form; the natural sort is (MMS ID, series=0, volume,
+      // Description, Barcode) with string keys.
+      "alma_split_pipeline" ->
+        """WITH d AS (SELECT CAST(c_nationkey AS VARCHAR) AS mms,
+          |  '3' || CAST(c_custkey AS VARCHAR) AS bc, c_name,
+          |  CAST(c_custkey % 30 AS VARCHAR) AS vol,
+          |  CAST(c_custkey % 4 AS VARCHAR) AS no4,
+          |  lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS y2,
+          |  CAST(c_custkey % 30 AS INT) AS vol_i
+          | FROM customer)
+          |SELECT mms AS "MMS ID", bc AS "Barcode", c_name AS title,
+          | 'v.' || vol || ' no.' || no4 || ' (Oct 19' || y2 || ')' AS "Description",
+          | 'Bound Issue' AS "Material Type",
+          | 'non-circulating' AS "Item Policy",
+          | 'v.' || vol AS "Enum A", 'no.' || no4 AS "Enum B",
+          | '19' || y2 AS "Chron I", 'Oct ' AS "Chron J",
+          | 'StdMatch' AS "Pattern", '' AS "Notes"
+          |FROM d
+          |ORDER BY mms, vol_i,
+          | 'v.' || vol || ' no.' || no4 || ' (Oct 19' || y2 || ')', bc""".stripMargin)
   }
 }
