@@ -420,23 +420,30 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
+      // 48-bit long signatures: the corpus-scale default — a 2^48 value
+      // space keeps pigeonhole buckets selective at >=10^8 docs, where
+      // 16/24-bit signatures saturate by pigeonhole alone
       par(s)(t(s, dir, "documents"))
         .select(col("doc_id"),
-          Dedup.simhash(col("text"), bits = 16).as("sh"))
+          Dedup.simhash(col("text"), bits = 48).as("sh"))
         .orderBy(col("doc_id"))
     }),
 
     "dedup_simhash_pairs" -> ((s, dir) => {
-      // 24-bit signatures: 6-bit pigeonhole chunks keep buckets selective
-      // at corpus size (4-bit chunks of a 16-bit signature collide ~16x
-      // more and the candidate join degrades toward quadratic)
+      // 48-bit signatures, 12-bit pigeonhole chunks (maxDist=3 -> 4
+      // chunks): each bucket keys on 12 real signature bits, so in-bucket
+      // expansion stays bounded even on boilerplate-heavy corpora
       Dedup.simhashNearDupPairs(par(s)(t(s, dir, "documents")),
-        bits = 24, maxDist = 3)
+        bits = 48, maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(par(s)(t(s, dir, "documents")), n = 2, threshold = 0.25)
+      // maxGramDf: inert at verify scale (500 docs), active at bench scale
+      // and beyond — hot boilerplate grams emit df^2 join rows and carry
+      // no similarity signal
+      Dedup.ngramJaccardPairs(par(s)(t(s, dir, "documents")), n = 2,
+        threshold = 0.25, maxGramDf = 500)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -625,12 +632,16 @@ object SparkEntry {
       s"(CASE WHEN len($duckWords) < 3 THEN [$duckNorm] ELSE list_transform(range(1, len($duckWords)-1), i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2]) END)"
     def duckMinhash(shingles: String, seed: Int): String =
       s"list_aggregate(list_transform($shingles, s -> md5(s || ':$seed')), 'min')"
-    def duckSimhash(bits: Int) =
+    def duckSimhash(bits: Int) = {
+      // mirror Dedup.simhash: one md5 gives 32 hex digits; wider
+      // signatures read a doubled digest (digits 1..32 unchanged)
+      val digest = if (bits <= 32) "md5(w)" else "md5(w) || md5(w || '~')"
       s"""CAST(list_sum(list_transform(range(0, $bits), b ->
          | CASE WHEN list_sum(list_transform($duckWords, w ->
-         |   CASE WHEN substr(md5(w), b + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
-         |  THEN (1 << b) ELSE 0 END)) AS INT)""".stripMargin.replace("\n", "")
-    val duckSimhash16 = duckSimhash(16)
+         |   CASE WHEN substr($digest, b + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin.replace("\n", "")
+    }
+    val duckSimhash48 = duckSimhash(48)
     def duckLangScore(lang: String): String =
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
@@ -836,6 +847,9 @@ object SparkEntry {
            | ${duckMinhash(duckShingles3, 3)} AS mh3
            |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // qual mirrors the engine's bucket-size cap (maxBucket = 64):
+      // oversized buckets are degenerate-shingle noise, dropped before
+      // any pair forms
       "dedup_minhash_pairs" ->
         s"""WITH sig AS (SELECT doc_id,
            | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
@@ -843,34 +857,52 @@ object SparkEntry {
            |band AS (
            | ${(0 until 4).map(b =>
              s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
-             .mkString(" UNION ALL ")})
+             .mkString(" UNION ALL ")}),
+           |qual AS (SELECT band, bucket FROM band GROUP BY band, bucket
+           | HAVING count(*) > 1 AND count(*) <= 64)
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+           |FROM band a JOIN qual q ON a.band = q.band AND a.bucket = q.bucket
+           |JOIN band b ON a.band = b.band AND a.bucket = b.bucket
            | AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "dedup_simhash" ->
-        s"""SELECT doc_id, $duckSimhash16 AS sh
+        s"""SELECT doc_id, $duckSimhash48 AS sh
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       // oracle is the brute-force O(n²) pair scan; the engine's pigeonhole
       // chunk blocking must reproduce it exactly
       "dedup_simhash_pairs" ->
-        s"""WITH s AS (SELECT doc_id, ${duckSimhash(24)} AS sh FROM documents)
+        s"""WITH s AS (SELECT doc_id, $duckSimhash48 AS sh FROM documents)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
            |FROM s a JOIN s b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sh, b.sh)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
 
+      // the inverted-index shape in SQL, including the engine's hot-gram
+      // cap (maxGramDf = 500): grams with per-source df above the cap are
+      // dropped from every doc's set; sizes and intersections both count
+      // the capped gram space, so the ratio is Jaccard over the
+      // discriminative grams
       "dedup_jaccard" ->
-        s"""WITH d AS (SELECT doc_id, source, list_distinct($duckShingles2) AS g FROM documents)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           | len(list_intersect(a.g, b.g))::DOUBLE /
-           |  len(list_distinct(a.g || b.g))::DOUBLE AS jaccard
-           |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE len(list_intersect(a.g, b.g))::DOUBLE /
-           |  len(list_distinct(a.g || b.g))::DOUBLE >= 0.25
+        s"""WITH g AS (SELECT doc_id, source, unnest(list_distinct($duckShingles2)) AS gram
+           |  FROM documents),
+           |ok AS (SELECT source, gram FROM g GROUP BY source, gram
+           |  HAVING count(*) <= 500),
+           |k AS (SELECT g.doc_id, g.source, g.gram FROM g
+           |  JOIN ok ON g.source = ok.source AND g.gram = ok.gram),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  count(*) AS inter
+           | FROM k a JOIN k b ON a.source = b.source AND a.gram = b.gram
+           |  AND a.doc_id < b.doc_id
+           | GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b,
+           | p.inter::DOUBLE / (sa.sz + sb.sz - p.inter)::DOUBLE AS jaccard
+           |FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+           |JOIN sz sb ON sb.doc_id = p.doc_b
+           |WHERE p.inter::DOUBLE / (sa.sz + sb.sz - p.inter)::DOUBLE >= 0.25
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "dedup_embed" ->

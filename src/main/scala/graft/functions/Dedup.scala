@@ -121,36 +121,71 @@ object Dedup {
     * `k/bands` rows and bucket on (band index, band hash).
     *
     * Shape chosen for scale: ONE shuffle of (band, bucket, id) triples —
-    * never the text or the signature — into a `groupBy(band, bucket)`
-    * collect, then pair expansion per bucket. The earlier self-join
-    * formulation paid the signature computation twice (once per join side)
-    * and shuffled twice; this computes it once. Bucket width bounds the
-    * quadratic pair expansion; at corpus scale add a bucket-size cap
-    * (oversized buckets = degenerate shingles, not near-dups).
-    * Output: (doc_a < doc_b) distinct candidate pairs. */
+    * never the text or the signature — partitioned on (band, bucket). A
+    * window count over that same partitioning (no extra exchange, and
+    * WindowExec's spill-capable row buffer, never an array) sizes each
+    * bucket, and buckets above `maxBucket` are dropped BEFORE any array
+    * or pair materializes: an oversized bucket means degenerate shingles
+    * (empty/boilerplate docs), not near-dups, and its quadratic pair
+    * expansion is exactly what OOMs a reducer at corpus scale. Only then
+    * do the surviving buckets — each provably ≤ maxBucket ids — collect
+    * and pair-expand. Use [[minhashOversizedBuckets]] to observe/log what
+    * the cap dropped. Output: (doc_a < doc_b) distinct candidate pairs. */
   def minhashCandidates(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 8,
       bands: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandBuckets(df, textCol, idCol, k, bands, shingleSize)
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    banded
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** The buckets [[minhashCandidates]]' cap would drop, with their sizes —
+    * count/log these per run so the cap is an observable policy, not a
+    * silent data loss. */
+  def minhashOversizedBuckets(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 64): DataFrame =
+    bandBuckets(df, textCol, idCol, k, bands, shingleSize)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+
+  /** (band, bucket, id) triples: one row per (doc, band), bucket = hash of
+    * the band's signature slice. */
+  private def bandBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      bands: Int,
+      shingleSize: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rowsPerBand = k / bands
     val sig = withSignatureArray(df.select(col(idCol), col(textCol)),
       textCol, k, shingleSize)
-    val banded = sig.select(
+    sig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("|", slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "bucket")))
-    banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(sortedPairs(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
   }
 
   // ------------------------------------------------------------------
@@ -159,19 +194,29 @@ object Dedup {
 
   /** `bits`-bit SimHash over the word set, as a per-row array expression:
     * bit b is the sign of Σ_tokens (±1 by the b-th hex digit's high bit of
-    * md5(token)). No shuffle; one pass. */
+    * the token's digest). No shuffle; one pass.
+    *
+    * The signature is a long: ≥48-bit signatures are what keep pigeonhole
+    * buckets selective at ≥10⁸ docs (a 24-bit space has only 16M values —
+    * at corpus scale every bucket is hot by pigeonhole alone). Bit 62 is
+    * the highest usable weight (2^63 overflows), so `bits <= 63`. One md5
+    * yields 32 hex digits; for bits > 32 the digest is md5(w)‖md5(w‖"~"),
+    * 64 digits — digits 1..32 are unchanged, so signatures for bits ≤ 32
+    * are identical to the single-digest form. */
   def simhash(text: Column, bits: Int = 16): Column = {
-    // 31, not 32: bit 31's weight 2^31 overflows the int signature
-    require(bits <= 31, "signature is a positive int; max 31 bits")
+    require(bits <= 63, "signature is a non-negative long; max 63 bits")
     // Hash every word ONCE, binding the digest array as a lambda variable;
     // the per-bit votes then read one hex digit of the materialized
     // digests. Hashing inside the per-bit lambda would md5 each word
     // `bits` times (subexpression elimination never enters lambda bodies).
-    val digests = transform(TextAnalysis.words(text), w => md5(w))
+    val digests =
+      if (bits <= 32) transform(TextAnalysis.words(text), w => md5(w))
+      else transform(TextAnalysis.words(text), w =>
+        concat(md5(w), md5(concat(w, lit("~")))))
     // null text yields null (matching SQL semantics and the oracle);
     // without the guard the per-bit votes read null as 0 votes and every
     // null-text doc would share signature 0, flooding near-dup pairs
-    when(text.isNull, lit(null).cast("int")).otherwise(element_at(
+    when(text.isNull, lit(null).cast("long")).otherwise(element_at(
       transform(array(digests), hs => {
         val perBit = transform(
           sequence(lit(0), lit(bits - 1)),
@@ -181,9 +226,10 @@ object Dedup {
               lit(0),
               (acc, h) =>
                 acc + when(h.substr(b + 1, lit(1)) >= "8", 1).otherwise(-1))
-            when(vote > 0, pow(lit(2), b).cast("int")).otherwise(lit(0))
+            // 2^b is a power of two — exact in double for b <= 62
+            when(vote > 0, pow(lit(2), b).cast("long")).otherwise(lit(0L))
           })
-        aggregate(perBit, lit(0), (acc, x) => acc + x)
+        aggregate(perBit, lit(0L), (acc, x) => acc + x)
       }),
       1))
   }
@@ -231,8 +277,10 @@ object Dedup {
     val chunkVals = (0 until chunks).map { c =>
       val lo = c * bits / chunks
       val hi = (c + 1) * bits / chunks
+      // long mask: width can reach 63 when maxDist = 0 ((1L<<63)-1 wraps
+      // to Long.MaxValue, which IS the correct 63-bit mask)
       struct(lit(c).as("ci"),
-        shiftright(col("sh"), lo).bitwiseAND(lit((1 << (hi - lo)) - 1)).as("cv"))
+        shiftright(col("sh"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("cv"))
     }
     // Bucketed SELF-JOIN on (chunk, value): narrow chunks (bits/(maxDist+1))
     // give wide buckets at corpus scale, so the quadratic in-bucket pair
@@ -280,30 +328,46 @@ object Dedup {
     * of per-pair `array_intersect` over replicated arrays. Pairs sharing
     * zero grams never materialize at all (they can't pass any threshold
     * > 0). |A ∪ B| = |A| + |B| − |A ∩ B| over distinct sets, so the score
-    * is exactly the pairwise `jaccard` value. At corpus scale, add a
-    * gram-frequency cap / prefix filter to bound hot grams' pair fan-out. */
+    * is exactly the pairwise `jaccard` value.
+    *
+    * `maxGramDf` caps gram document frequency: a gram shared by k docs
+    * emits k² join rows, and the hottest grams ("of the", boilerplate
+    * headers) are non-discriminative by construction — at corpus scale
+    * they ARE the join's cost. Grams with per-block df > maxGramDf are
+    * dropped from every doc's gram set before the index join (similarity
+    * is then Jaccard over the discriminative gram space; set sizes shrink
+    * consistently on both sides of the ratio). The df aggregation is
+    * map-side combinable and keys on the same (block, gram) the join
+    * shuffles on. 0 disables the cap. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       blockCol: String = "source",
       n: Int = 2,
-      threshold: Double = 0.25): DataFrame = {
+      threshold: Double = 0.25,
+      maxGramDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0, "inverted-index join requires a positive threshold")
-    // (gram, setSize) pairs built inside one let-binding so the distinct
-    // gram set is computed exactly once per row, then exploded — `size(g)`
-    // and the explode input never re-inline the shingle chain separately.
-    val gramSz = element_at(
-      transform(array(array_distinct(shingles(col(textCol), n))), g =>
-        transform(g, x => struct(x.as("gram"), size(g).as("sz")))),
-      1)
-    val ex = df
-      .select(col(blockCol).as("blk"), col(idCol), explode(gramSz).as("e"))
-      .select(col("blk"), col(idCol), col("e.sz").as("sz"),
-        col("e.gram").as("gram"))
-    val l = ex.select(col("blk"), col("gram"),
+    val grams = df
+      .select(col(blockCol).as("blk"), col(idCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val kept =
+      if (maxGramDf <= 0) grams
+      else {
+        val ok = grams.groupBy(col("blk"), col("gram"))
+          .agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") <= maxGramDf)
+          .select(col("blk"), col("gram"))
+        grams.join(ok, Seq("blk", "gram"))
+      }
+    // post-cap set size: one window pass keyed on the doc (sizes must
+    // reflect the same gram space the intersections count)
+    val sized = kept.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy(col("blk"), col(idCol))))
+    val l = sized.select(col("blk"), col("gram"),
       col(idCol).as("doc_a"), col("sz").as("sa"))
-    val r = ex.select(col("blk"), col("gram"),
+    val r = sized.select(col("blk"), col("gram"),
       col(idCol).as("doc_b"), col("sz").as("sb"))
     l.join(r, Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))

@@ -94,12 +94,45 @@ class DedupSpec extends SparkSuite {
       (3L, "omega psi chi phi"))
       .toDF("doc_id", "text")
     val sh = df.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
-      .orderBy("doc_id").as[(Long, Int)].collect().map(_._2)
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
     assert(sh(0) == sh(1))
-    assert(sh(0) >= 0 && sh(0) < (1 << 16))
+    assert(sh(0) >= 0 && sh(0) < (1L << 16))
     val dist = Seq((sh(0), sh(2))).toDF("a", "b")
       .select(Dedup.hammingDistance($"a", $"b")).as[Int].head()
-    assert(dist == Integer.bitCount(sh(0) ^ sh(2)))
+    assert(dist == java.lang.Long.bitCount(sh(0) ^ sh(2)))
+  }
+
+  test("simhash: 48-bit signatures use the full width, low 32 bits stable") {
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (0 until 10).map(j => s"tok${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val wide = docs.select($"doc_id", Dedup.simhash($"text", 48).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(wide.forall(s => s >= 0 && s < (1L << 48)))
+    // some doc must set a bit above 32 or the widening buys nothing
+    assert(wide.exists(s => (s >> 32) != 0))
+    // digits 1..32 of the doubled digest are md5(w) itself, so a 48-bit
+    // signature truncated to 32 bits equals the 32-bit signature
+    val narrow = docs.select($"doc_id", Dedup.simhash($"text", 32).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(wide.map(_ & 0xFFFFFFFFL).toSeq == narrow.toSeq)
+  }
+
+  test("simhash near-dup pairs: 48-bit blocking matches brute force") {
+    val docs = (1 to 40).map { i =>
+      val words = (0 until 8).map(j => s"w${(i + j * 3) % 15}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.simhashNearDupPairs(docs, bits = 48, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val sig = docs.select($"doc_id", Dedup.simhash($"text", 48).as("sh"))
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.hammingDistance($"a.sh", $"b.sh").as("d"))
+      .filter($"d" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked == brute)
   }
 
   test("simhash near-dup pairs: pigeonhole blocking matches brute force") {

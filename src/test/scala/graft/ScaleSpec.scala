@@ -4,13 +4,86 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.Dedup
 import graft.operators.Skew
 
 /** Scale-path mechanics: salted joins match unsalted semantics and spread
   * hot keys; bucketed tables co-locate their join (no shuffle exchange on
-  * either side). */
+  * either side); the dedup suite's degenerate-input caps bound pair
+  * expansion on boilerplate-heavy corpora. */
 class ScaleSpec extends SparkSuite {
   import spark.implicits._
+
+  test("minhashCandidates: degenerate bucket capped, no quadratic blowup") {
+    // 2000 byte-identical docs (one LSH bucket of 2000 in every band)
+    // plus two genuine near-dups. Uncapped, the identical group alone
+    // expands to ~2M pairs; the cap must drop that bucket entirely and
+    // still find the real pair.
+    val boiler = (1 to 2000).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet boilerplate header text"))
+    val real = Seq(
+      (9001L, "a distinctive document about spark shuffle mechanics"),
+      (9002L, "a distinctive document about spark shuffle mechanics"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashCandidates(docs, k = 8, bands = 4,
+      shingleSize = 2, maxBucket = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9001L, 9002L)))
+    // bounded: nothing from the capped bucket survives
+    assert(pairs.forall { case (a, b) => a > 9000L && b > 9000L },
+      s"capped bucket leaked pairs: ${pairs.take(5)}")
+
+    // the drop is observable, not silent
+    val dropped = Dedup.minhashOversizedBuckets(docs, k = 8, bands = 4,
+      shingleSize = 2, maxBucket = 64)
+      .select($"n_ids").as[Long].collect()
+    assert(dropped.nonEmpty && dropped.forall(_ == 2000L))
+  }
+
+  test("ngramJaccardPairs: hot-gram cap prunes boilerplate-only links") {
+    // every doc shares the hot bigram "copyright notice"; only 1~2 share
+    // real content. With the cap at 5 (< 40 docs), the hot grams drop and
+    // only the genuinely-similar pair survives.
+    val docs = ((1 to 40).map { i =>
+      (i.toLong, "s", s"unique${i}a unique${i}b copyright notice unique${i}c")
+    } ++ Seq(
+      (101L, "s", "shared content words here copyright notice"),
+      (102L, "s", "shared content words here copyright notice")))
+      .toDF("doc_id", "source", "text")
+
+    val capped = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2,
+      maxGramDf = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((101L, 102L)))
+    // post-cap sizes: identical docs still score 1.0 over surviving grams
+    assert(capped.head._3 == 1.0)
+
+    // uncapped, the hot gram links every doc pair that clears the
+    // threshold via boilerplate; the capped plan must emit strictly fewer
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2)
+      .count()
+    assert(uncapped >= capped.length)
+  }
+
+  test("simhash 48-bit chunks stay selective on diverse docs") {
+    // 12-bit chunks (bits=48, maxDist=3): on 200 docs with disjoint
+    // vocabularies the signatures are near-uniform, so no (chunk, value)
+    // bucket should collect more than a handful of docs — the property
+    // that keeps the pigeonhole self-join sub-quadratic.
+    val docs = (1 to 200).map { i =>
+      (i.toLong, (0 until 12).map(j => s"v${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sig = docs.select($"doc_id", Dedup.simhash($"text", 48).as("sh"))
+    val maxBucket = (0 until 4).map { c =>
+      val lo = c * 12
+      sig.select((shiftright($"sh", lo).bitwiseAND(lit(0xFFFL))).as("cv"))
+        .groupBy("cv").count()
+        .agg(max($"count")).as[Long].head()
+    }.max
+    assert(maxBucket <= 8L,
+      s"12-bit chunk bucket collected $maxBucket of 200 docs")
+  }
 
   test("saltedJoin: inner and left results match the plain join") {
     // key "hot" is 100x skewed
