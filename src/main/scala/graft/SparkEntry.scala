@@ -452,6 +452,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_embed_lsh" -> ((s, dir) => {
+      // the corpus-scale variant: sign-bucket LSH blocking (hamming <= 1
+      // multi-probe) instead of the label block — buckets subdivide by
+      // adding positions; labels never do
+      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Similarity search over embeddings --------------------------
 
     "sim_topk_cosine" -> ((s, dir) => {
@@ -912,6 +920,24 @@ object SparkEntry {
            | ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // blocking is sign-bucket hamming <= 1 (the engine's multi-probe):
+      // same bucket arithmetic as sim_ann_bucket
+      "dedup_embed_lsh" -> {
+        def bkt(e: String) =
+          s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
+             | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
+             | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
+             | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
+        s"""WITH v AS (SELECT vec_id, embedding,
+           |  ${bkt("embedding")} AS bk FROM embeddings)
+           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           | ${duckCosine("x.embedding", "y.embedding")} AS score
+           |FROM v x JOIN v y ON x.vec_id < y.vec_id
+           |WHERE bit_count(xor(x.bk, y.bk)) <= 1
+           | AND ${duckCosine("x.embedding", "y.embedding")} >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       "sim_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -148,8 +148,10 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked on an existing
-    * low-cardinality key (here: label; at scale: an LSH bucket) so the
-    * pairwise stage stays per-block.
+    * low-cardinality key. A label block is quadratic *per label* — fine
+    * when labels are plentiful, hopeless when a label holds 10⁸ vectors;
+    * [[cosineNearDupPairsLsh]] is the corpus-scale variant (sign-bucket
+    * blocking, bounded per-bucket expansion).
     *
     * Norms are computed once per row *before* the join — the naive
     * `cosine(va, vb)` per pair spends 2/3 of its work recomputing
@@ -168,6 +170,49 @@ object Similarity {
     val r = prep.select(col("blk"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("nrm").as("nb"))
     l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        when(col("na") > 0 && col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs blocked on the [[signBucket]]
+    * LSH key — the 100-TB shape: per-bucket expansion is bounded by the
+    * bucket's share of the corpus (~n/2^bits for balanced components),
+    * and adding sign positions subdivides hot buckets further, where a
+    * label block can never be subdivided.
+    *
+    * Multi-probe for recall: with `probe1 = true` a pair is emitted when
+    * the two sign patterns agree on ALL positions or differ on exactly
+    * one (hamming ≤ 1) — the right side explodes to its own bucket plus
+    * its |positions| hamming-1 neighbors, the left joins on its true
+    * bucket only, so each qualifying pair matches exactly once (its
+    * bucket distance picks out exactly one probe) and needs no distinct.
+    * Norms are precomputed per row before the join, as in
+    * [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsLsh(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      positions: Seq[Int] = defaultPositions,
+      probe1: Boolean = true): DataFrame = {
+    val prep = df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"),
+      signBucket(col(vecCol), positions).as("bkt"))
+    val probes =
+      if (probe1)
+        array((col("bkt") +: positions.indices.map(i =>
+          col("bkt").bitwiseXOR(lit(1 << i)))): _*)
+      else array(col("bkt"))
+    val l = prep.select(col("bkt"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val r = prep.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"), explode(probes).as("bkt"))
+    l.join(r, Seq("bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score",
         when(col("na") > 0 && col("nb") > 0,

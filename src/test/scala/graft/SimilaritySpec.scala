@@ -134,6 +134,30 @@ class SimilaritySpec extends SparkSuite {
     assert(full == exact)
   }
 
+  test("cosineNearDupPairsLsh: equals brute force restricted to hamming<=1 buckets") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Similarity.cosineNearDupPairsLsh(corpus, threshold = 0.3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+
+    val prep = corpus.select($"vec_id", $"embedding",
+      Similarity.signBucket($"embedding", Similarity.defaultPositions).as("bk"))
+    val brute = prep.as("a").crossJoin(prep.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .filter(bit_count($"a.bk".bitwiseXOR($"b.bk")) <= 1)
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("score"))
+      .filter($"score" >= 0.3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(lsh == brute)
+    assert(lsh.nonEmpty, "sf0.001 should contain at least one LSH near-dup pair")
+
+    // exact-bucket (probe1 = false) is the hamming-0 subset
+    val exact = Similarity.cosineNearDupPairsLsh(corpus, threshold = 0.3,
+      probe1 = false)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(exact.toSet.subsetOf(lsh.toSet))
+  }
+
   test("cosineNearDupPairs: matches per-pair cosine, blocked, a < b") {
     val df = Seq(
       (1L, "x", Seq(1f, 0f, 0f)),
