@@ -604,6 +604,49 @@ object SparkEntry {
         .orderBy(col("win_start_us"), col("event_type"))
     }),
 
+    "ev_stream_sessionize" -> ((s, dir) => {
+      // the flatMapGroupsWithState path against the SAME oracle as the
+      // batch ev_sessionize: parquet file source → stateful sessionize →
+      // Append-mode memory sink. Append emits a session only when the
+      // watermark passes its timeout, so a far-future sentinel event
+      // (user_id -1, filtered from the output) is appended to the input:
+      // after the data batch advances the watermark past every real
+      // session's gap, the no-data microbatch fires all the timeouts.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros(${maxUs + 365L * 86400L * 1000000L})").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = "target/stream_sessionize_input"
+      ev.unionByName(sentinel).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val schema = s.read.parquet(staging).schema
+      val sessions = Sessionize.sessionizeStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.Event],
+        gapMinutes = 30)
+      Sessionize.runToMemory(s, sessions.toDF(), "ev_stream_sess",
+        OutputMode.Append)
+        .filter(col("user_id") >= 0)
+        // sessions of one user never overlap (separated by > gap), so
+        // start order IS the batch session index
+        .withColumn("session_idx",
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("session_start"))).cast("long"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("value_cents"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // ---- Multimodal binary columns -----------------------------------
 
     "mm_payload_stats" -> ((s, dir) => {
@@ -1042,6 +1085,21 @@ object SparkEntry {
           |FROM events ORDER BY user_id, event_id""".stripMargin,
 
       "ev_sessionize" ->
+        """WITH g AS (SELECT user_id, ts, event_id, value,
+          |  CASE WHEN lag(ts) OVER w IS NULL
+          |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g)
+          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          | count(*) AS n_events,
+          | epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+      // identical oracle to ev_sessionize: the streaming path must
+      // reproduce the batch gaps-and-islands result exactly
+      "ev_stream_sessionize" ->
         """WITH g AS (SELECT user_id, ts, event_id, value,
           |  CASE WHEN lag(ts) OVER w IS NULL
           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk

@@ -21,10 +21,21 @@ object Sessionize {
       event_type: String, value: Double)
 
   final case class SessionState(
-      sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+      sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double,
+      valueCents: Long)
 
   final case class Session(user_id: Long, session_start: Timestamp,
-      session_end: Timestamp, n_events: Long, total_value: Double)
+      session_end: Timestamp, n_events: Long, total_value: Double,
+      value_cents: Long)
+
+  /** Per-event exact cents, matching `round(value * 100).cast("long")`
+    * (Spark's Round is HALF_UP over BigDecimal.valueOf): summing these
+    * per session is order-independent, so the streaming summary equals
+    * the batch one bit-for-bit — a double `total_value` accumulator
+    * alone could drift by accumulation order. */
+  private def centsOf(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity. One shuffle (user_id); boundary flags + running sum give
@@ -74,7 +85,7 @@ object Sessionize {
 
     def close(userId: Long, s: SessionState): Session =
       Session(userId, toTs(s.sessionStart), toTs(s.lastTs),
-        s.nEvents, s.totalValue)
+        s.nEvents, s.totalValue, s.valueCents)
 
     def update(
         userId: Long,
@@ -102,12 +113,15 @@ object Sessionize {
               sessionStart = math.min(s.sessionStart, tsMicros),
               lastTs = math.max(s.lastTs, tsMicros),
               nEvents = s.nEvents + 1,
-              totalValue = s.totalValue + e.value))
+              totalValue = s.totalValue + e.value,
+              valueCents = s.valueCents + centsOf(e.value)))
           case Some(s) =>
             closed ::= close(userId, s)
-            cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value))
+            cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value,
+              centsOf(e.value)))
           case None =>
-            cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value))
+            cur = Some(SessionState(tsMicros, tsMicros, 1L, e.value,
+              centsOf(e.value)))
         }
       }
       cur.foreach { s =>
