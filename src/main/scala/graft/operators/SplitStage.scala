@@ -22,10 +22,16 @@ import graft.model.{AlmaSchema, ColumnRegistry}
   */
 object SplitStage {
 
+  /** `exactSequentialFidelity = false` (default): year inference runs as
+    * the codegen'd window formulation — one hash exchange on the group
+    * key, whole-stage codegen throughout. `true` opts into the
+    * bug-compatible `flatMapGroups` re-enactment of the reference's
+    * sequential loop (identical output whenever groups arrive in input
+    * order, as in the golden fixture; kept for byte-fidelity audits). */
   def apply(
       df: DataFrame,
       registry: ColumnRegistry = AlmaSchema.default,
-      exactSequentialFidelity: Boolean = true,
+      exactSequentialFidelity: Boolean = false,
       novBugCompat: Boolean = false): DataFrame = {
 
     // checkColumns: verify mandatory presence and APPEND missing add-in
