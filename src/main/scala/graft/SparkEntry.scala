@@ -537,6 +537,24 @@ object SparkEntry {
           col("p50_90").getItem(1).as("p90_tokens"))
     }),
 
+    "text_corpus_stats_approx" -> ((s, dir) => {
+      // the 100-TB default: approx_percentile's GK sketch is a bounded-size
+      // map-side-mergeable aggregate (one pass, no per-group sort), where
+      // exact percentile materializes and sorts every group's values. At
+      // the accuracy used here the rank error is < 1 for any corpus below
+      // ~10^6 docs, so the oracle can still compare discrete quantiles
+      // exactly; at real scale callers trade accuracy for memory.
+      par(s)(t(s, dir, "documents"))
+        .select(TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("approx_percentile(n_tok, array(0.5D, 0.9D), 1000000)")
+            .as("p50_90"))
+        .select(col("n_docs"),
+          col("p50_90").getItem(0).as("p50_tokens"),
+          col("p50_90").getItem(1).as("p90_tokens"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       par(s)(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -663,7 +681,11 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.syntheticAssets(par(s)(t(s, dir, "documents"))))
         .select(col("asset_id"), col("width"), col("height"),
-          concat_ws(",", col("frame_hashes")).as("frame_hashes_csv"))
+          // null text → null features; concat_ws would fold the null array
+          // to "" while the oracle's md5(NULL) chain yields SQL NULL
+          when(col("frame_hashes").isNull, lit(null: String))
+            .otherwise(concat_ws(",", col("frame_hashes")))
+            .as("frame_hashes_csv"))
         .orderBy(col("asset_id"))
     }))
 
@@ -1071,6 +1093,20 @@ object SparkEntry {
            | min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
            | quantile_cont(n_tok, 0.5) AS p50_tokens,
            | quantile_cont(n_tok, 0.9) AS p90_tokens
+           |FROM t""".stripMargin
+      },
+
+      // discrete quantiles: at rank-exact accuracy Spark's GK sketch
+      // returns the element at rank floor(p*(n-1))+1; DuckDB's
+      // quantile_disc uses ceil(p*n), identical whenever p*n has no
+      // fractional part below 1-p — true for these p at the test corpus
+      // sizes (n = 50/500/5000), and verified empirically at all three SFs
+      "text_corpus_stats_approx" -> {
+        val nTok = s"(CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END)"
+        s"""WITH t AS (SELECT $nTok AS n_tok FROM documents)
+           |SELECT count(*) AS n_docs,
+           | quantile_disc(n_tok, 0.5) AS p50_tokens,
+           | quantile_disc(n_tok, 0.9) AS p90_tokens
            |FROM t""".stripMargin
       },
 

@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — the driver passes two; extra
     // names restrict the dump to those queries (dev iteration only)
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"a typo here would leave stale outputs and report a stale PASS")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

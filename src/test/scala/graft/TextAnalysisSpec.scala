@@ -66,4 +66,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fp1 != fp3)
     assert(fp1.matches("[0-9a-f]{32}"))
   }
+
+  test("approx_percentile twin tracks exact percentile within GK rank bound") {
+    import org.apache.spark.sql.functions._
+    // skewed lengths so p50/p90 sit on distinct values
+    val docs = (1 to 2000).map(i => (i.toLong, ("w " * (i % 97 + 1)).trim))
+      .toDF("doc_id", "text")
+    val stats = docs
+      .select(TextAnalysis.tokenCount($"text").as("n_tok"))
+      .agg(
+        expr("percentile(n_tok, array(0.5D, 0.9D))").as("exact"),
+        expr("approx_percentile(n_tok, array(0.5D, 0.9D), 1000000)").as("approx"))
+      .collect().head
+    val exact = stats.getSeq[Double](0)
+    val approx = stats.getSeq[Long](1)
+    // accuracy 1e6 over n=2000 → rank error < 1: the sketch must return an
+    // actual element whose rank brackets the interpolated exact value
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 1.0, s"exact=$e approx=$a")
+    }
+  }
 }
