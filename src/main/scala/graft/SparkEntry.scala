@@ -36,10 +36,15 @@ object SparkEntry {
     * repartition costs one shuffle of the (small) input and unlocks full
     * parallelism. Same pattern applies on clusters whenever input splits
     * are fewer than cores (few large gzip/parquet files) and downstream
-    * compute dominates scan cost. Not used on queries that demonstrate
-    * scan pushdown — a repartition would sit above the scan filters. */
-  private def par(s: SparkSession)(df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * compute dominates scan cost. Gated on the actual split count so that
+    * at production scale — where splits far exceed cores — the helper is a
+    * no-op instead of a full-input shuffle baked into the query. Not used
+    * on queries that demonstrate scan pushdown — a repartition would sit
+    * above the scan filters. */
+  private def par(s: SparkSession)(df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact integer cents: round(x*100) as long. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
@@ -635,15 +640,20 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      // Static far-future sentinel (2100-01-01 UTC): no driver-side max()
+      // action needed — any fixture timestamp precedes it by far more than
+      // the session gap, so the watermark after the single data batch
+      // clears every real session's timeout. The staging write stays
+      // partitioned (the file source drains all parts in one microbatch);
+      // a coalesce(1) here would serialize the write for no semantic gain.
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        expr(s"timestamp_micros(${maxUs + 365L * 86400L * 1000000L})").as("ts"),
+        expr("timestamp_micros(4102444800000000)").as("ts"),
         lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"))
       val staging = "target/stream_sessionize_input"
-      ev.unionByName(sentinel).coalesce(1)
+      ev.unionByName(sentinel)
         .write.mode("overwrite").parquet(staging)
       val schema = s.read.parquet(staging).schema
       val sessions = Sessionize.sessionizeStream(

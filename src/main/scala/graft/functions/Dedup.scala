@@ -286,12 +286,19 @@ object Dedup {
     // give wide buckets at corpus scale, so the quadratic in-bucket pair
     // expansion must stay inside codegen — a collect_list + higher-order
     // pair expansion was measured 3x slower than the hash join on the same
-    // buckets (interpreted HOFs, per-bucket array allocation). The join
-    // recomputes the cheap signature once per side; only (chunk, value,
-    // id, sh) tuples shuffle.
+    // buckets (interpreted HOFs, per-bucket array allocation). Only (chunk,
+    // value, id, sh) tuples shuffle.
+    //
+    // The explicit repartition on the join keys makes both self-join sides
+    // share ONE canonical exchange subplan, so ReuseExchange materializes
+    // the signature computation once (shuffle files, disk-backed — no cache
+    // lifecycle) and the join itself adds no further exchange. Without it,
+    // each side re-evaluates the per-word md5 signature over the full
+    // corpus — the dominant cost of the whole query.
     val banded = sig
       .select(col(idCol), col("sh"), explode(array(chunkVals: _*)).as("b"))
       .select(col(idCol), col("sh"), col("b.ci"), col("b.cv"))
+      .repartition(col("ci"), col("cv"))
     val l = banded.select(col("ci"), col("cv"),
       col(idCol).as("id_a"), col("sh").as("sha"))
     val r = banded.select(col("ci"), col("cv"),
@@ -352,15 +359,19 @@ object Dedup {
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    // df cap as a WINDOW over the index's own (blk, gram) partitioning:
+    // one exchange that the inverted-index join below would shuffle on
+    // anyway, instead of a separate aggregate + re-join (which costs a
+    // second (blk, gram) shuffle of the full gram stream). A hot gram's
+    // window partition holds df rows but only counts them — no pair
+    // expansion happens here.
     val kept =
       if (maxGramDf <= 0) grams
-      else {
-        val ok = grams.groupBy(col("blk"), col("gram"))
-          .agg(count(lit(1)).as("gram_df"))
-          .filter(col("gram_df") <= maxGramDf)
-          .select(col("blk"), col("gram"))
-        grams.join(ok, Seq("blk", "gram"))
-      }
+      else grams
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
+        .filter(col("__df") <= maxGramDf)
+        .drop("__df")
     // post-cap set size: one window pass keyed on the doc (sizes must
     // reflect the same gram space the intersections count)
     val sized = kept.withColumn("sz",
