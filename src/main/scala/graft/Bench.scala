@@ -26,7 +26,12 @@ object Bench {
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=dedup_simhash_pairs,dedup_jaccard
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up pass: JIT + codegen compile + parquet footer caches, so the
     // measured pass reflects steady-state per-query cost instead of charging
     // JVM start-up to whichever query happens to run first.
@@ -55,14 +60,19 @@ object Bench {
     val results = names.zipWithIndex.map { case (name, i) =>
       val runs = measured.map(_(i))
       val times = runs.map(_._2).sorted
-      (name, times(times.length / 2), runs.forall(_._3))
+      (name, times(times.length / 2), runs.forall(_._3), runs.map(_._2))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // Raw per-pass times (pass order preserved) so round-over-round deltas
+    // can be separated from run-to-run variance without re-running.
+    val raw = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passTimes":$raw,"failed":$failed,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

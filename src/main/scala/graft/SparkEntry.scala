@@ -36,14 +36,19 @@ object SparkEntry {
     * repartition costs one shuffle of the (small) input and unlocks full
     * parallelism. Same pattern applies on clusters whenever input splits
     * are fewer than cores (few large gzip/parquet files) and downstream
-    * compute dominates scan cost. Gated on the actual split count so that
-    * at production scale — where splits far exceed cores — the helper is a
-    * no-op instead of a full-input shuffle baked into the query. Not used
-    * on queries that demonstrate scan pushdown — a repartition would sit
-    * above the scan filters. */
+    * compute dominates scan cost. Gated on the *file* count, not
+    * `rdd.getNumPartitions`: byte-range splitting of a single-row-group
+    * parquet file yields many splits where only one carries rows, so the
+    * split count over-reports real parallelism exactly in the case this
+    * helper exists for (and `df.rdd` forces eager physical planning at
+    * query-construction time). Few input files ⇒ few row-group-bearing
+    * splits ⇒ repartition; at production scale — thousands of files, splits
+    * far exceeding cores — the helper is a no-op instead of a full-input
+    * shuffle baked into the query. Not used on queries that demonstrate
+    * scan pushdown — a repartition would sit above the scan filters. */
   private def par(s: SparkSession)(df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** Exact integer cents: round(x*100) as long. */

@@ -289,16 +289,22 @@ object Dedup {
     // buckets (interpreted HOFs, per-bucket array allocation). Only (chunk,
     // value, id, sh) tuples shuffle.
     //
-    // The explicit repartition on the join keys makes both self-join sides
-    // share ONE canonical exchange subplan, so ReuseExchange materializes
-    // the signature computation once (shuffle files, disk-backed — no cache
-    // lifecycle) and the join itself adds no further exchange. Without it,
-    // each side re-evaluates the per-word md5 signature over the full
-    // corpus — the dominant cost of the whole query.
-    val banded = sig
+    // The per-word md5 signature is the dominant cost of the whole query,
+    // and a naive self-join evaluates it once PER SIDE: ReuseExchange
+    // cannot unify the two subplans because the signature is built from
+    // higher-order functions whose lambda variables defeat plan
+    // canonicalization (verified: `explain` shows two full scans and no
+    // ReusedExchange even with both sides repartitioned identically). So
+    // the (id, sh) frame — 16 bytes/doc, the smallest possible cut point —
+    // is materialized ONCE with an eager localCheckpoint; both join sides
+    // then re-derive only the trivial chunk explode from the stored
+    // blocks. Executor loss invalidates local checkpoint blocks and fails
+    // the job (acceptable: the query is a candidate-generation batch job
+    // and simply re-runs); callers needing fault-tolerant lineage at
+    // cluster scale can set a checkpoint dir and swap in `checkpoint()`.
+    val banded = sig.localCheckpoint()
       .select(col(idCol), col("sh"), explode(array(chunkVals: _*)).as("b"))
       .select(col(idCol), col("sh"), col("b.ci"), col("b.cv"))
-      .repartition(col("ci"), col("cv"))
     val l = banded.select(col("ci"), col("cv"),
       col(idCol).as("id_a"), col("sh").as("sha"))
     val r = banded.select(col("ci"), col("cv"),

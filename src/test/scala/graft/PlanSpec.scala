@@ -96,6 +96,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("simhash pairs: signature materialized once — self-join sides scan " +
+    "checkpoint blocks, not parquet") {
+    val df = graft.functions.Dedup.simhashNearDupPairs(
+      Tables(spark, dir, "documents"), bits = 48, maxDist = 3)
+    val p = df.queryExecution.executedPlan.toString
+    // the signature frame is localCheckpoint-ed: both join sides read the
+    // stored (id, sh) blocks; zero parquet scans survive into the join plan
+    assert(countIn(p, "FileScan parquet") == 0, p)
+    assert(countIn(p, "Scan ExistingRDD") == 2, p)
+    // and no md5 signature evaluation remains above the checkpoint
+    assert(!p.contains("md5"), p)
+  }
+
   test("vec_dot_f: available from SQL via extensions, codegen-capable") {
     GraftExtensions.register(spark)
     val r = spark.sql(
