@@ -628,7 +628,8 @@ object SparkEntry {
           sum(cents(col("value"))).as("value_cents"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("value_cents"))
-      Sessionize.runToMemory(s, agg, "ev_stream_win", OutputMode.Complete)
+      Sessionize.runToMemory(s, agg, "ev_stream_win", OutputMode.Complete,
+        statePartitions = 8)
         .orderBy(col("win_start_us"), col("event_type"))
     }),
 
@@ -660,13 +661,26 @@ object SparkEntry {
       val staging = "target/stream_sessionize_input"
       ev.unionByName(sentinel)
         .write.mode("overwrite").parquet(staging)
+      // Guard the static sentinel: an event within the session gap of (or
+      // past) 2100-01-01 would keep its session timeout from ever firing
+      // and the query would return silently-empty output instead of
+      // failing loudly. One pruned-scan aggregate over the small staging
+      // file — far cheaper than the full-input max() the static sentinel
+      // replaced.
+      val sentinelUs = 4102444800000000L
+      val gapUs = 30L * 60L * 1000000L
+      val maxUs = s.read.parquet(staging).filter(col("user_id") >= 0)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      require(maxUs < sentinelUs - gapUs,
+        s"fixture max event ts ($maxUs us) reaches the static sentinel's " +
+          s"session gap — sessions would never flush; move the sentinel out")
       val schema = s.read.parquet(staging).schema
       val sessions = Sessionize.sessionizeStream(
         s.readStream.schema(schema).parquet(staging)
           .as[Sessionize.Event],
         gapMinutes = 30)
       Sessionize.runToMemory(s, sessions.toDF(), "ev_stream_sess",
-        OutputMode.Append)
+        OutputMode.Append, statePartitions = 8)
         .filter(col("user_id") >= 0)
         // sessions of one user never overlap (separated by > gap), so
         // start order IS the batch session index

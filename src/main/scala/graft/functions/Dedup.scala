@@ -349,9 +349,9 @@ object Dedup {
     * they ARE the join's cost. Grams with per-block df > maxGramDf are
     * dropped from every doc's gram set before the index join (similarity
     * is then Jaccard over the discriminative gram space; set sizes shrink
-    * consistently on both sides of the ratio). The df aggregation is
-    * map-side combinable and keys on the same (block, gram) the join
-    * shuffles on. 0 disables the cap. */
+    * consistently on both sides of the ratio). The cap is a count window
+    * over (block, gram): one shuffle of the gram stream, versus the two a
+    * separate aggregate + re-join would cost. 0 disables the cap. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String = "text",
@@ -365,10 +365,12 @@ object Dedup {
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    // df cap as a WINDOW over the index's own (blk, gram) partitioning:
-    // one exchange that the inverted-index join below would shuffle on
-    // anyway, instead of a separate aggregate + re-join (which costs a
-    // second (blk, gram) shuffle of the full gram stream). A hot gram's
+    // df cap as a WINDOW over (blk, gram): one full-stream exchange,
+    // where the old aggregate + re-join formulation shuffled the gram
+    // stream on (blk, gram) twice. (The join below still re-shuffles both
+    // sides on (blk, gram) — the intervening per-doc sizing window
+    // re-partitions on (blk, id), so this exchange is NOT directly reused
+    // by the join; the saving is one exchange, not two.) A hot gram's
     // window partition holds df rows but only counts them — no pair
     // expansion happens here.
     val kept =

@@ -154,16 +154,31 @@ object Sessionize {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
 
   /** Convenience: run a streaming query over a bounded source and collect
-    * results synchronously (for tests / local smoke). */
+    * results synchronously (for tests / local smoke).
+    *
+    * `statePartitions`: a stateful query's state-store count is frozen to
+    * `spark.sql.shuffle.partitions` at first start. For a bounded local
+    * run, the session default (cores) builds and checkpoints that many
+    * near-empty state stores per micro-batch — pure overhead. Positive
+    * values pin the count for THIS query (conf set around `start()`,
+    * restored after — the value is captured at query start so the restore
+    * can't race the running query). On a real cluster size it to the
+    * keyspace instead. */
   def runToMemory(
       spark: SparkSession,
       out: DataFrame,
       name: String,
-      mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+      mode: OutputMode = OutputMode.Append,
+      statePartitions: Int = 0): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions)
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
     spark.table(name)
   }
 }
