@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{FillStage, FormatStage, SplitStage, YearInference}
+import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.Sessionize
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
@@ -407,6 +408,79 @@ object SparkEntry {
           lit(" (Oct 19"), lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
           lit(")")).as("Description"))
       SplitStage(items)
+    }),
+
+    "csv_roundtrip" -> ((s, dir) => {
+      // S1/S2 under the oracle: write an item-shaped frame through the
+      // stage-prefix CSV sink, read it back through BOTH dialects (Spark
+      // CSV and the reference's naive bare-comma split,
+      // BatchUpdate.py:762-816), and hash against an oracle computed
+      // straight from the parquet source — any corruption in the write,
+      // the prefix naming, the per-part header handling, or either read
+      // path breaks the hash. Values are comma/quote-free by construction
+      // (the naive dialect corrupts them by design; that hazard is
+      // golden-tested separately in PipelineSpec).
+      val items = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("MMS ID"),
+        (col("c_custkey") * 7).cast("string").as("Barcode"),
+        col("c_name").as("title"))
+      val staged = CsvStage.writeStage(
+        items, "target/csv_roundtrip/items.csv", "f_")
+      CsvStage.read(s, staged).withColumn("dialect", lit("spark"))
+        .unionByName(
+          CsvStage.readNaive(s, staged).withColumn("dialect", lit("naive")))
+        .withColumn("ck", col("MMS ID").cast("long"))
+        .orderBy(col("dialect"), col("ck"))
+    }),
+
+    "alma_update_merge" -> ((s, dir) => {
+      // S3/S4 merge semantics under the oracle (transport excluded): a
+      // deterministic item-XML template stands in for the pre-fetched GET
+      // payload, and AlmaXml.merge (reference BatchUpdate.py:484-553)
+      // produces the PUT body. Exercises every merge path: existing
+      // element with desc-attr rewrite (physical_material_type), insert
+      // with desc (policy), text-only insert (enumeration_a), text-only
+      // overwrite of an existing element (chronology_i), conditional
+      // insert (chronology_j on even keys), and the blank-skip
+      // (enumeration_b). The oracle rebuilds the same strings in SQL, so
+      // a drift in element order, attribute rendering, or code-table
+      // translation breaks the hash.
+      val mergeUdf = udf((bc: String, mt: String, pol: String, ea: String,
+          cj: String) => {
+        val template =
+          s"""<item link="https://api.example.org/items/$bc"><item_data>""" +
+            s"""<barcode>$bc</barcode>""" +
+            s"""<physical_material_type desc="Issue">ISSUE""" +
+            s"""</physical_material_type>""" +
+            s"""<chronology_i>1999</chronology_i></item_data></item>"""
+        val root = AlmaXml.parse(template)
+        val body = AlmaXml.merge(root, AlmaXml.ItemFields(
+          materialType = Some(mt), itemPolicy = Some(pol),
+          enumA = Some(ea), enumB = Some(""),
+          chronI = Some("2001"), chronJ = Some(cj)))
+        Array(body, AlmaXml.updateUrl(root).getOrElse(""))
+      })
+      val mts = Seq("Book", "Issue", "DVD", "Thesis").map(lit)
+      val pols = Seq("general circulation", "non-circulating",
+        "WCat-ShortLoan").map(lit)
+      val rows = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("barcode"),
+        col("c_custkey").as("ck"),
+        element_at(array(mts: _*), (col("c_custkey") % 4).cast("int") + 1)
+          .as("mt"),
+        element_at(array(pols: _*), (col("c_custkey") % 3).cast("int") + 1)
+          .as("pol"),
+        concat(lit("ea-"), (col("c_custkey") % 10).cast("string")).as("ea"),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("cj-"), (col("c_custkey") % 5).cast("string")))
+          .otherwise(lit("")).as("cj"))
+      rows
+        .withColumn("m", mergeUdf(col("barcode"), col("mt"), col("pol"),
+          col("ea"), col("cj")))
+        .select(col("barcode"), col("ck"),
+          element_at(col("m"), 1).as("put_body"),
+          element_at(col("m"), 2).as("put_url"))
+        .orderBy(col("ck"))
     }),
 
     // ---- Dedup suite over documents --------------------------------
@@ -1267,6 +1341,45 @@ object SparkEntry {
           | 'StdMatch' AS "Pattern", '' AS "Notes"
           |FROM d
           |ORDER BY mms, vol_i,
-          | 'v.' || vol || ' no.' || no4 || ' (Oct 19' || y2 || ')', bc""".stripMargin)
+          | 'v.' || vol || ' no.' || no4 || ' (Oct 19' || y2 || ')', bc""".stripMargin,
+
+      // the oracle computes the round-trip's fixed point straight from
+      // parquet: matching hashes prove the CSV write → stage-prefix naming
+      // → (Spark | naive) read loop is lossless for the item data model
+      "csv_roundtrip" ->
+        """WITH i AS (SELECT CAST(c_custkey AS VARCHAR) AS "MMS ID",
+          |  CAST(c_custkey * 7 AS VARCHAR) AS "Barcode", c_name AS title,
+          |  c_custkey AS ck FROM customer)
+          |SELECT "MMS ID", "Barcode", title, dialect, ck
+          |FROM (SELECT i.*, 'naive' AS dialect FROM i
+          |      UNION ALL SELECT i.*, 'spark' AS dialect FROM i) u
+          |ORDER BY dialect, ck""".stripMargin,
+
+      // the oracle rebuilds AlmaXml.merge's serialized output in SQL —
+      // code-table translation inline (the tables ARE the spec,
+      // BatchUpdate.py:40-77), element order fixed by the merge sequence
+      "alma_update_merge" ->
+        """WITH r AS (SELECT CAST(c_custkey AS VARCHAR) AS barcode,
+          |  c_custkey AS ck,
+          |  ['Book','Issue','DVD','Thesis'][CAST(c_custkey % 4 AS INT) + 1] AS mt,
+          |  ['BOOK','ISSUE','DVD','THESIS'][CAST(c_custkey % 4 AS INT) + 1] AS mtc,
+          |  ['general circulation','non-circulating','WCat-ShortLoan'][CAST(c_custkey % 3 AS INT) + 1] AS pol,
+          |  ['0','1','30'][CAST(c_custkey % 3 AS INT) + 1] AS polc,
+          |  'ea-' || CAST(c_custkey % 10 AS VARCHAR) AS ea,
+          |  CASE WHEN c_custkey % 2 = 0
+          |    THEN 'cj-' || CAST(c_custkey % 5 AS VARCHAR) ELSE '' END AS cj
+          | FROM customer)
+          |SELECT barcode, ck,
+          | '<item link="https://api.example.org/items/' || barcode
+          | || '"><item_data><barcode>' || barcode
+          | || '</barcode><physical_material_type desc="' || mt || '">' || mtc
+          | || '</physical_material_type><chronology_i>2001</chronology_i>'
+          | || '<policy desc="' || pol || '">' || polc
+          | || '</policy><enumeration_a>' || ea || '</enumeration_a>'
+          | || CASE WHEN cj <> '' THEN '<chronology_j>' || cj || '</chronology_j>'
+          |    ELSE '' END
+          | || '</item_data></item>' AS put_body,
+          | 'https://api.example.org/items/' || barcode AS put_url
+          |FROM r ORDER BY ck""".stripMargin)
   }
 }
