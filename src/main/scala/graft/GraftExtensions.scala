@@ -1,14 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{GraftSqlShim, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.VecDotF
+import graft.functions.{Dedup, VecDotF, VecL2F}
 
 /** Catalyst extension entry point: registers the library's native
-  * expressions with the session so they are usable from SQL text as well
-  * as the Column API.
+  * expressions AND its column-composition kernels with the session so they
+  * are usable from SQL text as well as the Column API — a SQL-only user
+  * (spark-sql, thrift-server, notebooks) reaches the vector and dedup
+  * primitives without touching the Scala API.
   *
   * Wire up with either
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -22,35 +25,110 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.SparkSession
-  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def info(name: String, group: String, usage: String,
+      className: String = GraftExtensions.getClass.getName): ExpressionInfo =
+    new ExpressionInfo(className, null, name, usage,
+      "", "", "", group, "0.1.0", "", "scala_udf")
+
+  /** Sizing arguments (signature bits, shingle width, hash seed) shape the
+    * expression tree itself, so they must be literals — a column-valued
+    * argument has no single tree to build. */
+  private def litInt(name: String, arg: String, e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be an integer literal, got $other")
+  }
+
+  /** Composition kernels (built from `functions._` Columns, not a single
+    * Catalyst node) registered by bridging Expression↔Column at the
+    * registry boundary; the resulting tree is the same one the Scala API
+    * builds, codegen and all. The conversion back must be EAGER — see
+    * [[GraftSqlShim.eagerExpression]]. */
+  private def col(e: Expression) = GraftSqlShim.column(e)
+  private def expr(c: org.apache.spark.sql.Column) =
+    GraftSqlShim.eagerExpression(c)
 
   /** (identifier, info, builder) triples — the same shape
     * `injectFunction` and the live `FunctionRegistry` consume. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      new FunctionIdentifier("vec_dot_f"),
-      new ExpressionInfo(
-        classOf[VecDotF].getName, null, "vec_dot_f",
-        "vec_dot_f(a, b) - dot product of two array<float> vectors, " +
-          "accumulated left-to-right in double; null on length mismatch " +
-          "or null element.",
-        "", "", "", "math_funcs", "0.1.0", "", "scala_udf"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "vec_dot_f takes exactly 2 arguments")
-        VecDotF(children.head, children(1))
-      }),
+    Seq(
+      (
+        new FunctionIdentifier("vec_dot_f"),
+        info("vec_dot_f", "math_funcs",
+          "vec_dot_f(a, b) - dot product of two array<float> vectors, " +
+            "accumulated left-to-right in double; null on length mismatch " +
+            "or null element.", classOf[VecDotF].getName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "vec_dot_f takes exactly 2 arguments")
+          VecDotF(children.head, children(1))
+        }),
+      (
+        new FunctionIdentifier("vec_l2_f"),
+        info("vec_l2_f", "math_funcs",
+          "vec_l2_f(a, b) - squared L2 distance of two array<float> " +
+            "vectors, accumulated left-to-right in double; null on length " +
+            "mismatch or null element.", classOf[VecL2F].getName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "vec_l2_f takes exactly 2 arguments")
+          VecL2F(children.head, children(1))
+        }),
       (
         new FunctionIdentifier("parse_description"),
-        new ExpressionInfo(
-          classOf[graft.functions.ParseDescription].getName, null,
-          "parse_description",
+        info("parse_description", "string_funcs",
           "parse_description(desc) - parse a journal item description " +
             "into struct<enumA, enumB, chronI, chronJ, pattern> using the " +
             "ordered multi-pattern grammar; pattern = 'N/A' on no match.",
-          "", "", "", "string_funcs", "0.1.0", "", "scala_udf"),
+          classOf[graft.functions.ParseDescription].getName),
         (children: Seq[Expression]) => {
           require(children.length == 1, "parse_description takes 1 argument")
           graft.functions.ParseDescription(children.head)
+        }),
+      (
+        new FunctionIdentifier("simhash"),
+        info("simhash", "hash_funcs",
+          "simhash(text[, bits]) - bits-wide (default 16, max 63) SimHash " +
+            "of the normalized word set as a non-negative bigint; null on " +
+            "null text."),
+        (children: Seq[Expression]) => {
+          require(children.nonEmpty && children.length <= 2,
+            "simhash takes 1 or 2 arguments")
+          val bits = children.drop(1).headOption
+            .map(litInt("simhash", "bits", _)).getOrElse(16)
+          expr(Dedup.simhash(col(children.head), bits))
+        }),
+      (
+        new FunctionIdentifier("shingles"),
+        info("shingles", "string_funcs",
+          "shingles(text[, n]) - array of word n-grams (default n=3) of " +
+            "the normalized text; the whole normalized string when it has " +
+            "fewer than n words."),
+        (children: Seq[Expression]) => {
+          require(children.nonEmpty && children.length <= 2,
+            "shingles takes 1 or 2 arguments")
+          val n = children.drop(1).headOption
+            .map(litInt("shingles", "n", _)).getOrElse(3)
+          expr(Dedup.shingles(col(children.head), n))
+        }),
+      (
+        new FunctionIdentifier("minhash"),
+        info("minhash", "hash_funcs",
+          "minhash(shingle_arr, seed) - MinHash of a shingle array under " +
+            "the seed-salted md5 hash family: min over md5(s || ':seed')."),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "minhash takes exactly 2 arguments")
+          expr(Dedup.minhash(col(children.head),
+            litInt("minhash", "seed", children(1))))
+        }),
+      (
+        new FunctionIdentifier("hamming_distance"),
+        info("hamming_distance", "math_funcs",
+          "hamming_distance(a, b) - number of differing bits between two " +
+            "bigint values (e.g. simhash signatures)."),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "hamming_distance takes exactly 2 arguments")
+          expr(Dedup.hammingDistance(col(children.head), col(children(1))))
         }))
 
   /** Register into an already-built session (tests, notebooks). */

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column→Expression conversion. `ExpressionUtils.expression`
+    * wraps the column in a LAZY `ColumnNodeExpression` placeholder that
+    * only the DataFrame API's own analysis path unwraps — spliced into a
+    * `FunctionRegistry` builder's return tree it survives to codegen
+    * still unresolved and throws `Unevaluable`. Converting the node here
+    * yields the real catalyst tree (with ordinary `UnresolvedFunction`
+    * children the analyzer resolves in place), which is what a SQL
+    * function builder must return. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

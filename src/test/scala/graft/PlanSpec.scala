@@ -117,6 +117,34 @@ class PlanSpec extends SparkSuite {
     assert(r.collect().head.getDouble(0) == 11.0)
   }
 
+  test("dedup primitives available from SQL via extensions, equal to the " +
+    "Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.functions.Dedup
+    val r = spark.sql(
+      "SELECT simhash('the quick brown fox', 48) AS sh, " +
+        "shingles('a b c d', 2) AS sg, " +
+        "minhash(shingles('a b c d', 2), 7) AS mh, " +
+        "hamming_distance(7, 1) AS hd, " +
+        "vec_l2_f(array(cast(1 as float)), array(cast(3 as float))) AS l2")
+      .collect().head
+    val api = Seq("x").toDF("t").select(
+      Dedup.simhash(lit("the quick brown fox"), 48).as("sh"),
+      Dedup.minhash(Dedup.shingles(lit("a b c d"), 2), 7).as("mh"))
+      .collect().head
+    assert(r.getLong(0) == api.getLong(0))
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(r.getString(2) == api.getString(1))
+    assert(r.getInt(3) == 2)
+    assert(r.getDouble(4) == 4.0)
+    // sizing args must be literals — a column there has no tree to build
+    val err = intercept[Exception] {
+      spark.sql("SELECT simhash('x', cast(rand() * 8 as int))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("broadcast domain validation: no shuffle of the fact side") {
     val p = plan("alma_domain_validate")
     assert(p.contains("BroadcastHashJoin"), p)
