@@ -351,7 +351,20 @@ object Dedup {
     * is then Jaccard over the discriminative gram space; set sizes shrink
     * consistently on both sides of the ratio). The cap is a count window
     * over (block, gram): one shuffle of the gram stream, versus the two a
-    * separate aggregate + re-join would cost. 0 disables the cap. */
+    * separate aggregate + re-join would cost. 0 disables the cap.
+    *
+    * The capped inverted index is materialized ONCE with an eager
+    * localCheckpoint before the self-join: the shingle expressions are
+    * higher-order functions whose lambda variables defeat plan
+    * canonicalization, so (as with [[simhashNearDupPairs]]) ReuseExchange
+    * cannot unify the two sides and a naive self-join re-runs the
+    * normalize→shingle→explode→cap chain per side — the dominant cost.
+    * Per-doc set sizes come off the checkpointed index as a map-side
+    * combinable aggregate joined onto the (far smaller) candidate-pair
+    * set, not a second full-stream window. Executor loss invalidates
+    * local checkpoint blocks and fails the job (it simply re-runs);
+    * fault-tolerant cluster runs can set a checkpoint dir and swap in
+    * `checkpoint()`. */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String = "text",
@@ -365,33 +378,28 @@ object Dedup {
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    // df cap as a WINDOW over (blk, gram): one full-stream exchange,
-    // where the old aggregate + re-join formulation shuffled the gram
-    // stream on (blk, gram) twice. (The join below still re-shuffles both
-    // sides on (blk, gram) — the intervening per-doc sizing window
-    // re-partitions on (blk, id), so this exchange is NOT directly reused
-    // by the join; the saving is one exchange, not two.) A hot gram's
-    // window partition holds df rows but only counts them — no pair
-    // expansion happens here.
     val kept =
-      if (maxGramDf <= 0) grams
-      else grams
-        .withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
-        .filter(col("__df") <= maxGramDf)
-        .drop("__df")
-    // post-cap set size: one window pass keyed on the doc (sizes must
-    // reflect the same gram space the intersections count)
-    val sized = kept.withColumn("sz",
-      count(lit(1)).over(Window.partitionBy(col("blk"), col(idCol))))
-    val l = sized.select(col("blk"), col("gram"),
-      col(idCol).as("doc_a"), col("sz").as("sa"))
-    val r = sized.select(col("blk"), col("gram"),
-      col(idCol).as("doc_b"), col("sz").as("sb"))
+      (if (maxGramDf <= 0) grams
+       else grams
+         .withColumn("__df",
+           count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
+         .filter(col("__df") <= maxGramDf)
+         .drop("__df"))
+        .localCheckpoint()
+    // post-cap set size, keyed on the doc (a doc lives in one block, so
+    // idCol alone identifies its set): partial-aggregated before the
+    // shuffle, one output row per doc
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val l = kept.select(col("blk"), col("gram"), col(idCol).as("doc_a"))
+    val r = kept.select(col("blk"), col("gram"), col(idCol).as("doc_b"))
     l.join(r, Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      // sizes attach to candidate pairs (small) instead of the gram
+      // stream (huge); |A ∪ B| = sa + sb − inter over distinct sets
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -109,6 +109,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("md5"), p)
   }
 
+  test("jaccard pairs: capped inverted index materialized once — no scan, " +
+    "window, or shingle work above the checkpoint") {
+    val df = graft.functions.Dedup.ngramJaccardPairs(
+      Tables(spark, dir, "documents"), maxGramDf = 64)
+    val p = df.queryExecution.executedPlan.toString
+    assert(countIn(p, "FileScan parquet") == 0, p)
+    assert(countIn(p, "Window") == 0, p)
+    // sizes come from a partial-aggregated groupBy, not a second window
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
   test("vec_dot_f: available from SQL via extensions, codegen-capable") {
     GraftExtensions.register(spark)
     val r = spark.sql(
