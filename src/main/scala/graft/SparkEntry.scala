@@ -546,6 +546,44 @@ object SparkEntry {
 
     // ---- Similarity search over embeddings --------------------------
 
+    "dedup_clusters" -> ((s, dir) => {
+      // candidate pairs -> transitive closure -> dedup clusters with a
+      // canonical survivor (min member id): the step that makes pairwise
+      // candidates actionable. Edges are the MinHash LSH candidates, so
+      // the oracle chains a recursive CTE on the same edge SQL.
+      val edges = Dedup.minhashCandidates(par(s)(t(s, dir, "documents")),
+        k = 8, bands = 4)
+      Dedup.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_pack" -> ((s, dir) => {
+      // sequence packing: per-source concatenate-and-chunk at 512 tokens,
+      // exact integer offsets; pack_id is the chunk the doc starts in
+      TextAnalysis.packByTokenBudget(par(s)(t(s, dir, "documents")),
+        budgetTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_off"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality_filter" -> ((s, dir) => {
+      // rank-based per-source quality gate: keep each source's top half
+      // by alpha ratio — no global threshold to tune, robust to
+      // per-source scale drift. alpha_ratio is materialized as a column
+      // BEFORE the window (CollapseProject would re-inline the regex
+      // expression into every window comparison otherwise).
+      val quality = TextAnalysis.qualityColumns(col("text")).toMap
+      val scored = par(s)(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          quality("alpha_ratio").as("alpha_ratio"))
+      TextAnalysis.percentileRank(scored, "alpha_ratio")
+        .filter(col("prank") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_topk_cosine" -> ((s, dir) => {
       val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
@@ -818,6 +856,22 @@ object SparkEntry {
          |  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin.replace("\n", "")
     }
     val duckSimhash48 = duckSimhash(48)
+    // MinHash LSH candidate edges as reusable CTEs (sig → band → qual →
+    // edges), shared by the pair listing and the clusters closure
+    val duckMinhashEdgeCtes =
+      s"""sig AS (SELECT doc_id,
+         | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
+         | FROM documents),
+         |band AS (
+         | ${(0 until 4).map(b =>
+           s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+           .mkString(" UNION ALL ")}),
+         |qual AS (SELECT band, bucket FROM band GROUP BY band, bucket
+         | HAVING count(*) > 1 AND count(*) <= 64),
+         |edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM band a JOIN qual q ON a.band = q.band AND a.bucket = q.bucket
+         | JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id)""".stripMargin
     def duckLangScore(lang: String): String =
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
@@ -1027,20 +1081,24 @@ object SparkEntry {
       // oversized buckets are degenerate-shingle noise, dropped before
       // any pair forms
       "dedup_minhash_pairs" ->
-        s"""WITH sig AS (SELECT doc_id,
-           | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
-           | FROM documents),
-           |band AS (
-           | ${(0 until 4).map(b =>
-             s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
-             .mkString(" UNION ALL ")}),
-           |qual AS (SELECT band, bucket FROM band GROUP BY band, bucket
-           | HAVING count(*) > 1 AND count(*) <= 64)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM band a JOIN qual q ON a.band = q.band AND a.bucket = q.bucket
-           |JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-           | AND a.doc_id < b.doc_id
+        s"""WITH $duckMinhashEdgeCtes
+           |SELECT doc_a, doc_b FROM edges
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // transitive closure of the SAME edge SQL via a recursive min-label
+      // reachability CTE; cluster id = min reachable node, survivor = the
+      // node equal to its cluster id
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $duckMinhashEdgeCtes,
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           | UNION ALL SELECT doc_b, doc_a FROM edges),
+           |reach(node, lbl) AS (
+           | SELECT a, a FROM sym
+           | UNION
+           | SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+           |SELECT node AS doc_id, min(lbl) AS cluster_id,
+           | node = min(lbl) AS is_survivor
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
       "dedup_simhash" ->
         s"""SELECT doc_id, $duckSimhash48 AS sh
@@ -1180,6 +1238,38 @@ object SparkEntry {
            | (CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END) AS n_tokens,
            | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // exclusive running token sum per source = start offset; integer
+      // division by the budget = pack (duckdb SUM(BIGINT) is HUGEINT —
+      // cast back so dtypes match the engine's long)
+      "text_pack" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           | (CASE WHEN $duckNorm = '' THEN 0 ELSE CAST(len($duckWords) AS BIGINT) END) AS n_tokens
+           | FROM documents),
+           |o AS (SELECT doc_id, source, n_tokens,
+           | CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+           |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |  0) AS BIGINT) AS start_off
+           | FROM t)
+           |SELECT doc_id, source, n_tokens, start_off,
+           | CAST(start_off // 512 AS BIGINT) AS pack_id
+           |FROM o ORDER BY doc_id""".stripMargin,
+
+      // ANSI percent_rank on the identically-computed alpha ratio: ties
+      // and the (rank-1)/(n-1) definition agree across engines, so the
+      // 0.5 gate keeps the same rows
+      "text_quality_filter" ->
+        """WITH q AS (SELECT doc_id, source,
+          | CASE WHEN CAST(length(text) AS BIGINT) > 0
+          |  THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)::DOUBLE
+          |   / CAST(length(text) AS BIGINT)::DOUBLE
+          |  ELSE 0.0 END AS alpha_ratio
+          | FROM documents),
+          |r AS (SELECT doc_id, source, alpha_ratio,
+          | percent_rank() OVER (PARTITION BY source ORDER BY alpha_ratio) AS prank
+          | FROM q)
+          |SELECT doc_id, source, alpha_ratio, prank FROM r
+          |WHERE prank >= 0.5 ORDER BY doc_id""".stripMargin,
 
       "text_sample_det" ->
         """SELECT doc_id FROM documents

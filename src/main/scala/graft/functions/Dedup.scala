@@ -324,6 +324,69 @@ object Dedup {
   // N-gram Jaccard
   // ------------------------------------------------------------------
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the step that turns pairwise near-dup CANDIDATES into dedup CLUSTERS
+    * (transitive closure), whose minimum member id is the canonical
+    * survivor.
+    *
+    * Iterative min-label propagation: every node starts as its own label;
+    * each round every node takes the minimum label among itself and its
+    * neighbors, until a round changes nothing. Each round is one shuffle
+    * join of the (symmetrized) edge list against the label frame plus a
+    * map-side-combinable min aggregation, with the label frame
+    * localCheckpoint-ed per round — iterative plans otherwise stack each
+    * round's join into one exponentially deep lineage. Rounds needed =
+    * graph diameter: near-dup clusters are dense, shallow graphs (a
+    * handful of rounds); for adversarially deep graphs (million-hop
+    * chains) the alternating large-star/small-star contraction halves the
+    * diameter per round instead — not needed for dedup workloads, noted
+    * here as the known scale-out path.
+    *
+    * Only nodes that appear in at least one edge are returned (isolated
+    * docs are their own trivial cluster and need no shuffle). Output:
+    * (node, component) with component = min reachable node id.
+    *
+    * @throws IllegalStateException if maxIter rounds pass without
+    *         convergence — an unconverged labeling silently mislabels
+    *         components, so it must fail loudly. */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge list once: every round joins
+    // against it, and without the checkpoint each round re-runs the whole
+    // upstream candidate-generation pipeline the edges derive from
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("node"), col("nbr_lbl")), Seq("node"))
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), col("nbr_lbl")).as("new_lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("new_lbl") < col("lbl")).count()
+      labels = next.select(col("node"), col("new_lbl").as("lbl"))
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          s"raise maxIter (graph diameter exceeds it)")
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
   /** Jaccard similarity of two (already distinct) string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -109,4 +109,52 @@ object TextAnalysis {
     qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) =>
       d.withColumn(n, c)
     }
+
+  /** Sequence packing for training batches: concatenate each group's docs
+    * in `idCol` order and cut the token stream every `budgetTokens` —
+    * a doc belongs to the pack its FIRST token lands in (the standard
+    * concatenate-and-chunk pretraining shape; docs spanning a boundary
+    * belong to the pack they start in, the chunker handles the split).
+    *
+    * One window per group: the exclusive running token sum gives each
+    * doc's start offset, `start_off div budget` its pack — exact integer
+    * arithmetic end to end. Parallelism is per-group (source/shard), the
+    * same unit a real packing job shards by; a group's docs must sort
+    * within one window partition, which is exactly the memory shape of
+    * the downstream packer itself. Adds `n_tokens`, `start_off`,
+    * `pack_id`. */
+  def packByTokenBudget(
+      df: DataFrame,
+      budgetTokens: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off div $budgetTokens"))
+  }
+
+  /** Per-group percentile rank of a quality metric — the primitive behind
+    * "drop the bottom X% of each source": rank-based, so it needs no
+    * global threshold tuning and is robust to per-source score-scale
+    * drift. The metric must already be a COLUMN (not an inline
+    * expression): ranking is a window, and CollapseProject would re-inline
+    * a non-trivial metric expression into every window comparison.
+    * `percent_rank` = (rank−1)/(n−1) (ANSI), ties share a rank — both
+    * properties hold identically across engines, so thresholds are
+    * portable. */
+  def percentileRank(
+      df: DataFrame,
+      metricCol: String,
+      groupCol: String = "source",
+      outCol: String = "prank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(outCol, percent_rank().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(metricCol))))
+  }
 }

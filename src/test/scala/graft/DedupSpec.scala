@@ -211,4 +211,29 @@ class DedupSpec extends SparkSuite {
     // cross-block pair (1, 5) identical texts but different sources: absent
     assert(!fast.exists(p => p._1 == 1L && p._2 == 5L))
   }
+
+  test("connected components: transitive closure with min-id labels, " +
+    "edge-free nodes absent") {
+    import spark.implicits._
+    // two components: a 4-chain {1,2,3,4} (diameter 3 — needs real
+    // propagation, not one hop) and a pair {10, 11}; 99 only ever appears
+    // as a neighbor of itself — never in the edge list — so it is absent
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connected components: non-convergence fails loudly") {
+    import spark.implicits._
+    // a 6-node chain has diameter 5; min-label propagation moves the min
+    // one hop per round, so maxIter = 2 cannot converge
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -86,4 +86,29 @@ class TextAnalysisSpec extends SparkSuite {
       assert(math.abs(e - a) <= 1.0, s"exact=$e approx=$a")
     }
   }
+
+  test("packByTokenBudget: docs chunk by start offset in id order per group") {
+    // src a: token counts 3, 4, 2 → offsets 0, 3, 7 → packs 0, 0, 1 at
+    // budget 5 (doc 2 STARTS in pack 0 though it spans the boundary)
+    val docs = Seq(
+      (1L, "a", "one two three"),
+      (2L, "a", "one two three four"),
+      (3L, "a", "one two"),
+      (4L, "b", "one two three four five six")) // fresh group: offset 0
+      .toDF("doc_id", "source", "text")
+    val packed = TextAnalysis.packByTokenBudget(docs, budgetTokens = 5)
+      .select($"doc_id", $"n_tokens", $"start_off", $"pack_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed == Seq((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L),
+      (3L, 2L, 7L, 1L), (4L, 6L, 0L, 0L)))
+  }
+
+  test("percentileRank: ANSI (rank-1)/(n-1) with shared ranks on ties") {
+    val docs = Seq((1L, "g", 0.1), (2L, "g", 0.5), (3L, "g", 0.5),
+      (4L, "g", 0.9), (5L, "solo", 0.7)).toDF("doc_id", "source", "m")
+    val ranked = TextAnalysis.percentileRank(docs, "m")
+      .orderBy("doc_id").select($"prank").as[Double].collect().toSeq
+    // ranks in g: 1, 2, 2, 4 over n=4 → (r-1)/3; single-row group → 0.0
+    assert(ranked == Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0, 0.0))
+  }
 }
