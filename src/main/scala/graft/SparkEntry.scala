@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{FillStage, FormatStage, SplitStage, YearInference}
+import graft.operators.{FillStage, FormatStage, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.Sessionize
 
@@ -722,6 +722,50 @@ object SparkEntry {
         .orderBy(col("win_start_us"), col("event_type"))
     }),
 
+    "ev_asof_join" -> ((s, dir) => {
+      // backward as-of: each click picks up the user's most recent
+      // purchase at or before it (union-window shape, one shuffle+sort).
+      // Purchases pre-aggregate per (user, ts) so "most recent" is
+      // unambiguous — the operator's documented contract.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          sum(cents(col("value"))).as("p_cents"))
+      TemporalJoin.asofBackward(clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+        valueCols = Seq("p_event_id", "p_cents"), prefix = "p_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_p_event_id").as("p_event_id"),
+          col("p_p_cents").as("p_cents"),
+          unix_micros(col("p_ts")).as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "ev_range_join" -> ((s, dir) => {
+      // bounded range join via interval bucketing: events within ±30 min
+      // of each signup, counted per signup (the count includes the signup
+      // itself — every signup row survives)
+      val w = 1800000000L
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_event_id"), col("user_id"),
+          col("ts_us"))
+      val all = ev.select(col("user_id"), col("ts_us").as("e_ts_us"),
+        col("event_id").as("e_id"))
+      TemporalJoin.rangeJoinBucketed(signups, all,
+        keyCols = Seq("user_id"), leftTsUsCol = "ts_us",
+        rightTsUsCol = "e_ts_us", rangeMicros = w,
+        valueCols = Seq("e_id"))
+        .groupBy(col("s_event_id"), col("user_id"), col("ts_us"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy(col("s_event_id"))
+    }),
+
     "ev_stream_windowed_agg" -> ((s, dir) => {
       // the SAME aggregation as ev_windowed_agg, executed as an actual
       // Structured Streaming query: parquet file source → complete-mode
@@ -1346,6 +1390,31 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+      // independent formulation: DuckDB's native ASOF LEFT JOIN checks
+      // the union-window implementation rather than restating it
+      "ev_asof_join" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click')
+          |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+          |ORDER BY c.event_id""".stripMargin,
+
+      // independent formulation: the plain theta join the bucketed
+      // implementation must reproduce exactly (count includes the signup
+      // row itself, so every signup survives the inner join)
+      "ev_range_join" ->
+        """WITH s AS (SELECT event_id AS s_event_id, user_id,
+          |  epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup')
+          |SELECT s.s_event_id, s.user_id, s.ts_us, count(*) AS n_nearby
+          |FROM s JOIN events e ON s.user_id = e.user_id
+          | AND abs(epoch_us(e.ts) - s.ts_us) <= 1800000000
+          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
       "ev_stream_windowed_agg" ->
         """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the reference (a pure batch file processor) has no
+  * equivalent for, but any event-data pipeline needs: backward as-of join
+  * and bounded range join. Both are built from shuffle-once primitives —
+  * no per-row subqueries, no unbounded theta joins.
+  */
+object TemporalJoin {
+
+  /** Backward as-of join: for every left row, attach the value columns of
+    * the most recent right row with `right.ts <= left.ts` in the same key
+    * group (nulls when no such row). The join every "latest dimension
+    * state at event time" lookup wants.
+    *
+    * Shape chosen for scale — the UNION-WINDOW formulation: tag the two
+    * inputs, union them, and run one `last(_, ignoreNulls)` window per
+    * value column ordered by (ts, side). Costs exactly ONE shuffle+sort
+    * on (keys, ts) of the combined input. The alternatives all collapse
+    * at scale: an equi-join on key with a per-pair timestamp filter
+    * explodes to the full per-key cross product before filtering, and a
+    * "max timestamp per left row" correlated aggregation is two joins
+    * plus a shuffle each. Right rows sort BEFORE left rows at equal
+    * timestamps (side 0 < 1), giving inclusive `<=` semantics.
+    *
+    * The right side must be unique per (keys, ts) — with duplicates "the"
+    * most recent row is ambiguous and engines would disagree; callers
+    * pre-aggregate (the natural place to decide survivorship) rather than
+    * have this operator pick silently.
+    *
+    * Output: all left columns plus each value column as
+    * `<prefix><valueCol>` and the matched right timestamp as
+    * `<prefix><rightTsCol>`. */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join requires at least one key column")
+    val outVals = valueCols.map(prefix + _) :+ (prefix + rightTsCol)
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"),
+          col(rightTsCol).as(prefix + rightTsCol)) ++
+        valueCols.map(v => col(v).as(prefix + v)): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = outVals.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Bounded range join: every (left, right) pair in the same key group
+    * with `|left.ts − right.ts| <= rangeMicros` (timestamps in epoch
+    * micros as longs). Powers proximity features ("events within 30
+    * minutes of a signup").
+    *
+    * Shape chosen for scale — interval bucketing: left rows key on their
+    * `ts div range` bucket, right rows replicate to their bucket ±1, and
+    * the pair space shrinks from the full per-key cross product to the
+    * candidates in adjacent buckets, followed by the exact distance
+    * filter. Each qualifying pair matches exactly once (the left bucket
+    * picks out exactly one of the right row's three replicas), so no
+    * dedup pass is needed. Replication factor is a fixed 3× of the
+    * (narrow) right projection — independent of data size; per-bucket
+    * skew follows event-time hotspots and shares the salting story of any
+    * keyed join (`Skew`). */
+  def rangeJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsUsCol: String,
+      rightTsUsCol: String,
+      rangeMicros: Long,
+      valueCols: Seq[String],
+      prefix: String = "r_"): DataFrame = {
+    require(rangeMicros > 0, "rangeMicros must be positive")
+    val l = left.withColumn("__b", expr(s"$leftTsUsCol div $rangeMicros"))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTsUsCol).as("__rts")) ++
+        valueCols.map(v => col(v).as(prefix + v)): _*)
+      .withColumn("__b",
+        explode(array(Seq(-1L, 0L, 1L).map(d =>
+          expr(s"__rts div $rangeMicros") + lit(d)): _*)))
+    l.join(r, keyCols :+ "__b")
+      .filter(abs(col(leftTsUsCol) - col("__rts")) <= rangeMicros)
+      .withColumnRenamed("__rts", prefix + rightTsUsCol)
+      .drop("__b")
+  }
+}

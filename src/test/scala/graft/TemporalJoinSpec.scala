@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoin
+
+class TemporalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("asofBackward: inclusive ties, nulls before first right row, " +
+    "key isolation") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 15L), (3L, "a", 20L),
+      (4L, "b", 100L), (5L, "c", 7L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, "x"), ("a", 18L, "y"), ("b", 999L, "z"))
+      .toDF("k", "ts", "v")
+    val out = TemporalJoin.asofBackward(left, right,
+      keyCols = Seq("k"), leftTsCol = "ts", rightTsCol = "ts",
+      valueCols = Seq("v"))
+      .select($"id", $"asof_v", $"asof_ts")
+      .orderBy("id")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("x"), Some(10L)), // tie: rts == lts is included
+      (2L, Some("x"), Some(10L)),
+      (3L, Some("y"), Some(18L)),
+      (4L, None, None), // b's only right row is in the future
+      (5L, None, None))) // c has no right rows at all
+  }
+
+  test("asofBackward matches the brute-force greatest-rts-per-left join") {
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${i % 7}", (i * 13 % 101).toLong)).toDF("id", "k", "ts")
+    val right = (1 to 60).map(i =>
+      (s"k${i % 7}", (i * 17 % 97).toLong, i.toLong)).toDF("k", "ts", "v")
+      // the operator's contract: unique (key, ts) on the right
+      .groupBy("k", "ts").agg(max($"v").as("v"))
+    val fast = TemporalJoin.asofBackward(left, right,
+      Seq("k"), "ts", "ts", Seq("v"))
+      .select($"id", $"asof_v", $"asof_ts").orderBy("id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    val naive = left.as("l").join(right.as("r"),
+      $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"l.id".as("id"))
+      .agg(max(struct($"r.ts", $"r.v")).as("m"))
+      .select($"id", $"m.v".as("v"), $"m.ts".as("ts")).orderBy("id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(fast == naive)
+  }
+
+  test("rangeJoinBucketed matches the brute-force theta join, inclusive " +
+    "bounds, across bucket boundaries") {
+    val w = 10L
+    // ts values straddle bucket edges (9|10, 19|20 ...) and include exact
+    // distance-w pairs on both sides
+    val left = (1 to 80).map(i =>
+      (i.toLong, s"k${i % 5}", (i * 7 % 53).toLong)).toDF("id", "k", "ts")
+    val right = (1 to 80).map(i =>
+      (s"k${i % 5}", (i * 11 % 59).toLong, i.toLong)).toDF("k", "rts", "v")
+    val fast = TemporalJoin.rangeJoinBucketed(left, right,
+      Seq("k"), "ts", "rts", w, Seq("v"))
+      .select($"id", $"r_v").orderBy("id", "r_v")
+      .as[(Long, Long)].collect().toSeq
+    val naive = left.join(right, Seq("k"))
+      .filter(abs($"ts" - $"rts") <= w)
+      .select($"id", $"v").orderBy("id", "v")
+      .as[(Long, Long)].collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("asofBackward plan: one hash exchange total — no join, no " +
+    "per-key cross product") {
+    val left = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", $"ts")
+    val right = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("pid"))
+    val out = TemporalJoin.asofBackward(left, right,
+      Seq("user_id"), "ts", "ts", Seq("pid"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+}
