@@ -584,6 +584,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_sample_stratified" -> ((s, dir) => {
+      // exact per-source quota by salted-hash order; WindowGroupLimit
+      // truncates each map task's groups to k before the shuffle
+      TextAnalysis.stratifiedSample(par(s)(t(s, dir, "documents")), k = 5)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_topk_cosine" -> ((s, dir) => {
       val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
@@ -764,6 +772,27 @@ object SparkEntry {
         .groupBy(col("s_event_id"), col("user_id"), col("ts_us"))
         .agg(count(lit(1)).as("n_nearby"))
         .orderBy(col("s_event_id"))
+    }),
+
+    "ev_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup validated the hard way: the staging input
+      // is the events table UNIONED WITH ITSELF, and the output must
+      // collapse back to exactly the source rows. A stateful filter, so
+      // first occurrences emit immediately — no flush sentinel needed.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val staging = "target/stream_dedup_input"
+      ev.unionByName(ev).write.mode("overwrite").parquet(staging)
+      val schema = s.read.parquet(staging).schema
+      val deduped = Sessionize.dedupStream(
+        s.readStream.schema(schema).parquet(staging),
+        keys = Seq("event_id"))
+      import org.apache.spark.sql.streaming.OutputMode
+      Sessionize.runToMemory(s, deduped, "ev_stream_dedup",
+        OutputMode.Append, statePartitions = 8)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), cents(col("value")).as("value_cents"))
+        .orderBy(col("event_id"))
     }),
 
     "ev_stream_windowed_agg" -> ((s, dir) => {
@@ -1390,6 +1419,23 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+      // the doubled staging input must collapse to exactly the source
+      // table (event_id is unique there — asserted by rows_match)
+      "ev_stream_dedup" ->
+        """SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // salted-hash order makes the per-source quota deterministic and
+      // engine-portable (md5 hex collates identically)
+      "text_sample_stratified" ->
+        """WITH r AS (SELECT doc_id, source,
+          | row_number() OVER (PARTITION BY source
+          |  ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          | FROM documents)
+          |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r
+          |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
       // independent formulation: DuckDB's native ASOF LEFT JOIN checks
       // the union-window implementation rather than restating it

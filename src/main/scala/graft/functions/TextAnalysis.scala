@@ -139,6 +139,31 @@ object TextAnalysis {
       .withColumn("pack_id", expr(s"start_off div $budgetTokens"))
   }
 
+  /** Stratified exact-quota sampling: exactly `min(k, |group|)` docs per
+    * group, chosen by a salted-hash order — deterministic (same corpus +
+    * salt → same sample, reproducible training mixtures), unbiased by
+    * ingest order, and re-salting draws an independent sample.
+    *
+    * `row_number <= k` over the hash order plans as WindowGroupLimit
+    * (Spark ≥3.5): each map task pre-truncates its groups to k rows
+    * BEFORE the shuffle, so the exchange carries O(k × groups × tasks)
+    * rows, not the corpus — the property that makes per-group quotas
+    * viable at 100 TB. The id tie-break makes the order total (md5
+    * collisions aside, equal hashes only arise from equal ids). */
+  def stratifiedSample(
+      df: DataFrame,
+      k: Int,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "strat"): DataFrame = {
+    require(k > 0, "sample quota must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Per-group percentile rank of a quality metric — the primitive behind
     * "drop the bottom X% of each source": rank-based, so it needs no
     * global threshold tuning and is robust to per-source score-scale

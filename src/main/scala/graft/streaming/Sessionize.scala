@@ -153,6 +153,23 @@ object Sessionize {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon. A stateful FILTER, not an aggregation — the
+    * first occurrence is emitted immediately (no flush sentinel needed in
+    * Append mode) and later duplicates are swallowed; the watermark
+    * bounds state by expiring keys older than `delay`, which is what
+    * makes exact streaming dedup viable indefinitely (unbounded key
+    * retention is the naive version's OOM). Batch twin: `dropDuplicates`
+    * over the same keys. */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      eventTimeCol: String = "ts",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Convenience: run a streaming query over a bounded source and collect
     * results synchronously (for tests / local smoke).
     *

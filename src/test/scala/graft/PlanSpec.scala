@@ -120,6 +120,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("partial_"), p)
   }
 
+  test("stratified sample: row_number quota plans as WindowGroupLimit — " +
+    "groups truncate to k before the shuffle") {
+    val df = graft.functions.TextAnalysis.stratifiedSample(
+      Tables(spark, dir, "documents"), k = 5)
+    val p = df.queryExecution.executedPlan.toString
+    // Partial sits below the exchange (map-side truncation to k), Final
+    // above it — the pair that bounds the shuffle to k rows per group
+    assert(p.contains("row_number(), 5, Partial"), p)
+    assert(p.contains("row_number(), 5, Final"), p)
+  }
+
   test("vec_dot_f: available from SQL via extensions, codegen-capable") {
     GraftExtensions.register(spark)
     val r = spark.sql(

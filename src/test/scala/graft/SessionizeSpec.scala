@@ -85,6 +85,31 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup: cross-batch duplicates swallowed, first " +
+    "occurrence emitted immediately") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = Sessionize.dedupStream(stream.toDS().toDF(),
+      keys = Seq("event_id"), delay = "30 minutes")
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 carries an in-batch duplicate; batch 2 re-sends event 1
+      // (cross-batch dup, still inside the watermark horizon) plus a new
+      // event
+      stream.addData(events(0), events(0), events(1))
+      query.processAllAvailable()
+      stream.addData(events(0), events(2))
+      query.processAllAvailable()
+      val got = spark.table("dedup_test")
+        .select($"event_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(events(0), events(1), events(2)).map(_.event_id).sorted)
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS dedup_test")
+    }
+  }
+
   test("watermarked windowed counts over a bounded stream match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

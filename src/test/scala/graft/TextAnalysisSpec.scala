@@ -103,6 +103,24 @@ class TextAnalysisSpec extends SparkSuite {
       (3L, 2L, 7L, 1L), (4L, 6L, 0L, 0L)))
   }
 
+  test("stratifiedSample: exact quota per group, deterministic, " +
+    "salt-sensitive") {
+    val docs = (1 to 100).map(i => (i.toLong, s"s${i % 4}", s"d$i"))
+      .toDF("doc_id", "source", "text")
+    val a = TextAnalysis.stratifiedSample(docs, k = 7)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = TextAnalysis.stratifiedSample(docs, k = 7)
+      .select($"doc_id").as[Long].collect().toSet
+    val c = TextAnalysis.stratifiedSample(docs, k = 7, salt = "other")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b) // deterministic
+    assert(a != c) // re-salting draws a different sample
+    assert(a.size == 28) // exactly 7 from each of 4 sources
+    // a group smaller than k yields the whole group
+    val small = TextAnalysis.stratifiedSample(docs.filter($"doc_id" <= 2), 7)
+    assert(small.count() == 2)
+  }
+
   test("percentileRank: ANSI (rank-1)/(n-1) with shared ranks on ties") {
     val docs = Seq((1L, "g", 0.1), (2L, "g", 0.5), (3L, "g", 0.5),
       (4L, "g", 0.9), (5L, "solo", 0.7)).toDF("doc_id", "source", "m")
