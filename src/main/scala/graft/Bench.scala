@@ -72,7 +72,11 @@ object Bench {
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passTimes":$raw,"failed":$failed,"passes":$passes,"sf":"$sfDir"}""")
+    // Key order puts the headline total at the END of the line: the
+    // driver captures the output TAIL, and with totals-first the growing
+    // passTimes map pushed "metric"/"value" out of the captured window in
+    // r5 — the artifact must stay self-contained under tail truncation.
+    println(s"""{"passTimes":$raw,"failed":$failed,"passes":$passes,"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

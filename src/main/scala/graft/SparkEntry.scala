@@ -753,6 +753,55 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_asof_fwd" -> ((s, dir) => {
+      // forward as-of: each click picks up the user's EARLIEST purchase
+      // at or after it ("next purchase after the click") — the mirror
+      // window of ev_asof_join, same single shuffle+sort
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          sum(cents(col("value"))).as("p_cents"))
+      TemporalJoin.asofForward(clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+        valueCols = Seq("p_event_id", "p_cents"), prefix = "p_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_p_event_id").as("p_event_id"),
+          col("p_p_cents").as("p_cents"),
+          unix_micros(col("p_ts")).as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "ev_asof_tol" -> ((s, dir) => {
+      // tolerance-bounded backward as-of: most recent purchase within 24
+      // hours of the click; staler matches are nulled, clicks always
+      // survive. Same plan as the unbounded variant plus a narrow
+      // projection — the fixture's median click->purchase lag is ~1.4
+      // days, so the cap nulls roughly half the matches.
+      val tolUs = 86400000000L
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          sum(cents(col("value"))).as("p_cents"))
+      TemporalJoin.asofBackwardTolerant(clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+        valueCols = Seq("p_event_id", "p_cents"),
+        lagOf = (l, r) => unix_micros(l) - unix_micros(r),
+        maxLag = lit(tolUs), prefix = "p_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_p_event_id").as("p_event_id"),
+          col("p_p_cents").as("p_cents"),
+          unix_micros(col("p_ts")).as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_range_join" -> ((s, dir) => {
       // bounded range join via interval bucketing: events within ±30 min
       // of each signup, counted per signup (the count includes the signup
@@ -844,18 +893,21 @@ object SparkEntry {
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"))
       val staging = "target/stream_sessionize_input"
-      ev.unionByName(sentinel)
-        .write.mode("overwrite").parquet(staging)
       // Guard the static sentinel: an event within the session gap of (or
       // past) 2100-01-01 would keep its session timeout from ever firing
       // and the query would return silently-empty output instead of
-      // failing loudly. One pruned-scan aggregate over the small staging
-      // file — far cheaper than the full-input max() the static sentinel
-      // replaced.
+      // failing loudly. The max rides the staging write itself via
+      // observe() — zero extra jobs, no driver re-read of the staging
+      // parquet (the r5 version ran a pruned-scan aggregate after the
+      // write; this folds it into the write's own pass over the data).
       val sentinelUs = 4102444800000000L
       val gapUs = 30L * 60L * 1000000L
-      val maxUs = s.read.parquet(staging).filter(col("user_id") >= 0)
-        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val obs = org.apache.spark.sql.Observation()
+      ev.unionByName(sentinel)
+        .observe(obs, max(when(col("user_id") >= 0,
+          unix_micros(col("ts")))).as("max_us"))
+        .write.mode("overwrite").parquet(staging)
+      val maxUs = obs.get("max_us").asInstanceOf[Long]
       require(maxUs < sentinelUs - gapUs,
         s"fixture max event ts ($maxUs us) reaches the static sentinel's " +
           s"session gap — sessions would never flush; move the sentinel out")
@@ -1244,6 +1296,9 @@ object SparkEntry {
            |FROM embeddings e, q
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+      // hamming<=1 multi-probe: the engine probes the query bucket plus
+      // every single-bit flip of it, so the oracle filters on xor bit
+      // count rather than bucket equality
       "sim_ann_bucket" ->
         s"""WITH q AS (SELECT embedding AS qe,
            |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
@@ -1253,10 +1308,10 @@ object SparkEntry {
            | FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS score
            |FROM embeddings e, q
-           |WHERE (CASE WHEN e.embedding[1] > 0 THEN 1 ELSE 0 END
+           |WHERE bit_count(xor((CASE WHEN e.embedding[1] > 0 THEN 1 ELSE 0 END
            |   + CASE WHEN e.embedding[17] > 0 THEN 2 ELSE 0 END
            |   + CASE WHEN e.embedding[33] > 0 THEN 4 ELSE 0 END
-           |   + CASE WHEN e.embedding[49] > 0 THEN 8 ELSE 0 END) = q.qb
+           |   + CASE WHEN e.embedding[49] > 0 THEN 8 ELSE 0 END), q.qb)) <= 1
            |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
 
       "sim_ivf_topk" -> {
@@ -1450,6 +1505,39 @@ object SparkEntry {
           | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
           |ORDER BY c.event_id""".stripMargin,
+
+      // forward variant: ASOF with the inequality flipped picks the
+      // EARLIEST right row at-or-after the left timestamp
+      "ev_asof_fwd" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click')
+          |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+          |ORDER BY c.event_id""".stripMargin,
+
+      // tolerance = null-out pass over the unbounded backward ASOF: the
+      // most recent row is the only backward candidate, so "most recent
+      // within 24h" is "most recent overall, nulled when older"
+      "ev_asof_tol" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click'),
+          |j AS (SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          |  p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
+          | FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+          |SELECT event_id, user_id, ts_us,
+          | CASE WHEN ts_us - p_ts_us <= 86400000000 THEN p_event_id END AS p_event_id,
+          | CASE WHEN ts_us - p_ts_us <= 86400000000 THEN p_cents END AS p_cents,
+          | CASE WHEN ts_us - p_ts_us <= 86400000000 THEN p_ts_us END AS p_ts_us
+          |FROM j ORDER BY event_id""".stripMargin,
 
       // independent formulation: the plain theta join the bucketed
       // implementation must reproduce exactly (count includes the signup

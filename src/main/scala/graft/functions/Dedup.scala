@@ -329,18 +329,24 @@ object Dedup {
     * (transitive closure), whose minimum member id is the canonical
     * survivor.
     *
-    * Iterative min-label propagation: every node starts as its own label;
-    * each round every node takes the minimum label among itself and its
-    * neighbors, until a round changes nothing. Each round is one shuffle
-    * join of the (symmetrized) edge list against the label frame plus a
-    * map-side-combinable min aggregation, with the label frame
+    * Iterative min-label propagation WITH pointer jumping: every node
+    * starts as its own label; each round every node takes the minimum of
+    * (its label, its neighbors' labels, its label's label). The third
+    * term — label-of-label, the classic shortcutting step — is what keeps
+    * adversarially deep graphs from costing diameter rounds: a minimum
+    * label reachable in d hops propagates via neighbor hops AND via
+    * pointer doubling, so rounds grow with log(diameter) (a million-hop
+    * chain converges in ~20 rounds, not a million). Labels are always
+    * node ids drawn from the same frame, so the jump is a self-join of
+    * the label frame on (lbl = node). Each round is two shuffle joins
+    * plus a map-side-combinable min aggregation, with the label frame
     * localCheckpoint-ed per round — iterative plans otherwise stack each
-    * round's join into one exponentially deep lineage. Rounds needed =
-    * graph diameter: near-dup clusters are dense, shallow graphs (a
-    * handful of rounds); for adversarially deep graphs (million-hop
-    * chains) the alternating large-star/small-star contraction halves the
-    * diameter per round instead — not needed for dedup workloads, noted
-    * here as the known scale-out path.
+    * round's joins into one exponentially deep lineage.
+    *
+    * Convergence is checked with zero extra jobs: the changed-row count
+    * rides the checkpoint action itself via `observe()` (an
+    * `Observation` per round), instead of a separate `count()` job per
+    * round against the checkpointed frame.
     *
     * Only nodes that appear in at least one edge are returned (isolated
     * docs are their own trivial cluster and need no shuffle). Output:
@@ -371,12 +377,23 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      // pointer jump: the label of my label (left join — every lbl IS a
+      // node id in the frame, but coalesce keeps a miss from dropping
+      // rows rather than silently mislabeling)
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(nbrMin.select(col("src").as("node"), col("nbr_lbl")), Seq("node"))
+        .join(labels.select(col("node").as("j_node"), col("lbl").as("j_lbl")),
+          col("lbl") === col("j_node"), "left")
         .select(col("node"), col("lbl"),
-          least(col("lbl"), col("nbr_lbl")).as("new_lbl"))
+          least(col("lbl"), col("nbr_lbl"),
+            coalesce(col("j_lbl"), col("lbl"))).as("new_lbl"))
+        .observe(obs,
+          sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L))
+            .as("changed"))
         .localCheckpoint()
-      changed = next.filter(col("new_lbl") < col("lbl")).count()
+      changed = Option(obs.get.apply("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select(col("node"), col("new_lbl").as("lbl"))
       it += 1
     }

@@ -65,22 +65,37 @@ object Similarity {
 
   val defaultPositions: Seq[Int] = Seq(1, 17, 33, 49)
 
-  /** Bucketed ANN: probe only the query's sign bucket, then exact cosine
-    * within it. */
+  /** Bucketed ANN: probe the query's sign bucket AND every bucket within
+    * hamming distance `probeDist` of it (multi-probe), then exact cosine
+    * within the probed set. A vector near a sign hyperplane lands one bit
+    * away from its true neighbors; probing the single exact bucket
+    * silently misses them, so the default matches the hamming<=1
+    * multi-probe the pair-generation path ([[cosineNearDupPairsLsh]])
+    * already uses. With b bits, hamming<=1 probes b+1 of 2^b buckets —
+    * still a ~(b+1)/2^b fraction of the corpus, and the bucket list is a
+    * compile-time literal so the scan-side filter stays a narrow
+    * codegen'd predicate (partition-prunable when the corpus is laid out
+    * by bucket). */
   def annTopK(
       corpus: DataFrame,
       queryVec: Seq[Float],
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      positions: Seq[Int] = defaultPositions): DataFrame = {
+      positions: Seq[Int] = defaultPositions,
+      probeDist: Int = 1): DataFrame = {
     require(queryVec.length >= positions.max,
       s"query vector (dim ${queryVec.length}) shorter than max sign " +
         s"position ${positions.max}; pass positions within the embedding dim")
+    require(probeDist >= 0 && probeDist <= positions.length,
+      s"probeDist $probeDist outside [0, ${positions.length}]")
     val qBucket = positions.zipWithIndex
       .map { case (p, i) => if (queryVec(p - 1) > 0) 1 << i else 0 }.sum
+    val probed = (0 until (1 << positions.length))
+      .filter(b => Integer.bitCount(b ^ qBucket) <= probeDist)
     corpus
-      .filter(signBucket(col(vecCol), positions) === qBucket)
+      .filter(signBucket(col(vecCol), positions)
+        .isin(probed.map(Integer.valueOf): _*))
       .select(col(idCol), cosine(col(vecCol), lit(queryVec.toArray)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

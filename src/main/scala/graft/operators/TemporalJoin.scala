@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,77 @@ object TemporalJoin {
       case (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
     filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Forward as-of join: for every left row, attach the value columns of
+    * the EARLIEST right row with `right.ts >= left.ts` in the same key
+    * group (nulls when no such row) — "the next reading after t". The
+    * mirror of [[asofBackward]] and the same union-window shape: ONE
+    * shuffle+sort on (keys, ts), a `first(_, ignoreNulls)` window over
+    * the frame [current row, unbounded following]. Left rows sort BEFORE
+    * right rows at equal timestamps (side 0 < 1), so a right row at
+    * exactly `left.ts` is inside the frame — inclusive `>=` semantics.
+    * Same right-side uniqueness contract as [[asofBackward]]. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join requires at least one key column")
+    val outVals = valueCols.map(prefix + _) :+ (prefix + rightTsCol)
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(0))
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTsCol).as("__ts"), lit(1).as("__side"),
+          col(rightTsCol).as(prefix + rightTsCol)) ++
+        valueCols.map(v => col(v).as(prefix + v)): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = outVals.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, v) => df.withColumn(v, first(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0).drop("__ts", "__side")
+  }
+
+  /** Tolerance-bounded backward as-of join: [[asofBackward]] with a cap —
+    * the match must lie within `maxLag` of the left timestamp ("most
+    * recent reading within N minutes"). Stale matches beyond the cap are
+    * nulled out, left rows always survive.
+    *
+    * Implemented as a post-pass over the union-window result, NOT a
+    * different join shape: the most recent right row is the ONLY
+    * backward candidate, so "most recent within tolerance" is exactly
+    * "most recent overall, nulled when older than the cap". Costs zero
+    * extra shuffles over the unbounded variant.
+    *
+    * `lagOf` maps (leftTs, matchedRightTs) to a comparable lag so the
+    * operator stays agnostic to the timestamp type; `maxLag` is in the
+    * same units. E.g. for epoch-micros longs: `(l, r) => l - r` with
+    * `maxLag = lit(30*60*1000000L)`. */
+  def asofBackwardTolerant(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      lagOf: (Column, Column) => Column,
+      maxLag: Column,
+      prefix: String = "asof_"): DataFrame = {
+    val joined = asofBackward(
+      left, right, keyCols, leftTsCol, rightTsCol, valueCols, prefix)
+    val matchedTs = col(prefix + rightTsCol)
+    val inRange = matchedTs.isNotNull &&
+      lagOf(col(leftTsCol), matchedTs) <= maxLag
+    (valueCols.map(prefix + _) :+ (prefix + rightTsCol)).foldLeft(joined) {
+      case (df, v) => df.withColumn(v, when(inRange, col(v)))
+    }
   }
 
   /** Bounded range join: every (left, right) pair in the same key group

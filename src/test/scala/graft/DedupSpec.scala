@@ -226,6 +226,18 @@ class DedupSpec extends SparkSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("connected components: pointer jumping converges a deep chain in " +
+    "logarithmic rounds") {
+    import spark.implicits._
+    // a 64-node chain has diameter 63: plain one-hop min propagation
+    // needs 63 rounds, pointer jumping needs O(log n) — maxIter = 12
+    // passes only if the label-of-label shortcut is actually working
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toSeq
+    assert(cc.length == 64 && cc.forall(_._2 == 1L))
+  }
+
   test("connected components: non-convergence fails loudly") {
     import spark.implicits._
     // a 6-node chain has diameter 5; min-label propagation moves the min

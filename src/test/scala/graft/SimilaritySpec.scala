@@ -69,16 +69,30 @@ class SimilaritySpec extends SparkSuite {
     assert(top == Seq(1L, 2L, 3L))
   }
 
-  test("annTopK: probes only the query's sign bucket") {
-    // positions 1 and 2 (1-indexed) -> 2-bit bucket
+  test("annTopK: hamming<=1 multi-probe covers adjacent buckets") {
+    // positions 1 and 2 (1-indexed) -> 2-bit bucket; query bucket = 3
     val corpus = Seq(
-      (1L, Seq(1f, 1f)),    // bucket 3, cos=1 with query
+      (1L, Seq(1f, 1f)),     // bucket 3 (exact), cos=1 with query
       (2L, Seq(0.5f, 0.6f)), // bucket 3
-      (3L, Seq(-1f, 1f)),   // bucket 2 — never scanned
-      (4L, Seq(1f, -1f)))   // bucket 1 — never scanned
+      (3L, Seq(-1f, 1f)),    // bucket 2 — one bit away, probed
+      (4L, Seq(1f, -1f)),    // bucket 1 — one bit away, probed
+      (5L, Seq(-1f, -1f)))   // bucket 0 — two bits away, never scanned
       .toDF("vec_id", "embedding")
     val res = Similarity.annTopK(corpus, Seq(1f, 1f), k = 10,
       positions = Seq(1, 2)).as[(Long, Double)].collect().map(_._1).toSet
+    assert(res == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("annTopK: probeDist=0 restricts to the exact sign bucket") {
+    val corpus = Seq(
+      (1L, Seq(1f, 1f)),     // bucket 3
+      (2L, Seq(0.5f, 0.6f)), // bucket 3
+      (3L, Seq(-1f, 1f)),    // bucket 2 — not probed at dist 0
+      (4L, Seq(1f, -1f)))    // bucket 1 — not probed at dist 0
+      .toDF("vec_id", "embedding")
+    val res = Similarity.annTopK(corpus, Seq(1f, 1f), k = 10,
+      positions = Seq(1, 2), probeDist = 0)
+      .as[(Long, Double)].collect().map(_._1).toSet
     assert(res == Set(1L, 2L))
   }
 

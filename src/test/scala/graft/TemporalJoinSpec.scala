@@ -69,6 +69,65 @@ class TemporalJoinSpec extends SparkSuite {
     assert(fast.nonEmpty)
   }
 
+  test("asofForward: inclusive ties, nulls after last right row, " +
+    "key isolation") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 15L), (3L, "a", 20L),
+      (4L, "b", 100L), (5L, "c", 7L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, "x"), ("a", 18L, "y"), ("b", 50L, "z"))
+      .toDF("k", "ts", "v")
+    val out = TemporalJoin.asofForward(left, right,
+      keyCols = Seq("k"), leftTsCol = "ts", rightTsCol = "ts",
+      valueCols = Seq("v"))
+      .select($"id", $"asof_v", $"asof_ts")
+      .orderBy("id")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("x"), Some(10L)), // tie: rts == lts is included
+      (2L, Some("y"), Some(18L)),
+      (3L, None, None),           // nothing at-or-after 20 for a
+      (4L, None, None),           // b's only right row is in the past
+      (5L, None, None)))          // c has no right rows at all
+  }
+
+  test("asofForward matches the brute-force least-rts-per-left join") {
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${i % 7}", (i * 13 % 101).toLong)).toDF("id", "k", "ts")
+    val right = (1 to 60).map(i =>
+      (s"k${i % 7}", (i * 17 % 97).toLong, i.toLong)).toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(max($"v").as("v"))
+    val fast = TemporalJoin.asofForward(left, right,
+      Seq("k"), "ts", "ts", Seq("v"))
+      .select($"id", $"asof_v", $"asof_ts").orderBy("id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    val naive = left.as("l").join(right.as("r"),
+      $"l.k" === $"r.k" && $"r.ts" >= $"l.ts", "left")
+      .groupBy($"l.id".as("id"))
+      .agg(min(struct($"r.ts", $"r.v")).as("m"))
+      .select($"id", $"m.v".as("v"), $"m.ts".as("ts")).orderBy("id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(fast == naive)
+  }
+
+  test("asofBackwardTolerant: stale matches nulled, in-range kept, " +
+    "left rows always survive") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 100L), (3L, "b", 5L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("a", 8L, "x"), ("a", 60L, "y"))
+      .toDF("k", "ts", "v")
+    val out = TemporalJoin.asofBackwardTolerant(left, right,
+      keyCols = Seq("k"), leftTsCol = "ts", rightTsCol = "ts",
+      valueCols = Seq("v"),
+      lagOf = (l, r) => l - r, maxLag = lit(10L))
+      .select($"id", $"asof_v", $"asof_ts")
+      .orderBy("id")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("x"), Some(8L)),  // lag 2 <= 10
+      (2L, None, None),           // most recent is y at lag 40 — stale
+      (3L, None, None)))          // no match at all, row survives
+  }
+
   test("asofBackward plan: one hash exchange total — no join, no " +
     "per-key cross product") {
     val left = Tables(spark, "/root/testdata/sf0.001", "events")
