@@ -584,6 +584,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition diagnostics: duplicate-word and
+      // duplicate-2-gram fractions are narrow array expressions (no
+      // shuffle); the top-word fraction needs the word mode, a two-level
+      // partial-aggregated explode→count→max keyed on doc_id. Both
+      // divisions use |words| so the three fractions share a denominator.
+      val docs = par(s)(t(s, dir, "documents"))
+      val base = docs.select(col("doc_id"),
+        TextAnalysis.dupWordFrac(col("text")).as("dup_word_frac"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+      val topWord = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      base.join(topWord, Seq("doc_id"))
+        .select(col("doc_id"), col("dup_word_frac"), col("dup_2gram_frac"),
+          (col("top_c").cast("double") / col("n_words").cast("double"))
+            .as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: per train doc, count distinct 3-gram
+      // shingles shared with the held-out benchmark set (doc_id % 50 ==
+      // 0 here; a real eval suite at scale). The benchmark gram set is
+      // small by construction — BROADCAST it so the train-side explode
+      // never shuffles; contaminated docs are then dropped (or flagged,
+      // as here) before training.
+      val docs = par(s)(t(s, dir, "documents"))
+      val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).as("gram"))
+        .distinct()
+        .withColumn("__hit", lit(1))
+      val trainGrams = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).as("gram"))
+      trainGrams.join(broadcast(benchGrams), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_sample_stratified" -> ((s, dir) => {
       // exact per-source quota by salted-hash order; WindowGroupLimit
       // truncates each map task's groups to k before the shuffle
@@ -1398,6 +1445,37 @@ object SparkEntry {
           | FROM q)
           |SELECT doc_id, source, alpha_ratio, prank FROM r
           |WHERE prank >= 0.5 ORDER BY doc_id""".stripMargin,
+
+      // all three fractions divide by len(words); IEEE double division
+      // of exact integer counts on both engines
+      "text_repetition" ->
+        s"""WITH m AS (SELECT doc_id,
+           |  CAST(len($duckWords) - len(list_distinct($duckWords)) AS DOUBLE)
+           |    / CAST(len($duckWords) AS DOUBLE) AS dup_word_frac,
+           |  CAST(len($duckShingles2) - len(list_distinct($duckShingles2)) AS DOUBLE)
+           |    / CAST(len($duckShingles2) AS DOUBLE) AS dup_2gram_frac,
+           |  CAST(len($duckWords) AS BIGINT) AS n_words
+           | FROM documents),
+           |wc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM
+           |  (SELECT doc_id, w, count(*) AS c FROM
+           |    (SELECT doc_id, unnest($duckWords) AS w FROM documents)
+           |   GROUP BY 1, 2) GROUP BY 1)
+           |SELECT m.doc_id, m.dup_word_frac, m.dup_2gram_frac,
+           | CAST(wc.top_c AS DOUBLE) / CAST(m.n_words AS DOUBLE) AS top_word_frac
+           |FROM m JOIN wc USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+
+      // benchmark = doc_id % 50 = 0; n_shared counts the train doc's
+      // DISTINCT 3-grams that appear anywhere in the benchmark set
+      "text_decontaminate" ->
+        s"""WITH b AS (SELECT DISTINCT unnest(list_distinct($duckShingles3)) AS gram
+           | FROM documents WHERE doc_id % 50 = 0),
+           |t AS (SELECT doc_id, unnest(list_distinct($duckShingles3)) AS gram
+           | FROM documents WHERE doc_id % 50 <> 0)
+           |SELECT t.doc_id,
+           | CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           | sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+           |FROM t LEFT JOIN b USING (gram)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
       "text_sample_det" ->
         """SELECT doc_id FROM documents

@@ -110,6 +110,25 @@ object TextAnalysis {
       d.withColumn(n, c)
     }
 
+  /** Fraction of duplicate words: 1 − |distinct words| / |words|. The
+    * Gopher-style repetition diagnostic — high values flag boilerplate
+    * and degenerate generation loops. A narrow, codegen'd array
+    * expression (no explode, no shuffle); the words array is bound once
+    * as a lambda variable (see [[Dedup.shingles]] on why referencing
+    * `words(c)` twice inside a projection re-runs the regex chain). */
+  def dupWordFrac(c: Column): Column =
+    element_at(transform(array(words(c)), ws =>
+      (size(ws) - size(array_distinct(ws))).cast("double") /
+        size(ws).cast("double")), 1)
+
+  /** Fraction of duplicate word n-grams: 1 − |distinct n-grams| /
+    * |n-grams|. Same narrow shape as [[dupWordFrac]] over the shingle
+    * array. */
+  def dupNgramFrac(c: Column, n: Int): Column =
+    element_at(transform(array(Dedup.shingles(c, n)), gs =>
+      (size(gs) - size(array_distinct(gs))).cast("double") /
+        size(gs).cast("double")), 1)
+
   /** Sequence packing for training batches: concatenate each group's docs
     * in `idCol` order and cut the token stream every `budgetTokens` —
     * a doc belongs to the pack its FIRST token lands in (the standard

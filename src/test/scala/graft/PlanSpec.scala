@@ -172,4 +172,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("decontamination: benchmark gram set broadcasts — the train-side " +
+    "gram stream never shuffles for the join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -121,6 +121,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(small.count() == 2)
   }
 
+  test("repetition fractions: duplicate words and 2-grams, empty-safe") {
+    val d = Seq(
+      ("a b c a b a", 3.0 / 6, 1.0 / 5), // words a,b,c,a,b,a; grams: "a b" x2 dup
+      ("x y z w", 0.0, 0.0),             // all unique
+      ("q q q q", 3.0 / 4, 2.0 / 3))     // one word; "q q" x3
+      .toDF("text", "ew", "eg")
+      .select(TextAnalysis.dupWordFrac($"text").as("dw"),
+        TextAnalysis.dupNgramFrac($"text", 2).as("dg"), $"ew", $"eg")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    d.foreach { case (dw, dg, ew, eg) =>
+      assert(math.abs(dw - ew) < 1e-12 && math.abs(dg - eg) < 1e-12, d)
+    }
+    // empty text: words = [""], one distinct element — fraction 0, no NaN
+    val e = Seq("").toDF("text")
+      .select(TextAnalysis.dupWordFrac($"text")).as[Double].head()
+    assert(e == 0.0)
+  }
+
   test("percentileRank: ANSI (rank-1)/(n-1) with shared ranks on ties") {
     val docs = Seq((1L, "g", 0.1), (2L, "g", 0.5), (3L, "g", 0.5),
       (4L, "g", 0.9), (5L, "solo", 0.7)).toDF("doc_id", "source", "m")
