@@ -651,6 +651,24 @@ object SparkEntry {
       Similarity.annTopK(t(s, dir, "embeddings"), q, k = 5)
     }),
 
+    "emb_kmeans_step" -> ((s, dir) => {
+      // one Lloyd's iteration over the IVF codebook: narrow assignment
+      // (centroid literals), one map-side-combinable (cell, dim) shuffle,
+      // fixed-point sums so the means are order-independent
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      Similarity.kmeansStep(emb, cents)
+        .orderBy(col("cell"), col("dim"))
+    }),
+
+    "sim_knn_join" -> ((s, dir) => {
+      // batch ANN: top-3 cosine neighbors for EVERY vector among its
+      // hamming<=1 sign-bucket candidates; per-vector top-k plans as
+      // WindowGroupLimit (map-side truncation to k before the shuffle)
+      Similarity.knnSelfJoin(t(s, dir, "embeddings"), k = 3)
+        .orderBy(col("vec_id"), col("nbr_rank"))
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF scale path: coarse-quantizer cell assignment (narrow), probe
       // only the nprobe cells nearest the query, exact cosine within them
@@ -912,6 +930,30 @@ object SparkEntry {
       Sessionize.runToMemory(s, agg, "ev_stream_win", OutputMode.Complete,
         statePartitions = 8)
         .orderBy(col("win_start_us"), col("event_type"))
+    }),
+
+    "ev_stream_range_join" -> ((s, dir) => {
+      // stream-stream bounded range join: all events within ±30 min of
+      // each signup, as raw pairs. Inner join emits when both sides have
+      // arrived (no sentinel); watermark + two-sided bound expire
+      // buffered state. Oracle = the plain theta join, pair-level.
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      def stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val signups = stream.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_event_id"), col("user_id"),
+          col("ts").as("s_ts"))
+      val all = stream.select(col("event_id").as("e_id"),
+        col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val joined = Sessionize.rangeJoinStream(signups, all,
+        keyPairs = Seq("user_id" -> "e_user"),
+        leftTsCol = "s_ts", rightTsCol = "e_ts", rangeSeconds = 1800)
+      Sessionize.runToMemory(s,
+        joined.select(col("s_event_id"), col("e_id")),
+        "ev_stream_rj", OutputMode.Append, statePartitions = 8)
+        .orderBy(col("s_event_id"), col("e_id"))
     }),
 
     "ev_stream_sessionize" -> ((s, dir) => {
@@ -1343,6 +1385,28 @@ object SparkEntry {
            |FROM embeddings e, q
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+      // per-vector top-3 among hamming<=1 bucket candidates; same bucket
+      // arithmetic as sim_ann_bucket, row_number tie-break on nbr id
+      "sim_knn_join" -> {
+        def bkt(e: String) =
+          s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
+             | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
+             | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
+             | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
+        s"""WITH v AS (SELECT vec_id, embedding,
+           |  ${bkt("embedding")} AS bk FROM embeddings),
+           |c AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           |  ${duckCosine("a.embedding", "b.embedding")} AS score
+           | FROM v a JOIN v b ON a.vec_id <> b.vec_id
+           |  AND bit_count(xor(a.bk, b.bk)) <= 1),
+           |r AS (SELECT vec_id, nbr_id, score,
+           |  CAST(row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY score DESC, nbr_id) AS BIGINT) AS nbr_rank
+           | FROM c)
+           |SELECT vec_id, nbr_id, score, nbr_rank FROM r
+           |WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin
+      },
+
       // hamming<=1 multi-probe: the engine probes the query bucket plus
       // every single-bit flip of it, so the oracle filters on xor bit
       // count rather than bucket equality
@@ -1360,6 +1424,27 @@ object SparkEntry {
            |   + CASE WHEN e.embedding[33] > 0 THEN 4 ELSE 0 END
            |   + CASE WHEN e.embedding[49] > 0 THEN 8 ELSE 0 END), q.qb)) <= 1
            |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+      // same assign CTE as sim_ivf_topk; fixed-point sums (round to 1e-6
+      // then BIGINT) make the mean order-independent on both engines
+      "emb_kmeans_step" -> {
+        def duckL2(a: String, b: String): String =
+          s"list_aggregate(list_transform(list_zip($a, $b), " +
+            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |assign AS (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, e.embedding),
+           |x AS (SELECT cell,
+           |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           |   unnest(embedding) AS x
+           | FROM assign)
+           |SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
+           | CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           |   / (count(*) * 1000000) AS mean
+           |FROM x GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+      },
 
       "sim_ivf_topk" -> {
         def duckL2(a: String, b: String): String =
@@ -1627,6 +1712,15 @@ object SparkEntry {
           |FROM s JOIN events e ON s.user_id = e.user_id
           | AND abs(epoch_us(e.ts) - s.ts_us) <= 1800000000
           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+      // pair-level restatement of the ev_range_join oracle — the
+      // streaming inner join must emit exactly the theta join's pairs
+      "ev_stream_range_join" ->
+        """SELECT s.event_id AS s_event_id, e.event_id AS e_id
+          |FROM events s JOIN events e ON s.user_id = e.user_id
+          | AND s.event_type = 'signup'
+          | AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 1800000000
+          |ORDER BY 1, 2""".stripMargin,
 
       "ev_stream_windowed_agg" ->
         """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,

@@ -162,6 +162,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd's iteration (k-means step): assign every vector to its
+    * nearest centroid ([[ivfAssign]] — narrow, the centroids are plan
+    * literals) and recompute per-cell means, emitted as one row per
+    * (cell, dim) so the result is purely scalar.
+    *
+    * Sums are FIXED-POINT (`round(x·scale)` as long): a double sum's low
+    * bits depend on partial-aggregation order, so a floating mean is not
+    * reproducible run-to-run on a cluster — exact integer sums are
+    * order-independent, making the step deterministic by construction
+    * (the property a resumable training pipeline needs). The mean is one
+    * IEEE division of exact integers. One map-side-combinable shuffle of
+    * (cell, dim) partial sums; the driver then collects k×d rows to
+    * build the next round's literal centroids — the classic Lloyd's
+    * loop, where k×d is small by definition. */
+  def kmeansStep(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      vecCol: String = "embedding",
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "fixed-point scale must be positive")
+    corpus
+      .withColumn("cell", ivfAssign(col(vecCol), centroids))
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * scale).cast("long")).as("sum_fp"))
+      .select(col("cell").cast("long").as("cell"),
+        col("dim").cast("long").as("dim"), col("n"),
+        (col("sum_fp").cast("double") / (col("n") * scale)).as("mean"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on an existing
     * low-cardinality key. A label block is quadratic *per label* — fine
     * when labels are plentiful, hopeless when a label holds 10⁸ vectors;
@@ -235,5 +266,58 @@ object Similarity {
           .otherwise(lit(0.0)))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Batch k-nearest-neighbors self-join: for EVERY vector, its top-k
+    * cosine neighbors among the hamming<=1 sign-bucket candidates — the
+    * all-vectors ANN workload (clustering, graph building, semantic
+    * dedup), where [[annTopK]] answers one query point.
+    *
+    * Shape chosen for scale: candidate generation is the same bounded
+    * probe-explode join as [[cosineNearDupPairsLsh]] (per-bucket
+    * expansion ~ n/2^bits per probe, each qualifying directed pair
+    * matches exactly once, norms precomputed per row), and the per-vector
+    * top-k is `row_number <= k` over (score desc, id), which plans as
+    * Partial+Final WindowGroupLimit: each map task truncates its groups
+    * to k candidates BEFORE the shuffle, so the exchange carries
+    * O(k x vectors) rows, not the full candidate set. No driver
+    * collect, no global sort.
+    *
+    * Output: (idCol, nbr_id, score, nbr_rank), nbr_rank 1..k. Vectors
+    * whose probed buckets hold no other vector emit no rows (at corpus
+    * scale add sign positions to subdivide hot buckets, not fewer to fill
+    * empty ones). */
+  def knnSelfJoin(
+      df: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      positions: Seq[Int] = defaultPositions,
+      probe1: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val prep = df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"),
+      signBucket(col(vecCol), positions).as("bkt"))
+    val probes =
+      if (probe1)
+        array((col("bkt") +: positions.indices.map(i =>
+          col("bkt").bitwiseXOR(lit(1 << i)))): _*)
+      else array(col("bkt"))
+    val l = prep.select(col("bkt"), col(idCol),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val r = prep.select(col(idCol).as("nbr_id"), col(vecCol).as("vb"),
+      col("nrm").as("nb"), explode(probes).as("bkt"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("nbr_id"))
+    l.join(r, Seq("bkt"))
+      .filter(col(idCol) =!= col("nbr_id"))
+      .withColumn("score",
+        when(col("na") > 0 && col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("nbr_id"), col("score"))
+      .withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
   }
 }

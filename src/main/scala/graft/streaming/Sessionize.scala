@@ -170,6 +170,41 @@ object Sessionize {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream bounded range join: every (left, right) pair agreeing
+    * on the join keys with `|left.ts − right.ts| <= rangeSeconds` —
+    * the streaming twin of `TemporalJoin.rangeJoinBucketed`, validated
+    * against the same theta-join oracle.
+    *
+    * An INNER stream-stream join emits a pair as soon as both sides have
+    * arrived — no flush sentinel needed (unlike Append-mode aggregation,
+    * which waits for the watermark). The watermark plus the TWO-SIDED
+    * time-bound condition is what bounds state: each side buffers only
+    * rows within (watermark − range) of the stream head and expires the
+    * rest, which is what makes an indefinitely-running join viable — an
+    * unconstrained stream-stream join must buffer both streams forever.
+    *
+    * `keyPairs` maps left key column → right key column (callers rename
+    * the right side's columns to keep the joined schema unambiguous). */
+  def rangeJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyPairs: Seq[(String, String)],
+      leftTsCol: String,
+      rightTsCol: String,
+      rangeSeconds: Long,
+      delay: String = "1 hour"): DataFrame = {
+    require(keyPairs.nonEmpty, "range join requires at least one key pair")
+    require(rangeSeconds > 0, "rangeSeconds must be positive")
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    val range = expr(s"INTERVAL '$rangeSeconds' SECOND")
+    val cond = keyPairs.map { case (a, b) => l.col(a) === r.col(b) }
+      .reduce(_ && _) &&
+      r.col(rightTsCol) >= l.col(leftTsCol) - range &&
+      r.col(rightTsCol) <= l.col(leftTsCol) + range
+    l.join(r, cond, "inner")
+  }
+
   /** Convenience: run a streaming query over a bounded source and collect
     * results synchronously (for tests / local smoke).
     *

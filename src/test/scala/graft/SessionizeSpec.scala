@@ -110,6 +110,41 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("stream-stream range join emits exactly the theta join's pairs, " +
+    "inclusive bounds, key isolation") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[Event]
+    val rs = MemoryStream[Event]
+    val left = ls.toDF().select($"event_id".as("l_id"), $"user_id",
+      $"ts".as("l_ts"))
+    val right = rs.toDF().select($"event_id".as("r_id"),
+      $"user_id".as("r_user"), $"ts".as("r_ts"))
+    val out = Sessionize.rangeJoinStream(left, right,
+      keyPairs = Seq("user_id" -> "r_user"),
+      leftTsCol = "l_ts", rightTsCol = "r_ts",
+      rangeSeconds = 30 * 60, delay = "1 hour")
+    val query = out.select($"l_id", $"r_id")
+      .writeStream.format("memory")
+      .queryName("rj_test").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: r at +30min exactly (inclusive edge), r at +31min (out);
+      // user 2: r in range but different key than user 1's l
+      ls.addData(Event(1L, ts(0), 1L, "signup", 0.0),
+        Event(2L, ts(100), 2L, "signup", 0.0))
+      rs.addData(Event(10L, ts(30), 1L, "view", 0.0),
+        Event(11L, ts(31), 1L, "view", 0.0),
+        Event(12L, ts(90), 2L, "view", 0.0),
+        Event(13L, ts(105), 1L, "view", 0.0)) // user 1, near user 2's l
+      query.processAllAvailable()
+      val got = spark.table("rj_test")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 12L)))
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS rj_test")
+    }
+  }
+
   test("watermarked windowed counts over a bounded stream match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

@@ -105,6 +105,33 @@ class SimilaritySpec extends SparkSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("knnSelfJoin: equals brute-force top-k over hamming<=1 candidates; " +
+    "top-k plans as WindowGroupLimit") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val knn = Similarity.knnSelfJoin(corpus, k = 3)
+    val fast = knn.orderBy("vec_id", "nbr_rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // brute force: all pairs, hamming<=1 bucket filter, window top-3
+    val bk = Similarity.signBucket($"embedding", Similarity.defaultPositions)
+    val v = corpus.select($"vec_id", $"embedding", bk.as("bk"))
+    val cand = v.as("a").join(v.as("b"),
+      $"a.vec_id" =!= $"b.vec_id")
+      .filter(bit_count($"a.bk".bitwiseXOR($"b.bk")) <= 1)
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr_id"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"score".desc, $"nbr_id")
+    val brute = cand
+      .withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter($"nbr_rank" <= 3).orderBy("vec_id", "nbr_rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(fast.nonEmpty && fast == brute)
+    // map-side truncation to k before the shuffle
+    val p = knn.queryExecution.executedPlan.toString
+    assert(p.contains("row_number(), 3, Partial"), p)
+    assert(p.contains("row_number(), 3, Final"), p)
+  }
+
   test("ivfAssign: nearest centroid, ties to lower cid") {
     val cents = Seq(Seq(0f, 0f), Seq(10f, 0f), Seq(0f, 10f))
     val cells = Seq(
@@ -116,6 +143,21 @@ class SimilaritySpec extends SparkSuite {
       .select($"vec_id", Similarity.ivfAssign($"embedding", cents).as("c"))
       .as[(Long, Int)].collect().toMap
     assert(cells == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("kmeansStep: per-cell fixed-point means, one row per (cell, dim)") {
+    val cents = Seq(Seq(0f, 0f), Seq(10f, 10f))
+    val corpus = Seq(
+      (1L, Seq(1f, 2f)),   // cell 0
+      (2L, Seq(3f, 0f)),   // cell 0
+      (3L, Seq(9f, 9f)))   // cell 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(corpus, cents)
+      .orderBy("cell", "dim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 2.0), (0L, 1L, 2L, 1.0),
+      (1L, 0L, 1L, 9.0), (1L, 1L, 1L, 9.0)))
   }
 
   test("ivfTopK: equals brute force restricted to the probed cells") {
