@@ -584,6 +584,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_chunk" -> ((s, dir) => {
+      // sliding-window context chunking: 32-token chunks every 16 tokens
+      // (50% overlap), short tail chunks kept — a narrow per-doc fan-out,
+      // no shuffle
+      TextAnalysis.chunkByTokens(par(s)(t(s, dir, "documents")),
+        chunkTokens = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    "text_top_grams" -> ((s, dir) => {
+      // global heavy hitters: top-20 word-2-grams by occurrence count
+      // (non-distinct — every occurrence counts); partial-agg explode →
+      // count → TakeOrderedAndProject, no global sort
+      par(s)(t(s, dir, "documents"))
+        .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition diagnostics: duplicate-word and
       // duplicate-2-gram fractions are narrow array expressions (no
@@ -1530,6 +1550,24 @@ object SparkEntry {
           | FROM q)
           |SELECT doc_id, source, alpha_ratio, prank FROM r
           |WHERE prank >= 0.5 ORDER BY doc_id""".stripMargin,
+
+      // chunk starts 0,16,32,… while start < len(words); duckdb list
+      // slice is 1-based inclusive and clamps like Spark's slice
+      "text_chunk" ->
+        s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+           |s AS (SELECT doc_id, ws,
+           |  unnest(range(0, len(ws), 16)) AS start_tok FROM w)
+           |SELECT doc_id,
+           | CAST(start_tok // 16 AS BIGINT) AS chunk_idx,
+           | CAST(start_tok AS BIGINT) AS start_tok,
+           | CAST(least(32, len(ws) - start_tok) AS BIGINT) AS n_tok,
+           | array_to_string(ws[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "text_top_grams" ->
+        s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
+           |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
 
       // all three fractions divide by len(words); IEEE double division
       // of exact integer counts on both engines

@@ -129,6 +129,39 @@ object TextAnalysis {
       (size(gs) - size(array_distinct(gs))).cast("double") /
         size(gs).cast("double")), 1)
 
+  /** Sliding-window token chunking: split each doc's token stream into
+    * chunks of `chunkTokens` starting every `stride` tokens (overlap =
+    * chunkTokens − stride; stride = chunkTokens is disjoint chunking) —
+    * the context-window splitter for pretraining and retrieval indexing.
+    *
+    * Chunk starts are 0, stride, 2·stride, … while start < |tokens|, so
+    * the tail emits short chunks rather than dropping tokens. Entirely
+    * narrow (no shuffle): the words array is materialized once per row,
+    * `posexplode(sequence(...))` fans out the starts, and each chunk is
+    * a clamped `slice`. Output adds (chunk_idx, start_tok, n_tok,
+    * chunk_text). */
+  def chunkByTokens(
+      df: DataFrame,
+      chunkTokens: Int,
+      stride: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0, "stride must be positive")
+    df.withColumn("__ws", words(col(textCol)))
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col(idCol),
+        expr(s"start_tok div $stride").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkTokens), size(col("__ws")) - col("start_tok"))
+          .cast("long").as("n_tok"),
+        concat_ws(" ",
+          slice(col("__ws"), col("start_tok") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Sequence packing for training batches: concatenate each group's docs
     * in `idCol` order and cut the token stream every `budgetTokens` —
     * a doc belongs to the pack its FIRST token lands in (the standard

@@ -121,6 +121,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(small.count() == 2)
   }
 
+  test("chunkByTokens: 50% overlap, clamped tail, exact offsets") {
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(d, chunkTokens = 4, stride = 2)
+      .select($"chunk_idx", $"start_tok", $"n_tok", $"chunk_text")
+      .orderBy("chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 4L, "a b c d"),
+      (1L, 2L, 4L, "c d e f"),
+      (2L, 4L, 4L, "e f g h"),
+      (3L, 6L, 4L, "g h i j"),
+      (4L, 8L, 2L, "i j")))   // short tail kept, clamped slice
+    // disjoint chunking: stride == chunk size, no overlap
+    val dj = TextAnalysis.chunkByTokens(d, chunkTokens = 4, stride = 4)
+      .select($"chunk_text").as[String].collect().toSeq
+    assert(dj == Seq("a b c d", "e f g h", "i j"))
+  }
+
   test("repetition fractions: duplicate words and 2-grams, empty-safe") {
     val d = Seq(
       ("a b c a b a", 3.0 / 6, 1.0 / 5), // words a,b,c,a,b,a; grams: "a b" x2 dup
