@@ -546,6 +546,23 @@ object SparkEntry {
 
     // ---- Similarity search over embeddings --------------------------
 
+    "dedup_survivors" -> ((s, dir) => {
+      // the end-to-end dedup DELIVERABLE: the kept corpus — every doc
+      // with no near-dup edge plus each cluster's canonical (min-id)
+      // member. Non-survivor cluster members drop via a left-anti join
+      // of the (tiny) component frame against the corpus; edge-free
+      // docs never enter the CC at all, so the anti join is the only
+      // place the full corpus participates.
+      val docs = par(s)(t(s, dir, "documents"))
+      val edges = Dedup.minhashCandidates(docs, k = 8, bands = 4)
+      val dropped = Dedup.connectedComponents(edges)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // candidate pairs -> transitive closure -> dedup clusters with a
       // canonical survivor (min member id): the step that makes pairwise
@@ -582,6 +599,13 @@ object SparkEntry {
       TextAnalysis.percentileRank(scored, "alpha_ratio")
         .filter(col("prank") >= 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    "text_mixture" -> ((s, dir) => {
+      // per-source downsampling rates toward a uniform token mixture:
+      // one combinable agg over the corpus, then a #sources-row window
+      TextAnalysis.sourceMixture(par(s)(t(s, dir, "documents")))
+        .orderBy(col("source"))
     }),
 
     "text_chunk" -> ((s, dir) => {
@@ -1334,6 +1358,23 @@ object SparkEntry {
            | node = min(lbl) AS is_survivor
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+      // kept corpus = documents minus non-survivor cluster members, on
+      // the same recursive-CTE closure as dedup_clusters
+      "dedup_survivors" ->
+        s"""WITH RECURSIVE $duckMinhashEdgeCtes,
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           | UNION ALL SELECT doc_b, doc_a FROM edges),
+           |reach(node, lbl) AS (
+           | SELECT a, a FROM sym
+           | UNION
+           | SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+           |dropped AS (SELECT node FROM
+           |  (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+           | WHERE node <> comp)
+           |SELECT doc_id, source FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
+
       "dedup_simhash" ->
         s"""SELECT doc_id, $duckSimhash48 AS sh
            |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1550,6 +1591,21 @@ object SparkEntry {
           | FROM q)
           |SELECT doc_id, source, alpha_ratio, prank FROM r
           |WHERE prank >= 0.5 ORDER BY doc_id""".stripMargin,
+
+      // share and weight are IEEE divisions of exact BIGINT sums; the
+      // uniform target factor is 1/count(DISTINCT source)
+      "text_mixture" ->
+        s"""WITH p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN $duckNorm = '' THEN 0
+           |    ELSE CAST(len($duckWords) AS BIGINT) END) AS BIGINT) AS n_tokens
+           | FROM documents GROUP BY source),
+           |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+           |  CAST(count(*) AS BIGINT) AS nsrc FROM p)
+           |SELECT p.source, p.n_docs, p.n_tokens,
+           | CAST(p.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           | least(1.0, CAST(t.total AS DOUBLE)
+           |   / CAST(t.nsrc * p.n_tokens AS DOUBLE)) AS weight
+           |FROM p, t ORDER BY p.source""".stripMargin,
 
       // chunk starts 0,16,32,… while start < len(words); duckdb list
       // slice is 1-based inclusive and clamps like Spark's slice

@@ -216,6 +216,39 @@ object TextAnalysis {
       .filter(col("rn") <= k)
   }
 
+  /** Per-source mixture weights toward a UNIFORM token target — the
+    * data-mixing primitive: `weight` is the per-doc sampling probability
+    * that levels each source's token contribution (capped at 1.0 — this
+    * computes downsampling rates; upsampling epochs are a trainer
+    * decision, not a corpus filter).
+    *
+    * One map-side-combinable aggregation over the corpus; the global
+    * total is a window over the POST-aggregation frame, which holds one
+    * row per source — a deliberately tiny single-partition window, not a
+    * window over the data. For a non-uniform target, join a
+    * (source, target_share) frame and replace the `1/n_sources` factor.
+    *
+    * Output: (source, n_docs, n_tokens, share, weight), share =
+    * n_tokens/total, weight = min(1, total/(n_sources·n_tokens)). */
+  def sourceMixture(
+      df: DataFrame,
+      textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("__total", sum(col("n_tokens")).over(all))
+      .withColumn("__nsrc", count(lit(1)).over(all))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__total").cast("double"))
+          .as("share"),
+        least(lit(1.0),
+          col("__total").cast("double") /
+            (col("__nsrc") * col("n_tokens")).cast("double")).as("weight"))
+  }
+
   /** Per-group percentile rank of a quality metric — the primitive behind
     * "drop the bottom X% of each source": rank-based, so it needs no
     * global threshold tuning and is robust to per-source score-scale

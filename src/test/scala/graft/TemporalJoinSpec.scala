@@ -141,4 +141,17 @@ class TemporalJoinSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
+
+  test("asofForward plan: same union-window shape — no join") {
+    val left = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", $"ts")
+    val right = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("pid"))
+    val out = TemporalJoin.asofForward(left, right,
+      Seq("user_id"), "ts", "ts", Seq("pid"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
 }

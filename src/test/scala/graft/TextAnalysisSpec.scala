@@ -121,6 +121,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(small.count() == 2)
   }
 
+  test("sourceMixture: uniform-target downsampling rates, cap at 1.0") {
+    // sources: a = 60 tokens, b = 30, c = 10 → total 100, n=3
+    val docs = Seq(
+      (1L, "a", Seq.fill(60)("w").mkString(" ")),
+      (2L, "b", Seq.fill(30)("w").mkString(" ")),
+      (3L, "c", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val m = TextAnalysis.sourceMixture(docs).orderBy("source")
+      .select($"source", $"n_tokens", $"share", $"weight")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(m == Seq(
+      ("a", 60L, 0.6, 100.0 / 180),  // oversized source downsampled
+      ("b", 30L, 0.3, 1.0),          // 100/90 caps at 1.0
+      ("c", 10L, 0.1, 1.0)))         // undersized source kept whole
+  }
+
   test("chunkByTokens: 50% overlap, clamped tail, exact offsets") {
     val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val out = TextAnalysis.chunkByTokens(d, chunkTokens = 4, stride = 2)
