@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{FillStage, FormatStage, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Changes, FillStage, FormatStage, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.Sessionize
 
@@ -544,6 +544,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup shape: coarse-quantizer cells block the candidate pairs
+      // (quadratic only within a cell), min-id cell-mate survives each
+      // near-dup chain; output = surviving corpus with its cell
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.ivfCentroids(emb, k = 8)
+      Similarity.semanticDedup(emb, cb, tau = 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- Similarity search over embeddings --------------------------
 
     "dedup_survivors" -> ((s, dir) => {
@@ -605,6 +616,44 @@ object SparkEntry {
       // per-source downsampling rates toward a uniform token mixture:
       // one combinable agg over the corpus, then a #sources-row window
       TextAnalysis.sourceMixture(par(s)(t(s, dir, "documents")))
+        .orderBy(col("source"))
+    }),
+
+    "text_pii_scrub" -> ((s, dir) => {
+      // PII redaction + per-category audit counts. The corpus text is
+      // PII-free synthetic prose, so the query deterministically plants
+      // an email, URL, phone, and IP derived from (doc_id, source) —
+      // both engines build the identical string, then redact it, putting
+      // the regex semantics themselves (not just a no-op pass) under the
+      // hash. Pure codegen'd projection either way.
+      val d = par(s)(t(s, dir, "documents"))
+        .withColumn("pii_text", concat(
+          lit("contact u"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".example.com or http://"),
+          col("source"), lit(".example.com/d/"), col("doc_id").cast("string"),
+          lit(" tel 555-0"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"),
+          lit(" "), col("text")))
+      TextAnalysis.piiCounts(col("pii_text"))
+        .foldLeft(d) { case (acc, (n, c)) => acc.withColumn(n, c) }
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(col("pii_text")).as("scrubbed"),
+          col("n_url"), col("n_email"), col("n_ip"), col("n_phone"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_len_quantiles" -> ((s, dir) => {
+      // corpus length-distribution diagnostic: exact per-source token
+      // quantiles (exact for the oracle; approx_percentile is the same
+      // call with approx = true — the mergeable-sketch path for 100 TB)
+      TextAnalysis.lengthQuantiles(par(s)(t(s, dir, "documents")),
+        Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("source"),
+          col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+          col("qs")(2).as("p75"), col("qs")(3).as("p90"))
         .orderBy(col("source"))
     }),
 
@@ -839,6 +888,43 @@ object SparkEntry {
         .orderBy(col("win_start_us"), col("event_type"))
     }),
 
+    "ev_json_extract" -> ((s, dir) => {
+      // typed metadata extraction from the JSON props column via
+      // from_json — schema'd parse, not string poking; a narrow
+      // codegen-adjacent projection (JsonToStructs), no shuffle
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "ev_latest" -> ((s, dir) => {
+      // CDC/upsert compaction: latest event per user under a TOTAL order
+      // (ts desc, event_id desc — same-timestamp rows are a certainty at
+      // scale). row_number()==1 plans as WindowGroupLimit: map tasks
+      // truncate each key to one row before the exchange.
+      Changes.latestByKey(t(s, dir, "events"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    "ev_scd2" -> ((s, dir) => {
+      // SCD-2 interval construction: each change row gets
+      // [valid_from, valid_to) with valid_to = the key's next change
+      // (null = current). One window per key; facts then join these
+      // intervals with the banded range join.
+      Changes.scd2(t(s, dir, "events"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
     "ev_asof_join" -> ((s, dir) => {
       // backward as-of: each click picks up the user's most recent
       // purchase at or before it (union-window shape, one shuffle+sort).
@@ -930,6 +1016,28 @@ object SparkEntry {
         .groupBy(col("s_event_id"), col("user_id"), col("ts_us"))
         .agg(count(lit(1)).as("n_nearby"))
         .orderBy(col("s_event_id"))
+    }),
+
+    "ev_stream_enrich" -> ((s, dir) => {
+      // stream-static enrichment: the event stream picks up its user's
+      // market segment from a broadcast dimension. Stateless (no
+      // watermark, no state store) — each micro-batch joins and emits;
+      // the explicit broadcast keeps the stream from re-shuffling every
+      // batch. Oracle = the plain batch left join.
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = Sessionize.enrichStream(stream, dim,
+        keyPairs = Seq("user_id" -> "c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"))
+      Sessionize.runToMemory(s, enriched, "ev_stream_enrich",
+        OutputMode.Append)
+        .orderBy(col("event_id"))
     }),
 
     "ev_stream_dedup" -> ((s, dir) => {
@@ -1073,6 +1181,15 @@ object SparkEntry {
       }
         .select(col("asset_id"), col("payload_bytes"), col("payload_md5"))
         .orderBy(col("asset_id"))
+    }),
+
+    "mm_dedup" -> ((s, dir) => {
+      // exact media dedup by payload digest: the digest is computed where
+      // the blob lives, so the exchange carries (16-byte md5, id) pairs —
+      // the payloads themselves never shuffle
+      Multimodal.payloadDedup(
+        Multimodal.syntheticAssets(par(s)(t(s, dir, "documents"))))
+        .orderBy(col("payload_md5"))
     }),
 
     "mm_features" -> ((s, dir) => {
@@ -1440,6 +1557,25 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin
       },
 
+      // same assign CTE as emb_kmeans_step; min-id cell-mate at cosine
+      // >= tau survives, the other side of each pair drops
+      "dedup_semantic" -> {
+        def duckL2(a: String, b: String): String =
+          s"list_aggregate(list_transform(list_zip($a, $b), " +
+            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |assign AS (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, e.embedding),
+           |dropped AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+           |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+           |ORDER BY vec_id""".stripMargin
+      },
+
       "sim_topk_cosine" ->
         s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS score
@@ -1607,6 +1743,40 @@ object SparkEntry {
            |   / CAST(t.nsrc * p.n_tokens AS DOUBLE)) AS weight
            |FROM p, t ORDER BY p.source""".stripMargin,
 
+      // both engines synthesize the identical PII-laden string, then
+      // redact: patterns and replacement order come verbatim from
+      // TextAnalysis.piiPatterns (single-quoted DuckDB strings are raw,
+      // so the compiled Scala patterns pass through unchanged)
+      "text_pii_scrub" -> {
+        val piiText =
+          "'contact u' || doc_id || '@' || source || '.example.com" +
+            " or http://' || source || '.example.com/d/' || doc_id ||" +
+            " ' tel 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')" +
+            " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||" +
+            " ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||" +
+            " CAST(doc_id % 250 AS VARCHAR) || ' ' || text"
+        val scrub = TextAnalysis.piiPatterns.foldLeft("pt") {
+          case (acc, (_, re, repl)) =>
+            s"regexp_replace($acc, '$re', '$repl', 'g')"
+        }
+        val counts = TextAnalysis.piiPatterns.map { case (name, re, _) =>
+          s"CAST(len(regexp_extract_all(pt, '$re')) AS BIGINT) AS n_$name"
+        }.mkString(", ")
+        s"""WITH p AS (SELECT doc_id, $piiText AS pt FROM documents)
+           |SELECT doc_id, $scrub AS scrubbed, $counts
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
+
+      // exact interpolated quantiles: Spark percentile and DuckDB
+      // quantile_cont share the p·(n−1) linear-interpolation definition
+      "text_len_quantiles" ->
+        s"""WITH tk AS (SELECT source, CASE WHEN $duckNorm = '' THEN 0
+           |  ELSE CAST(len($duckWords) AS BIGINT) END AS n FROM documents)
+           |SELECT source,
+           | quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS p50,
+           | quantile_cont(n, 0.75) AS p75, quantile_cont(n, 0.9) AS p90
+           |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+
       // chunk starts 0,16,32,… while start < len(words); duckdb list
       // slice is 1-based inclusive and clamps like Spark's slice
       "text_chunk" ->
@@ -1739,6 +1909,35 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
 
+      // stream-static enrichment == the plain batch left join
+      "ev_stream_enrich" ->
+        """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+          |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+          |ORDER BY e.event_id""".stripMargin,
+
+      "ev_json_extract" ->
+        """SELECT event_id, event_type,
+          | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "ev_latest" ->
+        """WITH r AS (SELECT user_id, event_id, ts, event_type, value,
+          |  row_number() OVER (PARTITION BY user_id
+          |   ORDER BY ts DESC, event_id DESC) AS rn
+          | FROM events)
+          |SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      "ev_scd2" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+          | epoch_us(lead(ts) OVER (PARTITION BY user_id
+          |  ORDER BY ts, event_id)) AS valid_to_us,
+          | (lead(ts) OVER (PARTITION BY user_id
+          |  ORDER BY ts, event_id) IS NULL) AS is_current
+          |FROM events
+          |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
       // salted-hash order makes the per-source quota deterministic and
       // engine-portable (md5 hex collates identically)
       "text_sample_stratified" ->
@@ -1827,6 +2026,14 @@ object SparkEntry {
           | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
           | md5(text) AS payload_md5
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // md5 of the utf-8 payload == md5 of the text on both engines
+      "mm_dedup" ->
+        """SELECT md5(text) AS payload_md5,
+          | CAST(count(*) AS BIGINT) AS n_assets,
+          | min(doc_id) AS survivor_id
+          |FROM documents GROUP BY payload_md5
+          |ORDER BY payload_md5""".stripMargin,
 
       // FakeCodec is closed-form over md5 of the utf-8 payload
       // (Multimodal.scala FakeCodec): dims from hex digits 1-3 / 4-6,

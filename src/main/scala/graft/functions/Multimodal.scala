@@ -66,6 +66,21 @@ object Multimodal {
     "payload_bytes" -> length(payload).cast("long"),
     "payload_md5" -> md5(payload))
 
+  /** Exact multimodal dedup: group assets by payload digest, keep the
+    * min-id copy. The digest is computed where the blob lives, so the
+    * shuffle carries (16-byte digest, id) pairs — never the payloads
+    * themselves, which is the whole trick at 100 TB of media. One
+    * map-side-combinable aggregation. Output: (payload_md5, n_assets,
+    * survivor_id). */
+  def payloadDedup(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      payloadCol: String = "payload"): DataFrame =
+    assets
+      .select(md5(col(payloadCol)).as("payload_md5"), col(idCol))
+      .groupBy(col("payload_md5"))
+      .agg(count(lit(1)).as("n_assets"), min(col(idCol)).as("survivor_id"))
+
   /** Feature extraction over batches: mapPartitions so a real codec would
     * amortize per-partition init (model load, native buffers), the same
     * batch shape `mapInPandas`/`mapInArrow` gives Python pipelines. */

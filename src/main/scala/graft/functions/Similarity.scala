@@ -193,6 +193,43 @@ object Similarity {
         (col("sum_fp").cast("double") / (col("n") * scale)).as("mean"))
   }
 
+  /** Semantic dedup (SemDeDup-shaped): cluster the corpus with the coarse
+    * quantizer, then within each cell drop every vector whose cosine to a
+    * LOWER-id cell-mate reaches `tau` — the min-id member of each
+    * near-dup chain survives, deterministically. Returns survivors with
+    * their cell.
+    *
+    * Why this scales where all-pairs cosine cannot: candidate pairs are
+    * confined to a cell, so the join is one hash shuffle on `cell` per
+    * side and the quadratic blow-up is bounded per cell (k trades recall
+    * for cell size exactly as in IVF search; a trained codebook drops in
+    * unchanged). Assignment itself is narrow — centroids are plan
+    * literals. Norms are computed once per row before the self-join (the
+    * [[cosineNearDupPairs]] lesson); the dropped-id frame is tiny
+    * (near-dups only), so the final anti-join broadcasts it. */
+  def semanticDedup(
+      df: DataFrame,
+      centroids: Seq[Seq[Float]],
+      tau: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol),
+      ivfAssign(col(vecCol), centroids).as("cell"),
+      norm(col(vecCol)).as("nrm"))
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("na") > 0 && col("nb") > 0 &&
+        dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on an existing
     * low-cardinality key. A label block is quadratic *per label* — fine
     * when labels are plentiful, hopeless when a label holds 10⁸ vectors;

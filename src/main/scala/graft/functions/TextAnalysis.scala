@@ -267,4 +267,63 @@ object TextAnalysis {
     df.withColumn(outCol, percent_rank().over(
       Window.partitionBy(col(groupCol)).orderBy(col(metricCol))))
   }
+
+  /** RE2-portable PII patterns (name, regex, replacement) — no lookaround,
+    * so the same literal pattern runs under Java regex (Spark) and RE2
+    * (DuckDB/other engines) with identical semantics. Application order is
+    * fixed by [[scrubPii]] and load-bearing: URL first (a URL may embed an
+    * `@` or digits that would otherwise half-match EMAIL/IP), then EMAIL,
+    * then IP before PHONE (both are digit runs, but IP requires dots so
+    * the two never overlap — the order is still fixed for determinism). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** Raw per-category PII hit counts on the UNSCRUBBED text (an audit
+    * metric: categories may overlap — an email inside a URL counts in
+    * both — which is the right semantics for "how much PII did this doc
+    * contain", independent of scrub order). */
+  def piiCounts(c: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, re, _) =>
+      s"n_$name" -> regexp_count(c, lit(re)).cast("long")
+    }
+
+  /** Redact PII in-place: chained global `regexp_replace` in
+    * [[piiPatterns]] order. A pure codegen'd projection — at corpus scale
+    * this runs at scan speed inside whole-stage codegen, no UDF, no
+    * shuffle. */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+
+  /** Per-group token-length quantiles — the corpus length-distribution
+    * diagnostic behind length-filter thresholds and packing-budget
+    * choices.
+    *
+    * `approx = false` uses Spark's exact `percentile` aggregate, which
+    * buffers each group's value multiset on the reducer: correct for the
+    * oracle and fine when group count is small and per-group cardinality
+    * fits an executor. At 100 TB use `approx = true`
+    * (`approx_percentile`, a t-digest-style mergeable sketch of bounded
+    * size — map-side combinable, no per-group buffering). Both are one
+    * hash-shuffle on the group key. */
+  def lengthQuantiles(
+      df: DataFrame,
+      probs: Seq[Double],
+      approx: Boolean = false,
+      textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probabilities must be in [0, 1]")
+    val pArr = array(probs.map(lit): _*)
+    val toks = tokenCount(col(textCol))
+    val agg =
+      if (approx) approx_percentile(toks, pArr, lit(10000))
+      else percentile(toks, pArr)
+    df.groupBy(col(groupCol)).agg(agg.as("qs"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture compaction operators. The reference's update stage
+  * (`BatchUpdate.py:425-568`) treats the LAST write per barcode as the
+  * record of truth; these generalize that "latest wins" contract to
+  * key/version compaction over arbitrarily large change streams.
+  */
+object Changes {
+
+  /** Latest record per key — upsert/CDC compaction: of all change rows
+    * sharing `keyCols`, keep the one with the greatest (`tsCol`,
+    * `tieCols`...) tuple. The tie columns make the order total (a
+    * same-timestamp pair would otherwise pick nondeterministically — at
+    * 100 TB "usually unique" timestamps collide constantly).
+    *
+    * `row_number() == 1` over a descending order plans as
+    * WindowGroupLimit (Spark ≥ 3.5): each map task truncates its groups
+    * to one row BEFORE the exchange, so the shuffle carries at most one
+    * row per (key, task) instead of the full change stream — compaction
+    * input is dominated by hot keys, which is exactly where the map-side
+    * truncation pays. One hash exchange on the key. */
+  def latestByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "latestByKey needs at least one key column")
+    val order = (tsCol +: tieCols).map(c => col(c).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Slowly-changing-dimension (type 2) intervals: each change row
+    * becomes a validity interval [`valid_from`, `valid_to`), with
+    * `valid_to` = the key's next change (null = current version, also
+    * flagged `is_current`). The order must be total per key — pass
+    * `tieCols` when `tsCol` alone can collide.
+    *
+    * One window (one hash exchange on the key, sort within): `lead` over
+    * the per-key change order. The output joins facts as a range join on
+    * `fact.ts >= valid_from AND (valid_to IS NULL OR fact.ts <
+    * valid_to)` — see [[TemporalJoin.rangeJoinBucketed]] for the
+    * banded-join scale path. */
+  def scd2(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val order = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -205,6 +205,29 @@ object Sessionize {
     l.join(r, cond, "inner")
   }
 
+  /** Stream-static enrichment: join the event stream against a bounded
+    * dimension table. Stateless — no watermark, no state store: each
+    * micro-batch joins against the static side and emits immediately,
+    * so Append mode works with zero flush machinery.
+    *
+    * The dimension is explicitly `broadcast()`: a dimension small enough
+    * to enrich a stream with should never force the stream through a
+    * per-micro-batch shuffle (a sort-merge plan would re-exchange every
+    * batch). For dimensions past broadcast size, pre-bucket both sides
+    * on the key instead. `keyPairs` maps stream column → dimension
+    * column; dimension columns are rolled in via the join, so callers
+    * select/rename what they need on the dim side beforehand. */
+  def enrichStream(
+      events: DataFrame,
+      dim: DataFrame,
+      keyPairs: Seq[(String, String)]): DataFrame = {
+    require(keyPairs.nonEmpty, "enrichment requires at least one key pair")
+    val b = org.apache.spark.sql.functions.broadcast(dim)
+    val cond = keyPairs.map { case (a, k) => events.col(a) === b.col(k) }
+      .reduce(_ && _)
+    events.join(b, cond, "left")
+  }
+
   /** Convenience: run a streaming query over a bounded source and collect
     * results synchronously (for tests / local smoke).
     *
