@@ -262,19 +262,96 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  // ------------------------------------------- exact-dup pre-collapse
+
+  /** Digest keying EXACT (bit-identical) duplicate vectors: md5 of the
+    * vector's canonical string form. Cast-to-string of `array<float>` is
+    * deterministic (fixed float formatting, fixed element order), so two
+    * rows share a digest iff their vectors are bit-identical. */
+  def vecDigest(vec: Column): Column = md5(vec.cast("string"))
+
+  /** One row per DISTINCT vector value — the duplicate-class frame the
+    * LSH paths run over instead of the raw corpus. A duplicate-heavy
+    * input (1M copies of a boilerplate page's embedding) collapses to
+    * one row here, so identical vectors can never pile into one LSH
+    * bucket and go quadratic — the failure mode adding sign positions
+    * can never fix, because identical vectors share every sign pattern.
+    * One map-side-combinable groupBy on the 16-byte digest; the class
+    * representative is the min-id member (`min_by` keeps its vector, so
+    * norms/buckets are computed once per class). Output: (__vg, rep_id,
+    * vecCol, cls_n, nrm, bkt). */
+  private def vecClasses(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      positions: Seq[Int]): DataFrame =
+    df.select(col(idCol), col(vecCol), vecDigest(col(vecCol)).as("__vg"))
+      .groupBy(col("__vg"))
+      .agg(min(col(idCol)).as("rep_id"),
+        min_by(col(vecCol), col(idCol)).as(vecCol),
+        count(lit(1)).as("cls_n"))
+      .select(col("__vg"), col("rep_id"), col(vecCol), col("cls_n"),
+        norm(col(vecCol)).as("nrm"),
+        signBucket(col(vecCol), positions).as("bkt"))
+
+  /** Drop classes whose sign bucket holds more than `maxBucket` DISTINCT
+    * vectors (0 disables). Post-collapse the count measures genuine
+    * pairwise work — identical vectors are already one class — so an
+    * oversized bucket means a mass of distinct-but-sign-identical
+    * vectors, whose quadratic expansion is exactly what OOMs a reducer;
+    * recall there is traded for boundedness, observably via
+    * [[lshOversizedBuckets]]. Same policy as
+    * [[Dedup.minhashCandidates]]'s `maxBucket`. */
+  private def capBuckets(classes: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) classes
+    else {
+      import org.apache.spark.sql.expressions.Window
+      classes
+        .withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col("bkt"))))
+        .filter(col("__bn") <= maxBucket)
+        .drop("__bn")
+    }
+
+  /** The buckets the LSH paths' `maxBucket` cap would drop, with their
+    * DISTINCT-vector counts — run/log this per job so the cap is an
+    * observable policy, not silent recall loss (the
+    * [[Dedup.minhashOversizedBuckets]] analog). */
+  def lshOversizedBuckets(
+      df: DataFrame,
+      maxBucket: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      positions: Seq[Int] = defaultPositions): DataFrame =
+    vecClasses(df, idCol, vecCol, positions)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n_classes"))
+      .filter(col("n_classes") > maxBucket)
+
   /** Embedding-cosine near-duplicate pairs blocked on the [[signBucket]]
     * LSH key — the 100-TB shape: per-bucket expansion is bounded by the
     * bucket's share of the corpus (~n/2^bits for balanced components),
     * and adding sign positions subdivides hot buckets further, where a
     * label block can never be subdivided.
     *
+    * Duplicate-heavy corpora are handled by construction: the probe join
+    * runs over [[vecClasses]] (one row per distinct vector), so n copies
+    * of one vector cost one join row, and member pairs re-expand from
+    * the digest→id map afterwards — intra-class pairs all share the
+    * self-cosine score, inter-class pairs the rep-pair score, both
+    * computed by the identical expression the uncollapsed join would
+    * evaluate (bit-equal results). `maxBucket` then caps the residual
+    * hot-bucket case — many DISTINCT vectors sharing a sign pattern —
+    * mirroring [[Dedup.minhashCandidates]] (default 4096 is sized to be
+    * inert on the test fixtures; tune to the corpus, observe drops via
+    * [[lshOversizedBuckets]]).
+    *
     * Multi-probe for recall: with `probe1 = true` a pair is emitted when
     * the two sign patterns agree on ALL positions or differ on exactly
     * one (hamming ≤ 1) — the right side explodes to its own bucket plus
     * its |positions| hamming-1 neighbors, the left joins on its true
-    * bucket only, so each qualifying pair matches exactly once (its
-    * bucket distance picks out exactly one probe) and needs no distinct.
-    * Norms are precomputed per row before the join, as in
+    * bucket only, so each qualifying class pair matches exactly once
+    * (its bucket distance picks out exactly one probe) and needs no
+    * distinct. Norms are computed once per class before the join, as in
     * [[cosineNearDupPairs]]. */
   def cosineNearDupPairsLsh(
       df: DataFrame,
@@ -282,27 +359,58 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       positions: Seq[Int] = defaultPositions,
-      probe1: Boolean = true): DataFrame = {
-    val prep = df.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"),
-      signBucket(col(vecCol), positions).as("bkt"))
+      probe1: Boolean = true,
+      maxBucket: Int = 4096): DataFrame = {
+    val members = df.select(vecDigest(col(vecCol)).as("__vg"), col(idCol))
+    // checkpoint the per-class frame once: it feeds both probe-join
+    // sides plus the intra-class path, and the digest groupBy otherwise
+    // re-runs per consumer (same rationale as Dedup.simhashNearDupPairs)
+    val reps = capBuckets(vecClasses(df, idCol, vecCol, positions), maxBucket)
+      .localCheckpoint()
     val probes =
       if (probe1)
         array((col("bkt") +: positions.indices.map(i =>
           col("bkt").bitwiseXOR(lit(1 << i)))): _*)
       else array(col("bkt"))
-    val l = prep.select(col("bkt"), col(idCol).as("id_a"),
-      col(vecCol).as("va"), col("nrm").as("na"))
-    val r = prep.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      col("nrm").as("nb"), explode(probes).as("bkt"))
-    l.join(r, Seq("bkt"))
-      .filter(col("id_a") < col("id_b"))
+    val l = reps.select(col("bkt"), col("__vg").as("vg_a"),
+      col("rep_id").as("ra"), col(vecCol).as("va"), col("nrm").as("na"))
+    val r = reps.select(col("__vg").as("vg_b"), col("rep_id").as("rb"),
+      col(vecCol).as("vb"), col("nrm").as("nb"), explode(probes).as("bkt"))
+    val interRep = l.join(r, Seq("bkt"))
+      .filter(col("ra") < col("rb"))
       .withColumn("score",
         when(col("na") > 0 && col("nb") > 0,
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(lit(0.0)))
       .filter(col("score") >= threshold)
+      .select(col("vg_a"), col("vg_b"), col("score"))
+    // classes are disjoint, so each unordered member pair appears exactly
+    // once in the expansion join — least/greatest orients it
+    val inter = interRep
+      .join(members.select(col("__vg").as("vg_a"), col(idCol).as("__ia")),
+        Seq("vg_a"))
+      .join(members.select(col("__vg").as("vg_b"), col(idCol).as("__ib")),
+        Seq("vg_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("score"))
+    // identical vectors always share a bucket, so class-mates are always
+    // candidates; their pair score is the self-cosine (d/(nrm·nrm), the
+    // exact value the uncollapsed per-pair expression yields for two
+    // bit-identical vectors — NOT a shortcut literal 1.0, which would
+    // differ in the last ulp)
+    val selfRep = reps.filter(col("cls_n") > 1)
+      .withColumn("score",
+        when(col("nrm") > 0,
+          dot(col(vecCol), col(vecCol)) / (col("nrm") * col("nrm")))
+          .otherwise(lit(0.0)))
+      .filter(col("score") >= threshold)
+      .select(col("__vg"), col("score"))
+    val intra = selfRep
+      .join(members.select(col("__vg"), col(idCol).as("id_a")), Seq("__vg"))
+      .join(members.select(col("__vg"), col(idCol).as("id_b")), Seq("__vg"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("score"))
+    inter.unionByName(intra)
   }
 
   /** Batch k-nearest-neighbors self-join: for EVERY vector, its top-k
@@ -310,15 +418,27 @@ object Similarity {
     * all-vectors ANN workload (clustering, graph building, semantic
     * dedup), where [[annTopK]] answers one query point.
     *
-    * Shape chosen for scale: candidate generation is the same bounded
-    * probe-explode join as [[cosineNearDupPairsLsh]] (per-bucket
-    * expansion ~ n/2^bits per probe, each qualifying directed pair
-    * matches exactly once, norms precomputed per row), and the per-vector
-    * top-k is `row_number <= k` over (score desc, id), which plans as
-    * Partial+Final WindowGroupLimit: each map task truncates its groups
-    * to k candidates BEFORE the shuffle, so the exchange carries
-    * O(k x vectors) rows, not the full candidate set. No driver
-    * collect, no global sort.
+    * Shape chosen for scale: candidate generation is the same
+    * class-collapsed probe-explode join as [[cosineNearDupPairsLsh]] —
+    * one row per DISTINCT vector ([[vecClasses]]), `maxBucket` cap on
+    * distinct-vector bucket population — so duplicate-heavy corpora
+    * (the workload dedup exists for) cost one candidate row per class
+    * pair, not one per member pair. Vector math happens only at class
+    * level; member expansion is provably-lossless pruned re-joining:
+    *  - per candidate class, only its k+1 SMALLEST member ids expand
+    *    (class-mates tie on score, so rank falls to the id tie-break:
+    *    anything past the k+1 smallest has k non-self class-mates ahead
+    *    of it and can never enter a top-k);
+    *  - per query class, only the k+1 best candidate classes by
+    *    (score desc, min-member-id asc) expand (each kept class
+    *    contributes at least its min member, ranked above every member
+    *    of a dropped class; at most one of those k+1 is the query row
+    *    itself, leaving ≥ k ahead of any dropped-class member).
+    * Both prunes and the final per-vector top-k are `row_number <= n`
+    * windows, which plan as Partial+Final WindowGroupLimit: map tasks
+    * truncate groups BEFORE the shuffle, so exchanges carry O(k) rows
+    * per group, not full candidate sets. No driver collect, no global
+    * sort.
     *
     * Output: (idCol, nbr_id, score, nbr_rank), nbr_rank 1..k. Vectors
     * whose probed buckets hold no other vector emit no rows (at corpus
@@ -330,29 +450,51 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       positions: Seq[Int] = defaultPositions,
-      probe1: Boolean = true): DataFrame = {
+      probe1: Boolean = true,
+      maxBucket: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val prep = df.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"),
-      signBucket(col(vecCol), positions).as("bkt"))
+    val members = df.select(vecDigest(col(vecCol)).as("__vg"), col(idCol))
+    val reps = capBuckets(vecClasses(df, idCol, vecCol, positions), maxBucket)
+      .localCheckpoint()
     val probes =
       if (probe1)
         array((col("bkt") +: positions.indices.map(i =>
           col("bkt").bitwiseXOR(lit(1 << i)))): _*)
       else array(col("bkt"))
-    val l = prep.select(col("bkt"), col(idCol),
+    val l = reps.select(col("bkt"), col("__vg").as("vg_a"),
       col(vecCol).as("va"), col("nrm").as("na"))
-    val r = prep.select(col(idCol).as("nbr_id"), col(vecCol).as("vb"),
-      col("nrm").as("nb"), explode(probes).as("bkt"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("nbr_id"))
-    l.join(r, Seq("bkt"))
-      .filter(col(idCol) =!= col("nbr_id"))
+    val r = reps.select(col("__vg").as("vg_b"), col("rep_id").as("rb"),
+      col(vecCol).as("vb"), col("nrm").as("nb"), explode(probes).as("bkt"))
+    // directed class-level candidates, self-pair KEPT: a class with 2+
+    // members is its own neighbor class (the member-level id filter
+    // kills singleton self-pairs)
+    val classCand = l.join(r, Seq("bkt"))
       .withColumn("score",
         when(col("na") > 0 && col("nb") > 0,
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(lit(0.0)))
+      .select(col("vg_a"), col("vg_b"), col("rb"), col("score"))
+    // prune 1: top k+1 candidate classes per query class; rb is the
+    // class min member id (rep = min), giving the (score, min-id) order
+    val wc = Window.partitionBy(col("vg_a"))
+      .orderBy(col("score").desc, col("rb"))
+    val topClasses = classCand
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= k + 1)
+      .select(col("vg_a"), col("vg_b"), col("score"))
+    // prune 2: k+1 smallest member ids per candidate class
+    val wm = Window.partitionBy(col("__vg")).orderBy(col(idCol))
+    val topMembers = members
+      .withColumn("__mr", row_number().over(wm))
+      .filter(col("__mr") <= k + 1)
+      .select(col("__vg").as("vg_b"), col(idCol).as("nbr_id"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("nbr_id"))
+    members.select(col("__vg").as("vg_a"), col(idCol))
+      .join(topClasses, Seq("vg_a"))
+      .join(topMembers, Seq("vg_b"))
+      .filter(col(idCol) =!= col("nbr_id"))
       .select(col(idCol), col("nbr_id"), col("score"))
       .withColumn("nbr_rank", row_number().over(w).cast("long"))
       .filter(col("nbr_rank") <= k)

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.Dedup
+import graft.functions.{Dedup, Similarity}
 import graft.operators.Skew
 
 /** Scale-path mechanics: salted joins match unsalted semantics and spread
@@ -83,6 +83,71 @@ class ScaleSpec extends SparkSuite {
     }.max
     assert(maxBucket <= 8L,
       s"12-bit chunk bucket collected $maxBucket of 200 docs")
+  }
+
+  test("knnSelfJoin: 10k identical vectors collapse to one class — no " +
+    "quadratic candidate expansion") {
+    // the duplicate-heavy workload dedup exists for: every copy shares
+    // every sign bucket, so the uncollapsed probe join would build ~10^8
+    // candidate pairs with a 4-dim dot product each. Class collapse makes
+    // it ONE class-level candidate row; member expansion is bounded at
+    // k+1 ids per class.
+    val dups = (1 to 10000).map(i => (i.toLong, Seq(0.5f, 1f, -2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.knnSelfJoin(dups, k = 3, positions = Seq(1, 2))
+      .as[(Long, Long, Double, Long)].collect()
+    // every member finds 3 class-mates (k+1 smallest ids minus self)
+    assert(knn.length == 30000)
+    assert(knn.filter(_._1 == 9999L).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(knn.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(1L, 3L, 4L))
+    assert(knn.forall(r => math.abs(r._3 - 1.0) < 1e-12))
+  }
+
+  test("cosineNearDupPairsLsh: identical vectors re-expand to exact member " +
+    "pairs; distinct vectors still pair across classes") {
+    val dups = (1 to 1500).map(i => (i.toLong, Seq(1f, 2f, 3f, 4f)))
+    val near = Seq( // bit-distinct near-dups of the dup class direction
+      (8001L, Seq(1.0001f, 2f, 3f, 4f)),
+      (8002L, Seq(0f, 0f, -1f, -1f))) // far from everything
+    val df = (dups ++ near).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairsLsh(df, threshold = 0.9,
+      positions = Seq(1, 2))
+    // 1500 copies -> C(1500,2) intra pairs + 1500 inter pairs vs 8001
+    assert(pairs.count() == 1500L * 1499L / 2 + 1500L)
+    val inter = pairs.filter($"id_b" === 8001L)
+      .as[(Long, Long, Double)].collect()
+    assert(inter.length == 1500 && inter.forall(_._3 >= 0.9))
+  }
+
+  test("embedding-LSH hot-bucket cap: distinct same-sign vectors drop " +
+    "observably, not quadratically") {
+    // 300 DISTINCT vectors sharing one sign pattern — the residual hot
+    // bucket exact-dup collapse can't absorb. The cap excludes the whole
+    // bucket from candidate generation; the drop is observable.
+    val hot = (1 to 300).map(i => (i.toLong, Seq(1f + i * 0.001f, 1f)))
+    val cold = Seq((901L, Seq(-1f, -1f)), (902L, Seq(-1.0001f, -1f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+
+    val capped = Similarity.cosineNearDupPairsLsh(df, threshold = 0.9,
+      positions = Seq(1, 2), maxBucket = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSeq == Seq((901L, 902L)),
+      s"capped bucket leaked: ${capped.take(5).toSeq}")
+    val knnCapped = Similarity.knnSelfJoin(df, k = 2,
+      positions = Seq(1, 2), maxBucket = 64)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(knnCapped.forall(r => r._1 > 900L && r._2 > 900L),
+      s"capped bucket leaked into knn: ${knnCapped.take(5).toSeq}")
+
+    val over = Similarity.lshOversizedBuckets(df, maxBucket = 64,
+      positions = Seq(1, 2)).as[(Int, Long)].collect().toSeq
+    assert(over == Seq((3, 300L)), s"observed drops: $over")
+
+    // uncapped, the hot bucket pairs quadratically (the behavior the cap
+    // exists to bound)
+    val uncapped = Similarity.cosineNearDupPairsLsh(df, threshold = 0.9,
+      positions = Seq(1, 2), maxBucket = 0).count()
+    assert(uncapped == 300L * 299L / 2 + 1)
   }
 
   test("saltedJoin: inner and left results match the plain join") {
