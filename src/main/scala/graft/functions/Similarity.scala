@@ -267,8 +267,30 @@ object Similarity {
   /** Digest keying EXACT (bit-identical) duplicate vectors: md5 of the
     * vector's canonical string form. Cast-to-string of `array<float>` is
     * deterministic (fixed float formatting, fixed element order), so two
-    * rows share a digest iff their vectors are bit-identical. */
+    * rows share a digest iff their vectors are bit-identical — with two
+    * documented edge cases at the contract's margin: every NaN bit
+    * pattern formats as "NaN" (all-NaN vectors collapse into one class;
+    * harmless — cosine over NaN is garbage either way), and `0.0f` vs
+    * `-0.0f` format differently (equal-comparing vectors split into two
+    * classes; they still meet through the LSH probe join, both landing
+    * in the non-positive sign bucket). */
   def vecDigest(vec: Column): Column = md5(vec.cast("string"))
+
+  /** (id, vector, digest) with the digest computed ONCE: the shared scan
+    * both the member map and the class frame derive from.
+    * `localCheckpoint` materializes it so the md5 projection and the
+    * source scan run once, not once per consumer (three consumers in the
+    * pair path). NB `localCheckpoint` stores blocks on executor-local
+    * storage: on a real cluster an executor loss severs the lineage and
+    * fails the job — acceptable for bounded jobs that simply re-run, but
+    * long multi-hour pipelines should swap in `checkpoint()` (reliable
+    * storage) or persist-to-disk at the same call site. */
+  private def keyedVectors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol), vecDigest(col(vecCol)).as("__vg"))
+      .localCheckpoint()
 
   /** One row per DISTINCT vector value — the duplicate-class frame the
     * LSH paths run over instead of the raw corpus. A duplicate-heavy
@@ -281,11 +303,11 @@ object Similarity {
     * norms/buckets are computed once per class). Output: (__vg, rep_id,
     * vecCol, cls_n, nrm, bkt). */
   private def vecClasses(
-      df: DataFrame,
+      keyed: DataFrame,
       idCol: String,
       vecCol: String,
       positions: Seq[Int]): DataFrame =
-    df.select(col(idCol), col(vecCol), vecDigest(col(vecCol)).as("__vg"))
+    keyed
       .groupBy(col("__vg"))
       .agg(min(col(idCol)).as("rep_id"),
         min_by(col(vecCol), col(idCol)).as(vecCol),
@@ -300,22 +322,39 @@ object Similarity {
     * oversized bucket means a mass of distinct-but-sign-identical
     * vectors, whose quadratic expansion is exactly what OOMs a reducer;
     * recall there is traded for boundedness, observably via
-    * [[lshOversizedBuckets]]. Same policy as
-    * [[Dedup.minhashCandidates]]'s `maxBucket`. */
+    * [[lshOversizedBuckets]].
+    *
+    * Sizing the cap is the CALLER's job, against the bucket-key
+    * cardinality: the bucket space is only 2^|positions| (16 with
+    * [[defaultPositions]]), so by pigeonhole any corpus with more than
+    * `maxBucket · 2^|positions|` distinct vectors has EVERY bucket over
+    * the cap and the capped output goes empty — which is why the cap is
+    * opt-in (default 0), unlike [[Dedup.minhashCandidates]] whose bucket
+    * space is a 2^32 hash. When capping, add sign positions until
+    * `maxBucket · 2^|positions|` comfortably exceeds the expected
+    * distinct-vector count, and watch [[lshOversizedBuckets]].
+    *
+    * Shape: a map-side-combinable groupBy builds the (tiny) oversized
+    * bucket id list, broadcast back as an anti-join — the class frame
+    * itself never shuffles for the cap. (A window `count over
+    * (partition by bkt)` would funnel the whole class frame into at most
+    * 2^|positions| partitions — a per-bucket single-task bottleneck at
+    * exactly the scale the cap targets.) */
   private def capBuckets(classes: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) classes
     else {
-      import org.apache.spark.sql.expressions.Window
-      classes
-        .withColumn("__bn",
-          count(lit(1)).over(Window.partitionBy(col("bkt"))))
-        .filter(col("__bn") <= maxBucket)
-        .drop("__bn")
+      val oversized = classes
+        .groupBy(col("bkt")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBucket)
+        .select(col("bkt"))
+      classes.join(broadcast(oversized), Seq("bkt"), "left_anti")
     }
 
   /** The buckets the LSH paths' `maxBucket` cap would drop, with their
-    * DISTINCT-vector counts — run/log this per job so the cap is an
-    * observable policy, not silent recall loss (the
+    * DISTINCT-vector counts (`n_classes` — what the cap tests) and their
+    * member-row counts (`n_members` — the actual recall exposure, which
+    * a large duplicate class dominates) — run/log this per job so the
+    * cap is an observable policy, not silent recall loss (the
     * [[Dedup.minhashOversizedBuckets]] analog). */
   def lshOversizedBuckets(
       df: DataFrame,
@@ -323,8 +362,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       positions: Seq[Int] = defaultPositions): DataFrame =
-    vecClasses(df, idCol, vecCol, positions)
-      .groupBy(col("bkt")).agg(count(lit(1)).as("n_classes"))
+    vecClasses(
+      df.select(col(idCol), col(vecCol),
+        vecDigest(col(vecCol)).as("__vg")),
+      idCol, vecCol, positions)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n_classes"),
+        sum(col("cls_n")).as("n_members"))
       .filter(col("n_classes") > maxBucket)
 
   /** Embedding-cosine near-duplicate pairs blocked on the [[signBucket]]
@@ -339,11 +382,24 @@ object Similarity {
     * the digest→id map afterwards — intra-class pairs all share the
     * self-cosine score, inter-class pairs the rep-pair score, both
     * computed by the identical expression the uncollapsed join would
-    * evaluate (bit-equal results). `maxBucket` then caps the residual
-    * hot-bucket case — many DISTINCT vectors sharing a sign pattern —
-    * mirroring [[Dedup.minhashCandidates]] (default 4096 is sized to be
-    * inert on the test fixtures; tune to the corpus, observe drops via
-    * [[lshOversizedBuckets]]).
+    * evaluate (bit-equal results). `maxBucket` (OPT-IN, default 0 = no
+    * cap) then caps the residual hot-bucket case — many DISTINCT vectors
+    * sharing a sign pattern. Size it against the 2^|positions| bucket
+    * space per the [[capBuckets]] pigeonhole note, and observe drops via
+    * [[lshOversizedBuckets]]. The cap bounds only the INTER-class probe
+    * join; intra-class (exact-duplicate) pairs are generated from the
+    * uncapped class frame, so bit-identical duplicates — the
+    * highest-confidence pairs, which contribute nothing to the quadratic
+    * work the cap exists to bound — never vanish when unrelated distinct
+    * vectors crowd their bucket.
+    *
+    * NOTE the output contract itself is quadratic on duplicate-heavy
+    * input: an n-copy class re-expands to C(n,2) intra pairs (1M copies
+    * → 5·10¹¹ rows), regardless of how bounded candidate GENERATION is.
+    * At corpus scale the pair frame is an audit artifact — cap or sample
+    * it; the linear-output deliverables are the cluster/survivor frames
+    * ([[Dedup.connectedComponents]] over these pairs, or exact-dup
+    * survivors straight from [[vecClasses]]' (digest, rep_id) map).
     *
     * Multi-probe for recall: with `probe1 = true` a pair is emitted when
     * the two sign patterns agree on ALL positions or differ on exactly
@@ -360,13 +416,17 @@ object Similarity {
       vecCol: String = "embedding",
       positions: Seq[Int] = defaultPositions,
       probe1: Boolean = true,
-      maxBucket: Int = 4096): DataFrame = {
-    val members = df.select(vecDigest(col(vecCol)).as("__vg"), col(idCol))
-    // checkpoint the per-class frame once: it feeds both probe-join
+      maxBucket: Int = 0): DataFrame = {
+    // one scan, one md5 pass: members and the class frame both derive
+    // from the checkpointed (id, vec, digest) projection
+    val keyed = keyedVectors(df, idCol, vecCol)
+    val members = keyed.select(col("__vg"), col(idCol))
+    // checkpoint the per-class frame too: it feeds both probe-join
     // sides plus the intra-class path, and the digest groupBy otherwise
     // re-runs per consumer (same rationale as Dedup.simhashNearDupPairs)
-    val reps = capBuckets(vecClasses(df, idCol, vecCol, positions), maxBucket)
+    val classes = vecClasses(keyed, idCol, vecCol, positions)
       .localCheckpoint()
+    val reps = capBuckets(classes, maxBucket)
     val probes =
       if (probe1)
         array((col("bkt") +: positions.indices.map(i =>
@@ -397,8 +457,10 @@ object Similarity {
     // candidates; their pair score is the self-cosine (d/(nrm·nrm), the
     // exact value the uncollapsed per-pair expression yields for two
     // bit-identical vectors — NOT a shortcut literal 1.0, which would
-    // differ in the last ulp)
-    val selfRep = reps.filter(col("cls_n") > 1)
+    // differ in the last ulp). Built from the UNCAPPED class frame: the
+    // cap's purpose is bounding inter-class expansion, and intra pairs
+    // are per-class work the bucket population doesn't change.
+    val selfRep = classes.filter(col("cls_n") > 1)
       .withColumn("score",
         when(col("nrm") > 0,
           dot(col(vecCol), col(vecCol)) / (col("nrm") * col("nrm")))
@@ -420,11 +482,19 @@ object Similarity {
     *
     * Shape chosen for scale: candidate generation is the same
     * class-collapsed probe-explode join as [[cosineNearDupPairsLsh]] —
-    * one row per DISTINCT vector ([[vecClasses]]), `maxBucket` cap on
-    * distinct-vector bucket population — so duplicate-heavy corpora
-    * (the workload dedup exists for) cost one candidate row per class
-    * pair, not one per member pair. Vector math happens only at class
-    * level; member expansion is provably-lossless pruned re-joining:
+    * one row per DISTINCT vector ([[vecClasses]]), `maxBucket` (OPT-IN,
+    * default 0; size against the 2^|positions| bucket space per the
+    * [[capBuckets]] pigeonhole note) capping distinct-vector bucket
+    * population — so duplicate-heavy corpora (the workload dedup exists
+    * for) cost one candidate row per class pair, not one per member
+    * pair. The cap bounds only INTER-class candidates: a capped class
+    * still yields its class-mate (exact-duplicate) neighbors via the
+    * uncapped self-candidate path, but loses inter-class neighbors —
+    * i.e. under an active cap the "top-k for every vector" contract
+    * weakens to "top-k among surviving candidates" for members of
+    * oversized buckets, observably via [[lshOversizedBuckets]]. Vector
+    * math happens only at class level; member expansion is
+    * provably-lossless pruned re-joining:
     *  - per candidate class, only its k+1 SMALLEST member ids expand
     *    (class-mates tie on score, so rank falls to the id tie-break:
     *    anything past the k+1 smallest has k non-self class-mates ahead
@@ -451,12 +521,14 @@ object Similarity {
       vecCol: String = "embedding",
       positions: Seq[Int] = defaultPositions,
       probe1: Boolean = true,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val members = df.select(vecDigest(col(vecCol)).as("__vg"), col(idCol))
-    val reps = capBuckets(vecClasses(df, idCol, vecCol, positions), maxBucket)
+    val keyed = keyedVectors(df, idCol, vecCol)
+    val members = keyed.select(col("__vg"), col(idCol))
+    val classes = vecClasses(keyed, idCol, vecCol, positions)
       .localCheckpoint()
+    val reps = capBuckets(classes, maxBucket)
     val probes =
       if (probe1)
         array((col("bkt") +: positions.indices.map(i =>
@@ -466,15 +538,28 @@ object Similarity {
       col(vecCol).as("va"), col("nrm").as("na"))
     val r = reps.select(col("__vg").as("vg_b"), col("rep_id").as("rb"),
       col(vecCol).as("vb"), col("nrm").as("nb"), explode(probes).as("bkt"))
-    // directed class-level candidates, self-pair KEPT: a class with 2+
-    // members is its own neighbor class (the member-level id filter
-    // kills singleton self-pairs)
-    val classCand = l.join(r, Seq("bkt"))
+    // directed class-level candidates in two parts: INTER-class pairs
+    // from the capped probe join, plus every class as its OWN neighbor
+    // class (a class with 2+ members supplies its members' class-mates;
+    // the member-level id filter kills singleton self-pairs) from the
+    // UNCAPPED frame — so a capped-out class keeps its exact-dup
+    // class-mates even when unrelated vectors crowd its bucket. The two
+    // parts are disjoint (probe side filtered to vg_a =!= vg_b), so the
+    // union introduces no duplicate candidates.
+    val interCand = l.join(r, Seq("bkt"))
+      .filter(col("vg_a") =!= col("vg_b"))
       .withColumn("score",
         when(col("na") > 0 && col("nb") > 0,
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(lit(0.0)))
       .select(col("vg_a"), col("vg_b"), col("rb"), col("score"))
+    val selfCand = classes.select(
+      col("__vg").as("vg_a"), col("__vg").as("vg_b"),
+      col("rep_id").as("rb"),
+      when(col("nrm") > 0,
+        dot(col(vecCol), col(vecCol)) / (col("nrm") * col("nrm")))
+        .otherwise(lit(0.0)).as("score"))
+    val classCand = interCand.unionByName(selfCand)
     // prune 1: top k+1 candidate classes per query class; rb is the
     // class min member id (rep = min), giving the (score, min-id) order
     val wc = Window.partitionBy(col("vg_a"))

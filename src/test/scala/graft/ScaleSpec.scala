@@ -139,15 +139,43 @@ class ScaleSpec extends SparkSuite {
     assert(knnCapped.forall(r => r._1 > 900L && r._2 > 900L),
       s"capped bucket leaked into knn: ${knnCapped.take(5).toSeq}")
 
+    // n_classes (what the cap tests) and n_members (recall exposure)
     val over = Similarity.lshOversizedBuckets(df, maxBucket = 64,
-      positions = Seq(1, 2)).as[(Int, Long)].collect().toSeq
-    assert(over == Seq((3, 300L)), s"observed drops: $over")
+      positions = Seq(1, 2)).as[(Int, Long, Long)].collect().toSeq
+    assert(over == Seq((3, 300L, 300L)), s"observed drops: $over")
 
     // uncapped, the hot bucket pairs quadratically (the behavior the cap
     // exists to bound)
     val uncapped = Similarity.cosineNearDupPairsLsh(df, threshold = 0.9,
       positions = Seq(1, 2), maxBucket = 0).count()
     assert(uncapped == 300L * 299L / 2 + 1)
+  }
+
+  test("hot-bucket cap spares exact-duplicate class-mates (intra pairs " +
+    "come from the uncapped class frame)") {
+    // 300 distinct same-sign vectors overflow the bucket's class cap; 50
+    // copies of one more vector share that bucket. The cap drops every
+    // INTER-class candidate in the bucket, but the 50-copy class must
+    // still pair internally — bit-identical duplicates are the
+    // highest-confidence pairs and contribute nothing to the quadratic
+    // inter-class work the cap bounds.
+    val hot = (1 to 300).map(i => (i.toLong, Seq(1f + i * 0.001f, 1f)))
+    val dups = (1001 to 1050).map(i => (i.toLong, Seq(2f, 1f)))
+    val df = (hot ++ dups).toDF("vec_id", "embedding")
+
+    val pairs = Similarity.cosineNearDupPairsLsh(df, threshold = 0.9,
+      positions = Seq(1, 2), maxBucket = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 50 * 49 / 2, s"got ${pairs.length} pairs")
+    assert(pairs.forall(p => p._1 >= 1001L && p._2 >= 1001L))
+
+    // knn: every dup member still sees its 2 smallest class-mates as
+    // neighbors; the capped singleton classes emit no rows
+    val knn = Similarity.knnSelfJoin(df, k = 2,
+      positions = Seq(1, 2), maxBucket = 64)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(knn.length == 100, s"got ${knn.length} knn rows")
+    assert(knn.forall(r => r._1 >= 1001L && r._2 >= 1001L))
   }
 
   test("saltedJoin: inner and left results match the plain join") {
