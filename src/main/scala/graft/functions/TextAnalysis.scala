@@ -168,27 +168,52 @@ object TextAnalysis {
     * concatenate-and-chunk pretraining shape; docs spanning a boundary
     * belong to the pack they start in, the chunker handles the split).
     *
-    * One window per group: the exclusive running token sum gives each
-    * doc's start offset, `start_off div budget` its pack — exact integer
-    * arithmetic end to end. Parallelism is per-group (source/shard), the
-    * same unit a real packing job shards by; a group's docs must sort
-    * within one window partition, which is exactly the memory shape of
-    * the downstream packer itself. Adds `n_tokens`, `start_off`,
-    * `pack_id`. */
+    * TWO-LEVEL prefix sum, so one dominant group cannot serialize onto a
+    * single task (a plain `Window.partitionBy(group).orderBy(id)` puts a
+    * whole source's running sum in ONE window partition — at corpus
+    * scale a >50% source runs on one task). Level 1: docs are chunked by
+    * `id >> chunkShift` — an arithmetic shift is floor division by
+    * 2^chunkShift, MONOTONE in the id, so chunks are contiguous id
+    * ranges and the within-chunk window (partitioned by (group, chunk))
+    * preserves the exact global order. Level 2: per-chunk token totals
+    * (a map-side-combinable groupBy; one row per chunk) get their own
+    * exclusive running sum over that tiny frame, and broadcast-join back
+    * as chunk offsets. `start_off = chunk_off + within-chunk prefix` —
+    * the same integers the single-window formulation adds, regrouped by
+    * associativity, so results are bit-identical while parallelism is
+    * #chunks (~n/2^chunkShift for dense ids). Adds `n_tokens`,
+    * `start_off`, `pack_id`. */
   def packByTokenBudget(
       df: DataFrame,
       budgetTokens: Long,
       textCol: String = "text",
       idCol: String = "doc_id",
-      groupCol: String = "source"): DataFrame = {
+      groupCol: String = "source",
+      chunkShift: Int = 12): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(chunkShift >= 0 && chunkShift < 63, "chunkShift outside [0, 62]")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val base = df
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__chunk",
+        shiftright(col(idCol).cast("long"), chunkShift))
+    val wIn = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("start_off",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val wChunk = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = base
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg(sum(col("n_tokens")).as("__chunk_tok"))
+      .withColumn("__chunk_off",
+        coalesce(sum(col("__chunk_tok")).over(wChunk), lit(0L)))
+      .select(col(groupCol), col("__chunk"), col("__chunk_off"))
+    base
+      .withColumn("__intra", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(chunkOffsets), Seq(groupCol, "__chunk"))
+      .withColumn("start_off", col("__chunk_off") + col("__intra"))
       .withColumn("pack_id", expr(s"start_off div $budgetTokens"))
+      .drop("__chunk", "__intra", "__chunk_off")
   }
 
   /** Stratified exact-quota sampling: exactly `min(k, |group|)` docs per

@@ -103,6 +103,45 @@ class TextAnalysisSpec extends SparkSuite {
       (3L, 2L, 7L, 1L), (4L, 6L, 0L, 0L)))
   }
 
+  test("packByTokenBudget: two-level prefix sum equals the single-window " +
+    "formulation and spreads one giant source over many chunks") {
+    import org.apache.spark.sql.expressions.Window
+    // ONE source, 200 docs with varying token counts and a gappy,
+    // unsorted-ingest id space — the shape that serialized the old
+    // single-window plan onto one task
+    val docs = (1 to 200).map { i =>
+      val id = i.toLong * 7 + (i % 3) // gappy, still unique
+      (id, "cc", (0 until (i % 5) + 1).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+
+    // chunkShift=4 → ids span 7..1402, ~88 chunks of 16 ids
+    val packed = TextAnalysis.packByTokenBudget(docs, budgetTokens = 7,
+      chunkShift = 4)
+    // reference: the exact single-window arithmetic
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr("start_off div 7"))
+      .select($"doc_id", $"n_tokens", $"start_off", $"pack_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val got = packed.select($"doc_id", $"n_tokens", $"start_off", $"pack_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == ref)
+
+    // the plan's running-sum window partitions on (source, chunk), not
+    // source alone — the single source's prefix sum runs across >1
+    // window partition (parallelism = #chunks)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"),
+      s"expected chunked window partitioning in plan:\n$plan")
+    val nChunks = docs
+      .select(shiftright($"doc_id".cast("long"), 4).as("c"))
+      .distinct().count()
+    assert(nChunks > 50, s"fixture only produced $nChunks chunks")
+  }
+
   test("stratifiedSample: exact quota per group, deterministic, " +
     "salt-sensitive") {
     val docs = (1 to 100).map(i => (i.toLong, s"s${i % 4}", s"d$i"))
