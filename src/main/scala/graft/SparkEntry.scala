@@ -574,6 +574,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_survivors_quality" -> ((s, dir) => {
+      // quality-aware survivor selection: within each near-dup cluster
+      // the HIGHEST-quality member survives (alpha ratio; tie → min id)
+      // instead of blindly keeping the min id — the policy a real corpus
+      // pipeline wants, since near-dup groups often mix a clean original
+      // with mangled scrapes. The top-1-per-cluster rank is a
+      // row_number <= 1 window over the (tiny) cluster-member frame —
+      // WindowGroupLimit shape — and only the non-survivor id list (tiny
+      // by construction) touches the full corpus, via a broadcast
+      // anti-join; edge-free docs never enter the ranking at all.
+      val docs = par(s)(t(s, dir, "documents"))
+      val quality = TextAnalysis.qualityColumns(col("text")).toMap
+      val scored = docs.select(col("doc_id"), col("source"),
+        quality("alpha_ratio").as("alpha_ratio"))
+      val edges = Dedup.minhashCandidates(docs, k = 8, bands = 4)
+      val comp = Dedup.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component"))
+      val members = scored.join(broadcast(comp), Seq("doc_id"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("alpha_ratio").desc, col("doc_id"))
+      val dropped = members
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select(col("doc_id"))
+      scored.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // candidate pairs -> transitive closure -> dedup clusters with a
       // canonical survivor (min member id): the step that makes pairwise
@@ -1489,6 +1517,34 @@ object SparkEntry {
            |  (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
            | WHERE node <> comp)
            |SELECT doc_id, source FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
+
+      // same recursive-CTE closure as dedup_survivors, but the survivor
+      // of each cluster is the max-alpha-ratio member (tie → min id);
+      // alpha_ratio is the identical expression text_quality_filter
+      // oracles, so the rank order agrees bit-for-bit
+      "dedup_survivors_quality" ->
+        s"""WITH RECURSIVE $duckMinhashEdgeCtes,
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           | UNION ALL SELECT doc_b, doc_a FROM edges),
+           |reach(node, lbl) AS (
+           | SELECT a, a FROM sym
+           | UNION
+           | SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+           |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+           |q AS (SELECT doc_id, source,
+           |  CASE WHEN CAST(length(text) AS BIGINT) > 0
+           |   THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)::DOUBLE
+           |    / CAST(length(text) AS BIGINT)::DOUBLE
+           |   ELSE 0.0 END AS alpha_ratio
+           | FROM documents),
+           |r AS (SELECT c.node,
+           |  row_number() OVER (PARTITION BY c.component
+           |   ORDER BY q.alpha_ratio DESC, c.node) AS rn
+           | FROM comp c JOIN q ON q.doc_id = c.node),
+           |dropped AS (SELECT node FROM r WHERE rn > 1)
+           |SELECT doc_id, source, alpha_ratio FROM q
            |WHERE doc_id NOT IN (SELECT node FROM dropped)
            |ORDER BY doc_id""".stripMargin,
 
