@@ -1136,6 +1136,65 @@ object SparkEntry {
         .orderBy(col("s_event_id"), col("e_id"))
     }),
 
+    "ev_stream_range_join_outer" -> ((s, dir) => {
+      // stream-stream LEFT-OUTER bounded range join: each signup pairs
+      // with the user's purchases within ±30 min, and a signup with NO
+      // such purchase still emits (null right side) once the watermark
+      // passes its match window. Unmatched-left emission is
+      // watermark-driven, so a bounded replay needs a far-future flush
+      // row per side (same discipline as ev_stream_sessionize); the
+      // sentinels advance both watermarks past every real row's window,
+      // and the observe()-backed require fails loudly if fixture
+      // timestamps ever grow into the sentinel's horizon. Oracle = the
+      // batch left theta join, including the zero-match rows.
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val sentinelUs = 4102444800000000L // 2100-01-01 UTC
+      val horizonUs = 3600000000L + 1800000000L // watermark delay + range
+      val sentinels = s.range(1).select(
+        explode(array(
+          struct(lit(-1L).as("event_id"),
+            expr("timestamp_micros(4102444800000000)").as("ts"),
+            lit(-1L).as("user_id"), lit("signup").as("event_type")),
+          struct(lit(-2L).as("event_id"),
+            expr("timestamp_micros(4102444800000000)").as("ts"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type"))))
+          .as("r"))
+        .select(col("r.event_id"), col("r.ts"), col("r.user_id"),
+          col("r.event_type"))
+      val staging = "target/stream_range_outer_input"
+      val obs = org.apache.spark.sql.Observation()
+      ev.unionByName(sentinels)
+        .observe(obs, max(when(col("user_id") >= 0,
+          unix_micros(col("ts")))).as("max_us"))
+        .write.mode("overwrite").parquet(staging)
+      val maxUs = obs.get("max_us").asInstanceOf[Long]
+      require(maxUs < sentinelUs - horizonUs,
+        s"fixture max event ts ($maxUs us) reaches the sentinel's " +
+          s"watermark horizon — unmatched-left rows would never flush")
+      val schema = s.read.parquet(staging).schema
+      def stream = s.readStream.schema(schema).parquet(staging)
+      val signups = stream.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_event_id"), col("user_id"),
+          col("ts").as("s_ts"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+      val joined = Sessionize.rangeJoinStream(signups, purchases,
+        keyPairs = Seq("user_id" -> "e_user"),
+        leftTsCol = "s_ts", rightTsCol = "e_ts", rangeSeconds = 1800,
+        joinType = "left_outer")
+      Sessionize.runToMemory(s,
+        joined.select(col("s_event_id"), col("e_id")),
+        "ev_stream_rj_outer", OutputMode.Append, statePartitions = 8)
+        .filter(col("s_event_id") >= 0)
+        // no signup mixes null and non-null e_id rows, so null placement
+        // never actually orders within a group — pinned anyway for
+        // engine-portable determinism
+        .orderBy(col("s_event_id"), col("e_id").asc_nulls_first)
+    }),
+
     "ev_stream_sessionize" -> ((s, dir) => {
       // the flatMapGroupsWithState path against the SAME oracle as the
       // batch ev_sessionize: parquet file source → stateful sessionize →
@@ -2070,6 +2129,17 @@ object SparkEntry {
           | AND s.event_type = 'signup'
           | AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 1800000000
           |ORDER BY 1, 2""".stripMargin,
+
+      // batch left theta join restatement: signups keep their row when no
+      // purchase falls inside the ±30 min window (the right-side filter
+      // lives in the ON clause, which is pre-join filtering for LEFT JOIN)
+      "ev_stream_range_join_outer" ->
+        """SELECT s.event_id AS s_event_id, e.event_id AS e_id
+          |FROM events s LEFT JOIN events e ON s.user_id = e.user_id
+          | AND e.event_type = 'purchase'
+          | AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 1800000000
+          |WHERE s.event_type = 'signup'
+          |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
       "ev_stream_windowed_agg" ->
         """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,

@@ -183,6 +183,17 @@ object Sessionize {
     * rest, which is what makes an indefinitely-running join viable — an
     * unconstrained stream-stream join must buffer both streams forever.
     *
+    * `joinType = "left_outer"` additionally emits each UNMATCHED left
+    * row (right columns null) — but only once the watermark passes the
+    * row's match window, since until then a matching right row could
+    * still arrive; matched pairs keep the inner join's emit-on-arrival
+    * timing. The tail consequence: left rows inside the final
+    * (delay + range) of a stream that simply stops never see the
+    * watermark close their window, so their null results stay buffered
+    * — a bounded replay must append a max-timestamp flush row to
+    * advance the watermark (the same discipline Append-mode
+    * flatMapGroupsWithState needs).
+    *
     * `keyPairs` maps left key column → right key column (callers rename
     * the right side's columns to keep the joined schema unambiguous). */
   def rangeJoinStream(
@@ -192,9 +203,12 @@ object Sessionize {
       leftTsCol: String,
       rightTsCol: String,
       rangeSeconds: Long,
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     require(keyPairs.nonEmpty, "range join requires at least one key pair")
     require(rangeSeconds > 0, "rangeSeconds must be positive")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"unsupported joinType '$joinType' (inner | left_outer)")
     val l = left.withWatermark(leftTsCol, delay)
     val r = right.withWatermark(rightTsCol, delay)
     val range = expr(s"INTERVAL '$rangeSeconds' SECOND")
@@ -202,7 +216,7 @@ object Sessionize {
       .reduce(_ && _) &&
       r.col(rightTsCol) >= l.col(leftTsCol) - range &&
       r.col(rightTsCol) <= l.col(leftTsCol) + range
-    l.join(r, cond, "inner")
+    l.join(r, cond, joinType)
   }
 
   /** Stream-static enrichment: join the event stream against a bounded
