@@ -1279,6 +1279,19 @@ object SparkEntry {
         .orderBy(col("payload_md5"))
     }),
 
+    "mm_features_bmp" -> ((s, dir) => {
+      // REAL decode path: the engine constructs an actual BMP per doc
+      // (closed-form dims) and must recover width/height by parsing the
+      // header bytes with BmpCodec; the oracle computes the same dims
+      // arithmetically, so a drift in either the byte layout or the
+      // little-endian parse breaks the match
+      Multimodal.extractFeatures(
+        Multimodal.syntheticBmpAssets(par(s)(t(s, dir, "documents"))),
+        Multimodal.BmpCodec)
+        .select(col("asset_id"), col("width"), col("height"))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -2160,6 +2173,14 @@ object SparkEntry {
           | min(doc_id) AS survivor_id
           |FROM documents GROUP BY payload_md5
           |ORDER BY payload_md5""".stripMargin,
+
+      // the BMP dims are closed-form in doc_id (syntheticBmpAssets);
+      // the engine side must reproduce them via a real header parse
+      "mm_features_bmp" ->
+        """SELECT doc_id AS asset_id,
+          | CAST(16 + doc_id % 1024 AS INT) AS width,
+          | CAST(16 + (doc_id * 7) % 1024 AS INT) AS height
+          |FROM documents ORDER BY asset_id""".stripMargin,
 
       // FakeCodec is closed-form over md5 of the utf-8 payload
       // (Multimodal.scala FakeCodec): dims from hex digits 1-3 / 4-6,

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * columns plus typed metadata, with batch-shaped feature extraction.
   *
   * The Spark-side contract is real — schema, partition sizing, batch
-  * iteration — while the media decode itself is STUBBED behind
-  * [[MediaCodec]] (this environment has no image/audio libraries). A real
-  * deployment swaps in a JNI/javax.imageio codec without touching the
-  * plan: the operator shape (mapPartitions over batches of blobs,
-  * emitting fixed-width feature structs) is what matters at 100 TB —
-  * blobs never shuffle, features do.
+  * iteration — and [[MediaCodec]] has one REAL pure-JVM implementation,
+  * [[BmpCodec]] (BMP header parse: dimensions from actual bytes), plus
+  * the deterministic [[FakeCodec]] stub for formats this environment has
+  * no libraries for. A real deployment swaps in a JNI/javax.imageio
+  * codec without touching the plan: the operator shape (mapPartitions
+  * over batches of blobs, emitting fixed-width feature structs) is what
+  * matters at 100 TB — blobs never shuffle, features do.
   */
 object Multimodal {
 
@@ -50,6 +51,70 @@ object Multimodal {
     }
     def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String] =
       (0 until n).map(i => md5hex(payload ++ Array(i.toByte)))
+  }
+
+  /** REAL codec for one pure-JVM public format: BMP. Dimensions come
+    * from an actual header parse — the 14-byte BITMAPFILEHEADER ("BM"
+    * magic) followed by a BITMAPINFOHEADER whose biWidth/biHeight are
+    * little-endian int32 at byte offsets 18/22 — not from a hash of the
+    * bytes. A negative biHeight is the legal top-down row order and
+    * reports as its magnitude. Frame samples for a still image are
+    * content fingerprints (md5 of payload + sample index), the same
+    * contract [[FakeCodec]] stubs; a video codec would replace them with
+    * decoded-frame hashes. Malformed payloads throw — [[extractFeatures]]
+    * callers decide skip-vs-fail policy upstream (null payloads are
+    * already nulled there). */
+  object BmpCodec extends MediaCodec {
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      require(payload.length >= 26 &&
+        payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+        "not a BMP payload (missing BM magic or truncated header)")
+      (leInt(payload, 18), math.abs(leInt(payload, 22)))
+    }
+    def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String] =
+      (0 until n).map { i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(payload ++ Array(i.toByte))
+          .map("%02x".format(_)).mkString
+      }
+  }
+
+  /** A minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    * (BI_RGB, biSizeImage 0 — legal for uncompressed — and no pixel
+    * array, which header-only consumers like [[BmpCodec]] never read). */
+  def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54) // bfSize
+      .putShort(0).putShort(0) // reserved
+      .putInt(54) // bfOffBits
+      .putInt(40) // biSize
+      .putInt(width).putInt(height)
+      .putShort(1) // biPlanes
+      .putShort(24) // biBitCount
+      .putInt(0) // biCompression = BI_RGB
+      .putInt(0) // biSizeImage (0 legal for BI_RGB)
+      .putInt(2835).putInt(2835) // 72 DPI
+      .putInt(0).putInt(0) // palette
+    buf.array()
+  }
+
+  /** Wrap a doc corpus as REAL BMP assets with closed-form dimensions
+    * (width = 16 + id mod 1024, height = 16 + 7·id mod 1024), so the
+    * header-parse path is oracle-checkable: the engine must recover the
+    * dims by actually constructing and parsing BMP bytes, while the
+    * oracle computes the same values arithmetically. */
+  def syntheticBmpAssets(docs: DataFrame): DataFrame = {
+    val mk = udf((id: Long) =>
+      bmpBytes((16 + id % 1024).toInt, (16 + (id * 7) % 1024).toInt))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/bmp").as("media_type"))
   }
 
   /** Wrap a text corpus as binary assets (deterministic fake payloads) —

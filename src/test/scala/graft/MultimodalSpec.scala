@@ -36,6 +36,38 @@ class MultimodalSpec extends SparkSuite {
     assert(stats(1L)._2 != stats(2L)._2)
   }
 
+  test("BmpCodec: parses real header bytes, not a hash of them") {
+    // bottom-up BMP
+    val bmp = Multimodal.bmpBytes(640, 480)
+    assert(Multimodal.BmpCodec.decodeDims(bmp) == (640, 480))
+    // byte-level check of the little-endian layout the parser reads
+    assert((bmp(18) & 0xff) == 0x80 && (bmp(19) & 0xff) == 0x02) // 640
+    // top-down BMP: negative biHeight reports as magnitude
+    val topDown = Multimodal.bmpBytes(33, -77)
+    assert(Multimodal.BmpCodec.decodeDims(topDown) == (33, 77))
+    // dims past one little-endian byte exercise the full int32 read
+    assert(Multimodal.BmpCodec.decodeDims(
+      Multimodal.bmpBytes(70000, 65537)) == (70000, 65537))
+    // malformed payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpCodec.decodeDims("XXnot a bmp".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpCodec.decodeDims(bmp.take(20))
+    }
+  }
+
+  test("syntheticBmpAssets: closed-form dims survive the build->parse " +
+    "round trip") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticBmpAssets(docs), Multimodal.BmpCodec)
+      .select($"asset_id", $"width", $"height")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(feats(1L) == (16 + 1 % 1024, 16 + 7 % 1024))
+    assert(feats(2L) == (16 + 2, 16 + 14))
+    assert(feats(3L) == (16 + 3, 16 + 21))
+  }
+
   test("extractFeatures: deterministic stub decode, fixed schema, batch shape") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs))
     assert(feats.schema.fieldNames.toSeq ==
