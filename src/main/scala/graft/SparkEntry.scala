@@ -782,6 +782,24 @@ object SparkEntry {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    "emb_kmeans_train" -> ((s, dir) => {
+      // the full Lloyd's training loop (3 fixed rounds; tol 0 so an
+      // exact fixed point short-circuits identically on both engines):
+      // per round one distributed step job, k×d means collected as the
+      // next round's plan literals. The oracle replays the identical 3
+      // rounds as unrolled CTEs — fixed-point sums make every round's
+      // means order-independent, so the trained codebook is bit-stable.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val trained = Similarity.kmeansTrain(emb, k = 8, maxIters = 3)
+      trained.zipWithIndex.flatMap { case (c, cid) =>
+        c.zipWithIndex.map { case (v, d) =>
+          (cid.toLong, d.toLong, v.toDouble)
+        }
+      }.toDF("cell", "dim", "val")
+        .orderBy(col("cell"), col("dim"))
+    }),
+
     "sim_knn_join" -> ((s, dir) => {
       // batch ANN: top-3 cosine neighbors for EVERY vector among its
       // hamming<=1 sign-bucket candidates; per-vector top-k plans as
@@ -1769,6 +1787,44 @@ object SparkEntry {
            | CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
            |   / (count(*) * 1000000) AS mean
            |FROM x GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+      },
+
+      // the training loop unrolled: three identical (assign → fixed-point
+      // means → rebuild codebook) rounds as CTE blocks; an empty cell
+      // COALESCEs to its previous centroid, and the REAL cast per round
+      // mirrors the engine's mean.toFloat round-trip (both IEEE
+      // round-to-nearest-even)
+      "emb_kmeans_train" -> {
+        def duckL2(a: String, b: String): String =
+          s"list_aggregate(list_transform(list_zip($a, $b), " +
+            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
+        def iterCtes(i: Int): String =
+          s"""a$i AS (SELECT e.vec_id, e.embedding,
+             |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+             | FROM embeddings e CROSS JOIN c${i - 1} c GROUP BY e.vec_id, e.embedding),
+             |x$i AS (SELECT cell,
+             |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |   unnest(embedding) AS x
+             | FROM a$i),
+             |s$i AS (SELECT cell, dim,
+             |   CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |     / (count(*) * 1000000) AS mean
+             | FROM x$i GROUP BY cell, dim),
+             |c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+             | FROM c${i - 1} p LEFT JOIN (SELECT cell AS cid,
+             |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
+             |   FROM s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |${iterCtes(1)},
+           |${iterCtes(2)},
+           |${iterCtes(3)}
+           |SELECT cell, dim, CAST(v AS DOUBLE) AS val FROM (
+           | SELECT CAST(cid AS BIGINT) AS cell,
+           |  CAST(generate_subscripts(ce, 1) - 1 AS BIGINT) AS dim,
+           |  unnest(ce) AS v
+           | FROM c3)
+           |ORDER BY cell, dim""".stripMargin
       },
 
       "sim_ivf_topk" -> {

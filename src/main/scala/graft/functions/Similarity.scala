@@ -120,10 +120,13 @@ object Similarity {
     array_min(array(scored: _*)).getField("cid")
   }
 
-  /** Pick the IVF coarse codebook deterministically: the first `k` corpus
-    * vectors in id order. A trained k-means codebook drops in without
-    * changing any downstream plan; determinism is what the correctness
-    * oracle needs. */
+  /** Pick the SEED codebook deterministically: the first `k` corpus
+    * vectors in id order — the starting point [[kmeansTrain]] refines
+    * and the replayable baseline the correctness oracle needs. Use the
+    * seed directly only for oracle replays; real corpora should feed
+    * [[kmeansTrain]]'s output into [[ivfTopK]]/[[semanticDedup]] (same
+    * `Seq[Seq[Float]]` shape, no downstream plan change), since an
+    * untrained quantizer loses recall immediately. */
   def ivfCentroids(
       corpus: DataFrame,
       k: Int,
@@ -191,6 +194,70 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"),
         col("dim").cast("long").as("dim"), col("n"),
         (col("sum_fp").cast("double") / (col("n") * scale)).as("mean"))
+  }
+
+  /** Lloyd's TRAINING loop: iterate [[kmeansStep]] until the codebook
+    * stops moving (or `maxIters`), returning trained centroids that drop
+    * straight into [[ivfTopK]] / [[semanticDedup]] / [[ivfAssign]] —
+    * upgrading all of them from the "first k vectors in id order" seed
+    * codebook, which loses recall immediately on any real corpus.
+    *
+    * The driver-side loop mirrors [[Dedup.connectedComponents]]'
+    * iterate-and-observe shape: one distributed job per round, a small
+    * driver-side fixed point between rounds. Here the per-round result
+    * (k×d cell means) is ALREADY the k×d-sized object the next round
+    * compiles into the plan as literals, so the collect that CC routes
+    * through `observe()` is the codebook transfer itself — no extra
+    * action, no corpus-sized data on the driver, and the centroid-shift
+    * convergence test is free arithmetic on the two codebooks.
+    *
+    * Determinism by construction, inherited from [[kmeansStep]]'s
+    * fixed-point sums: every round's means are order-independent exact
+    * integers divided once, the float round-trip (`mean.toFloat`) is
+    * IEEE round-to-nearest-even on both engines, and seeding
+    * ([[ivfCentroids]] id order) is deterministic — so a fixed-iteration
+    * replay reproduces the run bit-for-bit, which is what the
+    * correctness oracle checks. A cell that goes empty keeps its
+    * previous centroid (the deterministic standard fallback).
+    *
+    * `tol` is squared-L2 max centroid shift: stop when
+    * `max_c ‖c_new − c_old‖² <= tol`. `tol = 0.0` stops only at exact
+    * fixed point or `maxIters` — the fixed-iteration mode replays use. */
+  def kmeansTrain(
+      corpus: DataFrame,
+      k: Int,
+      maxIters: Int,
+      tol: Double = 0.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Long = 1000000L): Seq[Seq[Float]] = {
+    require(k > 0, "k must be positive")
+    require(maxIters >= 0, "maxIters must be non-negative")
+    require(tol >= 0.0, "tol must be non-negative")
+    var cents = ivfCentroids(corpus, k, idCol, vecCol)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val rows = kmeansStep(corpus, cents, vecCol, scale)
+        .select(col("cell"), col("dim"), col("mean")).collect()
+      val byCell = rows.groupBy(_.getLong(0))
+      val next = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid.toLong) match {
+          case Some(rs) =>
+            rs.sortBy(_.getLong(1)).map(_.getDouble(2).toFloat).toSeq
+          case None => old // empty cell: keep its centroid
+        }
+      }
+      val shift = cents.zip(next).map { case (a, b) =>
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          val d = x.toDouble - y.toDouble; acc + d * d
+        }
+      }.max
+      cents = next
+      iter += 1
+      converged = shift <= tol
+    }
+    cents
   }
 
   /** Semantic dedup (SemDeDup-shaped): cluster the corpus with the coarse

@@ -160,6 +160,61 @@ class SimilaritySpec extends SparkSuite {
       (1L, 0L, 1L, 9.0), (1L, 1L, 1L, 9.0)))
   }
 
+  test("kmeansTrain: converges to a fixed point, retains empty cells, " +
+    "maxIters=0 returns the seed codebook") {
+    // seeds (first 3 ids): two identical vectors + one distinct — cell 1
+    // goes empty immediately (ties assign to the LOWER cid) and must
+    // keep its centroid through every round
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(1f, 0f)), (5L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val seed = Similarity.kmeansTrain(corpus, k = 3, maxIters = 0)
+    assert(seed == Seq(Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f)))
+    val trained = Similarity.kmeansTrain(corpus, k = 3, maxIters = 10)
+    // cells are already the means: exact fixed point after round 1, the
+    // tol=0 stop fires instead of burning 10 rounds
+    assert(trained == Seq(Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f)))
+  }
+
+  test("kmeansTrain: trained codebook lifts IVF recall over the id-order " +
+    "seed codebook") {
+    // Three true clusters; the id-order seed puts ALL THREE centroids
+    // inside cluster A, splitting A across cells — a query whose true
+    // neighbors straddle the split loses them at nprobe=1. Training
+    // migrates one centroid to B (iter 1 pulls the B/C-polluted cells
+    // outward, iter 2 separates cleanly), restoring recall.
+    val a = Seq(
+      (1L, Seq(1f, -0.3f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0.3f)),
+      (4L, Seq(1f, -0.25f)), (5L, Seq(1f, -0.2f)), (6L, Seq(1f, -0.1f)),
+      (7L, Seq(1f, 0.1f)), (8L, Seq(1f, 0.2f)), (9L, Seq(1f, 0.25f)))
+    val b = (11L to 15L).map(i => (i, Seq(-1f, 5f + (i - 11) * 0.01f)))
+    val c = (21L to 25L).map(i => (i, Seq(-1f, -5f - (i - 21) * 0.01f)))
+    val corpus = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val q = Seq(1f, -0.12f)
+
+    val truth = Similarity.bruteForceTopK(corpus, q, k = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    def recall(centroids: Seq[Seq[Float]]): Double = {
+      val got = Similarity.ivfTopK(corpus, centroids, q, k = 3, nprobe = 1)
+        .select($"vec_id").as[Long].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val untrained = recall(Similarity.ivfCentroids(corpus, k = 3))
+    val trained = recall(Similarity.kmeansTrain(corpus, k = 3, maxIters = 10))
+    assert(trained > untrained,
+      s"trained recall $trained should beat untrained $untrained")
+    assert(trained == 1.0, s"trained recall $trained")
+    // and the trained codebook's cells separate the true clusters: all
+    // of A now shares one cell
+    val cells = corpus.select($"vec_id",
+      Similarity.ivfAssign($"embedding",
+        Similarity.kmeansTrain(corpus, k = 3, maxIters = 10)).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(a.map(v => cells(v._1)).toSet.size == 1)
+    assert(Set(a.head._1, b.head._1, c.head._1).map(cells).size == 3)
+  }
+
   test("ivfTopK: equals brute force restricted to the probed cells") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = Similarity.ivfCentroids(corpus, k = 8)
