@@ -55,6 +55,14 @@ object SparkEntry {
   /** Exact integer cents: round(x*100) as long. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** The streaming file source accepts only directories or globs, not a
+    * single file path. Wrapping the final character in a one-character
+    * class ("…parquet" → "…parque[t]") makes the path its own glob —
+    * matching exactly the original file, nothing wider — so a
+    * single-file fixture can feed `readStream` without a staging copy. */
+  private def streamGlob(path: String): String =
+    path.init + "[" + path.last + "]"
+
   /** DuckDB cosine between two FLOAT[] expressions, matching
     * [[Similarity.cosine]] bit-for-bit: double products, left-to-right
     * list_aggregate sum, d/(sqrt(a)*sqrt(b)). */
@@ -1073,7 +1081,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.OutputMode
       Tables.configure(s)
       val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+      val stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
         .select(col("event_id"), col("user_id"), col("event_type"))
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -1115,9 +1123,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.OutputMode
       Tables.configure(s) // TIMESTAMP(NANOS) needs nanosAsLong before inference
       val raw = s.read.parquet(s"$dir/events.parquet").schema
-      // the file source wants a directory or glob; the bracket makes the
-      // single-file path a glob without widening what it matches
-      val stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+      val stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1138,7 +1144,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.OutputMode
       Tables.configure(s)
       val raw = s.read.parquet(s"$dir/events.parquet").schema
-      def stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+      def stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val signups = stream.filter(col("event_type") === "signup")
         .select(col("event_id").as("s_event_id"), col("user_id"),
