@@ -182,7 +182,13 @@ object TextAnalysis {
     * the same integers the single-window formulation adds, regrouped by
     * associativity, so results are bit-identical while parallelism is
     * #chunks (~n/2^chunkShift for dense ids). Adds `n_tokens`,
-    * `start_off`, `pack_id`. */
+    * `start_off`, `pack_id`.
+    *
+    * Cost shape: parallel prefix sums are inherently two-pass, so the
+    * chunk-totals aggregation is a second scan-side pass over
+    * `tokenCount` (map-side combinable — the corpus itself never
+    * shuffles for it). If the tokenize-and-scan dominates, persist the
+    * narrow (id, group, chunk, n_tokens) projection before packing. */
   def packByTokenBudget(
       df: DataFrame,
       budgetTokens: Long,
