@@ -587,10 +587,11 @@ object SparkEntry {
       // the HIGHEST-quality member survives (alpha ratio; tie → min id)
       // instead of blindly keeping the min id — the policy a real corpus
       // pipeline wants, since near-dup groups often mix a clean original
-      // with mangled scrapes. The top-1-per-cluster rank is a
-      // row_number <= 1 window over the (tiny) cluster-member frame —
-      // WindowGroupLimit shape — and only the non-survivor id list (tiny
-      // by construction) touches the full corpus, via a broadcast
+      // with mangled scrapes. The rank runs over the (tiny) cluster-member
+      // frame only — the kept filter is the top-1 COMPLEMENT (__rn > 1),
+      // which needs every member row anyway, so no group-limit pruning
+      // applies and none is needed — and only the non-survivor id list
+      // (tiny by construction) touches the full corpus, via a broadcast
       // anti-join; edge-free docs never enter the ranking at all.
       val docs = par(s)(t(s, dir, "documents"))
       val quality = TextAnalysis.qualityColumns(col("text")).toMap
@@ -711,6 +712,14 @@ object SparkEntry {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
+    }),
+
+    "text_tfidf" -> ((s, dir) => {
+      // per-doc top-3 salient terms: tf·(N+1)/(df+1) rarity weighting
+      // (log-free so scores hash-match across engines); the per-doc rank
+      // plans as WindowGroupLimit
+      TextAnalysis.topTfIdf(par(s)(t(s, dir, "documents")), k = 3)
+        .orderBy(col("doc_id"), col("term_rank"))
     }),
 
     "text_repetition" -> ((s, dir) => {
@@ -1984,6 +1993,24 @@ object SparkEntry {
         s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
            |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
            |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+      // same inverted-index arithmetic: tf per (doc, term), df over the
+      // distinct tf frame, score = one IEEE division of exact integer
+      // products (no ln(), whose last ulp is engine-specific)
+      "text_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           | WHERE term <> '' GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           |  CAST(tf.tf * (n.n_docs + 1) AS DOUBLE)
+           |    / CAST(dfq.df + 1 AS DOUBLE) AS score
+           | FROM tf JOIN dfq USING (term), n),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+           |   ORDER BY score DESC, term) AS BIGINT) AS term_rank FROM sc)
+           |SELECT doc_id, term, tf, df, score, term_rank FROM r
+           |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
 
       // all three fractions divide by len(words); IEEE double division
       // of exact integer counts on both engines

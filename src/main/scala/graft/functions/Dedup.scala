@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *  - Hashes are md5-hex-string based: deterministic, seedable by suffix,
   *    portable across engines (used by the DuckDB oracle), and min() over
   *    hex strings is a valid uniform min-hash order.
+  *  - `localCheckpoint` (used to pin multi-consumer frames and truncate
+  *    iterative lineage) stores blocks on EXECUTOR-LOCAL storage: an
+  *    executor loss severs the lineage and fails the job. Fine for
+  *    bounded jobs that re-run; long multi-hour pipelines should swap in
+  *    `checkpoint()` on reliable storage at the same call sites.
   */
 object Dedup {
 

@@ -280,6 +280,54 @@ object TextAnalysis {
             (col("__nsrc") * col("n_tokens")).cast("double")).as("weight"))
   }
 
+  /** Per-doc top-k salient terms by tf·rarity weighting — the
+    * keyword-extraction / topic-tagging primitive (content routing,
+    * cluster labeling, building sparse retrieval features).
+    *
+    * Score = `tf · (N+1) / (df+1)`: term frequency times inverse
+    * document frequency WITHOUT the textbook log damping — ln() is a
+    * libm transcendental whose last ulp differs across engines, while
+    * this form is one IEEE division of exact integer products, so
+    * scores (and the hash-compared oracle) are bit-deterministic; the
+    * log is monotone, so top-k membership per (tf, df) profile is
+    * unaffected by dropping it within fixed tf.
+    *
+    * Shape at scale: two map-side-combinable aggregations (per-(doc,
+    * term) tf; per-term df over the already-distinct tf frame), one
+    * hash join of the tf frame against the vocabulary frame on term —
+    * that join IS the inverted index, only (id, term, counts) rows ever
+    * shuffle, never text — a broadcast of the one-row corpus count, and
+    * a `row_number <= k` per-doc rank that plans as WindowGroupLimit
+    * (map tasks truncate each doc's terms to k before the final
+    * exchange). Docs with no tokens emit no rows. Output: (idCol, term,
+    * tf, df, score, term_rank). */
+  def topTfIdf(
+      corpus: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = corpus
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = corpus.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double")
+          / (col("df") + 1).cast("double"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("term_rank"))
+  }
+
   /** Per-group percentile rank of a quality metric — the primitive behind
     * "drop the bottom X% of each source": rank-based, so it needs no
     * global threshold tuning and is robust to per-source score-scale

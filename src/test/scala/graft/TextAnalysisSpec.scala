@@ -142,6 +142,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(nChunks > 50, s"fixture only produced $nChunks chunks")
   }
 
+  test("topTfIdf: per-doc top-k by tf-rarity, deterministic tie-break, " +
+    "empty docs emit nothing, rank plans as WindowGroupLimit") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "..."))  // normalizes to empty -> no tokens, no rows
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topTfIdf(docs, k = 2)
+    val rows = out.orderBy("doc_id", "term_rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    // N=3 (doc 3 still counts toward the corpus size); df: apple 1,
+    // banana 2, cherry 1. doc1: apple 2*4/2=4.0, banana 1*4/3; doc2:
+    // cherry 1*4/2=2.0, banana 4/3
+    assert(rows == Seq(
+      (1L, "apple", 2L, 1L, 4.0, 1L),
+      (1L, "banana", 1L, 2L, 4.0 / 3.0, 2L),
+      (2L, "cherry", 1L, 1L, 2.0, 1L),
+      (2L, "banana", 1L, 2L, 4.0 / 3.0, 2L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k should plan as WindowGroupLimit:\n$plan")
+  }
+
   test("stratifiedSample: exact quota per group, deterministic, " +
     "salt-sensitive") {
     val docs = (1 to 100).map(i => (i.toLong, s"s${i % 4}", s"d$i"))
