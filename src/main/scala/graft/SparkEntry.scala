@@ -817,6 +817,29 @@ object SparkEntry {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    "dedup_semantic_trained" -> ((s, dir) => {
+      // SemDeDup over the TRAINED coarse quantizer: the codebook from
+      // two Lloyd's rounds replaces the id-order seed, tightening cells
+      // around true clusters (better recall per unit of within-cell
+      // quadratic work); everything downstream of the codebook is the
+      // identical semanticDedup plan
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.kmeansTrain(emb, k = 8, maxIters = 2)
+      Similarity.semanticDedup(emb, cb, tau = 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "sim_ivf_topk_trained" -> ((s, dir) => {
+      // IVF probe against the trained codebook — same ivfTopK plan, the
+      // codebook literals just come from kmeansTrain
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.kmeansTrain(emb, k = 8, maxIters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.ivfTopK(emb, cb, q, k = 10, nprobe = 3)
+    }),
+
     "sim_knn_join" -> ((s, dir) => {
       // batch ANN: top-3 cosine neighbors for EVERY vector among its
       // hamming<=1 sign-bucket candidates; per-vector top-k plans as
@@ -1384,6 +1407,34 @@ object SparkEntry {
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
         .mkString("(", " + ", ")")
+    def duckL2(a: String, b: String): String =
+      s"list_aggregate(list_transform(list_zip($a, $b), " +
+        s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
+    // Lloyd's training replay shared by every trained-codebook oracle:
+    // c0 = the id-order seed, then per round assign → fixed-point means →
+    // rebuild codebook (REAL cast = the engine's mean.toFloat; COALESCE =
+    // the empty-cell-keeps-centroid rule). After kmTrainCtes(n), CTE c<n>
+    // is the trained codebook (cid, ce).
+    def kmIterCtes(i: Int): String =
+      s"""a$i AS (SELECT e.vec_id, e.embedding,
+         |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+         | FROM embeddings e CROSS JOIN c${i - 1} c GROUP BY e.vec_id, e.embedding),
+         |x$i AS (SELECT cell,
+         |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         |   unnest(embedding) AS x
+         | FROM a$i),
+         |s$i AS (SELECT cell, dim,
+         |   CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |     / (count(*) * 1000000) AS mean
+         | FROM x$i GROUP BY cell, dim),
+         |c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+         | FROM c${i - 1} p LEFT JOIN (SELECT cell AS cid,
+         |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
+         |   FROM s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+    def kmTrainCtes(iters: Int, k: Int): String =
+      s"""c0 AS (SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings ORDER BY vec_id LIMIT $k),
+         |${(1 to iters).map(kmIterCtes).mkString(",\n")}""".stripMargin
 
     Map(
       "q01_agg_lineitem" ->
@@ -1809,38 +1860,44 @@ object SparkEntry {
       // COALESCEs to its previous centroid, and the REAL cast per round
       // mirrors the engine's mean.toFloat round-trip (both IEEE
       // round-to-nearest-even)
-      "emb_kmeans_train" -> {
-        def duckL2(a: String, b: String): String =
-          s"list_aggregate(list_transform(list_zip($a, $b), " +
-            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
-        def iterCtes(i: Int): String =
-          s"""a$i AS (SELECT e.vec_id, e.embedding,
-             |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
-             | FROM embeddings e CROSS JOIN c${i - 1} c GROUP BY e.vec_id, e.embedding),
-             |x$i AS (SELECT cell,
-             |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
-             |   unnest(embedding) AS x
-             | FROM a$i),
-             |s$i AS (SELECT cell, dim,
-             |   CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
-             |     / (count(*) * 1000000) AS mean
-             | FROM x$i GROUP BY cell, dim),
-             |c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
-             | FROM c${i - 1} p LEFT JOIN (SELECT cell AS cid,
-             |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
-             |   FROM s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
-        s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
-           |  FROM embeddings ORDER BY vec_id LIMIT 8),
-           |${iterCtes(1)},
-           |${iterCtes(2)},
-           |${iterCtes(3)}
+      "emb_kmeans_train" ->
+        s"""WITH ${kmTrainCtes(3, 8)}
            |SELECT cell, dim, CAST(v AS DOUBLE) AS val FROM (
            | SELECT CAST(cid AS BIGINT) AS cell,
            |  CAST(generate_subscripts(ce, 1) - 1 AS BIGINT) AS dim,
            |  unnest(ce) AS v
            | FROM c3)
-           |ORDER BY cell, dim""".stripMargin
-      },
+           |ORDER BY cell, dim""".stripMargin,
+
+      // semanticDedup fed by the TRAINED codebook (2 replayed rounds):
+      // assignment and the within-cell pair drop run against c2 instead
+      // of the raw seed — the end-to-end wiring kmeansTrain exists for
+      "dedup_semantic_trained" ->
+        s"""WITH ${kmTrainCtes(2, 8)},
+           |assign AS (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN c2 c GROUP BY e.vec_id, e.embedding),
+           |dropped AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+           |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  AND ${duckCosine("a.embedding", "b.embedding")} >= 0.4)
+           |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+           |ORDER BY vec_id""".stripMargin,
+
+      // ivfTopK fed by the TRAINED codebook: probe selection and cell
+      // assignment both run against c2
+      "sim_ivf_topk_trained" ->
+        s"""WITH ${kmTrainCtes(2, 8)},
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM c2, q
+           |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),
+           |assign AS (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN c2 c GROUP BY e.vec_id, e.embedding)
+           |SELECT a.vec_id, ${duckCosine("a.embedding", "q.qe")} AS score
+           |FROM assign a, q
+           |WHERE a.cell IN (SELECT cid FROM probe)
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
       "sim_ivf_topk" -> {
         def duckL2(a: String, b: String): String =
