@@ -136,6 +136,10 @@ class TextAnalysisSpec extends SparkSuite {
     val plan = packed.queryExecution.executedPlan.toString
     assert(plan.contains("__chunk"),
       s"expected chunked window partitioning in plan:\n$plan")
+    // the chunk-offset frame must come back as a broadcast join — a
+    // shuffled join here would re-exchange the corpus on (source, chunk)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk offsets should broadcast:\n$plan")
     val nChunks = docs
       .select(shiftright($"doc_id".cast("long"), 4).as("c"))
       .distinct().count()
