@@ -351,7 +351,10 @@ object Similarity {
     * storage: on a real cluster an executor loss severs the lineage and
     * fails the job — acceptable for bounded jobs that simply re-run, but
     * long multi-hour pipelines should swap in `checkpoint()` (reliable
-    * storage) or persist-to-disk at the same call site. */
+    * storage) or persist-to-disk at the same call site. Storage is
+    * ~corpus-sized (vectors ride along for the class groupBy's `min_by`);
+    * if that's prohibitive, trading back to recomputed scans is the
+    * documented alternative — one digest pass per consumer. */
   private def keyedVectors(
       df: DataFrame,
       idCol: String,

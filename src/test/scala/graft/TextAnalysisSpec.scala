@@ -146,6 +146,35 @@ class TextAnalysisSpec extends SparkSuite {
     assert(nChunks > 50, s"fixture only produced $nChunks chunks")
   }
 
+  test("packByTokenBudget: randomized corpora (negative ids, multiple " +
+    "groups, varied chunkShift) match the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val shift = Seq(0, 3, 8)(trial)
+      val docs = (0 until 120).map { _ =>
+        // negative ids exercise the arithmetic-shift (floor-division)
+        // chunking edge; collisions are discarded by distinctness below
+        val id = rnd.nextLong() % 10000
+        val grp = s"s${rnd.nextInt(3)}"
+        (id, grp, (0 until rnd.nextInt(6)).map(j => s"t$j").mkString(" "))
+      }.distinctBy(_._1).toDF("doc_id", "source", "text")
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = docs
+        .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+        .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("pack_id", expr("start_off div 11"))
+        .select($"doc_id", $"start_off", $"pack_id")
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      val got = TextAnalysis.packByTokenBudget(docs, budgetTokens = 11,
+        chunkShift = shift)
+        .select($"doc_id", $"start_off", $"pack_id")
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      assert(got == ref, s"trial $trial (chunkShift=$shift)")
+    }
+  }
+
   test("topTfIdf: per-doc top-k by tf-rarity, deterministic tie-break, " +
     "empty docs emit nothing, rank plans as WindowGroupLimit") {
     val docs = Seq(
