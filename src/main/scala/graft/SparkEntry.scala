@@ -1192,6 +1192,57 @@ object SparkEntry {
         .orderBy(col("s_event_id"), col("e_id"))
     }),
 
+    "ev_stream_asof_join" -> ((s, dir) => {
+      // stream-stream BACKWARD AS-OF join (custom flatMapGroupsWithState
+      // state machine — Spark's native stream-stream joins can't express
+      // "latest right ≤ left ts"): clicks pick up the user's most recent
+      // prior purchase, left-outer, validated against the SAME DuckDB
+      // ASOF LEFT JOIN oracle as the batch ev_asof_join. Both sides ride
+      // ONE tagged stream (single watermark), so a single far-future
+      // sentinel flushes everything; purchases pre-aggregate per
+      // (user, ts) — the operator's uniqueness contract, shared with the
+      // batch twin.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"),
+          lit(true).as("is_left"), col("event_id").as("id"),
+          lit(0L).as("cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("id"),
+          sum(cents(col("value"))).as("cents"))
+        .select(col("user_id").as("key"), col("ts"),
+          lit(false).as("is_left"), col("id"), col("cents"))
+      val sentinelUs = 4102444800000000L // 2100-01-01 UTC
+      val horizonUs = 3600000000L // the watermark delay
+      val sentinel = s.range(1).select(lit(-1L).as("key"),
+        expr("timestamp_micros(4102444800000000)").as("ts"),
+        lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
+      val staging = "target/stream_asof_input"
+      val obs = org.apache.spark.sql.Observation()
+      clicks.unionByName(purchases).unionByName(sentinel)
+        .observe(obs, max(when(col("key") >= 0,
+          unix_micros(col("ts")))).as("max_us"))
+        .write.mode("overwrite").parquet(staging)
+      val maxUs = obs.get("max_us").asInstanceOf[Long]
+      require(maxUs < sentinelUs - horizonUs,
+        s"fixture max event ts ($maxUs us) reaches the sentinel's " +
+          s"watermark horizon — pending as-of lefts would never finalize")
+      val schema = s.read.parquet(staging).schema
+      val out = Sessionize.asofJoinStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.AsofIn])
+      Sessionize.runToMemory(s, out.toDF(), "ev_stream_asof",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("l_id") >= 0)
+        .select(col("l_id").as("event_id"), col("key").as("user_id"),
+          col("l_ts_us").as("ts_us"), col("r_id").as("p_event_id"),
+          col("r_cents").as("p_cents"), col("r_ts_us").as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_stream_range_join_outer" -> ((s, dir) => {
       // stream-stream LEFT-OUTER bounded range join: each signup pairs
       // with the user's purchases within ±30 min, and a signup with NO
@@ -2288,6 +2339,21 @@ object SparkEntry {
           | AND s.event_type = 'signup'
           | AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 1800000000
           |ORDER BY 1, 2""".stripMargin,
+
+      // the identical ASOF LEFT JOIN oracle as the batch ev_asof_join —
+      // the streaming state machine must reproduce the batch as-of
+      // result exactly, nulls included
+      "ev_stream_asof_join" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click')
+          |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+          |ORDER BY c.event_id""".stripMargin,
 
       // batch left theta join restatement: signups keep their row when no
       // purchase falls inside the ±30 min window (the right-side filter

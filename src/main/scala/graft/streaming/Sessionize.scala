@@ -219,6 +219,99 @@ object Sessionize {
     l.join(r, cond, joinType)
   }
 
+  /** Input row for [[asofJoinStream]]: both sides union into ONE stream
+    * (single event-time column → single watermark), tagged by side.
+    * Right rows must be unique per (key, ts) — pre-aggregate ties
+    * upstream, exactly the batch [[TemporalJoin]] contract. */
+  final case class AsofIn(key: Long, ts: Timestamp, is_left: Boolean,
+      id: Long, cents: Long)
+
+  /** One resolved left row: right side None when no right row at-or-
+    * before the left timestamp exists (left-outer semantics). */
+  final case class AsofOut(key: Long, l_id: Long, l_ts_us: Long,
+      r_id: Option[Long], r_ts_us: Option[Long], r_cents: Option[Long])
+
+  // not private: the state encoder's generated code must reach the class
+  final case class AsofState(
+      pending: List[(Long, Long)], // unresolved lefts: (tsUs, id)
+      rights: List[(Long, Long, Long)]) // (tsUs, id, cents), ts-ascending
+
+  /** Stream-stream BACKWARD AS-OF join — each left row picks up the most
+    * recent right row at or before its timestamp — which Spark's native
+    * stream-stream joins cannot express (an as-of needs "latest ≤ ts",
+    * not a symmetric time band). Custom state via
+    * flatMapGroupsWithState, the (c)-tier escalation SURVEY.md §7
+    * reserves for semantics the built-ins can't compose.
+    *
+    * Correctness contract: a left row finalizes only once the watermark
+    * passes its timestamp STRICTLY — until then a right row at-or-before
+    * it could still arrive; after, Spark's late-row filter guarantees
+    * the right history below the watermark is complete, so the match
+    * (or its absence, emitted as nulls) is final. Emission is therefore
+    * watermark-driven, like Append-mode aggregation: a bounded replay
+    * appends one far-future flush row (single stream → one sentinel
+    * flushes BOTH sides).
+    *
+    * State is bounded by construction: unresolved lefts drain at the
+    * watermark, and of the right history at-or-below the watermark only
+    * the LATEST row can ever be "most recent ≤ ts" for a future left
+    * (future lefts sit above the watermark), so the rest prunes — per
+    * key the steady state is one right row plus in-flight traffic. The
+    * one unbounded-lookback consequence: that single latest right row
+    * per key lives as long as the key (the operator's contract is
+    * unbounded lookback, the reason Spark's range-bounded native joins
+    * can't express it). */
+  def asofJoinStream(
+      rows: Dataset[AsofIn],
+      delay: String = "1 hour"): Dataset[AsofOut] = {
+    import rows.sparkSession.implicits._
+
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    def update(
+        key: Long,
+        it: Iterator[AsofIn],
+        state: GroupState[AsofState]): Iterator[AsofOut] = {
+      var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+      if (!state.hasTimedOut) {
+        val batch = it.toSeq
+        val newLefts = batch.filter(_.is_left)
+          .map(r => (micros(r.ts), r.id))
+        val newRights = batch.filter(!_.is_left)
+          .map(r => (micros(r.ts), r.id, r.cents))
+        st = AsofState(st.pending ++ newLefts,
+          (st.rights ++ newRights).sortBy(r => (r._1, r._2)))
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // finalize lefts strictly below the watermark (a right row AT the
+      // watermark could still arrive; one at or below a finalized left's
+      // ts could not — it would be late-dropped)
+      val (ready, still) = st.pending.partition(_._1 < wmUs)
+      val out = ready.sorted.map { case (lts, lid) =>
+        val m = st.rights.filter(_._1 <= lts).lastOption
+        AsofOut(key, lid, lts, m.map(_._2), m.map(_._1), m.map(_._3))
+      }
+      // prune rights: everything above the watermark survives, plus only
+      // the latest at-or-below it (the sole candidate for future lefts)
+      val (above, below) = st.rights.partition(_._1 > wmUs)
+      st = AsofState(still, below.lastOption.toList ++ above)
+      state.update(st)
+      if (still.nonEmpty) {
+        val minPendingMs = still.map(_._1).min / 1000L
+        state.setTimeoutTimestamp(
+          math.max(minPendingMs + 1, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    rows
+      .withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Stream-static enrichment: join the event stream against a bounded
     * dimension table. Stateless — no watermark, no state store: each
     * micro-batch joins against the static side and emits immediately,

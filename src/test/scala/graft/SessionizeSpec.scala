@@ -145,6 +145,54 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("stream as-of join: finalizes only at the watermark (cross-batch " +
+    "rights land), emits nulls left-outer, pruning keeps the live right") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize.AsofIn
+    val stream = MemoryStream[AsofIn]
+    val out = Sessionize.asofJoinStream(stream.toDS())
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("asof_test").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a right at t10, lefts at t20/t5 (t5 precedes every
+      // right), and a key-2 left (isolation)
+      stream.addData(
+        AsofIn(1L, ts(10), is_left = false, 100L, 5L),
+        AsofIn(1L, ts(20), is_left = true, 1L, 0L),
+        AsofIn(1L, ts(5), is_left = true, 2L, 0L),
+        AsofIn(2L, ts(30), is_left = true, 3L, 0L))
+      query.processAllAvailable()
+      // batch 2: a LATER-ARRIVING right at t15 — the t20 left must pick
+      // it up, proving lefts aren't finalized before the watermark
+      stream.addData(AsofIn(1L, ts(15), is_left = false, 101L, 7L))
+      query.processAllAvailable()
+      // nothing can have finalized yet: watermark ~ t30 - 1h
+      assert(spark.table("asof_test").count() == 0L)
+      // batch 3: flush row -> watermark ~ t940, lefts t5/t20/t30 resolve
+      stream.addData(AsofIn(9L, ts(1000), is_left = true, -9L, 0L))
+      query.processAllAvailable()
+      // batch 4: a fresh left above the watermark must still match the
+      // PRUNED right history's survivor (latest right ≤ watermark)
+      stream.addData(AsofIn(1L, ts(950), is_left = true, 4L, 0L))
+      query.processAllAvailable()
+      stream.addData(AsofIn(9L, ts(3000), is_left = true, -10L, 0L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_test")
+        .filter($"key" <= 2)
+        .select($"l_id", $"r_id", $"r_cents")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == Set(
+        (1L, Some(101L), Some(7L)), // t20 -> cross-batch right at t15
+        (2L, None, None), // no right at-or-before t5
+        (3L, None, None), // key isolation: key 2 saw no rights
+        (4L, Some(101L), Some(7L)))) // post-prune match survives
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS asof_test")
+    }
+  }
+
   test("watermarked windowed counts over a bounded stream match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
