@@ -714,6 +714,26 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_vocab" -> ((s, dir) => {
+      // per-source vocabulary profile: token occurrences, distinct terms,
+      // and type-token ratio — the corpus-diversity diagnostic behind
+      // boilerplate detection and mixture design. One explode feeding a
+      // partial-aggregated count + count(distinct); at 100 TB swap the
+      // exact distinct for approx_count_distinct (HLL sketch, map-side
+      // mergeable) — sketch estimates are implementation-specific, so
+      // only the exact form is oracle-comparable.
+      par(s)(t(s, dir, "documents"))
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_terms"))
+        .withColumn("type_token_ratio",
+          col("n_terms").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       // per-doc top-3 salient terms: tf·(N+1)/(df+1) rarity weighting
       // (log-free so scores hash-match across engines); the per-doc rank
@@ -2101,6 +2121,14 @@ object SparkEntry {
         s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
            |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
            |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+      "text_vocab" ->
+        s"""WITH tok AS (SELECT source, unnest($duckWords) AS term FROM documents)
+           |SELECT source, count(*) AS n_tokens,
+           | count(DISTINCT term) AS n_terms,
+           | CAST(count(DISTINCT term) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |  AS type_token_ratio
+           |FROM tok WHERE term <> '' GROUP BY source ORDER BY source""".stripMargin,
 
       // same inverted-index arithmetic: tf per (doc, term), df over the
       // distinct tf frame, score = one IEEE division of exact integer
