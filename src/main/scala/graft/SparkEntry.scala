@@ -587,12 +587,16 @@ object SparkEntry {
       // the HIGHEST-quality member survives (alpha ratio; tie → min id)
       // instead of blindly keeping the min id — the policy a real corpus
       // pipeline wants, since near-dup groups often mix a clean original
-      // with mangled scrapes. The rank runs over the (tiny) cluster-member
-      // frame only — the kept filter is the top-1 COMPLEMENT (__rn > 1),
-      // which needs every member row anyway, so no group-limit pruning
-      // applies and none is needed — and only the non-survivor id list
-      // (tiny by construction) touches the full corpus, via a broadcast
-      // anti-join; edge-free docs never enter the ranking at all.
+      // with mangled scrapes. The rank runs over the cluster-member frame
+      // only (near-dup members, a small fraction of the corpus) — the
+      // kept filter is the top-1 COMPLEMENT (__rn > 1), which needs every
+      // member row anyway, so no group-limit pruning applies and none is
+      // needed — and only the non-survivor id list touches the full
+      // corpus, via an anti-join. No broadcast HINT on either join: the
+      // member/dropped frames are usually broadcast-sized and AQE will
+      // pick that plan from runtime stats, but on a duplicate-heavy
+      // corpus they scale with the dup rate and a forced broadcast would
+      // hard-fail where a shuffled anti-join degrades gracefully.
       val docs = par(s)(t(s, dir, "documents"))
       val quality = TextAnalysis.qualityColumns(col("text")).toMap
       val scored = docs.select(col("doc_id"), col("source"),
@@ -600,14 +604,14 @@ object SparkEntry {
       val edges = Dedup.minhashCandidates(docs, k = 8, bands = 4)
       val comp = Dedup.connectedComponents(edges)
         .select(col("node").as("doc_id"), col("component"))
-      val members = scored.join(broadcast(comp), Seq("doc_id"))
+      val members = scored.join(comp, Seq("doc_id"))
       val w = Window.partitionBy(col("component"))
         .orderBy(col("alpha_ratio").desc, col("doc_id"))
       val dropped = members
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > 1)
         .select(col("doc_id"))
-      scored.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      scored.join(dropped, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     }),
 
