@@ -270,10 +270,13 @@ object Similarity {
     * confined to a cell, so the join is one hash shuffle on `cell` per
     * side and the quadratic blow-up is bounded per cell (k trades recall
     * for cell size exactly as in IVF search; a trained codebook drops in
-    * unchanged). Assignment itself is narrow — centroids are plan
-    * literals. Norms are computed once per row before the self-join (the
-    * [[cosineNearDupPairs]] lesson); the dropped-id frame is tiny
-    * (near-dups only), so the final anti-join broadcasts it. */
+    * unchanged — train one with [[kmeansTrain]]). Assignment itself is
+    * narrow — centroids are plan literals. Norms are computed once per
+    * row before the self-join (the [[cosineNearDupPairs]] lesson). The
+    * final anti-join carries no broadcast HINT: the dropped-id frame
+    * scales with the corpus near-dup rate, so a forced broadcast would
+    * hard-fail exactly on the duplicate-heavy corpora dedup exists for,
+    * while AQE still broadcasts from runtime stats when it is small. */
   def semanticDedup(
       df: DataFrame,
       centroids: Seq[Seq[Float]],
@@ -294,7 +297,7 @@ object Similarity {
       .select(col("id_b").as(idCol))
       .distinct()
     assigned.select(col(idCol), col("cell"))
-      .join(broadcast(dropped), Seq(idCol), "left_anti")
+      .join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked on an existing

@@ -188,7 +188,15 @@ object TextAnalysis {
     * chunk-totals aggregation is a second scan-side pass over
     * `tokenCount` (map-side combinable — the corpus itself never
     * shuffles for it). If the tokenize-and-scan dominates, persist the
-    * narrow (id, group, chunk, n_tokens) projection before packing. */
+    * narrow (id, group, chunk, n_tokens) projection before packing.
+    *
+    * Sizing `chunkShift`: the offsets frame is one row per chunk and is
+    * broadcast, and the win flattens once chunks comfortably exceed
+    * cores — so pick the shift that puts #chunks ≈ 10–100× total cores
+    * (e.g. ids densely numbered to 10¹¹ on a 10⁴-core cluster want
+    * `chunkShift ≈ 20`, a few hundred thousand chunks), not the
+    * smallest shift that still parallelizes. The default suits
+    * 10⁵–10⁸-doc id spaces. */
   def packByTokenBudget(
       df: DataFrame,
       budgetTokens: Long,
