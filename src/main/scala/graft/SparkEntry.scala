@@ -1267,6 +1267,56 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_stream_asof_fwd" -> ((s, dir) => {
+      // stream-stream FORWARD as-of, tolerance-bounded (24 h): each
+      // click picks up the user's EARLIEST purchase within a day after
+      // it. The tolerance is what makes forward as-of streamable at all
+      // (finalize once the watermark passes ts + tol) and also what
+      // lets this state machine fully expire, unlike the backward
+      // variant's one-row-per-key tail. Same staging/sentinel shape as
+      // ev_stream_asof_join.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val tolSec = 86400L
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"),
+          lit(true).as("is_left"), col("event_id").as("id"),
+          lit(0L).as("cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("id"),
+          sum(cents(col("value"))).as("cents"))
+        .select(col("user_id").as("key"), col("ts"),
+          lit(false).as("is_left"), col("id"), col("cents"))
+      val sentinelUs = 4102444800000000L // 2100-01-01 UTC
+      val horizonUs = 3600000000L + tolSec * 1000000L // delay + tolerance
+      val sentinel = s.range(1).select(lit(-1L).as("key"),
+        expr("timestamp_micros(4102444800000000)").as("ts"),
+        lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
+      val staging = "target/stream_asof_fwd_input"
+      val obs = org.apache.spark.sql.Observation()
+      clicks.unionByName(purchases).unionByName(sentinel)
+        .observe(obs, max(when(col("key") >= 0,
+          unix_micros(col("ts")))).as("max_us"))
+        .write.mode("overwrite").parquet(staging)
+      val maxUs = obs.get("max_us").asInstanceOf[Long]
+      require(maxUs < sentinelUs - horizonUs,
+        s"fixture max event ts ($maxUs us) reaches the sentinel's " +
+          s"close horizon — pending forward as-of lefts would never close")
+      val schema = s.read.parquet(staging).schema
+      val out = Sessionize.asofFwdJoinStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.AsofIn], tolSeconds = tolSec)
+      Sessionize.runToMemory(s, out.toDF(), "ev_stream_asof_fwd",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("l_id") >= 0)
+        .select(col("l_id").as("event_id"), col("key").as("user_id"),
+          col("l_ts_us").as("ts_us"), col("r_id").as("p_event_id"),
+          col("r_cents").as("p_cents"), col("r_ts_us").as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_stream_range_join_outer" -> ((s, dir) => {
       // stream-stream LEFT-OUTER bounded range join: each signup pairs
       // with the user's purchases within ±30 min, and a signup with NO
@@ -2386,6 +2436,25 @@ object SparkEntry {
           | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
           |ORDER BY c.event_id""".stripMargin,
+
+      // forward ASOF (earliest at-or-after) nulled past the tolerance —
+      // the earliest match beyond tol implies no match inside the window,
+      // so the null-out restates "earliest within [ts, ts+tol]" exactly
+      "ev_stream_asof_fwd" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click'),
+          |j AS (SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          |  p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
+          | FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+          |SELECT event_id, user_id, ts_us,
+          | CASE WHEN p_ts_us - ts_us <= 86400000000 THEN p_event_id END AS p_event_id,
+          | CASE WHEN p_ts_us - ts_us <= 86400000000 THEN p_cents END AS p_cents,
+          | CASE WHEN p_ts_us - ts_us <= 86400000000 THEN p_ts_us END AS p_ts_us
+          |FROM j ORDER BY event_id""".stripMargin,
 
       // batch left theta join restatement: signups keep their row when no
       // purchase falls inside the ±30 min window (the right-side filter

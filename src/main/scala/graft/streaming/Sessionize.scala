@@ -312,6 +312,85 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream FORWARD tolerance-bounded as-of join — each left row
+    * picks up the EARLIEST right row in `[ts, ts + tolSeconds]` (ties →
+    * min id; uniqueness per (key, ts) is the caller's contract, as in
+    * [[asofJoinStream]]). Forward as-of is only implementable streaming
+    * WITH a tolerance: an unbounded forward match could always be one
+    * more batch away, so no left could ever finalize — the bound is
+    * what turns "wait forever" into "finalize once the watermark
+    * strictly passes ts + tol" (at which point the candidate window is
+    * complete by the late-row filter).
+    *
+    * Unlike the backward join's one-retained-row-per-key-forever, this
+    * state FULLY expires: a right row is matchable only by lefts with
+    * ts in `[r.ts − tol, r.ts]`, and once the watermark passes a
+    * boundary neither side below it can matter — rights prune at
+    * `min(watermark, oldest pending left)`, pending lefts drain at
+    * `ts + tol`, and a key whose buffers empty removes its state
+    * entirely. Retention horizon ≈ tolerance + in-flight traffic. */
+  def asofFwdJoinStream(
+      rows: Dataset[AsofIn],
+      tolSeconds: Long,
+      delay: String = "1 hour"): Dataset[AsofOut] = {
+    import rows.sparkSession.implicits._
+    require(tolSeconds > 0, "tolSeconds must be positive")
+    val tolUs = tolSeconds * 1000000L
+
+    def micros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    def update(
+        key: Long,
+        it: Iterator[AsofIn],
+        state: GroupState[AsofState]): Iterator[AsofOut] = {
+      var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+      if (!state.hasTimedOut) {
+        val batch = it.toSeq
+        st = AsofState(
+          st.pending ++ batch.filter(_.is_left).map(r => (micros(r.ts), r.id)),
+          (st.rights ++ batch.filter(!_.is_left)
+            .map(r => (micros(r.ts), r.id, r.cents)))
+            .sortBy(r => (r._1, r._2)))
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // finalize once the watermark strictly passes ts + tol: the
+      // candidate window [ts, ts + tol] can no longer gain rows
+      val (ready, still) = st.pending.partition(_._1 + tolUs < wmUs)
+      val out = ready.sorted.map { case (lts, lid) =>
+        val m = st.rights
+          .find(r => r._1 >= lts && r._1 <= lts + tolUs)
+        AsofOut(key, lid, lts, m.map(_._2), m.map(_._1), m.map(_._3))
+      }
+      // a right at ts r serves lefts with ts in [r - tol, r]; lefts
+      // below the watermark are late-dropped and the oldest pending one
+      // bounds what current lefts still need
+      val floorUs =
+        if (still.isEmpty) wmUs else math.min(wmUs, still.map(_._1).min)
+      st = AsofState(still, st.rights.filter(_._1 >= floorUs))
+      if (still.isEmpty && st.rights.isEmpty) {
+        state.remove()
+      } else {
+        state.update(st)
+        // wake when the next pending left's window closes, or — with
+        // only rights buffered — when the last right expires, so the
+        // state self-cleans instead of lingering until the next event
+        val nextUs =
+          if (still.nonEmpty) still.map(_._1).min + tolUs
+          else st.rights.map(_._1).max
+        state.setTimeoutTimestamp(
+          math.max(nextUs / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    rows
+      .withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Stream-static enrichment: join the event stream against a bounded
     * dimension table. Stateless — no watermark, no state store: each
     * micro-batch joins against the static side and emits immediately,

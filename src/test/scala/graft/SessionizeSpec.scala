@@ -193,6 +193,55 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("stream forward as-of: earliest right within tolerance, " +
+    "cross-batch rights honored, out-of-tolerance and backward rights " +
+    "yield nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize.AsofIn
+    val stream = MemoryStream[AsofIn]
+    val out = Sessionize.asofFwdJoinStream(stream.toDS(),
+      tolSeconds = 30 * 60)
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("asof_fwd_test").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        AsofIn(1L, ts(0), is_left = true, 1L, 0L), // -> earliest of two
+        AsofIn(1L, ts(10), is_left = false, 100L, 5L),
+        AsofIn(1L, ts(20), is_left = false, 101L, 7L),
+        AsofIn(1L, ts(100), is_left = true, 2L, 0L), // nearest right +31min
+        AsofIn(1L, ts(200), is_left = true, 3L, 0L), // right lands in b2
+        AsofIn(1L, ts(50), is_left = true, 4L, 0L)) // all rights behind it
+      query.processAllAvailable()
+      // batch 1's max event time (t200) advances the watermark to t140,
+      // so lefts 1/2/4 finalize in the trailing timeout batch — their
+      // 30-min windows closed inside batch 1's own data. Only l3
+      // (window open until t230) is still pending here; its right
+      // arrives in batch 2. (Strictly-at-the-watermark finalization
+      // timing is pinned by the backward as-of test.)
+      stream.addData(
+        AsofIn(1L, ts(131), is_left = false, 103L, 9L),
+        AsofIn(1L, ts(210), is_left = false, 102L, 8L))
+      query.processAllAvailable()
+      stream.addData(AsofIn(9L, ts(3000), is_left = true, -9L, 0L))
+      query.processAllAvailable()
+      stream.addData(AsofIn(9L, ts(6000), is_left = true, -10L, 0L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_fwd_test")
+        .filter($"key" <= 2)
+        .select($"l_id", $"r_id", $"r_cents")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == Set(
+        (1L, Some(100L), Some(5L)), // earliest in-window, not latest
+        (2L, None, None), // ts(131) is 31 min out -> beyond tolerance
+        (3L, Some(102L), Some(8L)), // cross-batch right at +10min
+        (4L, None, None))) // rights exist only BEHIND the left
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS asof_fwd_test")
+    }
+  }
+
   test("watermarked windowed counts over a bounded stream match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
