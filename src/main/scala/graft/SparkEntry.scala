@@ -539,6 +539,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_jaccard_hot" -> ((s, dir) => {
+      // the hot-gram cap's observability face: grams whose per-source df
+      // exceeds the cap (here 5, active on this corpus) with their df —
+      // what ngramJaccardPairs would silently drop becomes a loggable
+      // frame
+      Dedup.jaccardHotGrams(par(s)(t(s, dir, "documents")),
+        maxGramDf = 5, n = 2)
+        .orderBy(col("blk"), col("gram"))
+    }),
+
     "dedup_embed" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
@@ -1867,6 +1877,13 @@ object SparkEntry {
            |JOIN sz sb ON sb.doc_id = p.doc_b
            |WHERE p.inter::DOUBLE / (sa.sz + sb.sz - p.inter)::DOUBLE >= 0.25
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "dedup_jaccard_hot" ->
+        s"""SELECT source AS blk, gram, count(*) AS gram_df
+           |FROM (SELECT doc_id, source, unnest(list_distinct($duckShingles2)) AS gram
+           |  FROM documents)
+           |GROUP BY source, gram HAVING count(*) > 5
+           |ORDER BY blk, gram""".stripMargin,
 
       "dedup_embed" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
