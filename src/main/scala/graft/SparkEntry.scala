@@ -833,6 +833,15 @@ object SparkEntry {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    "emb_quantize_int8" -> ((s, dir) => {
+      // symmetric absmax int8 quantization, serialized as csv for the
+      // hash compare (array columns don't cross the oracle boundary)
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("q_scale"),
+          concat_ws(",", col("q")).as("q_csv"))
+        .orderBy(col("vec_id"))
+    }),
+
     "emb_kmeans_train" -> ((s, dir) => {
       // the full Lloyd's training loop (3 fixed rounds; tol 0 so an
       // exact fixed point short-circuits identically on both engines):
@@ -1996,6 +2005,20 @@ object SparkEntry {
            |   / (count(*) * 1000000) AS mean
            |FROM x GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
       },
+
+      // absmax and the floor(x+0.5) half-up rounding are the same IEEE
+      // double ops in both engines; csv render of the int components
+      "emb_quantize_int8" ->
+        """WITH m AS (SELECT vec_id, embedding,
+          |  COALESCE(list_aggregate(list_transform(embedding,
+          |    x -> abs(x::DOUBLE)), 'max'), 0.0) AS q_scale
+          | FROM embeddings)
+          |SELECT vec_id, q_scale,
+          | array_to_string(CASE WHEN q_scale > 0
+          |  THEN list_transform(embedding,
+          |    x -> CAST(floor(x::DOUBLE * 127.0 / q_scale + 0.5) AS INT))
+          |  ELSE list_transform(embedding, x -> 0) END, ',') AS q_csv
+          |FROM m ORDER BY vec_id""".stripMargin,
 
       // the training loop unrolled: three identical (assign → fixed-point
       // means → rebuild codebook) rounds as CTE blocks; an empty cell

@@ -260,6 +260,33 @@ object Similarity {
     cents
   }
 
+  /** Scalar int8 quantization of an embedding column — the 4× storage /
+    * bandwidth cut a 100-TB embedding corpus takes before indexing
+    * (per-vector absmax scaling, the standard symmetric scheme):
+    * `q_i = floor(x_i · 127 / m + 0.5)` with `m = max |x_i|`, so
+    * `q ∈ [−127, 127]` and `x ≈ q · m / 127` within `m/254` per
+    * component. Zero vectors quantize to zeros with scale 0.
+    *
+    * `floor(· + 0.5)` rather than `round()`: half-up-toward-+∞ via
+    * floor is the same IEEE operation in every engine, where round()'s
+    * half-handling differs (HALF_UP BigDecimal in Spark, away-from-zero
+    * in others) — the choice that keeps the oracle hash-exact. A narrow
+    * codegen'd projection: no shuffle, runs at scan speed. Output adds
+    * (`q_scale`, `q` : array<int>). */
+  def quantizeInt8(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn("q_scale", coalesce(absMax, lit(0.0)))
+      .withColumn("q",
+        when(col("q_scale") > 0,
+          transform(col(vecCol), x =>
+            floor(x.cast("double") * 127.0 / col("q_scale") + 0.5)
+              .cast("int")))
+          .otherwise(transform(col(vecCol), _ => lit(0))))
+  }
+
   /** Semantic dedup (SemDeDup-shaped): cluster the corpus with the coarse
     * quantizer, then within each cell drop every vector whose cosine to a
     * LOWER-id cell-mate reaches `tau` — the min-id member of each

@@ -160,6 +160,32 @@ class SimilaritySpec extends SparkSuite {
       (1L, 0L, 1L, 9.0), (1L, 1L, 1L, 9.0)))
   }
 
+  test("quantizeInt8: symmetric absmax, half-up rounding, range bound, " +
+    "dequantization error within m/254, zero vector -> zeros") {
+    val corpus = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0f, 0f, 0f)),
+      (3L, Seq(3f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(corpus)
+      .select($"vec_id", $"q_scale", $"q")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // 0.5·127=63.5 -> 64 (half-up); -1·127=-127; 0.25·127=31.75 -> 32
+    assert(q(1L) == ((1.0, Seq(64, -127, 32))))
+    assert(q(2L) == ((0.0, Seq(0, 0, 0))))
+    assert(q(3L) == ((3.0, Seq(127))))
+
+    val v = Seq(0.113f, -0.87f, 0.52f, 0.004f)
+    val (m, qs) = Similarity.quantizeInt8(Seq((9L, v)).toDF("vec_id", "embedding"))
+      .select($"q_scale", $"q").as[(Double, Seq[Int])].head()
+    v.zip(qs).foreach { case (x, qi) =>
+      assert(qi >= -127 && qi <= 127)
+      assert(math.abs(x - qi * m / 127.0) <= m / 254.0 + 1e-9,
+        s"component $x dequantized too far: $qi scale $m")
+    }
+  }
+
   test("kmeansTrain: converges to a fixed point, retains empty cells, " +
     "maxIters=0 returns the seed codebook") {
     // seeds (first 3 ids): two identical vectors + one distinct — cell 1
