@@ -1054,6 +1054,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
     }),
 
+    "ev_cdc_apply" -> ((s, dir) => {
+      // CDC APPLY (batch MERGE INTO): even events form the base snapshot
+      // (compacted latest-per-user), odd events are the change feed with
+      // every 17th a delete; the apply folds them into the next
+      // snapshot — newest version wins per user, delete-latest users
+      // drop entirely. One WindowGroupLimit compaction over the union.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("value_cents"))
+      val base = Changes.latestByKey(ev.filter(col("event_id") % 2 === 0),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+      val changes = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("op",
+          when(col("event_id") % 17 === 0, lit("d")).otherwise(lit("u")))
+      Changes.applyCdc(base, changes, keyCols = Seq("user_id"),
+        tsCol = "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "ev_asof_join" -> ((s, dir) => {
       // backward as-of: each click picks up the user's most recent
       // purchase at or before it (union-window shape, one shuffle+sort).
@@ -2375,6 +2397,30 @@ object SparkEntry {
           |SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+      // MERGE-INTO restatement: base = compacted even events, changes =
+      // odd events (every 17th a delete), newest version per user wins,
+      // delete-latest users vanish
+      "ev_cdc_apply" ->
+        """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents FROM events),
+          |base AS (SELECT user_id, event_id, ts, event_type, value_cents
+          | FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts DESC, event_id DESC) AS rn
+          |   FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+          |allr AS (
+          | SELECT user_id, event_id, ts, event_type, value_cents, 'u' AS op
+          |  FROM base
+          | UNION ALL
+          | SELECT user_id, event_id, ts, event_type, value_cents,
+          |   CASE WHEN event_id % 17 = 0 THEN 'd' ELSE 'u' END AS op
+          |  FROM ev WHERE event_id % 2 = 1),
+          |latest AS (SELECT * FROM (SELECT *, row_number() OVER
+          |   (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM allr) WHERE rn = 1)
+          |SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+          | value_cents
+          |FROM latest WHERE op <> 'd' ORDER BY user_id""".stripMargin,
 
       "ev_scd2" ->
         """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,

@@ -36,6 +36,34 @@ object Changes {
       .drop("__rn")
   }
 
+  /** CDC APPLY — the batch MERGE INTO: fold a change feed (upserts +
+    * deletes) into a base snapshot, producing the next snapshot. Both
+    * inputs share the row schema plus `opCol` on the changes ("u" /
+    * `deleteOp`); the base counts as an upsert at its own timestamp, so
+    * one [[latestByKey]] pass over the union resolves every key to its
+    * newest version — map-side WindowGroupLimit truncation, one hash
+    * exchange — and keys whose newest version is a delete drop from the
+    * output (the delete row itself is not a record). Late-arriving
+    * changes older than the snapshot's version of a key lose to it, the
+    * contract a re-runnable snapshot job needs.
+    *
+    * Output columns = the base schema (opCol removed). */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCols: Seq[String] = Nil,
+      opCol: String = "op",
+      deleteOp: String = "d"): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
+    val all = base.withColumn(opCol, lit("u"))
+      .unionByName(changes)
+    latestByKey(all, keyCols, tsCol, tieCols)
+      .filter(col(opCol) =!= deleteOp)
+      .drop(opCol)
+  }
+
   /** Slowly-changing-dimension (type 2) intervals: each change row
     * becomes a validity interval [`valid_from`, `valid_to`), with
     * `valid_to` = the key's next change (null = current version, also

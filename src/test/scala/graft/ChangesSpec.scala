@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Changes
+
+/** CDC compaction semantics: latest-per-key total order, SCD-2 interval
+  * construction, and the MERGE-INTO apply (upsert wins, delete drops the
+  * key, late changes lose to the snapshot). */
+class ChangesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(m: Long): Timestamp = new Timestamp(m * 60000L)
+
+  test("latestByKey: greatest (ts, tie) tuple wins, ties resolved totally") {
+    val df = Seq(
+      (1L, ts(10), 100L, "a"),
+      (1L, ts(10), 101L, "b"), // same ts: tie falls to event id
+      (1L, ts(5), 102L, "c"),
+      (2L, ts(1), 103L, "d"))
+      .toDF("k", "ts", "id", "v")
+    val got = Changes.latestByKey(df, Seq("k"), "ts", Seq("id"))
+      .select($"k", $"id", $"v").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 101L, "b"), (2L, 103L, "d")))
+  }
+
+  test("scd2: half-open intervals chain per key; last version is current") {
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (2L, ts(5), 3L))
+      .toDF("k", "ts", "id")
+    val got = Changes.scd2(df, Seq("k"), "ts", Seq("id"))
+      .select($"id", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Timestamp, Option[Timestamp], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((ts(0), Some(ts(10)), false)))
+    assert(got(2L) == ((ts(10), None, true)))
+    assert(got(3L) == ((ts(5), None, true)))
+  }
+
+  test("applyCdc: upserts replace, deletes remove, late changes lose, " +
+    "untouched base keys survive") {
+    val base = Seq(
+      (1L, ts(10), 1L, "old"), // will be upserted
+      (2L, ts(10), 2L, "keep"), // untouched
+      (3L, ts(10), 3L, "gone"), // will be deleted
+      (4L, ts(10), 4L, "stays")) // late change must lose
+      .toDF("k", "ts", "id", "v")
+    val changes = Seq(
+      (1L, ts(20), 10L, "new", "u"),
+      (3L, ts(20), 11L, "x", "d"),
+      (4L, ts(5), 12L, "stale", "u"), // older than the snapshot version
+      (5L, ts(20), 13L, "born", "u")) // brand-new key
+      .toDF("k", "ts", "id", "v", "op")
+    val got = Changes.applyCdc(base, changes, Seq("k"), "ts", Seq("id"))
+      .select($"k", $"id", $"v").as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "new"),
+      (2L, 2L, "keep"),
+      (4L, 4L, "stays"),
+      (5L, 13L, "born")))
+  }
+
+  test("applyCdc: a delete resurrected by a newer upsert re-appears") {
+    val base = Seq((1L, ts(0), 1L, "v0")).toDF("k", "ts", "id", "v")
+    val changes = Seq(
+      (1L, ts(10), 2L, "x", "d"),
+      (1L, ts(20), 3L, "v2", "u"))
+      .toDF("k", "ts", "id", "v", "op")
+    val got = Changes.applyCdc(base, changes, Seq("k"), "ts", Seq("id"))
+      .select($"k", $"id", $"v").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 3L, "v2")))
+  }
+}
