@@ -670,6 +670,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "text_mixture_apply" -> ((s, dir) => {
+      // the mixing loop CLOSED: sourceMixture's per-source downsampling
+      // weights actually gate the corpus. Keep a doc iff its salted-hash
+      // fraction u ∈ [0,1) falls below its source's weight —
+      // deterministic (rerun-stable, join/repartition-proof, unlike
+      // rand()), unbiased within source, and exactly the advertised
+      // rate in expectation. The weights frame is one row per source —
+      // broadcast by size. u = first 8 md5 hex digits / 2^32, the same
+      // portable construction the deterministic split uses.
+      val docs = par(s)(t(s, dir, "documents"))
+      val weights = TextAnalysis.sourceMixture(docs)
+        .select(col("source"), col("weight"))
+      val u = conv(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("double") / lit(4294967296.0)
+      docs.join(broadcast(weights), Seq("source"))
+        .withColumn("u", u)
+        .filter(col("u") < col("weight"))
+        .select(col("doc_id"), col("source"), col("u"), col("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // PII redaction + per-category audit counts. The corpus text is
       // PII-free synthetic prose, so the query deterministically plants
@@ -2185,6 +2207,32 @@ object SparkEntry {
            | least(1.0, CAST(t.total AS DOUBLE)
            |   / CAST(t.nsrc * p.n_tokens AS DOUBLE)) AS weight
            |FROM p, t ORDER BY p.source""".stripMargin,
+
+      // hex→u32 by digit arithmetic (the mm_features strpos pattern);
+      // weight = the text_mixture formula inline
+      "text_mixture_apply" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN $duckNorm = '' THEN 0
+           |    ELSE CAST(len($duckWords) AS BIGINT) END) AS BIGINT) AS n_tokens
+           | FROM documents GROUP BY source),
+           |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+           |  CAST(count(*) AS BIGINT) AS nsrc FROM p),
+           |w AS (SELECT p.source,
+           |  least(1.0, CAST(t.total AS DOUBLE)
+           |    / CAST(t.nsrc * p.n_tokens AS DOUBLE)) AS weight
+           | FROM p, t),
+           |d AS (SELECT doc_id, source,
+           |  substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+           | FROM documents)
+           |SELECT d.doc_id, d.source,
+           | CAST($hex8 AS DOUBLE) / 4294967296.0 AS u, w.weight
+           |FROM d JOIN w USING (source)
+           |WHERE CAST($hex8 AS DOUBLE) / 4294967296.0 < w.weight
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       // both engines synthesize the identical PII-laden string, then
       // redact: patterns and replacement order come verbatim from
