@@ -1439,6 +1439,35 @@ object SparkEntry {
         .orderBy(col("s_event_id"), col("e_id").asc_nulls_first)
     }),
 
+    "ev_stream_latest" -> ((s, dir) => {
+      // streaming CDC compaction, windowed: the latest event per user
+      // per hour as a plain watermarked aggregation — max_by over the
+      // (ts, event_id) total order needs no custom state, emits each
+      // (window, user) cell once the watermark closes it, and state per
+      // cell is ONE row (the running argmax), the property that keeps
+      // indefinite compaction viable. Complete mode because the bounded
+      // replay drains in one batch (same as ev_stream_windowed_agg).
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), cents(col("value")).as("value_cents")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("user_id"), col("last.event_id").as("event_id"),
+          col("last.ts_us").as("ts_us"), col("last.event_type"),
+          col("last.value_cents"))
+      Sessionize.runToMemory(s, agg, "ev_stream_latest",
+        OutputMode.Complete, statePartitions = 8)
+        .orderBy(col("win_start_us"), col("user_id"))
+    }),
+
     "ev_stream_sessionize" -> ((s, dir) => {
       // the flatMapGroupsWithState path against the SAME oracle as the
       // batch ev_sessionize: parquet file source → stateful sessionize →
@@ -2600,6 +2629,18 @@ object SparkEntry {
           | AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 1800000000
           |WHERE s.event_type = 'signup'
           |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
+
+      // per-(hour, user) latest by the (ts, event_id) total order — the
+      // windowed compaction the streaming max_by must reproduce
+      "ev_stream_latest" ->
+        """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+          | user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM (SELECT *, row_number() OVER (PARTITION BY
+          |   time_bucket(INTERVAL '1 hour', ts), user_id
+          |   ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |WHERE rn = 1 ORDER BY win_start_us, user_id""".stripMargin,
 
       "ev_stream_windowed_agg" ->
         """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
