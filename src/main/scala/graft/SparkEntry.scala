@@ -1996,9 +1996,6 @@ object SparkEntry {
       // same assign CTE as emb_kmeans_step; min-id cell-mate at cosine
       // >= tau survives, the other side of each pair drops
       "dedup_semantic" -> {
-        def duckL2(a: String, b: String): String =
-          s"list_aggregate(list_transform(list_zip($a, $b), " +
-            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
            |  FROM embeddings ORDER BY vec_id LIMIT 8),
            |assign AS (SELECT e.vec_id, e.embedding,
@@ -2061,9 +2058,6 @@ object SparkEntry {
       // same assign CTE as sim_ivf_topk; fixed-point sums (round to 1e-6
       // then BIGINT) make the mean order-independent on both engines
       "emb_kmeans_step" -> {
-        def duckL2(a: String, b: String): String =
-          s"list_aggregate(list_transform(list_zip($a, $b), " +
-            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
            |  FROM embeddings ORDER BY vec_id LIMIT 8),
            |assign AS (SELECT e.vec_id, e.embedding,
@@ -2138,9 +2132,6 @@ object SparkEntry {
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
       "sim_ivf_topk" -> {
-        def duckL2(a: String, b: String): String =
-          s"list_aggregate(list_transform(list_zip($a, $b), " +
-            s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
            |  FROM embeddings ORDER BY vec_id LIMIT 8),
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

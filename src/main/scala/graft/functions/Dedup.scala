@@ -416,6 +416,26 @@ object Dedup {
     when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
   }
 
+  /** The grams [[ngramJaccardPairs]]' `maxGramDf` cap would drop, with
+    * their per-block document frequency — the
+    * [[minhashOversizedBuckets]] / `Similarity.lshOversizedBuckets`
+    * analog for the inverted-index join: run/log this per job so the
+    * hot-gram cap is an observable policy, not silent signal loss. One
+    * map-side-combinable aggregation; output is hot grams only, tiny by
+    * construction. */
+  def jaccardHotGrams(
+      df: DataFrame,
+      maxGramDf: Int,
+      textCol: String = "text",
+      blockCol: String = "source",
+      n: Int = 2): DataFrame = {
+    require(maxGramDf > 0, "maxGramDf must be positive to observe drops")
+    df.select(col(blockCol).as("blk"),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .groupBy(col("blk"), col("gram")).agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") > maxGramDf)
+  }
+
   /** Word-n-gram Jaccard near-dups via an inverted index, blocked on
     * `blockCol` so candidate generation is per-block, not global O(n²).
     *
@@ -450,26 +470,6 @@ object Dedup {
     * local checkpoint blocks and fails the job (it simply re-runs);
     * fault-tolerant cluster runs can set a checkpoint dir and swap in
     * `checkpoint()`. */
-  /** The grams [[ngramJaccardPairs]]' `maxGramDf` cap would drop, with
-    * their per-block document frequency — the
-    * [[minhashOversizedBuckets]] / `Similarity.lshOversizedBuckets`
-    * analog for the inverted-index join: run/log this per job so the
-    * hot-gram cap is an observable policy, not silent signal loss. One
-    * map-side-combinable aggregation; output is hot grams only, tiny by
-    * construction. */
-  def jaccardHotGrams(
-      df: DataFrame,
-      maxGramDf: Int,
-      textCol: String = "text",
-      blockCol: String = "source",
-      n: Int = 2): DataFrame = {
-    require(maxGramDf > 0, "maxGramDf must be positive to observe drops")
-    df.select(col(blockCol).as("blk"),
-        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-      .groupBy(col("blk"), col("gram")).agg(count(lit(1)).as("gram_df"))
-      .filter(col("gram_df") > maxGramDf)
-  }
-
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String = "text",

@@ -37,12 +37,13 @@ object Multimodal {
     def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String]
   }
 
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
   /** Deterministic fake codec: dims and frame hashes derived from md5 of
     * the payload. Marks exactly where a real decoder plugs in. */
   object FakeCodec extends MediaCodec {
-    private def md5hex(b: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(b)
-        .map("%02x".format(_)).mkString
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
       val h = md5hex(payload)
       // pseudo-dims in [16, 4111] — stands in for a real header parse
@@ -75,11 +76,7 @@ object Multimodal {
       (leInt(payload, 18), math.abs(leInt(payload, 22)))
     }
     def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String] =
-      (0 until n).map { i =>
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(payload ++ Array(i.toByte))
-          .map("%02x".format(_)).mkString
-      }
+      (0 until n).map(i => md5hex(payload ++ Array(i.toByte)))
   }
 
   /** A minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER

@@ -207,10 +207,21 @@ object TextAnalysis {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(chunkShift >= 0 && chunkShift < 63, "chunkShift outside [0, 62]")
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the chunk key must be MONOTONE in the id's sort order, which the
+    // arithmetic shift gives only for integral ids; any other id type
+    // (string doc keys, timestamps) falls back to one chunk per group —
+    // the single-window formulation — rather than silently mis-chunking
+    // (a cast-to-long of a string id would null out and DROP every row
+    // at the offsets join)
+    val chunkExpr = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        shiftright(col(idCol).cast("long"), chunkShift)
+      case _ => lit(0L)
+    }
     val base = df
       .withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("__chunk",
-        shiftright(col(idCol).cast("long"), chunkShift))
+      .withColumn("__chunk", chunkExpr)
     val wIn = Window.partitionBy(col(groupCol), col("__chunk"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -222,6 +233,9 @@ object TextAnalysis {
       .withColumn("__chunk_off",
         coalesce(sum(col("__chunk_tok")).over(wChunk), lit(0L)))
       .select(col(groupCol), col("__chunk"), col("__chunk_off"))
+    // the broadcast hint is safe BY CONFIGURATION (unlike data-dependent
+    // frames): the offsets frame is one row per chunk, and chunkShift —
+    // a caller parameter with documented sizing — bounds the chunk count
     base
       .withColumn("__intra", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .join(broadcast(chunkOffsets), Seq(groupCol, "__chunk"))

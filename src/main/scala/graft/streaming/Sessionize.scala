@@ -296,11 +296,17 @@ object Sessionize {
       // the latest at-or-below it (the sole candidate for future lefts)
       val (above, below) = st.rights.partition(_._1 > wmUs)
       st = AsofState(still, below.lastOption.toList ++ above)
-      state.update(st)
-      if (still.nonEmpty) {
-        val minPendingMs = still.map(_._1).min / 1000L
-        state.setTimeoutTimestamp(
-          math.max(minPendingMs + 1, state.getCurrentWatermarkMs() + 1))
+      if (still.isEmpty && st.rights.isEmpty) {
+        // a key that drained its lefts and never buffered a right must
+        // not leak an empty state entry forever
+        state.remove()
+      } else {
+        state.update(st)
+        if (still.nonEmpty) {
+          val minPendingMs = still.map(_._1).min / 1000L
+          state.setTimeoutTimestamp(
+            math.max(minPendingMs + 1, state.getCurrentWatermarkMs() + 1))
+        }
       }
       out.iterator
     }

@@ -175,6 +175,21 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("packByTokenBudget: non-integral ids fall back to the " +
+    "single-window path instead of silently dropping rows") {
+    val docs = Seq(
+      ("doc-b", "a", "one two three"),
+      ("doc-a", "a", "one two three four"),
+      ("doc-c", "a", "one two"))
+      .toDF("doc_id", "source", "text")
+    // string ids order doc-a < doc-b < doc-c; offsets 0, 4, 7 at budget 5
+    val packed = TextAnalysis.packByTokenBudget(docs, budgetTokens = 5)
+      .select($"doc_id", $"start_off", $"pack_id")
+      .orderBy("doc_id").as[(String, Long, Long)].collect().toSeq
+    assert(packed == Seq(("doc-a", 0L, 0L), ("doc-b", 4L, 0L),
+      ("doc-c", 7L, 1L)))
+  }
+
   test("topTfIdf: per-doc top-k by tf-rarity, deterministic tie-break, " +
     "empty docs emit nothing, rank plans as WindowGroupLimit") {
     val docs = Seq(
