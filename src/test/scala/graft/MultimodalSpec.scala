@@ -68,6 +68,18 @@ class MultimodalSpec extends SparkSuite {
     assert(feats(3L) == (16 + 3, 16 + 21))
   }
 
+  test("BmpCodec: build->parse roundtrip holds across the int32 range " +
+    "(property sweep incl. negative heights)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val w = rnd.nextInt(1 << 24) + 1
+      val h = rnd.nextInt(1 << 24) + 1
+      val hh = if (rnd.nextBoolean()) -h else h // top-down half the time
+      assert(Multimodal.BmpCodec.decodeDims(Multimodal.bmpBytes(w, hh)) ==
+        (w, h), s"dims ($w, $hh)")
+    }
+  }
+
   test("extractFeatures: deterministic stub decode, fixed schema, batch shape") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs))
     assert(feats.schema.fieldNames.toSeq ==

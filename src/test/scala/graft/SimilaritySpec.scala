@@ -177,13 +177,17 @@ class SimilaritySpec extends SparkSuite {
     assert(q(3L) == ((3.0, Seq(127))))
 
     val v = Seq(0.113f, -0.87f, 0.52f, 0.004f)
-    val (m, qs) = Similarity.quantizeInt8(Seq((9L, v)).toDF("vec_id", "embedding"))
-      .select($"q_scale", $"q").as[(Double, Seq[Int])].head()
+    val out = Similarity.quantizeInt8(Seq((9L, v)).toDF("vec_id", "embedding"))
+    val (m, qs) = out.select($"q_scale", $"q").as[(Double, Seq[Int])].head()
     v.zip(qs).foreach { case (x, qi) =>
       assert(qi >= -127 && qi <= 127)
       assert(math.abs(x - qi * m / 127.0) <= m / 254.0 + 1e-9,
         s"component $x dequantized too far: $qi scale $m")
     }
+    // a storage transform must stay a narrow projection: no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization should not shuffle:\n$plan")
   }
 
   test("kmeansTrain: converges to a fixed point, retains empty cells, " +
