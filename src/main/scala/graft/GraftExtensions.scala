@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{Dedup, VecDotF, VecL2F}
+import graft.functions.{Dedup, Similarity, VecDotF, VecL2F}
 
 /** Catalyst extension entry point: registers the library's native
   * expressions AND its column-composition kernels with the session so they
@@ -119,6 +119,18 @@ object GraftExtensions {
           require(children.length == 2, "minhash takes exactly 2 arguments")
           expr(Dedup.minhash(col(children.head),
             litInt("minhash", "seed", children(1))))
+        }),
+      (
+        new FunctionIdentifier("vec_quantize_int8"),
+        info("vec_quantize_int8", "math_funcs",
+          "vec_quantize_int8(v) - symmetric absmax int8 quantization of " +
+            "an array<float> vector as struct<q_scale: double, q: " +
+            "array<int>>; components floor(x*127/absmax + 0.5) in " +
+            "[-127, 127], zero vectors quantize to zeros with scale 0."),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            "vec_quantize_int8 takes exactly 1 argument")
+          expr(Similarity.quantizeStruct(col(children.head)))
         }),
       (
         new FunctionIdentifier("hamming_distance"),

@@ -273,19 +273,31 @@ object Similarity {
     * in others) — the choice that keeps the oracle hash-exact. A narrow
     * codegen'd projection: no shuffle, runs at scan speed. Output adds
     * (`q_scale`, `q` : array<int>). */
+  /** The quantization as ONE struct-valued column expression —
+    * `struct<q_scale: double, q: array<int>>` — registered in SQL as
+    * `vec_quantize_int8`. The absmax is let-bound via a one-element
+    * `transform` (the [[Dedup.shingles]] pattern): referencing a sibling
+    * projection column inside the per-element lambda would get re-inlined
+    * by CollapseProject and recompute the O(d) absmax PER ELEMENT. */
+  def quantizeStruct(vec: Column): Column =
+    element_at(
+      transform(array(array_max(transform(vec, x => abs(x.cast("double"))))),
+        m => struct(
+          coalesce(m, lit(0.0)).as("q_scale"),
+          when(m > 0,
+            transform(vec, x =>
+              floor(x.cast("double") * 127.0 / m + 0.5).cast("int")))
+            .otherwise(transform(vec, _ => lit(0))).as("q"))),
+      1)
+
   def quantizeInt8(
       df: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    df.withColumn("q_scale", coalesce(absMax, lit(0.0)))
-      .withColumn("q",
-        when(col("q_scale") > 0,
-          transform(col(vecCol), x =>
-            floor(x.cast("double") * 127.0 / col("q_scale") + 0.5)
-              .cast("int")))
-          .otherwise(transform(col(vecCol), _ => lit(0))))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    df.withColumn("__q", quantizeStruct(col(vecCol)))
+      .withColumn("q_scale", col("__q.q_scale"))
+      .withColumn("q", col("__q.q"))
+      .drop("__q")
 
   /** Semantic dedup (SemDeDup-shaped): cluster the corpus with the coarse
     * quantizer, then within each cell drop every vector whose cosine to a

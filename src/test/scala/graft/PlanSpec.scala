@@ -167,6 +167,21 @@ class PlanSpec extends SparkSuite {
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
+  test("vec_quantize_int8 available from SQL, equal to the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT vec_quantize_int8(array(cast(0.5 as float), " +
+        "cast(-1.0 as float), cast(0.25 as float))) AS q").collect().head
+      .getStruct(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Int](1) == Seq(64, -127, 32))
+    val api = graft.functions.Similarity.quantizeInt8(
+      Seq((1L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding"))
+      .select($"q_scale", $"q").as[(Double, Seq[Int])].head()
+    assert((r.getDouble(0), r.getSeq[Int](1)) == api)
+  }
+
   test("broadcast domain validation: no shuffle of the fact side") {
     val p = plan("alma_domain_validate")
     assert(p.contains("BroadcastHashJoin"), p)
