@@ -1392,7 +1392,11 @@ object SparkEntry {
       // timestamps ever grow into the sentinel's horizon. Oracle = the
       // batch left theta join, including the zero-match rows.
       import org.apache.spark.sql.streaming.OutputMode
+      // stage only the two event types the join reads — the other ~80%
+      // of the table could never match and would only inflate the
+      // staging write and the per-batch scan
       val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val sentinelUs = 4102444800000000L // 2100-01-01 UTC
       val horizonUs = 3600000000L + 1800000000L // watermark delay + range
