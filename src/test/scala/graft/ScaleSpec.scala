@@ -205,6 +205,27 @@ class ScaleSpec extends SparkSuite {
     assert(Skew.saltedJoin(skewed, dim, Seq("k"), salts = 8).count() == 1000L)
   }
 
+  test("partitioned layout: a partition-key filter prunes at plan time — " +
+    "the scan touches one directory, not the table") {
+    val dir = Files.createTempDirectory("graft-partitioned").toFile
+      .getAbsolutePath
+    val docs = (1 to 300).map(i => (i.toLong, s"src${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    docs.write.partitionBy("source").mode("overwrite").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter($"source" === "src1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition pruning is a directory-level skip, visible in the scan
+    // node — distinct from row-group PushedFilters
+    assert(plan.contains("PartitionFilters") && plan.contains("src1"),
+      s"expected a partition filter on the scan:\n$plan")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("PartitionCount: 3"),
+      s"scan should not touch all 3 partitions:\n$scanned")
+    assert(pruned.count() == 100L)
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
