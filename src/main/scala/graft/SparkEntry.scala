@@ -562,6 +562,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_embed_clusters" -> ((s, dir) => {
+      // the embedding-dedup DELIVERABLE: connected components over the
+      // LSH near-dup pairs — LINEAR output (one row per vector) where
+      // the pair frame is quadratic on duplicate-heavy input; this is
+      // the frame the cosineNearDupPairsLsh scaladoc steers 100-TB
+      // users to, now first-class with its own oracle
+      val edges = Similarity
+        .cosineNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.35)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.connectedComponents(edges)
+        .select(col("node").as("vec_id"),
+          col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_survivor"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup shape: coarse-quantizer cells block the candidate pairs
       // (quadratic only within a cell), min-id cell-mate survives each
@@ -1995,6 +2011,30 @@ object SparkEntry {
            |WHERE bit_count(xor(x.bk, y.bk)) <= 1
            | AND ${duckCosine("x.embedding", "y.embedding")} >= 0.35
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // transitive closure over the SAME hamming<=1 pair SQL as
+      // dedup_embed_lsh, via the dedup_clusters recursive min-label CTE
+      "dedup_embed_clusters" -> {
+        def bkt(e: String) =
+          s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
+             | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
+             | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
+             | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
+        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding,
+           |  ${bkt("embedding")} AS bk FROM embeddings),
+           |edges AS (SELECT x.vec_id AS a, y.vec_id AS b
+           | FROM v x JOIN v y ON x.vec_id < y.vec_id
+           | WHERE bit_count(xor(x.bk, y.bk)) <= 1
+           |  AND ${duckCosine("x.embedding", "y.embedding")} >= 0.35),
+           |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+           |reach(node, lbl) AS (
+           | SELECT a, a FROM sym
+           | UNION
+           | SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+           |SELECT node AS vec_id, min(lbl) AS cluster_id,
+           | node = min(lbl) AS is_survivor
+           |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
       },
 
       // same assign CTE as emb_kmeans_step; min-id cell-mate at cosine
