@@ -187,6 +187,14 @@ class SessionizeSpec extends SparkSuite {
         (2L, None, None), // no right at-or-before t5
         (3L, None, None), // key isolation: key 2 saw no rights
         (4L, Some(101L), Some(7L)))) // post-prune match survives
+
+      // state hygiene: key 2 drained its lefts with no buffered rights
+      // and must have REMOVED its state; key 1 retains its one live
+      // right, key 9 its still-pending flush left — 2 state rows, not 3
+      val stateRows = Option(query.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateRows.contains(2L),
+        s"expected 2 retained state rows (leak-free), got $stateRows")
     } finally {
       query.stop()
       spark.sql("DROP VIEW IF EXISTS asof_test")
