@@ -564,10 +564,12 @@ object SparkEntry {
 
     "dedup_embed_clusters" -> ((s, dir) => {
       // the embedding-dedup DELIVERABLE: connected components over the
-      // LSH near-dup pairs — LINEAR output (one row per vector) where
-      // the pair frame is quadratic on duplicate-heavy input; this is
-      // the frame the cosineNearDupPairsLsh scaladoc steers 100-TB
-      // users to, now first-class with its own oracle
+      // LSH near-dup pairs — one row per EDGE-BEARING vector (CC's
+      // documented contract; edge-free vectors are all trivially
+      // survivors and join back via anti-join, the dedup_survivors
+      // shape) where the pair frame is quadratic on duplicate-heavy
+      // input; this is the frame the cosineNearDupPairsLsh scaladoc
+      // steers 100-TB users to, now first-class with its own oracle
       val edges = Similarity
         .cosineNearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.35)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -1647,6 +1649,25 @@ object SparkEntry {
     def duckL2(a: String, b: String): String =
       s"list_aggregate(list_transform(list_zip($a, $b), " +
         s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)), 'sum')"
+    // sign-bucket key over defaultPositions (1/17/33/49) — shared by every
+    // embedding-LSH oracle so the bucket arithmetic cannot drift between
+    // the pair, cluster, knn, and ann restatements
+    def duckBkt(e: String): String =
+      s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
+         | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
+         | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
+         | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
+    // the hamming<=1 near-dup edge SQL shared by dedup_embed_lsh (pair
+    // listing, with score) and dedup_embed_clusters (closure input) —
+    // one definition, as with duckMinhashEdgeCtes
+    val duckEmbedEdgeCtes: String =
+      s"""v AS (SELECT vec_id, embedding, ${duckBkt("embedding")} AS bk
+         |  FROM embeddings),
+         |eedges AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  ${duckCosine("x.embedding", "y.embedding")} AS score
+         | FROM v x JOIN v y ON x.vec_id < y.vec_id
+         | WHERE bit_count(xor(x.bk, y.bk)) <= 1
+         |  AND ${duckCosine("x.embedding", "y.embedding")} >= 0.35)""".stripMargin
     // Lloyd's training replay shared by every trained-codebook oracle:
     // c0 = the id-order seed, then per round assign → fixed-point means →
     // rebuild codebook (REAL cast = the engine's mean.toFloat; COALESCE =
@@ -1997,45 +2018,24 @@ object SparkEntry {
 
       // blocking is sign-bucket hamming <= 1 (the engine's multi-probe):
       // same bucket arithmetic as sim_ann_bucket
-      "dedup_embed_lsh" -> {
-        def bkt(e: String) =
-          s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
-             | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
-             | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
-             | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
-        s"""WITH v AS (SELECT vec_id, embedding,
-           |  ${bkt("embedding")} AS bk FROM embeddings)
-           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-           | ${duckCosine("x.embedding", "y.embedding")} AS score
-           |FROM v x JOIN v y ON x.vec_id < y.vec_id
-           |WHERE bit_count(xor(x.bk, y.bk)) <= 1
-           | AND ${duckCosine("x.embedding", "y.embedding")} >= 0.35
-           |ORDER BY id_a, id_b""".stripMargin
-      },
+      "dedup_embed_lsh" ->
+        s"""WITH $duckEmbedEdgeCtes
+           |SELECT id_a, id_b, score FROM eedges
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // transitive closure over the SAME hamming<=1 pair SQL as
       // dedup_embed_lsh, via the dedup_clusters recursive min-label CTE
-      "dedup_embed_clusters" -> {
-        def bkt(e: String) =
-          s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
-             | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
-             | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
-             | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
-        s"""WITH RECURSIVE v AS (SELECT vec_id, embedding,
-           |  ${bkt("embedding")} AS bk FROM embeddings),
-           |edges AS (SELECT x.vec_id AS a, y.vec_id AS b
-           | FROM v x JOIN v y ON x.vec_id < y.vec_id
-           | WHERE bit_count(xor(x.bk, y.bk)) <= 1
-           |  AND ${duckCosine("x.embedding", "y.embedding")} >= 0.35),
-           |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      "dedup_embed_clusters" ->
+        s"""WITH RECURSIVE $duckEmbedEdgeCtes,
+           |sym AS (SELECT id_a AS a, id_b AS b FROM eedges
+           | UNION ALL SELECT id_b, id_a FROM eedges),
            |reach(node, lbl) AS (
            | SELECT a, a FROM sym
            | UNION
            | SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
            |SELECT node AS vec_id, min(lbl) AS cluster_id,
            | node = min(lbl) AS is_survivor
-           |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
-      },
+           |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
 
       // same assign CTE as emb_kmeans_step; min-id cell-mate at cosine
       // >= tau survives, the other side of each pair drops
@@ -2061,14 +2061,9 @@ object SparkEntry {
 
       // per-vector top-3 among hamming<=1 bucket candidates; same bucket
       // arithmetic as sim_ann_bucket, row_number tie-break on nbr id
-      "sim_knn_join" -> {
-        def bkt(e: String) =
-          s"""(CASE WHEN $e[1] > 0 THEN 1 ELSE 0 END
-             | + CASE WHEN $e[17] > 0 THEN 2 ELSE 0 END
-             | + CASE WHEN $e[33] > 0 THEN 4 ELSE 0 END
-             | + CASE WHEN $e[49] > 0 THEN 8 ELSE 0 END)""".stripMargin.replace("\n", "")
+      "sim_knn_join" ->
         s"""WITH v AS (SELECT vec_id, embedding,
-           |  ${bkt("embedding")} AS bk FROM embeddings),
+           |  ${duckBkt("embedding")} AS bk FROM embeddings),
            |c AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
            |  ${duckCosine("a.embedding", "b.embedding")} AS score
            | FROM v a JOIN v b ON a.vec_id <> b.vec_id
@@ -2078,25 +2073,18 @@ object SparkEntry {
            |    ORDER BY score DESC, nbr_id) AS BIGINT) AS nbr_rank
            | FROM c)
            |SELECT vec_id, nbr_id, score, nbr_rank FROM r
-           |WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin
-      },
+           |WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank""".stripMargin,
 
       // hamming<=1 multi-probe: the engine probes the query bucket plus
       // every single-bit flip of it, so the oracle filters on xor bit
       // count rather than bucket equality
       "sim_ann_bucket" ->
         s"""WITH q AS (SELECT embedding AS qe,
-           |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-           |   + CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END
-           |   + CASE WHEN embedding[33] > 0 THEN 4 ELSE 0 END
-           |   + CASE WHEN embedding[49] > 0 THEN 8 ELSE 0 END) AS qb
+           |  ${duckBkt("embedding")} AS qb
            | FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS score
            |FROM embeddings e, q
-           |WHERE bit_count(xor((CASE WHEN e.embedding[1] > 0 THEN 1 ELSE 0 END
-           |   + CASE WHEN e.embedding[17] > 0 THEN 2 ELSE 0 END
-           |   + CASE WHEN e.embedding[33] > 0 THEN 4 ELSE 0 END
-           |   + CASE WHEN e.embedding[49] > 0 THEN 8 ELSE 0 END), q.qb)) <= 1
+           |WHERE bit_count(xor(${duckBkt("e.embedding")}, q.qb)) <= 1
            |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
 
       // same assign CTE as sim_ivf_topk; fixed-point sums (round to 1e-6

@@ -260,20 +260,7 @@ object Similarity {
     cents
   }
 
-  /** Scalar int8 quantization of an embedding column — the 4× storage /
-    * bandwidth cut a 100-TB embedding corpus takes before indexing
-    * (per-vector absmax scaling, the standard symmetric scheme):
-    * `q_i = floor(x_i · 127 / m + 0.5)` with `m = max |x_i|`, so
-    * `q ∈ [−127, 127]` and `x ≈ q · m / 127` within `m/254` per
-    * component. Zero vectors quantize to zeros with scale 0.
-    *
-    * `floor(· + 0.5)` rather than `round()`: half-up-toward-+∞ via
-    * floor is the same IEEE operation in every engine, where round()'s
-    * half-handling differs (HALF_UP BigDecimal in Spark, away-from-zero
-    * in others) — the choice that keeps the oracle hash-exact. A narrow
-    * codegen'd projection: no shuffle, runs at scan speed. Output adds
-    * (`q_scale`, `q` : array<int>). */
-  /** The quantization as ONE struct-valued column expression —
+  /** The int8 quantization as ONE struct-valued column expression —
     * `struct<q_scale: double, q: array<int>>` — registered in SQL as
     * `vec_quantize_int8`. The absmax is let-bound via a one-element
     * `transform` (the [[Dedup.shingles]] pattern): referencing a sibling
@@ -290,14 +277,29 @@ object Similarity {
             .otherwise(transform(vec, _ => lit(0))).as("q"))),
       1)
 
+  /** Scalar int8 quantization of an embedding column — the 4× storage /
+    * bandwidth cut a 100-TB embedding corpus takes before indexing
+    * (per-vector absmax scaling, the standard symmetric scheme):
+    * `q_i = floor(x_i · 127 / m + 0.5)` with `m = max |x_i|`, so
+    * `q ∈ [−127, 127]` and `x ≈ q · m / 127` within `m/254` per
+    * component. Zero vectors quantize to zeros with scale 0.
+    *
+    * `floor(· + 0.5)` rather than `round()`: half-up-toward-+∞ via
+    * floor is the same IEEE operation in every engine, where round()'s
+    * half-handling differs (HALF_UP BigDecimal in Spark, away-from-zero
+    * in others) — the choice that keeps the oracle hash-exact. A narrow
+    * codegen'd projection — no shuffle, no helper columns touched on the
+    * caller's frame (both fields extract from the [[quantizeStruct]]
+    * expression in one projection; codegen CSEs the top-level duplicate).
+    * Output adds (`q_scale`, `q` : array<int>). */
   def quantizeInt8(
       df: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    df.withColumn("__q", quantizeStruct(col(vecCol)))
-      .withColumn("q_scale", col("__q.q_scale"))
-      .withColumn("q", col("__q.q"))
-      .drop("__q")
+      vecCol: String = "embedding"): DataFrame = {
+    val q = quantizeStruct(col(vecCol))
+    df.select(col("*"), q.getField("q_scale").as("q_scale"),
+      q.getField("q").as("q"))
+  }
 
   /** Semantic dedup (SemDeDup-shaped): cluster the corpus with the coarse
     * quantizer, then within each cell drop every vector whose cosine to a

@@ -72,8 +72,10 @@ class MultimodalSpec extends SparkSuite {
     "(property sweep incl. negative heights)") {
     val rnd = new scala.util.Random(11)
     (0 until 200).foreach { _ =>
-      val w = rnd.nextInt(1 << 24) + 1
-      val h = rnd.nextInt(1 << 24) + 1
+      // full positive-int32 range: widths near Int.MaxValue exercise the
+      // high little-endian bytes and leInt's sign handling
+      val w = rnd.nextInt(Int.MaxValue) + 1
+      val h = rnd.nextInt(Int.MaxValue) + 1
       val hh = if (rnd.nextBoolean()) -h else h // top-down half the time
       assert(Multimodal.BmpCodec.decodeDims(Multimodal.bmpBytes(w, hh)) ==
         (w, h), s"dims ($w, $hh)")
