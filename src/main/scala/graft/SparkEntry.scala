@@ -63,6 +63,39 @@ object SparkEntry {
   private def streamGlob(path: String): String =
     path.init + "[" + path.last + "]"
 
+  /** 2100-01-01 UTC: the far-future flush timestamp sentinel rows carry
+    * so a bounded streaming replay's watermark closes every real row's
+    * window/timeout. */
+  private val sentinelUs = 4102444800000000L
+
+  /** Stage a bounded streaming input (real rows + far-future sentinels)
+    * and return its schema. The max REAL event time (rows with
+    * `guardCol >= 0`) rides the staging write itself via `observe()` —
+    * no extra job — and the require fails LOUDLY if fixture timestamps
+    * ever grow within `horizonUs` of the sentinel, where the query would
+    * instead return silently-empty output because the watermark never
+    * clears the real rows' windows. Shared by every sentinel-flushed
+    * streaming query (sessionize, both as-of joins, the outer range
+    * join). */
+  private def stageWithSentinel(
+      s: SparkSession,
+      rows: DataFrame,
+      staging: String,
+      guardCol: String,
+      horizonUs: Long): org.apache.spark.sql.types.StructType = {
+    val obs = org.apache.spark.sql.Observation()
+    rows
+      .observe(obs, max(when(col(guardCol) >= 0,
+        unix_micros(col("ts")))).as("max_us"))
+      .write.mode("overwrite").parquet(staging)
+    val maxUs = obs.get("max_us").asInstanceOf[Long]
+    require(maxUs < sentinelUs - horizonUs,
+      s"fixture max event ts ($maxUs us) reaches the sentinel's " +
+        s"flush horizon ($horizonUs us) — watermark-driven emission " +
+        s"would silently never fire; move the sentinel out")
+    s.read.parquet(staging).schema
+  }
+
   /** DuckDB cosine between two FLOAT[] expressions, matching
     * [[Similarity.cosine]] bit-for-bit: double products, left-to-right
     * list_aggregate sum, d/(sqrt(a)*sqrt(b)). */
@@ -1320,22 +1353,13 @@ object SparkEntry {
           sum(cents(col("value"))).as("cents"))
         .select(col("user_id").as("key"), col("ts"),
           lit(false).as("is_left"), col("id"), col("cents"))
-      val sentinelUs = 4102444800000000L // 2100-01-01 UTC
-      val horizonUs = 3600000000L // the watermark delay
       val sentinel = s.range(1).select(lit(-1L).as("key"),
-        expr("timestamp_micros(4102444800000000)").as("ts"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
         lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
       val staging = "target/stream_asof_input"
-      val obs = org.apache.spark.sql.Observation()
-      clicks.unionByName(purchases).unionByName(sentinel)
-        .observe(obs, max(when(col("key") >= 0,
-          unix_micros(col("ts")))).as("max_us"))
-        .write.mode("overwrite").parquet(staging)
-      val maxUs = obs.get("max_us").asInstanceOf[Long]
-      require(maxUs < sentinelUs - horizonUs,
-        s"fixture max event ts ($maxUs us) reaches the sentinel's " +
-          s"watermark horizon — pending as-of lefts would never finalize")
-      val schema = s.read.parquet(staging).schema
+      val schema = stageWithSentinel(s,
+        clicks.unionByName(purchases).unionByName(sentinel), staging,
+        guardCol = "key", horizonUs = 3600000000L) // the watermark delay
       val out = Sessionize.asofJoinStream(
         s.readStream.schema(schema).parquet(staging)
           .as[Sessionize.AsofIn])
@@ -1370,22 +1394,14 @@ object SparkEntry {
           sum(cents(col("value"))).as("cents"))
         .select(col("user_id").as("key"), col("ts"),
           lit(false).as("is_left"), col("id"), col("cents"))
-      val sentinelUs = 4102444800000000L // 2100-01-01 UTC
-      val horizonUs = 3600000000L + tolSec * 1000000L // delay + tolerance
       val sentinel = s.range(1).select(lit(-1L).as("key"),
-        expr("timestamp_micros(4102444800000000)").as("ts"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
         lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
       val staging = "target/stream_asof_fwd_input"
-      val obs = org.apache.spark.sql.Observation()
-      clicks.unionByName(purchases).unionByName(sentinel)
-        .observe(obs, max(when(col("key") >= 0,
-          unix_micros(col("ts")))).as("max_us"))
-        .write.mode("overwrite").parquet(staging)
-      val maxUs = obs.get("max_us").asInstanceOf[Long]
-      require(maxUs < sentinelUs - horizonUs,
-        s"fixture max event ts ($maxUs us) reaches the sentinel's " +
-          s"close horizon — pending forward as-of lefts would never close")
-      val schema = s.read.parquet(staging).schema
+      val schema = stageWithSentinel(s,
+        clicks.unionByName(purchases).unionByName(sentinel), staging,
+        guardCol = "key",
+        horizonUs = 3600000000L + tolSec * 1000000L) // delay + tolerance
       val out = Sessionize.asofFwdJoinStream(
         s.readStream.schema(schema).parquet(staging)
           .as[Sessionize.AsofIn], tolSeconds = tolSec)
@@ -1416,30 +1432,21 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .filter(col("event_type").isin("signup", "purchase"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      val sentinelUs = 4102444800000000L // 2100-01-01 UTC
-      val horizonUs = 3600000000L + 1800000000L // watermark delay + range
       val sentinels = s.range(1).select(
         explode(array(
           struct(lit(-1L).as("event_id"),
-            expr("timestamp_micros(4102444800000000)").as("ts"),
+            expr(s"timestamp_micros($sentinelUs)").as("ts"),
             lit(-1L).as("user_id"), lit("signup").as("event_type")),
           struct(lit(-2L).as("event_id"),
-            expr("timestamp_micros(4102444800000000)").as("ts"),
+            expr(s"timestamp_micros($sentinelUs)").as("ts"),
             lit(-1L).as("user_id"), lit("purchase").as("event_type"))))
           .as("r"))
         .select(col("r.event_id"), col("r.ts"), col("r.user_id"),
           col("r.event_type"))
       val staging = "target/stream_range_outer_input"
-      val obs = org.apache.spark.sql.Observation()
-      ev.unionByName(sentinels)
-        .observe(obs, max(when(col("user_id") >= 0,
-          unix_micros(col("ts")))).as("max_us"))
-        .write.mode("overwrite").parquet(staging)
-      val maxUs = obs.get("max_us").asInstanceOf[Long]
-      require(maxUs < sentinelUs - horizonUs,
-        s"fixture max event ts ($maxUs us) reaches the sentinel's " +
-          s"watermark horizon — unmatched-left rows would never flush")
-      val schema = s.read.parquet(staging).schema
+      val schema = stageWithSentinel(s, ev.unionByName(sentinels), staging,
+        guardCol = "user_id",
+        horizonUs = 3600000000L + 1800000000L) // watermark delay + range
       def stream = s.readStream.schema(schema).parquet(staging)
       val signups = stream.filter(col("event_type") === "signup")
         .select(col("event_id").as("s_event_id"), col("user_id"),
@@ -1511,30 +1518,14 @@ object SparkEntry {
       // a coalesce(1) here would serialize the write for no semantic gain.
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        expr("timestamp_micros(4102444800000000)").as("ts"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
         lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"))
       val staging = "target/stream_sessionize_input"
-      // Guard the static sentinel: an event within the session gap of (or
-      // past) 2100-01-01 would keep its session timeout from ever firing
-      // and the query would return silently-empty output instead of
-      // failing loudly. The max rides the staging write itself via
-      // observe() — zero extra jobs, no driver re-read of the staging
-      // parquet (the r5 version ran a pruned-scan aggregate after the
-      // write; this folds it into the write's own pass over the data).
-      val sentinelUs = 4102444800000000L
-      val gapUs = 30L * 60L * 1000000L
-      val obs = org.apache.spark.sql.Observation()
-      ev.unionByName(sentinel)
-        .observe(obs, max(when(col("user_id") >= 0,
-          unix_micros(col("ts")))).as("max_us"))
-        .write.mode("overwrite").parquet(staging)
-      val maxUs = obs.get("max_us").asInstanceOf[Long]
-      require(maxUs < sentinelUs - gapUs,
-        s"fixture max event ts ($maxUs us) reaches the static sentinel's " +
-          s"session gap — sessions would never flush; move the sentinel out")
-      val schema = s.read.parquet(staging).schema
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 30L * 60L * 1000000L) // the session gap
       val sessions = Sessionize.sessionizeStream(
         s.readStream.schema(schema).parquet(staging)
           .as[Sessionize.Event],
