@@ -1578,6 +1578,20 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_features_errors" -> ((s, dir) => {
+      // routed-error decode path: every 13th payload is truncated inside
+      // the BMP file header, and routeErrors=true must convert the decode
+      // failure into a decode_error row (null dims + the exception
+      // message) instead of aborting the job; clean rows must still
+      // recover their closed-form dims via the real header parse
+      Multimodal.extractFeatures(
+        Multimodal.syntheticBmpAssetsCorrupted(par(s)(t(s, dir, "documents"))),
+        Multimodal.BmpCodec, routeErrors = true)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("decode_error"))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -2682,6 +2696,21 @@ object SparkEntry {
         """SELECT doc_id AS asset_id,
           | CAST(16 + doc_id % 1024 AS INT) AS width,
           | CAST(16 + (doc_id * 7) % 1024 AS INT) AS height
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // corruption is planted at doc_id % 13 = 0 (payload truncated inside
+      // the file header), so which rows error — and the codec's exact
+      // message (Scala require prefixes "requirement failed: ") — is
+      // closed-form; clean rows keep the mm_features_bmp dims
+      "mm_features_errors" ->
+        """SELECT doc_id AS asset_id,
+          | CASE WHEN doc_id % 13 = 0 THEN NULL
+          |  ELSE CAST(16 + doc_id % 1024 AS INT) END AS width,
+          | CASE WHEN doc_id % 13 = 0 THEN NULL
+          |  ELSE CAST(16 + (doc_id * 7) % 1024 AS INT) END AS height,
+          | CASE WHEN doc_id % 13 = 0
+          |  THEN 'requirement failed: not a BMP payload (missing BM magic or truncated header)'
+          |  ELSE NULL END AS decode_error
           |FROM documents ORDER BY asset_id""".stripMargin,
 
       // FakeCodec is closed-form over md5 of the utf-8 payload

@@ -62,9 +62,9 @@ object Multimodal {
     * reports as its magnitude. Frame samples for a still image are
     * content fingerprints (md5 of payload + sample index), the same
     * contract [[FakeCodec]] stubs; a video codec would replace them with
-    * decoded-frame hashes. Malformed payloads throw — [[extractFeatures]]
-    * callers decide skip-vs-fail policy upstream (null payloads are
-    * already nulled there). */
+    * decoded-frame hashes. Malformed payloads throw — callers pick the
+    * skip-vs-fail policy via [[extractFeatures]]'s `routeErrors` flag
+    * (null payloads are already nulled there). */
   object BmpCodec extends MediaCodec {
     private def leInt(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -145,33 +145,77 @@ object Multimodal {
 
   /** Feature extraction over batches: mapPartitions so a real codec would
     * amortize per-partition init (model load, native buffers), the same
-    * batch shape `mapInPandas`/`mapInArrow` gives Python pipelines. */
+    * batch shape `mapInPandas`/`mapInArrow` gives Python pipelines.
+    *
+    * Failure policy for malformed (non-null) payloads is the caller's
+    * choice: with `routeErrors = false` (default) a decode failure
+    * propagates and fails the job — right for curated corpora where a bad
+    * blob means a broken upstream. With `routeErrors = true` the decode is
+    * wrapped per row and failures are ROUTED, not thrown: the output gains
+    * a `decode_error` string column (null on success, the decode
+    * exception's message on failure, with null features), so one truncated
+    * blob in 10^10 can't abort a corpus-wide extraction — callers filter
+    * or quarantine on `decode_error`. Mirrors the success/error routing of
+    * the multi-way sink (reference `BatchUpdate.py:557-561` routes per-row
+    * failures to an error bucket), and costs nothing on the clean path. */
   def extractFeatures(
       assets: DataFrame,
       codec: MediaCodec = FakeCodec,
-      frameSamples: Int = 3): DataFrame = {
-    val out = StructType(Seq(
+      frameSamples: Int = 3,
+      routeErrors: Boolean = false): DataFrame = {
+    val baseFields = Seq(
       StructField("asset_id", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("frame_hashes", ArrayType(StringType))))
+      StructField("frame_hashes", ArrayType(StringType)))
+    val out = StructType(
+      if (routeErrors) baseFields :+ StructField("decode_error", StringType)
+      else baseFields)
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(out))
     val idIdx = assets.schema.fieldIndex("asset_id")
     val payloadIdx = assets.schema.fieldIndex("payload")
     assets.mapPartitions { it =>
       // per-partition codec init happens here in a real implementation
+      def mkRow(id: Long, w: Any, h: Any, hashes: Any, err: String): Row =
+        if (routeErrors) Row(id, w, h, hashes, err) else Row(id, w, h, hashes)
       it.map { r =>
+        val id = r.getLong(idIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
         if (payload == null)
-          // a null blob yields null features; one bad asset must not
-          // kill a corpus-wide extraction job
-          Row(r.getLong(idIdx), null, null, null)
-        else {
+          // a null blob yields null features (no decode was attempted, so
+          // no decode_error either); one absent asset must not kill a
+          // corpus-wide extraction job under either policy
+          mkRow(id, null, null, null, null)
+        else if (routeErrors) {
+          try {
+            val (w, h) = codec.decodeDims(payload)
+            mkRow(id, w, h, codec.frameSampleHashes(payload, frameSamples), null)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              mkRow(id, null, null, null, e.getMessage)
+          }
+        } else {
           val (w, h) = codec.decodeDims(payload)
-          Row(r.getLong(idIdx), w, h,
-            codec.frameSampleHashes(payload, frameSamples))
+          mkRow(id, w, h, codec.frameSampleHashes(payload, frameSamples), null)
         }
       }
     }(enc)
+  }
+
+  /** [[syntheticBmpAssets]] with planted corruption: every 13th asset's
+    * payload is truncated to its first 10 bytes (inside the 14-byte
+    * BITMAPFILEHEADER, so [[BmpCodec]] rejects it), the rest are the same
+    * valid closed-form BMPs. Exercises the `routeErrors` path of
+    * [[extractFeatures]] against an oracle that knows exactly which rows
+    * must carry a `decode_error` and which must decode. */
+  def syntheticBmpAssetsCorrupted(docs: DataFrame): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val full = bmpBytes((16 + id % 1024).toInt, (16 + (id * 7) % 1024).toInt)
+      if (id % 13 == 0) full.take(10) else full
+    }
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/bmp").as("media_type"))
   }
 }

@@ -82,6 +82,43 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("extractFeatures: routeErrors routes malformed payloads to " +
+    "decode_error instead of aborting the job") {
+    val wide = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticBmpAssetsCorrupted(wide)
+    // default policy: one malformed payload fails the whole action
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(assets, Multimodal.BmpCodec).collect()
+    }
+    // routed policy: schema gains decode_error, job completes
+    val feats = Multimodal.extractFeatures(
+      assets, Multimodal.BmpCodec, routeErrors = true)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("asset_id", "width", "height", "frame_hashes", "decode_error"))
+    val rows = feats.orderBy("asset_id").collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 13 == 0) {
+        // corrupted: null features, the codec's message routed
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+        assert(r.getString(4).contains("not a BMP payload"))
+      } else {
+        // clean: closed-form dims recovered, no error
+        assert(r.getInt(1) == (16 + id % 1024).toInt, s"id $id")
+        assert(r.getInt(2) == (16 + (id * 7) % 1024).toInt, s"id $id")
+        assert(r.isNullAt(4))
+      }
+    }
+    // a null payload is "absent", not "malformed": null features AND
+    // null decode_error under the routed policy
+    val withNull = Seq((99L, null: Array[Byte], "image/bmp"))
+      .toDF("asset_id", "payload", "media_type")
+    val nr = Multimodal.extractFeatures(
+      withNull, Multimodal.BmpCodec, routeErrors = true).collect().head
+    assert(nr.isNullAt(1) && nr.isNullAt(3) && nr.isNullAt(4))
+  }
+
   test("extractFeatures: deterministic stub decode, fixed schema, batch shape") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs))
     assert(feats.schema.fieldNames.toSeq ==
