@@ -802,22 +802,12 @@ object SparkEntry {
     }),
 
     "text_vocab" -> ((s, dir) => {
-      // per-source vocabulary profile: token occurrences, distinct terms,
-      // and type-token ratio — the corpus-diversity diagnostic behind
-      // boilerplate detection and mixture design. One explode feeding a
-      // partial-aggregated count + count(distinct); at 100 TB swap the
-      // exact distinct for approx_count_distinct (HLL sketch, map-side
-      // mergeable) — sketch estimates are implementation-specific, so
-      // only the exact form is oracle-comparable.
-      par(s)(t(s, dir, "documents"))
-        .select(col("source"),
-          explode(TextAnalysis.words(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("term")).as("n_terms"))
-        .withColumn("type_token_ratio",
-          col("n_terms").cast("double") / col("n_tokens").cast("double"))
+      // per-source vocabulary profile, exact path — hash-comparable
+      // cross-engine. The 100-TB default is vocabProfile(approx = true)
+      // (HLL++ sketch, bounded state, map-side mergeable), spec-tested
+      // against the exact counts at its documented error bound because
+      // sketch estimates are implementation-specific.
+      TextAnalysis.vocabProfile(par(s)(t(s, dir, "documents")))
         .orderBy(col("source"))
     }),
 

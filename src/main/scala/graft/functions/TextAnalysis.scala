@@ -401,6 +401,39 @@ object TextAnalysis {
       regexp_replace(acc, re, repl)
     }
 
+  /** Per-group vocabulary profile: token occurrences, distinct terms, and
+    * type-token ratio — the corpus-diversity diagnostic behind boilerplate
+    * detection and mixture design. One explode feeding a partial-aggregated
+    * count plus a distinct-term count, one hash-shuffle on the group key.
+    *
+    * `approx = false` uses exact `countDistinct`, which Spark expands to a
+    * two-phase aggregate over (group, term) — correct for the oracle, but
+    * the expanded first phase keys on every distinct term, so its state
+    * scales with vocabulary size. At 100 TB use `approx = true`:
+    * `approx_count_distinct` (HyperLogLog++) is a bounded-size, map-side
+    * mergeable sketch whose relative standard deviation is `rsd` (default
+    * 0.05, i.e. ~5% typical error, and per the HLL++ analysis estimates
+    * beyond ~3·rsd are rare). Sketch estimates are
+    * implementation-specific, so only the exact form is hash-comparable
+    * cross-engine; the approx path is spec-tested against the exact counts
+    * at its documented error bound instead. */
+  def vocabProfile(
+      df: DataFrame,
+      approx: Boolean = false,
+      rsd: Double = 0.05,
+      textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    val nTerms =
+      if (approx) approx_count_distinct(col("term"), rsd)
+      else countDistinct(col("term"))
+    df.select(col(groupCol), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"), nTerms.as("n_terms"))
+      .withColumn("type_token_ratio",
+        col("n_terms").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-group token-length quantiles — the corpus length-distribution
     * diagnostic behind length-filter thresholds and packing-budget
     * choices.

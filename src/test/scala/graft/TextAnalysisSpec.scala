@@ -283,6 +283,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(e == 0.0)
   }
 
+  test("vocabProfile: approx (HLL++) distinct-term counts land within the " +
+    "documented error bound of the exact counts at sf0.1") {
+    val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+    def collectProfile(d: org.apache.spark.sql.DataFrame) =
+      d.select($"source", $"n_tokens", $"n_terms")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = collectProfile(TextAnalysis.vocabProfile(docs))
+    val rsd = 0.05
+    val approx = collectProfile(TextAnalysis.vocabProfile(docs, approx = true, rsd = rsd))
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (src, (nTok, nTerms)) =>
+      // token totals are an exact count either way — must match exactly
+      assert(approx(src)._1 == nTok, s"n_tokens drifted for $src")
+      // the sketch estimate: |est - exact| <= 3·rsd · exact (estimates
+      // beyond three relative standard deviations are rare by the HLL++
+      // error analysis; typical error here is ~rsd)
+      val est = approx(src)._2
+      assert(math.abs(est - nTerms) <= 3 * rsd * nTerms,
+        s"$src: approx n_terms $est vs exact $nTerms exceeds 3·rsd")
+    }
+  }
+
   test("percentileRank: ANSI (rank-1)/(n-1) with shared ranks on ties") {
     val docs = Seq((1L, "g", 0.1), (2L, "g", 0.5), (3L, "g", 0.5),
       (4L, "g", 0.9), (5L, "solo", 0.7)).toDF("doc_id", "source", "m")
