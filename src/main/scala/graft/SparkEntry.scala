@@ -1362,6 +1362,49 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_stream_asof_tol" -> ((s, dir) => {
+      // stream-stream backward as-of with BOUNDED lookback (24 h): each
+      // click picks up the user's most recent purchase within a day
+      // before it — the streaming twin of the batch asofBackwardTolerant
+      // and the same DuckDB oracle as ev_asof_tol. The bound is what
+      // lets the state machine's retained right FULLY expire (the
+      // unbounded variant keeps one right per key for the key's
+      // lifetime), the posture a churning keyspace needs. Same
+      // staging/sentinel shape as ev_stream_asof_join.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val tolSec = 86400L
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"),
+          lit(true).as("is_left"), col("event_id").as("id"),
+          lit(0L).as("cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("id"),
+          sum(cents(col("value"))).as("cents"))
+        .select(col("user_id").as("key"), col("ts"),
+          lit(false).as("is_left"), col("id"), col("cents"))
+      val sentinel = s.range(1).select(lit(-1L).as("key"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
+      val staging = "target/stream_asof_tol_input"
+      val schema = stageWithSentinel(s,
+        clicks.unionByName(purchases).unionByName(sentinel), staging,
+        guardCol = "key", horizonUs = 3600000000L) // the watermark delay
+      val out = Sessionize.asofJoinStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.AsofIn],
+        maxLookbackSeconds = Some(tolSec))
+      Sessionize.runToMemory(s, out.toDF(), "ev_stream_asof_tol",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("l_id") >= 0)
+        .select(col("l_id").as("event_id"), col("key").as("user_id"),
+          col("l_ts_us").as("ts_us"), col("r_id").as("p_event_id"),
+          col("r_cents").as("p_cents"), col("r_ts_us").as("p_ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_stream_asof_fwd" -> ((s, dir) => {
       // stream-stream FORWARD as-of, tolerance-bounded (24 h): each
       // click picks up the user's EARLIEST purchase within a day after
@@ -2617,6 +2660,25 @@ object SparkEntry {
           | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
           |ORDER BY c.event_id""".stripMargin,
+
+      // the identical oracle as the batch ev_asof_tol: the bounded-
+      // lookback stream state machine must reproduce the batch tolerant
+      // as-of exactly (most recent within 24 h, staler matches nulled)
+      "ev_stream_asof_tol" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click'),
+          |j AS (SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          |  p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
+          | FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+          |SELECT event_id, user_id, ts_us,
+          | CASE WHEN ts_us - p_ts_us <= 86400000000 THEN p_event_id END AS p_event_id,
+          | CASE WHEN ts_us - p_ts_us <= 86400000000 THEN p_cents END AS p_cents,
+          | CASE WHEN ts_us - p_ts_us <= 86400000000 THEN p_ts_us END AS p_ts_us
+          |FROM j ORDER BY event_id""".stripMargin,
 
       // forward ASOF (earliest at-or-after) nulled past the tolerance —
       // the earliest match beyond tol implies no match inside the window,

@@ -258,13 +258,31 @@ object Sessionize {
     * (future lefts sit above the watermark), so the rest prunes — per
     * key the steady state is one right row plus in-flight traffic. The
     * one unbounded-lookback consequence: that single latest right row
-    * per key lives as long as the key (the operator's contract is
-    * unbounded lookback, the reason Spark's range-bounded native joins
-    * can't express it). */
+    * per key lives as long as the key (the operator's default contract
+    * is unbounded lookback, the reason Spark's range-bounded native
+    * joins can't express it).
+    *
+    * `maxLookbackSeconds` (opt-in) bounds the lookback instead: a left
+    * at ts matches the latest right in `[ts − lookback, ts]` — the
+    * streaming twin of the batch `asofBackwardTolerant` — and the
+    * retained right now FULLY expires. A right at ts r can only serve
+    * lefts with ts in `[r, r + lookback]`; lefts below the watermark are
+    * late-dropped and the oldest pending left bounds what current lefts
+    * still need, so once `min(watermark, oldest pending) − lookback`
+    * passes r the row prunes, and an event-time timeout at the last
+    * right's expiry wakes the key to clean itself even if no further
+    * traffic arrives. Keys that churn (appear, trade for a while, go
+    * quiet) release their state within one lookback of going quiet —
+    * the posture an indefinitely-running join over a churning keyspace
+    * needs. */
   def asofJoinStream(
       rows: Dataset[AsofIn],
-      delay: String = "1 hour"): Dataset[AsofOut] = {
+      delay: String = "1 hour",
+      maxLookbackSeconds: Option[Long] = None): Dataset[AsofOut] = {
     import rows.sparkSession.implicits._
+    require(maxLookbackSeconds.forall(_ > 0),
+      "maxLookbackSeconds must be positive when set")
+    val lookbackUs = maxLookbackSeconds.map(_ * 1000000L)
 
     def micros(ts: Timestamp): Long =
       ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
@@ -289,16 +307,23 @@ object Sessionize {
       // ts could not — it would be late-dropped)
       val (ready, still) = st.pending.partition(_._1 < wmUs)
       val out = ready.sorted.map { case (lts, lid) =>
-        val m = st.rights.filter(_._1 <= lts).lastOption
+        val m = st.rights.filter(r => r._1 <= lts &&
+          lookbackUs.forall(lb => r._1 >= lts - lb)).lastOption
         AsofOut(key, lid, lts, m.map(_._2), m.map(_._1), m.map(_._3))
       }
       // prune rights: everything above the watermark survives, plus only
-      // the latest at-or-below it (the sole candidate for future lefts)
+      // the latest at-or-below it (the sole candidate for future lefts);
+      // under bounded lookback a right additionally expires once no
+      // reachable left — pending or future — can look back that far
       val (above, below) = st.rights.partition(_._1 > wmUs)
-      st = AsofState(still, below.lastOption.toList ++ above)
+      val floorUs =
+        if (still.isEmpty) wmUs else math.min(wmUs, still.map(_._1).min)
+      val kept = (below.lastOption.toList ++ above)
+        .filter(r => lookbackUs.forall(lb => r._1 >= floorUs - lb))
+      st = AsofState(still, kept)
       if (still.isEmpty && st.rights.isEmpty) {
-        // a key that drained its lefts and never buffered a right must
-        // not leak an empty state entry forever
+        // a key that drained its lefts and holds no live right must not
+        // leak an empty state entry forever
         state.remove()
       } else {
         state.update(st)
@@ -306,6 +331,12 @@ object Sessionize {
           val minPendingMs = still.map(_._1).min / 1000L
           state.setTimeoutTimestamp(
             math.max(minPendingMs + 1, state.getCurrentWatermarkMs() + 1))
+        } else lookbackUs.foreach { lb =>
+          // rights only: wake at the last right's expiry so the state
+          // self-cleans instead of lingering until the next event
+          val lastExpiryMs = (st.rights.map(_._1).max + lb) / 1000L
+          state.setTimeoutTimestamp(
+            math.max(lastExpiryMs + 1, state.getCurrentWatermarkMs() + 1))
         }
       }
       out.iterator

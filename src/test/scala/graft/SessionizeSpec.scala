@@ -201,6 +201,52 @@ class SessionizeSpec extends SparkSuite {
     }
   }
 
+  test("stream as-of with bounded lookback: stale rights null out and " +
+    "the retained right fully expires from the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize.AsofIn
+    val stream = MemoryStream[AsofIn]
+    val out = Sessionize.asofJoinStream(stream.toDS(),
+      maxLookbackSeconds = Some(30 * 60)) // 30-minute lookback
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("asof_tol_test").outputMode(OutputMode.Append).start()
+    try {
+      // key 1: right at t10; lefts at t20 (lag 10min, in window), t40
+      // (lag 30min, inclusive edge), t50 (lag 40min — stale, nulls)
+      stream.addData(
+        AsofIn(1L, ts(10), is_left = false, 100L, 5L),
+        AsofIn(1L, ts(20), is_left = true, 1L, 0L),
+        AsofIn(1L, ts(40), is_left = true, 2L, 0L),
+        AsofIn(1L, ts(50), is_left = true, 3L, 0L))
+      query.processAllAvailable()
+      // flush: watermark passes every left AND t10 + lookback
+      stream.addData(AsofIn(9L, ts(3000), is_left = true, -9L, 0L))
+      query.processAllAvailable()
+
+      val got = spark.table("asof_tol_test")
+        .filter($"key" === 1)
+        .select($"l_id", $"r_id", $"r_cents")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == Set(
+        (1L, Some(100L), Some(5L)), // within lookback
+        (2L, Some(100L), Some(5L)), // inclusive boundary: lag == lookback
+        (3L, None, None))) // latest right exists but is stale -> nulled
+
+      // state hygiene: the UNBOUNDED variant would retain key 1's right
+      // forever; under bounded lookback the right expired once the
+      // watermark passed t10 + 30min, and with no pending lefts key 1's
+      // state was REMOVED — only key 9's still-pending flush left
+      // remains
+      val stateRows = Option(query.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateRows.contains(1L),
+        s"expected 1 retained state row (full expiry), got $stateRows")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS asof_tol_test")
+    }
+  }
+
   test("stream forward as-of: earliest right within tolerance, " +
     "cross-batch rights honored, out-of-tolerance and backward rights " +
     "yield nulls") {
