@@ -64,6 +64,50 @@ object Changes {
       .drop(opCol)
   }
 
+  /** Partition-aware [[applyCdc]] — the daily-compaction shape at 100 TB.
+    * Plain [[applyCdc]] re-shuffles the ENTIRE base through latest-wins
+    * even when the change feed touches 0.1% of keys; when the snapshot is
+    * laid out on a partition column, only the partitions PRESENT in the
+    * change set need the merge at all. The touched partition values are
+    * collected to the driver (one value per touched partition — bounded
+    * by the feed's partition span, a handful for a daily feed; the same
+    * documented bounded-transfer posture as the codebook collects) and
+    * pushed as a STATIC `isin` partition filter, so the merge path's base
+    * scan directory-skips every untouched partition — their files are
+    * never read, let alone shuffled — and untouched rows union through
+    * with no exchange at all.
+    *
+    * Contract: the partition column must be STABLE per key (ingest date,
+    * key hash — anything that never changes for a given key). A key that
+    * migrates partitions, or a delete addressed to a partition other than
+    * the key's resident one, is outside this operator's contract — fall
+    * back to [[applyCdc]], which compares every key globally. Change rows
+    * must carry a non-null partition value (checked loudly); base rows
+    * with a null partition value pass through untouched. */
+  def applyCdcPartitioned(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      partitionCol: String,
+      tieCols: Seq[String] = Nil,
+      opCol: String = "op",
+      deleteOp: String = "d"): DataFrame = {
+    val touched = changes.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(!touched.contains(null),
+      s"change rows must carry a non-null '$partitionCol'")
+    if (touched.isEmpty) base
+    else {
+      val merged = applyCdc(
+        base.filter(col(partitionCol).isin(touched: _*)),
+        changes, keyCols, tsCol, tieCols, opCol, deleteOp)
+      val untouched = base.filter(
+        col(partitionCol).isNull || !col(partitionCol).isin(touched: _*))
+      merged.unionByName(untouched)
+    }
+  }
+
   /** Slowly-changing-dimension (type 2) intervals: each change row
     * becomes a validity interval [`valid_from`, `valid_to`), with
     * `valid_to` = the key's next change (null = current version, also
