@@ -1279,7 +1279,11 @@ object SparkEntry {
       // the SAME aggregation as ev_windowed_agg, executed as an actual
       // Structured Streaming query: parquet file source → complete-mode
       // windowed aggregation → memory sink, drained synchronously. One
-      // oracle covers both execution models.
+      // oracle covers both execution models. Complete mode is the
+      // bounded-replay harness choice (one batch, full state re-emitted
+      // once); the production mode for an indefinite run is Append with
+      // a watermark — per-window emit-once plus state expiry — which
+      // the operator supports unchanged (ev_stream_sessionize runs it).
       import org.apache.spark.sql.streaming.OutputMode
       Tables.configure(s) // TIMESTAMP(NANOS) needs nanosAsLong before inference
       val raw = s.read.parquet(s"$dir/events.parquet").schema
@@ -1507,8 +1511,11 @@ object SparkEntry {
       // (ts, event_id) total order needs no custom state, emits each
       // (window, user) cell once the watermark closes it, and state per
       // cell is ONE row (the running argmax), the property that keeps
-      // indefinite compaction viable. Complete mode because the bounded
-      // replay drains in one batch (same as ev_stream_windowed_agg).
+      // indefinite compaction viable. Complete mode is this bounded
+      // replay's harness choice only (the single batch re-emits full
+      // state once); an indefinitely-running compaction runs the SAME
+      // aggregation in Append mode, where the watermark emits each
+      // closed cell exactly once and expires its state.
       import org.apache.spark.sql.streaming.OutputMode
       Tables.configure(s)
       val raw = s.read.parquet(s"$dir/events.parquet").schema

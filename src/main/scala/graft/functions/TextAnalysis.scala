@@ -190,13 +190,19 @@ object TextAnalysis {
     * shuffles for it). If the tokenize-and-scan dominates, persist the
     * narrow (id, group, chunk, n_tokens) projection before packing.
     *
-    * Sizing `chunkShift`: the offsets frame is one row per chunk and is
-    * broadcast, and the win flattens once chunks comfortably exceed
-    * cores — so pick the shift that puts #chunks ≈ 10–100× total cores
-    * (e.g. ids densely numbered to 10¹¹ on a 10⁴-core cluster want
-    * `chunkShift ≈ 20`, a few hundred thousand chunks), not the
-    * smallest shift that still parallelizes. The default suits
-    * 10⁵–10⁸-doc id spaces. */
+    * Sizing `chunkShift`: the offsets frame is one row per chunk (AQE
+    * broadcasts it when its runtime size is small), and the win flattens
+    * once chunks comfortably exceed cores — so pick the shift that puts
+    * #chunks ≈ 10–100× total cores (e.g. ids densely numbered to 10¹¹ on
+    * a 10⁴-core cluster want `chunkShift ≈ 20`, a few hundred thousand
+    * chunks), not the smallest shift that still parallelizes. The
+    * default suits 10⁵–10⁸-doc id spaces. The density assumption is
+    * load-bearing: SPARSE integral ids (snowflake/hash ids) make
+    * `id >> chunkShift` nearly injective — a corpus-sized offsets frame
+    * funneling through the per-group offsets window. For sparse id
+    * spaces raise `chunkShift` until chunks are dense (a 41-bit-ms
+    * snowflake space wants shift ≈ 40+), or densify ids upstream;
+    * `observe` the offsets frame's count against #docs when in doubt. */
   def packByTokenBudget(
       df: DataFrame,
       budgetTokens: Long,
@@ -233,12 +239,19 @@ object TextAnalysis {
       .withColumn("__chunk_off",
         coalesce(sum(col("__chunk_tok")).over(wChunk), lit(0L)))
       .select(col(groupCol), col("__chunk"), col("__chunk_off"))
-    // the broadcast hint is safe BY CONFIGURATION (unlike data-dependent
-    // frames): the offsets frame is one row per chunk, and chunkShift —
-    // a caller parameter with documented sizing — bounds the chunk count
+    // NO broadcast hint on the offsets join: the frame is one row per
+    // chunk, but the chunk COUNT is data-dependent — chunkShift's sizing
+    // assumes densely numbered ids, and sparse 64-bit ids (snowflake /
+    // hash ids) make id >> 12 nearly injective, i.e. a corpus-sized
+    // offsets frame. A forced broadcast would hard-fail or OOM the
+    // driver exactly there; AQE instead reads the frame's runtime size
+    // and broadcasts only when it actually is small, degrading to a
+    // shuffle join otherwise (same policy as the dup-rate-scaling dedup
+    // frames). The wChunk window above shares the density assumption —
+    // see the scaladoc's sparse-id guidance.
     base
       .withColumn("__intra", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .join(broadcast(chunkOffsets), Seq(groupCol, "__chunk"))
+      .join(chunkOffsets, Seq(groupCol, "__chunk"))
       .withColumn("start_off", col("__chunk_off") + col("__intra"))
       .withColumn("pack_id", expr(s"start_off div $budgetTokens"))
       .drop("__chunk", "__intra", "__chunk_off")
