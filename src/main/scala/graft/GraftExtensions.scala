@@ -125,7 +125,7 @@ object GraftExtensions {
         info("vec_quantize_int8", "math_funcs",
           "vec_quantize_int8(v) - symmetric absmax int8 quantization of " +
             "an array<float> vector as struct<q_scale: double, q: " +
-            "array<int>>; components floor(x*127/absmax + 0.5) in " +
+            "array<tinyint>>; components floor(x*127/absmax + 0.5) in " +
             "[-127, 127], zero vectors quantize to zeros with scale 0."),
         (children: Seq[Expression]) => {
           require(children.length == 1,

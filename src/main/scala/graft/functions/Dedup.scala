@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *  - Hashes are md5-hex-string based: deterministic, seedable by suffix,
   *    portable across engines (used by the DuckDB oracle), and min() over
   *    hex strings is a valid uniform min-hash order.
-  *  - `localCheckpoint` (used to pin multi-consumer frames and truncate
-  *    iterative lineage) stores blocks on EXECUTOR-LOCAL storage: an
-  *    executor loss severs the lineage and fails the job. Fine for
-  *    bounded jobs that re-run; long multi-hour pipelines should swap in
-  *    `checkpoint()` on reliable storage at the same call sites.
+  *  - Multi-consumer frames and iterative lineage are pinned via
+  *    [[Materialize]]: `localCheckpoint` by default (executor-local
+  *    blocks — an executor loss severs the lineage and the bounded job
+  *    re-runs), or a RELIABLE `checkpoint()` when the session sets
+  *    `spark.graft.checkpoint.reliable=true` plus a checkpoint dir —
+  *    the mode a multi-hour 100-TB pipeline runs.
   */
 object Dedup {
 
@@ -301,13 +302,11 @@ object Dedup {
     // canonicalization (verified: `explain` shows two full scans and no
     // ReusedExchange even with both sides repartitioned identically). So
     // the (id, sh) frame — 16 bytes/doc, the smallest possible cut point —
-    // is materialized ONCE with an eager localCheckpoint; both join sides
-    // then re-derive only the trivial chunk explode from the stored
-    // blocks. Executor loss invalidates local checkpoint blocks and fails
-    // the job (acceptable: the query is a candidate-generation batch job
-    // and simply re-runs); callers needing fault-tolerant lineage at
-    // cluster scale can set a checkpoint dir and swap in `checkpoint()`.
-    val banded = sig.localCheckpoint()
+    // is materialized ONCE eagerly (Materialize: localCheckpoint, or a
+    // reliable checkpoint under spark.graft.checkpoint.reliable); both
+    // join sides then re-derive only the trivial chunk explode from the
+    // stored blocks.
+    val banded = Materialize(sig)
       .select(col(idCol), col("sh"), explode(array(chunkVals: _*)).as("b"))
       .select(col(idCol), col("sh"), col("b.ci"), col("b.cv"))
     val l = banded.select(col("ci"), col("cv"),
@@ -345,8 +344,12 @@ object Dedup {
     * node ids drawn from the same frame, so the jump is a self-join of
     * the label frame on (lbl = node). Each round is two shuffle joins
     * plus a map-side-combinable min aggregation, with the label frame
-    * localCheckpoint-ed per round — iterative plans otherwise stack each
-    * round's joins into one exponentially deep lineage.
+    * materialized per round ([[Materialize]]: localCheckpoint, or a
+    * reliable checkpoint under `spark.graft.checkpoint.reliable` — the
+    * mode a long-running CC over a 100-TB edge set wants, since an
+    * executor loss otherwise fails the whole iteration) — iterative
+    * plans otherwise stack each round's joins into one exponentially
+    * deep lineage.
     *
     * Convergence is checked with zero extra jobs: the changed-row count
     * rides the checkpoint action itself via `observe()` (an
@@ -372,14 +375,14 @@ object Dedup {
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    val symM = Materialize(sym)
+    var labels = Materialize(
+      symM.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
-      val nbrMin = sym
+      val nbrMin = symM
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       // pointer jump: the label of my label (left join — every lbl IS a
@@ -396,10 +399,10 @@ object Dedup {
         .observe(obs,
           sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L))
             .as("changed"))
-        .localCheckpoint()
+      val nextM = Materialize(next)
       changed = Option(obs.get.apply("changed"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = next.select(col("node"), col("new_lbl").as("lbl"))
+      labels = nextM.select(col("node"), col("new_lbl").as("lbl"))
       it += 1
     }
     if (changed > 0)
@@ -459,7 +462,7 @@ object Dedup {
     * separate aggregate + re-join would cost. 0 disables the cap.
     *
     * The capped inverted index is materialized ONCE with an eager
-    * localCheckpoint before the self-join: the shingle expressions are
+    * materialized before the self-join: the shingle expressions are
     * higher-order functions whose lambda variables defeat plan
     * canonicalization, so (as with [[simhashNearDupPairs]]) ReuseExchange
     * cannot unify the two sides and a naive self-join re-runs the
@@ -483,14 +486,13 @@ object Dedup {
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val kept =
-      (if (maxGramDf <= 0) grams
-       else grams
-         .withColumn("__df",
-           count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
-         .filter(col("__df") <= maxGramDf)
-         .drop("__df"))
-        .localCheckpoint()
+    val kept = Materialize(
+      if (maxGramDf <= 0) grams
+      else grams
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
+        .filter(col("__df") <= maxGramDf)
+        .drop("__df"))
     // post-cap set size, keyed on the doc (a doc lives in one block, so
     // idCol alone identifies its set): partial-aggregated before the
     // shuffle, one output row per doc

@@ -235,6 +235,10 @@ object Similarity {
     require(maxIters >= 0, "maxIters must be non-negative")
     require(tol >= 0.0, "tol must be non-negative")
     var cents = ivfCentroids(corpus, k, idCol, vecCol)
+    // an empty corpus seeds an empty codebook; fail loudly here rather
+    // than as an opaque empty.max inside the first training round
+    require(cents.nonEmpty,
+      "kmeansTrain: corpus has no vectors to seed a codebook from")
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -261,8 +265,10 @@ object Similarity {
   }
 
   /** The int8 quantization as ONE struct-valued column expression —
-    * `struct<q_scale: double, q: array<int>>` — registered in SQL as
-    * `vec_quantize_int8`. The absmax is let-bound via a one-element
+    * `struct<q_scale: double, q: array<tinyint>>` — registered in SQL as
+    * `vec_quantize_int8`. Components are TINYINT (one byte), so the 4×
+    * storage/bandwidth cut is realized in the output itself, not left to
+    * a downstream recast. The absmax is let-bound via a one-element
     * `transform` (the [[Dedup.shingles]] pattern): referencing a sibling
     * projection column inside the per-element lambda would get re-inlined
     * by CollapseProject and recompute the O(d) absmax PER ELEMENT. */
@@ -273,8 +279,8 @@ object Similarity {
           coalesce(m, lit(0.0)).as("q_scale"),
           when(m > 0,
             transform(vec, x =>
-              floor(x.cast("double") * 127.0 / m + 0.5).cast("int")))
-            .otherwise(transform(vec, _ => lit(0))).as("q"))),
+              floor(x.cast("double") * 127.0 / m + 0.5).cast("tinyint")))
+            .otherwise(transform(vec, _ => lit(0).cast("tinyint"))).as("q"))),
       1)
 
   /** Scalar int8 quantization of an embedding column — the 4× storage /
@@ -291,7 +297,8 @@ object Similarity {
     * codegen'd projection — no shuffle, no helper columns touched on the
     * caller's frame (both fields extract from the [[quantizeStruct]]
     * expression in one projection; codegen CSEs the top-level duplicate).
-    * Output adds (`q_scale`, `q` : array<int>). */
+    * Output adds (`q_scale`, `q` : array<tinyint> — one byte per
+    * component, so the cut lands in storage, not just in range). */
   def quantizeInt8(
       df: DataFrame,
       idCol: String = "vec_id",
@@ -387,24 +394,21 @@ object Similarity {
     * in the non-positive sign bucket). */
   def vecDigest(vec: Column): Column = md5(vec.cast("string"))
 
-  /** (id, vector, digest) with the digest computed ONCE: the shared scan
-    * both the member map and the class frame derive from.
-    * `localCheckpoint` materializes it so the md5 projection and the
-    * source scan run once, not once per consumer (three consumers in the
-    * pair path). NB `localCheckpoint` stores blocks on executor-local
-    * storage: on a real cluster an executor loss severs the lineage and
-    * fails the job — acceptable for bounded jobs that simply re-run, but
-    * long multi-hour pipelines should swap in `checkpoint()` (reliable
-    * storage) or persist-to-disk at the same call site. Storage is
-    * ~corpus-sized (vectors ride along for the class groupBy's `min_by`);
-    * if that's prohibitive, trading back to recomputed scans is the
-    * documented alternative — one digest pass per consumer. */
+  /** (id, vector, digest) — the shared projection both the member map
+    * and the class frame derive from. Deliberately LAZY (not
+    * materialized): its two consumers each materialize their own
+    * downstream frame — the NARROW (digest, id) member map and the
+    * class-sized [[vecClasses]] output (which carries one vector per
+    * distinct class) — so the corpus-sized vector column is never
+    * persisted. The cost is the digest/scan running once per
+    * materialization (twice total) instead of once; an md5 over the scan
+    * is cheap where corpus-sized executor-local storage is the thing
+    * that kills a 100-TB job. */
   private def keyedVectors(
       df: DataFrame,
       idCol: String,
       vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol), vecDigest(col(vecCol)).as("__vg"))
-      .localCheckpoint()
 
   /** One row per DISTINCT vector value — the duplicate-class frame the
     * LSH paths run over instead of the raw corpus. A duplicate-heavy
@@ -531,15 +535,16 @@ object Similarity {
       positions: Seq[Int] = defaultPositions,
       probe1: Boolean = true,
       maxBucket: Int = 0): DataFrame = {
-    // one scan, one md5 pass: members and the class frame both derive
-    // from the checkpointed (id, vec, digest) projection
+    // two narrow materializations, zero corpus-sized persists: the
+    // member map is (16-byte digest, id) and the class frame holds one
+    // vector per DISTINCT class — the full (id, vector, digest)
+    // projection itself stays lazy (see keyedVectors)
     val keyed = keyedVectors(df, idCol, vecCol)
-    val members = keyed.select(col("__vg"), col(idCol))
-    // checkpoint the per-class frame too: it feeds both probe-join
+    val members = Materialize(keyed.select(col("__vg"), col(idCol)))
+    // materialize the per-class frame too: it feeds both probe-join
     // sides plus the intra-class path, and the digest groupBy otherwise
     // re-runs per consumer (same rationale as Dedup.simhashNearDupPairs)
-    val classes = vecClasses(keyed, idCol, vecCol, positions)
-      .localCheckpoint()
+    val classes = Materialize(vecClasses(keyed, idCol, vecCol, positions))
     val reps = capBuckets(classes, maxBucket)
     val probes =
       if (probe1)
@@ -639,9 +644,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
     val keyed = keyedVectors(df, idCol, vecCol)
-    val members = keyed.select(col("__vg"), col(idCol))
-    val classes = vecClasses(keyed, idCol, vecCol, positions)
-      .localCheckpoint()
+    val members = Materialize(keyed.select(col("__vg"), col(idCol)))
+    val classes = Materialize(vecClasses(keyed, idCol, vecCol, positions))
     val reps = capBuckets(classes, maxBucket)
     val probes =
       if (probe1)

@@ -15,7 +15,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * so the SAME logic runs in batch (window functions) and streaming
   * (flatMapGroupsWithState / watermarked windows).
   */
-object Sessionize {
+// Serializable because the as-of update closures call the object's
+// mergeSortedRights helper, which makes Spark's closure cleaner ship the
+// (stateless) module reference with the task
+object Sessionize extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -231,6 +234,32 @@ object Sessionize {
   final case class AsofOut(key: Long, l_id: Long, l_ts_us: Long,
       r_id: Option[Long], r_ts_us: Option[Long], r_cents: Option[Long])
 
+  /** Merge the as-of state's (ts, id)-sorted rights buffer with a sorted
+    * batch delta — O(n + m) per invocation, and the common no-new-rights
+    * wake (watermark timeouts fire every micro-batch) returns the state
+    * buffer untouched. A full re-sort per invocation would be
+    * O(n log n) per key per batch even with an empty delta — at odds
+    * with the indefinitely-running contract. */
+  private def mergeSortedRights(
+      a: List[(Long, Long, Long)],
+      b: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
+    if (b.isEmpty) a
+    else if (a.isEmpty) b
+    else {
+      val buf = List.newBuilder[(Long, Long, Long)]
+      var x = a
+      var y = b
+      while (x.nonEmpty && y.nonEmpty) {
+        val takeX = x.head._1 < y.head._1 ||
+          (x.head._1 == y.head._1 && x.head._2 <= y.head._2)
+        if (takeX) { buf += x.head; x = x.tail }
+        else { buf += y.head; y = y.tail }
+      }
+      buf ++= x
+      buf ++= y
+      buf.result()
+    }
+
   // not private: the state encoder's generated code must reach the class
   final case class AsofState(
       pending: List[(Long, Long)], // unresolved lefts: (tsUs, id)
@@ -299,7 +328,8 @@ object Sessionize {
         val newRights = batch.filter(!_.is_left)
           .map(r => (micros(r.ts), r.id, r.cents))
         st = AsofState(st.pending ++ newLefts,
-          (st.rights ++ newRights).sortBy(r => (r._1, r._2)))
+          mergeSortedRights(st.rights,
+            newRights.sortBy(r => (r._1, r._2)).toList))
       }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       // finalize lefts strictly below the watermark (a right row AT the
@@ -386,9 +416,10 @@ object Sessionize {
         val batch = it.toSeq
         st = AsofState(
           st.pending ++ batch.filter(_.is_left).map(r => (micros(r.ts), r.id)),
-          (st.rights ++ batch.filter(!_.is_left)
-            .map(r => (micros(r.ts), r.id, r.cents)))
-            .sortBy(r => (r._1, r._2)))
+          mergeSortedRights(st.rights,
+            batch.filter(!_.is_left)
+              .map(r => (micros(r.ts), r.id, r.cents))
+              .sortBy(r => (r._1, r._2)).toList))
       }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       // finalize once the watermark strictly passes ts + tol: the

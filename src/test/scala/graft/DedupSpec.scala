@@ -238,6 +238,31 @@ class DedupSpec extends SparkSuite {
     assert(cc.length == 64 && cc.forall(_._2 == 1L))
   }
 
+  test("connected components under RELIABLE checkpointing: same labels, " +
+    "and reliable mode without a checkpoint dir fails loudly") {
+    import spark.implicits._
+    import graft.functions.Materialize
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    spark.conf.set(Materialize.ReliableConf, "true")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        // asking for durability without a durable location must not
+        // silently fall back to executor-local blocks
+        val e = intercept[IllegalArgumentException] {
+          Dedup.connectedComponents(edges).collect()
+        }
+        assert(e.getMessage.contains("setCheckpointDir"))
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      }
+      val cc = Dedup.connectedComponents(edges)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+        (10L, 10L), (11L, 10L)))
+    } finally spark.conf.unset(Materialize.ReliableConf)
+  }
+
   test("connected components: non-convergence fails loudly") {
     import spark.implicits._
     // a 6-node chain has diameter 5; min-label propagation moves the min

@@ -175,11 +175,11 @@ class PlanSpec extends SparkSuite {
         "cast(-1.0 as float), cast(0.25 as float))) AS q").collect().head
       .getStruct(0)
     assert(r.getDouble(0) == 1.0)
-    assert(r.getSeq[Int](1) == Seq(64, -127, 32))
+    assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32))
     val api = graft.functions.Similarity.quantizeInt8(
       Seq((1L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding"))
-      .select($"q_scale", $"q").as[(Double, Seq[Int])].head()
-    assert((r.getDouble(0), r.getSeq[Int](1)) == api)
+      .select($"q_scale", $"q").as[(Double, Seq[Byte])].head()
+    assert((r.getDouble(0), r.getSeq[Byte](1)) == api)
   }
 
   test("broadcast domain validation: no shuffle of the fact side") {

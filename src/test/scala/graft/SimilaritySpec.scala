@@ -167,18 +167,24 @@ class SimilaritySpec extends SparkSuite {
       (2L, Seq(0f, 0f, 0f)),
       (3L, Seq(3f)))
       .toDF("vec_id", "embedding")
-    val q = Similarity.quantizeInt8(corpus)
+    val qDf = Similarity.quantizeInt8(corpus)
+    // the storage cut is real only if components are 1-byte on disk
+    assert(qDf.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"q must be array<tinyint>, got ${qDf.schema("q").dataType}")
+    val q = qDf
       .select($"vec_id", $"q_scale", $"q")
-      .as[(Long, Double, Seq[Int])].collect()
+      .as[(Long, Double, Seq[Byte])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     // 0.5·127=63.5 -> 64 (half-up); -1·127=-127; 0.25·127=31.75 -> 32
-    assert(q(1L) == ((1.0, Seq(64, -127, 32))))
-    assert(q(2L) == ((0.0, Seq(0, 0, 0))))
-    assert(q(3L) == ((3.0, Seq(127))))
+    assert(q(1L) == ((1.0, Seq[Byte](64, -127, 32))))
+    assert(q(2L) == ((0.0, Seq[Byte](0, 0, 0))))
+    assert(q(3L) == ((3.0, Seq[Byte](127))))
 
     val v = Seq(0.113f, -0.87f, 0.52f, 0.004f)
     val out = Similarity.quantizeInt8(Seq((9L, v)).toDF("vec_id", "embedding"))
-    val (m, qs) = out.select($"q_scale", $"q").as[(Double, Seq[Int])].head()
+    val (m, qs) = out.select($"q_scale", $"q").as[(Double, Seq[Byte])].head()
     v.zip(qs).foreach { case (x, qi) =>
       assert(qi >= -127 && qi <= 127)
       assert(math.abs(x - qi * m / 127.0) <= m / 254.0 + 1e-9,
