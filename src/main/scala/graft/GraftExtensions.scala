@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{Dedup, Similarity, VecDotF, VecL2F}
+import graft.functions.{Dedup, Similarity, VecDotF, VecDotI8, VecL2F}
 
 /** Catalyst extension entry point: registers the library's native
   * expressions AND its column-composition kernels with the session so they
@@ -62,6 +62,17 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 2, "vec_dot_f takes exactly 2 arguments")
           VecDotF(children.head, children(1))
+        }),
+      (
+        new FunctionIdentifier("vec_dot_i8"),
+        info("vec_dot_i8", "math_funcs",
+          "vec_dot_i8(a, b) - exact integer dot product of two " +
+            "array<tinyint> vectors as bigint (the int8 ANN inner loop); " +
+            "null on length mismatch or null element.",
+          classOf[VecDotI8].getName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "vec_dot_i8 takes exactly 2 arguments")
+          VecDotI8(children.head, children(1))
         }),
       (
         new FunctionIdentifier("vec_l2_f"),

@@ -880,6 +880,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), q, k = 10)
     }),
 
+    "sim_topk_int8" -> ((s, dir) => {
+      // quantize-then-search: top-k cosine over the int8-quantized corpus
+      // (vec_dot_i8 exact integer dots; the only IEEE ops are one sqrt +
+      // one division per row, so the scores hash-match the oracle's
+      // replication of the identical quantization + integer arithmetic)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.int8TopK(t(s, dir, "embeddings"), q, k = 10)
+    }),
+
     "sim_ann_bucket" -> ((s, dir) => {
       val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
@@ -2103,6 +2113,32 @@ object SparkEntry {
            |SELECT e.vec_id, ${duckCosine("e.embedding", "q.qe")} AS score
            |FROM embeddings e, q
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+      // int8 quantize-then-search: the oracle replicates the symmetric
+      // absmax quantization (identical IEEE floor(x*127/m + 0.5), the
+      // emb_quantize_int8 arithmetic), then EXACT integer dots; the only
+      // IEEE ops are the final sqrt + division, correctly rounded in both
+      // engines
+      "sim_topk_int8" ->
+        """WITH q8 AS (SELECT vec_id,
+          |  CASE WHEN ms > 0 THEN list_transform(embedding,
+          |    x -> CAST(floor(x::DOUBLE * 127.0 / ms + 0.5) AS BIGINT))
+          |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+          | FROM (SELECT vec_id, embedding,
+          |   COALESCE(list_aggregate(list_transform(embedding,
+          |     x -> abs(x::DOUBLE)), 'max'), 0.0) AS ms
+          |  FROM embeddings)),
+          |qv AS (SELECT q AS qq FROM q8 WHERE vec_id = 0),
+          |s AS (SELECT v.vec_id,
+          |  CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+          |    i -> v.q[i] * qv.qq[i])) AS BIGINT) AS di,
+          |  CAST(list_sum(list_transform(v.q, x -> x * x)) AS BIGINT) AS na2,
+          |  CAST(list_sum(list_transform(qv.qq, x -> x * x)) AS BIGINT) AS nq2
+          | FROM q8 v, qv)
+          |SELECT vec_id,
+          | CASE WHEN na2 > 0 AND nq2 > 0
+          |  THEN di / sqrt(CAST(na2 * nq2 AS DOUBLE)) ELSE 0.0 END AS score
+          |FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
       // per-vector top-3 among hamming<=1 bucket candidates; same bucket
       // arithmetic as sim_ann_bucket, row_number tie-break on nbr id

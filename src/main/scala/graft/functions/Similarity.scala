@@ -56,6 +56,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Integer dot product over `array<tinyint>` columns (the [[VecDotI8]]
+    * kernel) — the int8 ANN inner loop, exact by construction. */
+  def dotI8(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      VecDotI8(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Top-k cosine search over the int8-QUANTIZED corpus — the
+    * quantize-then-search pattern a 100-TB embedding store actually runs:
+    * [[quantizeInt8]] cuts storage/bandwidth 4× up front, and queries
+    * score against the one-byte vectors without ever touching the
+    * float32 originals. The scan reads only (id, q) — 4× less I/O than
+    * the float path — and the integer dot products ([[dotI8]], a
+    * codegen'd long accumulation) are EXACT, so the only IEEE operations
+    * are one correctly-rounded sqrt and one division per row: scores are
+    * bit-reproducible cross-engine, unlike float accumulation whose
+    * ordering matters.
+    *
+    * Scoring: per-vector symmetric absmax quantization is
+    * scale-invariant in the cosine — q(x) ≈ x·(127/m) component-wise —
+    * so cos(q(a), q(b)) approximates cos(a, b) with only the rounding
+    * error (≤ m/254 per component); the top-k over quantized scores is
+    * the standard recall/bandwidth trade. The query vector is quantized
+    * DRIVER-side with the identical `floor(x·127/m + 0.5)` IEEE
+    * arithmetic and inlined as a literal, so the scan side never
+    * shuffles; only k rows move (same plan shape as [[bruteForceTopK]]).
+    * Zero vectors (scale 0) score 0 against everything, as in
+    * [[cosine]]. */
+  def int8TopK(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(queryVec.nonEmpty, "query vector must be non-empty")
+    // engine-identical quantization of the query (same IEEE double ops
+    // as quantizeStruct's generated code)
+    val m = queryVec.map(x => math.abs(x.toDouble)).max
+    val qq: Seq[Byte] =
+      if (m > 0) queryVec.map(x =>
+        math.floor(x.toDouble * 127.0 / m + 0.5).toByte)
+      else queryVec.map(_ => 0: Byte)
+    val nq2 = qq.map(b => b.toLong * b.toLong).sum
+    val quant = quantizeInt8(corpus, idCol, vecCol)
+    val di = dotI8(col("q"), typedlit(qq))
+    val na2 = dotI8(col("q"), col("q"))
+    quant
+      .select(col(idCol),
+        when(lit(nq2) > 0 && na2 > 0,
+          di.cast("double") / sqrt((na2 * lit(nq2)).cast("double")))
+          .otherwise(lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-projection LSH bucket: bit i = sign of component positions(i).
     * Axis-aligned random hyperplanes — deterministic, engine-portable. */
   def signBucket(vec: Column, positions: Seq[Int]): Column =

@@ -182,6 +182,19 @@ class PlanSpec extends SparkSuite {
     assert((r.getDouble(0), r.getSeq[Byte](1)) == api)
   }
 
+  test("vec_dot_i8 available from SQL: exact integer dot, null on " +
+    "length mismatch") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot_i8(array(cast(3 as tinyint), cast(-2 as tinyint)), " +
+        "array(cast(10 as tinyint), cast(4 as tinyint))) AS d").head
+    assert(r.getLong(0) == 22L)
+    val n = spark.sql(
+      "SELECT vec_dot_i8(array(cast(1 as tinyint)), " +
+        "array(cast(1 as tinyint), cast(2 as tinyint))) AS d").head
+    assert(n.isNullAt(0))
+  }
+
   test("broadcast domain validation: no shuffle of the fact side") {
     val p = plan("alma_domain_validate")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -196,6 +196,44 @@ class SimilaritySpec extends SparkSuite {
       s"quantization should not shuffle:\n$plan")
   }
 
+  test("int8TopK: exact integer scoring over quantized vectors, " +
+    "zero vectors score 0, identical vectors score exactly 1.0") {
+    val vecs = Seq(
+      (0L, Seq(0.5f, -1.0f, 0.25f)),
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // identical -> quantized cosine 1.0
+      (2L, Seq(-0.5f, 1.0f, -0.25f)), // opposite -> -1.0
+      (3L, Seq(0f, 0f, 0f)), // zero vector -> 0.0
+      (4L, Seq(1f, 1f, 1f)))
+    val q = Seq(0.5f, -1.0f, 0.25f)
+    val got = Similarity.int8TopK(vecs.toDF("vec_id", "embedding"), q, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    // driver-side recomputation with the same integer arithmetic
+    def quant(v: Seq[Float]): Seq[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      if (m > 0) v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toLong)
+      else v.map(_ => 0L)
+    }
+    val qq = quant(q)
+    val nq2 = qq.map(x => x * x).sum
+    val expected = vecs.map { case (id, v) =>
+      val qv = quant(v)
+      val di = qv.zip(qq).map { case (a, b) => a * b }.sum
+      val na2 = qv.map(x => x * x).sum
+      (id, if (na2 > 0 && nq2 > 0) di / math.sqrt((na2 * nq2).toDouble)
+      else 0.0)
+    }.sortBy { case (id, s) => (-s, id) }
+    assert(got == expected)
+    // identical quantized vectors: di = na2 = nq2, so the score is
+    // EXACTLY 1.0 (integer arithmetic, one exact sqrt) — not 1-ulp off
+    assert(got.find(_._1 == 1L).get._2 == 1.0)
+    assert(got.find(_._1 == 3L).get._2 == 0.0)
+    // NB the opposite vector is NOT exactly -1: half-up rounding isn't
+    // symmetric around zero (-63.5 -> -63 where 63.5 -> 64), so
+    // q(-v) != -q(v) on exact halves — covered by the expected-equality
+    // above, pinned here as documentation
+    assert(got.find(_._1 == 2L).get._2 < -0.999)
+  }
+
   test("kmeansTrain: converges to a fixed point, retains empty cells, " +
     "maxIters=0 returns the seed codebook") {
     // seeds (first 3 ids): two identical vectors + one distinct — cell 1
