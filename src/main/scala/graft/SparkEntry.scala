@@ -801,6 +801,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_strip_html" -> ((s, dir) => {
+      // raw-web ingest: each doc is wrapped in deterministic markup
+      // (style + script blocks with stray '<' inside, tags, double-escaped
+      // entities, an href URL) and the engine must recover the prose via
+      // stripMarkup and the URLs via extractUrls; the oracle builds the
+      // identical wrap and replicates the RE2-portable chain verbatim
+      val id = col("doc_id").cast("string")
+      val wrapped = concat(
+        lit("<html><head><style type=\"text/css\">p { color: red; }" +
+          "</style></head><body><h1>Doc "), id,
+        lit("</h1><a href=\"https://example.com/d/"), id,
+        lit("?ref=corpus\">link</a><p>Q&amp;A &lt;3 "), col("text"),
+        lit("</p><script>if (1 < 2) { alert(\"x&y\"); }" +
+          "</script></body></html>"))
+      par(s)(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.stripMarkup(wrapped).as("clean"),
+          concat_ws(",", TextAnalysis.extractUrls(wrapped)).as("urls_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_vocab" -> ((s, dir) => {
       // per-source vocabulary profile, exact path — hash-comparable
       // cross-engine. The 100-TB default is vocabProfile(approx = true)
@@ -2418,6 +2439,29 @@ object SparkEntry {
         s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
            |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
            |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+      // same wrap, same RE2-portable strip chain: blocks -> tags ->
+      // entities (amp LAST) -> whitespace collapse; URL extraction runs
+      // on the RAW markup (stripMarkup eats hrefs)
+      "text_strip_html" ->
+        """WITH w AS (SELECT doc_id,
+          | '<html><head><style type="text/css">p { color: red; }</style></head><body><h1>Doc '
+          |  || doc_id || '</h1><a href="https://example.com/d/' || doc_id
+          |  || '?ref=corpus">link</a><p>Q&amp;A &lt;3 ' || text
+          |  || '</p><script>if (1 < 2) { alert("x&y"); }</script></body></html>' AS raw
+          | FROM documents)
+          |SELECT doc_id,
+          | trim(regexp_replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |   regexp_replace(regexp_replace(raw,
+          |     '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+          |     '(?s)<[^>]*>', ' ', 'g'),
+          |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          |   '&nbsp;', ' '), '&amp;', '&'),
+          |  '\s+', ' ', 'g')) AS clean,
+          | array_to_string(regexp_extract_all(raw,
+          |  'https?://[^\s<>"'']+', 0), ',') AS urls_csv
+          |FROM w ORDER BY doc_id""".stripMargin,
 
       "text_vocab" ->
         s"""WITH tok AS (SELECT source, unnest($duckWords) AS term FROM documents)

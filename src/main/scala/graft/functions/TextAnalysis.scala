@@ -414,6 +414,42 @@ object TextAnalysis {
       regexp_replace(acc, re, repl)
     }
 
+  /** Markup entities, decoded AFTER tag removal; `&amp;` must be last so
+    * the double-escaped "&amp;lt;" decodes to the literal "&lt;" text, not
+    * to a tag bracket (the standard single-pass decode order). */
+  private val markupEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip HTML/markup to plain text — the first transform raw web text
+    * hits in a training-data pipeline: drop script/style blocks WHOLESALE
+    * (their content is code, not prose — and stray `<` inside them must
+    * not derail tag removal), then remove tags, decode the common
+    * entities, collapse whitespace. A narrow codegen'd projection — runs
+    * at scan speed and fuses with downstream quality/langid scoring.
+    * Regexes are RE2-portable (inline `(?is)` flags, non-greedy blocks,
+    * no lookaround) so the oracle replicates the chain verbatim. This is
+    * deliberately a fast approximate extractor (the trafilatura/jusText
+    * tier is a parser, not a regex); malformed markup degrades to extra
+    * whitespace, never to dropped prose. */
+  def stripMarkup(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = markupEntities.foldLeft(noTags) {
+      case (acc, (e, v)) => replace(acc, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** All http(s) URLs in the raw text (markup included — run BEFORE
+    * [[stripMarkup]], which eats `href` attributes), in document order:
+    * the input to domain-level corpus curation (per-domain mixing,
+    * blocklists, dedup-by-source). Bare regexp_extract_all — narrow,
+    * RE2-portable. */
+  def extractUrls(c: Column): Column =
+    regexp_extract_all(c, lit("https?://[^\\s<>\"']+"), lit(0))
+
   /** Per-group vocabulary profile: token occurrences, distinct terms, and
     * type-token ratio — the corpus-diversity diagnostic behind boilerplate
     * detection and mixture design. One explode feeding a partial-aggregated

@@ -283,6 +283,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(e == 0.0)
   }
 
+  test("stripMarkup: drops script/style wholesale, removes tags, decodes " +
+    "entities after tag removal, collapses whitespace") {
+    val strip = (s: String) => one[String](TextAnalysis.stripMarkup($"text"), s)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // stray '<' INSIDE a script block must not derail tag removal
+    assert(strip("a<script>if (1 < 2) { x(\"<q>\"); }</script>b") == "a b")
+    assert(strip("a<style type=\"x\">p { color: red; }</style>b") == "a b")
+    // entities decode AFTER tags: "&lt;p&gt;" is literal text, not a tag;
+    // double-escaped &amp;lt; decodes once to the literal "&lt;"
+    assert(strip("&lt;p&gt; &amp;lt; Q&amp;A &nbsp;x") == "<p> &lt; Q&A x")
+    // malformed markup degrades to whitespace, never drops prose
+    assert(strip("ok <unclosed attr=\"v\" ok2") == "ok <unclosed attr=\"v\" ok2"
+      .replaceAll("<[^>]*>", " ").trim.replaceAll("\\s+", " "))
+    assert(strip("   plain    text\n\there  ") == "plain text here")
+  }
+
+  test("extractUrls: http(s) URLs in document order, terminated by " +
+    "whitespace/quotes/brackets") {
+    val urls = (s: String) =>
+      one[Seq[String]](TextAnalysis.extractUrls($"text"), s)
+    // commas are legal URL characters — only whitespace/quote/bracket
+    // delimiters end a match
+    assert(urls("see https://a.io/x?q=1 and http://b.co,p end") ==
+      Seq("https://a.io/x?q=1", "http://b.co,p"))
+    assert(urls("<a href=\"https://e.com/d/7\">t</a>") == Seq("https://e.com/d/7"))
+    assert(urls("no links here") == Seq.empty)
+  }
+
   test("vocabProfile: approx (HLL++) distinct-term counts land within the " +
     "documented error bound of the exact counts at sf0.1") {
     val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
