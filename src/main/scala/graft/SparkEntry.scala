@@ -1148,6 +1148,33 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
     }),
 
+    "ev_scd2_lookup" -> ((s, dir) => {
+      // point-in-time lookup: for each click, the purchase VERSION valid
+      // at click time (SCD2 intervals over per-user purchases, then the
+      // as-of backward join — intervals partition the timeline, so
+      // "containing interval" = "latest valid_from <= ts" and no range
+      // join is needed). The oracle is the independent BETWEEN
+      // formulation over lead()-built intervals.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          sum(cents(col("value"))).as("p_cents"))
+      val dims = Changes.scd2(purchases, Seq("user_id"), "ts")
+        .select(col("user_id"), col("valid_from"),
+          col("p_event_id"), col("p_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Changes.scd2Lookup(clicks, dims, keyCols = Seq("user_id"),
+        factTsCol = "ts", valueCols = Seq("p_event_id", "p_cents"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("v_p_event_id").as("p_event_id"),
+          col("v_p_cents").as("p_cents"),
+          unix_micros(col("v_valid_from")).as("valid_from_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_cdc_apply" -> ((s, dir) => {
       // CDC APPLY (batch MERGE INTO): even events form the base snapshot
       // (compacted latest-per-user), odd events are the change feed with
@@ -2692,6 +2719,27 @@ object SparkEntry {
           |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
           | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+          |ORDER BY c.event_id""".stripMargin,
+
+      // independent BETWEEN formulation over lead()-built intervals —
+      // the as-of implementation must reproduce interval containment
+      // exactly, including null rows for clicks before the first version
+      "ev_scd2_lookup" ->
+        """WITH p AS (SELECT user_id, ts,
+          |  max(event_id) AS p_event_id,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |iv AS (SELECT user_id, ts AS valid_from,
+          |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+          |  p_event_id, p_cents FROM p),
+          |c AS (SELECT event_id, user_id, ts FROM events
+          | WHERE event_type = 'click')
+          |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+          | iv.p_event_id, iv.p_cents,
+          | epoch_us(iv.valid_from) AS valid_from_us
+          |FROM c LEFT JOIN iv ON c.user_id = iv.user_id
+          | AND c.ts >= iv.valid_from
+          | AND (iv.valid_to IS NULL OR c.ts < iv.valid_to)
           |ORDER BY c.event_id""".stripMargin,
 
       // tolerance = null-out pass over the unbounded backward ASOF: the

@@ -64,6 +64,30 @@ object Changes {
       .drop(opCol)
   }
 
+  /** Point-in-time lookup of facts against [[scd2]] intervals — "which
+    * dimension version was valid when this fact happened", the join every
+    * versioned-dimension warehouse runs.
+    *
+    * NOT implemented as an interval range join: SCD2 intervals PARTITION
+    * each key's timeline (half-open, non-overlapping, gap-free from the
+    * first version), so the containing interval is exactly the one with
+    * the latest `valid_from` at-or-before the fact timestamp — i.e. this
+    * is [[TemporalJoin.asofBackward]] on `valid_from`, one union-window
+    * shuffle with no bucket replication and no post-join dedup. Facts
+    * before the key's first version survive with null dimension columns
+    * (left-outer), matching the SQL `BETWEEN` formulation's unmatched
+    * rows. `valueCols` are the dimension columns to carry; output gains
+    * `prefix+valueCol...` and `prefix+valid_from`. */
+  def scd2Lookup(
+      facts: DataFrame,
+      dims: DataFrame,
+      keyCols: Seq[String],
+      factTsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "v_"): DataFrame =
+    TemporalJoin.asofBackward(
+      facts, dims, keyCols, factTsCol, "valid_from", valueCols, prefix)
+
   /** Partition-aware [[applyCdc]] — the daily-compaction shape at 100 TB.
     * Plain [[applyCdc]] re-shuffles the ENTIRE base through latest-wins
     * even when the change feed touches 0.1% of keys; when the snapshot is

@@ -37,6 +37,28 @@ class ChangesSpec extends SparkSuite {
     assert(got(3L) == ((ts(5), None, true)))
   }
 
+  test("scd2Lookup: facts pick the version valid at their timestamp; " +
+    "facts before the first version survive with nulls") {
+    // versions for key 1 at t0 (v=10) and t10 (v=20); key 2 never versioned
+    val dims = Changes.scd2(
+      Seq((1L, ts(0), 10L), (1L, ts(10), 20L)).toDF("k", "ts", "v"),
+      Seq("k"), "ts")
+      .select($"k", $"valid_from", $"v")
+    val facts = Seq(
+      (100L, 1L, ts(0)), // exactly AT a version start -> that version
+      (101L, 1L, ts(5)), // inside [t0, t10) -> v=10
+      (102L, 1L, ts(10)), // boundary: [t10, inf) -> v=20
+      (103L, 1L, ts(99)), // current version -> v=20
+      (104L, 2L, ts(5)), // key never versioned -> nulls
+      (105L, 1L, ts(-1))) // before the first version -> nulls
+      .toDF("fact_id", "k", "fts")
+    val got = Changes.scd2Lookup(facts, dims, Seq("k"), "fts", Seq("v"))
+      .select($"fact_id", $"v_v")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(100L -> Some(10L), 101L -> Some(10L),
+      102L -> Some(20L), 103L -> Some(20L), 104L -> None, 105L -> None))
+  }
+
   test("applyCdc: upserts replace, deletes remove, late changes lose, " +
     "untouched base keys survive") {
     val base = Seq(
