@@ -863,6 +863,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      // fuzzy decontamination: drop docs sharing ANY MinHash band bucket
+      // with the benchmark set (doc_id % 17 == 0 plays the eval suite) —
+      // catches near-dup leakage the exact-gram text_decontaminate
+      // misses; every benchmark doc trivially collides with itself, so
+      // the % 17 docs all drop along with their near-dups
+      val docs = par(s)(t(s, dir, "documents"))
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.decontaminateFuzzy(docs, bench)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: per train doc, count distinct 3-gram
       // shingles shared with the held-out benchmark set (doc_id % 50 ==
@@ -2546,6 +2560,24 @@ object SparkEntry {
            | sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
            |FROM t LEFT JOIN b USING (gram)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      // same sig -> band arithmetic as duckMinhashEdgeCtes; the benchmark
+      // (doc_id % 17 = 0) is a subset of the corpus, so its band keys are
+      // a filter over the shared band CTE rather than a second sig pass
+      "text_decontaminate_fuzzy" ->
+        s"""WITH sig AS (SELECT doc_id,
+           | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
+           | FROM documents),
+           |band AS (
+           | ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+          .mkString(" UNION ALL ")}),
+           |bkeys AS (SELECT DISTINCT band, bucket FROM band WHERE doc_id % 17 = 0),
+           |contaminated AS (SELECT DISTINCT a.doc_id FROM band a
+           | JOIN bkeys q ON a.band = q.band AND a.bucket = q.bucket)
+           |SELECT d.doc_id, d.source FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |ORDER BY d.doc_id""".stripMargin,
 
       "text_sample_det" ->
         """SELECT doc_id FROM documents

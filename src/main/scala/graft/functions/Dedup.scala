@@ -194,6 +194,38 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
+  /** FUZZY benchmark decontamination: drop every corpus doc whose MinHash
+    * signature shares ANY LSH band bucket with a benchmark doc — catches
+    * the paraphrased/reformatted benchmark leakage that exact-gram
+    * decontamination misses (near-dup text agrees on some band with
+    * probability ≈ 1−(1−s^r)^b for Jaccard s). Same banding as
+    * [[minhashCandidates]] but cross-corpus and deliberately UNCAPPED:
+    * decontamination is recall-first — a false positive drops one
+    * training doc, a false negative leaks an eval item into training —
+    * and the expansion is a semi-join (one row per matching doc), never
+    * a pair expansion, so there is no quadratic bucket hazard to cap.
+    *
+    * Shape: the benchmark side collapses to its DISTINCT (band, bucket)
+    * key set — thousands of rows for a real eval suite, broadcast-sized,
+    * but data-dependent, so AQE decides (the dedup-frame policy). The
+    * corpus side shuffles only (band, bucket, id) triples. */
+  def decontaminateFuzzy(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val docBands = bandBuckets(docs, textCol, idCol, k, bands, shingleSize)
+    val benchKeys = bandBuckets(bench, textCol, idCol, k, bands, shingleSize)
+      .select(col("band"), col("bucket")).distinct()
+    val contaminated = docBands
+      .join(benchKeys, Seq("band", "bucket"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

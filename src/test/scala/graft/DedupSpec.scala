@@ -212,6 +212,26 @@ class DedupSpec extends SparkSuite {
     assert(!fast.exists(p => p._1 == 1L && p._2 == 5L))
   }
 
+  test("decontaminateFuzzy: docs sharing a band with a benchmark doc " +
+    "drop (identical text always collides); distinct docs survive; " +
+    "empty benchmark keeps everything") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark partitioning"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")) // = 1
+      .toDF("doc_id", "text")
+    // benchmark holds doc 1's exact text (different id namespace)
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminateFuzzy(docs, bench)
+      .select($"doc_id").as[Long].collect().toSet
+    // identical text -> identical signature -> every band collides
+    assert(kept == Set(2L))
+    val emptyBench = bench.filter($"doc_id" < 0)
+    assert(Dedup.decontaminateFuzzy(docs, emptyBench).count() == 3L)
+  }
+
   test("connected components: transitive closure with min-id labels, " +
     "edge-free nodes absent") {
     import spark.implicits._
