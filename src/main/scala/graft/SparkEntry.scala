@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Changes, FillStage, FormatStage, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, StreamDedup}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -860,6 +860,33 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_word_frac"), col("dup_2gram_frac"),
           (col("top_c").cast("double") / col("n_words").cast("double"))
             .as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_online" -> ((s, dir) => {
+      // first-writer-wins fuzzy dedup: survivors are docs that are the
+      // min id in EVERY of their MinHash band buckets — the one-pass
+      // greedy the streaming twin runs continuously
+      Dedup.onlineDedup(par(s)(t(s, dir, "documents")))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_online_stream" -> ((s, dir) => {
+      // the streaming twin: per-bucket first-writer-wins state over the
+      // band stream, emitting the LOSER feed (append mode, no watermark —
+      // a doc's verdict completes within its own micro-batch). Replayed
+      // as one batch this reduces to min-id-wins, so the distinct loser
+      // set shares the batch operator's oracle complement.
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/documents.parquet"))
+      val losses = StreamDedup.onlineDedupStream(Dedup.bandKeys(stream))
+      Sessionize.runToMemory(s, losses.toDF(), "dedup_online_stream",
+        OutputMode.Append, statePartitions = 8)
+        .select(col("doc_id")).distinct()
         .orderBy(col("doc_id"))
     }),
 
@@ -1743,16 +1770,30 @@ object SparkEntry {
          |  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin.replace("\n", "")
     }
     val duckSimhash48 = duckSimhash(48)
-    // MinHash LSH candidate edges as reusable CTEs (sig → band → qual →
-    // edges), shared by the pair listing and the clusters closure
-    val duckMinhashEdgeCtes =
+    // sig → band arithmetic shared by every MinHash oracle (pairs,
+    // clusters, fuzzy decontamination, online dedup)
+    val duckBandCtes =
       s"""sig AS (SELECT doc_id,
          | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
          | FROM documents),
          |band AS (
          | ${(0 until 4).map(b =>
            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
-           .mkString(" UNION ALL ")}),
+           .mkString(" UNION ALL ")})""".stripMargin
+    // first-writer-wins losers: docs that are NOT the min id in some of
+    // their band buckets — the complement of dedup_online's survivors and
+    // the streaming twin's single-batch loser feed
+    val duckOnlineLostCtes =
+      s"""$duckBandCtes,
+         |firsts AS (SELECT band, bucket, min(doc_id) AS f
+         | FROM band GROUP BY 1, 2),
+         |lost AS (SELECT DISTINCT b.doc_id FROM band b
+         | JOIN firsts f ON b.band = f.band AND b.bucket = f.bucket
+         |  AND b.doc_id <> f.f)""".stripMargin
+    // MinHash LSH candidate edges as reusable CTEs (sig → band → qual →
+    // edges), shared by the pair listing and the clusters closure
+    val duckMinhashEdgeCtes =
+      s"""$duckBandCtes,
          |qual AS (SELECT band, bucket FROM band GROUP BY band, bucket
          | HAVING count(*) > 1 AND count(*) <= 64),
          |edges AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2561,23 +2602,30 @@ object SparkEntry {
            |FROM t LEFT JOIN b USING (gram)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
-      // same sig -> band arithmetic as duckMinhashEdgeCtes; the benchmark
-      // (doc_id % 17 = 0) is a subset of the corpus, so its band keys are
-      // a filter over the shared band CTE rather than a second sig pass
+      // the shared sig -> band CTEs; the benchmark (doc_id % 17 = 0) is a
+      // subset of the corpus, so its band keys are a filter over the
+      // shared band CTE rather than a second sig pass
       "text_decontaminate_fuzzy" ->
-        s"""WITH sig AS (SELECT doc_id,
-           | ${(0 until 8).map(i => duckMinhash(duckShingles3, i) + s" AS mh$i").mkString(", ")}
-           | FROM documents),
-           |band AS (
-           | ${(0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
-          .mkString(" UNION ALL ")}),
+        s"""WITH $duckBandCtes,
            |bkeys AS (SELECT DISTINCT band, bucket FROM band WHERE doc_id % 17 = 0),
            |contaminated AS (SELECT DISTINCT a.doc_id FROM band a
            | JOIN bkeys q ON a.band = q.band AND a.bucket = q.bucket)
            |SELECT d.doc_id, d.source FROM documents d
            |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
            |ORDER BY d.doc_id""".stripMargin,
+
+      // survivors = docs that are the min id in every band bucket
+      "dedup_online" ->
+        s"""WITH $duckOnlineLostCtes
+           |SELECT d.doc_id, d.source FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM lost)
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // the streaming loser feed, distinct — single-batch replay reduces
+      // the arrival-order contract to min-id-wins, the batch complement
+      "dedup_online_stream" ->
+        s"""WITH $duckOnlineLostCtes
+           |SELECT doc_id FROM lost ORDER BY doc_id""".stripMargin,
 
       "text_sample_det" ->
         """SELECT doc_id FROM documents

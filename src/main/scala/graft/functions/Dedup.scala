@@ -226,6 +226,44 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The banding surface as a public frame — (idCol, band, bucket) — for
+    * consumers outside this object (the streaming online-dedup twin). */
+  def bandKeys(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame =
+    bandBuckets(docs, textCol, idCol, k, bands, shingleSize)
+
+  /** ONLINE (first-writer-wins) fuzzy dedup, batch form: a doc survives
+    * iff it is the MINIMUM id in every LSH band bucket it lands in — the
+    * greedy "first doc claims the bucket, later near-dups lose" contract
+    * a continuously-ingesting corpus runs (the streaming twin keys the
+    * same buckets by arrival order). Deliberately transitive-conservative:
+    * a doc can lose its bucket to a doc that itself lost elsewhere — at
+    * dedup scale dropping an extra near-dup is the cheap error direction.
+    * Versus [[connectedComponents]] survivors: no iteration, two
+    * map-side-combinable aggregations and bounded shuffles of (band,
+    * bucket, id) triples — the one-pass form when cluster structure
+    * isn't needed. */
+  def onlineDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val b = bandBuckets(docs, textCol, idCol, k, bands, shingleSize)
+    val firsts = b.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("__first"))
+    val losers = b.join(firsts, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__first"))
+      .select(col(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

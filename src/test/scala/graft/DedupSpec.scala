@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, TextAnalysis}
@@ -230,6 +231,60 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(2L))
     val emptyBench = bench.filter($"doc_id" < 0)
     assert(Dedup.decontaminateFuzzy(docs, emptyBench).count() == 3L)
+  }
+
+  test("onlineDedup: min id wins every bucket; a doc can lose to a doc " +
+    "that itself lost elsewhere (transitive-conservative)") {
+    import spark.implicits._
+    // 1 and 2 share text (every bucket); 3 is distinct
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely unrelated content about something else entirely"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.onlineDedup(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("streaming online dedup: arrival order beats id order across " +
+    "batches; min id wins within a batch; one state row per bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val losses = StreamDedup.onlineDedupStream(Dedup.bandKeys(docs))
+    val query = losses.toDF().writeStream.format("memory")
+      .queryName("online_dedup_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      // batch 1: ids 10 and 7 share text -> 7 wins every bucket (min id
+      // within the batch); 50 is distinct and claims its own buckets
+      stream.addData((10L, "the shared text body one two three four"),
+        (7L, "the shared text body one two three four"),
+        (50L, "some other text body five six seven eight"))
+      query.processAllAvailable()
+      // batch 2: id 1 arrives LATE with the shared text — smaller id
+      // than the batch-1 winner, but arrival order wins: 1 loses to 7
+      stream.addData((1L, "the shared text body one two three four"))
+      query.processAllAvailable()
+
+      val loserRows: Set[(Long, Long)] = spark.table("online_dedup_test")
+        .select($"doc_id", $"won_by").as[(Long, Long)].collect().toSet
+      val losers: Map[Long, Set[Long]] =
+        loserRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      assert(losers.keySet == Set(10L, 1L))
+      assert(losers(10L) == Set(7L) && losers(1L) == Set(7L))
+      // state: one row per distinct bucket = 4 bands x 2 distinct texts
+      val stateRows = Option(query.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateRows.contains(8L),
+        s"expected 8 bucket-state rows, got $stateRows")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS online_dedup_test")
+    }
   }
 
   test("connected components: transitive closure with min-id labels, " +
