@@ -244,10 +244,12 @@ object Dedup {
     * same buckets by arrival order). Deliberately transitive-conservative:
     * a doc can lose its bucket to a doc that itself lost elsewhere — at
     * dedup scale dropping an extra near-dup is the cheap error direction.
-    * Versus [[connectedComponents]] survivors: no iteration, two
-    * map-side-combinable aggregations and bounded shuffles of (band,
-    * bucket, id) triples — the one-pass form when cluster structure
-    * isn't needed. */
+    * Versus [[connectedComponents]] survivors: no iteration — ONE
+    * signature pass feeding one (band, bucket) shuffle, with the
+    * per-bucket min as a window over that same partitioning (the
+    * [[minhashCandidates]] shape: no extra exchange, and no self-join
+    * that would re-run the signature chain, which lambda-variable HOFs
+    * prevent ReuseExchange from unifying). */
   def onlineDedup(
       docs: DataFrame,
       textCol: String = "text",
@@ -255,10 +257,11 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val b = bandBuckets(docs, textCol, idCol, k, bands, shingleSize)
-    val firsts = b.groupBy(col("band"), col("bucket"))
-      .agg(min(col(idCol)).as("__first"))
-    val losers = b.join(firsts, Seq("band", "bucket"))
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val losers = b
+      .withColumn("__first", min(col(idCol)).over(w))
       .filter(col(idCol) =!= col("__first"))
       .select(col(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")

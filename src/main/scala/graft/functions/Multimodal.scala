@@ -192,7 +192,12 @@ object Multimodal {
             mkRow(id, w, h, codec.frameSampleHashes(payload, frameSamples), null)
           } catch {
             case scala.util.control.NonFatal(e) =>
-              mkRow(id, null, null, null, e.getMessage)
+              // getMessage can be null (bare NPEs from native-binding
+              // glue); a null decode_error would be indistinguishable
+              // from the absent-payload row, defeating the routed policy
+              val msg =
+                if (e.getMessage != null) e.getMessage else e.toString
+              mkRow(id, null, null, null, msg)
           }
         } else {
           val (w, h) = codec.decodeDims(payload)

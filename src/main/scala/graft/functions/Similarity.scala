@@ -457,7 +457,16 @@ object Similarity {
     * persisted. The cost is the digest/scan running once per
     * materialization (twice total) instead of once; an md5 over the scan
     * is cheap where corpus-sized executor-local storage is the thing
-    * that kills a 100-TB job. */
+    * that kills a 100-TB job.
+    *
+    * CONSISTENCY CONTRACT the split materialization adds: the two
+    * evaluations must see the same rows, so the input frame must be
+    * deterministic and stable across the two eager jobs (the norm for a
+    * parquet-backed corpus). A nondeterministic input (unseeded sample,
+    * nondeterministic UDF, a table written to mid-job) would give the
+    * member map and the class frame different digests, silently dropping
+    * docs at the equi-join — such callers must materialize their frame
+    * themselves before calling in. */
   private def keyedVectors(
       df: DataFrame,
       idCol: String,

@@ -77,16 +77,32 @@ object Changes {
     * before the key's first version survive with null dimension columns
     * (left-outer), matching the SQL `BETWEEN` formulation's unmatched
     * rows. `valueCols` are the dimension columns to carry; output gains
-    * `prefix+valueCol...` and `prefix+valid_from`. */
+    * `prefix+valueCol...` and `prefix+valid_from`.
+    *
+    * Values are packed into ONE struct before the as-of and unpacked
+    * after: the as-of fills each carried column independently
+    * (`last(..., ignoreNulls)`), so a version with a legitimately-NULL
+    * attribute would otherwise bleed the PREVIOUS version's value into
+    * an output row that never existed. A single non-null struct per
+    * version makes every field come from the same version, and NULL
+    * attributes stay NULL — matching the BETWEEN-join formulation. */
   def scd2Lookup(
       facts: DataFrame,
       dims: DataFrame,
       keyCols: Seq[String],
       factTsCol: String,
       valueCols: Seq[String],
-      prefix: String = "v_"): DataFrame =
-    TemporalJoin.asofBackward(
-      facts, dims, keyCols, factTsCol, "valid_from", valueCols, prefix)
+      prefix: String = "v_"): DataFrame = {
+    require(valueCols.nonEmpty, "scd2Lookup needs at least one value column")
+    val packed = dims.select(
+      (keyCols.map(col) :+ col("valid_from") :+
+        struct(valueCols.map(col): _*).as("__ver")): _*)
+    val joined = TemporalJoin.asofBackward(
+      facts, packed, keyCols, factTsCol, "valid_from", Seq("__ver"), prefix)
+    valueCols.foldLeft(joined) { case (df, v) =>
+      df.withColumn(prefix + v, col(prefix + "__ver").getField(v))
+    }.drop(prefix + "__ver")
+  }
 
   /** Partition-aware [[applyCdc]] — the daily-compaction shape at 100 TB.
     * Plain [[applyCdc]] re-shuffles the ENTIRE base through latest-wins

@@ -346,8 +346,12 @@ object Sessionize extends Serializable {
       // under bounded lookback a right additionally expires once no
       // reachable left — pending or future — can look back that far
       val (above, below) = st.rights.partition(_._1 > wmUs)
-      val floorUs =
-        if (still.isEmpty) wmUs else math.min(wmUs, still.map(_._1).min)
+      // the lookback floor is just the watermark: `still` only holds
+      // lefts AT-or-above it (ready finalized everything below), so
+      // min(wm, oldest pending) would always collapse to wm — unlike the
+      // forward variant, where lefts legitimately pend below the
+      // watermark until ts + tol
+      val floorUs = wmUs
       val kept = (below.lastOption.toList ++ above)
         .filter(r => lookbackUs.forall(lb => r._1 >= floorUs - lb))
       st = AsofState(still, kept)

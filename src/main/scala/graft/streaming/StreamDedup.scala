@@ -47,8 +47,14 @@ object StreamDedup extends Serializable {
       state.getOption match {
         case Some(st) =>
           // bucket already claimed in an earlier batch: every arrival
-          // loses, regardless of id — arrival order IS the contract
-          ids.sorted.map(Loss(_, key._1, key._2, st.winner)).iterator
+          // loses, regardless of id — arrival order IS the contract.
+          // EXCEPT the winner itself: at-least-once upstream delivery
+          // (backfill replay, re-ingest against the same checkpoint) can
+          // re-present the claiming doc, and emitting it as its own
+          // loser would make the documented anti-join consumer drop the
+          // bucket's only survivor
+          ids.filter(_ != st.winner).sorted
+            .map(Loss(_, key._1, key._2, st.winner)).iterator
         case None =>
           val winner = ids.min
           state.update(BucketState(winner))

@@ -59,6 +59,26 @@ class ChangesSpec extends SparkSuite {
       102L -> Some(20L), 103L -> Some(20L), 104L -> None, 105L -> None))
   }
 
+  test("scd2Lookup: a version's legitimately-NULL attribute stays NULL — " +
+    "no value bleed from the previous version") {
+    // v1 at t0 has attr "x"; v2 at t10 has attr NULL (a real SCD2 shape:
+    // the attribute was cleared). A fact inside v2's window must see
+    // (valid_from = t10, attr = NULL), not v1's "x" grafted onto v2.
+    val dims = Changes.scd2(
+      Seq((1L, ts(0), Some("x")), (1L, ts(10), None: Option[String]))
+        .toDF("k", "ts", "attr"),
+      Seq("k"), "ts")
+      .select($"k", $"valid_from", $"attr")
+    val facts = Seq((100L, 1L, ts(5)), (101L, 1L, ts(15)))
+      .toDF("fact_id", "k", "fts")
+    val got = Changes.scd2Lookup(facts, dims, Seq("k"), "fts", Seq("attr"))
+      .select($"fact_id", $"v_attr", $"v_valid_from")
+      .as[(Long, Option[String], Option[Timestamp])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) == ((Some("x"), Some(ts(0)))))
+    assert(got(101L) == ((None, Some(ts(10))))) // NULL attr, v2's window
+  }
+
   test("applyCdc: upserts replace, deletes remove, late changes lose, " +
     "untouched base keys survive") {
     val base = Seq(

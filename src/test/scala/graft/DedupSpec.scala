@@ -269,6 +269,11 @@ class DedupSpec extends SparkSuite {
       // than the batch-1 winner, but arrival order wins: 1 loses to 7
       stream.addData((1L, "the shared text body one two three four"))
       query.processAllAvailable()
+      // batch 3: the WINNER re-arrives (at-least-once delivery) — it
+      // must NOT be emitted as its own loser, or the anti-join consumer
+      // would drop the bucket's only survivor
+      stream.addData((7L, "the shared text body one two three four"))
+      query.processAllAvailable()
 
       val loserRows: Set[(Long, Long)] = spark.table("online_dedup_test")
         .select($"doc_id", $"won_by").as[(Long, Long)].collect().toSet
