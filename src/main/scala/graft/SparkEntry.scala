@@ -801,6 +801,35 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_url_domains" -> ((s, dir) => {
+      // per-domain URL stats from raw markup: each doc carries one link
+      // whose host is closed-form in doc_id (site{id % 7}.example.com),
+      // so the engine must extract + parse real URLs while the oracle
+      // counts arithmetically — the blocklist/domain-mixing input
+      val id = col("doc_id").cast("string")
+      val raw = concat(
+        lit("<a href=\"https://site"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example.com/d/"), id, lit("?r=1\">x</a> <p>"),
+        col("text"), lit("</p>"))
+      par(s)(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.extractUrls(raw)).as("url"))
+        .select(col("doc_id"), TextAnalysis.urlDomain(col("url")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
+    "text_sample_topk" -> ((s, dir) => {
+      // exact-k global sample: smallest k salted hashes, id tie-break;
+      // plans as TakeOrderedAndProject (map-side top-k, no global sort)
+      TextAnalysis.sampleExactK(par(s)(t(s, dir, "documents")), k = 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_strip_html" -> ((s, dir) => {
       // raw-web ingest: each doc is wrapped in deterministic markup
       // (style + script blocks with stray '<' inside, tags, double-escaped
@@ -2601,6 +2630,22 @@ object SparkEntry {
            | sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
            |FROM t LEFT JOIN b USING (gram)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      // the engine extracts + parses real URLs from markup; the oracle
+      // counts the closed-form hosts arithmetically
+      "text_url_domains" ->
+        """SELECT 'site' || (doc_id % 7) || '.example.com' AS domain,
+          | CAST(count(*) AS BIGINT) AS n_urls,
+          | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // identical salted-hash order on both engines (md5 hex strings)
+      "text_sample_topk" ->
+        """SELECT doc_id, source FROM (
+          | SELECT doc_id, source FROM documents
+          | ORDER BY md5('exact:' || CAST(doc_id AS VARCHAR)), doc_id
+          | LIMIT 100)
+          |ORDER BY doc_id""".stripMargin,
 
       // the shared sig -> band CTEs; the benchmark (doc_id % 17 = 0) is a
       // subset of the corpus, so its band keys are a filter over the

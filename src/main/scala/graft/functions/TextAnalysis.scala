@@ -450,6 +450,33 @@ object TextAnalysis {
   def extractUrls(c: Column): Column =
     regexp_extract_all(c, lit("https?://[^\\s<>\"']+"), lit(0))
 
+  /** The host of a URL ([[extractUrls]] output): everything between the
+    * scheme and the first `/`, `:` or end — the key for per-domain corpus
+    * curation (blocklists, domain mixing, dedup-by-source). */
+  def urlDomain(c: Column): Column =
+    regexp_extract(c, "^https?://([^/:?#]+)", 1)
+
+  /** Deterministic EXACT-k global sample: the k docs with the smallest
+    * salted-hash order (ties broken by id). Complements
+    * [[stratifiedSample]] (per-group quotas) and the rate-based hash gate
+    * (`text_sample_det`) with a fixed-SIZE corpus-wide draw — "give me
+    * exactly 100k docs for the eval split", rerun-stable and
+    * re-saltable for independent draws.
+    *
+    * Plans as TakeOrderedAndProject: every map task keeps only its local
+    * top-k, so the exchange carries O(k × tasks) rows and nothing sorts
+    * globally — the only safe shape for "exactly k of 10¹⁰". */
+  def sampleExactK(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      salt: String = "exact"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    df.orderBy(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), col(idCol))
+      .limit(k)
+  }
+
   /** Per-group vocabulary profile: token occurrences, distinct terms, and
     * type-token ratio — the corpus-diversity diagnostic behind boilerplate
     * detection and mixture design. One explode feeding a partial-aggregated

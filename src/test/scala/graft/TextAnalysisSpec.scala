@@ -311,6 +311,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(urls("no links here") == Seq.empty)
   }
 
+  test("urlDomain: host between scheme and first /:?# delimiter") {
+    val dom = (s: String) => one[String](TextAnalysis.urlDomain($"text"), s)
+    assert(dom("https://a.example.com/path?q=1") == "a.example.com")
+    assert(dom("http://host:8080/x") == "host")
+    assert(dom("https://bare.io") == "bare.io")
+    assert(dom("https://h.io#frag") == "h.io")
+    assert(dom("not a url") == "")
+  }
+
+  test("sampleExactK: exactly k rows, deterministic, salt-independent " +
+    "draws, TakeOrdered plan (no global sort)") {
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextAnalysis.sampleExactK(docs, 50)
+    val ids1 = a.select($"doc_id").as[Long].collect().toSet
+    val ids2 = TextAnalysis.sampleExactK(docs, 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids1.size == 50 && ids1 == ids2) // exact size, rerun-stable
+    val other = TextAnalysis.sampleExactK(docs, 50, salt = "other")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(other.size == 50 && other != ids1) // re-salting redraws
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact-k sample must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("vocabProfile: approx (HLL++) distinct-term counts land within the " +
     "documented error bound of the exact counts at sf0.1") {
     val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
