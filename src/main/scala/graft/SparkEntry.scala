@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Changes, FillStage, FormatStage, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
-import graft.streaming.{Sessionize, StreamDedup}
+import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -799,6 +799,30 @@ object SparkEntry {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
+    }),
+
+    "text_stream_quality_filter" -> ((s, dir) => {
+      // batch-train / stream-apply: a batch pass trains per-source
+      // rank thresholds (a percentile needs the whole corpus), the
+      // stream gates docs against the broadcast threshold table —
+      // stateless, no watermark, and by the min-kept-value threshold
+      // construction the admitted set is EXACTLY the batch
+      // text_quality_filter's (same oracle contract)
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      val quality = TextAnalysis.qualityColumns(col("text")).toMap
+      def scoreOf(df: DataFrame) = df.select(col("doc_id"), col("source"),
+        quality("alpha_ratio").as("alpha_ratio"))
+      val thresholds = StreamGate.rankThresholds(
+        scoreOf(s.read.parquet(s"$dir/documents.parquet")), "alpha_ratio")
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/documents.parquet"))
+      val gated = StreamGate.applyThresholds(
+        scoreOf(stream), thresholds, "alpha_ratio")
+      Sessionize.runToMemory(s, gated.select(col("doc_id"), col("source")),
+        "text_stream_qf", OutputMode.Append, statePartitions = 8)
+        .orderBy(col("doc_id"))
     }),
 
     "text_url_domains" -> ((s, dir) => {
@@ -2456,6 +2480,22 @@ object SparkEntry {
           | percent_rank() OVER (PARTITION BY source ORDER BY alpha_ratio) AS prank
           | FROM q)
           |SELECT doc_id, source, alpha_ratio, prank FROM r
+          |WHERE prank >= 0.5 ORDER BY doc_id""".stripMargin,
+
+      // same rank-gate contract as text_quality_filter (the min-kept-value
+      // threshold reproduces it exactly), projected to the stream
+      // output's (doc_id, source)
+      "text_stream_quality_filter" ->
+        """WITH q AS (SELECT doc_id, source,
+          | CASE WHEN CAST(length(text) AS BIGINT) > 0
+          |  THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)::DOUBLE
+          |   / CAST(length(text) AS BIGINT)::DOUBLE
+          |  ELSE 0.0 END AS alpha_ratio
+          | FROM documents),
+          |r AS (SELECT doc_id, source, alpha_ratio,
+          | percent_rank() OVER (PARTITION BY source ORDER BY alpha_ratio) AS prank
+          | FROM q)
+          |SELECT doc_id, source FROM r
           |WHERE prank >= 0.5 ORDER BY doc_id""".stripMargin,
 
       // share and weight are IEEE divisions of exact BIGINT sums; the

@@ -359,6 +359,27 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("StreamGate: min-kept-value thresholds reproduce the batch rank " +
+    "gate exactly (ties included); unseen sources drop") {
+    import graft.streaming.StreamGate
+    // group g: metrics 0.1, 0.5, 0.5, 0.9 -> pranks 0, 1/3, 1/3, 1; the
+    // tie pair shares prank 1/3 < 0.5, so the batch gate keeps only 0.9
+    // and the trained threshold is 0.9; group h keeps 0.8 likewise
+    val scored = Seq(
+      (1L, "g", 0.1), (2L, "g", 0.5), (3L, "g", 0.5), (4L, "g", 0.9),
+      (5L, "h", 0.2), (6L, "h", 0.8))
+      .toDF("doc_id", "source", "m")
+    val thr = StreamGate.rankThresholds(scored, "m")
+    val batchKept = TextAnalysis.percentileRank(scored, "m")
+      .filter($"prank" >= 0.5).select($"doc_id").as[Long].collect().toSet
+    val applied = StreamGate.applyThresholds(scored, thr, "m")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(applied == batchKept) // exact reproduction, ties and all
+    // a doc from a source absent at training time drops conservatively
+    val newSource = Seq((9L, "unseen", 0.99)).toDF("doc_id", "source", "m")
+    assert(StreamGate.applyThresholds(newSource, thr, "m").count() == 0L)
+  }
+
   test("percentileRank: ANSI (rank-1)/(n-1) with shared ranks on ties") {
     val docs = Seq((1L, "g", 0.1), (2L, "g", 0.5), (3L, "g", 0.5),
       (4L, "g", 0.9), (5L, "solo", 0.7)).toDF("doc_id", "source", "m")
