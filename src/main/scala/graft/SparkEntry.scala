@@ -1770,6 +1770,17 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_audio_meta" -> ((s, dir) => {
+      // REAL audio decode path: the engine constructs an actual PCM WAV
+      // per doc (closed-form channels/rate/samples) and must recover the
+      // metadata by parsing the RIFF header bytes with WavCodec; the
+      // duration is exact integer arithmetic (dataSize*1000/byteRate),
+      // which the oracle reproduces after the block-align cancellation
+      Multimodal.extractAudioMeta(
+        Multimodal.syntheticWavAssets(par(s)(t(s, dir, "documents"))))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features_errors" -> ((s, dir) => {
       // routed-error decode path: every 13th payload is truncated inside
       // the BMP file header, and routeErrors=true must convert the decode
@@ -3048,6 +3059,19 @@ object SparkEntry {
         """SELECT doc_id AS asset_id,
           | CAST(16 + doc_id % 1024 AS INT) AS width,
           | CAST(16 + (doc_id * 7) % 1024 AS INT) AS height
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // the WAV parameters are closed-form in doc_id (syntheticWavAssets);
+      // duration_ms = dataSize*1000/byteRate, and the channels·2 block
+      // align cancels, leaving exact integer floor(nSamples*1000/rate)
+      "mm_audio_meta" ->
+        """SELECT doc_id AS asset_id,
+          | CAST(1 + doc_id % 2 AS INT) AS channels,
+          | CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |  ELSE 44100 END AS INT) AS sample_rate,
+          | CAST((1000 + doc_id % 9000) * 1000 AS BIGINT)
+          |  // CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |   ELSE 44100 END AS BIGINT) AS duration_ms
           |FROM documents ORDER BY asset_id""".stripMargin,
 
       // corruption is planted at doc_id % 13 = 0 (payload truncated inside

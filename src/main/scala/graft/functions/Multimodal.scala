@@ -79,6 +79,122 @@ object Multimodal {
       (0 until n).map(i => md5hex(payload ++ Array(i.toByte)))
   }
 
+  /** REAL codec for one pure-JVM public AUDIO format: canonical PCM WAV.
+    * (channels, sample rate, duration) come from an actual RIFF header
+    * parse — "RIFF"/"WAVE" magic, the fmt chunk's little-endian channel
+    * count at offset 22, sample rate at 24 and byte rate at 28, and the
+    * data chunk size at 40 — duration_ms = dataSize·1000 / byteRate in
+    * exact integer arithmetic. Malformed payloads throw; route or fail
+    * via [[extractAudioMeta]]'s `routeErrors`, the BMP-path policy. */
+  object WavCodec {
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def magic(b: Array[Byte], off: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+
+    /** (channels, sample_rate_hz, duration_ms) from the header bytes. */
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Long) = {
+      require(payload.length >= 44 &&
+        magic(payload, 0, "RIFF") && magic(payload, 8, "WAVE") &&
+        magic(payload, 12, "fmt ") && magic(payload, 36, "data"),
+        "not a canonical PCM WAV payload (missing RIFF/WAVE/fmt/data)")
+      val channels = leShort(payload, 22)
+      val sampleRate = leInt(payload, 24)
+      val byteRate = leInt(payload, 28)
+      val dataSize = leInt(payload, 40)
+      require(channels > 0 && sampleRate > 0 && byteRate > 0,
+        "degenerate WAV header (zero channels/rate)")
+      (channels, sampleRate, dataSize.toLong * 1000L / byteRate.toLong)
+    }
+  }
+
+  /** A minimal canonical PCM WAV header (44 bytes) DECLARING `nSamples`
+    * 16-bit samples — header-only consumers like [[WavCodec]] never read
+    * the sample data, the same trick [[bmpBytes]] plays. */
+  def wavBytes(channels: Int, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataSize) // riff chunk size
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII"))
+      .putInt(16) // PCM fmt chunk size
+      .putShort(1) // audio format = PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII"))
+      .putInt(dataSize)
+    buf.array()
+  }
+
+  /** Wrap a doc corpus as REAL WAV assets with closed-form parameters
+    * (channels = 1 + id mod 2, rate = {8000, 16000, 44100} by id mod 3,
+    * samples = 1000 + id mod 9000), so the header-parse path is
+    * oracle-checkable: the engine recovers the audio metadata by
+    * constructing and parsing actual RIFF bytes while the oracle
+    * computes the same values arithmetically. */
+  def syntheticWavAssets(docs: DataFrame): DataFrame = {
+    val rates = Array(8000, 16000, 44100)
+    val mk = udf((id: Long) =>
+      wavBytes((1 + id % 2).toInt, rates((id % 3).toInt),
+        (1000 + id % 9000).toInt))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("audio/wav").as("media_type"))
+  }
+
+  /** Audio-metadata extraction over batches — [[extractFeatures]]'s shape
+    * (mapPartitions, per-partition codec init, opt-in `routeErrors`
+    * decode_error routing) for the audio column: (asset_id, channels,
+    * sample_rate, duration_ms [, decode_error]). */
+  def extractAudioMeta(
+      assets: DataFrame,
+      routeErrors: Boolean = false): DataFrame = {
+    val baseFields = Seq(
+      StructField("asset_id", LongType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType))
+    val out = StructType(
+      if (routeErrors) baseFields :+ StructField("decode_error", StringType)
+      else baseFields)
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(out))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { it =>
+      def mkRow(id: Long, ch: Any, sr: Any, dur: Any, err: String): Row =
+        if (routeErrors) Row(id, ch, sr, dur, err) else Row(id, ch, sr, dur)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) mkRow(id, null, null, null, null)
+        else if (routeErrors) {
+          try {
+            val (ch, sr, dur) = WavCodec.decodeMeta(payload)
+            mkRow(id, ch, sr, dur, null)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val msg =
+                if (e.getMessage != null) e.getMessage else e.toString
+              mkRow(id, null, null, null, msg)
+          }
+        } else {
+          val (ch, sr, dur) = WavCodec.decodeMeta(payload)
+          mkRow(id, ch, sr, dur, null)
+        }
+      }
+    }(enc)
+  }
+
   /** A minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
     * (BI_RGB, biSizeImage 0 — legal for uncompressed — and no pixel
     * array, which header-only consumers like [[BmpCodec]] never read). */

@@ -119,6 +119,52 @@ class MultimodalSpec extends SparkSuite {
     assert(nr.isNullAt(1) && nr.isNullAt(3) && nr.isNullAt(4))
   }
 
+  test("WavCodec: parses real RIFF header bytes; build->parse roundtrip " +
+    "holds across parameter sweep; malformed payloads fail loudly") {
+    val wav = Multimodal.wavBytes(2, 44100, 44100) // 1 s stereo
+    assert(Multimodal.WavCodec.decodeMeta(wav) == ((2, 44100, 1000L)))
+    // byte-level check of the little-endian fmt layout the parser reads
+    assert((wav(24) & 0xff) == 0x44 && (wav(25) & 0xff) == 0xAC) // 44100
+    val rnd = new scala.util.Random(13)
+    (0 until 200).foreach { _ =>
+      val ch = 1 + rnd.nextInt(8)
+      val sr = 8000 + rnd.nextInt(200000)
+      val ns = 1 + rnd.nextInt(1000000)
+      val (gch, gsr, gdur) =
+        Multimodal.WavCodec.decodeMeta(Multimodal.wavBytes(ch, sr, ns))
+      assert(gch == ch && gsr == sr, s"params ($ch, $sr, $ns)")
+      assert(gdur == ns.toLong * ch * 2 * 1000L / (sr.toLong * ch * 2),
+        s"duration ($ch, $sr, $ns)")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decodeMeta("RIFFnot a wav".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decodeMeta(wav.take(40))
+    }
+  }
+
+  test("extractAudioMeta: closed-form synthetic assets round-trip; " +
+    "routeErrors routes truncated headers") {
+    val wide = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val meta = Multimodal.extractAudioMeta(
+      Multimodal.syntheticWavAssets(wide))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val rates = Array(8000, 16000, 44100)
+    (1L to 12L).foreach { id =>
+      val exp = ((1 + id % 2).toInt, rates((id % 3).toInt),
+        (1000 + id % 9000) * 1000L / rates((id % 3).toInt))
+      assert(meta(id) == exp, s"id $id")
+    }
+    // truncated payload: routed, not thrown
+    val bad = Seq((5L, Multimodal.wavBytes(1, 8000, 100).take(20),
+      "audio/wav")).toDF("asset_id", "payload", "media_type")
+    val routed = Multimodal.extractAudioMeta(bad, routeErrors = true)
+      .collect().head
+    assert(routed.isNullAt(1) && routed.getString(4).contains("WAV"))
+  }
+
   test("extractFeatures: deterministic stub decode, fixed schema, batch shape") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs))
     assert(feats.schema.fieldNames.toSeq ==
