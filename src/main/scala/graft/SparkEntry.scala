@@ -1781,6 +1781,15 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_video_meta" -> ((s, dir) => {
+      // REAL video decode path: canonical AVI headers per doc with
+      // closed-form geometry/timing, recovered by AviCodec's RIFF parse;
+      // duration_ms = µsPerFrame * nFrames / 1000, exact integers
+      Multimodal.extractVideoMeta(
+        Multimodal.syntheticAviAssets(par(s)(t(s, dir, "documents"))))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features_errors" -> ((s, dir) => {
       // routed-error decode path: every 13th payload is truncated inside
       // the BMP file header, and routeErrors=true must convert the decode
@@ -3072,6 +3081,17 @@ object SparkEntry {
           | CAST((1000 + doc_id % 9000) * 1000 AS BIGINT)
           |  // CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
           |   ELSE 44100 END AS BIGINT) AS duration_ms
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // AVI parameters are closed-form in doc_id (syntheticAviAssets);
+      // duration_ms = usPerFrame * nFrames // 1000, exact integer floor
+      "mm_video_meta" ->
+        """SELECT doc_id AS asset_id,
+          | CAST(160 + 16 * (doc_id % 8) AS INT) AS width,
+          | CAST(120 + 8 * (doc_id % 6) AS INT) AS height,
+          | CAST(24 + doc_id % 240 AS INT) AS n_frames,
+          | (CAST(CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 41708 END AS BIGINT)
+          |  * CAST(24 + doc_id % 240 AS BIGINT)) // 1000 AS duration_ms
           |FROM documents ORDER BY asset_id""".stripMargin,
 
       // corruption is planted at doc_id % 13 = 0 (payload truncated inside

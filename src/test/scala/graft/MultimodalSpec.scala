@@ -165,6 +165,48 @@ class MultimodalSpec extends SparkSuite {
     assert(routed.isNullAt(1) && routed.getString(4).contains("WAV"))
   }
 
+  test("AviCodec: parses real RIFF/avih header bytes; roundtrip sweep; " +
+    "malformed payloads fail loudly") {
+    val avi = Multimodal.aviBytes(640, 480, 240, 33333)
+    assert(Multimodal.AviCodec.decodeMeta(avi) ==
+      ((640, 480, 240, 33333L * 240 / 1000)))
+    val rnd = new scala.util.Random(17)
+    (0 until 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(8192); val h = 1 + rnd.nextInt(8192)
+      val nf = rnd.nextInt(1000000); val us = 1 + rnd.nextInt(1000000)
+      assert(Multimodal.AviCodec.decodeMeta(
+        Multimodal.aviBytes(w, h, nf, us)) ==
+        ((w, h, nf, us.toLong * nf / 1000L)), s"params ($w,$h,$nf,$us)")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decodeMeta("RIFFxxxxWAVE".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decodeMeta(avi.take(60))
+    }
+  }
+
+  test("extractVideoMeta: closed-form synthetic assets round-trip; " +
+    "routeErrors routes truncated headers") {
+    val wide = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val meta = Multimodal.extractVideoMeta(
+      Multimodal.syntheticAviAssets(wide))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    (1L to 12L).foreach { id =>
+      val us = if (id % 2 == 0) 33333L else 41708L
+      val nf = 24 + id % 240
+      val exp = ((160 + 16 * (id % 8)).toInt, (120 + 8 * (id % 6)).toInt,
+        nf.toInt, us * nf / 1000L)
+      assert(meta(id) == exp, s"id $id")
+    }
+    val bad = Seq((5L, Multimodal.aviBytes(10, 10, 1, 1000).take(30),
+      "video/avi")).toDF("asset_id", "payload", "media_type")
+    val routed = Multimodal.extractVideoMeta(bad, routeErrors = true)
+      .collect().head
+    assert(routed.isNullAt(1) && routed.getString(5).contains("AVI"))
+  }
+
   test("extractFeatures: deterministic stub decode, fixed schema, batch shape") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs))
     assert(feats.schema.fieldNames.toSeq ==
