@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Changes, FillStage, FormatStage, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Changes, FillStage, FormatStage, Funnel, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -1240,6 +1240,20 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("is_current"))
         .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
+    "ev_funnel" -> ((s, dir) => {
+      // 3-step conversion funnel: earliest signup, earliest click after
+      // it, earliest purchase after that — per-step conditional min
+      // aggregations on the user key, no per-user event sorting
+      Funnel.funnel(t(s, dir, "events"),
+        steps = Seq("signup", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"),
+          unix_micros(col("t3")).as("t3_us"),
+          col("funnel_depth"))
+        .orderBy(col("user_id"))
     }),
 
     "ev_scd2_lookup" -> ((s, dir) => {
@@ -2905,6 +2919,26 @@ object SparkEntry {
           | p.p_event_id, p.p_cents, epoch_us(p.ts) AS p_ts_us
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
           |ORDER BY c.event_id""".stripMargin,
+
+      // independent step-by-step CTE formulation: each step's earliest
+      // occurrence strictly after the previous step's time
+      "ev_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |  JOIN s1 USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          |  JOIN s2 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+          |SELECT s1.user_id, epoch_us(s1.t1) AS t1_us,
+          | epoch_us(s2.t2) AS t2_us, epoch_us(s3.t3) AS t3_us,
+          | CAST(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+          |  + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+          |  + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          |  AS funnel_depth
+          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          |ORDER BY s1.user_id""".stripMargin,
 
       // independent BETWEEN formulation over lead()-built intervals —
       // the as-of implementation must reproduce interval containment

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-step funnel analysis: for each user, the earliest time each step of
+  * an ordered event sequence completes, where step i must happen STRICTLY
+  * AFTER the user's step i−1 time ("signup, then a click after it, then a
+  * purchase after that"). The product-analytics staple for conversion
+  * measurement.
+  *
+  * Shape chosen for scale: one pass per step — a map-side-combinable
+  * conditional `min` per user joined back to the (narrow) per-user state —
+  * instead of per-user event sorting or a sequential scan. Each round
+  * shuffles only (user, ts) pairs for ONE event type plus the k-column
+  * state frame; with s steps that is s keyed aggregations, all on the
+  * same user key, so at production scale the exchanges line up on one
+  * partitioning. A user's row carries nulls from the first uncompleted
+  * step onward (left joins), and `funnel_depth` counts completed steps —
+  * conversion-rate reporting is one groupBy over it.
+  */
+object Funnel {
+
+  /** @param steps   ordered event types, e.g. Seq("signup","click","purchase")
+    * @return one row per user that completed step 1, with `t1..ts` (step
+    *         completion timestamps, null once the funnel stalls) and
+    *         `funnel_depth`. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // step 1: unconditional earliest occurrence
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    // step i: earliest occurrence strictly after the user's t(i-1)
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (state, (step, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val next = events.filter(col(typeCol) === step)
+          .join(state.select(col(userCol), col(prev)), Seq(userCol))
+          .filter(col(tsCol) > col(prev))
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as(cur))
+        state.join(next, Seq(userCol), "left")
+    }
+    val depth = steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1)
+      .otherwise(0)).reduce(_ + _)
+    full.withColumn("funnel_depth", depth.cast("long"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Funnel
+
+/** N-step funnel semantics: strict ordering between steps, stalls carry
+  * nulls, pre-step events don't count, depth arithmetic. */
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(m: Long): Timestamp = new Timestamp(m * 60000L)
+
+  test("funnel: strictly-after step ordering, stalls null out, depth counts") {
+    val ev = Seq(
+      // user 1: full conversion — signup t0, clicks t5/t9 (min after), buy t20
+      (1L, "signup", ts(0)), (1L, "click", ts(5)), (1L, "click", ts(9)),
+      (1L, "purchase", ts(20)),
+      // user 2: click BEFORE signup doesn't count; no click after -> depth 1
+      (2L, "click", ts(1)), (2L, "signup", ts(2)), (2L, "purchase", ts(3)),
+      // user 3: signup + click, purchase BEFORE the click -> depth 2
+      (3L, "signup", ts(0)), (3L, "purchase", ts(1)), (3L, "click", ts(2)),
+      // user 4: never signed up -> absent from the funnel entirely
+      (4L, "click", ts(0)), (4L, "purchase", ts(1)),
+      // user 5: click AT the signup timestamp is not strictly after
+      (5L, "signup", ts(7)), (5L, "click", ts(7)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, Seq("signup", "click", "purchase"))
+      .select($"user_id", $"t1", $"t2", $"t3", $"funnel_depth")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == ((Some(ts(0)), Some(ts(5)), Some(ts(20)), 3L)))
+    assert(got(2L) == ((Some(ts(2)), None, None, 1L)))
+    assert(got(3L) == ((Some(ts(0)), Some(ts(2)), None, 2L)))
+    assert(got(5L) == ((Some(ts(7)), None, None, 1L)))
+  }
+
+  test("funnel: single-step degenerates to earliest occurrence per user") {
+    val ev = Seq((1L, "signup", ts(3)), (1L, "signup", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, Seq("signup"))
+      .select($"user_id", $"t1", $"funnel_depth")
+      .as[(Long, Timestamp, Long)].collect().toSeq
+    assert(got == Seq((1L, ts(1), 1L)))
+  }
+}
