@@ -875,6 +875,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_oov" -> ((s, dir) => {
+      // per-doc OOV rate vs the corpus's learned top-500 vocabulary —
+      // total (count desc, term) order makes the LIMIT boundary
+      // deterministic cross-engine; ratio is one IEEE division of exact
+      // integer counts
+      TextAnalysis.oovRate(par(s)(t(s, dir, "documents")), vocabSize = 500)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_vocab" -> ((s, dir) => {
       // per-source vocabulary profile, exact path — hash-comparable
       // cross-engine. The 100-TB default is vocabProfile(approx = true)
@@ -2647,6 +2656,21 @@ object SparkEntry {
           | array_to_string(regexp_extract_all(raw,
           |  'https?://[^\s<>"'']+', 0), ',') AS urls_csv
           |FROM w ORDER BY doc_id""".stripMargin,
+
+      // top-500 vocabulary by the same (count desc, term) total order;
+      // left join marks OOV terms, ratio = IEEE division of exact counts
+      "text_oov" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+           |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+           |v AS (SELECT term FROM (
+           |  SELECT term, count(*) AS n FROM t GROUP BY 1
+           |  ORDER BY n DESC, term LIMIT 500)),
+           |s AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           | FROM t LEFT JOIN v ON t.term = v.term GROUP BY 1)
+           |SELECT doc_id, n_tokens, n_oov,
+           | n_oov::DOUBLE / n_tokens::DOUBLE AS oov_rate
+           |FROM s ORDER BY doc_id""".stripMargin,
 
       "text_vocab" ->
         s"""WITH tok AS (SELECT source, unnest($duckWords) AS term FROM documents)

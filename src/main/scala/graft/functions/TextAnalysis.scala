@@ -477,6 +477,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Out-of-vocabulary rate per doc against the corpus's learned top-K
+    * vocabulary — the language-model-flavored quality signal (high OOV =
+    * gibberish, boilerplate markup, or wrong-language text) that needs no
+    * external model. Two phases in one plan: the vocabulary is the top
+    * `vocabSize` terms by (count desc, term) — a total order, so the
+    * LIMIT boundary is deterministic — planned as TakeOrderedAndProject
+    * over a map-side-combinable term count; docs then score with one
+    * explode + broadcast vocab join + per-doc aggregation. The broadcast
+    * is bounded BY PARAMETER (vocabSize rows), the hint policy's provable
+    * case. Docs with zero tokens are absent from the output (nothing to
+    * rate). Output: (idCol, n_tokens, n_oov, oov_rate). */
+  def oovRate(
+      df: DataFrame,
+      vocabSize: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val terms = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-group vocabulary profile: token occurrences, distinct terms, and
     * type-token ratio — the corpus-diversity diagnostic behind boilerplate
     * detection and mixture design. One explode feeding a partial-aggregated

@@ -359,6 +359,27 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("oovRate: terms outside the learned top-K vocabulary count as OOV; " +
+    "deterministic LIMIT boundary; zero-token docs absent") {
+    // corpus: "common" appears 4x, "rare"/"rarer"/"rarest" once each; a
+    // vocab of 2 keeps {common, rare} ((count desc, term) order breaks
+    // the 1-count tie alphabetically)
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common rarer"),
+      (3L, "common rarest"),
+      (4L, "...")) // normalizes to no tokens -> absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 0L, 0.0))) // common, common, rare all in vocab
+    assert(got(2L) == ((2L, 1L, 0.5))) // rarer is OOV
+    assert(got(3L) == ((2L, 1L, 0.5))) // rarest is OOV
+  }
+
   test("StreamGate: min-kept-value thresholds reproduce the batch rank " +
     "gate exactly (ties included); unseen sources drop") {
     import graft.streaming.StreamGate
