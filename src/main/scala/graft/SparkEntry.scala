@@ -1265,6 +1265,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_retention" -> ((s, dir) => {
+      // cohort retention: users cohorted by first-signup day, active
+      // weeks counted by pure integer epoch arithmetic (engine-portable,
+      // no calendar truncation)
+      Funnel.retention(t(s, dir, "events"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    }),
+
     "ev_scd2_lookup" -> ((s, dir) => {
       // point-in-time lookup: for each click, the purchase VERSION valid
       // at click time (SCD2 intervals over per-user purchases, then the
@@ -2963,6 +2971,20 @@ object SparkEntry {
           |  AS funnel_depth
           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
           |ORDER BY s1.user_id""".stripMargin,
+
+      // identical integer day/week arithmetic (// is floor division; all
+      // epochs positive, so it agrees with Spark's truncating div)
+      "ev_retention" ->
+        """WITH a AS (SELECT user_id, min(ts) AS t0 FROM events
+          |  WHERE event_type = 'signup' GROUP BY 1),
+          |x AS (SELECT e.user_id,
+          |  epoch_us(a.t0) // 86400000000 AS cohort_day,
+          |  ((epoch_us(e.ts) // 86400000000)
+          |    - (epoch_us(a.t0) // 86400000000)) // 7 AS week_offset
+          | FROM events e JOIN a USING (user_id) WHERE e.ts >= a.t0)
+          |SELECT cohort_day, week_offset,
+          | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // independent BETWEEN formulation over lead()-built intervals —
       // the as-of implementation must reproduce interval containment

@@ -52,4 +52,33 @@ object Funnel {
       .otherwise(0)).reduce(_ + _)
     full.withColumn("funnel_depth", depth.cast("long"))
   }
+
+  /** Cohort retention matrix: users cohorted by the DAY of their first
+    * `anchorType` event, counted as active in each WEEK offset from it —
+    * the (cohort, week) → distinct-users grid behind every retention
+    * curve. Day/week arithmetic is pure integer division on epoch
+    * micros (`div 86400000000`, then the day delta `div 7`) — no
+    * calendar/timezone truncation, so the bucketing is identical in any
+    * engine. Activity counts from the anchor onward (`ts >= t0`); one
+    * anchor aggregation, one join on the user key, one
+    * map-side-combinable distinct count. Output: (cohort_day,
+    * week_offset, n_users). */
+  def retention(
+      events: DataFrame,
+      anchorType: String = "signup",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    events.select(col(userCol), col(tsCol))
+      .join(anchors, Seq(userCol))
+      .filter(col(tsCol) >= col("__t0"))
+      .select(col(userCol),
+        expr("unix_micros(__t0) div 86400000000").as("cohort_day"),
+        expr(s"(unix_micros($tsCol) div 86400000000" +
+          " - unix_micros(__t0) div 86400000000) div 7").as("week_offset"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

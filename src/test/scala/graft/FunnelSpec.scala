@@ -36,6 +36,31 @@ class FunnelSpec extends SparkSuite {
     assert(got(5L) == ((Some(ts(7)), None, None, 1L)))
   }
 
+  test("retention: first-anchor-day cohorts, integer week offsets, " +
+    "pre-anchor activity excluded, distinct users per cell") {
+    def at(day: Long, min: Long = 0): Timestamp =
+      new Timestamp(day * 86400000L + min * 60000L)
+    val ev = Seq(
+      // user 1: signs up day 0, active day 3 (week 0) and day 8 (week 1)
+      (1L, "signup", at(0)), (1L, "click", at(3)), (1L, "view", at(8)),
+      // user 2: same cohort day 0, active twice in week 0 (counted once)
+      (2L, "signup", at(0, 60)), (2L, "click", at(1)), (2L, "view", at(2)),
+      // user 3: cohort day 10; pre-signup activity at day 9 excluded
+      (3L, "click", at(9)), (3L, "signup", at(10)), (3L, "view", at(20)),
+      // user 4: no signup -> absent
+      (4L, "click", at(5)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.retention(ev)
+      .select($"cohort_day", $"week_offset", $"n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    // baseline epoch day of at(0) is day 0
+    assert(got == Set(
+      (0L, 0L, 2L), // users 1+2 active in their signup week
+      (0L, 1L, 1L), // user 1 returns in week 1
+      (10L, 0L, 1L), // user 3's signup-week activity (the signup itself)
+      (10L, 1L, 1L))) // user 3 returns at day 20 (offset (20-10)/7 = 1)
+  }
+
   test("funnel: single-step degenerates to earliest occurrence per user") {
     val ev = Seq((1L, "signup", ts(3)), (1L, "signup", ts(1)))
       .toDF("user_id", "event_type", "ts")
