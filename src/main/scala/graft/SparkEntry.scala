@@ -876,11 +876,14 @@ object SparkEntry {
     }),
 
     "text_oov" -> ((s, dir) => {
-      // per-doc OOV rate vs the corpus's learned top-500 vocabulary —
-      // total (count desc, term) order makes the LIMIT boundary
-      // deterministic cross-engine; ratio is one IEEE division of exact
-      // integer counts
-      TextAnalysis.oovRate(par(s)(t(s, dir, "documents")), vocabSize = 500)
+      // per-doc OOV rate vs the corpus's learned top-16 vocabulary —
+      // the fixture corpus has ~31 distinct normalized terms, so 16
+      // actually exercises the LIMIT boundary and produces real OOV
+      // hits (a vocab above the distinct-term count would make the
+      // query degenerate: every n_oov = 0); the (count desc, term)
+      // total order makes the boundary deterministic cross-engine, and
+      // the ratio is one IEEE division of exact integer counts
+      TextAnalysis.oovRate(par(s)(t(s, dir, "documents")), vocabSize = 16)
         .orderBy(col("doc_id"))
     }),
 
@@ -2665,14 +2668,15 @@ object SparkEntry {
           |  'https?://[^\s<>"'']+', 0), ',') AS urls_csv
           |FROM w ORDER BY doc_id""".stripMargin,
 
-      // top-500 vocabulary by the same (count desc, term) total order;
+      // top-16 vocabulary by the same (count desc, term) total order
+      // (below the fixture's ~31 distinct terms, so OOV hits are real);
       // left join marks OOV terms, ratio = IEEE division of exact counts
       "text_oov" ->
         s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
            |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
            |v AS (SELECT term FROM (
            |  SELECT term, count(*) AS n FROM t GROUP BY 1
-           |  ORDER BY n DESC, term LIMIT 500)),
+           |  ORDER BY n DESC, term LIMIT 16)),
            |s AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
            | FROM t LEFT JOIN v ON t.term = v.term GROUP BY 1)

@@ -41,6 +41,19 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
+  // shared little-endian / magic-byte helpers for the three real codecs
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  // RIFF size fields are UNSIGNED 32-bit; the signed read goes negative
+  // past 2 GiB, so size-like fields must go through this widening
+  private def leUInt(b: Array[Byte], off: Int): Long =
+    leInt(b, off) & 0xffffffffL
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def magic(b: Array[Byte], off: Int, s: String): Boolean =
+    s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+
   /** Deterministic fake codec: dims and frame hashes derived from md5 of
     * the payload. Marks exactly where a real decoder plugs in. */
   object FakeCodec extends MediaCodec {
@@ -66,9 +79,6 @@ object Multimodal {
     * skip-vs-fail policy via [[extractFeatures]]'s `routeErrors` flag
     * (null payloads are already nulled there). */
   object BmpCodec extends MediaCodec {
-    private def leInt(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
       require(payload.length >= 26 &&
         payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
@@ -87,14 +97,6 @@ object Multimodal {
     * exact integer arithmetic. Malformed payloads throw; route or fail
     * via [[extractAudioMeta]]'s `routeErrors`, the BMP-path policy. */
   object WavCodec {
-    private def leInt(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    private def leShort(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-    private def magic(b: Array[Byte], off: Int, s: String): Boolean =
-      s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
-
     /** (channels, sample_rate_hz, duration_ms) from the header bytes. */
     def decodeMeta(payload: Array[Byte]): (Int, Int, Long) = {
       require(payload.length >= 44 &&
@@ -104,10 +106,12 @@ object Multimodal {
       val channels = leShort(payload, 22)
       val sampleRate = leInt(payload, 24)
       val byteRate = leInt(payload, 28)
-      val dataSize = leInt(payload, 40)
+      // the data-chunk size is unsigned (a >2 GiB WAV is legal); a
+      // signed read would yield a silently NEGATIVE duration
+      val dataSize = leUInt(payload, 40)
       require(channels > 0 && sampleRate > 0 && byteRate > 0,
         "degenerate WAV header (zero channels/rate)")
-      (channels, sampleRate, dataSize.toLong * 1000L / byteRate.toLong)
+      (channels, sampleRate, dataSize * 1000L / byteRate.toLong)
     }
   }
 
@@ -121,12 +125,6 @@ object Multimodal {
     * genuine header parsers; malformed payloads throw, with the same
     * route-or-fail policy via [[extractVideoMeta]]. */
   object AviCodec {
-    private def leInt(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    private def magic(b: Array[Byte], off: Int, s: String): Boolean =
-      s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
-
     /** (width, height, n_frames, duration_ms) from the header bytes. */
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int, Long) = {
       require(payload.length >= 88 &&
@@ -139,6 +137,10 @@ object Multimodal {
       val w = leInt(payload, 64)
       val h = leInt(payload, 68)
       require(usPerFrame > 0, "degenerate AVI header (zero frame period)")
+      // these dwords are unsigned; values past 2^31 don't fit the Int
+      // surface, and silently-negative frames/dims must not flow through
+      require(nFrames >= 0 && w >= 0 && h >= 0,
+        "AVI header field exceeds the signed 32-bit surface")
       (w, h, nFrames, usPerFrame.toLong * nFrames.toLong / 1000L)
     }
   }
@@ -187,50 +189,21 @@ object Multimodal {
       lit("video/avi").as("media_type"))
   }
 
-  /** Video-metadata extraction over batches — the [[extractFeatures]]
-    * shape for the video column: (asset_id, width, height, n_frames,
+  /** Video-metadata extraction over batches — the shared [[extractMeta]]
+    * scaffold for the video column: (asset_id, width, height, n_frames,
     * duration_ms [, decode_error]). */
   def extractVideoMeta(
       assets: DataFrame,
-      routeErrors: Boolean = false): DataFrame = {
-    val baseFields = Seq(
-      StructField("asset_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("n_frames", IntegerType),
-      StructField("duration_ms", LongType))
-    val out = StructType(
-      if (routeErrors) baseFields :+ StructField("decode_error", StringType)
-      else baseFields)
-    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(out))
-    val idIdx = assets.schema.fieldIndex("asset_id")
-    val payloadIdx = assets.schema.fieldIndex("payload")
-    assets.mapPartitions { it =>
-      def mkRow(id: Long, w: Any, h: Any, nf: Any, dur: Any,
-          err: String): Row =
-        if (routeErrors) Row(id, w, h, nf, dur, err)
-        else Row(id, w, h, nf, dur)
-      it.map { r =>
-        val id = r.getLong(idIdx)
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        if (payload == null) mkRow(id, null, null, null, null, null)
-        else if (routeErrors) {
-          try {
-            val (w, h, nf, dur) = AviCodec.decodeMeta(payload)
-            mkRow(id, w, h, nf, dur, null)
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              val msg =
-                if (e.getMessage != null) e.getMessage else e.toString
-              mkRow(id, null, null, null, null, msg)
-          }
-        } else {
-          val (w, h, nf, dur) = AviCodec.decodeMeta(payload)
-          mkRow(id, w, h, nf, dur, null)
-        }
-      }
-    }(enc)
-  }
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("duration_ms", LongType)),
+      payload => {
+        val (w, h, nf, dur) = AviCodec.decodeMeta(payload)
+        Seq[Any](w, h, nf, dur) // see the audio twin's widening note
+      }, routeErrors)
 
   /** A minimal canonical PCM WAV header (44 bytes) DECLARING `nSamples`
     * 16-bit samples — header-only consumers like [[WavCodec]] never read
@@ -273,48 +246,74 @@ object Multimodal {
       lit("audio/wav").as("media_type"))
   }
 
-  /** Audio-metadata extraction over batches — [[extractFeatures]]'s shape
-    * (mapPartitions, per-partition codec init, opt-in `routeErrors`
-    * decode_error routing) for the audio column: (asset_id, channels,
-    * sample_rate, duration_ms [, decode_error]). */
-  def extractAudioMeta(
+  /** Shared batch-extraction scaffold for the three modality extractors:
+    * mapPartitions (a real codec amortizes per-partition init here, the
+    * batch shape `mapInPandas`/`mapInArrow` gives Python pipelines), the
+    * null-payload → null-features contract, and the opt-in `routeErrors`
+    * policy (catch per payload, `decode_error` column with the message,
+    * `e.toString` when the exception carries none). One copy of the
+    * policy — the extractors supply only their metadata schema and the
+    * payload decoder. */
+  private def extractMeta(
       assets: DataFrame,
-      routeErrors: Boolean = false): DataFrame = {
-    val baseFields = Seq(
-      StructField("asset_id", LongType),
-      StructField("channels", IntegerType),
-      StructField("sample_rate", IntegerType),
-      StructField("duration_ms", LongType))
+      metaFields: Seq[StructField],
+      decode: Array[Byte] => Seq[Any],
+      routeErrors: Boolean): DataFrame = {
     val out = StructType(
-      if (routeErrors) baseFields :+ StructField("decode_error", StringType)
-      else baseFields)
+      StructField("asset_id", LongType) +: (
+        if (routeErrors) metaFields :+ StructField("decode_error", StringType)
+        else metaFields))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(out))
     val idIdx = assets.schema.fieldIndex("asset_id")
     val payloadIdx = assets.schema.fieldIndex("payload")
+    val nMeta = metaFields.length
     assets.mapPartitions { it =>
-      def mkRow(id: Long, ch: Any, sr: Any, dur: Any, err: String): Row =
-        if (routeErrors) Row(id, ch, sr, dur, err) else Row(id, ch, sr, dur)
+      // per-partition codec init happens here in a real implementation
+      val nulls: Seq[Any] = Seq.fill(nMeta)(null)
+      def mkRow(id: Long, meta: Seq[Any], err: String): Row =
+        if (routeErrors) Row.fromSeq(id +: (meta :+ err))
+        else Row.fromSeq(id +: meta)
       it.map { r =>
         val id = r.getLong(idIdx)
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        if (payload == null) mkRow(id, null, null, null, null)
+        if (payload == null)
+          // a null blob yields null features (no decode was attempted,
+          // so no decode_error either); one absent asset must not kill
+          // a corpus-wide extraction job under either policy
+          mkRow(id, nulls, null)
         else if (routeErrors) {
-          try {
-            val (ch, sr, dur) = WavCodec.decodeMeta(payload)
-            mkRow(id, ch, sr, dur, null)
-          } catch {
+          try mkRow(id, decode(payload), null)
+          catch {
             case scala.util.control.NonFatal(e) =>
+              // getMessage can be null (bare NPEs from native-binding
+              // glue); a null decode_error would be indistinguishable
+              // from the absent-payload row, defeating the routed policy
               val msg =
                 if (e.getMessage != null) e.getMessage else e.toString
-              mkRow(id, null, null, null, msg)
+              mkRow(id, nulls, msg)
           }
-        } else {
-          val (ch, sr, dur) = WavCodec.decodeMeta(payload)
-          mkRow(id, ch, sr, dur, null)
-        }
+        } else mkRow(id, decode(payload), null)
       }
     }(enc)
   }
+
+  /** Audio-metadata extraction over batches — the shared [[extractMeta]]
+    * scaffold for the audio column: (asset_id, channels, sample_rate,
+    * duration_ms [, decode_error]). */
+  def extractAudioMeta(
+      assets: DataFrame,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("channels", IntegerType),
+        StructField("sample_rate", IntegerType),
+        StructField("duration_ms", LongType)),
+      payload => {
+        val (ch, sr, dur) = WavCodec.decodeMeta(payload)
+        // Seq[Any]: without the ascription Scala numerically WIDENS the
+        // ints to Long to unify the element type, and the encoder then
+        // rejects java.lang.Long for the INT columns
+        Seq[Any](ch, sr, dur)
+      }, routeErrors)
 
   /** A minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
     * (BI_RGB, biSizeImage 0 — legal for uncompressed — and no pixel
@@ -399,50 +398,16 @@ object Multimodal {
       assets: DataFrame,
       codec: MediaCodec = FakeCodec,
       frameSamples: Int = 3,
-      routeErrors: Boolean = false): DataFrame = {
-    val baseFields = Seq(
-      StructField("asset_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("frame_hashes", ArrayType(StringType)))
-    val out = StructType(
-      if (routeErrors) baseFields :+ StructField("decode_error", StringType)
-      else baseFields)
-    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(out))
-    val idIdx = assets.schema.fieldIndex("asset_id")
-    val payloadIdx = assets.schema.fieldIndex("payload")
-    assets.mapPartitions { it =>
-      // per-partition codec init happens here in a real implementation
-      def mkRow(id: Long, w: Any, h: Any, hashes: Any, err: String): Row =
-        if (routeErrors) Row(id, w, h, hashes, err) else Row(id, w, h, hashes)
-      it.map { r =>
-        val id = r.getLong(idIdx)
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        if (payload == null)
-          // a null blob yields null features (no decode was attempted, so
-          // no decode_error either); one absent asset must not kill a
-          // corpus-wide extraction job under either policy
-          mkRow(id, null, null, null, null)
-        else if (routeErrors) {
-          try {
-            val (w, h) = codec.decodeDims(payload)
-            mkRow(id, w, h, codec.frameSampleHashes(payload, frameSamples), null)
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              // getMessage can be null (bare NPEs from native-binding
-              // glue); a null decode_error would be indistinguishable
-              // from the absent-payload row, defeating the routed policy
-              val msg =
-                if (e.getMessage != null) e.getMessage else e.toString
-              mkRow(id, null, null, null, msg)
-          }
-        } else {
-          val (w, h) = codec.decodeDims(payload)
-          mkRow(id, w, h, codec.frameSampleHashes(payload, frameSamples), null)
-        }
-      }
-    }(enc)
-  }
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("frame_hashes", ArrayType(StringType))),
+      payload => {
+        val (w, h) = codec.decodeDims(payload)
+        Seq[Any](w, h, codec.frameSampleHashes(payload, frameSamples))
+      }, routeErrors)
+
 
   /** [[syntheticBmpAssets]] with planted corruption: every 13th asset's
     * payload is truncated to its first 10 bytes (inside the 14-byte

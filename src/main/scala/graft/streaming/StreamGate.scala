@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{Materialize, TextAnalysis}
 
 /** Batch-train / stream-apply gating — the two-phase shape streaming
   * corpus filters actually run: rank-based thresholds need the WHOLE
@@ -20,16 +20,24 @@ object StreamGate extends Serializable {
     * the threshold is the smallest metric value the batch gate keeps per
     * group, so `metric >= thr` admits precisely the batch-kept set —
     * ties and all, with no quantile-interpolation arithmetic to drift
-    * cross-engine. Output: (groupCol, thr). */
+    * cross-engine. Output: (groupCol, thr).
+    *
+    * The threshold table is MATERIALIZED here ([[Materialize]]): Spark
+    * re-evaluates the static side of a stream-static join every
+    * micro-batch, so an unmaterialized threshold frame would re-run the
+    * full-corpus percentile training pass per trigger — the opposite of
+    * train-once/apply-forever. The materialized frame is group-count
+    * sized, so the cost is one eager training job. */
   def rankThresholds(
       scored: DataFrame,
       metricCol: String,
       minRank: Double = 0.5,
       groupCol: String = "source"): DataFrame =
-    TextAnalysis.percentileRank(scored, metricCol, groupCol)
-      .filter(col("prank") >= minRank)
-      .groupBy(col(groupCol))
-      .agg(min(col(metricCol)).as("thr"))
+    Materialize(
+      TextAnalysis.percentileRank(scored, metricCol, groupCol)
+        .filter(col("prank") >= minRank)
+        .groupBy(col(groupCol))
+        .agg(min(col(metricCol)).as("thr")))
 
   /** Apply trained thresholds to a (streaming or batch) frame: broadcast
     * the threshold table (one row per group — code-table sized, the hint

@@ -142,6 +142,12 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Multimodal.WavCodec.decodeMeta(wav.take(40))
     }
+    // the data-chunk size is UNSIGNED: a >2 GiB declared size must give
+    // the true positive duration, not a silently negative one
+    val big = Multimodal.wavBytes(1, 8000, 1)
+    (40 until 44).foreach(i => big(i) = 0xFF.toByte) // dataSize = 2^32-1
+    val (_, _, dur) = Multimodal.WavCodec.decodeMeta(big)
+    assert(dur == 0xFFFFFFFFL * 1000L / 16000L && dur > 0)
   }
 
   test("extractAudioMeta: closed-form synthetic assets round-trip; " +
@@ -184,6 +190,14 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Multimodal.AviCodec.decodeMeta(avi.take(60))
     }
+    // dwTotalFrames past the signed-int surface must fail loudly, not
+    // flow through as negative frames/duration
+    val overflow = Multimodal.aviBytes(10, 10, 1, 1000)
+    overflow(51) = 0x80.toByte // frames = 0x80000001
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decodeMeta(overflow)
+    }
+    assert(e.getMessage.contains("signed 32-bit"))
   }
 
   test("extractVideoMeta: closed-form synthetic assets round-trip; " +
