@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Changes, FillStage, FormatStage, Funnel, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Changes, FillStage, FormatStage, Funnel, RollingAgg, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -1266,6 +1266,22 @@ object SparkEntry {
           unix_micros(col("t3")).as("t3_us"),
           col("funnel_depth"))
         .orderBy(col("user_id"))
+    }),
+
+    "ev_rolling" -> ((s, dir) => {
+      // trailing-24h purchase velocity per user, per purchase event —
+      // a RANGE frame over epoch micros (tie-safe, deterministic), one
+      // exchange + ordered scan, no self-join
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("cents"))
+      RollingAgg.trailingCountSum(p, col("cents"), windowSeconds = 86400,
+        suffix = "24h")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("n_24h"), col("sum_24h"))
+        .orderBy(col("event_id"))
     }),
 
     "ev_retention" -> ((s, dir) => {
@@ -2975,6 +2991,19 @@ object SparkEntry {
           |  AS funnel_depth
           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
           |ORDER BY s1.user_id""".stripMargin,
+
+      // identical RANGE-frame window over epoch micros; counts and cents
+      // are exact integers
+      "ev_rolling" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents
+          | FROM events WHERE event_type = 'purchase')
+          |SELECT event_id, user_id, ts_us,
+          | CAST(count(*) OVER w AS BIGINT) AS n_24h,
+          | CAST(sum(cents) OVER w AS BIGINT) AS sum_24h
+          |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+          | RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
 
       // identical integer day/week arithmetic (// is floor division; all
       // epochs positive, so it agrees with Spark's truncating div)

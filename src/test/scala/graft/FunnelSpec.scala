@@ -61,6 +61,31 @@ class FunnelSpec extends SparkSuite {
       (10L, 1L, 1L))) // user 3 returns at day 20 (offset (20-10)/7 = 1)
   }
 
+  test("trailingCountSum: event-time RANGE frame — boundary inclusive, " +
+    "ties mutual, per-key isolation") {
+    import graft.operators.RollingAgg
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, 1L, ts(0), 10L),
+      (2L, 1L, ts(30), 20L), // 30 min later: within 1h of e1
+      (3L, 1L, ts(60), 30L), // exactly 1h after e1 -> inclusive boundary
+      (4L, 1L, ts(200), 5L), // far later: window holds only itself
+      (5L, 2L, ts(30), 99L), // other key: never mixes
+      (6L, 1L, ts(30), 7L)) // TIE with e2: each sees the other
+      .toDF("event_id", "user_id", "ts", "cents")
+    val got = RollingAgg.trailingCountSum(ev, col("cents"),
+      windowSeconds = 3600)
+      .select($"event_id", $"n_trailing", $"sum_trailing")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 10L)))
+    assert(got(2L) == ((3L, 37L))) // e1 + itself + tie e6
+    assert(got(6L) == ((3L, 37L))) // tie is mutual (RANGE, not ROWS)
+    assert(got(3L) == ((4L, 67L))) // 1h-ago row still inside (inclusive)
+    assert(got(4L) == ((1L, 5L)))
+    assert(got(5L) == ((1L, 99L)))
+  }
+
   test("funnel: single-step degenerates to earliest occurrence per user") {
     val ev = Seq((1L, "signup", ts(3)), (1L, "signup", ts(1)))
       .toDF("user_id", "event_type", "ts")
