@@ -288,10 +288,15 @@ object TextAnalysis {
     * computes downsampling rates; upsampling epochs are a trainer
     * decision, not a corpus filter).
     *
-    * One map-side-combinable aggregation over the corpus; the global
-    * total is a window over the POST-aggregation frame, which holds one
-    * row per source — a deliberately tiny single-partition window, not a
-    * window over the data. For a non-uniform target, join a
+    * One map-side-combinable aggregation over the corpus; the grouped
+    * frame (one row per source) is then [[Materialize]]d — eager but
+    * tiny, and it truncates lineage so the corpus is scanned exactly
+    * once — and the global totals come from a second aggregation OVER
+    * THAT FRAME, broadcast back as one row. No single-partition window:
+    * `source` may be per-DOMAIN in a web corpus (millions of values),
+    * and a global window would funnel all of them through one task,
+    * where the broadcast of the one-row totals frame is bounded by
+    * construction. For a non-uniform target, join a
     * (source, target_share) frame and replace the `1/n_sources` factor.
     *
     * Output: (source, n_docs, n_tokens, share, weight), share =
@@ -300,13 +305,13 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String = "text",
       groupCol: String = "source"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy()
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col(textCol))).as("n_tokens"))
-      .withColumn("__total", sum(col("n_tokens")).over(all))
-      .withColumn("__nsrc", count(lit(1)).over(all))
+    val grouped = Materialize(
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col(textCol))).as("n_tokens")))
+    val totals = grouped.agg(
+      sum(col("n_tokens")).as("__total"), count(lit(1)).as("__nsrc"))
+    grouped.crossJoin(broadcast(totals))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("__total").cast("double"))
           .as("share"),
