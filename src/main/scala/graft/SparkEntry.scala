@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Changes, FillStage, FormatStage, Funnel, RollingAgg, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Attribution, Changes, FillStage, FormatStage, Funnel, RollingAgg, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -1290,6 +1290,29 @@ object SparkEntry {
       // no calendar truncation)
       Funnel.retention(t(s, dir, "events"))
         .orderBy(col("cohort_day"), col("week_offset"))
+    }),
+
+    "ev_attribution" -> ((s, dir) => {
+      // linear multi-touch attribution: each purchase's cents split
+      // equally over the user's clicks in the trailing 6 h; purchases
+      // with no qualifying click survive as the unattributed bucket
+      // (null touch columns, n_touches = 0). One banded time join (two
+      // bucket replicas per click) + one conversion-keyed window —
+      // never a per-user cross product. Credit = one IEEE division of
+      // exact integers, bit-identical across engines.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          unix_micros(col("ts")).as("p_ts_us"),
+          cents(col("value")).as("p_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_event_id"),
+          unix_micros(col("ts")).as("c_ts_us"))
+      Attribution.linear(purchases, clicks, Seq("user_id"),
+        convIdCol = "p_event_id", convTsUsCol = "p_ts_us",
+        valueCol = "p_cents", touchIdCol = "c_event_id",
+        touchTsUsCol = "c_ts_us", lookbackMicros = 21600000000L)
+        .orderBy(col("p_event_id"), coalesce(col("c_event_id"), lit(-1L)))
     }),
 
     "ev_scd2_lookup" -> ((s, dir) => {
@@ -3018,6 +3041,32 @@ object SparkEntry {
           |SELECT cohort_day, week_offset,
           | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // independent plain BETWEEN-join formulation (no banding) — the
+      // bucketed join must reproduce exactly the pairs the naive
+      // inequality join finds, plus the null row per unattributed
+      // purchase; credit is the same one IEEE division
+      "ev_attribution" ->
+        """WITH p AS (SELECT user_id, event_id AS p_event_id,
+          |  epoch_us(ts) AS p_ts_us,
+          |  CAST(round(value*100,0) AS BIGINT) AS p_cents
+          | FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS c_event_id,
+          |  epoch_us(ts) AS c_ts_us
+          | FROM events WHERE event_type = 'click'),
+          |j AS (SELECT p.user_id, p.p_event_id, p.p_ts_us, p.p_cents,
+          |  c.c_event_id, c.c_ts_us
+          | FROM p LEFT JOIN c ON p.user_id = c.user_id
+          |  AND c.c_ts_us <= p.p_ts_us
+          |  AND c.c_ts_us > p.p_ts_us - 21600000000)
+          |SELECT user_id, p_event_id, p_ts_us, p_cents, c_event_id,
+          | c_ts_us,
+          | CAST(count(c_event_id) OVER w AS BIGINT) AS n_touches,
+          | CASE WHEN count(c_event_id) OVER w > 0
+          |  THEN CAST(p_cents AS DOUBLE)
+          |    / CAST(count(c_event_id) OVER w AS DOUBLE) END AS credit
+          |FROM j WINDOW w AS (PARTITION BY p_event_id)
+          |ORDER BY p_event_id, coalesce(c_event_id, -1)""".stripMargin,
 
       // independent BETWEEN formulation over lead()-built intervals —
       // the as-of implementation must reproduce interval containment
