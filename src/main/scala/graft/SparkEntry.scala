@@ -689,6 +689,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_pagerank" -> ((s, dir) => {
+      // degree-damped centrality over the same LSH candidate graph:
+      // which near-dup neighborhood member is the hub. Fixed-point
+      // integer ranks (10^6-scaled longs, 4 rounds) — order-independent
+      // sums and portable truncating division, so the oracle replays
+      // every round bit-for-bit as unrolled CTEs.
+      val edges = Dedup.minhashCandidates(par(s)(t(s, dir, "documents")),
+        k = 8, bands = 4)
+      Dedup.pagerank(edges, iterations = 4)
+        .select(col("node").as("doc_id"), col("rank_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pack" -> ((s, dir) => {
       // sequence packing: per-source concatenate-and-chunk at 512 tokens,
       // exact integer offsets; pack_id is the chunk the doc starts in
@@ -903,6 +916,14 @@ object SparkEntry {
       // plans as WindowGroupLimit
       TextAnalysis.topTfIdf(par(s)(t(s, dir, "documents")), k = 3)
         .orderBy(col("doc_id"), col("term_rank"))
+    }),
+
+    "text_collocations" -> ((s, dir) => {
+      // corpus-wide top-25 collocations by log-free PMI: exact integer
+      // count products, one IEEE division, TakeOrderedAndProject top-k —
+      // only (term, count) pairs ever shuffle, never text
+      TextAnalysis.collocations(par(s)(t(s, dir, "documents")),
+        k = 25, minCount = 3)
     }),
 
     "text_repetition" -> ((s, dir) => {
@@ -2221,6 +2242,28 @@ object SparkEntry {
            | node = min(lbl) AS is_survivor
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+      // same edge CTEs, 4 unrolled fixed-point rounds: contrib = r //
+      // deg of the SOURCE node, r' = 150000 + (85·Σcontrib) // 100 — all
+      // BIGINT, so every round matches the Spark longs bit-for-bit
+      "dedup_pagerank" -> {
+        val rounds = (1 to 4).map(i =>
+          s"""r$i AS (SELECT s.dst AS node,
+             | 150000 + (85 * sum(r${i - 1}.r // deg.d)) // 100 AS r
+             | FROM sym s JOIN r${i - 1} ON r${i - 1}.node = s.src
+             |  JOIN deg ON deg.src = s.src
+             | GROUP BY 1)""".stripMargin).mkString(",\n")
+        s"""WITH $duckMinhashEdgeCtes,
+           |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+           | UNION ALL SELECT doc_b, doc_a FROM edges),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym
+           | GROUP BY 1),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r
+           | FROM deg),
+           |$rounds
+           |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r4
+           |ORDER BY doc_id""".stripMargin
+      },
+
       // kept corpus = documents minus non-survivor cluster members, on
       // the same recursive-CTE closure as dedup_clusters
       "dedup_survivors" ->
@@ -2748,6 +2791,29 @@ object SparkEntry {
            |   ORDER BY score DESC, term) AS BIGINT) AS term_rank FROM sc)
            |SELECT doc_id, term, tf, df, score, term_rank FROM r
            |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+      // same log-free PMI arithmetic: c_xy·N and c_x·c_y as exact BIGINT
+      // products, one IEEE division, (score DESC, gram) total order; the
+      // two-component filter mirrors the shingle fallback drop
+      "text_collocations" ->
+        s"""WITH t AS (SELECT unnest($duckWords) AS term FROM documents),
+           |tok AS (SELECT term FROM t WHERE term <> ''),
+           |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+           | GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+           |g AS (SELECT unnest($duckShingles2) AS gram FROM documents),
+           |bg AS (SELECT gram, CAST(count(*) AS BIGINT) AS c_xy FROM g
+           | WHERE len(string_split(gram, ' ')) = 2
+           |  AND string_split(gram, ' ')[1] <> ''
+           |  AND string_split(gram, ' ')[2] <> ''
+           | GROUP BY 1 HAVING count(*) >= 3)
+           |SELECT bg.gram, bg.c_xy, ux.c AS c_x, uy.c AS c_y,
+           | CAST(bg.c_xy * n.n_tok AS DOUBLE)
+           |  / CAST(ux.c * uy.c AS DOUBLE) AS score
+           |FROM bg CROSS JOIN n
+           | JOIN uni ux ON string_split(bg.gram, ' ')[1] = ux.term
+           | JOIN uni uy ON string_split(bg.gram, ' ')[2] = uy.term
+           |ORDER BY score DESC, gram LIMIT 25""".stripMargin,
 
       // all three fractions divide by len(words); IEEE double division
       // of exact integer counts on both engines

@@ -485,6 +485,68 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("component"))
   }
 
+  /** Degree-damped centrality (PageRank) over the undirected candidate
+    * graph — which member of a near-dup neighborhood is the HUB. Where
+    * [[connectedComponents]] answers "which docs belong together",
+    * centrality ranks them: canonical-document selection, crawl-frontier
+    * prioritization, or spotting template pages whose boilerplate links
+    * them to everything.
+    *
+    * All arithmetic is FIXED-POINT integer: ranks are longs scaled by
+    * 10⁶, one round is `r' = (15·10⁶) div 100 + (85 · Σ_in (r div
+    * deg)) div 100`. Long sums are order-independent and integer `div`
+    * truncation is engine-portable (all values positive), so a replay in
+    * any engine reproduces every round bit-for-bit — the same
+    * transcendental-free determinism contract as the k-means trainer,
+    * where float summation order would diverge. Headroom: the in-sum is
+    * bounded by the total rank mass ≈ |V|·10⁶, so longs are exact to
+    * ~10¹² nodes — beyond any corpus this engine will see.
+    *
+    * Shape at scale: the symmetrized edge list is materialized once
+    * ([[Materialize]] — localCheckpoint or reliable per
+    * `spark.graft.checkpoint.reliable`) and every round is ONE shuffle
+    * join of the (node, rank) frame against it plus a map-side-combinable
+    * sum, with the rank frame re-materialized per round to cap lineage.
+    * A fixed iteration count (not a convergence test) keeps the replay
+    * closed-form; 4–8 rounds is the usual plateau for near-dup graphs,
+    * whose components are small by construction.
+    *
+    * Every node in an undirected edge graph has degree ≥ 1, so each
+    * round's join covers all nodes — no dangling-mass correction needed.
+    * Isolated docs (no edges) carry no signal and are omitted, matching
+    * [[connectedComponents]]. Output: (node, rank_fp), rank_fp the
+    * 10⁶-scaled fixed-point rank after `iterations` rounds. */
+  def pagerank(
+      edges: DataFrame,
+      iterations: Int,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    require(iterations >= 1, "pagerank needs at least one iteration")
+    val Scale = 1000000L
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    val symM = Materialize(sym)
+    val deg = symM.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree rides along with the rank frame so each round joins ONE
+    // frame against the edges, not two
+    var ranks = Materialize(
+      deg.select(col("src").as("node"), lit(Scale).as("r"), col("deg")))
+    for (_ <- 1 to iterations) {
+      val next = symM
+        .join(ranks.select(col("node").as("src"),
+          expr("r div deg").as("contrib")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_sum"))
+        .select(col("dst").as("node"),
+          (lit(15L * Scale / 100) +
+            expr("(85 * in_sum) div 100")).as("r"))
+        .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      ranks = Materialize(next)
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
   /** Jaccard similarity of two (already distinct) string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

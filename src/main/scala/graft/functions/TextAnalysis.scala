@@ -574,4 +574,66 @@ object TextAnalysis {
       else percentile(toks, pArr)
     df.groupBy(col(groupCol)).agg(agg.as("qs"))
   }
+
+  /** Corpus-wide collocation discovery: the top-k bigrams by pointwise
+    * mutual information, the standard statistic for "these two words
+    * form a unit" (multi-word expressions, named entities, tokenizer
+    * merge candidates). PMI = log p(xy)/(p(x)p(y)); the log is dropped
+    * (it is monotone, so top-k membership and order are unchanged) and
+    * the ratio is computed as ONE IEEE division of exact integer
+    * products — `c_xy·N / (c_x·c_y)` — so scores hash-match any engine
+    * bit-for-bit, the same transcendental-free contract as
+    * [[topTfIdf]]. A `minCount` support floor suppresses the
+    * hapax-pair noise that dominates raw PMI.
+    *
+    * Shape at scale: two map-side-combinable counting aggregations
+    * (unigrams from [[words]], bigrams from [[Dedup.shingles]](2) — both
+    * shuffle only (term, count) pairs, never text), two hash joins of
+    * the bigram frame against the unigram vocabulary on each component
+    * word, a broadcast of the one-row corpus total, and a global top-k
+    * that plans as TakeOrderedAndProject (each map task keeps k rows).
+    * Long products `c_xy·N` stay exact below ~3·10⁹ tokens per count
+    * pair; beyond that (a 10¹³-token corpus with a degenerate
+    * vocabulary) switch the score arithmetic to decimal — membership is
+    * unaffected either way since the division is the last step.
+    *
+    * Output: (gram, c_xy, c_x, c_y, score), score-descending with the
+    * gram text as the deterministic tie-break. */
+  def collocations(
+      corpus: DataFrame,
+      k: Int,
+      minCount: Long = 3L,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minCount >= 1, "minCount must be at least 1")
+    val toks = corpus
+      .select(explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    // shingles(2) falls back to the whole (sub-2-word) doc as one
+    // pseudo-gram; the two-component filter drops those and any
+    // empty-token artifacts
+    val bg = corpus
+      .select(explode(Dedup.shingles(col(textCol), 2)).as("gram"))
+      .withColumn("__p", split(col("gram"), " "))
+      .filter(size(col("__p")) === 2 &&
+        element_at(col("__p"), 1) =!= "" && element_at(col("__p"), 2) =!= "")
+      .select(col("gram"),
+        element_at(col("__p"), 1).as("__w1"),
+        element_at(col("__p"), 2).as("__w2"))
+      .groupBy(col("gram"), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bg
+      .join(uni.select(col("term").as("__w1"), col("c").as("c_x")), Seq("__w1"))
+      .join(uni.select(col("term").as("__w2"), col("c").as("c_y")), Seq("__w2"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("score",
+        (col("c_xy") * col("n_tok")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double"))
+      .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"), col("score"))
+      .orderBy(col("score").desc, col("gram"))
+      .limit(k)
+  }
 }
