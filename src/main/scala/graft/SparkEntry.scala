@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Attribution, Changes, FillStage, FormatStage, Funnel, RollingAgg, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, RollingAgg, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -569,6 +569,16 @@ object SparkEntry {
       // no similarity signal
       Dedup.ngramJaccardPairs(par(s)(t(s, dir, "documents")), n = 2,
         threshold = 0.25, maxGramDf = 500)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric sub-document duplication: |A∩B| / min(|A|,|B|) finds
+      // the embedded-quote / wrapped-republication pairs whose Jaccard
+      // is diluted by the size mismatch; shares the jaccard query's
+      // inverted-index core (one code path, one materialization)
+      Dedup.ngramContainmentPairs(par(s)(t(s, dir, "documents")), n = 2,
+        threshold = 0.3, maxGramDf = 500)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1336,6 +1346,51 @@ object SparkEntry {
         .orderBy(col("p_event_id"), coalesce(col("c_event_id"), lit(-1L)))
     }),
 
+    "ev_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over user timelines (the
+      // Sankey/flow-diagram aggregate): one lag window (tie-broken on
+      // event_id, so counts are deterministic) + one count; the matrix
+      // is |types|² rows, tiny at any corpus scale
+      Funnel.transitions(t(s, dir, "events"))
+        .orderBy(col("prev"), col("next"))
+    }),
+
+    "ev_anomaly" -> ((s, dir) => {
+      // robust per-user outlier purchases: |cents − median| > 3·MAD with
+      // a 5-purchase history floor — median/MAD stays exact (dyadic
+      // interpolation over integer cents, no libm), so flags match the
+      // oracle bit-for-bit where a σ-based z-score could not
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("cents"))
+      Anomaly.madOutliers(p, "cents", Seq("user_id"), k = 3.0, minRows = 5)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy(col("event_id"))
+    }),
+
+    "ev_agg_incremental" -> ((s, dir) => {
+      // incremental rollup maintenance: the stored per-user state (base,
+      // here 3/4 of events playing yesterday's rollup) absorbs a delta
+      // batch (the remaining 1/4 playing today's arrivals) via algebraic
+      // merge — counts/sums add, mins/maxes combine — WITHOUT rescanning
+      // raw history. The oracle recomputes from ALL events; exact-long
+      // algebra makes merge == recompute bit-for-bit.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("v"))
+      val keys = Seq("user_id")
+      val base = IncrementalAgg.aggregate(
+        ev.filter(col("event_id") % 4 =!= 0), keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"))
+      val delta = IncrementalAgg.aggregate(
+        ev.filter(col("event_id") % 4 === 0), keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"))
+      IncrementalAgg.merge(base, delta, keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"))
+        .orderBy(col("user_id"))
+    }),
+
     "ev_scd2_lookup" -> ((s, dir) => {
       // point-in-time lookup: for each click, the purchase VERSION valid
       // at click time (SCD2 intervals over per-user purchases, then the
@@ -1884,6 +1939,17 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_scene_cuts" -> ((s, dir) => {
+      // shot-boundary detection over per-frame signature arrays: cuts =
+      // positions whose signature differs from the predecessor — one
+      // narrow array expression, no shuffle, blobs never move. The
+      // fixture's closed-form runs let the oracle derive cut positions
+      // by independent arithmetic (every L-th frame), not array replay.
+      Multimodal.sceneCuts(
+        Multimodal.syntheticFrameSigAssets(par(s)(t(s, dir, "documents"))))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features_errors" -> ((s, dir) => {
       // routed-error decode path: every 13th payload is truncated inside
       // the BMP file header, and routeErrors=true must convert the decode
@@ -2346,6 +2412,29 @@ object SparkEntry {
            |FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
            |JOIN sz sb ON sb.doc_id = p.doc_b
            |WHERE p.inter::DOUBLE / (sa.sz + sb.sz - p.inter)::DOUBLE >= 0.25
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // same index CTEs as dedup_jaccard; containment divides by the
+      // smaller set instead of the union
+      "dedup_containment" ->
+        s"""WITH g AS (SELECT doc_id, source, unnest(list_distinct($duckShingles2)) AS gram
+           |  FROM documents),
+           |ok AS (SELECT source, gram FROM g GROUP BY source, gram
+           |  HAVING count(*) <= 500),
+           |k AS (SELECT g.doc_id, g.source, g.gram FROM g
+           |  JOIN ok ON g.source = ok.source AND g.gram = ok.gram),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  count(*) AS inter
+           | FROM k a JOIN k b ON a.source = b.source AND a.gram = b.gram
+           |  AND a.doc_id < b.doc_id
+           | GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b,
+           | p.inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE AS containment,
+           | p.inter::DOUBLE / (sa.sz + sb.sz - p.inter)::DOUBLE AS jaccard
+           |FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+           |JOIN sz sb ON sb.doc_id = p.doc_b
+           |WHERE p.inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE >= 0.3
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "dedup_jaccard_hot" ->
@@ -3134,6 +3223,44 @@ object SparkEntry {
           |FROM j WINDOW w AS (PARTITION BY p_event_id)
           |ORDER BY p_event_id, coalesce(c_event_id, -1)""".stripMargin,
 
+      // identical lag window with the same (ts, event_id) tie-break and
+      // the same start sentinel
+      "ev_transitions" ->
+        """WITH x AS (SELECT event_type,
+          |  coalesce(lag(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id), '∅') AS prev
+          | FROM events)
+          |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // same two-level median: quantile_cont interpolation over integer
+      // cents is the same dyadic multiply-add Spark's percentile runs,
+      // so med/mad/dev — and therefore the flag set — agree exactly
+      "ev_anomaly" ->
+        """WITH p AS (SELECT user_id, event_id,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents
+          | FROM events WHERE event_type = 'purchase'),
+          |m AS (SELECT user_id, quantile_cont(cents, 0.5) AS med
+          | FROM p GROUP BY 1 HAVING count(*) >= 5),
+          |d AS (SELECT p.user_id, p.event_id, p.cents, m.med,
+          |  abs(p.cents - m.med) AS dev FROM p JOIN m USING (user_id)),
+          |md AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad
+          | FROM d GROUP BY 1)
+          |SELECT d.user_id, d.event_id, d.cents, d.med, md.mad, d.dev
+          |FROM d JOIN md USING (user_id)
+          |WHERE d.dev > md.mad * 3.0
+          |ORDER BY d.event_id""".stripMargin,
+
+      // full recompute over ALL events — the merged base+delta state
+      // must equal it exactly (counts/sums/extrema are long algebra,
+      // associative with no float drift)
+      "ev_agg_incremental" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_v,
+          | min(epoch_us(ts)) AS min_ts_us,
+          | max(epoch_us(ts)) AS max_ts_us
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // independent BETWEEN formulation over lead()-built intervals —
       // the as-of implementation must reproduce interval containment
       // exactly, including null rows for clicks before the first version
@@ -3321,6 +3448,21 @@ object SparkEntry {
           | (CAST(CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 41708 END AS BIGINT)
           |  * CAST(24 + doc_id % 240 AS BIGINT)) // 1000 AS duration_ms
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // independent arithmetic (no array replay): with scene length L =
+      // 1 + id%7 and n = 24 + id%240 frames, cuts sit at k·L+1 for k =
+      // 1..(n−1)//L; mean length = n / (cuts+1), one IEEE division
+      "mm_scene_cuts" ->
+        """WITH p AS (SELECT doc_id, 24 + doc_id % 240 AS n,
+          |  1 + doc_id % 7 AS l FROM documents)
+          |SELECT doc_id AS asset_id,
+          | CAST(n AS BIGINT) AS n_frames,
+          | CAST((n - 1) // l AS BIGINT) AS n_cuts,
+          | array_to_string(list_transform(range(1, (n - 1) // l + 1),
+          |   k -> CAST(k * l + 1 AS VARCHAR)), ',') AS cuts_csv,
+          | CAST(n AS DOUBLE) / CAST((n - 1) // l + 1 AS DOUBLE)
+          |  AS mean_scene_len
+          |FROM p ORDER BY asset_id""".stripMargin,
 
       // corruption is planted at doc_id % 13 = 0 (payload truncated inside
       // the file header), so which rows error — and the codec's exact

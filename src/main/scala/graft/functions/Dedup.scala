@@ -616,8 +616,63 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.25,
       maxGramDf: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0, "inverted-index join requires a positive threshold")
+    // |A ∪ B| = sa + sb − inter over distinct sets
+    gramOverlapPairs(df, textCol, idCol, blockCol, n, maxGramDf)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Asymmetric near-dup detection by n-gram CONTAINMENT: `|A ∩ B| /
+    * min(|A|, |B|)` — how much of the SMALLER doc's gram set lives
+    * inside the other. This is the sub-document-duplication detector
+    * Jaccard structurally cannot be: a 200-token quote embedded verbatim
+    * in a 20k-token page has containment 1.0 but Jaccard ~0.01, far
+    * below any usable threshold. The standard companion pass in a
+    * training-data pipeline for boilerplate, quotation, and
+    * wrapped-republication detection.
+    *
+    * Same inverted-index shape (and [[jaccardHotGrams]] observability
+    * contract for `maxGramDf`) as [[ngramJaccardPairs]] — both wrap one
+    * shared candidate-pair core, so the expensive index is one code
+    * path. Score is one IEEE division of exact counts. Output:
+    * (doc_a, doc_b, containment, jaccard) — Jaccard rides along free
+    * (same three integers) so callers can separate "near-identical"
+    * from "one-embeds-the-other" without a second pass. */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      blockCol: String = "source",
+      n: Int = 2,
+      threshold: Double = 0.8,
+      maxGramDf: Int = 0): DataFrame = {
+    require(threshold > 0.0, "inverted-index join requires a positive threshold")
+    gramOverlapPairs(df, textCol, idCol, blockCol, n, maxGramDf)
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sa"), col("sb")).cast("double"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"), col("jaccard"))
+  }
+
+  /** Shared inverted-index candidate core for [[ngramJaccardPairs]] /
+    * [[ngramContainmentPairs]]: per-block gram explode → optional
+    * hot-gram cap → ONE materialization (lambda-built shingles defeat
+    * ReuseExchange — see the Jaccard scaladoc) → self-join on (block,
+    * gram) → per-pair intersection counts with both post-cap set sizes
+    * attached. Returns (doc_a, doc_b, inter, sa, sb); doc_a < doc_b. */
+  private def gramOverlapPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int,
+      maxGramDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
@@ -639,12 +694,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
       // sizes attach to candidate pairs (small) instead of the gram
-      // stream (huge); |A ∪ B| = sa + sb − inter over distinct sets
+      // stream (huge)
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sa") + col("sb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 }

@@ -205,6 +205,58 @@ object Multimodal {
         Seq[Any](w, h, nf, dur) // see the audio twin's widening note
       }, routeErrors)
 
+  /** Synthetic per-frame signature assets with closed-form SCENE RUNS:
+    * `24 + id mod 240` frames whose signature steps every `1 + id mod 7`
+    * frames (`sig_i = (i−1) div L`) — the fixture for [[sceneCuts]]. In
+    * a real deployment the signature array comes from a decode UDF
+    * emitting one perceptual hash per sampled frame ([[FakeCodec]]'s
+    * `frame_hashes` shape); the closed form lets the oracle re-derive
+    * the cut positions with independent arithmetic. */
+  def syntheticFrameSigAssets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("asset_id"),
+      expr("transform(sequence(1L, 24 + doc_id % 240)," +
+        " i -> cast((i - 1) div (1 + doc_id % 7) as int))").as("frame_sigs"))
+
+  /** Scene-change detection over a per-frame signature array: a CUT is
+    * every 1-based frame position whose signature differs from its
+    * predecessor — the shot-boundary primitive behind frame sampling
+    * ("one keyframe per scene"), highlight extraction, and
+    * dedup-by-scene. Signature equality stands in for a pHash distance
+    * threshold; with thresholded signatures (quantized pHash) equality
+    * IS the threshold test.
+    *
+    * A single narrow array expression — no shuffle, no explode; the
+    * signature array is let-bound once via the one-element-`transform`
+    * trick (see [[Dedup.shingles]]) so the positions filter does not
+    * re-evaluate the (possibly expensive) frames expression per element.
+    * `mean_scene_len` = frames / scenes, one IEEE division of exact
+    * ints. Output: (…, n_frames, n_cuts, cuts_csv, mean_scene_len). */
+  def sceneCuts(
+      assets: DataFrame,
+      framesCol: String = "frame_sigs",
+      idCol: String = "asset_id"): DataFrame = {
+    val packed = element_at(
+      transform(array(col(framesCol)), arr => {
+        val cuts = when(size(arr) < 2,
+          array().cast(ArrayType(IntegerType)))
+          .otherwise(filter(sequence(lit(2), size(arr)),
+            i => element_at(arr, i) =!= element_at(arr, i - 1)))
+        struct(
+          size(arr).cast("long").as("n_frames"),
+          size(cuts).cast("long").as("n_cuts"),
+          concat_ws(",", transform(cuts, _.cast("string"))).as("cuts_csv"),
+          (size(arr).cast("double") /
+            (size(cuts) + 1).cast("double")).as("mean_scene_len"))
+      }), 1)
+    assets.select(col(idCol), col(framesCol))
+      .withColumn("__sc", packed)
+      .select(col(idCol),
+        col("__sc.n_frames").as("n_frames"),
+        col("__sc.n_cuts").as("n_cuts"),
+        col("__sc.cuts_csv").as("cuts_csv"),
+        col("__sc.mean_scene_len").as("mean_scene_len"))
+  }
+
   /** A minimal canonical PCM WAV header (44 bytes) DECLARING `nSamples`
     * 16-bit samples — header-only consumers like [[WavCodec]] never read
     * the sample data, the same trick [[bmpBytes]] plays. */

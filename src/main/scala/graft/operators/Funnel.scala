@@ -81,4 +81,33 @@ object Funnel {
       .groupBy(col("cohort_day"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Event-type transition matrix: counts of consecutive (previous →
+    * next) event-type pairs per user timeline — the first-order Markov
+    * model behind Sankey/flow diagrams, "what do users do after X"
+    * analyses, and anomalous-sequence detection. Each user's first event
+    * appears as a transition from the `"∅"` start sentinel, so row sums
+    * over `prev` reconcile with per-type event counts.
+    *
+    * One window (lag over the user timeline, tie-broken on the id column
+    * so the order — and therefore every count — is deterministic under
+    * equal timestamps) plus one map-side-combinable count. The window
+    * shuffles (user, ts, type) triples once; the transition matrix
+    * itself is |types|² rows, tiny by construction. */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id",
+      startSentinel: String = "∅"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("prev",
+        coalesce(lag(col(typeCol), 1).over(w), lit(startSentinel)))
+      .groupBy(col("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -353,4 +353,58 @@ class DedupSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("containment pairs: embedded sub-document scores 1.0 where " +
+    "Jaccard dilutes; blocks never cross") {
+    import spark.implicits._
+    // doc 2 is a verbatim chunk of doc 1: every one of its 2-grams is
+    // contained (containment 1.0) but Jaccard = 3/7 — the asymmetric
+    // case the operator exists for. Doc 3 matches doc 1 only in another
+    // block and must not pair.
+    val docs = Seq(
+      (1L, "a b c d e f g h", "s1"),
+      (2L, "a b c d", "s1"),
+      (3L, "a b c d e f g h", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.ngramContainmentPairs(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"containment", $"jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0, 3.0 / 7.0)))
+    // the jaccard face over the same core still reports the diluted view
+    val j = Dedup.ngramJaccardPairs(docs, threshold = 0.25)
+      .select($"jaccard").as[Double].collect().toSeq
+    assert(j == Seq(3.0 / 7.0))
+  }
+
+  test("pagerank: exact fixed-point round on a star, hub dominates") {
+    import spark.implicits._
+    // star 1—{2,3,4}: deg(1)=3, deg(leaf)=1. Round 1 by hand:
+    //   center in-sum = 3·(10⁶ div 1)       → 150000 + (85·3000000) div 100
+    //   leaf   in-sum = 10⁶ div 3 = 333333  → 150000 + (85·333333)  div 100
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r1 = Dedup.pagerank(star, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(1L) == 150000L + 85L * 3000000L / 100L) // 2700000
+    assert(r1(2L) == 150000L + 85L * 333333L / 100L) // 433333
+    assert(r1(2L) == r1(3L) && r1(3L) == r1(4L)) // leaf symmetry
+    // more rounds keep the hub on top and never drop a node
+    val r4 = Dedup.pagerank(star, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r4(1L) > r4(2L))
+  }
+
+  test("pagerank: symmetric graphs stay symmetric; bad args rejected") {
+    import spark.implicits._
+    // 4-cycle: every node has degree 2 — ranks must all stay equal at
+    // the teleport-adjusted fixed point
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.pagerank(cycle, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.values.toSet.size == 1)
+    intercept[IllegalArgumentException] {
+      Dedup.pagerank(cycle, iterations = 0)
+    }
+  }
 }

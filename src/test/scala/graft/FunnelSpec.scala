@@ -36,6 +36,24 @@ class FunnelSpec extends SparkSuite {
     assert(got(5L) == ((Some(ts(7)), None, None, 1L)))
   }
 
+  test("transitions: start sentinel, per-user timelines, id tie-break") {
+    val ev = Seq(
+      // user 1: A → B → A; user 2: lone B (start-sentinel only)
+      (1L, 1L, "A", ts(0)), (1L, 2L, "B", ts(1)), (1L, 3L, "A", ts(2)),
+      (2L, 4L, "B", ts(0)),
+      // user 3: two events at the SAME ts — event_id breaks the tie, so
+      // the pair is deterministically C → D, never D → C
+      (3L, 5L, "C", ts(9)), (3L, 6L, "D", ts(9)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.transitions(ev)
+      .select($"prev", $"next", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("∅", "A", 1L), ("A", "B", 1L), ("B", "A", 1L),
+      ("∅", "B", 1L),
+      ("∅", "C", 1L), ("C", "D", 1L)))
+  }
+
   test("retention: first-anchor-day cohorts, integer week offsets, " +
     "pre-anchor activity excluded, distinct users per cell") {
     def at(day: Long, min: Long = 0): Timestamp =

@@ -235,4 +235,32 @@ class MultimodalSpec extends SparkSuite {
     // dims in the stub's documented range
     assert(r1.getInt(1) >= 16 && r1.getInt(1) <= 4111)
   }
+
+  test("sceneCuts: boundary positions, run collapsing, degenerate arrays") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, Seq(1, 1, 2, 2, 2, 3)), // cuts at positions 3 and 6
+      (2L, Seq(7, 7, 7)), // one scene, no cuts
+      (3L, Seq(5)), // single frame — the <2 guard path
+      (4L, Seq(1, 2, 3))) // every frame a new scene
+      .toDF("asset_id", "frame_sigs")
+    val got = Multimodal.sceneCuts(assets)
+      .select($"asset_id", $"n_frames", $"n_cuts", $"cuts_csv",
+        $"mean_scene_len")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((6L, 2L, "3,6", 2.0)))
+    assert(got(2L) == ((3L, 0L, "", 3.0)))
+    assert(got(3L) == ((1L, 0L, "", 1.0)))
+    assert(got(4L) == ((3L, 2L, "2,3", 1.0)))
+  }
+
+  test("syntheticFrameSigAssets: closed-form runs of length 1 + id mod 7") {
+    import spark.implicits._
+    val docs = Seq((9L, "x")).toDF("doc_id", "text") // n = 33, L = 3
+    val sigs = Multimodal.syntheticFrameSigAssets(docs)
+      .select($"frame_sigs").as[Seq[Int]].head()
+    assert(sigs.length == 33)
+    assert(sigs.take(7) == Seq(0, 0, 0, 1, 1, 1, 2))
+  }
 }

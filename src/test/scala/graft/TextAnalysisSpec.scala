@@ -409,4 +409,27 @@ class TextAnalysisSpec extends SparkSuite {
     // ranks in g: 1, 2, 2, 4 over n=4 → (r-1)/3; single-row group → 0.0
     assert(ranked == Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0, 0.0))
   }
+
+  test("collocations: exact PMI ratios, support floor, tie-break order") {
+    val docs = Seq((1L, "new york is big"), (2L, "new york city"),
+      (3L, "big city")).toDF("doc_id", "text")
+    // N = 9 tokens; c(new)=c(york)=c(big)=c(city)=2, c(is)=1
+    // "new york" ×2 → 2·9/(2·2) = 4.5; "york is"/"is big" → 9/2 = 4.5;
+    // "york city"/"big city" → 9/4 = 2.25
+    val all = TextAnalysis.collocations(docs, k = 10, minCount = 1)
+      .select($"gram", $"c_xy", $"score")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(all == Seq(
+      ("is big", 1L, 4.5), ("new york", 2L, 4.5), ("york is", 1L, 4.5),
+      ("big city", 1L, 2.25), ("york city", 1L, 2.25)))
+    // support floor keeps only the repeated pair
+    val sup = TextAnalysis.collocations(docs, k = 10, minCount = 2)
+      .select($"gram").as[String].collect().toSeq
+    assert(sup == Seq("new york"))
+    // a sub-2-word doc contributes no pseudo-gram artifacts
+    val short = Seq((1L, "hello"), (2L, "a b")).toDF("doc_id", "text")
+    val g = TextAnalysis.collocations(short, k = 10, minCount = 1)
+      .select($"gram").as[String].collect().toSeq
+    assert(g == Seq("a b"))
+  }
 }
