@@ -441,14 +441,7 @@ object Dedup {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
-    // materialize the symmetrized edge list once: every round joins
-    // against it, and without the checkpoint each round re-runs the whole
-    // upstream candidate-generation pipeline the edges derive from
-    val sym = edges
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-    val symM = Materialize(sym)
+    val symM = symmetrizedEdges(edges, aCol, bCol)
     var labels = Materialize(
       symM.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -504,9 +497,11 @@ object Dedup {
     *
     * Shape at scale: the symmetrized edge list is materialized once
     * ([[Materialize]] — localCheckpoint or reliable per
-    * `spark.graft.checkpoint.reliable`) and every round is ONE shuffle
-    * join of the (node, rank) frame against it plus a map-side-combinable
-    * sum, with the rank frame re-materialized per round to cap lineage.
+    * `spark.graft.checkpoint.reliable`) and every round is one shuffle
+    * join of the (node, rank, deg) frame against it plus a
+    * map-side-combinable sum and a node-sized degree re-attach (skipped
+    * on the final round), with the rank frame re-materialized per round
+    * to cap lineage.
     * A fixed iteration count (not a convergence test) keeps the replay
     * closed-form; 4–8 rounds is the usual plateau for near-dup graphs,
     * whose components are small by construction.
@@ -523,29 +518,42 @@ object Dedup {
       bCol: String = "doc_b"): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     val Scale = 1000000L
-    val sym = edges
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-    val symM = Materialize(sym)
+    val symM = symmetrizedEdges(edges, aCol, bCol)
     val deg = symM.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree rides along with the rank frame so each round joins ONE
-    // frame against the edges, not two
+    // degree rides along with the rank frame so the contribution is a
+    // single projection at round start — one edge join + one node-sized
+    // deg re-attach per round, the latter skipped after the final round
+    // where it would only feed a dropped column
     var ranks = Materialize(
       deg.select(col("src").as("node"), lit(Scale).as("r"), col("deg")))
-    for (_ <- 1 to iterations) {
-      val next = symM
+    for (i <- 1 to iterations) {
+      val stepped = symM
         .join(ranks.select(col("node").as("src"),
           expr("r div deg").as("contrib")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("in_sum"))
         .select(col("dst").as("node"),
           (lit(15L * Scale / 100) +
             expr("(85 * in_sum) div 100")).as("r"))
-        .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
-      ranks = Materialize(next)
+      ranks = Materialize(
+        if (i == iterations) stepped
+        else stepped.join(
+          deg.select(col("src").as("node"), col("deg")), Seq("node")))
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Symmetrize an undirected (a, b) edge list into long-typed (src,
+    * dst) rows in BOTH directions, materialized once ([[Materialize]])
+    * — the shared first step of the iterative graph operators
+    * ([[connectedComponents]], [[pagerank]]): every round joins against
+    * it, and without the checkpoint each round would re-run the whole
+    * upstream candidate-generation pipeline the edges derive from. */
+  private def symmetrizedEdges(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    Materialize(edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
 
   /** Jaccard similarity of two (already distinct) string arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -237,10 +237,13 @@ object Multimodal {
       idCol: String = "asset_id"): DataFrame = {
     val packed = element_at(
       transform(array(col(framesCol)), arr => {
+        // null-safe inequality: a decode-failure frame (null signature)
+        // IS a shot boundary against any real neighbor — plain =!= would
+        // null out and silently undercount cuts around bad frames
         val cuts = when(size(arr) < 2,
           array().cast(ArrayType(IntegerType)))
           .otherwise(filter(sequence(lit(2), size(arr)),
-            i => element_at(arr, i) =!= element_at(arr, i - 1)))
+            i => !(element_at(arr, i) <=> element_at(arr, i - 1))))
         struct(
           size(arr).cast("long").as("n_frames"),
           size(cuts).cast("long").as("n_cuts"),

@@ -610,7 +610,9 @@ object TextAnalysis {
       .select(explode(words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    // total tokens off the (tiny) vocabulary frame — a second corpus
+    // tokenize+explode just to count would double the dominant cost
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
     // shingles(2) falls back to the whole (sub-2-word) doc as one
     // pseudo-gram; the two-component filter drops those and any
     // empty-token artifacts

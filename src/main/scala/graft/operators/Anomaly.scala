@@ -39,6 +39,10 @@ object Anomaly {
       minRows: Long = 5L): DataFrame = {
     require(groupCols.nonEmpty, "madOutliers needs at least one group column")
     require(k > 0, "k must be positive")
+    val reserved = Seq("med", "mad", "dev", "__n")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not already carry ${reserved.mkString("/")} columns " +
+        "(re-scoring scored output: drop them first)")
     val gc = groupCols.map(col)
     val med = df.groupBy(gc: _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("med"),

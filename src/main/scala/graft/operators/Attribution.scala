@@ -72,8 +72,11 @@ object Attribution {
         expr(s"$touchTsUsCol div $lookbackMicros") + lit(1L))))
     // a touch at bucket b can precede conversions in buckets b and b+1
     // (bucket width == lookback), never further
+    // plain (null-rejecting) key equality, matching the sibling temporal
+    // joins and SQL semantics: null-key conversions land in the
+    // unattributed bucket rather than cross-matching each other
     val joinCond = keyCols.zip(keyAliases)
-      .map { case (k, a) => col(k) <=> col(a) }
+      .map { case (k, a) => col(k) === col(a) }
       .reduce(_ && _) &&
       col("__cb") === col("__tb") &&
       col(touchTsUsCol) <= col(convTsUsCol) &&

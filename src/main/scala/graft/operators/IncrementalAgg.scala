@@ -59,6 +59,13 @@ object IncrementalAgg {
       maxes: Seq[String] = Nil): DataFrame = {
     require(base.columns.sameElements(delta.columns),
       "base and delta state frames must share the same schema")
+    // the spec must COVER the state schema — a narrower spec would
+    // silently drop state columns from the merged output
+    val expected = keys ++ Seq("n_rows") ++ sums.map("sum_" + _) ++
+      mins.map("min_" + _) ++ maxes.map("max_" + _)
+    require(base.columns.sorted.sameElements(expected.sorted.distinct),
+      s"merge spec covers [${expected.mkString(", ")}] but the state " +
+        s"frames carry [${base.columns.mkString(", ")}]")
     val aggs =
       sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++

@@ -57,4 +57,15 @@ class IncrementalAggSpec extends SparkSuite {
       IncrementalAgg.merge(st, other, Seq("k"), sums, mins, maxes)
     }
   }
+
+  test("merge rejects a spec narrower than the state it is merging — " +
+    "silent state-column loss must not pass") {
+    val st = IncrementalAgg.aggregate(
+      Seq((1L, 1L, 1L)).toDF("k", "ts", "v"), Seq("k"), sums, mins, maxes)
+    val e = intercept[IllegalArgumentException] {
+      // both frames carry min_ts/max_ts, but the spec omits them
+      IncrementalAgg.merge(st, st, Seq("k"), sums)
+    }
+    assert(e.getMessage.contains("covers"))
+  }
 }

@@ -255,6 +255,21 @@ class MultimodalSpec extends SparkSuite {
     assert(got(4L) == ((3L, 2L, "2,3", 1.0)))
   }
 
+  test("sceneCuts: a null signature (decode-failure frame) is a boundary " +
+    "against real neighbors, not a silently dropped transition") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, Seq[Integer](1, null, 2)), // two boundaries around the bad frame
+      (2L, Seq[Integer](null, null, 3))) // null run: one boundary at 3
+      .toDF("asset_id", "frame_sigs")
+    val got = Multimodal.sceneCuts(assets)
+      .select($"asset_id", $"n_cuts", $"cuts_csv")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, "2,3")))
+    assert(got(2L) == ((1L, "3")))
+  }
+
   test("syntheticFrameSigAssets: closed-form runs of length 1 + id mod 7") {
     import spark.implicits._
     val docs = Seq((9L, "x")).toDF("doc_id", "text") // n = 33, L = 3
