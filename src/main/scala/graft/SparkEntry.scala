@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, RollingAgg, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Layout, RollingAgg, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -265,6 +265,18 @@ object SparkEntry {
           sum(cents(col("l_quantity"))).as("qty_cents"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q13_zorder" -> ((s, dir) => {
+      // Z-order layout key: Morton interleave of (orderkey, partkey) —
+      // pure shift/mask integer arithmetic, codegen'd, engine-portable.
+      // clusterByZOrder range-partitions on this key so parquet min/max
+      // stats prune on EITHER dimension (plan-pinned in ScaleSpec).
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+        .withColumn("zkey",
+          Layout.zValue2(col("l_orderkey"), col("l_partkey")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     "q10_fill_route" -> ((s, dir) => {
@@ -1073,6 +1085,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "emb_drift" -> ((s, dir) => {
+      // embedding drift monitor: per-(label, dim) mean gap between the
+      // standing corpus (3/4 of vectors) and a fresh ingest slice (the
+      // rest) — fixed-point sums, one IEEE division per mean, so every
+      // gap is bit-exact against the oracle
+      val e = t(s, dir, "embeddings")
+      Similarity.centroidDrift(
+        e.filter(col("vec_id") % 4 =!= 0),
+        e.filter(col("vec_id") % 4 === 0))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     "emb_kmeans_train" -> ((s, dir) => {
       // the full Lloyd's training loop (3 fixed rounds; tol 0 so an
       // exact fixed point short-circuits identically on both engines):
@@ -1552,6 +1576,33 @@ object SparkEntry {
           col("c_mktsegment"))
       Sessionize.runToMemory(s, enriched, "ev_stream_enrich",
         OutputMode.Append)
+        .orderBy(col("event_id"))
+    }),
+
+    "ev_stream_anomaly" -> ((s, dir) => {
+      // batch-train / stream-apply outlier flagging: per-user (med, mad)
+      // trains on batch history (a median is not computable
+      // row-at-a-time), the stream flags arriving purchases with ONE
+      // stateless join — no watermark, no state store. Over a full
+      // replay the flagged set equals batch ev_anomaly's by
+      // construction, so both share an oracle.
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      def purchases(df: DataFrame) =
+        df.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("cents"))
+      val thr = Anomaly.madThresholds(
+        purchases(t(s, dir, "events")), "cents", Seq("user_id"))
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val flagged = Anomaly.applyMadThresholds(
+        purchases(s.readStream.schema(raw)
+          .parquet(streamGlob(s"$dir/events.parquet"))),
+        thr, "cents")
+      Sessionize.runToMemory(s, flagged, "ev_stream_anomaly",
+        OutputMode.Append, statePartitions = 8)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("med"), col("mad"), col("dev"))
         .orderBy(col("event_id"))
     }),
 
@@ -2165,6 +2216,18 @@ object SparkEntry {
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+      // identical shift/mask interleave, 42 generated terms — bitwise
+      // ops are exact and shared by both engines
+      "q13_zorder" -> {
+        val terms = (0 until 21).map(k =>
+          s"((((l_orderkey % 2097152) >> $k) & 1) << ${2 * k})" +
+            s" + ((((l_partkey % 2097152) >> $k) & 1) << ${2 * k + 1})")
+          .mkString(" + ")
+        s"""SELECT l_orderkey, l_partkey, l_linenumber,
+           | CAST($terms AS BIGINT) AS zkey
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      },
+
       "alma_format_guard" ->
         """SELECT '''' || CAST(c_custkey AS VARCHAR) AS "MMS ID",
           | '''' || CAST(c_custkey * 7 AS VARCHAR) AS "Barcode",
@@ -2551,6 +2614,25 @@ object SparkEntry {
 
       // same assign CTE as sim_ivf_topk; fixed-point sums (round to 1e-6
       // then BIGINT) make the mean order-independent on both engines
+      // same fixed-point slice sums as the kmeans oracles; means and
+      // the gap are the same IEEE division/subtraction in both engines
+      "emb_drift" ->
+        """WITH x AS (SELECT label, vec_id,
+          |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+          |  unnest(embedding) AS x FROM embeddings),
+          |b AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_base,
+          |  sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS s
+          | FROM x WHERE vec_id % 4 <> 0 GROUP BY 1, 2),
+          |d AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_delta,
+          |  sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS s
+          | FROM x WHERE vec_id % 4 = 0 GROUP BY 1, 2)
+          |SELECT b.label, b.dim, b.n_base, d.n_delta,
+          | CAST(b.s AS DOUBLE) / (b.n_base * 1000000) AS mean_base,
+          | CAST(d.s AS DOUBLE) / (d.n_delta * 1000000) AS mean_delta,
+          | abs(CAST(b.s AS DOUBLE) / (b.n_base * 1000000)
+          |   - CAST(d.s AS DOUBLE) / (d.n_delta * 1000000)) AS gap
+          |FROM b JOIN d USING (label, dim) ORDER BY label, dim""".stripMargin,
+
       "emb_kmeans_step" -> {
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce
            |  FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -3237,6 +3319,23 @@ object SparkEntry {
       // cents is the same dyadic multiply-add Spark's percentile runs,
       // so med/mad/dev — and therefore the flag set — agree exactly
       "ev_anomaly" ->
+        """WITH p AS (SELECT user_id, event_id,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents
+          | FROM events WHERE event_type = 'purchase'),
+          |m AS (SELECT user_id, quantile_cont(cents, 0.5) AS med
+          | FROM p GROUP BY 1 HAVING count(*) >= 5),
+          |d AS (SELECT p.user_id, p.event_id, p.cents, m.med,
+          |  abs(p.cents - m.med) AS dev FROM p JOIN m USING (user_id)),
+          |md AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad
+          | FROM d GROUP BY 1)
+          |SELECT d.user_id, d.event_id, d.cents, d.med, md.mad, d.dev
+          |FROM d JOIN md USING (user_id)
+          |WHERE d.dev > md.mad * 3.0
+          |ORDER BY d.event_id""".stripMargin,
+
+      // the stream-apply twin admits EXACTLY the batch flag set (same
+      // trained thresholds, stateless gate) — same oracle text
+      "ev_stream_anomaly" ->
         """WITH p AS (SELECT user_id, event_id,
           |  CAST(round(value*100,0) AS BIGINT) AS cents
           | FROM events WHERE event_type = 'purchase'),

@@ -318,6 +318,47 @@ object Similarity {
     cents
   }
 
+  /** Embedding-distribution DRIFT monitor: per-(label, dim) mean gap
+    * between two corpus slices — the check a continuously-ingesting
+    * embedding pipeline runs before trusting trained artifacts
+    * (codebooks, LSH thresholds, quantizer scales) on new data: a moved
+    * centroid means yesterday's cells no longer describe today's
+    * vectors. Emitting the per-dimension gap rather than one aggregate
+    * distance keeps every number engine-exact (a summed distance would
+    * reintroduce float-addition order) and tells the operator WHICH
+    * dimensions moved — drift localized to a few dims is usually an
+    * upstream feature bug, uniform drift a genuine distribution shift.
+    *
+    * Arithmetic is [[kmeansStep]]'s fixed-point contract: per-slice sums
+    * of `round(x·scale)` longs (order-independent), one IEEE division
+    * per mean, one exactly-rounded subtraction for the gap. Two
+    * map-side-combinable aggregations + one (label×d)-sized join; the
+    * vectors themselves shuffle only as (label, dim, fx) triples.
+    * Labels present in only one slice drop (inner join): drift of an
+    * appearing/disappearing label is a cardinality question
+    * ([[graft.operators.IncrementalAgg]] territory), not a mean gap. */
+  def centroidDrift(
+      base: DataFrame,
+      delta: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "fixed-point scale must be positive")
+    def slice(df: DataFrame, nCol: String, sCol: String) = df
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as(nCol),
+        sum(round(col("x") * scale).cast("long")).as(sCol))
+    val meanB = col("__sb").cast("double") / (col("n_base") * scale)
+    val meanD = col("__sd").cast("double") / (col("n_delta") * scale)
+    slice(base, "n_base", "__sb")
+      .join(slice(delta, "n_delta", "__sd"), Seq(labelCol, "dim"))
+      .select(col(labelCol), col("dim").cast("long").as("dim"),
+        col("n_base"), col("n_delta"),
+        meanB.as("mean_base"), meanD.as("mean_delta"),
+        abs(meanB - meanD).as("gap"))
+  }
+
   /** The int8 quantization as ONE struct-valued column expression —
     * `struct<q_scale: double, q: array<tinyint>>` — registered in SQL as
     * `vec_quantize_int8`. Components are TINYINT (one byte), so the 4×

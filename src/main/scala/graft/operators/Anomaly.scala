@@ -36,9 +36,27 @@ object Anomaly {
       valueCol: String,
       groupCols: Seq[String],
       k: Double = 3.0,
-      minRows: Long = 5L): DataFrame = {
-    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
-    require(k > 0, "k must be positive")
+      minRows: Long = 5L): DataFrame =
+    applyMadThresholds(df,
+      madThresholds(df, valueCol, groupCols, minRows, materialize = false),
+      valueCol, k)
+
+  /** The TRAINED form of [[madOutliers]]'s per-group statistics — the
+    * batch-train half of the batch-train / stream-apply split (the
+    * `StreamGate.rankThresholds` shape): medians need the whole history,
+    * so a batch pass trains (med, mad) per group and a stream gates new
+    * rows against the table statelessly. `materialize = true` (the
+    * streaming default) eagerly materializes the table
+    * ([[graft.functions.Materialize]]) — a stream-static join re-derives
+    * the static side every micro-batch, which would re-run the two-pass
+    * percentile training per trigger. Output: (groupCols…, med, mad). */
+  def madThresholds(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      minRows: Long = 5L,
+      materialize: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty, "madThresholds needs at least one group column")
     val reserved = Seq("med", "mad", "dev", "__n")
     require(!df.columns.exists(reserved.contains),
       s"input must not already carry ${reserved.mkString("/")} columns " +
@@ -48,12 +66,30 @@ object Anomaly {
       .agg(percentile(col(valueCol), lit(0.5)).as("med"),
         count(lit(1)).as("__n"))
       .filter(col("__n") >= minRows)
-    val withMed = df.join(med, groupCols)
-      .withColumn("dev", abs(col(valueCol) - col("med")))
-    val mad = withMed.groupBy(gc: _*)
-      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
-    withMed.join(mad, groupCols)
-      .filter(col("dev") > col("mad") * lit(k))
       .drop("__n")
+    val mad = df.join(med, groupCols)
+      .groupBy(gc: _*)
+      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+    val thr = med.join(mad, groupCols)
+    if (materialize) graft.functions.Materialize(thr) else thr
+  }
+
+  /** Flag rows of a (streaming or batch) frame against a trained
+    * threshold table: one stateless join + filter, no watermark, no
+    * state store. Rows from groups absent at training time pass through
+    * unflagged-by-omission (inner join) — retrain to score new groups.
+    * Deliberately NO broadcast hint: per-entity threshold tables scale
+    * with the entity count (users, devices), the exact frame class the
+    * repo's hint policy leaves to AQE's runtime sizing. */
+  def applyMadThresholds(
+      rows: DataFrame,
+      thresholds: DataFrame,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val groupCols = thresholds.columns.filterNot(Seq("med", "mad").contains)
+    rows.join(thresholds, groupCols.toSeq)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+      .filter(col("dev") > col("mad") * lit(k))
   }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for multi-dimensional scan pruning: Z-order
+  * (Morton) interleaving maps two key columns onto one dimension so that
+  * rows close in BOTH keys land in the same file/partition. Range
+  * pruning on a single sort key serves only that key; a Z-ordered
+  * layout lets min/max file statistics prune selective predicates on
+  * EITHER of the interleaved keys — the standard layout optimization a
+  * 100-TB table runs before writing (the OPTIMIZE ZORDER pattern of the
+  * lakehouse table formats, expressed here as plain Spark).
+  *
+  * The Z-value is pure integer arithmetic — bit k of each key moves to
+  * bit 2k / 2k+1 via `(x div 2^k) mod 2 · 4^k` terms — so it is exact,
+  * portable (same truncating arithmetic in any engine), and
+  * codegen-friendly (a fixed sum of ~2·bits multiply-adds, no UDF, no
+  * loop). Keys are first masked into the `bits`-bit range: callers pick
+  * `bits` to cover their key domain (21 bits each → the interleave
+  * fills 42 of the 63 positive long bits).
+  */
+object Layout {
+
+  /** The Morton interleave of two non-negative integer keys: bit k of
+    * `x` lands at position 2k, bit k of `y` at 2k+1. Keys are reduced
+    * mod 2^bits first (callers size `bits` to the key domain — the mask
+    * only guards against overflow, it is not a hash). */
+  def zValue2(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = 1L << bits
+    val xm = x.cast("long") % mask
+    val ym = y.cast("long") % mask
+    (0 until bits).map { k =>
+      shiftleft(shiftright(xm, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(ym, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Re-layout `df` so co-Z-ordered rows are co-located: append the
+    * Z-value of the two cluster keys and range-partition on it. Written
+    * out as parquet, each file's (kx, ky) min/max statistics then cover
+    * a compact rectangle, so a selective predicate on either key prunes
+    * most files — range-partitioning on kx alone can only prune kx.
+    * One exchange; downstream writers inherit the layout. */
+  def clusterByZOrder(
+      df: DataFrame,
+      kxCol: String,
+      kyCol: String,
+      numPartitions: Int,
+      bits: Int = 21,
+      zCol: String = "zkey"): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be positive")
+    require(!df.columns.contains(zCol),
+      s"input already carries a '$zCol' column")
+    df.withColumn(zCol, zValue2(col(kxCol), col(kyCol), bits))
+      .repartitionByRange(numPartitions, col(zCol))
+  }
+}

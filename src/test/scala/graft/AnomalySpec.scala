@@ -30,6 +30,21 @@ class AnomalySpec extends SparkSuite {
     assert(got == Seq((100L, 5.5, 2.5)))
   }
 
+  test("trained thresholds: stream-apply admits exactly the batch flag " +
+    "set; unseen groups pass unflagged") {
+    val hist = (Seq.fill(6)(10L) :+ 500L).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }.toDF("g", "id", "v")
+    val thr = Anomaly.madThresholds(hist, "v", Seq("g"), materialize = false)
+    val applied = Anomaly.applyMadThresholds(hist, thr, "v")
+      .select($"id").as[Long].collect().toSet
+    val batch = Anomaly.madOutliers(hist, "v", Seq("g"))
+      .select($"id").as[Long].collect().toSet
+    assert(applied == batch && applied == Set(6L))
+    // a group absent at training time is not flagged (inner join)
+    val fresh = Seq((9L, 99L, 1000000L)).toDF("g", "id", "v")
+    assert(Anomaly.applyMadThresholds(fresh, thr, "v").count() == 0L)
+  }
+
   test("madOutliers: groups under the minRows floor are never scored") {
     val df = Seq((1L, 1L, 1L), (1L, 2L, 1000000L), // 2 rows: unscored
       (2L, 3L, 5L), (2L, 4L, 5L), (2L, 5L, 5L), (2L, 6L, 5L), (2L, 7L, 99L))

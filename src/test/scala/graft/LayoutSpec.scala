@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: Morton interleave arithmetic, quadrant locality (the
+  * property file-level min/max pruning relies on), and the physical
+  * range partitioning of clusterByZOrder. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("zValue2: hand-checked Morton values") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L),
+      (7L, 7L), (5L, 2L)).toDF("x", "y")
+    val got = pts.withColumn("z", Layout.zValue2($"x", $"y", bits = 3))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    // interleave: x bits at even positions, y bits at odd
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 1L)
+    assert(got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L)
+    assert(got((2L, 3L)) == 14L) // x=10, y=11 → y1 x1 y0 x0 = 1110
+    assert(got((7L, 7L)) == 63L)
+    assert(got((5L, 2L)) == 25L) // x=101, y=010 → 011001
+  }
+
+  test("zValue2: quadrant locality — every quadrant owns one contiguous, " +
+    "disjoint zkey range (what file min/max stats prune on)") {
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val z = grid.toDF("x", "y")
+      .withColumn("z", Layout.zValue2($"x", $"y", bits = 4))
+      .withColumn("quad", ($"x" >= 8).cast("int") * 2 + ($"y" >= 8).cast("int"))
+      .groupBy($"quad").agg(min($"z").as("lo"), max($"z").as("hi"),
+        count(lit(1)).as("n"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._2)
+    assert(z.length == 4 && z.forall(_._4 == 64L))
+    // each quadrant's range covers exactly its 64 points: contiguous...
+    assert(z.forall { case (_, lo, hi, n) => hi - lo + 1 == n })
+    // ...and disjoint from the next quadrant's
+    assert(z.sliding(2).forall { case Array(a, b) => a._3 < b._2 })
+  }
+
+  test("clusterByZOrder: physical RangePartitioning on the zkey") {
+    val df = (0L until 256L).map(i => (i % 16, i / 16)).toDF("kx", "ky")
+    val out = Layout.clusterByZOrder(df, "kx", "ky", numPartitions = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"))
+    assert(out.rdd.getNumPartitions == 4)
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Layout.clusterByZOrder(out, "kx", "ky", 4)
+    }
+  }
+}

@@ -357,4 +357,26 @@ class SimilaritySpec extends SparkSuite {
       .toDF("a", "b").select(Similarity.cosine($"a", $"b")).as[Double].head()
     assert(math.abs(pairs.head._3 - direct) < 1e-12)
   }
+
+  test("centroidDrift: exact per-dim mean gaps; one-slice labels drop") {
+    val base = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 2.0f)), // label 0: mean (2, 2)
+      (3L, 1, Seq(0.5f, 0.5f)), // label 1: only in base — must drop
+      (4L, 2, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val delta = Seq(
+      (5L, 0, Seq(4.0f, 2.0f)), // label 0 drifts +2 on dim 0 only
+      (6L, 2, Seq(1.0f, 1.0f))) // label 2: no drift
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(base, delta)
+      .orderBy($"label", $"dim")
+      .select($"label", $"dim", $"n_base", $"n_delta",
+        $"mean_base", $"mean_delta", $"gap")
+      .as[(Int, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 0L, 2L, 1L, 2.0, 4.0, 2.0),
+      (0, 1L, 2L, 1L, 2.0, 2.0, 0.0),
+      (2, 0L, 1L, 1L, 1.0, 1.0, 0.0),
+      (2, 1L, 1L, 1L, 1.0, 1.0, 0.0)))
+  }
 }
