@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Description, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Layout, RollingAgg, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Intervals, Layout, RollingAgg, Skyline, SplitStage, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -279,6 +279,33 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q14_skyline" -> ((s, dir) => {
+      // Pareto frontier of parts on (minimize price, maximize size):
+      // the two-level bucketed-window skyline — no self-join — against
+      // the oracle's textbook NOT EXISTS dominance scan. Integer cents
+      // keep every comparison exact. bucketBits=12 puts the ~200k-cent
+      // domain into ~50 buckets, so the level-2 frame is tiny while the
+      // level-1 windows stay parallel.
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          cents(col("p_retailprice")).as("price_cents"),
+          col("p_size").cast("long").as("sz"))
+      Skyline.frontier2(p, col("price_cents"), col("sz"), bucketBits = 12)
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q15_assoc" -> ((s, dir) => {
+      // market-basket association rules over (order, brand) baskets:
+      // Apriori min-support pushdown BEFORE the pair self-join, counts
+      // exact longs, confidence/lift as explicitly-ordered IEEE
+      // arithmetic mirrored in the oracle
+      val b = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      Basket.associationRules(b, "l_orderkey", "p_brand", minSupport = 300)
+        .orderBy(col("ante"), col("cons"))
+    }),
+
     "q10_fill_route" -> ((s, dir) => {
       // P4/P5/P8/P9 composed over orders: blank-fill, two conditional
       // note-appends, and the success/error routing flag
@@ -537,6 +564,17 @@ object SparkEntry {
     }),
 
     // ---- Dedup suite over documents --------------------------------
+
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      // typo-tolerant entity linkage: all customer-name pairs within
+      // edit distance 1 via SymSpell deletion-variant blocking (equi-join
+      // on shared variants, one levenshtein per distinct candidate) —
+      // the oracle recomputes the same set by brute-force dominance of
+      // the full name cross-product, so the blocking's no-miss guarantee
+      // is itself under test
+      Fuzzy.fuzzyPairs(t(s, dir, "customer"), "c_name")
+        .orderBy(col("s1"), col("s2"))
+    }),
 
     "dedup_exact" -> ((s, dir) => {
       // all fingerprint groups (sf0.01 plants no exact dups; the >1
@@ -1393,6 +1431,34 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_coverage" -> ((s, dir) => {
+      // interval union per user: every event opens a 300-second validity
+      // window; overlapping/touching windows merge into islands (running
+      // max of prior ends — a single long-lived interval can swallow
+      // several later ones, so lag(end) alone would split islands
+      // wrongly). Exact epoch-micro arithmetic end to end.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + lit(300000000L))
+      Intervals.mergeIslands(e, Seq("user_id"), "s", "e", "event_id")
+        .orderBy(col("user_id"), col("island"))
+    }),
+
+    "ev_pivot" -> ((s, dir) => {
+      // per-user activity matrix: event-type counts pivoted wide. The
+      // value list is EXPLICIT, so no extra distinct-scan job runs
+      // before the pivot and the schema is stable under partial data —
+      // the form a 100-TB pivot must take (`.pivot(col)` without values
+      // collects the distinct set to the driver first).
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     "ev_agg_incremental" -> ((s, dir) => {
       // incremental rollup maintenance: the stored per-user state (base,
       // here 3/4 of events playing yesterday's rollup) absorbs a delta
@@ -2228,6 +2294,39 @@ object SparkEntry {
            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
       },
 
+      // the textbook NOT EXISTS dominance scan — deliberately a
+      // DIFFERENT formulation from the engine's bucketed-window plan,
+      // so the frontier equivalence itself is what's checked
+      "q14_skyline" ->
+        """WITH p AS (SELECT p_partkey, p_name,
+          |  CAST(round(p_retailprice*100,0) AS BIGINT) AS price_cents,
+          |  CAST(p_size AS BIGINT) AS sz FROM part)
+          |SELECT p_partkey, p_name, price_cents, sz FROM p a
+          |WHERE NOT EXISTS (SELECT 1 FROM p b
+          |  WHERE b.price_cents <= a.price_cents AND b.sz >= a.sz
+          |    AND (b.price_cents < a.price_cents OR b.sz > a.sz))
+          |ORDER BY p_partkey""".stripMargin,
+
+      // same counts, same explicitly-ordered IEEE measure arithmetic:
+      // one division for confidence, double products for lift
+      "q15_assoc" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+          |  FROM lineitem l JOIN part p ON l_partkey = p_partkey),
+          |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b),
+          |f AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+          |  FROM b GROUP BY 1 HAVING count(*) >= 300),
+          |pr AS (SELECT a.item AS ante, c.item AS cons,
+          |  min(fa.n_item) AS n_ante, min(fc.n_item) AS n_cons,
+          |  CAST(count(*) AS BIGINT) AS n_pair
+          | FROM b a JOIN b c ON a.bk = c.bk AND a.item <> c.item
+          | JOIN f fa ON a.item = fa.item JOIN f fc ON c.item = fc.item
+          | GROUP BY 1, 2 HAVING count(*) >= 300)
+          |SELECT ante, cons, n_ante, n_cons, n_pair,
+          | CAST(n_pair AS DOUBLE) / n_ante AS confidence,
+          | (CAST(n_pair AS DOUBLE) * CAST(n.n AS DOUBLE))
+          |   / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
+          |FROM pr, n ORDER BY ante, cons""".stripMargin,
+
       "alma_format_guard" ->
         """SELECT '''' || CAST(c_custkey AS VARCHAR) AS "MMS ID",
           | '''' || CAST(c_custkey * 7 AS VARCHAR) AS "Barcode",
@@ -2339,6 +2438,19 @@ object SparkEntry {
         s"""SELECT md5($duckNorm) AS fp, count(*) AS n_dups,
            | min(doc_id) AS keep_id
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+      // brute-force the full cross-product (with only a length-band
+      // prefilter) where the engine blocks on deletion variants — the
+      // oracle's independence proves the blocking misses nothing
+      "dedup_fuzzy_names" ->
+        """WITH s AS (SELECT DISTINCT c_name AS nm FROM customer
+          |  WHERE c_name IS NOT NULL)
+          |SELECT a.nm AS s1, b.nm AS s2,
+          | CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+          |FROM s a JOIN s b ON a.nm < b.nm
+          |WHERE abs(len(a.nm) - len(b.nm)) <= 1
+          |  AND levenshtein(a.nm, b.nm) <= 1
+          |ORDER BY s1, s2""".stripMargin,
 
       "dedup_minhash" ->
         s"""SELECT doc_id,
@@ -3349,6 +3461,35 @@ object SparkEntry {
           |FROM d JOIN md USING (user_id)
           |WHERE d.dev > md.mad * 3.0
           |ORDER BY d.event_id""".stripMargin,
+
+      // identical running-max island construction — epoch-micro longs,
+      // so starts/ends/coverage are exact on both engines
+      "ev_coverage" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+          |  epoch_us(ts) + 300000000 AS e FROM events),
+          |w AS (SELECT *, max(e) OVER (PARTITION BY user_id
+          |  ORDER BY s, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM e),
+          |g AS (SELECT *, CAST(sum(CASE WHEN pe IS NULL OR s > pe
+          |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+          |  ORDER BY s, event_id) AS BIGINT) AS island FROM w)
+          |SELECT user_id, island, min(s) AS island_start,
+          | max(e) AS island_end, CAST(count(*) AS BIGINT) AS n_intervals,
+          | max(e) - min(s) AS covered
+          |FROM g GROUP BY user_id, island
+          |ORDER BY user_id, island""".stripMargin,
+
+      // conditional aggregation — the relational reading of a pivot;
+      // FILTER counts yield 0 (not NULL) for absent combinations, the
+      // engine's na.fill twin
+      "ev_pivot" ->
+        """SELECT user_id,
+          | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+          | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+          | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+          | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+          | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       // full recompute over ALL events — the merged base+delta state
       // must equal it exactly (counts/sums/extrema are long algebra,
