@@ -271,7 +271,8 @@ object SparkEntry {
       // Z-order layout key: Morton interleave of (orderkey, partkey) —
       // pure shift/mask integer arithmetic, codegen'd, engine-portable.
       // clusterByZOrder range-partitions on this key so parquet min/max
-      // stats prune on EITHER dimension (plan-pinned in ScaleSpec).
+      // stats prune on EITHER dimension (RangePartitioning pinned in
+      // LayoutSpec; this query checks the interleave arithmetic).
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
         .withColumn("zkey",

@@ -117,11 +117,17 @@ object Dedup {
   }
 
   /** Sorted-prefix pair expansion: for ids sorted ascending, every (a, b)
-    * with a earlier than b — i.e. all unordered pairs, emitted as a < b. */
-  private def sortedPairs(ids: Column): Column =
+    * with a earlier than b — i.e. all unordered pairs, emitted as a < b
+    * under the given struct field names. Shared by the LSH bucket
+    * operators here and the bucket-shaped pair generators in
+    * [[Fuzzy.fuzzyPairs]] / [[graft.operators.Basket]]. */
+  private[graft] def sortedPairs(
+      ids: Column,
+      loName: String = "doc_a",
+      hiName: String = "doc_b"): Column =
     flatten(transform(ids, (b, j) =>
       transform(slice(ids, lit(1), j), a =>
-        struct(a.as("doc_a"), b.as("doc_b")))))
+        struct(a.as(loName), b.as(hiName)))))
 
   /** LSH candidate pairs: band the k-signature into `bands` groups of
     * `k/bands` rows and bucket on (band index, band hash).

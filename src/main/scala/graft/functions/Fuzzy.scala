@@ -64,10 +64,7 @@ object Fuzzy {
       .groupBy(col("__var"))
       .agg(sort_array(collect_list(col("__s"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(
-        flatten(transform(col("ids"), (b, j) =>
-          transform(slice(col("ids"), lit(1), j), a =>
-            struct(a.as("s1"), b.as("s2")))))).as("p"))
+      .select(explode(Dedup.sortedPairs(col("ids"), "s1", "s2")).as("p"))
       .select(col("p.s1"), col("p.s2"))
     pairs
       .withColumn("dist", levenshtein(col("s1"), col("s2"), 1).cast("long"))

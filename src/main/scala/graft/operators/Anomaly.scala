@@ -87,6 +87,10 @@ object Anomaly {
       valueCol: String,
       k: Double = 3.0): DataFrame = {
     require(k > 0, "k must be positive")
+    val reserved = Seq("med", "mad", "dev")
+    require(!rows.columns.exists(reserved.contains),
+      s"rows must not already carry ${reserved.mkString("/")} columns " +
+        "(re-scoring scored output? drop them first)")
     val groupCols = thresholds.columns.filterNot(Seq("med", "mad").contains)
     rows.join(thresholds, groupCols.toSeq)
       .withColumn("dev", abs(col(valueCol) - col("med")))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * with b surviving items emits b·(b−1)/2 ordered pairs), NOT a basket
   * self-join: the self-join form recomputes the distinct-basket subtree
   * on both sides and shuffles it twice (the README self-join lesson).
-  * The (basket, item) frame feeds four consumers (total, frequent
+  * The (basket, item) frame feeds three consumers (total, frequent
   * items, expansion), so it is materialized once
   * ([[graft.functions.Materialize]]). Pair counts are
   * map-side-combinable; directional rules are the unordered counts
@@ -56,9 +56,7 @@ object Basket {
       .groupBy(col("__bk"))
       .agg(sort_array(collect_list(col("__item"))).as("items"))
       .select(explode(
-        flatten(transform(col("items"), (hi, j) =>
-          transform(slice(col("items"), lit(1), j), lo =>
-            struct(lo.as("i1"), hi.as("i2")))))).as("p"))
+        graft.functions.Dedup.sortedPairs(col("items"), "i1", "i2")).as("p"))
       .groupBy(col("p.i1").as("i1"), col("p.i2").as("i2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)

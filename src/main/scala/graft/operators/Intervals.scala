@@ -37,6 +37,10 @@ object Intervals {
       endCol: String,
       idCol: String): DataFrame = {
     require(keyCols.nonEmpty, "mergeIslands needs at least one key column")
+    val reserved =
+      Seq("__open", "island", "island_start", "island_end", "n_intervals", "covered")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not already carry ${reserved.mkString("/")} columns")
     val keys = keyCols.map(col)
     val byStart = Window.partitionBy(keys: _*)
       .orderBy(col(startCol), col(idCol))
