@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Intervals, Layout, RollingAgg, Skyline, SplitStage, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Intervals, Layout, RollingAgg, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{Sessionize, StreamDedup, StreamGate}
 
@@ -1457,6 +1457,56 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
         .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    "ev_chisq" -> ((s, dir) => {
+      // independence diagnostics for event_type × value band: per-cell
+      // observed / expected / χ² contribution — per-cell so every
+      // number is engine-exact (a summed χ² depends on float addition
+      // order); bands are the histogram's exact floor anchors
+      val c = cents(col("value"))
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          (c - pmod(c, lit(10000L))).as("value_band"))
+      Stats.chiSquareCells(e, "event_type", "value_band")
+        .orderBy(col("event_type"), col("value_band"))
+    }),
+
+    "text_winsorize" -> ((s, dir) => {
+      // per-source Tukey-fence clipping of document lengths: quartiles
+      // interpolate at DYADIC fractions, so fences and clips are exact
+      // doubles on both engines (a p05/p95 clip would drift in the last
+      // ulp — scaladoc'd in Stats.tukeyClip)
+      Stats.tukeyClip(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "n_chars", Seq("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ev_histogram" -> ((s, dir) => {
+      // per-type equi-width value histogram: bin anchors floor-aligned
+      // in exact long arithmetic (v − pmod(v, w)) — one map-side
+      // combinable aggregation, bounds materialized per bin
+      Stats.histogram(
+        t(s, dir, "events")
+          .select(col("event_type"), cents(col("value")).as("cents")),
+        "cents", Seq("event_type"), width = 2500L)
+        .orderBy(col("event_type"), col("bin_lo"))
+    }),
+
+    "ev_twap" -> ((s, dir) => {
+      // time-weighted average purchase value per user: trapezoidal
+      // integral as exact cents·second long sums, one closing IEEE
+      // division. Seconds, not micros — the num sum must stay inside a
+      // long at any per-user history length (doc'd in Stats)
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("ts_s"),
+          cents(col("value")).as("cents"))
+      Stats.timeWeightedAvg(p, Seq("user_id"), "ts_s", "cents", "event_id")
         .orderBy(col("user_id"))
     }),
 
@@ -3491,6 +3541,77 @@ object SparkEntry {
           | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
           | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
           |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      // same marginals, same IEEE chain per cell: exact-long product →
+      // one division for expected, then subtract/square/divide
+      "ev_chisq" ->
+        """WITH e AS (SELECT event_type,
+          |  c - ((c % 10000) + 10000) % 10000 AS value_band
+          | FROM (SELECT event_type,
+          |   CAST(round(value*100,0) AS BIGINT) AS c FROM events)),
+          |cells AS (SELECT event_type, value_band,
+          |  CAST(count(*) AS BIGINT) AS observed FROM e GROUP BY 1, 2),
+          |r AS (SELECT event_type, CAST(sum(observed) AS BIGINT)
+          |  AS row_total FROM cells GROUP BY 1),
+          |cl AS (SELECT value_band, CAST(sum(observed) AS BIGINT)
+          |  AS col_total FROM cells GROUP BY 1),
+          |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+          |SELECT event_type, value_band, observed, row_total, col_total,
+          | n.n,
+          | CAST(row_total * col_total AS DOUBLE) / n.n AS expected,
+          | ((observed - CAST(row_total * col_total AS DOUBLE) / n.n)
+          |   * (observed - CAST(row_total * col_total AS DOUBLE) / n.n))
+          |  / (CAST(row_total * col_total AS DOUBLE) / n.n) AS contribution
+          |FROM cells JOIN r USING (event_type) JOIN cl USING (value_band), n
+          |ORDER BY event_type, value_band""".stripMargin,
+
+      // quantile_cont at dyadic quarters == Spark percentile exactly
+      // over integer inputs; every fence/clip value is an exact double
+      "text_winsorize" ->
+        """WITH q AS (SELECT source,
+          |  quantile_cont(n_chars, 0.25) AS q1,
+          |  quantile_cont(n_chars, 0.75) AS q3
+          | FROM documents GROUP BY 1),
+          |f AS (SELECT source, q1, q3,
+          |  q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM q)
+          |SELECT d.doc_id, d.source, d.n_chars, f.q1, f.q3, f.lo, f.hi,
+          | greatest(least(CAST(d.n_chars AS DOUBLE), f.hi), f.lo) AS clipped
+          |FROM documents d JOIN f USING (source)
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // same floor-aligned bin anchor spelled as explicit pmod — both
+      // engines' % truncates, so the +w wrap makes them floor together
+      "ev_histogram" ->
+        """WITH e AS (SELECT event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents FROM events)
+          |SELECT event_type,
+          | cents - ((cents % 2500) + 2500) % 2500 AS bin_lo,
+          | CAST(count(*) AS BIGINT) AS n,
+          | min(cents) AS v_min, max(cents) AS v_max,
+          | cents - ((cents % 2500) + 2500) % 2500 + 2500 AS bin_hi
+          |FROM e GROUP BY 1, 2
+          |ORDER BY event_type, bin_lo""".stripMargin,
+
+      // identical lag-window trapezoid; integer-second timestamps and
+      // long sums keep num/den exact, the one division is IEEE on both
+      "ev_twap" ->
+        """WITH p AS (SELECT user_id, event_id,
+          |  epoch_us(ts) // 1000000 AS ts_s,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents
+          | FROM events WHERE event_type = 'purchase'),
+          |w AS (SELECT user_id,
+          |  ts_s - lag(ts_s) OVER (PARTITION BY user_id
+          |    ORDER BY ts_s, event_id) AS dt,
+          |  cents + lag(cents) OVER (PARTITION BY user_id
+          |    ORDER BY ts_s, event_id) AS vs
+          | FROM p)
+          |SELECT user_id, CAST(count(dt) AS BIGINT) AS n_segments,
+          | CAST(sum(vs * dt) AS BIGINT) AS num,
+          | CAST(sum(dt) * 2 AS BIGINT) AS den,
+          | CASE WHEN sum(dt) * 2 > 0
+          |  THEN CAST(sum(vs * dt) AS DOUBLE) / CAST(sum(dt) * 2 AS BIGINT)
+          | END AS twa
+          |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       // full recompute over ALL events — the merged base+delta state
       // must equal it exactly (counts/sums/extrema are long algebra,

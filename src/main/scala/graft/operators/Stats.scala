@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution and time-series statistics kept engine-exact: equi-width
+  * histograms (pure integer bin arithmetic) and time-weighted averages
+  * (trapezoidal integration as exact long sums with one terminal IEEE
+  * division). Both are one-shuffle shapes: a map-side-combinable groupBy
+  * for the histogram, one per-key window pass + groupBy for the TWA.
+  */
+object Stats {
+
+  /** Per-group equi-width histogram of an integer column, keyed by the
+    * bin's [bin_lo, bin_hi) bounds. The bin anchor is `v - pmod(v, w)`
+    * — floor-aligned EXACT long arithmetic even for negative values,
+    * where SQL's truncating intdiv would round toward zero and Spark's
+    * `/` on longs is a double division (silently misbinning past 2^53).
+    * One map-side-combinable aggregation; empty bins simply don't
+    * appear (densification is a generate-join the caller can add when
+    * rendering). */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    val v = col(valueCol).cast("long")
+    val binLo = v - pmod(v, lit(width))
+    val keys = (groupCols.map(col) :+ binLo.as("bin_lo"))
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        min(v).as("v_min"), max(v).as("v_max"))
+      .withColumn("bin_hi", col("bin_lo") + width)
+  }
+
+  /** Contingency-table independence diagnostics, per CELL: for each
+    * (rowCol, colCol) value pair, the observed count, the
+    * independence-expected count `row_total·col_total / n`, and the
+    * cell's χ² contribution `(o − e)² / e`. Emitting per-cell numbers
+    * rather than one summed statistic keeps every value engine-exact —
+    * a χ² total is a float SUM whose value depends on addition order,
+    * while each cell is exact-long products with a fixed IEEE
+    * division/subtract/square/divide chain — and tells the analyst
+    * WHICH cells drive the dependence. (Callers wanting the scalar
+    * sum the column and accept last-ulp drift.) Plan: one cell count
+    * (map-side combinable), two category-sized marginal aggregations
+    * joined back (AQE-sized, no hints — category cardinality is
+    * unbounded), one broadcast one-row total. */
+  def chiSquareCells(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col(rowCol))
+      .agg(sum(col("observed")).as("row_total"))
+    val colTot = cells.groupBy(col(colCol))
+      .agg(sum(col("observed")).as("col_total"))
+    val n = cells.select(sum(col("observed")).as("n"))
+    val e = (col("row_total") * col("col_total")).cast("double") / col("n")
+    cells.join(rowTot, Seq(rowCol)).join(colTot, Seq(colCol))
+      .join(broadcast(n))
+      .select(col(rowCol), col(colCol), col("observed"),
+        col("row_total"), col("col_total"), col("n"),
+        e.as("expected"),
+        (((col("observed") - e) * (col("observed") - e)) / e)
+          .as("contribution"))
+  }
+
+  /** Tukey-fence winsorization per group: values clipped to
+    * [q1 − k·IQR, q3 + k·IQR], the textbook robust outlier boundary.
+    * Exactness: over integer inputs, quartiles interpolate at dyadic
+    * fractions (quarters), so q1/q3 — and with dyadic `k` (1.5 default)
+    * the fences — are exact doubles, identical on any engine regardless
+    * of which algebraic form its interpolation uses. A [0.05, 0.95]
+    * clip would NOT be: 0.05·(b−a) vs (1−0.95)·… round differently in
+    * the last ulp across engines. Two-pass: one percentile aggregation
+    * per group (same shape as [[Anomaly.madThresholds]]), one join
+    * back, clip with greatest/least. */
+  def tukeyClip(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "tukeyClip needs at least one group column")
+    require(k >= 0, "k must be non-negative")
+    val reserved = Seq("q1", "q3", "lo", "hi", "clipped")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not already carry ${reserved.mkString("/")} columns")
+    val gc = groupCols.map(col)
+    val q = df.groupBy(gc: _*)
+      .agg(percentile(col(valueCol), lit(0.25)).as("q1"),
+        percentile(col(valueCol), lit(0.75)).as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
+    df.join(q, groupCols)
+      .withColumn("clipped",
+        greatest(least(col(valueCol).cast("double"), col("hi")), col("lo")))
+  }
+
+  /** Per-key time-weighted average by trapezoidal integration over the
+    * (ts, value) series: Σ (vᵢ + vᵢ₊₁)·Δtᵢ / (2·ΣΔtᵢ). Both sums are
+    * exact longs (order-independent), so the single closing division is
+    * the only float op — bit-identical on any engine and any partition
+    * order. Keys whose series spans zero time (one point, or every
+    * point at the same timestamp) yield a null `twa` — there is no
+    * interval to integrate over.
+    * Callers pre-scale: integer values (cents) and integer timestamps
+    * coarse enough that `max|v|·Σ Δt` stays inside a long — e.g. cents
+    * against SECONDS for year-scale windows, not micros. */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "timeWeightedAvg needs at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(idCol))
+    val dt = col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(w)
+    val vsum = col(valueCol).cast("long") + lag(col(valueCol).cast("long"), 1).over(w)
+    df.withColumn("__dt", dt).withColumn("__vs", vsum)
+      .groupBy(keys: _*)
+      .agg(count(col("__dt")).as("n_segments"),
+        sum(col("__vs") * col("__dt")).as("num"),
+        (sum(col("__dt")) * 2L).as("den"))
+      .withColumn("twa",
+        when(col("den") > 0, col("num").cast("double") / col("den")))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Histogram floor alignment (negatives included) and trapezoidal TWA
+  * hand cases, including the zero-span null. */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("histogram: floor-aligned bins, negatives land below zero") {
+    val df = Seq(("a", -3L), ("a", -10L), ("a", 0L), ("a", 9L), ("a", 10L),
+      ("b", 25L)).toDF("g", "v")
+    val got = Stats.histogram(df, "v", Seq("g"), width = 10L)
+      .select($"g", $"bin_lo", $"bin_hi", $"n", $"v_min", $"v_max")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", -10L, 0L, 2L, -10L, -3L), // -3 floors to -10, NOT 0
+      ("a", 0L, 10L, 2L, 0L, 9L),
+      ("a", 10L, 20L, 1L, 10L, 10L),
+      ("b", 20L, 30L, 1L, 25L, 25L)))
+  }
+
+  test("chiSquareCells: hand 2x2 table; contributions symmetric") {
+    // rows: x:(a=30,b=10), y:(a=10,b=30); n=80; every marginal 40
+    // expected = 40*40/80 = 20; contribution = (30-20)^2/20 = 5 each
+    val df = (Seq.fill(30)(("x", "a")) ++ Seq.fill(10)(("x", "b")) ++
+      Seq.fill(10)(("y", "a")) ++ Seq.fill(30)(("y", "b")))
+      .toDF("r", "c")
+    val got = Stats.chiSquareCells(df, "r", "c")
+      .select($"r", $"c", $"observed", $"row_total", $"col_total", $"n",
+        $"expected", $"contribution")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    assert(got == Set(
+      ("x", "a", 30L, 40L, 40L, 80L, 20.0, 5.0),
+      ("x", "b", 10L, 40L, 40L, 80L, 20.0, 5.0),
+      ("y", "a", 10L, 40L, 40L, 80L, 20.0, 5.0),
+      ("y", "b", 30L, 40L, 40L, 80L, 20.0, 5.0)))
+  }
+
+  test("tukeyClip: fences from hand quartiles; outliers clip, bulk passes") {
+    // group g: values 0,4,8,12,16,1000 → rank positions (n−1)·q:
+    // q1 at 1.25 → 4 + 0.25·4 = 5; q3 at 3.75 → 12 + 0.75·4 = 15
+    // (dyadic interpolation); IQR 10, fences [−10, 30]
+    val df = Seq(0L, 4L, 8L, 12L, 16L, 1000L).map(("g", _)).toDF("g", "v")
+    val got = Stats.tukeyClip(df, "v", Seq("g"))
+      .select($"v", $"q1", $"q3", $"lo", $"hi", $"clipped")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSet
+    assert(got.forall { case (_, q1, q3, lo, hi, _) =>
+      q1 == 5.0 && q3 == 15.0 && lo == -10.0 && hi == 30.0 })
+    assert(got.map(t => t._1 -> t._6).toMap ==
+      Map(0L -> 0.0, 4L -> 4.0, 8L -> 8.0, 12L -> 12.0, 16L -> 16.0,
+        1000L -> 30.0))
+    intercept[IllegalArgumentException] {
+      Stats.tukeyClip(df.withColumnRenamed("v", "clipped"), "clipped", Seq("g"))
+    }
+  }
+
+  test("timeWeightedAvg: hand trapezoid; constant series averages to itself") {
+    // key 1: (t=0,v=0), (t=10,v=10), (t=30,v=0)
+    // num = (0+10)*10 + (10+0)*20 = 300; den = 2*30 = 60; twa = 5.0
+    val df = Seq((1L, 1L, 0L, 0L), (1L, 2L, 10L, 10L), (1L, 3L, 30L, 0L),
+      (2L, 4L, 0L, 7L), (2L, 5L, 5L, 7L)) // constant 7
+      .toDF("k", "id", "t", "v")
+    val got = Stats.timeWeightedAvg(df, Seq("k"), "t", "v", "id")
+      .select($"k", $"n_segments", $"num", $"den", $"twa")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 300L, 60L, Some(5.0)),
+      (2L, 1L, 70L, 10L, Some(7.0))))
+  }
+
+  test("zero time span (single point or all-tied timestamps) → null twa") {
+    val df = Seq((1L, 1L, 5L, 100L), // single point
+      (2L, 2L, 5L, 10L), (2L, 3L, 5L, 90L)) // two points, same ts
+      .toDF("k", "id", "t", "v")
+    val got = Stats.timeWeightedAvg(df, Seq("k"), "t", "v", "id")
+      .select($"k", $"twa").as[(Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, None), (2L, None)))
+  }
+}
