@@ -307,6 +307,28 @@ object SparkEntry {
         .orderBy(col("ante"), col("cons"))
     }),
 
+    "q16_triangles" -> ((s, dir) => {
+      // triangle census of the part co-occurrence graph (parts sharing
+      // an order): edges from the bucket pair expansion, triangles via
+      // degree-ordered orientation (out-degree O(√m), no hub blowup),
+      // output per-part participation counts — the local-clustering
+      // numerator. The oracle recomputes via the naive a<b<c three-way
+      // join, so the orientation's count-each-once argument is under
+      // test.
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+      // no .distinct() here: triangles canonicalizes + dedups its edge
+      // input itself, a second pass would just shuffle the pairs twice
+      val edges = b.groupBy(col("bk"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(explode(Dedup.sortedPairs(col("items"), "u", "v")).as("p"))
+        .select(col("p.u"), col("p.v"))
+      Dedup.triangles(edges, "u", "v")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q10_fill_route" -> ((s, dir) => {
       // P4/P5/P8/P9 composed over orders: blank-fill, two conditional
       // note-appends, and the success/error routing flag
@@ -2377,6 +2399,22 @@ object SparkEntry {
           | (CAST(n_pair AS DOUBLE) * CAST(n.n AS DOUBLE))
           |   / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
           |FROM pr, n ORDER BY ante, cons""".stripMargin,
+
+      // the naive sorted three-way join — independent of the engine's
+      // degree-ordered orientation
+      "q16_triangles" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+          |  FROM lineitem),
+          |e AS (SELECT DISTINCT a.item AS u, c.item AS v
+          |  FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item),
+          |tri AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e x
+          |  JOIN e y ON x.u = y.u AND x.v < y.v
+          |  JOIN e z ON z.u = x.v AND z.v = y.v)
+          |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM (SELECT a AS node FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri) t
+          |GROUP BY 1 ORDER BY p_partkey""".stripMargin,
 
       "alma_format_guard" ->
         """SELECT '''' || CAST(c_custkey AS VARCHAR) AS "MMS ID",
