@@ -1158,6 +1158,22 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    "emb_pq_codes" -> ((s, dir) => {
+      // product quantization end to end: 4 independent 4-centroid
+      // codebooks over 16-dim slices (2 Lloyd's rounds each, the
+      // deterministic fixed-point replay), then every vector encoded as
+      // its 4 sub-codes — 64 floats → 4 small ints. Narrow assignment:
+      // codebooks are plan literals, the corpus never shuffles.
+      val e = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrain(e, d = 64, m = 4, k = 4, maxIters = 2)
+      e.select(col("vec_id"),
+          posexplode(Similarity.pqAssign(col("embedding"), cbs, sub = 16))
+            .as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
     "emb_kmeans_train" -> ((s, dir) => {
       // the full Lloyd's training loop (3 fixed rounds; tol 0 so an
       // exact fixed point short-circuits identically on both engines):
@@ -2270,6 +2286,35 @@ object SparkEntry {
          | FROM c${i - 1} p LEFT JOIN (SELECT cell AS cid,
          |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
          |   FROM s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+    // the same Lloyd's replay over a SLICED vector, prefixed p<j> so m
+    // independent subspace chains coexist in one statement — the PQ
+    // oracle; after pqSubCtes(j, ...), CTE p<j>f is that subspace's
+    // (vec_id, subspace, code) assignment under the trained codebook
+    def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int, k: Int): String = {
+      def it(i: Int): String =
+        s"""p${j}a$i AS (SELECT v.vec_id, v.sv,
+           |   min({'d': ${duckL2("v.sv", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM p${j}v v CROSS JOIN p${j}c${i - 1} c GROUP BY v.vec_id, v.sv),
+           |p${j}x$i AS (SELECT cell,
+           |   CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS dim,
+           |   unnest(sv) AS x FROM p${j}a$i),
+           |p${j}s$i AS (SELECT cell, dim,
+           |   CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           |     / (count(*) * 1000000) AS mean
+           | FROM p${j}x$i GROUP BY cell, dim),
+           |p${j}c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+           | FROM p${j}c${i - 1} p LEFT JOIN (SELECT cell AS cid,
+           |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
+           |   FROM p${j}s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+      s"""p${j}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+         |p${j}c0 AS (SELECT vec_id AS cid, sv AS ce
+         |  FROM p${j}v ORDER BY vec_id LIMIT $k),
+         |${(1 to iters).map(it).mkString(",\n")},
+         |p${j}f AS (SELECT v.vec_id, CAST($j AS BIGINT) AS subspace,
+         |   CAST(min({'d': ${duckL2("v.sv", "c.ce")}, 'cid': c.cid})['cid']
+         |     AS BIGINT) AS code
+         | FROM p${j}v v CROSS JOIN p${j}c$iters c GROUP BY v.vec_id)""".stripMargin
+    }
     def kmTrainCtes(iters: Int, k: Int): String =
       s"""c0 AS (SELECT vec_id AS cid, embedding AS ce
          |  FROM embeddings ORDER BY vec_id LIMIT $k),
@@ -2863,6 +2908,19 @@ object SparkEntry {
           |    x -> CAST(floor(x::DOUBLE * 127.0 / q_scale + 0.5) AS INT))
           |  ELSE list_transform(embedding, x -> 0) END, ',') AS q_csv
           |FROM m ORDER BY vec_id""".stripMargin,
+
+      // four independent sliced replays of the SAME training recipe,
+      // one per subspace, then the four assignments unioned
+      "emb_pq_codes" -> {
+        val subs = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2, k = 4))
+          .mkString(",\n")
+        val un = (0 until 4).map(j => s"SELECT * FROM p${j}f")
+          .mkString(" UNION ALL ")
+        s"""WITH $subs
+           |SELECT vec_id, subspace, code FROM ($un)
+           |ORDER BY vec_id, subspace""".stripMargin
+      },
 
       // the training loop unrolled: three identical (assign → fixed-point
       // means → rebuild codebook) rounds as CTE blocks; an empty cell

@@ -318,6 +318,54 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization TRAINING: split the d-dim vector space into
+    * `m` contiguous subspaces of d/m dims and train an independent
+    * k-centroid codebook per subspace — the memory layout behind
+    * billion-vector ANN indexes (Jégou et al., PAMI 2011): a float
+    * vector compresses to m sub-codes (m bytes at k ≤ 256) while
+    * distances remain approximable per-subspace, k^m effective cells
+    * from m·k stored centroids where one flat codebook would need k^m.
+    *
+    * Each subspace trains via [[kmeansTrain]] on the SLICED corpus —
+    * same fixed-point determinism, same empty-cell/seed rules, m
+    * driver-side loops each collecting only k×(d/m) means per round.
+    * The corpus is scanned once per round per subspace; at production
+    * scale the m loops share cached input or run concurrently — the
+    * codebooks are independent by construction. */
+  def pqTrain(
+      corpus: DataFrame,
+      d: Int,
+      m: Int,
+      k: Int,
+      maxIters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Long = 1000000L): Seq[Seq[Seq[Float]]] = {
+    require(m >= 1, "need at least one subspace")
+    require(d % m == 0, s"d=$d must split evenly into m=$m subspaces")
+    val sub = d / m
+    (0 until m).map { j =>
+      kmeansTrain(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        k, maxIters, 0.0, idCol, vecCol, scale)
+    }
+  }
+
+  /** PQ ENCODING: the m nearest-sub-centroid ids for a vector, as an
+    * array<long>. Codebooks are plan literals ([[ivfAssign]] per
+    * slice), so encoding is a narrow codegen'd projection — the corpus
+    * never shuffles to be quantized. */
+  def pqAssign(
+      vec: Column,
+      codebooks: Seq[Seq[Seq[Float]]],
+      sub: Int): Column = {
+    require(codebooks.nonEmpty, "need at least one codebook")
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      ivfAssign(slice(vec, j * sub + 1, sub), cb).cast("long")
+    }: _*)
+  }
+
   /** Embedding-distribution DRIFT monitor: per-(label, dim) mean gap
     * between two corpus slices — the check a continuously-ingesting
     * embedding pipeline runs before trusting trained artifacts

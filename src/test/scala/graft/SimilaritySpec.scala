@@ -358,6 +358,35 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(pairs.head._3 - direct) < 1e-12)
   }
 
+  test("pqTrain/pqAssign: independent subspace codebooks recover planted " +
+    "cluster structure; codes are narrow plan literals") {
+    // 4-dim vectors, m=2 subspaces of 2 dims; subspace 0 clusters ids
+    // {0,2} vs {1,3} near (0,0) vs (10,10); subspace 1 the OPPOSITE
+    // pairing {1,2} vs {0,3} — codes must disagree across subspaces,
+    // proving independence. The id-order seeds (ids 0, 1) straddle
+    // both splits, so Lloyd's converges to the planted clusters.
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.1f, 9.9f, 10.0f)),
+      (1L, Seq(10.0f, 9.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Seq(9.9f, 10.0f, 10.0f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(vecs, d = 4, m = 2, k = 2, maxIters = 3)
+    assert(cbs.length == 2 && cbs.forall(_.length == 2))
+    val codes = vecs.select($"vec_id",
+        Similarity.pqAssign($"embedding", cbs, sub = 2).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // within each subspace, the planted pairs share a code and the
+    // cross pairs differ
+    assert(codes(0L)(0) == codes(2L)(0) && codes(1L)(0) == codes(3L)(0))
+    assert(codes(0L)(0) != codes(1L)(0))
+    assert(codes(1L)(1) == codes(2L)(1) && codes(0L)(1) == codes(3L)(1))
+    assert(codes(1L)(1) != codes(0L)(1))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(vecs, d = 4, m = 3, k = 2, maxIters = 1)
+    }
+  }
+
   test("centroidDrift: exact per-dim mean gaps; one-slice labels drop") {
     val base = Seq(
       (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 2.0f)), // label 0: mean (2, 2)
