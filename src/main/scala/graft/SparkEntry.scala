@@ -1233,6 +1233,20 @@ object SparkEntry {
       Similarity.ivfTopK(emb, cents, q, k = 10, nprobe = 3)
     }),
 
+    "sim_pq_adc" -> ((s, dir) => {
+      // the PQ search path end to end: train 4 sub-codebooks, encode
+      // every vector to 4 codes, then answer a top-10 query from CODES
+      // alone — m LUT lookups per row summed in fixed order, no per-row
+      // vector math (the billion-scale ADC scan)
+      val emb = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrain(emb, d = 64, m = 4, k = 4, maxIters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val codes = emb.select(col("vec_id"),
+        Similarity.pqAssign(col("embedding"), cbs, sub = 16).as("codes"))
+      Similarity.pqAdcTopK(codes, cbs, q, k = 10)
+    }),
+
     // ---- Text analysis over documents --------------------------------
 
     "text_langid" -> ((s, dir) => {
@@ -2908,6 +2922,26 @@ object SparkEntry {
           |    x -> CAST(floor(x::DOUBLE * 127.0 / q_scale + 0.5) AS INT))
           |  ELSE list_transform(embedding, x -> 0) END, ',') AS q_csv
           |FROM m ORDER BY vec_id""".stripMargin,
+
+      // codes joined back to their codewords per subspace, distance
+      // recomputed with the SAME sequential double sum, four terms
+      // added in the engine's fixed left-associated order
+      "sim_pq_adc" -> {
+        val subs = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2, k = 4))
+          .mkString(",\n")
+        val dists = (0 until 4).map { j =>
+          s"""d$j AS (SELECT f.vec_id,
+             |  ${duckL2(s"(SELECT embedding[${j * 16 + 1}:${(j + 1) * 16}] FROM embeddings WHERE vec_id = 0)", "c.ce")} AS d
+             | FROM p${j}f f JOIN p${j}c2 c ON c.cid = f.code)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $subs,
+           |$dists
+           |SELECT d0.vec_id, ((d0.d + d1.d) + d2.d) + d3.d AS adist
+           |FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+           | JOIN d3 USING (vec_id)
+           |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+      },
 
       // four independent sliced replays of the SAME training recipe,
       // one per subspace, then the four assignments unioned

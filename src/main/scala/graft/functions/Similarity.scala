@@ -366,6 +366,48 @@ object Similarity {
     }: _*)
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: approximate nearest neighbors
+    * scored from CODES alone. Per query, the k distances from each
+    * query sub-slice to every sub-codeword are precomputed driver-side
+    * into m lookup tables (m·k doubles — plan literals), and a row's
+    * approximate distance is m `element_at` lookups summed in fixed
+    * subspace order — no per-row vector arithmetic at all, which is
+    * the entire point of PQ at billion-vector scale: the scan touches
+    * m small ints per row, never the floats. Plan: narrow projection +
+    * TakeOrderedAndProject.
+    *
+    * Determinism: LUT entries replicate the engine/oracle L2 recipe
+    * exactly (sequential per-dim double sum — same order as `VecL2F`
+    * and the oracle's `list_aggregate('sum')`), and the m-term score
+    * sum is a fixed left-associated expression tree, not a float
+    * reduction — so scores are bit-identical cross-engine. Ties break
+    * to the lower id. */
+  def pqAdcTopK(
+      codes: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      idCol: String = "vec_id",
+      codesCol: String = "codes"): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "need at least one codebook")
+    require(queryVec.length % m == 0,
+      s"query dim ${queryVec.length} must split into m=$m subspaces")
+    val sub = queryVec.length / m
+    val luts: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = queryVec.slice(j * sub, (j + 1) * sub)
+      cb.map(_.zip(qs).foldLeft(0.0) { case (acc, (x, q)) =>
+        val dd = x.toDouble - q.toDouble; acc + dd * dd
+      })
+    }
+    val score = luts.zipWithIndex.map { case (lut, j) =>
+      element_at(lit(lut.toArray),
+        element_at(col(codesCol), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), score.as("adist"))
+      .orderBy(col("adist").asc, col(idCol)).limit(k)
+  }
+
   /** Embedding-distribution DRIFT monitor: per-(label, dim) mean gap
     * between two corpus slices — the check a continuously-ingesting
     * embedding pipeline runs before trusting trained artifacts

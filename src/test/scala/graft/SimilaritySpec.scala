@@ -387,6 +387,36 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("pqAdcTopK: code-only scores rank the query's own cluster first " +
+    "and equal the hand LUT sums") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.1f, 9.9f, 10.0f)),
+      (1L, Seq(10.0f, 9.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, Seq(9.9f, 10.0f, 10.0f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(vecs, d = 4, m = 2, k = 2, maxIters = 3)
+    val codes = vecs.select($"vec_id",
+      Similarity.pqAssign($"embedding", cbs, sub = 2).as("codes"))
+    val q = Seq(0.0f, 0.1f, 9.9f, 10.0f) // vec 0 itself
+    val got = Similarity.pqAdcTopK(codes, cbs, q, k = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 0L) // its own cell pair wins
+    // hand recomputation: distance of each vector's codewords to q
+    val codeMap = codes.as[(Long, Seq[Long])].collect().toMap
+    def lut(j: Int, code: Long): Double = {
+      val qs = q.slice(j * 2, j * 2 + 2)
+      cbs(j)(code.toInt).zip(qs).foldLeft(0.0) { case (a, (x, qq)) =>
+        val d = x.toDouble - qq.toDouble; a + d * d
+      }
+    }
+    val want = codeMap.map { case (id, cs) =>
+      id -> (lut(0, cs(0)) + lut(1, cs(1)))
+    }
+    got.foreach { case (id, s) => assert(s == want(id), s"id $id") }
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
   test("centroidDrift: exact per-dim mean gaps; one-slice labels drop") {
     val base = Seq(
       (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 2.0f)), // label 0: mean (2, 2)
