@@ -152,6 +152,20 @@ object GraftExtensions {
           require(children.length == 2,
             "hamming_distance takes exactly 2 arguments")
           expr(Dedup.hammingDistance(col(children.head), col(children(1))))
+        }),
+      (
+        new FunctionIdentifier("z_value"),
+        info("z_value", "math_funcs",
+          "z_value(x, y, bits) - Morton/Z-order interleave of two " +
+            "non-negative integer keys reduced mod 2^bits (bits a " +
+            "literal in [1, 31]): bit k of x lands at position 2k, bit " +
+            "k of y at 2k+1 — the data-layout clustering key that lets " +
+            "file min/max statistics prune on either dimension."),
+        (children: Seq[Expression]) => {
+          require(children.length == 3, "z_value takes exactly 3 arguments")
+          val bits = litInt("z_value", "bits", children(2))
+          expr(graft.operators.Layout.zValue2(
+            col(children.head), col(children(1)), bits))
         }))
 
   /** Register into an already-built session (tests, notebooks). */

@@ -167,6 +167,17 @@ class PlanSpec extends SparkSuite {
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
+  test("z_value available from SQL, equal to the Column API; bits must " +
+    "be a literal") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT z_value(5, 2, 3) AS z").collect().head
+    assert(r.getLong(0) == 25L) // x=101, y=010 → 011001
+    val err = intercept[Exception] {
+      spark.sql("SELECT z_value(1, 2, cast(rand() * 4 as int))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("vec_quantize_int8 available from SQL, equal to the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._
