@@ -131,6 +131,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("row_number(), 5, Final"), p)
   }
 
+  test("skyline: no dominance self-join — windows plus the B-row prefix " +
+    "frame only") {
+    val p = plan("q14_skyline")
+    assert(!p.contains("CartesianProduct"), p)
+    // two level-1 window families + the level-2 prefix window
+    assert(countIn(p, "Window") >= 3, p)
+  }
+
+  test("fuzzy pairs: the bucket shape has NO join at all — one shuffle " +
+    "to variant buckets, pairs expand in-task") {
+    val p = plan("dedup_fuzzy_names")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the explode expansions
+  }
+
+  test("pq adc: code-only scoring is a narrow scan into " +
+    "TakeOrderedAndProject — zero exchanges") {
+    val p = plan("sim_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countIn(p, "Exchange") == 0, p)
+  }
+
+  test("histogram: partial aggregation before the one agg exchange") {
+    val p = plan("ev_histogram")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    assert(countIn(p, "HashAggregate") >= 2, p)
+  }
+
+  test("triangles: adjacency-intersection plan — no cartesian product, " +
+    "no wedge-row join output") {
+    val p = plan("q16_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("array_intersect"), p)
+  }
+
   test("vec_dot_f: available from SQL via extensions, codegen-capable") {
     GraftExtensions.register(spark)
     val r = spark.sql(
