@@ -307,6 +307,32 @@ object SparkEntry {
         .orderBy(col("ante"), col("cons"))
     }),
 
+    "q17_cube" -> ((s, dir) => {
+      // full CUBE over the two status dims — all four grouping sets in
+      // one pass (the Expand-based plan), the rollup twin's superset
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("l_quantity"))).as("qty_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q18_expectations" -> ((s, dir) => {
+      // the ingest-gate expectation suite: four row predicates counted
+      // in ONE scan + the key-uniqueness check, unioned into one
+      // (rule, n_rows, n_violations) report
+      val li = t(s, dir, "lineitem")
+      Stats.expectRows(li, Seq(
+          "qty_in_range" -> !col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") <= 0),
+          "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+          "shipdate_present" -> col("l_shipdate").isNull))
+        .unionByName(Stats.expectUniqueKey(li,
+          Seq("l_orderkey", "l_linenumber")))
+        .orderBy(col("rule"))
+    }),
+
     "q16_triangles" -> ((s, dir) => {
       // triangle census of the part co-occurrence graph (parts sharing
       // an order): edges from the bucket pair expansion, triangles via
@@ -1512,6 +1538,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_value_cdf" -> ((s, dir) => {
+      // per-type CDF normalization of event values: shared-rank
+      // percent_rank — exact integer ranks, one IEEE division — the
+      // outlier-robust feature scaling
+      Stats.cdfNormalize(
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            cents(col("value")).as("cents")),
+        "cents", Seq("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_chisq" -> ((s, dir) => {
       // independence diagnostics for event_type × value band: per-cell
       // observed / expected / χ² contribution — per-cell so every
@@ -2458,6 +2496,39 @@ object SparkEntry {
           | (CAST(n_pair AS DOUBLE) * CAST(n.n AS DOUBLE))
           |   / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
           |FROM pr, n ORDER BY ante, cons""".stripMargin,
+
+      "q17_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          | CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT)
+          |  AS qty_cents
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          | l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      // each rule restated as an independent WHERE count; the unique-key
+      // rule sums the sizes of over-populated key groups
+      "q18_expectations" ->
+        """SELECT 'price_positive' AS rule,
+          | (SELECT count(*) FROM lineitem) AS n_rows,
+          | (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+          |  AS n_violations
+          |UNION ALL SELECT 'qty_in_range',
+          | (SELECT count(*) FROM lineitem),
+          | (SELECT count(*) FROM lineitem
+          |   WHERE NOT (l_quantity BETWEEN 1 AND 50))
+          |UNION ALL SELECT 'returnflag_domain',
+          | (SELECT count(*) FROM lineitem),
+          | (SELECT count(*) FROM lineitem
+          |   WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+          |UNION ALL SELECT 'shipdate_present',
+          | (SELECT count(*) FROM lineitem),
+          | (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+          |UNION ALL SELECT 'unique_key',
+          | (SELECT count(*) FROM lineitem),
+          | (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM (
+          |   SELECT count(*) AS c FROM lineitem
+          |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+          |ORDER BY rule""".stripMargin,
 
       // the naive sorted three-way join — independent of the engine's
       // degree-ordered orientation
@@ -3671,6 +3742,18 @@ object SparkEntry {
           | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
           | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
           |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      // shared-rank percent_rank is (rank−1)/(n−1) on both engines —
+      // integer ranks, one IEEE division
+      "ev_value_cdf" ->
+        """SELECT event_type, event_id,
+          | CAST(round(value*100,0) AS BIGINT) AS cents,
+          | CAST(rank() OVER w AS BIGINT) AS rank,
+          | percent_rank() OVER w AS pct
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type
+          |  ORDER BY CAST(round(value*100,0) AS BIGINT))
+          |ORDER BY event_id""".stripMargin,
 
       // same marginals, same IEEE chain per cell: exact-long product →
       // one division for expected, then subtract/square/divide

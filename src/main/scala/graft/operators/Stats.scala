@@ -100,6 +100,68 @@ object Stats {
         greatest(least(col(valueCol).cast("double"), col("hi")), col("lo")))
   }
 
+  /** Per-group CDF (quantile-transform) normalization: every row gets
+    * its `rank` and `pct` = percent_rank = (rank − 1)/(n − 1) within
+    * its group's value ordering — the rank-based feature normalization
+    * that is robust to outliers where min-max scaling is not. Exactness:
+    * ranks are integers (ties SHARE a rank, so no tie-order
+    * nondeterminism), and pct is one IEEE division of exact integers —
+    * identical on any engine. Single-row groups get pct 0. One hash
+    * exchange on the group key, one sort, one window pass. */
+  def cdfNormalize(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "cdfNormalize needs at least one group column")
+    val reserved = Seq("rank", "pct")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not already carry ${reserved.mkString("/")} columns")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    df.withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("pct", percent_rank().over(w))
+  }
+
+  /** Declarative data-quality expectations, ONE scan for all of them:
+    * each rule is a (name, violation-predicate) pair, aggregated as
+    * conditional counts in a single pass (null predicates — e.g. a
+    * range check on a null value — count as non-violations, matching
+    * SQL `WHERE`), then the one summary row unpivots to a
+    * (rule, n_rows, n_violations) report frame. The
+    * expectation-suite shape every ingest pipeline gates on; a
+    * per-rule pass would scan the corpus r times. Key-uniqueness is
+    * not a row predicate — [[expectUniqueKey]] covers it. */
+  def expectRows(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectRows needs at least one rule")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, v), i) =>
+        sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("rule"), col("__n").as("n_rows"),
+          col(s"__v$i").as("n_violations"))
+      }: _*)).as("e"))
+      .select(col("e.rule"), col("e.n_rows"), col("e.n_violations"))
+  }
+
+  /** The uniqueness expectation: rows whose key appears more than once
+    * all count as violations. One map-side-combinable groupBy on the
+    * key, one tiny re-aggregation — shape-compatible with
+    * [[expectRows]]' report frame (union them for the full suite). */
+  def expectUniqueKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      name: String = "unique_key"): DataFrame = {
+    require(keyCols.nonEmpty, "expectUniqueKey needs at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n_rows"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+          .as("n_violations"))
+      .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
+  }
+
   /** Per-key time-weighted average by trapezoidal integration over the
     * (ts, value) series: Σ (vᵢ + vᵢ₊₁)·Δtᵢ / (2·ΣΔtᵢ). Both sums are
     * exact longs (order-independent), so the single closing division is

@@ -21,6 +21,34 @@ class StatsSpec extends SparkSuite {
       ("b", 20L, 30L, 1L, 25L, 25L)))
   }
 
+  test("cdfNormalize: ties share ranks; pct spans [0,1]; singleton pct 0") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L),
+      ("a", 4L, 40L), ("b", 5L, 7L)).toDF("g", "id", "v")
+    val got = Stats.cdfNormalize(df, "v", Seq("g"))
+      .select($"id", $"rank", $"pct")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, r, p) => id -> ((r, p)) }.toMap
+    assert(got(1L) == ((1L, 0.0)))
+    assert(got(2L) == ((2L, 1.0 / 3)) && got(3L) == ((2L, 1.0 / 3)))
+    assert(got(4L) == ((4L, 1.0)))
+    assert(got(5L) == ((1L, 0.0))) // singleton group
+  }
+
+  test("expectations: one-pass rule counts; uniqueness counts ALL rows " +
+    "of an over-populated key") {
+    val df = Seq((1L, 10L), (2L, -5L), (2L, 60L), (3L, 20L))
+      .toDF("k", "v")
+    val rows = Stats.expectRows(df, Seq(
+        "v_positive" -> ($"v" <= 0),
+        "v_in_range" -> !$"v".between(0, 50)))
+      .unionByName(Stats.expectUniqueKey(df, Seq("k")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("v_positive", 4L, 1L),
+      ("v_in_range", 4L, 2L), // -5 and 60
+      ("unique_key", 4L, 2L))) // both k=2 rows violate
+  }
+
   test("chiSquareCells: hand 2x2 table; contributions symmetric") {
     // rows: x:(a=30,b=10), y:(a=10,b=30); n=80; every marginal 40
     // expected = 40*40/80 = 20; contribution = (30-20)^2/20 = 5 each
