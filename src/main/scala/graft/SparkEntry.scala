@@ -1193,7 +1193,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val cbs = Similarity.pqTrain(e, d = 64, m = 4, k = 4, maxIters = 2)
       e.select(col("vec_id"),
-          posexplode(Similarity.pqAssign(col("embedding"), cbs, sub = 16))
+          posexplode(Similarity.pqAssign(col("embedding"), cbs))
             .as(Seq("subspace", "code")))
         .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
           col("code"))
@@ -1269,7 +1269,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
       val codes = emb.select(col("vec_id"),
-        Similarity.pqAssign(col("embedding"), cbs, sub = 16).as("codes"))
+        Similarity.pqAssign(col("embedding"), cbs).as("codes"))
       Similarity.pqAdcTopK(codes, cbs, q, k = 10)
     }),
 
@@ -2322,42 +2322,33 @@ object SparkEntry {
     // rebuild codebook (REAL cast = the engine's mean.toFloat; COALESCE =
     // the empty-cell-keeps-centroid rule). After kmTrainCtes(n), CTE c<n>
     // is the trained codebook (cid, ce).
-    def kmIterCtes(i: Int): String =
-      s"""a$i AS (SELECT e.vec_id, e.embedding,
-         |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
-         | FROM embeddings e CROSS JOIN c${i - 1} c GROUP BY e.vec_id, e.embedding),
-         |x$i AS (SELECT cell,
-         |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
-         |   unnest(embedding) AS x
-         | FROM a$i),
-         |s$i AS (SELECT cell, dim,
+    // ONE iteration template serves both the full-vector kmeans replays
+    // and the PQ per-subspace replays — prefix `p` namespaces the CTE
+    // chain, `base`/`vcol` pick the (vec_id, vector) source
+    def lloydIterCtes(p: String, base: String, vcol: String)(i: Int): String =
+      s"""${p}a$i AS (SELECT v.vec_id, v.$vcol,
+         |   min({'d': ${duckL2(s"v.$vcol", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+         | FROM $base v CROSS JOIN ${p}c${i - 1} c GROUP BY v.vec_id, v.$vcol),
+         |${p}x$i AS (SELECT cell,
+         |   CAST(generate_subscripts($vcol, 1) - 1 AS BIGINT) AS dim,
+         |   unnest($vcol) AS x
+         | FROM ${p}a$i),
+         |${p}s$i AS (SELECT cell, dim,
          |   CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
          |     / (count(*) * 1000000) AS mean
-         | FROM x$i GROUP BY cell, dim),
-         |c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
-         | FROM c${i - 1} p LEFT JOIN (SELECT cell AS cid,
+         | FROM ${p}x$i GROUP BY cell, dim),
+         |${p}c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+         | FROM ${p}c${i - 1} p LEFT JOIN (SELECT cell AS cid,
          |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
-         |   FROM s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+         |   FROM ${p}s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+    def kmIterCtes(i: Int): String =
+      lloydIterCtes("", "embeddings", "embedding")(i)
     // the same Lloyd's replay over a SLICED vector, prefixed p<j> so m
     // independent subspace chains coexist in one statement — the PQ
     // oracle; after pqSubCtes(j, ...), CTE p<j>f is that subspace's
     // (vec_id, subspace, code) assignment under the trained codebook
     def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int, k: Int): String = {
-      def it(i: Int): String =
-        s"""p${j}a$i AS (SELECT v.vec_id, v.sv,
-           |   min({'d': ${duckL2("v.sv", "c.ce")}, 'cid': c.cid})['cid'] AS cell
-           | FROM p${j}v v CROSS JOIN p${j}c${i - 1} c GROUP BY v.vec_id, v.sv),
-           |p${j}x$i AS (SELECT cell,
-           |   CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS dim,
-           |   unnest(sv) AS x FROM p${j}a$i),
-           |p${j}s$i AS (SELECT cell, dim,
-           |   CAST(sum(CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS DOUBLE)
-           |     / (count(*) * 1000000) AS mean
-           | FROM p${j}x$i GROUP BY cell, dim),
-           |p${j}c$i AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
-           | FROM p${j}c${i - 1} p LEFT JOIN (SELECT cell AS cid,
-           |    list(CAST(mean AS REAL) ORDER BY dim) AS ce
-           |   FROM p${j}s$i GROUP BY cell) n ON n.cid = p.cid)""".stripMargin
+      val it = lloydIterCtes(s"p$j", s"p${j}v", "sv") _
       s"""p${j}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
          |p${j}c0 AS (SELECT vec_id AS cid, sv AS ce
          |  FROM p${j}v ORDER BY vec_id LIMIT $k),

@@ -601,10 +601,12 @@ object Dedup {
         Seq("dst"))
       .select(col("src"), col("dst"),
         explode(array_intersect(col("__nu"), col("__nv"))).as("w"))
-      .select(least(col("src"), col("dst"), col("w")).as("a"),
-        greatest(col("src"), col("dst"), col("w")).as("c"),
-        (col("src") + col("dst") + col("w")).as("__s"))
-      .select(col("a"), (col("__s") - col("a") - col("c")).as("b"), col("c"))
+      // sort the three corners directly — a sum-and-subtract middle
+      // corner overflows (ANSI-throws) on ids past Long.MaxValue/3
+      .select(array_sort(array(col("src"), col("dst"), col("w"))).as("__t"))
+      .select(element_at(col("__t"), 1).as("a"),
+        element_at(col("__t"), 2).as("b"),
+        element_at(col("__t"), 3).as("c"))
   }
 
   /** Symmetrize an undirected (a, b) edge list into long-typed (src,

@@ -355,12 +355,18 @@ object Similarity {
   /** PQ ENCODING: the m nearest-sub-centroid ids for a vector, as an
     * array<long>. Codebooks are plan literals ([[ivfAssign]] per
     * slice), so encoding is a narrow codegen'd projection — the corpus
-    * never shuffles to be quantized. */
+    * never shuffles to be quantized. The subspace width is DERIVED from
+    * the codewords (a free caller parameter here was a silent-zero
+    * trap: a wrong width makes `VecL2F` null every distance and argmin
+    * degenerate to code 0 corpus-wide). */
   def pqAssign(
       vec: Column,
-      codebooks: Seq[Seq[Seq[Float]]],
-      sub: Int): Column = {
-    require(codebooks.nonEmpty, "need at least one codebook")
+      codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "need at least one non-empty codebook")
+    val sub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == sub)),
+      s"all codewords must share one subspace width (first is $sub)")
     array(codebooks.zipWithIndex.map { case (cb, j) =>
       ivfAssign(slice(vec, j * sub + 1, sub), cb).cast("long")
     }: _*)
@@ -394,6 +400,10 @@ object Similarity {
     require(queryVec.length % m == 0,
       s"query dim ${queryVec.length} must split into m=$m subspaces")
     val sub = queryVec.length / m
+    // a mismatched query dim would zip-truncate every LUT entry to a
+    // PARTIAL distance — silently wrong ranking, so fail loudly
+    require(codebooks.forall(_.forall(_.length == sub)),
+      s"codeword dims must equal the query's subspace width $sub")
     val luts: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
       val qs = queryVec.slice(j * sub, (j + 1) * sub)
       cb.map(_.zip(qs).foldLeft(0.0) { case (acc, (x, q)) =>

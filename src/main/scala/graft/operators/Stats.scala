@@ -26,6 +26,9 @@ object Stats {
       groupCols: Seq[String],
       width: Long): DataFrame = {
     require(width > 0, "width must be positive")
+    val reservedH = Seq("bin_lo", "bin_hi", "n", "v_min", "v_max")
+    require(!groupCols.exists(reservedH.contains),
+      s"group columns must not collide with ${reservedH.mkString("/")}")
     val v = col(valueCol).cast("long")
     val binLo = v - pmod(v, lit(width))
     val keys = (groupCols.map(col) :+ binLo.as("bin_lo"))
@@ -52,6 +55,10 @@ object Stats {
       df: DataFrame,
       rowCol: String,
       colCol: String): DataFrame = {
+    val reservedC =
+      Seq("observed", "row_total", "col_total", "n", "expected", "contribution")
+    require(!Seq(rowCol, colCol).exists(reservedC.contains),
+      s"dimension columns must not collide with ${reservedC.mkString("/")}")
     val cells = df.groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).as("observed"))
     val rowTot = cells.groupBy(col(rowCol))
@@ -106,8 +113,12 @@ object Stats {
     * that is robust to outliers where min-max scaling is not. Exactness:
     * ranks are integers (ties SHARE a rank, so no tie-order
     * nondeterminism), and pct is one IEEE division of exact integers —
-    * identical on any engine. Single-row groups get pct 0. One hash
-    * exchange on the group key, one sort, one window pass. */
+    * identical on any engine FOR NON-NULL values: engines disagree on
+    * null sort order (Spark windows default NULLS FIRST, DuckDB NULLS
+    * LAST), so filter nulls before calling — a null would silently
+    * shift every rank in its group cross-engine. Single-row groups get
+    * pct 0. One hash exchange on the group key, one sort, one window
+    * pass. */
   def cdfNormalize(
       df: DataFrame,
       valueCol: String,
@@ -134,9 +145,12 @@ object Stats {
       df: DataFrame,
       rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(rules.nonEmpty, "expectRows needs at least one rule")
+    // coalesce: a global agg over an EMPTY frame yields null sums, and
+    // an ingest gate must read 0 violations there, not null (the
+    // oracle's scalar COUNT subqueries yield 0)
     val aggs = count(lit(1)).as("__n") +:
       rules.zipWithIndex.map { case ((_, v), i) =>
-        sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
+        coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(s"__v$i")
       }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
@@ -156,8 +170,8 @@ object Stats {
       name: String = "unique_key"): DataFrame = {
     require(keyCols.nonEmpty, "expectUniqueKey needs at least one key column")
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
-      .agg(sum(col("__c")).as("n_rows"),
-        sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)), lit(0L))
           .as("n_violations"))
       .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
   }
@@ -179,6 +193,9 @@ object Stats {
       valueCol: String,
       idCol: String): DataFrame = {
     require(keyCols.nonEmpty, "timeWeightedAvg needs at least one key column")
+    val reservedT = Seq("__dt", "__vs", "n_segments", "num", "den", "twa")
+    require(!df.columns.exists(reservedT.contains),
+      s"input must not already carry ${reservedT.mkString("/")} columns")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(idCol))
     val dt = col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(w)

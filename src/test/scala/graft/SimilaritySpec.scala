@@ -374,7 +374,7 @@ class SimilaritySpec extends SparkSuite {
     val cbs = Similarity.pqTrain(vecs, d = 4, m = 2, k = 2, maxIters = 3)
     assert(cbs.length == 2 && cbs.forall(_.length == 2))
     val codes = vecs.select($"vec_id",
-        Similarity.pqAssign($"embedding", cbs, sub = 2).as("c"))
+        Similarity.pqAssign($"embedding", cbs).as("c"))
       .as[(Long, Seq[Long])].collect().toMap
     // within each subspace, the planted pairs share a code and the
     // cross pairs differ
@@ -397,7 +397,7 @@ class SimilaritySpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val cbs = Similarity.pqTrain(vecs, d = 4, m = 2, k = 2, maxIters = 3)
     val codes = vecs.select($"vec_id",
-      Similarity.pqAssign($"embedding", cbs, sub = 2).as("codes"))
+      Similarity.pqAssign($"embedding", cbs).as("codes"))
     val q = Seq(0.0f, 0.1f, 9.9f, 10.0f) // vec 0 itself
     val got = Similarity.pqAdcTopK(codes, cbs, q, k = 4)
       .as[(Long, Double)].collect().toSeq
