@@ -1813,6 +1813,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_stream_topk" -> ((s, dir) => {
+      // streaming leaderboard: per-user top-3 purchases maintained as
+      // bounded k-row state; Update emissions are version-tagged, the
+      // final board is each user's max-version rows (the bounded-replay
+      // reading of a stream that never closes). Oracle: the batch
+      // WindowGroupLimit top-k.
+      import org.apache.spark.sql.streaming.OutputMode
+      import org.apache.spark.sql.expressions.Window
+      Tables.configure(s)
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val purchases = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/events.parquet"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          cents(col("value")).as("cents"))
+        .as[Sessionize.TopKIn]
+      val out = Sessionize.topKStream(purchases, k = 3)
+      val tbl = Sessionize.runToMemory(s, out.toDF(), "ev_stream_topk",
+        OutputMode.Update, statePartitions = 8)
+      val w = Window.partitionBy(col("user_id"))
+      tbl.withColumn("__mv", max(col("version")).over(w))
+        .filter(col("version") === col("__mv"))
+        .select(col("user_id"), col("rank"), col("event_id"), col("cents"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
     "ev_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup validated the hard way: the staging input
       // is the events table UNIONED WITH ITSELF, and the output must
@@ -3733,6 +3760,18 @@ object SparkEntry {
           | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
           | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
           |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      // the batch top-k the leaderboard must converge to over a full
+      // replay — row_number under (cents DESC, id ASC)
+      "ev_stream_topk" ->
+        """WITH p AS (SELECT user_id, event_id,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents
+          | FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, event_id, cents,
+          |  CAST(row_number() OVER (PARTITION BY user_id
+          |    ORDER BY cents DESC, event_id) AS BIGINT) AS rank FROM p)
+          |SELECT user_id, rank, event_id, cents FROM r
+          |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
 
       // shared-rank percent_rank is (rank−1)/(n−1) on both engines —
       // integer ranks, one IEEE division
