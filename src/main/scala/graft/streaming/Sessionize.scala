@@ -164,6 +164,15 @@ object Sessionize extends Serializable {
     * makes exact streaming dedup viable indefinitely (unbounded key
     * retention is the naive version's OOM). Batch twin: `dropDuplicates`
     * over the same keys. */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      eventTimeCol: String = "ts",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class TopKIn(user_id: Long, event_id: Long, cents: Long)
   // not private: the state encoder's generated code must reach the class
   final case class TopKState(version: Long, top: List[(Long, Long)])
@@ -174,27 +183,42 @@ object Sessionize extends Serializable {
     * maintains its k best (cents desc, id asc) rows — the live-ranking
     * primitive (biggest purchases per user, hottest items per region).
     *
-    * State is PROVABLY bounded at k (cents, id) pairs per key — the
-    * merge keeps only the winners, so a key that has seen a billion
-    * rows still stores k tuples; that bound, not incremental cleverness,
-    * is what makes an indefinitely-running leaderboard viable. Each
-    * batch that touches a key re-emits the key's current top-k tagged
-    * with a monotone per-key `version`, so a consumer (or the bounded
-    * replay harness) takes each key's max-version rows as the current
-    * board — Update-mode emission without needing a watermark to close
+    * State is PROVABLY bounded at k (cents, id) pairs per key — and so
+    * is the merge's WORKING SET: each batch folds its rows one at a
+    * time into the k-slot board (O(k) memory, O(n·k) time for tiny k),
+    * never materializing or sorting the group, so a hot key receiving
+    * millions of rows in one micro-batch costs k slots, not an
+    * executor's heap. A row identical to one already on the board is a
+    * DUPLICATE DELIVERY (at-least-once upstream) and is skipped — a
+    * naive merge would let the duplicate occupy a second slot and
+    * permanently evict a legitimate entry. Each batch that touches a
+    * key re-emits the key's current top-k tagged with a monotone
+    * per-key `version`, so a consumer (or the bounded replay harness)
+    * takes each key's max-version rows as the current board —
+    * Update-mode emission without needing a watermark to close
     * anything, because a leaderboard never closes. Keys live forever by
     * contract (NoTimeout); compose a timeout the way the as-of joins do
     * if the keyspace churns. */
   def topKStream(rows: Dataset[TopKIn], k: Int): Dataset[TopKOut] = {
     require(k >= 1, "k must be at least 1")
     import rows.sparkSession.implicits._
+    // board order: cents desc, id asc; board is always sorted + distinct
+    def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def insert(board: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] =
+      if (board.contains(e)) board // duplicate delivery: no second slot
+      else {
+        val (above, below) = board.span(beats(_, e))
+        val merged = above ::: e :: below
+        if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+      }
     rows.groupByKey(_.user_id)
       .flatMapGroupsWithState[TopKState, TopKOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (key, it, state) =>
           val st = state.getOption.getOrElse(TopKState(0L, Nil))
-          val merged = (st.top ++ it.map(r => (r.cents, r.event_id)))
-            .sortBy { case (c, id) => (-c, id) }.take(k)
+          val merged = it.foldLeft(st.top)((b, r) =>
+            insert(b, (r.cents, r.event_id)))
           val v = st.version + 1
           state.update(TopKState(v, merged))
           merged.zipWithIndex.iterator.map { case ((c, id), i) =>
@@ -202,15 +226,6 @@ object Sessionize extends Serializable {
           }
       }
   }
-
-  def dedupStream(
-      events: DataFrame,
-      keys: Seq[String],
-      eventTimeCol: String = "ts",
-      delay: String = "1 hour"): DataFrame =
-    events
-      .withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-stream bounded range join: every (left, right) pair agreeing
     * on the join keys with `|left.ts − right.ts| <= rangeSeconds` —

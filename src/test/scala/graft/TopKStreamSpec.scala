@@ -43,6 +43,17 @@ class TopKStreamSpec extends SparkSuite {
       val u3 = spark.table("topk_test").as[TopKOut].collect()
         .filter(_.user_id == 3L).sortBy(_.rank).map(_.event_id).toSeq
       assert(u3 == Seq(300L, 301L))
+      // at-least-once delivery: a re-delivered board row must not eat a
+      // slot — user 4's k=2 board keeps its genuine runner-up
+      stream.addData(TopKIn(4L, 401L, 50L), TopKIn(4L, 402L, 40L))
+      query.processAllAvailable()
+      stream.addData(TopKIn(4L, 401L, 50L)) // duplicate of the leader
+      query.processAllAvailable()
+      val u4rows = spark.table("topk_test").as[TopKOut].collect()
+        .filter(_.user_id == 4L)
+      val u4 = u4rows.filter(_.version == u4rows.map(_.version).max)
+        .sortBy(_.rank).map(r => (r.rank, r.event_id, r.cents)).toSeq
+      assert(u4 == Seq((1L, 401L, 50L), (2L, 402L, 40L)))
     } finally query.stop()
   }
 }
