@@ -1586,6 +1586,19 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bin_lo"))
     }),
 
+    "ev_histogram_eqdepth" -> ((s, dir) => {
+      // equi-depth twin of ev_histogram: 8 equal-count tiles per type —
+      // informative under value skew where equi-width bins collapse;
+      // ntile over the totally ordered (cents, event_id) is
+      // deterministic and identically defined on both engines
+      Stats.equiDepthHistogram(
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            cents(col("value")).as("cents")),
+        "cents", Seq("event_type"), buckets = 8, idCol = "event_id")
+        .orderBy(col("event_type"), col("tile"))
+    }),
+
     "ev_twap" -> ((s, dir) => {
       // time-weighted average purchase value per user: trapezoidal
       // integral as exact cents·second long sums, one closing IEEE
@@ -3834,6 +3847,18 @@ object SparkEntry {
           | cents - ((cents % 2500) + 2500) % 2500 + 2500 AS bin_hi
           |FROM e GROUP BY 1, 2
           |ORDER BY event_type, bin_lo""".stripMargin,
+
+      // same ntile definition (first n mod k tiles take the extra row)
+      // over the same unique total order
+      "ev_histogram_eqdepth" ->
+        """WITH e AS (SELECT event_type, event_id,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+          |t AS (SELECT event_type, cents,
+          |  CAST(ntile(8) OVER (PARTITION BY event_type
+          |    ORDER BY cents, event_id) AS BIGINT) AS tile FROM e)
+          |SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n,
+          | min(cents) AS v_min, max(cents) AS v_max
+          |FROM t GROUP BY 1, 2 ORDER BY event_type, tile""".stripMargin,
 
       // identical lag-window trapezoid; integer-second timestamps and
       // long sums keep num/den exact, the one division is IEEE on both

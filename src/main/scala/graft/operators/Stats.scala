@@ -107,6 +107,34 @@ object Stats {
         greatest(least(col(valueCol).cast("double"), col("hi")), col("lo")))
   }
 
+  /** Per-group EQUI-DEPTH histogram: `buckets` tiles of (near-)equal
+    * row count per group, each with its count and value extent — the
+    * distribution summary that stays informative under skew, where
+    * [[histogram]]'s equi-width bins collapse into one hot bin. Tile
+    * assignment is `ntile` over the TOTALLY ordered (value, id) — both
+    * engines define ntile identically (first `n mod k` tiles get the
+    * extra row), and the unique id tiebreak makes the assignment
+    * deterministic, so counts AND extents are engine-exact. One hash
+    * exchange + sort per group, then a map-side-combinable count. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      buckets: Int,
+      idCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "equiDepthHistogram needs a group column")
+    require(buckets >= 1, "buckets must be positive")
+    val reservedE = Seq("tile", "n", "v_min", "v_max")
+    require(!groupCols.exists(reservedE.contains),
+      s"group columns must not collide with ${reservedE.mkString("/")}")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("tile", ntile(buckets).over(w).cast("long"))
+      .groupBy((groupCols.map(col) :+ col("tile")): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("v_min"), max(col(valueCol)).as("v_max"))
+  }
+
   /** Per-group CDF (quantile-transform) normalization: every row gets
     * its `rank` and `pct` = percent_rank = (rank − 1)/(n − 1) within
     * its group's value ordering — the rank-based feature normalization

@@ -21,6 +21,17 @@ class StatsSpec extends SparkSuite {
       ("b", 20L, 30L, 1L, 25L, 25L)))
   }
 
+  test("equiDepthHistogram: equal-count tiles, extras to the first tiles, " +
+    "extents cover the group") {
+    // 7 rows, 3 buckets → sizes 3,2,2; values sorted 1..7
+    val df = (1L to 7L).map(i => ("g", i, i * 10L)).toDF("g", "id", "v")
+    val got = Stats.equiDepthHistogram(df, "v", Seq("g"), 3, "id")
+      .select($"tile", $"n", $"v_min", $"v_max")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 10L, 30L), (2L, 2L, 40L, 50L),
+      (3L, 2L, 60L, 70L)))
+  }
+
   test("cdfNormalize: ties share ranks; pct spans [0,1]; singleton pct 0") {
     val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L),
       ("a", 4L, 40L), ("b", 5L, 7L)).toDF("g", "id", "v")
