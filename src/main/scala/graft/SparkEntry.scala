@@ -333,6 +333,22 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q19_communities" -> ((s, dir) => {
+      // label-propagation communities over the part co-occurrence graph
+      // (DISTINCT edges — votes are unweighted): 3 deterministic sync
+      // rounds, smallest-label tie-break, replayed round-for-round by
+      // the oracle's unrolled CTEs
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+      val edges = b.groupBy(col("bk"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(explode(Dedup.sortedPairs(col("items"), "u", "v")).as("p"))
+        .select(col("p.u"), col("p.v")).distinct()
+      Dedup.labelPropagation(edges, rounds = 3, aCol = "u", bCol = "v")
+        .select(col("node").as("p_partkey"), col("community"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q16_triangles" -> ((s, dir) => {
       // triangle census of the part co-occurrence graph (parts sharing
       // an order): edges from the bucket pair expansion, triangles via
@@ -2560,6 +2576,28 @@ object SparkEntry {
           |   SELECT count(*) AS c FROM lineitem
           |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
           |ORDER BY rule""".stripMargin,
+
+      // the same three sync rounds unrolled: count votes per (node,
+      // label), argmax via the same lexical min(-count, label) struct
+      "q19_communities" -> {
+        val iter = (1 to 3).map { i =>
+          s"""cnt$i AS (SELECT e.dst AS node, l.lbl,
+             |  CAST(count(*) AS BIGINT) AS n
+             | FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+             |l$i AS (SELECT node, min({'a': -n, 'b': lbl})['b'] AS lbl
+             | FROM cnt$i GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+           |  FROM lineitem),
+           |und AS (SELECT DISTINCT a.item AS u, c.item AS v
+           |  FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item),
+           |e AS (SELECT u AS src, v AS dst FROM und
+           |  UNION ALL SELECT v, u FROM und),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+           |$iter
+           |SELECT node AS p_partkey, CAST(lbl AS BIGINT) AS community
+           |FROM l3 ORDER BY node""".stripMargin
+      },
 
       // the naive sorted three-way join — independent of the engine's
       // degree-ordered orientation

@@ -548,6 +548,44 @@ object Dedup {
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al., 2007): every node starts as its own label; each round, every
+    * node adopts the most frequent label among its neighbors (ties to
+    * the SMALLEST label — the determinism rule that makes a fixed-round
+    * run replayable, where the classic randomized tie-break is not).
+    * Communities complement [[connectedComponents]] (which only finds
+    * reachability) by splitting a connected graph along its dense
+    * regions.
+    *
+    * Edges must be DISTINCT undirected pairs — duplicate edges would
+    * double-weight a neighbor's vote. Per round: one join of the
+    * (node, label) frame against the symmetrized edge list, one
+    * map-side-combinable (node, label) count, one argmax via lexical
+    * `min(struct(-count, label))` — all exact longs. The label frame
+    * re-materializes per round ([[Materialize]]) to cap lineage, the CC
+    * / pagerank loop shape. Fixed `rounds` keeps the replay closed-form;
+    * LPA plateaus in a handful of rounds on community-structured
+    * graphs. Output: (node, community) after `rounds` rounds. */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val symM = symmetrizedEdges(edges, aCol, bCol)
+    var labels = Materialize(symM.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val counts = symM
+        .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("n"))
+      labels = Materialize(counts.groupBy(col("dst"))
+        .agg(min(struct((-col("n")).as("negn"), col("lbl").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("lbl")))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Triangle enumeration by degree-ordered orientation — the
     * third graph primitive (after [[connectedComponents]] /
     * [[pagerank]]): triangle density separates tight duplicate cliques
