@@ -2278,6 +2278,20 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_features_jpeg" -> ((s, dir) => {
+      // REAL JPEG decode path: closed-form JFIF headers per doc (odd ids
+      // progressive SOF2, even baseline SOF0, both behind an APP0 the
+      // scan must walk by declared length), dims recovered by JpegCodec's
+      // marker scan; every 13th payload truncated inside APP0 exercises
+      // the routed-error policy (the scan runs out without a SOF)
+      Multimodal.extractFeatures(
+        Multimodal.syntheticJpegAssetsCorrupted(par(s)(t(s, dir, "documents"))),
+        Multimodal.JpegCodec, routeErrors = true)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("decode_error"))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -4144,6 +4158,21 @@ object SparkEntry {
           |  ELSE CAST(16 + (doc_id * 7) % 1024 AS INT) END AS height,
           | CASE WHEN doc_id % 13 = 0
           |  THEN 'requirement failed: not a BMP payload (missing BM magic or truncated header)'
+          |  ELSE NULL END AS decode_error
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // JPEG dims are closed-form in doc_id (syntheticJpegAssets); the
+      // corrupted 13th payloads end inside APP0, so the marker scan
+      // throws its no-SOF IllegalArgumentException (thrown directly —
+      // no "requirement failed: " prefix, unlike the BMP require path)
+      "mm_features_jpeg" ->
+        """SELECT doc_id AS asset_id,
+          | CASE WHEN doc_id % 13 = 0 THEN NULL
+          |  ELSE CAST(16 + doc_id % 1024 AS INT) END AS width,
+          | CASE WHEN doc_id % 13 = 0 THEN NULL
+          |  ELSE CAST(16 + (doc_id * 11) % 1024 AS INT) END AS height,
+          | CASE WHEN doc_id % 13 = 0
+          |  THEN 'truncated JPEG: no SOF marker found'
           |  ELSE NULL END AS decode_error
           |FROM documents ORDER BY asset_id""".stripMargin,
 

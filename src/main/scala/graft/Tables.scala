@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loader: one parquet per table under the scale-factor dir
   * (TESTDATA.md). Plain `spark.read.parquet` so Catalyst gets pushdown,
@@ -25,10 +25,26 @@ object Tables {
     // keyed on the events table: only ITS ts is TIMESTAMP(NANOS)-read-as-
     // long; a future table with a legitimate epoch-long ts must not be
     // silently divided by 1000
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) if name == "events" =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df
+    val nanosFixed =
+      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) if name == "events" =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
+    // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    // TIMESTAMP_NTZ under Spark 4's NTZ inference — and instant
+    // functions (`unix_micros`, `window`, watermarks) reject NTZ
+    // outright, so a regenerated testdata file silently switching
+    // annotation took out every temporal query. Sessions here run with
+    // `spark.sql.session.timeZone=UTC`, so casting NTZ → TIMESTAMP
+    // reinterprets the wall clock as UTC — the exact instant other
+    // engines (and the DuckDB oracle's epoch_us) assign the same file.
+    nanosFixed.schema.fields.foldLeft(nanosFixed) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 }

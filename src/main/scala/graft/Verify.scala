@@ -27,23 +27,46 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Run queries CONCURRENTLY on a small thread pool. At sf0.01 each
+    // query is dominated by per-job scheduling overhead, not compute, so
+    // a serial sweep of 130+ queries wastes most of local[32]; round 11's
+    // correctness run was cut off by the driver's wall-clock budget with
+    // 21 queries still unwritten — silently shrinking the gate. Spark's
+    // scheduler is thread-safe (concurrent actions from one session is
+    // the documented multi-job pattern); outputs go to distinct dirs, so
+    // the only shared state is the session itself. Each query runs in
+    // its own `newSession()` (shared SparkContext, isolated SQLConf +
+    // catalog): `Sessionize.runToMemory` pins shuffle partitions via a
+    // set/restore around `start()`, which would corrupt a SHARED session
+    // under interleaving, and memory-sink tables register per-catalog.
+    // Names are sorted so the submission order is deterministic;
+    // per-query failures are isolated and reported, never fatal.
+    val toRun = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
-      // delete any stale output first: a failing query must surface as
-      // MISSING to the compare, not as the previous run's (passing) rows
-      val target = new java.io.File(s"$outDir/$name")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (target.exists()) rm(target)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .sortBy(_._1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = toRun.map { case (name, fn) =>
+      scala.concurrent.Future {
+        // delete any stale output first: a failing query must surface as
+        // MISSING to the compare, not as the previous run's (passing) rows
+        val target = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (target.exists()) rm(target)
+        try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    futures.foreach(f =>
+      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -51,6 +51,10 @@ object Multimodal {
     leInt(b, off) & 0xffffffffL
   private def leShort(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  // JPEG segment lengths and SOF dims are BIG-endian, unlike the RIFF
+  // family — one shared widened read so no sign surprises past 0x7fff
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
   private def magic(b: Array[Byte], off: Int, s: String): Boolean =
     s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
 
@@ -87,6 +91,117 @@ object Multimodal {
     }
     def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String] =
       (0 until n).map(i => md5hex(payload ++ Array(i.toByte)))
+  }
+
+  /** REAL codec for the image format a crawled corpus actually contains:
+    * JPEG. Dimensions come from a marker SCAN, not a pixel decode — the
+    * JPEG stream is a sequence of `0xFF`-prefixed segments, each (except
+    * the standalone markers) carrying a big-endian 16-bit length, and
+    * the frame header (SOF0 baseline / SOF2 progressive / any other
+    * SOFn) holds height and width as big-endian 16-bit fields at payload
+    * offsets 3 and 5. The scan walks segment-to-segment from SOI,
+    * skipping APPn/DQT/DHT/COM by their declared lengths, and stops at
+    * the first SOF — it never touches entropy-coded data, so it costs
+    * O(header) bytes per asset regardless of image size, exactly what a
+    * 100-TB dimension-profiling pass wants. `0xC4`/`0xC8`/`0xCC` look
+    * like SOF codes but are DHT/JPG/DAC and are skipped as ordinary
+    * segments. Malformed payloads throw; callers pick skip-vs-fail via
+    * [[extractFeatures]]'s `routeErrors`, the BMP-path policy. */
+  object JpegCodec extends MediaCodec {
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      require(payload.length >= 4 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+        "not a JPEG payload (missing SOI marker)")
+      var pos = 2
+      while (pos + 3 < payload.length) {
+        require((payload(pos) & 0xff) == 0xff,
+          "JPEG marker desync (segment length lied)")
+        // consecutive 0xff bytes are legal fill before any marker
+        var p = pos
+        while (p + 2 < payload.length && (payload(p + 1) & 0xff) == 0xff)
+          p += 1
+        val marker = payload(p + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOF payload: [len:2][precision:1][height:2][width:2][...]
+          require(p + 9 <= payload.length, "truncated JPEG SOF segment")
+          val h = beShort(payload, p + 5)
+          val w = beShort(payload, p + 7)
+          require(w > 0 && h > 0, "degenerate JPEG frame (zero dimension)")
+          return (w, h)
+        }
+        require(marker != 0xda && marker != 0xd9,
+          "JPEG carries no SOF before SOS/EOI")
+        require(p + 4 <= payload.length, "truncated JPEG segment header")
+        val len = beShort(payload, p + 2)
+        require(len >= 2, "corrupt JPEG segment length")
+        pos = p + 2 + len
+      }
+      throw new IllegalArgumentException("truncated JPEG: no SOF marker found")
+    }
+    def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String] =
+      (0 until n).map(i => md5hex(payload ++ Array(i.toByte)))
+  }
+
+  /** A minimal canonical JFIF header (33 bytes): SOI, a 16-byte APP0
+    * JFIF segment (forcing the scan to actually walk a segment by its
+    * declared length), and a one-component SOF0 — or SOF2 for
+    * `progressive = true`, so both frame-marker variants are exercised.
+    * Header-only consumers like [[JpegCodec]] never reach entropy-coded
+    * data, the [[bmpBytes]]/[[wavBytes]] trick. */
+  def jpegBytes(width: Int, height: Int,
+      progressive: Boolean = false): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      "JPEG dims are unsigned 16-bit")
+    val buf = java.nio.ByteBuffer.allocate(33)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+      .put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte) // density units
+      .putShort(1).putShort(1) // x/y density
+      .put(0.toByte).put(0.toByte) // no thumbnail
+      .put(0xff.toByte) // SOF marker
+      .put(if (progressive) 0xc2.toByte else 0xc0.toByte)
+      .putShort(11) // SOF len: 8 + 3 per component
+      .put(8.toByte) // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte) // one component
+      .put(1.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1, quant 0
+    buf.array()
+  }
+
+  /** Wrap a doc corpus as REAL JPEG assets with closed-form dimensions
+    * (width = 16 + id mod 1024, height = 16 + 11·id mod 1024; odd ids
+    * progressive SOF2, even baseline SOF0) — the JPEG twin of
+    * [[syntheticBmpAssets]]: the engine must recover the dims by an
+    * actual marker scan while the oracle computes them arithmetically. */
+  def syntheticJpegAssets(docs: DataFrame): DataFrame = {
+    val mk = udf((id: Long) =>
+      jpegBytes((16 + id % 1024).toInt, (16 + (id * 11) % 1024).toInt,
+        progressive = id % 2 == 1))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/jpeg").as("media_type"))
+  }
+
+  /** [[syntheticJpegAssets]] with planted corruption: every 13th asset
+    * truncated to its first 10 bytes (inside the APP0 segment, so the
+    * marker scan runs off the end without finding a SOF), the rest the
+    * same valid closed-form JFIFs — the JPEG twin of
+    * [[syntheticBmpAssetsCorrupted]] for the `routeErrors` policy. */
+  def syntheticJpegAssetsCorrupted(docs: DataFrame): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val full = jpegBytes((16 + id % 1024).toInt,
+        (16 + (id * 11) % 1024).toInt, progressive = id % 2 == 1)
+      if (id % 13 == 0) full.take(10) else full
+    }
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/jpeg").as("media_type"))
   }
 
   /** REAL codec for one pure-JVM public AUDIO format: canonical PCM WAV.

@@ -22,15 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** The Morton interleave of two non-negative integer keys: bit k of
-    * `x` lands at position 2k, bit k of `y` at 2k+1. Keys are reduced
-    * mod 2^bits first (callers size `bits` to the key domain — the mask
-    * only guards against overflow, it is not a hash). */
+  /** The Morton interleave of two integer keys: bit k of `x` lands at
+    * position 2k, bit k of `y` at 2k+1. Keys are reduced into
+    * [0, 2^bits) first via `pmod` — NOT `%`, whose Spark semantics keep
+    * the sign of the dividend: a negative key under `%` would stay
+    * negative and the shift/mask terms would then interleave garbage
+    * silently. With `pmod` a negative key wraps into the valid range,
+    * so ordering across the sign boundary is modular rather than
+    * monotone — callers with genuinely signed domains should size
+    * `bits` past the magnitude and pre-offset if they need monotone
+    * order. (Callers size `bits` to the key domain — the reduction only
+    * guards against overflow, it is not a hash.) */
   def zValue2(x: Column, y: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val mask = 1L << bits
-    val xm = x.cast("long") % mask
-    val ym = y.cast("long") % mask
+    val xm = pmod(x.cast("long"), lit(mask))
+    val ym = pmod(y.cast("long"), lit(mask))
     (0 until bits).map { k =>
       shiftleft(shiftright(xm, k).bitwiseAND(lit(1L)), 2 * k) +
         shiftleft(shiftright(ym, k).bitwiseAND(lit(1L)), 2 * k + 1)

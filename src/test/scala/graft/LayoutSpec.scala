@@ -25,6 +25,27 @@ class LayoutSpec extends SparkSuite {
     assert(got((5L, 2L)) == 25L) // x=101, y=010 → 011001
   }
 
+  test("zValue2: negative keys wrap into [0, 2^bits) via pmod — never " +
+    "interleave a negative residue") {
+    // -1 mod 8 = 7, -3 mod 8 = 5, -8 mod 8 = 0: each negative key must
+    // produce exactly the z-value of its wrapped non-negative twin.
+    val pts = Seq((-1L, -1L), (-3L, 2L), (-8L, 3L), (5L, -6L))
+      .toDF("x", "y")
+    val got = pts.withColumn("z", Layout.zValue2($"x", $"y", bits = 3))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    val twin = Seq((7L, 7L), (5L, 2L), (0L, 3L), (5L, 2L)).toDF("x", "y")
+      .withColumn("z", Layout.zValue2($"x", $"y", bits = 3))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    assert(got((-1L, -1L)) == twin((7L, 7L)))
+    assert(got((-3L, 2L)) == twin((5L, 2L)))
+    assert(got((-8L, 3L)) == twin((0L, 3L)))
+    assert(got((5L, -6L)) == twin((5L, 2L)))
+    // and every emitted z stays in the valid [0, 4^bits) range
+    assert(got.values.forall(z => z >= 0L && z < 64L))
+  }
+
   test("zValue2: quadrant locality — every quadrant owns one contiguous, " +
     "disjoint zkey range (what file min/max stats prune on)") {
     val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
