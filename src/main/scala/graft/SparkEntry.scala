@@ -1800,9 +1800,7 @@ object SparkEntry {
       // the explicit broadcast keeps the stream from re-shuffling every
       // batch. Oracle = the plain batch left join.
       import org.apache.spark.sql.streaming.OutputMode
-      Tables.configure(s)
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
+      val stream = Tables.streamEvents(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -1830,11 +1828,8 @@ object SparkEntry {
             cents(col("value")).as("cents"))
       val thr = Anomaly.madThresholds(
         purchases(t(s, dir, "events")), "cents", Seq("user_id"))
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
       val flagged = Anomaly.applyMadThresholds(
-        purchases(s.readStream.schema(raw)
-          .parquet(streamGlob(s"$dir/events.parquet"))),
-        thr, "cents")
+        purchases(Tables.streamEvents(s, dir)), thr, "cents")
       Sessionize.runToMemory(s, flagged, "ev_stream_anomaly",
         OutputMode.Append, statePartitions = 8)
         .select(col("user_id"), col("event_id"), col("cents"),
@@ -1850,11 +1845,8 @@ object SparkEntry {
       // WindowGroupLimit top-k.
       import org.apache.spark.sql.streaming.OutputMode
       import org.apache.spark.sql.expressions.Window
-      Tables.configure(s)
       import s.implicits._
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val purchases = s.readStream.schema(raw)
-        .parquet(streamGlob(s"$dir/events.parquet"))
+      val purchases = Tables.streamEvents(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
           cents(col("value")).as("cents"))
@@ -1900,10 +1892,7 @@ object SparkEntry {
       // a watermark — per-window emit-once plus state expiry — which
       // the operator supports unchanged (ev_stream_sessionize runs it).
       import org.apache.spark.sql.streaming.OutputMode
-      Tables.configure(s) // TIMESTAMP(NANOS) needs nanosAsLong before inference
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.streamEvents(s, dir)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -1921,10 +1910,7 @@ object SparkEntry {
       // arrived (no sentinel); watermark + two-sided bound expire
       // buffered state. Oracle = the plain theta join, pair-level.
       import org.apache.spark.sql.streaming.OutputMode
-      Tables.configure(s)
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      def stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def stream = Tables.streamEvents(s, dir)
       val signups = stream.filter(col("event_type") === "signup")
         .select(col("event_id").as("s_event_id"), col("user_id"),
           col("ts").as("s_ts"))
@@ -2132,10 +2118,7 @@ object SparkEntry {
       // aggregation in Append mode, where the watermark emits each
       // closed cell exactly once and expires its state.
       import org.apache.spark.sql.streaming.OutputMode
-      Tables.configure(s)
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(raw).parquet(streamGlob(s"$dir/events.parquet"))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.streamEvents(s, dir)
       val agg = stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("user_id"))

@@ -21,24 +21,46 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // keyed on the events table: only ITS ts is TIMESTAMP(NANOS)-read-as-
-    // long; a future table with a legitimate epoch-long ts must not be
-    // silently divided by 1000
+    normalize(spark.read.parquet(s"$sfDir/$name.parquet"),
+      isEvents = name == "events")
+  }
+
+  /** Streaming twin of the batch loader for the `events` table: the SAME
+    * Long/NTZ `ts` dispatch applied to a file-source stream, so a testdata
+    * regeneration that switches the parquet timestamp annotation can never
+    * break the batch and streaming readers differently (r12 regression:
+    * the NTZ fix landed in the batch path only and three `ev_stream_*`
+    * queries kept the stale nanos division). The file source accepts only
+    * directories or globs; wrapping the final character in a
+    * one-character class makes the single-file path its own glob. */
+  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path).schema
+    val glob = path.init + "[" + path.last + "]"
+    normalize(spark.readStream.schema(raw).parquet(glob), isEvents = true)
+  }
+
+  /** Shared batch/stream timestamp normalization (see object scaladoc).
+    * Keyed on the events table: only ITS `ts` is TIMESTAMP(NANOS)-read-
+    * as-long; a future table with a legitimate epoch-long ts must not be
+    * silently divided by 1000.
+    *
+    * Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference — and instant
+    * functions (`unix_micros`, `window`, watermarks) reject NTZ
+    * outright, so a regenerated testdata file silently switching
+    * annotation took out every temporal query. Sessions here run with
+    * `spark.sql.session.timeZone=UTC`, so casting NTZ → TIMESTAMP
+    * reinterprets the wall clock as UTC — the exact instant other
+    * engines (and the DuckDB oracle's epoch_us) assign the same file. */
+  private def normalize(df: DataFrame, isEvents: Boolean): DataFrame = {
     val nanosFixed =
       df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) if name == "events" =>
+        case Some(_) if isEvents =>
           df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case _ => df
       }
-    // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
-    // TIMESTAMP_NTZ under Spark 4's NTZ inference — and instant
-    // functions (`unix_micros`, `window`, watermarks) reject NTZ
-    // outright, so a regenerated testdata file silently switching
-    // annotation took out every temporal query. Sessions here run with
-    // `spark.sql.session.timeZone=UTC`, so casting NTZ → TIMESTAMP
-    // reinterprets the wall clock as UTC — the exact instant other
-    // engines (and the DuckDB oracle's epoch_us) assign the same file.
     nanosFixed.schema.fields.foldLeft(nanosFixed) { (d, f) =>
       f.dataType match {
         case TimestampNTZType =>

@@ -49,17 +49,23 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val futures = toRun.map { case (name, fn) =>
       scala.concurrent.Future {
-        // delete any stale output first: a failing query must surface as
-        // MISSING to the compare, not as the previous run's (passing) rows
-        val target = new java.io.File(s"$outDir/$name")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        if (target.exists()) rm(target)
-        try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        // the WHOLE body sits in the try: a failure anywhere (including
+        // the stale-output delete — listFiles() can return null) must
+        // print a [verify] line, not fail the Future silently (Await
+        // .ready discards failures, so the query would surface as
+        // MISSING with no stderr explaining why)
+        try {
+          // delete any stale output first: a failing query must surface
+          // as MISSING to the compare, not as the previous run's rows
+          val target = new java.io.File(s"$outDir/$name")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          if (target.exists()) rm(target)
+          fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
