@@ -881,6 +881,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_sample_weighted" -> ((s, dir) => {
+      // importance sampling inside a row budget: keep probability ∝
+      // document length (score = char count, an exact long), expected
+      // kept ≈ 200 of 500 docs biased long. One total + one-row
+      // broadcast + narrow hash gate — no corpus shuffle.
+      val docs = par(s)(t(s, dir, "documents"))
+        .withColumn("score", length(col("text")).cast("long"))
+      TextAnalysis.sampleWeighted(docs, "score", targetRows = 200)
+        .select(col("doc_id"), col("score"), col("p"), col("u"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // PII redaction + per-category audit counts. The corpus text is
       // PII-free synthetic prose, so the query deterministically plants
@@ -1248,13 +1260,21 @@ object SparkEntry {
     }),
 
     "sim_ivf_topk_trained" -> ((s, dir) => {
-      // IVF probe against the trained codebook — same ivfTopK plan, the
-      // codebook literals just come from kmeansTrain
+      // IVF probe against the trained codebook — same ivfTopK plan, but
+      // the codebook takes the full production path: trained once,
+      // persisted to parquet, RELOADED from disk for the probe (the
+      // train-weekly / encode-daily split). FloatType round-trips
+      // bit-exactly, so the result is identical to probing the
+      // in-memory codebook — which is exactly what the shared oracle
+      // checks.
       val emb = t(s, dir, "embeddings")
       val cb = Similarity.kmeansTrain(emb, k = 8, maxIters = 2)
+      val artifact = "target/codebook_ivf"
+      Similarity.saveCodebook(s, cb, artifact)
+      val loaded = Similarity.loadCodebook(s, artifact)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
-      Similarity.ivfTopK(emb, cb, q, k = 10, nprobe = 3)
+      Similarity.ivfTopK(emb, loaded, q, k = 10, nprobe = 3)
     }),
 
     "sim_knn_join" -> ((s, dir) => {
@@ -3273,6 +3293,28 @@ object SparkEntry {
            | CAST($hex8 AS DOUBLE) / 4294967296.0 AS u, w.weight
            |FROM d JOIN w USING (source)
            |WHERE CAST($hex8 AS DOUBLE) / 4294967296.0 < w.weight
+           |ORDER BY d.doc_id""".stripMargin
+      },
+
+      // same md5-fraction gate construction as text_mixture_apply; p is
+      // one IEEE division of exact BIGINTs on both engines
+      "text_sample_weighted" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH t AS (SELECT CAST(sum(CAST(len(text) AS BIGINT)) AS BIGINT)
+           |  AS total FROM documents),
+           |d AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS score,
+           |  substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+           | FROM documents)
+           |SELECT d.doc_id, d.score,
+           | least(1.0, CAST(d.score * 200 AS DOUBLE)
+           |   / CAST(t.total AS DOUBLE)) AS p,
+           | CAST($hex8 AS DOUBLE) / 4294967296.0 AS u
+           |FROM d, t
+           |WHERE CAST($hex8 AS DOUBLE) / 4294967296.0
+           |  < least(1.0, CAST(d.score * 200 AS DOUBLE)
+           |      / CAST(t.total AS DOUBLE))
            |ORDER BY d.doc_id""".stripMargin
       },
 

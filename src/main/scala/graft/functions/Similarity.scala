@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (strictly `array<float>` —
@@ -316,6 +316,78 @@ object Similarity {
       converged = shift <= tol
     }
     cents
+  }
+
+  /** Persist trained codebooks — flat ([[kmeansTrain]], wrapped as one
+    * book) or PQ ([[pqTrain]], one book per subspace) — as a parquet
+    * table of (book, cell, dim, val) rows, `val` kept as FLOAT so the
+    * disk round-trip is bit-exact and a reloaded codebook reproduces
+    * every downstream search ([[ivfTopK]], [[pqAdcTopK]],
+    * [[semanticDedup]]) bit-for-bit. This is the train-weekly /
+    * encode-daily split a production pipeline needs: the trainer runs
+    * once and writes k×m×d floats; every encode/search job loads the
+    * artifact instead of re-scanning the corpus to retrain. The write is
+    * a single file on purpose — the artifact is a model, not data. */
+  def saveCodebooks(
+      spark: SparkSession,
+      codebooks: Seq[Seq[Seq[Float]]],
+      path: String): Unit = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "refusing to persist an empty codebook")
+    import spark.implicits._
+    val rows = for {
+      (cb, b) <- codebooks.zipWithIndex
+      (cent, c) <- cb.zipWithIndex
+      (v, d) <- cent.zipWithIndex
+    } yield (b, c, d, v)
+    rows.toDF("book", "cell", "dim", "val")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load [[saveCodebooks]] output. Rebuilds nesting from the explicit
+    * (book, cell, dim) indexes — never from row order, which parquet
+    * does not promise — and fails loudly on a sparse/corrupt artifact
+    * (a missing dim would silently shift every later coordinate left
+    * and poison all downstream distances). */
+  def loadCodebooks(
+      spark: SparkSession,
+      path: String): Seq[Seq[Seq[Float]]] = {
+    // toSeq: index-vs-Range equality below needs Seq semantics (an
+    // Array's == is reference equality and would fail every check)
+    val rows = spark.read.parquet(path)
+      .select(col("book"), col("cell"), col("dim"), col("val"))
+      .collect().toSeq
+    require(rows.nonEmpty, s"no codebook rows at $path")
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    require(books.map(_._1) == books.indices,
+      s"non-contiguous book ids at $path: ${books.map(_._1)}")
+    books.map { case (b, bs) =>
+      val cells = bs.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      require(cells.map(_._1) == cells.indices,
+        s"book $b: non-contiguous cell ids at $path")
+      cells.map { case (c, cs) =>
+        val dims = cs.sortBy(_.getInt(2))
+        require(dims.map(_.getInt(2)) == dims.indices,
+          s"book $b cell $c: missing/duplicate dims at $path")
+        dims.map(_.getFloat(3)).toSeq
+      }
+    }
+  }
+
+  /** Flat-codebook convenience over [[saveCodebooks]]: one book. */
+  def saveCodebook(
+      spark: SparkSession,
+      centroids: Seq[Seq[Float]],
+      path: String): Unit =
+    saveCodebooks(spark, Seq(centroids), path)
+
+  /** Flat-codebook convenience over [[loadCodebooks]]. */
+  def loadCodebook(spark: SparkSession, path: String): Seq[Seq[Float]] = {
+    val books = loadCodebooks(spark, path)
+    require(books.length == 1,
+      s"expected one flat codebook at $path, found ${books.length} books")
+    books.head
   }
 
   /** Product-quantization TRAINING: split the d-dim vector space into

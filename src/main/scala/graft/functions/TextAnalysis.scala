@@ -482,6 +482,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Weighted (importance) sampling: keep a row with probability
+    * proportional to its score — `p = min(1, target·sᵢ/Σs)` — so the
+    * expected kept count is ≈ `target` rows biased toward high scores.
+    * This is the data-mixing knob beside [[sourceMixture]]: that one
+    * levels SOURCES, this one upweights individual documents (quality
+    * scores, dedup survivor counts, length) inside a budget.
+    *
+    * Deterministic by the same salted-hash gate as the mixture apply
+    * path: keep iff `u < p` where u = first 8 md5 hex digits of
+    * (salt:id) / 2³², rerun-stable and repartition-proof where `rand()`
+    * is neither. Scores must be NON-NEGATIVE integers (cast to long):
+    * the score sum stays exact, `p` is one IEEE division of exact
+    * longs — bit-deterministic cross-engine — and a zero score means
+    * never kept. Shape at scale: one map-side-combinable total + a
+    * one-row broadcast back over the corpus; no shuffle of the rows
+    * themselves, the gate is a narrow codegen'd filter.
+    *
+    * Output: the input rows that survive, plus (`p`, `u`) for
+    * auditability. Expected kept ≤ target (clipped docs with
+    * `target·s > Σs` keep probability 1 and "spend" less than their
+    * share). */
+  def sampleWeighted(
+      df: DataFrame,
+      scoreCol: String,
+      targetRows: Long,
+      idCol: String = "doc_id",
+      salt: String = "wsamp"): DataFrame = {
+    require(targetRows > 0, "target sample size must be positive")
+    val totals = df.agg(sum(col(scoreCol).cast("long")).as("__total"))
+    val u = conv(substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    df.crossJoin(broadcast(totals))
+      .withColumn("p", least(lit(1.0),
+        (col(scoreCol).cast("long") * targetRows).cast("double") /
+          col("__total").cast("double")))
+      .withColumn("u", u)
+      .filter(col("u") < col("p"))
+      .drop("__total")
+  }
+
   /** Out-of-vocabulary rate per doc against the corpus's learned top-K
     * vocabulary — the language-model-flavored quality signal (high OOV =
     * gibberish, boilerplate markup, or wrong-language text) that needs no

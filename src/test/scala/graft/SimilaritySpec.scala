@@ -319,6 +319,44 @@ class SimilaritySpec extends SparkSuite {
     assert(full == exact)
   }
 
+  test("codebook persistence: parquet round-trip is bit-exact, searches identical") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-codebooks")
+
+    // flat (kmeans) codebook: save → load must be structurally equal
+    val flat = Similarity.kmeansTrain(corpus, k = 8, maxIters = 2)
+    val flatPath = dir.resolve("flat").toString
+    Similarity.saveCodebook(spark, flat, flatPath)
+    assert(Similarity.loadCodebook(spark, flatPath) == flat,
+      "flat codebook changed across the parquet round-trip")
+
+    // and the reloaded codebook reproduces the search bit-for-bit
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"embedding").first().getSeq[Float](0)
+    val direct = Similarity.ivfTopK(corpus, flat, q, k = 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val reloaded = Similarity.ivfTopK(corpus,
+      Similarity.loadCodebook(spark, flatPath), q, k = 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(direct == reloaded)
+
+    // PQ (multi-book) codebooks round-trip through the same artifact shape
+    val pq = Similarity.pqTrain(corpus, d = 64, m = 4, k = 4, maxIters = 2)
+    val pqPath = dir.resolve("pq").toString
+    Similarity.saveCodebooks(spark, pq, pqPath)
+    assert(Similarity.loadCodebooks(spark, pqPath) == pq,
+      "PQ codebooks changed across the parquet round-trip")
+
+    // a flat load of a multi-book artifact must refuse, not mis-merge
+    intercept[IllegalArgumentException] {
+      Similarity.loadCodebook(spark, pqPath)
+    }
+    // empty codebooks are refused at save time
+    intercept[IllegalArgumentException] {
+      Similarity.saveCodebooks(spark, Seq.empty, dir.resolve("x").toString)
+    }
+  }
+
   test("cosineNearDupPairsLsh: equals brute force restricted to hamming<=1 buckets") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val lsh = Similarity.cosineNearDupPairsLsh(corpus, threshold = 0.3)

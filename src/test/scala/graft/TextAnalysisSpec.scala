@@ -336,6 +336,32 @@ class TextAnalysisSpec extends SparkSuite {
       s"exact-k sample must plan as TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("sampleWeighted: keep probability proportional to score, " +
+    "deterministic, zero-score never kept, clip at 1") {
+    // scores 1..500: p_i = min(1, 200·i/Σ) — expected kept ≈ Σ min(1, ·)
+    val docs = (1L to 500L).map(i => (i, i)).toDF("doc_id", "score")
+      .withColumn("score", $"score".cast("long"))
+    val kept = TextAnalysis.sampleWeighted(docs, "score", targetRows = 200)
+    val rows = kept.select($"doc_id", $"p").as[(Long, Double)].collect()
+    val total = (1L to 500L).sum.toDouble
+    val expected = (1L to 500L).map(i => math.min(1.0, 200 * i / total)).sum
+    assert(math.abs(rows.length - expected) < expected * 0.25,
+      s"kept ${rows.length}, expected ≈ $expected")
+    // rerun-stable
+    val again = TextAnalysis.sampleWeighted(docs, "score", targetRows = 200)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == again)
+    // the sample is biased toward high scores: kept mean above corpus mean
+    assert(rows.map(_._1).sum.toDouble / rows.length > 250.5)
+    // p is clipped at 1 and zero scores can never be kept
+    assert(rows.forall(_._2 <= 1.0))
+    val withZero = docs.withColumn("score",
+      when($"doc_id" <= 100, lit(0L)).otherwise($"score"))
+    val keptZero = TextAnalysis.sampleWeighted(withZero, "score", 200)
+      .select($"doc_id").as[Long].collect()
+    assert(keptZero.forall(_ > 100), "zero-score rows must never be kept")
+  }
+
   test("vocabProfile: approx (HLL++) distinct-term counts land within the " +
     "documented error bound of the exact counts at sf0.1") {
     val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
