@@ -1671,6 +1671,29 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_agg_incremental_stats" -> ((s, dir) => {
+      // the moment-sketch extension of ev_agg_incremental: (sum, count,
+      // sum-of-squares) state merges algebraically, and avg/variance are
+      // DERIVED at read time — never stored, so they stay exact under
+      // merging. Sum-of-squares rides DECIMAL(38,0) (a long×long product
+      // sum overflows int64 at corpus scale); the variance numerator
+      // n·Σx²−(Σx)² is exact decimal with one final cast+division, so
+      // merge == full recompute AND engine == oracle bit-for-bit.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("v"))
+      val keys = Seq("user_id")
+      val base = IncrementalAgg.aggregate(
+        ev.filter(col("event_id") % 4 =!= 0), keys,
+        sums = Seq("v"), sumsqs = Seq("v"))
+      val delta = IncrementalAgg.aggregate(
+        ev.filter(col("event_id") % 4 === 0), keys,
+        sums = Seq("v"), sumsqs = Seq("v"))
+      val merged = IncrementalAgg.merge(base, delta, keys,
+        sums = Seq("v"), sumsqs = Seq("v"))
+      IncrementalAgg.derived(merged, avgs = Seq("v"), vars = Seq("v"))
+        .orderBy(col("user_id"))
+    }),
+
     "ev_scd2_lookup" -> ((s, dir) => {
       // point-in-time lookup: for each click, the purchase VERSION valid
       // at click time (SCD2 intervals over per-user purchases, then the
@@ -3967,6 +3990,23 @@ object SparkEntry {
           | min(epoch_us(ts)) AS min_ts_us,
           | max(epoch_us(ts)) AS max_ts_us
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // full recompute of the merged (sum, count, sum-sq) state plus the
+      // identical derived-moment recipe: exact HUGEINT/DECIMAL numerator,
+      // one cast to double, one IEEE division — bit-identical to the
+      // engine's decimal path
+      "ev_agg_incremental_stats" ->
+        """WITH s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(sum(v * v) AS DECIMAL(38,0)) AS sumsq_v
+          | FROM (SELECT user_id,
+          |   CAST(round(value*100,0) AS BIGINT) AS v FROM events)
+          | GROUP BY 1)
+          |SELECT user_id, n_rows, sum_v, sumsq_v,
+          | CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_v,
+          | CAST(n_rows * sumsq_v - sum_v * sum_v AS DOUBLE)
+          |   / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS var_v
+          |FROM s ORDER BY 1""".stripMargin,
 
       // independent BETWEEN formulation over lead()-built intervals —
       // the as-of implementation must reproduce interval containment

@@ -48,6 +48,41 @@ class IncrementalAggSpec extends SparkSuite {
       full.orderBy($"k").collect().toSeq)
   }
 
+  test("sum-of-squares state merges exactly; derived avg/variance match " +
+    "a two-pass recompute") {
+    val a = Seq((1L, 10L), (1L, 20L), (1L, 40L), (2L, 7L)).toDF("k", "v")
+    val b = Seq((1L, 30L), (2L, 7L), (3L, 5L)).toDF("k", "v")
+    val spec = (d: org.apache.spark.sql.DataFrame) =>
+      IncrementalAgg.aggregate(d, Seq("k"), sums, sumsqs = Seq("v"))
+    val merged = IncrementalAgg.merge(spec(a), spec(b), Seq("k"),
+      sums, sumsqs = Seq("v"))
+    val full = spec(a.union(b))
+    // state identical bit-for-bit, including the decimal sumsq
+    assert(merged.orderBy($"k").collect().toSeq ==
+      full.orderBy($"k").collect().toSeq)
+
+    // derived moments: avg and POPULATION variance vs hand arithmetic
+    val d = IncrementalAgg.derived(merged, avgs = Seq("v"), vars = Seq("v"))
+      .select($"k", $"avg_v", $"var_v")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // key 1: values 10,20,40,30 → avg 25, var ((100+400+1600+900)·4−100²)/16
+    assert(d(1L) == ((25.0, (3000.0 * 4 - 10000.0) / 16)))
+    // key 2: two equal values → variance exactly 0 (decimal numerator
+    // cancels exactly; a float two-pass could leave dust here)
+    assert(d(2L) == ((7.0, 0.0)))
+    // key 3: single row → variance 0
+    assert(d(3L) == ((5.0, 0.0)))
+
+    // and against Spark's own var_pop as an independent recompute
+    val ref = a.union(b).groupBy($"k")
+      .agg(org.apache.spark.sql.functions.var_pop($"v").as("vp"))
+      .as[(Long, Double)].collect().toMap
+    d.foreach { case (k, (_, vv)) =>
+      assert(math.abs(vv - ref(k)) < 1e-9, s"key $k: $vv vs ${ref(k)}")
+    }
+  }
+
   test("merge rejects mismatched state schemas") {
     val st = IncrementalAgg.aggregate(
       Seq((1L, 1L, 1L)).toDF("k", "ts", "v"), Seq("k"), sums, mins, maxes)
