@@ -2318,6 +2318,19 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_features_png" -> ((s, dir) => {
+      // REAL PNG decode path: spec-valid signature+IHDR prefixes per doc
+      // (closed-form dims, real CRC32), dims recovered by PngCodec's
+      // fixed-offset big-endian IHDR parse; every 13th payload truncated
+      // before the IHDR type exercises the routed-error policy
+      Multimodal.extractFeatures(
+        Multimodal.syntheticPngAssetsCorrupted(par(s)(t(s, dir, "documents"))),
+        Multimodal.PngCodec, routeErrors = true)
+        .select(col("asset_id"), col("width"), col("height"),
+          col("decode_error"))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -4238,6 +4251,21 @@ object SparkEntry {
           |  ELSE CAST(16 + (doc_id * 11) % 1024 AS INT) END AS height,
           | CASE WHEN doc_id % 13 = 0
           |  THEN 'truncated JPEG: no SOF marker found'
+          |  ELSE NULL END AS decode_error
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // PNG dims are closed-form in doc_id (syntheticPngAssets); the
+      // corrupted 13th payloads end before the IHDR type, so the
+      // signature/length require fires ("requirement failed: " prefix,
+      // the BMP-path message shape)
+      "mm_features_png" ->
+        """SELECT doc_id AS asset_id,
+          | CASE WHEN doc_id % 13 = 0 THEN NULL
+          |  ELSE CAST(16 + doc_id % 1024 AS INT) END AS width,
+          | CASE WHEN doc_id % 13 = 0 THEN NULL
+          |  ELSE CAST(16 + (doc_id * 13) % 1024 AS INT) END AS height,
+          | CASE WHEN doc_id % 13 = 0
+          |  THEN 'requirement failed: not a PNG payload (missing signature or truncated IHDR)'
           |  ELSE NULL END AS decode_error
           |FROM documents ORDER BY asset_id""".stripMargin,
 

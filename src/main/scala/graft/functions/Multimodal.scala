@@ -55,6 +55,11 @@ object Multimodal {
   // family — one shared widened read so no sign surprises past 0x7fff
   private def beShort(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  // PNG chunk lengths and IHDR dims are big-endian int32 (spec caps them
+  // at 2^31−1, so the signed read is safe where RIFF's was not)
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
   private def magic(b: Array[Byte], off: Int, s: String): Boolean =
     s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
 
@@ -121,7 +126,14 @@ object Multimodal {
         while (p + 2 < payload.length && (payload(p + 1) & 0xff) == 0xff)
           p += 1
         val marker = payload(p + 1) & 0xff
-        if (marker >= 0xc0 && marker <= 0xcf &&
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          // TEM / RST0-7 are STANDALONE markers — no length field. They
+          // are nonstandard before SOS, but a real crawled JPEG carrying
+          // one must be stepped over (2 bytes), not misparsed as a
+          // length-bearing segment whose "length" is whatever bytes
+          // follow (JPEG spec marker taxonomy, ITU T.81 §B.1.1.3)
+          pos = p + 2
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           // SOF payload: [len:2][precision:1][height:2][width:2][...]
           require(p + 9 <= payload.length, "truncated JPEG SOF segment")
@@ -129,13 +141,14 @@ object Multimodal {
           val w = beShort(payload, p + 7)
           require(w > 0 && h > 0, "degenerate JPEG frame (zero dimension)")
           return (w, h)
+        } else {
+          require(marker != 0xda && marker != 0xd9,
+            "JPEG carries no SOF before SOS/EOI")
+          require(p + 4 <= payload.length, "truncated JPEG segment header")
+          val len = beShort(payload, p + 2)
+          require(len >= 2, "corrupt JPEG segment length")
+          pos = p + 2 + len
         }
-        require(marker != 0xda && marker != 0xd9,
-          "JPEG carries no SOF before SOS/EOI")
-        require(p + 4 <= payload.length, "truncated JPEG segment header")
-        val len = beShort(payload, p + 2)
-        require(len >= 2, "corrupt JPEG segment length")
-        pos = p + 2 + len
       }
       throw new IllegalArgumentException("truncated JPEG: no SOF marker found")
     }
@@ -202,6 +215,90 @@ object Multimodal {
       col("doc_id").as("asset_id"),
       mk(col("doc_id")).as("payload"),
       lit("image/jpeg").as("media_type"))
+  }
+
+  /** REAL codec for the second image format a crawled corpus actually
+    * contains: PNG. Dimensions are a FIXED-OFFSET parse — the PNG spec
+    * (RFC 2083 §3) mandates the 8-byte signature is followed
+    * immediately by the IHDR chunk, whose big-endian int32 width and
+    * height sit at byte offsets 16 and 20 unconditionally — so unlike
+    * the JPEG marker scan there is nothing to walk: O(1) bytes per
+    * asset. The chunk header is still validated (declared length 13,
+    * type "IHDR") so a renamed-but-not-PNG payload fails loudly rather
+    * than reading garbage dims. Malformed payloads throw; callers pick
+    * skip-vs-fail via [[extractFeatures]]'s `routeErrors`. */
+  object PngCodec extends MediaCodec {
+    private val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      require(payload.length >= 24 &&
+        payload.startsWith(sig),
+        "not a PNG payload (missing signature or truncated IHDR)")
+      require(beInt(payload, 8) == 13 && magic(payload, 12, "IHDR"),
+        "not a PNG payload (first chunk is not a 13-byte IHDR)")
+      val w = beInt(payload, 16)
+      val h = beInt(payload, 20)
+      // spec range is 1..2^31-1: zero is degenerate, and a negative
+      // signed read means a value past the spec cap — both refuse
+      require(w > 0 && h > 0, "degenerate PNG frame (zero dimension)")
+      (w, h)
+    }
+    def frameSampleHashes(payload: Array[Byte], n: Int): Seq[String] =
+      (0 until n).map(i => md5hex(payload ++ Array(i.toByte)))
+  }
+
+  /** A minimal spec-valid PNG prefix (33 bytes): signature + IHDR chunk
+    * (8-bit truecolor, no interlace) with a REAL CRC32 over type+data,
+    * so the fixture would survive a strict chunk-level validator.
+    * Header-only consumers like [[PngCodec]] never need IDAT/IEND, the
+    * [[bmpBytes]]/[[jpegBytes]] trick. */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "PNG dims must be positive")
+    val buf = java.nio.ByteBuffer.allocate(33)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+      .putInt(13) // IHDR data length
+      .put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compress/filter/interlace
+    val crc = new java.util.zip.CRC32()
+    crc.update(buf.array(), 12, 17) // over chunk type + data
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  /** Wrap a doc corpus as REAL PNG assets with closed-form dimensions
+    * (width = 16 + id mod 1024, height = 16 + 13·id mod 1024) — the PNG
+    * twin of [[syntheticJpegAssets]]: the engine must recover the dims
+    * by the actual IHDR parse while the oracle computes them
+    * arithmetically. */
+  def syntheticPngAssets(docs: DataFrame): DataFrame = {
+    val mk = udf((id: Long) =>
+      pngBytes((16 + id % 1024).toInt, (16 + (id * 13) % 1024).toInt))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/png").as("media_type"))
+  }
+
+  /** [[syntheticPngAssets]] with planted corruption: every 13th asset
+    * truncated to its first 12 bytes (signature + chunk length, ending
+    * before the IHDR type), the rest the same valid closed-form PNGs —
+    * the PNG twin of [[syntheticJpegAssetsCorrupted]] for the
+    * `routeErrors` policy. */
+  def syntheticPngAssetsCorrupted(docs: DataFrame): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val full = pngBytes((16 + id % 1024).toInt,
+        (16 + (id * 13) % 1024).toInt)
+      if (id % 13 == 0) full.take(12) else full
+    }
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/png").as("media_type"))
   }
 
   /** REAL codec for one pure-JVM public AUDIO format: canonical PCM WAV.

@@ -119,6 +119,101 @@ class MultimodalSpec extends SparkSuite {
     assert(nr.isNullAt(1) && nr.isNullAt(3) && nr.isNullAt(4))
   }
 
+  test("JpegCodec: marker scan recovers dims (baseline + progressive), " +
+    "steps over standalone markers, rejects malformed streams") {
+    assert(Multimodal.JpegCodec.decodeDims(
+      Multimodal.jpegBytes(640, 480)) == (640, 480))
+    assert(Multimodal.JpegCodec.decodeDims(
+      Multimodal.jpegBytes(33, 1027, progressive = true)) == (33, 1027))
+
+    // standalone markers (TEM 0x01, RST0-7) carry NO length field: a
+    // stream with one injected between APP0 and SOF must parse, not
+    // misread the following bytes as a segment length
+    val base = Multimodal.jpegBytes(100, 200)
+    val withRst = base.take(20) ++
+      Array(0xff.toByte, 0xd3.toByte, 0xff.toByte, 0x01.toByte) ++
+      base.drop(20)
+    assert(Multimodal.JpegCodec.decodeDims(withRst) == (100, 200))
+
+    // DHT (0xc4) looks like a SOF code but is not: a DHT before the SOF
+    // must be skipped by declared length, and dims still come from SOF
+    val dht = Array(0xff.toByte, 0xc4.toByte, 0.toByte, 4.toByte,
+      0.toByte, 0.toByte)
+    assert(Multimodal.JpegCodec.decodeDims(
+      base.take(20) ++ dht ++ base.drop(20)) == (100, 200))
+
+    intercept[IllegalArgumentException] { // no SOI
+      Multimodal.JpegCodec.decodeDims("not a jpeg".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] { // truncated inside APP0
+      Multimodal.JpegCodec.decodeDims(base.take(10))
+    }
+    intercept[IllegalArgumentException] { // SOS before any SOF
+      Multimodal.JpegCodec.decodeDims(base.take(20) ++
+        Array(0xff.toByte, 0xda.toByte, 0.toByte, 4.toByte))
+    }
+  }
+
+  test("PngCodec: fixed-offset IHDR parse; corrupted and renamed " +
+    "payloads fail loudly; CRC is genuine") {
+    val png = Multimodal.pngBytes(640, 480)
+    assert(Multimodal.PngCodec.decodeDims(png) == (640, 480))
+    // byte-level check of the big-endian layout the parser reads
+    assert((png(16) & 0xff) == 0 && (png(17) & 0xff) == 0 &&
+      (png(18) & 0xff) == 0x02 && (png(19) & 0xff) == 0x80) // 640
+    // dims past two big-endian bytes exercise the full int32 read
+    assert(Multimodal.PngCodec.decodeDims(
+      Multimodal.pngBytes(70000, 16777217)) == (70000, 16777217))
+    // the IHDR CRC is a real CRC32 over type+data, not filler
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 17)
+    assert(java.nio.ByteBuffer.wrap(png, 29, 4).getInt == crc.getValue.toInt)
+
+    intercept[IllegalArgumentException] { // wrong signature
+      Multimodal.PngCodec.decodeDims("definitely not a png".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] { // truncated before IHDR type
+      Multimodal.PngCodec.decodeDims(png.take(12))
+    }
+    intercept[IllegalArgumentException] { // signature ok, first chunk not IHDR
+      val bad = png.clone(); bad(12) = 'X'.toByte
+      Multimodal.PngCodec.decodeDims(bad)
+    }
+    // property sweep across the positive int32 dim range
+    val rnd = new scala.util.Random(13)
+    (0 until 200).foreach { _ =>
+      val w = rnd.nextInt(Int.MaxValue) + 1
+      val h = rnd.nextInt(Int.MaxValue) + 1
+      assert(Multimodal.PngCodec.decodeDims(Multimodal.pngBytes(w, h)) ==
+        (w, h), s"dims ($w, $h)")
+    }
+  }
+
+  test("syntheticPngAssets: closed-form dims survive the build->parse " +
+    "round trip; corrupted twin routes errors") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticPngAssets(docs), Multimodal.PngCodec)
+      .select($"asset_id", $"width", $"height")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(feats(1L) == (17, 29))
+    assert(feats(2L) == (18, 42))
+    assert(feats(3L) == (19, 55))
+    val wide = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val routed = Multimodal.extractFeatures(
+      Multimodal.syntheticPngAssetsCorrupted(wide), Multimodal.PngCodec,
+      routeErrors = true).orderBy("asset_id").collect()
+    routed.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 13 == 0) {
+        assert(r.isNullAt(1) && r.getString(4).contains("not a PNG payload"))
+      } else {
+        assert(r.getInt(1) == (16 + id % 1024).toInt)
+        assert(r.getInt(2) == (16 + (id * 13) % 1024).toInt)
+        assert(r.isNullAt(4))
+      }
+    }
+  }
+
   test("WavCodec: parses real RIFF header bytes; build->parse roundtrip " +
     "holds across parameter sweep; malformed payloads fail loudly") {
     val wav = Multimodal.wavBytes(2, 44100, 44100) // 1 s stereo
