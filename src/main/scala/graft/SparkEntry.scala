@@ -2554,10 +2554,15 @@ object SparkEntry {
 
       // identical shift/mask interleave, 42 generated terms — bitwise
       // ops are exact and shared by both engines
+      // key reduction mirrors Layout.zValue2's pmod, not sign-preserving
+      // % — identical on the non-negative TPC-H keys, but the oracle
+      // must stay semantically identical to the engine if a fixture
+      // ever carries negative keys
       "q13_zorder" -> {
+        def pm(c: String) = s"(($c % 2097152 + 2097152) % 2097152)"
         val terms = (0 until 21).map(k =>
-          s"((((l_orderkey % 2097152) >> $k) & 1) << ${2 * k})" +
-            s" + ((((l_partkey % 2097152) >> $k) & 1) << ${2 * k + 1})")
+          s"(((${pm("l_orderkey")} >> $k) & 1) << ${2 * k})" +
+            s" + (((${pm("l_partkey")} >> $k) & 1) << ${2 * k + 1})")
           .mkString(" + ")
         s"""SELECT l_orderkey, l_partkey, l_linenumber,
            | CAST($terms AS BIGINT) AS zkey

@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   * instead of per-user event sorting or a sequential scan. Each round
   * shuffles only (user, ts) pairs for ONE event type plus the k-column
   * state frame; with s steps that is s keyed aggregations, all on the
-  * same user key, so at production scale the exchanges line up on one
-  * partitioning. A user's row carries nulls from the first uncompleted
-  * step onward (left joins), and `funnel_depth` counts completed steps —
-  * conversion-rate reporting is one groupBy over it.
+  * same user key. The per-round state is [[graft.functions.Materialize]]d
+  * (the connected-components/LPA iterative pattern): step i's plan
+  * consumes the state TWICE (the strictly-after filter and the left
+  * join), and without truncation Catalyst re-derives the whole step
+  * prefix for each consumer — a 3-step funnel re-scanned events SEVEN
+  * times and re-ran the step-1 aggregation four times; the cost grows
+  * quadratically in step count, which is fatal at 100 TB. Materialized,
+  * every step scans events exactly once and reads the (per-user-small)
+  * prior state from checkpoint blocks. A user's row carries nulls from
+  * the first uncompleted step onward (left joins), and `funnel_depth`
+  * counts completed steps — conversion-rate reporting is one groupBy
+  * over it.
   */
 object Funnel {
 
@@ -32,11 +40,15 @@ object Funnel {
       tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    // step 1: unconditional earliest occurrence
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol))
-      .agg(min(col(tsCol)).as("t1"))
-    // step i: earliest occurrence strictly after the user's t(i-1)
+    // step 1: unconditional earliest occurrence. Materialized: every
+    // later round joins against it (directly or through its successors)
+    val first = graft.functions.Materialize(
+      events.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as("t1")))
+    // step i: earliest occurrence strictly after the user's t(i-1).
+    // Each round's output is materialized before the next consumes it
+    // twice (filter + left join) — see the class doc for why
     val full = steps.zipWithIndex.drop(1).foldLeft(first) {
       case (state, (step, i)) =>
         val prev = s"t$i"
@@ -46,7 +58,7 @@ object Funnel {
           .filter(col(tsCol) > col(prev))
           .groupBy(col(userCol))
           .agg(min(col(tsCol)).as(cur))
-        state.join(next, Seq(userCol), "left")
+        graft.functions.Materialize(state.join(next, Seq(userCol), "left"))
     }
     val depth = steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1)
       .otherwise(0)).reduce(_ + _)

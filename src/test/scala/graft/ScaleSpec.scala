@@ -301,6 +301,26 @@ class ScaleSpec extends SparkSuite {
       full.select(cols: _*).collect().toSet)
   }
 
+  test("funnel: per-step state is materialized — the final plan reads " +
+    "checkpoint blocks, never re-derives earlier steps from parquet") {
+    // Each funnel round consumes the prior state TWICE (strictly-after
+    // filter + left join); unmaterialized, Catalyst re-derived the whole
+    // step prefix per consumer — a 3-step funnel re-scanned events SEVEN
+    // times and re-ran the step-1 aggregation four times (quadratic in
+    // step count). With per-round Materialize the returned frame's plan
+    // must contain NO parquet scan at all: every step already ran, once,
+    // into checkpoint blocks.
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val out = graft.operators.Funnel.funnel(ev,
+      steps = Seq("signup", "click", "purchase"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"funnel state not materialized — parquet re-scan in final plan:\n$plan")
+    // and the state is real: funnel depths are populated and monotone
+    val depths = out.select($"funnel_depth").as[Long].collect()
+    assert(depths.nonEmpty && depths.forall(d => d >= 1 && d <= 3))
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
