@@ -893,6 +893,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_stream_sample_weighted" -> ((s, dir) => {
+      // the batch-train / stream-apply twin of text_sample_weighted: the
+      // score total trains on the batch corpus (materialized one-row
+      // frame), the stream gates arriving docs statelessly against the
+      // broadcast total — no watermark, no state store, and over a full
+      // replay the kept set equals the batch operator's by construction,
+      // so both share an oracle.
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      def scoreOf(df: DataFrame) = df.select(col("doc_id"),
+        length(col("text")).cast("long").as("score"))
+      val totals = TextAnalysis.sampleWeightedTotals(
+        scoreOf(s.read.parquet(s"$dir/documents.parquet")), "score")
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/documents.parquet"))
+      val gated = TextAnalysis.sampleWeightedApply(
+        scoreOf(stream), totals, "score", targetRows = 200)
+      Sessionize.runToMemory(s,
+        gated.select(col("doc_id"), col("score"), col("p"), col("u")),
+        "text_stream_sw", OutputMode.Append, statePartitions = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // PII redaction + per-category audit counts. The corpus text is
       // PII-free synthetic prose, so the query deterministically plants
@@ -1307,6 +1331,24 @@ object SparkEntry {
       val codes = emb.select(col("vec_id"),
         Similarity.pqAssign(col("embedding"), cbs).as("codes"))
       Similarity.pqAdcTopK(codes, cbs, q, k = 10)
+    }),
+
+    "sim_pq_adc_trained" -> ((s, dir) => {
+      // sim_pq_adc through the PERSISTED-artifact path: the 4 sub-
+      // codebooks round-trip parquet (saveCodebooks/loadCodebooks multi-
+      // book form) before encoding and the ADC scan — the train-weekly /
+      // encode-daily split for PQ. Bit-exact round-trip ⇒ the same
+      // oracle as the in-memory twin.
+      val emb = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrain(emb, d = 64, m = 4, k = 4, maxIters = 2)
+      val artifact = "target/codebook_pq"
+      Similarity.saveCodebooks(s, cbs, artifact)
+      val loaded = Similarity.loadCodebooks(s, artifact)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val codes = emb.select(col("vec_id"),
+        Similarity.pqAssign(col("embedding"), loaded).as("codes"))
+      Similarity.pqAdcTopK(codes, loaded, q, k = 10)
     }),
 
     // ---- Text analysis over documents --------------------------------
@@ -2472,7 +2514,7 @@ object SparkEntry {
          |  FROM embeddings ORDER BY vec_id LIMIT $k),
          |${(1 to iters).map(kmIterCtes).mkString(",\n")}""".stripMargin
 
-    Map(
+    val base = Map(
       "q01_agg_lineitem" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -4386,5 +4428,11 @@ object SparkEntry {
           | || '</item_data></item>' AS put_body,
           | 'https://api.example.org/items/' || barcode AS put_url
           |FROM r ORDER BY ck""".stripMargin)
+    // the disk-round-trip and stream twins are bit-exact replays by
+    // construction, so they share their in-memory/batch twin's oracle
+    // verbatim
+    base +
+      ("sim_pq_adc_trained" -> base("sim_pq_adc")) +
+      ("text_stream_sample_weighted" -> base("text_sample_weighted"))
   }
 }

@@ -508,19 +508,44 @@ object TextAnalysis {
       scoreCol: String,
       targetRows: Long,
       idCol: String = "doc_id",
+      salt: String = "wsamp"): DataFrame =
+    sampleWeightedApply(df,
+      df.agg(sum(col(scoreCol).cast("long")).as("__total")),
+      scoreCol, targetRows, idCol, salt)
+
+  /** The TRAIN half of [[sampleWeighted]]'s batch-train / stream-apply
+    * split: the corpus score total as a one-row frame, MATERIALIZED so a
+    * stream-static join doesn't re-run the full-corpus total per
+    * micro-batch (the [[graft.streaming.StreamGate]] rationale). */
+  def sampleWeightedTotals(df: DataFrame, scoreCol: String): DataFrame =
+    Materialize(df.agg(sum(col(scoreCol).cast("long")).as("__total")))
+
+  /** The APPLY half: gate rows against a pre-computed one-row totals
+    * frame ([[sampleWeightedTotals]]). Works identically on a batch or
+    * STREAMING frame — the gate is stateless (each row's verdict needs
+    * only the row and the broadcast total), so the streaming form needs
+    * no watermark and no state store. The join rides a constant key
+    * (stream-static cross joins are not supported; an equi join on a
+    * literal is, and broadcasts the same single row). */
+  def sampleWeightedApply(
+      df: DataFrame,
+      totals: DataFrame,
+      scoreCol: String,
+      targetRows: Long,
+      idCol: String = "doc_id",
       salt: String = "wsamp"): DataFrame = {
     require(targetRows > 0, "target sample size must be positive")
-    val totals = df.agg(sum(col(scoreCol).cast("long")).as("__total"))
     val u = conv(substring(
       md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8),
       16, 10).cast("double") / lit(4294967296.0)
-    df.crossJoin(broadcast(totals))
+    df.withColumn("__k", lit(1))
+      .join(broadcast(totals.withColumn("__k", lit(1))), "__k")
       .withColumn("p", least(lit(1.0),
         (col(scoreCol).cast("long") * targetRows).cast("double") /
           col("__total").cast("double")))
       .withColumn("u", u)
       .filter(col("u") < col("p"))
-      .drop("__total")
+      .drop("__total", "__k")
   }
 
   /** Out-of-vocabulary rate per doc against the corpus's learned top-K
