@@ -253,4 +253,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("weighted sampling: one-row total broadcasts, the gate is a " +
+    "narrow filter — the corpus never hash-shuffles") {
+    val p = plan("text_sample_weighted")
+    // the totals frame broadcasts as a single row; the corpus side is
+    // scanned and gated in place (only the final ORDER BY range-shuffles)
+    assert(p.contains("IdentityBroadcastMode"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countIn(p, "Exchange hashpartitioning") == 0, p)
+  }
+
+  test("incremental stats merge: partial+final around the union reuses " +
+    "the per-side aggregation partitioning — two exchanges, not three") {
+    val p = plan("ev_agg_incremental_stats")
+    // base + delta each shuffle once for their keyed aggregation; the
+    // merge's partial/final pair sits directly on the union with NO
+    // third exchange (both children already hash on the key)
+    assert(countIn(p, "Exchange hashpartitioning") == 2, p)
+    // the sumsq state is exact decimal, never a float sum
+    assert(p.contains("decimal(19,0)"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
