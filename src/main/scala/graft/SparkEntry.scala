@@ -893,6 +893,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_token_budget" -> ((s, dir) => {
+      // token-budget capped sampling: per source, docs admit in salted-
+      // hash order until 700 tokens fill (the first doc to cross the
+      // line still ships). One window per group, no global sort.
+      TextAnalysis.sampleTokenBudget(par(s)(t(s, dir, "documents")),
+        budgetTokens = 700)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tokens_before"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_stream_sample_weighted" -> ((s, dir) => {
       // the batch-train / stream-apply twin of text_sample_weighted: the
       // score total trains on the batch corpus (materialized one-row
@@ -3378,6 +3389,24 @@ object SparkEntry {
            |WHERE CAST($hex8 AS DOUBLE) / 4294967296.0 < w.weight
            |ORDER BY d.doc_id""".stripMargin
       },
+
+      // identical hash order + running-sum-before replay; the straddling
+      // doc ships on both engines (tokens_before < budget, not cumsum)
+      "text_token_budget" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |  (CASE WHEN $duckNorm = '' THEN 0
+           |    ELSE CAST(len($duckWords) AS BIGINT) END) AS n_tokens,
+           |  md5('budget:' || CAST(doc_id AS VARCHAR)) AS h
+           | FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+           |    ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |   AS BIGINT) AS tokens_before
+           | FROM d)
+           |SELECT doc_id, source, n_tokens, tokens_before
+           |FROM c WHERE tokens_before < 700
+           |ORDER BY doc_id""".stripMargin,
 
       // same md5-fraction gate construction as text_mixture_apply; p is
       // one IEEE division of exact BIGINTs on both engines

@@ -548,6 +548,39 @@ object TextAnalysis {
       .drop("__total", "__k")
   }
 
+  /** Token-budget capped sampling: per group, keep docs in a
+    * deterministic salted-hash order until the group's token budget
+    * fills — the corpus-curation knob phrased as tokens, not rows
+    * ("take 10B tokens of web, 2B of code"). A doc is kept iff the
+    * budget was not already exhausted BEFORE it (`cumsum − own ≤
+    * budget` would overshoot by up to one doc; `cumsum_before <
+    * budget` admits the straddling doc — the standard "first doc to
+    * cross the line still ships" contract, documented here so the
+    * oracle can replay it exactly).
+    *
+    * One window per group (running sum over the hash order — the same
+    * exchange the per-group quota sampler uses) — no global sort, no
+    * driver state; groups cap independently, so a 100-TB corpus with
+    * millions of sources fans out naturally. Output: input rows kept,
+    * plus `n_tokens` and `tokens_before` (the audit columns). */
+  def sampleTokenBudget(
+      df: DataFrame,
+      budgetTokens: Long,
+      textCol: String = "text",
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = "budget"): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+  }
+
   /** Out-of-vocabulary rate per doc against the corpus's learned top-K
     * vocabulary — the language-model-flavored quality signal (high OOV =
     * gibberish, boilerplate markup, or wrong-language text) that needs no

@@ -362,6 +362,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(keptZero.forall(_ > 100), "zero-score rows must never be kept")
   }
 
+  test("sampleTokenBudget: per-group cap, straddling doc ships, " +
+    "deterministic order, groups independent") {
+    // 3-token docs; budget 10 → kept cumsum-before per group: 0,3,6,9
+    // (the 4th doc straddles 10 and ships), 5th (before=12) does not
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else "b", "one two three")).toDF(
+      "doc_id", "source", "text")
+    val kept = TextAnalysis.sampleTokenBudget(docs, budgetTokens = 10)
+    val rows = kept.select($"doc_id", $"source", $"tokens_before")
+      .as[(Long, String, Long)].collect()
+    val byGroup = rows.groupBy(_._2)
+    assert(byGroup.keySet == Set("a", "b"))
+    byGroup.foreach { case (g, rs) =>
+      assert(rs.length == 4, s"group $g kept ${rs.length}, expected 4")
+      assert(rs.map(_._3).sorted.toSeq == Seq(0L, 3L, 6L, 9L), s"group $g")
+    }
+    // rerun-stable: the same 8 docs every time
+    val again = TextAnalysis.sampleTokenBudget(docs, budgetTokens = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == again)
+    // a budget below the smallest doc still admits the first doc per
+    // group (tokens_before = 0 < any positive budget)
+    val tiny = TextAnalysis.sampleTokenBudget(docs, budgetTokens = 1)
+      .select($"doc_id").as[Long].collect()
+    assert(tiny.length == 2)
+  }
+
   test("vocabProfile: approx (HLL++) distinct-term counts land within the " +
     "documented error bound of the exact counts at sf0.1") {
     val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
