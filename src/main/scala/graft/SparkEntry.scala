@@ -1330,6 +1330,21 @@ object SparkEntry {
       Similarity.ivfTopK(emb, cents, q, k = 10, nprobe = 3)
     }),
 
+    "sim_ivf_topk_partitioned" -> ((s, dir) => {
+      // the IVF scale layout made real: corpus written cell-partitioned
+      // (one directory per coarse cell — the index build), probe reads
+      // with DIRECTORY pruning so only nprobe/k of the bytes are
+      // touched. Same centroids and probe as sim_ivf_topk ⇒ same
+      // oracle, bit for bit; ScaleSpec pins the numFiles skip.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      val store = "target/ivf_store"
+      Similarity.writeIvfPartitioned(emb, cents, store)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.ivfTopKPartitioned(s, store, cents, q, k = 10, nprobe = 3)
+    }),
+
     "sim_pq_adc" -> ((s, dir) => {
       // the PQ search path end to end: train 4 sub-codebooks, encode
       // every vector to 4 codes, then answer a top-10 query from CODES
@@ -4462,6 +4477,7 @@ object SparkEntry {
     // verbatim
     base +
       ("sim_pq_adc_trained" -> base("sim_pq_adc")) +
+      ("sim_ivf_topk_partitioned" -> base("sim_ivf_topk")) +
       ("text_stream_sample_weighted" -> base("text_sample_weighted"))
   }
 }

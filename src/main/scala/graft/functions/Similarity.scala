@@ -202,7 +202,23 @@ object Similarity {
       nprobe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val probed = centroids.zipWithIndex
+    val probed = probeCells(centroids, queryVec, nprobe)
+    corpus
+      .withColumn("__cell", ivfAssign(col(vecCol), centroids))
+      .filter(col("__cell").isin(probed: _*))
+      .select(col(idCol), cosine(col(vecCol), lit(queryVec.toArray)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The `nprobe` centroid ids nearest the query (squared L2, ties to
+    * the lower id — the [[ivfAssign]] tie rule). Driver-side: k×d
+    * arithmetic on the codebook literals. */
+  private def probeCells(
+      centroids: Seq[Seq[Float]],
+      queryVec: Seq[Float],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(queryVec)
           .foldLeft(0.0) { case (acc, (x, q)) =>
@@ -211,9 +227,42 @@ object Similarity {
         (d, i)
       }
       .sorted.take(nprobe).map(_._2)
+
+  /** Materialize [[ivfTopK]]'s claimed scale layout: the corpus written
+    * CELL-PARTITIONED by its coarse-quantizer assignment, one directory
+    * per cell. Built once per (corpus, codebook) generation — the index
+    * build of an IVF system; [[ivfTopKPartitioned]] then probes it with
+    * DIRECTORY-level pruning, so a query touches nprobe/k of the bytes
+    * instead of mapping the whole corpus through the assignment
+    * expression. Pair with [[saveCodebook]] next to the store so probe
+    * jobs need neither the training corpus nor a retrain. */
+  def writeIvfPartitioned(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      path: String,
+      vecCol: String = "embedding"): Unit =
     corpus
-      .withColumn("__cell", ivfAssign(col(vecCol), centroids))
-      .filter(col("__cell").isin(probed: _*))
+      .withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+
+  /** IVF top-k over a [[writeIvfPartitioned]] store: the probed-cell
+    * filter is a PARTITION filter (`ivf_cell` is the directory key), so
+    * the scan plans a directory skip — unprobed cells contribute zero
+    * files, the property `ScaleSpec` pins via the executed scan's
+    * numFiles metric. Same results as [[ivfTopK]] over the same corpus
+    * and codebook, bit for bit. */
+  def ivfTopKPartitioned(
+      spark: SparkSession,
+      path: String,
+      centroids: Seq[Seq[Float]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probed = probeCells(centroids, queryVec, nprobe)
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probed: _*))
       .select(col(idCol), cosine(col(vecCol), lit(queryVec.toArray)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

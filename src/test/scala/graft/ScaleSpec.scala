@@ -321,6 +321,40 @@ class ScaleSpec extends SparkSuite {
     assert(depths.nonEmpty && depths.forall(d => d >= 1 && d <= 3))
   }
 
+  test("IVF partitioned store: the probe filter is a PARTITION filter, " +
+    "unprobed cell directories are skipped, results equal in-memory IVF") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroids(corpus, k = 8)
+    val store = Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    Similarity.writeIvfPartitioned(corpus, cents, store)
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"embedding").first().getSeq[Float](0)
+
+    val probe = Similarity.ivfTopKPartitioned(spark, store, cents, q,
+      k = 10, nprobe = 3)
+    // the cell filter must land as a directory-level partition filter,
+    // not degrade to a row-group data filter
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters: [")).getOrElse("")
+    assert(pf.contains("ivf_cell"),
+      s"probe filter did not land as a partition filter:\n$plan")
+    // execute and read the scan's runtime numFiles: 3 of 8 cells probed
+    val got = probe.collect()
+    val totalFiles = spark.read.parquet(store).inputFiles.length
+    val scanFiles = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(totalFiles >= 8, s"store should span >=8 cell directories")
+    assert(scanFiles > 0 && scanFiles < totalFiles,
+      s"probe read $scanFiles of $totalFiles files — no directory skip")
+
+    // and the pruned probe returns exactly the in-memory IVF's answer
+    val mem = Similarity.ivfTopK(corpus, cents, q, k = 10, nprobe = 3)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      mem.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
