@@ -55,13 +55,9 @@ object SparkEntry {
   /** Exact integer cents: round(x*100) as long. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** The streaming file source accepts only directories or globs, not a
-    * single file path. Wrapping the final character in a one-character
-    * class ("…parquet" → "…parque[t]") makes the path its own glob —
-    * matching exactly the original file, nothing wider — so a
-    * single-file fixture can feed `readStream` without a staging copy. */
-  private def streamGlob(path: String): String =
-    path.init + "[" + path.last + "]"
+  /** Single-file stream-source glob — see [[Tables.streamGlob]] (one
+    * shared definition on purpose). */
+  private def streamGlob(path: String): String = Tables.streamGlob(path)
 
   /** 2100-01-01 UTC: the far-future flush timestamp sentinel rows carry
     * so a bounded streaming replay's watermark closes every real row's
@@ -4108,7 +4104,8 @@ object SparkEntry {
           | GROUP BY 1)
           |SELECT user_id, n_rows, sum_v, sumsq_v,
           | CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_v,
-          | CAST(n_rows * sumsq_v - sum_v * sum_v AS DOUBLE)
+          | CAST(CAST(n_rows AS HUGEINT) * CAST(sumsq_v AS HUGEINT)
+          |     - CAST(sum_v AS HUGEINT) * CAST(sum_v AS HUGEINT) AS DOUBLE)
           |   / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS var_v
           |FROM s ORDER BY 1""".stripMargin,
 

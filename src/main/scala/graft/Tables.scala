@@ -37,9 +37,20 @@ object Tables {
     configure(spark)
     val path = s"$sfDir/events.parquet"
     val raw = spark.read.parquet(path).schema
-    val glob = path.init + "[" + path.last + "]"
-    normalize(spark.readStream.schema(raw).parquet(glob), isEvents = true)
+    normalize(spark.readStream.schema(raw).parquet(streamGlob(path)),
+      isEvents = true)
   }
+
+  /** The streaming file source accepts only directories or globs, not a
+    * single file path. Wrapping the final character in a one-character
+    * class ("…parquet" → "…parque[t]") makes the path its own glob —
+    * matching exactly the original file, nothing wider — so a
+    * single-file fixture can feed `readStream` without a staging copy.
+    * ONE shared definition: a staging-scheme change must not be able to
+    * fix one reader family and leave another stale (the r12 NTZ
+    * failure mode). */
+  def streamGlob(path: String): String =
+    path.init + "[" + path.last + "]"
 
   /** Shared batch/stream timestamp normalization (see object scaladoc).
     * Keyed on the events table: only ITS `ts` is TIMESTAMP(NANOS)-read-

@@ -126,11 +126,12 @@ object Multimodal {
         while (p + 2 < payload.length && (payload(p + 1) & 0xff) == 0xff)
           p += 1
         val marker = payload(p + 1) & 0xff
-        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
-          // TEM / RST0-7 are STANDALONE markers — no length field. They
-          // are nonstandard before SOS, but a real crawled JPEG carrying
-          // one must be stepped over (2 bytes), not misparsed as a
-          // length-bearing segment whose "length" is whatever bytes
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          // TEM / RST0-7 / a stray mid-stream SOI are STANDALONE markers
+          // — no length field. They are nonstandard before SOS, but a
+          // real crawled JPEG carrying one (e.g. two streams
+          // concatenated) must be stepped over (2 bytes), not misparsed
+          // as a length-bearing segment whose "length" is whatever bytes
           // follow (JPEG spec marker taxonomy, ITU T.81 §B.1.1.3)
           pos = p + 2
         } else if (marker >= 0xc0 && marker <= 0xcf &&

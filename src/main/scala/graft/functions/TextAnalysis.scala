@@ -535,6 +535,12 @@ object TextAnalysis {
       idCol: String = "doc_id",
       salt: String = "wsamp"): DataFrame = {
     require(targetRows > 0, "target sample size must be positive")
+    // withColumn OVERWRITES silently; a caller column named like our
+    // outputs/internals would be clobbered without error
+    val reserved = Seq("p", "u", "__k", "__total").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already carries reserved column(s) ${reserved.mkString(", ")}" +
+        " — rename them before sampling (p/u are this operator's outputs)")
     val u = conv(substring(
       md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8),
       16, 10).cast("double") / lit(4294967296.0)
@@ -571,6 +577,10 @@ object TextAnalysis {
       idCol: String = "doc_id",
       salt: String = "budget"): DataFrame = {
     require(budgetTokens > 0, "token budget must be positive")
+    val reserved = Seq("n_tokens", "tokens_before").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already carries reserved column(s) ${reserved.mkString(", ")}" +
+        " — rename them before sampling (they are this operator's outputs)")
     import org.apache.spark.sql.expressions.Window
     val order = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))

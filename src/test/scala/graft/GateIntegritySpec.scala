@@ -29,8 +29,17 @@ class GateIntegritySpec extends SparkSuite {
       "text_corpus_stats", "text_corpus_stats_approx")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
-      assert(singleRow(name) || sql.toUpperCase.contains("ORDER BY"),
-        s"$name: oracle has no ORDER BY — the hash compare is order-sensitive")
+      // a TOP-LEVEL ORDER BY, not substring containment — a window's
+      // OVER (ORDER BY ...) or a subquery's ORDER BY must not satisfy
+      // the check. Rule: the LAST ORDER BY sits at paren depth 0 (order
+      // keys may still call functions — coalesce(...) etc. — after it)
+      val up = sql.toUpperCase
+      val ob = up.lastIndexOf("ORDER BY")
+      def depthAt(i: Int): Int =
+        up.take(i).count(_ == '(') - up.take(i).count(_ == ')')
+      assert(singleRow(name) || (ob >= 0 && depthAt(ob) == 0),
+        s"$name: oracle has no top-level ORDER BY — the hash " +
+          "compare is order-sensitive")
     }
   }
 

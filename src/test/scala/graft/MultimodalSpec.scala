@@ -142,6 +142,12 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.JpegCodec.decodeDims(
       base.take(20) ++ dht ++ base.drop(20)) == (100, 200))
 
+    // a stray mid-stream SOI (two streams concatenated / encoder
+    // restart) is standalone too: must step 2 bytes, not read the next
+    // bytes as a segment length
+    assert(Multimodal.JpegCodec.decodeDims(base.take(20) ++
+      Array(0xff.toByte, 0xd8.toByte) ++ base.drop(20)) == (100, 200))
+
     intercept[IllegalArgumentException] { // no SOI
       Multimodal.JpegCodec.decodeDims("not a jpeg".getBytes("UTF-8"))
     }
