@@ -1758,6 +1758,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_agg_incremental_rekey" -> ((s, dir) => {
+      // the append-only contract's escape hatch exercised: the rollup
+      // state absorbs a CORRECTION (every user_id % 10 == 0 had cents
+      // double-counted upstream) by rebuilding ONLY those keys from
+      // their corrected history and splicing — min/max included, which
+      // no algebraic merge could retract. Unaffected keys' state rows
+      // pass through untouched; the oracle recomputes the whole
+      // corrected corpus.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          cents(col("value")).as("v"))
+      val keys = Seq("user_id")
+      val spec = (d: DataFrame) => IncrementalAgg.aggregate(d, keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"))
+      // yesterday's state was built from the WRONG feed (doubled cents
+      // for the affected users)
+      val wrong = ev.withColumn("v",
+        when(col("user_id") % 10 === 0, col("v") * 2).otherwise(col("v")))
+      val state = spec(wrong)
+      // the corrected history of ONLY the affected keys
+      val corrected = ev.filter(col("user_id") % 10 === 0)
+      IncrementalAgg.reaggregateKeys(state, corrected, keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"))
+        .orderBy(col("user_id"))
+    }),
+
     "ev_scd2_lookup" -> ((s, dir) => {
       // point-in-time lookup: for each click, the purchase VERSION valid
       // at click time (SCD2 intervals over per-user purchases, then the
@@ -4085,6 +4111,17 @@ object SparkEntry {
       // must equal it exactly (counts/sums/extrema are long algebra,
       // associative with no float drift)
       "ev_agg_incremental" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_v,
+          | min(epoch_us(ts)) AS min_ts_us,
+          | max(epoch_us(ts)) AS max_ts_us
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // after the targeted repair, every key's state must equal a clean
+      // full recompute — the affected keys via the rebuilt slice, the
+      // rest via pass-through (their wrong-feed doubling only ever hit
+      // user_id % 10 == 0, so clean == wrong for them)
+      "ev_agg_incremental_rekey" ->
         """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_v,
           | min(epoch_us(ts)) AS min_ts_us,

@@ -98,6 +98,40 @@ object IncrementalAgg {
       .agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
   }
 
+  /** Targeted repair for NON-append changes — the escape hatch the
+    * append-only contract (object doc) points at. Given the CURRENT
+    * state and the full corrected history OF THE AFFECTED KEYS ONLY,
+    * rebuild those keys' rows and splice them in: unaffected keys keep
+    * their state untouched (anti-join pass-through), affected keys are
+    * re-aggregated from scratch — min/max included, which no algebraic
+    * merge could retract.
+    *
+    * The 100-TB contract: `affectedHistory` covers a tiny key fraction
+    * (an upstream correction, a late-data backfill, a GDPR erasure) and
+    * is fetched via partition/cluster pruning on the key — the full
+    * corpus is never re-read, and the splice shuffles only the state
+    * frame plus the affected slice. Keys present in the history but not
+    * the state simply appear (same as a merge); keys in neither are
+    * untouched. The affected-key set is taken FROM the history frame
+    * (a key with zero history rows produces no rebuilt row and is
+    * therefore NOT touched); deleting a key outright is the caller's
+    * one-liner `state.join(deletions, keys, "left_anti")`. */
+  def reaggregateKeys(
+      state: DataFrame,
+      affectedHistory: DataFrame,
+      keys: Seq[String],
+      sums: Seq[String],
+      mins: Seq[String] = Nil,
+      maxes: Seq[String] = Nil,
+      sumsqs: Seq[String] = Nil): DataFrame = {
+    val rebuilt = aggregate(affectedHistory, keys, sums, mins, maxes, sumsqs)
+    require(state.columns.sameElements(rebuilt.columns),
+      s"state schema [${state.columns.mkString(", ")}] does not match " +
+        s"the rebuild spec's [${rebuilt.columns.mkString(", ")}]")
+    state.join(rebuilt.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(rebuilt)
+  }
+
   /** Read-time DERIVED view over a state frame: `avg_<c>` for each
     * `avgs` column (needs `sum_<c>`), `var_<c>` — POPULATION variance —
     * for each `vars` column (needs `sum_<c>` and `sumsq_<c>`). Never

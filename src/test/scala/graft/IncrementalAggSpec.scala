@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.when
+
 import graft.operators.IncrementalAgg
 
 /** The algebraic-maintenance contract:
@@ -80,6 +82,35 @@ class IncrementalAggSpec extends SparkSuite {
       .as[(Long, Double)].collect().toMap
     d.foreach { case (k, (_, vv)) =>
       assert(math.abs(vv - ref(k)) < 1e-9, s"key $k: $vv vs ${ref(k)}")
+    }
+  }
+
+  test("reaggregateKeys: affected keys rebuilt (min/max retracted), " +
+    "unaffected state rows pass through bit-for-bit") {
+    val history = Seq((1L, 10L, 100L), (1L, 20L, 50L), (2L, 5L, 7L),
+      (3L, 9L, 9L)).toDF("k", "ts", "v")
+    val spec = (d: org.apache.spark.sql.DataFrame) =>
+      IncrementalAgg.aggregate(d, Seq("k"), sums, mins, maxes)
+    // wrong feed: key 1's values and timestamps doubled upstream
+    val wrong = history.withColumn("v",
+      when($"k" === 1, $"v" * 2).otherwise($"v"))
+      .withColumn("ts", when($"k" === 1, $"ts" * 2).otherwise($"ts"))
+    val state = spec(wrong)
+    val repaired = IncrementalAgg.reaggregateKeys(state,
+      history.filter($"k" === 1), Seq("k"), sums, mins, maxes)
+    // repaired state == clean full recompute, bit for bit — including
+    // max_ts shrinking from 40 back to 20, which merge() cannot do
+    assert(repaired.orderBy($"k").collect().toSeq ==
+      spec(history).orderBy($"k").collect().toSeq)
+    // a key with no history rows in the slice is untouched
+    val noop = IncrementalAgg.reaggregateKeys(state,
+      history.filter($"k" === 99), Seq("k"), sums, mins, maxes)
+    assert(noop.orderBy($"k").collect().toSeq ==
+      state.orderBy($"k").collect().toSeq)
+    // schema-mismatched rebuild spec fails loudly
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.reaggregateKeys(state, history.filter($"k" === 1),
+        Seq("k"), sums)
     }
   }
 
