@@ -2421,6 +2421,18 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // REAL image resize: pixel-carrying BMPs (closed-form dims AND
+      // closed-form pixel values) nearest-neighbor-resized to 8×8 and
+      // re-encoded; the emitted probe pixels put the whole decode →
+      // resize → re-encode → re-decode loop under the oracle, which
+      // replays the integer source-pixel mapping arithmetically.
+      Multimodal.extractResizeProbes(
+        Multimodal.syntheticPixelBmpAssets(par(s)(t(s, dir, "documents"))),
+        dstW = 8, dstH = 8)
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -4393,6 +4405,22 @@ object SparkEntry {
           |  THEN 'requirement failed: not a PNG payload (missing signature or truncated IHDR)'
           |  ELSE NULL END AS decode_error
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // nearest-neighbor probe replay: src dims are closed-form in
+      // doc_id, dst is 8×8, so probe (x,y) reads source pixel
+      // (x·srcW//8, y·srcH//8) whose value is (sx·31 + sy·17) mod 256
+      "mm_resize" -> {
+        def probe(x: Int, y: Int) =
+          s"CAST(((($x * w) // 8) * 31 + (($y * h) // 8) * 17) % 256 AS INT)"
+        s"""WITH d AS (SELECT doc_id,
+           |  4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents)
+           |SELECT doc_id AS asset_id,
+           | CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           | ${probe(1, 2)} AS p12,
+           | ${probe(4, 4)} AS pmid,
+           | ${probe(7, 7)} AS pend
+           |FROM d ORDER BY asset_id""".stripMargin
+      },
 
       // FakeCodec is closed-form over md5 of the utf-8 payload
       // (Multimodal.scala FakeCodec): dims from hex digits 1-3 / 4-6,

@@ -473,6 +473,139 @@ object Multimodal {
         col("__sc.mean_scene_len").as("mean_scene_len"))
   }
 
+  /** A COMPLETE 24-bit bottom-up BMP with REAL pixel data: pixel (x, y)
+    * — y counted from the top — carries (x·31 + y·17) mod 256 in all
+    * three channels, the closed form the resize oracle replays. Rows
+    * are stored bottom-up and padded to 4 bytes per the BMP spec, so
+    * [[resizeBmpNearest]] exercises genuine stride/row-order handling,
+    * not a convenient flat array. */
+  def bmpBytesWithPixels(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 1024 && height <= 1024,
+      "pixel fixture dims must be in [1, 1024]")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataSize = stride * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54) // file size, rsvd, offset
+      .putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(dataSize) // BI_RGB, image size
+      .putInt(0).putInt(0).putInt(0).putInt(0) // ppm, palette
+    var row = 0
+    while (row < height) {
+      val yTop = height - 1 - row // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val v = ((x * 31 + yTop * 17) % 256).toByte
+        buf.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** REAL nearest-neighbor resize of a 24-bit uncompressed bottom-up
+    * BMP — an actual pixel transform (source pixel (x·srcW div dstW,
+    * y·srcH div dstH) for each destination pixel, exact integer
+    * arithmetic so the mapping is engine-replayable), re-encoded as a
+    * spec-valid BMP. This is the thumbnail/down-res step of an image
+    * ingest pipeline done for the one format this JVM can decode
+    * without native libraries; a production deployment swaps the codec,
+    * not the operator shape ([[extractResizeProbes]]' mapPartitions
+    * batches). Malformed payloads throw; route or fail via the shared
+    * `routeErrors` policy. */
+  def resizeBmpNearest(
+      payload: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    require(dstW > 0 && dstH > 0, "target dims must be positive")
+    require(payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      "not a BMP payload (missing BM magic or truncated header)")
+    val srcW = leInt(payload, 18)
+    val srcH = leInt(payload, 22)
+    require(srcW > 0 && srcH > 0,
+      "resize requires a positive-dimension bottom-up BMP")
+    require(leShort(payload, 28) == 24 && leInt(payload, 30) == 0,
+      "resize supports 24-bit uncompressed BMP only")
+    val off = leInt(payload, 10)
+    val srcStride = (srcW * 3 + 3) / 4 * 4
+    require(off >= 54 && payload.length.toLong >= off.toLong +
+      srcStride.toLong * srcH, "truncated BMP pixel data")
+    val dstStride = (dstW * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + dstStride * dstH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dstStride * dstH).putInt(0).putInt(54)
+      .putInt(40).putInt(dstW).putInt(dstH)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dstStride * dstH)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    var row = 0
+    while (row < dstH) {
+      val yTop = dstH - 1 - row
+      val sy = yTop * srcH / dstH
+      val srcRowPos = off + (srcH - 1 - sy) * srcStride
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        val p = srcRowPos + sx * 3
+        buf.put(payload(p)).put(payload(p + 1)).put(payload(p + 2))
+        x += 1
+      }
+      var pad = dstStride - dstW * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** Wrap a doc corpus as REAL pixel-carrying BMP assets with
+    * closed-form dims (width = 4 + id mod 13, height = 4 + id mod 11)
+    * and the [[bmpBytesWithPixels]] pixel formula — the fixture for the
+    * genuine resize path. */
+  def syntheticPixelBmpAssets(docs: DataFrame): DataFrame = {
+    val mk = udf((id: Long) =>
+      bmpBytesWithPixels((4 + id % 13).toInt, (4 + id % 11).toInt))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/bmp").as("media_type"))
+  }
+
+  /** Resize every asset to (dstW, dstH) and emit PROBE PIXELS of the
+    * resized image — (out_w, out_h) re-parsed from the re-encoded
+    * header plus the blue-channel values at destination (1,2), (w/2,
+    * h/2) and (w−1, h−1) — so the whole decode → resize → re-encode →
+    * re-decode loop sits under the oracle: with [[bmpBytesWithPixels]]'
+    * closed-form source pixels and nearest-neighbor's exact integer
+    * mapping, each probe is pure arithmetic in (doc_id, dims). Blobs
+    * never shuffle; probes (a few ints per asset) do. */
+  def extractResizeProbes(
+      assets: DataFrame,
+      dstW: Int,
+      dstH: Int,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("out_w", IntegerType),
+        StructField("out_h", IntegerType),
+        StructField("p12", IntegerType),
+        StructField("pmid", IntegerType),
+        StructField("pend", IntegerType)),
+      payload => {
+        val resized = resizeBmpNearest(payload, dstW, dstH)
+        val w = leInt(resized, 18)
+        val h = leInt(resized, 22)
+        val off = leInt(resized, 10)
+        val stride = (w * 3 + 3) / 4 * 4
+        def px(x: Int, y: Int): Int =
+          resized(off + (h - 1 - y) * stride + x * 3) & 0xff
+        Seq[Any](w, h, px(1 min (w - 1), 2 min (h - 1)),
+          px(w / 2, h / 2), px(w - 1, h - 1))
+      }, routeErrors)
+
   /** A minimal canonical PCM WAV header (44 bytes) DECLARING `nSamples`
     * 16-bit samples — header-only consumers like [[WavCodec]] never read
     * the sample data, the same trick [[bmpBytes]] plays. */

@@ -220,6 +220,65 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resizeBmpNearest: real pixel transform — hand-checked mapping, " +
+    "stride/row-order handling, re-encoded header, malformed refusal") {
+    // 4x4 source, pixel (x,y from top) = (x*31 + y*17) % 256
+    val src = Multimodal.bmpBytesWithPixels(4, 4)
+    // source sanity: (0,0)=0, (1,0)=31, (0,1)=17, (3,3)=(93+51)%256=144
+    def px(b: Array[Byte], x: Int, y: Int): Int = {
+      val w = (b(18) & 0xff) | ((b(19) & 0xff) << 8)
+      val h = (b(22) & 0xff) | ((b(23) & 0xff) << 8)
+      val stride = (w * 3 + 3) / 4 * 4
+      b(54 + (h - 1 - y) * stride + x * 3) & 0xff
+    }
+    assert(px(src, 0, 0) == 0 && px(src, 1, 0) == 31 &&
+      px(src, 0, 1) == 17 && px(src, 3, 3) == 144)
+
+    // downsample 4x4 -> 2x2: dst (x,y) reads src (x*4/2, y*4/2) = (2x, 2y)
+    val down = Multimodal.resizeBmpNearest(src, 2, 2)
+    assert(px(down, 0, 0) == 0) // src (0,0)
+    assert(px(down, 1, 0) == 62) // src (2,0) = 62
+    assert(px(down, 0, 1) == 34) // src (0,2) = 34
+    assert(px(down, 1, 1) == 96) // src (2,2) = 62+34
+    // upsample 2x2 -> 4x4 from the downsample: dst (x,y) reads (x/2, y/2)
+    val up = Multimodal.resizeBmpNearest(down, 4, 4)
+    assert(px(up, 0, 0) == 0 && px(up, 1, 0) == 0 &&
+      px(up, 2, 0) == 62 && px(up, 3, 3) == 96)
+
+    // odd widths exercise row padding (stride 3*3=9 -> padded 12)
+    val odd = Multimodal.bmpBytesWithPixels(3, 2)
+    assert(px(odd, 2, 1) == (2 * 31 + 17) % 256)
+    assert(px(Multimodal.resizeBmpNearest(odd, 3, 2), 2, 1) == 79)
+
+    intercept[IllegalArgumentException] { // not a BMP
+      Multimodal.resizeBmpNearest("nope".getBytes("UTF-8"), 2, 2)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel data
+      Multimodal.resizeBmpNearest(src.take(60), 2, 2)
+    }
+    intercept[IllegalArgumentException] { // header-only fixture (no pixels)
+      Multimodal.resizeBmpNearest(Multimodal.bmpBytes(4, 4), 2, 2)
+    }
+  }
+
+  test("extractResizeProbes: closed-form probes round-trip through " +
+    "decode -> resize -> re-encode -> re-decode") {
+    val probes = Multimodal.extractResizeProbes(
+      Multimodal.syntheticPixelBmpAssets(docs), dstW = 8, dstH = 8)
+      .select($"asset_id", $"out_w", $"out_h", $"p12", $"pmid", $"pend")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    probes.values.foreach { case (id, w, h, p12, pmid, pend) =>
+      assert(w == 8 && h == 8)
+      val (sw, sh) = ((4 + id % 13).toInt, (4 + id % 11).toInt)
+      def expect(x: Int, y: Int) =
+        ((x * sw / 8) * 31 + (y * sh / 8) * 17) % 256
+      assert(p12 == expect(1, 2), s"id $id p12")
+      assert(pmid == expect(4, 4), s"id $id pmid")
+      assert(pend == expect(7, 7), s"id $id pend")
+    }
+  }
+
   test("WavCodec: parses real RIFF header bytes; build->parse roundtrip " +
     "holds across parameter sweep; malformed payloads fail loudly") {
     val wav = Multimodal.wavBytes(2, 44100, 44100) // 1 s stereo
