@@ -55,6 +55,15 @@ object SparkEntry {
   /** Exact integer cents: round(x*100) as long. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Per-PROCESS scratch root for the persisted-artifact queries
+    * (codebook/IVF-store round-trips). Within one Verify/Bench process
+    * the per-query subpaths never collide, but a fixed CWD-relative
+    * `target/...` raced when two harness processes overlapped (bench at
+    * sf0.1 while verify ran sf0.01) — each could read the other's
+    * half-overwritten store. A temp dir per process ends that. */
+  private lazy val artifactRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_artifacts_").toString
+
   /** Single-file stream-source glob — see [[Tables.streamGlob]] (one
     * shared definition on purpose). */
   private def streamGlob(path: String): String = Tables.streamGlob(path)
@@ -1300,7 +1309,7 @@ object SparkEntry {
       // checks.
       val emb = t(s, dir, "embeddings")
       val cb = Similarity.kmeansTrain(emb, k = 8, maxIters = 2)
-      val artifact = "target/codebook_ivf"
+      val artifact = s"$artifactRoot/codebook_ivf"
       Similarity.saveCodebook(s, cb, artifact)
       val loaded = Similarity.loadCodebook(s, artifact)
       val q = emb.filter(col("vec_id") === 0)
@@ -1334,7 +1343,7 @@ object SparkEntry {
       // oracle, bit for bit; ScaleSpec pins the numFiles skip.
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(emb, k = 8)
-      val store = "target/ivf_store"
+      val store = s"$artifactRoot/ivf_store"
       Similarity.writeIvfPartitioned(emb, cents, store)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0)
@@ -1363,7 +1372,7 @@ object SparkEntry {
       // oracle as the in-memory twin.
       val emb = t(s, dir, "embeddings")
       val cbs = Similarity.pqTrain(emb, d = 64, m = 4, k = 4, maxIters = 2)
-      val artifact = "target/codebook_pq"
+      val artifact = s"$artifactRoot/codebook_pq"
       Similarity.saveCodebooks(s, cbs, artifact)
       val loaded = Similarity.loadCodebooks(s, artifact)
       val q = emb.filter(col("vec_id") === 0)
@@ -1739,10 +1748,16 @@ object SparkEntry {
       // the moment-sketch extension of ev_agg_incremental: (sum, count,
       // sum-of-squares) state merges algebraically, and avg/variance are
       // DERIVED at read time — never stored, so they stay exact under
-      // merging. Sum-of-squares rides DECIMAL(38,0) (a long×long product
-      // sum overflows int64 at corpus scale); the variance numerator
-      // n·Σx²−(Σx)² is exact decimal with one final cast+division, so
-      // merge == full recompute AND engine == oracle bit-for-bit.
+      // merging. The STATE rides DECIMAL(38,0) (a long×long product sum
+      // overflows int64 at corpus scale), but the CHECK SURFACE is pure
+      // BIGINT: at verify SF the exact values fit int64 with orders of
+      // magnitude to spare, ANSI mode makes the narrowing cast loud if
+      // that ever stops being true, and int64 mul/sub + one int64→double
+      // cast + one IEEE division are bit-identical across every DuckDB
+      // version — unlike HUGEINT arithmetic or DECIMAL(38,0) output
+      // canonicalization, both of which proved oracle-version-sensitive
+      // (r13's one red row). varnum/varden expose the variance fraction
+      // as exact integers so var_v is redundant to the integer check.
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), cents(col("value")).as("v"))
       val keys = Seq("user_id")
@@ -1754,7 +1769,13 @@ object SparkEntry {
         sums = Seq("v"), sumsqs = Seq("v"))
       val merged = IncrementalAgg.merge(base, delta, keys,
         sums = Seq("v"), sumsqs = Seq("v"))
+      val sq = col("sumsq_v").cast("long")
       IncrementalAgg.derived(merged, avgs = Seq("v"), vars = Seq("v"))
+        .select(col("user_id"), col("n_rows"), col("sum_v"),
+          sq.as("sumsq_v"), col("avg_v"),
+          (col("n_rows") * sq - col("sum_v") * col("sum_v")).as("varnum_v"),
+          (col("n_rows") * col("n_rows")).as("varden_v"),
+          col("var_v"))
         .orderBy(col("user_id"))
     }),
 
@@ -4141,21 +4162,23 @@ object SparkEntry {
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // full recompute of the merged (sum, count, sum-sq) state plus the
-      // identical derived-moment recipe: exact HUGEINT/DECIMAL numerator,
-      // one cast to double, one IEEE division — bit-identical to the
-      // engine's decimal path
+      // identical derived-moment recipe, ALL in BIGINT: int64 mul/sub,
+      // one int64→double cast, one IEEE division. No HUGEINT, no DECIMAL
+      // in the output — both behaved differently across oracle DuckDB
+      // versions (r13's red row); int64 arithmetic cannot
       "ev_agg_incremental_stats" ->
         """WITH s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
           |  CAST(sum(v) AS BIGINT) AS sum_v,
-          |  CAST(sum(v * v) AS DECIMAL(38,0)) AS sumsq_v
+          |  CAST(sum(v * v) AS BIGINT) AS sumsq_v
           | FROM (SELECT user_id,
           |   CAST(round(value*100,0) AS BIGINT) AS v FROM events)
           | GROUP BY 1)
           |SELECT user_id, n_rows, sum_v, sumsq_v,
           | CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_v,
-          | CAST(CAST(n_rows AS HUGEINT) * CAST(sumsq_v AS HUGEINT)
-          |     - CAST(sum_v AS HUGEINT) * CAST(sum_v AS HUGEINT) AS DOUBLE)
-          |   / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS var_v
+          | n_rows * sumsq_v - sum_v * sum_v AS varnum_v,
+          | n_rows * n_rows AS varden_v,
+          | CAST(n_rows * sumsq_v - sum_v * sum_v AS DOUBLE)
+          |   / CAST(n_rows * n_rows AS DOUBLE) AS var_v
           |FROM s ORDER BY 1""".stripMargin,
 
       // independent BETWEEN formulation over lead()-built intervals —

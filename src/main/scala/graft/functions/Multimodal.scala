@@ -521,6 +521,11 @@ object Multimodal {
   def resizeBmpNearest(
       payload: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
     require(dstW > 0 && dstH > 0, "target dims must be positive")
+    // mirror bmpBytesWithPixels' cap: without it, 54 + stride*h for a
+    // huge request overflows Int and dies with an opaque allocate error
+    // instead of a contract message
+    require(dstW <= 4096 && dstH <= 4096,
+      s"target dims ${dstW}x$dstH exceed the 4096x4096 resize cap")
     require(payload.length >= 54 &&
       payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
       "not a BMP payload (missing BM magic or truncated header)")

@@ -32,8 +32,12 @@ class GateIntegritySpec extends SparkSuite {
       // a TOP-LEVEL ORDER BY, not substring containment — a window's
       // OVER (ORDER BY ...) or a subquery's ORDER BY must not satisfy
       // the check. Rule: the LAST ORDER BY sits at paren depth 0 (order
-      // keys may still call functions — coalesce(...) etc. — after it)
-      val up = sql.toUpperCase
+      // keys may still call functions — coalesce(...) etc. — after it).
+      // Single-quoted literals are blanked first: several oracles embed
+      // regexes, and an unbalanced '(' inside a string would corrupt the
+      // depth count (DuckDB strings escape a quote by doubling it, which
+      // this regex handles as two adjacent literals)
+      val up = sql.toUpperCase.replaceAll("'[^']*'", "''")
       val ob = up.lastIndexOf("ORDER BY")
       def depthAt(i: Int): Int =
         up.take(i).count(_ == '(') - up.take(i).count(_ == ')')
