@@ -1382,6 +1382,24 @@ object SparkEntry {
       Similarity.pqAdcTopK(codes, loaded, q, k = 10)
     }),
 
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // the billion-scale composite: the store holds (vec_id, codes)
+      // ONLY, partitioned by coarse cell — a probe directory-skips to
+      // nprobe/k of the files AND reads no vector bytes inside them
+      // (both pinned in ScaleSpec). Seed coarse codebook (= sim_ivf's),
+      // trained PQ codebooks (= sim_pq_adc's), so the oracle is the
+      // composition of the two green replays: ADC ranking restricted to
+      // probed cells.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      val cbs = Similarity.pqTrain(emb, d = 64, m = 4, k = 4, maxIters = 2)
+      val store = s"$artifactRoot/ivfpq_store"
+      Similarity.writeIvfPqPartitioned(emb, cents, cbs, store)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.ivfPqTopK(s, store, cents, cbs, q, k = 10, nprobe = 3)
+    }),
+
     // ---- Text analysis over documents --------------------------------
 
     "text_langid" -> ((s, dir) => {
@@ -1802,6 +1820,46 @@ object SparkEntry {
       val corrected = ev.filter(col("user_id") % 10 === 0)
       IncrementalAgg.reaggregateKeys(state, corrected, keys,
         sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    "ev_agg_incremental_persisted" -> ((s, dir) => {
+      // the full daily-rollup lifecycle through a COLD artifact: state
+      // built from a wrong feed (doubled cents for user_id%10==0) is
+      // written to parquet, RELOADED, absorbs a delta batch by algebraic
+      // merge, then takes the targeted correction via reaggregateKeys —
+      // all downstream of the disk round-trip. Longs and DECIMAL(38,0)
+      // round-trip parquet exactly, so the chain must equal a clean full
+      // recompute bit-for-bit (the oracle). sumsq rides through the
+      // whole chain in decimal; the check surface casts it to BIGINT
+      // (the version-proof rule from ev_agg_incremental_stats).
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("v"))
+      val keys = Seq("user_id")
+      val wrong = ev.withColumn("v",
+        when(col("user_id") % 10 === 0, col("v") * 2).otherwise(col("v")))
+      val base = IncrementalAgg.aggregate(
+        wrong.filter(col("event_id") % 4 =!= 0), keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"),
+        sumsqs = Seq("v"))
+      val store = s"$artifactRoot/incagg_state"
+      IncrementalAgg.saveState(base, store)
+      val loaded = IncrementalAgg.loadState(s, store, keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"),
+        sumsqs = Seq("v"))
+      val delta = IncrementalAgg.aggregate(
+        wrong.filter(col("event_id") % 4 === 0), keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"),
+        sumsqs = Seq("v"))
+      val merged = IncrementalAgg.merge(loaded, delta, keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"),
+        sumsqs = Seq("v"))
+      val corrected = ev.drop("event_id").filter(col("user_id") % 10 === 0)
+      IncrementalAgg.reaggregateKeys(merged, corrected, keys,
+        sums = Seq("v"), mins = Seq("ts_us"), maxes = Seq("ts_us"),
+        sumsqs = Seq("v"))
+        .withColumn("sumsq_v", col("sumsq_v").cast("long"))
         .orderBy(col("user_id"))
     }),
 
@@ -3264,6 +3322,35 @@ object SparkEntry {
            |ORDER BY adist, vec_id LIMIT 10""".stripMargin
       },
 
+      // the sim_pq_adc ADC ranking restricted to the sim_ivf_topk
+      // probed cells: the two green replays composed — seed coarse
+      // codebook for probe/assign, trained PQ codebooks for the dists
+      "sim_ivfpq_topk" -> {
+        val subs = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2, k = 4))
+          .mkString(",\n")
+        val dists = (0 until 4).map { j =>
+          s"""d$j AS (SELECT f.vec_id,
+             |  ${duckL2(s"(SELECT embedding[${j * 16 + 1}:${(j + 1) * 16}] FROM embeddings WHERE vec_id = 0)", "c.ce")} AS d
+             | FROM p${j}f f JOIN p${j}c2 c ON c.cid = f.code)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $subs,
+           |$dists,
+           |cc AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM cc, q
+           |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),
+           |assign AS (SELECT e.vec_id,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN cc c GROUP BY e.vec_id, e.embedding)
+           |SELECT d0.vec_id, ((d0.d + d1.d) + d2.d) + d3.d AS adist
+           |FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+           | JOIN d3 USING (vec_id) JOIN assign a ON a.vec_id = d0.vec_id
+           |WHERE a.cell IN (SELECT cid FROM probe)
+           |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+      },
+
       // four independent sliced replays of the SAME training recipe,
       // one per subspace, then the four assignments unioned
       "emb_pq_codes" -> {
@@ -4160,6 +4247,19 @@ object SparkEntry {
           | min(epoch_us(ts)) AS min_ts_us,
           | max(epoch_us(ts)) AS max_ts_us
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the persisted chain (save → cold reload → merge → rekey) must
+      // land on a clean full recompute exactly — the wrong-feed doubling
+      // and the disk round-trip both cancel out of the final state
+      "ev_agg_incremental_persisted" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+          |  CAST(round(value*100,0) AS BIGINT) AS v FROM events)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(v) AS BIGINT) AS sum_v,
+          | min(ts_us) AS min_ts_us,
+          | max(ts_us) AS max_ts_us,
+          | CAST(sum(v * v) AS BIGINT) AS sumsq_v
+          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // full recompute of the merged (sum, count, sum-sq) state plus the
       // identical derived-moment recipe, ALL in BIGINT: int64 mul/sub,

@@ -539,6 +539,60 @@ object Similarity {
       .orderBy(col("adist").asc, col(idCol)).limit(k)
   }
 
+  // ------------------------------------------------------- IVF-PQ composite
+
+  /** The IVF-PQ composite index build — the standard billion-vector
+    * layout (Jégou et al., PAMI 2011; the FAISS `IVFPQ` family): every
+    * vector is coarse-assigned to an IVF cell AND compressed to its m
+    * PQ sub-codes, and the store persists ONLY (id, codes) rows,
+    * partitioned by cell. Raw vectors never reach the store: a probe
+    * job reads m small ints per row from nprobe/k of the directories —
+    * the two pruning axes (directory skip × code-only bytes) multiply.
+    * Both assignments are literal-codebook narrow projections
+    * ([[ivfAssign]]/[[pqAssign]]), so the build is one scan of the
+    * corpus with no shuffle beyond the partitioned write itself.
+    *
+    * Codes here quantize the RAW vector, not the cell residual
+    * (`by_residual=false` in FAISS terms): one shared LUT set serves
+    * every probed cell, keeping the ADC scan a pure literal-lookup
+    * projection — the residual variant would need per-cell LUTs (k×m×k
+    * doubles) compiled into the plan. Recall at equal code budget is
+    * lower; the trade is documented, not accidental. */
+  def writeIvfPqPartitioned(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    corpus
+      .select(col(idCol),
+        pqAssign(col(vecCol), codebooks).as("codes"),
+        ivfAssign(col(vecCol), centroids).as("ivf_cell"))
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+
+  /** Top-k over a [[writeIvfPqPartitioned]] store: the probed-cell
+    * filter is a PARTITION filter (directory skip — unprobed cells
+    * contribute zero files), and within the probed cells the scan reads
+    * codes only (the store HAS no vector column) for [[pqAdcTopK]]'s
+    * LUT-sum scoring. `ScaleSpec` pins both properties via the executed
+    * scan's numFiles and its ReadSchema. Same ranking as [[pqAdcTopK]]
+    * over the probed subset, bit for bit. */
+  def ivfPqTopK(
+      spark: SparkSession,
+      path: String,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val probed = probeCells(centroids, queryVec, nprobe)
+    pqAdcTopK(
+      spark.read.parquet(path).filter(col("ivf_cell").isin(probed: _*)),
+      codebooks, queryVec, k, idCol)
+  }
+
   /** Embedding-distribution DRIFT monitor: per-(label, dim) mean gap
     * between two corpus slices — the check a continuously-ingesting
     * embedding pipeline runs before trusting trained artifacts

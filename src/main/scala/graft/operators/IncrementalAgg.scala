@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Algebraic partial-aggregate maintenance: keep a per-key aggregate
@@ -130,6 +130,46 @@ object IncrementalAgg {
         s"the rebuild spec's [${rebuilt.columns.mkString(", ")}]")
     state.join(rebuilt.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(rebuilt)
+  }
+
+  /** Persist a state frame as a parquet table — the artifact side of the
+    * daily-rollup story (the [[graft.functions.Similarity.saveCodebooks]]
+    * pattern applied to aggregate state): the trainer/backfill job writes
+    * keys × a few numbers once, and every later merge/rekey/read job
+    * starts from the RELOADED artifact instead of re-scanning raw
+    * history. Longs and DECIMAL(38,0) both round-trip parquet exactly
+    * (fixed-point physical encodings, no float re-parse), so a reloaded
+    * state merges bit-identically to the in-memory frame it was written
+    * from — [[IncrementalAggSpec]] pins that equality. The write keeps
+    * the state's natural partitioning; at 100 TB the state frame is
+    * orders of magnitude smaller than the corpus, so this is a small,
+    * key-hashed table, not a data lake. */
+  def saveState(state: DataFrame, path: String): Unit =
+    state.write.mode("overwrite").parquet(path)
+
+  /** Load [[saveState]] output, validated against the caller's spec the
+    * way [[merge]] validates its frames: a state table whose columns
+    * don't cover the spec fails LOUDLY at load (a schema drift between
+    * the writer job and a later reader is an operational error, not a
+    * silent column drop). Columns are re-selected in canonical spec
+    * order so the reload composes with [[merge]]'s positional
+    * schema check regardless of on-disk column order. */
+  def loadState(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      sums: Seq[String],
+      mins: Seq[String] = Nil,
+      maxes: Seq[String] = Nil,
+      sumsqs: Seq[String] = Nil): DataFrame = {
+    val expected = keys ++ Seq("n_rows") ++ sums.map("sum_" + _) ++
+      mins.map("min_" + _) ++ maxes.map("max_" + _) ++
+      sumsqs.map("sumsq_" + _)
+    val df = spark.read.parquet(path)
+    require(df.columns.sorted.sameElements(expected.sorted.distinct),
+      s"state at $path carries [${df.columns.mkString(", ")}] but the " +
+        s"spec expects [${expected.mkString(", ")}]")
+    df.select(expected.map(col): _*)
   }
 
   /** Read-time DERIVED view over a state frame: `avg_<c>` for each

@@ -114,6 +114,38 @@ class IncrementalAggSpec extends SparkSuite {
     }
   }
 
+  test("saveState/loadState: the reloaded state merges bit-identically " +
+    "to the in-memory frame it was written from") {
+    val a = Seq((1L, 10L, 100L), (1L, 20L, 50L), (2L, 5L, 7L))
+      .toDF("k", "ts", "v")
+    val b = Seq((1L, 5L, 25L), (3L, 99L, 1L)).toDF("k", "ts", "v")
+    val base = IncrementalAgg.aggregate(a, Seq("k"), sums, mins, maxes,
+      sumsqs = Seq("v"))
+    val delta = IncrementalAgg.aggregate(b, Seq("k"), sums, mins, maxes,
+      sumsqs = Seq("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft-incagg")
+      .resolve("state").toString
+    IncrementalAgg.saveState(base, path)
+    val loaded = IncrementalAgg.loadState(spark, path, Seq("k"),
+      sums, mins, maxes, sumsqs = Seq("v"))
+    // the round-trip itself is exact — longs and decimal(38,0) alike
+    assert(loaded.orderBy($"k").collect().toSeq ==
+      base.orderBy($"k").collect().toSeq)
+    // and the chain downstream of the cold reload equals the in-memory
+    // chain bit for bit
+    val viaDisk = IncrementalAgg.merge(loaded, delta, Seq("k"),
+      sums, mins, maxes, sumsqs = Seq("v"))
+    val inMem = IncrementalAgg.merge(base, delta, Seq("k"),
+      sums, mins, maxes, sumsqs = Seq("v"))
+    assert(viaDisk.orderBy($"k").collect().toSeq ==
+      inMem.orderBy($"k").collect().toSeq)
+    // a spec that doesn't cover the stored table fails loudly at load
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.loadState(spark, path, Seq("k"), sums)
+    }
+    assert(e.getMessage.contains("spec expects"))
+  }
+
   test("merge rejects mismatched state schemas") {
     val st = IncrementalAgg.aggregate(
       Seq((1L, 1L, 1L)).toDF("k", "ts", "v"), Seq("k"), sums, mins, maxes)

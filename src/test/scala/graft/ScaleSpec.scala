@@ -355,6 +355,61 @@ class ScaleSpec extends SparkSuite {
       mem.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("IVF-PQ composite store: directory skip AND codes-only scan — " +
+    "no vector bytes read, results equal ADC over the probed subset") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroids(corpus, k = 8)
+    val cbs = Similarity.pqTrain(corpus, d = 64, m = 4, k = 4, maxIters = 1)
+    val store = Files.createTempDirectory("graft-ivfpq").toFile.getAbsolutePath
+    Similarity.writeIvfPqPartitioned(corpus, cents, cbs, store)
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"embedding").first().getSeq[Float](0)
+
+    val probe = Similarity.ivfPqTopK(spark, store, cents, cbs, q,
+      k = 10, nprobe = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    // axis 1: the probed-cell filter lands as a directory-level
+    // partition filter
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters: [")).getOrElse("")
+    assert(pf.contains("ivf_cell"),
+      s"probe filter did not land as a partition filter:\n$plan")
+    // axis 2: the scan reads codes only — the store carries no vector
+    // column at all, so no schema regression can sneak one back in
+    val rs = plan.linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse("")
+    assert(rs.contains("codes") && !rs.contains("embedding"),
+      s"ADC scan should read codes only:\n$rs")
+    assert(!spark.read.parquet(store).columns.contains("embedding"),
+      "composite store must not persist raw vectors")
+    // executed-scan numFiles: 3 of >=8 cell directories touched
+    val got = probe.collect()
+    val totalFiles = spark.read.parquet(store).inputFiles.length
+    val scanFiles = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(totalFiles >= 8, s"store should span >=8 cell directories")
+    assert(scanFiles > 0 && scanFiles < totalFiles,
+      s"probe read $scanFiles of $totalFiles files — no directory skip")
+
+    // ranking equals pqAdcTopK over the probed subset of an in-memory
+    // encode — the composite adds pruning, never changes the math.
+    // Probe set recomputed the way ivfPqTopK derives it: nprobe nearest
+    // centroids by L2, ties to the lower id
+    val probed = cents.zipWithIndex.map { case (cvec, i) =>
+      (cvec.zip(q).foldLeft(0.0) { case (acc, (x, qq)) =>
+        val dd = x.toDouble - qq.toDouble; acc + dd * dd
+      }, i)
+    }.sorted.take(3).map(_._2)
+    val codes = corpus.select($"vec_id",
+      Similarity.pqAssign($"embedding", cbs).as("codes"),
+      Similarity.ivfAssign($"embedding", cents).as("cell"))
+    val memProbed = Similarity.pqAdcTopK(
+      codes.filter($"cell".isin(probed.map(Integer.valueOf): _*)),
+      cbs, q, k = 10).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      memProbed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
