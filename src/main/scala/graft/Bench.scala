@@ -76,7 +76,18 @@ object Bench {
     // driver captures the output TAIL, and with totals-first the growing
     // passTimes map pushed "metric"/"value" out of the captured window in
     // r5 — the artifact must stay self-contained under tail truncation.
-    println(s"""{"passTimes":$raw,"failed":$failed,"passes":$passes,"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val line = s"""{"passTimes":$raw,"failed":$failed,"passes":$passes,"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the stdout TAIL, which truncates the
+    // per-query map once the suite is large (r13 kept 62 of 146 times) —
+    // so the FULL line is also written as a file artifact; each round
+    // commits a copy (bench/BENCH_LOCAL_r*.json) so round-over-round
+    // attribution can diff every query, not the tail that survived.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Intervals, Layout, RollingAgg, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Intervals, Layout, RollingAgg, Skew, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
-import graft.streaming.{Sessionize, StreamDedup, StreamGate}
+import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -338,6 +338,26 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q20_skew_salted" -> ((s, dir) => {
+      // the skew mechanism under the oracle: lineitem's return flag has
+      // THREE values — every key is a hot key, the worst case a plain
+      // hash join degenerates to three straggler reducers on. The salted
+      // join scatters each hot key across 16 sub-keys and must produce
+      // exactly the plain join's rows (the salt never leaves the
+      // operator); the post-join aggregation makes the check
+      // scatter-invariant and the oracle is the unsalted join in SQL.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_cents"))
+      val dim = li.groupBy(col("l_returnflag"))
+        .agg(max(col("qty_cents")).as("max_qty_cents"))
+      Skew.saltedJoin(li, dim, Seq("l_returnflag"), salts = 16)
+        .groupBy(col("l_returnflag"), col("max_qty_cents"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("qty_cents") === col("max_qty_cents"), 1L)
+            .otherwise(0L)).as("n_at_max"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q19_communities" -> ((s, dir) => {
       // label-propagation communities over the part co-occurrence graph
       // (DISTINCT edges — votes are unweighted): 3 deterministic sync
@@ -575,7 +595,7 @@ object SparkEntry {
         (col("c_custkey") * 7).cast("string").as("Barcode"),
         col("c_name").as("title"))
       val staged = CsvStage.writeStage(
-        items, "target/csv_roundtrip/items.csv", "f_")
+        items, s"$artifactRoot/csv_roundtrip/items.csv", "f_")
       CsvStage.read(s, staged).withColumn("dialect", lit("spark"))
         .unionByName(
           CsvStage.readNaive(s, staged).withColumn("dialect", lit("naive")))
@@ -2080,7 +2100,7 @@ object SparkEntry {
       // first occurrences emit immediately — no flush sentinel needed.
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      val staging = "target/stream_dedup_input"
+      val staging = s"$artifactRoot/stream_dedup_input"
       ev.unionByName(ev).write.mode("overwrite").parquet(staging)
       val schema = s.read.parquet(staging).schema
       val deduped = Sessionize.dedupStream(
@@ -2163,7 +2183,7 @@ object SparkEntry {
       val sentinel = s.range(1).select(lit(-1L).as("key"),
         expr(s"timestamp_micros($sentinelUs)").as("ts"),
         lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
-      val staging = "target/stream_asof_input"
+      val staging = s"$artifactRoot/stream_asof_input"
       val schema = stageWithSentinel(s,
         clicks.unionByName(purchases).unionByName(sentinel), staging,
         guardCol = "key", horizonUs = 3600000000L) // the watermark delay
@@ -2205,7 +2225,7 @@ object SparkEntry {
       val sentinel = s.range(1).select(lit(-1L).as("key"),
         expr(s"timestamp_micros($sentinelUs)").as("ts"),
         lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
-      val staging = "target/stream_asof_tol_input"
+      val staging = s"$artifactRoot/stream_asof_tol_input"
       val schema = stageWithSentinel(s,
         clicks.unionByName(purchases).unionByName(sentinel), staging,
         guardCol = "key", horizonUs = 3600000000L) // the watermark delay
@@ -2247,7 +2267,7 @@ object SparkEntry {
       val sentinel = s.range(1).select(lit(-1L).as("key"),
         expr(s"timestamp_micros($sentinelUs)").as("ts"),
         lit(true).as("is_left"), lit(-1L).as("id"), lit(0L).as("cents"))
-      val staging = "target/stream_asof_fwd_input"
+      val staging = s"$artifactRoot/stream_asof_fwd_input"
       val schema = stageWithSentinel(s,
         clicks.unionByName(purchases).unionByName(sentinel), staging,
         guardCol = "key",
@@ -2293,7 +2313,7 @@ object SparkEntry {
           .as("r"))
         .select(col("r.event_id"), col("r.ts"), col("r.user_id"),
           col("r.event_type"))
-      val staging = "target/stream_range_outer_input"
+      val staging = s"$artifactRoot/stream_range_outer_input"
       val schema = stageWithSentinel(s, ev.unionByName(sentinels), staging,
         guardCol = "user_id",
         horizonUs = 3600000000L + 1800000000L) // watermark delay + range
@@ -2372,7 +2392,7 @@ object SparkEntry {
         lit(-1L).as("user_id"),
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"))
-      val staging = "target/stream_sessionize_input"
+      val staging = s"$artifactRoot/stream_sessionize_input"
       val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
         guardCol = "user_id",
         horizonUs = 30L * 60L * 1000000L) // the session gap
@@ -2393,6 +2413,87 @@ object SparkEntry {
           unix_micros(col("session_end")).as("end_us"),
           col("value_cents"))
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    "ev_stream_funnel" -> ((s, dir) => {
+      // the per-user step-state machine against the SAME oracle as the
+      // batch ev_funnel: step-typed events buffer in state until the
+      // watermark passes the user's quiet horizon, then the in-order
+      // fold runs once and emits the converting user's row (Append — a
+      // funnel row is final by construction when it flushes). The
+      // far-future sentinel advances the watermark past every real
+      // user's horizon so the no-data microbatch fires all timeouts;
+      // its event_type is not a step, so it never reaches state.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = s"$artifactRoot/stream_funnel_input"
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 30L * 60L * 1000000L) // the funnel quiet horizon
+      val hits = FunnelStream.funnelStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.Event],
+        steps = Seq("signup", "click", "purchase"), horizonMinutes = 30)
+      Sessionize.runToMemory(s, hits.toDF(), "ev_stream_funnel_sink",
+        OutputMode.Append, statePartitions = 8)
+        // uncompleted steps are absent from times_us; try_element_at
+        // nulls them — the batch twin's left-join null columns
+        .select(col("user_id"),
+          expr("try_element_at(times_us, 1)").as("t1_us"),
+          expr("try_element_at(times_us, 2)").as("t2_us"),
+          expr("try_element_at(times_us, 3)").as("t3_us"),
+          col("funnel_depth"))
+        .orderBy(col("user_id"))
+    }),
+
+    "ev_stream_attribution" -> ((s, dir) => {
+      // linear attribution as a watermark-final per-user state machine
+      // against the SAME oracle as the batch ev_attribution: purchases
+      // and clicks ride one tagged stream; a purchase's credit rows
+      // emit when the watermark clears its timestamp (every qualifying
+      // click has ts <= purchase ts, so the split is final — Append
+      // without retraction). The sentinel rides as a touch for user -1
+      // (touches never emit), advancing the watermark past every real
+      // purchase so the no-data microbatch flushes the suite.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("click").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = s"$artifactRoot/stream_attr_input"
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 21600000000L) // the 6 h lookback = watermark delay
+      val tagged = s.readStream.schema(schema).parquet(staging)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (col("event_type") === "purchase").as("isConv"),
+          cents(col("value")).as("cents"))
+        .as[AttributionStream.AttrEvent]
+      val out = AttributionStream.linearStream(tagged,
+        lookbackMicros = 21600000000L, delay = "6 hours")
+      Sessionize.runToMemory(s, out.toDF(), "ev_stream_attr_sink",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("p_event_id"), col("p_ts_us"),
+          col("p_cents"), col("c_event_id"), col("c_ts_us"),
+          col("n_touches"), col("credit"))
+        .orderBy(col("p_event_id"), coalesce(col("c_event_id"), lit(-1L)))
     }),
 
     // ---- Multimodal binary columns -----------------------------------
@@ -2818,6 +2919,21 @@ object SparkEntry {
 
       // the same three sync rounds unrolled: count votes per (node,
       // label), argmax via the same lexical min(-count, label) struct
+      // the UNSALTED join — the salted engine plan must reproduce it
+      // exactly, salts cancelling out of every aggregate
+      "q20_skew_salted" ->
+        """WITH li AS (SELECT l_returnflag,
+          |  CAST(round(l_quantity*100,0) AS BIGINT) AS qty_cents
+          | FROM lineitem),
+          |d AS (SELECT l_returnflag, max(qty_cents) AS max_qty_cents
+          | FROM li GROUP BY 1)
+          |SELECT l.l_returnflag, d.max_qty_cents,
+          | CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(CASE WHEN l.qty_cents = d.max_qty_cents
+          |   THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max
+          |FROM li l JOIN d USING (l_returnflag)
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
       "q19_communities" -> {
         val iter = (1 to 3).map { i =>
           s"""cnt$i AS (SELECT e.dst AS node, l.lbl,
@@ -4663,6 +4779,8 @@ object SparkEntry {
     base +
       ("sim_pq_adc_trained" -> base("sim_pq_adc")) +
       ("sim_ivf_topk_partitioned" -> base("sim_ivf_topk")) +
-      ("text_stream_sample_weighted" -> base("text_sample_weighted"))
+      ("text_stream_sample_weighted" -> base("text_sample_weighted")) +
+      ("ev_stream_funnel" -> base("ev_funnel")) +
+      ("ev_stream_attribution" -> base("ev_attribution"))
   }
 }

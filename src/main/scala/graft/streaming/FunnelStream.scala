@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.operators.Funnel.funnel]]: a per-user
+  * step-state machine over `flatMapGroupsWithState`, watermark-final.
+  *
+  * The batch funnel's semantics ("earliest step-1 time, then the
+  * earliest step-2 event STRICTLY AFTER it, …") are a sequential fold
+  * over the user's step-typed events in (ts, event_id) order — and that
+  * order is exactly what an unbounded stream cannot promise per batch.
+  * A greedy fold over arrival order would lock in wrong step times the
+  * moment one event arrives out of order (a late early signup must
+  * retroactively shift every later step). So the state machine is
+  * watermark-FINAL, not eager: a user's step-typed events BUFFER in
+  * state until the watermark passes the user's horizon, and the fold —
+  * sort by (ts_us, event_id), advance depth on each `steps(depth)`
+  * event strictly after the previous step time — runs once, at flush,
+  * when event-time order is settled. On a full bounded replay the
+  * result therefore equals `Funnel.funnel` exactly, which is what the
+  * shared DuckDB oracle checks.
+  *
+  * Scale contract: state per user is the step-TYPED events inside the
+  * watermark horizon (the `stepSet` filter runs stream-side, before
+  * grouping — other event types never reach state), emitted rows are
+  * one per converting user, and the shuffle key is the user id — the
+  * same key every other per-user stateful operator here uses. For a
+  * funnel whose horizon must span weeks at 100-TB event rates, the
+  * production hardening is per-step eager finalization below the
+  * watermark (fold the prefix of the buffer older than the watermark
+  * into locked step times and drop it); the flush-time fold is the
+  * semantics, that refinement is an allocation optimization and is
+  * deliberately not done here.
+  */
+object FunnelStream extends Serializable {
+
+  /** One buffered step-typed event. */
+  final case class FunnelEv(ts_us: Long, event_id: Long, event_type: String)
+  // not private: the state encoder's generated code must reach the class
+  final case class FunnelBuf(buf: List[FunnelEv], lastTsUs: Long)
+  /** A converting user: `times_us(i)` is step i+1's completion time;
+    * length == funnel_depth (uncompleted steps are absent, the batch
+    * twin's null columns). */
+  final case class FunnelHit(user_id: Long, times_us: Seq[Long],
+      funnel_depth: Long)
+
+  /** @param steps           ordered event types, as in the batch funnel
+    * @param horizonMinutes  event-time quiet period after a user's last
+    *                        step-typed event before their funnel row is
+    *                        final (also the watermark delay) */
+  def funnelStream(
+      events: Dataset[Sessionize.Event],
+      steps: Seq[String],
+      horizonMinutes: Int = 30): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+    val horizonMs = horizonMinutes * 60L * 1000L
+
+    // full microsecond precision, as in sessionizeStream: getTime is
+    // ms-truncated and the batch twin compares unix_micros
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    // the batch funnel's per-step conditional-min chain as one in-order
+    // pass: scanning in (ts, id) order, the first steps(depth) event
+    // strictly after times(depth-1) IS that step's earliest qualifier
+    def fold(buf: List[FunnelEv]): List[Long] = {
+      val times = new Array[Long](steps.length)
+      var depth = 0
+      buf.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (depth < steps.length && e.event_type == steps(depth) &&
+          (depth == 0 || e.ts_us > times(depth - 1))) {
+          times(depth) = e.ts_us
+          depth += 1
+        }
+      }
+      times.take(depth).toList
+    }
+
+    def update(
+        userId: Long,
+        rows: Iterator[Sessionize.Event],
+        state: GroupState[FunnelBuf]): Iterator[FunnelHit] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        val times = fold(s.buf)
+        // one row per user that completed step 1 — the batch contract
+        return if (times.nonEmpty)
+          Iterator.single(FunnelHit(userId, times, times.length.toLong))
+        else Iterator.empty
+      }
+      val prev = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
+      val incoming = rows.map(e =>
+        FunnelEv(micros(e.ts), e.event_id, e.event_type)).toList
+      val next = FunnelBuf(incoming reverse_::: prev.buf,
+        incoming.foldLeft(prev.lastTsUs)((m, e) => math.max(m, e.ts_us)))
+      state.update(next)
+      // flush when the watermark passes the user's quiet horizon;
+      // clamp above the watermark (a batch of wholly-late events could
+      // otherwise register a timeout Spark rejects)
+      state.setTimeoutTimestamp(
+        math.max(next.lastTsUs / 1000L + horizonMs,
+          state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      // only step-typed events reach state — AFTER the watermark node,
+      // so flush sentinels of other types still advance event time
+      .filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{FunnelStream, Sessionize}
+import graft.streaming.Sessionize.Event
+
+/** The streaming funnel's watermark-final contract: step-typed events
+  * buffer until the user's horizon passes, the fold runs in event-time
+  * order regardless of ARRIVAL order, and the result equals the batch
+  * funnel. */
+class FunnelStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp((100000L + minutes) * 60000L)
+
+  // user 1 converts fully; user 2 stalls after signup (their only click
+  // is BEFORE the signup, so strictly-after rejects it); user 3 never
+  // signs up (clicks/purchases only — no funnel row at all)
+  private val events = Seq(
+    Event(1L, ts(0), 1L, "signup", 0.0),
+    Event(2L, ts(5), 1L, "click", 0.0),
+    Event(3L, ts(9), 1L, "purchase", 1.0),
+    Event(4L, ts(3), 2L, "click", 0.0),
+    Event(5L, ts(4), 2L, "signup", 0.0),
+    Event(6L, ts(2), 3L, "click", 0.0),
+    Event(7L, ts(6), 3L, "purchase", 1.0))
+
+  private val steps = Seq("signup", "click", "purchase")
+
+  private var runIdx = 0
+  private def runStream(batches: Seq[Seq[Event]]): Map[Long, (Seq[Long], Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    runIdx += 1
+    val sink = s"funnel_stream_test_$runIdx"
+    val stream = MemoryStream[Event]
+    val hits = FunnelStream.funnelStream(stream.toDS(), steps,
+      horizonMinutes = 30)
+    val query = hits.writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+      // two far-future flush rows: the first advances the watermark, the
+      // following no-data handling fires the registered timeouts
+      stream.addData(Event(98L, ts(5000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      stream.addData(Event(99L, ts(9000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      spark.table(sink).filter($"user_id" < 9L)
+        .as[FunnelStream.FunnelHit].collect()
+        .map(h => h.user_id -> ((h.times_us, h.funnel_depth))).toMap
+    } finally query.stop()
+  }
+
+  private def micros(t: Timestamp): Long = t.getTime * 1000L
+
+  test("converges to the batch funnel on in-order delivery") {
+    val out = runStream(Seq(events))
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((Seq(micros(ts(0)), micros(ts(5)), micros(ts(9))), 3L)))
+    assert(out(2L) == ((Seq(micros(ts(4))), 1L)))
+
+    // and bit-equal to the batch operator over the same rows
+    val batch = graft.operators.Funnel.funnel(events.toDF(), steps)
+      .select($"user_id", $"t1", $"t2", $"t3", $"funnel_depth").collect()
+      .map(r => r.getLong(0) -> ((
+        Seq(Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))).flatten.map(micros), r.getLong(4)))).toMap
+    assert(out == batch)
+  }
+
+  test("out-of-order arrival within the horizon does not lock in wrong " +
+    "step times — the fold is watermark-final") {
+    // user 1's purchase and click arrive BEFORE the signup; an eager
+    // fold would leave the user at depth 0 forever
+    val shuffled = Seq(
+      Seq(events(2), events(1)), // purchase, click first
+      Seq(events(0)),            // signup arrives late (within horizon)
+      events.drop(3).map(identity))
+    val out = runStream(shuffled)
+    assert(out(1L) == ((Seq(micros(ts(0)), micros(ts(5)), micros(ts(9))), 3L)))
+    assert(out(2L) == ((Seq(micros(ts(4))), 1L)))
+  }
+
+  test("equal timestamps: strictly-after rejects a same-instant next step") {
+    val sameTs = Seq(
+      Event(1L, ts(0), 7L, "signup", 0.0),
+      Event(2L, ts(0), 7L, "click", 0.0), // same instant: not strictly after
+      Event(3L, ts(1), 7L, "click", 0.0))
+    val out = runStream(Seq(sameTs))
+    assert(out(7L) == ((Seq(micros(ts(0)), micros(ts(1))), 2L)))
+  }
+}
