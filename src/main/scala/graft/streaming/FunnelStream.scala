@@ -116,4 +116,88 @@ object FunnelStream extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ------------------------------------------------------------ retention
+
+  // not private: the state encoder's generated code must reach the class
+  final case class RetentionState(days: List[Long], anchorTsUs: Long,
+      lastTsUs: Long)
+  /** One (user, cohort, active-week) membership row — each user emits
+    * each (cohort_day, week_offset) AT MOST once, so the retention
+    * matrix is a plain count over these rows. */
+  final case class RetentionRow(user_id: Long, cohort_day: Long,
+      week_offset: Long)
+
+  /** Streaming twin of [[graft.operators.Funnel.retention]]'s per-user
+    * half: cohort/active-week membership as a watermark-final per-user
+    * state machine. The batch operator anchors each user at their first
+    * `anchorType` event and counts distinct active weeks from it —
+    * both facts a stream can only finalize once the watermark passes
+    * the user's horizon (a late, EARLIER anchor shifts the cohort day
+    * and renumbers every week offset, the same retroactivity that makes
+    * the funnel watermark-final). State per user is one anchor
+    * timestamp plus the DISTINCT ACTIVITY DAYS in the horizon — day
+    * granularity is what the matrix needs, so a million-event user
+    * costs horizon/86400 longs, not their event list.
+    *
+    * At flush: `cohort_day = anchor div day`, and the emitted offsets
+    * are `(d − cohort_day) div 7` for buffered days strictly after the
+    * cohort day, plus week 0 (the anchor event itself always qualifies
+    * under the batch's `ts >= t0` filter; same-day non-anchor events
+    * can add only week 0 again, and earlier days all precede `t0`) —
+    * so the emitted set equals the batch filter's day set exactly.
+    * Users with no anchor emit nothing, as in the batch inner join.
+    * The retention MATRIX is then one count over these at-most-once
+    * membership rows (`n_users = count(*)`), the narrow aggregation a
+    * consumer runs over the sink. */
+  def retentionStream(
+      events: Dataset[Sessionize.Event],
+      anchorType: String = "signup",
+      horizonMinutes: Int = 30): Dataset[RetentionRow] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    val horizonMs = horizonMinutes * 60L * 1000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Sessionize.Event],
+        state: GroupState[RetentionState]): Iterator[RetentionRow] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        if (s.anchorTsUs == Long.MaxValue) return Iterator.empty
+        val cohortDay = s.anchorTsUs / dayUs
+        val offsets = s.days.filter(_ > cohortDay)
+          .map(d => (d - cohortDay) / 7L).toSet + 0L
+        return offsets.toList.sorted.iterator
+          .map(w => RetentionRow(userId, cohortDay, w))
+      }
+      val prev = state.getOption
+        .getOrElse(RetentionState(Nil, Long.MaxValue, Long.MinValue))
+      var days = prev.days
+      var anchor = prev.anchorTsUs
+      var last = prev.lastTsUs
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        val d = us / dayUs
+        if (!days.contains(d)) days ::= d
+        if (e.event_type == anchorType) anchor = math.min(anchor, us)
+        last = math.max(last, us)
+      }
+      state.update(RetentionState(days, anchor, last))
+      state.setTimeoutTimestamp(
+        math.max(last / 1000L + horizonMs,
+          state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -94,4 +94,79 @@ class FunnelStreamSpec extends SparkSuite {
     val out = runStream(Seq(sameTs))
     assert(out(7L) == ((Seq(micros(ts(0)), micros(ts(1))), 2L)))
   }
+
+  // ------------------------------------------------------------ retention
+
+  private def runRetention(batches: Seq[Seq[Event]]): Set[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    runIdx += 1
+    val sink = s"retention_stream_test_$runIdx"
+    val stream = MemoryStream[Event]
+    val rows = FunnelStream.retentionStream(stream.toDS(),
+      anchorType = "signup", horizonMinutes = 30)
+    val query = rows.writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+      stream.addData(Event(98L, ts(60000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      stream.addData(Event(99L, ts(90000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      spark.table(sink).filter($"user_id" < 9L)
+        .as[FunnelStream.RetentionRow].collect()
+        .map(r => (r.user_id, r.cohort_day, r.week_offset)).toSet
+    } finally query.stop()
+  }
+
+  private val day = 1440L // minutes
+  // user 1 signs up day 0, active days 0/1/9 (weeks 0, 0, 1); user 2's
+  // only signup comes AFTER an earlier activity day (that day precedes
+  // t0 and must not count); user 3 never signs up
+  private val retEvents = Seq(
+    Event(11L, ts(10), 1L, "signup", 0.0),
+    Event(12L, ts(20), 1L, "view", 0.0),
+    Event(13L, ts(day + 5), 1L, "click", 0.0),
+    Event(14L, ts(9 * day + 1), 1L, "view", 0.0),
+    Event(21L, ts(0), 2L, "view", 0.0),
+    Event(22L, ts(2 * day + 10), 2L, "signup", 0.0),
+    Event(23L, ts(3 * day + 10), 2L, "view", 0.0),
+    Event(31L, ts(5), 3L, "view", 0.0))
+
+  test("retention: membership rows equal the batch matrix's per-user " +
+    "facts; pre-anchor activity days are excluded; no anchor, no rows") {
+    val out = runRetention(Seq(retEvents))
+    val cohort1 = micros(ts(10)) / 86400000000L
+    val cohort2 = micros(ts(2 * day + 10)) / 86400000000L
+    // user 1: weeks {0 (days 0,+1), 1 (day +9)}; user 2: week 0 only
+    // (the +1-day activity folds into week 0, the pre-anchor day drops);
+    // user 3: no anchor, no rows
+    assert(out == Set(
+      (1L, cohort1, 0L), (1L, cohort1, 1L),
+      (2L, cohort2, 0L)))
+
+    // and the aggregated matrix equals the batch operator's
+    val streamMatrix = out.groupBy(t => (t._2, t._3))
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    val batch = graft.operators.Funnel.retention(retEvents.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamMatrix == batch)
+  }
+
+  test("retention: an anchor arriving AFTER its user's activity (within " +
+    "the watermark delay) still cohorts them — finalization is " +
+    "watermark-bound, not arrival-bound") {
+    // activity arrives first; the signup (earlier event time, inside the
+    // 30-min delay) arrives in a later micro-batch. An eager design
+    // would cohort on the activity or drop the user; the watermark-final
+    // fold re-anchors correctly. (Disorder BEYOND the delay is out of
+    // contract — Spark filters those rows before they reach state.)
+    val shuffled = Seq(
+      Seq(Event(12L, ts(20), 1L, "view", 0.0),
+        Event(13L, ts(35), 1L, "view", 0.0)),
+      Seq(Event(11L, ts(10), 1L, "signup", 0.0)), // later batch, earlier ts
+      Seq(Event(14L, ts(9 * day + 1), 1L, "view", 0.0)))
+    val out = runRetention(shuffled)
+    val cohort1 = micros(ts(10)) / 86400000000L
+    assert(out == Set((1L, cohort1, 0L), (1L, cohort1, 1L)))
+  }
 }
