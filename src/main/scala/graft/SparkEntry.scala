@@ -1420,6 +1420,27 @@ object SparkEntry {
       Similarity.ivfPqTopK(s, store, cents, cbs, q, k = 10, nprobe = 3)
     }),
 
+    "sim_ivfpq_residual_topk" -> ((s, dir) => {
+      // the higher-recall residual sibling (FAISS by_residual=true): PQ
+      // codebooks train on CELL RESIDUALS, the store quantizes each
+      // vector's residual, and the probe builds per-cell LUTs from the
+      // query's residual against each probed centroid — nprobe pruned
+      // codes-only scans unioned into one global top-k. The oracle
+      // replays residual computation (double-subtract rounded once to
+      // REAL — the pinned rounding point), all four residual training
+      // chains, and the per-cell LUT join.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      val cbs = Similarity.pqTrainResidual(emb, cents,
+        d = 64, m = 4, k = 4, maxIters = 2)
+      val store = s"$artifactRoot/ivfpq_res_store"
+      Similarity.writeIvfPqResidualPartitioned(emb, cents, cbs, store)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.ivfPqResidualTopK(s, store, cents, cbs, q,
+        k = 10, nprobe = 3)
+    }),
+
     // ---- Text analysis over documents --------------------------------
 
     "text_langid" -> ((s, dir) => {
@@ -2805,9 +2826,10 @@ object SparkEntry {
     // independent subspace chains coexist in one statement — the PQ
     // oracle; after pqSubCtes(j, ...), CTE p<j>f is that subspace's
     // (vec_id, subspace, code) assignment under the trained codebook
-    def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int, k: Int): String = {
+    def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int, k: Int,
+        src: String = "embeddings", vcol: String = "embedding"): String = {
       val it = lloydIterCtes(s"p$j", s"p${j}v", "sv") _
-      s"""p${j}v AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+      s"""p${j}v AS (SELECT vec_id, $vcol[$lo:$hi] AS sv FROM $src),
          |p${j}c0 AS (SELECT vec_id AS cid, sv AS ce
          |  FROM p${j}v ORDER BY vec_id LIMIT $k),
          |${(1 to iters).map(it).mkString(",\n")},
@@ -3531,6 +3553,46 @@ object SparkEntry {
            |FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
            | JOIN d3 USING (vec_id) JOIN assign a ON a.vec_id = d0.vec_id
            |WHERE a.cell IN (SELECT cid FROM probe)
+           |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+      },
+
+      // the residual composite: residuals = double-subtract rounded once
+      // to REAL (both engines' pinned recipe), four training chains over
+      // the residual corpus, per-cell LUTs via the qres join, ADC
+      // restricted to probed cells
+      "sim_ivfpq_residual_topk" -> {
+        val resSub = "CAST(x[1]::DOUBLE - x[2]::DOUBLE AS REAL)"
+        val subs = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2,
+            k = 4, src = "res", vcol = "rv"))
+          .mkString(",\n")
+        val dists = (0 until 4).map { j =>
+          s"""d$j AS (SELECT f.vec_id,
+             |  ${duckL2(s"qres.rqv[${j * 16 + 1}:${(j + 1) * 16}]", "c.ce")} AS d
+             | FROM p${j}f f JOIN p${j}c2 c ON c.cid = f.code
+             | JOIN res r ON r.vec_id = f.vec_id
+             | JOIN qres ON qres.cell = r.cell)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH cc AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM cc, q
+           |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),
+           |assign AS (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN cc c GROUP BY e.vec_id, e.embedding),
+           |res AS (SELECT a.vec_id, a.cell,
+           |   list_transform(list_zip(a.embedding, c.ce), x -> $resSub) AS rv
+           | FROM assign a JOIN cc c ON c.cid = a.cell),
+           |qres AS (SELECT cc.cid AS cell,
+           |   list_transform(list_zip(q.qe, cc.ce), x -> $resSub) AS rqv
+           | FROM cc, q),
+           |$subs,
+           |$dists
+           |SELECT d0.vec_id, ((d0.d + d1.d) + d2.d) + d3.d AS adist
+           |FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+           | JOIN d3 USING (vec_id) JOIN res rr ON rr.vec_id = d0.vec_id
+           |WHERE rr.cell IN (SELECT cid FROM probe)
            |ORDER BY adist, vec_id LIMIT 10""".stripMargin
       },
 

@@ -555,9 +555,9 @@ object Similarity {
     * Codes here quantize the RAW vector, not the cell residual
     * (`by_residual=false` in FAISS terms): one shared LUT set serves
     * every probed cell, keeping the ADC scan a pure literal-lookup
-    * projection — the residual variant would need per-cell LUTs (k×m×k
-    * doubles) compiled into the plan. Recall at equal code budget is
-    * lower; the trade is documented, not accidental. */
+    * projection. Recall at equal code budget is lower; the residual
+    * variant ([[writeIvfPqResidualPartitioned]]/[[ivfPqResidualTopK]])
+    * is the higher-recall sibling, at the cost of per-cell LUTs. */
   def writeIvfPqPartitioned(
       corpus: DataFrame,
       centroids: Seq[Seq[Float]],
@@ -591,6 +591,90 @@ object Similarity {
     pqAdcTopK(
       spark.read.parquet(path).filter(col("ivf_cell").isin(probed: _*)),
       codebooks, queryVec, k, idCol)
+  }
+
+  /** Append each row's coarse cell AND its cell residual (`vec −
+    * centroid[cell]`, the vector PQ quantizes in FAISS's default
+    * `by_residual=true` mode) as columns `ivf_cell` / `__rv`. Residual
+    * components are computed as a DOUBLE subtraction rounded once to
+    * FLOAT — the explicitly two-step form both engines reproduce
+    * bit-identically (a float-typed subtract would leave the rounding
+    * point implementation-defined). Narrow: the centroid table is a
+    * k×d literal, so no join and no shuffle. */
+  def residuals(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      vecCol: String = "embedding"): DataFrame = {
+    val cents2d = typedLit(centroids.map(_.toSeq))
+    corpus
+      .withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+      .withColumn("__rv",
+        zip_with(col(vecCol), element_at(cents2d, col("ivf_cell") + 1),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
+  }
+
+  /** [[pqTrain]] over the RESIDUAL corpus — the codebooks that pair with
+    * [[writeIvfPqResidualPartitioned]]. Residuals cluster far tighter
+    * than raw vectors (the coarse quantizer has already absorbed the
+    * between-cell variance), which is where the residual variant's
+    * recall edge comes from. */
+  def pqTrainResidual(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      d: Int,
+      m: Int,
+      k: Int,
+      maxIters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] =
+    pqTrain(
+      residuals(corpus, centroids, vecCol)
+        .select(col(idCol), col("__rv").as(vecCol)),
+      d, m, k, maxIters, idCol, vecCol)
+
+  /** The residual IVF-PQ store: same codes-only cell-partitioned layout
+    * as [[writeIvfPqPartitioned]], but codes quantize the CELL RESIDUAL
+    * (FAISS `by_residual=true`) under residual-trained codebooks. */
+  def writeIvfPqResidualPartitioned(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    residuals(corpus, centroids, vecCol)
+      .select(col(idCol),
+        pqAssign(col("__rv"), codebooks).as("codes"),
+        col("ivf_cell"))
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+
+  /** Top-k over a [[writeIvfPqResidualPartitioned]] store. ADC against a
+    * residual code needs the QUERY's residual relative to that row's
+    * cell — so each probed cell gets its own LUT set (built from
+    * `query − centroid[cell]`, the same double-subtract-round recipe as
+    * the stored side) and its own partition-pruned codes-only scan; the
+    * nprobe per-cell top-k frames union into one global top-k. Scores
+    * all approximate the same `‖x − q‖²`, so cross-cell ranking is
+    * well-defined. nprobe stays a handful by construction — the union
+    * is nprobe · k rows, not a fan-out. */
+  def ivfPqResidualTopK(
+      spark: SparkSession,
+      path: String,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val probed = probeCells(centroids, queryVec, nprobe)
+    probed.map { c =>
+      val resQ = queryVec.zip(centroids(c))
+        .map { case (q, ci) => (q.toDouble - ci.toDouble).toFloat }
+      pqAdcTopK(
+        spark.read.parquet(path).filter(col("ivf_cell") === c),
+        codebooks, resQ, k, idCol)
+    }.reduce(_ unionByName _)
+      .orderBy(col("adist").asc, col(idCol)).limit(k)
   }
 
   /** Embedding-distribution DRIFT monitor: per-(label, dim) mean gap

@@ -410,6 +410,50 @@ class ScaleSpec extends SparkSuite {
       memProbed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("residual IVF-PQ: same codes-only pruned layout, and residual " +
+    "quantization beats raw-vector quantization on self-distance") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroids(corpus, k = 8)
+    val cbs = Similarity.pqTrainResidual(corpus, cents,
+      d = 64, m = 4, k = 4, maxIters = 1)
+    val store = Files.createTempDirectory("graft-ivfpq-res")
+      .toFile.getAbsolutePath
+    Similarity.writeIvfPqResidualPartitioned(corpus, cents, cbs, store)
+    assert(!spark.read.parquet(store).columns.contains("embedding"),
+      "residual store must not persist raw vectors")
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"embedding").first().getSeq[Float](0)
+    val probe = Similarity.ivfPqResidualTopK(spark, store, cents, cbs, q,
+      k = 10, nprobe = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("ivf_cell")),
+      s"probe filters did not land as partition filters:\n$plan")
+    val got = probe.collect()
+    val scanFiles = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    val totalFiles = spark.read.parquet(store).inputFiles.length
+    assert(totalFiles >= 8 && scanFiles > 0 && scanFiles < totalFiles,
+      s"probe read $scanFiles of $totalFiles files — no directory skip")
+
+    // the recall argument made measurable: the query vector's own
+    // quantized self-distance under residual codes is at most its
+    // raw-variant self-distance (residuals cluster tighter, so the
+    // codebooks describe them better)
+    val rawCbs = Similarity.pqTrain(corpus, d = 64, m = 4, k = 4,
+      maxIters = 1)
+    val rawStore = Files.createTempDirectory("graft-ivfpq-raw")
+      .toFile.getAbsolutePath
+    Similarity.writeIvfPqPartitioned(corpus, cents, rawCbs, rawStore)
+    val self = got.find(_.getLong(0) == 0L).map(_.getDouble(1))
+    val rawSelf = Similarity.ivfPqTopK(spark, rawStore, cents, rawCbs, q,
+      k = 10, nprobe = 3).collect()
+      .find(_.getLong(0) == 0L).map(_.getDouble(1))
+    assert(self.isDefined, "query vector should be in its own top-k")
+    assert(rawSelf.forall(r => self.get <= r),
+      s"residual self-distance ${self.get} should not exceed raw $rawSelf")
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
