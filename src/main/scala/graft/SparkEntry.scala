@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Changes, FillStage, FormatStage, Funnel, IncrementalAgg, Intervals, Layout, RollingAgg, Skew, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamDedup, StreamGate}
 
@@ -336,6 +336,47 @@ object SparkEntry {
         .unionByName(Stats.expectUniqueKey(li,
           Seq("l_orderkey", "l_linenumber")))
         .orderBy(col("rule"))
+    }),
+
+    "q22_compact" -> ((s, dir) => {
+      // table maintenance under the oracle: events staged as a 64-file
+      // small-file mess, compacted through the size-targeted rewrite,
+      // read back — the rows must be EXACTLY the source's (compaction
+      // may only move bytes, never rows). File-count arithmetic is
+      // pinned in ScaleSpec; the oracle pins content preservation.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val small = s"$artifactRoot/compact_small"
+      val packed = s"$artifactRoot/compact_packed"
+      ev.repartition(64).write.mode("overwrite").parquet(small)
+      Compaction.compact(s, small, packed, targetBytes = 1L << 20)
+      s.read.parquet(packed).orderBy(col("event_id"))
+    }),
+
+    "q21_delta_join" -> ((s, dir) => {
+      // incremental join maintenance under the oracle: yesterday's
+      // materialized lineitem⋈orders absorbs today's deltas on BOTH
+      // sides via the three broadcast-delta terms (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB)
+      // — the base tables never shuffle — and the result must equal the
+      // full join recomputed from scratch, row for row. Splits are
+      // arithmetic on the keys so the oracle reproduces them exactly.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("l_cents"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val liNew = col("l_orderkey") % 4 === 0
+      val ordNew = col("l_orderkey") % 7 === 0
+      val jOld = li.filter(!liNew).join(ord.filter(!ordNew), Seq("l_orderkey"))
+      val delta = IncrementalJoin.joinDelta(
+        li.filter(!liNew), li.filter(liNew),
+        ord.filter(!ordNew), ord.filter(ordNew),
+        Seq("l_orderkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — cents
+      // joins the sort key so the order is total up to fully-equal rows
+      jOld.unionByName(delta)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_cents"))
     }),
 
     "q20_skew_salted" -> ((s, dir) => {
@@ -3008,6 +3049,21 @@ object SparkEntry {
 
       // the same three sync rounds unrolled: count votes per (node,
       // label), argmax via the same lexical min(-count, label) struct
+      // the source rows verbatim — compaction moves bytes, never rows
+      "q22_compact" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // the full join recomputed from scratch — the maintained
+      // old ∪ three-delta-terms union must reproduce it row for row
+      "q21_delta_join" ->
+        """SELECT l.l_orderkey, l.l_linenumber,
+          | CAST(round(l.l_extendedprice*100,0) AS BIGINT) AS l_cents,
+          | o.o_orderpriority
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |ORDER BY l.l_orderkey, l.l_linenumber, l_cents""".stripMargin,
+
       // the UNSALTED join — the salted engine plan must reproduce it
       // exactly, salts cancelling out of every aggregate
       "q20_skew_salted" ->

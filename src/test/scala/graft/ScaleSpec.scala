@@ -454,6 +454,52 @@ class ScaleSpec extends SparkSuite {
       s"residual self-distance ${self.get} should not exceed raw $rawSelf")
   }
 
+  test("compaction: file count follows the byte target; the partitioned " +
+    "variant lands one file per partition; content is untouched") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val root = Files.createTempDirectory("graft-compact").toString
+    // a 48-file small-file mess
+    ev.repartition(48).write.mode("overwrite").parquet(s"$root/small")
+    val smallFiles = spark.read.parquet(s"$root/small").inputFiles.length
+    assert(smallFiles >= 40, s"fixture should fragment, got $smallFiles")
+
+    // flat compact: a huge byte target ⇒ exactly one file
+    graft.operators.Compaction.compact(spark, s"$root/small",
+      s"$root/one", targetBytes = 1L << 30)
+    assert(spark.read.parquet(s"$root/one").inputFiles.length == 1)
+    // a small target ⇒ ceil(bytes/target) files
+    val bytes = graft.operators.Compaction.tableBytes(spark, s"$root/small")
+    val target = math.max(1L, bytes / 4)
+    graft.operators.Compaction.compact(spark, s"$root/small",
+      s"$root/four", targetBytes = target)
+    val expect = ((bytes + target - 1) / target).toInt
+    assert(spark.read.parquet(s"$root/four").inputFiles.length == expect)
+    // content preserved exactly
+    assert(spark.read.parquet(s"$root/four").orderBy($"event_id")
+      .collect().toSeq ==
+      spark.read.parquet(s"$root/small").orderBy($"event_id")
+        .collect().toSeq)
+
+    // partitioned compact: fragment a partitioned table, then one file
+    // per live partition dir, scheme preserved
+    ev.withColumn("bucket", $"user_id" % 4)
+      .repartition(24)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$root/part_small")
+    val fragmented = spark.read.parquet(s"$root/part_small")
+    assert(fragmented.inputFiles.length > 4)
+    graft.operators.Compaction.compactPartitioned(spark,
+      s"$root/part_small", s"$root/part_packed", Seq("bucket"))
+    val packed = spark.read.parquet(s"$root/part_packed")
+    assert(packed.inputFiles.length == 4,
+      s"expected one file per partition, got ${packed.inputFiles.length}")
+    assert(packed.inputFiles.forall(_.contains("bucket=")),
+      "partition directory scheme must survive compaction")
+    assert(packed.orderBy($"event_id").collect().toSeq ==
+      fragmented.orderBy($"event_id").collect().toSeq)
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
