@@ -1252,6 +1252,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      // text_decontaminate's exact answer through the bloom-prefilter
+      // scale shape: the sketch (native BloomFilterAggregate, ~10
+      // bits/gram) drops definitely-clean grams before any join, and
+      // the exact semi-join — now free to shuffle rather than
+      // broadcast — clears the false positives. Same output as the
+      // broadcast form, so it shares that oracle verbatim.
+      val docs = par(s)(t(s, dir, "documents"))
+      val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).as("gram"))
+      val trainGrams = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).as("gram"))
+      Dedup.decontaminateBloomExact(trainGrams, benchGrams)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_sample_stratified" -> ((s, dir) => {
       // exact per-source quota by salted-hash order; WindowGroupLimit
       // truncates each map task's groups to k before the shuffle
@@ -4968,6 +4986,7 @@ object SparkEntry {
       ("ev_stream_funnel" -> base("ev_funnel")) +
       ("ev_stream_attribution" -> base("ev_attribution")) +
       ("ev_stream_retention" -> base("ev_retention")) +
-      ("ev_stream_agg_incremental" -> base("ev_agg_incremental"))
+      ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
+      ("text_decontaminate_bloom" -> base("text_decontaminate"))
   }
 }

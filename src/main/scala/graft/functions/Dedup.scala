@@ -232,6 +232,79 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Build the benchmark-gram BLOOM FILTER for
+    * [[decontaminateBloomExact]] — the sketch a 100-TB decontamination
+    * pass ships instead of a broadcast hash table when the eval-suite
+    * gram set grows past broadcast comfort: ~`1.44·log2(1/fpp)` bits per
+    * gram (≈10 bits at 1% FPP) versus tens of bytes per entry in a
+    * broadcast map, a ~40× cut in what every executor must hold. Built
+    * with Spark's native `BloomFilterAggregate` over `xxhash64(gram)`
+    * (one map-side-combinable aggregation, codegen'd probe on the read
+    * side — no UDF anywhere). Bits are sized by the standard
+    * `n·ln(1/fpp)/ln²2` formula from the DISTINCT gram count. */
+  def benchGramBloom(
+      benchGrams: DataFrame,
+      gramCol: String = "gram",
+      fpp: Double = 0.01): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val distinctGrams = benchGrams.select(col(gramCol)).distinct()
+    val n = math.max(1L, distinctGrams.count())
+    val bits = math.max(64L,
+      math.ceil(n * math.log(1 / fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = GraftSqlShim.column(
+      new BloomFilterAggregate(
+        GraftSqlShim.expression(xxhash64(col(gramCol))),
+        Literal(n), Literal(bits)).toAggregateExpression())
+    distinctGrams.agg(agg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** The codegen'd membership probe over a [[benchGramBloom]] sketch:
+    * `might_contain(bloom, xxhash64(gram))` as a native Catalyst
+    * expression (the bloom bytes ride the plan as a literal — Spark
+    * broadcasts the task binary once per executor). */
+  def bloomProbe(bloom: Array[Byte], gram: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftSqlShim.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      GraftSqlShim.expression(xxhash64(gram))))
+  }
+
+  /** EXACT decontamination behind a bloom prefilter — same answer as the
+    * broadcast-join form (`text_decontaminate`), different scale shape:
+    * the probe drops every gram the sketch proves absent (no false
+    * negatives, so no missed contamination), and only the surviving
+    * sliver reaches the exact semi-join that clears the sketch's false
+    * positives. That join can therefore SHUFFLE instead of broadcast —
+    * the right plan once the eval suite outgrows broadcast — and the
+    * shuffled row count is the survivor sliver, not the corpus gram
+    * stream. Emits every doc in `docGrams` with its exact shared-gram
+    * count (zero-hit docs included), matching the broadcast form
+    * bit-for-bit. */
+  def decontaminateBloomExact(
+      docGrams: DataFrame,
+      benchGrams: DataFrame,
+      docCol: String = "doc_id",
+      gramCol: String = "gram",
+      fpp: Double = 0.01): DataFrame = {
+    val bench = benchGrams.select(col(gramCol)).distinct()
+    val bloom = benchGramBloom(bench, gramCol, fpp)
+    val counts = docGrams
+      .filter(bloomProbe(bloom, col(gramCol)))
+      .join(bench, Seq(gramCol), "left_semi")
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_shared"))
+    docGrams.select(col(docCol)).distinct()
+      .join(counts, Seq(docCol), "left")
+      .select(col(docCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   /** The banding surface as a public frame — (idCol, band, bucket) — for
     * consumers outside this object (the streaming online-dedup twin). */
   def bandKeys(

@@ -407,4 +407,52 @@ class DedupSpec extends SparkSuite {
       Dedup.pagerank(cycle, iterations = 0)
     }
   }
+
+  test("bloom decontamination: exact answer behind the prefilter — no " +
+    "false negatives, false positives cleared by the confirm join") {
+    import org.apache.spark.sql.functions._
+    val docGrams = Seq(
+      (1L, "aa"), (1L, "bb"), (1L, "cc"),
+      (2L, "dd"), (2L, "ee"),
+      (3L, "aa"), (3L, "dd")).toDF("doc_id", "gram")
+    val bench = Seq("aa", "cc", "zz").toDF("gram")
+    val out = Dedup.decontaminateBloomExact(docGrams, bench)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // doc 1 shares aa+cc, doc 2 nothing (MUST still appear, n=0),
+    // doc 3 shares aa
+    assert(out.toSeq == Seq((1L, 2L, true), (2L, 0L, false), (3L, 1L, true)))
+
+    // equality with the broadcast-exact recompute on a wider fixture,
+    // at a deliberately high FPP so false positives definitely occur
+    // and the confirm join is doing real work
+    val wide = (1L to 200L).flatMap(i =>
+      Seq((i, s"g${i % 37}"), (i, s"g${(i * 7) % 37}")))
+      .toDF("doc_id", "gram")
+    val wideBench = (0 until 5).map(i => s"g$i").toDF("gram")
+    val bloomed = Dedup.decontaminateBloomExact(wide, wideBench, fpp = 0.5)
+      .orderBy($"doc_id").collect().toSeq
+    val exact = wide.join(broadcast(wideBench.withColumn("__hit", lit(1))),
+        Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("contaminated", $"n_shared" > 0)
+      .select($"doc_id", $"n_shared", $"contaminated")
+      .orderBy($"doc_id").collect().toSeq
+    assert(bloomed == exact)
+  }
+
+  test("bloom probe: definitely-absent grams are dropped, members " +
+    "always pass (no false negatives by construction)") {
+    import org.apache.spark.sql.functions._
+    val bench = (1 to 500).map(i => s"m$i").toDF("gram")
+    val bloom = Dedup.benchGramBloom(bench, fpp = 0.01)
+    // every member passes
+    val members = bench.filter(Dedup.bloomProbe(bloom, col("gram"))).count()
+    assert(members == 500L, s"bloom dropped ${500 - members} members")
+    // non-members are mostly dropped (FPP 1% — allow generous slack)
+    val nonMembers = (1 to 2000).map(i => s"x$i").toDF("gram")
+    val passed = nonMembers.filter(Dedup.bloomProbe(bloom, col("gram"))).count()
+    assert(passed < 200L, s"bloom passed $passed of 2000 non-members")
+  }
 }
