@@ -763,6 +763,18 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_boilerplate" -> ((s, dir) => {
+      // C4/RefinedWeb-style line-level dedup, at 3-word-segment
+      // granularity (this corpus has no newline structure): segments
+      // appearing in > 3 distinct docs are boilerplate and every
+      // occurrence is dropped; docs reassemble from survivors in order.
+      // Only md5 segment keys shuffle; the drop set is the boilerplate
+      // sliver (52 segments at sf0.01), anti-joined broadcast-side.
+      Dedup.segmentDedup(par(s)(t(s, dir, "documents")),
+        width = 3, maxDf = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_jaccard_hot" -> ((s, dir) => {
       // the hot-gram cap's observability face: grams whose per-source df
       // exceeds the cap (here 5, active on this corpus) with their df —
@@ -3417,6 +3429,37 @@ object SparkEntry {
            |JOIN sz sb ON sb.doc_id = p.doc_b
            |WHERE p.inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE >= 0.3
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // segment replay: 1-based subscripts zip with unnest; seg index is
+      // (idx-1)//3 and within-segment order rides ORDER BY idx. n_segs
+      // comes from the document row itself (ceil arithmetic) so an
+      // all-boilerplate or empty doc still emits its row; the engine
+      // keys df on md5(seg_text), the oracle joins seg_text directly —
+      // identical verdicts short of an md5 collision
+      "dedup_boilerplate" ->
+        s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents
+           |  WHERE $duckNorm <> ''),
+           |ex AS (SELECT doc_id, unnest(w) AS x,
+           |  generate_subscripts(w, 1) AS idx FROM ws),
+           |seg AS (SELECT doc_id, (idx - 1) // 3 AS seg,
+           |  string_agg(x, ' ' ORDER BY idx) AS seg_text
+           | FROM ex GROUP BY doc_id, (idx - 1) // 3),
+           |fr AS (SELECT seg_text, count(DISTINCT doc_id) AS df
+           | FROM seg GROUP BY seg_text),
+           |kept AS (SELECT s.doc_id, s.seg, s.seg_text FROM seg s
+           |  JOIN fr ON s.seg_text = fr.seg_text WHERE fr.df <= 3),
+           |base AS (SELECT doc_id,
+           |  CASE WHEN $duckNorm = '' THEN CAST(0 AS BIGINT)
+           |   ELSE CAST((len($duckWords) + 2) // 3 AS BIGINT) END AS n_segs
+           | FROM documents),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |  string_agg(seg_text, ' ' ORDER BY seg) AS clean_text
+           | FROM kept GROUP BY doc_id)
+           |SELECT b.doc_id, b.n_segs,
+           | COALESCE(a.n_kept, 0) AS n_kept,
+           | COALESCE(a.clean_text, '') AS clean_text
+           |FROM base b LEFT JOIN agg a USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin,
 
       "dedup_jaccard_hot" ->
         s"""SELECT source AS blk, gram, count(*) AS gram_df

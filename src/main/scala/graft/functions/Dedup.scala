@@ -884,4 +884,85 @@ object Dedup {
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
   }
+
+  // ------------------------------------------------------------------
+  // Segment-level boilerplate removal (line-level dedup, generalized)
+  // ------------------------------------------------------------------
+
+  /** Consecutive `width`-word segments of the normalized text as an array
+    * column — the segmentation for [[segmentDedup]]. The tail segment may
+    * be shorter than `width`; an empty/non-alphanumeric document yields an
+    * empty array. Words are let-bound once via the one-element-`transform`
+    * pattern (see [[shingles]]) so the regex chain isn't re-inlined into
+    * the per-segment lambda. */
+  def segments(text: Column, width: Int): Column = {
+    require(width > 0, s"segment width must be positive, got $width")
+    element_at(
+      transform(array(TextAnalysis.words(text)), ws =>
+        when(size(ws) === 1 && element_at(ws, 1) === "",
+          array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), floor((size(ws) - 1) / lit(width)).cast("int")),
+            i => array_join(slice(ws, i * lit(width) + 1, lit(width)), " ")))),
+      1)
+  }
+
+  /** Corpus-wide boilerplate removal at fixed word-segment granularity —
+    * the line-level dedup step of C4/RefinedWeb-style web curation,
+    * generalized to `width`-word segments so it stays defined for corpora
+    * whose documents carry no newline structure. Text repeated verbatim
+    * across many pages (nav bars, cookie banners, license footers) is
+    * boilerplate by construction: split each document into consecutive
+    * segments, count each distinct segment's DOCUMENT frequency across
+    * the corpus, drop every occurrence of segments appearing in more than
+    * `maxDf` distinct documents, and reassemble each document from its
+    * surviving segments in original order.
+    *
+    * Scale shape:
+    *  - segmentation is a narrow array expression ([[segments]]) — no
+    *    per-word explode, one segment row per `width` words after;
+    *  - the df aggregation and the boilerplate verdict shuffle a 128-bit
+    *    md5 segment KEY, never segment text; the drop set (df > maxDf
+    *    keys only — the boilerplate sliver, not the corpus) feeds a
+    *    left-anti join that AQE plans broadcast when it fits;
+    *  - reassembly sorts each doc's surviving (seg, text) structs with
+    *    `array_sort`, so output never depends on shuffle arrival order.
+    *
+    * Output: one row per input document — (idCol, n_segs, n_kept,
+    * clean_text). A fully-boilerplate document survives with an empty
+    * `clean_text` rather than vanishing: the caller decides whether to
+    * drop empty docs, and the kept/total counts make the removal rate
+    * observable per document. */
+  def segmentDedup(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      width: Int = 3,
+      maxDf: Long = 3L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val segged = Materialize(
+      df.select(col(idCol), segments(col(textCol), width).as("segs")))
+    val base = segged.select(col(idCol),
+      size(col("segs")).cast("long").as("n_segs"))
+    val segs = segged
+      .select(col(idCol), posexplode(col("segs")).as(Seq("seg", "seg_text")))
+      .withColumn("seg_key", md5(col("seg_text")))
+    val hot = segs
+      .groupBy(col("seg_key"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("seg_key"))
+    val kept = segs.join(hot, Seq("seg_key"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          x => x.getField("seg_text")),
+        " ").as("clean_text"))
+    base.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }
