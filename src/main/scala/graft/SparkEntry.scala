@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamDedup, StreamGate}
 
@@ -336,6 +336,28 @@ object SparkEntry {
         .unionByName(Stats.expectUniqueKey(li,
           Seq("l_orderkey", "l_linenumber")))
         .orderBy(col("rule"))
+    }),
+
+    "q23_skipping" -> ((s, dir) => {
+      // planning-time file pruning under the oracle: lineitem is
+      // range-clustered on l_orderkey into 16 files, a min/max manifest
+      // built beside it, and the scan planned over ONLY the files whose
+      // stats admit the key range — the Delta/Iceberg data-skipping
+      // shape over plain parquet. The oracle is the plain filter on the
+      // source table: pruning may only skip bytes, never change rows.
+      // ScaleSpec pins the file arithmetic (scan numFiles < total).
+      val store = s"$artifactRoot/skip_store"
+      val man = s"$artifactRoot/skip_manifest"
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      Skipping.writeClustered(li, "l_orderkey", numFiles = 16, path = store)
+      Skipping.writeManifest(s, store, Seq("l_orderkey"), man)
+      Skipping.scanRange(s, store, man, "l_orderkey", 1000L, 2000L)
+        // (l_orderkey, l_linenumber) is not unique in the fixture — all
+        // four columns join the sort so order is total up to fully-equal
+        // rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
     }),
 
     "q22_compact" -> ((s, dir) => {
@@ -3076,6 +3098,13 @@ object SparkEntry {
           |   SELECT count(*) AS c FROM lineitem
           |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
           |ORDER BY rule""".stripMargin,
+
+      // the plain filter over the source table — manifest pruning may
+      // only skip bytes, never change rows
+      "q23_skipping" ->
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+          |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
       // the same three sync rounds unrolled: count votes per (node,
       // label), argmax via the same lexical min(-count, label) struct

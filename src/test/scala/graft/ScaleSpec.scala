@@ -500,6 +500,47 @@ class ScaleSpec extends SparkSuite {
       fragmented.orderBy($"event_id").collect().toSeq)
   }
 
+  test("manifest data skipping: the pruned scan plans over a strict " +
+    "subset of files, rows equal the plain filter, empty miss is empty") {
+    import graft.operators.Skipping
+    val root = Files.createTempDirectory("graft-skip").toString
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    Skipping.writeClustered(li, "l_orderkey", numFiles = 16,
+      path = s"$root/store")
+    Skipping.writeManifest(spark, s"$root/store", Seq("l_orderkey"),
+      s"$root/manifest")
+    val total = spark.read.parquet(s"$root/store").inputFiles.length
+    assert(total == 16, s"range-clustered write should land 16 files, " +
+      s"got $total")
+
+    // a selective range touches few files: the scan is PLANNED over the
+    // manifest's survivors, so the leaf's numFiles is the pruned count
+    // metrics read off the exchange-free scan plan (an orderBy would
+    // wrap it in AdaptiveSparkPlanExec, whose collectLeaves hides the
+    // file scan); row equality is checked on a sorted copy below
+    val hit = Skipping.scanRange(spark, s"$root/store", s"$root/manifest",
+      "l_orderkey", 100L, 200L)
+    val got = hit.collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val scanFiles = hit.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(scanFiles > 0 && scanFiles < total,
+      s"pruned scan read $scanFiles of $total files — no skipping")
+    val want = li.filter($"l_orderkey".between(100L, 200L))
+      .collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got == want, "pruning changed rows")
+
+    // a miss outside the key domain returns an empty frame with the
+    // table's schema, not an error
+    val miss = Skipping.scanRange(spark, s"$root/store", s"$root/manifest",
+      "l_orderkey", 10000000L, 20000000L)
+    assert(miss.schema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_partkey"))
+    assert(miss.count() == 0L)
+  }
+
   test("bucketed tables: co-located sort-merge join without exchanges") {
     val wh = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
