@@ -19,8 +19,12 @@ import graft.functions.{Dedup, Similarity, VecDotF, VecDotI8, VecL2F}
   * spark-submit / thrift-server sessions that never touch our Scala API).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // MV redirection (graft.plans.MvRewrite): a no-op until a view is
+    // registered, gated by spark.graft.mv.rewrite
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+  }
 }
 
 object GraftExtensions {

@@ -338,6 +338,40 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q24_mv_rewrite" -> ((s, dir) => {
+      // MV redirection end-to-end under the oracle: events stage as a
+      // fact table with exact integer cents; IncrementalAgg materializes
+      // the (user_id, event_type) state frame; MvRewrite registers it;
+      // the PLAIN per-user aggregate below is then redirected by the
+      // optimizer to roll the state frame up instead of rescanning the
+      // fact table (MvRewriteSpec pins that the plan really swaps scans;
+      // this row pins that redirection never changes an answer).
+      // Deregister-first makes the MV-build aggregate immune to the
+      // previous registration of the same path (bench runs each query
+      // twice per process).
+      val fact = s"$artifactRoot/mv_fact"
+      val mv = s"$artifactRoot/mv_state"
+      graft.plans.MvRewrite.install(s)
+      graft.plans.MvRewrite.deregister(fact)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .write.mode("overwrite").parquet(fact)
+      IncrementalAgg.aggregate(s.read.parquet(fact),
+        keys = Seq("user_id", "event_type"), sums = Seq("value_cents"),
+        mins = Seq("value_cents"), maxes = Seq("value_cents"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MvRewrite.register(s, fact, mv,
+        keys = Seq("user_id", "event_type"), sums = Seq("value_cents"),
+        mins = Seq("value_cents"), maxes = Seq("value_cents"))
+      s.read.parquet(fact).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"),
+          min(col("value_cents")).as("min_cents"),
+          max(col("value_cents")).as("max_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "q23_skipping" -> ((s, dir) => {
       // planning-time file pruning under the oracle: lineitem is
       // range-clustered on l_orderkey into 16 files, a min/max manifest
@@ -3098,6 +3132,17 @@ object SparkEntry {
           |   SELECT count(*) AS c FROM lineitem
           |   GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
           |ORDER BY rule""".stripMargin,
+
+      // the same aggregate straight over events — the MV-redirected
+      // engine plan must reproduce it exactly (all-long state algebra)
+      "q24_mv_rewrite" ->
+        """WITH f AS (SELECT user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+          | min(value_cents) AS min_cents, max(value_cents) AS max_cents
+          |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       // the plain filter over the source table — manifest pruning may
       // only skip bytes, never change rows
