@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextA
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
-import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamDedup, StreamGate}
+import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -2103,6 +2103,38 @@ object SparkEntry {
         .withColumn("op",
           when(col("event_id") % 17 === 0, lit("d")).otherwise(lit("u")))
       Changes.applyCdc(base, changes, keyCols = Seq("user_id"),
+        tsCol = "ts", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    "ev_stream_cdc_apply" -> ((s, dir) => {
+      // the MERGE-INTO's stream twin, split at its algebraic seam:
+      // latest-wins is associative, so the STREAM runs only the per-key
+      // compaction (one max_by row of state per key, deletes riding
+      // through as data — a newer upsert may still resurrect the key)
+      // and the snapshot merge is the unmodified batch applyCdc over
+      // the drained state frame (keys × one row, not the raw feed).
+      // Same fixture split as ev_cdc_apply, whose oracle it shares.
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("value_cents"))
+      val base = Changes.latestByKey(ev.filter(col("event_id") % 2 === 0),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+      val feed = Tables.streamEvents(s, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("value_cents"))
+        .withColumn("op",
+          when(col("event_id") % 17 === 0, lit("d")).otherwise(lit("u")))
+      val latest = StreamCdc.latestChangeStream(feed,
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+      val drained = Sessionize.runToMemory(s, latest, "ev_stream_cdc",
+        OutputMode.Complete, statePartitions = 8)
+      Changes.applyCdc(base, drained, keyCols = Seq("user_id"),
         tsCol = "ts", tieCols = Seq("event_id"))
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type"),
@@ -5104,6 +5136,7 @@ object SparkEntry {
       ("ev_stream_attribution" -> base("ev_attribution")) +
       ("ev_stream_retention" -> base("ev_retention")) +
       ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
+      ("ev_stream_cdc_apply" -> base("ev_cdc_apply")) +
       ("text_decontaminate_bloom" -> base("text_decontaminate"))
   }
 }
