@@ -2787,6 +2787,21 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_audio_loudness" -> ((s, dir) => {
+      // past the header and INTO the data chunk: full PCM payloads with
+      // closed-form int16 samples, and the engine computes sample-level
+      // loudness (peak, clipped count, exact sum-of-squares) by actually
+      // reading the interleaved samples out of the RIFF bytes; the
+      // oracle replays the sample formula arithmetically. mean_sq is
+      // the single IEEE division of exact fields at read time.
+      Multimodal.extractAudioStats(
+        Multimodal.syntheticWavAssetsWithSamples(
+          par(s)(t(s, dir, "documents"))))
+        .withColumn("mean_sq",
+          col("sumsq").cast("double") / col("n_samples").cast("double"))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_video_meta" -> ((s, dir) => {
       // REAL video decode path: canonical AVI headers per doc with
       // closed-form geometry/timing, recovered by AviCodec's RIFF parse;
@@ -4925,6 +4940,27 @@ object SparkEntry {
           |  // CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
           |   ELSE 44100 END AS BIGINT) AS duration_ms
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // the engine reads real interleaved int16 samples out of RIFF
+      // bytes; the oracle replays the closed-form sample scramble
+      // s(j) = ((j·2657 + id·7919) mod 65536) − 32768 over
+      // j ∈ [0, ch·n) and aggregates in exact integers
+      "mm_audio_loudness" ->
+        """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+          |  200 + doc_id % 800 AS n FROM documents),
+          |s AS (SELECT doc_id, ch * n AS total,
+          |  unnest(range(0, ch * n)) AS j FROM p),
+          |v AS (SELECT doc_id, total,
+          |  ((j * 2657 + doc_id * 7919) % 65536) - 32768 AS smp FROM s),
+          |a AS (SELECT doc_id, CAST(max(total) AS BIGINT) AS n_samples,
+          |  CAST(max(abs(smp)) AS INT) AS peak,
+          |  CAST(count(*) FILTER (WHERE smp = 32767 OR smp = -32768)
+          |   AS BIGINT) AS n_clipped,
+          |  CAST(sum(smp * smp) AS BIGINT) AS sumsq
+          | FROM v GROUP BY doc_id)
+          |SELECT doc_id AS asset_id, n_samples, peak, n_clipped, sumsq,
+          | CAST(sumsq AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean_sq
+          |FROM a ORDER BY asset_id""".stripMargin,
 
       // AVI parameters are closed-form in doc_id (syntheticAviAssets);
       // duration_ms = usPerFrame * nFrames // 1000, exact integer floor

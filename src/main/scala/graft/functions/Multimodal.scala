@@ -326,6 +326,37 @@ object Multimodal {
         "degenerate WAV header (zero channels/rate)")
       (channels, sampleRate, dataSize * 1000L / byteRate.toLong)
     }
+
+    /** SAMPLE-level loudness statistics — the first consumer that reads
+      * past the header into the PCM data chunk: total int16 sample
+      * count (channels interleaved), peak |amplitude| (|−32768| = 32768,
+      * hence Int), full-scale clipped-sample count (s = ±full scale),
+      * and the exact integer sum of squares (32768² × a 2³¹-sample
+      * payload still fits a long with headroom). The RMS/mean-square
+      * ratio is left to the caller as ONE IEEE division of these exact
+      * fields — the cross-engine-parity posture everywhere else in the
+      * library. Truncated data chunks throw loudly. */
+    def decodeSampleStats(payload: Array[Byte]): (Long, Int, Long, Long) = {
+      decodeMeta(payload) // header validation, same loud contract
+      val dataSize = leUInt(payload, 40)
+      require(44L + dataSize <= payload.length,
+        "WAV data chunk truncated (declared size exceeds payload)")
+      require(dataSize % 2 == 0, "PCM16 data chunk has odd byte length")
+      val n = (dataSize / 2).toInt
+      var j = 0
+      var peak = 0
+      var clipped = 0L
+      var sumsq = 0L
+      while (j < n) {
+        val s = leShort(payload, 44 + 2 * j).toShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (s == 32767 || s == -32768) clipped += 1
+        sumsq += s.toLong * s.toLong
+        j += 1
+      }
+      (n.toLong, peak, clipped, sumsq)
+    }
   }
 
   /** REAL codec for one pure-JVM public VIDEO container: AVI. Frame
@@ -652,6 +683,45 @@ object Multimodal {
       lit("audio/wav").as("media_type"))
   }
 
+  /** A full canonical PCM WAV — the [[wavBytes]] header plus an actual
+    * int16-LE data chunk, for consumers that read samples
+    * ([[WavCodec.decodeSampleStats]]). `samples` are interleaved across
+    * channels; `nFrames · channels` must equal `samples.length`. */
+  def wavBytesWithSamples(
+      channels: Int,
+      sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0,
+      "interleaved sample count must divide by channels")
+    val header = wavBytes(channels, sampleRate, samples.length / channels)
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(header)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** WAV assets WITH closed-form PCM data (the sample-stats twin of
+    * [[syntheticWavAssets]]): ch = 1 + id mod 2, rate by id mod 3,
+    * n = 200 + id mod 800 frames, and interleaved sample j =
+    * ((j·2657 + id·7919) mod 65536) − 32768 — a full-range integer
+    * scramble the oracle replays arithmetically while the engine must
+    * recover it from real RIFF bytes. */
+  def syntheticWavAssetsWithSamples(docs: DataFrame): DataFrame = {
+    val rates = Array(8000, 16000, 44100)
+    val mk = udf { (id: Long) =>
+      val ch = (1 + id % 2).toInt
+      val total = ch * (200 + id % 800).toInt
+      val samples = Array.tabulate(total)(j =>
+        (((j * 2657L + id * 7919L) % 65536L) - 32768L).toShort)
+      wavBytesWithSamples(ch, rates((id % 3).toInt), samples)
+    }
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("audio/wav").as("media_type"))
+  }
+
   /** Shared batch-extraction scaffold for the three modality extractors:
     * mapPartitions (a real codec amortizes per-partition init here, the
     * batch shape `mapInPandas`/`mapInArrow` gives Python pipelines), the
@@ -719,6 +789,24 @@ object Multimodal {
         // ints to Long to unify the element type, and the encoder then
         // rejects java.lang.Long for the INT columns
         Seq[Any](ch, sr, dur)
+      }, routeErrors)
+
+  /** Sample-level audio loudness stats over batches — the data-chunk
+    * consumer ([[WavCodec.decodeSampleStats]]) under the shared
+    * [[extractMeta]] scaffold: (asset_id, n_samples, peak, n_clipped,
+    * sumsq [, decode_error]). Derived ratios (mean square, RMS) are one
+    * IEEE division of the exact fields at read time. */
+  def extractAudioStats(
+      assets: DataFrame,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("n_samples", LongType),
+        StructField("peak", IntegerType),
+        StructField("n_clipped", LongType),
+        StructField("sumsq", LongType)),
+      payload => {
+        val (n, peak, clipped, sumsq) = WavCodec.decodeSampleStats(payload)
+        Seq[Any](n, peak, clipped, sumsq)
       }, routeErrors)
 
   /** A minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER

@@ -438,4 +438,45 @@ class MultimodalSpec extends SparkSuite {
     assert(sigs.length == 33)
     assert(sigs.take(7) == Seq(0, 0, 0, 1, 1, 1, 2))
   }
+
+  test("WavCodec.decodeSampleStats: hand-computed stats over a real data " +
+    "chunk; full-scale extremes count as clipped; truncation throws") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 12345)
+    val wav = Multimodal.wavBytesWithSamples(2, 8000, samples)
+    val (n, peak, clipped, sumsq) = Multimodal.WavCodec.decodeSampleStats(wav)
+    assert(n == 6L)
+    assert(peak == 32768) // |−32768|
+    assert(clipped == 2L)
+    assert(sumsq == samples.map(s => s.toLong * s.toLong).sum)
+
+    // declared data size larger than the payload must fail loudly
+    val truncated = wav.take(44 + 4)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decodeSampleStats(truncated))
+    assert(e.getMessage.contains("truncated"))
+
+    // header-only fixture (no samples) is a legal zero-sample payload
+    val headerOnly = Multimodal.wavBytes(1, 8000, 0)
+    assert(Multimodal.WavCodec.decodeSampleStats(headerOnly) ==
+      ((0L, 0, 0L, 0L)))
+  }
+
+  test("extractAudioStats: the sample formula round-trips through real " +
+    "RIFF bytes for one closed-form asset") {
+    import spark.implicits._
+    val id = 7L
+    val docs = Seq((id, "x")).toDF("doc_id", "text")
+    val row = Multimodal.extractAudioStats(
+      Multimodal.syntheticWavAssetsWithSamples(docs))
+      .select($"asset_id", $"n_samples", $"peak", $"n_clipped", $"sumsq")
+      .as[(Long, Long, Int, Long, Long)].head()
+    val ch = (1 + id % 2).toInt
+    val total = ch * (200 + id % 800).toInt
+    val expect = Array.tabulate(total)(j =>
+      (((j * 2657L + id * 7919L) % 65536L) - 32768L).toInt)
+    assert(row == ((id, total.toLong,
+      expect.map(math.abs).max,
+      expect.count(s => s == 32767 || s == -32768).toLong,
+      expect.map(s => s.toLong * s.toLong).sum)))
+  }
 }
