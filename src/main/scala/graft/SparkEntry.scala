@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, SplitStage, Stats, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage}
 import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
@@ -336,6 +336,66 @@ object SparkEntry {
         .unionByName(Stats.expectUniqueKey(li,
           Seq("l_orderkey", "l_linenumber")))
         .orderBy(col("rule"))
+    }),
+
+    "q25_time_travel" -> ((s, dir) => {
+      // the snapshot lifecycle end-to-end under ONE oracle: v0 is
+      // "yesterday's" load (even event_ids), v1 appends the odd half
+      // WITHOUT rewriting v0's files (append-mode file sharing, pinned
+      // in SnapshotsSpec), v2 is a replace-commit compliance delete
+      // (every user_id % 13 == 0 purged). Versions 0 and 1 are read
+      // AS OF and materialized (the export-then-expire shape), vacuum
+      // expires everything below v2 — and MUST actually delete files
+      // (required loudly) while leaving the live snapshot untouched,
+      // which the post-vacuum v2 read proves. The oracle recomputes
+      // all three snapshots straight from events: versioning and
+      // vacuum may move bytes, never rows.
+      val tbl = s"$artifactRoot/snap_table"
+      val scratch = s"$artifactRoot/snap_export"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      val v1 = Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        tbl, append = true)
+      val v2 = Snapshots.commit(s,
+        Snapshots.readAsOf(s, tbl, v1).filter(col("user_id") % 13 =!= 0),
+        tbl, append = false)
+      // time-travel reads are lazy — materialize v0/v1 BEFORE their
+      // files expire
+      Snapshots.readAsOf(s, tbl, v0).withColumn("version", lit(0L))
+        .unionByName(
+          Snapshots.readAsOf(s, tbl, v1).withColumn("version", lit(1L)))
+        .write.mode("overwrite").parquet(scratch)
+      val deleted = Snapshots.vacuum(s, tbl, keepFrom = v2)
+      require(deleted > 0,
+        "vacuum retained every file — v0/v1's replace-expired data " +
+          "should have been deleted")
+      s.read.parquet(scratch)
+        .unionByName(
+          Snapshots.readAsOf(s, tbl, v2).withColumn("version", lit(2L)))
+        .orderBy(col("version"), col("event_id"))
+    }),
+
+    "q26_snapshot_diff" -> ((s, dir) => {
+      // the audit face of the same lineage: what did the v2 compliance
+      // delete change vs v1? diff() is a two-sided multiset EXCEPT ALL
+      // over the two AS-OF reads — here pure removals (the purged
+      // users' rows), which the oracle derives independently from
+      // events. Rebuilt lineage (bench runs queries twice per process;
+      // commits mint fresh versions only on a fresh root).
+      val tbl = s"$artifactRoot/snap_diff_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v1 = Snapshots.commit(s, ev, tbl, append = false)
+      val v2 = Snapshots.commit(s, ev.filter(col("user_id") % 13 =!= 0),
+        tbl, append = false)
+      Snapshots.diff(s, tbl, oldVersion = v1, newVersion = v2)
+        .orderBy(col("change"), col("event_id"))
     }),
 
     "q24_mv_rewrite" -> ((s, dir) => {
@@ -3182,6 +3242,30 @@ object SparkEntry {
 
       // the same aggregate straight over events — the MV-redirected
       // engine plan must reproduce it exactly (all-long state algebra)
+      // all three snapshots recomputed straight from events —
+      // versioning and vacuum may move bytes, never rows
+      "q25_time_travel" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT *, CAST(0 AS BIGINT) AS version FROM ev
+          | WHERE event_id % 2 = 0
+          |UNION ALL
+          |SELECT *, CAST(1 AS BIGINT) AS version FROM ev
+          |UNION ALL
+          |SELECT *, CAST(2 AS BIGINT) AS version FROM ev
+          | WHERE user_id % 13 <> 0
+          |ORDER BY version, event_id""".stripMargin,
+
+      // the compliance delete's change set derived independently: pure
+      // removals — every row of the purged users
+      "q26_snapshot_diff" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents,
+          | '-' AS change
+          |FROM events WHERE user_id % 13 = 0
+          |ORDER BY change, event_id""".stripMargin,
+
       "q24_mv_rewrite" ->
         """WITH f AS (SELECT user_id, event_type,
           |  CAST(round(value*100,0) AS BIGINT) AS value_cents

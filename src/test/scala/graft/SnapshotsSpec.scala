@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Snapshots
+
+/** Snapshot lifecycle contracts: append-mode file sharing (the
+  * O(delta) commit), replace semantics, time-travel isolation, vacuum
+  * deleting exactly the expired files while the live snapshot reads
+  * back untouched, and loud failures for expired/unknown versions. */
+class SnapshotsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val p = Files.createTempDirectory("snap_spec_").toString + "/tbl"
+    Snapshots.init(spark, p)
+    p
+  }
+
+  private val rows0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+  private val rows1 = Seq((3L, "c")).toDF("id", "v")
+
+  test("versions mint 0,1,2…; append shares the parent's files, " +
+    "replace references only its own") {
+    val tbl = freshTable()
+    assert(Snapshots.latestVersion(spark, tbl).isEmpty)
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false)
+    val v1 = Snapshots.commit(spark, rows1, tbl, append = true)
+    val v2 = Snapshots.commit(spark, rows0, tbl, append = false)
+    assert((v0, v1, v2) == (0L, 1L, 2L))
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val files = (v: Long) => m.filter(_._1 == v).map(_._2).toSet
+    assert(files(0L).subsetOf(files(1L)),
+      "append-mode v1 must reference every v0 file (no data rewrite)")
+    assert(files(1L).size > files(0L).size)
+    assert(files(2L).intersect(files(1L)).isEmpty,
+      "replace-mode v2 must share nothing with v1")
+  }
+
+  test("time travel: each version reads back exactly its committed rows") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    Snapshots.commit(spark, rows1, tbl, append = true)
+    Snapshots.commit(spark, rows1, tbl, append = false)
+    def ids(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0L) == Seq(1L, 2L))
+    assert(ids(1L) == Seq(1L, 2L, 3L))
+    assert(ids(2L) == Seq(3L))
+  }
+
+  test("vacuum deletes exactly the files no retained version " +
+    "references and the live snapshot is untouched") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    Snapshots.commit(spark, rows1, tbl, append = true) // shares v0 files
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    val before = Snapshots.manifest(spark, tbl)
+      .select($"file").distinct().count()
+    val deleted = Snapshots.vacuum(spark, tbl, keepFrom = 2L)
+    // v0's files were shared by v1 — both expired, so they die; v2's live
+    assert(deleted > 0)
+    val after = Snapshots.manifest(spark, tbl)
+      .select($"file").distinct().count()
+    assert(after == before - deleted)
+    assert(Snapshots.readAsOf(spark, tbl, 2L)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, tbl, 0L)
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("vacuum keeps shared files alive while ANY retained version " +
+    "references them") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    Snapshots.commit(spark, rows1, tbl, append = true)
+    // keepFrom=1 retains v1, which references v0's files — nothing dies
+    assert(Snapshots.vacuum(spark, tbl, keepFrom = 1L) == 0L)
+    assert(Snapshots.readAsOf(spark, tbl, 1L).count() == 3L)
+  }
+
+  test("unknown version and empty-retention vacuum fail loudly") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, tbl, 7L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, tbl, keepFrom = 99L)
+    }
+  }
+
+  test("diff tags multiset adds and removals") {
+    val tbl = freshTable()
+    val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
+    val neu = Seq((1L, "a"), (3L, "c")).toDF("id", "v")
+    Snapshots.commit(spark, old, tbl, append = false)
+    Snapshots.commit(spark, neu, tbl, append = false)
+    val d = Snapshots.diff(spark, tbl, 0L, 1L)
+      .select($"change", $"id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // one copy of (1,"a") survives on both sides; the second is removed
+    assert(d == Seq(("+", 3L), ("-", 1L), ("-", 2L)))
+  }
+}
