@@ -869,6 +869,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      // same parameters, same answer, PPJoin cost curve: candidates from
+      // rarest-first prefixes only, exact intersections re-counted on
+      // the candidate sliver (DedupSpec pins both equality with the full
+      // index join and the candidate-set shrinkage)
+      Dedup.ngramJaccardPairsPrefix(par(s)(t(s, dir, "documents")), n = 2,
+        threshold = 0.25, maxGramDf = 500)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // asymmetric sub-document duplication: |A∩B| / min(|A|,|B|) finds
       // the embedded-quote / wrapped-republication pairs whose Jaccard
@@ -5257,6 +5267,7 @@ object SparkEntry {
       ("ev_stream_retention" -> base("ev_retention")) +
       ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
       ("ev_stream_cdc_apply" -> base("ev_cdc_apply")) +
-      ("text_decontaminate_bloom" -> base("text_decontaminate"))
+      ("text_decontaminate_bloom" -> base("text_decontaminate")) +
+      ("dedup_jaccard_prefix" -> base("dedup_jaccard"))
   }
 }

@@ -885,6 +885,106 @@ object Dedup {
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
   }
 
+  /** Prefix-filtered candidate pairs for [[ngramJaccardPairsPrefix]] —
+    * the AllPairs/PPJoin pruning: order every doc's gram set by one
+    * global canonical order (ascending per-block gram df, gram text as
+    * tie-break), and index only each doc's PREFIX — its first
+    * `sz − minOverlap + 1` grams, `minOverlap = ⌈t·sz⌉`. Two sets with
+    * Jaccard ≥ t must overlap by ≥ ⌈t·max(sa,sb)⌉; if neither's prefix
+    * tokens meet the other, every common gram sits in both suffixes,
+    * bounding overlap below that — so prefix-sharing is guaranteed and
+    * the filter has NO false negatives. Rarest-first ordering makes
+    * prefixes maximally discriminative: the join never touches a gram's
+    * hottest tail, which is where Σ df² lives.
+    *
+    * `minOverlap` is under-approximated as `max(⌊t·sz⌋, 1)` instead of
+    * the exact `⌈t·sz⌉`: IEEE jitter in `t·sz` near an integer could
+    * over-ceil and shorten the prefix below the proof's bound (a silent
+    * false negative); flooring costs at most one extra indexed gram per
+    * doc and can only ADD candidates. Exposed (not private) so the spec
+    * can pin candidate-set shrinkage against the full index join. */
+  def jaccardPrefixCandidates(
+      kept: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = kept
+      .withColumn("__gdf",
+        count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__gdf"), col("gram"))))
+      .withColumn("__sz",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__minov",
+        greatest(floor(lit(threshold) * col("__sz")).cast("long"), lit(1L)))
+      .filter(col("__pos") <= col("__sz") - col("__minov") + 1L)
+      .select(col("blk"), col("gram"), col(idCol))
+    ranked.select(col("blk"), col("gram"), col(idCol).as("doc_a"))
+      .join(ranked.select(col("blk"), col("gram"), col(idCol).as("doc_b")),
+        Seq("blk", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** [[ngramJaccardPairs]] with PPJoin-style prefix filtering — same
+    * answer (the spec pins equality), different join-cost curve. The
+    * full inverted index pays Σ_gram df² join rows and survives at
+    * corpus scale only by capping hot grams (`maxGramDf`), which CHANGES
+    * the score space. Prefix filtering keeps the exact semantics and
+    * cuts the quadratic term structurally: candidates come from a join
+    * over rarest-first PREFIXES only ([[jaccardPrefixCandidates]]), and
+    * exact intersections are then counted by joining the (small)
+    * candidate-pair set back to the full gram stream twice — linear
+    * passes keyed on doc id. `maxGramDf` still composes on top (applied
+    * before prefixing, same capped-gram-space semantics as the full
+    * join) for corpora whose boilerplate makes even prefixes hot.
+    *
+    * Cost shape at 100 TB: 3 linear window/aggregation passes over the
+    * gram stream + Σ prefix-df² (≪ Σ df² — prefixes exclude every
+    * gram's hot tail) + two candidate-keyed semi-joins, vs the full
+    * index's Σ df². The crossover favors prefixes exactly when the
+    * corpus is big enough for df² to dominate — i.e. always at scale. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      blockCol: String = "source",
+      n: Int = 2,
+      threshold: Double = 0.25,
+      maxGramDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs threshold in (0,1], got $threshold")
+    val grams = df
+      .select(col(blockCol).as("blk"), col(idCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val kept = Materialize(
+      if (maxGramDf <= 0) grams
+      else grams
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
+        .filter(col("__df") <= maxGramDf)
+        .drop("__df"))
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val cand = jaccardPrefixCandidates(kept, idCol, threshold)
+    // exact verification: count the grams present on BOTH sides of each
+    // candidate pair — two joins keyed on doc id over the linear gram
+    // stream, grouped once per pair
+    val ga = kept.select(col(idCol).as("doc_a"), col("gram"))
+    val gb = kept.select(col(idCol).as("doc_b"), col("gram"))
+    cand.join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sb")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------------
   // Segment-level boilerplate removal (line-level dedup, generalized)
   // ------------------------------------------------------------------

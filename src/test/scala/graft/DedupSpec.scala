@@ -213,6 +213,66 @@ class DedupSpec extends SparkSuite {
     assert(!fast.exists(p => p._1 == 1L && p._2 == 5L))
   }
 
+  test("prefix-filtered Jaccard equals the full inverted-index join " +
+    "and generates strictly fewer candidates") {
+    // a shared hot bigram ("the quick") makes the full index pay df²
+    // rows the rarest-first prefixes never touch
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "s1", "the quick brown fox leaps over the lazy dog"),
+      (3L, "s1", "an utterly different document about spark engines"),
+      (4L, "s1", "the quick brown fox jumps over a lazy dog today"),
+      (5L, "s1", "the quick red panda naps under a shady tree"),
+      (6L, "s2", "the quick brown fox jumps over the lazy dog"),
+      (7L, "s2", "spark engines process corpus data at large scale"))
+      .toDF("doc_id", "source", "text")
+    for (t <- Seq(0.1, 0.25, 0.5, 0.9)) {
+      val full = Dedup.ngramJaccardPairs(docs, n = 2, threshold = t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, n = 2, threshold = t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(pref.map(p => (p._1, p._2)) == full.map(p => (p._1, p._2)),
+        s"pair sets diverge at threshold $t")
+      pref.zip(full).foreach { case (p, f) =>
+        assert(math.abs(p._3 - f._3) < 1e-12, s"score mismatch: $p vs $f")
+      }
+    }
+    // candidate shrinkage at a selective threshold: every doc pair
+    // sharing ANY gram is a full-index candidate; prefixes prune
+    val kept = docs.select($"source".as("blk"), $"doc_id",
+      explode(array_distinct(Dedup.shingles($"text", 2))).as("gram"))
+    val fullCand = kept.select($"blk", $"gram", $"doc_id".as("doc_a"))
+      .join(kept.select($"blk", $"gram", $"doc_id".as("doc_b")),
+        Seq("blk", "gram"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct().count()
+    val prefCand = Dedup.jaccardPrefixCandidates(kept, "doc_id", 0.5).count()
+    assert(prefCand < fullCand,
+      s"prefix filter pruned nothing: $prefCand vs $fullCand")
+  }
+
+  test("prefix-filtered Jaccard composes with the hot-gram cap and " +
+    "rejects thresholds outside (0,1]") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s1", "alpha beta totally unrelated words here"))
+      .toDF("doc_id", "source", "text")
+    val full = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.2,
+      maxGramDf = 2).orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pref = Dedup.ngramJaccardPairsPrefix(docs, n = 2, threshold = 0.2,
+      maxGramDf = 2).orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pref == full)
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(docs, threshold = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.0)
+    }
+  }
+
   test("decontaminateFuzzy: docs sharing a band with a benchmark doc " +
     "drop (identical text always collides); distinct docs survive; " +
     "empty benchmark keeps everything") {
