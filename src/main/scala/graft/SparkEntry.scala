@@ -2735,6 +2735,41 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_stream_transitions" -> ((s, dir) => {
+      // the transition matrix's stream twin against the batch oracle:
+      // per-user timelines buffer in state until the watermark passes
+      // the quiet horizon, the sort+lag fold emits each adjacency once
+      // (start sentinel included), and the matrix is a batch count over
+      // the drained edges. The flush sentinel rides user -1 — its
+      // timeline is real to the state machine but filtered from the
+      // drained frame before counting.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = s"$artifactRoot/stream_transitions_input"
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 30L * 60L * 1000000L)
+      val edges = FunnelStream.transitionsStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.Event],
+        horizonMinutes = 30)
+      Sessionize.runToMemory(s, edges.toDF(), "ev_stream_transitions_sink",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("user_id") >= 0)
+        .groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev"), col("next"))
+    }),
+
     "ev_stream_retention" -> ((s, dir) => {
       // cohort retention against the SAME oracle as the batch
       // ev_retention: the per-user state machine finalizes each user's
@@ -5268,6 +5303,7 @@ object SparkEntry {
       ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
       ("ev_stream_cdc_apply" -> base("ev_cdc_apply")) +
       ("text_decontaminate_bloom" -> base("text_decontaminate")) +
-      ("dedup_jaccard_prefix" -> base("dedup_jaccard"))
+      ("dedup_jaccard_prefix" -> base("dedup_jaccard")) +
+      ("ev_stream_transitions" -> base("ev_transitions"))
   }
 }

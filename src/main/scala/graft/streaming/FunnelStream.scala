@@ -200,4 +200,67 @@ object FunnelStream extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ---------------------------------------------------------- transitions
+
+  /** One adjacent-pair edge of a user's settled timeline — the matrix
+    * is a plain (prev, next) count over these rows. */
+  final case class TransitionRow(user_id: Long, prev: String, next: String)
+
+  /** Streaming twin of [[graft.operators.Funnel.transitions]]' per-user
+    * half: adjacent-pair edges of each user's event-time-ordered
+    * timeline, watermark-final. The batch operator's lag window is a
+    * total (ts, event_id) order per user — an arrival-order fold would
+    * weld wrong adjacencies the moment one event arrives late (a late
+    * middle event must split an already-emitted pair into two). So, as
+    * with the funnel, events BUFFER per user until the watermark passes
+    * the quiet horizon, and the sort + lag fold runs once at flush,
+    * emitting each adjacency exactly once (start sentinel included).
+    * On a full bounded replay the (prev, next) counts over these rows
+    * equal the batch matrix — the shared oracle.
+    *
+    * State per user is their events inside the horizon — (ts_us, id,
+    * type) triples, the same bound the funnel documents; the matrix
+    * aggregation over the emitted edges is |types|² rows, tiny at any
+    * scale. */
+  def transitionsStream(
+      events: Dataset[Sessionize.Event],
+      horizonMinutes: Int = 30,
+      startSentinel: String = "∅"): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60L * 1000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Sessionize.Event],
+        state: GroupState[FunnelBuf]): Iterator[TransitionRow] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        val ordered = s.buf.sortBy(e => (e.ts_us, e.event_id))
+        val prevs = startSentinel :: ordered.map(_.event_type)
+        return prevs.iterator.zip(ordered.iterator)
+          .map { case (p, e) => TransitionRow(userId, p, e.event_type) }
+      }
+      val prev = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
+      val incoming = rows.map(e =>
+        FunnelEv(micros(e.ts), e.event_id, e.event_type)).toList
+      val next = FunnelBuf(incoming reverse_::: prev.buf,
+        incoming.foldLeft(prev.lastTsUs)((m, e) => math.max(m, e.ts_us)))
+      state.update(next)
+      state.setTimeoutTimestamp(
+        math.max(next.lastTsUs / 1000L + horizonMs,
+          state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -169,4 +169,72 @@ class FunnelStreamSpec extends SparkSuite {
     val cohort1 = micros(ts(10)) / 86400000000L
     assert(out == Set((1L, cohort1, 0L), (1L, cohort1, 1L)))
   }
+
+  // ---------------------------------------------------------- transitions
+
+  private def runTransitions(batches: Seq[Seq[Event]]): Seq[(Long, String, String)] = {
+    implicit val sqlCtx = spark.sqlContext
+    runIdx += 1
+    val sink = s"transitions_stream_test_$runIdx"
+    val stream = MemoryStream[Event]
+    val rows = FunnelStream.transitionsStream(stream.toDS(),
+      horizonMinutes = 30)
+    val query = rows.writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+      stream.addData(Event(98L, ts(60000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      stream.addData(Event(99L, ts(90000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      spark.table(sink).filter($"user_id" < 9L)
+        .as[FunnelStream.TransitionRow].collect()
+        .map(r => (r.user_id, r.prev, r.next)).sorted.toSeq
+    } finally query.stop()
+  }
+
+  test("transitions: per-user adjacency edges equal the batch lag " +
+    "window, start sentinel included, and the aggregated matrix " +
+    "matches Funnel.transitions") {
+    val out = runTransitions(Seq(events))
+    // user 1: ∅→signup→click→purchase; user 2: ∅→click→signup (event
+    // TIME order, click at t3 precedes signup at t4); user 3: ∅→click→purchase
+    assert(out == Seq(
+      (1L, "click", "purchase"), (1L, "signup", "click"), (1L, "∅", "signup"),
+      (2L, "click", "signup"), (2L, "∅", "click"),
+      (3L, "click", "purchase"), (3L, "∅", "click")).sorted)
+
+    val streamMatrix = out.groupBy(t => (t._2, t._3))
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    val batch = graft.operators.Funnel.transitions(events.toDF())
+      .as[(String, String, Long)].collect().toSet
+    assert(streamMatrix == batch)
+  }
+
+  test("transitions: late arrival within the horizon splices into the " +
+    "timeline — adjacencies are event-time, not arrival-order") {
+    // user 1's click (middle of the timeline) arrives LAST; a greedy
+    // fold would have emitted signup→purchase, an edge that must not
+    // exist in the settled timeline
+    val shuffled = Seq(
+      Seq(events(0), events(2)), // signup, purchase
+      Seq(events(1)))            // click arrives late
+    val out = runTransitions(shuffled)
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, "click", "purchase"), (1L, "signup", "click"),
+      (1L, "∅", "signup")).sorted)
+    assert(!out.contains((1L, "signup", "purchase")))
+  }
+
+  test("transitions: equal timestamps tie-break on event_id, matching " +
+    "the batch window order") {
+    val sameTs = Seq(
+      Event(5L, ts(0), 7L, "view", 0.0),
+      Event(2L, ts(1), 7L, "click", 0.0),   // same instant, id 2 first
+      Event(3L, ts(1), 7L, "purchase", 0.0))
+    val out = runTransitions(Seq(sameTs))
+    assert(out == Seq(
+      (7L, "click", "purchase"), (7L, "view", "click"),
+      (7L, "∅", "view")).sorted)
+  }
 }
