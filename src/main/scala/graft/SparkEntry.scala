@@ -1190,6 +1190,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_heavy_grams" -> ((s, dir) => {
+      // exact frequent grams behind the CMS gate: the sketch-probe
+      // filter drops light grams map-side (no false negatives — CMS
+      // only overcounts), the exact count over the surviving sliver
+      // clears the gate's false positives; answer == plain groupBy
+      TextAnalysis.heavyGrams(par(s)(t(s, dir, "documents")), n = 2,
+        minCount = 30L)
+        .orderBy(col("gram"))
+    }),
+
     "text_stream_quality_filter" -> ((s, dir) => {
       // batch-train / stream-apply: a batch pass trains per-source
       // rank thresholds (a percentile needs the whole corpus), the
@@ -4250,6 +4260,13 @@ object SparkEntry {
         s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
            |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
            |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+      // the plain threshold count — the sketch gate may drop work, never
+      // rows
+      "text_heavy_grams" ->
+        s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
+           |GROUP BY gram HAVING count(*) >= 30 ORDER BY gram""".stripMargin,
 
       // same wrap, same RE2-portable strip chain: blocks -> tags ->
       // entities (amp LAST) -> whitespace collapse; URL extraction runs

@@ -747,4 +747,61 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("gram"))
       .limit(k)
   }
+
+  // ---------------------------------------------------- sketch-gated counts
+
+  /** Train a count-min sketch over a column with Spark's native
+    * `count_min_sketch` aggregate (map-side combinable; the shuffled
+    * payload is d·w longs per partition, not data) and return its
+    * serialized bytes — the train half of [[heavyGrams]]' gate.
+    * `eps` bounds overestimation (≤ eps·N extra with prob. ≥
+    * `confidence`), trading sketch width for gate precision. */
+  def cmsSketch(
+      items: DataFrame,
+      itemCol: String,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42): Array[Byte] = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    require(confidence > 0 && confidence < 1, "confidence must be in (0, 1)")
+    items.agg(expr(
+      s"count_min_sketch($itemCol, ${eps}d, ${confidence}d, $seed)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** The codegen'd CMS point estimate over `c` ([[CmsEstimate]]). */
+  def cmsEstimate(sketchBytes: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(CmsEstimate(GraftSqlShim.expression(c), sketchBytes))
+  }
+
+  /** EXACT heavy-hitter n-grams (occurrence count ≥ `minCount`) behind a
+    * count-min-sketch gate — the [[Dedup.decontaminateBloomExact]]
+    * pattern applied to frequency mining. The plain plan shuffles the
+    * ENTIRE gram stream into the count aggregation; at corpus scale the
+    * tail (grams seen once or twice, the overwhelming majority of a real
+    * web corpus's gram space) IS that shuffle. Here a first linear pass
+    * trains the sketch (tiny shuffle: one d·w-long state per partition),
+    * and the probe — a codegen'd map-side filter — drops every gram the
+    * sketch proves lighter than `minCount` BEFORE the exact count
+    * aggregation, so only the heavy sliver shuffles. CMS never
+    * undercounts, so the gate has NO false negatives; its false
+    * positives ride into the exact count and fall to the final
+    * `n >= minCount` filter — the answer is bit-equal to the plain
+    * groupBy (the oracle and the spec both pin it). */
+  def heavyGrams(
+      df: DataFrame,
+      textCol: String = "text",
+      n: Int = 2,
+      minCount: Long = 30L,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val grams = df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val sketch = cmsSketch(grams, "gram", eps, confidence)
+    grams
+      .filter(cmsEstimate(sketch, col("gram")) >= minCount)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

@@ -485,4 +485,47 @@ class TextAnalysisSpec extends SparkSuite {
       .select($"gram").as[String].collect().toSeq
     assert(g == Seq("a b"))
   }
+
+  test("heavyGrams: sketch-gated count equals the plain groupBy — the " +
+    "gate drops work, never rows") {
+    // "alpha beta" appears 12×, "beta gamma" 3×, the rest once each
+    val docs = (1 to 12).map(i => (i.toLong, "alpha beta")) ++
+      (13 to 15).map(i => (i.toLong, "beta gamma")) ++
+      Seq((16L, "delta epsilon"), (17L, "zeta eta"), (18L, "theta iota"))
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(1L, 2L, 3L, 12L, 13L)) {
+      val gated = TextAnalysis.heavyGrams(df, minCount = t)
+        .orderBy($"gram").as[(String, Long)].collect().toSeq
+      val plain = df
+        .select(explode(graft.functions.Dedup.shingles($"text", 2)).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("n"))
+        .filter($"n" >= t)
+        .orderBy($"gram").as[(String, Long)].collect().toSeq
+      assert(gated == plain, s"divergence at minCount=$t")
+    }
+  }
+
+  test("cmsEstimate never undercounts and agrees with the aggregate's " +
+    "byte stream; codegen and interpreted paths match") {
+    val items = (1 to 50).map(i => s"item${i % 7}").toDF("gram")
+    val sketch = TextAnalysis.cmsSketch(items, "gram")
+    val exact = items.groupBy($"gram").agg(count(lit(1)).as("n"))
+    val est = exact.withColumn("est",
+      TextAnalysis.cmsEstimate(sketch, $"gram"))
+      .select($"n", $"est").as[(Long, Long)].collect()
+    est.foreach { case (n, e) =>
+      assert(e >= n, s"CMS undercounted: exact=$n est=$e")
+    }
+    // interpreted path (eval without codegen) agrees
+    import org.apache.spark.sql.GraftSqlShim
+    val e = graft.functions.CmsEstimate(
+      GraftSqlShim.eagerExpression(lit("item1")), sketch)
+    val interp = e.eval(null).asInstanceOf[Long]
+    val viaPlan = items.filter($"gram" === "item1")
+      .select(TextAnalysis.cmsEstimate(sketch, $"gram")).as[Long].head()
+    assert(interp == viaPlan)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cmsSketch(items, "gram", eps = 0.0)
+    }
+  }
 }
