@@ -2917,6 +2917,19 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_audio_decimate" -> ((s, dir) => {
+      // REAL audio down-res: full-PCM WAVs decimated 4× (every 4th
+      // frame, channels aligned) and re-encoded spec-valid; the probes
+      // (new rate, frame count, channel-0 samples at first/middle/last
+      // kept frame) are re-read from the re-encoded bytes and replayed
+      // arithmetically by the oracle — the mm_resize loop for audio.
+      Multimodal.extractDecimateProbes(
+        Multimodal.syntheticWavAssetsWithSamples(
+          par(s)(t(s, dir, "documents"))),
+        factor = 4)
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_video_meta" -> ((s, dir) => {
       // REAL video decode path: canonical AVI headers per doc with
       // closed-form geometry/timing, recovered by AviCodec's RIFF parse;
@@ -2935,6 +2948,16 @@ object SparkEntry {
       Multimodal.sceneCuts(
         Multimodal.syntheticFrameSigAssets(par(s)(t(s, dir, "documents"))))
         .orderBy(col("asset_id"))
+    }),
+
+    "mm_keyframes" -> ((s, dir) => {
+      // one row per scene: ordinal, opening frame, its signature — the
+      // frame-sample stream a per-frame model would consume; fixture
+      // runs are closed-form so the oracle derives every row (scene k
+      // of doc starts at k·L+1 with signature k) arithmetically
+      Multimodal.keyframes(
+        Multimodal.syntheticFrameSigAssets(par(s)(t(s, dir, "documents"))))
+        .orderBy(col("asset_id"), col("scene_idx"))
     }),
 
     "mm_features_errors" -> ((s, dir) => {
@@ -5108,6 +5131,29 @@ object SparkEntry {
           | CAST(sumsq AS DOUBLE) / CAST(n_samples AS DOUBLE) AS mean_sq
           |FROM a ORDER BY asset_id""".stripMargin,
 
+      // decimation replayed arithmetically: kept frames are 0,4,8,… of
+      // n = 200 + id%800, so n_kept = (n+3)//4 and the probed channel-0
+      // sample of kept frame k is the fixture formula at interleaved
+      // index (k*4)*ch
+      "mm_audio_decimate" ->
+        """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+          |  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |   ELSE 44100 END AS rate,
+          |  200 + doc_id % 800 AS n FROM documents),
+          |k AS (SELECT doc_id, ch, rate, (n + 3) // 4 AS nk FROM p),
+          |s AS (SELECT doc_id, ch, rate, nk,
+          |  0 AS f0, (nk // 2) * 4 AS fmid, (nk - 1) * 4 AS fend FROM k)
+          |SELECT doc_id AS asset_id,
+          | CAST(rate // 4 AS BIGINT) AS out_rate,
+          | CAST(nk AS BIGINT) AS out_frames,
+          | CAST(((f0 * ch * 2657 + doc_id * 7919) % 65536) - 32768
+          |  AS BIGINT) AS p0,
+          | CAST(((fmid * ch * 2657 + doc_id * 7919) % 65536) - 32768
+          |  AS BIGINT) AS pmid,
+          | CAST(((fend * ch * 2657 + doc_id * 7919) % 65536) - 32768
+          |  AS BIGINT) AS pend
+          |FROM s ORDER BY asset_id""".stripMargin,
+
       // AVI parameters are closed-form in doc_id (syntheticAviAssets);
       // duration_ms = usPerFrame * nFrames // 1000, exact integer floor
       "mm_video_meta" ->
@@ -5122,6 +5168,19 @@ object SparkEntry {
       // independent arithmetic (no array replay): with scene length L =
       // 1 + id%7 and n = 24 + id%240 frames, cuts sit at k·L+1 for k =
       // 1..(n−1)//L; mean length = n / (cuts+1), one IEEE division
+      // scene k (0-based) opens at frame k·L+1 whose signature is k —
+      // pure arithmetic, no array replay
+      "mm_keyframes" ->
+        """WITH p AS (SELECT doc_id, 24 + doc_id % 240 AS n,
+          |  1 + doc_id % 7 AS l FROM documents),
+          |s AS (SELECT doc_id, l, unnest(range(0, (n - 1) // l + 1)) AS k
+          | FROM p)
+          |SELECT doc_id AS asset_id,
+          | CAST(k + 1 AS INT) AS scene_idx,
+          | CAST(k * l + 1 AS INT) AS start_frame,
+          | CAST(k AS INT) AS sig
+          |FROM s ORDER BY asset_id, scene_idx""".stripMargin,
+
       "mm_scene_cuts" ->
         """WITH p AS (SELECT doc_id, 24 + doc_id % 240 AS n,
           |  1 + doc_id % 7 AS l FROM documents)

@@ -504,6 +504,38 @@ object Multimodal {
         col("__sc.mean_scene_len").as("mean_scene_len"))
   }
 
+  /** Keyframe sampling — the consumer [[sceneCuts]]' scaladoc promises
+    * ("one keyframe per scene"): one OUTPUT ROW per detected scene,
+    * carrying the scene's 1-based ordinal, its opening frame position,
+    * and that frame's signature — the row stream a downstream
+    * feature-extraction / embedding stage consumes instead of every
+    * frame (a 24 fps corpus at scene granularity is a ~100× frame-count
+    * cut before the expensive per-frame model). Scene starts are frame
+    * 1 plus every cut position (same null-safe boundary rule as
+    * [[sceneCuts]]); the explode is the deliverable granularity, not
+    * overhead — blobs still never move, only (id, idx, pos, sig)
+    * quadruples. An empty frame array yields no rows. */
+  def keyframes(
+      assets: DataFrame,
+      framesCol: String = "frame_sigs",
+      idCol: String = "asset_id"): DataFrame = {
+    val starts = element_at(
+      transform(array(col(framesCol)), arr => {
+        val cuts = when(size(arr) < 2,
+          array().cast(ArrayType(IntegerType)))
+          .otherwise(filter(sequence(lit(2), size(arr)),
+            i => !(element_at(arr, i) <=> element_at(arr, i - 1))))
+        when(size(arr) < 1, array().cast(ArrayType(IntegerType)))
+          .otherwise(concat(array(lit(1)), cuts))
+      }), 1)
+    assets
+      .select(col(idCol), col(framesCol),
+        posexplode(starts).as(Seq("__k", "start_frame")))
+      .select(col(idCol), (col("__k") + 1).as("scene_idx"),
+        col("start_frame"),
+        element_at(col(framesCol), col("start_frame")).as("sig"))
+  }
+
   /** A COMPLETE 24-bit bottom-up BMP with REAL pixel data: pixel (x, y)
     * — y counted from the top — carries (x·31 + y·17) mod 256 in all
     * three channels, the closed form the resize oracle replays. Rows
@@ -640,6 +672,73 @@ object Multimodal {
           resized(off + (h - 1 - y) * stride + x * 3) & 0xff
         Seq[Any](w, h, px(1 min (w - 1), 2 min (h - 1)),
           px(w / 2, h / 2), px(w - 1, h - 1))
+      }, routeErrors)
+
+  /** Integer-factor audio decimation — the audio sibling of
+    * [[resizeBmpNearest]] (down-res ingest: a 44.1 kHz archive feeding
+    * an 11 kHz feature extractor). Keeps every `factor`-th FRAME (all
+    * channels of it, so channel alignment survives) and re-encodes a
+    * spec-valid PCM WAV at `rate / factor`. No filtering/interpolation
+    * by design: nearest-frame decimation is the exact-integer transform
+    * whose every output byte is closed-form in the input — the property
+    * that puts the whole decode → decimate → re-encode → re-decode loop
+    * under the oracle, exactly as the BMP resize does for pixels. A
+    * production anti-aliased resampler slots in behind the same
+    * signature. Non-divisible rates and truncated/odd data chunks
+    * throw loudly. */
+  def decimateWav(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0, s"decimation factor must be positive, got $factor")
+    WavCodec.decodeMeta(payload) // loud header validation
+    val ch = leShort(payload, 22)
+    val rate = leInt(payload, 24)
+    require(rate % factor == 0,
+      s"sample rate $rate is not divisible by decimation factor $factor")
+    val dataSize = leUInt(payload, 40)
+    require(44L + dataSize <= payload.length,
+      "WAV data chunk truncated (declared size exceeds payload)")
+    require(dataSize % (2L * ch) == 0,
+      "PCM16 data chunk is not frame-aligned")
+    val nFrames = (dataSize / (2L * ch)).toInt
+    val nKept = (nFrames + factor - 1) / factor
+    val out = new Array[Short](nKept * ch)
+    var k = 0
+    while (k < nKept) {
+      val srcPos = 44 + 2 * (k * factor) * ch
+      var c = 0
+      while (c < ch) {
+        out(k * ch + c) = leShort(payload, srcPos + 2 * c).toShort
+        c += 1
+      }
+      k += 1
+    }
+    wavBytesWithSamples(ch, rate / factor, out)
+  }
+
+  /** Decimate every asset by `factor` and emit PROBES of the re-encoded
+    * result — output rate and frame count re-parsed from the new
+    * header, plus channel-0 sample values at the first, middle and last
+    * kept frame re-read from the new data chunk — so the full loop sits
+    * under the oracle: with [[syntheticWavAssetsWithSamples]]'
+    * closed-form samples, every probe is pure arithmetic in the doc id.
+    * Blobs never shuffle; probes (five longs per asset) do. */
+  def extractDecimateProbes(
+      assets: DataFrame,
+      factor: Int,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("out_rate", LongType),
+        StructField("out_frames", LongType),
+        StructField("p0", LongType),
+        StructField("pmid", LongType),
+        StructField("pend", LongType)),
+      payload => {
+        val d = decimateWav(payload, factor)
+        val ch = leShort(d, 22)
+        val n = (leUInt(d, 40) / (2L * ch)).toInt
+        def sample(frame: Int): Long =
+          leShort(d, 44 + 2 * frame * ch).toShort.toLong
+        Seq[Any](leInt(d, 24).toLong, n.toLong,
+          sample(0), sample(n / 2), sample(n - 1))
       }, routeErrors)
 
   /** A minimal canonical PCM WAV header (44 bytes) DECLARING `nSamples`

@@ -479,4 +479,94 @@ class MultimodalSpec extends SparkSuite {
       expect.count(s => s == 32767 || s == -32768).toLong,
       expect.map(s => s.toLong * s.toLong).sum)))
   }
+
+  test("keyframes: one row per scene with its opening frame and " +
+    "signature; null boundaries split; empty arrays emit nothing") {
+    val assets = Seq(
+      (1L, Seq[Integer](5, 5, 7, 7, 7, 2)),
+      (2L, Seq[Integer](1, null, 1)),
+      (3L, Seq[Integer]()),
+      (4L, Seq[Integer](9)))
+      .toDF("asset_id", "frame_sigs")
+    val out = Multimodal.keyframes(assets)
+      .orderBy($"asset_id", $"scene_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1, 1, Some(5)), (1L, 2, 3, Some(7)), (1L, 3, 6, Some(2)),
+      (2L, 1, 1, Some(1)), (2L, 2, 2, None), (2L, 3, 3, Some(1)),
+      (4L, 1, 1, Some(9))))
+  }
+
+  test("keyframes: fixture rows are closed-form — scene k opens at " +
+    "k*L+1 with signature k") {
+    val id = 11L
+    val docs = Seq((id, "x")).toDF("doc_id", "text")
+    val out = Multimodal.keyframes(
+      Multimodal.syntheticFrameSigAssets(docs))
+      .orderBy($"scene_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    val n = (24 + id % 240).toInt
+    val l = (1 + id % 7).toInt
+    val expect = (0 to (n - 1) / l).map(k => (k + 1, k * l + 1, k))
+    assert(out == expect)
+  }
+
+  test("decimateWav: keeps every k-th frame channel-aligned, rewrites " +
+    "the rate, re-encodes spec-valid; factor 1 is the identity") {
+    // 10 stereo frames, samples 0..19 interleaved
+    val src = Multimodal.wavBytesWithSamples(2, 16000,
+      Array.tabulate[Short](20)(_.toShort))
+    val d = Multimodal.decimateWav(src, 2)
+    val (ch, rate, _) = Multimodal.WavCodec.decodeMeta(d)
+    assert((ch, rate) == ((2, 8000)))
+    // kept frames 0,2,4,6,8 → interleaved values [0,1, 4,5, 8,9, 12,13, 16,17]
+    val vals = (0 until 10).map(j =>
+      java.nio.ByteBuffer.wrap(d, 44 + 2 * j, 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort.toInt)
+    assert(vals == Seq(0, 1, 4, 5, 8, 9, 12, 13, 16, 17))
+    // the result is itself a decodable asset (re-encode is spec-valid)
+    val (n, peak, _, _) = Multimodal.WavCodec.decodeSampleStats(d)
+    assert(n == 10L && peak == 17)
+    assert(Multimodal.decimateWav(src, 1).toSeq == src.toSeq)
+    // a non-multiple frame count rounds UP (frames 0,4,8 of 10)
+    val d4 = Multimodal.decimateWav(src, 4)
+    assert(Multimodal.WavCodec.decodeSampleStats(d4)._1 == 6L)
+  }
+
+  test("decimateWav: loud failures — non-divisible rate, truncation, " +
+    "bad factor") {
+    val src = Multimodal.wavBytesWithSamples(1, 44100,
+      Array.tabulate[Short](8)(_.toShort))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decimateWav(src, 8) // 44100 % 8 != 0
+    }
+    assert(e.getMessage.contains("not divisible"))
+    intercept[IllegalArgumentException] {
+      Multimodal.decimateWav(src.take(50), 2) // truncated data chunk
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decimateWav(src, 0)
+    }
+  }
+
+  test("extractDecimateProbes: fixture probes are closed-form in the " +
+    "doc id — the oracle's arithmetic") {
+    val id = 37L
+    val docs = Seq((id, "x")).toDF("doc_id", "text")
+    val row = Multimodal.extractDecimateProbes(
+      Multimodal.syntheticWavAssetsWithSamples(docs), factor = 4)
+      .select($"asset_id", $"out_rate", $"out_frames",
+        $"p0", $"pmid", $"pend")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val ch = (1 + id % 2).toInt
+    val rates = Array(8000, 16000, 44100)
+    val n = (200 + id % 800).toInt
+    val nk = (n + 3) / 4
+    def samp(f: Long): Long = ((f * ch * 2657L + id * 7919L) % 65536L) - 32768L
+    assert(row == ((id, rates((id % 3).toInt) / 4L, nk.toLong,
+      samp(0L), samp((nk / 2) * 4L), samp((nk - 1) * 4L))))
+  }
 }
