@@ -338,6 +338,54 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q27_mv_refresh" -> ((s, dir) => {
+      // the full MV LIFECYCLE under one oracle: build state over day-0
+      // facts, serve; a delta lands in the fact table (parquet append);
+      // the MV refreshes by ALGEBRAIC MERGE of the reloaded old state
+      // with the delta's aggregate — the fact table is never rescanned
+      // for maintenance — and the refreshed registration redirects the
+      // same dashboard aggregate, now bit-equal to a full recompute
+      // (q24's oracle verbatim: the whole events table). Deregister
+      // first so the build aggregates are immune to a previous run's
+      // registration (bench runs queries twice per process).
+      val fact = s"$artifactRoot/mvr_fact"
+      val mv0 = s"$artifactRoot/mvr_state0"
+      val mv1 = s"$artifactRoot/mvr_state1"
+      val keys = Seq("user_id", "event_type")
+      graft.plans.MvRewrite.install(s)
+      graft.plans.MvRewrite.deregister(fact)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      ev.filter(col("event_id") % 4 =!= 0)
+        .write.mode("overwrite").parquet(fact)
+      IncrementalAgg.aggregate(s.read.parquet(fact), keys,
+        sums = Seq("value_cents"), mins = Seq("value_cents"),
+        maxes = Seq("value_cents"))
+        .write.mode("overwrite").parquet(mv0)
+      val delta = ev.filter(col("event_id") % 4 === 0)
+      delta.write.mode("append").parquet(fact)
+      IncrementalAgg.merge(
+        IncrementalAgg.loadState(s, mv0, keys,
+          sums = Seq("value_cents"), mins = Seq("value_cents"),
+          maxes = Seq("value_cents")),
+        IncrementalAgg.aggregate(delta, keys,
+          sums = Seq("value_cents"), mins = Seq("value_cents"),
+          maxes = Seq("value_cents")),
+        keys, sums = Seq("value_cents"), mins = Seq("value_cents"),
+        maxes = Seq("value_cents"))
+        .write.mode("overwrite").parquet(mv1)
+      graft.plans.MvRewrite.register(s, fact, mv1, keys,
+        sums = Seq("value_cents"), mins = Seq("value_cents"),
+        maxes = Seq("value_cents"))
+      s.read.parquet(fact).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"),
+          min(col("value_cents")).as("min_cents"),
+          max(col("value_cents")).as("max_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "q25_time_travel" -> ((s, dir) => {
       // the snapshot lifecycle end-to-end under ONE oracle: v0 is
       // "yesterday's" load (even event_ids), v1 appends the odd half
@@ -5380,6 +5428,9 @@ object SparkEntry {
       ("ev_stream_cdc_apply" -> base("ev_cdc_apply")) +
       ("text_decontaminate_bloom" -> base("text_decontaminate")) +
       ("dedup_jaccard_prefix" -> base("dedup_jaccard")) +
-      ("ev_stream_transitions" -> base("ev_transitions"))
+      ("ev_stream_transitions" -> base("ev_transitions")) +
+      // refresh lands the MV at the full corpus state, so the
+      // redirected aggregate answers q24's full-recompute oracle
+      ("q27_mv_refresh" -> base("q24_mv_rewrite"))
   }
 }

@@ -120,4 +120,42 @@ class MvRewriteSpec extends SparkSuite {
     assert(scannedPaths(d).exists(_.contains("/mv")),
       "original registration must survive unrelated deregistration")
   }
+
+  test("refresh lifecycle: a delta appends to the fact, the MV absorbs " +
+    "it by merge (no fact rescan), and the re-registered view answers " +
+    "the full recompute") {
+    val fact2 = s"$root/fact2"
+    val mvA = s"$root/mv_a"
+    val mvB = s"$root/mv_b"
+    val all = (1 to 1000).map(i =>
+      (i.toLong, i.toLong % 7, s"t${i % 3}", (i * 13 % 101).toLong))
+      .toDF("event_id", "user_id", "event_type", "cents")
+    val keys = Seq("user_id", "event_type")
+    all.filter($"event_id" % 4 =!= 0)
+      .write.mode("overwrite").parquet(fact2)
+    IncrementalAgg.aggregate(spark.read.parquet(fact2), keys,
+      sums = Seq("cents"), mins = Seq("cents"), maxes = Seq("cents"))
+      .write.mode("overwrite").parquet(mvA)
+    val delta = all.filter($"event_id" % 4 === 0)
+    delta.write.mode("append").parquet(fact2)
+    IncrementalAgg.merge(
+      IncrementalAgg.loadState(spark, mvA, keys, sums = Seq("cents"),
+        mins = Seq("cents"), maxes = Seq("cents")),
+      IncrementalAgg.aggregate(delta, keys, sums = Seq("cents"),
+        mins = Seq("cents"), maxes = Seq("cents")),
+      keys, sums = Seq("cents"), mins = Seq("cents"), maxes = Seq("cents"))
+      .write.mode("overwrite").parquet(mvB)
+    MvRewrite.install(spark)
+    MvRewrite.register(spark, fact2, mvB, keys, sums = Seq("cents"),
+      mins = Seq("cents"), maxes = Seq("cents"))
+    try {
+      val served = q(spark.read.parquet(fact2))
+      assert(scannedPaths(served).exists(_.contains("/mv_b")),
+        s"refresh not redirected:\n${served.queryExecution.optimizedPlan}")
+      val expect = q(all).orderBy($"user_id", $"event_type")
+        .collect().toSeq
+      assert(served.orderBy($"user_id", $"event_type").collect().toSeq
+        == expect)
+    } finally MvRewrite.deregister(fact2)
+  }
 }
