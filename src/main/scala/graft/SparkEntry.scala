@@ -1496,6 +1496,19 @@ object SparkEntry {
       Similarity.annTopK(t(s, dir, "embeddings"), q, k = 5)
     }),
 
+    "sim_recall_ann" -> ((s, dir) => {
+      // the index-quality eval: recall@5 of hamming<=1 multi-probe vs
+      // exact brute force over a 10-query eval set — one broadcast
+      // scored pass shared by both rankings, exact integer hit counts,
+      // one IEEE division per query
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecallAtK(emb,
+        emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 5)
+        .orderBy(col("qid"))
+    }),
+
     "emb_kmeans_step" -> ((s, dir) => {
       // one Lloyd's iteration over the IVF codebook: narrow assignment
       // (centroid literals), one map-side-combinable (cell, dim) shuffle,
@@ -3895,6 +3908,30 @@ object SparkEntry {
       // hamming<=1 multi-probe: the engine probes the query bucket plus
       // every single-bit flip of it, so the oracle filters on xor bit
       // count rather than bucket equality
+      // both rankings replayed with the shared bucket/cosine chains;
+      // row_number ties break on vec_id exactly as the engine's window
+      "sim_recall_ann" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+           |  ${duckBkt("embedding")} AS qb
+           | FROM embeddings WHERE vec_id % 50 = 0),
+           |sc AS (SELECT q.qid, e.vec_id,
+           |  ${duckCosine("e.embedding", "q.qe")} AS score,
+           |  bit_count(xor(${duckBkt("e.embedding")}, q.qb)) AS ham
+           | FROM embeddings e, q),
+           |brute AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+           |  row_number() OVER (PARTITION BY qid
+           |   ORDER BY score DESC, vec_id) AS rn FROM sc) WHERE rn <= 5),
+           |ann AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+           |  row_number() OVER (PARTITION BY qid
+           |   ORDER BY score DESC, vec_id) AS rn FROM sc WHERE ham <= 1)
+           |  WHERE rn <= 5),
+           |h AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
+           | FROM ann a JOIN brute b ON a.qid = b.qid
+           |  AND a.vec_id = b.vec_id GROUP BY a.qid)
+           |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
+           | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+           |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+
       "sim_ann_bucket" ->
         s"""WITH q AS (SELECT embedding AS qe,
            |  ${duckBkt("embedding")} AS qb

@@ -56,6 +56,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN index-quality evaluation: recall@k of the sign-bucket
+    * multi-probe index ([[annTopK]]'s semantics, generalized to a query
+    * SET) against exact brute force, per query — THE metric an
+    * embedding pipeline watches before trusting an approximate index at
+    * 100 TB ("is hamming≤1 multi-probe still ≥0.95 recall on this
+    * corpus, or did the distribution drift?"). Recall@k =
+    * |ann top-k ∩ brute top-k| / k; both top-k sets rank by
+    * (score desc, id) so ties are deterministic cross-engine.
+    *
+    * Plan shape: the (small) eval query set broadcasts into ONE scored
+    * cross join — each corpus row scores against every query in a
+    * single codegen'd pass ([[VecDotF]] dots), materialized once and
+    * shared by both rankings; the ANN branch re-filters it by bucket
+    * hamming (a narrow int xor/bit_count predicate) instead of
+    * re-scoring. Only (qid, id, score) triples shuffle into the two
+    * WindowGroupLimit-pruned rankings — k rows per query survive —
+    * and the recall join is k-row-per-query tiny. Corpus vectors are
+    * read once, never shuffled. */
+  def annRecallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec",
+      positions: Seq[Int] = defaultPositions,
+      probeDist: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(probeDist >= 0 && probeDist <= positions.length,
+      s"probeDist $probeDist outside [0, ${positions.length}]")
+    val q = broadcast(queries.select(col(qidCol), col(qvecCol),
+      signBucket(col(qvecCol), positions).as("__qb")))
+    val scored = Materialize(
+      corpus.select(col(idCol), col(vecCol),
+          signBucket(col(vecCol), positions).as("__cb"))
+        .crossJoin(q)
+        .select(col(qidCol), col(idCol),
+          cosine(col(vecCol), col(qvecCol)).as("score"),
+          bit_count(col("__cb").bitwiseXOR(col("__qb"))).as("__ham")))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol))
+    val brute = topk(scored)
+    val ann = topk(scored.filter(col("__ham") <= probeDist))
+    val hits = ann.join(brute, Seq(qidCol, idCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
+    // every query emits a row — an index missing EVERYTHING (recall 0)
+    // must be visible, not absent
+    queries.select(col(qidCol)).join(hits, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+
   /** Integer dot product over `array<tinyint>` columns (the [[VecDotI8]]
     * kernel) — the int8 ANN inner loop, exact by construction. */
   def dotI8(a: Column, b: Column): Column =

@@ -96,6 +96,33 @@ class SimilaritySpec extends SparkSuite {
     assert(res == Set(1L, 2L))
   }
 
+  test("annRecallAtK: perfect recall when neighbors share probed " +
+    "buckets; a hamming-2 true neighbor is a visible miss; every " +
+    "query emits a row") {
+    // 2-bit buckets over positions (1, 2). Query A = (1,1), bucket 3:
+    // true top-2 {1, 5}, both in bucket 3 — reachable at any probe
+    // distance. Query B = (-1,1), bucket 2: true top-2 is {3 (cos 1),
+    // 1 (cos 0, beats the id-tied 5)} — id 1 sits one bit away, so
+    // hamming<=1 reaches it but probeDist 0 (bucket 2 = {3} alone)
+    // cannot: B's recall drops to 1/2 and must be VISIBLE, not absent.
+    val corpus = Seq(
+      (1L, Seq(1f, 1f)),       // bucket 3
+      (3L, Seq(-1f, 1f)),      // bucket 2
+      (4L, Seq(1f, -1f)),      // bucket 1
+      (5L, Seq(0.9f, 0.9f)))   // bucket 3
+      .toDF("vec_id", "embedding")
+    val qs = Seq((100L, Seq(1f, 1f)), (200L, Seq(-1f, 1f)))
+      .toDF("qid", "qvec")
+    val full = Similarity.annRecallAtK(corpus, qs, k = 2,
+      positions = Seq(1, 2), probeDist = 1)
+      .orderBy($"qid").as[(Long, Long, Double)].collect().toSeq
+    assert(full == Seq((100L, 2L, 1.0), (200L, 2L, 1.0)))
+    val exact = Similarity.annRecallAtK(corpus, qs, k = 2,
+      positions = Seq(1, 2), probeDist = 0)
+      .orderBy($"qid").as[(Long, Long, Double)].collect().toSeq
+    assert(exact == Seq((100L, 2L, 1.0), (200L, 1L, 0.5)))
+  }
+
   test("l2sq kernel: exact squared distance, null on mismatch") {
     val d = Seq((Seq(1f, 2f), Seq(4f, 6f))).toDF("a", "b")
       .select(Similarity.l2sq($"a", $"b")).as[Double].head()
