@@ -1238,6 +1238,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_retrieve" -> ((s, dir) => {
+      // seed-based retrieval: every doc_id%100==0 doc queries the corpus
+      // for its top-10 by exact integer rarity-weighted gram overlap —
+      // the targeted-decontamination / data-selection primitive; the
+      // self-match ranks first by construction and stays (deterministic)
+      val docs = par(s)(t(s, dir, "documents"))
+      TextAnalysis.retrieveTopK(docs,
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"), col("text").as("qtext")),
+        k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "text_heavy_grams" -> ((s, dir) => {
       // exact frequent grams behind the CMS gate: the sketch-probe
       // filter drops light grams map-side (no false negatives — CMS
@@ -2019,6 +2032,23 @@ object SparkEntry {
         t(s, dir, "events")
           .select(col("event_type"), cents(col("value")).as("cents")),
         "cents", Seq("event_type"), width = 2500L)
+        .orderBy(col("event_type"), col("bin_lo"))
+    }),
+
+    "ev_stream_histogram" -> ((s, dir) => {
+      // the live-dashboard face of ev_histogram: the SAME floor-aligned
+      // bin aggregation runs as a Complete-mode streaming aggregation
+      // (state = one row per (type, bin) — bounded by the value range,
+      // not the stream), drained after the bounded replay; shares the
+      // batch oracle verbatim. No sentinel/watermark: Complete mode
+      // re-emits full state each microbatch.
+      import org.apache.spark.sql.streaming.OutputMode
+      val feed = Tables.streamEvents(s, dir)
+        .select(col("event_type"), cents(col("value")).as("cents"))
+      val hist = Stats.histogram(feed, "cents", Seq("event_type"),
+        width = 2500L)
+      Sessionize.runToMemory(s, hist, "ev_stream_histogram_sink",
+        OutputMode.Complete, statePartitions = 8)
         .orderBy(col("event_type"), col("bin_lo"))
     }),
 
@@ -4369,6 +4399,27 @@ object SparkEntry {
            |FROM (SELECT unnest($duckShingles2) AS gram FROM documents)
            |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
 
+      // same inverted-index retrieval replayed: integer floor-division
+      // weights, long sums, row_number ties on doc_id
+      "text_retrieve" ->
+        s"""WITH g AS (SELECT doc_id,
+           |  unnest(list_distinct($duckShingles2)) AS gram
+           | FROM documents),
+           |nn AS (SELECT count(*) AS nd FROM documents),
+           |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+           | FROM g GROUP BY gram),
+           |q AS (SELECT doc_id AS qid, gram FROM g WHERE doc_id % 100 = 0),
+           |w AS (SELECT q.qid, q.gram, (1000 * nn.nd) // df.df AS w
+           | FROM q JOIN df USING (gram) CROSS JOIN nn),
+           |sc AS (SELECT w.qid, g.doc_id,
+           |  CAST(sum(w.w) AS BIGINT) AS score
+           | FROM g JOIN w ON g.gram = w.gram GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score,
+           |  CAST(row_number() OVER (PARTITION BY qid
+           |   ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+           |SELECT qid, doc_id, score, rank FROM r
+           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
       // the plain threshold count — the sketch gate may drop work, never
       // rows
       "text_heavy_grams" ->
@@ -5468,6 +5519,7 @@ object SparkEntry {
       ("ev_stream_transitions" -> base("ev_transitions")) +
       // refresh lands the MV at the full corpus state, so the
       // redirected aggregate answers q24's full-recompute oracle
-      ("q27_mv_refresh" -> base("q24_mv_rewrite"))
+      ("q27_mv_refresh" -> base("q24_mv_rewrite")) +
+      ("ev_stream_histogram" -> base("ev_histogram"))
   }
 }

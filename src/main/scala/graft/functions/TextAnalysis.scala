@@ -748,6 +748,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sparse lexical retrieval: for each query document, the top-k corpus
+    * documents by rarity-weighted gram overlap — the BM25-shaped
+    * curation primitive ("find the corpus docs closest to this eval/seed
+    * set") behind targeted decontamination, near-benchmark auditing, and
+    * seed-based data selection. Score(q, d) = Σ over shared distinct
+    * grams of `(scale·N) div df(gram)` — an IDF-style weight kept in
+    * EXACT integer arithmetic (one integer floor-division per distinct
+    * gram, order-independent long sum) instead of the usual float
+    * log-IDF, so scores and therefore rankings replay bit-for-bit
+    * cross-engine; `scale` preserves resolution under the floor.
+    *
+    * Plan shape: the classic inverted-index retrieval join — corpus
+    * grams (distinct per doc) meet the query gram set on the gram key;
+    * per-(query, doc) scores fall out of one count-style aggregation;
+    * rankings are WindowGroupLimit-pruned to k rows per query. The
+    * query set is an eval-suite sliver, so its weighted gram table
+    * broadcasts; corpus grams stream through one shuffle keyed on the
+    * gram (df) and one on (qid, doc). Corpus docs sharing no query gram
+    * never materialize. */
+  def retrieveTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      qidCol: String = "qid",
+      qtextCol: String = "qtext",
+      n: Int = 2,
+      scale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    require(scale > 0, "scale must be positive")
+    val grams = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+    val nDocs = corpus.count()
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val qgrams = queries.select(col(qidCol),
+      explode(array_distinct(Dedup.shingles(col(qtextCol), n))).as("gram"))
+    val weights = qgrams.join(df, Seq("gram"))
+      .select(col(qidCol), col("gram"),
+        expr(s"${scale * nDocs}L div df").as("w"))
+    val scored = grams.join(broadcast(weights), Seq("gram"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
   // ---------------------------------------------------- sketch-gated counts
 
   /** Train a count-min sketch over a column with Spark's native

@@ -486,6 +486,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(g == Seq("a b"))
   }
 
+  test("retrieveTopK: exact integer rarity weights, rare grams " +
+    "dominate, ties break on doc_id, non-overlapping docs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    // N=3, scale=10: w = 30 div df → shared "alpha beta" (df 2) = 15,
+    // unique grams = 30
+    val q1 = Seq((100L, "alpha beta gamma")).toDF("qid", "qtext")
+    val r1 = TextAnalysis.retrieveTopK(corpus, q1, k = 2, scale = 10L)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect().toSeq
+    // d1 matches both grams (15 + 30 = 45), d2 only the shared one (15),
+    // d3 shares nothing and must be ABSENT, not zero-scored
+    assert(r1 == Seq((100L, 1L, 45L, 1), (100L, 2L, 15L, 2)))
+    // equal scores tie on doc_id
+    val q2 = Seq((200L, "alpha beta")).toDF("qid", "qtext")
+    val r2 = TextAnalysis.retrieveTopK(corpus, q2, k = 10, scale = 10L)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(r2 == Seq((200L, 1L, 15L, 1), (200L, 2L, 15L, 2)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.retrieveTopK(corpus, q1, k = 0)
+    }
+  }
+
   test("heavyGrams: sketch-gated count equals the plain groupBy — the " +
     "gate drops work, never rows") {
     // "alpha beta" appears 12×, "beta gamma" 3×, the rest once each
