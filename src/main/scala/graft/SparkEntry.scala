@@ -921,7 +921,12 @@ object SparkEntry {
       // same parameters, same answer, PPJoin cost curve: candidates from
       // rarest-first prefixes only, exact intersections re-counted on
       // the candidate sliver (DedupSpec pins both equality with the full
-      // index join and the candidate-set shrinkage)
+      // index join and the candidate-set shrinkage). On THIS fixture the
+      // variant benches SLOWER than the full join — the synthetic
+      // corpus's ~512-word vocabulary makes every gram heavy, so
+      // prefixes cannot prune and the extra ranking passes are pure
+      // overhead; the Σ prefix-df² win needs the long light tail a real
+      // web corpus has (the scaladoc's crossover analysis).
       Dedup.ngramJaccardPairsPrefix(par(s)(t(s, dir, "documents")), n = 2,
         threshold = 0.25, maxGramDf = 500)
         .orderBy(col("doc_a"), col("doc_b"))
