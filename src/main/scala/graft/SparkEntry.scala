@@ -338,6 +338,34 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q28_snapshot_skipping" -> ((s, dir) => {
+      // time travel × data skipping multiply — the Iceberg read path
+      // over plain parquet: both commits are range-clustered with
+      // per-file min/max stats persisted beside the version (the append
+      // commit REUSES the parent's stats rows), and a key-range scan AS
+      // OF each version plans only the admitted files (file-count
+      // arithmetic pinned in SnapshotsSpec). Pruning may skip bytes,
+      // never change rows — the oracle recomputes both snapshots'
+      // ranges from the source table.
+      val tbl = s"$artifactRoot/snap_skip_table"
+      Snapshots.init(s, tbl)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val v0 = Snapshots.commitClustered(s,
+        li.filter(col("l_orderkey") % 2 === 0), tbl,
+        keyCol = "l_orderkey", numFiles = 8, append = false)
+      val v1 = Snapshots.commitClustered(s,
+        li.filter(col("l_orderkey") % 2 === 1), tbl,
+        keyCol = "l_orderkey", numFiles = 8, append = true)
+      Snapshots.scanRangeAsOf(s, tbl, v0, "l_orderkey", 1000L, 2000L)
+        .withColumn("version", lit(0L))
+        .unionByName(
+          Snapshots.scanRangeAsOf(s, tbl, v1, "l_orderkey", 1000L, 2000L)
+            .withColumn("version", lit(1L)))
+        .orderBy(col("version"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    }),
+
     "q27_mv_refresh" -> ((s, dir) => {
       // the full MV LIFECYCLE under one oracle: build state over day-0
       // facts, serve; a delta lands in the fact table (parquet append);
@@ -3416,6 +3444,19 @@ object SparkEntry {
 
       // the same aggregate straight over events — the MV-redirected
       // engine plan must reproduce it exactly (all-long state algebra)
+      // both snapshots' key ranges recomputed from the source table —
+      // versioned stats pruning may skip bytes, never change rows
+      "q28_snapshot_skipping" ->
+        """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+          |  l_suppkey FROM lineitem
+          | WHERE l_orderkey BETWEEN 1000 AND 2000)
+          |SELECT *, CAST(0 AS BIGINT) AS version FROM li
+          | WHERE l_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT *, CAST(1 AS BIGINT) AS version FROM li
+          |ORDER BY version, l_orderkey, l_linenumber, l_partkey,
+          | l_suppkey""".stripMargin,
+
       // all three snapshots recomputed straight from events —
       // versioning and vacuum may move bytes, never rows
       "q25_time_travel" ->

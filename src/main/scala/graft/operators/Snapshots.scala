@@ -154,6 +154,11 @@ object Snapshots {
     val all = m.select(col("file")).distinct().collect()
       .map(_.getString(0))
     val doomed = all.filterNot(kept)
+    // resolved BEFORE the manifest swap below — `m` reads the live
+    // manifest lazily, and post-swap the dropped generations are gone
+    val droppedVersions =
+      m.select(col("version")).distinct().collect().map(_.getLong(0))
+        .filter(_ < keepFrom)
 
     val f = fs(spark, tablePath)
     val live = new Path(s"$tablePath/$VersionsDir")
@@ -170,7 +175,87 @@ object Snapshots {
         s"$staged, data files untouched")
 
     doomed.foreach(file => f.delete(new Path(file), false))
+
+    // stats manifests ride their version: expired generations' stats
+    // dirs go with their data (retained versions keep theirs)
+    droppedVersions.foreach { v =>
+      val sd = new Path(statsDir(tablePath, v))
+      if (f.exists(sd)) f.delete(sd, true)
+    }
     doomed.length.toLong
+  }
+
+  private def statsDir(tablePath: String, version: Long): String =
+    s"$tablePath/_stats/v$version"
+
+  /** [[commit]] with the physical layout that makes snapshots CHEAP to
+    * query selectively — the Iceberg read path over plain parquet:
+    * the batch is range-clustered on `keyCol` into `numFiles` tight-
+    * interval files ([[Skipping.writeClustered]]'s layout), and a
+    * per-file min/max stats manifest for the WHOLE snapshot is
+    * persisted beside the version (append commits reuse the parent's
+    * stats rows — only the new files are ever re-scanned for stats).
+    * [[scanRangeAsOf]] then plans a key-range read AS OF any version
+    * over only the admitted files: time travel × data skipping
+    * multiply. */
+  def commitClustered(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      keyCol: String,
+      numFiles: Int,
+      append: Boolean): Long = {
+    require(numFiles >= 1, "numFiles must be positive")
+    val clustered = df
+      .repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+    val version = commit(spark, clustered, tablePath, append)
+    val fresh = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file")).collect().map(_.getString(0))
+      .filter(_.contains(s"/$DataDir/v$version/"))
+    val freshStats = spark.read.parquet(fresh.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as(s"min_$keyCol"),
+        max(col(keyCol)).as(s"max_$keyCol"))
+    val stats =
+      if (append && version > 0L)
+        spark.read.parquet(statsDir(tablePath, version - 1L))
+          .unionByName(freshStats)
+      else freshStats
+    stats.coalesce(1).write.mode("errorifexists")
+      .parquet(statsDir(tablePath, version))
+    version
+  }
+
+  /** Stats-pruned key-range scan AS OF `version`: the version's stats
+    * manifest admits only the files whose [min, max] interval meets
+    * [lo, hi]; the exact row filter clears file-level false positives
+    * (stats are necessary, not sufficient). Zero admitted files is an
+    * answer (empty frame with the snapshot's schema), a missing stats
+    * manifest (version unknown, vacuumed, or committed without
+    * clustering) is an error. */
+  def scanRangeAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCol: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val sd = statsDir(tablePath, version)
+    require(fs(spark, tablePath).exists(new Path(sd)),
+      s"no stats manifest for version $version of $tablePath — not " +
+        "committed via commitClustered, or expired by vacuum")
+    val admitted = spark.read.parquet(sd)
+      .filter(col(s"max_$keyCol") >= lit(lo) && col(s"min_$keyCol") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    val base =
+      if (admitted.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          readAsOf(spark, tablePath, version).schema)
+      else spark.read.parquet(admitted: _*)
+    base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
 
   /** Multiset diff between two snapshots: rows only in `newVersion`

@@ -94,6 +94,44 @@ class SnapshotsSpec extends SparkSuite {
     }
   }
 
+  test("commitClustered + scanRangeAsOf: per-version stats admit a " +
+    "file subset (executed numFiles), append reuses parent stats, " +
+    "vacuum expires the dropped version's stats") {
+    val tbl = freshTable()
+    val rows = (1 to 400).map(i => (i.toLong, s"p$i")).toDF("k", "v")
+    val v0 = Snapshots.commitClustered(spark, rows.filter($"k" <= 200),
+      tbl, keyCol = "k", numFiles = 8, append = false)
+    val v1 = Snapshots.commitClustered(spark, rows.filter($"k" > 200),
+      tbl, keyCol = "k", numFiles = 8, append = true)
+    // append-mode stats = parent's 8 rows + 8 fresh rows, no rescan of
+    // parent data possible (rows are per FILE)
+    assert(spark.read.parquet(s"$tbl/_stats/v$v0").count() == 8L)
+    assert(spark.read.parquet(s"$tbl/_stats/v$v1").count() == 16L)
+    val scan = Snapshots.scanRangeAsOf(spark, tbl, v1, "k", 50L, 60L)
+    // execute THIS dataset's plan — a derived .select() would build a
+    // separate QueryExecution whose metrics this one never sees
+    assert(scan.collect().map(_.getLong(0)).sorted.toSeq == (50L to 60L))
+    val scanFiles = scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(scanFiles > 0 && scanFiles < 16,
+      s"range scan read $scanFiles of 16 files — no stats pruning")
+    // time travel composes: v0's snapshot ends at 200
+    assert(Snapshots.scanRangeAsOf(spark, tbl, v0, "k", 150L, 250L)
+      .select($"k").as[Long].collect().sorted.toSeq == (150L to 200L))
+    // a selective miss is an empty answer, not an error
+    assert(Snapshots.scanRangeAsOf(spark, tbl, v1, "k", 5000L, 6000L)
+      .count() == 0L)
+    // vacuum: v1 still references v0's data files (they survive) but
+    // v0's STATS manifest expires with its generation
+    Snapshots.vacuum(spark, tbl, keepFrom = v1)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.scanRangeAsOf(spark, tbl, v0, "k", 1L, 2L)
+    }
+    assert(e.getMessage.contains("stats manifest"))
+    assert(Snapshots.scanRangeAsOf(spark, tbl, v1, "k", 50L, 60L)
+      .count() == 11L)
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
