@@ -338,6 +338,28 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q29_optimize" -> ((s, dir) => {
+      // OPTIMIZE inside the snapshot lineage: three append commits
+      // accrete a small-file mess (8 files each), optimize rewrites the
+      // latest snapshot into few uniform files AS A REPLACE VERSION —
+      // old versions stay readable until vacuumed, and the optimized
+      // read must carry EXACTLY the source rows (the oracle: the whole
+      // events table; SnapshotsSpec pins the file-count arithmetic).
+      val tbl = s"$artifactRoot/snap_opt_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0)
+        .repartition(8), tbl, append = false)
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1)
+        .repartition(8), tbl, append = true)
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2)
+        .repartition(8), tbl, append = true)
+      val v = Snapshots.optimize(s, tbl, targetBytes = 1L << 20)
+      Snapshots.readAsOf(s, tbl, v).orderBy(col("event_id"))
+    }),
+
     "q28_snapshot_skipping" -> ((s, dir) => {
       // time travel × data skipping multiply — the Iceberg read path
       // over plain parquet: both commits are range-clustered with
@@ -5566,6 +5588,9 @@ object SparkEntry {
       // refresh lands the MV at the full corpus state, so the
       // redirected aggregate answers q24's full-recompute oracle
       ("q27_mv_refresh" -> base("q24_mv_rewrite")) +
-      ("ev_stream_histogram" -> base("ev_histogram"))
+      ("ev_stream_histogram" -> base("ev_histogram")) +
+      // optimize moves bytes, never rows — q22's source-preservation
+      // oracle verbatim
+      ("q29_optimize" -> base("q22_compact"))
   }
 }

@@ -258,6 +258,30 @@ object Snapshots {
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
 
+  /** OPTIMIZE: rewrite the latest snapshot's many small files into
+    * `ceil(bytes / targetBytes)` uniform ones and commit the result as
+    * a REPLACE version — [[Compaction]]'s rewrite inside the snapshot
+    * lineage, which is how a versioned table compacts safely: readers
+    * of older versions keep their immutable files, the new version
+    * carries identical rows in scan-efficient files, and the small
+    * files die later via [[vacuum]] once no retained generation
+    * references them (never in place). Returns the minted version. */
+  def optimize(
+      spark: SparkSession,
+      tablePath: String,
+      targetBytes: Long): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize: $tablePath has no committed versions"))
+    val files = manifestFiles(spark, tablePath, latest)
+    val f = fs(spark, tablePath)
+    val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    commit(spark, spark.read.parquet(files: _*).repartition(n),
+      tablePath, append = false)
+  }
+
   /** Multiset diff between two snapshots: rows only in `newVersion`
     * tagged `'+'`, rows only in `oldVersion` tagged `'-'` — the audit
     * frame for "what did this commit change". `exceptAll` keeps

@@ -132,6 +132,33 @@ class SnapshotsSpec extends SparkSuite {
       .count() == 11L)
   }
 
+  test("optimize: rewrites the latest snapshot as a replace version " +
+    "with fewer files and identical rows; older versions untouched " +
+    "until vacuum") {
+    val tbl = freshTable()
+    val rows = (1 to 300).map(i => (i.toLong, s"p$i")).toDF("k", "v")
+    Snapshots.commit(spark, rows.filter($"k" <= 150).repartition(6),
+      tbl, append = false)
+    Snapshots.commit(spark, rows.filter($"k" > 150).repartition(6),
+      tbl, append = true)
+    val before = Snapshots.readAsOf(spark, tbl, 1L).inputFiles.length
+    assert(before == 12)
+    val v = Snapshots.optimize(spark, tbl, targetBytes = 1L << 26)
+    assert(v == 2L)
+    val opt = Snapshots.readAsOf(spark, tbl, v)
+    assert(opt.inputFiles.length < before)
+    assert(opt.select($"k").as[Long].collect().sorted.toSeq
+      == (1L to 300L))
+    // pre-vacuum, the small-file version still reads
+    assert(Snapshots.readAsOf(spark, tbl, 1L).count() == 300L)
+    // post-vacuum the 12 small files die; the optimized version lives
+    assert(Snapshots.vacuum(spark, tbl, keepFrom = v) == 12L)
+    assert(Snapshots.readAsOf(spark, tbl, v).count() == 300L)
+    intercept[IllegalArgumentException] {
+      Snapshots.optimize(spark, s"$tbl-empty", 1L)
+    }
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
