@@ -2314,6 +2314,39 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_stream_scd2_enrich" -> ((s, dir) => {
+      // the point-in-time lookup's STREAM twin — the leakage-free live
+      // feature join: clicks stream against the static SCD2 purchase
+      // dimension via the interval formulation (valid_from <= ts <
+      // valid_to matches at most one version per fact, so the join is
+      // stateless Append — no watermark, no as-of ranking) and must
+      // reproduce the batch ev_scd2_lookup rows exactly, nulls for
+      // pre-first-version clicks included.
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          sum(cents(col("value"))).as("p_cents"))
+      val dims = Changes.scd2(purchases, Seq("user_id"), "ts")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("p_event_id"), col("p_cents"))
+      val clicks = Tables.streamEvents(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val enriched = Changes.scd2JoinIntervals(clicks, dims,
+        keyCols = Seq("user_id"), factTsCol = "ts",
+        valueCols = Seq("p_event_id", "p_cents"))
+      Sessionize.runToMemory(s, enriched, "ev_stream_scd2_sink",
+        OutputMode.Append, statePartitions = 8)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("v_p_event_id").as("p_event_id"),
+          col("v_p_cents").as("p_cents"),
+          unix_micros(col("v_valid_from")).as("valid_from_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_cdc_apply" -> ((s, dir) => {
       // CDC APPLY (batch MERGE INTO): even events form the base snapshot
       // (compacted latest-per-user), odd events are the change feed with
@@ -5591,6 +5624,7 @@ object SparkEntry {
       ("ev_stream_histogram" -> base("ev_histogram")) +
       // optimize moves bytes, never rows — q22's source-preservation
       // oracle verbatim
-      ("q29_optimize" -> base("q22_compact"))
+      ("q29_optimize" -> base("q22_compact")) +
+      ("ev_stream_scd2_enrich" -> base("ev_scd2_lookup"))
   }
 }

@@ -104,6 +104,44 @@ object Changes {
     }.drop(prefix + "__ver")
   }
 
+  /** The INTERVAL formulation of [[scd2Lookup]] — point-in-time
+    * enrichment as a plain join on `valid_from <= ts < valid_to` (open
+    * current versions match any later ts). Because SCD2 intervals
+    * PARTITION each key's timeline, every fact matches at most one
+    * version, so no as-of ranking is needed — which is exactly what
+    * makes this form STREAMABLE: a stream of facts left-joins the
+    * static (broadcast) dimension in Append mode with no watermark and
+    * no state, the leakage-free feature join a training pipeline runs
+    * live ("enrich each event with the feature version valid AT event
+    * time, never a later one"). Batch callers get identical results to
+    * [[scd2Lookup]] (the spec pins it); the as-of form remains the
+    * right choice when the dimension is too big to broadcast (it
+    * shuffles instead).
+    *
+    * Output: every fact row (unmatched facts survive with nulls), the
+    * value columns and interval bounds prefixed. */
+  def scd2JoinIntervals(
+      facts: DataFrame,
+      dims: DataFrame,
+      keyCols: Seq[String],
+      factTsCol: String,
+      valueCols: Seq[String],
+      prefix: String = "v_"): DataFrame = {
+    require(valueCols.nonEmpty,
+      "scd2JoinIntervals needs at least one value column")
+    val d = dims.select(
+      (keyCols.map(k => col(k).as(s"__d_$k")) ++
+        Seq(col("valid_from").as(prefix + "valid_from"),
+          col("valid_to").as(prefix + "valid_to")) ++
+        valueCols.map(v => col(v).as(prefix + v))): _*)
+    val ts = facts(factTsCol)
+    val cond = keyCols.map(k => facts(k) === d(s"__d_$k")).reduce(_ && _) &&
+      d(prefix + "valid_from") <= ts &&
+      (ts < d(prefix + "valid_to") || d(prefix + "valid_to").isNull)
+    facts.join(broadcast(d), cond, "left_outer")
+      .drop(keyCols.map(k => s"__d_$k"): _*)
+  }
+
   /** Partition-aware [[applyCdc]] — the daily-compaction shape at 100 TB.
     * Plain [[applyCdc]] re-shuffles the ENTIRE base through latest-wins
     * even when the change feed touches 0.1% of keys; when the snapshot is

@@ -59,6 +59,36 @@ class ChangesSpec extends SparkSuite {
       102L -> Some(20L), 103L -> Some(20L), 104L -> None, 105L -> None))
   }
 
+  test("scd2JoinIntervals: interval form equals the as-of lookup on " +
+    "every boundary case (streamable formulation, same answers)") {
+    val dims = Changes.scd2(
+      Seq((1L, ts(0), 10L), (1L, ts(10), 20L)).toDF("k", "ts", "v"),
+      Seq("k"), "ts")
+      .select($"k", $"valid_from", $"valid_to", $"v")
+    val facts = Seq(
+      (100L, 1L, ts(0)),  // at a version start -> that version
+      (101L, 1L, ts(5)),  // inside [t0, t10)
+      (102L, 1L, ts(10)), // boundary -> successor version
+      (103L, 1L, ts(99)), // open current version
+      (104L, 2L, ts(5)),  // key never versioned -> nulls
+      (105L, 1L, ts(-1))) // before the first version -> nulls
+      .toDF("fact_id", "k", "fts")
+    val interval = Changes.scd2JoinIntervals(facts, dims, Seq("k"),
+      "fts", Seq("v"))
+      .select($"fact_id", $"v_v")
+      .as[(Long, Option[Long])].collect().toMap
+    val asof = Changes.scd2Lookup(facts,
+      dims.select($"k", $"valid_from", $"v"), Seq("k"), "fts", Seq("v"))
+      .select($"fact_id", $"v_v")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(interval == asof)
+    assert(interval == Map(100L -> Some(10L), 101L -> Some(10L),
+      102L -> Some(20L), 103L -> Some(20L), 104L -> None, 105L -> None))
+    // intervals partition the timeline: exactly one output row per fact
+    assert(Changes.scd2JoinIntervals(facts, dims, Seq("k"), "fts",
+      Seq("v")).count() == facts.count())
+  }
+
   test("scd2Lookup: a version's legitimately-NULL attribute stays NULL — " +
     "no value bleed from the previous version") {
     // v1 at t0 has attr "x"; v2 at t10 has attr NULL (a real SCD2 shape:
