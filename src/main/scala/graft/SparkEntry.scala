@@ -1516,6 +1516,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_stream_decontaminate" -> ((s, dir) => {
+      // decontamination at INGEST: the benchmark gram set is batch-built
+      // (eval suites change rarely) and broadcast; the train stream's
+      // gram explode left-joins it stream-static — stateless per gram —
+      // and the per-doc shared count is a Complete-mode aggregation
+      // (state: one count per doc in flight). Zero-hit docs keep their
+      // row via the left join, matching the batch oracle exactly.
+      import org.apache.spark.sql.streaming.OutputMode
+      val docs = t(s, dir, "documents")
+      val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).as("gram"))
+        .distinct()
+        .withColumn("__hit", lit(1))
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/documents.parquet"))
+      val trainGrams = stream.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(array_distinct(
+          Dedup.shingles(col("text"), 3))).as("gram"))
+      val counts = trainGrams
+        .join(broadcast(benchGrams), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+      Sessionize.runToMemory(s, counts, "text_stream_decon_sink",
+        OutputMode.Complete, statePartitions = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_decontaminate_bloom" -> ((s, dir) => {
       // text_decontaminate's exact answer through the bloom-prefilter
       // scale shape: the sketch (native BloomFilterAggregate, ~10
@@ -5625,6 +5656,7 @@ object SparkEntry {
       // optimize moves bytes, never rows — q22's source-preservation
       // oracle verbatim
       ("q29_optimize" -> base("q22_compact")) +
-      ("ev_stream_scd2_enrich" -> base("ev_scd2_lookup"))
+      ("ev_stream_scd2_enrich" -> base("ev_scd2_lookup")) +
+      ("text_stream_decontaminate" -> base("text_decontaminate"))
   }
 }
