@@ -158,6 +158,25 @@ object GraftExtensions {
           expr(Dedup.hammingDistance(col(children.head), col(children(1))))
         }),
       (
+        new FunctionIdentifier("cms_estimate"),
+        info("cms_estimate", "hash_funcs",
+          "cms_estimate(item, sketch) - count-min-sketch point estimate " +
+            "(bigint) of a string item against a BINARY-LITERAL sketch " +
+            "built by count_min_sketch(...); estimates never undercount, " +
+            "so `cms_estimate(x, sk) >= T` is a no-false-negative heavy-" +
+            "hitter gate.", classOf[graft.functions.CmsEstimate].getName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "cms_estimate takes exactly 2 arguments")
+          val bytes = children(1) match {
+            case Literal(b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b
+            case other => throw new IllegalArgumentException(
+              "cms_estimate: sketch must be a binary literal (the bytes " +
+                s"ride the plan, as with bloom probes), got $other")
+          }
+          graft.functions.CmsEstimate(children.head, bytes)
+        }),
+      (
         new FunctionIdentifier("z_value"),
         info("z_value", "math_funcs",
           "z_value(x, y, bits) - Morton/Z-order interleave of two " +

@@ -241,6 +241,28 @@ class PlanSpec extends SparkSuite {
     assert(n.isNullAt(0))
   }
 
+  test("cms_estimate available from SQL against a hex-literal sketch; " +
+    "sketch must be a binary literal") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val items = (1 to 30).map(i => s"w${i % 3}").toDF("g")
+    val bytes = graft.functions.TextAnalysis.cmsSketch(items, "g")
+    val hex = bytes.map("%02X".format(_)).mkString
+    val r = spark.sql(s"SELECT cms_estimate('w1', X'$hex') AS e")
+      .collect().head
+    // exact count of w1 is 10; CMS never undercounts
+    assert(r.getLong(0) >= 10L)
+    val api = items.filter($"g" === "w1").limit(1)
+      .select(graft.functions.TextAnalysis.cmsEstimate(bytes, $"g"))
+      .as[Long].head()
+    assert(r.getLong(0) == api)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cms_estimate('x', cast('ab' as binary))")
+        .collect()
+    }
+    assert(err.getMessage.contains("binary literal"), err.getMessage)
+  }
+
   test("broadcast domain validation: no shuffle of the fact side") {
     val p = plan("alma_domain_validate")
     assert(p.contains("BroadcastHashJoin"), p)
