@@ -1121,6 +1121,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      // cluster maintenance without nightly re-clustering: 3/4 of the
+      // LSH candidate pairs play yesterday's graph (CC → labels), the
+      // rest arrive as today's delta, and the star-collapsed
+      // incremental fold must reproduce the full recompute exactly —
+      // dedup_clusters' oracle verbatim.
+      val edges = Dedup.minhashCandidates(par(s)(t(s, dir, "documents")),
+        k = 8, bands = 4)
+      val isDelta = (col("doc_a") + col("doc_b")) % 4 === 0
+      val baseLabels = Dedup.connectedComponents(edges.filter(!isDelta))
+      Dedup.incrementalComponents(baseLabels, edges.filter(isDelta))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_pagerank" -> ((s, dir) => {
       // degree-damped centrality over the same LSH candidate graph:
       // which near-dup neighborhood member is the hub. Fixed-point
@@ -5657,6 +5673,7 @@ object SparkEntry {
       // oracle verbatim
       ("q29_optimize" -> base("q22_compact")) +
       ("ev_stream_scd2_enrich" -> base("ev_scd2_lookup")) +
-      ("text_stream_decontaminate" -> base("text_decontaminate"))
+      ("text_stream_decontaminate" -> base("text_decontaminate")) +
+      ("dedup_clusters_incremental" -> base("dedup_clusters"))
   }
 }

@@ -726,6 +726,33 @@ object Dedup {
     * ([[connectedComponents]], [[pagerank]]): every round joins against
     * it, and without the checkpoint each round would re-run the whole
     * upstream candidate-generation pipeline the edges derive from. */
+  /** Incremental connected-components maintenance — the graph face of
+    * the [[graft.operators.IncrementalAgg]] story: yesterday's
+    * (node, component) labels absorb a delta edge batch WITHOUT
+    * re-walking the base edge set. Star collapse: every labeled node
+    * becomes one edge (node → component), so each base component is a
+    * depth-1 star; CC over stars ∪ delta equals CC over base ∪ delta
+    * because component ids are min member ids ([[connectedComponents]]'
+    * contract) and min labels survive the union. Survivors' self-loop
+    * star edges keep isolated components in the node set. Edge volume
+    * is |labeled nodes| + |Δ| instead of |E_base| + |Δ| — on a dense
+    * near-dup graph that is the difference between re-clustering the
+    * corpus nightly and folding in the day's pairs. Pointer-jumped
+    * rounds then converge in O(log diameter of the DELTA's bridging),
+    * typically 1-2 rounds for a daily batch. */
+  def incrementalComponents(
+      baseLabels: DataFrame,
+      deltaEdges: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    val stars = baseLabels
+      .select(col("node").as(aCol), col("component").as(bCol))
+    connectedComponents(
+      stars.unionByName(deltaEdges.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+  }
+
   private def symmetrizedEdges(
       edges: DataFrame, aCol: String, bCol: String): DataFrame =
     Materialize(edges

@@ -403,6 +403,26 @@ class DedupSpec extends SparkSuite {
     } finally spark.conf.unset(Materialize.ReliableConf)
   }
 
+  test("incrementalComponents: star-collapsed fold equals the full " +
+    "recompute — delta bridges two base components, isolated base " +
+    "components survive via their self-loop stars") {
+    // base: {1,2,3} (chain) and {10,11}; isolated pair {20,21}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    // delta: bridge 3-10 (merges the first two components), plus a
+    // brand-new component {30,31} whose nodes have no base labels
+    val delta = Seq((3L, 10L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(base)
+    val inc = Dedup.incrementalComponents(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(base.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(10L) == 1L, "bridged component must take the global min id")
+    assert(inc(21L) == 20L, "isolated base component must survive")
+    assert(inc(31L) == 30L, "delta-only nodes must cluster fresh")
+  }
+
   test("connected components: non-convergence fails loudly") {
     import spark.implicits._
     // a 6-node chain has diameter 5; min-label propagation moves the min
