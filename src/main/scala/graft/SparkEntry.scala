@@ -1902,6 +1902,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_feature_hash" -> ((s, dir) => {
+      // hashing-trick features for a linear quality classifier: every
+      // word lands in one of 64 md5 buckets, counts aggregate per
+      // (doc, bucket) — a fixed-width sparse feature space with no
+      // vocabulary pass and no driver state. Sparse rows, not a dense
+      // array column: the oracle checks exact counts per cell and the
+      // downstream trainer consumes (row, col, value) triplets anyway.
+      TextAnalysis.featureHash(par(s)(t(s, dir, "documents")),
+        nBuckets = 64)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // ---- Event windows / sessions ------------------------------------
 
     "ev_window_fill" -> ((s, dir) => {
@@ -4769,6 +4781,22 @@ object SparkEntry {
 
       "text_fingerprint" ->
         s"""SELECT doc_id, md5($duckNorm) AS fp FROM documents ORDER BY doc_id""",
+
+      // same word→bucket map by digit arithmetic on the md5 prefix (the
+      // text_mixture_apply hex8 pattern, integer modulus instead of the
+      // double fraction)
+      "text_feature_hash" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH w AS (SELECT doc_id,
+           |  substr(md5('fh:' || unnest($duckWords)), 1, 8) AS h
+           | FROM documents WHERE $duckNorm <> ''),
+           |b AS (SELECT doc_id, CAST($hex8 AS BIGINT) % 64 AS bucket FROM w)
+           |SELECT doc_id, bucket, count(*) AS n
+           |FROM b GROUP BY doc_id, bucket
+           |ORDER BY doc_id, bucket""".stripMargin
+      },
 
       "ev_window_fill" ->
         """SELECT user_id, event_id,

@@ -40,6 +40,32 @@ object TextAnalysis {
     * key used by [[Dedup.exactDuplicates]]. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Hashing-trick sparse feature rows (doc_id, bucket, n): each word of
+    * the normalized text lands in `u32(md5("fh:" + word)) % nBuckets`, and
+    * counts aggregate per (doc, bucket). The fixed-width feature space a
+    * linear quality classifier (fastText-style) trains on — no vocabulary
+    * pass, no driver state, stable under corpus growth because the bucket
+    * of a word never depends on the other words. One explode + one
+    * map-side-combinable count; the word→bucket map is a pure projection,
+    * so the only shuffle is the (doc, bucket) aggregation. md5-based
+    * bucketing (not `hash()`) keeps the assignment portable across
+    * engines — the same construction as the deterministic sampling gates. */
+  def featureHash(
+      df: DataFrame,
+      nBuckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"featureHash: nBuckets must be positive, got $nBuckets")
+    val bucket = conv(
+      substring(md5(concat(lit("fh:"), col("word"))), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+    df.filter(normalize(col(textCol)) =!= "")
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .select(col(idCol), bucket.as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Stopword tables per language for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),

@@ -231,6 +231,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(small.count() == 2)
   }
 
+  test("featureHash: word counts land in stable md5 buckets, repeats " +
+    "accumulate, empty docs drop, totals preserved") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta"),
+      (3L, "!!!")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(docs, nBuckets = 64)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // empty doc 3 contributes nothing; every count is positive
+    assert(out.forall(_._1 != 3L) && out.forall(_._3 > 0))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64))
+    // token mass is preserved: 3 tokens for doc 1, 1 for doc 2
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 3L)
+    assert(out.filter(_._1 == 2L).map(_._3).sum == 1L)
+    // the same word hashes to the same bucket in every doc
+    val beta1 = out.filter(r => r._1 == 1L && r._3 == 2L).map(_._2)
+    val alphaBucket = out.filter(r => r._1 == 1L && r._3 == 2L)
+    assert(alphaBucket.length == 1, "doc 1's repeated word is one bucket row")
+    val betaB2 = out.filter(_._1 == 2L).map(_._2).toSet
+    val doc1Buckets = out.filter(_._1 == 1L).map(_._2).toSet
+    assert(betaB2.subsetOf(doc1Buckets), "shared word shares its bucket")
+    assert(beta1.nonEmpty)
+  }
+
   test("sourceMixture: uniform-target downsampling rates, cap at 1.0") {
     // sources: a = 60 tokens, b = 30, c = 10 → total 100, n=3
     val docs = Seq(
