@@ -1227,6 +1227,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_stream_mixture_apply" -> ((s, dir) => {
+      // the batch-train / stream-apply twin of text_mixture_apply: the
+      // per-source downsampling weights train on the batch corpus (a
+      // #sources-row static frame, broadcast), and arriving docs join it
+      // stream-static — STATELESS: no watermark, no state store, the
+      // at-ingest mixing gate. The salted-hash keep decision depends only
+      // on (doc_id, weight), so a full replay equals the batch operator
+      // row-for-row and both share an oracle.
+      import org.apache.spark.sql.streaming.OutputMode
+      Tables.configure(s)
+      val weights = TextAnalysis.sourceMixture(par(s)(t(s, dir, "documents")))
+        .select(col("source"), col("weight"))
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/documents.parquet"))
+      val u = conv(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("double") / lit(4294967296.0)
+      val gated = stream.join(broadcast(weights), Seq("source"))
+        .withColumn("u", u)
+        .filter(col("u") < col("weight"))
+        .select(col("doc_id"), col("source"), col("u"), col("weight"))
+      Sessionize.runToMemory(s, gated, "text_stream_mix",
+        OutputMode.Append, statePartitions = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_stream_sample_weighted" -> ((s, dir) => {
       // the batch-train / stream-apply twin of text_sample_weighted: the
       // score total trains on the batch corpus (materialized one-row
@@ -5702,6 +5729,7 @@ object SparkEntry {
       ("q29_optimize" -> base("q22_compact")) +
       ("ev_stream_scd2_enrich" -> base("ev_scd2_lookup")) +
       ("text_stream_decontaminate" -> base("text_decontaminate")) +
-      ("dedup_clusters_incremental" -> base("dedup_clusters"))
+      ("dedup_clusters_incremental" -> base("dedup_clusters")) +
+      ("text_stream_mixture_apply" -> base("text_mixture_apply"))
   }
 }
