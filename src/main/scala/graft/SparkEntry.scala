@@ -629,6 +629,26 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    "q30_kcore" -> ((s, dir) => {
+      // 80-core of the part co-occurrence graph: peel parts with fewer
+      // than 80 surviving co-purchase partners until the dense core
+      // stabilizes (5 sync rounds at this SF) — the dense-region
+      // extractor that separates structurally-embedded nodes from
+      // incidentally-connected ones. Output is each survivor's WITHIN-
+      // CORE degree; the oracle unrolls 12 peel rounds as CTEs
+      // (post-fixpoint rounds are no-ops, so the engine's
+      // converge-and-stop answer equals the fixed unroll).
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("item"))
+      val edges = b.groupBy(col("bk"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(explode(Dedup.sortedPairs(col("items"), "u", "v")).as("p"))
+        .select(col("p.u"), col("p.v")).distinct()
+      Dedup.kCore(edges, k = 80, aCol = "u", bCol = "v")
+        .select(col("node").as("p_partkey"), col("degree"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q16_triangles" -> ((s, dir) => {
       // triangle census of the part co-occurrence graph (parts sharing
       // an order): edges from the bucket pair expansion, triangles via
@@ -3692,6 +3712,32 @@ object SparkEntry {
 
       // the naive sorted three-way join — independent of the engine's
       // degree-ordered orientation
+      // sync peel unrolled: an edge of round i survives iff BOTH its
+      // endpoints had degree >= 80 in round i-1 — degrees come from two
+      // window counts over the symmetrized edge list, so each round
+      // references its predecessor exactly ONCE (a self-join form would
+      // re-expand the whole chain per reference under CTE inlining:
+      // 2^12 scans). 12 rounds >> the 5 the graph needs, and a
+      // post-fixpoint round is the identity.
+      "q30_kcore" -> {
+        val rounds = (1 to 12).map { i =>
+          s"""e$i AS (SELECT src, dst FROM (
+             |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS dsrc,
+             |   count(*) OVER (PARTITION BY dst) AS ddst
+             |  FROM e${i - 1}) WHERE dsrc >= 80 AND ddst >= 80)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+           |  FROM lineitem),
+           |ed AS (SELECT DISTINCT a.item AS u, c.item AS v
+           |  FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item),
+           |e0 AS (SELECT u AS src, v AS dst FROM ed
+           |  UNION ALL SELECT v, u FROM ed),
+           |$rounds
+           |SELECT src AS p_partkey, CAST(count(*) AS BIGINT) AS degree
+           |FROM e12 GROUP BY src ORDER BY p_partkey""".stripMargin
+      },
+
       "q16_triangles" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
           |  FROM lineitem),

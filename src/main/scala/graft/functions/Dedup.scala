@@ -683,6 +683,50 @@ object Dedup {
     * O(√m) out-degree bound, not the raw hub degree. All comparisons
     * are exact longs. Output: one row per triangle, corner ids sorted
     * as (a < b < c). */
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes
+    * of degree < k (and their edges) until every survivor has >= k
+    * neighbors inside the surviving set — the densest-region extractor
+    * used to separate tightly-duplicated spam farms from incidental
+    * near-dup pairs in a candidate graph. Each round is one degree
+    * aggregation plus two semi-joins of the live edge set against the
+    * survivor list; the edge frame is re-[[Materialize]]d per round, so
+    * lineage stays O(1) and each round's shuffle is bounded by the
+    * shrinking live set. Rounds ~ the core-peeling depth (typically a
+    * handful), detected by the edge count reaching a fixpoint — the same
+    * unrollable fixed-round shape the other graph loops use, so the
+    * oracle replays the rounds as CTEs (post-fixpoint rounds are no-ops
+    * on both engines). Returns surviving (node, degree) — degrees within
+    * the k-core, not the input graph. Fails loudly on non-convergence. */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    var live = symmetrizedEdges(edges, aCol, bCol)
+    var prev = -1L
+    var cur = live.count()
+    var it = 0
+    while (cur != prev && it < maxIter) {
+      val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      live = Materialize(live
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      prev = cur
+      cur = live.count()
+      it += 1
+    }
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"kCore did not reach a fixpoint in $maxIter rounds — " +
+          "raise maxIter (peeling depth exceeds it)")
+    live.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
   def triangles(
       edges: DataFrame,
       aCol: String = "doc_a",

@@ -423,6 +423,23 @@ class DedupSpec extends SparkSuite {
     assert(inc(31L) == 30L, "delta-only nodes must cluster fresh")
   }
 
+  test("kCore: cascading peel reaches the maximal k-core, degrees are " +
+    "within-core, fully-peeled graph returns empty") {
+    // triangle {1,2,3} each + a pendant chain 3-4-5: 2-core = the
+    // triangle, and the chain peels in CASCADE (5 first, then 4) —
+    // two rounds, exercising the fixpoint loop
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val core2 = Dedup.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "2-core is the triangle with within-core degree 2 each")
+    // k=3: even the triangle dies (degree 2 < 3) → empty result
+    assert(Dedup.kCore(edges, k = 3).isEmpty)
+    // k=1 keeps everything; degrees are the input degrees
+    val core1 = Dedup.kCore(edges, k = 1).as[(Long, Long)].collect().toMap
+    assert(core1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("connected components: non-convergence fails loudly") {
     import spark.implicits._
     // a 6-node chain has diameter 5; min-label propagation moves the min
