@@ -3202,6 +3202,19 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_audio_silence" -> ((s, dir) => {
+      // dead-air detection INSIDE the data chunk: assets carry emergent
+      // loud/quiet structure (closed-form samples, nobody is told the
+      // labels), the engine window-peaks the real PCM bytes and merges
+      // silent runs into frame intervals; the oracle replays the sample
+      // formula, re-derives the peaks, and rebuilds the islands in SQL.
+      // Window 50 frames, threshold 256 — quiet windows peak ≤ 64.
+      Multimodal.extractSilenceSegments(
+        Multimodal.syntheticWavSilenceAssets(par(s)(t(s, dir, "documents"))),
+        window = 50, threshold = 256)
+        .orderBy(col("asset_id"), col("seg_idx"))
+    }),
+
     "mm_audio_decimate" -> ((s, dir) => {
       // REAL audio down-res: full-PCM WAVs decimated 4× (every 4th
       // frame, channels aligned) and re-encoded spec-valid; the probes
@@ -5499,6 +5512,30 @@ object SparkEntry {
       // bytes; the oracle replays the closed-form sample scramble
       // s(j) = ((j·2657 + id·7919) mod 65536) − 32768 over
       // j ∈ [0, ch·n) and aggregates in exact integers
+      // replay the silence generator's sample formula, window-peak,
+      // then standard gaps-and-islands over the silent windows
+      "mm_audio_silence" ->
+        """WITH p AS (SELECT doc_id, 200 + doc_id % 800 AS n FROM documents),
+          |s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM p),
+          |v AS (SELECT doc_id, n, j // 50 AS w,
+          |  CASE WHEN ((j // 50) + doc_id) % 3 = 0
+          |   THEN ((j * 31 + doc_id * 17) % 129) - 64
+          |   ELSE ((j * 2657 + doc_id * 7919) % 65536) - 32768 END AS smp
+          | FROM s),
+          |pk AS (SELECT doc_id, n, w, max(abs(smp)) AS peak
+          | FROM v GROUP BY doc_id, n, w),
+          |si AS (SELECT doc_id, n, w,
+          |  w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+          | FROM pk WHERE peak < 256),
+          |seg AS (SELECT doc_id, CAST(min(w) * 50 AS BIGINT) AS start_frame,
+          |  CAST(least((max(w) + 1) * 50, min(n)) AS BIGINT) AS end_frame
+          | FROM si GROUP BY doc_id, grp)
+          |SELECT doc_id AS asset_id,
+          | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+          |   - 1 AS BIGINT) AS seg_idx,
+          | start_frame, end_frame
+          |FROM seg ORDER BY asset_id, seg_idx""".stripMargin,
+
       "mm_audio_loudness" ->
         """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
           |  200 + doc_id % 800 AS n FROM documents),

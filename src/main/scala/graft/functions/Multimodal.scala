@@ -357,6 +357,56 @@ object Multimodal {
       }
       (n.toLong, peak, clipped, sumsq)
     }
+
+    /** Silence segments of the data chunk: frames group into fixed
+      * windows of `window` frames (tail window partial), a window is
+      * silent iff the max |sample| across all its frames and channels is
+      * < `threshold`, and runs of adjacent silent windows merge into one
+      * segment. Returns frame-indexed `(start_frame, end_frame_excl)`
+      * intervals in order; the tail segment clamps to the real frame
+      * count. All-integer arithmetic over the decoded int16 samples, so
+      * an oracle can replay the classification from the closed-form
+      * sample formula. */
+    def decodeSilenceSegments(
+        payload: Array[Byte],
+        window: Int,
+        threshold: Int): Seq[(Long, Long)] = {
+      require(window > 0, s"silence window must be positive, got $window")
+      val (ch, _, _) = decodeMeta(payload)
+      val dataSize = leUInt(payload, 40)
+      require(44L + dataSize <= payload.length,
+        "WAV data chunk truncated (declared size exceeds payload)")
+      require(dataSize % 2 == 0, "PCM16 data chunk has odd byte length")
+      val n = (dataSize / 2).toInt
+      require(n % ch == 0, "sample count does not divide by channels")
+      val frames = n / ch
+      val nWin = (frames + window - 1) / window
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var w = 0
+      var runStart = -1
+      while (w < nWin) {
+        val f0 = w * window
+        val f1 = math.min(f0 + window, frames)
+        var peak = 0
+        var j = f0 * ch
+        val end = f1 * ch
+        while (j < end) {
+          val a = math.abs(leShort(payload, 44 + 2 * j).toShort.toInt)
+          if (a > peak) peak = a
+          j += 1
+        }
+        if (peak < threshold) { if (runStart < 0) runStart = w }
+        else if (runStart >= 0) {
+          segs += ((runStart.toLong * window,
+            math.min(w.toLong * window, frames.toLong)))
+          runStart = -1
+        }
+        w += 1
+      }
+      if (runStart >= 0)
+        segs += ((runStart.toLong * window, frames.toLong))
+      segs.toSeq
+    }
   }
 
   /** REAL codec for one pure-JVM public VIDEO container: AVI. Frame
@@ -819,6 +869,60 @@ object Multimodal {
       col("doc_id").as("asset_id"),
       mk(col("doc_id")).as("payload"),
       lit("audio/wav").as("media_type"))
+  }
+
+  /** Mono WAV assets with closed-form LOUD/QUIET structure for the
+    * silence detector: frame window w of asset id is quiet iff
+    * `(w + id) % 3 == 0`; quiet samples are `((j·31 + id·17) mod 129) −
+    * 64` (|v| ≤ 64), loud samples the full-range scramble. The
+    * classification is emergent on both sides — the engine measures
+    * per-window peaks from real RIFF bytes, the oracle replays the same
+    * sample formula — so neither engine is told which windows are
+    * silent. Window width 50 matches [[extractSilenceSegments]]'s
+    * default; n = 200 + id mod 800 frames exercises partial tails. */
+  def syntheticWavSilenceAssets(docs: DataFrame): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val n = (200 + id % 800).toInt
+      val samples = Array.tabulate(n) { j =>
+        if ((j / 50 + id) % 3 == 0)
+          (((j * 31L + id * 17L) % 129L) - 64L).toShort
+        else
+          (((j * 2657L + id * 7919L) % 65536L) - 32768L).toShort
+      }
+      wavBytesWithSamples(1, 8000, samples)
+    }
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("audio/wav").as("media_type"))
+  }
+
+  /** Silence-segment extraction over batches: per asset, the merged
+    * frame intervals whose fixed windows all peak below `threshold`
+    * ([[WavCodec.decodeSilenceSegments]]) — the voice-activity /
+    * dead-air trim primitive an audio ingest pipeline runs before
+    * transcription. One row per segment via posexplode (seg_idx is the
+    * per-asset ordinal); assets with no silence contribute no rows, and
+    * the blobs never move — only (id, interval) pairs leave the scan. */
+  def extractSilenceSegments(
+      assets: DataFrame,
+      window: Int = 50,
+      threshold: Int = 256,
+      routeErrors: Boolean = false): DataFrame = {
+    val segType = ArrayType(StructType(Seq(
+      StructField("start_frame", LongType),
+      StructField("end_frame", LongType))))
+    val withSegs = extractMeta(assets,
+      Seq(StructField("segs", segType)),
+      payload => Seq[Any](
+        WavCodec.decodeSilenceSegments(payload, window, threshold)
+          .map { case (s, e) => Row(s, e) }),
+      routeErrors)
+    withSegs
+      .select(col("asset_id"),
+        posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+      .select(col("asset_id"), col("seg_idx").cast("long").as("seg_idx"),
+        col("seg.start_frame"), col("seg.end_frame"))
   }
 
   /** Shared batch-extraction scaffold for the three modality extractors:

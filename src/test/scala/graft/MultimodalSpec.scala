@@ -461,6 +461,30 @@ class MultimodalSpec extends SparkSuite {
       ((0L, 0, 0L, 0L)))
   }
 
+  test("WavCodec.decodeSilenceSegments: adjacent silent windows merge, " +
+    "partial tail clamps, stereo peaks span both channels, loud-only and " +
+    "silent-only payloads hit both degenerate shapes") {
+    def wav(ch: Int, frames: Int)(v: Int => Short) =
+      Multimodal.wavBytesWithSamples(ch, 8000,
+        Array.tabulate(frames * ch)(v))
+    // mono, window 4: frames 0-7 quiet, 8-11 loud, 12-17 quiet (tail
+    // window 16-17 is partial) → segments [0,8) and [12,18)
+    val mono = wav(1, 18)(j =>
+      if (j < 8 || j >= 12) 10 else 5000)
+    assert(Multimodal.WavCodec.decodeSilenceSegments(mono, 4, 256) ==
+      Seq((0L, 8L), (12L, 18L)))
+    // one loud sample in channel 1 of an otherwise-quiet frame window
+    // disqualifies the window: peaks span ALL channels
+    val stereo = wav(2, 8)(j => if (j == 5) 5000 else 10)
+    assert(Multimodal.WavCodec.decodeSilenceSegments(stereo, 4, 256) ==
+      Seq((4L, 8L)))
+    // all-loud → empty; all-quiet → one full-length segment
+    assert(Multimodal.WavCodec.decodeSilenceSegments(
+      wav(1, 10)(_ => 5000), 4, 256).isEmpty)
+    assert(Multimodal.WavCodec.decodeSilenceSegments(
+      wav(1, 10)(_ => 0), 4, 256) == Seq((0L, 10L)))
+  }
+
   test("extractAudioStats: the sample formula round-trips through real " +
     "RIFF bytes for one closed-form asset") {
     import spark.implicits._
