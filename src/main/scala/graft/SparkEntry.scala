@@ -1949,6 +1949,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer training over the corpus: 8 merge rounds on the
+      // distinct-word frequency table (the corpus aggregates ONCE; every
+      // round after that is vocabulary-sized). The oracle replays the
+      // full loop — pair counts, argmax with the lexicographic
+      // tie-break, and the left-to-right non-overlapping fuse — as 8
+      // unrolled CTE rounds, so the learned merge table must match
+      // round-for-round, count-for-count.
+      import s.implicits._
+      val (ms, _) = TextAnalysis.bpeTrain(
+        par(s)(t(s, dir, "documents")), merges = 8)
+      ms.map(m => (m.round.toLong, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
+        .toDF("round", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("round"))
+    }),
+
+    "text_bpe_encode" -> ((s, dir) => {
+      // the trained tokenizer APPLIED: after the same 8 merges, the
+      // final word table's symbol string IS the encoding of every
+      // distinct word — corpus encoding is then a broadcast join on
+      // word. The oracle re-derives the merges and re-applies them, so
+      // both the training replay and the apply order are under test.
+      val (_, encoded) = TextAnalysis.bpeTrain(
+        par(s)(t(s, dir, "documents")), merges = 8)
+      encoded.select(col("word"), col("cnt"),
+        size(split(col("sym"), "\\|")).cast("long").as("n_tokens"),
+        col("sym").as("tokens"))
+        .orderBy(col("word"))
+    }),
+
     "text_feature_hash" -> ((s, dir) => {
       // hashing-trick features for a linear quality classifier: every
       // word lands in one of 64 md5 buckets, counts aggregate per
@@ -3380,6 +3410,31 @@ object SparkEntry {
          | FROM band a JOIN qual q ON a.band = q.band AND a.bucket = q.bucket
          | JOIN band b ON a.band = b.band AND a.bucket = b.bucket
          |  AND a.doc_id < b.doc_id)""".stripMargin
+    // BPE training replay shared by the merge-table and encode oracles:
+    // w0 = the word-frequency table with pipe-joined char symbols, then
+    // per round p/x = pair explode, g = weighted pair counts, m = the
+    // argmax merge, w = the fused table. Each w{i-1} is referenced by
+    // its round's p AND w CTEs — tolerable doubling here because the
+    // chain bottoms out in a vocabulary-sized scan, unlike q30's
+    // edge-set chain.
+    val duckBpeCtes: String = {
+      val rounds = (1 to 8).map { i =>
+        s"""p$i AS (SELECT cnt, string_split(sym, '|') AS sy FROM w${i - 1}),
+           |x$i AS (SELECT cnt, sy, unnest(range(1, len(sy))) AS i FROM p$i),
+           |g$i AS (SELECT sy[i] AS lhs, sy[i + 1] AS rhs,
+           |  CAST(sum(cnt) AS BIGINT) AS n FROM x$i GROUP BY 1, 2),
+           |m$i AS (SELECT $i AS round, lhs, rhs, n FROM g$i
+           | ORDER BY n DESC, lhs, rhs LIMIT 1),
+           |w$i AS (SELECT word, cnt,
+           |  replace(sym, t.lhs || '|' || t.rhs, t.lhs || t.rhs) AS sym
+           | FROM w${i - 1}, m$i t)""".stripMargin
+      }.mkString(",\n")
+      s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         |  rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS sym
+         | FROM (SELECT unnest($duckWords) AS word FROM documents
+         |   WHERE $duckNorm <> '') WHERE word <> '' GROUP BY word),
+         |$rounds""".stripMargin
+    }
     def duckLangScore(lang: String): String =
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
@@ -4867,6 +4922,28 @@ object SparkEntry {
 
       "text_fingerprint" ->
         s"""SELECT doc_id, md5($duckNorm) AS fp FROM documents ORDER BY doc_id""",
+
+      // the full BPE training loop unrolled: w0 = the word-frequency
+      // table with char-split symbol strings, then per round pair
+      // counts → argmax (count desc, lexicographic) → non-overlapping
+      // replace. DuckDB's replace and the engine's share left-to-right
+      // non-overlap semantics, which the 'a|a|a' overlap case exercises
+      // whenever a doubled letter wins a round.
+      "text_bpe_merges" -> {
+        s"""WITH $duckBpeCtes
+           |SELECT CAST(round AS BIGINT) AS round, lhs, rhs,
+           | lhs || rhs AS merged, n AS pair_count
+           |FROM (${(1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+           |ORDER BY round""".stripMargin
+      },
+
+      "text_bpe_encode" -> {
+        s"""WITH $duckBpeCtes
+           |SELECT word, cnt,
+           | CAST(len(string_split(sym, '|')) AS BIGINT) AS n_tokens,
+           | sym AS tokens
+           |FROM w8 ORDER BY word""".stripMargin
+      },
 
       // same word→bucket map by digit arithmetic on the md5 prefix (the
       // text_mixture_apply hex8 pattern, integer modulus instead of the

@@ -40,6 +40,80 @@ object TextAnalysis {
     * key used by [[Dedup.exactDuplicates]]. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** One learned BPE merge: at `round`, the adjacent symbol pair
+    * (`lhs`, `rhs`) had the highest corpus frequency (`count`, weighted
+    * by word occurrences) and was fused into the new symbol `lhs+rhs`. */
+  final case class BpeMerge(round: Int, lhs: String, rhs: String, count: Long)
+
+  /** The distinct-word frequency table BPE trains on: (word, cnt, sym)
+    * where `sym` is the word's current symbol sequence as a pipe-joined
+    * string — unambiguous because normalized words are [a-z0-9]+ only.
+    * This is THE scale trick of BPE training: after this one corpus-wide
+    * aggregation, every merge round runs over the vocabulary (≪ corpus —
+    * thousands of rows per language, not billions), and the corpus is
+    * never rescanned or reshuffled again. */
+  def bpeWordTable(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus
+      .filter(normalize(col(textCol)) =!= "")
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // split(word, "") appends one trailing "" (Java split limit -1);
+      // the element filter drops it
+      .withColumn("sym",
+        array_join(filter(split(col("word"), ""), s => s =!= ""), "|"))
+
+  /** Byte-pair-encoding tokenizer training — the tokenizer IS a
+    * training-data-pipeline artifact, and this is its standard algorithm
+    * (Sennrich et al. 2016) re-expressed Spark-first. Each round: count
+    * adjacent symbol pairs over the word-frequency table (explode +
+    * combinable sum), pick the global argmax (count desc, then
+    * lexicographic — a total order, so replayable), and fuse that pair
+    * in every word via left-to-right non-overlapping string replace (the
+    * reference BPE apply order, and exactly `replace`'s contract in both
+    * Spark and SQL engines). The per-round `.collect()` is ONE row — the
+    * learned merge, model state like the k-means codebooks — and the
+    * table re-[[Materialize]]s per round so lineage stays O(1). Fails
+    * loudly if the vocabulary runs out of adjacent pairs before `merges`
+    * rounds (every word fused to one symbol).
+    *
+    * Returns (learned merges in order, final word table) — the final
+    * table's `sym` IS the BPE encoding of every distinct word under the
+    * learned merges, so corpus encoding is a broadcast join away. */
+  def bpeTrain(
+      corpus: DataFrame,
+      merges: Int,
+      textCol: String = "text"): (Seq[BpeMerge], DataFrame) = {
+    require(merges >= 1, s"bpeTrain: merges must be >= 1, got $merges")
+    var tbl = Materialize(bpeWordTable(corpus, textCol))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1
+    while (r <= merges) {
+      val sy = split(col("sym"), "\\|")
+      val top = tbl
+        .select(col("cnt"), sy.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("l"),
+              element_at(col("sy"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeTrain: vocabulary has no adjacent pairs left at round $r — " +
+          "every word is a single symbol; ask for fewer merges")
+      val m = BpeMerge(r, top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      learned += m
+      tbl = Materialize(tbl.withColumn("sym",
+        replace(col("sym"), lit(m.lhs + "|" + m.rhs), lit(m.lhs + m.rhs))))
+      r += 1
+    }
+    (learned.toSeq, tbl)
+  }
+
   /** Hashing-trick sparse feature rows (doc_id, bucket, n): each word of
     * the normalized text lands in `u32(md5("fh:" + word)) % nBuckets`, and
     * counts aggregate per (doc, bucket). The fixed-width feature space a

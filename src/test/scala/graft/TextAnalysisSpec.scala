@@ -231,6 +231,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(small.count() == 2)
   }
 
+  test("bpeTrain: greedy merges with left-to-right non-overlapping fuse " +
+    "(doubled letters), lexicographic tie-break, loud pair exhaustion") {
+    // 'aaa'×2 + 'ab': round 1 counts (a,a)=4 (two overlapping positions
+    // per word — BPE counts positions), fuses LEFT-TO-RIGHT so a|a|a →
+    // aa|a (NOT a|aa); round 2 merges (aa,a); round 3 only (a,b) is left
+    val docs = Seq("aaa aaa ab", "aaa").toDF("text")
+    val (ms, tbl) = TextAnalysis.bpeTrain(docs, merges = 3)
+    assert(ms.map(m => (m.round, m.lhs, m.rhs, m.count)) ==
+      Seq((1, "a", "a", 6L), (2, "aa", "a", 3L), (3, "a", "b", 1L)))
+    val enc = tbl.select(col("word"), col("sym")).as[(String, String)]
+      .collect().toMap
+    assert(enc == Map("aaa" -> "aaa", "ab" -> "ab"))
+    // round 4 has no adjacent pairs anywhere → loud contract failure
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bpeTrain(docs, merges = 4))
+    assert(e.getMessage.contains("no adjacent pairs"))
+    // equal-count pairs break lexicographically: (x,y) beats (z,w)
+    val tie = Seq("xy zw").toDF("text")
+    val (tms, _) = TextAnalysis.bpeTrain(tie, merges = 1)
+    assert(tms.head.lhs == "x" && tms.head.rhs == "y" && tms.head.count == 1L)
+  }
+
   test("featureHash: word counts land in stable md5 buckets, repeats " +
     "accumulate, empty docs drop, totals preserved") {
     val docs = Seq(
