@@ -3206,6 +3206,18 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_features_gif" -> ((s, dir) => {
+      // REAL animated-GIF decode path: spec-valid GIF89a per doc
+      // (closed-form screen dims, frame count, palette size, delays)
+      // and the engine recovers the metadata by WALKING the block
+      // stream — extensions, descriptors, length-prefixed LZW
+      // sub-blocks — not by fixed offsets; the oracle replays the
+      // generator arithmetic. duration_ms = frames · delay_cs · 10.
+      Multimodal.extractGifMeta(
+        Multimodal.syntheticGifAssets(par(s)(t(s, dir, "documents"))))
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_audio_meta" -> ((s, dir) => {
       // REAL audio decode path: the engine constructs an actual PCM WAV
       // per doc (closed-form channels/rate/samples) and must recover the
@@ -5589,6 +5601,16 @@ object SparkEntry {
       // bytes; the oracle replays the closed-form sample scramble
       // s(j) = ((j·2657 + id·7919) mod 65536) − 32768 over
       // j ∈ [0, ch·n) and aggregates in exact integers
+      "mm_features_gif" ->
+        """SELECT doc_id AS asset_id,
+          | CAST(16 + doc_id % 1024 AS INT) AS width,
+          | CAST(16 + (doc_id * 7) % 1024 AS INT) AS height,
+          | CAST(1 + doc_id % 5 AS INT) AS n_frames,
+          | CAST(1 << CAST(1 + doc_id % 8 AS INT) AS INT) AS gct_entries,
+          | CAST((1 + doc_id % 5) * (10 + doc_id % 90) * 10 AS BIGINT)
+          |  AS duration_ms
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
       // replay the silence generator's sample formula, window-peak,
       // then standard gaps-and-islands over the silent windows
       "mm_audio_silence" ->

@@ -418,6 +418,73 @@ object Multimodal {
     * image ([[BmpCodec]]) / audio ([[WavCodec]]) / video triad of
     * genuine header parsers; malformed payloads throw, with the same
     * route-or-fail policy via [[extractVideoMeta]]. */
+  /** GIF89a block-structure codec. Unlike the fixed-offset BMP/AVI
+    * headers, GIF metadata requires WALKING the variable-length block
+    * stream — global color table, extension sub-blocks, per-frame image
+    * descriptors with optional local color tables and length-prefixed
+    * LZW sub-blocks — so the parse is a real cursor machine over the
+    * bytes, not an offset read, and every truncation fails loudly with
+    * the cursor's context. Frame count = image descriptors seen before
+    * the 0x3B trailer; duration sums graphic-control delays
+    * (centiseconds → ms). Pixel data is skipped by length, never
+    * decoded — the metadata pass an ingest pipeline runs before
+    * deciding which assets are worth full LZW decode. */
+  object GifCodec {
+    /** (width, height, n_frames, gct_entries, duration_ms). */
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Int, Int, Long) = {
+      require(payload.length >= 14 && magic(payload, 0, "GIF89a"),
+        "not a GIF89a payload (missing signature)")
+      val w = leShort(payload, 6)
+      val h = leShort(payload, 8)
+      val packed = payload(10) & 0xFF
+      val gctEntries =
+        if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+      var off = 13 + 3 * gctEntries
+      var frames = 0
+      var delayCs = 0L
+      var done = false
+      def skipSubBlocks(): Unit = {
+        var len = -1
+        while (len != 0) {
+          require(off < payload.length, "GIF truncated inside sub-blocks")
+          len = payload(off) & 0xFF
+          off += 1 + len
+        }
+      }
+      while (!done) {
+        require(off < payload.length, "GIF truncated before trailer")
+        (payload(off) & 0xFF) match {
+          case 0x3B => done = true
+          case 0x21 =>
+            require(off + 2 <= payload.length, "GIF truncated in extension")
+            val label = payload(off + 1) & 0xFF
+            off += 2
+            if (label == 0xF9) {
+              require(off + 6 <= payload.length &&
+                (payload(off) & 0xFF) == 4,
+                "malformed graphic control extension")
+              delayCs += leShort(payload, off + 2)
+            }
+            skipSubBlocks()
+          case 0x2C =>
+            require(off + 10 <= payload.length,
+              "GIF truncated in image descriptor")
+            val ipacked = payload(off + 9) & 0xFF
+            val lct =
+              if ((ipacked & 0x80) != 0) 1 << ((ipacked & 0x07) + 1) else 0
+            off += 10 + 3 * lct
+            require(off < payload.length, "GIF truncated before LZW data")
+            off += 1 // LZW minimum code size
+            skipSubBlocks()
+            frames += 1
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block introducer 0x$b%02x at offset $off")
+        }
+      }
+      (w, h, frames, gctEntries, delayCs * 10L)
+    }
+  }
+
   object AviCodec {
     /** (width, height, n_frames, duration_ms) from the header bytes. */
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int, Long) = {
@@ -870,6 +937,78 @@ object Multimodal {
       mk(col("doc_id")).as("payload"),
       lit("audio/wav").as("media_type"))
   }
+
+  /** A spec-valid animated GIF89a: logical screen + global color table,
+    * then per frame a graphic-control extension (shared `delayCs`), an
+    * image descriptor, and one closed-form LZW data sub-block (skipped
+    * by length — structurally real, pixel-wise fake). `gctBits` ∈ [1,8]
+    * sets 2^gctBits palette entries. */
+  def gifBytes(
+      width: Int, height: Int, frames: Int,
+      gctBits: Int, delayCs: Int): Array[Byte] = {
+    require(width >= 0 && width <= 0xFFFF && height >= 0 && height <= 0xFFFF,
+      "GIF dims must fit u16")
+    require(frames >= 1 && gctBits >= 1 && gctBits <= 8 &&
+      delayCs >= 0 && delayCs <= 0xFFFF, "GIF fixture params out of range")
+    val gct = 1 << gctBits
+    val perFrameData = (0 until frames).map(f => 1 + f % 10)
+    val size = 13 + 3 * gct +
+      perFrameData.map(l => 8 + 10 + 1 + (1 + l) + 1).sum + 1
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+      .putShort(width.toShort).putShort(height.toShort)
+      .put((0x80 | (gctBits - 1)).toByte) // GCT present, size field
+      .put(0.toByte).put(0.toByte) // bg index, aspect
+    (0 until 3 * gct).foreach(i => buf.put(((i * 37) % 256).toByte))
+    perFrameData.zipWithIndex.foreach { case (dataLen, f) =>
+      buf.put(0x21.toByte).put(0xF9.toByte).put(4.toByte) // GCE
+        .put(0.toByte).putShort(delayCs.toShort).put(0.toByte)
+        .put(0.toByte) // GCE terminator
+      buf.put(0x2C.toByte) // image descriptor
+        .putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort)
+        .put(0.toByte) // no local color table
+      buf.put(8.toByte) // LZW minimum code size
+      buf.put(dataLen.toByte)
+      (0 until dataLen).foreach(i => buf.put(((f * 31 + i) % 256).toByte))
+      buf.put(0.toByte) // data terminator
+    }
+    buf.put(0x3B.toByte)
+    buf.array()
+  }
+
+  /** GIF assets with closed-form metadata: width = 16 + id mod 1024,
+    * height = 16 + 7·id mod 1024, frames = 1 + id mod 5, palette =
+    * 2^(1 + id mod 8) entries, per-frame delay = 10 + id mod 90 cs —
+    * the engine must recover all of it by walking real GIF blocks while
+    * the oracle computes the same values arithmetically. */
+  def syntheticGifAssets(docs: DataFrame): DataFrame = {
+    val mk = udf((id: Long) =>
+      gifBytes((16 + id % 1024).toInt, (16 + (id * 7) % 1024).toInt,
+        (1 + id % 5).toInt, (1 + id % 8).toInt, (10 + id % 90).toInt))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mk(col("doc_id")).as("payload"),
+      lit("image/gif").as("media_type"))
+  }
+
+  /** GIF metadata extraction over batches — the [[extractMeta]] scaffold
+    * around [[GifCodec.decodeMeta]]: (asset_id, width, height, n_frames,
+    * gct_entries, duration_ms [, decode_error]). */
+  def extractGifMeta(
+      assets: DataFrame,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets,
+      Seq(StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("gct_entries", IntegerType),
+        StructField("duration_ms", LongType)),
+      payload => {
+        val (w, h, n, gct, dur) = GifCodec.decodeMeta(payload)
+        Seq[Any](w, h, n, gct, dur)
+      }, routeErrors)
 
   /** Mono WAV assets with closed-form LOUD/QUIET structure for the
     * silence detector: frame window w of asset id is quiet iff

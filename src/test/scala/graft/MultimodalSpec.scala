@@ -461,6 +461,29 @@ class MultimodalSpec extends SparkSuite {
       ((0L, 0, 0L, 0L)))
   }
 
+  test("GifCodec.decodeMeta: block walk recovers dims/frames/palette/" +
+    "delays from real bytes; truncation and junk introducers fail loudly") {
+    val gif = Multimodal.gifBytes(320, 200, frames = 3,
+      gctBits = 4, delayCs = 25)
+    assert(Multimodal.GifCodec.decodeMeta(gif) ==
+      ((320, 200, 3, 16, 750L))) // 3 frames x 25 cs = 750 ms
+    // single frame, minimal palette
+    assert(Multimodal.GifCodec.decodeMeta(
+      Multimodal.gifBytes(1, 1, 1, 1, 0)) == ((1, 1, 1, 2, 0L)))
+    // cut inside a frame's sub-blocks → loud truncation, not a wrong count
+    val e = intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decodeMeta(gif.dropRight(5)))
+    assert(e.getMessage.contains("truncated"))
+    // corrupt introducer byte
+    val bad = gif.clone(); bad(13 + 3 * 16) = 0x7F
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decodeMeta(bad))
+    assert(e2.getMessage.contains("unknown GIF block"))
+    // not a GIF at all
+    intercept[IllegalArgumentException](
+      Multimodal.GifCodec.decodeMeta("GIF87a".getBytes ++ new Array[Byte](20)))
+  }
+
   test("WavCodec.decodeSilenceSegments: adjacent silent windows merge, " +
     "partial tail clamps, stereo peaks span both channels, loud-only and " +
     "silent-only payloads hit both degenerate shapes") {
