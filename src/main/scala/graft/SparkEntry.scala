@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
-import graft.sources.{AlmaXml, CsvStage}
+import graft.sources.{AlmaXml, CsvStage, JsonStage}
 import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
@@ -853,6 +853,30 @@ object SparkEntry {
           lit(" (Oct 19"), lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
           lit(")")).as("Description"))
       SplitStage(items)
+    }),
+
+    "json_roundtrip" -> ((s, dir) => {
+      // semi-structured ingest under the oracle: documents nest into
+      // JSONL objects ({doc_id, meta:{source,lang}, n_chars}), write
+      // through the partitioned sink, read back under the PINNED schema
+      // (FAILFAST — a corrupt line fails loudly, never silently nulls),
+      // and flatten the nested fields out. The oracle reads the same
+      // fields straight off parquet, so any drift in the JSON encode,
+      // the schema-pinned decode, or the nested access breaks the hash.
+      import org.apache.spark.sql.types._
+      val nested = t(s, dir, "documents").select(col("doc_id"),
+        struct(col("source"), col("lang")).as("meta"), col("n_chars"))
+      val path = JsonStage.write(nested, s"$artifactRoot/json_roundtrip")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("source", StringType),
+          StructField("lang", StringType)))),
+        StructField("n_chars", LongType)))
+      JsonStage.read(s, schema, path)
+        .select(col("doc_id"), col("meta.source").as("source"),
+          col("meta.lang").as("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     "csv_roundtrip" -> ((s, dir) => {
@@ -5852,6 +5876,10 @@ object SparkEntry {
       // the oracle computes the round-trip's fixed point straight from
       // parquet: matching hashes prove the CSV write → stage-prefix naming
       // → (Spark | naive) read loop is lossless for the item data model
+      "json_roundtrip" ->
+        """SELECT doc_id, source, lang, n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       "csv_roundtrip" ->
         """WITH i AS (SELECT CAST(c_custkey AS VARCHAR) AS "MMS ID",
           |  CAST(c_custkey * 7 AS VARCHAR) AS "Barcode", c_name AS title,

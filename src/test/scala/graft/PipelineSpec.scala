@@ -12,6 +12,38 @@ import graft.sources.CsvStage
   * reference CLI (BatchUpdate.py:114-136) minus the interactive prompts. */
 class PipelineSpec extends SparkSuite {
 
+  test("JsonStage: nested JSONL round-trips under a pinned schema; a " +
+    "corrupt line fails FAILFAST-loud instead of nulling fields") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val src = Seq((1L, "a", "en", 10L), (2L, "b", "de", 20L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .select(col("doc_id"),
+        struct(col("source"), col("lang")).as("meta"), col("n_chars"))
+    val path = graft.sources.JsonStage.write(src, s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("source", StringType), StructField("lang", StringType)))),
+      StructField("n_chars", LongType)))
+    val back = graft.sources.JsonStage.read(spark, schema, path)
+      .select(col("doc_id"), col("meta.source"), col("meta.lang"),
+        col("n_chars"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a", "en", 10L), (2L, "b", "de", 20L)))
+    // corrupt line in a fresh file: FAILFAST surfaces it as a job
+    // failure rather than a row of nulls
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.json"),
+      "{\"doc_id\": oops}\n".getBytes)
+    val e = intercept[Exception] {
+      graft.sources.JsonStage.read(spark, schema, s"$dir/bad.json").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("stagedPath: strips prior stage prefixes, keeps directories") {
     assert(CsvStage.stagedPath("/d/items.csv", "f_") == "/d/f_items.csv")
     assert(CsvStage.stagedPath("/d/f_items.csv", "s_") == "/d/s_items.csv")
