@@ -2003,6 +2003,28 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    "text_bpe_doc_tokens" -> ((s, dir) => {
+      // the tokenizer budget loop CLOSED at corpus level: per-doc token
+      // counts under the TRAINED tokenizer (not whitespace) — the number
+      // that actually prices a document into a training mix. The
+      // encoded vocabulary is tiny, so it BROADCASTS and the corpus
+      // aggregates in one shuffle on doc_id; at 100 TB the per-doc cost
+      // is one explode + one hash-join probe per word.
+      val (_, encoded) = TextAnalysis.bpeTrain(
+        par(s)(t(s, dir, "documents")), merges = 8)
+      val wordTok = encoded.select(col("word"),
+        size(split(col("sym"), "\\|")).cast("long").as("w_tokens"))
+      par(s)(t(s, dir, "documents"))
+        .filter(TextAnalysis.normalize(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(TextAnalysis.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(wordTok), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_feature_hash" -> ((s, dir) => {
       // hashing-trick features for a linear quality classifier: every
       // word lands in one of 64 md5 buckets, counts aggregate per
@@ -4979,6 +5001,20 @@ object SparkEntry {
            | CAST(len(string_split(sym, '|')) AS BIGINT) AS n_tokens,
            | sym AS tokens
            |FROM w8 ORDER BY word""".stripMargin
+      },
+
+      "text_bpe_doc_tokens" -> {
+        s"""WITH $duckBpeCtes,
+           |wt AS (SELECT word,
+           |  CAST(len(string_split(sym, '|')) AS BIGINT) AS w_tokens
+           | FROM w8),
+           |dw AS (SELECT doc_id, unnest($duckWords) AS word
+           | FROM documents WHERE $duckNorm <> ''),
+           |j AS (SELECT doc_id, w_tokens FROM dw JOIN wt USING (word)
+           | WHERE word <> '')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           | CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
 
       // same word→bucket map by digit arithmetic on the md5 prefix (the
