@@ -205,6 +205,27 @@ class ScaleSpec extends SparkSuite {
     assert(Skew.saltedJoin(skewed, dim, Seq("k"), salts = 8).count() == 1000L)
   }
 
+  test("BPE doc-token pricing: the trained vocabulary joins BROADCAST — " +
+    "the corpus never shuffles for the probe") {
+    import graft.functions.TextAnalysis
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma doc$i"))
+      .toDF("doc_id", "text")
+    val (_, encoded) = TextAnalysis.bpeTrain(docs, merges = 2)
+    val wordTok = encoded.select(col("word"),
+      size(split(col("sym"), "\\|")).cast("long").as("w_tokens"))
+    val out = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("word"))
+      .join(broadcast(wordTok), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("w_tokens")).as("n_bpe_tokens"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the vocab probe:\n$plan")
+  }
+
   test("partitioned layout: a partition-key filter prunes at plan time — " +
     "the scan touches one directory, not the table") {
     val dir = Files.createTempDirectory("graft-partitioned").toFile
