@@ -2003,6 +2003,28 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    "text_shuffle_det" -> ((s, dir) => {
+      // deterministic global shuffle into training shards: every doc
+      // gets a stable salted-hash position (rerun-stable, join/
+      // repartition-proof — unlike rand()), the hash's top 32 bits pick
+      // one of 16 shards, and ORDER IS SHARD-LOCAL: 16 independent
+      // windows instead of one global sort, so at 100 TB each shard
+      // ranks and writes in parallel and no stage ever totally orders
+      // the corpus. Reading shards round-robin replays the same
+      // training order on every run — the reproducible-data-order
+      // contract an LLM training job needs.
+      val h = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      par(s)(t(s, dir, "documents"))
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 16)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_bpe_doc_tokens" -> ((s, dir) => {
       // the tokenizer budget loop CLOSED at corpus level: per-doc token
       // counts under the TRAINED tokenizer (not whitespace) — the number
@@ -5001,6 +5023,21 @@ object SparkEntry {
            | CAST(len(string_split(sym, '|')) AS BIGINT) AS n_tokens,
            | sym AS tokens
            |FROM w8 ORDER BY word""".stripMargin
+      },
+
+      // same salted-hash shard + shard-local rank arithmetic
+      "text_shuffle_det" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH d AS (SELECT doc_id,
+           |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+           |b AS (SELECT doc_id, h, CAST($hex8 AS BIGINT) % 16 AS shard
+           | FROM d)
+           |SELECT doc_id, shard,
+           | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+           |  AS BIGINT) AS pos
+           |FROM b ORDER BY doc_id""".stripMargin
       },
 
       "text_bpe_doc_tokens" -> {
