@@ -231,6 +231,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(small.count() == 2)
   }
 
+  test("deterministic shard shuffle: stable under reruns and " +
+    "repartitioning, shards bounded, shard-local positions contiguous " +
+    "from 1") {
+    import org.apache.spark.sql.expressions.Window
+    def shuffle(df: org.apache.spark.sql.DataFrame) = {
+      val h = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      df.select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 16)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = shuffle(docs).as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = shuffle(docs.repartition(7)).as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "order assignment must survive repartition")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 16))
+    // each shard's positions are exactly 1..n_shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("bpeTrain: greedy merges with left-to-right non-overlapping fuse " +
     "(doubled letters), lexicographic tie-break, loud pair exhaustion") {
     // 'aaa'×2 + 'ab': round 1 counts (a,a)=4 (two overlapping positions
