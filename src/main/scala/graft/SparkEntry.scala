@@ -2047,6 +2047,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_bpe_apply_new" -> ((s, dir) => {
+      // the frozen-tokenizer production path: train on HALF the corpus
+      // (even doc_ids), then price the DISJOINT held-out half under the
+      // trained tokenizer. The apply is a merge REPLAY, not a vocabulary
+      // join against the training word table — the held-out corpus's own
+      // word table is char-split and the 8 learned merges re-run in
+      // order (TextAnalysis.bpeApply), so a word unseen at train time
+      // fuses less instead of silently dropping from the count. Every
+      // held-out word prices; n_words is total coverage by construction.
+      val docs = par(s)(t(s, dir, "documents"))
+      val (ms, _) = TextAnalysis.bpeTrain(
+        docs.filter(col("doc_id") % 2 === 0), merges = 8)
+      val held = docs.filter(col("doc_id") % 2 =!= 0)
+      val wordTok = TextAnalysis.bpeApply(ms, held)
+        .select(col("word"),
+          size(split(col("sym"), "\\|")).cast("long").as("w_tokens"))
+      held
+        .filter(TextAnalysis.normalize(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(TextAnalysis.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(broadcast(wordTok), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("w_tokens")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_feature_hash" -> ((s, dir) => {
       // hashing-trick features for a linear quality classifier: every
       // word lands in one of 64 md5 buckets, counts aggregate per
@@ -3490,31 +3518,43 @@ object SparkEntry {
          | FROM band a JOIN qual q ON a.band = q.band AND a.bucket = q.bucket
          | JOIN band b ON a.band = b.band AND a.bucket = b.bucket
          |  AND a.doc_id < b.doc_id)""".stripMargin
-    // BPE training replay shared by the merge-table and encode oracles:
-    // w0 = the word-frequency table with pipe-joined char symbols, then
-    // per round p/x = pair explode, g = weighted pair counts, m = the
-    // argmax merge, w = the fused table. Each w{i-1} is referenced by
-    // its round's p AND w CTEs — tolerable doubling here because the
-    // chain bottoms out in a vocabulary-sized scan, unlike q30's
-    // edge-set chain.
-    val duckBpeCtes: String = {
+    // BPE training replay shared by the merge-table, encode, and
+    // held-out-apply oracles: w0 = the word-frequency table with
+    // pipe-joined char symbols, then per round p/x = pair explode, g =
+    // weighted pair counts, m = the argmax merge, w = the fused table.
+    // The fuse is the same whole-symbol left-to-right fold as
+    // TextAnalysis.bpeFusePair (list_reduce with a string accumulator:
+    // last emitted symbol == lhs AND next == rhs → append undelimited) —
+    // NOT a raw substring replace, which can match across symbol
+    // boundaries ('ab|c' contains 'b|c'). Each w{i} is MATERIALIZED:
+    // w{i-1} is referenced by its round's p AND w CTEs (and m{i} by the
+    // apply replay too), and DuckDB inlines multiply-referenced plain
+    // CTEs — materialization pins each round to one evaluation.
+    // Parameterized by a source filter so the apply oracle can train on
+    // a slice of the corpus.
+    def duckFuse(sym: String, lhs: String, rhs: String): String =
+      s"""list_reduce(string_split($sym, '|'),
+         |  (acc, x) -> CASE WHEN regexp_extract(acc, '([^|]*)$$', 1) = $lhs
+         |    AND x = $rhs THEN acc || x ELSE acc || '|' || x END)""".stripMargin
+    def duckBpeTrainCtes(where: String): String = {
       val rounds = (1 to 8).map { i =>
         s"""p$i AS (SELECT cnt, string_split(sym, '|') AS sy FROM w${i - 1}),
            |x$i AS (SELECT cnt, sy, unnest(range(1, len(sy))) AS i FROM p$i),
            |g$i AS (SELECT sy[i] AS lhs, sy[i + 1] AS rhs,
            |  CAST(sum(cnt) AS BIGINT) AS n FROM x$i GROUP BY 1, 2),
-           |m$i AS (SELECT $i AS round, lhs, rhs, n FROM g$i
+           |m$i AS MATERIALIZED (SELECT $i AS round, lhs, rhs, n FROM g$i
            | ORDER BY n DESC, lhs, rhs LIMIT 1),
-           |w$i AS (SELECT word, cnt,
-           |  replace(sym, t.lhs || '|' || t.rhs, t.lhs || t.rhs) AS sym
+           |w$i AS MATERIALIZED (SELECT word, cnt,
+           |  ${duckFuse("sym", "t.lhs", "t.rhs")} AS sym
            | FROM w${i - 1}, m$i t)""".stripMargin
       }.mkString(",\n")
-      s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+      s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
          |  rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS sym
          | FROM (SELECT unnest($duckWords) AS word FROM documents
-         |   WHERE $duckNorm <> '') WHERE word <> '' GROUP BY word),
+         |   WHERE $duckNorm <> '' $where) WHERE word <> '' GROUP BY word),
          |$rounds""".stripMargin
     }
+    val duckBpeCtes: String = duckBpeTrainCtes("")
     def duckLangScore(lang: String): String =
       TextAnalysis.stopwords(lang)
         .map(w => "len(regexp_extract_all(lower(text), '\\b" + w + "\\b'))")
@@ -5047,6 +5087,36 @@ object SparkEntry {
            | FROM w8),
            |dw AS (SELECT doc_id, unnest($duckWords) AS word
            | FROM documents WHERE $duckNorm <> ''),
+           |j AS (SELECT doc_id, w_tokens FROM dw JOIN wt USING (word)
+           | WHERE word <> '')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           | CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // train replay restricted to even doc_ids, then the held-out apply
+      // replay: a0 = the ODD docs' own char-split word table, a1..a8 =
+      // the trained merges m1..m8 re-fused in order with the same
+      // whole-symbol fold. MATERIALIZED m's keep the double reference
+      // (training w{i} + apply a{i}) from re-inlining the whole chain.
+      "text_bpe_apply_new" -> {
+        val applyRounds = (1 to 8).map { i =>
+          s"""a$i AS MATERIALIZED (SELECT word, cnt,
+             |  ${duckFuse("sym", "t.lhs", "t.rhs")} AS sym
+             | FROM a${i - 1}, m$i t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckBpeTrainCtes("AND doc_id % 2 = 0")},
+           |a0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           |  rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS sym
+           | FROM (SELECT unnest($duckWords) AS word FROM documents
+           |   WHERE $duckNorm <> '' AND doc_id % 2 = 1)
+           | WHERE word <> '' GROUP BY word),
+           |$applyRounds,
+           |wt AS (SELECT word,
+           |  CAST(len(string_split(sym, '|')) AS BIGINT) AS w_tokens
+           | FROM a8),
+           |dw AS (SELECT doc_id, unnest($duckWords) AS word
+           | FROM documents WHERE $duckNorm <> '' AND doc_id % 2 = 1),
            |j AS (SELECT doc_id, w_tokens FROM dw JOIN wt USING (word)
            | WHERE word <> '')
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

@@ -63,15 +63,40 @@ object TextAnalysis {
       .withColumn("sym",
         array_join(filter(split(col("word"), ""), s => s =!= ""), "|"))
 
+  /** Fuse one learned merge into a pipe-joined symbol string — the
+    * left-to-right greedy single pass of Sennrich BPE, expressed as a
+    * fold over the symbol array with a string accumulator: if the last
+    * emitted symbol is exactly `lhs` and the next symbol is exactly
+    * `rhs`, append `rhs` WITHOUT a delimiter (fusing the pair);
+    * otherwise append delimited. Whole-symbol matching only — a raw
+    * substring replace on the joined string can match ACROSS symbol
+    * boundaries (symbols `[ab, c]` contain the substring `b|c`, which a
+    * merge `(b, c)` must NOT fuse) and would corrupt later rounds' pair
+    * counts. The fused symbol `lhs+rhs` can never cascade into another
+    * fuse within the same pass (it would have to EQUAL `lhs`, impossible
+    * with a non-empty `rhs`), which is exactly the scan-and-skip
+    * contract of the reference algorithm — `a a a` fuses to `aa a`, not
+    * `aaa`. Pure higher-order-function projection, no UDF. */
+  def bpeFusePair(sym: Column, lhs: String, rhs: String): Column = {
+    val sy = split(sym, "\\|")
+    aggregate(
+      slice(sy, lit(2), size(sy) - 1),
+      element_at(sy, 1),
+      (acc, x) =>
+        when(element_at(split(acc, "\\|"), -1) === lit(lhs) && x === lit(rhs),
+          concat(acc, x))
+          .otherwise(concat(acc, lit("|"), x)))
+  }
+
   /** Byte-pair-encoding tokenizer training — the tokenizer IS a
     * training-data-pipeline artifact, and this is its standard algorithm
     * (Sennrich et al. 2016) re-expressed Spark-first. Each round: count
     * adjacent symbol pairs over the word-frequency table (explode +
     * combinable sum), pick the global argmax (count desc, then
     * lexicographic — a total order, so replayable), and fuse that pair
-    * in every word via left-to-right non-overlapping string replace (the
-    * reference BPE apply order, and exactly `replace`'s contract in both
-    * Spark and SQL engines). The per-round `.collect()` is ONE row — the
+    * in every word via [[bpeFusePair]]'s whole-symbol left-to-right
+    * greedy fold (the reference BPE apply order; see its scaladoc for
+    * why a raw substring replace is wrong). The per-round `.collect()` is ONE row — the
     * learned merge, model state like the k-means codebooks — and the
     * table re-[[Materialize]]s per round so lineage stays O(1). Fails
     * loudly if the vocabulary runs out of adjacent pairs before `merges`
@@ -108,11 +133,30 @@ object TextAnalysis {
         top(0).getLong(2))
       learned += m
       tbl = Materialize(tbl.withColumn("sym",
-        replace(col("sym"), lit(m.lhs + "|" + m.rhs), lit(m.lhs + m.rhs))))
+        bpeFusePair(col("sym"), m.lhs, m.rhs)))
       r += 1
     }
     (learned.toSeq, tbl)
   }
+
+  /** Apply a TRAINED tokenizer to a (possibly held-out) corpus: build
+    * the new corpus's own word-frequency table, char-split every word,
+    * and replay the learned merges in training order — `m` fuse
+    * projections ([[bpeFusePair]]), no retrain, no driver state beyond
+    * the merge list itself. EVERY word tokenizes (a word unseen at
+    * train time simply fuses less and stays closer to characters), so
+    * pricing NEW data under a frozen tokenizer never silently drops
+    * tokens — the production contract that an inner join against the
+    * training vocabulary cannot give. Returns (word, cnt, sym) for the
+    * new corpus; lazy — the whole replay is one narrow projection
+    * chain over the vocabulary-sized aggregate. */
+  def bpeApply(
+      merges: Seq[BpeMerge],
+      corpus: DataFrame,
+      textCol: String = "text"): DataFrame =
+    merges.sortBy(_.round).foldLeft(bpeWordTable(corpus, textCol)) {
+      (tbl, m) => tbl.withColumn("sym", bpeFusePair(col("sym"), m.lhs, m.rhs))
+    }
 
   /** Hashing-trick sparse feature rows (doc_id, bucket, n): each word of
     * the normalized text lands in `u32(md5("fh:" + word)) % nBuckets`, and

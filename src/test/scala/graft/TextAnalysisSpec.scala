@@ -278,6 +278,44 @@ class TextAnalysisSpec extends SparkSuite {
     assert(tms.head.lhs == "x" && tms.head.rhs == "y" && tms.head.count == 1L)
   }
 
+  test("bpeFusePair: whole-symbol matching only — a merge (b,c) must not " +
+    "fuse across the boundary of symbols [ab, c]") {
+    // corpus engineered so round 1 learns (a,b) (tie vs (b,c), lex wins),
+    // round 2 learns (b,c): word 'abc' is then symbols [ab, c], whose
+    // joined form 'ab|c' CONTAINS the substring 'b|c' — a raw substring
+    // replace would corrupt it to 'abc' two rounds early
+    val docs = Seq("ab ab ab abc bc bc bc").toDF("text")
+    val (ms, tbl) = TextAnalysis.bpeTrain(docs, merges = 2)
+    assert(ms.map(m => (m.round, m.lhs, m.rhs, m.count)) ==
+      Seq((1, "a", "b", 4L), (2, "b", "c", 3L)))
+    val enc = tbl.select(col("word"), col("sym")).as[(String, String)]
+      .collect().toMap
+    assert(enc("abc") == "ab|c",
+      "merge (b,c) fused across the [ab, c] symbol boundary")
+    assert(enc("bc") == "bc" && enc("ab") == "ab")
+    // round 3 still has the (ab, c) pair BECAUSE round 2 left it alone
+    val (ms3, tbl3) = TextAnalysis.bpeTrain(docs, merges = 3)
+    assert(ms3.last.lhs == "ab" && ms3.last.rhs == "c" && ms3.last.count == 1L)
+    assert(tbl3.filter(col("word") === "abc").select(col("sym"))
+      .as[String].head() == "abc")
+  }
+
+  test("bpeApply: frozen tokenizer prices held-out words — trained words " +
+    "get their trained encoding, unseen words char-fall-back, none drop") {
+    val train = Seq("ab ab ab abc bc bc bc").toDF("text")
+    val (ms, _) = TextAnalysis.bpeTrain(train, merges = 3)
+    val held = Seq("abc cab zq ab").toDF("text")
+    val out = TextAnalysis.bpeApply(ms, held)
+      .select(col("word"), col("sym")).as[(String, String)].collect().toMap
+    // every held-out word tokenizes — the no-silent-drop contract
+    assert(out.keySet == Set("abc", "cab", "zq", "ab"))
+    assert(out("abc") == "abc" && out("ab") == "ab")
+    // 'cab' is unseen but its suffix fuses under merge (a,b); 'zq' has
+    // no trained merges at all and stays at characters
+    assert(out("cab") == "c|ab")
+    assert(out("zq") == "z|q")
+  }
+
   test("featureHash: word counts land in stable md5 buckets, repeats " +
     "accumulate, empty docs drop, totals preserved") {
     val docs = Seq(

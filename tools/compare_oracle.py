@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Dev-only harness (not part of the library): mimic the driver's DuckDB
-oracle compare. Usage: compare_oracle.py <sfDir> <verifyOutDir>"""
+oracle compare. Usage: compare_oracle.py <sfDir> <verifyOutDir> [name...]
+Extra names restrict the compare to those queries (dev iteration)."""
 import json
 import sys
 
@@ -9,7 +10,7 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -17,6 +18,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:
@@ -66,4 +69,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
