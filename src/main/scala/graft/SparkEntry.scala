@@ -3449,6 +3449,23 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_phash_pairs" -> ((s, dir) => {
+      // perceptual image near-dup: REAL pixel decode → 9×8 nearest-
+      // neighbor resize → 64-bit dHash per asset (8 bytes leave the
+      // blob scan), then hamming-≤3 pairs via the same pigeonhole
+      // banding as text simhash — 4 chunks of 16 bits, exact-match
+      // bucket join, exact hamming verify. No image bytes ever shuffle
+      // and no n² compare runs; the oracle replays the whole
+      // decode→resize→gradient chain as closed-form pixel arithmetic
+      // and brute-forces the pairs, so banding must lose nothing.
+      Dedup.hammingNearDupPairs(
+        Multimodal.extractDHash(
+          Multimodal.syntheticPixelBmpAssets(par(s)(t(s, dir, "documents")))),
+        idCol = "asset_id", sigCol = "phash", bits = 64, maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -5940,6 +5957,34 @@ object SparkEntry {
            | ${probe(4, 4)} AS pmid,
            | ${probe(7, 7)} AS pend
            |FROM d ORDER BY asset_id""".stripMargin
+      },
+
+      // dHash replay: gray(x,y) of the 9×8 resize reads source pixel
+      // ((x·w)//9, (y·h)//8) whose value is (31·sx + 17·sy) mod 256 —
+      // the mm_resize arithmetic — and bit y·8+x compares adjacent
+      // grays. Bits 0..62 sum as shifted BIGINTs; bit 63 is the long's
+      // sign bit, added as -2^63 (DuckDB refuses 1<<63). Pairs are
+      // BRUTE-FORCED (a.id < b.id cross join + exact hamming), so the
+      // engine's pigeonhole banding is proven lossless against ground
+      // truth, not against itself.
+      "mm_phash_pairs" -> {
+        def gray(x: String, y: String) =
+          s"(31 * (($x * w) // 9) + 17 * (($y * h) // 8)) % 256"
+        s"""WITH d AS (SELECT doc_id,
+           |  4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents),
+           |hsh AS MATERIALIZED (SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(0, 63), b ->
+           |    CASE WHEN ${gray("((b % 8) + 1)", "(b // 8)")}
+           |            > ${gray("(b % 8)", "(b // 8)")}
+           |     THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+           |  + CASE WHEN ${gray("8", "7")} > ${gray("7", "7")}
+           |     THEN (-9223372036854775807 - 1) ELSE 0 END AS ph
+           | FROM d)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           | CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS dist
+           |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
       },
 
       // FakeCodec is closed-form over md5 of the utf-8 payload

@@ -423,10 +423,28 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       bits: Int = 16,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol), simhash(col(textCol), bits).as("sh")),
+      idCol, "sh", bits, maxDist)
+
+  /** The pigeonhole hamming self-join itself, over ANY existing
+    * (id, long-signature) frame — shared by [[simhashNearDupPairs]]
+    * (text) and [[graft.functions.Multimodal.extractDHash]]'s perceptual
+    * image pairs, because a 64-bit fingerprint joins the same way no
+    * matter which modality produced it. `bits` may be 64: chunk
+    * extraction masks after the arithmetic shift, so a signature riding
+    * the sign bit still buckets correctly. */
+  def hammingNearDupPairs(
+      sigFrame: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bits: Int,
+      maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, "long signatures carry 1..64 bits")
     require(maxDist >= 0 && maxDist < bits, "need 0 <= maxDist < bits")
     val chunks = maxDist + 1
-    val sig = df.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+    val sig = sigFrame.select(col(idCol), col(sigCol).as("sh"))
     // Balanced chunk boundaries: chunk c covers bits
     // [c*bits/chunks, (c+1)*bits/chunks). Every chunk is non-empty for
     // chunks <= bits; a fixed ceil-width layout would push the last
@@ -436,9 +454,13 @@ object Dedup {
       val lo = c * bits / chunks
       val hi = (c + 1) * bits / chunks
       // long mask: width can reach 63 when maxDist = 0 ((1L<<63)-1 wraps
-      // to Long.MaxValue, which IS the correct 63-bit mask)
+      // to Long.MaxValue, which IS the correct 63-bit mask); width 64
+      // (bits=64, maxDist=0) needs -1L explicitly — a JVM shift by 64
+      // is a shift by 0 and would yield mask 0, one global bucket
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(c).as("ci"),
-        shiftright(col("sh"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("cv"))
+        shiftright(col("sh"), lo).bitwiseAND(lit(mask)).as("cv"))
     }
     // Bucketed SELF-JOIN on (chunk, value): narrow chunks (bits/(maxDist+1))
     // give wide buckets at corpus scale, so the quadratic in-bucket pair

@@ -791,6 +791,51 @@ object Multimodal {
           px(w / 2, h / 2), px(w - 1, h - 1))
       }, routeErrors)
 
+  /** 64-bit difference hash (dHash) of a 24-bit BMP — the standard
+    * perceptual image fingerprint, and the image-side analogue of
+    * [[Dedup.simhash]]: nearest-neighbor down-res to 9×8
+    * ([[resizeBmpNearest]]; the extra column is what lets every one of
+    * the 8 horizontal gradients per row exist), grayscale by integer
+    * mean of the three channels, and set bit `y·8 + x` iff
+    * `gray(x+1, y) > gray(x, y)`. The hash encodes GRADIENTS, not
+    * values, so uniform brightness shifts and resolution changes leave
+    * it (nearly) fixed — which is what makes it perceptual where
+    * [[Dedup.exactDuplicates]] over payload bytes is not. Exact integer
+    * arithmetic end-to-end: every bit is closed-form in the source
+    * pixels, so an independent engine can replay it. Bit 63 rides the
+    * long's sign bit — consumers compare via XOR/bit_count, never by
+    * magnitude. */
+  def dHashBmp(payload: Array[Byte]): Long = {
+    val r = resizeBmpNearest(payload, 9, 8)
+    val off = leInt(r, 10)
+    val stride = (9 * 3 + 3) / 4 * 4
+    def gray(x: Int, y: Int): Int = {
+      val p = off + (8 - 1 - y) * stride + x * 3
+      ((r(p) & 0xff) + (r(p + 1) & 0xff) + (r(p + 2) & 0xff)) / 3
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** (asset_id, phash) over an asset frame — the extraction step of
+    * perceptual image dedup. Blobs stay inside the scan partition; 8
+    * bytes per asset leave it, so the downstream hamming self-join
+    * never moves image bytes. */
+  def extractDHash(
+      assets: DataFrame,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets, Seq(StructField("phash", LongType)),
+      payload => Seq[Any](dHashBmp(payload)), routeErrors)
+
   /** Integer-factor audio decimation — the audio sibling of
     * [[resizeBmpNearest]] (down-res ingest: a 44.1 kHz archive feeding
     * an 11 kHz feature extractor). Keeps every `factor`-th FRAME (all

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.Multimodal
+import graft.functions.{Dedup, Multimodal}
 
 /** Multimodal binary-column plumbing: synthetic assets, payload stats,
   * and the batched feature-extraction operator over the stub codec. */
@@ -597,6 +597,36 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Multimodal.decimateWav(src, 0)
     }
+  }
+
+  test("dHashBmp: 64-bit gradient hash is closed-form in the source " +
+    "pixels, and pigeonhole pairs equal brute-force hamming") {
+    val docs = (1L to 80L).map(i => (i, "x")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticPixelBmpAssets(docs)
+    val hs = Multimodal.extractDHash(assets)
+      .as[(Long, Long)].collect().toMap
+    // closed form: gray(x,y) of the 9×8 resize = (31·sx + 17·sy) mod 256
+    // with sx = x·w/9, sy = y·h/8 — replayed here independently
+    def expected(id: Long): Long = {
+      val (w, h) = ((4 + id % 13).toInt, (4 + id % 11).toInt)
+      def gray(x: Int, y: Int): Int = (31 * (x * w / 9) + 17 * (y * h / 8)) % 256
+      (for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y))
+        yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+    }
+    assert(hs.keySet == (1L to 80L).toSet)
+    hs.foreach { case (id, ph) => assert(ph == expected(id), s"asset $id") }
+    // some fixture hash must ride the sign bit, or the 64-bit banding
+    // path (arithmetic shift + mask) is untested
+    assert(hs.values.exists(_ < 0L), "fixture never exercises bit 63")
+    val got = Dedup.hammingNearDupPairs(
+      Multimodal.extractDHash(assets), "asset_id", "phash",
+      bits = 64, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      a <- 1L to 80L; b <- (a + 1) to 80L
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute, "banding must lose no pair and add none")
   }
 
   test("extractDecimateProbes: fixture probes are closed-form in the " +
