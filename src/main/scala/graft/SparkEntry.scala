@@ -496,6 +496,44 @@ object SparkEntry {
         .orderBy(col("change"), col("event_id"))
     }),
 
+    "q31_snapshot_partitioned" -> ((s, dir) => {
+      // time travel × partition skip: the event stream versioned as a
+      // HIVE-PARTITIONED snapshot table (partition = event_type — the
+      // by-date/IVF-cell layout shape), v0 = event_id%3==0, v1 appends
+      // %3==1 (sharing v0's files, fragments and all), v2 appends the
+      // rest. Two partition-pruned AS-OF scans — 'purchase' AT v1 and
+      // 'view' AT v0 — aggregate per user; only the named partition's
+      // directories enter either plan (pinned in SnapshotsSpec), and
+      // AS-OF v1/v0 must NOT see v2's rows even though v2 exists by
+      // read time. The oracle recomputes both scans straight from the
+      // modulus slices of events.
+      val tbl = s"$artifactRoot/snap_part_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commitPartitioned(s,
+        ev.filter(col("event_id") % 3 === 0), tbl, "event_type",
+        append = false)
+      val v1 = Snapshots.commitPartitioned(s,
+        ev.filter(col("event_id") % 3 === 1), tbl, "event_type",
+        append = true)
+      Snapshots.commitPartitioned(s,
+        ev.filter(col("event_id") % 3 === 2), tbl, "event_type",
+        append = true)
+      def slice(v: Long, et: String) =
+        Snapshots.scanPartitionAsOf(s, tbl, v, "event_type", et)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value_cents")).as("cents"))
+          .withColumn("version", lit(v))
+          .withColumn("part", lit(et))
+      slice(v1, "purchase").unionByName(slice(v0, "view"))
+        .select(col("version"), col("part"), col("user_id"),
+          col("n_events"), col("cents"))
+        .orderBy(col("version"), col("part"), col("user_id"))
+    }),
+
     "q24_mv_rewrite" -> ((s, dir) => {
       // MV redirection end-to-end under the oracle: events stage as a
       // fact table with exact integer cents; IncrementalAgg materializes
@@ -3846,6 +3884,26 @@ object SparkEntry {
           | '-' AS change
           |FROM events WHERE user_id % 13 = 0
           |ORDER BY change, event_id""".stripMargin,
+
+      // v1 = modulus slices {0,1}, v0 = slice {0}: the partitioned
+      // snapshot reads must equal these row-filters of the raw stream
+      "q31_snapshot_partitioned" ->
+        """WITH base AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+          |v1p AS (SELECT CAST(1 AS BIGINT) AS version,
+          |  'purchase' AS part, user_id,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(cents) AS BIGINT) AS cents
+          | FROM base WHERE event_id % 3 <= 1 AND event_type = 'purchase'
+          | GROUP BY user_id),
+          |v0v AS (SELECT CAST(0 AS BIGINT) AS version,
+          |  'view' AS part, user_id,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(cents) AS BIGINT) AS cents
+          | FROM base WHERE event_id % 3 = 0 AND event_type = 'view'
+          | GROUP BY user_id)
+          |SELECT * FROM (SELECT * FROM v1p UNION ALL SELECT * FROM v0v)
+          |ORDER BY version, part, user_id""".stripMargin,
 
       "q24_mv_rewrite" ->
         """WITH f AS (SELECT user_id, event_type,

@@ -21,17 +21,26 @@ import org.apache.spark.sql.functions._
   * the parent's files — only the new rows' files are written, the
   * manifest rows are duplicated pointers, not data.
   *
-  * Concurrency contract: single-writer (commits read latest version
-  * then write version+1; racing writers would mint the same version).
-  * A production deployment serializes commits through a catalog swap —
-  * the same boundary [[Compaction]]'s scaladoc draws. Readers never
-  * block: snapshots are immutable and vacuum only deletes files no
-  * retained generation references.
+  * Concurrency contract: version numbers are minted by an ATOMIC
+  * create-fails-if-exists claim on a per-version marker file
+  * (`_commits/v<N>` via `FileSystem.create(path, overwrite=false)` —
+  * the CAS primitive every Hadoop filesystem and the local FS provide),
+  * retried upward on collision, so two racing committers always mint
+  * DISTINCT versions and both survive. What the claim does NOT provide
+  * is serializable append lineage: an append commit takes as parent the
+  * latest PUBLISHED manifest at claim time, so an append racing another
+  * append may not include the racer's rows (its parent manifest wasn't
+  * published yet). Serializing appends is a catalog's job — the same
+  * boundary [[Compaction]]'s scaladoc draws; a crashed claim leaves a
+  * version gap, which [[readAsOf]] reports loudly. Readers never block:
+  * snapshots are immutable and vacuum only deletes files no retained
+  * generation references.
   */
 object Snapshots {
 
   private val DataDir = "data"
   private val VersionsDir = "_versions"
+  private val CommitsDir = "_commits"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,26 +67,52 @@ object Snapshots {
       .sorted
   }
 
-  /** The manifest frame: one row per (version, file). Empty (with the
-    * right schema) when the table has no commits yet. The `_`-prefixed
-    * manifest dir hides it from any scan of the TABLE root (the
-    * `_delta_log` convention), so it is read here by its listed part
-    * files — passing the hidden dir itself as a read root trips
-    * Spark's hidden-path filter (warning today, possibly an error in a
-    * future release). */
+  /** Crash recovery for [[vacuum]]'s manifest swap: the swap sequence
+    * is staged-write → rename live aside to `_versions_prev` → rename
+    * staged in → delete prev, so SOME complete manifest exists at every
+    * instant. If a crash lands between the two renames, the live dir is
+    * missing but the staged one is complete (live is only moved aside
+    * AFTER the staged write finishes) — roll it forward. A leftover
+    * prev beside a live manifest (crash after the second rename) is
+    * inert and cleared at the next vacuum. */
+  private def recoverManifestSwap(spark: SparkSession, tablePath: String): Unit = {
+    val f = fs(spark, tablePath)
+    val live = new Path(s"$tablePath/$VersionsDir")
+    val staged = new Path(s"$tablePath/${VersionsDir}_staged")
+    if (!f.exists(live) && f.exists(staged))
+      require(f.rename(staged, live),
+        s"manifest swap recovery failed for $tablePath — complete staged " +
+          s"manifest at $staged could not be installed")
+  }
+
+  /** The manifest frame: one row per (version, file, part) — `part` is
+    * the hive-style partition path fragment (`"event_date=2024-01-03"`)
+    * for files written by [[commitPartitioned]], null for flat commits.
+    * Empty (with the right schema) when the table has no commits yet.
+    * The `_`-prefixed manifest dir hides it from any scan of the TABLE
+    * root (the `_delta_log` convention), so it is read here by its
+    * listed part files — passing the hidden dir itself as a read root
+    * trips Spark's hidden-path filter (warning today, possibly an error
+    * in a future release). */
   def manifest(spark: SparkSession, tablePath: String): DataFrame = {
+    recoverManifestSwap(spark, tablePath)
     val dir = s"$tablePath/$VersionsDir"
     val parts =
       if (fs(spark, tablePath).exists(new Path(dir)))
         listDataFiles(spark, dir)
       else Seq.empty
-    if (parts.nonEmpty)
-      spark.read.parquet(parts: _*)
-    else {
+    if (parts.nonEmpty) {
+      val m = spark.read.parquet(parts: _*)
+      // manifests written before the partition column existed read as
+      // (version, file); normalize so every consumer sees three columns
+      if (m.columns.contains("part")) m
+      else m.withColumn("part", lit(null).cast("string"))
+    } else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("version", LongType, nullable = false),
-          StructField("file", StringType, nullable = false))))
+          StructField("file", StringType, nullable = false),
+          StructField("part", StringType, nullable = true))))
     }
   }
 
@@ -96,58 +131,217 @@ object Snapshots {
       .filter(col("version") === version)
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
+  /** Atomically claim the next free version number at or above `from`:
+    * `create(marker, overwrite = false)` either creates the marker —
+    * the claim — or throws because a racing (or crashed) committer owns
+    * that number, in which case the next number is tried. This is the
+    * CAS that makes concurrent commits mint DISTINCT versions instead
+    * of silently merging their file sets under one number. */
+  private def claimVersion(
+      spark: SparkSession,
+      tablePath: String,
+      from: Long): Long = {
+    val f = fs(spark, tablePath)
+    var v = from
+    while (true) {
+      val marker = new Path(s"$tablePath/$CommitsDir/v$v")
+      try {
+        f.create(marker, false).close()
+        return v
+      } catch {
+        case e: java.io.IOException =>
+          // only an existing marker is a benign collision; a real IO
+          // failure must not spin the claim loop forever
+          if (!f.exists(marker)) throw e
+          v += 1L
+      }
+    }
+    v // unreachable
+  }
+
+  /** Shared commit tail: parent rows (for append) plus fresh rows under
+    * one claimed version, published as one manifest generation. The
+    * manifest append is the PUBLISH point — a crash before it leaves an
+    * orphaned marker and unreferenced data files (a version gap that
+    * [[readAsOf]] reports loudly), never a half-visible snapshot. */
+  private def publish(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fresh: Seq[(String, String)],
+      append: Boolean): Long = {
+    val parent =
+      if (append && version > 0L)
+        manifest(spark, tablePath)
+          .filter(col("version") === version - 1L)
+          .select(col("file"), col("part")).collect()
+          .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+          .toSeq
+      else Seq.empty
+    val rows = (parent ++ fresh).map { case (f, p) => (version, f, p) }
+    // one generation = one manifest file, staged in a version-unique
+    // temp dir and RENAMED in — never `mode("append")` into the shared
+    // manifest dir, whose job-commit staging (`_temporary/0`) is a
+    // single name that concurrent committers would clobber. The rename
+    // is the atomic publish: a racing reader sees the generation
+    // entirely or not at all.
+    val f = fs(spark, tablePath)
+    val tmp = s"$tablePath/${VersionsDir}_tmp_v$version"
+    spark.createDataFrame(rows).toDF("version", "file", "part")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(tmp)
+    val staged = listDataFiles(spark, tmp)
+    require(staged.length == 1,
+      s"manifest generation for version $version staged ${staged.length} " +
+        "files — expected exactly one")
+    val live = new Path(s"$tablePath/$VersionsDir")
+    if (!f.exists(live)) f.mkdirs(live)
+    require(f.rename(new Path(staged.head),
+      new Path(s"$tablePath/$VersionsDir/gen-v$version.parquet")),
+      s"manifest publish failed for version $version of $tablePath")
+    f.delete(new Path(tmp), true)
+    version
+  }
+
   /** Commit `df` as the next version. `append = true` makes the new
     * snapshot the parent's files PLUS the newly written ones (no data
     * rewritten — the O(delta) fast path); `append = false` makes it
     * exactly the newly written files (replace: corrections, deletes,
-    * compactions). Returns the minted version. */
+    * compactions). The version number comes from [[claimVersion]]'s
+    * CAS, so racing committers both land, on distinct versions.
+    * Returns the minted version. */
   def commit(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
       append: Boolean): Long = {
-    val version = latestVersion(spark, tablePath).map(_ + 1L).getOrElse(0L)
+    val version = claimVersion(spark, tablePath,
+      latestVersion(spark, tablePath).map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
     df.write.mode("errorifexists").parquet(dataPath)
-    val fresh = listDataFiles(spark, dataPath)
-    val parent =
-      if (append && version > 0L)
-        manifestFiles(spark, tablePath, version - 1L)
-      else Seq.empty
-    val rows = (parent ++ fresh).map(f => (version, f))
-    spark.createDataFrame(rows).toDF("version", "file")
-      .coalesce(1)
-      .write.mode("append").parquet(s"$tablePath/$VersionsDir")
-    version
+    val fresh = listDataFiles(spark, dataPath).map((_, null: String))
+    publish(spark, tablePath, version, fresh, append)
+  }
+
+  /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
+    * `partitionBy(partCol)` (one `partCol=value/` directory per value),
+    * and every manifest row carries its partition fragment — so
+    * [[scanPartitionAsOf]] can answer "partition P as of version V"
+    * from the manifest alone, touching no other partition's directory,
+    * and [[readAsOf]] rebuilds the partition column from the paths.
+    * Time travel × partition skip is the standard lakehouse
+    * composition (an IVF cell store or a by-date event table can now
+    * be versioned); append commits still share the parent's files,
+    * partition fragments and all. */
+  def commitPartitioned(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      partCol: String,
+      append: Boolean): Long = {
+    require(df.columns.contains(partCol),
+      s"commitPartitioned: frame has no column '$partCol'")
+    val version = claimVersion(spark, tablePath,
+      latestVersion(spark, tablePath).map(_ + 1L).getOrElse(0L))
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
+    val f = fs(spark, tablePath)
+    val fresh = f.listStatus(new Path(dataPath))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .toSeq
+      .flatMap { d =>
+        listDataFiles(spark, d.getPath.toString)
+          .map((_, d.getPath.getName))
+      }
+      .sortBy(_._1)
+    publish(spark, tablePath, version, fresh, append)
   }
 
   /** Read snapshot `version` — exactly the files its manifest
     * generation lists. Loud when the version is unknown (never
-    * committed, or vacuumed away). */
+    * committed, or vacuumed away). Files carrying a partition fragment
+    * are read per `data/v<K>` root with `basePath` set there, so Spark
+    * rebuilds the partition column from the paths with a consistent
+    * relative structure in every group; flat files read directly. */
   def readAsOf(
       spark: SparkSession,
       tablePath: String,
       version: Long): DataFrame = {
-    val files = manifestFiles(spark, tablePath, version)
-    require(files.nonEmpty,
+    val rows = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("part")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    require(rows.nonEmpty,
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
-    spark.read.parquet(files: _*)
+    val (parted, flat) = rows.partition(_._2 != null)
+    val reads =
+      (if (flat.nonEmpty)
+        Seq(spark.read.parquet(flat.map(_._1).toIndexedSeq: _*))
+      else Seq.empty) ++
+        parted
+          .groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
+          .toSeq.sortBy(_._1)
+          .map { case (root, fs) =>
+            spark.read.option("basePath", root)
+              .parquet(fs.map(_._1).toIndexedSeq: _*)
+          }
+    reads.reduce(_.unionByName(_))
+  }
+
+  /** Partition-pruned read AS OF `version`: the manifest admits only
+    * the files whose fragment is `partCol=value` — no other partition's
+    * DIRECTORY is listed or opened, the skip is decided entirely in
+    * metadata (the composition of time travel and hive partition
+    * pruning). A version with no such partition is an empty answer
+    * (with the snapshot's schema); an unknown version is an error.
+    * `value` is rendered with `toString`, matching hive's fragment
+    * encoding for the date/string/int keys used here. */
+  def scanPartitionAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      partCol: String,
+      value: Any): DataFrame = {
+    val all = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("part")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    require(all.nonEmpty,
+      s"snapshot version $version of $tablePath is not in the manifest " +
+        "(never committed, or expired by vacuum)")
+    val frag = s"$partCol=$value"
+    val hit = all.filter(_._2 == frag)
+    if (hit.isEmpty) {
+      val schema = readAsOf(spark, tablePath, version).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else
+      hit.groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
+        .toSeq.sortBy(_._1)
+        .map { case (root, fs) =>
+          spark.read.option("basePath", root)
+            .parquet(fs.map(_._1).toIndexedSeq: _*)
+        }
+        .reduce(_.unionByName(_))
   }
 
   /** Expire every version below `keepFrom`: drop their manifest
     * generations, then delete the data files no retained generation
     * references. Returns the number of files deleted. The manifest
-    * rewrite stages through a sibling directory and swaps by rename so
-    * a crash leaves either the old or the new manifest, never a
-    * half-written one. */
+    * rewrite stages through a sibling directory, moves the live
+    * manifest ASIDE (`_versions_prev`), renames the staged one in, and
+    * only then deletes the aside copy — so a COMPLETE manifest exists
+    * on disk at every instant. A crash between the renames (live
+    * missing, staged complete) is rolled forward by
+    * [[recoverManifestSwap]] on the next read; a crash before them
+    * leaves the live manifest untouched. */
   def vacuum(
       spark: SparkSession,
       tablePath: String,
       keepFrom: Long): Long = {
     val m = manifest(spark, tablePath)
     val keptRows = m.filter(col("version") >= keepFrom)
-      .select(col("version"), col("file")).collect()
+      .select(col("version"), col("file"), col("part")).collect()
     require(keptRows.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would retain no versions of $tablePath")
     val kept = keptRows.map(_.getString(1)).toSet
@@ -163,24 +357,34 @@ object Snapshots {
     val f = fs(spark, tablePath)
     val live = new Path(s"$tablePath/$VersionsDir")
     val staged = new Path(s"$tablePath/${VersionsDir}_staged")
+    val prev = new Path(s"$tablePath/${VersionsDir}_prev")
     if (f.exists(staged)) f.delete(staged, true)
+    if (f.exists(prev)) f.delete(prev, true) // inert leftover of a crash
     spark.createDataFrame(
-      keptRows.toSeq.map(r => (r.getLong(0), r.getString(1))))
-      .toDF("version", "file")
+      keptRows.toSeq.map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))))
+      .toDF("version", "file", "part")
       .coalesce(1)
       .write.parquet(staged.toString)
-    f.delete(live, true)
+    require(f.rename(live, prev),
+      s"manifest swap failed for $tablePath — live manifest could not " +
+        s"be moved aside; staged manifest left at $staged, data intact")
     require(f.rename(staged, live),
-      s"manifest swap failed for $tablePath — staged manifest left at " +
-        s"$staged, data files untouched")
+      s"manifest swap failed for $tablePath — live manifest moved to " +
+        s"$prev, staged left at $staged; recovery rolls $staged forward")
+    f.delete(prev, true)
 
     doomed.foreach(file => f.delete(new Path(file), false))
 
-    // stats manifests ride their version: expired generations' stats
-    // dirs go with their data (retained versions keep theirs)
+    // per-version sidecars ride their version: expired generations'
+    // stats dirs and commit markers go with their data (retained
+    // versions keep theirs; claims only ever move upward, so dropping
+    // an old marker can never free a number for re-minting)
     droppedVersions.foreach { v =>
       val sd = new Path(statsDir(tablePath, v))
       if (f.exists(sd)) f.delete(sd, true)
+      val mk = new Path(s"$tablePath/$CommitsDir/v$v")
+      if (f.exists(mk)) f.delete(mk, false)
     }
     doomed.length.toLong
   }
@@ -278,7 +482,13 @@ object Snapshots {
     val f = fs(spark, tablePath)
     val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    commit(spark, spark.read.parquet(files: _*).repartition(n),
+    // readAsOf (not the raw file list): a partitioned snapshot's
+    // partition column lives in the paths, and a rewrite that read the
+    // bare files would silently drop it. The rewrite itself commits a
+    // flat layout — OPTIMIZE trades the partition directories for
+    // uniform files; re-partitioning afterwards is commitPartitioned's
+    // job if wanted.
+    commit(spark, readAsOf(spark, tablePath, latest).repartition(n),
       tablePath, append = false)
   }
 

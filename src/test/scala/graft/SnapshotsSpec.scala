@@ -159,6 +159,107 @@ class SnapshotsSpec extends SparkSuite {
     }
   }
 
+  test("commitPartitioned: manifest rows carry the partition fragment, " +
+    "readAsOf rebuilds the partition column, append shares parent files") {
+    val tbl = freshTable()
+    val day0 = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("id", "v", "day")
+    val day1 = Seq((4L, "d", "d3")).toDF("id", "v", "day")
+    val v0 = Snapshots.commitPartitioned(spark, day0, tbl, "day", append = false)
+    val v1 = Snapshots.commitPartitioned(spark, day1, tbl, "day", append = true)
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(m.forall(_._3 != null), "every partitioned row carries its fragment")
+    assert(m.filter(_._1 == v0).map(_._3).toSet == Set("day=d1", "day=d2"))
+    assert(m.filter(_._1 == v1).map(_._3).toSet ==
+      Set("day=d1", "day=d2", "day=d3"), "append inherits parent fragments")
+    // file-level: every file lives under its fragment's directory
+    assert(m.forall { case (_, f, p) => f.contains(s"/$p/") })
+    def rows(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id", $"day").as[(Long, String)].collect().sorted.toSeq
+    assert(rows(v0) == Seq((1L, "d1"), (2L, "d1"), (3L, "d2")))
+    assert(rows(v1) == Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d3")))
+  }
+
+  test("scanPartitionAsOf: only the requested partition's files are " +
+    "planned at a PAST version; missing partition is an empty answer") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"), tbl, "day",
+      append = false)
+    // v1 rewrites d1 and adds d3 — a replace commit, so reading AS OF
+    // v0 below must hit v0's directories, not v1's
+    val v1 = Snapshots.commitPartitioned(spark,
+      Seq((10L, "d1"), (30L, "d3")).toDF("id", "day"), tbl, "day",
+      append = false)
+    val scan = Snapshots.scanPartitionAsOf(spark, tbl, v0, "day", "d1")
+    assert(scan.select($"id").as[Long].collect().toSeq == Seq(1L))
+    // the skip contract, pinned at the plan level: every input file of
+    // the scan sits under v0's day=d1 directory — the untouched d2
+    // partition and all of v1 never enter the plan
+    val inputs = scan.inputFiles.toSeq
+    assert(inputs.nonEmpty &&
+      inputs.forall(f => f.contains("/v0/") && f.contains("/day=d1/")),
+      s"scan planned beyond v0/day=d1: $inputs")
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, v1, "day", "d2").isEmpty,
+      "a partition absent from the version is an empty answer")
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, v1, "day", "d1")
+      .select($"id").as[Long].collect().toSeq == Seq(10L))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.scanPartitionAsOf(spark, tbl, 99L, "day", "d1"))
+    assert(e.getMessage.contains("not in the manifest"))
+  }
+
+  test("commit CAS: two interleaved committers both survive, on " +
+    "distinct versions with distinct file sets") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(tag: String) = pool.submit(
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await(10, TimeUnit.SECONDS)
+          // both racers observed latest = 0 before either publishes —
+          // the exact read-latest-then-write race the CAS must close
+          Snapshots.commit(spark,
+            Seq((99L, tag)).toDF("id", "v"), tbl, append = false)
+        }
+      })
+    val (fa, fb) = (racer("a"), racer("b"))
+    gate.countDown()
+    val (va, vb) = (fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(va != vb, s"racing committers minted the same version $va")
+    assert(Set(va, vb).subsetOf(Set(1L, 2L)))
+    // both snapshots read back their own single row — no silent merge
+    def vs(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"v").as[String].collect().toSeq
+    assert((vs(va) ++ vs(vb)).sorted == Seq("a", "b"))
+    assert(Snapshots.latestVersion(spark, tbl).contains(math.max(va, vb)))
+  }
+
+  test("vacuum swap recovery: a crash between the renames (live " +
+    "missing, staged complete) rolls forward on the next read") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    Snapshots.commit(spark, rows1, tbl, append = false)
+    // reproduce the crash window by hand: move the live manifest to the
+    // staged name — exactly the state after "rename live aside" if the
+    // process died before installing the staged copy (staged is always
+    // complete by then; here the old live plays that role)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tbl/_versions"),
+      new org.apache.hadoop.fs.Path(s"$tbl/_versions_staged")))
+    // next manifest read recovers: some manifest always exists
+    assert(Snapshots.latestVersion(spark, tbl).contains(1L))
+    assert(Snapshots.readAsOf(spark, tbl, 1L)
+      .select($"id").as[Long].collect().toSeq == Seq(3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/_versions_staged")))
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
