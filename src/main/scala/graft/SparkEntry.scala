@@ -568,6 +568,42 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q32_mv_filter" -> ((s, dir) => {
+      // MV redirection under a grouping-key FILTER — the most common
+      // dashboard shape (WHERE key = …  GROUP BY other_key): the
+      // predicate references only MV key columns, so it is constant
+      // within every state group and replays on the state frame; the
+      // plan then rolls the filtered state up WITHOUT scanning the
+      // fact table (plan swap pinned in MvRewriteSpec). The query
+      // groups by user_id while FILTERING on event_type — the filter
+      // key is not even in the grouping, the state-group constancy is
+      // what makes it sound. The oracle computes the same filtered
+      // aggregate straight from events.
+      val fact = s"$artifactRoot/mvf_fact"
+      val mv = s"$artifactRoot/mvf_state"
+      graft.plans.MvRewrite.install(s)
+      graft.plans.MvRewrite.deregister(fact)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .write.mode("overwrite").parquet(fact)
+      IncrementalAgg.aggregate(s.read.parquet(fact),
+        keys = Seq("user_id", "event_type"), sums = Seq("value_cents"),
+        mins = Seq("value_cents"), maxes = Seq("value_cents"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MvRewrite.register(s, fact, mv,
+        keys = Seq("user_id", "event_type"), sums = Seq("value_cents"),
+        mins = Seq("value_cents"), maxes = Seq("value_cents"))
+      s.read.parquet(fact)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"),
+          min(col("value_cents")).as("min_cents"),
+          max(col("value_cents")).as("max_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "q23_skipping" -> ((s, dir) => {
       // planning-time file pruning under the oracle: lineitem is
       // range-clustered on l_orderkey into 16 files, a min/max manifest
@@ -3904,6 +3940,16 @@ object SparkEntry {
           | GROUP BY user_id)
           |SELECT * FROM (SELECT * FROM v1p UNION ALL SELECT * FROM v0v)
           |ORDER BY version, part, user_id""".stripMargin,
+
+      "q32_mv_filter" ->
+        """WITH f AS (SELECT user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+          | min(value_cents) AS min_cents, max(value_cents) AS max_cents
+          |FROM f WHERE event_type IN ('purchase', 'click')
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       "q24_mv_rewrite" ->
         """WITH f AS (SELECT user_id, event_type,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, IntegerLiteral, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -25,8 +25,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * leaves the plan untouched — the rewrite is an optimization, never a
   * semantic gamble):
   *  - the aggregate's child is the registered base relation (same
-  *    filesystem path), possibly under attribute-only projections —
-  *    a Filter or computed projection disables the rewrite;
+  *    filesystem path), possibly under attribute-only projections and
+  *    deterministic filters whose every reference is a bare MV KEY
+  *    column (such predicates are constant within each state group, so
+  *    they replay on the state frame verbatim — the WHERE/HAVING-on-key
+  *    dashboard shape); a computed projection, or a filter touching any
+  *    non-key column, disables the rewrite;
   *  - grouping keys are bare base columns and a SUBSET of the MV's
   *    keys (a strict subset rolls up: sums re-sum, mins re-min,
   *    maxes re-max, counts sum `n_rows` — the same monoid algebra the
@@ -129,14 +133,22 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** Unwrap attribute-only projections / aliases down to the scanned
-    * relation, refusing anything that computes or filters. */
-  @scala.annotation.tailrec
-  private def baseRelation(p: LogicalPlan): Option[LogicalRelation] =
+    * relation, COLLECTING the filter predicates passed on the way —
+    * anything that computes disables the rewrite; whether the
+    * collected filters are admissible (MV-key-only) is judged in
+    * [[rebuild]], where the MV spec is in hand. By the time this rule
+    * runs (post-optimization) a `WHERE k = …` or a pushed-down
+    * `HAVING k = …` both sit as a Filter between the Aggregate and
+    * the scan, so this is the shape real dashboard queries take. */
+  private def baseRelation(
+      p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
     p match {
-      case r: LogicalRelation => Some(r)
+      case r: LogicalRelation => Some((r, Nil))
       case SubqueryAlias(_, child) => baseRelation(child)
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         baseRelation(child)
+      case Filter(cond, child) =>
+        baseRelation(child).map { case (r, cs) => (r, cond +: cs) }
       case _ => None
     }
 
@@ -151,18 +163,39 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      rel <- baseRelation(agg.child)
+      (rel, filters) <- baseRelation(agg.child)
       path <- rootPath(rel)
       entry <- MvRewrite.lookup(path)
-      plan <- rebuild(agg, entry)
+      plan <- rebuild(agg, entry, filters)
     } yield plan
   }
 
-  private def rebuild(agg: Aggregate, e: MvRewrite.Entry): Option[LogicalPlan] = {
+  private def rebuild(
+      agg: Aggregate,
+      e: MvRewrite.Entry,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     // grouping keys: bare, tracked, a subset of the MV's key set
     val gAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if e.keys.contains(a.name) => a
       case _ => return None
+    }
+    // filters between the aggregate and the scan rewrite iff every
+    // reference is a bare MV KEY column (not merely a query grouping
+    // key): a row-level predicate over key columns is constant within
+    // each state group — NULL keys included, since grouping collapses
+    // them into one group sharing the key value — so filtering state
+    // rows keeps exactly the base rows the original filter kept, and
+    // the monoid rollup is unchanged. Non-determinism or a subquery in
+    // the predicate refuses (rand() must keep its per-row semantics; a
+    // subquery's cardinality is not the state frame's).
+    filters.foreach { cond =>
+      if (!cond.deterministic) return None
+      if (cond.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        return None
+      cond.references.foreach { a =>
+        if (!e.keys.contains(a.name)) return None
+      }
     }
     // fresh MV attribute ids per rewrite site
     val mv = e.mvPlan.transform {
@@ -194,7 +227,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Alias(replaced, name)(al.exprId, al.qualifier)
       case _ => return None
     }
+    // replay the admitted key-only filters on the state frame, each
+    // base key attribute remapped to its MV column — with type parity
+    // checked per reference, as for the aggregates
+    val mvChild =
+      if (filters.isEmpty) mv
+      else {
+        val remapped = filters.map { cond =>
+          cond.transform {
+            case a: AttributeReference =>
+              val m = mvAttr(a.name)
+              if (m.dataType != a.dataType) return None
+              m
+          }
+        }
+        Filter(remapped.reduce(org.apache.spark.sql.catalyst.expressions.And),
+          mv)
+      }
     Some(Aggregate(gAttrs.map(a => mvAttr(a.name)),
-      rewritten.asInstanceOf[Seq[NamedExpression]], mv))
+      rewritten.asInstanceOf[Seq[NamedExpression]], mvChild))
   }
 }

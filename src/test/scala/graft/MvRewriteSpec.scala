@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.operators.IncrementalAgg
@@ -94,7 +94,8 @@ class MvRewriteSpec extends SparkSuite {
     "grouping, and the conf kill-switch all leave the base scan alone") {
     def scansBase(df: DataFrame): Boolean =
       scannedPaths(df).exists(_.contains("/fact"))
-    // a filter between aggregate and scan
+    // a filter over a MEASURE between aggregate and scan (key-only
+    // filters rewrite — see the dedicated filter test)
     assert(scansBase(fact.filter($"cents" > 50)
       .groupBy($"user_id", $"event_type").agg(sum($"cents"))))
     // event_id is not a tracked sum
@@ -110,6 +111,41 @@ class MvRewriteSpec extends SparkSuite {
     spark.conf.set("spark.graft.mv.rewrite", "false")
     try assert(scansBase(q(fact)))
     finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
+  test("MV-key filters between aggregate and scan rewrite to a filter " +
+    "on the state frame; measure/mixed/non-deterministic filters refuse") {
+    def scansBase(df: DataFrame): Boolean =
+      scannedPaths(df).exists(_.contains("/fact"))
+    def expected(df: DataFrame): Seq[Row] = {
+      spark.conf.set("spark.graft.mv.rewrite", "false")
+      try df.collect().toSeq
+      finally spark.conf.unset("spark.graft.mv.rewrite")
+    }
+    def sorted(rs: Seq[Row]): Seq[String] = rs.map(_.toString).sorted
+    // WHERE over both keys: rewrites, and answers match the base compute
+    val both = fact.filter($"user_id" < 3 && $"event_type" =!= "t1")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+    assert(!scansBase(both) && scannedPaths(both).exists(_.contains("/mv")),
+      s"key-only filter did not redirect:\n${both.queryExecution.optimizedPlan}")
+    assert(sorted(both.collect().toSeq) == sorted(expected(both)))
+    // filter on the key the query does NOT group by: rolls up + filters
+    val roll = fact.filter($"event_type" === "t2")
+      .groupBy($"user_id").agg(sum($"cents").as("s"))
+    assert(!scansBase(roll), "non-grouped MV-key filter must still rewrite")
+    assert(sorted(roll.collect().toSeq) == sorted(expected(roll)))
+    // HAVING-style filter ABOVE the aggregate: the optimizer pushes it
+    // below, so it rides the same path
+    val having = q(fact).filter($"user_id" === 1L)
+    assert(!scansBase(having))
+    assert(sorted(having.collect().toSeq) == sorted(expected(having)))
+    // a predicate touching a measure — even OR-ed with a key — refuses
+    assert(scansBase(fact.filter($"user_id" < 3 || $"cents" > 50)
+      .groupBy($"user_id", $"event_type").agg(sum($"cents"))))
+    // non-deterministic predicates keep their per-row semantics
+    assert(scansBase(fact.filter($"user_id" > rand() * 2)
+      .groupBy($"user_id", $"event_type").agg(sum($"cents"))))
   }
 
   test("deregister restores the base scan") {
