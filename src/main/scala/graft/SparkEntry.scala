@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextA
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage}
-import graft.streaming.{AttributionStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
+import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -3230,6 +3230,43 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_stream_coverage" -> ((s, dir) => {
+      // interval union's stream twin against the batch ev_coverage
+      // oracle: per-user event times buffer in state until the
+      // watermark clears the quiet horizon, then the island fold
+      // (sort, running max of ends, strict-gap boundary) runs once and
+      // emits the user's maximal islands — watermark-final, because a
+      // late long interval can swallow islands an eager merge would
+      // already have shipped. The flush sentinel rides user -1: its
+      // interval is real to the state machine but filtered from the
+      // sink before the compare.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = s"$artifactRoot/stream_coverage_input"
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 30L * 60L * 1000000L)
+      val islands = CoverageStream.coverageStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.Event],
+        windowUs = 300000000L, horizonMinutes = 30)
+      Sessionize.runToMemory(s, islands.toDF(), "ev_stream_coverage_sink",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("island"), col("island_start"),
+          col("island_end"), col("n_intervals"), col("covered"))
+        .orderBy(col("user_id"), col("island"))
+    }),
+
     "ev_stream_transitions" -> ((s, dir) => {
       // the transition matrix's stream twin against the batch oracle:
       // per-user timelines buffer in state until the watermark passes
@@ -6215,6 +6252,7 @@ object SparkEntry {
       ("sim_ivf_topk_partitioned" -> base("sim_ivf_topk")) +
       ("text_stream_sample_weighted" -> base("text_sample_weighted")) +
       ("ev_stream_funnel" -> base("ev_funnel")) +
+      ("ev_stream_coverage" -> base("ev_coverage")) +
       ("ev_stream_attribution" -> base("ev_attribution")) +
       ("ev_stream_retention" -> base("ev_retention")) +
       ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
