@@ -1969,6 +1969,70 @@ object SparkEntry {
         k = 10, nprobe = 3)
     }),
 
+    "sim_recall_ivfpq" -> ((s, dir) => {
+      // recall@10 of the index a user actually deploys: BOTH IVF-PQ
+      // variants (raw codes and FAISS-style residual codes) evaluated
+      // against exact L2 ground truth over a 5-query eval set — same
+      // seed coarse codebook, same nprobe=3 probe, same per-store ADC
+      // rankings as the green sim_ivfpq_topk / sim_ivfpq_residual_topk
+      // rows, so this measures the INDEX, not a new ranking. The
+      // residual variant's recall edge (tighter residual clusters under
+      // the same code budget) is asserted in SimilaritySpec; here both
+      // recalls sit under the oracle, denominators = the brute top-k's
+      // actual size per query.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      val cbsRaw = Similarity.pqTrain(emb, d = 64, m = 4, k = 4, maxIters = 2)
+      val cbsRes = Similarity.pqTrainResidual(emb, cents,
+        d = 64, m = 4, k = 4, maxIters = 2)
+      val storeRaw = s"$artifactRoot/ivfpq_recall_raw"
+      val storeRes = s"$artifactRoot/ivfpq_recall_res"
+      Similarity.writeIvfPqPartitioned(emb, cents, cbsRaw, storeRaw)
+      Similarity.writeIvfPqResidualPartitioned(emb, cents, cbsRes, storeRes)
+      val k = 10
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      def arm(top: Seq[Float] => DataFrame): DataFrame =
+        qs.map { case (qid, qv) =>
+          top(qv).select(lit(qid).as("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+      val candRaw = arm(qv =>
+        Similarity.ivfPqTopK(s, storeRaw, cents, cbsRaw, qv, k = k, nprobe = 3))
+      val candRes = arm(qv =>
+        Similarity.ivfPqResidualTopK(s, storeRes, cents, cbsRes, qv,
+          k = k, nprobe = 3))
+      // exact ground truth: ONE broadcast scored pass, L2 ascending,
+      // shared by both arms' recall joins
+      val qdf = qs.toSeq.toDF("qid", "qvec")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("vec_id"))
+      val brute = graft.functions.Materialize(
+        emb.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("vec_id"),
+            Similarity.l2sq(col("embedding"), col("qvec")).as("d"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k)
+          .select(col("qid"), col("vec_id")))
+      val bn = brute.groupBy(col("qid")).agg(count(lit(1)).as("n_brute"))
+      def hits(cand: DataFrame, as: String) =
+        cand.join(brute, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as(as))
+      qdf.select(col("qid"))
+        .join(bn, Seq("qid"))
+        .join(hits(candRaw, "n_hit_raw"), Seq("qid"), "left")
+        .join(hits(candRes, "n_hit_res"), Seq("qid"), "left")
+        .select(col("qid"), col("n_brute"),
+          coalesce(col("n_hit_raw"), lit(0L)).as("n_hit_raw"),
+          coalesce(col("n_hit_res"), lit(0L)).as("n_hit_res"),
+          (coalesce(col("n_hit_raw"), lit(0L)).cast("double") /
+            col("n_brute").cast("double")).as("recall_raw"),
+          (coalesce(col("n_hit_res"), lit(0L)).cast("double") /
+            col("n_brute").cast("double")).as("recall_res"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- Text analysis over documents --------------------------------
 
     "text_langid" -> ((s, dir) => {
@@ -4536,10 +4600,14 @@ object SparkEntry {
            |  WHERE rn <= 5),
            |h AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hit
            | FROM ann a JOIN brute b ON a.qid = b.qid
-           |  AND a.vec_id = b.vec_id GROUP BY a.qid)
+           |  AND a.vec_id = b.vec_id GROUP BY a.qid),
+           |bn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_brute
+           | FROM brute GROUP BY qid)
            |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
-           | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
-           |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+           | CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+           |  / CAST(coalesce(bn.n_brute, 5) AS DOUBLE) AS recall
+           |FROM q LEFT JOIN bn ON q.qid = bn.qid
+           | LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
 
       "sim_ann_bucket" ->
         s"""WITH q AS (SELECT embedding AS qe,
@@ -4688,6 +4756,93 @@ object SparkEntry {
            | JOIN d3 USING (vec_id) JOIN res rr ON rr.vec_id = d0.vec_id
            |WHERE rr.cell IN (SELECT cid FROM probe)
            |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+      },
+
+      // both composite indexes replayed for a QUERY SET: raw chains
+      // prefix p0..p3, residual chains p4..p7 (over the res frame), a
+      // per-qid probe, per-qid ADC rankings restricted to probed cells,
+      // and exact-L2 brute ground truth. MATERIALIZED on the shared
+      // frames (qset/assign/res/brute) — each is referenced by several
+      // downstream CTEs and DuckDB inlines plain multi-referenced CTEs.
+      "sim_recall_ivfpq" -> {
+        val resSub = "CAST(x[1]::DOUBLE - x[2]::DOUBLE AS REAL)"
+        val subsRaw = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2, k = 4))
+          .mkString(",\n")
+        val subsRes = (4 until 8)
+          .map(j => pqSubCtes(j, (j - 4) * 16 + 1, (j - 3) * 16, iters = 2,
+            k = 4, src = "res", vcol = "rv"))
+          .mkString(",\n")
+        val rawDists = (0 until 4).map { j =>
+          s"""rd$j AS (SELECT q.qid, f.vec_id,
+             |  ${duckL2(s"q.qe[${j * 16 + 1}:${(j + 1) * 16}]", "c.ce")} AS d
+             | FROM p${j}f f JOIN p${j}c2 c ON c.cid = f.code
+             | CROSS JOIN qset q)""".stripMargin
+        }.mkString(",\n")
+        val resDists = (0 until 4).map { j =>
+          s"""sd$j AS (SELECT qres.qid, f.vec_id,
+             |  ${duckL2(s"qres.rqv[${j * 16 + 1}:${(j + 1) * 16}]", "c.ce")} AS d
+             | FROM p${j + 4}f f JOIN p${j + 4}c2 c ON c.cid = f.code
+             | JOIN res r ON r.vec_id = f.vec_id
+             | JOIN qres ON qres.cell = r.cell)""".stripMargin
+        }.mkString(",\n")
+        def cand(name: String, d: String, cellOf: String) =
+          s"""$name AS (SELECT qid, vec_id FROM (
+             | SELECT qid, vec_id,
+             |  row_number() OVER (PARTITION BY qid
+             |   ORDER BY adist, vec_id) AS rn
+             | FROM (SELECT ${d}0.qid, ${d}0.vec_id,
+             |    ((${d}0.d + ${d}1.d) + ${d}2.d) + ${d}3.d AS adist
+             |   FROM ${d}0 JOIN ${d}1 USING (qid, vec_id)
+             |    JOIN ${d}2 USING (qid, vec_id)
+             |    JOIN ${d}3 USING (qid, vec_id)
+             |    JOIN $cellOf
+             |    JOIN probe p ON p.qid = ${d}0.qid AND p.cid = cl.cell))
+             | WHERE rn <= 10)""".stripMargin
+        s"""WITH cc AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |qset AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |probe AS MATERIALIZED (SELECT qid, cid FROM (
+           |  SELECT q.qid, cc.cid, row_number() OVER (PARTITION BY q.qid
+           |   ORDER BY ${duckL2("cc.ce", "q.qe")}, cc.cid) AS rn
+           |  FROM cc, qset q) WHERE rn <= 3),
+           |assign AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN cc c GROUP BY e.vec_id, e.embedding),
+           |res AS MATERIALIZED (SELECT a.vec_id, a.cell,
+           |   list_transform(list_zip(a.embedding, c.ce), x -> $resSub) AS rv
+           | FROM assign a JOIN cc c ON c.cid = a.cell),
+           |qres AS MATERIALIZED (SELECT q.qid, cc.cid AS cell,
+           |   list_transform(list_zip(q.qe, cc.ce), x -> $resSub) AS rqv
+           | FROM cc, qset q),
+           |$subsRaw,
+           |$subsRes,
+           |$rawDists,
+           |$resDists,
+           |${cand("candraw", "rd", "assign cl ON cl.vec_id = rd0.vec_id")},
+           |${cand("candres", "sd", "res cl ON cl.vec_id = sd0.vec_id")},
+           |brute AS MATERIALIZED (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+           |   ORDER BY ${duckL2("e.embedding", "q.qe")}, e.vec_id) AS rn
+           |  FROM embeddings e, qset q) WHERE rn <= 10),
+           |bn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_brute
+           | FROM brute GROUP BY qid),
+           |hr AS (SELECT c.qid, CAST(count(*) AS BIGINT) AS n
+           | FROM candraw c JOIN brute b USING (qid, vec_id) GROUP BY c.qid),
+           |hs AS (SELECT c.qid, CAST(count(*) AS BIGINT) AS n
+           | FROM candres c JOIN brute b USING (qid, vec_id) GROUP BY c.qid)
+           |SELECT q.qid, bn.n_brute,
+           | coalesce(hr.n, 0) AS n_hit_raw,
+           | coalesce(hs.n, 0) AS n_hit_res,
+           | CAST(coalesce(hr.n, 0) AS DOUBLE)
+           |  / CAST(bn.n_brute AS DOUBLE) AS recall_raw,
+           | CAST(coalesce(hs.n, 0) AS DOUBLE)
+           |  / CAST(bn.n_brute AS DOUBLE) AS recall_res
+           |FROM qset q JOIN bn ON bn.qid = q.qid
+           | LEFT JOIN hr ON hr.qid = q.qid
+           | LEFT JOIN hs ON hs.qid = q.qid
+           |ORDER BY q.qid""".stripMargin
       },
 
       // four independent sliced replays of the SAME training recipe,

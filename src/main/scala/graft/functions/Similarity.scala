@@ -62,7 +62,9 @@ object Similarity {
     * embedding pipeline watches before trusting an approximate index at
     * 100 TB ("is hamming≤1 multi-probe still ≥0.95 recall on this
     * corpus, or did the distribution drift?"). Recall@k =
-    * |ann top-k ∩ brute top-k| / k; both top-k sets rank by
+    * |ann top-k ∩ brute top-k| / |brute top-k| — the denominator is the
+    * ground truth's actual size (= min(k, corpus)), so a small corpus
+    * or block can still score 1.0; both top-k sets rank by
     * (score desc, id) so ties are deterministic cross-engine.
     *
     * Plan shape: the (small) eval query set broadcasts into ONE scored
@@ -107,13 +109,21 @@ object Similarity {
     val ann = topk(scored.filter(col("__ham") <= probeDist))
     val hits = ann.join(brute, Seq(qidCol, idCol))
       .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
+    // denominator = the brute top-k's ACTUAL size, not the constant k:
+    // on a corpus (or block) smaller than k the ground truth has fewer
+    // than k members, and dividing by k would cap recall below 1.0 —
+    // understating index quality exactly where an eval fixture is small
+    val bruteN = brute.groupBy(col(qidCol)).agg(count(lit(1)).as("n_brute"))
     // every query emits a row — an index missing EVERYTHING (recall 0)
     // must be visible, not absent
-    queries.select(col(qidCol)).join(hits, Seq(qidCol), "left")
+    queries.select(col(qidCol))
+      .join(bruteN, Seq(qidCol), "left") // null only on an EMPTY corpus
+      .join(hits, Seq(qidCol), "left")
+      .withColumn("n_brute", coalesce(col("n_brute"), lit(k.toLong)))
       .select(col(qidCol),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
-          lit(k).cast("double")).as("recall"))
+          col("n_brute").cast("double")).as("recall"))
   }
 
   /** Integer dot product over `array<tinyint>` columns (the [[VecDotI8]]

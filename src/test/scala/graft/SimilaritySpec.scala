@@ -482,6 +482,69 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2) == got.map(_._2).sorted)
   }
 
+  test("residual IVF-PQ beats raw IVF-PQ recall on a clustered corpus — " +
+    "the claimed recall edge, measured") {
+    // 4 planted clusters at orthogonal centers (scale 100), 30 points
+    // each with deterministic offsets in [-1, 1]: between-cluster
+    // variance dwarfs within-cluster detail, so RAW PQ codewords (k=4
+    // per subspace) burn on cluster centers and collapse every
+    // same-cluster vector to one code — ADC then cannot rank within
+    // the probed cluster. RESIDUAL codes quantize offsets only (the
+    // coarse quantizer has absorbed the centers), which is precisely
+    // where the FAISS by_residual recall edge comes from.
+    val dim = 8
+    val nPerC = 30
+    // ids INTERLEAVE clusters (cluster = id % 4) so the id-order seeds
+    // of both the coarse and the PQ training span all four clusters —
+    // seeds drawn from one cluster would leave Lloyd's in a degenerate
+    // fixed point where the residual store is a pure translation of the
+    // raw one and the comparison measures nothing
+    val rows = for (c <- 0 until 4; i <- 0 until nPerC) yield {
+      val id = (i * 4 + c).toLong
+      val v = (0 until dim).map { d =>
+        val center = if (d == 2 * c) 100f else if (d == 2 * c + 1) -100f else 0f
+        center + ((id * 31 + d * 17) % 21 - 10).toFloat / 10f
+      }
+      (id, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(corpus, k = 4, maxIters = 3)
+    val cbsRaw = Similarity.pqTrain(corpus, d = dim, m = 2, k = 4, maxIters = 2)
+    val cbsRes = Similarity.pqTrainResidual(corpus, cents,
+      d = dim, m = 2, k = 4, maxIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_recall").toString
+    Similarity.writeIvfPqPartitioned(corpus, cents, cbsRaw, s"$root/raw")
+    Similarity.writeIvfPqResidualPartitioned(corpus, cents, cbsRes, s"$root/res")
+    val k = 10
+    val byId = rows.toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val d = x.toDouble - y.toDouble; acc + d * d
+      }
+    def recall(qid: Long, cand: org.apache.spark.sql.DataFrame): Double = {
+      val brute = rows.map { case (id, v) => (l2(v, byId(qid)), id) }
+        .sorted.take(k).map(_._2).toSet
+      val got = cand.select($"vec_id").as[Long].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val qids = Seq(0L, 33L, 66L, 103L) // one query per cluster (id % 4)
+    val rRaw = qids.map(q => recall(q,
+      Similarity.ivfPqTopK(spark, s"$root/raw", cents, cbsRaw,
+        byId(q), k = k, nprobe = 1)))
+    val rRes = qids.map(q => recall(q,
+      Similarity.ivfPqResidualTopK(spark, s"$root/res", cents, cbsRes,
+        byId(q), k = k, nprobe = 1)))
+    val (mRaw, mRes) = (rRaw.sum / rRaw.size, rRes.sum / rRes.size)
+    assert(mRes > mRaw,
+      s"residual recall $mRes must beat raw $mRaw on the clustered corpus " +
+        s"(raw per-query: $rRaw, residual per-query: $rRes)")
+    // 0.7 floor: m=2 subspaces × k=4 codewords is a deliberately tiny
+    // code budget (the regime where the variants separate); the margin
+    // over raw, not the absolute number, is the claim under test
+    assert(mRes >= 0.7,
+      s"residual recall $mRes should be high once codes describe offsets")
+  }
+
   test("centroidDrift: exact per-dim mean gaps; one-slice labels drop") {
     val base = Seq(
       (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 2.0f)), // label 0: mean (2, 2)
