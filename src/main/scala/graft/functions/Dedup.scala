@@ -1000,8 +1000,26 @@ object Dedup {
       kept: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
+    val ranked = jaccardPrefixIndex(kept, idCol, threshold)
+    ranked.select(col("blk"), col("gram"), col(idCol).as("doc_a"))
+      .join(ranked.select(col("blk"), col("gram"), col(idCol).as("doc_b")),
+        Seq("blk", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** The pruned inverted index [[jaccardPrefixCandidates]] joins: each
+    * doc's PREFIX gram rows (blk, gram, id) under the rarest-first
+    * canonical order. Public so the crossover spec can measure
+    * Σ prefix-df² directly against the full index's Σ df² — the two
+    * numbers whose gap IS the PPJoin win on a heavy-tailed corpus. */
+  def jaccardPrefixIndex(
+      kept: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = kept
+    kept
       .withColumn("__gdf",
         count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
       .withColumn("__pos", row_number().over(
@@ -1012,12 +1030,6 @@ object Dedup {
         greatest(floor(lit(threshold) * col("__sz")).cast("long"), lit(1L)))
       .filter(col("__pos") <= col("__sz") - col("__minov") + 1L)
       .select(col("blk"), col("gram"), col(idCol))
-    ranked.select(col("blk"), col("gram"), col(idCol).as("doc_a"))
-      .join(ranked.select(col("blk"), col("gram"), col(idCol).as("doc_b")),
-        Seq("blk", "gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
   }
 
   /** [[ngramJaccardPairs]] with PPJoin-style prefix filtering — same

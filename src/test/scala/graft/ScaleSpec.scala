@@ -586,4 +586,89 @@ class ScaleSpec extends SparkSuite {
       spark.sql("DROP DATABASE IF EXISTS graftbuck CASCADE")
     }
   }
+
+  test("PPJoin crossover on a zipfian corpus: prefix index shrinks " +
+    "Σ df² and the candidate set, wins wall-clock, loses no pair") {
+    // The driver fixture's ~uniform 512-word vocabulary has no heavy
+    // tail, so prefixes cannot prune there (documented beside
+    // dedup_jaccard_prefix). This corpus has the df distribution a real
+    // web crawl has: 3000-word vocabulary with zipf-shaped draws
+    // (inverse-log transform of a deterministic per-(doc,pos) hash —
+    // P(rank r) ∝ 1/r), 3600 docs of 40 words, plus 60 planted
+    // near-copies so the threshold-0.7 answer is non-empty. The corpus
+    // is sized so the hot grams' Σ df² (tens of millions of candidate
+    // rows) dominates the fixed per-stage overhead — the regime the
+    // crossover claim is about; at a tenth the size the prefix arm's
+    // extra window passes outweigh the quadratic term and the full
+    // index wins, which is exactly the driver-fixture observation.
+    val nDocs = 3600
+    val L = 40
+    val V = 3000
+    def word(d: Int, i: Int): String = {
+      val h = d * 6364136223846793005L + i * 1442695040888963407L
+      val u = (h >>> 11).toDouble / (1L << 53).toDouble
+      s"w${math.min(V, math.max(1, math.exp(u * math.log(V)).toInt))}"
+    }
+    val base = (0 until nDocs).map { d =>
+      (d.toLong, "web", (0 until L).map(word(d, _)).mkString(" "))
+    }
+    val copies = (0 until 60).map { j =>
+      val mut = base(j)._3.split(" ").dropRight(4) ++
+        (0 until 4).map(i => s"uniq${j}x$i")
+      ((nDocs + j).toLong, "web", mut.mkString(" "))
+    }
+    val corpus = (base ++ copies).toDF("doc_id", "source", "text")
+    val threshold = 0.7
+    val kept = corpus
+      .select($"source".as("blk"), $"doc_id",
+        explode(array_distinct(Dedup.shingles($"text", 2))).as("gram"))
+      .cache()
+    kept.count()
+    try {
+      // 1) the cost model: Σ prefix-df² ≪ Σ df² — this gap is the
+      //    PPJoin claim itself, measured
+      def sumDfSq(idx: org.apache.spark.sql.DataFrame): Long =
+        idx.groupBy($"blk", $"gram").count()
+          .agg(sum($"count" * $"count")).head().getLong(0)
+      val fullWork = sumDfSq(kept)
+      val prefWork = sumDfSq(
+        Dedup.jaccardPrefixIndex(kept, "doc_id", threshold))
+      assert(prefWork * 4 < fullWork,
+        s"Σ prefix-df² = $prefWork not ≪ Σ df² = $fullWork")
+      // 2) the candidate sets it buys: prefix candidates ≪ full index
+      //    candidates (distinct pairs sharing any gram)
+      val candFull = kept.select($"blk", $"gram", $"doc_id".as("doc_a"))
+        .join(kept.select($"blk", $"gram", $"doc_id".as("doc_b")),
+          Seq("blk", "gram"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct().count()
+      val candPref =
+        Dedup.jaccardPrefixCandidates(kept, "doc_id", threshold).count()
+      assert(candPref * 4 < candFull,
+        s"prefix candidates $candPref not ≪ full candidates $candFull")
+      // 3) wall-clock at matching threshold — each arm timed on the
+      //    run whose pairs the equality check reuses, and the prefix
+      //    arm runs FIRST so JIT/codegen warm-up biases AGAINST the
+      //    claim.
+      def timedPairs(
+          df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Double) = {
+        val t0 = System.nanoTime
+        val ps = df.select($"doc_a", $"doc_b")
+          .as[(Long, Long)].collect().toSet
+        (ps, (System.nanoTime - t0) / 1e9)
+      }
+      val (got, tPref) = timedPairs(Dedup.ngramJaccardPairsPrefix(
+        corpus, threshold = threshold, n = 2))
+      val (want, tFull) = timedPairs(Dedup.ngramJaccardPairs(
+        corpus, threshold = threshold, n = 2))
+      assert(tPref < tFull,
+        f"prefix join $tPref%.2fs did not beat full index join $tFull%.2fs " +
+          s"on the heavy-tailed corpus (Σdf² $fullWork vs $prefWork, " +
+          s"candidates $candFull vs $candPref)")
+      // 4) and the filter is lossless: identical surviving pairs
+      assert(got == want, "prefix filtering changed the answer")
+      assert(want.nonEmpty, "fixture produced no near-dup pairs — the " +
+        "equality check proved nothing")
+    } finally kept.unpersist()
+  }
 }
