@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Description, Fuzzy, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage}
@@ -1681,6 +1681,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_decontaminate_spans" -> ((s, dir) => {
+      // span-LEVEL decontamination: not just WHICH docs leak benchmark
+      // text but WHERE — each hit 3-gram covers words [pos, pos+3), and
+      // overlapping/touching hit windows merge into maximal redaction
+      // spans via the SAME interval-union operator the event coverage
+      // uses (Intervals.mergeIslands — one operator, two domains; see
+      // Dedup.decontaminateSpans). A production pipeline cuts these
+      // spans and keeps the rest of the document; doc-level dropping
+      // wastes the clean 99% of a 20k-token page that quotes one
+      // benchmark item. Only (doc_id, pos) pairs of HIT grams shuffle —
+      // the benchmark set broadcasts as in text_decontaminate.
+      val docs = par(s)(t(s, dir, "documents"))
+      Dedup.decontaminateSpans(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+        .orderBy(col("doc_id"), col("island"))
+    }),
+
     "text_stream_decontaminate" -> ((s, dir) => {
       // decontamination at INGEST: the benchmark gram set is batch-built
       // (eval suites change rarely) and broadcast; the train stream's
@@ -2186,6 +2204,61 @@ object SparkEntry {
         .join(broadcast(wordTok), Seq("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_kmv_vocab" -> ((s, dir) => {
+      // mergeable distinct-cardinality sketch: per-source vocabulary
+      // size via k-minimum-values (k=64) — the COUNT DISTINCT a 100-TB
+      // rollup cannot afford exactly, as a deterministic md5 bottom-k
+      // whose estimate an independent engine replays bit-for-bit
+      // (unlike any HLL register layout). The aggregation state is a
+      // bounded ≤64-entry array combined map-side; elements never
+      // shuffle. The exact count rides along so the estimate's error
+      // is visible in the gated row itself.
+      val words = par(s)(t(s, dir, "documents"))
+        .filter(TextAnalysis.normalize(col("text")) =!= "")
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      Kmv.kmvDistinct(words, "source", "word", k = 64)
+        .join(words.groupBy(col("source"))
+          .agg(countDistinct(col("word")).as("exact_distinct")),
+          Seq("source"))
+        .orderBy(col("source"))
+    }),
+
+    "text_pack_sequences" -> ((s, dir) => {
+      // GPT-style packed-sequence layout: documents are concatenated in
+      // a deterministic shard-local order and split into fixed
+      // 256-token training sequences — a doc may straddle a sequence
+      // boundary, exactly as Pile-style pretraining packs. The whole
+      // layout is window arithmetic over per-shard token cumsums (16
+      // independent shards, the text_shuffle_det scheme — no global
+      // sort at any scale); each doc's row says which sequences carry
+      // it and at which token offset, which is all a loader needs to
+      // materialize batch n without touching batch n-1.
+      val budget = 256
+      val h = md5(concat(lit("pack:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      par(s)(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"), h.as("h"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 16)
+        .withColumn("tok_start",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+        .withColumn("seq_first",
+          floor(col("tok_start") / budget).cast("long"))
+        .withColumn("seq_last",
+          floor((col("tok_end") - 1) / budget).cast("long"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("tok_start"), col("tok_end"), col("seq_first"),
+          col("seq_last"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5284,6 +5357,30 @@ object SparkEntry {
            |FROM t LEFT JOIN b USING (gram)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+      // hit 3-grams (ALL positions, not distinct — the same gram at two
+      // positions is two windows) cover [pos, pos+3) word intervals,
+      // merged into maximal spans by the ev_coverage island arithmetic
+      "text_decontaminate_spans" ->
+        s"""WITH bench AS (SELECT DISTINCT unnest($duckShingles3) AS gram
+           | FROM documents WHERE doc_id % 50 = 0),
+           |t0 AS (SELECT doc_id, len($duckWords) AS wc,
+           |  $duckShingles3 AS gs FROM documents WHERE doc_id % 50 <> 0),
+           |tg AS (SELECT doc_id, wc, unnest(gs) AS gram,
+           |  CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos FROM t0),
+           |h AS (SELECT tg.doc_id, tg.pos, tg.pos AS s,
+           |  least(tg.pos + 3, tg.wc) AS e FROM tg JOIN bench USING (gram)),
+           |w AS (SELECT *, max(e) OVER (PARTITION BY doc_id
+           |  ORDER BY s, pos
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM h),
+           |g AS (SELECT *, CAST(sum(CASE WHEN pe IS NULL OR s > pe
+           |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+           |  ORDER BY s, pos) AS BIGINT) AS island FROM w)
+           |SELECT doc_id, island, min(s) AS span_start,
+           | max(e) AS span_end, CAST(count(*) AS BIGINT) AS n_grams,
+           | max(e) - min(s) AS covered_words
+           |FROM g GROUP BY doc_id, island
+           |ORDER BY doc_id, island""".stripMargin,
+
       // the engine extracts + parses real URLs from markup; the oracle
       // counts the closed-form hosts arithmetically
       "text_url_domains" ->
@@ -5409,6 +5506,61 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            | CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // bottom-k of distinct word hashes per source; estimate = exact
+      // size below k, else (k-1)/u_k with u_k = first 8 hex digits of
+      // the k-th smallest hash over 2^32 — the engine's arithmetic,
+      // division for division
+      "text_kmv_vocab" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(k64.h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH w0 AS (SELECT source, unnest($duckWords) AS word
+           | FROM documents WHERE $duckNorm <> ''),
+           |w AS (SELECT DISTINCT source, md5(word) AS h
+           | FROM w0 WHERE word <> ''),
+           |r AS (SELECT source, h,
+           |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+           |  count(*) OVER (PARTITION BY source) AS n FROM w),
+           |k64 AS (SELECT source, h FROM r WHERE rn = 64),
+           |n AS (SELECT source, CAST(max(n) AS BIGINT) AS nd FROM r
+           | GROUP BY source),
+           |ex AS (SELECT source,
+           |  CAST(count(DISTINCT word) AS BIGINT) AS exact_distinct
+           | FROM w0 WHERE word <> '' GROUP BY source)
+           |SELECT n.source, least(n.nd, 64) AS n_mins,
+           | CASE WHEN n.nd < 64 THEN CAST(n.nd AS DOUBLE)
+           |  ELSE 63.0 / (CAST($hex8 AS DOUBLE) / 4294967296.0) END
+           |  AS est_distinct,
+           | ex.exact_distinct
+           |FROM n LEFT JOIN k64 ON k64.source = n.source
+           | JOIN ex ON ex.source = n.source
+           |ORDER BY n.source""".stripMargin
+      },
+
+      // same salted-hash shard assignment as text_shuffle_det, then
+      // shard-local token cumsums and integer sequence indices
+      "text_pack_sequences" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH d AS (SELECT doc_id,
+           |  CAST(len($duckWords) AS BIGINT) AS n_tokens,
+           |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+           | FROM documents WHERE $duckNorm <> ''),
+           |b AS (SELECT doc_id, n_tokens, h,
+           |  CAST($hex8 AS BIGINT) % 16 AS shard FROM d),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+           |   ORDER BY h, doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |   AS BIGINT) AS tok_start FROM b)
+           |SELECT doc_id, shard, n_tokens, tok_start,
+           | tok_start + n_tokens AS tok_end,
+           | tok_start // 256 AS seq_first,
+           | (tok_start + n_tokens - 1) // 256 AS seq_last
+           |FROM c ORDER BY doc_id""".stripMargin
       },
 
       // train replay restricted to even doc_ids, then the held-out apply

@@ -1090,6 +1090,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Span-LEVEL benchmark decontamination: not just WHICH training docs
+    * leak the benchmark ([[decontaminateFuzzy]] and the exact-gram
+    * variants flag docs) but WHERE — each training-side n-gram that
+    * appears anywhere in the benchmark covers the word interval
+    * `[pos, pos+n)`, and overlapping/touching hit windows merge into
+    * maximal redaction spans via [[graft.operators.Intervals
+    * .mergeIslands]] (one interval-union operator, two domains). A
+    * production pipeline CUTS these spans and keeps the rest of the
+    * document — doc-level dropping wastes the clean 99% of a 20k-token
+    * page that quotes one benchmark item.
+    *
+    * Scale shape: the benchmark gram set broadcasts (eval suites are
+    * small by construction); the training side is one posexplode whose
+    * MISSES die in the broadcast join — only (doc_id, pos) pairs of hit
+    * grams reach the island window, and spans per doc are bounded by
+    * hits, not length. Output: one row per (doc, span) —
+    * (idCol, island, span_start, span_end, n_grams, covered_words),
+    * word-indexed half-open. */
+  def decontaminateSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .distinct()
+    val hits = train
+      .select(col(idCol),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("wc"),
+        posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("pos").cast("long").as("s"),
+        least(col("pos") + n.toLong, col("wc")).as("e"))
+    graft.operators.Intervals.mergeIslands(hits, Seq(idCol), "s", "e", "pos")
+      .select(col(idCol), col("island"),
+        col("island_start").as("span_start"),
+        col("island_end").as("span_end"),
+        col("n_intervals").as("n_grams"),
+        col("covered").as("covered_words"))
+  }
+
   // ------------------------------------------------------------------
   // Segment-level boilerplate removal (line-level dedup, generalized)
   // ------------------------------------------------------------------

@@ -552,4 +552,25 @@ class DedupSpec extends SparkSuite {
     val passed = nonMembers.filter(Dedup.bloomProbe(bloom, col("gram"))).count()
     assert(passed < 200L, s"bloom passed $passed of 2000 non-members")
   }
+
+  test("decontaminateSpans: overlapping hit windows merge into maximal " +
+    "word spans; repeated grams are separate windows; gaps split") {
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1: grams at pos 1 ("alpha beta gamma") and 2 ("beta gamma
+    // delta") hit — overlapping windows [1,4) ∪ [2,5) = one span [1,5);
+    // a benchmark gram repeats at pos 7, far away — its own span
+    // [7,10). doc 2: clean, no rows. doc 3: the whole doc IS a
+    // benchmark gram (3 words) — one full-width span.
+    val train = Seq(
+      (1L, "x1 alpha beta gamma delta x2 x3 alpha beta gamma"),
+      (2L, "totally clean words here"),
+      (3L, "beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, bench)
+      .orderBy(col("doc_id"), col("island"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 5L, 2L, 4L),
+      (1L, 2L, 7L, 10L, 1L, 3L),
+      (3L, 1L, 0L, 3L, 1L, 3L)))
+  }
 }
