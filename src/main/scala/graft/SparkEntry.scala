@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
-import graft.sources.{AlmaXml, CsvStage, JsonStage}
+import graft.sources.{AlmaXml, CsvStage, JsonStage, OrcStage}
 import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
@@ -950,6 +950,64 @@ object SparkEntry {
       JsonStage.read(s, schema, path)
         .select(col("doc_id"), col("meta.source").as("source"),
           col("meta.lang").as("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "orc_roundtrip" -> ((s, dir) => {
+      // the second columnar format under the oracle: events written as
+      // a hive-partitioned ORC store (partition = event_type), read
+      // back through the native vectorized reader with a partition
+      // filter — purchase/view directories only enter the plan
+      // (pruning pinned in PlanSpec) — and hashed against an oracle
+      // computed straight from the parquet source. Any drift in the
+      // ORC encode, the partition recovery, or the pruned read breaks
+      // the hash.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val path = OrcStage.write(ev, s"$artifactRoot/orc_roundtrip",
+        partitionBy = Seq("event_type"))
+      OrcStage.read(s, path)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    "text_lm_score" -> ((s, dir) => {
+      // count-based bigram LM familiarity scoring — the exact-integer
+      // analog of perplexity filtering (CCNet-style: train a cheap LM
+      // on trusted text, score candidates, gate on the score). The LM
+      // trains on even doc_ids (bigram counts c2, unigram counts c1);
+      // each held-out doc scores Σ (10^6·c2(w1,w2)) div c1(w1) over its
+      // bigram POSITIONS — integer division both engines compute
+      // identically, no IEEE logs whose last ulp differs per libm.
+      // Both count tables broadcast (vocabulary-sized); the corpus
+      // aggregates once per doc.
+      val docs = par(s)(t(s, dir, "documents"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val trainBigrams = train
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bg"))
+        .filter(col("bg").contains(" "))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val trainWords = train
+        .filter(TextAnalysis.normalize(col("text")) =!= "")
+        .select(explode(TextAnalysis.words(col("text"))).as("w1"))
+        .filter(col("w1") =!= "")
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("bg"))
+        .filter(col("bg").contains(" "))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(broadcast(trainBigrams), Seq("bg"), "left")
+        .join(broadcast(trainWords), Seq("w1"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          coalesce(sum(when(col("c2").isNotNull,
+            expr("(1000000 * c2) div c1")).otherwise(0L)), lit(0L))
+            .as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6519,6 +6577,41 @@ object SparkEntry {
       "json_roundtrip" ->
         """SELECT doc_id, source, lang, n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "orc_roundtrip" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events WHERE event_type IN ('purchase', 'view')
+          |ORDER BY event_id""".stripMargin,
+
+      // bigram counts from even docs, unigram prefix counts, then the
+      // held-out docs' positional bigrams scored by exact integer
+      // division — unseen bigrams contribute 0, sub-2-word docs have
+      // no bigram rows on either side
+      "text_lm_score" -> {
+        s"""WITH tb AS (SELECT gram AS bg, CAST(count(*) AS BIGINT) AS c2
+           | FROM (SELECT unnest($duckShingles2) AS gram FROM documents
+           |   WHERE doc_id % 2 = 0)
+           | WHERE gram LIKE '% %' GROUP BY 1),
+           |tw AS (SELECT word AS w1, CAST(count(*) AS BIGINT) AS c1
+           | FROM (SELECT unnest($duckWords) AS word FROM documents
+           |   WHERE doc_id % 2 = 0 AND $duckNorm <> '')
+           | WHERE word <> '' GROUP BY 1),
+           |hb AS (SELECT doc_id, gram AS bg,
+           |  split_part(gram, ' ', 1) AS w1
+           | FROM (SELECT doc_id, unnest($duckShingles2) AS gram
+           |   FROM documents WHERE doc_id % 2 = 1)
+           | WHERE gram LIKE '% %')
+           |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           | CAST(sum(CASE WHEN tb.c2 IS NOT NULL THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS n_hit,
+           | CAST(coalesce(sum(CASE WHEN tb.c2 IS NOT NULL
+           |   THEN (1000000 * tb.c2) // tw.c1 ELSE 0 END), 0)
+           |  AS BIGINT) AS score
+           |FROM hb h LEFT JOIN tb ON h.bg = tb.bg
+           | LEFT JOIN tw ON h.w1 = tw.w1
+           |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+      },
 
       "csv_roundtrip" ->
         """WITH i AS (SELECT CAST(c_custkey AS VARCHAR) AS "MMS ID",

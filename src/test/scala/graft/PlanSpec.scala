@@ -36,6 +36,28 @@ class PlanSpec extends SparkSuite {
       s"unused columns not pruned in:\n$p")
   }
 
+  test("orc_roundtrip: the partition filter prunes ORC directories at " +
+    "planning time and the scan reads the pruned column set") {
+    // the gate query writes the store itself; plan it, then check the
+    // executed scan: only purchase/view partitions survive, and the
+    // event_type predicate sits in PartitionFilters (metadata), not in
+    // the data filter (bytes)
+    val p = plan("orc_roundtrip")
+    val scanLine = p.linesIterator.find(_.contains("Scan orc")).getOrElse(
+      fail(s"no ORC scan in the plan:\n$p"))
+    // the IN predicate sits in PartitionFilters — metadata-level
+    // directory pruning, by definition of that clause — and NOT in
+    // PushedFilters (which would mean reading bytes to re-check it)
+    assert(scanLine.contains("PartitionFilters") &&
+      scanLine.replaceAll(".*PartitionFilters", "")
+        .takeWhile(_ != ']').contains("event_type"),
+      s"event_type predicate not in PartitionFilters:\n$scanLine")
+    assert(scanLine.contains("IN (purchase,view)"),
+      s"IN predicate missing from the scan's partition filters:\n$scanLine")
+    assert(scanLine.contains("PushedFilters: []"),
+      s"partition predicate leaked into data filters:\n$scanLine")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the exchange") {
     val p = plan("q01_agg_lineitem")
     // partial + final HashAggregate pair around one exchange
