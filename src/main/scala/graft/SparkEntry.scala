@@ -2978,6 +2978,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_interval_join" -> ((s, dir) => {
+      // interval-OVERLAP join: odd events' validity windows × even
+      // events' windows per user — every overlapping pair with its
+      // exact overlap length. Buckets of one window-width make the
+      // join equi on (user, bucket) instead of a per-user cross join
+      // with a range predicate; the exact overlap filter clears bucket
+      // false positives and distinct() collapses pairs that share two
+      // buckets. The oracle IS the quadratic form — the bucketing may
+      // only change cost, never pairs.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + lit(300000000L))
+      val a = e.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("s").as("a_s"), col("e").as("a_e"))
+      val b = e.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("s").as("b_s"), col("e").as("b_e"))
+      TemporalJoin.intervalOverlapJoin(a, b, Seq("user_id"),
+        "a_s", "a_e", "b_s", "b_e", bucketMicros = 300000000L)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
     "ev_range_join" -> ((s, dir) => {
       // bounded range join via interval bucketing: events within ±30 min
       // of each signup, counted per signup (the count includes the signup
@@ -6157,6 +6184,20 @@ object SparkEntry {
       // independent formulation: the plain theta join the bucketed
       // implementation must reproduce exactly (count includes the signup
       // row itself, so every signup survives the inner join)
+      // the quadratic ground truth the bucketed overlap join must equal
+      "ev_interval_join" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+          |  epoch_us(ts) + 300000000 AS e FROM events),
+          |a AS (SELECT user_id, event_id AS a_id, s AS a_s, e AS a_e
+          | FROM e WHERE event_id % 2 = 1),
+          |b AS (SELECT user_id, event_id AS b_id, s AS b_s, e AS b_e
+          | FROM e WHERE event_id % 2 = 0)
+          |SELECT a.user_id, a_id, b_id,
+          | least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+          |FROM a JOIN b ON a.user_id = b.user_id
+          | AND a_s < b_e AND b_s < a_e
+          |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+
       "ev_range_join" ->
         """WITH s AS (SELECT event_id AS s_event_id, user_id,
           |  epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup')

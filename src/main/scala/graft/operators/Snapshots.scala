@@ -275,18 +275,27 @@ object Snapshots {
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
     val (parted, flat) = rows.partition(_._2 != null)
+    // mergeSchema: an append commit may carry columns its parent's
+    // files lack (schema evolution) — without the merge, the read
+    // schema is whichever file's footer Spark samples and the new
+    // column silently vanishes for some version reads. Footer-merge
+    // cost is O(files of v); a manifest-carried schema (the Iceberg
+    // move) would make it O(1) and is the scale refinement.
     val reads =
       (if (flat.nonEmpty)
-        Seq(spark.read.parquet(flat.map(_._1).toIndexedSeq: _*))
+        Seq(spark.read.option("mergeSchema", "true")
+          .parquet(flat.map(_._1).toIndexedSeq: _*))
       else Seq.empty) ++
         parted
           .groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
           .toSeq.sortBy(_._1)
           .map { case (root, fs) =>
             spark.read.option("basePath", root)
+              .option("mergeSchema", "true")
               .parquet(fs.map(_._1).toIndexedSeq: _*)
           }
-    reads.reduce(_.unionByName(_))
+    reads.reduceLeft((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Partition-pruned read AS OF `version`: the manifest admits only

@@ -169,4 +169,43 @@ object TemporalJoin {
       .withColumnRenamed("__rts", prefix + rightTsUsCol)
       .drop("__b")
   }
+
+  /** Interval × interval OVERLAP join — the genomics/"sessions ×
+    * campaign windows" shape [[rangeJoinBucketed]]'s point-to-point
+    * form cannot express: emit every (left, right) pair of same-key
+    * half-open intervals with `ls < re && rs < le`. The naive plan is a
+    * per-key cross join with a range predicate — quadratic in the hot
+    * key. Here each interval explodes to the fixed-width buckets it
+    * covers (`⌊s/W⌋ .. ⌊(e−1)/W⌋`), the join runs EQUI on (key,
+    * bucket), and the exact predicate clears bucket-collision false
+    * positives; two overlapping intervals share the bucket of any
+    * point in their intersection, so no pair is lost. Pairs spanning
+    * several common buckets dedup via `distinct()` on the joined row.
+    *
+    * `bucketMicros` tunes the explode-vs-bucket-width trade: ~ the
+    * typical interval length keeps the per-interval fan-out at one or
+    * two rows while buckets stay selective. Column names of the two
+    * sides must be disjoint apart from `keyCols` (rename before the
+    * call — the output carries both sides' columns verbatim). */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStartCol: String,
+      leftEndCol: String,
+      rightStartCol: String,
+      rightEndCol: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    def bucketed(df: DataFrame, s: String, e: String) =
+      df.withColumn("__b", explode(sequence(
+        expr(s"$s div $bucketMicros"),
+        expr(s"($e - 1) div $bucketMicros"))))
+    bucketed(left, leftStartCol, leftEndCol)
+      .join(bucketed(right, rightStartCol, rightEndCol), keyCols :+ "__b")
+      .filter(col(leftStartCol) < col(rightEndCol) &&
+        col(rightStartCol) < col(leftEndCol))
+      .drop("__b")
+      .distinct()
+  }
 }

@@ -260,6 +260,24 @@ class SnapshotsSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/_versions_staged")))
   }
 
+  test("schema evolution: an append commit with a NEW column reads back " +
+    "merged — parent rows null-fill, past versions keep the old schema") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false)
+    val v1 = Snapshots.commit(spark,
+      Seq((3L, "c", 9L)).toDF("id", "v", "w"), tbl, append = true)
+    val at1 = Snapshots.readAsOf(spark, tbl, v1)
+    assert(at1.columns.sorted.toSeq == Seq("id", "v", "w"))
+    val rows = at1.select($"id", $"w").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some(9L))),
+      "evolved column must null-fill the parent generation's rows")
+    // time travel is schema travel too: v0 predates the column
+    assert(Snapshots.readAsOf(spark, tbl, v0).columns.sorted.toSeq ==
+      Seq("id", "v"))
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")

@@ -154,4 +154,26 @@ class TemporalJoinSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
+
+  test("intervalOverlapJoin: half-open semantics (touching is NOT " +
+    "overlap), multi-bucket pairs dedup, keys separate") {
+    val a = Seq(
+      (1L, 10L, 0L, 100L),    // long interval spanning many buckets
+      (1L, 11L, 100L, 150L),  // touches 10's end — no overlap
+      (2L, 12L, 0L, 50L)      // other key
+    ).toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq(
+      (1L, 20L, 5L, 95L),   // inside 10 — shares MANY buckets with it
+      (1L, 21L, 99L, 101L), // clips 10's last unit AND 11's first
+      (2L, 22L, 49L, 60L)   // overlaps 12 by one unit
+    ).toDF("k", "b_id", "b_s", "b_e")
+    val got = TemporalJoin.intervalOverlapJoin(a, b, Seq("k"),
+      "a_s", "a_e", "b_s", "b_e", bucketMicros = 10L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (10L, 21L), (11L, 21L), (12L, 22L)))
+    // dedup: pair (10, 20) shares ~9 buckets but emits once
+    val n = TemporalJoin.intervalOverlapJoin(a, b, Seq("k"),
+      "a_s", "a_e", "b_s", "b_e", bucketMicros = 10L).count()
+    assert(n == 4L, s"multi-bucket pairs not deduped: $n rows")
+  }
 }
