@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, 
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage, OrcStage}
-import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
+import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, PhashStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -2584,6 +2584,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ev_median_mad" -> ((s, dir) => {
+      // robust location/scale per event type: EXACT lower median (the
+      // ⌈n/2⌉-th smallest by (value, id) — rank arithmetic, no
+      // averaging, no approx-percentile sketch whose buffer layout an
+      // independent engine can't replay) and MAD (the same rank over
+      // |x − median|). The robust pair an outlier-gated quality monitor
+      // wants where mean/stddev follow the tail. Two window ranks +
+      // two tiny per-group joins; values shuffle once per pass as
+      // exact integer cents.
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("x"))
+      val byX = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("event_id"))
+      val grp = Window.partitionBy(col("event_type"))
+      val ranked = e
+        .withColumn("rn", row_number().over(byX))
+        .withColumn("n", count(lit(1)).over(grp))
+      val med = ranked
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n").as("n_events"),
+          col("x").as("median_cents"))
+      val dev = e.join(med, Seq("event_type"))
+        .withColumn("d", abs(col("x") - col("median_cents")))
+      val byD = Window.partitionBy(col("event_type"))
+        .orderBy(col("d"), col("event_id"))
+      dev
+        .withColumn("rn", row_number().over(byD))
+        .filter(col("rn") === expr("(n_events + 1) div 2"))
+        .select(col("event_type"), col("n_events"),
+          col("median_cents"), col("d").as("mad_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     "ev_histogram" -> ((s, dir) => {
       // per-type equi-width value histogram: bin anchors floor-aligned
       // in exact long arithmetic (v − pmod(v, w)) — one map-side
@@ -3801,6 +3835,31 @@ object SparkEntry {
         idCol = "asset_id", sigCol = "phash", bits = 64, maxDist = 3)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "mm_stream_phash_dedup" -> ((s, dir) => {
+      // online image dedup at INGEST: hashes batch-extract (the codec
+      // runs in the scan; 8 bytes/image leave it) and stage; the stream
+      // then claims pigeonhole chunk buckets first-writer-wins with an
+      // exact hamming verify against each bucket's claimer — a 16-bit
+      // chunk collision alone is not similarity, unlike a MinHash band.
+      // Single-batch replay reduces to min-id-claims, which the oracle
+      // recomputes from closed-form pixel arithmetic. Loser feed,
+      // distinct ids.
+      import org.apache.spark.sql.streaming.OutputMode
+      val hashes = Multimodal.extractDHash(
+        Multimodal.syntheticPixelBmpAssets(t(s, dir, "documents")))
+      val staging = s"$artifactRoot/stream_phash_input"
+      hashes.write.mode("overwrite").parquet(staging)
+      val schema = s.read.parquet(staging).schema
+      val stream = s.readStream.schema(schema).parquet(staging)
+      val losses = PhashStream.onlineImageDedupStream(
+        Dedup.hammingChunkKeys(stream, "asset_id", "phash",
+          bits = 64, maxDist = 3))
+      Sessionize.runToMemory(s, losses.toDF(), "mm_stream_phash_sink",
+        OutputMode.Append, statePartitions = 8)
+        .select(col("asset_id")).distinct()
+        .orderBy(col("asset_id"))
     }),
 
     "mm_features" -> ((s, dir) => {
@@ -6043,6 +6102,26 @@ object SparkEntry {
 
       // same floor-aligned bin anchor spelled as explicit pmod — both
       // engines' % truncates, so the +w wrap makes them floor together
+      // the same lower-median rank arithmetic, twice
+      "ev_median_mad" ->
+        """WITH e AS (SELECT event_type, event_id,
+          |  CAST(round(value*100,0) AS BIGINT) AS x FROM events),
+          |r AS (SELECT event_type, x,
+          |  row_number() OVER (PARTITION BY event_type
+          |   ORDER BY x, event_id) AS rn,
+          |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+          |med AS (SELECT event_type, CAST(n AS BIGINT) AS n_events,
+          |  x AS median_cents FROM r WHERE rn = (n + 1) // 2),
+          |d AS (SELECT e.event_type, e.event_id, med.n_events,
+          |  med.median_cents, abs(e.x - med.median_cents) AS dv
+          | FROM e JOIN med USING (event_type)),
+          |r2 AS (SELECT event_type, n_events, median_cents, dv,
+          |  row_number() OVER (PARTITION BY event_type
+          |   ORDER BY dv, event_id) AS rn FROM d)
+          |SELECT event_type, n_events, median_cents, dv AS mad_cents
+          |FROM r2 WHERE rn = (n_events + 1) // 2
+          |ORDER BY event_type""".stripMargin,
+
       "ev_histogram" ->
         """WITH e AS (SELECT event_type,
           |  CAST(round(value*100,0) AS BIGINT) AS cents FROM events)
@@ -6536,6 +6615,36 @@ object SparkEntry {
            |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.ph, b.ph)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // single-batch replay of the claim protocol: per (chunk, value)
+      // bucket the min id claims; sharers lose iff within hamming 3 of
+      // THE CLAIMER (not of any neighbor — first-writer-wins is the
+      // semantics, same as dedup_online's band complement)
+      "mm_stream_phash_dedup" -> {
+        def gray(x: String, y: String) =
+          s"(31 * (($x * w) // 9) + 17 * (($y * h) // 8)) % 256"
+        s"""WITH d AS (SELECT doc_id,
+           |  4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents),
+           |hsh AS MATERIALIZED (SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(0, 63), b ->
+           |    CASE WHEN ${gray("((b % 8) + 1)", "(b // 8)")}
+           |            > ${gray("(b % 8)", "(b // 8)")}
+           |     THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+           |  + CASE WHEN ${gray("8", "7")} > ${gray("7", "7")}
+           |     THEN (-9223372036854775807 - 1) ELSE 0 END AS ph
+           | FROM d),
+           |ck AS MATERIALIZED (SELECT doc_id, ph, u AS ci,
+           |  (ph >> (u * 16)) & 65535 AS cv
+           | FROM hsh, unnest([0, 1, 2, 3]) AS t(u)),
+           |cl AS (SELECT ci, cv, min(doc_id) AS winner
+           | FROM ck GROUP BY ci, cv)
+           |SELECT DISTINCT b.doc_id AS asset_id
+           |FROM ck b JOIN cl ON b.ci = cl.ci AND b.cv = cl.cv
+           | JOIN hsh a ON a.doc_id = cl.winner
+           |WHERE b.doc_id <> cl.winner
+           | AND bit_count(xor(a.ph, b.ph)) <= 3
+           |ORDER BY asset_id""".stripMargin
       },
 
       // FakeCodec is closed-form over md5 of the utf-8 payload

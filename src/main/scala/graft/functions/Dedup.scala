@@ -441,27 +441,6 @@ object Dedup {
       sigCol: String,
       bits: Int,
       maxDist: Int): DataFrame = {
-    require(bits >= 1 && bits <= 64, "long signatures carry 1..64 bits")
-    require(maxDist >= 0 && maxDist < bits, "need 0 <= maxDist < bits")
-    val chunks = maxDist + 1
-    val sig = sigFrame.select(col(idCol), col(sigCol).as("sh"))
-    // Balanced chunk boundaries: chunk c covers bits
-    // [c*bits/chunks, (c+1)*bits/chunks). Every chunk is non-empty for
-    // chunks <= bits; a fixed ceil-width layout would push the last
-    // chunk(s) past the signature for some (bits, maxDist), collapsing
-    // them into one global bucket and degenerating the join to n²/2.
-    val chunkVals = (0 until chunks).map { c =>
-      val lo = c * bits / chunks
-      val hi = (c + 1) * bits / chunks
-      // long mask: width can reach 63 when maxDist = 0 ((1L<<63)-1 wraps
-      // to Long.MaxValue, which IS the correct 63-bit mask); width 64
-      // (bits=64, maxDist=0) needs -1L explicitly — a JVM shift by 64
-      // is a shift by 0 and would yield mask 0, one global bucket
-      val width = hi - lo
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      struct(lit(c).as("ci"),
-        shiftright(col("sh"), lo).bitwiseAND(lit(mask)).as("cv"))
-    }
     // Bucketed SELF-JOIN on (chunk, value): narrow chunks (bits/(maxDist+1))
     // give wide buckets at corpus scale, so the quadratic in-bucket pair
     // expansion must stay inside codegen — a collect_list + higher-order
@@ -480,9 +459,9 @@ object Dedup {
     // reliable checkpoint under spark.graft.checkpoint.reliable); both
     // join sides then re-derive only the trivial chunk explode from the
     // stored blocks.
-    val banded = Materialize(sig)
-      .select(col(idCol), col("sh"), explode(array(chunkVals: _*)).as("b"))
-      .select(col(idCol), col("sh"), col("b.ci"), col("b.cv"))
+    val banded = hammingChunkKeys(
+      Materialize(sigFrame.select(col(idCol), col(sigCol).as("sh"))),
+      idCol, "sh", bits, maxDist)
     val l = banded.select(col("ci"), col("cv"),
       col(idCol).as("id_a"), col("sh").as("sha"))
     val r = banded.select(col("ci"), col("cv"),
@@ -496,6 +475,43 @@ object Dedup {
       // regime and need not reach the dedup shuffle
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** The pigeonhole chunk projection shared by [[hammingNearDupPairs]]
+    * and the streaming image-dedup twin: one row per (id, signature,
+    * chunk index, chunk value), `maxDist + 1` balanced chunks. Chunk c
+    * covers bits [c·bits/chunks, (c+1)·bits/chunks) — every chunk
+    * non-empty for chunks ≤ bits; a fixed ceil-width layout would push
+    * trailing chunks past the signature for some (bits, maxDist),
+    * collapsing them into one global bucket. Pure stateless projection
+    * (works on a streaming frame); two signatures within `maxDist`
+    * hamming agree exactly on ≥ 1 chunk, so (ci, cv) equality is a
+    * lossless candidate key. */
+  def hammingChunkKeys(
+      sig: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bits: Int,
+      maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, "long signatures carry 1..64 bits")
+    require(maxDist >= 0 && maxDist < bits, "need 0 <= maxDist < bits")
+    val chunks = maxDist + 1
+    val chunkVals = (0 until chunks).map { c =>
+      val lo = c * bits / chunks
+      val hi = (c + 1) * bits / chunks
+      // long mask: width can reach 63 when maxDist = 0 ((1L<<63)-1 wraps
+      // to Long.MaxValue, which IS the correct 63-bit mask); width 64
+      // (bits=64, maxDist=0) needs -1L explicitly — a JVM shift by 64
+      // is a shift by 0 and would yield mask 0, one global bucket
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(c).as("ci"),
+        shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("cv"))
+    }
+    sig
+      .select(col(idCol), col(sigCol).as("sh"),
+        explode(array(chunkVals: _*)).as("b"))
+      .select(col(idCol), col("sh"), col("b.ci"), col("b.cv"))
   }
 
   // ------------------------------------------------------------------
