@@ -534,6 +534,35 @@ object SparkEntry {
         .orderBy(col("version"), col("part"), col("user_id"))
     }),
 
+    "q33_snapshot_merge" -> ((s, dir) => {
+      // the lakehouse MERGE verb at partition scope: the event snapshot
+      // (partitioned by event_type) absorbs a correction batch — every
+      // purchase's cents bumped by 1 (same keys → updates) plus a batch
+      // of brand-new 'promo' rows (inserts into a new partition) —
+      // rewriting ONLY the purchase and promo directories; click/view/
+      // signup/error files carry over as manifest pointers
+      // (SnapshotsSpec pins the file reuse). The oracle recomputes the
+      // merged table straight from events.
+      val tbl = s"$artifactRoot/snap_merge_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commitPartitioned(s, ev, tbl, "event_type", append = false)
+      val updates = ev.filter(col("event_type") === "purchase")
+        .withColumn("value_cents", col("value_cents") + 1L)
+        .unionByName(ev.filter(col("event_id") % 7 === 0)
+          .withColumn("event_id", col("event_id") + 1000000L)
+          .withColumn("event_type", lit("promo")))
+      val v = Snapshots.mergePartitioned(s, tbl, updates,
+        keyCols = Seq("event_id"), partCol = "event_type")
+      Snapshots.readAsOf(s, tbl, v)
+        .select(col("event_id"), col("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     "q24_mv_rewrite" -> ((s, dir) => {
       // MV redirection end-to-end under the oracle: events stage as a
       // fact table with exact integer cents; IncrementalAgg materializes
@@ -4272,6 +4301,20 @@ object SparkEntry {
           | min(value_cents) AS min_cents, max(value_cents) AS max_cents
           |FROM f WHERE event_type IN ('purchase', 'click')
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // merged table = purchases bumped, others verbatim, promo inserts
+      "q33_snapshot_merge" ->
+        """WITH base AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents FROM events)
+          |SELECT event_id, user_id, event_type,
+          | CASE WHEN event_type = 'purchase' THEN value_cents + 1
+          |  ELSE value_cents END AS value_cents
+          |FROM base
+          |UNION ALL
+          |SELECT event_id + 1000000, user_id, 'promo' AS event_type,
+          | value_cents
+          |FROM base WHERE event_id % 7 = 0
+          |ORDER BY event_id""".stripMargin,
 
       "q24_mv_rewrite" ->
         """WITH f AS (SELECT user_id, event_type,

@@ -172,13 +172,28 @@ object Snapshots {
       append: Boolean): Long = {
     val parent =
       if (append && version > 0L)
-        manifest(spark, tablePath)
-          .filter(col("version") === version - 1L)
-          .select(col("file"), col("part")).collect()
-          .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
-          .toSeq
+        manifestRows(spark, tablePath, version - 1L)
       else Seq.empty
-    val rows = (parent ++ fresh).map { case (f, p) => (version, f, p) }
+    publishRows(spark, tablePath, version, parent ++ fresh)
+  }
+
+  /** (file, part) rows of one manifest generation. */
+  private def manifestRows(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[(String, String)] =
+    manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("part")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq
+
+  private def publishRows(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fileRows: Seq[(String, String)]): Long = {
+    val rows = fileRows.map { case (f, p) => (version, f, p) }
     // one generation = one manifest file, staged in a version-unique
     // temp dir and RENAMED in — never `mode("append")` into the shared
     // manifest dir, whose job-commit staging (`_temporary/0`) is a
@@ -245,8 +260,15 @@ object Snapshots {
       latestVersion(spark, tablePath).map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
     df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
-    val f = fs(spark, tablePath)
-    val fresh = f.listStatus(new Path(dataPath))
+    publish(spark, tablePath, version,
+      listPartitionedFiles(spark, dataPath), append)
+  }
+
+  /** (file, fragment) rows of a freshly written partitioned batch. */
+  private def listPartitionedFiles(
+      spark: SparkSession,
+      dataPath: String): Seq[(String, String)] =
+    fs(spark, dataPath).listStatus(new Path(dataPath))
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .toSeq
       .flatMap { d =>
@@ -254,7 +276,70 @@ object Snapshots {
           .map((_, d.getPath.getName))
       }
       .sortBy(_._1)
-    publish(spark, tablePath, version, fresh, append)
+
+  /** Read a set of partitioned manifest rows, partition column rebuilt
+    * via per-version basePath groups. */
+  private def readPartedFiles(
+      spark: SparkSession,
+      rows: Seq[(String, String)]): DataFrame =
+    rows
+      .groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
+      .toSeq.sortBy(_._1)
+      .map { case (root, fs) =>
+        spark.read.option("basePath", root)
+          .option("mergeSchema", "true")
+          .parquet(fs.map(_._1).toIndexedSeq: _*)
+      }
+      .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  /** MERGE (keyed upsert) into the latest snapshot of a PARTITIONED
+    * table, copy-on-write at PARTITION scope — the lakehouse verb that
+    * makes daily corrections affordable: only the partitions the
+    * update batch touches are rewritten (their surviving rows
+    * anti-joined on `keyCols`, unioned with the updates); every
+    * untouched partition's files carry over into the new manifest
+    * generation as POINTERS, byte-identical and never read. A
+    * whole-table rewrite per merge — the naive copy-on-write — is
+    * O(table) daily; this is O(touched partitions), which is the whole
+    * point of partitioning the snapshot.
+    *
+    * Contract: `keyCols` identify rows globally and a key never moves
+    * partitions (the standard date-partitioned layout); an update row
+    * both deletes its key's old row (if its partition is touched) and
+    * inserts itself. Readers of older versions are untouched; the
+    * rewritten partitions' old files die later via [[vacuum]]. */
+  def mergePartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partCol: String): Long = {
+    require(keyCols.nonEmpty, "mergePartitioned needs key columns")
+    require(updates.columns.contains(partCol),
+      s"mergePartitioned: updates frame has no column '$partCol'")
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergePartitioned: $tablePath has no committed versions"))
+    val parentRows = manifestRows(spark, tablePath, latest)
+    require(parentRows.forall(_._2 != null),
+      s"mergePartitioned needs a partitioned table (commitPartitioned); " +
+        s"version $latest of $tablePath carries flat files")
+    val touched = updates
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+    val (touchedFiles, untouched) =
+      parentRows.partition(r => touched.contains(r._2))
+    val version = claimVersion(spark, tablePath, latest + 1L)
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    val survivors =
+      if (touchedFiles.isEmpty) updates.limit(0)
+      else readPartedFiles(spark, touchedFiles)
+        .join(updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+    survivors.unionByName(updates)
+      .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
+    publishRows(spark, tablePath, version,
+      untouched ++ listPartitionedFiles(spark, dataPath))
   }
 
   /** Read snapshot `version` — exactly the files its manifest
@@ -286,14 +371,8 @@ object Snapshots {
         Seq(spark.read.option("mergeSchema", "true")
           .parquet(flat.map(_._1).toIndexedSeq: _*))
       else Seq.empty) ++
-        parted
-          .groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
-          .toSeq.sortBy(_._1)
-          .map { case (root, fs) =>
-            spark.read.option("basePath", root)
-              .option("mergeSchema", "true")
-              .parquet(fs.map(_._1).toIndexedSeq: _*)
-          }
+        (if (parted.nonEmpty) Seq(readPartedFiles(spark, parted.toSeq))
+        else Seq.empty)
     reads.reduceLeft((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
   }
@@ -324,14 +403,7 @@ object Snapshots {
     if (hit.isEmpty) {
       val schema = readAsOf(spark, tablePath, version).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else
-      hit.groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
-        .toSeq.sortBy(_._1)
-        .map { case (root, fs) =>
-          spark.read.option("basePath", root)
-            .parquet(fs.map(_._1).toIndexedSeq: _*)
-        }
-        .reduce(_.unionByName(_))
+    } else readPartedFiles(spark, hit)
   }
 
   /** Expire every version below `keepFrom`: drop their manifest

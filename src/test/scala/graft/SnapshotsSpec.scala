@@ -278,6 +278,39 @@ class SnapshotsSpec extends SparkSuite {
       Seq("id", "v"))
   }
 
+  test("mergePartitioned: touched partitions rewrite (update wins, " +
+    "inserts land), untouched partitions' FILES carry over as pointers") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+        (4L, "d", "d3")).toDF("id", "v", "day"),
+      tbl, "day", append = false)
+    // update id 1 in d1, insert id 9 into d1, open new partition d4;
+    // d2 and d3 are untouched
+    val v1 = Snapshots.mergePartitioned(spark, tbl,
+      Seq((1L, "A", "d1"), (9L, "i", "d1"), (8L, "n", "d4"))
+        .toDF("id", "v", "day"),
+      keyCols = Seq("id"), partCol = "day")
+    val rows = Snapshots.readAsOf(spark, tbl, v1)
+      .select($"id", $"v", $"day").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(rows == Seq((1L, "A", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+      (4L, "d", "d3"), (8L, "n", "d4"), (9L, "i", "d1")))
+    // file-level: d2/d3 rows in v1's manifest are v0's files verbatim
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def files(v: Long, frag: String) =
+      m.filter(r => r._1 == v && r._3 == frag).map(_._2).toSet
+    assert(files(v1, "day=d2") == files(v0, "day=d2") &&
+      files(v1, "day=d3") == files(v0, "day=d3"),
+      "untouched partitions must carry the parent's files, not copies")
+    assert(files(v1, "day=d1").intersect(files(v0, "day=d1")).isEmpty,
+      "touched partition must be rewritten under the new version")
+    // past version unchanged
+    assert(Snapshots.readAsOf(spark, tbl, v0)
+      .filter($"id" === 1L).select($"v").as[String].head() == "a")
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
