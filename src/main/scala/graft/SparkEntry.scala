@@ -2658,6 +2658,30 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bin_lo"))
     }),
 
+    "text_stream_kmv" -> ((s, dir) => {
+      // distinct-cardinality AT INGEST: the same KMV bottom-k sketch as
+      // text_kmv_vocab running as a Complete-mode streaming aggregation
+      // — state per source is the bounded ≤64-hash array, combined
+      // incrementally as micro-batches arrive, so a live dashboard
+      // reads vocabulary size without a distinct-scan (exact
+      // count(DISTINCT) is structurally unsupported over streams; the
+      // sketch is the operator that CAN run there). Drained after the
+      // bounded replay; the oracle replays the bottom-k arithmetic.
+      import org.apache.spark.sql.streaming.OutputMode
+      val raw = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(streamGlob(s"$dir/documents.parquet"))
+      val words = stream
+        .filter(TextAnalysis.normalize(col("text")) =!= "")
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val out = Kmv.kmvDistinct(words, "source", "word", k = 64)
+      Sessionize.runToMemory(s, out, "text_stream_kmv_sink",
+        OutputMode.Complete, statePartitions = 8)
+        .orderBy(col("source"))
+    }),
+
     "ev_stream_histogram" -> ((s, dir) => {
       // the live-dashboard face of ev_histogram: the SAME floor-aligned
       // bin aggregation runs as a Complete-mode streaming aggregation
@@ -5748,6 +5772,30 @@ object SparkEntry {
            | tok_start // 256 AS seq_first,
            | (tok_start + n_tokens - 1) // 256 AS seq_last
            |FROM c ORDER BY doc_id""".stripMargin
+      },
+
+      // the sketch columns of text_kmv_vocab (no exact_distinct — the
+      // stream twin can't run an exact distinct, that's its point)
+      "text_stream_kmv" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(k64.h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH w0 AS (SELECT source, unnest($duckWords) AS word
+           | FROM documents WHERE $duckNorm <> ''),
+           |w AS (SELECT DISTINCT source, md5(word) AS h
+           | FROM w0 WHERE word <> ''),
+           |r AS (SELECT source, h,
+           |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+           |  count(*) OVER (PARTITION BY source) AS n FROM w),
+           |k64 AS (SELECT source, h FROM r WHERE rn = 64),
+           |n AS (SELECT source, CAST(max(n) AS BIGINT) AS nd FROM r
+           | GROUP BY source)
+           |SELECT n.source, least(n.nd, 64) AS n_mins,
+           | CASE WHEN n.nd < 64 THEN CAST(n.nd AS DOUBLE)
+           |  ELSE 63.0 / (CAST($hex8 AS DOUBLE) / 4294967296.0) END
+           |  AS est_distinct
+           |FROM n LEFT JOIN k64 ON k64.source = n.source
+           |ORDER BY n.source""".stripMargin
       },
 
       // train replay restricted to even doc_ids, then the held-out apply
