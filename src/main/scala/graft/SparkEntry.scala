@@ -2294,6 +2294,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: segment boundaries chosen by word
+      // CONTENT (md5 gate, expected length 8 words), not position — the
+      // rsync/LBFS property that makes segment-level dedup survive
+      // insertions: a fixed-width segmentation shifts every segment
+      // after an edit (zero shared keys), CDC re-synchronizes at the
+      // next content cut and the tail dedups again (DedupSpec
+      // demonstrates both behaviors side by side). One posexplode, one
+      // per-doc window cumsum, one grouped reassembly — only
+      // (doc, pos, word) rows shuffle.
+      Dedup.cdcSegments(par(s)(t(s, dir, "documents")), modulus = 8)
+        .orderBy(col("doc_id"), col("seg"))
+    }),
+
     "text_kmv_vocab" -> ((s, dir) => {
       // mergeable distinct-cardinality sketch: per-source vocabulary
       // size via k-minimum-values (k=64) — the COUNT DISTINCT a 100-TB
@@ -5717,6 +5731,27 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            | CAST(sum(w_tokens) AS BIGINT) AS n_bpe_tokens
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // same md5-gated boundary rule, window cumsum segment ids,
+      // position-ordered reassembly
+      "text_cdc_chunks" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(md5('cdc:' || word), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH w AS (SELECT doc_id, unnest($duckWords) AS word,
+           |  CAST(generate_subscripts($duckWords, 1) - 1 AS BIGINT) AS pos
+           | FROM documents WHERE $duckNorm <> ''),
+           |c AS (SELECT doc_id, word, pos,
+           |  CASE WHEN pos > 0 AND CAST($hex8 AS BIGINT) % 8 = 0
+           |   THEN 1 ELSE 0 END AS cut
+           | FROM w WHERE word <> ''),
+           |s AS (SELECT *, CAST(sum(cut) OVER (PARTITION BY doc_id
+           |  ORDER BY pos) AS BIGINT) AS seg FROM c)
+           |SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS n_words,
+           | md5(string_agg(word, ' ' ORDER BY pos)) AS seg_key
+           |FROM s GROUP BY doc_id, seg
+           |ORDER BY doc_id, seg""".stripMargin
       },
 
       // bottom-k of distinct word hashes per source; estimate = exact

@@ -1171,6 +1171,53 @@ object Dedup {
       1)
   }
 
+  /** Content-defined chunking (CDC) of the normalized word stream — the
+    * rsync/LBFS segmentation trick, word-granular: a segment boundary
+    * opens BEFORE word `i` (i ≥ 2) exactly where
+    * `u32(md5("cdc:" + word_i)) % modulus == 0`, so boundaries are a
+    * function of CONTENT, not position. That is the property fixed-width
+    * segmentation ([[segments]]) lacks: insert one word near the top of
+    * a page and every fixed-width segment after it shifts — zero shared
+    * keys with the original — while CDC boundaries re-synchronize at the
+    * next content-chosen cut and the whole tail dedups again
+    * (spec-demonstrated). Expected segment length = `modulus` words.
+    *
+    * Word-level single-hash boundaries rather than a byte rolling hash:
+    * same re-synchronization property, zero per-byte state, and the
+    * boundary rule replays in one SQL expression — a byte-windowed
+    * Rabin fingerprint is the refinement when sub-word edits matter.
+    *
+    * Output: one row per (doc, segment) — (idCol, seg, n_words,
+    * seg_key = md5 of the space-joined segment words). Per-doc window
+    * cumsum assigns segments; reassembly sorts by position inside the
+    * group so output never depends on shuffle order. */
+  def cdcSegments(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      modulus: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modulus >= 1, s"modulus must be positive, got $modulus")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    df
+      .filter(TextAnalysis.normalize(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("__cut",
+        when(col("pos") > 0 &&
+          conv(substring(md5(concat(lit("cdc:"), col("word"))), 1, 8), 16, 10)
+            .cast("long") % modulus === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("seg",
+        sum(col("__cut")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ")).as("seg_key"))
+  }
+
   /** Corpus-wide boilerplate removal at fixed word-segment granularity —
     * the line-level dedup step of C4/RefinedWeb-style web curation,
     * generalized to `width`-word segments so it stays defined for corpora

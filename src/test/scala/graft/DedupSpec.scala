@@ -553,6 +553,41 @@ class DedupSpec extends SparkSuite {
     assert(passed < 200L, s"bloom passed $passed of 2000 non-members")
   }
 
+  test("cdcSegments: boundaries are content-defined — an insertion " +
+    "shifts fixed-width segments but CDC re-synchronizes; determinism") {
+    // 120 distinct words, then doc B = doc A with one word inserted at
+    // the front — the edit every fixed-width segmentation is blind to
+    val wordsA = (1 to 120).map(i => s"tok${i}word$i")
+    val textA = wordsA.mkString(" ")
+    val textB = ("inserted" +: wordsA).mkString(" ")
+    val docs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    def keys(id: Long, df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") === id).select(col("seg_key"))
+        .as[String].collect().toSet
+    val cdc = Dedup.cdcSegments(docs, modulus = 8)
+    val (ca, cb) = (keys(1L, cdc), keys(2L, cdc))
+    // everything after the first content-chosen cut is identical text,
+    // so most of A's segments reappear verbatim in B
+    val shared = ca.intersect(cb).size
+    assert(ca.size >= 8, s"fixture produced only ${ca.size} segments")
+    assert(shared >= ca.size - 2,
+      s"CDC failed to re-synchronize: $shared of ${ca.size} shared")
+    // fixed-width segmentation of the same pair shares (almost) nothing
+    val fixed = docs.select(col("doc_id"),
+      explode(Dedup.segments(col("text"), 8)).as("seg_text"))
+      .select(col("doc_id"), md5(col("seg_text")).as("seg_key"))
+    val (fa, fb) = (keys(1L, fixed), keys(2L, fixed))
+    assert(fa.intersect(fb).size <= 1,
+      "fixed-width segments unexpectedly survived the shift")
+    // deterministic under repartitioning (window order is pinned)
+    val re = Dedup.cdcSegments(docs.repartition(7), modulus = 8)
+      .select(col("doc_id"), col("seg"), col("n_words"), col("seg_key"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val base = cdc.select(col("doc_id"), col("seg"), col("n_words"),
+      col("seg_key")).as[(Long, Long, Long, String)].collect().toSet
+    assert(re == base)
+  }
+
   test("decontaminateSpans: overlapping hit windows merge into maximal " +
     "word spans; repeated grams are separate windows; gaps split") {
     val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
