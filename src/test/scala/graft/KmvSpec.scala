@@ -40,6 +40,23 @@ class KmvSpec extends SparkSuite {
     assert(est == 63.0 / u)
   }
 
+  test("KmvAgg property: any insertion order and any merge split yields " +
+    "the sorted distinct bottom-k — the algebraic contract udaf relies on") {
+    val rnd = new scala.util.Random(7)
+    val agg = new Kmv.KmvAgg(16)
+    (1 to 200).foreach { round =>
+      val vals = Vector.fill(60)(f"${rnd.nextInt(500)}%032x")
+      val expected = vals.distinct.sorted.take(16)
+      val cut = rnd.nextInt(vals.size + 1)
+      val (l, r) = vals.splitAt(cut)
+      val sl = l.foldLeft(agg.zero)(agg.reduce)
+      val sr = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(sl, sr)) == expected, s"round $round split")
+      assert(agg.finish(rnd.shuffle(vals).foldLeft(agg.zero)(agg.reduce))
+        == expected, s"round $round order")
+    }
+  }
+
   test("monoid: merging per-slice sketches equals the whole-corpus " +
     "sketch — the rollup property") {
     val all = (1 to 500).map(i => ("g", s"e${i % 320}")).toDF("g", "e")

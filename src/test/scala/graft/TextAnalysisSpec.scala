@@ -300,6 +300,42 @@ class TextAnalysisSpec extends SparkSuite {
       .as[String].head() == "abc")
   }
 
+  test("bpeFusePair property: equals the reference left-to-right " +
+    "scan-and-skip on random symbol sequences, for merges whose tokens " +
+    "overlap each other") {
+    // alphabet chosen so merge tokens collide with symbol PREFIXES and
+    // with each other ("ab" vs "a"+"b") — the cases a substring-based
+    // fuse gets wrong
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "ab", "ba", "c")
+    val syms = (1 to 400).map { _ =>
+      (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString("|")
+    }
+    // the reference algorithm, verbatim: scan left to right, fuse and
+    // SKIP, never reconsider the fused token
+    def refFuse(sym: String, lhs: String, rhs: String): String = {
+      val xs = sym.split("\\|")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < xs.length) {
+        if (i + 1 < xs.length && xs(i) == lhs && xs(i + 1) == rhs) {
+          out += lhs + rhs; i += 2
+        } else { out += xs(i); i += 1 }
+      }
+      out.mkString("|")
+    }
+    for ((lhs, rhs) <- Seq(("a", "b"), ("a", "a"), ("ab", "a"),
+      ("b", "ba"), ("ba", "b"), ("c", "ab"))) {
+      val got = syms.toDF("sym")
+        .withColumn("fused", TextAnalysis.bpeFusePair(col("sym"), lhs, rhs))
+        .as[(String, String)].collect()
+      got.foreach { case (s, f) =>
+        assert(f == refFuse(s, lhs, rhs), s"sym=$s merge=($lhs,$rhs)")
+      }
+    }
+  }
+
   test("bpeApply: frozen tokenizer prices held-out words — trained words " +
     "get their trained encoding, unseen words char-fall-back, none drop") {
     val train = Seq("ab ab ab abc bc bc bc").toDF("text")
