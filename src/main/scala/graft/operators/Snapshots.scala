@@ -23,18 +23,26 @@ import org.apache.spark.sql.functions._
   *
   * Concurrency contract: version numbers are minted by an ATOMIC
   * create-fails-if-exists claim on a per-version marker file
-  * (`_commits/v<N>` via `FileSystem.create(path, overwrite=false)` —
-  * the CAS primitive every Hadoop filesystem and the local FS provide),
+  * (`_commits/v<N>` via `FileSystem.create(path, overwrite=false)`).
+  * That create is a true CAS on filesystems with atomic
+  * create-if-absent — HDFS and the local FS, the deployments this
+  * layer targets; on object stores (S3A) it degrades to
+  * check-then-create, so object-store deployments must serialize
+  * commits through a catalog or lock service instead. The claim is
   * retried upward on collision, so two racing committers always mint
   * DISTINCT versions and both survive. What the claim does NOT provide
   * is serializable append lineage: an append commit takes as parent the
-  * latest PUBLISHED manifest at claim time, so an append racing another
-  * append may not include the racer's rows (its parent manifest wasn't
-  * published yet). Serializing appends is a catalog's job — the same
-  * boundary [[Compaction]]'s scaladoc draws; a crashed claim leaves a
-  * version gap, which [[readAsOf]] reports loudly. Readers never block:
-  * snapshots are immutable and vacuum only deletes files no retained
-  * generation references.
+  * latest PUBLISHED manifest OBSERVED before its claim (never the
+  * claimed number minus one — a crashed claim or an unpublished racer
+  * leaves a numeric gap there, and resolving the parent through the
+  * gap would silently drop the whole table history from the new
+  * lineage), so an append racing another append may not include the
+  * racer's rows (its parent manifest wasn't published yet) — a gap
+  * costs at most the unpublished racer's rows. Serializing appends is
+  * a catalog's job — the same boundary [[Compaction]]'s scaladoc
+  * draws; a crashed claim leaves a version gap, which [[readAsOf]]
+  * reports loudly. Readers never block: snapshots are immutable and
+  * vacuum only deletes files no retained generation references.
   */
 object Snapshots {
 
@@ -159,22 +167,26 @@ object Snapshots {
     v // unreachable
   }
 
-  /** Shared commit tail: parent rows (for append) plus fresh rows under
-    * one claimed version, published as one manifest generation. The
-    * manifest append is the PUBLISH point — a crash before it leaves an
-    * orphaned marker and unreferenced data files (a version gap that
-    * [[readAsOf]] reports loudly), never a half-visible snapshot. */
+  /** Shared commit tail: the observed parent generation's rows (for
+    * append) plus fresh rows under one claimed version, published as
+    * one manifest generation. `parent` is the latest PUBLISHED version
+    * observed BEFORE the claim — never `version - 1`, which after a
+    * crashed claim (or beside a racer's still-unpublished lower
+    * number) is a numeric gap with no manifest rows, and an append
+    * resolved through it would publish only the fresh files, silently
+    * truncating the table. The manifest append is the PUBLISH point —
+    * a crash before it leaves an orphaned marker and unreferenced data
+    * files (a version gap that [[readAsOf]] reports loudly), never a
+    * half-visible snapshot. */
   private def publish(
       spark: SparkSession,
       tablePath: String,
       version: Long,
       fresh: Seq[(String, String)],
-      append: Boolean): Long = {
-    val parent =
-      if (append && version > 0L)
-        manifestRows(spark, tablePath, version - 1L)
-      else Seq.empty
-    publishRows(spark, tablePath, version, parent ++ fresh)
+      parent: Option[Long]): Long = {
+    val parentRows =
+      parent.map(v => manifestRows(spark, tablePath, v)).getOrElse(Seq.empty)
+    publishRows(spark, tablePath, version, parentRows ++ fresh)
   }
 
   /** (file, part) rows of one manifest generation. */
@@ -230,12 +242,14 @@ object Snapshots {
       df: DataFrame,
       tablePath: String,
       append: Boolean): Long = {
+    val observed = latestVersion(spark, tablePath)
     val version = claimVersion(spark, tablePath,
-      latestVersion(spark, tablePath).map(_ + 1L).getOrElse(0L))
+      observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
     df.write.mode("errorifexists").parquet(dataPath)
     val fresh = listDataFiles(spark, dataPath).map((_, null: String))
-    publish(spark, tablePath, version, fresh, append)
+    publish(spark, tablePath, version, fresh,
+      if (append) observed else None)
   }
 
   /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
@@ -256,12 +270,14 @@ object Snapshots {
       append: Boolean): Long = {
     require(df.columns.contains(partCol),
       s"commitPartitioned: frame has no column '$partCol'")
+    val observed = latestVersion(spark, tablePath)
     val version = claimVersion(spark, tablePath,
-      latestVersion(spark, tablePath).map(_ + 1L).getOrElse(0L))
+      observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
     df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
-      listPartitionedFiles(spark, dataPath), append)
+      listPartitionedFiles(spark, dataPath),
+      if (append) observed else None)
   }
 
   /** (file, fragment) rows of a freshly written partitioned batch. */
@@ -326,7 +342,7 @@ object Snapshots {
         s"version $latest of $tablePath carries flat files")
     val touched = updates
       .select(col(partCol).cast("string")).distinct()
-      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+      .collect().map(r => partFragment(partCol, r.getString(0))).toSet
     val (touchedFiles, untouched) =
       parentRows.partition(r => touched.contains(r._2))
     val version = claimVersion(spark, tablePath, latest + 1L)
@@ -383,8 +399,9 @@ object Snapshots {
     * metadata (the composition of time travel and hive partition
     * pruning). A version with no such partition is an empty answer
     * (with the snapshot's schema); an unknown version is an error.
-    * `value` is rendered with `toString`, matching hive's fragment
-    * encoding for the date/string/int keys used here. */
+    * `value` is rendered with `toString` then hive path-escaped
+    * ([[partFragment]]), matching the writer's fragment encoding even
+    * for values carrying '=', ':', '%' or '/'. */
   def scanPartitionAsOf(
       spark: SparkSession,
       tablePath: String,
@@ -398,7 +415,7 @@ object Snapshots {
     require(all.nonEmpty,
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
-    val frag = s"$partCol=$value"
+    val frag = partFragment(partCol, String.valueOf(value))
     val hit = all.filter(_._2 == frag)
     if (hit.isEmpty) {
       val schema = readAsOf(spark, tablePath, version).schema
@@ -473,6 +490,18 @@ object Snapshots {
   private def statsDir(tablePath: String, version: Long): String =
     s"$tablePath/_stats/v$version"
 
+  /** Render a partition value the way Spark's writer renders it into a
+    * directory name: hive path-escaping ('=', ':', '%', '/', … become
+    * `%XX`). Manifest fragments are recorded from the written
+    * directory names, so a LOOKUP value must pass through the same
+    * escaping or any special-charactered value silently matches
+    * nothing — a scan returns empty and a merge leaves the stale row
+    * beside its replacement instead of rewriting the partition. */
+  private def partFragment(partCol: String, value: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    s"$partCol=${ExternalCatalogUtils.escapePathName(value)}"
+  }
+
   /** [[commit]] with the physical layout that makes snapshots CHEAP to
     * query selectively — the Iceberg read path over plain parquet:
     * the batch is range-clustered on `keyCol` into `numFiles` tight-
@@ -494,6 +523,11 @@ object Snapshots {
     val clustered = df
       .repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
+    // observed BEFORE the commit mints its version: the stats parent
+    // must be the latest PUBLISHED generation, not version−1, for the
+    // same reason publish() resolves its parent that way — a crashed
+    // claim leaves a numeric gap with no stats dir behind it
+    val observed = latestVersion(spark, tablePath)
     val version = commit(spark, clustered, tablePath, append)
     val fresh = manifest(spark, tablePath)
       .filter(col("version") === version)
@@ -505,8 +539,8 @@ object Snapshots {
         min(col(keyCol)).as(s"min_$keyCol"),
         max(col(keyCol)).as(s"max_$keyCol"))
     val stats =
-      if (append && version > 0L)
-        spark.read.parquet(statsDir(tablePath, version - 1L))
+      if (append && observed.isDefined)
+        spark.read.parquet(statsDir(tablePath, observed.get))
           .unionByName(freshStats)
       else freshStats
     stats.coalesce(1).write.mode("errorifexists")

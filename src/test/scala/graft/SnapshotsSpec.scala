@@ -311,6 +311,46 @@ class SnapshotsSpec extends SparkSuite {
       .filter($"id" === 1L).select($"v").as[String].head() == "a")
   }
 
+  test("append after a crashed claim (version gap) still carries the " +
+    "full parent lineage") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false) // v0
+    // a committer that claimed v1 and died before publishing: the
+    // marker exists, no manifest generation does
+    assert(new java.io.File(s"$tbl/_commits/v1").createNewFile())
+    val v = Snapshots.commit(spark, rows1, tbl, append = true)
+    assert(v == 2L, "the claim must skip the crashed number")
+    val ids = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      "the append's parent must be the latest PUBLISHED version (v0), " +
+        "not the numeric predecessor v1 — a gap must never truncate " +
+        "the table history")
+    intercept[Exception](Snapshots.readAsOf(spark, tbl, 1L).collect())
+  }
+
+  test("partition values with hive-special characters round-trip " +
+    "through scanPartitionAsOf and mergePartitioned") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, "x", "k=1:a"), (2L, "y", "k=1:a"), (3L, "z", "plain"))
+        .toDF("id", "v", "part"),
+      tbl, "part", append = false)
+    // the writer escapes '=' and ':' into the directory name; a lookup
+    // that compares the raw value would match nothing
+    val scanned = Snapshots.scanPartitionAsOf(spark, tbl, v0, "part", "k=1:a")
+    assert(scanned.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val v1 = Snapshots.mergePartitioned(spark, tbl,
+      Seq((2L, "Y", "k=1:a")).toDF("id", "v", "part"),
+      keyCols = Seq("id"), partCol = "part")
+    val after = Snapshots.readAsOf(spark, tbl, v1)
+      .select($"id", $"v").as[(Long, String)].collect().sorted.toSeq
+    assert(after == Seq((1L, "x"), (2L, "Y"), (3L, "z")),
+      "the merge must rewrite the escaped partition, not leave the " +
+        "stale row beside the update")
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
