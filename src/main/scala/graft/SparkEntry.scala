@@ -1012,8 +1012,13 @@ object SparkEntry {
       // each held-out doc scores Σ (10^6·c2(w1,w2)) div c1(w1) over its
       // bigram POSITIONS — integer division both engines compute
       // identically, no IEEE logs whose last ulp differs per libm.
-      // Both count tables broadcast (vocabulary-sized); the corpus
-      // aggregates once per doc.
+      // The count-table joins carry NO broadcast hint on purpose:
+      // a bigram table is CORPUS-sized, not vocabulary-sized (it grows
+      // with the trusted slice — a Wikipedia-scale LM's bigram table
+      // exceeds any broadcast threshold), so AQE's runtime sizing
+      // decides — broadcast while the LM is small, shuffle join once
+      // it isn't. A hard hint here would OOM the driver exactly when
+      // the trusted corpus is scaled up.
       val docs = par(s)(t(s, dir, "documents"))
       val train = docs.filter(col("doc_id") % 2 === 0)
       val trainBigrams = train
@@ -1029,8 +1034,8 @@ object SparkEntry {
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("bg"))
         .filter(col("bg").contains(" "))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .join(broadcast(trainBigrams), Seq("bg"), "left")
-        .join(broadcast(trainWords), Seq("w1"), "left")
+        .join(trainBigrams, Seq("bg"), "left")
+        .join(trainWords, Seq("w1"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_hit"),
@@ -2629,33 +2634,43 @@ object SparkEntry {
 
     "ev_median_mad" -> ((s, dir) => {
       // robust location/scale per event type: EXACT lower median (the
-      // ⌈n/2⌉-th smallest by (value, id) — rank arithmetic, no
-      // averaging, no approx-percentile sketch whose buffer layout an
-      // independent engine can't replay) and MAD (the same rank over
-      // |x − median|). The robust pair an outlier-gated quality monitor
-      // wants where mean/stddev follow the tail. Two window ranks +
-      // two tiny per-group joins; values shuffle once per pass as
-      // exact integer cents.
+      // ⌈n/2⌉-th smallest — rank arithmetic, no averaging, no
+      // approx-percentile sketch whose buffer layout an independent
+      // engine can't replay) and MAD (the same rank over |x − median|).
+      // The robust pair an outlier-gated quality monitor wants where
+      // mean/stddev follow the tail. Plan shape is the 100-TB-safe one:
+      // a per-row window over the bare event_type key would funnel
+      // every row of a ~4-valued group into ONE sort task, so each
+      // pass instead pre-aggregates (event_type, value) → cnt — a
+      // map-side-combinable shuffle of DISTINCT VALUES — and selects
+      // the value whose cumulative-count range [cum−cnt+1, cum]
+      // contains rank ⌈n/2⌉. The windows rank the distinct-value
+      // frame (integer cents: orders of magnitude smaller than rows),
+      // never the row stream; the answer is identical because the
+      // value at a global (value, id)-rank depends on the value
+      // ordering alone.
       val e = t(s, dir, "events")
-        .select(col("event_type"), col("event_id"),
-          cents(col("value")).as("x"))
-      val byX = Window.partitionBy(col("event_type"))
-        .orderBy(col("x"), col("event_id"))
+        .select(col("event_type"), cents(col("value")).as("x"))
+      val cnts = e.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val byX = Window.partitionBy(col("event_type")).orderBy(col("x"))
       val grp = Window.partitionBy(col("event_type"))
-      val ranked = e
-        .withColumn("rn", row_number().over(byX))
-        .withColumn("n", count(lit(1)).over(grp))
-      val med = ranked
-        .filter(col("rn") === expr("(n + 1) div 2"))
+      val med = cnts
+        .withColumn("cum", sum(col("cnt")).over(byX))
+        .withColumn("n", sum(col("cnt")).over(grp))
+        .filter(col("cum") >= expr("(n + 1) div 2") &&
+          col("cum") - col("cnt") < expr("(n + 1) div 2"))
         .select(col("event_type"), col("n").as("n_events"),
           col("x").as("median_cents"))
-      val dev = e.join(med, Seq("event_type"))
-        .withColumn("d", abs(col("x") - col("median_cents")))
-      val byD = Window.partitionBy(col("event_type"))
-        .orderBy(col("d"), col("event_id"))
-      dev
-        .withColumn("rn", row_number().over(byD))
-        .filter(col("rn") === expr("(n_events + 1) div 2"))
+      val dcnts = cnts.join(med, Seq("event_type"))
+        .groupBy(col("event_type"), col("n_events"), col("median_cents"),
+          abs(col("x") - col("median_cents")).as("d"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val byD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      dcnts
+        .withColumn("cum", sum(col("cnt")).over(byD))
+        .filter(col("cum") >= expr("(n_events + 1) div 2") &&
+          col("cum") - col("cnt") < expr("(n_events + 1) div 2"))
         .select(col("event_type"), col("n_events"),
           col("median_cents"), col("d").as("mad_cents"))
         .orderBy(col("event_type"))

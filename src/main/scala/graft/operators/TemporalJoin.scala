@@ -180,7 +180,13 @@ object TemporalJoin {
     * bucket), and the exact predicate clears bucket-collision false
     * positives; two overlapping intervals share the bucket of any
     * point in their intersection, so no pair is lost. Pairs spanning
-    * several common buckets dedup via `distinct()` on the joined row.
+    * several common buckets are emitted EXACTLY ONCE — only the row
+    * whose join bucket is the pair's FIRST common bucket
+    * `max(⌊ls/W⌋, ⌊rs/W⌋)` survives (the later-starting interval's
+    * first bucket: both sides cover it, and no earlier bucket is
+    * common) — so no `distinct()` and no extra exchange of the full
+    * joined row ever runs; dedup is a filter decided from the two
+    * start columns already on the row.
     *
     * `bucketMicros` tunes the explode-vs-bucket-width trade: ~ the
     * typical interval length keeps the per-interval fan-out at one or
@@ -205,7 +211,9 @@ object TemporalJoin {
       .join(bucketed(right, rightStartCol, rightEndCol), keyCols :+ "__b")
       .filter(col(leftStartCol) < col(rightEndCol) &&
         col(rightStartCol) < col(leftEndCol))
+      .filter(col("__b") === greatest(
+        expr(s"$leftStartCol div $bucketMicros"),
+        expr(s"$rightStartCol div $bucketMicros")))
       .drop("__b")
-      .distinct()
   }
 }

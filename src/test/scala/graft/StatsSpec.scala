@@ -118,4 +118,34 @@ class StatsSpec extends SparkSuite {
       .select($"k", $"twa").as[(Long, Option[Double])].collect().toSet
     assert(got == Set((1L, None), (2L, None)))
   }
+
+  test("ev_median_mad: count-by-value selection equals the per-row " +
+    "rank formulation on the real events table") {
+    // the deployed query pre-aggregates (event_type, cents) → cnt and
+    // selects the value whose cumulative-count range contains ⌈n/2⌉;
+    // this brute twin ranks every ROW (the shape the deployed plan
+    // must avoid at scale) — identical output pins the rewrite
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ev_median_mad")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val e = Tables(spark, dir, "events")
+      .select($"event_type".cast("string").as("et"), $"event_id",
+        round($"value" * 100).cast("long").as("x"))
+    val byX = org.apache.spark.sql.expressions.Window
+      .partitionBy($"et").orderBy($"x", $"event_id")
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy($"et")
+    val med = e.withColumn("rn", row_number().over(byX))
+      .withColumn("n", count(lit(1)).over(grp))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"et", $"n", $"x".as("m"))
+    val byD = org.apache.spark.sql.expressions.Window
+      .partitionBy($"et").orderBy($"d", $"event_id")
+    val want = e.join(med, Seq("et"))
+      .withColumn("d", abs($"x" - $"m"))
+      .withColumn("rn", row_number().over(byD))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"et", $"n", $"m", $"d")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+  }
 }

@@ -176,4 +176,30 @@ class TemporalJoinSpec extends SparkSuite {
       "a_s", "a_e", "b_s", "b_e", bucketMicros = 10L).count()
     assert(n == 4L, s"multi-bucket pairs not deduped: $n rows")
   }
+
+  test("intervalOverlapJoin: first-common-bucket emission — pair set " +
+    "equals the quadratic oracle, no dedup operator in the plan") {
+    // a denser corpus than the hand case: every (i, j) combination of
+    // widths/offsets so pairs share 0..8 common buckets
+    val a = (0L until 12L).map(i => (1L, i, i * 7L, i * 7L + 5L + 4L * i))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val b = (0L until 12L).map(j => (1L, j, j * 11L, j * 11L + 3L + 6L * j))
+      .toDF("k", "b_id", "b_s", "b_e")
+    val out = TemporalJoin.intervalOverlapJoin(a, b, Seq("k"),
+      "a_s", "a_e", "b_s", "b_e", bucketMicros = 10L)
+    val got = out.select($"a_id", $"b_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val want = a.crossJoin(b.withColumnRenamed("k", "k2"))
+      .filter($"k" === $"k2" && $"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want,
+      "first-common-bucket filter must emit exactly the overlap pairs")
+    assert(got.distinct == got, "a pair must emit exactly once")
+    // the dedup is a filter, not an operator: no Deduplicate/distinct
+    // aggregate and no exchange of the full joined row above the join
+    val lp = out.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("Deduplicate"), lp)
+    val pp = out.queryExecution.executedPlan.toString
+    assert(!pp.toLowerCase.contains("distinct"), pp)
+  }
 }
