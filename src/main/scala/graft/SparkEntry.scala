@@ -563,6 +563,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q34_snapshot_merge_delete" -> ((s, dir) => {
+      // MERGE with per-row verbs — the full CDC-correction shape
+      // (ev_cdc_apply's delete semantics at the snapshot layer):
+      // one batch carries upserts (purchases bumped +1, new promo
+      // rows) AND deletes (every 5th click evicted, never
+      // re-inserted); only the purchase/click/promo directories
+      // rewrite, the rest of the partitions carry over as manifest
+      // pointers. The oracle replays the same verbs in SQL.
+      val tbl = s"$artifactRoot/snap_merge_del_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commitPartitioned(s, ev, tbl, "event_type", append = false)
+      val updates = ev.filter(col("event_type") === "purchase")
+        .withColumn("value_cents", col("value_cents") + 1L)
+        .withColumn("op", lit("upsert"))
+        .unionByName(ev.filter(col("event_id") % 7 === 0)
+          .withColumn("event_id", col("event_id") + 1000000L)
+          .withColumn("event_type", lit("promo"))
+          .withColumn("op", lit("upsert")))
+        .unionByName(ev
+          .filter(col("event_type") === "click" && col("event_id") % 5 === 0)
+          .withColumn("op", lit("delete")))
+      val v = Snapshots.mergePartitioned(s, tbl, updates,
+        keyCols = Seq("event_id"), partCol = "event_type",
+        opCol = Some("op"))
+      Snapshots.readAsOf(s, tbl, v)
+        .select(col("event_id"), col("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     "q24_mv_rewrite" -> ((s, dir) => {
       // MV redirection end-to-end under the oracle: events stage as a
       // fact table with exact integer cents; IncrementalAgg materializes
@@ -4363,6 +4397,21 @@ object SparkEntry {
           | CASE WHEN event_type = 'purchase' THEN value_cents + 1
           |  ELSE value_cents END AS value_cents
           |FROM base
+          |UNION ALL
+          |SELECT event_id + 1000000, user_id, 'promo' AS event_type,
+          | value_cents
+          |FROM base WHERE event_id % 7 = 0
+          |ORDER BY event_id""".stripMargin,
+
+      // same merged table, minus the deleted click keys
+      "q34_snapshot_merge_delete" ->
+        """WITH base AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents FROM events)
+          |SELECT event_id, user_id, event_type,
+          | CASE WHEN event_type = 'purchase' THEN value_cents + 1
+          |  ELSE value_cents END AS value_cents
+          |FROM base
+          |WHERE NOT (event_type = 'click' AND event_id % 5 = 0)
           |UNION ALL
           |SELECT event_id + 1000000, user_id, 'promo' AS event_type,
           | value_cents

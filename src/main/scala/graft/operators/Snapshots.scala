@@ -93,9 +93,14 @@ object Snapshots {
           s"manifest at $staged could not be installed")
   }
 
-  /** The manifest frame: one row per (version, file, part) — `part` is
-    * the hive-style partition path fragment (`"event_date=2024-01-03"`)
-    * for files written by [[commitPartitioned]], null for flat commits.
+  /** The manifest frame: one row per (version, file, part,
+    * schema_json) — `part` is the hive-style partition path fragment
+    * (`"event_date=2024-01-03"`) for files written by
+    * [[commitPartitioned]], null for flat commits; `schema_json` is
+    * the SNAPSHOT's full read schema (identical on every row of a
+    * generation — kilobytes of metadata, the Iceberg move), so
+    * [[readAsOf]] plans from the manifest alone instead of
+    * footer-merging O(files) parquet footers per time-travel read.
     * Empty (with the right schema) when the table has no commits yet.
     * The `_`-prefixed manifest dir hides it from any scan of the TABLE
     * root (the `_delta_log` convention), so it is read here by its
@@ -110,17 +115,21 @@ object Snapshots {
         listDataFiles(spark, dir)
       else Seq.empty
     if (parts.nonEmpty) {
-      val m = spark.read.parquet(parts: _*)
-      // manifests written before the partition column existed read as
-      // (version, file); normalize so every consumer sees three columns
-      if (m.columns.contains("part")) m
-      else m.withColumn("part", lit(null).cast("string"))
+      val m = spark.read.option("mergeSchema", "true").parquet(parts: _*)
+      // manifests written by earlier layouts may lack the partition
+      // and/or schema columns; normalize so every consumer sees four
+      val withPart =
+        if (m.columns.contains("part")) m
+        else m.withColumn("part", lit(null).cast("string"))
+      if (withPart.columns.contains("schema_json")) withPart
+      else withPart.withColumn("schema_json", lit(null).cast("string"))
     } else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("version", LongType, nullable = false),
           StructField("file", StringType, nullable = false),
-          StructField("part", StringType, nullable = true))))
+          StructField("part", StringType, nullable = true),
+          StructField("schema_json", StringType, nullable = true))))
     }
   }
 
@@ -183,10 +192,62 @@ object Snapshots {
       tablePath: String,
       version: Long,
       fresh: Seq[(String, String)],
-      parent: Option[Long]): Long = {
+      parent: Option[Long],
+      freshSchema: org.apache.spark.sql.types.StructType): Long = {
     val parentRows =
       parent.map(v => manifestRows(spark, tablePath, v)).getOrElse(Seq.empty)
-    publishRows(spark, tablePath, version, parentRows ++ fresh)
+    // the generation's read schema: an append's is the parent schema
+    // merged with the fresh batch's (schema evolution — new columns
+    // join the table, parent rows null-fill), a replace's is the fresh
+    // batch's alone. Persisted per generation so readers never
+    // footer-merge.
+    val schema = parent.flatMap(v => storedSchema(spark, tablePath, v))
+      .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
+      .getOrElse(nullableTop(freshSchema))
+    publishRows(spark, tablePath, version, parentRows ++ fresh, schema.json)
+  }
+
+  /** The stored read schema of one generation, if its manifest carries
+    * one (generations written by earlier layouts don't — their reads
+    * fall back to footer-merging). */
+  def storedSchema(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifest(spark, tablePath)
+      .filter(col("version") === version && col("schema_json").isNotNull)
+      .select(col("schema_json")).limit(1).collect().headOption
+      .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Top-level nullable copy (parquet reads surface every column as
+    * nullable; storing the schema that way keeps the manifest's word
+    * identical to what a reader observes). */
+  private def nullableTop(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true)))
+
+  /** Append-evolution schema merge: parent columns keep their position
+    * and type, fresh-only columns join at the end. A type CHANGE is
+    * refused loudly — rewriting history's types is a replace commit's
+    * job, not an append's. */
+  private def mergeSchemas(
+      parent: org.apache.spark.sql.types.StructType,
+      fresh: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    parent.fields.foreach { pf =>
+      fresh.fields.find(_.name == pf.name).foreach { ff =>
+        require(ff.dataType == pf.dataType,
+          s"append cannot change column '${pf.name}' from " +
+            s"${pf.dataType.simpleString} to ${ff.dataType.simpleString} " +
+            "— commit a replace version to retype")
+      }
+    }
+    val known = parent.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      parent.fields ++ fresh.fields.filterNot(f => known.contains(f.name)))
   }
 
   /** (file, part) rows of one manifest generation. */
@@ -204,8 +265,9 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       version: Long,
-      fileRows: Seq[(String, String)]): Long = {
-    val rows = fileRows.map { case (f, p) => (version, f, p) }
+      fileRows: Seq[(String, String)],
+      schemaJson: String): Long = {
+    val rows = fileRows.map { case (f, p) => (version, f, p, schemaJson) }
     // one generation = one manifest file, staged in a version-unique
     // temp dir and RENAMED in — never `mode("append")` into the shared
     // manifest dir, whose job-commit staging (`_temporary/0`) is a
@@ -214,7 +276,7 @@ object Snapshots {
     // entirely or not at all.
     val f = fs(spark, tablePath)
     val tmp = s"$tablePath/${VersionsDir}_tmp_v$version"
-    spark.createDataFrame(rows).toDF("version", "file", "part")
+    spark.createDataFrame(rows).toDF("version", "file", "part", "schema_json")
       .coalesce(1)
       .write.mode("errorifexists").parquet(tmp)
     val staged = listDataFiles(spark, tmp)
@@ -249,7 +311,7 @@ object Snapshots {
     df.write.mode("errorifexists").parquet(dataPath)
     val fresh = listDataFiles(spark, dataPath).map((_, null: String))
     publish(spark, tablePath, version, fresh,
-      if (append) observed else None)
+      if (append) observed else None, df.schema)
   }
 
   /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
@@ -277,7 +339,7 @@ object Snapshots {
     df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
       listPartitionedFiles(spark, dataPath),
-      if (append) observed else None)
+      if (append) observed else None, df.schema)
   }
 
   /** (file, fragment) rows of a freshly written partitioned batch. */
@@ -294,16 +356,20 @@ object Snapshots {
       .sortBy(_._1)
 
   /** Read a set of partitioned manifest rows, partition column rebuilt
-    * via per-version basePath groups. */
+    * via per-version basePath groups. With a manifest-carried `schema`
+    * the read plans entirely from metadata — files missing an evolved
+    * column null-fill it, no footer is opened for schema; without one
+    * (legacy generations) each group footer-merges. */
   private def readPartedFiles(
       spark: SparkSession,
-      rows: Seq[(String, String)]): DataFrame =
+      rows: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     rows
       .groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
       .toSeq.sortBy(_._1)
       .map { case (root, fs) =>
-        spark.read.option("basePath", root)
-          .option("mergeSchema", "true")
+        val rd = spark.read.option("basePath", root)
+        schema.fold(rd.option("mergeSchema", "true"))(rd.schema)
           .parquet(fs.map(_._1).toIndexedSeq: _*)
       }
       .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -323,16 +389,26 @@ object Snapshots {
     * partitions (the standard date-partitioned layout); an update row
     * both deletes its key's old row (if its partition is touched) and
     * inserts itself. Readers of older versions are untouched; the
-    * rewritten partitions' old files die later via [[vacuum]]. */
+    * rewritten partitions' old files die later via [[vacuum]].
+    *
+    * `opCol` (optional) carries per-row verbs — `"upsert"` (replace or
+    * insert, the default behavior) or `"delete"` (remove the key
+    * without re-inserting, the CDC-correction shape
+    * [[Changes.applyCdc]] produces). Deletes touch their partition
+    * like upserts do (its survivors are rewritten minus the key); a
+    * partition emptied entirely simply has no files in the new
+    * generation. Any other verb is refused loudly. */
   def mergePartitioned(
       spark: SparkSession,
       tablePath: String,
       updates: DataFrame,
       keyCols: Seq[String],
-      partCol: String): Long = {
+      partCol: String,
+      opCol: Option[String] = None): Long = {
     require(keyCols.nonEmpty, "mergePartitioned needs key columns")
     require(updates.columns.contains(partCol),
       s"mergePartitioned: updates frame has no column '$partCol'")
+    requireValidOps(updates, opCol)
     val latest = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"mergePartitioned: $tablePath has no committed versions"))
@@ -347,15 +423,65 @@ object Snapshots {
       parentRows.partition(r => touched.contains(r._2))
     val version = claimVersion(spark, tablePath, latest + 1L)
     val dataPath = s"$tablePath/$DataDir/v$version"
+    val parentSchema = storedSchema(spark, tablePath, latest)
+    // every update row — upsert AND delete — evicts its key from the
+    // touched survivors; only upserts re-insert
+    val inserts = opCol.fold(updates)(op =>
+      updates.filter(col(op) === "upsert").drop(op))
     val survivors =
-      if (touchedFiles.isEmpty) updates.limit(0)
-      else readPartedFiles(spark, touchedFiles)
+      if (touchedFiles.isEmpty) inserts.limit(0)
+      else readPartedFiles(spark, touchedFiles, parentSchema)
         .join(updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
-    survivors.unionByName(updates)
+    survivors.unionByName(inserts)
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
+    val schema = parentSchema
+      .map(ps => mergeSchemas(ps, nullableTop(inserts.schema)))
+      .getOrElse(nullableTop(inserts.schema))
     publishRows(spark, tablePath, version,
-      untouched ++ listPartitionedFiles(spark, dataPath))
+      untouched ++ listPartitionedFiles(spark, dataPath), schema.json)
+  }
+
+  /** Reject unknown verbs in an op column before any data moves — a
+    * typo'd `"detele"` must not silently upsert or silently vanish.
+    * One bounded job over the delta-sized updates frame. */
+  private def requireValidOps(updates: DataFrame, opCol: Option[String]): Unit =
+    opCol.foreach { op =>
+      require(updates.columns.contains(op),
+        s"merge: updates frame has no op column '$op'")
+      val bad = updates.filter(!col(op).isin("upsert", "delete"))
+        .select(col(op)).limit(1).collect()
+      require(bad.isEmpty,
+        s"merge: op column '$op' carries unknown verb " +
+          s"'${bad.head.get(0)}' — only upsert/delete are defined")
+    }
+
+  /** MERGE into an UNPARTITIONED snapshot table: same key semantics as
+    * [[mergePartitioned]] (upserts replace-or-insert, deletes evict)
+    * committed as a REPLACE version. This is an O(table) rewrite — the
+    * whole latest snapshot is scanned and rewritten — which is the
+    * honest cost for a table with no partition to scope the rewrite
+    * to: the right verb for dimension/config tables that fit a few
+    * files. Fact-scale tables should be committed via
+    * [[commitPartitioned]] and merged at partition scope. */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      opCol: Option[String] = None): Long = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    requireValidOps(updates, opCol)
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge: $tablePath has no committed versions"))
+    val inserts = opCol.fold(updates)(op =>
+      updates.filter(col(op) === "upsert").drop(op))
+    val survivors = readAsOf(spark, tablePath, latest)
+      .join(updates.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+    commit(spark, survivors.unionByName(inserts), tablePath,
+      append = false)
   }
 
   /** Read snapshot `version` — exactly the files its manifest
@@ -376,18 +502,24 @@ object Snapshots {
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
     val (parted, flat) = rows.partition(_._2 != null)
-    // mergeSchema: an append commit may carry columns its parent's
-    // files lack (schema evolution) — without the merge, the read
-    // schema is whichever file's footer Spark samples and the new
-    // column silently vanishes for some version reads. Footer-merge
-    // cost is O(files of v); a manifest-carried schema (the Iceberg
-    // move) would make it O(1) and is the scale refinement.
+    // the generation's schema rides the manifest, so the read plans
+    // from metadata alone: an append that evolved the schema (columns
+    // its parent's files lack) null-fills the missing columns per
+    // file, no footer is opened to discover the schema. Legacy
+    // generations without a stored schema footer-merge — O(files of
+    // v) — which the stored path exists to avoid.
+    // for flat files the stored schema applies as-is: a mixed
+    // generation's partition column (from OTHER, parted rows) simply
+    // reads as a null-filled data column by name
+    val stored = storedSchema(spark, tablePath, version)
     val reads =
-      (if (flat.nonEmpty)
-        Seq(spark.read.option("mergeSchema", "true")
+      (if (flat.nonEmpty) {
+        val rd = spark.read
+        Seq(stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
           .parquet(flat.map(_._1).toIndexedSeq: _*))
-      else Seq.empty) ++
-        (if (parted.nonEmpty) Seq(readPartedFiles(spark, parted.toSeq))
+      } else Seq.empty) ++
+        (if (parted.nonEmpty)
+          Seq(readPartedFiles(spark, parted.toSeq, stored))
         else Seq.empty)
     reads.reduceLeft((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
@@ -417,10 +549,13 @@ object Snapshots {
         "(never committed, or expired by vacuum)")
     val frag = partFragment(partCol, String.valueOf(value))
     val hit = all.filter(_._2 == frag)
+    val stored = storedSchema(spark, tablePath, version)
     if (hit.isEmpty) {
-      val schema = readAsOf(spark, tablePath, version).schema
+      // the stored schema answers "what would this scan's columns be"
+      // without opening a single data file
+      val schema = stored.getOrElse(readAsOf(spark, tablePath, version).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else readPartedFiles(spark, hit)
+    } else readPartedFiles(spark, hit, stored)
   }
 
   /** Expire every version below `keepFrom`: drop their manifest
@@ -439,7 +574,8 @@ object Snapshots {
       keepFrom: Long): Long = {
     val m = manifest(spark, tablePath)
     val keptRows = m.filter(col("version") >= keepFrom)
-      .select(col("version"), col("file"), col("part")).collect()
+      .select(col("version"), col("file"), col("part"), col("schema_json"))
+      .collect()
     require(keptRows.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would retain no versions of $tablePath")
     val kept = keptRows.map(_.getString(1)).toSet
@@ -460,8 +596,9 @@ object Snapshots {
     if (f.exists(prev)) f.delete(prev, true) // inert leftover of a crash
     spark.createDataFrame(
       keptRows.toSeq.map(r => (r.getLong(0), r.getString(1),
-        if (r.isNullAt(2)) null else r.getString(2))))
-      .toDF("version", "file", "part")
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))))
+      .toDF("version", "file", "part", "schema_json")
       .coalesce(1)
       .write.parquet(staged.toString)
     require(f.rename(live, prev),

@@ -276,6 +276,29 @@ class SnapshotsSpec extends SparkSuite {
     // time travel is schema travel too: v0 predates the column
     assert(Snapshots.readAsOf(spark, tbl, v0).columns.sorted.toSeq ==
       Seq("id", "v"))
+    // the schema rides the MANIFEST, not the footers: each generation
+    // stores its full read schema, and readAsOf plans from it — an
+    // O(1) metadata fetch instead of O(files of v) footer merges
+    val s0 = Snapshots.storedSchema(spark, tbl, v0)
+    val s1 = Snapshots.storedSchema(spark, tbl, v1)
+    assert(s0.isDefined && s1.isDefined,
+      "every generation must persist its schema in the manifest")
+    assert(s0.get.fieldNames.sorted.toSeq == Seq("id", "v"))
+    assert(s1.get.fieldNames.toSeq == Seq("id", "v", "w"),
+      "append evolution: parent columns keep their position, new " +
+        "columns join at the end")
+    assert(at1.schema == s1.get,
+      "readAsOf must surface exactly the manifest-carried schema")
+  }
+
+  test("append cannot retype an existing column — refused loudly") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    val retyped = Seq((4L, 7L)).toDF("id", "v") // v was string
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, retyped, tbl, append = true)
+    }
+    assert(ex.getMessage.contains("cannot change column"))
   }
 
   test("mergePartitioned: touched partitions rewrite (update wins, " +
@@ -309,6 +332,63 @@ class SnapshotsSpec extends SparkSuite {
     // past version unchanged
     assert(Snapshots.readAsOf(spark, tbl, v0)
       .filter($"id" === 1L).select($"v").as[String].head() == "a")
+  }
+
+  test("mergePartitioned with an op column: deletes evict without " +
+    "re-inserting, unknown verbs refuse, untouched files still reuse") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+        (4L, "d", "d3")).toDF("id", "v", "day"),
+      tbl, "day", append = false)
+    // delete id 2 (d1), upsert id 1 (d1); d2/d3 untouched
+    val v1 = Snapshots.mergePartitioned(spark, tbl,
+      Seq((1L, "A", "d1", "upsert"), (2L, "b", "d1", "delete"))
+        .toDF("id", "v", "day", "op"),
+      keyCols = Seq("id"), partCol = "day", opCol = Some("op"))
+    val rows = Snapshots.readAsOf(spark, tbl, v1)
+      .select($"id", $"v", $"day").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(rows == Seq((1L, "A", "d1"), (3L, "c", "d2"), (4L, "d", "d3")),
+      "delete must evict its key; the op column must not leak into the table")
+    assert(!Snapshots.readAsOf(spark, tbl, v1).columns.contains("op"))
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def files(v: Long, frag: String) =
+      m.filter(r => r._1 == v && r._3 == frag).map(_._2).toSet
+    assert(files(v1, "day=d2") == files(v0, "day=d2") &&
+      files(v1, "day=d3") == files(v0, "day=d3"),
+      "untouched partitions must still carry over as pointers")
+    // past version keeps the deleted row
+    assert(Snapshots.readAsOf(spark, tbl, v0).count() == 4L)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.mergePartitioned(spark, tbl,
+        Seq((9L, "x", "d1", "detele")).toDF("id", "v", "day", "op"),
+        keyCols = Seq("id"), partCol = "day", opCol = Some("op"))
+    }
+    assert(ex.getMessage.contains("unknown verb"))
+  }
+
+  test("flat-table merge: upserts replace-or-insert, deletes evict, " +
+    "committed as a replace version; history untouched") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false) // (1,a) (2,b)
+    val v1 = Snapshots.merge(spark, tbl,
+      Seq((1L, "A", "upsert"), (2L, "b", "delete"), (5L, "e", "upsert"))
+        .toDF("id", "v", "op"),
+      keyCols = Seq("id"), opCol = Some("op"))
+    val rows = Snapshots.readAsOf(spark, tbl, v1)
+      .select($"id", $"v").as[(Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "A"), (5L, "e")))
+    assert(Snapshots.readAsOf(spark, tbl, v0)
+      .select($"id", $"v").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")), "older versions read back unchanged")
+    // without an op column every row is an upsert (the q33 behavior)
+    val v2 = Snapshots.merge(spark, tbl,
+      Seq((5L, "E")).toDF("id", "v"), keyCols = Seq("id"))
+    assert(Snapshots.readAsOf(spark, tbl, v2)
+      .select($"id", $"v").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A"), (5L, "E")))
   }
 
   test("append after a crashed claim (version gap) still carries the " +
