@@ -1652,6 +1652,35 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    "text_url_canonical" -> ((s, dir) => {
+      // URL-level dedup, the cheapest tier of crawl curation: four
+      // messy spellings of each resource (default port + uppercase
+      // host, tracking params, fragments, https:443 sibling) are
+      // constructed closed-form per doc, canonicalized by the pure
+      // expression chain, and grouped — the oracle replays the exact
+      // regex surgery in SQL, so every collapse is engine-checked
+      val k = pmod(col("doc_id"), lit(7)).cast("string")
+      val m = pmod(col("doc_id"), lit(3)).cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val raw = concat(
+        when(v === 3, lit("HTTPS://Site")).otherwise(lit("HTTP://Site")),
+        k, lit(".Example.COM"),
+        when(v === 3, lit(":443")).otherwise(lit(":80")),
+        lit("/p"), m, lit("/"),
+        when(v === 1, lit("?utm_source=x&fbclid=y"))
+          .when(v === 2, lit("?a=1&utm_campaign=z#frag"))
+          .when(v === 3, lit("#sec"))
+          .otherwise(lit("")))
+      par(s)(t(s, dir, "documents"))
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          TextAnalysis.canonicalizeUrl(col("raw")).as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("raw")).as("n_raw_forms"))
+        .orderBy(col("url"))
+    }),
+
     "text_sample_topk" -> ((s, dir) => {
       // exact-k global sample: smallest k salted hashes, id tie-break;
       // plans as TakeOrderedAndProject (map-side top-k, no global sort)
@@ -5677,6 +5706,38 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_urls,
           | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the same canonicalization chain replayed in DuckDB's RE2 (the
+      // patterns avoid lookarounds precisely so both engines agree);
+      // DuckDB regexp_replace needs the explicit 'g' flag on the only
+      // rule with several occurrences per string
+      "text_url_canonical" ->
+        """WITH r AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 3 THEN 'HTTPS://Site' ELSE 'HTTP://Site' END
+          |  || (doc_id % 7) || '.Example.COM'
+          |  || CASE WHEN doc_id % 4 = 3 THEN ':443' ELSE ':80' END
+          |  || '/p' || (doc_id % 3) || '/'
+          |  || CASE doc_id % 4 WHEN 1 THEN '?utm_source=x&fbclid=y'
+          |     WHEN 2 THEN '?a=1&utm_campaign=z#frag'
+          |     WHEN 3 THEN '#sec' ELSE '' END AS raw
+          | FROM documents),
+          |nf AS (SELECT doc_id, raw, regexp_replace(raw, '#.*', '') AS u FROM r),
+          |lh AS (SELECT doc_id, raw,
+          |  lower(regexp_extract(u, '(?i)^(https?://[^/?#]+)', 1))
+          |   || regexp_replace(u, '(?i)^https?://[^/?#]+', '') AS u FROM nf),
+          |np AS (SELECT doc_id, raw,
+          |  regexp_replace(regexp_replace(u,
+          |   '^(http://[^/:?#]+):80($|[/?#].*)', '\1\2'),
+          |   '^(https://[^/:?#]+):443($|[/?#].*)', '\1\2') AS u FROM lh),
+          |nt AS (SELECT doc_id, raw,
+          |  regexp_replace(regexp_replace(regexp_replace(u,
+          |   '&(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'),
+          |   '\?(utm_[^=&]*|fbclid|gclid)=[^&]*&', '?'),
+          |   '\?(utm_[^=&]*|fbclid|gclid)=[^&]*$', '') AS u FROM np),
+          |c AS (SELECT doc_id, raw, regexp_replace(u, '/$', '') AS url FROM nt)
+          |SELECT url, CAST(count(*) AS BIGINT) AS n_urls,
+          | CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms
+          |FROM c GROUP BY url ORDER BY url""".stripMargin,
 
       // identical salted-hash order on both engines (md5 hex strings)
       "text_sample_topk" ->

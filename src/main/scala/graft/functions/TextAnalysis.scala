@@ -605,6 +605,37 @@ object TextAnalysis {
   def urlDomain(c: Column): Column =
     regexp_extract(c, "^https?://([^/:?#]+)", 1)
 
+  /** Canonical form of a URL — the CHEAPEST dedup tier in every web
+    * pipeline: crawl curation collapses trivially-distinct spellings of
+    * the same resource BEFORE any content hashing, because a string
+    * normalization per row costs nothing next to a shingle pass. The
+    * chain, in order: (1) drop the fragment (`#…` — client-side only);
+    * (2) lowercase the scheme+host (case-insensitive per RFC 3986; the
+    * PATH keeps its case — it is case-sensitive); (3) strip the
+    * scheme-default port (`:80` for http, `:443` for https); (4) strip
+    * tracking query params (`utm_*`, `fbclid`, `gclid`) wherever they
+    * sit, dropping a now-empty `?`; (5) strip one trailing `/`. Every
+    * step is a codegen'd regexp over RE2-portable patterns (no
+    * lookarounds), so an independent engine replays the exact surgery —
+    * the `text_url_canonical` oracle does. Non-URL strings pass through
+    * on the unmatched-prefix fallthrough. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val lowerHost = concat(
+      lower(regexp_extract(noFrag, "(?i)^(https?://[^/?#]+)", 1)),
+      regexp_replace(noFrag, "(?i)^https?://[^/?#]+", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowerHost,
+        "^(http://[^/:?#]+):80($|[/?#].*)", "$1$2"),
+      "^(https://[^/:?#]+):443($|[/?#].*)", "$1$2")
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, "&(utm_[^=&]*|fbclid|gclid)=[^&]*", ""),
+        "\\?(utm_[^=&]*|fbclid|gclid)=[^&]*&", "?"),
+      "\\?(utm_[^=&]*|fbclid|gclid)=[^&]*$", "")
+    regexp_replace(noTrack, "/$", "")
+  }
+
   /** Deterministic EXACT-k global sample: the k docs with the smallest
     * salted-hash order (ties broken by id). Complements
     * [[stratifiedSample]] (per-group quotas) and the rate-based hash gate

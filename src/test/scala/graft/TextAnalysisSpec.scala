@@ -465,6 +465,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(dom("not a url") == "")
   }
 
+  test("canonicalizeUrl: fragment, host case, default ports, tracking " +
+    "params, trailing slash — and what must NOT change") {
+    val can = (s: String) => one[String](TextAnalysis.canonicalizeUrl($"text"), s)
+    assert(can("HTTP://Example.COM:80/Path/") == "http://example.com/Path",
+      "host lowercases, default port and trailing slash drop — " +
+        "the PATH keeps its case")
+    assert(can("https://h.io:443/a#frag") == "https://h.io/a")
+    assert(can("https://h.io/a?utm_source=x&utm_medium=y") == "https://h.io/a")
+    assert(can("https://h.io/a?utm_x=1&b=2&fbclid=z") == "https://h.io/a?b=2",
+      "tracking params drop wherever they sit; real params survive")
+    assert(can("https://h.io/a?b=2&gclid=q#f") == "https://h.io/a?b=2")
+    assert(can("http://h.io:8080/a") == "http://h.io:8080/a",
+      "a NON-default port is meaningful and must survive")
+    assert(can("https://h.io:80/a") == "https://h.io:80/a",
+      ":80 is only default for http, not https")
+    assert(can("https://h.io/") == "https://h.io")
+    assert(can("https://h.io/utm_source/x") == "https://h.io/utm_source/x",
+      "only QUERY params strip — path segments are content")
+    assert(can("not a url") == "not a url", "non-URLs pass through")
+  }
+
   test("sampleExactK: exactly k rows, deterministic, salt-independent " +
     "draws, TakeOrdered plan (no global sort)") {
     val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
