@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, 
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage, OrcStage}
-import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, PhashStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
+import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, IntervalJoinStream, PhashStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -3163,9 +3163,10 @@ object SparkEntry {
       // exact overlap length. Buckets of one window-width make the
       // join equi on (user, bucket) instead of a per-user cross join
       // with a range predicate; the exact overlap filter clears bucket
-      // false positives and distinct() collapses pairs that share two
-      // buckets. The oracle IS the quadratic form — the bucketing may
-      // only change cost, never pairs.
+      // false positives and a pair surviving only in its FIRST common
+      // bucket emits exactly once — no distinct, no extra exchange.
+      // The oracle IS the quadratic form — the bucketing may only
+      // change cost, never pairs.
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("s"))
@@ -3670,6 +3671,41 @@ object SparkEntry {
         .select(col("user_id"), col("island"), col("island_start"),
           col("island_end"), col("n_intervals"), col("covered"))
         .orderBy(col("user_id"), col("island"))
+    }),
+
+    "ev_stream_interval_join" -> ((s, dir) => {
+      // the interval-overlap join's stream twin against the batch
+      // quadratic oracle: both sides' intervals (odd event_ids = A,
+      // even = B — the same parity split the batch query uses) buffer
+      // per user until the watermark clears the quiet horizon, then
+      // the pairing runs once over the settled buffer — watermark-
+      // final, because either member of a pair can arrive late and
+      // Append mode cannot retract an early miss. The flush sentinel
+      // rides user -1 and is filtered before the compare.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = s"$artifactRoot/stream_interval_join_input"
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 30L * 60L * 1000000L)
+      val pairs = IntervalJoinStream.intervalJoinStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.Event],
+        windowUs = 300000000L, horizonMinutes = 30)
+      Sessionize.runToMemory(s, pairs.toDF(), "ev_stream_interval_join_sink",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("a_id"), col("b_id"), col("overlap_us"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
     }),
 
     "ev_stream_transitions" -> ((s, dir) => {
@@ -7058,6 +7094,7 @@ object SparkEntry {
       ("text_stream_sample_weighted" -> base("text_sample_weighted")) +
       ("ev_stream_funnel" -> base("ev_funnel")) +
       ("ev_stream_coverage" -> base("ev_coverage")) +
+      ("ev_stream_interval_join" -> base("ev_interval_join")) +
       ("ev_stream_attribution" -> base("ev_attribution")) +
       ("ev_stream_retention" -> base("ev_retention")) +
       ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
