@@ -2152,11 +2152,15 @@ object SparkEntry {
       // against exact L2 ground truth over a 5-query eval set — same
       // seed coarse codebook, same nprobe=3 probe, same per-store ADC
       // rankings as the green sim_ivfpq_topk / sim_ivfpq_residual_topk
-      // rows, so this measures the INDEX, not a new ranking. The
-      // residual variant's recall edge (tighter residual clusters under
-      // the same code budget) is asserted in SimilaritySpec; here both
-      // recalls sit under the oracle, denominators = the brute top-k's
-      // actual size per query.
+      // rows, so this measures the INDEX, not a new ranking. Both arms
+      // run through the BATCHED probe (ivfPqTopKBatch — the query
+      // frame joins its probed cells in one job; SimilaritySpec pins
+      // bit-equality with the per-query loop), so the eval set never
+      // collects to the driver and the harness is the serving shape a
+      // 10k-query suite needs. The residual variant's recall edge
+      // (tighter residual clusters under the same code budget) is
+      // asserted in SimilaritySpec; here both recalls sit under the
+      // oracle, denominators = the brute top-k's actual size per query.
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(emb, k = 8)
@@ -2168,21 +2172,17 @@ object SparkEntry {
       Similarity.writeIvfPqPartitioned(emb, cents, cbsRaw, storeRaw)
       Similarity.writeIvfPqResidualPartitioned(emb, cents, cbsRes, storeRes)
       val k = 10
-      val qs = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id"), col("embedding"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-      def arm(top: Seq[Float] => DataFrame): DataFrame =
-        qs.map { case (qid, qv) =>
-          top(qv).select(lit(qid).as("qid"), col("vec_id"))
-        }.reduce(_ unionByName _)
-      val candRaw = arm(qv =>
-        Similarity.ivfPqTopK(s, storeRaw, cents, cbsRaw, qv, k = k, nprobe = 3))
-      val candRes = arm(qv =>
-        Similarity.ivfPqResidualTopK(s, storeRes, cents, cbsRes, qv,
-          k = k, nprobe = 3))
+      val qdf = graft.functions.Materialize(
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+      val candRaw = Similarity.ivfPqTopKBatch(s, storeRaw, cents, cbsRaw,
+        qdf, k = k, nprobe = 3)
+        .select(col("qid"), col("vec_id"))
+      val candRes = Similarity.ivfPqTopKBatch(s, storeRes, cents, cbsRes,
+        qdf, k = k, nprobe = 3, byResidual = true)
+        .select(col("qid"), col("vec_id"))
       // exact ground truth: ONE broadcast scored pass, L2 ascending,
       // shared by both arms' recall joins
-      val qdf = qs.toSeq.toDF("qid", "qvec")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("vec_id"))
       val brute = graft.functions.Materialize(

@@ -663,6 +663,97 @@ object Similarity {
       codebooks, queryVec, k, idCol)
   }
 
+  /** BATCHED multi-query top-k over an IVF-PQ store — the serving
+    * shape: a query FRAME joins its probed cells in ONE job instead of
+    * a driver loop unioning one subplan per query (the eval-harness
+    * compromise this replaces; a 10k-query eval suite cannot be 10k
+    * jobs). Plan, stage by stage, all distributed:
+    *
+    *   1. probe assignment — queries × the (tiny, broadcast) centroid
+    *      table, scored by the same [[l2sq]] kernel the driver-side
+    *      `probeCells` folds, top-`nprobe` cells per query via a
+    *      rank-≤-n window (WindowGroupLimit: map-side truncation);
+    *   2. per-(query, cell) LUTs — each probe row carries its m lookup
+    *      tables as array columns, built by `transform` over the
+    *      literal codebooks with the SAME strict left-to-right
+    *      double-sum as [[pqAdcTopK]]'s driver-side LUTs (residual
+    *      mode first subtracts the probed centroid, double-subtract
+    *      rounded once to float — [[residuals]]' pinned recipe);
+    *   3. the probe frame (queries × nprobe rows, m·k doubles wide)
+    *      broadcasts into an equi-join with the store on `ivf_cell` —
+    *      the join key IS the store's partition column, so unprobed
+    *      cells prune at the directory level and each store row meets
+    *      only the queries probing its cell;
+    *   4. ADC scoring is the fixed-order m-term `element_at` sum over
+    *      the CARRIED lut columns (same expression shape as
+    *      [[pqAdcTopK]], literals swapped for columns), and per-query
+    *      top-k is a rank-≤-k window on (adist, id).
+    *
+    * Bit-equality with the per-query loop ([[ivfPqTopK]] /
+    * [[ivfPqResidualTopK]]) is pinned in `SimilaritySpec`: same probe
+    * sets, same LUT doubles, same score trees, same tie order. The
+    * residual loop's per-cell `limit(k)` before its global top-k drops
+    * only rows the global rank drops anyway, so skipping it here
+    * changes nothing. */
+  def ivfPqTopKBatch(
+      spark: SparkSession,
+      path: String,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      byResidual: Boolean = false,
+      idCol: String = "vec_id",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    require(m >= 1, "need at least one codebook")
+    val sub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == sub)),
+      s"all codewords must share one subspace width (first is $sub)")
+    require(centroids.nonEmpty && centroids.head.length == m * sub,
+      s"centroid dim ${centroids.headOption.fold(0)(_.length)} must equal " +
+        s"m·sub = ${m * sub}")
+    import spark.implicits._
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("ivf_cell", "__cent")
+    val pw = Window.partitionBy(col(qidCol))
+      .orderBy(col("__cd").asc, col("ivf_cell").asc)
+    val probed = queries
+      .crossJoin(broadcast(cells))
+      .withColumn("__cd", l2sq(col(qvecCol), col("__cent")))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+    // the vector the LUTs measure from: the query itself (shared-LUT
+    // raw mode) or its residual against the probed cell's centroid
+    val lutVec =
+      if (byResidual)
+        zip_with(col(qvecCol), col("__cent"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+      else col(qvecCol)
+    val withLuts = probed.select(
+      Seq(col(qidCol), col("ivf_cell")) ++
+        codebooks.zipWithIndex.map { case (cb, j) =>
+          transform(typedLit(cb.map(_.toSeq)),
+            w => l2sq(slice(lutVec, j * sub + 1, sub), w))
+            .as(s"__lut$j")
+        }: _*)
+    val score = (0 until m).map { j =>
+      element_at(col(s"__lut$j"),
+        element_at(col("codes"), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val kw = Window.partitionBy(col(qidCol))
+      .orderBy(col("adist").asc, col(idCol).asc)
+    spark.read.parquet(path)
+      .join(broadcast(withLuts), Seq("ivf_cell"))
+      .select(col(qidCol), col(idCol), score.as("adist"))
+      .withColumn("__rn", row_number().over(kw))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("adist"))
+  }
+
   /** Append each row's coarse cell AND its cell residual (`vec −
     * centroid[cell]`, the vector PQ quantizes in FAISS's default
     * `by_residual=true` mode) as columns `ivf_cell` / `__rv`. Residual

@@ -545,6 +545,53 @@ class SimilaritySpec extends SparkSuite {
       s"residual recall $mRes should be high once codes describe offsets")
   }
 
+  test("ivfPqTopKBatch equals the per-query loop bit-for-bit — both " +
+    "composites, one job instead of a driver loop") {
+    val dim = 8
+    val rows = (0 until 60).map { i =>
+      val id = i.toLong
+      val v = (0 until dim).map { d =>
+        (if (d == (i % 4) * 2) 50f else 0f) +
+          ((id * 31 + d * 17) % 21 - 10).toFloat / 10f
+      }
+      (id, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(corpus, k = 4, maxIters = 2)
+    val cbsRaw = Similarity.pqTrain(corpus, d = dim, m = 2, k = 4, maxIters = 2)
+    val cbsRes = Similarity.pqTrainResidual(corpus, cents,
+      d = dim, m = 2, k = 4, maxIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_batch").toString
+    Similarity.writeIvfPqPartitioned(corpus, cents, cbsRaw, s"$root/raw")
+    Similarity.writeIvfPqResidualPartitioned(corpus, cents, cbsRes, s"$root/res")
+    val byId = rows.toMap
+    val qids = Seq(0L, 5L, 10L, 33L)
+    val queries = qids.map(q => (q, byId(q))).toDF("qid", "qvec")
+    val k = 5; val np = 2
+    def loop(res: Boolean): Set[(Long, Long, Double)] =
+      qids.flatMap { q =>
+        val df =
+          if (res) Similarity.ivfPqResidualTopK(spark, s"$root/res", cents,
+            cbsRes, byId(q), k = k, nprobe = np)
+          else Similarity.ivfPqTopK(spark, s"$root/raw", cents,
+            cbsRaw, byId(q), k = k, nprobe = np)
+        df.select($"vec_id", $"adist").as[(Long, Double)].collect()
+          .map { case (id, d) => (q, id, d) }
+      }.toSet
+    def batch(res: Boolean): Set[(Long, Long, Double)] =
+      Similarity.ivfPqTopKBatch(spark,
+        if (res) s"$root/res" else s"$root/raw", cents,
+        if (res) cbsRes else cbsRaw, queries,
+        k = k, nprobe = np, byResidual = res)
+        .as[(Long, Long, Double)].collect().toSet
+    // tuple equality includes the DOUBLE scores: same probe sets, same
+    // LUT arithmetic, same fixed-order score trees, same tie order
+    assert(batch(res = false) == loop(res = false),
+      "raw-codes batch probe diverged from the per-query loop")
+    assert(batch(res = true) == loop(res = true),
+      "residual batch probe diverged from the per-query loop")
+  }
+
   test("centroidDrift: exact per-dim mean gaps; one-slice labels drop") {
     val base = Seq(
       (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 2.0f)), // label 0: mean (2, 2)
