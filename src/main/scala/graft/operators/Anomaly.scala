@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   * `approx_percentile`, the same exact-vs-sketch trade documented on
   * `TextAnalysis.lengthQuantiles`) with the raw frame re-joined on that
   * same key — three exchanges on one partitioning, no window over the
-  * full event stream. Groups smaller than `minRows` are not scored
+  * full event stream. This is NOT the row-scale-window-on-a-bare-group-
+  * key shape `ev_median_mad` had to shed: Spark's `Percentile` buffer
+  * is itself a counts-by-value map (distinct-value-sized, merged
+  * map-side), so a group's reducer state scales with its value DOMAIN,
+  * not its row count — the count-by-value trick is already inside the
+  * aggregate. The residual risk is the in-memory per-group hashmap on
+  * a huge continuous domain, which is exactly when the
+  * `approx_percentile` trade above applies. Groups smaller than `minRows` are not scored
   * (their median is noise); constant-history groups (MAD = 0) flag ANY
   * deviation, which is the behavior you want for "this meter always
   * reads 50".

@@ -111,11 +111,23 @@ object Stats {
     * row count per group, each with its count and value extent — the
     * distribution summary that stays informative under skew, where
     * [[histogram]]'s equi-width bins collapse into one hot bin. Tile
-    * assignment is `ntile` over the TOTALLY ordered (value, id) — both
-    * engines define ntile identically (first `n mod k` tiles get the
-    * extra row), and the unique id tiebreak makes the assignment
-    * deterministic, so counts AND extents are engine-exact. One hash
-    * exchange + sort per group, then a map-side-combinable count. */
+    * layout is `ntile`'s over the totally ordered values — the first
+    * `n mod k` tiles get the extra row — which both engines define
+    * identically, so counts AND extents are engine-exact.
+    *
+    * Plan shape: NOT `ntile().over(partitionBy(group))` — a per-row
+    * window over the bare group key is one sort task per hot group at
+    * 100 TB. The tile layout is pure rank arithmetic, so everything
+    * derives from the count-by-value frame: a distinct value's ranks
+    * span `[cum−cnt+1, cum]`, the tile of a 1-based rank is closed-form
+    * in (n div k, n mod k), each value explodes to the tiles its span
+    * intersects (≤ distinct-values + k rows per group in total), and a
+    * map-side-combinable min/max per (group, tile) yields the extents —
+    * the minimum intersecting value necessarily contains the tile's
+    * first rank, so extents equal the row-window formulation's exactly.
+    * Tile COUNTS are closed-form, not counted. `idCol` is retained for
+    * signature stability; rank arithmetic no longer needs a tiebreak
+    * because extents depend only on the value ordering. */
   def equiDepthHistogram(
       df: DataFrame,
       valueCol: String,
@@ -127,12 +139,29 @@ object Stats {
     val reservedE = Seq("tile", "n", "v_min", "v_max")
     require(!groupCols.exists(reservedE.contains),
       s"group columns must not collide with ${reservedE.mkString("/")}")
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol), col(idCol))
-    df.withColumn("tile", ntile(buckets).over(w).cast("long"))
-      .groupBy((groupCols.map(col) :+ col("tile")): _*)
-      .agg(count(lit(1)).as("n"),
+    val gc = groupCols.map(col)
+    val byV = Window.partitionBy(gc: _*).orderBy(col(valueCol))
+    val grp = Window.partitionBy(gc: _*)
+    def tileOf(rank: String): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN $rank <= __r * (__q + 1) " +
+        s"THEN ($rank - 1) div (__q + 1) + 1 " +
+        s"ELSE __r + ($rank - __r * (__q + 1) - 1) div __q + 1 END")
+    df.groupBy((gc :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(byV))
+      .withColumn("__n", sum(col("__cnt")).over(grp))
+      .withColumn("__lo", col("__cum") - col("__cnt") + 1L)
+      .withColumn("__q", expr(s"__n div ${buckets}L"))
+      .withColumn("__r", expr(s"__n % ${buckets}L"))
+      .withColumn("tile",
+        explode(sequence(tileOf("__lo"), tileOf("__cum"))))
+      .groupBy((gc :+ col("tile")): _*)
+      .agg(min(col("__q")).as("__q"), min(col("__r")).as("__r"),
         min(col(valueCol)).as("v_min"), max(col(valueCol)).as("v_max"))
+      .select((gc :+ col("tile")) ++ Seq(
+        when(col("tile") <= col("__r"), col("__q") + 1L)
+          .otherwise(col("__q")).as("n"),
+        col("v_min"), col("v_max")): _*)
   }
 
   /** Per-group CDF (quantile-transform) normalization: every row gets
@@ -142,11 +171,22 @@ object Stats {
     * ranks are integers (ties SHARE a rank, so no tie-order
     * nondeterminism), and pct is one IEEE division of exact integers —
     * identical on any engine FOR NON-NULL values: engines disagree on
-    * null sort order (Spark windows default NULLS FIRST, DuckDB NULLS
-    * LAST), so filter nulls before calling — a null would silently
-    * shift every rank in its group cross-engine. Single-row groups get
-    * pct 0. One hash exchange on the group key, one sort, one window
-    * pass. */
+    * null sort order, and here a null value drops its row entirely
+    * (the rank join below, like SQL equality, never matches null) —
+    * filter or impute nulls before calling. Single-row groups get
+    * pct 0.
+    *
+    * Plan shape is the 100-TB-safe one `ev_median_mad` established: a
+    * `rank().over(partitionBy(group))` would funnel every row of a
+    * hot group into ONE sort task, so the ranks are computed on the
+    * count-by-value frame instead — shared rank of value v is
+    * `cum(v) − cnt(v) + 1` over the per-group DISTINCT-VALUE window
+    * (orders of magnitude smaller than rows for integral domains) —
+    * and joined back on (group, value). The raw frame never
+    * window-sorts; with a small value domain the rank table
+    * broadcasts (AQE sizing), so the data side often does not even
+    * shuffle. Output rows and values are identical to the window
+    * formulation (ties share the rank by construction). */
   def cdfNormalize(
       df: DataFrame,
       valueCol: String,
@@ -155,9 +195,21 @@ object Stats {
     val reserved = Seq("rank", "pct")
     require(!df.columns.exists(reserved.contains),
       s"input must not already carry ${reserved.mkString("/")} columns")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    df.withColumn("rank", rank().over(w).cast("long"))
-      .withColumn("pct", percent_rank().over(w))
+    val gc = groupCols.map(col)
+    val byV = Window.partitionBy(gc: _*).orderBy(col(valueCol))
+    val grp = Window.partitionBy(gc: _*)
+    val ranks = df.groupBy((gc :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(byV))
+      .withColumn("__n", sum(col("__cnt")).over(grp))
+      .select((gc :+ col(valueCol)) ++ Seq(
+        (col("__cum") - col("__cnt") + 1L).as("rank"),
+        when(col("__n") > 1L,
+          (col("__cum") - col("__cnt")).cast("double") /
+            (col("__n") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as("pct")): _*)
+    df.join(ranks, groupCols :+ valueCol)
+      .select(df.columns.map(col) ++ Seq(col("rank"), col("pct")): _*)
   }
 
   /** Declarative data-quality expectations, ONE scan for all of them:

@@ -94,22 +94,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("ev_median_mad: no row-scale window on the bare group key — every " +
-    "window ranks the count-by-value aggregate") {
-    // a row_number over partitionBy(event_type) funnels every row of a
-    // ~4-valued group into one sort task at 100 TB; the deployed plan
-    // must rank the (event_type, value) → cnt aggregate instead, so
-    // each logical Window's subtree must contain an Aggregate
+  test("median/MAD, value CDF, equi-depth histogram: no row-scale window " +
+    "on the bare group key — every window ranks the count-by-value " +
+    "aggregate") {
+    // a rank/ntile/row_number over partitionBy(event_type) funnels
+    // every row of a ~4-valued group into one sort task at 100 TB; the
+    // deployed plans must rank the (event_type, value) → cnt aggregate
+    // instead, so each logical Window's subtree must contain an
+    // Aggregate and no per-row rank function may survive
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LogicalWindow}
-    val df = SparkEntry.queries("ev_median_mad")(spark, dir)
-    val lp = df.queryExecution.optimizedPlan
-    val wins = lp.collect { case w: LogicalWindow => w }
-    assert(wins.nonEmpty, s"expected cumulative-count windows in:\n$lp")
-    wins.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"window ranks raw rows (single-reducer sort at scale):\n$w")
+    Seq("ev_median_mad", "ev_value_cdf", "ev_histogram_eqdepth").foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LogicalWindow => w }
+      assert(wins.nonEmpty, s"$q: expected cumulative-count windows in:\n$lp")
+      wins.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$q: window ranks raw rows (single-reducer sort at scale):\n$w")
+      }
+      val s = lp.toString
+      Seq("row_number", "ntile", "percent_rank").foreach { fn =>
+        assert(!s.contains(fn), s"$q: per-row $fn survived:\n$s")
+      }
     }
-    assert(!lp.toString.contains("row_number"), lp.toString)
   }
 
   test("year inference (windowed): exactly one hash exchange on the group key") {

@@ -119,6 +119,34 @@ class StatsSpec extends SparkSuite {
     assert(got == Set((1L, None), (2L, None)))
   }
 
+  test("cdfNormalize / equiDepthHistogram: count-by-value plans equal " +
+    "the per-row window formulations on the real events table") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "events")
+      .select($"event_type".cast("string").as("g"), $"event_id".as("id"),
+        round($"value" * 100).cast("long").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v")
+    val wantCdf = e
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("pct", percent_rank().over(w))
+      .select($"id", $"rank", $"pct")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val gotCdf = Stats.cdfNormalize(e, "v", Seq("g"))
+      .select($"id", $"rank", $"pct")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(gotCdf == wantCdf) // exact, doubles included
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+    val wantEd = e.withColumn("tile", ntile(8).over(w2).cast("long"))
+      .groupBy($"g", $"tile")
+      .agg(count(lit(1)).as("n"), min($"v").as("v_min"), max($"v").as("v_max"))
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    val gotEd = Stats.equiDepthHistogram(e, "v", Seq("g"), 8, "id")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(gotEd == wantEd)
+  }
+
   test("ev_median_mad: count-by-value selection equals the per-row " +
     "rank formulation on the real events table") {
     // the deployed query pre-aggregates (event_type, cents) → cnt and
