@@ -463,7 +463,11 @@ object Snapshots {
     * honest cost for a table with no partition to scope the rewrite
     * to: the right verb for dimension/config tables that fit a few
     * files. Fact-scale tables should be committed via
-    * [[commitPartitioned]] and merged at partition scope. */
+    * [[commitPartitioned]] and merged at partition scope. Applied to a
+    * PARTITIONED table it behaves like [[optimize]]: rows and columns
+    * are preserved (the partition column becomes a data column) but
+    * the new version's layout is flat — re-partitioning afterwards is
+    * [[commitPartitioned]]'s job if wanted. */
   def merge(
       spark: SparkSession,
       tablePath: String,

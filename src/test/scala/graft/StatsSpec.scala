@@ -147,6 +147,30 @@ class StatsSpec extends SparkSuite {
     assert(gotEd == wantEd)
   }
 
+  test("equiDepthHistogram rank arithmetic equals ntile across random " +
+    "tie-heavy multisets and bucket counts") {
+    // heavy ties are the adversarial case: a value's rank span crosses
+    // several tile boundaries, and n mod k exercises both tile sizes
+    for (seed <- 1 to 3; buckets <- Seq(1, 4, 7)) {
+      val rnd = new scala.util.Random(seed * 1000 + buckets)
+      val n = 50 + rnd.nextInt(250)
+      val rows = (1 to n).map { i =>
+        (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(12).toLong)
+      }
+      val df = rows.toDF("g", "id", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v", $"id")
+      val want = df.withColumn("tile", ntile(buckets).over(w).cast("long"))
+        .groupBy($"g", $"tile")
+        .agg(count(lit(1)).as("n"), min($"v").as("v_min"),
+          max($"v").as("v_max"))
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      val got = Stats.equiDepthHistogram(df, "v", Seq("g"), buckets, "id")
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"seed=$seed buckets=$buckets n=$n")
+    }
+  }
+
   test("ev_median_mad: count-by-value selection equals the per-row " +
     "rank formulation on the real events table") {
     // the deployed query pre-aggregates (event_type, cents) → cnt and

@@ -486,6 +486,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(can("not a url") == "not a url", "non-URLs pass through")
   }
 
+  test("canonicalizeUrl is IDEMPOTENT over generated messy URLs — " +
+    "canonical forms are fixed points") {
+    // a canonicalizer that moves an already-canonical URL would make
+    // URL-dedup keys unstable across pipeline stages; one DataFrame
+    // pass evaluates all cases
+    val schemes = Seq("http://", "HTTP://", "https://", "HTTPS://")
+    val hosts = Seq("Ex.COM", "ex.com", "a.B.c")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/P/x", "/P/x/")
+    val queries = Seq("", "?utm_source=a", "?a=1&utm_b=2&c=3",
+      "?utm_a=1&utm_b=2", "?x=1&fbclid=z", "?gclid=1&y=2")
+    val frags = Seq("", "#f", "#utm_source=t")
+    val urls = for {
+      s <- schemes; h <- hosts; p <- ports; pa <- paths
+      q <- queries; f <- frags
+    } yield s + h + p + pa + q + f
+    val out = urls.toDF("u")
+      .select($"u", TextAnalysis.canonicalizeUrl($"u").as("c1"))
+      .select($"u", $"c1", TextAnalysis.canonicalizeUrl($"c1").as("c2"))
+      .filter($"c1" =!= $"c2")
+      .collect()
+    assert(out.isEmpty,
+      s"${out.length} non-fixed-points, e.g. ${out.take(3).mkString("; ")}")
+  }
+
   test("sampleExactK: exactly k rows, deterministic, salt-independent " +
     "draws, TakeOrdered plan (no global sort)") {
     val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
