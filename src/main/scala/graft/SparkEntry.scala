@@ -2146,6 +2146,62 @@ object SparkEntry {
         k = 10, nprobe = 3)
     }),
 
+    "sim_ivfpq_filtered" -> ((s, dir) => {
+      // FILTERED vector search — nearest neighbors among rows passing a
+      // metadata predicate (here vec_id % 3 = 0, standing in for a
+      // per-source/tenant slice): PRE-filter semantics, so the ranking
+      // runs over probed-cells ∩ allowed and returns a full k whenever
+      // the intersection has k rows — a post-filter would silently
+      // under-fill. Same store, codebooks, and ADC arithmetic as the
+      // green sim_ivfpq_topk row; the oracle is that query's replay
+      // with the predicate applied before the LIMIT.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, k = 8)
+      val cbs = Similarity.pqTrain(emb, d = 64, m = 4, k = 4, maxIters = 2)
+      val store = s"$artifactRoot/ivfpq_filtered_store"
+      Similarity.writeIvfPqPartitioned(emb, cents, cbs, store)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      Similarity.ivfPqTopKFiltered(s, store, cents, cbs, q,
+        allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+        k = 10, nprobe = 3)
+    }),
+
+    "sim_ivfpq_incremental" -> ((s, dir) => {
+      // INCREMENTAL index maintenance — the daily-crawl shape: the
+      // coarse codebook and PQ codebooks train once on the initial
+      // batch (even vec_ids) and FREEZE; the initial batch's codes
+      // commit as snapshot v0 of a cell-partitioned table, and the new
+      // batch (odd vec_ids) encodes under the frozen codebooks and
+      // APPENDS as v1 — v0's files carry into v1 as manifest pointers,
+      // so the daily cost is O(new batch), never a rebuild. The probe
+      // composes the whole stack: probe cells from the frozen coarse
+      // codebook, one metadata-pruned scanPartitionAsOf per probed
+      // cell AT v1, ADC over the union. The oracle replays frozen
+      // training on the even slice and ranks the full corpus — append
+      // vs rebuild must be invisible to the answer.
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 =!= 0)
+      val cents = Similarity.ivfCentroids(a, k = 8)
+      val cbs = Similarity.pqTrain(a, d = 64, m = 4, k = 4, maxIters = 2)
+      val tbl = s"$artifactRoot/ivfpq_snap_store"
+      Snapshots.init(s, tbl)
+      def codes(df: DataFrame) = df.select(col("vec_id"),
+        Similarity.pqAssign(col("embedding"), cbs).as("codes"),
+        Similarity.ivfAssign(col("embedding"), cents).as("ivf_cell"))
+      Snapshots.commitPartitioned(s, codes(a), tbl, "ivf_cell",
+        append = false)
+      val v1 = Snapshots.commitPartitioned(s, codes(b), tbl, "ivf_cell",
+        append = true)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0)
+      val scan = Similarity.probeCells(cents, q, nprobe = 3)
+        .map(c => Snapshots.scanPartitionAsOf(s, tbl, v1, "ivf_cell", c))
+        .reduce(_ unionByName _)
+      Similarity.pqAdcTopK(scan, cbs, q, k = 10)
+    }),
+
     "sim_recall_ivfpq" -> ((s, dir) => {
       // recall@10 of the index a user actually deploys: BOTH IVF-PQ
       // variants (raw codes and FAISS-style residual codes) evaluated
@@ -5136,6 +5192,75 @@ object SparkEntry {
            |$dists,
            |cc AS (SELECT vec_id AS cid, embedding AS ce
            |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM cc, q
+           |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),
+           |assign AS (SELECT e.vec_id,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN cc c GROUP BY e.vec_id, e.embedding)
+           |SELECT d0.vec_id, ((d0.d + d1.d) + d2.d) + d3.d AS adist
+           |FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+           | JOIN d3 USING (vec_id) JOIN assign a ON a.vec_id = d0.vec_id
+           |WHERE a.cell IN (SELECT cid FROM probe)
+           |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+      },
+
+      // sim_ivfpq_topk's replay with the metadata predicate applied
+      // BEFORE the limit — pre-filter semantics: rank over
+      // probed-cells ∩ allowed, return a full k when it has k rows
+      "sim_ivfpq_filtered" -> {
+        val subs = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2, k = 4))
+          .mkString(",\n")
+        val dists = (0 until 4).map { j =>
+          s"""d$j AS (SELECT f.vec_id,
+             |  ${duckL2(s"(SELECT embedding[${j * 16 + 1}:${(j + 1) * 16}] FROM embeddings WHERE vec_id = 0)", "c.ce")} AS d
+             | FROM p${j}f f JOIN p${j}c2 c ON c.cid = f.code)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $subs,
+           |$dists,
+           |cc AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM embeddings ORDER BY vec_id LIMIT 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM cc, q
+           |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),
+           |assign AS (SELECT e.vec_id,
+           |   min({'d': ${duckL2("e.embedding", "c.ce")}, 'cid': c.cid})['cid'] AS cell
+           | FROM embeddings e CROSS JOIN cc c GROUP BY e.vec_id, e.embedding)
+           |SELECT d0.vec_id, ((d0.d + d1.d) + d2.d) + d3.d AS adist
+           |FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+           | JOIN d3 USING (vec_id) JOIN assign a ON a.vec_id = d0.vec_id
+           |WHERE a.cell IN (SELECT cid FROM probe) AND d0.vec_id % 3 = 0
+           |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+      },
+
+      // frozen-codebook incremental build: training chains run over the
+      // EVEN slice only (the initial batch), codes for the FULL corpus
+      // assign under those frozen codebooks, ranking as usual — append
+      // vs rebuild must be invisible to the answer
+      "sim_ivfpq_incremental" -> {
+        val subs = (0 until 4)
+          .map(j => pqSubCtes(j, j * 16 + 1, (j + 1) * 16, iters = 2,
+            k = 4, src = "av"))
+          .mkString(",\n")
+        val full = (0 until 4).map { j =>
+          s"""e$j AS (SELECT e.vec_id,
+             |   min({'d': ${duckL2(s"e.embedding[${j * 16 + 1}:${(j + 1) * 16}]", "c.ce")}, 'cid': c.cid})['cid'] AS code
+             | FROM embeddings e CROSS JOIN p${j}c2 c
+             | GROUP BY e.vec_id, e.embedding)""".stripMargin
+        }.mkString(",\n")
+        val dists = (0 until 4).map { j =>
+          s"""d$j AS (SELECT f.vec_id,
+             |  ${duckL2(s"(SELECT embedding[${j * 16 + 1}:${(j + 1) * 16}] FROM embeddings WHERE vec_id = 0)", "c.ce")} AS d
+             | FROM e$j f JOIN p${j}c2 c ON c.cid = f.code)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH av AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 2 = 0),
+           |$subs,
+           |$full,
+           |$dists,
+           |cc AS (SELECT vec_id AS cid, embedding AS ce
+           |  FROM av ORDER BY vec_id LIMIT 8),
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |probe AS (SELECT cid FROM cc, q
            |  ORDER BY ${duckL2("ce", "qe")}, cid LIMIT 3),

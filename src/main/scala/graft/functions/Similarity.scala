@@ -284,7 +284,13 @@ object Similarity {
   /** The `nprobe` centroid ids nearest the query (squared L2, ties to
     * the lower id — the [[ivfAssign]] tie rule). Driver-side: k×d
     * arithmetic on the codebook literals. */
-  private def probeCells(
+  /** The `nprobe` nearest coarse cells to a query (squared L2, strict
+    * left-to-right double sum — [[l2sq]]'s recipe — ties to the lower
+    * cell id). Public so callers composing their OWN store layouts
+    * (e.g. a snapshot-versioned cell-partitioned store read through
+    * `Snapshots.scanPartitionAsOf`) share the exact probe-selection
+    * arithmetic of the built-in probes. */
+  def probeCells(
       centroids: Seq[Seq[Float]],
       queryVec: Seq[Float],
       nprobe: Int): Seq[Int] =
@@ -660,6 +666,40 @@ object Similarity {
     val probed = probeCells(centroids, queryVec, nprobe)
     pqAdcTopK(
       spark.read.parquet(path).filter(col("ivf_cell").isin(probed: _*)),
+      codebooks, queryVec, k, idCol)
+  }
+
+  /** FILTERED top-k over an IVF-PQ store — "nearest neighbors among
+    * rows satisfying a metadata predicate", the most-requested vector
+    * search feature (per-source retrieval, date-scoped dedup,
+    * tenant-scoped serving). Semantics are PRE-filter: the ranking
+    * runs over probed-cells ∩ `allowed`, so exactly `k` survivors
+    * return whenever that intersection has k rows — the alternative
+    * (rank first, filter after) silently returns fewer than k the
+    * moment the filter is selective, which is a recall bug, not a
+    * variant. `allowed` is an id frame (join the metadata table and
+    * filter upstream — the store itself stays codes-only); it
+    * left-semi-joins the partition-pruned codes scan, so at scale a
+    * selective filter also SHRINKS the ADC work instead of wasting it
+    * on rows the filter would discard. Ranking arithmetic is
+    * [[pqAdcTopK]]'s verbatim. */
+  def ivfPqTopKFiltered(
+      spark: SparkSession,
+      path: String,
+      centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      queryVec: Seq[Float],
+      allowed: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    require(allowed.columns.contains(idCol),
+      s"ivfPqTopKFiltered: allowed frame has no column '$idCol'")
+    val probed = probeCells(centroids, queryVec, nprobe)
+    pqAdcTopK(
+      spark.read.parquet(path)
+        .filter(col("ivf_cell").isin(probed: _*))
+        .join(allowed.select(col(idCol)), Seq(idCol), "left_semi"),
       codebooks, queryVec, k, idCol)
   }
 

@@ -592,6 +592,90 @@ class SimilaritySpec extends SparkSuite {
       "residual batch probe diverged from the per-query loop")
   }
 
+  test("ivfPqTopKFiltered: pre-filter semantics — full k from the " +
+    "allowed slice, equal to ADC over probed∩allowed") {
+    val dim = 8
+    val rows = (0 until 80).map { i =>
+      val id = i.toLong
+      val v = (0 until dim).map { d =>
+        (if (d == (i % 4) * 2) 50f else 0f) +
+          ((id * 31 + d * 17) % 21 - 10).toFloat / 10f
+      }
+      (id, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(corpus, k = 4, maxIters = 2)
+    val cbs = Similarity.pqTrain(corpus, d = dim, m = 2, k = 4, maxIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_filt").toString
+    Similarity.writeIvfPqPartitioned(corpus, cents, cbs, s"$root/st")
+    val q = rows.toMap.apply(0L)
+    val allowed = corpus.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val got = Similarity.ivfPqTopKFiltered(spark, s"$root/st", cents, cbs,
+      q, allowed, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 5, "pre-filter must fill k from the allowed slice")
+    assert(got.forall(_._1 % 3 == 0), "every survivor satisfies the filter")
+    // equality with ADC over the manually intersected scan
+    val probed = Similarity.probeCells(cents, q, 2)
+    val want = Similarity.pqAdcTopK(
+      spark.read.parquet(s"$root/st")
+        .filter($"ivf_cell".isin(probed: _*) && $"vec_id" % 3 === 0),
+      cbs, q, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("incremental IVF-PQ via snapshot append equals a one-shot " +
+    "rebuild; the initial version still answers alone") {
+    val dim = 8
+    val rows = (0 until 80).map { i =>
+      val id = i.toLong
+      val v = (0 until dim).map { d =>
+        (if (d == (i % 4) * 2) 50f else 0f) +
+          ((id * 29 + d * 13) % 19 - 9).toFloat / 9f
+      }
+      (id, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val a = corpus.filter($"vec_id" % 2 === 0)
+    val b = corpus.filter($"vec_id" % 2 =!= 0)
+    // frozen codebooks: trained on the initial batch only
+    val cents = Similarity.kmeansTrain(a, k = 4, maxIters = 2)
+    val cbs = Similarity.pqTrain(a, d = dim, m = 2, k = 4, maxIters = 2)
+    def codes(df: org.apache.spark.sql.DataFrame) = df.select($"vec_id",
+      Similarity.pqAssign($"embedding", cbs).as("codes"),
+      Similarity.ivfAssign($"embedding", cents).as("ivf_cell"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    val tbl = s"$tmp/snap"
+    graft.operators.Snapshots.init(spark, tbl)
+    val v0 = graft.operators.Snapshots.commitPartitioned(spark, codes(a),
+      tbl, "ivf_cell", append = false)
+    val v1 = graft.operators.Snapshots.commitPartitioned(spark, codes(b),
+      tbl, "ivf_cell", append = true)
+    // one-shot rebuild with the same frozen codebooks
+    Similarity.writeIvfPqPartitioned(corpus, cents, cbs, s"$tmp/full")
+    val q = rows.toMap.apply(1L)
+    val probed = Similarity.probeCells(cents, q, 2)
+    def adcOver(scan: org.apache.spark.sql.DataFrame) =
+      Similarity.pqAdcTopK(scan, cbs, q, k = 6)
+        .as[(Long, Double)].collect().toSeq
+    val gotIncr = adcOver(probed
+      .map(c => graft.operators.Snapshots
+        .scanPartitionAsOf(spark, tbl, v1, "ivf_cell", c))
+      .reduce(_ unionByName _))
+    val wantFull = adcOver(spark.read.parquet(s"$tmp/full")
+      .filter($"ivf_cell".isin(probed: _*)))
+    assert(gotIncr == wantFull,
+      "append vs rebuild must be invisible to the ranking")
+    // time travel: v0's probe sees only the initial batch
+    val gotV0 = adcOver(probed
+      .map(c => graft.operators.Snapshots
+        .scanPartitionAsOf(spark, tbl, v0, "ivf_cell", c))
+      .reduce(_ unionByName _))
+    assert(gotV0.forall(_._1 % 2 == 0),
+      "version 0 must rank only the initial batch's vectors")
+  }
+
   test("centroidDrift: exact per-dim mean gaps; one-slice labels drop") {
     val base = Seq(
       (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 2.0f)), // label 0: mean (2, 2)
