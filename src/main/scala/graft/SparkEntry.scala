@@ -597,6 +597,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q35_optimize_partitioned" -> ((s, dir) => {
+      // partition-preserving OPTIMIZE: three append commits leave each
+      // event_type directory with three file sets (the small-file
+      // problem an appending table accrues); the rewrite compacts the
+      // latest snapshot to one file per partition while the manifest
+      // keeps carrying fragments — partition pruning survives the
+      // compaction (SnapshotsSpec pins the file counts and pruning).
+      // The oracle is the content invariant: compaction moves bytes,
+      // never rows.
+      val tbl = s"$artifactRoot/snap_optpart_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      (0 until 3).foreach { i =>
+        Snapshots.commitPartitioned(s,
+          ev.filter(col("event_id") % 3 === i), tbl, "event_type",
+          append = i > 0)
+      }
+      val v = Snapshots.optimizePartitioned(s, tbl, "event_type")
+      Snapshots.readAsOf(s, tbl, v)
+        .select(col("event_id"), col("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     "q24_mv_rewrite" -> ((s, dir) => {
       // MV redirection end-to-end under the oracle: events stage as a
       // fact table with exact integer cents; IncrementalAgg materializes
@@ -1650,6 +1677,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("domain"))
+    }),
+
+    "text_chunk_overlap" -> ((s, dir) => {
+      // fixed-size overlapping token windows — the RAG/pretraining
+      // chunking op (size 32, stride 24 → 8-token overlap): chunk
+      // starts are a per-doc sequence(0, n−1, stride), each chunk is a
+      // SLICE of the one materialized words array — pure narrow
+      // expressions, no shuffle until the final sort; trailing
+      // fragments keep their honest (shorter) token count. Chunks
+      // travel as md5 digests — the dedup/jaccard layers downstream
+      // key on hashes, and the gate compares them engine-to-engine.
+      val size32 = lit(32)
+      val stride = 24
+      par(s)(t(s, dir, "documents"))
+        .filter(TextAnalysis.normalize(col("text")) =!= "")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+        .withColumn("st",
+          explode(sequence(lit(0), size(col("ws")) - 1, lit(stride))))
+        .select(col("doc_id"),
+          expr(s"st div $stride").cast("long").as("chunk_idx"),
+          least(size32, size(col("ws")) - col("st")).cast("long")
+            .as("n_tokens"),
+          md5(concat_ws(" ", slice(col("ws"), col("st") + 1, size32)))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     "text_url_canonical" -> ((s, dir) => {
@@ -4524,6 +4576,13 @@ object SparkEntry {
           |FROM base WHERE event_id % 7 = 0
           |ORDER BY event_id""".stripMargin,
 
+      // the source rows verbatim — partitioned compaction moves bytes,
+      // never rows (q22's invariant at partition scope)
+      "q35_optimize_partitioned" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
       // same merged table, minus the deleted click keys
       "q34_snapshot_merge_delete" ->
         """WITH base AS (SELECT event_id, user_id, event_type,
@@ -5867,6 +5926,19 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_urls,
           | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the same start-sequence + list-slice chunking; DuckDB's range()
+      // excludes its bound where Spark's sequence() includes it, so the
+      // bounds differ by one to generate the same start set
+      "text_chunk_overlap" ->
+        s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents
+           |  WHERE $duckNorm <> ''),
+           |s AS (SELECT doc_id, ws,
+           |  CAST(unnest(range(0, len(ws), 24)) AS BIGINT) AS st FROM w)
+           |SELECT doc_id, st // 24 AS chunk_idx,
+           | CAST(least(32, len(ws) - st) AS BIGINT) AS n_tokens,
+           | md5(array_to_string(ws[st+1:st+32], ' ')) AS chunk_md5
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
       // the same canonicalization chain replayed in DuckDB's RE2 (the
       // patterns avoid lookarounds precisely so both engines agree);

@@ -748,6 +748,36 @@ object Snapshots {
       tablePath, append = false)
   }
 
+  /** [[optimize]] for a HIVE-PARTITIONED snapshot table, preserving
+    * the layout the flat rewrite would destroy: after many append
+    * commits each partition directory accumulates one file set per
+    * commit (the classic small-file problem — an incremental ANN
+    * store's cells, a by-date event table's days), and this rewrites
+    * the LATEST snapshot as one compact file per partition value while
+    * the manifest keeps carrying partition fragments — so
+    * [[scanPartitionAsOf]] pruning survives the compaction, which is
+    * the point of compacting a partitioned table. Committed as a
+    * REPLACE version: readers of older versions keep their immutable
+    * files until [[vacuum]]. The `repartition(partCol)` shuffle routes
+    * every partition's rows to one task, so each directory emits
+    * exactly one file; at petabyte partitions a byte-targeted variant
+    * (repartitionByRange within partitions) is the refinement, same
+    * commit path. */
+  def optimizePartitioned(
+      spark: SparkSession,
+      tablePath: String,
+      partCol: String): Long = {
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimizePartitioned: $tablePath has no committed versions"))
+    require(manifestRows(spark, tablePath, latest).forall(_._2 != null),
+      s"optimizePartitioned needs a partitioned table (commitPartitioned); " +
+        s"version $latest of $tablePath carries flat files")
+    commitPartitioned(spark,
+      readAsOf(spark, tablePath, latest).repartition(col(partCol)),
+      tablePath, partCol, append = false)
+  }
+
   /** Multiset diff between two snapshots: rows only in `newVersion`
     * tagged `'+'`, rows only in `oldVersion` tagged `'-'` — the audit
     * frame for "what did this commit change". `exceptAll` keeps

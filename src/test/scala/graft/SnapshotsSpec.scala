@@ -431,6 +431,44 @@ class SnapshotsSpec extends SparkSuite {
         "stale row beside the update")
   }
 
+  test("optimizePartitioned: one file per partition after appends, " +
+    "identical rows, pruning survives, old versions untouched") {
+    val tbl = freshTable()
+    (0 until 3).foreach { i =>
+      Snapshots.commitPartitioned(spark,
+        Seq((i * 10L + 1L, s"a$i", "d1"), (i * 10L + 2L, s"b$i", "d2"))
+          .toDF("id", "v", "day"),
+        tbl, "day", append = i > 0)
+    }
+    val before = Snapshots.latestVersion(spark, tbl).get
+    def filesPerPart(v: Long): Map[String, Int] =
+      Snapshots.manifest(spark, tbl)
+        .filter($"version" === v)
+        .collect().map(r => r.getString(2)).groupBy(identity)
+        .map { case (k, vs) => k -> vs.length }
+    assert(filesPerPart(before).values.forall(_ >= 3),
+      "fixture must start with several files per partition")
+    val v = Snapshots.optimizePartitioned(spark, tbl, "day")
+    assert(filesPerPart(v) == Map("day=d1" -> 1, "day=d2" -> 1),
+      "each partition must compact to one file, fragments kept")
+    val rows = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id", $"v", $"day").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(rows == Seq((1L, "a0", "d1"), (2L, "b0", "d2"),
+      (11L, "a1", "d1"), (12L, "b1", "d2"),
+      (21L, "a2", "d1"), (22L, "b2", "d2")))
+    // pruning still answers from the manifest
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, v, "day", "d2")
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 12L, 22L))
+    assert(Snapshots.readAsOf(spark, tbl, before).count() == 6L)
+    // flat tables refuse
+    val flat = freshTable()
+    Snapshots.commit(spark, rows0, flat, append = false)
+    intercept[IllegalArgumentException] {
+      Snapshots.optimizePartitioned(spark, flat, "day")
+    }
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
