@@ -338,6 +338,22 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q36_expect_fk" -> ((s, dir) => {
+      // referential integrity in the expectation suite: the real
+      // lineitem → orders FK (zero violations) beside a deliberately
+      // broken one (parent restricted to even part keys, so odd
+      // l_partkeys violate) — both the clean and dirty paths under the
+      // oracle. Keys-only anti-joins; the report unions with the q18
+      // suite shape.
+      val li = t(s, dir, "lineitem")
+      Stats.expectForeignKey(li, t(s, dir, "orders"),
+          Seq("l_orderkey"), Seq("o_orderkey"), "lineitem_orders_fk")
+        .unionByName(Stats.expectForeignKey(li,
+          t(s, dir, "part").filter(col("p_partkey") % 2 === 0),
+          Seq("l_partkey"), Seq("p_partkey"), "lineitem_even_parts_fk"))
+        .orderBy(col("rule"))
+    }),
+
     "q29_optimize" -> ((s, dir) => {
       // OPTIMIZE inside the snapshot lineage: three append commits
       // accrete a small-file mess (8 files each), optimize rewrites the
@@ -4470,6 +4486,19 @@ object SparkEntry {
 
       // each rule restated as an independent WHERE count; the unique-key
       // rule sums the sizes of over-populated key groups
+      // SQL FK semantics both sides: null child keys assert nothing
+      "q36_expect_fk" ->
+        """SELECT 'lineitem_even_parts_fk' AS rule,
+          | (SELECT count(*) FROM lineitem) AS n_rows,
+          | (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+          |   AND l_partkey NOT IN (SELECT p_partkey FROM part
+          |     WHERE p_partkey % 2 = 0)) AS n_violations
+          |UNION ALL SELECT 'lineitem_orders_fk',
+          | (SELECT count(*) FROM lineitem),
+          | (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+          |   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          |ORDER BY rule""".stripMargin,
+
       "q18_expectations" ->
         """SELECT 'price_positive' AS rule,
           | (SELECT count(*) FROM lineitem) AS n_rows,

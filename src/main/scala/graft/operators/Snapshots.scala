@@ -748,6 +748,42 @@ object Snapshots {
       tablePath, append = false)
   }
 
+  /** Delete data files NO manifest generation references — the
+    * "remove orphan files" maintenance job [[vacuum]] cannot cover:
+    * vacuum deletes files of the generations it DROPS, but a committer
+    * that crashed between writing its data files and publishing its
+    * manifest leaves files referenced by nothing, invisible to every
+    * reader and every vacuum, silently accumulating storage forever.
+    * `olderThanMs` is the safety window (no default on purpose —
+    * Iceberg ships days): a RACING committer's just-written files are
+    * also unreferenced until its publish lands, so only files whose
+    * modification time predates the window are deleted. Returns the
+    * number of files removed; table content is untouched by
+    * construction (only unreferenced files die). */
+  def removeOrphans(
+      spark: SparkSession,
+      tablePath: String,
+      olderThanMs: Long): Long = {
+    require(olderThanMs >= 0, "olderThanMs must be non-negative")
+    val f = fs(spark, tablePath)
+    val dataRoot = new Path(s"$tablePath/$DataDir")
+    if (!f.exists(dataRoot)) return 0L
+    val referenced = manifest(spark, tablePath)
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s)
+      }
+    val orphans = walk(dataRoot).filter { s =>
+      !s.getPath.getName.startsWith("_") &&
+        !referenced.contains(s.getPath.toString) &&
+        s.getModificationTime <= cutoff
+    }
+    orphans.foreach(s => f.delete(s.getPath, false))
+    orphans.length.toLong
+  }
+
   /** [[optimize]] for a HIVE-PARTITIONED snapshot table, preserving
     * the layout the flat rewrite would destroy: after many append
     * commits each partition directory accumulates one file set per

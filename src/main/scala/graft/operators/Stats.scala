@@ -240,6 +240,36 @@ object Stats {
       .select(col("e.rule"), col("e.n_rows"), col("e.n_violations"))
   }
 
+  /** The referential-integrity expectation: child rows whose key has
+    * no match in the parent count as violations — the cross-table
+    * check [[expectRows]]' single-scan predicates cannot express. SQL
+    * FK semantics: a child key containing any NULL passes (it asserts
+    * nothing), matching `NOT IN`-with-non-null-guard on the oracle
+    * side. Shape at scale: the child projects to its key columns and
+    * anti-joins the parent's distinct keys — the only bytes shuffled
+    * are keys, and a dimension-sized parent broadcasts under AQE;
+    * report is one (rule, n_rows, n_violations) row, shape-compatible
+    * with [[expectRows]] for suite unions. */
+  def expectForeignKey(
+      child: DataFrame,
+      parent: DataFrame,
+      childKeys: Seq[String],
+      parentKeys: Seq[String],
+      name: String = "foreign_key"): DataFrame = {
+    require(childKeys.nonEmpty, "expectForeignKey needs key columns")
+    require(childKeys.length == parentKeys.length,
+      s"child keys ${childKeys.mkString(",")} and parent keys " +
+        s"${parentKeys.mkString(",")} must align")
+    val keyed = child.select(childKeys.map(col): _*)
+    val violations = keyed
+      .filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      .join(parent.select(parentKeys.map(col): _*).distinct()
+        .toDF(childKeys: _*), childKeys, "left_anti")
+    keyed.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
+      .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
+  }
+
   /** The uniqueness expectation: rows whose key appears more than once
     * all count as violations. One map-side-combinable groupBy on the
     * key, one tiny re-aggregation — shape-compatible with

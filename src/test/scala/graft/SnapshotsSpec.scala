@@ -469,6 +469,30 @@ class SnapshotsSpec extends SparkSuite {
     }
   }
 
+  test("removeOrphans: a crashed publish's unreferenced files die, " +
+    "fresh files inside the safety window and referenced files survive") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    // a committer that claimed v1, wrote data, and died before publish
+    assert(new java.io.File(s"$tbl/_commits/v1").createNewFile())
+    rows1.write.parquet(s"$tbl/data/v1")
+    // raw java.io listing sees the local FS's hidden .crc sidecars the
+    // Hadoop ChecksumFileSystem filters; count only real data files
+    val orphanCount = new java.io.File(s"$tbl/data/v1").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(orphanCount > 0)
+    // inside the safety window: a racer could still be publishing
+    assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 3600000L) == 0L)
+    // past the window: exactly the orphans die, the table is untouched
+    assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 0L) ==
+      orphanCount.toLong)
+    assert(Snapshots.readAsOf(spark, tbl, 0L)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 0L) == 0L,
+      "a second pass must find nothing")
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")

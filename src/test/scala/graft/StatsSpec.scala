@@ -147,6 +147,21 @@ class StatsSpec extends SparkSuite {
     assert(gotEd == wantEd)
   }
 
+  test("expectForeignKey: unmatched keys violate, null child keys " +
+    "assert nothing, clean FK reports zero") {
+    val child = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val got = Stats.expectForeignKey(child, parent, Seq("fk"), Seq("pk"))
+      .as[(String, Long, Long)].head()
+    assert(got == (("foreign_key", 4L, 1L)),
+      "99 violates; the null key passes (SQL FK semantics)")
+    val clean = Stats.expectForeignKey(
+      child.filter($"fk" =!= 99L), parent, Seq("fk"), Seq("pk"), "ok")
+      .as[(String, Long, Long)].head()
+    assert(clean == (("ok", 2L, 0L)))
+  }
+
   test("equiDepthHistogram rank arithmetic equals ntile across random " +
     "tie-heavy multisets and bucket counts") {
     // heavy ties are the adversarial case: a value's rank span crosses
