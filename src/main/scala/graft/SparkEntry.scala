@@ -118,6 +118,52 @@ object SparkEntry {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private val duckWords = s"string_split($duckNorm, ' ')"
 
+  /** The messy synthetic URL each doc carries in the URL-dedup queries
+    * (four spellings per resource: default port + uppercase host,
+    * tracking params, fragments, an https:443 sibling) — the same
+    * closed-form construction in Spark and SQL so the oracle replays
+    * it arithmetically. */
+  private def messyUrl: Column = {
+    val k = pmod(col("doc_id"), lit(7)).cast("string")
+    val m = pmod(col("doc_id"), lit(3)).cast("string")
+    val v = pmod(col("doc_id"), lit(4))
+    concat(
+      when(v === 3, lit("HTTPS://Site")).otherwise(lit("HTTP://Site")),
+      k, lit(".Example.COM"),
+      when(v === 3, lit(":443")).otherwise(lit(":80")),
+      lit("/p"), m, lit("/"),
+      when(v === 1, lit("?utm_source=x&fbclid=y"))
+        .when(v === 2, lit("?a=1&utm_campaign=z#frag"))
+        .when(v === 3, lit("#sec"))
+        .otherwise(lit("")))
+  }
+  private val duckMessyUrl =
+    """CASE WHEN doc_id % 4 = 3 THEN 'HTTPS://Site' ELSE 'HTTP://Site' END
+      | || (doc_id % 7) || '.Example.COM'
+      | || CASE WHEN doc_id % 4 = 3 THEN ':443' ELSE ':80' END
+      | || '/p' || (doc_id % 3) || '/'
+      | || CASE doc_id % 4 WHEN 1 THEN '?utm_source=x&fbclid=y'
+      |    WHEN 2 THEN '?a=1&utm_campaign=z#frag'
+      |    WHEN 3 THEN '#sec' ELSE '' END""".stripMargin.replace("\n", "")
+
+  /** [[graft.functions.TextAnalysis.canonicalizeUrl]]'s chain as ONE
+    * nested DuckDB expression over `u` (a column or parenthesized
+    * expression) — for oracles that need the canonical form inline
+    * rather than as the CTE pipeline `text_url_canonical` replays. */
+  private def duckCanonical(u: String): String = {
+    def nf = s"regexp_replace($u, '#.*', '')"
+    val lh = s"lower(regexp_extract($nf, '(?i)^(https?://[^/?#]+)', 1))" +
+      s" || regexp_replace($nf, '(?i)^https?://[^/?#]+', '')"
+    val np = s"regexp_replace(regexp_replace($lh," +
+      s" '^(http://[^/:?#]+):80($$|[/?#].*)', '\\1\\2')," +
+      s" '^(https://[^/:?#]+):443($$|[/?#].*)', '\\1\\2')"
+    val nt = s"regexp_replace(regexp_replace(regexp_replace($np," +
+      s" '&(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g')," +
+      s" '\\?(utm_[^=&]*|fbclid|gclid)=[^&]*&', '?')," +
+      s" '\\?(utm_[^=&]*|fbclid|gclid)=[^&]*$$', '')"
+    s"regexp_replace($nt, '/$$', '')"
+  }
+
   /** The W1 natural-sort description synthesized from lineitem keys — the
     * same expression in Spark and SQL. */
   private def synthDesc: Column =
@@ -1727,26 +1773,35 @@ object SparkEntry {
       // constructed closed-form per doc, canonicalized by the pure
       // expression chain, and grouped — the oracle replays the exact
       // regex surgery in SQL, so every collapse is engine-checked
-      val k = pmod(col("doc_id"), lit(7)).cast("string")
-      val m = pmod(col("doc_id"), lit(3)).cast("string")
-      val v = pmod(col("doc_id"), lit(4))
-      val raw = concat(
-        when(v === 3, lit("HTTPS://Site")).otherwise(lit("HTTP://Site")),
-        k, lit(".Example.COM"),
-        when(v === 3, lit(":443")).otherwise(lit(":80")),
-        lit("/p"), m, lit("/"),
-        when(v === 1, lit("?utm_source=x&fbclid=y"))
-          .when(v === 2, lit("?a=1&utm_campaign=z#frag"))
-          .when(v === 3, lit("#sec"))
-          .otherwise(lit("")))
       par(s)(t(s, dir, "documents"))
-        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), messyUrl.as("raw"))
         .select(col("doc_id"), col("raw"),
           TextAnalysis.canonicalizeUrl(col("raw")).as("url"))
         .groupBy(col("url"))
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("raw")).as("n_raw_forms"))
         .orderBy(col("url"))
+    }),
+
+    "dedup_cascade" -> ((s, dir) => {
+      // the production dedup ARCHITECTURE, tiers in cost order — each
+      // tier runs only on the previous tier's survivors, so the cheap
+      // string key absorbs volume before any shingle forms: tier 1
+      // canonical-URL exact (keep min doc_id per canonical form),
+      // tier 2 content-hash exact (md5 of normalized text), tier 3
+      // MinHash-band near-dup — signatures banded ONCE over the full
+      // corpus (the production shape: signatures are an index, dedup
+      // is a policy over it), a survivor drops iff it band-collides
+      // with a LOWER-id survivor (greedy first-writer-wins, the
+      // StreamDedup rule — no transitive closure, deterministic).
+      // Output is the per-tier funnel report an operator reads.
+      // (DedupSpec drives all three tiers with planted duplicates —
+      // this fixture exercises tier 1 heavily, tiers 2/3 report clean.)
+      Dedup.cascadeReport(
+        par(s)(t(s, dir, "documents"))
+          .withColumn("url", TextAnalysis.canonicalizeUrl(messyUrl)),
+        urlCol = "url")
+        .orderBy(col("tier"))
     }),
 
     "text_sample_topk" -> ((s, dir) => {
@@ -4877,6 +4932,40 @@ object SparkEntry {
         s"""WITH $duckMinhashEdgeCtes
            |SELECT doc_a, doc_b FROM edges
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the tier funnel: canonical-url keep-min, content-md5 keep-min
+      // among tier-1 survivors, then the SAME full-corpus band edges
+      // restricted to tier-2 survivors (drop the higher id of each
+      // surviving edge). MATERIALIZED: t1/t2 feed several scalar
+      // subqueries and DuckDB inlines plain multi-referenced CTEs
+      "dedup_cascade" ->
+        s"""WITH $duckMinhashEdgeCtes,
+           |t1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM (
+           |   SELECT doc_id, ${duckCanonical(s"($duckMessyUrl)")} AS url
+           |   FROM documents)
+           | GROUP BY url),
+           |t2 AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM (
+           |   SELECT d.doc_id, md5($duckNorm) AS fp FROM documents d
+           |    JOIN t1 ON d.doc_id = t1.doc_id)
+           | GROUP BY fp),
+           |drop3 AS MATERIALIZED (SELECT DISTINCT e.doc_b AS doc_id
+           | FROM edges e
+           | JOIN t2 a ON e.doc_a = a.doc_id
+           | JOIN t2 b ON e.doc_b = b.doc_id)
+           |SELECT CAST(1 AS BIGINT) AS tier, 'url_canonical' AS method,
+           | (SELECT count(*) FROM documents) AS n_in,
+           | (SELECT count(*) FROM documents) - (SELECT count(*) FROM t1)
+           |   AS n_removed,
+           | (SELECT count(*) FROM t1) AS n_out
+           |UNION ALL SELECT 2, 'content_md5',
+           | (SELECT count(*) FROM t1),
+           | (SELECT count(*) FROM t1) - (SELECT count(*) FROM t2),
+           | (SELECT count(*) FROM t2)
+           |UNION ALL SELECT 3, 'minhash_band',
+           | (SELECT count(*) FROM t2),
+           | (SELECT count(*) FROM drop3),
+           | (SELECT count(*) FROM t2) - (SELECT count(*) FROM drop3)
+           |ORDER BY tier""".stripMargin,
 
       // transitive closure of the SAME edge SQL via a recursive min-label
       // reachability CTE; cluster id = min reachable node, survivor = the

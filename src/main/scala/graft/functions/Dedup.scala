@@ -1276,4 +1276,67 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** The production dedup CASCADE, tiers in cost order, as a funnel
+    * report — each tier runs only on the previous tier's survivors, so
+    * the cheapest key absorbs volume before any shingle forms:
+    *
+    *   1. canonical-URL exact (`urlCol` — run
+    *      [[graft.functions.TextAnalysis.canonicalizeUrl]] upstream):
+    *      keep the min id per URL; a string groupBy, pennies per row.
+    *   2. content-hash exact: md5 of the normalized text among tier-1
+    *      survivors; still one shuffle of 16-byte keys.
+    *   3. MinHash-band near-dup: signatures are banded ONCE over the
+    *      FULL corpus ([[minhashCandidates]] — the production shape:
+    *      signatures are an index, dedup is a policy over it), and a
+    *      survivor drops iff it band-collides with a LOWER-id survivor
+    *      — the greedy first-writer-wins rule [[graft.streaming.StreamDedup]]
+    *      applies online, deterministic, no transitive closure (a
+    *      chain A~B~C with A<B<C keeps A and any member not colliding
+    *      with a surviving lower id — [[connectedComponents]] is the
+    *      closure-complete alternative when chains matter).
+    *
+    * Output: one (tier, method, n_in, n_removed, n_out) row per tier —
+    * the funnel an operator reads to see which tier earns its cost.
+    * Tier frames are materialized: each feeds both the next tier and
+    * its own report row. */
+  def cascadeReport(
+      docs: DataFrame,
+      urlCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(docs.columns.contains(urlCol), s"no url column '$urlCol'")
+    val t1 = Materialize(
+      docs.select(col(urlCol), col(idCol))
+        .groupBy(col(urlCol)).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)))
+    val t2 = Materialize(
+      docs.join(t1, Seq(idCol), "left_semi")
+        .select(md5(TextAnalysis.normalize(col(textCol))).as("fp"),
+          col(idCol))
+        .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)))
+    val edges = minhashCandidates(docs, k = k, bands = bands,
+      idCol = idCol, textCol = textCol)
+    val dropped3 = edges
+      .join(t2.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(t2.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as(idCol)).distinct()
+    def tier(n: Long, name: String, nIn: DataFrame, nOut: DataFrame) =
+      nIn.agg(count(lit(1)).as("n_in"))
+        .crossJoin(nOut.agg(count(lit(1)).as("n_out")))
+        .select(lit(n).as("tier"), lit(name).as("method"),
+          col("n_in"), (col("n_in") - col("n_out")).as("n_removed"),
+          col("n_out"))
+    tier(1L, "url_canonical", docs.select(col(idCol)), t1)
+      .unionByName(tier(2L, "content_md5", t1, t2))
+      .unionByName(
+        t2.agg(count(lit(1)).as("n_in"))
+          .crossJoin(dropped3.agg(count(lit(1)).as("n_removed")))
+          .select(lit(3L).as("tier"), lit("minhash_band").as("method"),
+            col("n_in"), col("n_removed"),
+            (col("n_in") - col("n_removed")).as("n_out")))
+  }
 }

@@ -608,4 +608,35 @@ class DedupSpec extends SparkSuite {
       (1L, 2L, 7L, 10L, 1L, 3L),
       (3L, 1L, 0L, 3L, 1L, 3L)))
   }
+
+  test("cascadeReport: each tier removes its planted duplicates and " +
+    "passes the rest down the funnel") {
+    // ids 1,2: same canonical url (tier 1 drops 2). ids 3,4: distinct
+    // urls, identical normalized text (tier 2 drops 4). ids 5,6:
+    // distinct urls and texts but shingle-identical long prefix (tier
+    // 3 band-collides, drops 6). id 7: unique on every axis.
+    val near =
+      "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, "https://a.io/x", "first unique document body one"),
+      (2L, "https://a.io/x", "second body that never gets hashed"),
+      (3L, "https://a.io/y", "Shared  CONTENT here!"),
+      (4L, "https://a.io/z", "shared content here"),
+      (5L, "https://b.io/p", near + " alpha"),
+      (6L, "https://b.io/q", near + " alpha"),
+      (7L, "https://c.io/r", "totally different text about ships"))
+      .toDF("doc_id", "url", "text")
+    // 5/6 share their text exactly too — push them apart at tier 2 by
+    // a suffix the 3-gram shingles mostly share
+    val spread = docs.withColumn("text",
+      when($"doc_id" === 6L, concat($"text", lit(" beta"))).otherwise($"text"))
+    val got = Dedup.cascadeReport(spread, urlCol = "url")
+      .orderBy($"tier")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._5)) ==
+      Seq((1L, 7L, 6L), (2L, 6L, 5L), (3L, 5L, 4L)),
+      s"funnel counts off: $got")
+    assert(got.map(_._4) == Seq(1L, 1L, 1L),
+      s"each tier must remove exactly its planted duplicate: $got")
+  }
 }
