@@ -2763,6 +2763,34 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("week_offset"))
     }),
 
+    "ev_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime value — ev_retention's revenue sibling: users
+      // cohorted by first-PURCHASE week (pure integer epoch
+      // arithmetic, no calendar truncation), revenue per (cohort, week
+      // offset) with the running cumulative LTV and cohort size — the
+      // curve a growth team actually reads. The cumulative window runs
+      // over the (cohort, offset) AGGREGATE frame (tens of rows per
+      // cohort), never over raw purchases.
+      val wk = 7L * 86400000000L
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), cents(col("value")).as("cents"),
+          expr(s"unix_micros(ts) div $wk").as("wi"))
+      val cohorts = p.groupBy(col("user_id")).agg(min(col("wi")).as("cw"))
+      val cells = p.join(cohorts, Seq("user_id"))
+        .groupBy(col("cw"), (col("wi") - col("cw")).as("week_offset"))
+        .agg(sum(col("cents")).as("rev_cents"),
+          countDistinct(col("user_id")).as("n_active"))
+      val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val w = Window.partitionBy(col("cw")).orderBy(col("week_offset"))
+      cells.join(sizes, Seq("cw"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_users"), col("n_active"), col("rev_cents"),
+          col("cum_rev_cents"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     "ev_attribution" -> ((s, dir) => {
       // linear multi-touch attribution: each purchase's cents split
       // equally over the user's clicks in the trailing 6 h; purchases
@@ -6566,6 +6594,25 @@ object SparkEntry {
           |    / CAST(count(c_event_id) OVER w AS DOUBLE) END AS credit
           |FROM j WINDOW w AS (PARTITION BY p_event_id)
           |ORDER BY p_event_id, coalesce(c_event_id, -1)""".stripMargin,
+
+      // same integer week indexing, same aggregate-frame cumulative sum
+      "ev_cohort_ltv" ->
+        """WITH p AS (SELECT user_id,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents,
+          |  epoch_us(ts) // 604800000000 AS wi
+          | FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, min(wi) AS cw FROM p GROUP BY user_id),
+          |cells AS (SELECT cw, wi - cw AS week_offset,
+          |  CAST(sum(cents) AS BIGINT) AS rev_cents,
+          |  count(DISTINCT p.user_id) AS n_active
+          | FROM p JOIN c ON p.user_id = c.user_id GROUP BY 1, 2),
+          |sizes AS (SELECT cw, count(*) AS n_users FROM c GROUP BY cw)
+          |SELECT cells.cw AS cohort_week, week_offset, n_users, n_active,
+          | rev_cents,
+          | CAST(sum(rev_cents) OVER (PARTITION BY cells.cw
+          |   ORDER BY week_offset) AS BIGINT) AS cum_rev_cents
+          |FROM cells JOIN sizes ON cells.cw = sizes.cw
+          |ORDER BY cohort_week, week_offset""".stripMargin,
 
       // identical lag window with the same (ts, event_id) tie-break and
       // the same start sentinel
