@@ -4125,6 +4125,25 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_audio_fingerprint_pairs" -> ((s, dir) => {
+      // perceptual AUDIO near-dup, completing the text/image/audio
+      // triad: channel-0 frames → 65 equal windows → exact-long
+      // energies → 64 gradient bits (e(b+1) > e(b)); every 17th doc
+      // gets a perturbed sibling (each 97th sample one step toward
+      // zero — re-encode-noise scale) that the gradient hash must
+      // shrug off, then hamming-≤3 pairs via the same pigeonhole
+      // banding as image dHash. 8 bytes per asset leave the blob scan;
+      // the oracle replays the closed-form samples arithmetically and
+      // brute-forces the pairs, so the banding is proven lossless.
+      Dedup.hammingNearDupPairs(
+        Multimodal.extractAudioFingerprint(
+          Multimodal.syntheticWavNearDupAssets(
+            par(s)(t(s, dir, "documents")))),
+        idCol = "asset_id", sigCol = "afp", bits = 64, maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_video_meta" -> ((s, dir) => {
       // REAL video decode path: canonical AVI headers per doc with
       // closed-form geometry/timing, recovered by AviCodec's RIFF parse;
@@ -7263,6 +7282,47 @@ object SparkEntry {
            | CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS dist
            |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // energy-gradient hash replay: per asset the 65 window energies
+      // materialize as ONE list (each window sums frames div 65
+      // closed-form middle-square |samples|; the sibling's every-13th
+      // sample shrinks up to 5 toward zero, i.e. |s| becomes
+      // max(|s|−5, 0)), bits compare adjacent energies, bit 63 rides
+      // the sign as -2^63. Pairs BRUTE-FORCED against ground truth,
+      // proving the banding lossless.
+      "mm_audio_fingerprint_pairs" -> {
+        val baseAbs =
+          "abs((((j*2657 + id*7919)*(j*2657 + id*7919)) // 256) % 65536 - 32768)"
+        val absExpr =
+          s"""CASE WHEN sib AND j % 13 = 0
+             |  THEN greatest($baseAbs - 5, 0)
+             |  ELSE $baseAbs
+             |  END""".stripMargin.replace("\n", " ")
+        s"""WITH assets AS (
+           |  SELECT doc_id AS aid, doc_id AS id, false AS sib,
+           |   260 + doc_id % 700 AS n FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, doc_id, true, 260 + doc_id % 700
+           |  FROM documents WHERE doc_id % 17 = 0),
+           |es AS MATERIALIZED (SELECT aid,
+           |  list_transform(range(0, 65), w ->
+           |   list_sum(list_transform(
+           |    range(w * (n // 65), (w + 1) * (n // 65)),
+           |    j -> $absExpr))) AS e
+           | FROM assets),
+           |hsh AS MATERIALIZED (SELECT aid,
+           |  CAST(list_sum(list_transform(range(0, 63), b ->
+           |    CASE WHEN e[b+2] > e[b+1]
+           |     THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+           |  + CASE WHEN e[65] > e[64]
+           |     THEN (-9223372036854775807 - 1) ELSE 0 END AS afp
+           | FROM es)
+           |SELECT a.aid AS id_a, b.aid AS id_b,
+           | CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS dist
+           |FROM hsh a JOIN hsh b ON a.aid < b.aid
+           |WHERE bit_count(xor(a.afp, b.afp)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
       },
 

@@ -409,6 +409,95 @@ object Multimodal {
     }
   }
 
+  /** 64-bit ENERGY-GRADIENT fingerprint of a PCM WAV — the audio
+    * sibling of [[dHashBmp]], completing the text/image/audio near-dup
+    * triad: channel-0 frames split into 65 equal windows of
+    * `frames div 65` (the integer-exact layout an oracle replays;
+    * remainder frames ignored), window energy = Σ |sample| in exact
+    * longs, and bit `b` = `e(b+1) > e(b)`. Like dHash, the hash
+    * encodes GRADIENTS, not values, so uniform gain changes and small
+    * per-sample perturbations (re-encodes, dither) leave it (nearly)
+    * fixed — which is what makes it perceptual where byte equality is
+    * not. Bit 63 rides the long's sign bit; compare via XOR/bit_count.
+    * Payloads shorter than 65 frames throw loudly. */
+  def energyHashWav(payload: Array[Byte]): Long = {
+    val (ch, _, _) = WavCodec.decodeMeta(payload)
+    val dataSize = leUInt(payload, 40)
+    require(44L + dataSize <= payload.length,
+      "WAV data chunk truncated (declared size exceeds payload)")
+    require(dataSize % 2 == 0, "PCM16 data chunk has odd byte length")
+    val n = (dataSize / 2).toInt
+    require(n % ch == 0, "sample count does not divide by channels")
+    val frames = n / ch
+    require(frames >= 65, s"energy hash needs >= 65 frames, got $frames")
+    val w = frames / 65
+    val e = Array.tabulate(65) { wi =>
+      var s = 0L
+      var f = wi * w
+      val end = f + w
+      while (f < end) {
+        s += math.abs(leShort(payload, 44 + 2 * (f * ch)).toShort.toInt)
+        f += 1
+      }
+      s
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b + 1) > e(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** (asset_id, afp) over an asset frame — the audio twin of
+    * [[extractDHash]]: blobs stay inside the scan partition, 8 bytes
+    * per asset leave it, so the downstream hamming self-join never
+    * moves audio bytes. */
+  def extractAudioFingerprint(
+      assets: DataFrame,
+      routeErrors: Boolean = false): DataFrame =
+    extractMeta(assets, Seq(StructField("afp", LongType)),
+      payload => Seq[Any](energyHashWav(payload)), routeErrors)
+
+  /** The near-dup fixture for [[energyHashWav]]: one mono full-PCM WAV
+    * per doc — samples from a middle-square mixer
+    * (`((j·2657 + id·7919)² div 256) mod 65536 − 32768`, decorrelated
+    * across ids AND adjacent samples, unlike a bare LCG whose
+    * triangle-wave energies alias every asset's gradient bits into the
+    * same alternating pattern) — plus, for every 17th doc, a PERTURBED
+    * sibling at `asset_id = doc_id + 1000000` whose every 13th sample
+    * shrinks up to 5 steps toward zero: re-encode-noise scale, so
+    * sibling pairs land within a small hamming distance while
+    * unrelated assets stay far. Everything is integer closed-form for
+    * the oracle's arithmetic replay. */
+  def syntheticWavNearDupAssets(docs: DataFrame): DataFrame = {
+    def samples(id: Long, perturbed: Boolean): Array[Short] = {
+      val n = (260 + id % 700).toInt
+      Array.tabulate(n) { j =>
+        val v = j * 2657L + id * 7919L
+        val base = (((v * v) / 256L) % 65536L - 32768L).toInt
+        val out =
+          if (perturbed && j % 13 == 0)
+            base - Integer.signum(base) * math.min(5, math.abs(base))
+          else base
+        out.toShort
+      }
+    }
+    val mkBase = udf((id: Long) =>
+      wavBytesWithSamples(1, 16000, samples(id, perturbed = false)))
+    val mkSib = udf((id: Long) =>
+      wavBytesWithSamples(1, 16000, samples(id, perturbed = true)))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      mkBase(col("doc_id")).as("payload"),
+      lit("audio/wav").as("media_type"))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("asset_id"),
+          mkSib(col("doc_id")).as("payload"),
+          lit("audio/wav").as("media_type")))
+  }
+
   /** REAL codec for one pure-JVM public VIDEO container: AVI. Frame
     * geometry and timing come from an actual RIFF parse — "RIFF"/"AVI "
     * magic, the LIST/hdrl wrapper, and the avih main header's

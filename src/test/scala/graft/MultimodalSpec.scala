@@ -646,4 +646,40 @@ class MultimodalSpec extends SparkSuite {
     assert(row == ((id, rates((id % 3).toInt) / 4L, nk.toLong,
       samp(0L), samp((nk / 2) * 4L), samp((nk - 1) * 4L))))
   }
+
+  test("energyHashWav: gradient bits survive integer gain halving and " +
+    "the sibling perturbation; different content stays far") {
+    def mix(id: Long, j: Int): Int = {
+      val v = j * 2657L + id * 7919L
+      (((v * v) / 256L) % 65536L - 32768L).toInt
+    }
+    def wav(samples: Array[Short]) =
+      Multimodal.wavBytesWithSamples(1, 16000, samples)
+    val s1 = Array.tabulate(650)(j => mix(1L, j).toShort)
+    val h1 = Multimodal.energyHashWav(wav(s1))
+    // uniform gain change (integer halving — worst case: per-sample
+    // rounding noise on top of the gain) leaves the GRADIENT hash near
+    // the original; a value hash would move every bit
+    val half = s1.map(v => (v / 2).toShort)
+    assert(java.lang.Long.bitCount(
+      h1 ^ Multimodal.energyHashWav(wav(half))) <= 3,
+      "gain halving must not move the gradient fingerprint")
+    // the fixture's sibling perturbation stays within banding reach
+    val sib = s1.zipWithIndex.map { case (v, j) =>
+      if (j % 13 == 0)
+        (v - Integer.signum(v) * math.min(5, math.abs(v))).toShort
+      else v
+    }
+    assert(java.lang.Long.bitCount(
+      h1 ^ Multimodal.energyHashWav(wav(sib))) <= 3)
+    // genuinely different audio is far
+    val other = Array.tabulate(650)(j => mix(2L, j).toShort)
+    assert(java.lang.Long.bitCount(
+      h1 ^ Multimodal.energyHashWav(wav(other))) > 10,
+      "unrelated assets must not band-collide")
+    // short payloads refuse
+    intercept[IllegalArgumentException] {
+      Multimodal.energyHashWav(wav(Array.tabulate(64)(_.toShort)))
+    }
+  }
 }
