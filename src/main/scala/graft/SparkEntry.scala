@@ -4269,6 +4269,31 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_stream_audio_dedup" -> ((s, dir) => {
+      // online AUDIO dedup at ingest — the same claim protocol as the
+      // image stream (PhashStream is hash-generic: pigeonhole chunk
+      // buckets claimed first-writer-wins, exact hamming verify
+      // against the claimer), driven by the energy-gradient
+      // fingerprint: 8 bytes per asset leave the blob scan, perturbed
+      // siblings lose to their base asset, unrelated audio never
+      // collides. Single-batch replay reduces to min-id-claims, which
+      // the oracle recomputes from the closed-form samples.
+      import org.apache.spark.sql.streaming.OutputMode
+      val hashes = Multimodal.extractAudioFingerprint(
+        Multimodal.syntheticWavNearDupAssets(t(s, dir, "documents")))
+      val staging = s"$artifactRoot/stream_audiofp_input"
+      hashes.write.mode("overwrite").parquet(staging)
+      val schema = s.read.parquet(staging).schema
+      val stream = s.readStream.schema(schema).parquet(staging)
+      val losses = PhashStream.onlineImageDedupStream(
+        Dedup.hammingChunkKeys(stream, "asset_id", "afp",
+          bits = 64, maxDist = 3))
+      Sessionize.runToMemory(s, losses.toDF(), "mm_stream_audiofp_sink",
+        OutputMode.Append, statePartitions = 8)
+        .select(col("asset_id")).distinct()
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       // stubbed decode via FakeCodec (rows-only; determinism unit-tested)
       Multimodal.extractFeatures(
@@ -7324,6 +7349,49 @@ object SparkEntry {
            |FROM hsh a JOIN hsh b ON a.aid < b.aid
            |WHERE bit_count(xor(a.afp, b.afp)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // the audio twin of mm_stream_phash_dedup's replay: the same
+      // energy-gradient hash CTEs as mm_audio_fingerprint_pairs, then
+      // min-id-claims per (chunk, value) bucket + hamming verify
+      "mm_stream_audio_dedup" -> {
+        val baseAbs =
+          "abs((((j*2657 + id*7919)*(j*2657 + id*7919)) // 256) % 65536 - 32768)"
+        val absExpr =
+          s"""CASE WHEN sib AND j % 13 = 0
+             |  THEN greatest($baseAbs - 5, 0)
+             |  ELSE $baseAbs
+             |  END""".stripMargin.replace("\n", " ")
+        s"""WITH assets AS (
+           |  SELECT doc_id AS aid, doc_id AS id, false AS sib,
+           |   260 + doc_id % 700 AS n FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, doc_id, true, 260 + doc_id % 700
+           |  FROM documents WHERE doc_id % 17 = 0),
+           |es AS MATERIALIZED (SELECT aid,
+           |  list_transform(range(0, 65), w ->
+           |   list_sum(list_transform(
+           |    range(w * (n // 65), (w + 1) * (n // 65)),
+           |    j -> $absExpr))) AS e
+           | FROM assets),
+           |hsh AS MATERIALIZED (SELECT aid,
+           |  CAST(list_sum(list_transform(range(0, 63), b ->
+           |    CASE WHEN e[b+2] > e[b+1]
+           |     THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+           |  + CASE WHEN e[65] > e[64]
+           |     THEN (-9223372036854775807 - 1) ELSE 0 END AS afp
+           | FROM es),
+           |ck AS MATERIALIZED (SELECT aid, afp, u AS ci,
+           |  (afp >> (u * 16)) & 65535 AS cv
+           | FROM hsh, unnest([0, 1, 2, 3]) AS t(u)),
+           |cl AS (SELECT ci, cv, min(aid) AS winner
+           | FROM ck GROUP BY ci, cv)
+           |SELECT DISTINCT b.aid AS asset_id
+           |FROM ck b JOIN cl ON b.ci = cl.ci AND b.cv = cl.cv
+           | JOIN hsh a ON a.aid = cl.winner
+           |WHERE b.aid <> cl.winner
+           | AND bit_count(xor(a.afp, b.afp)) <= 3
+           |ORDER BY asset_id""".stripMargin
       },
 
       // single-batch replay of the claim protocol: per (chunk, value)
