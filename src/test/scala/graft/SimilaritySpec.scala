@@ -590,6 +590,16 @@ class SimilaritySpec extends SparkSuite {
       "raw-codes batch probe diverged from the per-query loop")
     assert(batch(res = true) == loop(res = true),
       "residual batch probe diverged from the per-query loop")
+    // plan shape: the probe frame BROADCASTS into the store join (the
+    // store side must never shuffle for it), and the only cartesian is
+    // the intended tiny queries × centroid-table probe assignment
+    val p = Similarity.ivfPqTopKBatch(spark, s"$root/raw", cents,
+      cbsRaw, queries, k = k, nprobe = np)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"store join must broadcast the probe frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"store side must not shuffle for the probe join:\n$p")
   }
 
   test("ivfPqTopKFiltered: pre-filter semantics — full k from the " +
