@@ -756,6 +756,31 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q37_bloom_skipping" -> ((s, dir) => {
+      // bloom-index point lookups where min/max statistics are BLIND:
+      // events written UNCLUSTERED (round-robin repartition — every
+      // file's event_id interval spans the whole domain, so interval
+      // pruning admits everything), then a per-file bloom manifest
+      // answers "which files can contain event_id = v" and three point
+      // scans plan over only the admitted files. The oracle is the
+      // plain IN filter — skipping may only skip bytes, never rows;
+      // LayoutSpec pins that the blooms actually skip files where the
+      // min/max manifest cannot.
+      val store = s"$artifactRoot/bloom_store"
+      val man = s"$artifactRoot/bloom_manifest"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          cents(col("value")).as("value_cents"))
+      ev.repartition(8).write.mode("overwrite").parquet(store)
+      Skipping.writeBloomManifest(s, store, "event_id", man,
+        expectedPerFile = 20000L)
+      Seq(7L, 123L, 777L)
+        .map(id => Skipping.scanPoint(s, store, man, "event_id", id))
+        .reduce(_ unionByName _)
+        .orderBy(col("event_id"))
+    }),
+
     "q23_skipping" -> ((s, dir) => {
       // planning-time file pruning under the oracle: lineitem is
       // range-clustered on l_orderkey into 16 files, a min/max manifest
@@ -4762,6 +4787,14 @@ object SparkEntry {
           | CAST(sum(value_cents) AS BIGINT) AS sum_cents,
           | min(value_cents) AS min_cents, max(value_cents) AS max_cents
           |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // the plain point-lookup filter — bloom skipping may only skip
+      // bytes, never change rows
+      "q37_bloom_skipping" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events WHERE event_id IN (7, 123, 777)
+          |ORDER BY event_id""".stripMargin,
 
       // the plain filter over the source table — manifest pruning may
       // only skip bytes, never change rows

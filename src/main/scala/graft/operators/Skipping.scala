@@ -91,6 +91,88 @@ object Skipping {
       .map(_.getString(0))
       .toSeq
 
+  /** Per-file BLOOM membership manifest — the min/max statistics'
+    * complement for HIGH-CARDINALITY POINT lookups on an UNCLUSTERED
+    * column (Delta's bloom filter index): when every file's key
+    * interval spans the whole domain (any layout not range-clustered
+    * on this column), min/max pruning admits every file, but a
+    * per-file bloom answers "can file F contain key = v"
+    * probabilistically with NO false negatives — admitted ⊇ true
+    * files, the exact row filter clears the false positives. One
+    * grouped aggregation builds every file's bloom in a single data
+    * pass (`BloomFilterAggregate` over `xxhash64(key)`, map-side
+    * combined); bits sized by the standard `n·ln(1/fpp)/ln²2` from
+    * `expectedPerFile` (size for the real per-file row count — an
+    * undersized bloom only costs false positives, never misses). */
+  def writeBloomManifest(
+      spark: SparkSession,
+      tablePath: String,
+      keyCol: String,
+      manifestPath: String,
+      expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Unit = {
+    require(expectedPerFile > 0, "expectedPerFile must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bits = math.max(64L, math.ceil(
+      expectedPerFile * math.log(1 / fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val agg = GraftSqlShim.column(
+      new BloomFilterAggregate(
+        GraftSqlShim.expression(xxhash64(col(keyCol))),
+        Literal(expectedPerFile), Literal(bits)).toAggregateExpression())
+    spark.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), agg.as("bf"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+  }
+
+  /** Bloom-pruned POINT scan: the manifest admits only the files whose
+    * bloom might contain `value` — probed driver-side over the
+    * metadata-scale manifest with the same sketch implementation the
+    * aggregate serialized (`might_contain` as an EXPRESSION insists on
+    * a foldable bloom, which a per-file column is not; the manifest is
+    * O(files) rows either way, the same driver scale as
+    * [[pruneFiles]]). No false negatives by construction; the exact
+    * predicate clears false positives. Zero admitted files is an
+    * answer (empty frame with the table's schema). */
+  def scanPoint(
+      spark: SparkSession,
+      tablePath: String,
+      manifestPath: String,
+      keyCol: String,
+      value: Any): DataFrame = {
+    val files = pruneFilesPoint(spark, manifestPath, value)
+    val schema = spark.read.parquet(tablePath).schema
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.filter(col(keyCol) === lit(value))
+  }
+
+  /** The files a [[writeBloomManifest]] manifest admits for
+    * `key = value`: Spark's own `xxhash64(value)` (computed by the
+    * engine so seeds/encodings can never drift from the aggregate's
+    * inserts) probed against each file's deserialized sketch. */
+  def pruneFilesPoint(
+      spark: SparkSession,
+      manifestPath: String,
+      value: Any): Seq[String] = {
+    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    spark.read.parquet(manifestPath)
+      .select(col("file"), col("bf")).collect()
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          .mightContainLong(h)
+      }
+      .map(_.getString(0)).toIndexedSeq
+  }
+
   /** Manifest-pruned range scan: plan the parquet read over ONLY the
     * files whose stats admit `keyCol` ∈ [lo, hi], then apply the exact
     * row filter (file stats are necessary, not sufficient). Zero

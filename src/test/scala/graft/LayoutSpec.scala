@@ -73,4 +73,33 @@ class LayoutSpec extends SparkSuite {
       Layout.clusterByZOrder(out, "kx", "ky", 4)
     }
   }
+
+  test("bloom manifest skips files for point lookups where min/max " +
+    "pruning is blind (unclustered layout)") {
+    val root = java.nio.file.Files.createTempDirectory("bloom_skip").toString
+    val store = s"$root/store"
+    // round-robin layout: every file's key interval spans the domain
+    spark.range(0, 8000)
+      .select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartition(8).write.parquet(store)
+    val mm = s"$root/minmax"
+    graft.operators.Skipping.writeManifest(spark, store, Seq("k"), mm)
+    val total = spark.read.parquet(store).inputFiles.length
+    assert(graft.operators.Skipping.pruneFiles(
+      spark.read.parquet(mm), "k", 42L, 42L).size == total,
+      "min/max must be BLIND on this layout — the case blooms exist for")
+    val bm = s"$root/bloom"
+    graft.operators.Skipping.writeBloomManifest(spark, store, "k", bm,
+      expectedPerFile = 1000L)
+    val admitted = graft.operators.Skipping.pruneFilesPoint(spark, bm, 42L)
+    assert(admitted.size < total,
+      s"bloom admitted ${admitted.size}/$total — no skip happened")
+    val got = graft.operators.Skipping
+      .scanPoint(spark, store, bm, "k", 42L)
+      .select($"k", $"v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((42L, 0L)), "pruning may skip bytes, never rows")
+    assert(graft.operators.Skipping
+      .scanPoint(spark, store, bm, "k", 999999L).count() == 0L,
+      "an absent key is an empty answer, not an error")
+  }
 }
