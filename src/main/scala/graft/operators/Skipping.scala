@@ -157,20 +157,26 @@ object Skipping {
   /** The files a [[writeBloomManifest]] manifest admits for
     * `key = value`: Spark's own `xxhash64(value)` (computed by the
     * engine so seeds/encodings can never drift from the aggregate's
-    * inserts) probed against each file's deserialized sketch. */
+    * inserts) probed against each file's deserialized sketch. The
+    * probe runs ON EXECUTORS (a deserialize-and-test UDF — the one
+    * shape `might_contain` as an expression refuses, since a per-file
+    * bloom column is not foldable) so the driver collects only the
+    * admitted file NAMES: per-file blooms are ~100 KB each, and a
+    * million-file manifest must never ship its sketch bytes to the
+    * driver. */
   def pruneFilesPoint(
       spark: SparkSession,
       manifestPath: String,
       value: Any): Seq[String] = {
     val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val admits = udf { (bf: Array[Byte]) =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bf))
+        .mightContainLong(h)
+    }
     spark.read.parquet(manifestPath)
-      .select(col("file"), col("bf")).collect()
-      .filter { r =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          .mightContainLong(h)
-      }
-      .map(_.getString(0)).toIndexedSeq
+      .filter(admits(col("bf")))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
   }
 
   /** Manifest-pruned range scan: plan the parquet read over ONLY the
