@@ -781,6 +781,57 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q38_snapshot_rollback" -> ((s, dir) => {
+      // ROLLBACK as the recovery verb: v0 is the good load, v1 a
+      // botched "correction" (purchase amounts zeroed AND half the
+      // table dropped), v2 = rollback to v0 — published as POINTERS to
+      // v0's files, strictly metadata-only (no data file written,
+      // pinned in SnapshotsSpec). The head must read back as v0's
+      // content exactly, while the botch stays readable AS OF v1 for
+      // the post-mortem; the oracle recomputes both faces from events.
+      val tbl = s"$artifactRoot/snap_rb_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev, tbl, append = false)
+      val bad = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value_cents",
+          when(col("event_type") === "purchase", lit(0L))
+            .otherwise(col("value_cents")))
+      val v1 = Snapshots.commit(s, bad, tbl, append = false)
+      val v2 = Snapshots.rollback(s, tbl, v0)
+      Snapshots.readAsOf(s, tbl, v1).withColumn("version", lit(v1))
+        .unionByName(
+          Snapshots.readAsOf(s, tbl, v2).withColumn("version", lit(v2)))
+        .orderBy(col("version"), col("event_id"))
+    }),
+
+    "q39_snapshot_stats" -> ((s, dir) => {
+      // COUNT(*) from metadata alone: q31's partitioned lineage (three
+      // modulus commits, appends sharing the parent's files) profiled
+      // via tableStats — every (version, partition) row count is a sum
+      // over the manifest's per-file footer counts, ZERO data files
+      // opened (SnapshotsSpec pins it by hiding the data directory
+      // entirely). File counts are writer-dependent so the query
+      // exposes only row counts; the oracle recomputes them from
+      // events' modulus slices.
+      val tbl = s"$artifactRoot/snap_stats_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commitPartitioned(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, "event_type", append = false)
+      Snapshots.commitPartitioned(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, "event_type", append = true)
+      Snapshots.commitPartitioned(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, "event_type", append = true)
+      Snapshots.tableStats(s, tbl)
+        .select(col("version"), col("part"), col("n_rows"))
+        .orderBy(col("version"), col("part"))
+    }),
+
     "q23_skipping" -> ((s, dir) => {
       // planning-time file pruning under the oracle: lineitem is
       // range-clustered on l_orderkey into 16 files, a min/max manifest
@@ -4795,6 +4846,36 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id IN (7, 123, 777)
           |ORDER BY event_id""".stripMargin,
+
+      // both faces of the rollback: v1 is the botch (even ids only,
+      // purchases zeroed), v2 restores v0 = the full table verbatim
+      "q38_snapshot_rollback" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type,
+          | CASE WHEN event_type = 'purchase' THEN CAST(0 AS BIGINT)
+          |  ELSE value_cents END AS value_cents,
+          | CAST(1 AS BIGINT) AS version
+          |FROM ev WHERE event_id % 2 = 0
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(2 AS BIGINT) AS version
+          |FROM ev
+          |ORDER BY version, event_id""".stripMargin,
+
+      // per-(version, partition) row counts recomputed from the raw
+      // stream: version v holds the modulus slices <= v (appends share
+      // the parent's files) — metadata may only summarize, never drift
+      "q39_snapshot_stats" ->
+        """SELECT CAST(v.ver AS BIGINT) AS version,
+          | 'event_type=' || event_type AS part,
+          | CAST(count(*) AS BIGINT) AS n_rows
+          |FROM (SELECT event_type, event_id % 3 AS m FROM events) ev,
+          | (VALUES (0), (1), (2)) AS v(ver)
+          |WHERE ev.m <= v.ver
+          |GROUP BY 1, 2
+          |ORDER BY version, part""".stripMargin,
 
       // the plain filter over the source table — manifest pruning may
       // only skip bytes, never change rows

@@ -94,13 +94,16 @@ object Snapshots {
   }
 
   /** The manifest frame: one row per (version, file, part,
-    * schema_json) — `part` is the hive-style partition path fragment
-    * (`"event_date=2024-01-03"`) for files written by
+    * schema_json, rows) — `part` is the hive-style partition path
+    * fragment (`"event_date=2024-01-03"`) for files written by
     * [[commitPartitioned]], null for flat commits; `schema_json` is
     * the SNAPSHOT's full read schema (identical on every row of a
     * generation — kilobytes of metadata, the Iceberg move), so
     * [[readAsOf]] plans from the manifest alone instead of
-    * footer-merging O(files) parquet footers per time-travel read.
+    * footer-merging O(files) parquet footers per time-travel read;
+    * `rows` is the file's record count captured from its parquet
+    * footer at commit time, so COUNT-shaped questions ([[countAsOf]],
+    * [[tableStats]]) answer from metadata without opening a data file.
     * Empty (with the right schema) when the table has no commits yet.
     * The `_`-prefixed manifest dir hides it from any scan of the TABLE
     * root (the `_delta_log` convention), so it is read here by its
@@ -116,20 +119,22 @@ object Snapshots {
       else Seq.empty
     if (parts.nonEmpty) {
       val m = spark.read.option("mergeSchema", "true").parquet(parts: _*)
-      // manifests written by earlier layouts may lack the partition
-      // and/or schema columns; normalize so every consumer sees four
-      val withPart =
-        if (m.columns.contains("part")) m
-        else m.withColumn("part", lit(null).cast("string"))
-      if (withPart.columns.contains("schema_json")) withPart
-      else withPart.withColumn("schema_json", lit(null).cast("string"))
+      // manifests written by earlier layouts may lack the partition,
+      // schema, and/or row-count columns; normalize so every consumer
+      // sees five
+      Seq("part" -> "string", "schema_json" -> "string", "rows" -> "long")
+        .foldLeft(m) { case (df, (c, tpe)) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(tpe))
+        }
     } else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("version", LongType, nullable = false),
           StructField("file", StringType, nullable = false),
           StructField("part", StringType, nullable = true),
-          StructField("schema_json", StringType, nullable = true))))
+          StructField("schema_json", StringType, nullable = true),
+          StructField("rows", LongType, nullable = true))))
     }
   }
 
@@ -191,7 +196,7 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       version: Long,
-      fresh: Seq[(String, String)],
+      fresh: Seq[(String, String, Option[Long])],
       parent: Option[Long],
       freshSchema: org.apache.spark.sql.types.StructType): Long = {
     val parentRows =
@@ -250,24 +255,46 @@ object Snapshots {
       parent.fields ++ fresh.fields.filterNot(f => known.contains(f.name)))
   }
 
-  /** (file, part) rows of one manifest generation. */
+  /** (file, part, rows) rows of one manifest generation — `rows` is
+    * None only for generations written by pre-row-count layouts. */
   private def manifestRows(
       spark: SparkSession,
       tablePath: String,
-      version: Long): Seq[(String, String)] =
+      version: Long): Seq[(String, String, Option[Long])] =
     manifest(spark, tablePath)
       .filter(col("version") === version)
-      .select(col("file"), col("part")).collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .select(col("file"), col("part"), col("rows")).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .toSeq
+
+  /** Per-file record counts read from the parquet FOOTERS of freshly
+    * committed files — O(new files) metadata reads at commit time,
+    * never a data scan (the Iceberg writer-stats retrofit: a writer
+    * that gathered counts from its tasks would skip even the footer
+    * read, but a commit already pays O(new files) listing, so the
+    * footer pass rides the same budget). */
+  private def footerCounts(
+      spark: SparkSession,
+      files: Seq[(String, String)]): Seq[(String, String, Option[Long])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { case (f, p) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (f, p, Some(r.getRecordCount))
+      finally r.close()
+    }
+  }
 
   private def publishRows(
       spark: SparkSession,
       tablePath: String,
       version: Long,
-      fileRows: Seq[(String, String)],
+      fileRows: Seq[(String, String, Option[Long])],
       schemaJson: String): Long = {
-    val rows = fileRows.map { case (f, p) => (version, f, p, schemaJson) }
+    val rows = fileRows.map { case (f, p, n) => (version, f, p, schemaJson, n) }
     // one generation = one manifest file, staged in a version-unique
     // temp dir and RENAMED in — never `mode("append")` into the shared
     // manifest dir, whose job-commit staging (`_temporary/0`) is a
@@ -276,7 +303,8 @@ object Snapshots {
     // entirely or not at all.
     val f = fs(spark, tablePath)
     val tmp = s"$tablePath/${VersionsDir}_tmp_v$version"
-    spark.createDataFrame(rows).toDF("version", "file", "part", "schema_json")
+    spark.createDataFrame(rows)
+      .toDF("version", "file", "part", "schema_json", "rows")
       .coalesce(1)
       .write.mode("errorifexists").parquet(tmp)
     val staged = listDataFiles(spark, tmp)
@@ -309,7 +337,8 @@ object Snapshots {
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
     df.write.mode("errorifexists").parquet(dataPath)
-    val fresh = listDataFiles(spark, dataPath).map((_, null: String))
+    val fresh = footerCounts(spark,
+      listDataFiles(spark, dataPath).map((_, null: String)))
     publish(spark, tablePath, version, fresh,
       if (append) observed else None, df.schema)
   }
@@ -338,7 +367,7 @@ object Snapshots {
     val dataPath = s"$tablePath/$DataDir/v$version"
     df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
-      listPartitionedFiles(spark, dataPath),
+      footerCounts(spark, listPartitionedFiles(spark, dataPath)),
       if (append) observed else None, df.schema)
   }
 
@@ -430,7 +459,8 @@ object Snapshots {
       updates.filter(col(op) === "upsert").drop(op))
     val survivors =
       if (touchedFiles.isEmpty) inserts.limit(0)
-      else readPartedFiles(spark, touchedFiles, parentSchema)
+      else readPartedFiles(spark,
+        touchedFiles.map { case (f, p, _) => (f, p) }, parentSchema)
         .join(updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
     survivors.unionByName(inserts)
@@ -439,7 +469,9 @@ object Snapshots {
       .map(ps => mergeSchemas(ps, nullableTop(inserts.schema)))
       .getOrElse(nullableTop(inserts.schema))
     publishRows(spark, tablePath, version,
-      untouched ++ listPartitionedFiles(spark, dataPath), schema.json)
+      untouched ++
+        footerCounts(spark, listPartitionedFiles(spark, dataPath)),
+      schema.json)
   }
 
   /** Reject unknown verbs in an op column before any data moves — a
@@ -578,7 +610,8 @@ object Snapshots {
       keepFrom: Long): Long = {
     val m = manifest(spark, tablePath)
     val keptRows = m.filter(col("version") >= keepFrom)
-      .select(col("version"), col("file"), col("part"), col("schema_json"))
+      .select(col("version"), col("file"), col("part"), col("schema_json"),
+        col("rows"))
       .collect()
     require(keptRows.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would retain no versions of $tablePath")
@@ -601,8 +634,9 @@ object Snapshots {
     spark.createDataFrame(
       keptRows.toSeq.map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
-        if (r.isNullAt(3)) null else r.getString(3))))
-      .toDF("version", "file", "part", "schema_json")
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toDF("version", "file", "part", "schema_json", "rows")
       .coalesce(1)
       .write.parquet(staged.toString)
     require(f.rename(live, prev),
@@ -812,6 +846,79 @@ object Snapshots {
     commitPartitioned(spark,
       readAsOf(spark, tablePath, latest).repartition(col(partCol)),
       tablePath, partCol, append = false)
+  }
+
+  /** ROLLBACK: make `toVersion`'s content the table's new head by
+    * publishing a fresh version whose manifest rows ARE `toVersion`'s —
+    * pointers only, partition fragments, schema, and row counts
+    * included. Strictly METADATA-ONLY: no data file is written, read,
+    * or deleted, so reverting a bad terabyte-scale commit costs one
+    * kilobyte-scale manifest generation (the Iceberg
+    * `rollback_to_snapshot` shape). History stays intact — the bad
+    * version remains readable AS OF until [[vacuum]] expires it, and
+    * because the rolled-back-to files are referenced by the NEW head,
+    * a subsequent vacuum keeps them while reclaiming the bad commit's
+    * files. Rolling back to a vacuumed (or never-committed) version is
+    * refused loudly. Returns the minted version. */
+  def rollback(
+      spark: SparkSession,
+      tablePath: String,
+      toVersion: Long): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"rollback: $tablePath has no committed versions"))
+    val gen = manifest(spark, tablePath)
+      .filter(col("version") === toVersion)
+      .select(col("file"), col("part"), col("rows"), col("schema_json"))
+      .collect()
+    require(gen.nonEmpty,
+      s"rollback: snapshot version $toVersion of $tablePath is not in " +
+        "the manifest (never committed, or expired by vacuum)")
+    val rows = gen.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val schemaJson =
+      if (gen.head.isNullAt(3)) null else gen.head.getString(3)
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    publishRows(spark, tablePath, version, rows, schemaJson)
+  }
+
+  /** COUNT(*) AS OF `version`, answered from the manifest's per-file
+    * footer counts alone — zero data files opened, the aggregate
+    * pushdown every lakehouse metadata layer exists to enable (a
+    * 100-TB table's row count is a sum over kilobytes of manifest).
+    * Loud when the version is unknown or its generation predates
+    * row-count manifests (recommit or rely on a scan). */
+  def countAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Long = {
+    val rows = manifestRows(spark, tablePath, version)
+    require(rows.nonEmpty,
+      s"snapshot version $version of $tablePath is not in the manifest " +
+        "(never committed, or expired by vacuum)")
+    require(rows.forall(_._3.isDefined),
+      s"snapshot version $version of $tablePath predates row-count " +
+        "manifests — its generation carries no footer counts")
+    rows.map(_._3.get).sum
+  }
+
+  /** Metadata-only statistics frame: one row per (version, part) with
+    * its file and row counts — `part` null for flat commits. Every
+    * number derives from the manifest (footer counts captured at
+    * commit), so the whole history of a 100-TB table profiles without
+    * opening one data file; the row-count columns are null-free by
+    * construction for tables written by this layer (guarded loudly
+    * for legacy generations). The frame is ordinary lazy SQL over the
+    * metadata-scale manifest — filter/join it like any table
+    * (Iceberg's `.snapshots`/`.files` metadata-table shape). */
+  def tableStats(spark: SparkSession, tablePath: String): DataFrame = {
+    val m = manifest(spark, tablePath)
+    require(m.filter(col("rows").isNull).limit(1).collect().isEmpty,
+      s"$tablePath carries generations without footer counts — " +
+        "tableStats would undercount; recommit those versions")
+    m.groupBy(col("version"), col("part"))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
   }
 
   /** Multiset diff between two snapshots: rows only in `newVersion`

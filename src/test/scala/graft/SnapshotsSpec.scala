@@ -493,6 +493,120 @@ class SnapshotsSpec extends SparkSuite {
       "a second pass must find nothing")
   }
 
+  test("rollback: the new head is pointers to the target's files — " +
+    "no data file written, content restores, the botch stays AS OF-" +
+    "readable, vacuum keeps the re-referenced files") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false)
+    val v1 = Snapshots.commit(spark, rows1, tbl, append = false)
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$tbl/data"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getPath).toSet
+    }
+    val physical = dataFiles()
+    val v2 = Snapshots.rollback(spark, tbl, v0)
+    assert(v2 == 2L)
+    assert(dataFiles() == physical,
+      "rollback must be metadata-only: not one data file written")
+    val m = Snapshots.manifest(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def files(v: Long) = m.filter(_._1 == v).map(_._2).toSet
+    assert(files(v2) == files(v0),
+      "the restored head must be POINTERS to the target's files")
+    assert(Snapshots.readAsOf(spark, tbl, v2)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.readAsOf(spark, tbl, v1)
+      .select($"id").as[Long].collect().toSeq == Seq(3L),
+      "the rolled-back botch must stay readable for the post-mortem")
+    assert(Snapshots.latestVersion(spark, tbl).contains(v2))
+    // the head references v0's files, so vacuum reclaims exactly the
+    // botched commit's files while the restored content survives
+    val botched = files(v1)
+    assert(Snapshots.vacuum(spark, tbl, keepFrom = v2) == botched.size.toLong)
+    assert(Snapshots.readAsOf(spark, tbl, v2)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException](Snapshots.rollback(spark, tbl, 77L))
+  }
+
+  test("rollback carries partition fragments and schema — pruned scans " +
+    "work on the restored head") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "v", "day"),
+      tbl, "day", append = false)
+    Snapshots.commitPartitioned(spark,
+      Seq((9L, "x", "d1")).toDF("id", "v", "day"), tbl, "day",
+      append = false)
+    val v2 = Snapshots.rollback(spark, tbl, v0)
+    val scan = Snapshots.scanPartitionAsOf(spark, tbl, v2, "day", "d2")
+    assert(scan.select($"id").as[Long].collect().toSeq == Seq(2L))
+    assert(scan.inputFiles.forall(_.contains("/day=d2/")),
+      "partition pruning must survive the rollback")
+    assert(Snapshots.storedSchema(spark, tbl, v2).isDefined &&
+      Snapshots.storedSchema(spark, tbl, v2) ==
+        Snapshots.storedSchema(spark, tbl, v0),
+      "the restored head must carry the target's manifest schema")
+  }
+
+  test("countAsOf and tableStats answer from the manifest alone — " +
+    "correct with the data directory hidden entirely") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+        .toDF("id", "v", "day"),
+      tbl, "day", append = false)
+    val v1 = Snapshots.commitPartitioned(spark,
+      Seq((4L, "d", "d2")).toDF("id", "v", "day"), tbl, "day",
+      append = true)
+    // hide every data file: a metadata-only answer must not notice
+    val dataDir = new java.io.File(s"$tbl/data")
+    val hidden = new java.io.File(s"$tbl/data_hidden")
+    assert(dataDir.renameTo(hidden))
+    try {
+      assert(Snapshots.countAsOf(spark, tbl, v0) == 3L)
+      assert(Snapshots.countAsOf(spark, tbl, v1) == 4L)
+      val stats = Snapshots.tableStats(spark, tbl)
+        .select($"version", $"part", $"n_files", $"n_rows")
+        .collect()
+        .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(stats.keySet == Set((v0, "day=d1"), (v0, "day=d2"),
+        (v1, "day=d1"), (v1, "day=d2")))
+      assert(stats.values.forall(_._1 >= 1L), "file counts are positive")
+      assert(stats((v0, "day=d1"))._2 == 2L)
+      assert(stats((v0, "day=d2"))._2 == 1L)
+      assert(stats((v1, "day=d1"))._2 == 2L,
+        "append shares the parent partition's files AND counts")
+      assert(stats((v1, "day=d2"))._2 == 2L)
+    } finally assert(hidden.renameTo(dataDir))
+    intercept[IllegalArgumentException](Snapshots.countAsOf(spark, tbl, 9L))
+  }
+
+  test("legacy manifests without footer counts refuse count/stats " +
+    "loudly instead of undercounting") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, rows0, tbl, append = false)
+    // simulate a pre-row-count layout: rewrite the live manifest
+    // without the rows column (the normalizer will null-fill it)
+    val legacy = Snapshots.manifest(spark, tbl).drop("rows")
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$tbl/_versions_legacy_tmp"
+    legacy.coalesce(1).write.parquet(tmp)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tbl/_versions"), true))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$tbl/_versions")))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.countAsOf(spark, tbl, 0L))
+    assert(e.getMessage.contains("row-count"))
+    intercept[IllegalArgumentException](Snapshots.tableStats(spark, tbl))
+    // the data itself still reads — only the metadata shortcut refuses
+    assert(Snapshots.readAsOf(spark, tbl, 0L).count() == 2L)
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
