@@ -832,6 +832,56 @@ object SparkEntry {
         .orderBy(col("version"), col("part"))
     }),
 
+    "q40_snapshot_incremental" -> ((s, dir) => {
+      // the incremental-ETL primitive: three append commits by modulus,
+      // then "what arrived after v0" answered as the manifest file-set
+      // difference — only the two delta commits' files enter the scan
+      // (SnapshotsSpec pins the plan via inputFiles, and that a replace
+      // in the interval refuses). A consumer checkpointing its last
+      // processed version pays O(delta) per poll on a 100-TB table.
+      val tbl = s"$artifactRoot/snap_incr_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false)
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true)
+      val v2 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true)
+      Snapshots.readAppendsBetween(s, tbl, v0, v2)
+        .orderBy(col("event_id"))
+    }),
+
+    "q41_snapshot_wap" -> ((s, dir) => {
+      // WRITE-AUDIT-PUBLISH: the bad batch (every value negated below
+      // zero) is staged, audited, REFUSED — its files deleted, never
+      // visible to any reader — then the clean batch passes the same
+      // gate and publishes. The oracle witnesses the refusal: had the
+      // bad batch published, the final table would carry its negated
+      // duplicates and hash-mismatch.
+      val tbl = s"$artifactRoot/snap_wap_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_type") === "purchase"),
+        tbl, append = false)
+      val rest = ev.filter(col("event_type") =!= "purchase")
+      val gate: DataFrame => DataFrame =
+        f => Stats.expectRows(f,
+          Seq("non_negative_cents" -> (col("value_cents") < 0)))
+      val bad = rest.withColumn("value_cents", -col("value_cents") - 1L)
+      val refused = Snapshots.commitAudited(s, bad, tbl, gate, append = true)
+      require(refused.isLeft, "the audit gate must refuse the bad batch")
+      val accepted = Snapshots.commitAudited(s, rest, tbl, gate,
+        append = true)
+      val v = accepted.getOrElse(
+        throw new IllegalStateException("the clean batch must publish"))
+      Snapshots.readAsOf(s, tbl, v).orderBy(col("event_id"))
+    }),
+
     "q23_skipping" -> ((s, dir) => {
       // planning-time file pruning under the oracle: lineitem is
       // range-clustered on l_orderkey into 16 files, a min/max manifest
@@ -4876,6 +4926,21 @@ object SparkEntry {
           |WHERE ev.m <= v.ver
           |GROUP BY 1, 2
           |ORDER BY version, part""".stripMargin,
+
+      // the appended delta: slices 1 and 2 arrived after v0's slice 0
+      "q40_snapshot_incremental" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events WHERE event_id % 3 IN (1, 2)
+          |ORDER BY event_id""".stripMargin,
+
+      // the published faces only: base purchases + the clean batch; the
+      // refused negated batch must have left no rows behind
+      "q41_snapshot_wap" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events
+          |ORDER BY event_id""".stripMargin,
 
       // the plain filter over the source table — manifest pruning may
       // only skip bytes, never change rows

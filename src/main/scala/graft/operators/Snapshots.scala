@@ -537,17 +537,24 @@ object Snapshots {
     require(rows.nonEmpty,
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
+    readFileRows(spark, rows.toSeq, storedSchema(spark, tablePath, version))
+  }
+
+  /** Plan a read over (file, fragment) manifest rows: flat files read
+    * directly, partitioned ones via [[readPartedFiles]]' basePath
+    * groups. With a manifest-carried `stored` schema the plan is built
+    * from metadata alone — an append that evolved the schema (columns
+    * its parent's files lack) null-fills the missing columns per file,
+    * no footer is opened to discover the schema; legacy generations
+    * without one footer-merge, O(files), which the stored path exists
+    * to avoid. For flat files the stored schema applies as-is: a mixed
+    * generation's partition column (from OTHER, parted rows) simply
+    * reads as a null-filled data column by name. */
+  private def readFileRows(
+      spark: SparkSession,
+      rows: Seq[(String, String)],
+      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val (parted, flat) = rows.partition(_._2 != null)
-    // the generation's schema rides the manifest, so the read plans
-    // from metadata alone: an append that evolved the schema (columns
-    // its parent's files lack) null-fills the missing columns per
-    // file, no footer is opened to discover the schema. Legacy
-    // generations without a stored schema footer-merge — O(files of
-    // v) — which the stored path exists to avoid.
-    // for flat files the stored schema applies as-is: a mixed
-    // generation's partition column (from OTHER, parted rows) simply
-    // reads as a null-filled data column by name
-    val stored = storedSchema(spark, tablePath, version)
     val reads =
       (if (flat.nonEmpty) {
         val rd = spark.read
@@ -555,7 +562,7 @@ object Snapshots {
           .parquet(flat.map(_._1).toIndexedSeq: _*))
       } else Seq.empty) ++
         (if (parted.nonEmpty)
-          Seq(readPartedFiles(spark, parted.toSeq, stored))
+          Seq(readPartedFiles(spark, parted, stored))
         else Seq.empty)
     reads.reduceLeft((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
@@ -591,7 +598,7 @@ object Snapshots {
       // without opening a single data file
       val schema = stored.getOrElse(readAsOf(spark, tablePath, version).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else readPartedFiles(spark, hit, stored)
+    } else readPartedFiles(spark, hit.toSeq, stored)
   }
 
   /** Expire every version below `keepFrom`: drop their manifest
@@ -919,6 +926,101 @@ object Snapshots {
         "tableStats would undercount; recommit those versions")
     m.groupBy(col("version"), col("part"))
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
+  }
+
+  /** Incremental changelog read: the rows ADDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), planned as the manifest
+    * file-set difference — ONLY the new files enter the scan, so a
+    * consumer that checkpoints the last version it processed pays
+    * O(delta) per poll on a 100-TB table (the Iceberg incremental-scan
+    * / Delta streaming-source shape, expressed as a batch primitive:
+    * poll `latestVersion`, read the delta, advance the checkpoint).
+    *
+    * Defined only for APPEND lineage over the interval: every file of
+    * `fromVersion` must still be referenced by `toVersion`. A replace,
+    * MERGE, or OPTIMIZE in between rewrote history — "what was added"
+    * is ill-defined at file granularity — and is refused loudly; use
+    * [[diff]] for the row-level audit there. `fromVersion ==
+    * toVersion` is the empty delta (with the snapshot's schema). */
+  def readAppendsBetween(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readAppendsBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val from = manifestRows(spark, tablePath, fromVersion)
+    val to = manifestRows(spark, tablePath, toVersion)
+    require(from.nonEmpty,
+      s"snapshot version $fromVersion of $tablePath is not in the " +
+        "manifest (never committed, or expired by vacuum)")
+    require(to.nonEmpty,
+      s"snapshot version $toVersion of $tablePath is not in the " +
+        "manifest (never committed, or expired by vacuum)")
+    val toFiles = to.map(_._1).toSet
+    val dropped = from.filterNot(r => toFiles.contains(r._1))
+    require(dropped.isEmpty,
+      s"readAppendsBetween: versions $fromVersion..$toVersion of " +
+        s"$tablePath are not append lineage — ${dropped.size} file(s) of " +
+        s"v$fromVersion were rewritten in between (replace/MERGE/" +
+        "OPTIMIZE); use diff() for the row-level audit")
+    val fromFiles = from.map(_._1).toSet
+    val fresh = to.filterNot(r => fromFiles.contains(r._1))
+      .map { case (f, p, _) => (f, p) }
+    val stored = storedSchema(spark, tablePath, toVersion)
+    if (fresh.isEmpty) {
+      val schema = stored.getOrElse(
+        readAsOf(spark, tablePath, toVersion).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else readFileRows(spark, fresh, stored)
+  }
+
+  /** WRITE-AUDIT-PUBLISH: stage the batch's data files, run the audit
+    * on the STAGED frame as read back from disk (what a reader would
+    * actually see — not the in-memory input), and publish the manifest
+    * generation only if the audit reports zero violations. On refusal
+    * the staged files are deleted and the table is untouched — the bad
+    * batch was never visible to any reader, because the manifest
+    * append IS the publish point and it never happened (the WAP
+    * pattern every ingest gate wants: audit between write and
+    * publish, not after). The claimed version number stays burned — a
+    * benign gap, the same one a crashed committer leaves, which the
+    * gap-safe append lineage already tolerates.
+    *
+    * `audit` maps the staged frame to an expectation report with a
+    * `n_violations` column — [[Stats.expectRows]] /
+    * [[Stats.expectForeignKey]] / [[Stats.expectUniqueKey]] produce
+    * exactly that shape, and their unions compose a suite. Returns
+    * `Right(version)` on publish, `Left(report rows)` on refusal. */
+  def commitAudited(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      audit: DataFrame => DataFrame,
+      append: Boolean): Either[Seq[Row], Long] = {
+    val observed = latestVersion(spark, tablePath)
+    val version = claimVersion(spark, tablePath,
+      observed.map(_ + 1L).getOrElse(0L))
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    df.write.mode("errorifexists").parquet(dataPath)
+    val staged = spark.read.schema(nullableTop(df.schema)).parquet(dataPath)
+    val report = audit(staged)
+    require(report.columns.contains("n_violations"),
+      "commitAudited: the audit report must carry an n_violations column")
+    val rows = report.collect().toSeq
+    val clean = rows.forall { r =>
+      val i = r.fieldIndex("n_violations")
+      r.isNullAt(i) || r.getLong(i) == 0L
+    }
+    if (!clean) {
+      fs(spark, tablePath).delete(new Path(dataPath), true)
+      Left(rows)
+    } else {
+      val fresh = footerCounts(spark,
+        listDataFiles(spark, dataPath).map((_, null: String)))
+      Right(publish(spark, tablePath, version, fresh,
+        if (append) observed else None, df.schema))
+    }
   }
 
   /** Multiset diff between two snapshots: rows only in `newVersion`

@@ -607,6 +607,67 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.readAsOf(spark, tbl, 0L).count() == 2L)
   }
 
+  test("readAppendsBetween plans only the delta's files; a replace in " +
+    "the interval refuses; same-version is the empty delta") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false)
+    Snapshots.commit(spark, rows1, tbl, append = true)
+    val v2 = Snapshots.commit(spark, Seq((4L, "d")).toDF("id", "v"),
+      tbl, append = true)
+    val delta = Snapshots.readAppendsBetween(spark, tbl, v0, v2)
+    assert(delta.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+    assert(delta.inputFiles.nonEmpty && delta.inputFiles.forall(f =>
+      f.contains("/data/v1/") || f.contains("/data/v2/")),
+      "the incremental scan must plan ONLY the delta commits' files")
+    val empty = Snapshots.readAppendsBetween(spark, tbl, v2, v2)
+    assert(empty.count() == 0L &&
+      empty.columns.toSeq == Seq("id", "v"),
+      "same-version delta is empty WITH the snapshot's schema")
+    val v3 = Snapshots.commit(spark, rows1, tbl, append = false)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readAppendsBetween(spark, tbl, v2, v3))
+    assert(e.getMessage.contains("append lineage"))
+    intercept[IllegalArgumentException](
+      Snapshots.readAppendsBetween(spark, tbl, 77L, v3))
+  }
+
+  test("commitAudited: write-audit-publish — a refused batch leaves no " +
+    "trace, the clean batch passes the same gate and publishes") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false)
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$tbl/data"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getPath).toSet
+    }
+    val before = dataFiles()
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      f => graft.operators.Stats.expectRows(f,
+        Seq("positive_id" -> ($"id" <= 0)))
+    val refused = Snapshots.commitAudited(spark,
+      Seq((-5L, "bad"), (6L, "ok")).toDF("id", "v"), tbl, gate,
+      append = true)
+    assert(refused.isLeft)
+    val report = refused.swap.getOrElse(Seq.empty)
+    assert(report.exists(r => r.getAs[String]("rule") == "positive_id" &&
+      r.getAs[Long]("n_violations") == 1L),
+      "the refusal must carry the audit report")
+    assert(dataFiles() == before,
+      "the refused batch's staged files must be deleted — never visible")
+    assert(Snapshots.latestVersion(spark, tbl).contains(v0),
+      "a refused commit must not advance the table")
+    val accepted = Snapshots.commitAudited(spark,
+      Seq((7L, "ok")).toDF("id", "v"), tbl, gate, append = true)
+    val v = accepted.getOrElse(fail("the clean batch must publish"))
+    assert(v == v0 + 2L,
+      "the refusal's claimed version stays burned — a benign gap")
+    assert(Snapshots.readAsOf(spark, tbl, v)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L))
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
