@@ -1445,6 +1445,21 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_jaccard_auto" -> ((s, dir) => {
+      // cost-based arm selection: measure both arms' quadratic terms
+      // (Σ df² of the full index vs Σ df² of the rarest-first prefix
+      // index) on the actual corpus — the optimizer-statistics pass —
+      // and run the cheaper arm. On THIS fixture's uniform ~512-word
+      // vocabulary prefixes cannot prune, so auto picks the FULL arm
+      // and benches near dedup_jaccard instead of paying the prefix
+      // arm's overhead (the fixed-arm bench pair shows the gap); on a
+      // zipfian corpus the same rule picks prefix (DedupSpec pins both
+      // choices and answer equality with the fixed arms)
+      Dedup.ngramJaccardPairsAuto(par(s)(t(s, dir, "documents")), n = 2,
+        threshold = 0.25, maxGramDf = 500)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // asymmetric sub-document duplication: |A∩B| / min(|A|,|B|) finds
       // the embedded-quote / wrapped-republication pairs whose Jaccard
@@ -7770,6 +7785,7 @@ object SparkEntry {
       ("ev_stream_cdc_apply" -> base("ev_cdc_apply")) +
       ("text_decontaminate_bloom" -> base("text_decontaminate")) +
       ("dedup_jaccard_prefix" -> base("dedup_jaccard")) +
+      ("dedup_jaccard_auto" -> base("dedup_jaccard")) +
       ("ev_stream_transitions" -> base("ev_transitions")) +
       // refresh lands the MV at the full corpus state, so the
       // redirected aggregate answers q24's full-recompute oracle

@@ -966,18 +966,42 @@ object Dedup {
       idCol: String,
       blockCol: String,
       n: Int,
+      maxGramDf: Int): DataFrame =
+    overlapFromKept(
+      cappedGramIndex(df, textCol, idCol, blockCol, n, maxGramDf), idCol)
+
+  /** The capped, MATERIALIZED inverted-index input every n-gram pair
+    * operator starts from: per-block distinct gram explode → optional
+    * hot-gram df cap (one count window over (block, gram)) → one eager
+    * materialization (the lambda-built shingles defeat plan
+    * canonicalization, so without it every downstream self-join re-runs
+    * the normalize→shingle→explode→cap chain per side — see the
+    * Jaccard scaladoc). Rows: (blk, gram, idCol). */
+  private def cappedGramIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int,
       maxGramDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val kept = Materialize(
+    Materialize(
       if (maxGramDf <= 0) grams
       else grams
         .withColumn("__df",
           count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
         .filter(col("__df") <= maxGramDf)
         .drop("__df"))
+  }
+
+  /** The full inverted-index pair core over a prebuilt [[cappedGramIndex]]
+    * frame: self-join on (block, gram) → per-pair intersection counts
+    * with both post-cap set sizes attached. Returns
+    * (doc_a, doc_b, inter, sa, sb); doc_a < doc_b. */
+  private def overlapFromKept(kept: DataFrame, idCol: String): DataFrame = {
     // post-cap set size, keyed on the doc (a doc lives in one block, so
     // idCol alone identifies its set): partial-aggregated before the
     // shuffle, one output row per doc
@@ -1015,15 +1039,22 @@ object Dedup {
   def jaccardPrefixCandidates(
       kept: DataFrame,
       idCol: String,
-      threshold: Double): DataFrame = {
-    val ranked = jaccardPrefixIndex(kept, idCol, threshold)
+      threshold: Double): DataFrame =
+    candidatesFromPrefixIndex(
+      jaccardPrefixIndex(kept, idCol, threshold), idCol)
+
+  /** Candidate pairs from a prebuilt prefix index (see
+    * [[jaccardPrefixCandidates]]) — split out so the auto arm can
+    * reuse the index its cost probe already built. */
+  private def candidatesFromPrefixIndex(
+      ranked: DataFrame,
+      idCol: String): DataFrame =
     ranked.select(col("blk"), col("gram"), col(idCol).as("doc_a"))
       .join(ranked.select(col("blk"), col("gram"), col(idCol).as("doc_b")),
         Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-  }
 
   /** The pruned inverted index [[jaccardPrefixCandidates]] joins: each
     * doc's PREFIX gram rows (blk, gram, id) under the rarest-first
@@ -1074,21 +1105,24 @@ object Dedup {
       n: Int = 2,
       threshold: Double = 0.25,
       maxGramDf: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs threshold in (0,1], got $threshold")
-    val grams = df
-      .select(col(blockCol).as("blk"), col(idCol),
-        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val kept = Materialize(
-      if (maxGramDf <= 0) grams
-      else grams
-        .withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
-        .filter(col("__df") <= maxGramDf)
-        .drop("__df"))
+    val kept = cappedGramIndex(df, textCol, idCol, blockCol, n, maxGramDf)
+    prefixPairsFrom(kept,
+      jaccardPrefixIndex(kept, idCol, threshold), idCol, threshold)
+  }
+
+  /** The prefix arm's pair pipeline over a prebuilt capped index and
+    * prefix index: candidates from the prefix self-join, exact
+    * verification by two candidate-keyed joins back to the full gram
+    * stream — linear passes keyed on doc id. */
+  private def prefixPairsFrom(
+      kept: DataFrame,
+      ranked: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val cand = jaccardPrefixCandidates(kept, idCol, threshold)
+    val cand = candidatesFromPrefixIndex(ranked, idCol)
     // exact verification: count the grams present on BOTH sides of each
     // candidate pair — two joins keyed on doc id over the linear gram
     // stream, grouped once per pair
@@ -1105,6 +1139,85 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Measured join-cost statistics of the two Jaccard arms over a
+    * capped gram index: (Σ df² of the FULL inverted index, Σ df² of the
+    * rarest-first PREFIX index) — each term is the number of join rows
+    * a (block, gram) posting list emits in its arm's candidate
+    * self-join, so the two sums ARE the arms' quadratic costs (the same
+    * numbers the ScaleSpec crossover measures). Both are map-side-
+    * combinable aggregates over metadata-scale posting-list counts. */
+  def jaccardJoinCosts(
+      kept: DataFrame,
+      ranked: DataFrame): (Long, Long) = {
+    def df2(ix: DataFrame): Long = ix
+      .groupBy(col("blk"), col("gram")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * col("d")), lit(0L)))
+      .head().getLong(0)
+    (df2(kept), df2(ranked))
+  }
+
+  /** The auto arm's decision rule, pure so the spec can pin it: prefix
+    * wins only when its measured quadratic term undercuts the full
+    * index's by more than `prefixCostRatio` — the margin pays for the
+    * prefix arm's extra linear passes (index build re-runs for the
+    * self-join's two sides, candidate distinct, two verification
+    * joins), which on a prefix-hostile corpus (uniform vocabulary, no
+    * light tail) are pure overhead over a barely-smaller join. */
+  def jaccardAutoArm(
+      fullCost: Long,
+      prefixCost: Long,
+      prefixCostRatio: Double): String =
+    if (prefixCost.toDouble < fullCost.toDouble * prefixCostRatio) "prefix"
+    else "full"
+
+  /** COST-BASED arm selection for the n-gram Jaccard join — the
+    * physical-operator choice a static pipeline cannot make: the full
+    * inverted index pays Σ df² join rows (catastrophic on a
+    * heavy-tailed web corpus), the PPJoin prefix arm pays Σ prefix-df²
+    * plus several extra linear passes (pure overhead on a uniform
+    * corpus where prefixes cannot prune — both regimes are REAL, see
+    * the `dedup_jaccard`/`dedup_jaccard_prefix` bench pair and the
+    * ScaleSpec crossover). This operator measures both quadratic terms
+    * on the actual corpus — two small aggregates over the materialized
+    * gram index, the optimizer-statistics pass — and runs the cheaper
+    * arm; the prefix index built for the probe is materialized and
+    * reused by the prefix arm, so the decision's cost rides the work
+    * the chosen arm needed anyway. Same answer as both fixed arms by
+    * the spec's equality pins; at 100 TB the wrong fixed arm is not a
+    * constant factor but a blowup, which is why engines gather stats
+    * before picking join strategies. */
+  def ngramJaccardPairsAuto(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      blockCol: String = "source",
+      n: Int = 2,
+      threshold: Double = 0.25,
+      maxGramDf: Int = 0,
+      prefixCostRatio: Double = 0.25): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs threshold in (0,1], got $threshold")
+    val kept = cappedGramIndex(df, textCol, idCol, blockCol, n, maxGramDf)
+    val ranked = Materialize(jaccardPrefixIndex(kept, idCol, threshold))
+    val (fullCost, prefixCost) = jaccardJoinCosts(kept, ranked)
+    if (jaccardAutoArm(fullCost, prefixCost, prefixCostRatio) == "prefix")
+      prefixPairsFrom(kept, ranked, idCol, threshold)
+    else
+      jaccardFromKept(kept, idCol, threshold)
+  }
+
+  /** The full arm over a prebuilt capped index (the auto arm's
+    * full-side terminal). */
+  private def jaccardFromKept(
+      kept: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame =
+    overlapFromKept(kept, idCol)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Span-LEVEL benchmark decontamination: not just WHICH training docs
     * leak the benchmark ([[decontaminateFuzzy]] and the exact-gram

@@ -273,6 +273,45 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("auto Jaccard arm: cost probe picks full on a uniform corpus, " +
+    "prefix on a light-tailed one, and matches both fixed arms") {
+    // uniform regime: every doc is the same text, so every gram is
+    // maximally hot AND the prefix cannot exclude anything — the
+    // measured prefix cost equals the full cost and auto must refuse
+    // the prefix arm's overhead
+    val uniform = (0L until 10L).map(i =>
+      (i, "s1", "w0 w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "source", "text")
+    // light-tail regime: one corpus-hot bigram, everything else unique —
+    // the rarest-first prefixes exclude the hot gram entirely and the
+    // quadratic term collapses
+    val tailed = (0L until 60L).map(i =>
+      (i, "s1", s"hot pair u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"))
+      .toDF("doc_id", "source", "text")
+    def keptOf(docs: org.apache.spark.sql.DataFrame) =
+      docs.select($"source".as("blk"), $"doc_id",
+        explode(array_distinct(Dedup.shingles($"text", 2))).as("gram"))
+    val t = 0.5
+    val (uf, up) = Dedup.jaccardJoinCosts(keptOf(uniform),
+      Dedup.jaccardPrefixIndex(keptOf(uniform), "doc_id", t))
+    assert(Dedup.jaccardAutoArm(uf, up, 0.25) == "full",
+      s"uniform corpus must choose the full arm (costs $uf vs $up)")
+    val (tf, tp) = Dedup.jaccardJoinCosts(keptOf(tailed),
+      Dedup.jaccardPrefixIndex(keptOf(tailed), "doc_id", t))
+    assert(Dedup.jaccardAutoArm(tf, tp, 0.25) == "prefix",
+      s"light-tailed corpus must choose the prefix arm (costs $tf vs $tp)")
+    // answer equality with the fixed arms in BOTH regimes
+    for (docs <- Seq(uniform, tailed)) {
+      val auto = Dedup.ngramJaccardPairsAuto(docs, n = 2, threshold = t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val full = Dedup.ngramJaccardPairs(docs, n = 2, threshold = t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, n = 2, threshold = t)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(auto == full && auto == pref,
+        "the auto arm must reproduce both fixed arms exactly")
+    }
+  }
+
   test("decontaminateFuzzy: docs sharing a band with a benchmark doc " +
     "drop (identical text always collides); distinct docs survive; " +
     "empty benchmark keeps everything") {
