@@ -4285,6 +4285,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "mm_video_fingerprint_pairs" -> ((s, dir) => {
+      // perceptual VIDEO near-dup, closing the text/image/audio/video
+      // quad: a video's fingerprint is the SET of its 4-frame
+      // signature shingles (order-aware where bag-of-frames is not,
+      // trim-robust where fixed alignment is not); every 7th doc gets
+      // an intro-trimmed twin (first 1 + id%3 frames cut) that keeps
+      // (n-k-3)/(n-3) of the shingle set and must clear Jaccard 0.5,
+      // while all other videos share no shingle. The closed-form
+      // fixture lets the oracle re-derive pairs AND exact scores with
+      // independent arithmetic; only 16-byte shingle keys leave the
+      // scan.
+      Multimodal.videoShingleNearDupPairs(
+        Multimodal.syntheticVideoNearDupAssets(
+          par(s)(t(s, dir, "documents"))),
+        w = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_video_meta" -> ((s, dir) => {
       // REAL video decode path: canonical AVI headers per doc with
       // closed-form geometry/timing, recovered by AviCodec's RIFF parse;
@@ -7375,6 +7393,19 @@ object SparkEntry {
           | CAST(((fend * ch * 2657 + doc_id * 7919) % 65536) - 32768
           |  AS BIGINT) AS pend
           |FROM s ORDER BY asset_id""".stripMargin,
+
+      // the only pairs are each multiple-of-7 doc and its intro-trimmed
+      // twin: with n = 24 + id%240 frames, trim k = 1 + id%3, shingle
+      // width 4, the twin keeps n-k-3 of the base's n-3 shingles —
+      // jaccard = (n-k-3)/(n-3), one IEEE division of exact ints; no
+      // other pair shares a single 4-frame window
+      "mm_video_fingerprint_pairs" ->
+        """SELECT doc_id AS id_a,
+          | doc_id + 1000000000 AS id_b,
+          | CAST((24 + doc_id % 240) - (1 + doc_id % 3) - 3 AS DOUBLE)
+          |  / CAST((24 + doc_id % 240) - 3 AS DOUBLE) AS jaccard
+          |FROM documents WHERE doc_id % 7 = 0
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // AVI parameters are closed-form in doc_id (syntheticAviAssets);
       // duration_ms = usPerFrame * nFrames // 1000, exact integer floor

@@ -667,6 +667,92 @@ object Multimodal {
       expr("transform(sequence(1L, 24 + doc_id % 240)," +
         " i -> cast((i - 1) div (1 + doc_id % 7) as int))").as("frame_sigs"))
 
+  /** Synthetic near-dup VIDEO fixture: every doc is a video of
+    * `24 + id mod 240` frames whose per-frame signatures are
+    * `hash(doc_id, i)` — unique across the corpus, so distinct videos
+    * share no frame w-window — and every `id mod 7 == 0` doc gets a
+    * TRIMMED twin under `id + 10⁹`: the same signature stream minus its
+    * first `1 + id mod 3` frames, the re-upload-with-the-intro-cut
+    * shape. Closed form throughout, so the oracle re-derives the
+    * expected pair set AND each pair's exact shingle Jaccard
+    * ((n−k−w+1)/(n−w+1)) with independent arithmetic. */
+  def syntheticVideoNearDupAssets(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("asset_id"),
+      expr("transform(sequence(1L, 24 + doc_id % 240)," +
+        " i -> hash(doc_id, i))").as("frame_sigs"))
+    val twins = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000000L).as("asset_id"),
+        expr("transform(sequence(2L + doc_id % 3, 24 + doc_id % 240)," +
+          " i -> hash(doc_id, i))").as("frame_sigs"))
+    base.unionByName(twins)
+  }
+
+  /** Perceptual VIDEO near-dup pairs by frame-shingle Jaccard: a video's
+    * fingerprint is the SET of its length-`w` frame-signature windows
+    * (shingle key = md5 of the joined window — 16 bytes, collision-free
+    * in practice), and two videos pair when the Jaccard of their
+    * shingle sets clears `threshold`. Sequence shingles are what single
+    * frame hashes are not: ORDER-aware (a shuffled slideshow of the
+    * same frames does not match) yet TRIM-robust — cutting an intro or
+    * tail removes only the shingles touching it, so a re-upload with
+    * the first seconds trimmed keeps (n−k−w+1)/(n−w+1) of the original
+    * set and still clears any moderate threshold (the spec and the
+    * oracle pin that closed form exactly).
+    *
+    * Scale shape: the video BLOBS never move — per video only (id,
+    * shingle-key) pairs leave the scan, bounded by frame count. Pairing
+    * is the inverted-index self-join on the shingle key: Σ df² join
+    * rows over shingle posting lists, and a w-frame window is
+    * drastically more selective than any single frame hash, so df
+    * hovers near the true duplicate multiplicity. `maxShingleDf` caps
+    * pathological posting lists (a boilerplate intro shared by a
+    * million videos would otherwise pay df² for windows that carry no
+    * identity signal — same contract as the text join's hot-gram cap);
+    * the shingle frame is materialized once so the self-join's two
+    * sides share the explode. Output: (id_a, id_b, jaccard),
+    * id_a < id_b; videos shorter than `w` frames have no shingles and
+    * never pair. */
+  def videoShingleNearDupPairs(
+      assets: DataFrame,
+      framesCol: String = "frame_sigs",
+      idCol: String = "asset_id",
+      w: Int = 4,
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w > 0, s"shingle width must be positive, got $w")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"videoShingleNearDupPairs needs threshold in (0,1], got $threshold")
+    val arr = col(framesCol)
+    val shingleArr = when(size(arr) < w,
+      array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(arr) - (w - 1)),
+        i => md5(concat_ws(",",
+          transform(slice(arr, i, lit(w)), _.cast("string")))))))
+    val exploded = assets
+      .select(col(idCol).as("__vid"), explode(shingleArr).as("shingle"))
+    val sh = graft.functions.Materialize(
+      if (maxShingleDf <= 0) exploded
+      else exploded
+        .withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df"))
+    val sizes = sh.groupBy(col("__vid")).agg(count(lit(1)).as("sz"))
+    sh.select(col("shingle"), col("__vid").as("id_a"))
+      .join(sh.select(col("shingle"), col("__vid").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__vid").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("__vid").as("id_b"), col("sz").as("sb")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Scene-change detection over a per-frame signature array: a CUT is
     * every 1-based frame position whose signature differs from its
     * predecessor — the shot-boundary primitive behind frame sampling

@@ -682,4 +682,71 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.energyHashWav(wav(Array.tabulate(64)(_.toShort)))
     }
   }
+
+  test("videoShingleNearDupPairs: trim-robust and order-aware, exact " +
+    "closed-form jaccard, cap and edge behavior") {
+    import spark.implicits._
+    // hand-built: video 1 = frames 10..29 (n=20); video 2 = the same
+    // minus the first 2 frames (trim twin); video 3 = video 1 REVERSED
+    // (same frame multiset, different order); video 4 = unrelated;
+    // video 5 = too short for one shingle
+    val v1 = (10 to 29).map(_ * 101).toArray
+    val assets = Seq(
+      (1L, v1),
+      (2L, v1.drop(2)),
+      (3L, v1.reverse),
+      (4L, Array.tabulate(20)(i => i * 7 + 9999)),
+      (5L, v1.take(3)))
+      .toDF("asset_id", "frame_sigs")
+    val pairs = Multimodal.videoShingleNearDupPairs(assets, w = 4,
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // only the trim twin pairs: sa = 17, sb = 15, inter = 15
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(math.abs(pairs.head._3 - 15.0 / 17.0) < 1e-12,
+      s"closed-form jaccard mismatch: ${pairs.head._3}")
+    // reversal shares frames but no 4-frame WINDOW: order-awareness
+    // is the (1,3) absence above; heavy trim falls below threshold
+    val heavy = Seq((1L, v1), (2L, v1.drop(12))).toDF("asset_id", "frame_sigs")
+    assert(Multimodal.videoShingleNearDupPairs(heavy, w = 4,
+      threshold = 0.5).count() == 0L,
+      "a twin keeping 5/17 shingles must not clear 0.5")
+    // the df cap kills a boilerplate shingle shared by every video:
+    // three videos sharing ONE 4-frame intro then diverging
+    val intro = Array(1, 2, 3, 4)
+    val boiler = Seq(
+      (1L, intro ++ Array(100, 101)),
+      (2L, intro ++ Array(200, 201)),
+      (3L, intro ++ Array(300, 301)))
+      .toDF("asset_id", "frame_sigs")
+    // each pair shares exactly the intro window: jaccard = 1/(3+3-1)
+    val uncapped = Multimodal.videoShingleNearDupPairs(boiler, w = 4,
+      threshold = 0.2)
+    val capped = Multimodal.videoShingleNearDupPairs(boiler, w = 4,
+      threshold = 0.2, maxShingleDf = 2)
+    assert(uncapped.count() == 3L && capped.count() == 0L,
+      "the shared intro shingle must die under the cap")
+    intercept[IllegalArgumentException] {
+      Multimodal.videoShingleNearDupPairs(assets, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoShingleNearDupPairs(assets, w = 0)
+    }
+  }
+
+  test("syntheticVideoNearDupAssets: every 7th doc carries an " +
+    "intro-trimmed twin and the operator recovers exactly those pairs") {
+    import spark.implicits._
+    val docs = (0L until 21L).toDF("doc_id")
+    val pairs = Multimodal.videoShingleNearDupPairs(
+      Multimodal.syntheticVideoNearDupAssets(docs), w = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(pairs.map(p => (p._1, p._2)) ==
+      Seq(0L, 7L, 14L).map(i => (i, i + 1000000000L)))
+    pairs.foreach { case (a, _, j) =>
+      val n = 24 + a % 240; val k = 1 + a % 3
+      assert(math.abs(j - (n - k - 3).toDouble / (n - 3).toDouble) < 1e-12,
+        s"closed-form jaccard mismatch for base $a: $j")
+    }
+  }
 }
