@@ -854,6 +854,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q42_time_travel_ts" -> ((s, dir) => {
+      // AS OF TIMESTAMP over LOGICAL commit stamps: three modulus
+      // appends watermarked 100/200/300 (event-time, never wall clock
+      // — deterministic on any engine), then the table read at ts=250
+      // (resolves to the second commit: slices 0,1) and ts=999 (the
+      // head). Resolution is "latest version with commit_ts <= ts"
+      // over the metadata-scale manifest; boundary/refusal semantics
+      // pinned in SnapshotsSpec.
+      val tbl = s"$artifactRoot/snap_ts_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false, ts = Some(100L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true, ts = Some(200L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true, ts = Some(300L))
+      Snapshots.readAsOfTimestamp(s, tbl, 250L)
+        .withColumn("as_of", lit(250L))
+        .unionByName(Snapshots.readAsOfTimestamp(s, tbl, 999L)
+          .withColumn("as_of", lit(999L)))
+        .orderBy(col("as_of"), col("event_id"))
+    }),
+
     "q41_snapshot_wap" -> ((s, dir) => {
       // WRITE-AUDIT-PUBLISH: the bad batch (every value negated below
       // zero) is staged, audited, REFUSED — its files deleted, never
@@ -4966,6 +4992,21 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id % 3 IN (1, 2)
           |ORDER BY event_id""".stripMargin,
+
+      // ts=250 resolves to the second commit (slices 0,1); ts=999 to
+      // the head (all slices)
+      "q42_time_travel_ts" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(250 AS BIGINT) AS as_of
+          |FROM ev WHERE event_id % 3 IN (0, 1)
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(999 AS BIGINT) AS as_of
+          |FROM ev
+          |ORDER BY as_of, event_id""".stripMargin,
 
       // the published faces only: base purchases + the clean batch; the
       // refused negated batch must have left no rows behind

@@ -94,7 +94,7 @@ object Snapshots {
   }
 
   /** The manifest frame: one row per (version, file, part,
-    * schema_json, rows) — `part` is the hive-style partition path
+    * schema_json, rows, commit_ts) — `part` is the hive-style partition path
     * fragment (`"event_date=2024-01-03"`) for files written by
     * [[commitPartitioned]], null for flat commits; `schema_json` is
     * the SNAPSHOT's full read schema (identical on every row of a
@@ -103,7 +103,12 @@ object Snapshots {
     * footer-merging O(files) parquet footers per time-travel read;
     * `rows` is the file's record count captured from its parquet
     * footer at commit time, so COUNT-shaped questions ([[countAsOf]],
-    * [[tableStats]]) answer from metadata without opening a data file.
+    * [[tableStats]]) answer from metadata without opening a data file;
+    * `commit_ts` is the caller-supplied LOGICAL commit timestamp
+    * (event-time watermark — e.g. the batch's max event ts — never
+    * wall clock, so every read replays deterministically), constant
+    * per generation, which [[versionAt]]/[[readAsOfTimestamp]] resolve
+    * AS OF TIMESTAMP queries against.
     * Empty (with the right schema) when the table has no commits yet.
     * The `_`-prefixed manifest dir hides it from any scan of the TABLE
     * root (the `_delta_log` convention), so it is read here by its
@@ -120,9 +125,10 @@ object Snapshots {
     if (parts.nonEmpty) {
       val m = spark.read.option("mergeSchema", "true").parquet(parts: _*)
       // manifests written by earlier layouts may lack the partition,
-      // schema, and/or row-count columns; normalize so every consumer
-      // sees five
-      Seq("part" -> "string", "schema_json" -> "string", "rows" -> "long")
+      // schema, row-count, and/or commit-ts columns; normalize so
+      // every consumer sees six
+      Seq("part" -> "string", "schema_json" -> "string", "rows" -> "long",
+        "commit_ts" -> "long")
         .foldLeft(m) { case (df, (c, tpe)) =>
           if (df.columns.contains(c)) df
           else df.withColumn(c, lit(null).cast(tpe))
@@ -134,7 +140,8 @@ object Snapshots {
           StructField("file", StringType, nullable = false),
           StructField("part", StringType, nullable = true),
           StructField("schema_json", StringType, nullable = true),
-          StructField("rows", LongType, nullable = true))))
+          StructField("rows", LongType, nullable = true),
+          StructField("commit_ts", LongType, nullable = true))))
     }
   }
 
@@ -198,7 +205,8 @@ object Snapshots {
       version: Long,
       fresh: Seq[(String, String, Option[Long])],
       parent: Option[Long],
-      freshSchema: org.apache.spark.sql.types.StructType): Long = {
+      freshSchema: org.apache.spark.sql.types.StructType,
+      commitTs: Option[Long] = None): Long = {
     val parentRows =
       parent.map(v => manifestRows(spark, tablePath, v)).getOrElse(Seq.empty)
     // the generation's read schema: an append's is the parent schema
@@ -209,7 +217,8 @@ object Snapshots {
     val schema = parent.flatMap(v => storedSchema(spark, tablePath, v))
       .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
       .getOrElse(nullableTop(freshSchema))
-    publishRows(spark, tablePath, version, parentRows ++ fresh, schema.json)
+    publishRows(spark, tablePath, version, parentRows ++ fresh,
+      schema.json, commitTs)
   }
 
   /** The stored read schema of one generation, if its manifest carries
@@ -293,8 +302,10 @@ object Snapshots {
       tablePath: String,
       version: Long,
       fileRows: Seq[(String, String, Option[Long])],
-      schemaJson: String): Long = {
-    val rows = fileRows.map { case (f, p, n) => (version, f, p, schemaJson, n) }
+      schemaJson: String,
+      commitTs: Option[Long]): Long = {
+    val rows = fileRows.map { case (f, p, n) =>
+      (version, f, p, schemaJson, n, commitTs) }
     // one generation = one manifest file, staged in a version-unique
     // temp dir and RENAMED in — never `mode("append")` into the shared
     // manifest dir, whose job-commit staging (`_temporary/0`) is a
@@ -304,7 +315,7 @@ object Snapshots {
     val f = fs(spark, tablePath)
     val tmp = s"$tablePath/${VersionsDir}_tmp_v$version"
     spark.createDataFrame(rows)
-      .toDF("version", "file", "part", "schema_json", "rows")
+      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts")
       .coalesce(1)
       .write.mode("errorifexists").parquet(tmp)
     val staged = listDataFiles(spark, tmp)
@@ -331,7 +342,8 @@ object Snapshots {
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
-      append: Boolean): Long = {
+      append: Boolean,
+      ts: Option[Long] = None): Long = {
     val observed = latestVersion(spark, tablePath)
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
@@ -340,7 +352,7 @@ object Snapshots {
     val fresh = footerCounts(spark,
       listDataFiles(spark, dataPath).map((_, null: String)))
     publish(spark, tablePath, version, fresh,
-      if (append) observed else None, df.schema)
+      if (append) observed else None, df.schema, ts)
   }
 
   /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
@@ -358,7 +370,8 @@ object Snapshots {
       df: DataFrame,
       tablePath: String,
       partCol: String,
-      append: Boolean): Long = {
+      append: Boolean,
+      ts: Option[Long] = None): Long = {
     require(df.columns.contains(partCol),
       s"commitPartitioned: frame has no column '$partCol'")
     val observed = latestVersion(spark, tablePath)
@@ -368,7 +381,7 @@ object Snapshots {
     df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
       footerCounts(spark, listPartitionedFiles(spark, dataPath)),
-      if (append) observed else None, df.schema)
+      if (append) observed else None, df.schema, ts)
   }
 
   /** (file, fragment) rows of a freshly written partitioned batch. */
@@ -471,7 +484,7 @@ object Snapshots {
     publishRows(spark, tablePath, version,
       untouched ++
         footerCounts(spark, listPartitionedFiles(spark, dataPath)),
-      schema.json)
+      schema.json, None)
   }
 
   /** Reject unknown verbs in an op column before any data moves — a
@@ -618,7 +631,7 @@ object Snapshots {
     val m = manifest(spark, tablePath)
     val keptRows = m.filter(col("version") >= keepFrom)
       .select(col("version"), col("file"), col("part"), col("schema_json"),
-        col("rows"))
+        col("rows"), col("commit_ts"))
       .collect()
     require(keptRows.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would retain no versions of $tablePath")
@@ -642,8 +655,9 @@ object Snapshots {
       keptRows.toSeq.map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
         if (r.isNullAt(3)) null else r.getString(3),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)))))
-      .toDF("version", "file", "part", "schema_json", "rows")
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts")
       .coalesce(1)
       .write.parquet(staged.toString)
     require(f.rename(live, prev),
@@ -887,7 +901,7 @@ object Snapshots {
     val schemaJson =
       if (gen.head.isNullAt(3)) null else gen.head.getString(3)
     val version = claimVersion(spark, tablePath, observed + 1L)
-    publishRows(spark, tablePath, version, rows, schemaJson)
+    publishRows(spark, tablePath, version, rows, schemaJson, None)
   }
 
   /** COUNT(*) AS OF `version`, answered from the manifest's per-file
@@ -927,6 +941,45 @@ object Snapshots {
     m.groupBy(col("version"), col("part"))
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
   }
+
+  /** Resolve AS OF TIMESTAMP to a version: the LATEST version (in
+    * commit order, the Iceberg rule) whose `commit_ts` is at or before
+    * `ts`. Timestamps are the caller's LOGICAL clock — an event-time
+    * watermark supplied at commit, never wall time — so resolution
+    * replays deterministically on any engine. Loud in every murky
+    * case: an empty table, a `ts` predating the first commit, and any
+    * generation missing a timestamp (a mixed table would silently drop
+    * untimestamped commits out of the timeline — refuse instead;
+    * commit verbs take `ts` optionally, a timestamped table should
+    * pass it on every commit). Driver-side over the metadata-scale
+    * manifest. */
+  def versionAt(
+      spark: SparkSession,
+      tablePath: String,
+      ts: Long): Long = {
+    val gens = manifest(spark, tablePath)
+      .select(col("version"), col("commit_ts")).distinct().collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    require(gens.nonEmpty, s"$tablePath has no committed versions")
+    val missing = gens.filter(_._2.isEmpty).map(_._1)
+    require(missing.isEmpty,
+      s"versions ${missing.sorted.mkString(",")} of $tablePath carry no " +
+        "commit_ts — AS OF TIMESTAMP needs every generation timestamped")
+    val admitted = gens.filter(_._2.get <= ts)
+    require(admitted.nonEmpty,
+      s"no snapshot of $tablePath at or before ts=$ts (earliest " +
+        s"commit_ts ${gens.map(_._2.get).min})")
+    admitted.map(_._1).max
+  }
+
+  /** [[readAsOf]] with the version resolved by [[versionAt]] — the
+    * `SELECT … FOR TIMESTAMP AS OF` surface. */
+  def readAsOfTimestamp(
+      spark: SparkSession,
+      tablePath: String,
+      ts: Long): DataFrame =
+    readAsOf(spark, tablePath, versionAt(spark, tablePath, ts))
 
   /** Incremental changelog read: the rows ADDED between `fromVersion`
     * (exclusive) and `toVersion` (inclusive), planned as the manifest

@@ -668,6 +668,37 @@ class SnapshotsSpec extends SparkSuite {
       .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L))
   }
 
+  test("versionAt/readAsOfTimestamp: latest-commit-at-or-before " +
+    "resolution, boundary inclusive, loud on pre-history, mixed and " +
+    "empty tables; vacuum preserves the timeline") {
+    val tbl = freshTable()
+    intercept[IllegalArgumentException](Snapshots.versionAt(spark, tbl, 5L))
+    val v0 = Snapshots.commit(spark, rows0, tbl, append = false,
+      ts = Some(100L))
+    val v1 = Snapshots.commit(spark, rows1, tbl, append = true,
+      ts = Some(200L))
+    val v2 = Snapshots.commit(spark, rows0, tbl, append = false,
+      ts = Some(300L))
+    assert(Snapshots.versionAt(spark, tbl, 100L) == v0,
+      "a ts equal to a commit stamp resolves to THAT commit")
+    assert(Snapshots.versionAt(spark, tbl, 250L) == v1)
+    assert(Snapshots.versionAt(spark, tbl, 999L) == v2)
+    assert(Snapshots.readAsOfTimestamp(spark, tbl, 250L)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.versionAt(spark, tbl, 99L))
+    assert(e.getMessage.contains("at or before"))
+    // vacuum must carry the timeline through its manifest rewrite
+    Snapshots.vacuum(spark, tbl, keepFrom = v1)
+    assert(Snapshots.versionAt(spark, tbl, 250L) == v1)
+    // a generation without a stamp poisons resolution loudly — never
+    // silently falls out of the timeline
+    Snapshots.commit(spark, rows1, tbl, append = true)
+    val m = intercept[IllegalArgumentException](
+      Snapshots.versionAt(spark, tbl, 999L))
+    assert(m.getMessage.contains("commit_ts"))
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
