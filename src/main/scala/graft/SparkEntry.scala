@@ -854,6 +854,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q43_snapshot_purge" -> ((s, dir) => {
+      // right-to-erasure across the WHOLE history: a three-commit
+      // lineage, then every user_id divisible by 50 is purged — from
+      // EVERY version, not just the head (the one verb that rewrites
+      // history, file-granular: clean files keep their paths,
+      // spec-pinned). All three faces must read back minus the
+      // subjects; the oracle rebuilds each face from events with the
+      // subjects filtered out.
+      val tbl = s"$artifactRoot/snap_purge_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false)
+      val v1 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true)
+      val v2 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true)
+      Snapshots.purgeKeys(s, tbl,
+        ev.filter(col("user_id") % 50 === 0)
+          .select(col("user_id")).distinct(),
+        Seq("user_id"))
+      Seq(v0, v1, v2).map(v =>
+        Snapshots.readAsOf(s, tbl, v).withColumn("version", lit(v)))
+        .reduce(_.unionByName(_))
+        .orderBy(col("version"), col("event_id"))
+    }),
+
     "q42_time_travel_ts" -> ((s, dir) => {
       // AS OF TIMESTAMP over LOGICAL commit stamps: three modulus
       // appends watermarked 100/200/300 (event-time, never wall clock
@@ -4992,6 +5021,18 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id % 3 IN (1, 2)
           |ORDER BY event_id""".stripMargin,
+
+      // every face re-derived from the stream minus the purged
+      // subjects: version v holds slices <= v without user_id % 50 = 0
+      "q43_snapshot_purge" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events WHERE user_id % 50 <> 0)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(v.ver AS BIGINT) AS version
+          |FROM ev, (VALUES (0), (1), (2)) AS v(ver)
+          |WHERE event_id % 3 <= v.ver
+          |ORDER BY version, event_id""".stripMargin,
 
       // ts=250 resolves to the second commit (slices 0,1); ts=999 to
       // the head (all slices)

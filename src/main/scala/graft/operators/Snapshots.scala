@@ -624,6 +624,34 @@ object Snapshots {
     * missing, staged complete) is rolled forward by
     * [[recoverManifestSwap]] on the next read; a crash before them
     * leaves the live manifest untouched. */
+  /** Replace the ENTIRE live manifest with `rows` via the crash-safe
+    * staged swap ([[recoverManifestSwap]]'s contract): staged write →
+    * live moved aside → staged renamed in → aside deleted, so a
+    * COMPLETE manifest exists on disk at every instant. */
+  private def swapManifest(
+      spark: SparkSession,
+      tablePath: String,
+      rows: Seq[(Long, String, String, String, Option[Long], Option[Long])])
+      : Unit = {
+    val f = fs(spark, tablePath)
+    val live = new Path(s"$tablePath/$VersionsDir")
+    val staged = new Path(s"$tablePath/${VersionsDir}_staged")
+    val prev = new Path(s"$tablePath/${VersionsDir}_prev")
+    if (f.exists(staged)) f.delete(staged, true)
+    if (f.exists(prev)) f.delete(prev, true) // inert leftover of a crash
+    spark.createDataFrame(rows)
+      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts")
+      .coalesce(1)
+      .write.parquet(staged.toString)
+    require(f.rename(live, prev),
+      s"manifest swap failed for $tablePath — live manifest could not " +
+        s"be moved aside; staged manifest left at $staged, data intact")
+    require(f.rename(staged, live),
+      s"manifest swap failed for $tablePath — live manifest moved to " +
+        s"$prev, staged left at $staged; recovery rolls $staged forward")
+    f.delete(prev, true)
+  }
+
   def vacuum(
       spark: SparkSession,
       tablePath: String,
@@ -646,27 +674,12 @@ object Snapshots {
         .filter(_ < keepFrom)
 
     val f = fs(spark, tablePath)
-    val live = new Path(s"$tablePath/$VersionsDir")
-    val staged = new Path(s"$tablePath/${VersionsDir}_staged")
-    val prev = new Path(s"$tablePath/${VersionsDir}_prev")
-    if (f.exists(staged)) f.delete(staged, true)
-    if (f.exists(prev)) f.delete(prev, true) // inert leftover of a crash
-    spark.createDataFrame(
+    swapManifest(spark, tablePath,
       keptRows.toSeq.map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
         if (r.isNullAt(3)) null else r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
         if (r.isNullAt(5)) None else Some(r.getLong(5)))))
-      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts")
-      .coalesce(1)
-      .write.parquet(staged.toString)
-    require(f.rename(live, prev),
-      s"manifest swap failed for $tablePath — live manifest could not " +
-        s"be moved aside; staged manifest left at $staged, data intact")
-    require(f.rename(staged, live),
-      s"manifest swap failed for $tablePath — live manifest moved to " +
-        s"$prev, staged left at $staged; recovery rolls $staged forward")
-    f.delete(prev, true)
 
     doomed.foreach(file => f.delete(new Path(file), false))
 
@@ -1073,6 +1086,101 @@ object Snapshots {
         listDataFiles(spark, dataPath).map((_, null: String)))
       Right(publish(spark, tablePath, version, fresh,
         if (append) observed else None, df.schema))
+    }
+  }
+
+  /** RIGHT-TO-ERASURE purge: remove every row matching `keys` from the
+    * WHOLE retained history — every version, not just the head. Privacy
+    * law trumps snapshot immutability: a keyed delete via [[merge]]
+    * only cleans the new head while the subject's rows stay readable AS
+    * OF every older version, which is exactly what a GDPR/CCPA erasure
+    * request forbids. This is the one verb that rewrites history in
+    * place, and it does so at FILE granularity:
+    *
+    *  1. ONE distributed pass over the distinct files of all retained
+    *     generations, reading ONLY the key columns (fixed key schema —
+    *     no footer merge, no payload bytes), finds the files that
+    *     contain a hit; clean files are never rewritten, their paths
+    *     stay byte-identical in every manifest (spec-pinned).
+    *  2. Each hit file is rewritten minus the matching rows into a
+    *     fresh purge directory (partition fragment preserved so
+    *     partition-column reconstruction and [[scanPartitionAsOf]]
+    *     still work), and every generation referencing the old file is
+    *     repointed to the replacement — shared files are rewritten
+    *     ONCE no matter how many snapshots reference them, and the
+    *     manifests' row counts are refreshed from the new footers.
+    *  3. The full manifest is replaced via the crash-safe
+    *     [[swapManifest]], then the old hit files are deleted. A crash
+    *     after the swap leaves them unreferenced — [[removeOrphans]]'
+    *     territory — never a readable copy of the purged rows in any
+    *     manifest.
+    *
+    * Cost: O(table keys-only scan) to find hits + O(files containing
+    * the subject) rewrite jobs — on a partitioned/clustered table the
+    * second term is the handful of files the subject actually touches.
+    * `keys` columns must exist with matching types in the data files
+    * (partition columns are not purgeable keys). Returns the number of
+    * rows removed across distinct files. */
+  def purgeKeys(
+      spark: SparkSession,
+      tablePath: String,
+      keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "purgeKeys needs key columns")
+    val m = manifest(spark, tablePath).collect()
+    require(m.nonEmpty, s"$tablePath has no committed versions")
+    def norm(p: String) = new Path(p).toUri.getPath
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(c => k.schema(c)))
+    val allFiles = m.map(_.getString(1)).distinct.toSeq.sorted
+    val hitFiles = spark.read.schema(keySchema)
+      .parquet(allFiles: _*)
+      .withColumn("__f", input_file_name())
+      .join(k, keyCols)
+      .select(col("__f")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (hitFiles.isEmpty) 0L
+    else {
+      val f = fs(spark, tablePath)
+      // deterministic fresh purge root under the data dir
+      val purgeRoot = Iterator.from(0)
+        .map(i => s"$tablePath/$DataDir/purge$i")
+        .find(d => !f.exists(new Path(d))).get
+      var purged = 0L
+      val mapping = hitFiles.toSeq.sorted.zipWithIndex.map {
+        case (old, i) =>
+          val row = m.find(r => norm(r.getString(1)) == old).get
+          val frag = if (row.isNullAt(2)) null else row.getString(2)
+          val outDir = if (frag == null) s"$purgeRoot/f$i"
+            else s"$purgeRoot/f$i/$frag"
+          spark.read.parquet(old)
+            .join(k, keyCols.toSeq, "left_anti")
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(outDir)
+          val fresh = listDataFiles(spark, outDir)
+          require(fresh.size == 1,
+            s"purge rewrite of $old produced ${fresh.size} files")
+          val oldRows = footerCounts(spark, Seq((old, frag))).head._3.get
+          val newRows =
+            footerCounts(spark, Seq((fresh.head, frag))).head._3.get
+          purged += oldRows - newRows
+          old -> (fresh.head, newRows)
+      }.toMap
+      swapManifest(spark, tablePath, m.toSeq.map { r =>
+        val part = if (r.isNullAt(2)) null else r.getString(2)
+        val schemaJson = if (r.isNullAt(3)) null else r.getString(3)
+        val ts = if (r.isNullAt(5)) None else Some(r.getLong(5))
+        mapping.get(norm(r.getString(1))) match {
+          case Some((nf, nRows)) =>
+            (r.getLong(0), nf, part, schemaJson, Some(nRows), ts)
+          case None =>
+            (r.getLong(0), r.getString(1), part, schemaJson,
+              if (r.isNullAt(4)) None else Some(r.getLong(4)), ts)
+        }
+      })
+      hitFiles.foreach(file => f.delete(new Path(file), false))
+      purged
     }
   }
 

@@ -699,6 +699,71 @@ class SnapshotsSpec extends SparkSuite {
     assert(m.getMessage.contains("commit_ts"))
   }
 
+  test("purgeKeys erases the subject from EVERY retained version, " +
+    "file-granular: clean files keep their paths, hit files die, " +
+    "counts refresh, a second purge finds nothing") {
+    val tbl = freshTable()
+    val a = Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "uid", "v")
+    val b = Seq((3L, 10L, "z"), (4L, 30L, "w")).toDF("id", "uid", "v")
+    val v0 = Snapshots.commit(spark, a, tbl, append = false)
+    val v1 = Snapshots.commit(spark, b, tbl, append = true)
+    def manifestFiles(): Set[String] = Snapshots.manifest(spark, tbl)
+      .select($"file").distinct().as[String].collect().toSet
+    val before = manifestFiles()
+    val purged = Snapshots.purgeKeys(spark, tbl,
+      Seq(10L).toDF("uid"), Seq("uid"))
+    assert(purged == 2L)
+    def ids(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids(v0) == Seq(2L), "v0 must be rewritten, not just the head")
+    assert(ids(v1) == Seq(2L, 4L))
+    assert(Snapshots.countAsOf(spark, tbl, v0) == 1L &&
+      Snapshots.countAsOf(spark, tbl, v1) == 2L,
+      "manifest row counts must refresh from the rewritten footers")
+    val after = manifestFiles()
+    val gone = before -- after
+    val fresh = after -- before
+    assert(gone.nonEmpty && fresh.nonEmpty)
+    assert((before intersect after).nonEmpty,
+      "files without a hit must keep their byte-identical paths")
+    val hfs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    gone.foreach(p => assert(
+      !hfs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"purged file $p must not remain on disk"))
+    // the purged subject is unreadable from ANY surface
+    Seq(v0, v1).foreach(v =>
+      assert(Snapshots.readAsOf(spark, tbl, v)
+        .filter($"uid" === 10L).count() == 0L))
+    // idempotent: a second purge of the same subject rewrites nothing
+    val m2 = manifestFiles()
+    assert(Snapshots.purgeKeys(spark, tbl,
+      Seq(10L).toDF("uid"), Seq("uid")) == 0L)
+    assert(manifestFiles() == m2)
+  }
+
+  test("purgeKeys on a partitioned lineage preserves fragments — " +
+    "pruned partition scans still work on every rewritten version") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commitPartitioned(spark,
+      Seq((1L, 10L, "d1"), (2L, 20L, "d1"), (3L, 10L, "d2"))
+        .toDF("id", "uid", "day"),
+      tbl, "day", append = false)
+    val v1 = Snapshots.commitPartitioned(spark,
+      Seq((4L, 10L, "d2"), (5L, 40L, "d2")).toDF("id", "uid", "day"),
+      tbl, "day", append = true)
+    assert(Snapshots.purgeKeys(spark, tbl,
+      Seq(10L).toDF("uid"), Seq("uid")) == 3L)
+    val d2v1 = Snapshots.scanPartitionAsOf(spark, tbl, v1, "day", "d2")
+    assert(d2v1.select($"id").as[Long].collect().sorted.toSeq == Seq(5L))
+    assert(d2v1.inputFiles.forall(_.contains("/day=d2/")),
+      "partition-column reconstruction must survive the purge rewrite")
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, v0, "day", "d1")
+      .select($"id").as[Long].collect().toSeq == Seq(2L))
+    assert(Snapshots.readAsOf(spark, tbl, v1)
+      .filter($"uid" === 10L).count() == 0L)
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
