@@ -1179,6 +1179,44 @@ object Snapshots {
               if (r.isNullAt(4)) None else Some(r.getLong(4)), ts)
         }
       })
+      // clustered stats manifests reference data files by path too:
+      // repoint them (and refresh n_rows) BEFORE the old files die, so
+      // scanRangeAsOf never plans a deleted file. The stored min/max
+      // stay valid — purging only removes rows, so the old bounds are
+      // conservative supersets and pruning remains sound.
+      val statsRoot = new Path(s"$tablePath/_stats")
+      if (f.exists(statsRoot)) {
+        f.listStatus(statsRoot).filter(_.isDirectory).foreach { d =>
+          val sd = d.getPath.toString
+          val rows = spark.read.parquet(sd).collect()
+          val fileIx = rows.headOption.map(_.fieldIndex("file")).getOrElse(-1)
+          val nIx = rows.headOption.map(_.fieldIndex("n_rows")).getOrElse(-1)
+          if (rows.exists(r => mapping.contains(norm(r.getString(fileIx))))) {
+            val fixed = rows.map { r =>
+              mapping.get(norm(r.getString(fileIx))) match {
+                case Some((nf, nRows)) =>
+                  Row.fromSeq(r.toSeq.zipWithIndex.map {
+                    case (_, i) if i == fileIx => nf
+                    case (_, i) if i == nIx => nRows
+                    case (v, _) => v
+                  })
+                case None => r
+              }
+            }
+            val schema = spark.read.parquet(sd).schema
+            val tmp = new Path(sd + "_staged")
+            val prev = new Path(sd + "_prev")
+            if (f.exists(tmp)) f.delete(tmp, true)
+            if (f.exists(prev)) f.delete(prev, true)
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(fixed.toSeq, 1), schema)
+              .coalesce(1).write.parquet(tmp.toString)
+            require(f.rename(d.getPath, prev) && f.rename(tmp, d.getPath),
+              s"stats swap failed for $sd")
+            f.delete(prev, true)
+          }
+        }
+      }
       hitFiles.foreach(file => f.delete(new Path(file), false))
       purged
     }

@@ -742,6 +742,34 @@ class SnapshotsSpec extends SparkSuite {
     assert(manifestFiles() == m2)
   }
 
+  test("purgeKeys repoints clustered stats manifests — scanRangeAsOf " +
+    "still prunes and never plans a deleted file") {
+    val tbl = freshTable()
+    val df = (1L to 40L).map(i => (i, i * 10L, s"r$i")).toDF("k", "uid", "v")
+    val v0 = Snapshots.commitClustered(spark, df, tbl, "k",
+      numFiles = 4, append = false)
+    // purge uid 150 (k = 15) — lives in one clustered file
+    assert(Snapshots.purgeKeys(spark, tbl,
+      Seq(150L).toDF("uid"), Seq("uid")) == 1L)
+    val scan = Snapshots.scanRangeAsOf(spark, tbl, v0, "k", 11L, 20L)
+    assert(scan.select($"k").as[Long].collect().sorted.toSeq ==
+      ((11L to 20L).toSet - 15L).toSeq.sorted,
+      "the range scan must read the purged face")
+    val hfs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    scan.inputFiles.foreach(p => assert(
+      hfs.exists(new org.apache.hadoop.fs.Path(
+        new java.net.URI(p).getPath)),
+      s"range scan planned a deleted file: $p"))
+    // pruning still holds: a range outside the purged file's bounds
+    // plans fewer files than the table holds
+    val narrow = Snapshots.scanRangeAsOf(spark, tbl, v0, "k", 1L, 5L)
+    assert(narrow.inputFiles.length < Snapshots.manifest(spark, tbl)
+      .filter($"version" === v0).count())
+    assert(narrow.select($"k").as[Long].collect().sorted.toSeq ==
+      (1L to 5L).toSeq)
+  }
+
   test("purgeKeys on a partitioned lineage preserves fragments — " +
     "pruned partition scans still work on every rewritten version") {
     val tbl = freshTable()
