@@ -1537,6 +1537,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_lines_within" -> ((s, dir) => {
+      // the intra-doc half of line dedup (dedup_boilerplate is the
+      // cross-doc half): first occurrence of each 3-word segment kept,
+      // repeats dropped — ONE narrow array expression, no explode, no
+      // window, NO SHUFFLE; a 100-TB corpus dedups at scan speed
+      Dedup.dedupSegmentsWithinDoc(par(s)(t(s, dir, "documents")),
+        width = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_jaccard_hot" -> ((s, dir) => {
       // the hot-gram cap's observability face: grams whose per-source df
       // exceeds the cap (here 5, active on this corpus) with their df —
@@ -5507,6 +5517,29 @@ object SparkEntry {
            | COALESCE(a.clean_text, '') AS clean_text
            |FROM base b LEFT JOIN agg a USING (doc_id)
            |ORDER BY b.doc_id""".stripMargin,
+
+      // same segmentation as dedup_boilerplate; keep = the segment's
+      // index equals the doc-local FIRST index of its text
+      "dedup_lines_within" ->
+        s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents
+           |  WHERE $duckNorm <> ''),
+           |ex AS (SELECT doc_id, unnest(w) AS x,
+           |  generate_subscripts(w, 1) AS idx FROM ws),
+           |seg AS (SELECT doc_id, (idx - 1) // 3 AS seg,
+           |  string_agg(x, ' ' ORDER BY idx) AS seg_text
+           | FROM ex GROUP BY doc_id, (idx - 1) // 3),
+           |kept AS (SELECT doc_id, seg, seg_text FROM (
+           |  SELECT doc_id, seg, seg_text,
+           |   min(seg) OVER (PARTITION BY doc_id, seg_text) AS first_seg
+           |  FROM seg) WHERE seg = first_seg),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+           | FROM seg GROUP BY doc_id),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |  string_agg(seg_text, ' ' ORDER BY seg) AS dedup_text
+           | FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_segs, a.n_kept, a.dedup_text
+           |FROM tot t JOIN agg a USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
 
       "dedup_jaccard_hot" ->
         s"""SELECT source AS blk, gram, count(*) AS gram_df

@@ -1357,6 +1357,47 @@ object Dedup {
     * `clean_text` rather than vanishing: the caller decides whether to
     * drop empty docs, and the kept/total counts make the removal rate
     * observable per document. */
+  /** INTRA-document repeated-segment removal — the other half of line
+    * dedup: [[segmentDedup]] drops segments hot ACROSS docs
+    * (boilerplate); this keeps the FIRST occurrence of each segment
+    * WITHIN a doc and drops its repeats (navigation stutter, template
+    * echo, scraper page-merge artifacts — the C4-style "dedupe
+    * repeated lines in page" pass, at word-segment granularity for
+    * this corpus's newline-free text).
+    *
+    * Deliberately ONE narrow expression: per-doc dedup needs no
+    * cross-row state, so there is no explode, no window, NO SHUFFLE —
+    * the segment array is let-bound once (one-element-`transform`
+    * trick, see [[shingles]]) and first-occurrence keeping is
+    * `array_position(segs, s) == own index` inside a single indexed
+    * `filter`; a 100-TB corpus dedups at scan speed, embarrassingly
+    * parallel. Output: (idCol, n_segs, n_kept, dedup_text); docs with
+    * no segments (empty/non-alphanumeric) are dropped, matching the
+    * oracle's normalized-nonempty frame. Quadratic in segments-per-doc
+    * inside the row (array_position scans the array) — bounded by
+    * document length, the usual per-row codegen trade. */
+  def dedupSegmentsWithinDoc(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      width: Int = 3): DataFrame = {
+    val packed = element_at(
+      transform(array(segments(col(textCol), width)), sg => {
+        val kept = filter(sg, (s, i) =>
+          array_position(sg, s) === (i + 1).cast("long"))
+        struct(
+          size(sg).cast("long").as("n_segs"),
+          size(kept).cast("long").as("n_kept"),
+          array_join(kept, " ").as("dedup_text"))
+      }), 1)
+    df.select(col(idCol), packed.as("__d"))
+      .filter(col("__d.n_segs") > 0L)
+      .select(col(idCol),
+        col("__d.n_segs").as("n_segs"),
+        col("__d.n_kept").as("n_kept"),
+        col("__d.dedup_text").as("dedup_text"))
+  }
+
   def segmentDedup(
       df: DataFrame,
       textCol: String = "text",

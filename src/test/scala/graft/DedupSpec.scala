@@ -312,6 +312,26 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dedupSegmentsWithinDoc: first occurrence kept, repeats dropped, " +
+    "empty docs vanish, and the plan has NO exchange") {
+    val docs = Seq(
+      (1L, "s", "a b c a b c d e f"), // segment 'a b c' repeats
+      (2L, "s", "x y z p q r"), // no repeats
+      (3L, "s", ""), // no segments — dropped
+      (4L, "s", "m n o m n")) // short tail is a DIFFERENT segment
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupSegmentsWithinDoc(docs, width = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "a b c d e f"),
+      (2L, 2L, 2L, "x y z p q r"),
+      (4L, 2L, 2L, "m n o m n")))
+    val plan = Dedup.dedupSegmentsWithinDoc(docs, width = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "per-doc segment dedup must be a narrow expression — no shuffle")
+  }
+
   test("decontaminateFuzzy: docs sharing a band with a benchmark doc " +
     "drop (identical text always collides); distinct docs survive; " +
     "empty benchmark keeps everything") {
