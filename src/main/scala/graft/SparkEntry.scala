@@ -1056,6 +1056,29 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    "q44_scc" -> ((s, dir) => {
+      // STRONGLY connected components — the directed classic the
+      // undirected CC family cannot answer (redirect cycles, link
+      // rings). Closed-form directed graph over complete 8-doc groups:
+      // ids 8g..8g+3 form a 4-ring (one SCC, min 8g), 8g+3 exits into
+      // the chain 8g+4..8g+7 (singletons, trimmed as sources/sinks).
+      // FW-BW-MIN coloring with trimming; the oracle re-derives every
+      // component id arithmetically.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val lim = docs.agg((count(lit(1)) - count(lit(1)) % 8).as("lim"))
+      val nodes = docs.crossJoin(broadcast(lim))
+        .filter(col("doc_id") < col("lim")).select(col("doc_id"))
+      val g = col("doc_id") - col("doc_id") % 8
+      val p = col("doc_id") % 8
+      val ring = nodes.filter(p <= 3)
+        .select(col("doc_id").as("src"), (g + (p + 1) % 4).as("dst"))
+      val chain = nodes.filter(p >= 3 && p <= 6)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      Dedup.stronglyConnectedComponents(
+        ring.unionByName(chain), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     "q16_triangles" -> ((s, dir) => {
       // triangle census of the part co-occurrence graph (parts sharing
       // an order): edges from the bucket pair expansion, triangles via
@@ -5153,6 +5176,16 @@ object SparkEntry {
            |SELECT src AS p_partkey, CAST(count(*) AS BIGINT) AS degree
            |FROM e12 GROUP BY src ORDER BY p_partkey""".stripMargin
       },
+
+      // closed form: complete-group ring members collapse to the ring
+      // min, chain members are their own singleton SCC
+      "q44_scc" ->
+        """WITH lim AS (SELECT count(*) - count(*) % 8 AS l FROM documents)
+          |SELECT doc_id AS node,
+          | CASE WHEN doc_id % 8 <= 3 THEN doc_id - doc_id % 8
+          |  ELSE doc_id END AS scc
+          |FROM documents, lim WHERE doc_id < l
+          |ORDER BY node""".stripMargin,
 
       "q16_triangles" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item

@@ -595,6 +595,158 @@ object Dedup {
     labels.select(col("node"), col("lbl").as("component"))
   }
 
+  /** STRONGLY connected components of a DIRECTED graph — the classic
+    * [[connectedComponents]] cannot answer: in a link/citation/redirect
+    * graph, "mutually reachable" (a genuine cluster, a redirect cycle,
+    * a link ring) is a far stronger signal than "connected ignoring
+    * direction". FW-BW-MIN coloring with trimming, the standard
+    * distributed SCC shape:
+    *
+    *  1. TRIM to fixpoint: a node with no incoming or no outgoing edge
+    *     among the remaining graph is its own singleton SCC — chains
+    *     and DAG tails peel off in diameter-free rounds, which is most
+    *     of a real web graph.
+    *  2. COLOR the residue: F = min node id that REACHES each node
+    *     (min-label fixpoint along edges), B = min id each node
+    *     reaches (same along reversed edges); `F(u) == B(u) == m`
+    *     proves mutual reachability with m, so those nodes are
+    *     CONFIRMED as SCC(m) — at minimum the SCC of the remaining
+    *     global minimum confirms every round. Both fixpoints
+    *     pointer-jump (min-ancestor composes transitively, so the
+    *     label-of-label shortcut is sound in a directed graph too),
+    *     converging in O(log diameter) rounds.
+    *  3. Remove confirmed nodes and repeat.
+    *
+    * Cost shape: rounds × (edge-join + node-sized aggregates), every
+    * frame re-materialized per round to cap lineage — the same
+    * sync-iterative contract as [[connectedComponents]]/[[pagerank]].
+    * Worst case (cycle-chain-cycle graphs) confirms one SCC per outer
+    * round; `maxIter` guards both loops loudly. Isolated nodes carry
+    * no edges and are omitted, matching the family. Output:
+    * (node, scc) with scc = the component's minimum node id. */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 25): DataFrame = {
+    var rem = Materialize(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var nodes = Materialize(
+      rem.select(col("src").as("node"))
+        .unionByName(rem.select(col("dst").as("node"))).distinct())
+    val spark = edges.sparkSession
+    var done = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("scc",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var outer = 0
+    var remaining = nodes.count()
+    while (remaining > 0 && outer < maxIter) {
+      // 1. trim to fixpoint: sources/sinks are singleton SCCs
+      var trimming = true
+      var inner = 0
+      while (trimming && inner < maxIter) {
+        val hasOut = rem.select(col("src").as("node")).distinct()
+        val hasIn = rem.select(col("dst").as("node")).distinct()
+        val trimmed = Materialize(
+          nodes.join(hasOut, Seq("node"), "left_anti")
+            .unionByName(nodes.join(hasIn, Seq("node"), "left_anti"))
+            .distinct())
+        val t = trimmed.count()
+        if (t == 0) trimming = false
+        else {
+          done = done.unionByName(
+            trimmed.select(col("node"), col("node").as("scc")))
+          nodes = Materialize(nodes.join(trimmed, Seq("node"), "left_anti"))
+          rem = Materialize(rem
+            .join(nodes.select(col("node").as("src")), Seq("src"))
+            .join(nodes.select(col("node").as("dst")), Seq("dst"))
+            .select(col("src"), col("dst")))
+          remaining -= t
+        }
+        inner += 1
+      }
+      require(!trimming,
+        s"SCC trim did not converge in $maxIter rounds")
+      if (remaining > 0) {
+        // 2. color: forward and backward min-reachability labels
+        val f = minReachLabels(rem, "src", "dst", nodes, maxIter)
+        val b = minReachLabels(rem, "dst", "src", nodes, maxIter)
+        val confirmed = Materialize(
+          f.join(b.select(col("node"), col("lbl").as("blbl")), Seq("node"))
+            .filter(col("lbl") === col("blbl"))
+            .select(col("node"), col("lbl").as("scc")))
+        val c = confirmed.count()
+        require(c > 0,
+          "SCC coloring confirmed nothing — impossible on a trimmed " +
+            "residue; corrupted edge frame?")
+        done = done.unionByName(confirmed.select(col("node"), col("scc")))
+        nodes = Materialize(
+          nodes.join(confirmed.select(col("node")), Seq("node"), "left_anti"))
+        rem = Materialize(rem
+          .join(nodes.select(col("node").as("src")), Seq("src"))
+          .join(nodes.select(col("node").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")))
+        remaining -= c
+      }
+      outer += 1
+    }
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"stronglyConnectedComponents did not converge in $maxIter " +
+          "outer rounds — a cycle-chain necklace longer than maxIter; " +
+          "raise it")
+    done
+  }
+
+  /** Min-label reachability fixpoint: label(v) = min node id with a
+    * directed path to v along (`fromCol` → `toCol`) edges, v included.
+    * Pointer-jumps (label-of-label — sound because min-ancestor is
+    * transitive) like [[connectedComponents]]; loud on
+    * non-convergence. */
+  private def minReachLabels(
+      edges: DataFrame,
+      fromCol: String,
+      toCol: String,
+      nodes: DataFrame,
+      maxIter: Int): DataFrame = {
+    var labels = Materialize(nodes.withColumn("lbl", col("node")))
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val push = edges
+        .join(labels.select(col("node").as(fromCol), col("lbl")),
+          Seq(fromCol))
+        .groupBy(col(toCol)).agg(min(col("lbl")).as("in_lbl"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels
+        .join(push.select(col(toCol).as("node"), col("in_lbl")),
+          Seq("node"), "left")
+        .join(labels.select(col("node").as("j_node"), col("lbl").as("j_lbl")),
+          col("lbl") === col("j_node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("in_lbl"), col("lbl")),
+            coalesce(col("j_lbl"), col("lbl"))).as("new_lbl"))
+        .observe(obs,
+          sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L))
+            .as("changed"))
+      val nextM = Materialize(next)
+      changed = Option(obs.get.apply("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = nextM.select(col("node"), col("new_lbl").as("lbl"))
+      it += 1
+    }
+    require(changed == 0,
+      s"min-reachability fixpoint did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Degree-damped centrality (PageRank) over the undirected candidate
     * graph — which member of a near-dup neighborhood is the HUB. Where
     * [[connectedComponents]] answers "which docs belong together",

@@ -312,6 +312,34 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("stronglyConnectedComponents: rings confirm, chains trim, " +
+    "direction is respected, necklaces take multiple outer rounds") {
+    // ring {1,2,3}; 2-cycle {10,11}; chain 3→5→6→10 (5,6 singletons);
+    // sink 20. Undirected CC would merge ALL of this into one blob —
+    // the direction IS the signal.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L),
+      (3L, 5L), (5L, 6L), (6L, 10L), (11L, 20L)).toDF("src", "dst")
+    val out = Dedup.stronglyConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 5L -> 5L, 6L -> 6L, 20L -> 20L))
+    assert(Dedup.connectedComponents(edges, "src", "dst")
+      .select($"component").distinct().count() == 1L,
+      "the undirected view collapses everything — SCC must not")
+    // descending necklace ring(6,7)→ring(4,5)→ring(2,3): trim peels
+    // nothing, and coloring can only confirm the globally-minimal ring
+    // each round — the multi-outer-round path
+    val necklace = Seq((6L, 7L), (7L, 6L), (4L, 5L), (5L, 4L),
+      (2L, 3L), (3L, 2L), (7L, 4L), (5L, 2L)).toDF("src", "dst")
+    val n = Dedup.stronglyConnectedComponents(necklace)
+      .as[(Long, Long)].collect().toMap
+    assert(n == Map(2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L))
+    // self-loops are ignored; an empty edge frame yields no rows
+    assert(Dedup.stronglyConnectedComponents(
+      Seq((1L, 1L)).toDF("src", "dst")).count() == 0L)
+  }
+
   test("dedupSegmentsWithinDoc: first occurrence kept, repeats dropped, " +
     "empty docs vanish, and the plan has NO exchange") {
     val docs = Seq(
