@@ -883,6 +883,62 @@ object SparkEntry {
         .orderBy(col("version"), col("event_id"))
     }),
 
+    "q46_snapshot_clone" -> ((s, dir) => {
+      // ZERO-COPY fork, then the clone runs its destructive verbs —
+      // purge of every user_id % 50 subject, a replace commit, vacuum
+      // — and the SOURCE must come through byte-untouched: its face
+      // still carries the purged subjects (the witness that the
+      // clone's purge rewrote pointers, not the source's files, and
+      // vacuum skipped the external files it merely borrowed).
+      val src = s"$artifactRoot/snap_clone_src"
+      val dst = s"$artifactRoot/snap_clone_dst"
+      Snapshots.init(s, src)
+      Snapshots.init(s, dst)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        src, append = false)
+      val s1 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        src, append = true)
+      Snapshots.cloneTable(s, src, s1, dst)
+      Snapshots.purgeKeys(s, dst,
+        ev.filter(col("user_id") % 50 === 0)
+          .select(col("user_id")).distinct(),
+        Seq("user_id"))
+      val d1 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        dst, append = false)
+      Snapshots.vacuum(s, dst, keepFrom = d1)
+      Snapshots.readAsOf(s, dst, d1).withColumn("face", lit("dst"))
+        .unionByName(
+          Snapshots.readAsOf(s, src, s1).withColumn("face", lit("src")))
+        .orderBy(col("face"), col("event_id"))
+    }),
+
+    "q45_snapshot_drift" -> ((s, dir) => {
+      // distribution-drift monitor between two faces: v1 is a
+      // "correction" that nulls clicks' value_cents and doubles the
+      // rest — profileDrift catches the null-rate jump, the min/max
+      // stretch, and the distinct-count shift from ONE aggregate pass
+      // per side (no sums of floats, no sketches — every number
+      // replays on any engine)
+      val tbl = s"$artifactRoot/snap_drift_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev, tbl, append = false)
+      val bad = ev.withColumn("value_cents",
+        when(col("event_type") === "click", lit(null).cast("long"))
+          .otherwise(col("value_cents") * 2L))
+      val v1 = Snapshots.commit(s, bad, tbl, append = false)
+      Stats.profileDrift(
+        Snapshots.readAsOf(s, tbl, v0),
+        Snapshots.readAsOf(s, tbl, v1),
+        Seq("value_cents", "user_id"))
+        .orderBy(col("col_name"), col("metric"))
+    }),
+
     "q42_time_travel_ts" -> ((s, dir) => {
       // AS OF TIMESTAMP over LOGICAL commit stamps: three modulus
       // appends watermarked 100/200/300 (event-time, never wall clock
@@ -5066,6 +5122,50 @@ object SparkEntry {
           |FROM ev, (VALUES (0), (1), (2)) AS v(ver)
           |WHERE event_id % 3 <= v.ver
           |ORDER BY version, event_id""".stripMargin,
+
+      // dst face = slice 2 (the replace after the fork); src face =
+      // slices 0,1 INCLUDING the subjects the clone purged — the
+      // source must be untouched by the fork's destructive verbs
+      "q46_snapshot_clone" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | 'dst' AS face
+          |FROM ev WHERE event_id % 3 = 2
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | 'src' AS face
+          |FROM ev WHERE event_id % 3 IN (0, 1)
+          |ORDER BY face, event_id""".stripMargin,
+
+      // five metrics x two columns, each side recomputed from events
+      // (o = raw cents, n = clicks nulled + rest doubled)
+      "q45_snapshot_drift" -> {
+        def sub(side: String, c: String, metric: String) = metric match {
+          case "n_rows" => s"(SELECT CAST(count(*) AS DOUBLE) FROM $side)"
+          case "n_nulls" =>
+            s"(SELECT CAST(count(*) - count($c) AS DOUBLE) FROM $side)"
+          case "n_distinct" =>
+            s"(SELECT CAST(count(DISTINCT $c) AS DOUBLE) FROM $side)"
+          case m => s"(SELECT CAST($m($c) AS DOUBLE) FROM $side)"
+        }
+        val rows = for {
+          c <- Seq("value_cents", "user_id")
+          mt <- Seq("max", "min", "n_distinct", "n_nulls", "n_rows")
+        } yield s"SELECT '$c' AS col_name, '$mt' AS metric, " +
+          s"${sub("o", c, mt)} AS old_value, ${sub("n", c, mt)} AS new_value, " +
+          s"${sub("n", c, mt)} - ${sub("o", c, mt)} AS delta"
+        s"""WITH o AS (SELECT user_id,
+           |  CAST(round(value*100,0) AS BIGINT) AS value_cents FROM events),
+           |n AS (SELECT user_id,
+           |  CASE WHEN event_type = 'click' THEN NULL
+           |   ELSE CAST(round(value*100,0) AS BIGINT) * 2 END AS value_cents
+           | FROM events)
+           |SELECT * FROM (
+           |${rows.mkString("\nUNION ALL\n")}
+           |) ORDER BY col_name, metric""".stripMargin
+      },
 
       // ts=250 resolves to the second commit (slices 0,1); ts=999 to
       // the head (all slices)

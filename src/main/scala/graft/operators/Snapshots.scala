@@ -50,6 +50,17 @@ object Snapshots {
   private val VersionsDir = "_versions"
   private val CommitsDir = "_commits"
 
+  /** Scheme-free normalized path — `file:/x`, `file:///x` and `/x`
+    * all compare equal. */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Does `file` live under this table's own directory tree? False for
+    * EXTERNAL files — pointers into another table left by
+    * [[cloneTable]] — which destructive verbs must never delete: the
+    * source table still references them. */
+  private def ownsFile(tablePath: String, file: String): Boolean =
+    normPath(file).startsWith(normPath(tablePath) + "/")
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -681,7 +692,12 @@ object Snapshots {
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
         if (r.isNullAt(5)) None else Some(r.getLong(5)))))
 
-    doomed.foreach(file => f.delete(new Path(file), false))
+    // EXTERNAL files (a clone's pointers into its source) only drop
+    // from the manifest — the source table still owns and references
+    // them; deleting would corrupt it
+    val deleted = doomed.count { file =>
+      ownsFile(tablePath, file) && { f.delete(new Path(file), false); true }
+    }
 
     // per-version sidecars ride their version: expired generations'
     // stats dirs and commit markers go with their data (retained
@@ -693,7 +709,7 @@ object Snapshots {
       val mk = new Path(s"$tablePath/$CommitsDir/v$v")
       if (f.exists(mk)) f.delete(mk, false)
     }
-    doomed.length.toLong
+    deleted.toLong
   }
 
   private def statsDir(tablePath: String, version: Long): String =
@@ -915,6 +931,46 @@ object Snapshots {
       if (gen.head.isNullAt(3)) null else gen.head.getString(3)
     val version = claimVersion(spark, tablePath, observed + 1L)
     publishRows(spark, tablePath, version, rows, schemaJson, None)
+  }
+
+  /** ZERO-COPY shallow clone: fork `srcTable`'s snapshot `version` as
+    * version 0 of the (empty) `dstTable` — the new table's first
+    * manifest generation IS pointer rows to the source's files
+    * (partition fragments, schema, and row counts carried; the commit
+    * timeline starts fresh), so forking a 100-TB table costs one
+    * kilobyte-scale manifest write and zero data movement (Delta's
+    * SHALLOW CLONE — the test-against-prod-data and experiment-branch
+    * verb). The fork then diverges freely: its own commits, merges and
+    * purges write files under its OWN root, while destructive verbs
+    * ([[vacuum]], [[purgeKeys]]) recognize the borrowed files as
+    * EXTERNAL ([[ownsFile]]) and only ever drop them from the clone's
+    * manifest — deleting them is the source's right, never the
+    * clone's (spec-pinned). The standing caveat is Delta's too: the
+    * SOURCE's vacuum does not know about clones, so retention policy
+    * must outlive the forks. Clustered stats sidecars do not transfer
+    * ([[scanRangeAsOf]] on the clone refuses loudly); a clone of a
+    * clone is just another clone. Returns the clone's version (0). */
+  def cloneTable(
+      spark: SparkSession,
+      srcTable: String,
+      version: Long,
+      dstTable: String): Long = {
+    require(latestVersion(spark, dstTable).isEmpty,
+      s"cloneTable: destination $dstTable already has commits")
+    val gen = manifest(spark, srcTable)
+      .filter(col("version") === version)
+      .select(col("file"), col("part"), col("rows"), col("schema_json"))
+      .collect()
+    require(gen.nonEmpty,
+      s"cloneTable: snapshot version $version of $srcTable is not in " +
+        "the manifest (never committed, or expired by vacuum)")
+    val rows = gen.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val schemaJson =
+      if (gen.head.isNullAt(3)) null else gen.head.getString(3)
+    val v = claimVersion(spark, dstTable, 0L)
+    publishRows(spark, dstTable, v, rows, schemaJson, None)
   }
 
   /** COUNT(*) AS OF `version`, answered from the manifest's per-file
@@ -1217,7 +1273,10 @@ object Snapshots {
           }
         }
       }
-      hitFiles.foreach(file => f.delete(new Path(file), false))
+      // clone-table externals are rewritten locally (repointed above)
+      // but the OLD file belongs to the source table — leave it
+      hitFiles.filter(ownsFile(tablePath, _))
+        .foreach(file => f.delete(new Path(file), false))
       purged
     }
   }

@@ -286,6 +286,56 @@ object Stats {
       .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
   }
 
+  /** One-pass numeric column profile: for each requested column, five
+    * deterministic metrics — n_rows, n_nulls, n_distinct (exact),
+    * min, max (cast to double; exact for the integer-cents columns
+    * this suite profiles) — computed in a SINGLE aggregate over the
+    * frame and unpivoted to (col_name, metric, value) rows, the
+    * [[expectRows]] one-scan contract. No sums of floats (order-
+    * dependent) and no sketches — every number replays bit-for-bit on
+    * any engine. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("double").as(s"__nul_$i"),
+        countDistinct(col(c)).cast("double").as(s"__dst_$i"),
+        min(col(c)).cast("double").as(s"__min_$i"),
+        max(col(c)).cast("double").as(s"__max_$i"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq("n_rows" -> col("__n"), "n_nulls" -> col(s"__nul_$i"),
+          "n_distinct" -> col(s"__dst_$i"), "min" -> col(s"__min_$i"),
+          "max" -> col(s"__max_$i")).map { case (m, v) =>
+          struct(lit(c).as("col_name"), lit(m).as("metric"),
+            v.as("value"))
+        }
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.metric"), col("p.value"))
+  }
+
+  /** Distribution-drift report between two faces of a table (two
+    * snapshot versions via `Snapshots.readAsOf`, yesterday's load vs
+    * today's, raw vs corrected): [[profileNumeric]] on each side,
+    * joined per (column, metric), with the delta attached — the ingest
+    * monitor that catches "the correction nulled a third of
+    * value_cents" or "user_id cardinality halved" from two metadata-
+    * cheap aggregate passes, before any consumer reads the bad face.
+    * Null metrics (min/max of an all-null column) propagate as null
+    * old/new/delta rather than masquerading as zero. */
+  def profileDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      cols: Seq[String]): DataFrame =
+    profileNumeric(oldDf, cols)
+      .withColumnRenamed("value", "old_value")
+      .join(profileNumeric(newDf, cols)
+        .withColumnRenamed("value", "new_value"),
+        Seq("col_name", "metric"))
+      .withColumn("delta", col("new_value") - col("old_value"))
+
   /** Per-key time-weighted average by trapezoidal integration over the
     * (ts, value) series: Σ (vᵢ + vᵢ₊₁)·Δtᵢ / (2·ΣΔtᵢ). Both sums are
     * exact longs (order-independent), so the single closing division is

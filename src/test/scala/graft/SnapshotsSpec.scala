@@ -792,6 +792,45 @@ class SnapshotsSpec extends SparkSuite {
       .filter($"uid" === 10L).count() == 0L)
   }
 
+  test("cloneTable: zero-copy fork — no data copied, reads equal; the " +
+    "clone's purge and vacuum never touch the source's files") {
+    val src = freshTable()
+    Snapshots.commit(spark, rows0, src, append = false)
+    val s1 = Snapshots.commit(spark, rows1, src, append = true)
+    val dst = freshTable()
+    val c0 = Snapshots.cloneTable(spark, src, s1, dst)
+    assert(c0 == 0L)
+    assert(!new java.io.File(s"$dst/data").exists(),
+      "a shallow clone must copy ZERO data files")
+    assert(Snapshots.readAsOf(spark, dst, c0)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // purge on the CLONE: the clone's face loses the key, the source
+    // keeps it — the old external file must survive on disk
+    assert(Snapshots.purgeKeys(spark, dst,
+      Seq(1L).toDF("id"), Seq("id")) == 1L)
+    assert(Snapshots.readAsOf(spark, dst, c0)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(Snapshots.readAsOf(spark, src, s1)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "the source must be untouched by the clone's purge")
+    // diverge with a replace, then vacuum the clone: owned purge
+    // rewrites die, borrowed externals are only dropped from the
+    // manifest — and the source still reads
+    val d1 = Snapshots.commit(spark, rows0, dst, append = false)
+    Snapshots.vacuum(spark, dst, keepFrom = d1)
+    assert(Snapshots.readAsOf(spark, src, s1)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "the source must survive the clone's vacuum")
+    assert(Snapshots.readAsOf(spark, dst, d1)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // refusals: non-empty destination, unknown source version
+    intercept[IllegalArgumentException](
+      Snapshots.cloneTable(spark, src, s1, dst))
+    val dst2 = freshTable()
+    intercept[IllegalArgumentException](
+      Snapshots.cloneTable(spark, src, 77L, dst2))
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")

@@ -215,4 +215,36 @@ class StatsSpec extends SparkSuite {
       .as[(String, Long, Long, Long)].collect().toSeq.sorted
     assert(got == want)
   }
+  test("profileNumeric/profileDrift: exact one-pass metrics, all-null " +
+    "min/max stay null, drift deltas line up") {
+    val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)))
+      .toDF("id", "x")
+    val neu = Seq((1L, None: Option[Long]), (2L, Some(40L)),
+      (3L, Some(40L)), (4L, Some(5L))).toDF("id", "x")
+    val prof = Stats.profileNumeric(old, Seq("x"))
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._2, r._3)).toMap
+    assert(prof == Map("n_rows" -> Some(3.0), "n_nulls" -> Some(0.0),
+      "n_distinct" -> Some(2.0), "min" -> Some(10.0), "max" -> Some(20.0)))
+    val drift = Stats.profileDrift(old, neu, Seq("x"))
+      .select($"metric", $"old_value", $"new_value", $"delta")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
+    assert(drift("n_rows") == (Some(3.0), Some(4.0), Some(1.0)))
+    assert(drift("n_nulls") == (Some(0.0), Some(1.0), Some(1.0)))
+    assert(drift("n_distinct") == (Some(2.0), Some(2.0), Some(0.0)))
+    assert(drift("min") == (Some(10.0), Some(5.0), Some(-5.0)))
+    assert(drift("max") == (Some(20.0), Some(40.0), Some(20.0)))
+    // an all-null column reports null min/max/delta, never fake zeros
+    val allNull = Seq((1L, None: Option[Long])).toDF("id", "x")
+    val nn = Stats.profileDrift(allNull, allNull, Seq("x"))
+      .select($"metric", $"old_value", $"new_value", $"delta")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
+    assert(nn("min") == (None, None, None) && nn("max") == (None, None, None))
+    assert(nn("n_nulls") == (Some(1.0), Some(1.0), Some(0.0)))
+    intercept[IllegalArgumentException] {
+      Stats.profileNumeric(old, Seq.empty)
+    }
+  }
 }
