@@ -883,6 +883,37 @@ object SparkEntry {
         .orderBy(col("version"), col("event_id"))
     }),
 
+    "q47_snapshot_incr_mv" -> ((s, dir) => {
+      // the incremental-ETL loop END-TO-END: a consumer maintains a
+      // per-user rollup over a snapshot table without EVER rescanning
+      // history — checkpoint the last processed version, read ONLY the
+      // appended delta (manifest file-set difference), absorb it by
+      // algebraic merge. Three commits, two absorb rounds; the oracle
+      // recomputes from all events, and exact-long algebra makes
+      // absorb == full recompute bit-for-bit.
+      val tbl = s"$artifactRoot/snap_mv_loop_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          cents(col("value")).as("v"))
+      val v0 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false)
+      val v1 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true)
+      val v2 = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true)
+      val keys = Seq("user_id")
+      var state = IncrementalAgg.aggregate(
+        Snapshots.readAsOf(s, tbl, v0), keys, sums = Seq("v"))
+      for ((from, to) <- Seq((v0, v1), (v1, v2))) {
+        val delta = IncrementalAgg.aggregate(
+          Snapshots.readAppendsBetween(s, tbl, from, to),
+          keys, sums = Seq("v"))
+        state = IncrementalAgg.merge(state, delta, keys, sums = Seq("v"))
+      }
+      state.orderBy(col("user_id"))
+    }),
+
     "q46_snapshot_clone" -> ((s, dir) => {
       // ZERO-COPY fork, then the clone runs its destructive verbs —
       // purge of every user_id % 50 subject, a replace commit, vacuum
@@ -5122,6 +5153,12 @@ object SparkEntry {
           |FROM ev, (VALUES (0), (1), (2)) AS v(ver)
           |WHERE event_id % 3 <= v.ver
           |ORDER BY version, event_id""".stripMargin,
+
+      // absorb == full recompute: the rollup over all events
+      "q47_snapshot_incr_mv" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_v
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // dst face = slice 2 (the replace after the fork); src face =
       // slices 0,1 INCLUDING the subjects the clone purged — the
