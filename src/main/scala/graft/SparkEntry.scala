@@ -1563,6 +1563,32 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_recall_minhash" -> ((s, dir) => {
+      // the dedup mirror of sim_recall_ivfpq: how much of the EXACT
+      // 3-gram-Jaccard pair set (threshold 0.25, global block — the
+      // truth is corpus-wide like the LSH bands) does MinHash-LSH
+      // (k=8, bands of 2) recover, and at what precision? Counts are
+      // exact longs, the two ratios one IEEE division each — the
+      // deploy-time tuning surface for (k, bands) against a measured
+      // corpus rather than the textbook S-curve.
+      val docs = par(s)(t(s, dir, "documents"))
+      val truth = Dedup.ngramJaccardPairs(
+        docs.withColumn("__blk", lit("all")),
+        blockCol = "__blk", n = 3, threshold = 0.25)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.minhashCandidates(docs, k = 8, bands = 4)
+        .select(col("doc_a"), col("doc_b"))
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // 48-bit long signatures: the corpus-scale default — a 2^48 value
       // space keeps pigeonhole buckets selective at >=10^8 docs, where
@@ -5470,6 +5496,34 @@ object SparkEntry {
            | ${duckMinhash(duckShingles3, 2)} AS mh2,
            | ${duckMinhash(duckShingles3, 3)} AS mh3
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // truth = exact 3-gram jaccard >= 0.25 over ONE global block (no
+      // df cap); candidates = the shared LSH edge CTEs; counts exact,
+      // ratios one IEEE division each
+      "dedup_recall_minhash" ->
+        s"""WITH $duckMinhashEdgeCtes,
+           |em AS MATERIALIZED (SELECT doc_a, doc_b FROM edges),
+           |g AS (SELECT doc_id, unnest(list_distinct($duckShingles3)) AS gram
+           | FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  count(*) AS inter
+           | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           | GROUP BY 1, 2),
+           |truth AS MATERIALIZED (SELECT p.doc_a, p.doc_b FROM pr p
+           | JOIN sz sa ON sa.doc_id = p.doc_a
+           | JOIN sz sb ON sb.doc_id = p.doc_b
+           | WHERE p.inter::DOUBLE / (sa.sz + sb.sz - p.inter)::DOUBLE >= 0.25),
+           |hit AS MATERIALIZED (SELECT t.doc_a, t.doc_b FROM truth t
+           | JOIN em e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+           |SELECT
+           | (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           | (SELECT CAST(count(*) AS BIGINT) FROM em) AS n_cand,
+           | (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           | (SELECT count(*) FROM hit)::DOUBLE
+           |  / (SELECT count(*) FROM truth)::DOUBLE AS recall,
+           | (SELECT count(*) FROM hit)::DOUBLE
+           |  / (SELECT count(*) FROM em)::DOUBLE AS precision""".stripMargin,
 
       // qual mirrors the engine's bucket-size cap (maxBucket = 64):
       // oversized buckets are degenerate-shingle noise, dropped before
