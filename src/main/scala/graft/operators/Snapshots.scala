@@ -294,17 +294,36 @@ object Snapshots {
     * never a data scan (the Iceberg writer-stats retrofit: a writer
     * that gathered counts from its tasks would skip even the footer
     * read, but a commit already pays O(new files) listing, so the
-    * footer pass rides the same budget). */
+    * footer pass rides the same budget). Small batches read serially
+    * on the driver; past [[FooterFanoutThreshold]] files the footer
+    * opens fan out as one executor job — a 10⁵-file commit must not
+    * serialize 10⁵ round-trips through one thread (executors rebuild
+    * the Hadoop conf from their own classpath site files, the same
+    * config every task-side reader uses). */
+  private val FooterFanoutThreshold = 16
+
   private def footerCounts(
       spark: SparkSession,
       files: Seq[(String, String)]): Seq[(String, String, Option[Long])] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    files.map { case (f, p) =>
+    def readOne(conf: org.apache.hadoop.conf.Configuration)(
+        f: String): Long = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try (f, p, Some(r.getRecordCount))
+      try r.getRecordCount
       finally r.close()
+    }
+    if (files.size <= FooterFanoutThreshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { case (f, p) => (f, p, Some(readOne(conf)(f))) }
+    } else {
+      val counts = spark.sparkContext
+        .parallelize(files.map(_._1), math.min(files.size, 64))
+        .map { f =>
+          f -> readOne(new org.apache.hadoop.conf.Configuration())(f)
+        }
+        .collect().toMap
+      files.map { case (f, p) => (f, p, Some(counts(f))) }
     }
   }
 
