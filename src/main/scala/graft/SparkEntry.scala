@@ -3165,6 +3165,17 @@ object SparkEntry {
         .orderBy(col("prev"), col("next"))
     }),
 
+    "ev_top_paths" -> ((s, dir) => {
+      // funnel DISCOVERY: the 10 most common 3-step event-type paths
+      // across user timelines — what transitions' first-order matrix
+      // structurally cannot rank. Per-user lead windows (event_id
+      // tie-break), truncated at timeline ends, map-side-combined path
+      // counts; the closing rank runs over the path DOMAIN (|types|^3
+      // = 125 rows), never the event stream
+      Funnel.topPaths(t(s, dir, "events"), len = 3, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     "ev_anomaly" -> ((s, dir) => {
       // robust per-user outlier purchases: |cents − median| > 3·MAD with
       // a 5-purchase history floor — median/MAD stays exact (dyadic
@@ -7211,6 +7222,21 @@ object SparkEntry {
 
       // identical lag window with the same (ts, event_id) tie-break and
       // the same start sentinel
+      // same per-user lead windows; rank ties break on path text
+      "ev_top_paths" ->
+        """WITH t AS (SELECT event_type,
+          |  lead(event_type, 1) OVER (PARTITION BY user_id
+          |   ORDER BY ts, event_id) AS n1,
+          |  lead(event_type, 2) OVER (PARTITION BY user_id
+          |   ORDER BY ts, event_id) AS n2
+          | FROM events),
+          |p AS (SELECT event_type || '>' || n1 || '>' || n2 AS path,
+          |  CAST(count(*) AS BIGINT) AS n
+          | FROM t WHERE n2 IS NOT NULL GROUP BY 1)
+          |SELECT path, n,
+          | CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+          |FROM p QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
       "ev_transitions" ->
         """WITH x AS (SELECT event_type,
           |  coalesce(lag(event_type) OVER (PARTITION BY user_id

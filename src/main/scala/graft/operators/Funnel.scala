@@ -122,4 +122,40 @@ object Funnel {
       .groupBy(col("prev"), col(typeCol).as("next"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Top-k most common length-`len` event-type PATHS across user
+    * timelines — the funnel-DISCOVERY aggregate a first-order
+    * [[transitions]] matrix cannot give: the matrix says view→cart is
+    * common, the path count says `view>cart>purchase` specifically
+    * beats `view>cart>view`. One window with `len−1` leads (tie-broken
+    * on `idCol`, so paths are deterministic under reruns), windows
+    * truncated at timeline ends (no partial paths), then a map-side-
+    * combinable path count. The closing rank is a single-partition
+    * window — sound because its input is the PATH DOMAIN (≤ |types|^len
+    * rows, dozens at any corpus scale), never the event stream; the
+    * same justification as the one-row-total crossJoins. Ties rank by
+    * path text. Output: (path, n, rank), rank ≤ k. */
+  def topPaths(
+      events: DataFrame,
+      len: Int = 3,
+      k: Int = 10,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(len >= 2, s"a path needs at least 2 steps, got $len")
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = (1 until len).map(i => lead(col(typeCol), i).over(w))
+    events
+      .select(col(typeCol), steps.last.as("__last"),
+        concat_ws(">", (col(typeCol) +: steps): _*).as("path"))
+      .filter(col("__last").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

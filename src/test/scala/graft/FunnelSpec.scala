@@ -112,4 +112,39 @@ class FunnelSpec extends SparkSuite {
       .as[(Long, Timestamp, Long)].collect().toSeq
     assert(got == Seq((1L, ts(1), 1L)))
   }
+  test("topPaths: full windows only, deterministic tie-break, top-k " +
+    "cut, and guards") {
+    // user 1 timeline: a b a b  -> paths a>b>a, b>a>b
+    // user 2 timeline: a b a    -> path  a>b>a
+    // user 3 timeline: c a      -> too short for len 3, contributes none
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)), (1L, 3L, "a", ts(2)),
+      (1L, 4L, "b", ts(3)),
+      (2L, 5L, "a", ts(0)), (2L, 6L, "b", ts(1)), (2L, 7L, "a", ts(2)),
+      (3L, 8L, "c", ts(0)), (3L, 9L, "a", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.topPaths(ev, len = 3, k = 10)
+      .select($"path", $"n", $"rank")
+      .as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(got == Seq(("a>b>a", 2L, 1L), ("b>a>b", 1L, 2L)))
+    // k cuts: k = 1 keeps only the winner
+    assert(Funnel.topPaths(ev, len = 3, k = 1)
+      .select($"path").as[String].collect().toSeq == Seq("a>b>a"))
+    // equal counts rank by path text — deterministic under reruns
+    val tie = Seq(
+      (1L, 1L, "b", ts(0)), (1L, 2L, "a", ts(1)),
+      (2L, 3L, "a", ts(0)), (2L, 4L, "b", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    assert(Funnel.topPaths(tie, len = 2, k = 10)
+      .select($"path", $"rank").as[(String, Long)].collect().sorted.toSeq ==
+      Seq(("a>b", 1L), ("b>a", 2L)))
+    // same-timestamp events order by event_id inside the window
+    val sameTs = Seq(
+      (1L, 1L, "x", ts(0)), (1L, 2L, "y", ts(0)), (1L, 3L, "z", ts(0)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    assert(Funnel.topPaths(sameTs, len = 3, k = 10)
+      .select($"path").as[String].collect().toSeq == Seq("x>y>z"))
+    intercept[IllegalArgumentException](Funnel.topPaths(ev, len = 1))
+    intercept[IllegalArgumentException](Funnel.topPaths(ev, k = 0))
+  }
 }
