@@ -4303,6 +4303,43 @@ object SparkEntry {
         .orderBy(col("prev"), col("next"))
     }),
 
+    "ev_stream_top_paths" -> ((s, dir) => {
+      // topPaths' stream twin against the batch oracle: per-user
+      // timelines settle watermark-final (windows must never weld
+      // across a late arrival), each settled timeline emits its 3-step
+      // windows once, and the top-10 rank is a batch count over the
+      // drained (user, path) rows — as the transition matrix is a
+      // count over drained edges. Flush sentinel rides user -1.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros($sentinelUs)").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val staging = s"$artifactRoot/stream_top_paths_input"
+      val schema = stageWithSentinel(s, ev.unionByName(sentinel), staging,
+        guardCol = "user_id",
+        horizonUs = 30L * 60L * 1000000L)
+      val paths = FunnelStream.pathsStream(
+        s.readStream.schema(schema).parquet(staging)
+          .as[Sessionize.Event],
+        len = 3, horizonMinutes = 30)
+      Sessionize.runToMemory(s, paths.toDF(), "ev_stream_top_paths_sink",
+        OutputMode.Append, statePartitions = 8)
+        .filter(col("user_id") >= 0)
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n").desc, col("path"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("rank"))
+    }),
+
     "ev_stream_retention" -> ((s, dir) => {
       // cohort retention against the SAME oracle as the batch
       // ev_retention: the per-user state machine finalizes each user's
@@ -8183,6 +8220,7 @@ object SparkEntry {
       ("dedup_jaccard_prefix" -> base("dedup_jaccard")) +
       ("dedup_jaccard_auto" -> base("dedup_jaccard")) +
       ("ev_stream_transitions" -> base("ev_transitions")) +
+      ("ev_stream_top_paths" -> base("ev_top_paths")) +
       // refresh lands the MV at the full corpus state, so the
       // redirected aggregate answers q24's full-recompute oracle
       ("q27_mv_refresh" -> base("q24_mv_rewrite")) +

@@ -263,4 +263,63 @@ object FunnelStream extends Serializable {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ------------------------------------------------------------ paths
+
+  /** One length-`len` path window of a user's settled timeline. */
+  final case class PathRow(user_id: Long, path: String)
+
+  /** Streaming twin of [[graft.operators.Funnel.topPaths]]' window
+    * construction: each user's length-`len` event-type windows emit
+    * watermark-FINAL (the [[transitionsStream]] buffer-and-fold
+    * contract — an adjacency, a fortiori a k-window, must never weld
+    * across a late arrival, so windows form only once the user's
+    * timeline is settled in (ts, event_id) order). The top-k rank is
+    * then a batch count over the drained path rows — exactly as the
+    * transition matrix is a batch count over drained edges — so a full
+    * bounded replay equals the batch operator under the shared
+    * oracle. State per user is the timeline inside the watermark
+    * horizon; emitted rows are (user, path) pairs, n − len + 1 per
+    * settled n-event timeline. */
+  def pathsStream(
+      events: Dataset[Sessionize.Event],
+      len: Int = 3,
+      horizonMinutes: Int = 30): Dataset[PathRow] = {
+    require(len >= 2, s"a path needs at least 2 steps, got $len")
+    import events.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60L * 1000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Sessionize.Event],
+        state: GroupState[FunnelBuf]): Iterator[PathRow] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        val ordered = s.buf.sortBy(e => (e.ts_us, e.event_id))
+          .map(_.event_type)
+        return ordered.sliding(len).filter(_.lengthCompare(len) == 0)
+          .map(w => PathRow(userId, w.mkString(">")))
+      }
+      val prev = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
+      val incoming = rows.map(e =>
+        FunnelEv(micros(e.ts), e.event_id, e.event_type)).toList
+      val next = FunnelBuf(incoming reverse_::: prev.buf,
+        incoming.foldLeft(prev.lastTsUs)((m, e) => math.max(m, e.ts_us)))
+      state.update(next)
+      state.setTimeoutTimestamp(
+        math.max(next.lastTsUs / 1000L + horizonMs,
+          state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -237,4 +237,51 @@ class FunnelStreamSpec extends SparkSuite {
       (7L, "click", "purchase"), (7L, "view", "click"),
       (7L, "∅", "view")).sorted)
   }
+  // ---------------------------------------------------------- paths
+
+  private def runPaths(batches: Seq[Seq[Event]]): Seq[(Long, String)] = {
+    implicit val sqlCtx = spark.sqlContext
+    runIdx += 1
+    val sink = s"paths_stream_test_$runIdx"
+    val stream = MemoryStream[Event]
+    val rows = FunnelStream.pathsStream(stream.toDS(), len = 3,
+      horizonMinutes = 30)
+    val query = rows.writeStream.format("memory")
+      .queryName(sink).outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+      stream.addData(Event(98L, ts(60000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      stream.addData(Event(99L, ts(90000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      spark.table(sink).filter($"user_id" < 9L)
+        .as[FunnelStream.PathRow].collect()
+        .map(r => (r.user_id, r.path)).sorted.toSeq
+    } finally query.stop()
+  }
+
+  test("paths: settled timelines emit each 3-window once and equal the " +
+    "batch topPaths counts; short timelines emit nothing") {
+    val out = runPaths(Seq(events))
+    // user 1: signup>click>purchase; user 2 (2 events) and user 3
+    // (2 events) are too short for a 3-window
+    assert(out == Seq((1L, "signup>click>purchase")))
+    val streamCounts = out.groupBy(_._2)
+      .map { case (k, v) => (k, v.size.toLong) }.toSet
+    val batch = graft.operators.Funnel
+      .topPaths(events.toDF(), len = 3, k = 100)
+      .select($"path", $"n").as[(String, Long)].collect().toSet
+    assert(streamCounts == batch)
+  }
+
+  test("paths: a late middle event splices into its window — windows " +
+    "never weld across a late arrival") {
+    // user 1's click (the middle of the only 3-window) arrives last; a
+    // greedy fold would emit signup>purchase>click or no window at all
+    val shuffled = Seq(
+      Seq(events(0), events(2)), // signup, purchase
+      Seq(events(1)))            // click arrives late
+    val out = runPaths(shuffled)
+    assert(out == Seq((1L, "signup>click>purchase")))
+  }
 }
