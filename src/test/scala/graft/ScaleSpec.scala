@@ -342,6 +342,56 @@ class ScaleSpec extends SparkSuite {
     assert(depths.nonEmpty && depths.forall(d => d >= 1 && d <= 3))
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes the " +
+    "partitioned fact scan at RUNTIME — one partition's file read, " +
+    "dynamicpruning in the plan") {
+    // the canonical star-join shape at 100 TB: the fact is partitioned
+    // on the join key's column, the dim filter is only known at run
+    // time, and Catalyst must turn the broadcast build side into a
+    // partition filter on the fact scan (static pruning can't — the
+    // admissible event_types are data, not literals)
+    val dir = Files.createTempDirectory("graft-dpp")
+      .toFile.getAbsolutePath + "/fact"
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .repartition(1) // one file per partition value — clean arithmetic
+      .write.partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan: a LocalRelation's filter constant-
+    // folds away and DPP sees no filtering predicate to derive from
+    val dimDir = dir + "_dim"
+    Seq(("purchase", "rev"), ("click", "eng"), ("view", "eng"),
+      ("signup", "acq"), ("error", "ops")).toDF("event_type", "label")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter($"label" === "rev"), Seq("event_type"))
+    val n = joined.count()
+    assert(n == Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter($"event_type" === "purchase").count(),
+      "the pruned join must still see every purchase row")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val agg = joined.groupBy().count()
+    agg.collect()
+    val scans = scansOf(agg.queryExecution.executedPlan)
+    val factScan = scans
+      .find(_.relation.location.rootPaths.exists(_.toString.endsWith("/fact")))
+      .get
+    assert(factScan.partitionFilters.map(_.toString.toLowerCase)
+      .exists(_.contains("dynamicpruning")),
+      s"no dynamic pruning subquery on the fact scan:\n" +
+        factScan.partitionFilters.mkString("; "))
+    assert(factScan.metrics.get("numFiles").exists(_.value == 1L),
+      s"fact scan read ${factScan.metrics.get("numFiles").map(_.value)} " +
+        "files — runtime pruning should admit exactly one")
+  }
+
   test("IVF partitioned store: the probe filter is a PARTITION filter, " +
     "unprobed cell directories are skipped, results equal in-memory IVF") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
