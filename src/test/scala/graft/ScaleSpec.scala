@@ -342,6 +342,43 @@ class ScaleSpec extends SparkSuite {
     assert(depths.nonEmpty && depths.forall(d => d >= 1 && d <= 3))
   }
 
+  test("AQE skew join: the hot key's shuffle partition SPLITS at " +
+    "runtime — skew markers in the executed join, answer unchanged") {
+    // the runtime complement of Skew.saltedJoin: no rewrite, the
+    // engine detects the oversized partition after the map stage and
+    // fans it out. Thresholds lowered so a test-sized hot key crosses
+    // them; broadcast disabled so the join actually shuffles.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(0, 200000L)
+        .select((col("id") % 1000L * 0L).as("k"), col("id").as("v"))
+      val tail = spark.range(0, 64L)
+        .select((col("id") + 1L).as("k"), col("id").as("v"))
+      val left = hot.unionByName(tail)
+      val right = spark.range(0, 65L)
+        .select(col("id").as("k"), md5(col("id").cast("string")).as("label"))
+      val joined = left.join(right, Seq("k"))
+      // materialize THIS QueryExecution — count() would build its own,
+      // leaving the inspected adaptive plan un-finalized
+      assert(joined.collect().length == 200064,
+        "skew handling must not change rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"no skew split in the executed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes the " +
     "partitioned fact scan at RUNTIME — one partition's file read, " +
     "dynamicpruning in the plan") {
