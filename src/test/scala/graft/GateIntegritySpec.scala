@@ -25,7 +25,7 @@ class GateIntegritySpec extends SparkSuite {
     // order is a flaky hash-mismatch waiting for a DuckDB version bump.
     // Single-row GLOBAL aggregates are exempt — one row has one order
     val singleRow = Set(
-      "alma_nomatch_count", "dedup_jaccard",
+      "alma_nomatch_count", "dedup_jaccard", "dedup_recall_minhash",
       "text_corpus_stats", "text_corpus_stats_approx")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
