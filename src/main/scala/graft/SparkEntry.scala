@@ -781,6 +781,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q48_snapshot_bloom" -> ((s, dir) => {
+      // time travel x bloom skipping: two commitBloom generations over
+      // an UNCLUSTERED high-cardinality key (modulus slices,
+      // repartitioned round-robin so min/max pruning would admit
+      // everything), then point lookups AS OF both versions — v0 must
+      // MISS the id that only arrived in v1's append, v1 must find
+      // every id, all through sidecar-admitted files only
+      // (SnapshotsSpec pins the file skip). The oracle replays both
+      // faces as plain IN filters over the modulus slices.
+      val tbl = s"$artifactRoot/snap_bloom_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commitBloom(s,
+        ev.filter(col("event_id") % 2 === 0).repartition(8),
+        tbl, "event_id", append = false, expectedPerFile = 20000L)
+      val v1 = Snapshots.commitBloom(s,
+        ev.filter(col("event_id") % 2 === 1).repartition(8),
+        tbl, "event_id", append = true, expectedPerFile = 20000L)
+      val asOf0 = Seq(42L, 777L)
+        .map(id => Snapshots.scanPointAsOf(s, tbl, v0, "event_id", id))
+        .reduce(_ unionByName _).withColumn("as_of", lit(0L))
+      val asOf1 = Seq(42L, 123L, 777L)
+        .map(id => Snapshots.scanPointAsOf(s, tbl, v1, "event_id", id))
+        .reduce(_ unionByName _).withColumn("as_of", lit(1L))
+      asOf0.unionByName(asOf1).orderBy(col("as_of"), col("event_id"))
+    }),
+
     "q38_snapshot_rollback" -> ((s, dir) => {
       // ROLLBACK as the recovery verb: v0 is the good load, v1 a
       // botched "correction" (purchase amounts zeroed AND half the
@@ -5178,6 +5207,21 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id IN (7, 123, 777)
           |ORDER BY event_id""".stripMargin,
+
+      // v0 holds even ids only (777 must MISS), v1 all ids; skipping
+      // may only skip bytes, never rows
+      "q48_snapshot_bloom" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(0 AS BIGINT) AS as_of
+          |FROM ev WHERE event_id % 2 = 0 AND event_id IN (42, 777)
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(1 AS BIGINT) AS as_of
+          |FROM ev WHERE event_id IN (42, 123, 777)
+          |ORDER BY as_of, event_id""".stripMargin,
 
       // both faces of the rollback: v1 is the botch (even ids only,
       // purchases zeroed), v2 restores v0 = the full table verbatim

@@ -723,8 +723,10 @@ object Snapshots {
     // versions keep theirs; claims only ever move upward, so dropping
     // an old marker can never free a number for re-minting)
     droppedVersions.foreach { v =>
-      val sd = new Path(statsDir(tablePath, v))
-      if (f.exists(sd)) f.delete(sd, true)
+      Seq(statsDir(tablePath, v), bloomDir(tablePath, v)).foreach { d =>
+        val sd = new Path(d)
+        if (f.exists(sd)) f.delete(sd, true)
+      }
       val mk = new Path(s"$tablePath/$CommitsDir/v$v")
       if (f.exists(mk)) f.delete(mk, false)
     }
@@ -733,6 +735,9 @@ object Snapshots {
 
   private def statsDir(tablePath: String, version: Long): String =
     s"$tablePath/_stats/v$version"
+
+  private def bloomDir(tablePath: String, version: Long): String =
+    s"$tablePath/_bloom/v$version"
 
   /** Render a partition value the way Spark's writer renders it into a
     * directory name: hive path-escaping ('=', ':', '%', '/', … become
@@ -819,6 +824,93 @@ object Snapshots {
           readAsOf(spark, tablePath, version).schema)
       else spark.read.parquet(admitted: _*)
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** [[commit]] plus a per-file BLOOM sidecar on `keyCol` — the
+    * point-lookup complement of [[commitClustered]]'s min/max stats,
+    * composed with time travel: min/max pruning needs the key
+    * CLUSTERED (each file a narrow interval), while a high-cardinality
+    * UNCLUSTERED key (event id, user id, url hash) spans the whole
+    * domain in every file and interval pruning admits everything.
+    * Each commit aggregates one `BloomFilterAggregate` per fresh file
+    * (one grouped data pass, map-side combined) into
+    * `_bloom/v<version>`; appends carry the parent's sidecar rows
+    * forward unchanged — shared files keep their blooms, the Delta
+    * bloom-index shape versioned. [[scanPointAsOf]] then answers
+    * "key = v AS OF version" reading only the admitted files.
+    * [[vacuum]] expires sidecars with their versions; [[purgeKeys]]
+    * repoints them (a purged file's bloom stays a conservative
+    * superset). Flat commits only — partition the table instead when
+    * the lookup key IS the partition key. Returns the version. */
+  def commitBloom(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      keyCol: String,
+      append: Boolean,
+      expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Long = {
+    require(expectedPerFile > 0, "expectedPerFile must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val observed = latestVersion(spark, tablePath)
+    val version = commit(spark, df, tablePath, append)
+    val fresh = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file")).collect().map(_.getString(0))
+      .filter(_.contains(s"/$DataDir/v$version/"))
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bits = math.max(64L, math.ceil(
+      expectedPerFile * math.log(1 / fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val agg = GraftSqlShim.column(
+      new BloomFilterAggregate(
+        GraftSqlShim.expression(xxhash64(col(keyCol))),
+        Literal(expectedPerFile), Literal(bits)).toAggregateExpression())
+    val freshBloom = spark.read.parquet(fresh.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), agg.as("bf"))
+    val sidecar =
+      if (append && observed.isDefined)
+        spark.read.parquet(bloomDir(tablePath, observed.get))
+          .unionByName(freshBloom)
+      else freshBloom
+    sidecar.coalesce(1).write.mode("errorifexists")
+      .parquet(bloomDir(tablePath, version))
+    version
+  }
+
+  /** Bloom-pruned POINT lookup AS OF `version`: the version's bloom
+    * sidecar admits only the files that might contain `key = value`
+    * (no false negatives by construction), the exact predicate clears
+    * the false positives — time travel × bloom skipping multiply, the
+    * same composition [[scanRangeAsOf]] gives min/max stats. Loud when
+    * the version has no bloom sidecar (not committed via
+    * [[commitBloom]], or expired by vacuum). */
+  def scanPointAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCol: String,
+      value: Any): DataFrame = {
+    val bd = bloomDir(tablePath, version)
+    require(fs(spark, tablePath).exists(new Path(bd)),
+      s"no bloom sidecar for version $version of $tablePath — not " +
+        "committed via commitBloom, or expired by vacuum")
+    val admitted = Skipping.pruneFilesPoint(spark, bd, value)
+    val stored = storedSchema(spark, tablePath, version)
+    val base =
+      if (admitted.isEmpty) {
+        val schema = stored.getOrElse(
+          readAsOf(spark, tablePath, version).schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      } else {
+        val rd = spark.read
+        stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
+          .parquet(admitted: _*)
+      }
+    base.filter(col(keyCol) === lit(value))
   }
 
   /** OPTIMIZE: rewrite the latest snapshot's many small files into
@@ -1254,13 +1346,15 @@ object Snapshots {
               if (r.isNullAt(4)) None else Some(r.getLong(4)), ts)
         }
       })
-      // clustered stats manifests reference data files by path too:
-      // repoint them (and refresh n_rows) BEFORE the old files die, so
-      // scanRangeAsOf never plans a deleted file. The stored min/max
-      // stay valid — purging only removes rows, so the old bounds are
-      // conservative supersets and pruning remains sound.
-      val statsRoot = new Path(s"$tablePath/_stats")
-      if (f.exists(statsRoot)) {
+      // per-version sidecars (clustered min/max stats, bloom
+      // manifests) reference data files by path too: repoint them
+      // (and refresh n_rows) BEFORE the old files die, so
+      // scanRangeAsOf/scanPointAsOf never plan a deleted file. The
+      // stored bounds and blooms stay valid — purging only REMOVES
+      // rows, so both remain conservative supersets and pruning
+      // remains sound (no false negatives can appear).
+      Seq("_stats", "_bloom").map(r => new Path(s"$tablePath/$r"))
+        .filter(f.exists).foreach { statsRoot =>
         f.listStatus(statsRoot).filter(_.isDirectory).foreach { d =>
           val sd = d.getPath.toString
           val rows = spark.read.parquet(sd).collect()

@@ -831,6 +831,52 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.cloneTable(spark, src, 77L, dst2))
   }
 
+  test("commitBloom/scanPointAsOf: point lookups AS OF a version plan " +
+    "only sidecar-admitted files; append shares the parent's rows; " +
+    "purge repoints blooms; vacuum expires sidecars") {
+    val tbl = freshTable()
+    val a = (0L until 40L by 2L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartition(4)
+    val b = (1L until 40L by 2L).map(i => (i, s"b$i")).toDF("id", "v")
+      .repartition(4)
+    val v0 = Snapshots.commitBloom(spark, a, tbl, "id", append = false,
+      expectedPerFile = 100L)
+    val v1 = Snapshots.commitBloom(spark, b, tbl, "id", append = true,
+      expectedPerFile = 100L)
+    assert(Snapshots.scanPointAsOf(spark, tbl, v0, "id", 6L)
+      .select($"v").as[String].collect().toSeq == Seq("a6"))
+    assert(Snapshots.scanPointAsOf(spark, tbl, v0, "id", 7L).count() == 0L,
+      "an id that only arrived in the append must MISS as of v0")
+    assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 7L)
+      .select($"v").as[String].collect().toSeq == Seq("b7"))
+    val pruned = Snapshots.scanPointAsOf(spark, tbl, v1, "id", 6L)
+    val totalFiles = Snapshots.manifest(spark, tbl)
+      .filter($"version" === v1).count()
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.length < totalFiles,
+      s"bloom admitted ${pruned.inputFiles.length} of $totalFiles files " +
+        "— no skip happened")
+    // purge: the hit file rewrites, its bloom row repoints — the key
+    // is gone, neighbors still resolve, and no deleted file is planned
+    assert(Snapshots.purgeKeys(spark, tbl,
+      Seq(6L).toDF("id"), Seq("id")) == 1L)
+    assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 6L).count() == 0L)
+    val after = Snapshots.scanPointAsOf(spark, tbl, v1, "id", 8L)
+    assert(after.select($"v").as[String].collect().toSeq == Seq("a8"))
+    val hfs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    after.inputFiles.foreach(p => assert(
+      hfs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(p).getPath)),
+      s"post-purge point scan planned a deleted file: $p"))
+    // vacuum: the expired version's sidecar dies with it
+    Snapshots.vacuum(spark, tbl, keepFrom = v1)
+    intercept[IllegalArgumentException](
+      Snapshots.scanPointAsOf(spark, tbl, v0, "id", 6L))
+    assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 9L)
+      .select($"v").as[String].collect().toSeq == Seq("b9"),
+      "the retained version's sidecar must survive the vacuum")
+  }
+
   test("diff tags multiset adds and removals") {
     val tbl = freshTable()
     val old = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v")
