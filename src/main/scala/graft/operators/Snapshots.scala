@@ -849,15 +849,36 @@ object Snapshots {
       keyCol: String,
       append: Boolean,
       expectedPerFile: Long = 100000L,
-      fpp: Double = 0.01): Long = {
+      fpp: Double = 0.01,
+      ts: Option[Long] = None): Long = {
     require(expectedPerFile > 0, "expectedPerFile must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val observed = latestVersion(spark, tablePath)
-    val version = commit(spark, df, tablePath, append)
+    val version = commit(spark, df, tablePath, append, ts)
     val fresh = manifest(spark, tablePath)
       .filter(col("version") === version)
       .select(col("file")).collect().map(_.getString(0))
       .filter(_.contains(s"/$DataDir/v$version/"))
+    val freshBloom =
+      bloomRowsOf(spark, fresh.toIndexedSeq, keyCol, expectedPerFile, fpp)
+    val sidecar =
+      if (append && observed.isDefined)
+        spark.read.parquet(bloomDir(tablePath, observed.get))
+          .unionByName(freshBloom)
+      else freshBloom
+    sidecar.coalesce(1).write.mode("errorifexists")
+      .parquet(bloomDir(tablePath, version))
+    version
+  }
+
+  /** One (file, n_rows, bf) sidecar row per listed file — one grouped
+    * data pass, map-side combined. */
+  private def bloomRowsOf(
+      spark: SparkSession,
+      files: Seq[String],
+      keyCol: String,
+      expectedPerFile: Long,
+      fpp: Double): DataFrame = {
     import org.apache.spark.sql.GraftSqlShim
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -868,15 +889,29 @@ object Snapshots {
       new BloomFilterAggregate(
         GraftSqlShim.expression(xxhash64(col(keyCol))),
         Literal(expectedPerFile), Literal(bits)).toAggregateExpression())
-    val freshBloom = spark.read.parquet(fresh.toIndexedSeq: _*)
+    spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), agg.as("bf"))
-    val sidecar =
-      if (append && observed.isDefined)
-        spark.read.parquet(bloomDir(tablePath, observed.get))
-          .unionByName(freshBloom)
-      else freshBloom
-    sidecar.coalesce(1).write.mode("errorifexists")
+  }
+
+  /** [[optimize]] for a BLOOM-indexed table: the small-file rewrite
+    * lands as a replace version AND rebuilds the bloom sidecar over
+    * the compacted files, so point lookups keep their index across
+    * compaction — without this, an OPTIMIZE leaves the new head
+    * sidecar-less and [[scanPointAsOf]] refuses (loud, but a
+    * maintenance regression). Old versions keep their own sidecars
+    * until vacuum. Returns the minted version. */
+  def optimizeBloom(
+      spark: SparkSession,
+      tablePath: String,
+      keyCol: String,
+      targetBytes: Long,
+      expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Long = {
+    val version = optimize(spark, tablePath, targetBytes)
+    val files = manifestRows(spark, tablePath, version).map(_._1)
+    bloomRowsOf(spark, files, keyCol, expectedPerFile, fpp)
+      .coalesce(1).write.mode("errorifexists")
       .parquet(bloomDir(tablePath, version))
     version
   }
@@ -1024,7 +1059,8 @@ object Snapshots {
   def rollback(
       spark: SparkSession,
       tablePath: String,
-      toVersion: Long): Long = {
+      toVersion: Long,
+      ts: Option[Long] = None): Long = {
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"rollback: $tablePath has no committed versions"))
@@ -1041,7 +1077,7 @@ object Snapshots {
     val schemaJson =
       if (gen.head.isNullAt(3)) null else gen.head.getString(3)
     val version = claimVersion(spark, tablePath, observed + 1L)
-    publishRows(spark, tablePath, version, rows, schemaJson, None)
+    publishRows(spark, tablePath, version, rows, schemaJson, ts)
   }
 
   /** ZERO-COPY shallow clone: fork `srcTable`'s snapshot `version` as
@@ -1058,8 +1094,8 @@ object Snapshots {
     * manifest — deleting them is the source's right, never the
     * clone's (spec-pinned). The standing caveat is Delta's too: the
     * SOURCE's vacuum does not know about clones, so retention policy
-    * must outlive the forks. Clustered stats sidecars do not transfer
-    * ([[scanRangeAsOf]] on the clone refuses loudly); a clone of a
+    * must outlive the forks. Clustered stats and bloom sidecars do not transfer
+    * ([[scanRangeAsOf]]/[[scanPointAsOf]] on the clone refuse loudly); a clone of a
     * clone is just another clone. Returns the clone's version (0). */
   def cloneTable(
       spark: SparkSession,
@@ -1230,7 +1266,8 @@ object Snapshots {
       df: DataFrame,
       tablePath: String,
       audit: DataFrame => DataFrame,
-      append: Boolean): Either[Seq[Row], Long] = {
+      append: Boolean,
+      ts: Option[Long] = None): Either[Seq[Row], Long] = {
     val observed = latestVersion(spark, tablePath)
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
@@ -1252,7 +1289,7 @@ object Snapshots {
       val fresh = footerCounts(spark,
         listDataFiles(spark, dataPath).map((_, null: String)))
       Right(publish(spark, tablePath, version, fresh,
-        if (append) observed else None, df.schema))
+        if (append) observed else None, df.schema, ts))
     }
   }
 

@@ -875,6 +875,14 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 9L)
       .select($"v").as[String].collect().toSeq == Seq("b9"),
       "the retained version's sidecar must survive the vacuum")
+    // optimizeBloom: compaction keeps the point index — the rewritten
+    // head still prunes (one compacted file admitted of however many)
+    val v2 = Snapshots.optimizeBloom(spark, tbl, "id",
+      targetBytes = 1L << 30, expectedPerFile = 100L)
+    assert(Snapshots.scanPointAsOf(spark, tbl, v2, "id", 9L)
+      .select($"v").as[String].collect().toSeq == Seq("b9"))
+    assert(Snapshots.scanPointAsOf(spark, tbl, v2, "id", 6L).count() == 0L,
+      "the purged key must stay gone through compaction")
   }
 
   test("diff tags multiset adds and removals") {
