@@ -2306,6 +2306,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_leak_census" -> ((s, dir) => {
+      // the eval-owner's face of decontamination: per BENCH item (every
+      // 50th doc, the suite's decontamination fixture), how many train
+      // docs leak it, across how many distinct grams, with what total
+      // mass — zero-leak items reported at 0, a census is complete.
+      // Bench grams broadcast with their item ids; only hit triples
+      // reach the aggregate.
+      val docs = par(s)(t(s, dir, "documents"))
+      Dedup.leakCensus(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3)
+        .orderBy(col("bench_id"))
+    }),
+
     "text_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: per train doc, count distinct 3-gram
       // shingles shared with the held-out benchmark set (doc_id % 50 ==
@@ -6717,6 +6731,31 @@ object SparkEntry {
 
       // benchmark = doc_id % 50 = 0; n_shared counts the train doc's
       // DISTINCT 3-grams that appear anywhere in the benchmark set
+      // the reverse face: per bench item, distinct leaking train docs,
+      // distinct leaked grams, and total hit mass; zero-leak items at 0
+      "text_leak_census" ->
+        s"""WITH bg AS (SELECT doc_id AS bench_id,
+           |  unnest(list_distinct($duckShingles3)) AS gram
+           | FROM documents WHERE doc_id % 50 = 0),
+           |tg AS (SELECT doc_id AS train_id,
+           |  unnest(list_distinct($duckShingles3)) AS gram
+           | FROM documents WHERE doc_id % 50 <> 0),
+           |j AS (SELECT bench_id, train_id, gram
+           | FROM bg JOIN tg USING (gram)),
+           |c AS (SELECT bench_id,
+           |  CAST(count(DISTINCT train_id) AS BIGINT) AS n_leaking_docs,
+           |  CAST(count(DISTINCT gram) AS BIGINT) AS n_hit_grams,
+           |  CAST(count(*) AS BIGINT) AS n_hit_pairs
+           | FROM j GROUP BY 1)
+           |SELECT b.bench_id,
+           | COALESCE(c.n_leaking_docs, 0) AS n_leaking_docs,
+           | COALESCE(c.n_hit_grams, 0) AS n_hit_grams,
+           | COALESCE(c.n_hit_pairs, 0) AS n_hit_pairs
+           |FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+           |  WHERE doc_id % 50 = 0) b
+           |LEFT JOIN c USING (bench_id)
+           |ORDER BY bench_id""".stripMargin,
+
       "text_decontaminate" ->
         s"""WITH b AS (SELECT DISTINCT unnest(list_distinct($duckShingles3)) AS gram
            | FROM documents WHERE doc_id % 50 = 0),

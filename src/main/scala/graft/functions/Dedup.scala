@@ -1389,6 +1389,46 @@ object Dedup {
     * hits, not length. Output: one row per (doc, span) —
     * (idCol, island, span_start, span_end, n_grams, covered_words),
     * word-indexed half-open. */
+  /** Per-BENCHMARK-ITEM leak census — the eval-integrity report the
+    * train-side decontamination family cannot give: `decontaminate*`
+    * answers "which TRAINING docs are contaminated", this answers
+    * "which EVAL ITEMS are compromised and how badly" — the number an
+    * eval owner reads before trusting a score (an item leaked into ten
+    * thousand training pages measures memorization, not capability).
+    * One row per bench item, zero-leak items included at 0 (a census
+    * must be complete): n_leaking_docs (distinct train docs sharing ≥1
+    * n-gram), n_hit_grams (distinct leaked grams of the item),
+    * n_hit_pairs (total gram co-occurrences — the mass).
+    *
+    * Scale shape: the bench gram frame broadcasts WITH its item ids
+    * (eval suites are small by construction — the
+    * [[decontaminateSpans]] justification); the train side is one
+    * distinct-shingle explode whose misses die in the broadcast join,
+    * so only hit (train, bench, gram) triples reach the aggregate,
+    * bounded by contamination mass, not corpus size. */
+  def leakCensus(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val tg = train.select(col(idCol).as("train_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val census = tg.join(broadcast(bg), Seq("gram"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("train_id")).as("n_leaking_docs"),
+        countDistinct(col("gram")).as("n_hit_grams"),
+        count(lit(1)).as("n_hit_pairs"))
+    bench.select(col(idCol).as("bench_id")).distinct()
+      .join(census, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_hit_pairs"), lit(0L)).as("n_hit_pairs"))
+  }
+
   def decontaminateSpans(
       train: DataFrame,
       bench: DataFrame,

@@ -360,6 +360,25 @@ class DedupSpec extends SparkSuite {
       "per-doc segment dedup must be a narrow expression — no shuffle")
   }
 
+  test("leakCensus: per-bench-item leak counts hand-verified, " +
+    "zero-leak items reported at 0") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"),
+      (150L, "unique phrase nowhere else found"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma x y"), // shares 'alpha beta gamma'
+      (2L, "z alpha beta gamma delta"), // shares both bench-100 grams
+      (3L, "completely different text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.leakCensus(train, bench, n = 3)
+      .orderBy("bench_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (100L, 2L, 2L, 3L), // 2 leaking docs, 2 distinct grams, 3 pairs
+      (150L, 0L, 0L, 0L)))
+  }
+
   test("decontaminateFuzzy: docs sharing a band with a benchmark doc " +
     "drop (identical text always collides); distinct docs survive; " +
     "empty benchmark keeps everything") {
