@@ -3377,6 +3377,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "ev_profile" -> ((s, dir) => {
+      // per-type ingest profile with a planted null regime (errors
+      // carry no amount): row/null counts, exact bounds, and KMV
+      // distinct cardinality of the non-null cents — one declarative
+      // aggregation, the same operator the stream twin runs at ingest.
+      // The all-null error group must report null bounds and a 0
+      // estimate, never fake zeros.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        when(col("event_type") === "error", lit(null).cast("long"))
+          .otherwise(cents(col("value"))).as("v"))
+      Stats.profileByGroup(ev, "event_type", "v", k = 64)
+        .orderBy(col("event_type"))
+    }),
+
+    "ev_stream_profile" -> ((s, dir) => {
+      // the at-ingest drift gate: the SAME profile aggregation as a
+      // Complete-mode streaming aggregation — algebraic metrics plus
+      // the KMV sketch (exact count(DISTINCT) is structurally
+      // unsupported over streams; the sketch's merge-tree independence
+      // is why micro-batch absorption equals the batch answer). Shares
+      // ev_profile's oracle verbatim.
+      import org.apache.spark.sql.streaming.OutputMode
+      val feed = Tables.streamEvents(s, dir).select(col("event_type"),
+        when(col("event_type") === "error", lit(null).cast("long"))
+          .otherwise(cents(col("value"))).as("v"))
+      val prof = Stats.profileByGroup(feed, "event_type", "v", k = 64)
+      Sessionize.runToMemory(s, prof, "ev_stream_profile_sink",
+        OutputMode.Complete, statePartitions = 8)
+        .orderBy(col("event_type"))
+    }),
+
     "ev_stream_histogram" -> ((s, dir) => {
       // the live-dashboard face of ev_histogram: the SAME floor-aligned
       // bin aggregation runs as a Complete-mode streaming aggregation
@@ -7357,6 +7388,43 @@ object SparkEntry {
           | CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
           |FROM p QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
 
+      // per-type profile: exact base metrics, KMV bottom-64 replay over
+      // md5 of the non-null cents rendered as strings; the all-null
+      // error group reports null bounds and a 0 estimate
+      "ev_profile" -> {
+        val hex8 = (1 to 8).map { i =>
+          s"(strpos('0123456789abcdef', substr(k64.h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+        }.mkString("(", " + ", ")")
+        s"""WITH ev AS (SELECT event_type,
+           |  CASE WHEN event_type = 'error' THEN NULL
+           |   ELSE CAST(round(value*100,0) AS BIGINT) END AS v
+           | FROM events),
+           |base AS (SELECT event_type,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+           |  min(v) AS min_v, max(v) AS max_v
+           | FROM ev GROUP BY 1),
+           |h AS (SELECT DISTINCT event_type, md5(CAST(v AS VARCHAR)) AS h
+           | FROM ev WHERE v IS NOT NULL),
+           |r AS (SELECT event_type, h,
+           |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           |  count(*) OVER (PARTITION BY event_type) AS nd FROM h),
+           |k64 AS (SELECT event_type, h FROM r WHERE rn = 64),
+           |n AS (SELECT event_type, CAST(max(nd) AS BIGINT) AS nd
+           | FROM r GROUP BY 1)
+           |SELECT b.event_type, b.n_rows, b.n_nulls, b.min_v, b.max_v,
+           | CAST(CASE WHEN n.nd IS NULL THEN 0
+           |  ELSE least(n.nd, 64) END AS BIGINT) AS n_mins,
+           | CASE WHEN n.nd IS NULL THEN 0.0
+           |  WHEN n.nd < 64 THEN CAST(n.nd AS DOUBLE)
+           |  ELSE 63.0 / (CAST($hex8 AS DOUBLE) / 4294967296.0)
+           | END AS est_distinct
+           |FROM base b
+           |LEFT JOIN n ON n.event_type = b.event_type
+           |LEFT JOIN k64 ON k64.event_type = b.event_type
+           |ORDER BY b.event_type""".stripMargin
+      },
+
       "ev_transitions" ->
         """WITH x AS (SELECT event_type,
           |  coalesce(lag(event_type) OVER (PARTITION BY user_id
@@ -8308,6 +8376,7 @@ object SparkEntry {
       // redirected aggregate answers q24's full-recompute oracle
       ("q27_mv_refresh" -> base("q24_mv_rewrite")) +
       ("ev_stream_histogram" -> base("ev_histogram")) +
+      ("ev_stream_profile" -> base("ev_profile")) +
       // optimize moves bytes, never rows — q22's source-preservation
       // oracle verbatim
       ("q29_optimize" -> base("q22_compact")) +

@@ -316,6 +316,38 @@ object Stats {
       .select(col("p.col_name"), col("p.metric"), col("p.value"))
   }
 
+  /** Per-GROUP ingest profile of one value column — and deliberately a
+    * single declarative aggregation so the SAME operator runs over a
+    * STREAMING frame in Complete mode (the at-ingest drift gate):
+    * n_rows / n_nulls / min / max are algebraic, and distinct
+    * cardinality rides [[graft.functions.Kmv]]'s bottom-k sketch
+    * (n_mins, est_distinct over the non-null values) because exact
+    * count(DISTINCT) is structurally unsupported over streams — the
+    * sketch is the operator that CAN run there, and its merge-tree
+    * independence (property-pinned) is exactly why micro-batch
+    * absorption equals the batch answer bit-for-bit. */
+  def profileByGroup(
+      df: DataFrame,
+      grpCol: String,
+      valCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val sketch = udaf(new graft.functions.Kmv.KmvAgg(k), Encoders.STRING)
+    df.select(col(grpCol), col(valCol),
+        md5(col(valCol).cast("string")).as("__h"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col(valCol).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_nulls"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"),
+        sketch(col("__h")).as("__mins"))
+      .select(col(grpCol), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        size(col("__mins")).cast("long").as("n_mins"),
+        graft.functions.Kmv.estimate(col("__mins"), k).as("est_distinct"))
+  }
+
   /** Distribution-drift report between two faces of a table (two
     * snapshot versions via `Snapshots.readAsOf`, yesterday's load vs
     * today's, raw vs corrected): [[profileNumeric]] on each side,

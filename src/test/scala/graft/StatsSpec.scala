@@ -247,4 +247,19 @@ class StatsSpec extends SparkSuite {
       Stats.profileNumeric(old, Seq.empty)
     }
   }
+  test("profileByGroup: exact base metrics, KMV exact-branch distinct " +
+    "below k, all-null groups report null bounds and a 0 estimate") {
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(10L)), ("a", Some(30L)),
+      ("a", None: Option[Long]),
+      ("b", None: Option[Long]), ("b", None: Option[Long]))
+      .toDF("g", "v")
+    val got = Stats.profileByGroup(df, "g", "v", k = 64)
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, 1L, Some(10L), Some(30L), 2L, 2.0),
+      ("b", 2L, 2L, None, None, 0L, 0.0)))
+  }
 }
