@@ -273,6 +273,18 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("jaccardAutoArm decision boundary: strict inequality — at the " +
+    "exact ratio the full arm keeps the tie, zero costs never divide") {
+    assert(Dedup.jaccardAutoArm(1000L, 249L, 0.25) == "prefix")
+    assert(Dedup.jaccardAutoArm(1000L, 250L, 0.25) == "full",
+      "prefixCost == ratio*fullCost must NOT clear the margin — the " +
+        "margin pays for the prefix arm's extra passes")
+    assert(Dedup.jaccardAutoArm(1000L, 251L, 0.25) == "full")
+    // degenerate corpora: empty index (both costs 0) stays on the
+    // full arm — no prefix machinery for nothing
+    assert(Dedup.jaccardAutoArm(0L, 0L, 0.25) == "full")
+  }
+
   test("auto Jaccard arm: cost probe picks full on a uniform corpus, " +
     "prefix on a light-tailed one, and matches both fixed arms") {
     // uniform regime: every doc is the same text, so every gram is
