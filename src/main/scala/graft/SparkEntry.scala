@@ -781,6 +781,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q49_snapshot_history" -> ((s, dir) => {
+      // the .history metadata view: three stamped modulus appends
+      // profiled as one row per version — logical commit stamp and
+      // manifest-summed row count, all from metadata (file counts are
+      // writer-dependent and stay out of the oracle surface); the
+      // oracle re-derives both columns from the slices
+      val tbl = s"$artifactRoot/snap_hist_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false, ts = Some(100L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true, ts = Some(200L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true, ts = Some(300L))
+      Snapshots.tableHistory(s, tbl)
+        .select(col("version"), col("commit_ts"), col("n_rows"))
+        .orderBy(col("version"))
+    }),
+
     "q48_snapshot_bloom" -> ((s, dir) => {
       // time travel x bloom skipping: two commitBloom generations over
       // an UNCLUSTERED high-cardinality key (modulus slices,
@@ -5252,6 +5274,17 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id IN (7, 123, 777)
           |ORDER BY event_id""".stripMargin,
+
+      // version v holds slices <= v; stamps are the literal watermarks
+      "q49_snapshot_history" ->
+        """SELECT CAST(v.ver AS BIGINT) AS version,
+          | CAST(100 * (v.ver + 1) AS BIGINT) AS commit_ts,
+          | CAST(count(*) AS BIGINT) AS n_rows
+          |FROM (SELECT event_id % 3 AS m FROM events) ev,
+          | (VALUES (0), (1), (2)) AS v(ver)
+          |WHERE ev.m <= v.ver
+          |GROUP BY 1, 2
+          |ORDER BY version""".stripMargin,
 
       // v0 holds even ids only (777 must MISS), v1 all ids; skipping
       // may only skip bytes, never rows

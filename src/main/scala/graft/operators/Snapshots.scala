@@ -1158,6 +1158,26 @@ object Snapshots {
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
   }
 
+  /** Version-level history frame: one row per generation with its
+    * logical commit stamp, file count, and row count — the Iceberg
+    * `.history`/`.snapshots` metadata-table shape, derived entirely
+    * from the manifest ([[tableStats]] is the per-partition
+    * refinement). Ordinary lazy SQL over metadata-scale rows; loud
+    * when any generation predates row-count manifests, exactly as
+    * [[tableStats]] refuses rather than undercounting. `commit_ts` is
+    * null for unstamped generations — a report column, unlike
+    * [[versionAt]] which refuses mixed timelines. */
+  def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    val m = manifest(spark, tablePath)
+    require(m.filter(col("rows").isNull).limit(1).collect().isEmpty,
+      s"$tablePath carries generations without footer counts — " +
+        "tableHistory would undercount; recommit those versions")
+    m.groupBy(col("version"))
+      .agg(max(col("commit_ts")).as("commit_ts"),
+        count(lit(1)).as("n_files"),
+        sum(col("rows")).as("n_rows"))
+  }
+
   /** Resolve AS OF TIMESTAMP to a version: the LATEST version (in
     * commit order, the Iceberg rule) whose `commit_ts` is at or before
     * `ts`. Timestamps are the caller's LOGICAL clock — an event-time
