@@ -2384,6 +2384,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("island"))
     }),
 
+    "text_selfdedup_spans" -> ((s, dir) => {
+      // exact-substring SELF-dedup (Lee et al. EXACTSUBSTR): every word
+      // 3-gram repeated anywhere in the corpus is redacted at all but
+      // one survivor occurrence (global min (doc,pos)); windows merge
+      // into maximal spans per doc via the same interval-union operator
+      // as decontamination. The suffix-array global sort of the paper
+      // becomes one partially-aggregated shuffle over the DISTINCT gram
+      // vocabulary plus a join that only duplicated occurrences survive.
+      val docs = par(s)(t(s, dir, "documents"))
+      Dedup.selfDedupSpans(docs)
+        .orderBy(col("doc_id"), col("island"))
+    }),
+
     "text_stream_decontaminate" -> ((s, dir) => {
       // decontamination at INGEST: the benchmark gram set is batch-built
       // (eval suites change rarely) and broadcast; the train stream's
@@ -6843,6 +6856,31 @@ object SparkEntry {
            |  CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos FROM t0),
            |h AS (SELECT tg.doc_id, tg.pos, tg.pos AS s,
            |  least(tg.pos + 3, tg.wc) AS e FROM tg JOIN bench USING (gram)),
+           |w AS (SELECT *, max(e) OVER (PARTITION BY doc_id
+           |  ORDER BY s, pos
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM h),
+           |g AS (SELECT *, CAST(sum(CASE WHEN pe IS NULL OR s > pe
+           |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+           |  ORDER BY s, pos) AS BIGINT) AS island FROM w)
+           |SELECT doc_id, island, min(s) AS span_start,
+           | max(e) AS span_end, CAST(count(*) AS BIGINT) AS n_grams,
+           | max(e) - min(s) AS covered_words
+           |FROM g GROUP BY doc_id, island
+           |ORDER BY doc_id, island""".stripMargin,
+
+      // exact-substring self-dedup: grams with corpus-wide count >= 2,
+      // all occurrences except the global (doc,pos)-min survivor become
+      // [pos, pos+3) windows, merged by the same island arithmetic
+      "text_selfdedup_spans" ->
+        s"""WITH t0 AS (SELECT doc_id, len($duckWords) AS wc,
+           |  $duckShingles3 AS gs FROM documents),
+           |tg AS (SELECT doc_id, wc, unnest(gs) AS gram,
+           |  CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos FROM t0),
+           |rk AS (SELECT *, count(*) OVER (PARTITION BY gram) AS cnt,
+           |  row_number() OVER (PARTITION BY gram
+           |    ORDER BY doc_id, pos) AS rn FROM tg),
+           |h AS (SELECT doc_id, pos, pos AS s, least(pos + 3, wc) AS e
+           |  FROM rk WHERE cnt >= 2 AND rn > 1),
            |w AS (SELECT *, max(e) OVER (PARTITION BY doc_id
            |  ORDER BY s, pos
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM h),

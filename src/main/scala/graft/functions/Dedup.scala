@@ -1454,6 +1454,67 @@ object Dedup {
         col("covered").as("covered_words"))
   }
 
+  /** Exact-substring SELF-deduplication — the "deduplicating training
+    * data makes language models better" redaction pass (Lee et al.,
+    * ACL 2022, EXACTSUBSTR), re-expressed as relational algebra: every
+    * word `n`-gram that occurs more than once ANYWHERE in the corpus is
+    * a duplicated substring; all of its occurrences except one globally
+    * chosen survivor (the lexicographically least `(doc, pos)` — the
+    * deterministic analog of "keep the first copy") become redaction
+    * windows `[pos, pos+n)`, merged per document into maximal spans by
+    * the same interval-union operator the benchmark decontamination and
+    * the event-coverage queries use ([[decontaminateSpans]],
+    * `Intervals.mergeIslands` — one operator, three domains). Cutting
+    * spans rather than dropping documents keeps the clean remainder of
+    * a page that shares one boilerplate paragraph with another.
+    *
+    * The reference formulation builds a corpus-wide suffix array — a
+    * global sort of every suffix. The Spark-native equivalent is this
+    * shuffle-by-content: pass 1 partially aggregates `(gram → count,
+    * min(doc,pos))` — both `count` and `min(struct)` are algebraic, so
+    * the map side combines before anything moves, and the shuffled key
+    * set is the DISTINCT gram vocabulary, not the occurrence stream.
+    * Grams with count ≥ 2 (in web corpora a small minority of the
+    * vocabulary) survive the filter; pass 2 joins occurrences back on
+    * gram — AQE broadcast-sizes the duplicated-gram frame at runtime
+    * when it fits, making the occurrence side shuffle-free — and only
+    * DUPLICATED occurrences reach the per-doc island window, bounded
+    * by duplication mass, not corpus size. Intra-document repeats are
+    * covered by the same rule: the earlier position survives, later
+    * copies are redacted.
+    *
+    * Output: one row per (doc, span) — (idCol, island, span_start,
+    * span_end, n_grams, covered_words), word-indexed half-open. */
+  def selfDedupSpans(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val occ = docs
+      .select(col(idCol),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("wc"),
+        posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("wc"), col("pos").cast("long").as("pos"),
+        col("gram"))
+    val dup = occ
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__surv"))
+      .filter(col("__cnt") >= 2L)
+      .select(col("gram"), col("__surv"))
+    val hits = occ.join(dup, Seq("gram"))
+      .filter(!(col(idCol) === col("__surv")(idCol) &&
+        col("pos") === col("__surv")("pos")))
+      .select(col(idCol), col("pos"),
+        col("pos").as("s"), least(col("pos") + n.toLong, col("wc")).as("e"))
+    graft.operators.Intervals.mergeIslands(hits, Seq(idCol), "s", "e", "pos")
+      .select(col(idCol), col("island"),
+        col("island_start").as("span_start"),
+        col("island_end").as("span_end"),
+        col("n_intervals").as("n_grams"),
+        col("covered").as("covered_words"))
+  }
+
   // ------------------------------------------------------------------
   // Segment-level boilerplate removal (line-level dedup, generalized)
   // ------------------------------------------------------------------

@@ -727,6 +727,31 @@ class DedupSpec extends SparkSuite {
       (3L, 1L, 0L, 3L, 1L, 3L)))
   }
 
+  test("selfDedupSpans: cross-doc repeats redact every occurrence but " +
+    "the global (doc,pos)-min survivor; intra-doc repeats keep the " +
+    "earlier copy; clean docs emit nothing") {
+    // doc 1 and doc 2 share "alpha beta gamma delta" — doc 1 holds the
+    // survivor occurrences of both duplicated grams, so only doc 2's
+    // overlapping windows [1,4) ∪ [2,5) merge into one span. doc 4
+    // repeats "p q r" at pos 0 and 5 — the later copy is redacted.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps"),
+      (2L, "x1 alpha beta gamma delta x2"),
+      (3L, "unique words entirely here"),
+      (4L, "p q r z1 z2 p q r")).toDF("doc_id", "text")
+    val out = Dedup.selfDedupSpans(docs)
+      .orderBy(col("doc_id"), col("island"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 1L, 1L, 5L, 2L, 4L),
+      (4L, 1L, 5L, 8L, 1L, 3L)))
+    // deterministic under repartitioning: survivor choice is a global
+    // min, not an arrival-order artifact
+    val re = Dedup.selfDedupSpans(docs.repartition(7))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(re == out.toSet)
+  }
+
   test("cascadeReport: each tier removes its planted duplicates and " +
     "passes the rest down the funnel") {
     // ids 1,2: same canonical url (tier 1 drops 2). ids 3,4: distinct
