@@ -781,6 +781,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q50_delete_vectors" -> ((s, dir) => {
+      // row-level DELETE as a metadata commit (deletion vectors, the
+      // merge-on-read shape): v0 + append v1 build the full table, v2
+      // deletes purchases, v3 stacks a user-cohort delete on top —
+      // each delete writes a (file, row_index) sidecar and repoints
+      // the PARENT'S files verbatim (zero rows rewritten, spec-pinned
+      // in SnapshotsSpec), readers anti-join the governing set. All
+      // three faces stay readable: MVCC time travel composes with
+      // deletes. The oracle replays each face as a plain filter.
+      val tbl = s"$artifactRoot/snap_dv_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      val v1 = Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        tbl, append = true)
+      val v2 = Snapshots.deleteWhere(s, tbl,
+        col("event_type") === "purchase")
+      val v3 = Snapshots.deleteWhere(s, tbl, col("user_id") % 10 === 3)
+      Snapshots.readAsOf(s, tbl, v1).withColumn("face", lit(1L))
+        .unionByName(
+          Snapshots.readAsOf(s, tbl, v2).withColumn("face", lit(2L)))
+        .unionByName(
+          Snapshots.readAsOf(s, tbl, v3).withColumn("face", lit(3L)))
+        .orderBy(col("face"), col("event_id"))
+    }),
+
     "q49_snapshot_history" -> ((s, dir) => {
       // the .history metadata view: three stamped modulus appends
       // profiled as one row per version — logical commit stamp and
@@ -5287,6 +5316,24 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id IN (7, 123, 777)
           |ORDER BY event_id""".stripMargin,
+
+      // three faces of the stacked deletes: v1 = the full table, v2
+      // minus purchases, v3 additionally minus the user cohort
+      "q50_delete_vectors" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(1 AS BIGINT) AS face FROM ev
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(2 AS BIGINT) AS face FROM ev
+          |WHERE event_type <> 'purchase'
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(3 AS BIGINT) AS face FROM ev
+          |WHERE event_type <> 'purchase' AND user_id % 10 <> 3
+          |ORDER BY face, event_id""".stripMargin,
 
       // version v holds slices <= v; stamps are the literal watermarks
       "q49_snapshot_history" ->

@@ -435,16 +435,25 @@ object Snapshots {
   private def readPartedFiles(
       spark: SparkSession,
       rows: Seq[(String, String)],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      schema: Option[org.apache.spark.sql.types.StructType],
+      withMeta: Boolean = false): DataFrame =
     rows
       .groupBy { case (f, _) => new Path(f).getParent.getParent.toString }
       .toSeq.sortBy(_._1)
       .map { case (root, fs) =>
         val rd = spark.read.option("basePath", root)
-        schema.fold(rd.option("mergeSchema", "true"))(rd.schema)
+        val scan = schema.fold(rd.option("mergeSchema", "true"))(rd.schema)
           .parquet(fs.map(_._1).toIndexedSeq: _*)
+        if (withMeta) attachRowMeta(scan) else scan
       }
       .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  /** Attach the per-row identity a DV apply joins on — must run
+    * directly on a parquet scan, where the `_metadata` struct
+    * resolves. */
+  private def attachRowMeta(scan: DataFrame): DataFrame =
+    scan.withColumn(DvFileCol, col("_metadata.file_path"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
 
   /** MERGE (keyed upsert) into the latest snapshot of a PARTITIONED
     * table, copy-on-write at PARTITION scope — the lakehouse verb that
@@ -500,12 +509,20 @@ object Snapshots {
     // touched survivors; only upserts re-insert
     val inserts = opCol.fold(updates)(op =>
       updates.filter(col(op) === "upsert").drop(op))
+    // the governing deletion vectors apply to the touched-partition
+    // scan too — a rewrite that read the raw files would resurrect
+    // DV-deleted rows into the new generation's fresh files
+    val dv = dvSet(spark, tablePath, latest)
     val survivors =
       if (touchedFiles.isEmpty) inserts.limit(0)
-      else readPartedFiles(spark,
-        touchedFiles.map { case (f, p, _) => (f, p) }, parentSchema)
-        .join(updates.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
+      else {
+        val scan = readPartedFiles(spark,
+          touchedFiles.map { case (f, p, _) => (f, p) }, parentSchema,
+          withMeta = dv.isDefined)
+        dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
+          .join(updates.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+      }
     survivors.unionByName(inserts)
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     val schema = parentSchema
@@ -580,7 +597,10 @@ object Snapshots {
     require(rows.nonEmpty,
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
-    readFileRows(spark, rows.toSeq, storedSchema(spark, tablePath, version))
+    val dv = dvSet(spark, tablePath, version)
+    val base = readFileRows(spark, rows.toSeq,
+      storedSchema(spark, tablePath, version), withMeta = dv.isDefined)
+    dv.fold(base)(d => applyDv(base, d).drop(DvFileCol, DvPosCol))
   }
 
   /** Plan a read over (file, fragment) manifest rows: flat files read
@@ -596,16 +616,18 @@ object Snapshots {
   private def readFileRows(
       spark: SparkSession,
       rows: Seq[(String, String)],
-      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      stored: Option[org.apache.spark.sql.types.StructType],
+      withMeta: Boolean = false): DataFrame = {
     val (parted, flat) = rows.partition(_._2 != null)
     val reads =
       (if (flat.nonEmpty) {
         val rd = spark.read
-        Seq(stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
-          .parquet(flat.map(_._1).toIndexedSeq: _*))
+        val scan = stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
+          .parquet(flat.map(_._1).toIndexedSeq: _*)
+        Seq(if (withMeta) attachRowMeta(scan) else scan)
       } else Seq.empty) ++
         (if (parted.nonEmpty)
-          Seq(readPartedFiles(spark, parted, stored))
+          Seq(readPartedFiles(spark, parted, stored, withMeta))
         else Seq.empty)
     reads.reduceLeft((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
@@ -641,7 +663,12 @@ object Snapshots {
       // without opening a single data file
       val schema = stored.getOrElse(readAsOf(spark, tablePath, version).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else readPartedFiles(spark, hit.toSeq, stored)
+    } else {
+      val dv = dvSet(spark, tablePath, version)
+      val scan = readPartedFiles(spark, hit.toSeq, stored,
+        withMeta = dv.isDefined)
+      dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
+    }
   }
 
   /** Expire every version below `keepFrom`: drop their manifest
@@ -718,12 +745,31 @@ object Snapshots {
       ownsFile(tablePath, file) && { f.delete(new Path(file), false); true }
     }
 
+    // deletion-vector sidecars do NOT simply ride their version: a
+    // delete committed below keepFrom still GOVERNS every retained
+    // read (resolveDvDir walks downward). Materialize the oldest
+    // retained version's governing set AT keepFrom first — pruned to
+    // files a retained generation still references (DV compaction) —
+    // then the dropped dirs are safe to expire: every retained
+    // version's resolution lands on its own dir or this one,
+    // unchanged in content.
+    resolveDvDir(spark, tablePath, keepFrom).foreach { case (dvV, dir) =>
+      if (dvV < keepFrom) {
+        val keptFiles = spark.createDataFrame(
+          kept.toSeq.map(Tuple1(_))).toDF("file")
+        val pruned = spark.read.schema(dvSchema).parquet(dir)
+          .join(keptFiles, Seq("file"), "left_semi")
+        writeDvSet(spark, tablePath, keepFrom, pruned)
+      }
+    }
+
     // per-version sidecars ride their version: expired generations'
     // stats dirs and commit markers go with their data (retained
     // versions keep theirs; claims only ever move upward, so dropping
     // an old marker can never free a number for re-minting)
     droppedVersions.foreach { v =>
-      Seq(statsDir(tablePath, v), bloomDir(tablePath, v)).foreach { d =>
+      Seq(statsDir(tablePath, v), bloomDir(tablePath, v),
+        dvDir(tablePath, v)).foreach { d =>
         val sd = new Path(d)
         if (f.exists(sd)) f.delete(sd, true)
       }
@@ -738,6 +784,135 @@ object Snapshots {
 
   private def bloomDir(tablePath: String, version: Long): String =
     s"$tablePath/_bloom/v$version"
+
+  // ------------------------------------------------------------------
+  // Deletion vectors — row-level DELETE without rewriting data files
+  // ------------------------------------------------------------------
+
+  private def dvRoot(tablePath: String): String = s"$tablePath/_dv"
+
+  private def dvDir(tablePath: String, version: Long): String =
+    s"${dvRoot(tablePath)}/v$version"
+
+  /** Internal column names for the row identity a DV apply needs —
+    * captured from the parquet scan's `_metadata` struct, rendered by
+    * the same scan machinery on both the delete and the read side, so
+    * equality is exact without any path normalization. */
+  private val DvFileCol = "__dv_file"
+  private val DvPosCol = "__dv_pos"
+
+  private def dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("row_index",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The DV sidecar GOVERNING reads of `version`: each `_dv/v<d>` dir
+    * holds the FULL applicable (file, row_index) set of its version
+    * (not a delta), so resolution is "the latest DV-bearing version at
+    * or below mine" — append commits inherit their ancestor's deletes
+    * without copying anything, while [[rollback]]/[[cloneTable]]
+    * re-materialize their target's set so restored content never
+    * inherits deletes committed after the target. Returns
+    * (dvVersion, dir); None when no delete governs `version`. */
+  private def resolveDvDir(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Option[(Long, String)] = {
+    val f = fs(spark, tablePath)
+    val root = new Path(dvRoot(tablePath))
+    if (!f.exists(root)) None
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v"))
+          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p.toString)
+        else None
+      }
+      .filter(_._1 <= version).sortBy(_._1).lastOption
+  }
+
+  /** The governing DV set of `version` as a (file, row_index) frame —
+    * None when no delete governs it. Metadata-scale: bounded by rows
+    * DELETED, never by table size. */
+  private def dvSet(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Option[DataFrame] =
+    resolveDvDir(spark, tablePath, version).map { case (_, dir) =>
+      spark.read.schema(dvSchema).parquet(dir)
+    }
+
+  private def writeDvSet(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      rows: DataFrame): Unit =
+    rows.select(col("file"), col("row_index"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(dvDir(tablePath, version))
+
+  /** Anti-join `df` (carrying the [[DvFileCol]]/[[DvPosCol]] row
+    * identity) against a DV set. The DV side is a file-based relation
+    * with known size, so the planner broadcasts it statically whenever
+    * it fits — at 100 TB the refinement is per-file bitmaps pushed
+    * into the scan (the Delta/Iceberg v2 physical shape); the
+    * relational anti-join computes the identical answer. Keeps the
+    * identity columns (callers drop them). */
+  private def applyDv(df: DataFrame, dv: DataFrame): DataFrame =
+    df.join(dv,
+      df(DvFileCol) === dv("file") && df(DvPosCol) === dv("row_index"),
+      "left_anti")
+
+  /** Row-level DELETE as a metadata commit — deletion vectors, the
+    * merge-on-read half of the lakehouse delete design space: the new
+    * version's manifest carries the parent's data files VERBATIM (zero
+    * rows rewritten — spec-pinned), plus a `_dv/v<version>` sidecar of
+    * the (file, row_index) identities the predicate doomed, applied as
+    * an anti-join by every read of this version onward. Copy-on-write
+    * ([[mergePartitioned]], [[purgeKeys]]) pays O(touched files) per
+    * delete; this pays O(deleted rows) — the right half when deletes
+    * are small and frequent (CDC corrections, right-to-erasure queues
+    * staged for a later [[optimize]], which physically drops the rows
+    * because it rewrites through [[readAsOf]] and commits fresh
+    * DV-free files).
+    *
+    * The sidecar stores the FULL governing set (parent's surviving
+    * entries plus the fresh ones — disjoint by construction, the fresh
+    * side is filtered from the already-DV-applied live view), so a
+    * reader resolves ONE directory, and versions committed in between
+    * by DV-unaware verbs inherit correctly (see [[resolveDvDir]]).
+    * Older versions read back undeleted — MVCC — and [[rollback]]
+    * restores the target's set. Returns the minted version. */
+  def deleteWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      ts: Option[Long] = None): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteWhere: $tablePath has no committed versions"))
+    val gen = manifest(spark, tablePath)
+      .filter(col("version") === observed)
+      .select(col("file"), col("part"), col("rows"), col("schema_json"))
+      .collect()
+    val fileRows = gen.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val schemaJson =
+      if (gen.head.isNullAt(3)) null else gen.head.getString(3)
+    val prior = dvSet(spark, tablePath, observed)
+    val base = readFileRows(spark, fileRows.map(r => (r._1, r._2)),
+      storedSchema(spark, tablePath, observed), withMeta = true)
+    val live = prior.fold(base)(applyDv(base, _))
+    val fresh = live.filter(predicate)
+      .select(col(DvFileCol).as("file"), col(DvPosCol).as("row_index"))
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    val full = prior.fold(fresh)(p =>
+      p.select(col("file"), col("row_index")).unionByName(fresh))
+    writeDvSet(spark, tablePath, version, full)
+    publishRows(spark, tablePath, version, fileRows, schemaJson, ts)
+  }
 
   /** Render a partition value the way Spark's writer renders it into a
     * directory name: hive path-escaping ('=', ':', '%', '/', … become
@@ -822,7 +997,12 @@ object Snapshots {
       if (admitted.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           readAsOf(spark, tablePath, version).schema)
-      else spark.read.parquet(admitted: _*)
+      else {
+        val dv = dvSet(spark, tablePath, version)
+        val scan = spark.read.parquet(admitted: _*)
+        dv.fold(scan)(d =>
+          applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
+      }
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
 
@@ -942,8 +1122,11 @@ object Snapshots {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       } else {
         val rd = spark.read
-        stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
+        val scan = stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
           .parquet(admitted: _*)
+        val dv = dvSet(spark, tablePath, version)
+        dv.fold(scan)(d =>
+          applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
       }
     base.filter(col(keyCol) === lit(value))
   }
@@ -1077,6 +1260,16 @@ object Snapshots {
     val schemaJson =
       if (gen.head.isNullAt(3)) null else gen.head.getString(3)
     val version = claimVersion(spark, tablePath, observed + 1L)
+    // a rollback RESTORES content: re-materialize the TARGET's
+    // governing DV set (possibly empty) at the new version, masking
+    // any deletes committed in between — without this, resolveDvDir
+    // would hand the restored snapshot a later delete's entries and
+    // the rollback would silently keep them deleted
+    if (fs(spark, tablePath).exists(new Path(dvRoot(tablePath)))) {
+      val restored = dvSet(spark, tablePath, toVersion).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema))
+      writeDvSet(spark, tablePath, version, restored)
+    }
     publishRows(spark, tablePath, version, rows, schemaJson, ts)
   }
 
@@ -1117,6 +1310,10 @@ object Snapshots {
     val schemaJson =
       if (gen.head.isNullAt(3)) null else gen.head.getString(3)
     val v = claimVersion(spark, dstTable, 0L)
+    // the source's governing DV set transfers with the pointers —
+    // a clone of a deleted-from snapshot must not resurrect its rows
+    dvSet(spark, srcTable, version).foreach(d =>
+      writeDvSet(spark, dstTable, v, d))
     publishRows(spark, dstTable, v, rows, schemaJson, None)
   }
 
@@ -1137,7 +1334,16 @@ object Snapshots {
     require(rows.forall(_._3.isDefined),
       s"snapshot version $version of $tablePath predates row-count " +
         "manifests — its generation carries no footer counts")
-    rows.map(_._3.get).sum
+    val base = rows.map(_._3.get).sum
+    // deletion vectors subtract from the footer counts; entries
+    // referencing files outside this generation (replaced or compacted
+    // away) are dead and must not be counted. Still zero DATA files
+    // opened — the DV sidecar is metadata-scale (bounded by deletes).
+    dvSet(spark, tablePath, version).fold(base) { dv =>
+      val files = spark.createDataFrame(rows.map(r => Tuple1(r._1)))
+        .toDF("file")
+      base - dv.join(files, Seq("file"), "left_semi").count()
+    }
   }
 
   /** Metadata-only statistics frame: one row per (version, part) with
@@ -1353,6 +1559,33 @@ object Snapshots {
     require(keyCols.nonEmpty, "purgeKeys needs key columns")
     val m = manifest(spark, tablePath).collect()
     require(m.nonEmpty, s"$tablePath has no committed versions")
+    // purge rewrites files under NEW paths; a live deletion-vector
+    // entry pointing at an old path would die silently and resurrect
+    // its deleted row in every governed version. Refuse loudly while
+    // any DV entry references a manifest file — compact the deletes
+    // away first (optimize + vacuum) or extend purge with DV
+    // remapping. (Dead entries — files already replaced — are fine.)
+    locally {
+      val f0 = fs(spark, tablePath)
+      val root = new Path(dvRoot(tablePath))
+      if (f0.exists(root)) {
+        val dirs = f0.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.toString)
+        if (dirs.nonEmpty) {
+          val manifestFilesDf = spark.createDataFrame(
+            m.map(r => Tuple1(r.getString(1))).toSeq.distinct).toDF("file")
+          val liveDvEntries = spark.read.schema(dvSchema)
+            .parquet(dirs.toIndexedSeq: _*)
+            .join(manifestFilesDf, Seq("file"), "left_semi")
+            .limit(1).collect()
+          require(liveDvEntries.isEmpty,
+            s"purgeKeys: $tablePath carries live deletion-vector " +
+              "entries — rewritten files would orphan them and " +
+              "resurrect deleted rows; compact deletes first " +
+              "(optimize, then vacuum) or remap the DV sidecars")
+        }
+      }
+    }
     def norm(p: String) = new Path(p).toUri.getPath
     val k = keys.select(keyCols.map(col): _*).distinct()
     val keySchema = org.apache.spark.sql.types.StructType(

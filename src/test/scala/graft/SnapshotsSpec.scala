@@ -897,4 +897,122 @@ class SnapshotsSpec extends SparkSuite {
     // one copy of (1,"a") survives on both sides; the second is removed
     assert(d == Seq(("+", 3L), ("-", 1L), ("-", 2L)))
   }
+
+  private val dvRows =
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+
+  test("deleteWhere: a metadata-only commit — the new generation's " +
+    "file set is the parent's VERBATIM; reads anti-join the sidecar; " +
+    "older versions keep the rows (MVCC); deletes stack") {
+    val tbl = freshTable()
+    val v0 = Snapshots.commit(spark, dvRows, tbl, append = false)
+    val v1 = Snapshots.deleteWhere(spark, tbl, $"id" % 2 === 0L)
+    val v2 = Snapshots.deleteWhere(spark, tbl, $"v" === "c")
+    def ids(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(v0) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(v1) == Seq(1L, 3L))
+    assert(ids(v2) == Seq(1L))
+    // zero data rewritten: every generation references the SAME files
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val files = (v: Long) => m.filter(_._1 == v).map(_._2).toSet
+    assert(files(v1) == files(v0) && files(v2) == files(v0),
+      "deleteWhere must repoint the parent's files, not rewrite them")
+    // countAsOf subtracts the governing deletes, still metadata+sidecar
+    assert(Snapshots.countAsOf(spark, tbl, v0) == 4L)
+    assert(Snapshots.countAsOf(spark, tbl, v1) == 2L)
+    assert(Snapshots.countAsOf(spark, tbl, v2) == 1L)
+    // an APPEND after a delete inherits the governing set: old files'
+    // deleted rows stay dead, the fresh file's rows all arrive
+    val v3 = Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"),
+      tbl, append = true)
+    assert(ids(v3) == Seq(1L, 9L))
+  }
+
+  test("deleteWhere composes with optimize (physical drop), rollback " +
+    "(restores the target's governing set), cloneTable (set transfers) " +
+    "and vacuum (a governing set below keepFrom is re-materialized)") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, dvRows, tbl, append = false)
+    val vDel = Snapshots.deleteWhere(spark, tbl, $"id" >= 3L)
+    def ids(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(vDel) == Seq(1L, 2L))
+
+    // a clone of the deleted-from snapshot must not resurrect rows
+    val clone = Files.createTempDirectory("snap_spec_").toString + "/fork"
+    Snapshots.cloneTable(spark, tbl, vDel, clone)
+    assert(Snapshots.readAsOf(spark, clone, 0L)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+
+    // rollback to the pre-delete version restores the rows even though
+    // a later delete's sidecar exists (the target's EMPTY set masks it)
+    val vBack = Snapshots.rollback(spark, tbl, 0L)
+    assert(ids(vBack) == Seq(1L, 2L, 3L, 4L))
+
+    // optimize rewrites through the DV-applied read as of ITS parent:
+    // roll forward to the deleted face first, then compact — fresh
+    // files carry only surviving rows, no sidecar needed
+    Snapshots.rollback(spark, tbl, vDel)
+    val vOpt = Snapshots.optimize(spark, tbl, 1L << 20)
+    assert(ids(vOpt) == Seq(1L, 2L))
+    val optFiles = Snapshots.manifest(spark, tbl)
+      .filter($"version" === vOpt).select($"file")
+      .collect().map(_.getString(0)).toSet
+    val v0Files = Snapshots.manifest(spark, tbl)
+      .filter($"version" === 0L).select($"file")
+      .collect().map(_.getString(0)).toSet
+    assert(optFiles.intersect(v0Files).isEmpty,
+      "optimize must commit fresh physical files")
+
+    // vacuum everything below the optimized head: the governing DV
+    // set's entries are all dead (their files left the lineage), but
+    // the retained read must stay identical
+    Snapshots.vacuum(spark, tbl, vOpt)
+    assert(ids(vOpt) == Seq(1L, 2L))
+  }
+
+  test("vacuum re-materializes a below-keepFrom governing set so " +
+    "retained DV-governed versions read unchanged; purgeKeys refuses " +
+    "while live DV entries exist") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, dvRows, tbl, append = false)
+    val vDel = Snapshots.deleteWhere(spark, tbl, $"id" === 2L)
+    // an append above the delete — its generation has no own DV dir
+    val vApp = Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"),
+      tbl, append = true)
+    // drop v0 and the delete's own version; the append stays
+    Snapshots.vacuum(spark, tbl, vApp)
+    assert(Snapshots.readAsOf(spark, tbl, vApp)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L, 9L),
+      "the delete must survive vacuum though its version was dropped")
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.purgeKeys(spark, tbl,
+        Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    }
+    assert(err.getMessage.contains("deletion-vector"),
+      s"purge must refuse on live DV entries, got: ${err.getMessage}")
+  }
+
+  test("deleteWhere on a partitioned lineage: scanPartitionAsOf " +
+    "applies the governing set; mergePartitioned rewrites touched " +
+    "partitions WITHOUT resurrecting DV-deleted rows") {
+    val tbl = freshTable()
+    val rows = Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c"),
+      (4L, "y", "d")).toDF("id", "p", "v")
+    Snapshots.commitPartitioned(spark, rows, tbl, "p", append = false)
+    val vDel = Snapshots.deleteWhere(spark, tbl, $"id" === 2L)
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, vDel, "p", "x")
+      .select($"id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // merge an upsert into partition x: survivors of x = {1} (2 stays
+    // dead), plus the update row
+    val vM = Snapshots.mergePartitioned(spark, tbl,
+      Seq((5L, "x", "e")).toDF("id", "p", "v"), Seq("id"), "p")
+    assert(Snapshots.readAsOf(spark, tbl, vM)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L))
+  }
 }
