@@ -8,7 +8,7 @@ import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, 
 import graft.model.{AlmaSchema, CodeTables}
 import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage, OrcStage}
-import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, IntervalJoinStream, PhashStream, Sessionize, StreamCdc, StreamDedup, StreamGate}
+import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, IntervalJoinStream, PhashStream, Sessionize, SnapshotStream, StreamCdc, StreamDedup, StreamGate}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2 plus
   * the corpus-scale extensions), each with a DuckDB oracle where the
@@ -3751,6 +3751,33 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_stream_snapshot_ingest" -> ((s, dir) => {
+      // streaming ingest into the lakehouse table, exactly-once: each
+      // micro-batch publishes one append generation stamped
+      // commit_ts = batchId — the atomic manifest rename IS the
+      // transaction marker, so a replayed batch is detected by one
+      // metadata-scale filter and skipped (no side ledger, no crash
+      // window; SnapshotStream scaladoc walks both crash shapes). The
+      // query REPLAYS batch 0 explicitly after the stream drains (the
+      // crash-after-publish replay) and requires the duplicate to be
+      // refused; the face read back must equal the plain batch table.
+      val tbl = s"$artifactRoot/snap_stream_ingest"
+      Snapshots.init(s, tbl)
+      val feed = Tables.streamEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val q = SnapshotStream.ingest(feed, tbl, "ev_stream_snap_ingest")
+      q.processAllAvailable(); q.stop()
+      val replay = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val dup = SnapshotStream.appendBatchExactlyOnce(s, tbl, 0L, replay)
+      require(dup.isEmpty,
+        "exactly-once ingest: replayed batch 0 must be skipped")
+      val latest = Snapshots.latestVersion(s, tbl).get
+      Snapshots.readAsOf(s, tbl, latest).orderBy(col("event_id"))
+    }),
+
     "ev_stream_cdc_apply" -> ((s, dir) => {
       // the MERGE-INTO's stream twin, split at its algebraic seam:
       // latest-wins is associative, so the STREAM runs only the per-key
@@ -5316,6 +5343,13 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id IN (7, 123, 777)
           |ORDER BY event_id""".stripMargin,
+
+      // the streamed table's head face must equal the plain batch
+      // table — exactly-once means nothing lost AND nothing doubled
+      "ev_stream_snapshot_ingest" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
 
       // three faces of the stacked deletes: v1 = the full table, v2
       // minus purchases, v3 additionally minus the user cohort

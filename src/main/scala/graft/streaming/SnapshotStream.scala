@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Snapshots
+
+/** Streaming ingest into a [[graft.operators.Snapshots]] table with
+  * EXACTLY-ONCE commits — the `writeStream → lakehouse table` leg that
+  * completes the snapshot layer (Delta's streaming sink shape).
+  *
+  * The idempotence trick is that the snapshot layer's manifest publish
+  * is already ATOMIC (a staged file renamed in — a reader sees the
+  * generation entirely or not at all), so the publish itself can be
+  * the transaction marker: every micro-batch commits with
+  * `commit_ts = batchId` (the batch id IS the stream's logical
+  * watermark — monotone, replay-stable, never wall clock), and a
+  * replayed batch is detected by one metadata-scale manifest filter.
+  * No side ledger, no two-phase marker files, no crash window:
+  *
+  *  - crash AFTER publish, BEFORE the checkpoint advances → the
+  *    restart replays the batch, the manifest already carries its
+  *    `commit_ts` → skip. No duplicate.
+  *  - crash BEFORE publish → the manifest carries nothing for the
+  *    batch → the replay commits it. Nothing lost. (The half-written
+  *    data files of the crashed attempt are unreferenced orphans —
+  *    [[graft.operators.Snapshots.removeOrphans]]'s job, the same
+  *    benign debris any crashed committer leaves.)
+  *
+  * Contract: ONE streaming writer per table (Delta needs `txnAppId`
+  * for the same reason — batch ids from two checkpoints collide), and
+  * the table's `commit_ts` timeline belongs to the stream (batch ids,
+  * not event-time stamps; `AS OF TIMESTAMP` resolution then travels in
+  * batch-id coordinates, which is exactly the offset-based replay a
+  * consumer of a streamed table wants).
+  */
+object SnapshotStream {
+
+  /** Commit one micro-batch as an append generation, exactly once:
+    * returns the minted version, or None when a generation stamped
+    * with this `batchId` already exists (a replay — skipped without
+    * touching data). The check is one filter over the metadata-scale
+    * manifest; the publish it guards is atomic, so there is no window
+    * in which a replayed batch could double-commit. */
+  def appendBatchExactlyOnce(
+      spark: SparkSession,
+      tablePath: String,
+      batchId: Long,
+      df: DataFrame): Option[Long] = {
+    val seen = Snapshots.manifest(spark, tablePath)
+      .filter(col("commit_ts") === batchId)
+      .limit(1).collect().nonEmpty
+    if (seen) None
+    else Some(Snapshots.commit(spark, df, tablePath,
+      append = Snapshots.latestVersion(spark, tablePath).isDefined,
+      ts = Some(batchId)))
+  }
+
+  /** Run a streaming frame into the snapshot table: one append
+    * generation per micro-batch via [[appendBatchExactlyOnce]], so the
+    * table's version history IS the stream's batch history — every
+    * prefix of the stream stays time-travel-readable, and a downstream
+    * incremental consumer polls
+    * [[graft.operators.Snapshots.readAppendsBetween]] for O(delta)
+    * follow-up. Caller stops the query (or `processAllAvailable` +
+    * `stop` for a bounded source). */
+  def ingest(
+      stream: DataFrame,
+      tablePath: String,
+      queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatchExactlyOnce(batch.sparkSession, tablePath, id, batch)
+        ()
+      }
+      .start()
+}
