@@ -810,6 +810,34 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q51_snapshot_constraints" -> ((s, dir) => {
+      // versioned CHECK constraints: declared once as a metadata-only
+      // commit (parent files repointed, existing face validated), then
+      // enforced INSIDE every subsequent ingest's write job via an
+      // assert_true guard — zero extra passes, Delta's invariant
+      // shape. The violating batch (negated cents) must abort without
+      // publishing; the clean append lands; the head face equals the
+      // two clean slices. SnapshotsSpec pins the refusal naming the
+      // constraint, null semantics, drop/rollback/clone travel.
+      val tbl = s"$artifactRoot/snap_check_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false)
+      Snapshots.addConstraint(s, tbl, "cents_nonneg", "value_cents >= 0")
+      val bad = ev.filter(col("event_id") % 3 === 1)
+        .withColumn("value_cents", -col("value_cents") - 1L)
+      val refused =
+        try { Snapshots.commit(s, bad, tbl, append = true); false }
+        catch { case _: Exception => true }
+      require(refused, "the violating batch must abort")
+      val vOk = Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true)
+      Snapshots.readAsOf(s, tbl, vOk).orderBy(col("event_id"))
+    }),
+
     "q49_snapshot_history" -> ((s, dir) => {
       // the .history metadata view: three stamped modulus appends
       // profiled as one row per version — logical commit stamp and
@@ -5350,6 +5378,14 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // the head face after the refused batch: exactly the two clean
+      // modulus slices — the botch contributed nothing
+      "q51_snapshot_constraints" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events WHERE event_id % 3 IN (0, 1)
+          |ORDER BY event_id""".stripMargin,
 
       // three faces of the stacked deletes: v1 = the full table, v2
       // minus purchases, v3 additionally minus the user cohort

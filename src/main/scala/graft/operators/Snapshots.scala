@@ -378,7 +378,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    df.write.mode("errorifexists").parquet(dataPath)
+    constraintGuard(spark, tablePath, observed, df)
+      .write.mode("errorifexists").parquet(dataPath)
     val fresh = footerCounts(spark,
       listDataFiles(spark, dataPath).map((_, null: String)))
     publish(spark, tablePath, version, fresh,
@@ -408,7 +409,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    df.write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
+    constraintGuard(spark, tablePath, observed, df)
+      .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
       footerCounts(spark, listPartitionedFiles(spark, dataPath)),
       if (append) observed else None, df.schema, ts)
@@ -523,7 +525,8 @@ object Snapshots {
           .join(updates.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
       }
-    survivors.unionByName(inserts)
+    constraintGuard(spark, tablePath, Some(latest),
+      survivors.unionByName(inserts))
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     val schema = parentSchema
       .map(ps => mergeSchemas(ps, nullableTop(inserts.schema)))
@@ -762,6 +765,14 @@ object Snapshots {
         writeDvSet(spark, tablePath, keepFrom, pruned)
       }
     }
+    // the CHECK-constraint sidecar follows the same rule (no file
+    // pruning — constraints reference columns, not files)
+    sidecarResolve(spark, constraintsRoot(tablePath), keepFrom)
+      .foreach { case (cV, _) =>
+        if (cV < keepFrom)
+          writeConstraints(spark, tablePath, keepFrom,
+            constraintsAsOf(spark, tablePath, keepFrom))
+      }
 
     // per-version sidecars ride their version: expired generations'
     // stats dirs and commit markers go with their data (retained
@@ -769,7 +780,7 @@ object Snapshots {
     // an old marker can never free a number for re-minting)
     droppedVersions.foreach { v =>
       Seq(statsDir(tablePath, v), bloomDir(tablePath, v),
-        dvDir(tablePath, v)).foreach { d =>
+        dvDir(tablePath, v), constraintsDir(tablePath, v)).foreach { d =>
         val sd = new Path(d)
         if (f.exists(sd)) f.delete(sd, true)
       }
@@ -807,20 +818,21 @@ object Snapshots {
     org.apache.spark.sql.types.StructField("row_index",
       org.apache.spark.sql.types.LongType)))
 
-  /** The DV sidecar GOVERNING reads of `version`: each `_dv/v<d>` dir
-    * holds the FULL applicable (file, row_index) set of its version
-    * (not a delta), so resolution is "the latest DV-bearing version at
-    * or below mine" — append commits inherit their ancestor's deletes
-    * without copying anything, while [[rollback]]/[[cloneTable]]
+  /** Latest-at-or-below resolution over a `_<root>/v<N>` sidecar
+    * family — the shared lookup for versioned table metadata that
+    * GOVERNS all later versions until superseded (deletion vectors,
+    * CHECK constraints): each dir holds the FULL applicable set of its
+    * version (not a delta), so append commits inherit their ancestor's
+    * set without copying anything, while [[rollback]]/[[cloneTable]]
     * re-materialize their target's set so restored content never
-    * inherits deletes committed after the target. Returns
-    * (dvVersion, dir); None when no delete governs `version`. */
-  private def resolveDvDir(
+    * inherits metadata committed after the target. Returns
+    * (sidecarVersion, dir); None when nothing governs `version`. */
+  private def sidecarResolve(
       spark: SparkSession,
-      tablePath: String,
+      rootDir: String,
       version: Long): Option[(Long, String)] = {
-    val f = fs(spark, tablePath)
-    val root = new Path(dvRoot(tablePath))
+    val f = fs(spark, rootDir)
+    val root = new Path(rootDir)
     if (!f.exists(root)) None
     else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .flatMap { p =>
@@ -831,6 +843,13 @@ object Snapshots {
       }
       .filter(_._1 <= version).sortBy(_._1).lastOption
   }
+
+  /** See [[sidecarResolve]] — the deletion-vector instance. */
+  private def resolveDvDir(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Option[(Long, String)] =
+    sidecarResolve(spark, dvRoot(tablePath), version)
 
   /** The governing DV set of `version` as a (file, row_index) frame —
     * None when no delete governs it. Metadata-scale: bounded by rows
@@ -912,6 +931,146 @@ object Snapshots {
       p.select(col("file"), col("row_index")).unionByName(fresh))
     writeDvSet(spark, tablePath, version, full)
     publishRows(spark, tablePath, version, fileRows, schemaJson, ts)
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints — declarative row invariants enforced at ingest
+  // ------------------------------------------------------------------
+
+  private def constraintsRoot(tablePath: String): String =
+    s"$tablePath/_constraints"
+
+  private def constraintsDir(tablePath: String, version: Long): String =
+    s"${constraintsRoot(tablePath)}/v$version"
+
+  private def constraintSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("expr",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The CHECK constraints GOVERNING `version`, as (name, exprSql)
+    * pairs — the versioned sidecar family again ([[sidecarResolve]]):
+    * each `_constraints/v<N>` holds the full active set of its
+    * version, so constraints travel with the table, appends inherit,
+    * and every face replays with exactly the invariants it was
+    * written under. */
+  def constraintsAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[(String, String)] =
+    sidecarResolve(spark, constraintsRoot(tablePath), version).map {
+      case (_, dir) =>
+        spark.read.schema(constraintSchema).parquet(dir)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+    }.getOrElse(Seq.empty)
+
+  private def writeConstraints(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      set: Seq[(String, String)]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        set.map(c => Row(c._1, c._2)), 1), constraintSchema)
+      .coalesce(1)
+      .write.mode("errorifexists")
+      .parquet(constraintsDir(tablePath, version))
+
+  /** Wrap a fresh batch in its governing CHECK constraints as an
+    * `assert_true` filter that RIDES the write job — Delta's
+    * invariant-enforcement shape: zero extra passes (the expressions
+    * evaluate inside the write tasks, codegen'd with the rest of the
+    * projection), and the first violating row aborts the job with the
+    * constraint's name before anything publishes. SQL CHECK
+    * three-valued semantics: a row violates only when the expression
+    * is FALSE — null/unknown passes (`coalesce(expr, true)`). An
+    * aborted write leaves a claimed marker and partial files — the
+    * same benign debris any crashed committer leaves
+    * ([[removeOrphans]]' job); the manifest never saw the batch. */
+  private def constraintGuard(
+      spark: SparkSession,
+      tablePath: String,
+      parent: Option[Long],
+      df: DataFrame): DataFrame = {
+    val active = parent
+      .map(constraintsAsOf(spark, tablePath, _)).getOrElse(Seq.empty)
+    if (active.isEmpty) df
+    else df.filter(active.map { case (n, e) =>
+      assert_true(coalesce(expr(e), lit(true)),
+        lit(s"CHECK constraint '$n' violated: $e")).isNull
+    }.reduce(_ && _))
+  }
+
+  /** The latest generation's manifest rows + stored schema JSON — the
+    * shared fixture of every METADATA-ONLY commit (deletes,
+    * constraint changes): the new version repoints these verbatim. */
+  private def headGeneration(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long)
+      : (Seq[(String, String, Option[Long])], String) = {
+    val gen = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("part"), col("rows"), col("schema_json"))
+      .collect()
+    (gen.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq,
+      if (gen.head.isNullAt(3)) null else gen.head.getString(3))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: a metadata-only commit (parent files
+    * repointed verbatim) that installs a named CHECK expression
+    * enforced on every subsequent ingest ([[constraintGuard]] rides
+    * each write job). Delta's semantics: the EXISTING face must
+    * already satisfy the new invariant — one explicit validation scan,
+    * the honest cost of retrofitting — so a constraint can never be
+    * true of some of a version's rows. Returns the minted version. */
+  def addConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      exprSql: String): Long = {
+    require(name.nonEmpty, "addConstraint needs a constraint name")
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"addConstraint: $tablePath has no committed versions"))
+    val active = constraintsAsOf(spark, tablePath, observed)
+    require(!active.exists(_._1 == name),
+      s"addConstraint: constraint '$name' already exists on $tablePath")
+    val bad = readAsOf(spark, tablePath, observed)
+      .filter(expr(exprSql) === lit(false)).limit(1).collect()
+    require(bad.isEmpty,
+      s"addConstraint('$name'): existing rows of $tablePath violate " +
+        s"'$exprSql' — fix the data (or the expression) first")
+    val (fileRows, schemaJson) = headGeneration(spark, tablePath, observed)
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    writeConstraints(spark, tablePath, version,
+      active :+ (name -> exprSql))
+    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — the metadata-only inverse. Past
+    * versions keep their governing set (a face replays with the
+    * invariants it was written under); only ingest from here on stops
+    * checking. Returns the minted version. */
+  def dropConstraint(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropConstraint: $tablePath has no committed versions"))
+    val active = constraintsAsOf(spark, tablePath, observed)
+    require(active.exists(_._1 == name),
+      s"dropConstraint: no constraint '$name' on $tablePath")
+    val (fileRows, schemaJson) = headGeneration(spark, tablePath, observed)
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    writeConstraints(spark, tablePath, version,
+      active.filterNot(_._1 == name))
+    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
   }
 
   /** Render a partition value the way Spark's writer renders it into a
@@ -1270,6 +1429,12 @@ object Snapshots {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema))
       writeDvSet(spark, tablePath, version, restored)
     }
+    // same restore rule for the CHECK-constraint sidecar: the rolled-
+    // back head is governed by the TARGET's invariants, not by
+    // constraint changes committed after it
+    if (fs(spark, tablePath).exists(new Path(constraintsRoot(tablePath))))
+      writeConstraints(spark, tablePath, version,
+        constraintsAsOf(spark, tablePath, toVersion))
     publishRows(spark, tablePath, version, rows, schemaJson, ts)
   }
 
@@ -1314,6 +1479,11 @@ object Snapshots {
     // a clone of a deleted-from snapshot must not resurrect its rows
     dvSet(spark, srcTable, version).foreach(d =>
       writeDvSet(spark, dstTable, v, d))
+    // and so do the governing CHECK constraints — the fork starts life
+    // under the same invariants it was cut from
+    val srcConstraints = constraintsAsOf(spark, srcTable, version)
+    if (srcConstraints.nonEmpty)
+      writeConstraints(spark, dstTable, v, srcConstraints)
     publishRows(spark, dstTable, v, rows, schemaJson, None)
   }
 
@@ -1498,7 +1668,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    df.write.mode("errorifexists").parquet(dataPath)
+    constraintGuard(spark, tablePath, observed, df)
+      .write.mode("errorifexists").parquet(dataPath)
     val staged = spark.read.schema(nullableTop(df.schema)).parquet(dataPath)
     val report = audit(staged)
     require(report.columns.contains("n_violations"),

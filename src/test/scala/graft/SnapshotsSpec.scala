@@ -997,6 +997,86 @@ class SnapshotsSpec extends SparkSuite {
       s"purge must refuse on live DV entries, got: ${err.getMessage}")
   }
 
+  test("CHECK constraints: addConstraint validates the existing face, " +
+    "enforcement rides every ingest write (violator aborts, nothing " +
+    "publishes), null passes (SQL three-valued), drop lifts the gate") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, Some(10L)), (2L, None)).toDF("id", "amt"),
+      tbl, append = false)
+    // retrofit refused while existing rows violate
+    val bad = intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, tbl, "big", "amt >= 100")
+    }
+    assert(bad.getMessage.contains("existing rows"))
+    // a satisfiable constraint lands as a METADATA-ONLY version
+    // (null amt passes — three-valued CHECK semantics)
+    val vC = Snapshots.addConstraint(spark, tbl, "amt_pos", "amt > 0")
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(m.filter(_._1 == vC).map(_._2).toSet ==
+      m.filter(_._1 == 0L).map(_._2).toSet,
+      "addConstraint must repoint the parent's files verbatim")
+    assert(Snapshots.constraintsAsOf(spark, tbl, vC) ==
+      Seq(("amt_pos", "amt > 0")))
+    assert(Snapshots.constraintsAsOf(spark, tbl, 0L).isEmpty,
+      "the pre-constraint face is governed by nothing")
+    // a violating batch aborts inside the write job; no version lands
+    val boom = intercept[Exception] {
+      Snapshots.commit(spark,
+        Seq((3L, Some(-5L))).toDF("id", "amt"), tbl, append = true)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(boom).exists(m => m != null && m.contains("amt_pos")),
+      s"the abort must name the constraint, got: ${chain(boom)}")
+    assert(Snapshots.latestVersion(spark, tbl).contains(vC),
+      "a refused batch must not mint a published version")
+    // nulls pass, valid rows pass
+    val vOk = Snapshots.commit(spark,
+      Seq((4L, Some(7L)), (5L, None)).toDF("id", "amt"),
+      tbl, append = true)
+    assert(Snapshots.readAsOf(spark, tbl, vOk).count() == 4L)
+    // drop lifts the gate for subsequent ingest
+    Snapshots.dropConstraint(spark, tbl, "amt_pos")
+    Snapshots.commit(spark,
+      Seq((6L, Some(-1L))).toDF("id", "amt"), tbl, append = true)
+    assert(Snapshots.latestVersion(spark, tbl).exists(v =>
+      Snapshots.readAsOf(spark, tbl, v).count() == 5L))
+  }
+
+  test("CHECK constraints travel: rollback restores the target's " +
+    "governing set; cloneTable transfers it; partitioned merges " +
+    "enforce on their inserts") {
+    val tbl = freshTable()
+    val rows = Seq((1L, "x", 5L), (2L, "y", 6L)).toDF("id", "p", "amt")
+    Snapshots.commitPartitioned(spark, rows, tbl, "p", append = false)
+    val vC = Snapshots.addConstraint(spark, tbl, "amt_pos", "amt > 0")
+    // merge inserts are gated
+    intercept[Exception] {
+      Snapshots.mergePartitioned(spark, tbl,
+        Seq((3L, "x", -9L)).toDF("id", "p", "amt"), Seq("id"), "p")
+    }
+    // the clone starts life under the same invariants
+    val clone = Files.createTempDirectory("snap_spec_").toString + "/fork"
+    Snapshots.cloneTable(spark, tbl, vC, clone)
+    assert(Snapshots.constraintsAsOf(spark, clone, 0L) ==
+      Seq(("amt_pos", "amt > 0")))
+    intercept[Exception] {
+      Snapshots.commit(spark,
+        Seq((9L, "z", -1L)).toDF("id", "p", "amt"), clone, append = true)
+    }
+    // rollback to the pre-constraint version lifts the gate on the
+    // restored head (the target's EMPTY set masks the later add)
+    val vBack = Snapshots.rollback(spark, tbl, 0L)
+    assert(Snapshots.constraintsAsOf(spark, tbl, vBack).isEmpty)
+    Snapshots.commitPartitioned(spark,
+      Seq((4L, "x", -2L)).toDF("id", "p", "amt"), tbl, "p",
+      append = true)
+    assert(Snapshots.latestVersion(spark, tbl).exists(v =>
+      Snapshots.readAsOf(spark, tbl, v).count() == 3L))
+  }
+
   test("deleteWhere on a partitioned lineage: scanPartitionAsOf " +
     "applies the governing set; mergePartitioned rewrites touched " +
     "partitions WITHOUT resurrecting DV-deleted rows") {
