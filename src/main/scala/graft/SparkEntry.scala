@@ -810,6 +810,38 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q52_recursive_closure" -> ((s, dir) => {
+      // SQL-surface parity: WITH RECURSIVE (Spark 4's UnionLoop)
+      // computes a bounded-hop min-distance closure over a DATA-DERIVED
+      // graph — the dominant direction of each event-type transition
+      // (edge kept iff count(A→B) > count(B→A), the antisymmetric
+      // tournament) — the declarative twin of the explicit iterative
+      // loops the graph family runs (CC/SCC/PageRank, which remain the
+      // scale path: each UnionLoop round re-plans the full join).
+      // DuckDB runs the textually identical recursion as the oracle.
+      t(s, dir, "events").createOrReplaceTempView("ev_rec_q52")
+      s.sql(
+        """WITH RECURSIVE
+          |seq AS (SELECT user_id, event_type,
+          |  lead(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS nxt
+          | FROM ev_rec_q52),
+          |pc AS (SELECT event_type AS src, nxt AS dst,
+          |  CAST(count(*) AS BIGINT) AS c
+          | FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          |edges AS (SELECT a.src, a.dst FROM pc a LEFT JOIN pc b
+          |  ON a.src = b.dst AND a.dst = b.src
+          | WHERE a.src <> a.dst AND a.c > coalesce(b.c, CAST(0 AS BIGINT))),
+          |reach(src, dst, hops) AS (
+          |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM edges
+          |  UNION ALL
+          |  SELECT r.src, e.dst, r.hops + 1
+          |  FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE r.hops < 4 AND e.dst <> r.src)
+          |SELECT src, dst, min(hops) AS min_hops
+          |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+    }),
+
     "q51_snapshot_constraints" -> ((s, dir) => {
       // versioned CHECK constraints: declared once as a metadata-only
       // commit (parent files repointed, existing face validated), then
@@ -3339,6 +3371,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("island"))
     }),
 
+    "ev_unpivot" -> ((s, dir) => {
+      // the inverse reshape: the wide per-user activity matrix melted
+      // back to long (user_id, event_type, n) via the native unpivot
+      // operator (an Expand node — each input row fans out to five,
+      // zero shuffles; the only exchange is ev_pivot's own groupBy).
+      // Zero-count cells are kept: a melt must be lossless on the
+      // matrix, the round-trip property the spec pins.
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "ev_pivot" -> ((s, dir) => {
       // per-user activity matrix: event-type counts pivoted wide. The
       // value list is EXPLICIT, so no extra distinct-scan job runs
@@ -5378,6 +5429,28 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // the textually identical recursion (DuckDB's WITH RECURSIVE)
+      "q52_recursive_closure" ->
+        """WITH RECURSIVE
+          |seq AS (SELECT user_id, event_type,
+          |  lead(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS nxt
+          | FROM events),
+          |pc AS (SELECT event_type AS src, nxt AS dst,
+          |  CAST(count(*) AS BIGINT) AS c
+          | FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          |edges AS (SELECT a.src, a.dst FROM pc a LEFT JOIN pc b
+          |  ON a.src = b.dst AND a.dst = b.src
+          | WHERE a.src <> a.dst AND a.c > coalesce(b.c, CAST(0 AS BIGINT))),
+          |reach(src, dst, hops) AS (
+          |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM edges
+          |  UNION ALL
+          |  SELECT r.src, e.dst, r.hops + 1
+          |  FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE r.hops < 4 AND e.dst <> r.src)
+          |SELECT src, dst, min(hops) AS min_hops
+          |FROM reach GROUP BY src, dst ORDER BY src, dst""".stripMargin,
 
       // the head face after the refused batch: exactly the two clean
       // modulus slices — the botch contributed nothing
@@ -7676,6 +7749,17 @@ object SparkEntry {
       // conditional aggregation — the relational reading of a pivot;
       // FILTER counts yield 0 (not NULL) for absent combinations, the
       // engine's na.fill twin
+      // the melt replayed as a grid: every (user, type) cell incl. zeros
+      "ev_unpivot" ->
+        """SELECT u.user_id, t.event_type,
+          | CAST(count(e.event_id) AS BIGINT) AS n
+          |FROM (SELECT DISTINCT user_id FROM events) u
+          |CROSS JOIN (VALUES ('click'), ('error'), ('purchase'),
+          |  ('signup'), ('view')) AS t(event_type)
+          |LEFT JOIN events e
+          |  ON e.user_id = u.user_id AND e.event_type = t.event_type
+          |GROUP BY 1, 2 ORDER BY u.user_id, t.event_type""".stripMargin,
+
       "ev_pivot" ->
         """SELECT user_id,
           | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

@@ -118,6 +118,28 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ev_unpivot: the melt is an Expand over the pivoted aggregate — " +
+    "no exchange beyond the pivot's own groupBy, and the round-trip " +
+    "is lossless") {
+    val p = plan("ev_unpivot")
+    assert(p.contains("Expand"),
+      s"unpivot must plan as an Expand (row fan-out, zero shuffle):\n$p")
+    // the pivot pays two exchanges ((user,type) pre-agg, then the
+    // user-level pivotfirst) and the final orderBy one more — the melt
+    // itself must add none
+    assert(countIn(p, "Exchange") <= 3,
+      s"the melt added an exchange:\n$p")
+    // losslessness: melting the matrix and re-summing per user equals
+    // the plain per-user event count
+    val melted = SparkEntry.queries("ev_unpivot")(spark, dir)
+      .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(melted == direct)
+  }
+
   test("year inference (windowed): exactly one hash exchange on the group key") {
     val base = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
