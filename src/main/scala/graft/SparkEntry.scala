@@ -810,6 +810,38 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q53_snapshot_rename" -> ((s, dir) => {
+      // RENAME/DROP COLUMN as pure metadata (the field-id idea reduced
+      // to names): files keep their PHYSICAL column names forever, a
+      // `_colmap` sidecar moves the logical label — zero bytes
+      // rewritten on a 100-TB table. v0 commits under "cents", v1
+      // renames to value_cents, v2 APPENDS speaking the new name (the
+      // write translates back to the old physical), v3 drops
+      // event_type (pruned at scan, tombstoned against resurrection).
+      // The head face must equal the plain projection of all events
+      // under the final names. SnapshotsSpec pins the per-face schema,
+      // tombstone refusals, rollback/clone travel, and the loud guards
+      // on name-addressed sidecar verbs.
+      val tbl = s"$artifactRoot/snap_rename_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+      Snapshots.commit(s,
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("cents")),
+        tbl, append = false)
+      Snapshots.renameColumn(s, tbl, "cents", "value_cents")
+      Snapshots.commit(s,
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_cents")),
+        tbl, append = true)
+      val v3 = Snapshots.dropColumn(s, tbl, "event_type")
+      Snapshots.readAsOf(s, tbl, v3)
+        .select(col("event_id"), col("user_id"), col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     "q52_recursive_closure" -> ((s, dir) => {
       // SQL-surface parity: WITH RECURSIVE (Spark 4's UnionLoop)
       // computes a bounded-hop min-distance closure over a DATA-DERIVED
@@ -5427,6 +5459,13 @@ object SparkEntry {
       // table — exactly-once means nothing lost AND nothing doubled
       "ev_stream_snapshot_ingest" ->
         """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // the head face after rename + append + drop: all events under
+      // the final logical names
+      "q53_snapshot_rename" ->
+        """SELECT event_id, user_id,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
 

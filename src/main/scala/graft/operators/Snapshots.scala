@@ -378,7 +378,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    constraintGuard(spark, tablePath, observed, df)
+    toPhysical(spark, tablePath, observed,
+      constraintGuard(spark, tablePath, observed, df))
       .write.mode("errorifexists").parquet(dataPath)
     val fresh = footerCounts(spark,
       listDataFiles(spark, dataPath).map((_, null: String)))
@@ -409,7 +410,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    constraintGuard(spark, tablePath, observed, df)
+    toPhysical(spark, tablePath, observed,
+      constraintGuard(spark, tablePath, observed, df))
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
       footerCounts(spark, listPartitionedFiles(spark, dataPath)),
@@ -515,18 +517,21 @@ object Snapshots {
     // scan too — a rewrite that read the raw files would resurrect
     // DV-deleted rows into the new generation's fresh files
     val dv = dvSet(spark, tablePath, latest)
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, latest))
     val survivors =
       if (touchedFiles.isEmpty) inserts.limit(0)
       else {
-        val scan = readPartedFiles(spark,
-          touchedFiles.map { case (f, p, _) => (f, p) }, parentSchema,
-          withMeta = dv.isDefined)
+        val scan = fromPhysical(readPartedFiles(spark,
+          touchedFiles.map { case (f, p, _) => (f, p) },
+          parentSchema.map(physicalSchema(_, l2p)),
+          withMeta = dv.isDefined), l2p)
         dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
           .join(updates.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
       }
-    constraintGuard(spark, tablePath, Some(latest),
-      survivors.unionByName(inserts))
+    toPhysical(spark, tablePath, Some(latest),
+      constraintGuard(spark, tablePath, Some(latest),
+        survivors.unionByName(inserts)))
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     val schema = parentSchema
       .map(ps => mergeSchemas(ps, nullableTop(inserts.schema)))
@@ -601,9 +606,12 @@ object Snapshots {
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
     val dv = dvSet(spark, tablePath, version)
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
     val base = readFileRows(spark, rows.toSeq,
-      storedSchema(spark, tablePath, version), withMeta = dv.isDefined)
-    dv.fold(base)(d => applyDv(base, d).drop(DvFileCol, DvPosCol))
+      storedSchema(spark, tablePath, version).map(physicalSchema(_, l2p)),
+      withMeta = dv.isDefined)
+    val logical = fromPhysical(base, l2p)
+    dv.fold(logical)(d => applyDv(logical, d).drop(DvFileCol, DvPosCol))
   }
 
   /** Plan a read over (file, fragment) manifest rows: flat files read
@@ -668,8 +676,9 @@ object Snapshots {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
       val dv = dvSet(spark, tablePath, version)
-      val scan = readPartedFiles(spark, hit.toSeq, stored,
-        withMeta = dv.isDefined)
+      val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
+      val scan = fromPhysical(readPartedFiles(spark, hit.toSeq,
+        stored.map(physicalSchema(_, l2p)), withMeta = dv.isDefined), l2p)
       dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
     }
   }
@@ -773,6 +782,13 @@ object Snapshots {
           writeConstraints(spark, tablePath, keepFrom,
             constraintsAsOf(spark, tablePath, keepFrom))
       }
+    // and the column mapping
+    sidecarResolve(spark, colMapRoot(tablePath), keepFrom)
+      .foreach { case (cV, _) =>
+        if (cV < keepFrom)
+          writeColMap(spark, tablePath, keepFrom,
+            colMapAsOf(spark, tablePath, keepFrom))
+      }
 
     // per-version sidecars ride their version: expired generations'
     // stats dirs and commit markers go with their data (retained
@@ -780,7 +796,8 @@ object Snapshots {
     // an old marker can never free a number for re-minting)
     droppedVersions.foreach { v =>
       Seq(statsDir(tablePath, v), bloomDir(tablePath, v),
-        dvDir(tablePath, v), constraintsDir(tablePath, v)).foreach { d =>
+        dvDir(tablePath, v), constraintsDir(tablePath, v),
+        colMapDir(tablePath, v)).foreach { d =>
         val sd = new Path(d)
         if (f.exists(sd)) f.delete(sd, true)
       }
@@ -921,8 +938,11 @@ object Snapshots {
     val schemaJson =
       if (gen.head.isNullAt(3)) null else gen.head.getString(3)
     val prior = dvSet(spark, tablePath, observed)
-    val base = readFileRows(spark, fileRows.map(r => (r._1, r._2)),
-      storedSchema(spark, tablePath, observed), withMeta = true)
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, observed))
+    val base = fromPhysical(readFileRows(spark,
+      fileRows.map(r => (r._1, r._2)),
+      storedSchema(spark, tablePath, observed).map(physicalSchema(_, l2p)),
+      withMeta = true), l2p)
     val live = prior.fold(base)(applyDv(base, _))
     val fresh = live.filter(predicate)
       .select(col(DvFileCol).as("file"), col(DvPosCol).as("row_index"))
@@ -1073,6 +1093,196 @@ object Snapshots {
     publishRows(spark, tablePath, version, fileRows, schemaJson, None)
   }
 
+  // ------------------------------------------------------------------
+  // Column mapping — RENAME/DROP COLUMN as pure metadata (field-ids)
+  // ------------------------------------------------------------------
+
+  private def colMapRoot(tablePath: String): String = s"$tablePath/_colmap"
+
+  private def colMapDir(tablePath: String, version: Long): String =
+    s"${colMapRoot(tablePath)}/v$version"
+
+  private def colMapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("physical",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("logical",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** The column mapping GOVERNING `version`: (physical, logical) pairs
+    * where `logical = None` is a DROP tombstone. The Iceberg field-id
+    * idea reduced to names: data files carry a column's PHYSICAL name
+    * forever (assigned at column birth), renames and drops only move
+    * the logical label in this sidecar — zero data rewritten, O(1)
+    * metadata per schema change on a 100-TB table. Every write
+    * translates logical→physical before touching parquet; every read
+    * translates back. A dropped column's physical name stays
+    * tombstoned so a later re-add can never resurrect old file data
+    * under the same name (re-adds are refused loudly — the field-id
+    * refinement would mint a fresh physical name instead). Same
+    * versioned-sidecar family as DVs/constraints: latest-at-or-below,
+    * re-materialized by rollback/clone, folded by vacuum. */
+  def colMapAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[(String, Option[String])] =
+    sidecarResolve(spark, colMapRoot(tablePath), version).map {
+      case (_, dir) =>
+        spark.read.schema(colMapSchema).parquet(dir)
+          .collect().map(r => (r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getString(1))))
+          .sortBy(_._1).toSeq
+    }.getOrElse(Seq.empty)
+
+  private def writeColMap(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      set: Seq[(String, Option[String])]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        set.map(c => Row(c._1, c._2.orNull)), 1), colMapSchema)
+      .coalesce(1)
+      .write.mode("errorifexists")
+      .parquet(colMapDir(tablePath, version))
+
+  private def logicalToPhysical(
+      cmap: Seq[(String, Option[String])]): Map[String, String] =
+    cmap.collect { case (p, Some(l)) => l -> p }.toMap
+
+  /** Translate a LOGICAL frame to the PHYSICAL column names its files
+    * must carry. Refuses a fresh column whose name collides with a
+    * mapped or tombstoned physical name — silently writing it would
+    * alias old file data under the new column on read. */
+  private def toPhysical(
+      spark: SparkSession,
+      tablePath: String,
+      parent: Option[Long],
+      df: DataFrame): DataFrame = {
+    val cmap = parent
+      .map(v => colMapAsOf(spark, tablePath, v)).getOrElse(Seq.empty)
+    if (cmap.isEmpty) df
+    else {
+      val l2p = logicalToPhysical(cmap)
+      val reserved = cmap.map(_._1).toSet
+      df.columns.foreach { c =>
+        require(l2p.contains(c) || !reserved.contains(c),
+          s"column '$c' collides with a renamed or dropped column's " +
+            "physical name — a tombstoned name cannot be re-added " +
+            "(rename the new column first)")
+      }
+      l2p.foldLeft(df) { case (d, (l, p)) =>
+        if (l == p || !d.columns.contains(l)) d
+        else d.withColumnRenamed(l, p)
+      }
+    }
+  }
+
+  /** Translate a scanned PHYSICAL frame back to logical names. */
+  private def fromPhysical(
+      df: DataFrame,
+      l2p: Map[String, String]): DataFrame =
+    l2p.foldLeft(df) { case (d, (l, p)) =>
+      if (l == p || !d.columns.contains(p)) d
+      else d.withColumnRenamed(p, l)
+    }
+
+  /** The physical read schema for a stored LOGICAL schema. */
+  private def physicalSchema(
+      stored: org.apache.spark.sql.types.StructType,
+      l2p: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      stored.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+
+  /** Loud guard for the verbs that address columns inside sidecar
+    * FILES by name (clustered stats, blooms, purge rewrites) — their
+    * mapping-aware refinement is not built, and running them under a
+    * non-trivial mapping would silently miss renamed columns. */
+  private def requireNoColMap(
+      spark: SparkSession,
+      tablePath: String,
+      verb: String): Unit = {
+    val governed = latestVersion(spark, tablePath)
+      .map(v => colMapAsOf(spark, tablePath, v)).getOrElse(Seq.empty)
+    require(governed.forall { case (p, l) => l.contains(p) },
+      s"$verb: a column rename/drop mapping governs $tablePath — " +
+        "this verb addresses physical file columns by name and is not " +
+        "mapping-aware yet; run it before the schema change or extend " +
+        "it with the translation")
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a metadata-only commit: the new
+    * generation repoints the parent's files verbatim and its stored
+    * schema carries the new LOGICAL name, while the column-mapping
+    * sidecar records which PHYSICAL name the files keep. O(1) metadata
+    * on any table size — the rewrite-free rename copy-on-write cannot
+    * give. Partition columns refuse (fragments are path-encoded);
+    * legacy generations without a manifest-carried schema refuse. */
+  def renameColumn(
+      spark: SparkSession,
+      tablePath: String,
+      from: String,
+      to: String): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn: $tablePath has no committed versions"))
+    val stored = storedSchema(spark, tablePath, observed).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn: version $observed of $tablePath predates " +
+          "manifest-carried schemas — recommit first"))
+    require(stored.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in ${stored.fieldNames.mkString(",")}")
+    require(!stored.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists")
+    val (fileRows, _) = headGeneration(spark, tablePath, observed)
+    require(!fileRows.exists(r => r._2 != null && r._2.startsWith(s"$from=")),
+      s"renameColumn: '$from' is a partition column — its fragments " +
+        "are path-encoded and cannot be relabeled in metadata")
+    val cmap = colMapAsOf(spark, tablePath, observed)
+    require(!cmap.exists(_._1 == to),
+      s"renameColumn: '$to' collides with an existing physical name")
+    val phys = logicalToPhysical(cmap).getOrElse(from, from)
+    val newMap = cmap.filterNot(_._1 == phys) :+ (phys -> Some(to))
+    val newSchema = org.apache.spark.sql.types.StructType(
+      stored.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    writeColMap(spark, tablePath, version, newMap)
+    publishRows(spark, tablePath, version, fileRows, newSchema.json, None)
+  }
+
+  /** ALTER TABLE DROP COLUMN as a metadata-only commit: the field
+    * leaves the stored logical schema (so scans never even read its
+    * bytes — column pruning does the physical work) and its physical
+    * name is tombstoned in the mapping so no later commit can alias
+    * old file data by re-adding it. Past versions keep the column. */
+  def dropColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: $tablePath has no committed versions"))
+    val stored = storedSchema(spark, tablePath, observed).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: version $observed of $tablePath predates " +
+          "manifest-carried schemas — recommit first"))
+    require(stored.fieldNames.contains(name),
+      s"dropColumn: no column '$name' in ${stored.fieldNames.mkString(",")}")
+    require(stored.fields.length > 1,
+      "dropColumn: cannot drop the last column")
+    val (fileRows, _) = headGeneration(spark, tablePath, observed)
+    require(!fileRows.exists(r => r._2 != null && r._2.startsWith(s"$name=")),
+      s"dropColumn: '$name' is a partition column — drop is undefined " +
+        "for path-encoded fragments")
+    val cmap = colMapAsOf(spark, tablePath, observed)
+    val phys = logicalToPhysical(cmap).getOrElse(name, name)
+    val newMap = cmap.filterNot(_._1 == phys) :+ (phys -> None)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      stored.fields.filterNot(_.name == name))
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    writeColMap(spark, tablePath, version, newMap)
+    publishRows(spark, tablePath, version, fileRows, newSchema.json, None)
+  }
+
   /** Render a partition value the way Spark's writer renders it into a
     * directory name: hive path-escaping ('=', ':', '%', '/', … become
     * `%XX`). Manifest fragments are recorded from the written
@@ -1103,6 +1313,7 @@ object Snapshots {
       numFiles: Int,
       append: Boolean): Long = {
     require(numFiles >= 1, "numFiles must be positive")
+    requireNoColMap(spark, tablePath, "commitClustered")
     val clustered = df
       .repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
@@ -1145,6 +1356,7 @@ object Snapshots {
       keyCol: String,
       lo: Any,
       hi: Any): DataFrame = {
+    requireNoColMap(spark, tablePath, "scanRangeAsOf")
     val sd = statsDir(tablePath, version)
     require(fs(spark, tablePath).exists(new Path(sd)),
       s"no stats manifest for version $version of $tablePath — not " +
@@ -1190,6 +1402,7 @@ object Snapshots {
       expectedPerFile: Long = 100000L,
       fpp: Double = 0.01,
       ts: Option[Long] = None): Long = {
+    requireNoColMap(spark, tablePath, "commitBloom")
     require(expectedPerFile > 0, "expectedPerFile must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val observed = latestVersion(spark, tablePath)
@@ -1268,6 +1481,7 @@ object Snapshots {
       version: Long,
       keyCol: String,
       value: Any): DataFrame = {
+    requireNoColMap(spark, tablePath, "scanPointAsOf")
     val bd = bloomDir(tablePath, version)
     require(fs(spark, tablePath).exists(new Path(bd)),
       s"no bloom sidecar for version $version of $tablePath — not " +
@@ -1435,6 +1649,11 @@ object Snapshots {
     if (fs(spark, tablePath).exists(new Path(constraintsRoot(tablePath))))
       writeConstraints(spark, tablePath, version,
         constraintsAsOf(spark, tablePath, toVersion))
+    // and for the column mapping: the restored head reads and writes
+    // under the TARGET's names, masking later renames/drops
+    if (fs(spark, tablePath).exists(new Path(colMapRoot(tablePath))))
+      writeColMap(spark, tablePath, version,
+        colMapAsOf(spark, tablePath, toVersion))
     publishRows(spark, tablePath, version, rows, schemaJson, ts)
   }
 
@@ -1484,6 +1703,9 @@ object Snapshots {
     val srcConstraints = constraintsAsOf(spark, srcTable, version)
     if (srcConstraints.nonEmpty)
       writeConstraints(spark, dstTable, v, srcConstraints)
+    val srcColMap = colMapAsOf(spark, srcTable, version)
+    if (srcColMap.nonEmpty)
+      writeColMap(spark, dstTable, v, srcColMap)
     publishRows(spark, dstTable, v, rows, schemaJson, None)
   }
 
@@ -1637,7 +1859,12 @@ object Snapshots {
       val schema = stored.getOrElse(
         readAsOf(spark, tablePath, toVersion).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else readFileRows(spark, fresh, stored)
+    } else {
+      val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, toVersion))
+      fromPhysical(
+        readFileRows(spark, fresh, stored.map(physicalSchema(_, l2p))),
+        l2p)
+    }
   }
 
   /** WRITE-AUDIT-PUBLISH: stage the batch's data files, run the audit
@@ -1668,9 +1895,14 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    constraintGuard(spark, tablePath, observed, df)
+    toPhysical(spark, tablePath, observed,
+      constraintGuard(spark, tablePath, observed, df))
       .write.mode("errorifexists").parquet(dataPath)
-    val staged = spark.read.schema(nullableTop(df.schema)).parquet(dataPath)
+    val l2pAud = logicalToPhysical(observed
+      .map(v => colMapAsOf(spark, tablePath, v)).getOrElse(Seq.empty))
+    val staged = fromPhysical(spark.read
+      .schema(physicalSchema(nullableTop(df.schema), l2pAud))
+      .parquet(dataPath), l2pAud)
     val report = audit(staged)
     require(report.columns.contains("n_violations"),
       "commitAudited: the audit report must carry an n_violations column")
@@ -1728,6 +1960,7 @@ object Snapshots {
       keys: DataFrame,
       keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "purgeKeys needs key columns")
+    requireNoColMap(spark, tablePath, "purgeKeys")
     val m = manifest(spark, tablePath).collect()
     require(m.nonEmpty, s"$tablePath has no committed versions")
     // purge rewrites files under NEW paths; a live deletion-vector

@@ -1077,6 +1077,116 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("renameColumn: pure metadata — files verbatim, new head reads " +
+    "the new name over old bytes, past faces keep their names, appends " +
+    "write the new logical name into the OLD physical column") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "amt"), tbl, append = false)
+    val vR = Snapshots.renameColumn(spark, tbl, "amt", "amount")
+    // zero data movement
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(m.filter(_._1 == vR).map(_._2).toSet ==
+      m.filter(_._1 == 0L).map(_._2).toSet)
+    // the head face carries the new logical name with the old values
+    val head = Snapshots.readAsOf(spark, tbl, vR)
+    assert(head.columns.toSeq == Seq("id", "amount"))
+    assert(head.select($"amount").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 20L))
+    // the past face is untouched
+    assert(Snapshots.readAsOf(spark, tbl, 0L).columns.toSeq ==
+      Seq("id", "amt"))
+    // appends speak the new name; old and new files read back merged
+    val vA = Snapshots.commit(spark,
+      Seq((3L, 30L)).toDF("id", "amount"), tbl, append = true)
+    assert(Snapshots.readAsOf(spark, tbl, vA)
+      .select($"amount").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+    // chained rename collapses to one mapping entry
+    val vC = Snapshots.renameColumn(spark, tbl, "amount", "cents")
+    assert(Snapshots.readAsOf(spark, tbl, vC)
+      .select($"cents").count() == 3L)
+    assert(Snapshots.colMapAsOf(spark, tbl, vC)
+      .collect { case (p, Some(l)) => (p, l) }.toSet ==
+      Set(("amt", "cents")))
+  }
+
+  test("dropColumn tombstones the physical name: the head face prunes " +
+    "it, history keeps it, re-adding the name refuses instead of " +
+    "resurrecting old bytes; rollback and clone carry the mapping") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "amt", "tag"),
+      tbl, append = false)
+    val vD = Snapshots.dropColumn(spark, tbl, "tag")
+    assert(Snapshots.readAsOf(spark, tbl, vD).columns.toSeq ==
+      Seq("id", "amt"))
+    assert(Snapshots.readAsOf(spark, tbl, 0L).columns.toSeq ==
+      Seq("id", "amt", "tag"))
+    // a fresh batch re-adding the dropped logical name must refuse —
+    // read-by-name would alias the old file bytes under it
+    val boom = intercept[Exception] {
+      Snapshots.commit(spark,
+        Seq((3L, 30L, "z")).toDF("id", "amt", "tag"), tbl, append = true)
+    }
+    assert(boom.getMessage.contains("tombstoned") ||
+      boom.getMessage.contains("physical"),
+      s"unexpected: ${boom.getMessage}")
+    // renaming another column INTO the tombstoned name also refuses
+    intercept[Exception] {
+      Snapshots.renameColumn(spark, tbl, "amt", "tag")
+    }
+    // rollback restores the pre-drop face (mapping re-materialized)
+    val vBack = Snapshots.rollback(spark, tbl, 0L)
+    assert(Snapshots.readAsOf(spark, tbl, vBack).columns.toSeq ==
+      Seq("id", "amt", "tag"))
+    // a clone of the dropped face starts under the same mapping
+    val clone = Files.createTempDirectory("snap_spec_").toString + "/fork"
+    Snapshots.cloneTable(spark, tbl, vD, clone)
+    assert(Snapshots.readAsOf(spark, clone, 0L).columns.toSeq ==
+      Seq("id", "amt"))
+    intercept[Exception] {
+      Snapshots.commit(spark,
+        Seq((9L, 90L, "w")).toDF("id", "amt", "tag"), clone,
+        append = true)
+    }
+  }
+
+  test("column mapping composes with deletes, partitioned merges and " +
+    "the audited commit; name-addressed sidecar verbs refuse loudly") {
+    val tbl = freshTable()
+    val rows = Seq((1L, "x", 5L), (2L, "x", 6L), (3L, "y", 7L))
+      .toDF("id", "p", "amt")
+    Snapshots.commitPartitioned(spark, rows, tbl, "p", append = false)
+    Snapshots.renameColumn(spark, tbl, "amt", "amount")
+    // partition columns cannot be renamed (path-encoded fragments)
+    intercept[Exception] {
+      Snapshots.renameColumn(spark, tbl, "p", "q")
+    }
+    // deleteWhere speaks the logical name
+    val vDel = Snapshots.deleteWhere(spark, tbl, $"amount" === 6L)
+    assert(Snapshots.readAsOf(spark, tbl, vDel)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    // a partitioned merge reads survivors and writes under the mapping
+    val vM = Snapshots.mergePartitioned(spark, tbl,
+      Seq((4L, "x", 9L)).toDF("id", "p", "amount"), Seq("id"), "p")
+    val face = Snapshots.readAsOf(spark, tbl, vM)
+    assert(face.columns.sorted.toSeq == Seq("amount", "id", "p"))
+    assert(face.select($"id", $"amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq((1L, 5L), (3L, 7L), (4L, 9L)))
+    // stats/bloom/purge address physical file columns by name — refuse
+    intercept[IllegalArgumentException] {
+      Snapshots.commitClustered(spark, rows, tbl, "id", 2, append = true)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.purgeKeys(spark, tbl, Seq(Tuple1(1L)).toDF("id"),
+        Seq("id"))
+    }
+  }
+
   test("deleteWhere on a partitioned lineage: scanPartitionAsOf " +
     "applies the governing set; mergePartitioned rewrites touched " +
     "partitions WITHOUT resurrecting DV-deleted rows") {
