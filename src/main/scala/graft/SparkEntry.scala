@@ -810,6 +810,30 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q54_snapshot_cdc" -> ((s, dir) => {
+      // the O(delta) row-level CDC feed over an append+delete lineage:
+      // v0 commits evens, v1 appends odds, v2 deletion-vectors the
+      // purchases away; the v0→v2 changes are '+' for odd
+      // non-purchases (odd purchases were added AND deleted inside the
+      // interval — net nothing) and '-' for even purchases (real
+      // deletes of pre-existing rows), with only the fresh files and
+      // the delete-carrying files scanned (diff() is the O(table)
+      // fallback; SnapshotsSpec pins netting, resurrection, refusal).
+      val tbl = s"$artifactRoot/snap_cdc_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        tbl, append = true)
+      val v2 = Snapshots.deleteWhere(s, tbl,
+        col("event_type") === "purchase")
+      Snapshots.readChangesBetween(s, tbl, v0, v2)
+        .orderBy(col("change"), col("event_id"))
+    }),
+
     "q53_snapshot_rename" -> ((s, dir) => {
       // RENAME/DROP COLUMN as pure metadata (the field-id idea reduced
       // to names): files keep their PHYSICAL column names forever, a
@@ -5461,6 +5485,21 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // net interval changes: '+' odd non-purchases (odd purchases
+      // netted out inside the interval), '-' even purchases
+      "q54_snapshot_cdc" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | '+' AS change FROM ev
+          |WHERE event_id % 2 = 1 AND event_type <> 'purchase'
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents,
+          | '-' AS change FROM ev
+          |WHERE event_id % 2 = 0 AND event_type = 'purchase'
+          |ORDER BY change, event_id""".stripMargin,
 
       // the head face after rename + append + drop: all events under
       // the final logical names

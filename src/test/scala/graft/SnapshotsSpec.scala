@@ -1077,6 +1077,39 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("readChangesBetween: O(delta) CDC — fresh rows '+', DV deletes " +
+    "'-' on pre-existing rows only, an intra-interval add+delete nets " +
+    "to zero, a rollback resurrection comes back as '+'") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      tbl, append = false)
+    val v1 = Snapshots.commit(spark,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"), tbl, append = true)
+    val v2 = Snapshots.deleteWhere(spark, tbl, $"id".isin(2L, 3L))
+    def changes(a: Long, b: Long) =
+      Snapshots.readChangesBetween(spark, tbl, a, b)
+        .select($"change", $"id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    // id 3 was added AND deleted inside [v0, v2] — nets to nothing;
+    // id 2 existed at v0 — a real delete; id 4 a real add; id 1 silent
+    assert(changes(0L, v2) == Set(("+", 4L), ("-", 2L)))
+    // from v1 both deletes hit pre-existing rows
+    assert(changes(v1, v2) == Set(("-", 2L), ("-", 3L)))
+    // a rollback that resurrects emits the rows back
+    val v3 = Snapshots.rollback(spark, tbl, v1)
+    assert(changes(v2, v3) == Set(("+", 2L), ("+", 3L)))
+    // the empty interval is the empty frame with the change column
+    assert(Snapshots.readChangesBetween(spark, tbl, v2, v2).count() == 0L)
+    // a replace in the interval refuses toward diff()
+    Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"),
+      tbl, append = false)
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.readChangesBetween(spark, tbl, v3,
+        Snapshots.latestVersion(spark, tbl).get)
+    }
+    assert(err.getMessage.contains("diff()"))
+  }
+
   test("renameColumn: pure metadata — files verbatim, new head reads " +
     "the new name over old bytes, past faces keep their names, appends " +
     "write the new logical name into the OLD physical column") {
