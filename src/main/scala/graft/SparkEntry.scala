@@ -810,6 +810,37 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q55_partition_evolution" -> ((s, dir) => {
+      // partition evolution: era 1 lands partitioned by event_type,
+      // era 2 switches the layout to a user bucket — zero bytes of
+      // history rewritten (the manifest carries each file's own
+      // fragment). The evolved scan composes three metadata decisions:
+      // fragment-match on the queried key, outright prune of same-key
+      // other-value fragments, and a data-filter fallback over the
+      // other era's files (the key is carried as DATA from day one —
+      // the evolution contract). Both directions exercised: the new
+      // key prunes era 2, the old key prunes era 1; the naive
+      // fragment-only scan refuses the mixed layout (spec-pinned).
+      val tbl = s"$artifactRoot/snap_evolve_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          (col("user_id") % 4).as("ub"))
+      Snapshots.commitPartitioned(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, "event_type", append = false)
+      val v1 = Snapshots.commitPartitioned(s,
+        ev.filter(col("event_id") % 2 === 1), tbl, "ub", append = true)
+      val cols = Seq("event_id", "user_id", "event_type",
+        "value_cents", "ub").map(col)
+      Snapshots.scanPartitionEvolved(s, tbl, v1, "ub", 2L)
+        .select(cols :+ lit(1L).as("face"): _*)
+        .unionByName(
+          Snapshots.scanPartitionEvolved(s, tbl, v1, "event_type", "click")
+            .select(cols :+ lit(2L).as("face"): _*))
+        .orderBy(col("face"), col("event_id"))
+    }),
+
     "q54_snapshot_cdc" -> ((s, dir) => {
       // the O(delta) row-level CDC feed over an append+delete lineage:
       // v0 commits evens, v1 appends odds, v2 deletion-vectors the
@@ -5485,6 +5516,18 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // both evolved-scan faces recomputed as plain filters
+      "q55_partition_evolution" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents,
+          |  user_id % 4 AS ub FROM events)
+          |SELECT event_id, user_id, event_type, value_cents, ub,
+          | CAST(1 AS BIGINT) AS face FROM ev WHERE ub = 2
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents, ub,
+          | CAST(2 AS BIGINT) AS face FROM ev WHERE event_type = 'click'
+          |ORDER BY face, event_id""".stripMargin,
 
       // net interval changes: '+' odd non-purchases (odd purchases
       // netted out inside the interval), '-' even purchases

@@ -666,6 +666,15 @@ object Snapshots {
     require(all.nonEmpty,
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
+    // under PARTITION EVOLUTION a generation mixes layouts: files not
+    // keyed on partCol (another key, or flat) may still CONTAIN the
+    // requested rows, and a fragment-only answer would silently drop
+    // them — refuse toward the evolution-aware verb
+    require(all.forall(r => r._2 != null && r._2.startsWith(s"$partCol=")),
+      s"scanPartitionAsOf: version $version of $tablePath carries " +
+        s"files not partitioned on '$partCol' (mixed layout) — their " +
+        "rows are invisible to fragment pruning; use " +
+        "scanPartitionEvolved, which scans them with a data filter")
     val frag = partFragment(partCol, String.valueOf(value))
     val hit = all.filter(_._2 == frag)
     val stored = storedSchema(spark, tablePath, version)
@@ -679,6 +688,62 @@ object Snapshots {
       val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
       val scan = fromPhysical(readPartedFiles(spark, hit.toSeq,
         stored.map(physicalSchema(_, l2p)), withMeta = dv.isDefined), l2p)
+      dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
+    }
+  }
+
+  /** Partition-pruned scan under PARTITION EVOLUTION — the Iceberg
+    * mixed-spec read: a table may change its partition layout for
+    * FUTURE commits without rewriting a byte of history (append a
+    * differently-`partitionBy`'d batch; the manifest carries each
+    * file's own fragment). A scan for `partCol = value` then
+    * decomposes the generation's files three ways, all decided in
+    * metadata: fragment-MATCHING files are read as the partition
+    * (full skip of the directory walk); files keyed on the SAME
+    * column with a different value are pruned outright; files keyed
+    * on another column (or flat) fall back to a data-predicate scan —
+    * partial pruning, exactly what an old-spec Iceberg partition
+    * contributes, and the filter pushes to those files' row groups.
+    * The evolved key must exist as a DATA column in the old files
+    * (commit it as data from day one — the evolution contract);
+    * composes with deletion vectors and the column mapping. */
+  def scanPartitionEvolved(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      partCol: String,
+      value: Any): DataFrame = {
+    val all = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("part")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    require(all.nonEmpty,
+      s"snapshot version $version of $tablePath is not in the manifest " +
+        "(never committed, or expired by vacuum)")
+    val frag = partFragment(partCol, String.valueOf(value))
+    val hit = all.filter(_._2 == frag).toSeq
+    val fallback = all.filter(r =>
+      r._2 == null || !r._2.startsWith(s"$partCol=")).toSeq
+    val stored = storedSchema(spark, tablePath, version)
+    val dv = dvSet(spark, tablePath, version)
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
+    val phys = stored.map(physicalSchema(_, l2p))
+    val legs =
+      (if (hit.nonEmpty)
+        Seq(fromPhysical(readPartedFiles(spark, hit, phys,
+          withMeta = dv.isDefined), l2p))
+      else Seq.empty) ++
+        (if (fallback.nonEmpty)
+          Seq(fromPhysical(readFileRows(spark, fallback, phys,
+            withMeta = dv.isDefined), l2p)
+            .filter(col(partCol) === lit(value)))
+        else Seq.empty)
+    if (legs.isEmpty) {
+      val schema = stored.getOrElse(readAsOf(spark, tablePath, version).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else {
+      val scan = legs.reduceLeft((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
       dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
     }
   }

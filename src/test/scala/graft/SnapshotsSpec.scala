@@ -1077,6 +1077,46 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("partition evolution: an append may change the partition key " +
+    "without rewriting history; the evolved scan prunes same-key " +
+    "fragments, data-filters old-layout files, and the naive scan " +
+    "refuses the mixed layout") {
+    val tbl = freshTable()
+    // era 1: partitioned by k1 (k2 carried as DATA — the contract)
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"))
+        .toDF("id", "k1", "k2"),
+      tbl, "k1", append = false)
+    // era 2: the layout evolves to k2
+    val v1 = Snapshots.commitPartitioned(spark,
+      Seq((4L, "a", "x"), (5L, "b", "y")).toDF("id", "k1", "k2"),
+      tbl, "k2", append = true)
+    // scan by the NEW key: fragment-admits era-2 k2=x, data-filters
+    // era 1 — ids 1, 3 (k2=x) and 4
+    val byNew = Snapshots.scanPartitionEvolved(spark, tbl, v1, "k2", "x")
+    assert(byNew.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // pruning: era-2's k2=y file never enters the plan
+    assert(!byNew.inputFiles.exists(_.contains("/k2=y/")),
+      s"same-key other-value fragment must prune: ${byNew.inputFiles.toSeq}")
+    // scan by the OLD key: fragment-admits era-1 k1=b, data-filters
+    // era 2 — ids 3 and 5
+    val byOld = Snapshots.scanPartitionEvolved(spark, tbl, v1, "k1", "b")
+    assert(byOld.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 5L))
+    assert(!byOld.inputFiles.exists(_.contains("/k1=a/")))
+    // the fragment-only verb refuses the mixed layout loudly
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.scanPartitionAsOf(spark, tbl, v1, "k2", "x")
+    }
+    assert(err.getMessage.contains("scanPartitionEvolved"))
+    // composes with deletion vectors
+    val vDel = Snapshots.deleteWhere(spark, tbl, $"id" === 3L)
+    assert(Snapshots.scanPartitionEvolved(spark, tbl, vDel, "k2", "x")
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L))
+  }
+
   test("readChangesBetween: O(delta) CDC — fresh rows '+', DV deletes " +
     "'-' on pre-existing rows only, an intra-interval add+delete nets " +
     "to zero, a rollback resurrection comes back as '+'") {
