@@ -118,6 +118,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("text_selfdedup_spans: the dup-gram table is a map-side-combined " +
+    "aggregate over the DISTINCT gram vocabulary — partial count+min " +
+    "run before the exchange, and no corpus-sized window exists") {
+    // the suffix-array global sort of EXACTSUBSTR, re-expressed: the
+    // only gram-keyed shuffle carries partially-combined (count, min)
+    // state, so the map side reduces occurrence mass to vocabulary
+    // mass before anything moves
+    val p = plan("text_selfdedup_spans")
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"dup-gram aggregate must combine map-side:\n$p")
+    // the island window partitions by doc — never by the bare gram
+    assert(!p.contains("windowspecdefinition(gram"),
+      s"a gram-keyed window would serialize hot grams:\n$p")
+  }
+
   test("ev_unpivot: the melt is an Expand over the pivoted aggregate — " +
     "no exchange beyond the pivot's own groupBy, and the round-trip " +
     "is lossless") {
