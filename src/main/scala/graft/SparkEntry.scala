@@ -4892,6 +4892,26 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "mm_av_align" -> ((s, dir) => {
+      // audio-video alignment: which REAL scene cuts (decoded from the
+      // frame-sig assets) land inside REAL dead air (window-peaked from
+      // the WAV PCM bytes) — the clip-segmentation metric a captioning
+      // pipeline computes before cutting assets into training clips.
+      // Both extractors run their genuine decode; only per-asset
+      // metadata rows meet at the equi-join (blobs never move). The
+      // timelines bridge at 4 audio frames per video frame; the oracle
+      // re-derives both closed forms arithmetically and replays the
+      // same containment.
+      val docs = par(s)(t(s, dir, "documents"))
+      Multimodal.alignCutsToSilence(
+        Multimodal.keyframes(Multimodal.syntheticFrameSigAssets(docs)),
+        Multimodal.extractSilenceSegments(
+          Multimodal.syntheticWavSilenceAssets(docs),
+          window = 50, threshold = 256),
+        samplesPerFrame = 4L)
+        .orderBy(col("asset_id"))
+    }),
+
     "mm_scene_cuts" -> ((s, dir) => {
       // shot-boundary detection over per-frame signature arrays: cuts =
       // positions whose signature differs from the predecessor — one
@@ -8379,6 +8399,23 @@ object SparkEntry {
           | CAST(k * l + 1 AS INT) AS start_frame,
           | CAST(k AS INT) AS sig
           |FROM s ORDER BY asset_id, scene_idx""".stripMargin,
+
+      // both closed forms re-derived: video cuts at frames k*l+1 map to
+      // sample 4*k*l; a cut is silent iff its 50-sample window exists
+      // (cs < na) and is a quiet window ((w + doc) % 3 = 0) — mod-3
+      // windows never merge, so each silent island is one window
+      "mm_av_align" ->
+        """WITH p AS (SELECT doc_id, 24 + doc_id % 240 AS nv,
+          |  1 + doc_id % 7 AS l, 200 + doc_id % 800 AS na FROM documents),
+          |c AS (SELECT doc_id, na,
+          |  4 * unnest(range(1, (nv - 1) // l + 1)) * l AS cs FROM p),
+          |h AS (SELECT doc_id,
+          |  CASE WHEN cs < na AND ((cs // 50) + doc_id) % 3 = 0
+          |   THEN 1 ELSE 0 END AS silent
+          | FROM c)
+          |SELECT doc_id AS asset_id, CAST(count(*) AS BIGINT) AS n_cuts,
+          | CAST(sum(silent) AS BIGINT) AS n_silent_cuts
+          |FROM h GROUP BY 1 ORDER BY asset_id""".stripMargin,
 
       "mm_scene_cuts" ->
         """WITH p AS (SELECT doc_id, 24 + doc_id % 240 AS n,

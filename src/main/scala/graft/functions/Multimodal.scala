@@ -828,6 +828,44 @@ object Multimodal {
         element_at(col(framesCol), col("start_frame")).as("sig"))
   }
 
+  /** Audio-video alignment: which video cut points land inside audio
+    * silence — the clip-segmentation question a caption/ASR pipeline
+    * asks before cutting a long asset into training clips (a cut in
+    * the middle of speech truncates a sentence; a cut inside dead air
+    * is free). Inputs are the two extractors' own outputs ([[keyframes]]
+    * scene starts, [[extractSilenceSegments]] intervals), so the heavy
+    * work — decoding blobs into scene starts and PCM peaks — already
+    * happened inside the scans and only per-asset METADATA rows meet
+    * here: an equi-join on asset id whose per-key fan-out is bounded by
+    * media length (scenes × silence windows), never by byte size.
+    * `samplesPerFrame` is the exact rational bridge between the two
+    * timelines (audio frames per video frame); a cut at 1-based video
+    * frame f sits at sample `(f-1)·samplesPerFrame`, and it is "silent"
+    * when some interval `[s, e)` contains that sample. Output: one row
+    * per asset — `n_cuts`, `n_silent_cuts` (zero-silence assets count
+    * 0 via the left join; the opening scene is not a cut). */
+  def alignCutsToSilence(
+      scenes: DataFrame,
+      silence: DataFrame,
+      samplesPerFrame: Long): DataFrame = {
+    require(samplesPerFrame > 0,
+      s"samplesPerFrame must be positive, got $samplesPerFrame")
+    val cuts = scenes.filter(col("scene_idx") > 1)
+      .select(col("asset_id"),
+        ((col("start_frame") - 1).cast("long") * samplesPerFrame)
+          .as("cut_sample"))
+    val segs = silence.select(col("asset_id"),
+      col("start_frame").as("__s"), col("end_frame").as("__e"))
+    cuts.join(segs, Seq("asset_id"), "left")
+      .groupBy(col("asset_id"), col("cut_sample"))
+      .agg(max(when(col("__s").isNotNull &&
+        col("cut_sample") >= col("__s") &&
+        col("cut_sample") < col("__e"), 1L).otherwise(0L)).as("__silent"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_cuts"),
+        sum(col("__silent")).as("n_silent_cuts"))
+  }
+
   /** A COMPLETE 24-bit bottom-up BMP with REAL pixel data: pixel (x, y)
     * — y counted from the top — carries (x·31 + y·17) mod 256 in all
     * three channels, the closed form the resize oracle replays. Rows

@@ -749,4 +749,26 @@ class MultimodalSpec extends SparkSuite {
         s"closed-form jaccard mismatch for base $a: $j")
     }
   }
+
+  test("alignCutsToSilence: a cut is silent iff its mapped sample sits " +
+    "inside an interval; zero-silence assets count 0; cut-free assets " +
+    "emit nothing (the census is over cuts)") {
+    import spark.implicits._
+    // asset 1: cuts at frames 5 and 9 -> samples 16 and 32 (spf 4);
+    // [10,20) swallows 16, [30,32) misses 32 (half-open). asset 2 has a
+    // cut but no silence; asset 3 has no cut at all.
+    val scenes = Seq(
+      (1L, 1L, 1), (1L, 2L, 5), (1L, 3L, 9),
+      (2L, 1L, 1), (2L, 2L, 3),
+      (3L, 1L, 1)).toDF("asset_id", "scene_idx", "start_frame")
+    val silence = Seq(
+      (1L, 0L, 10L, 20L), (1L, 1L, 30L, 32L))
+      .toDF("asset_id", "seg_idx", "start_frame", "end_frame")
+    val got = graft.functions.Multimodal
+      .alignCutsToSilence(scenes, silence, samplesPerFrame = 4L)
+      .orderBy($"asset_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
+  }
 }
