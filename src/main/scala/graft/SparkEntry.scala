@@ -810,6 +810,30 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q56_replace_partitions" -> ((s, dir) => {
+      // dynamic partition overwrite — the idempotent daily-reload verb:
+      // the corrected purchase feed (cents doubled, every 7th row
+      // dropped upstream) wholesale-replaces ONLY its partition; the
+      // four untouched partitions carry as pointers (spec pins file
+      // reuse + re-run convergence). A keyed merge cannot express the
+      // dropped rows; an append would duplicate the kept ones.
+      val tbl = s"$artifactRoot/snap_replace_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commitPartitioned(s, ev, tbl, "event_type",
+        append = false)
+      val corrected = ev.filter(col("event_type") === "purchase" &&
+        col("event_id") % 7 =!= 0)
+        .withColumn("value_cents", col("value_cents") * 2L)
+      val v1 = Snapshots.replacePartitions(s, tbl, corrected, "event_type")
+      Snapshots.readAsOf(s, tbl, v1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     "q55_partition_evolution" -> ((s, dir) => {
       // partition evolution: era 1 lands partitioned by event_type,
       // era 2 switches the layout to a user bucket — zero bytes of
@@ -3272,6 +3296,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    "ev_session_window" -> ((s, dir) => {
+      // the BUILT-IN session_window TVF beside the custom gaps-and-
+      // islands operator (ev_sessionize): same per-user 30-minute-gap
+      // sessions, but with the built-in's boundary semantics — windows
+      // are half-open [ts, ts+gap), so a successor at EXACTLY the gap
+      // starts a new session (the custom operator's `> gap` keeps it),
+      // and the session end is max(ts)+gap, not max(ts). The oracle
+      // replays those semantics; keeping both rows pins the divergence
+      // instead of papering over it.
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("value_cents"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     "ev_windowed_agg" -> ((s, dir) => {
       // tumbling event-time window (the batch twin of the streaming
       // watermark aggregation in graft.streaming.Sessionize)
@@ -5537,6 +5581,18 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
 
+      // untouched partitions verbatim + the corrected purchase feed
+      "q56_replace_partitions" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents FROM ev
+          |WHERE event_type <> 'purchase'
+          |UNION ALL
+          |SELECT event_id, user_id, event_type, value_cents * 2 FROM ev
+          |WHERE event_type = 'purchase' AND event_id % 7 <> 0
+          |ORDER BY event_id""".stripMargin,
+
       // both evolved-scan faces recomputed as plain filters
       "q55_partition_evolution" ->
         """WITH ev AS (SELECT event_id, user_id, event_type,
@@ -7548,6 +7604,23 @@ object SparkEntry {
           |  OVER (PARTITION BY user_id ORDER BY ts, event_id
           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
           |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+      // the built-in TVF's boundary semantics: break at diff >= gap
+      // (half-open windows), session end = max(ts) + gap
+      "ev_session_window" ->
+        """WITH g AS (SELECT user_id, ts, event_id, value,
+          |  CASE WHEN lag(ts) OVER w IS NULL
+          |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |   THEN 1 ELSE 0 END AS brk
+          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g)
+          |SELECT user_id, epoch_us(min(ts)) AS start_us,
+          | epoch_us(max(ts)) + 1800000000 AS end_us,
+          | count(*) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM s GROUP BY user_id, session_idx
+          |ORDER BY user_id, start_us""".stripMargin,
 
       "ev_sessionize" ->
         """WITH g AS (SELECT user_id, ts, event_id, value,

@@ -542,6 +542,54 @@ object Snapshots {
       schema.json, None)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE into a partitioned snapshot table —
+    * the idempotent daily-reload verb (Delta's `replaceWhere` /
+    * Hive's `INSERT OVERWRITE ... PARTITION` dynamic mode): exactly
+    * the partitions PRESENT IN the batch are replaced wholesale by its
+    * rows; every untouched partition's files carry into the new
+    * generation as pointers. Re-running a corrected reload for one day
+    * converges to the same table no matter how many times it lands —
+    * the property an append-based reload lacks (duplicates) and a
+    * keyed MERGE only approximates when the source can DROP rows
+    * (a vanished row survives a merge; an overwrite removes it).
+    * O(touched partitions) like [[mergePartitioned]], no keys needed.
+    * Constraints, the column mapping and deletion vectors compose: the
+    * batch is guard-checked and physically translated, and untouched
+    * partitions' DV entries keep governing (replaced files leave the
+    * lineage, their entries go dead). Returns the minted version. */
+  def replacePartitions(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      partCol: String): Long = {
+    require(df.columns.contains(partCol),
+      s"replacePartitions: frame has no column '$partCol'")
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"replacePartitions: $tablePath has no committed versions"))
+    val parentRows = manifestRows(spark, tablePath, latest)
+    require(parentRows.forall(_._2 != null),
+      s"replacePartitions needs a partitioned table (commitPartitioned); " +
+        s"version $latest of $tablePath carries flat files")
+    val touched = df
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(r => partFragment(partCol, r.getString(0))).toSet
+    val untouched = parentRows.filterNot(r => touched.contains(r._2))
+    val version = claimVersion(spark, tablePath, latest + 1L)
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    toPhysical(spark, tablePath, Some(latest),
+      constraintGuard(spark, tablePath, Some(latest), df))
+      .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
+    val parentSchema = storedSchema(spark, tablePath, latest)
+    val schema = parentSchema
+      .map(ps => mergeSchemas(ps, nullableTop(df.schema)))
+      .getOrElse(nullableTop(df.schema))
+    publishRows(spark, tablePath, version,
+      untouched ++
+        footerCounts(spark, listPartitionedFiles(spark, dataPath)),
+      schema.json, None)
+  }
+
   /** Reject unknown verbs in an op column before any data moves — a
     * typo'd `"detele"` must not silently upsert or silently vanish.
     * One bounded job over the delta-sized updates frame. */

@@ -1077,6 +1077,36 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("replacePartitions: exactly the batch's partitions are " +
+    "overwritten, untouched files carry as pointers, and a re-run " +
+    "converges (idempotent reload)") {
+    val tbl = freshTable()
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "d1", "old"), (2L, "d1", "old"), (3L, "d2", "keep"))
+        .toDF("id", "day", "v"),
+      tbl, "day", append = false)
+    val reload = Seq((9L, "d1", "new")).toDF("id", "day", "v")
+    val v1 = Snapshots.replacePartitions(spark, tbl, reload, "day")
+    def face(v: Long) = Snapshots.readAsOf(spark, tbl, v)
+      .select($"id", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // d1 is wholesale-replaced (the vanished row 2 is GONE — the
+    // overwrite semantics a keyed merge cannot give), d2 untouched
+    assert(face(v1) == Seq((3L, "keep"), (9L, "new")))
+    // untouched partition's file is a pointer, not a rewrite
+    val m = Snapshots.manifest(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val d2v0 = m.filter(r => r._1 == 0L && r._2.contains("/day=d2/"))
+      .map(_._2).toSet
+    assert(d2v0.nonEmpty &&
+      d2v0.subsetOf(m.filter(_._1 == v1).map(_._2).toSet))
+    // idempotent: the same reload lands again, content identical
+    val v2 = Snapshots.replacePartitions(spark, tbl, reload, "day")
+    assert(face(v2) == face(v1))
+    // history intact
+    assert(face(0L) == Seq((1L, "old"), (2L, "old"), (3L, "keep")))
+  }
+
   test("partition evolution: an append may change the partition key " +
     "without rewriting history; the evolved scan prunes same-key " +
     "fragments, data-filters old-layout files, and the naive scan " +
