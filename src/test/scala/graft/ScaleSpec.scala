@@ -379,6 +379,48 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom-filter join: a selective dim filter injects a " +
+    "might_contain probe into the fact scan's side — rows pre-filtered " +
+    "BEFORE the shuffle, answer unchanged") {
+    // the shuffle-join complement of DPP: when the join must shuffle
+    // (no broadcast) and one side is selective, the optimizer builds a
+    // bloom over the small side's keys and probes it on the fact side
+    // pre-exchange — at 100 TB that is the difference between
+    // shuffling the whole fact table and shuffling the matching
+    // sliver. Size thresholds lowered so a test-scale scan qualifies.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+      val dim = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_size") === 1)
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size")).agg(count(lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+      val n = joined.collect().map(_.getLong(1)).sum
+      // ground truth with the runtime filter OFF — the bloom may only
+      // skip bytes, never rows
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "false")
+      val truth = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .count()
+      assert(n == truth && truth > 0L,
+        s"bloom-filtered join changed the answer: $n vs $truth")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes the " +
     "partitioned fact scan at RUNTIME — one partition's file read, " +
     "dynamicpruning in the plan") {
