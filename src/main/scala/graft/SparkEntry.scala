@@ -810,6 +810,27 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q57_optimize_clustered" -> ((s, dir) => {
+      // compaction that KEEPS range skipping: three round-robin append
+      // commits leave every file spanning the whole key domain (interval
+      // pruning admits everything), then optimizeClustered rewrites the
+      // head range-clustered with a fresh stats sidecar — scanRangeAsOf
+      // on the compacted version prunes again (file-subset spec-pinned
+      // in SnapshotsSpec, with a DV delete compacting away physically).
+      val tbl = s"$artifactRoot/snap_optclust_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      (0L until 3L).foreach { i =>
+        Snapshots.commit(s, ev.filter(col("event_id") % 3 === i)
+          .repartition(4), tbl, append = i > 0L)
+      }
+      val vOpt = Snapshots.optimizeClustered(s, tbl, "event_id", 8)
+      Snapshots.scanRangeAsOf(s, tbl, vOpt, "event_id", 100L, 400L)
+        .orderBy(col("event_id"))
+    }),
+
     "q56_replace_partitions" -> ((s, dir) => {
       // dynamic partition overwrite — the idempotent daily-reload verb:
       // the corrected purchase feed (cents doubled, every 7th row
@@ -5580,6 +5601,13 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // the compacted head's range scan: a plain interval filter
+      "q57_optimize_clustered" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events WHERE event_id BETWEEN 100 AND 400
+          |ORDER BY event_id""".stripMargin,
 
       // untouched partitions verbatim + the corrected purchase feed
       "q56_replace_partitions" ->

@@ -1566,6 +1566,24 @@ object Snapshots {
     * sidecar-less and [[scanPointAsOf]] refuses (loud, but a
     * maintenance regression). Old versions keep their own sidecars
     * until vacuum. Returns the minted version. */
+  /** OPTIMIZE that preserves RANGE skipping — [[optimizeBloom]]'s
+    * min/max sibling: the latest snapshot rewrites range-clustered on
+    * `keyCol` with a fresh `_stats` sidecar, so [[scanRangeAsOf]]
+    * survives (and usually improves after) compaction where the plain
+    * [[optimize]] would strand it. The rewrite reads through
+    * [[readAsOf]], so deletion vectors compact away with it. */
+  def optimizeClustered(
+      spark: SparkSession,
+      tablePath: String,
+      keyCol: String,
+      numFiles: Int): Long = {
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimizeClustered: $tablePath has no committed versions"))
+    commitClustered(spark, readAsOf(spark, tablePath, latest),
+      tablePath, keyCol, numFiles, append = false)
+  }
+
   def optimizeBloom(
       spark: SparkSession,
       tablePath: String,

@@ -1077,6 +1077,28 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("optimizeClustered: compaction that keeps range skipping — the " +
+    "rewritten version prunes files by key interval, and DV deletes " +
+    "compact away physically") {
+    val tbl = freshTable()
+    // 4 round-robin commits: every file spans the whole key domain, so
+    // interval pruning on the ORIGINAL layout admits everything
+    (0 until 4).foreach { i =>
+      Snapshots.commit(spark,
+        spark.range(i.toLong, 64L, 4L).selectExpr("id", "id * 2 AS v"),
+        tbl, append = i > 0)
+    }
+    Snapshots.deleteWhere(spark, tbl, $"id" === 7L)
+    val vOpt = Snapshots.optimizeClustered(spark, tbl, "id", 4)
+    val scan = Snapshots.scanRangeAsOf(spark, tbl, vOpt, "id", 0L, 9L)
+    assert(scan.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 9L).filterNot(_ == 7L),
+      "the compacted face must drop the DV'd row physically")
+    assert(scan.inputFiles.length < 4,
+      s"clustered rewrite must let the range scan prune: " +
+        s"${scan.inputFiles.length} files planned")
+  }
+
   test("replacePartitions: exactly the batch's partitions are " +
     "overwritten, untouched files carry as pointers, and a re-run " +
     "converges (idempotent reload)") {
