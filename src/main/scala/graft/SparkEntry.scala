@@ -3509,6 +3509,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_seasonal" -> ((s, dir) => {
+      // seasonal detrending: every event's exact-integer deviation from
+      // its (event_type, day-of-week, hour) cell mean — "abnormal FOR a
+      // Tuesday 3 pm", not abnormal in the raw. The baseline aggregate
+      // is keys×7×24 rows regardless of volume (broadcast-sized at any
+      // scale, the stream never shuffles for the join); mean_milli is
+      // the scaled-integer mean so both engines agree bit-for-bit.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"),
+          cents(col("value")).as("cents"))
+      Anomaly.seasonalResiduals(ev, "ts", "cents", Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("dow"),
+          col("hr"), col("cents"), col("n_cell"), col("mean_milli"),
+          col("residual_milli"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_coverage" -> ((s, dir) => {
       // interval union per user: every event opens a 300-second validity
       // window; overlapping/touching windows merge into islands (running
@@ -7649,6 +7666,22 @@ object SparkEntry {
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM s GROUP BY user_id, session_idx
           |ORDER BY user_id, start_us""".stripMargin,
+
+      // same cell arithmetic: dow 0=Sunday, UTC hours, scaled-int mean
+      "ev_seasonal" ->
+        """WITH ev AS (SELECT event_id, event_type,
+          |  CAST(dayofweek(ts) AS BIGINT) AS dow,
+          |  CAST(hour(ts) AS BIGINT) AS hr,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+          |b AS (SELECT event_type, dow, hr,
+          |  CAST(count(*) AS BIGINT) AS n_cell,
+          |  CAST(sum(cents) AS BIGINT) AS sum_cell
+          | FROM ev GROUP BY 1, 2, 3)
+          |SELECT ev.event_id, ev.event_type, ev.dow, ev.hr, ev.cents,
+          | b.n_cell, sum_cell * 1000 // n_cell AS mean_milli,
+          | ev.cents * 1000 - sum_cell * 1000 // n_cell AS residual_milli
+          |FROM ev JOIN b USING (event_type, dow, hr)
+          |ORDER BY ev.event_id""".stripMargin,
 
       "ev_sessionize" ->
         """WITH g AS (SELECT user_id, ts, event_id, value,

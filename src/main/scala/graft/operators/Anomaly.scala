@@ -103,4 +103,47 @@ object Anomaly {
       .withColumn("dev", abs(col(valueCol) - col("med")))
       .filter(col("dev") > col("mad") * lit(k))
   }
+
+  /** Seasonal (day-of-week × hour-of-day) baseline per key — the
+    * detrending table behind "is this hour's traffic abnormal FOR a
+    * Tuesday 3 pm": one map-side-combinable aggregation whose output
+    * cardinality is `keys × 7 × 24` no matter the event volume, so the
+    * baseline of a 100-TB stream is a broadcastable few-KB frame. All
+    * exact integers: `mean_milli = (1000·sum) div n` — the CCNet-style
+    * scaled-integer mean, bit-identical across engines where an IEEE
+    * mean is not guaranteed to round-trip a SQL replay. Day-of-week is
+    * 0 = Sunday (Spark's `dayofweek` minus one — DuckDB's `dayofweek`
+    * convention), hours in the session timezone. */
+  def seasonalBaseline(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String]): DataFrame =
+    df.groupBy((keyCols.map(col) :+
+      (dayofweek(col(tsCol)) - 1).cast("long").as("dow") :+
+      hour(col(tsCol)).cast("long").as("hr")): _*)
+      .agg(count(lit(1)).as("n_cell"),
+        sum(col(valueCol)).as("sum_cell"))
+      // integral DIV, not IEEE `/`-then-truncate: the scaled mean must
+      // be the same exact integer both engines compute
+      .withColumn("mean_milli",
+        expr("CAST(sum_cell AS BIGINT) * 1000L DIV n_cell"))
+
+  /** Each row's exact-integer deviation from its seasonal cell:
+    * `residual_milli = 1000·value − mean_milli`. The baseline frame is
+    * an aggregation a planner broadcast-sizes at runtime, so the raw
+    * stream never shuffles for the join — detrending rides the scan.
+    * Downstream thresholds (MAD over residuals, top-k) compose. */
+  def seasonalResiduals(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val base = seasonalBaseline(df, tsCol, valueCol, keyCols)
+    df.withColumn("dow", (dayofweek(col(tsCol)) - 1).cast("long"))
+      .withColumn("hr", hour(col(tsCol)).cast("long"))
+      .join(base, keyCols ++ Seq("dow", "hr"))
+      .withColumn("residual_milli",
+        col(valueCol) * 1000L - col("mean_milli"))
+  }
 }

@@ -53,4 +53,28 @@ class AnomalySpec extends SparkSuite {
       .select($"g", $"id").as[(Long, Long)].collect().toSet
     assert(got == Set((2L, 7L)))
   }
+
+  test("seasonalResiduals: exact scaled-integer cell means, residuals " +
+    "sum to n*value - n*mean per cell, cardinality preserved") {
+    import java.sql.Timestamp
+    // two events in the same (type, dow, hr) cell, one alone elsewhere
+    val t0 = Timestamp.valueOf("2024-01-07 15:10:00") // a Sunday, hr 15
+    val t1 = Timestamp.valueOf("2024-01-07 15:40:00") // same cell
+    val t2 = Timestamp.valueOf("2024-01-08 09:05:00") // Monday, hr 9
+    val ev = Seq(
+      (1L, "a", t0, 10L), (2L, "a", t1, 25L), (3L, "a", t2, 7L))
+      .toDF("event_id", "event_type", "ts", "cents")
+    val out = graft.operators.Anomaly
+      .seasonalResiduals(ev, "ts", "cents", Seq("event_type"))
+      .orderBy($"event_id")
+      .select($"event_id", $"dow", $"hr", $"n_cell", $"mean_milli",
+        $"residual_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // cell (a, Sun=0, 15): mean_milli = 35000 DIV 2 = 17500
+    assert(out == Seq(
+      (1L, 0L, 15L, 2L, 17500L, 10000L - 17500L),
+      (2L, 0L, 15L, 2L, 17500L, 25000L - 17500L),
+      (3L, 1L, 9L, 1L, 7000L, 0L)))
+  }
 }
