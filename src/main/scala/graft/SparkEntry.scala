@@ -4179,6 +4179,36 @@ object SparkEntry {
         .orderBy(col("s_event_id"))
     }),
 
+    "ev_stream_seasonal" -> ((s, dir) => {
+      // detrending at INGEST: the seasonal baseline is batch-built
+      // (cells change slowly — the batch-train/stream-apply split of
+      // ev_stream_anomaly) and broadcast; each arriving event joins its
+      // (type, dow, hr) cell statelessly and emits its exact-integer
+      // residual. Append mode, no watermark, no state store; the
+      // baseline is keys×7×24 rows at any volume. Shares ev_seasonal's
+      // oracle verbatim — batch-equal on full replay by construction.
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"),
+          cents(col("value")).as("cents"))
+      val base = broadcast(
+        Anomaly.seasonalBaseline(ev, "ts", "cents", Seq("event_type")))
+      val stream = Tables.streamEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          cents(col("value")).as("cents"))
+        .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .join(base, Seq("event_type", "dow", "hr"))
+        .withColumn("residual_milli",
+          col("cents") * 1000L - col("mean_milli"))
+        .select(col("event_id"), col("event_type"), col("dow"),
+          col("hr"), col("cents"), col("n_cell"), col("mean_milli"),
+          col("residual_milli"))
+      Sessionize.runToMemory(s, stream, "ev_stream_seasonal",
+        OutputMode.Append)
+        .orderBy(col("event_id"))
+    }),
+
     "ev_stream_enrich" -> ((s, dir) => {
       // stream-static enrichment: the event stream picks up its user's
       // market segment from a broadcast dimension. Stateless (no
@@ -8940,6 +8970,7 @@ object SparkEntry {
       // redirected aggregate answers q24's full-recompute oracle
       ("q27_mv_refresh" -> base("q24_mv_rewrite")) +
       ("ev_stream_histogram" -> base("ev_histogram")) +
+      ("ev_stream_seasonal" -> base("ev_seasonal")) +
       ("ev_stream_profile" -> base("ev_profile")) +
       // optimize moves bytes, never rows — q22's source-preservation
       // oracle verbatim
