@@ -810,6 +810,27 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q58_generated_columns" -> ((s, dir) => {
+      // generated columns: declared once as a metadata-only commit,
+      // then MATERIALIZED inside every subsequent ingest's write job
+      // (a writer-supplied wrong value refuses — spec pins validation,
+      // constraint composition, drop, rollback travel). History is
+      // untouched: the pre-declaration era's rows null-fill by schema
+      // evolution, the post-declaration era carries the computed value.
+      val tbl = s"$artifactRoot/snap_gencol_table"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Snapshots.addGeneratedColumn(s, tbl, "value_bucket",
+        "value_cents DIV 500")
+      val v = Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        tbl, append = true)
+      Snapshots.readAsOf(s, tbl, v).orderBy(col("event_id"))
+    }),
+
     "q57_optimize_clustered" -> ((s, dir) => {
       // compaction that KEEPS range skipping: three round-robin append
       // commits leave every file spanning the whole key domain (interval
@@ -5647,6 +5668,15 @@ object SparkEntry {
       "ev_stream_snapshot_ingest" ->
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // pre-declaration rows null-fill, post-declaration rows computed
+      "q58_generated_columns" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents,
+          | CASE WHEN event_id % 2 = 0 THEN NULL
+          |  ELSE CAST(round(value*100,0) AS BIGINT) // 500
+          | END AS value_bucket
           |FROM events ORDER BY event_id""".stripMargin,
 
       // the compacted head's range scan: a plain interval filter

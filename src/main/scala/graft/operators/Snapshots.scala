@@ -378,13 +378,13 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    toPhysical(spark, tablePath, observed,
-      constraintGuard(spark, tablePath, observed, df))
+    val prepared = prepareBatch(spark, tablePath, observed, df)
+    toPhysical(spark, tablePath, observed, prepared)
       .write.mode("errorifexists").parquet(dataPath)
     val fresh = footerCounts(spark,
       listDataFiles(spark, dataPath).map((_, null: String)))
     publish(spark, tablePath, version, fresh,
-      if (append) observed else None, df.schema, ts)
+      if (append) observed else None, prepared.schema, ts)
   }
 
   /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
@@ -410,12 +410,12 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    toPhysical(spark, tablePath, observed,
-      constraintGuard(spark, tablePath, observed, df))
+    val prepared = prepareBatch(spark, tablePath, observed, df)
+    toPhysical(spark, tablePath, observed, prepared)
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     publish(spark, tablePath, version,
       footerCounts(spark, listPartitionedFiles(spark, dataPath)),
-      if (append) observed else None, df.schema, ts)
+      if (append) observed else None, prepared.schema, ts)
   }
 
   /** (file, fragment) rows of a freshly written partitioned batch. */
@@ -529,13 +529,13 @@ object Snapshots {
           .join(updates.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
       }
-    toPhysical(spark, tablePath, Some(latest),
-      constraintGuard(spark, tablePath, Some(latest),
-        survivors.unionByName(inserts)))
+    val prepared = prepareBatch(spark, tablePath, Some(latest),
+      survivors.unionByName(inserts))
+    toPhysical(spark, tablePath, Some(latest), prepared)
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     val schema = parentSchema
-      .map(ps => mergeSchemas(ps, nullableTop(inserts.schema)))
-      .getOrElse(nullableTop(inserts.schema))
+      .map(ps => mergeSchemas(ps, nullableTop(prepared.schema)))
+      .getOrElse(nullableTop(prepared.schema))
     publishRows(spark, tablePath, version,
       untouched ++
         footerCounts(spark, listPartitionedFiles(spark, dataPath)),
@@ -577,13 +577,13 @@ object Snapshots {
     val untouched = parentRows.filterNot(r => touched.contains(r._2))
     val version = claimVersion(spark, tablePath, latest + 1L)
     val dataPath = s"$tablePath/$DataDir/v$version"
-    toPhysical(spark, tablePath, Some(latest),
-      constraintGuard(spark, tablePath, Some(latest), df))
+    val prepared = prepareBatch(spark, tablePath, Some(latest), df)
+    toPhysical(spark, tablePath, Some(latest), prepared)
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
     val parentSchema = storedSchema(spark, tablePath, latest)
     val schema = parentSchema
-      .map(ps => mergeSchemas(ps, nullableTop(df.schema)))
-      .getOrElse(nullableTop(df.schema))
+      .map(ps => mergeSchemas(ps, nullableTop(prepared.schema)))
+      .getOrElse(nullableTop(prepared.schema))
     publishRows(spark, tablePath, version,
       untouched ++
         footerCounts(spark, listPartitionedFiles(spark, dataPath)),
@@ -902,6 +902,13 @@ object Snapshots {
           writeColMap(spark, tablePath, keepFrom,
             colMapAsOf(spark, tablePath, keepFrom))
       }
+    // and generated columns
+    sidecarResolve(spark, genColsRoot(tablePath), keepFrom)
+      .foreach { case (cV, _) =>
+        if (cV < keepFrom)
+          writeGenCols(spark, tablePath, keepFrom,
+            generatedColumnsAsOf(spark, tablePath, keepFrom))
+      }
 
     // per-version sidecars ride their version: expired generations'
     // stats dirs and commit markers go with their data (retained
@@ -910,7 +917,7 @@ object Snapshots {
     droppedVersions.foreach { v =>
       Seq(statsDir(tablePath, v), bloomDir(tablePath, v),
         dvDir(tablePath, v), constraintsDir(tablePath, v),
-        colMapDir(tablePath, v)).foreach { d =>
+        colMapDir(tablePath, v), genColsDir(tablePath, v)).foreach { d =>
         val sd = new Path(d)
         if (f.exists(sd)) f.delete(sd, true)
       }
@@ -1173,7 +1180,18 @@ object Snapshots {
     val active = constraintsAsOf(spark, tablePath, observed)
     require(!active.exists(_._1 == name),
       s"addConstraint: constraint '$name' already exists on $tablePath")
-    val bad = readAsOf(spark, tablePath, observed)
+    // validate against the LOGICAL row shape — governing generated
+    // columns materialize first (materialize-ONLY: rows from files
+    // older than the generator null-fill the stored column, so the
+    // ingest-time equality check would misfire here; the defining
+    // expression is the truth either way), so a constraint may
+    // reference generated columns even though older files never wrote
+    // them
+    val face = generatedColumnsAsOf(spark, tablePath, observed)
+      .foldLeft(readAsOf(spark, tablePath, observed)) {
+        case (d, (n, e)) => d.withColumn(n, expr(e))
+      }
+    val bad = face
       .filter(expr(exprSql) === lit(false)).limit(1).collect()
     require(bad.isEmpty,
       s"addConstraint('$name'): existing rows of $tablePath violate " +
@@ -1205,6 +1223,119 @@ object Snapshots {
       active.filterNot(_._1 == name))
     publishRows(spark, tablePath, version, fileRows, schemaJson, None)
   }
+
+  // ------------------------------------------------------------------
+  // Generated columns — declared once, materialized at every ingest
+  // ------------------------------------------------------------------
+
+  private def genColsRoot(tablePath: String): String = s"$tablePath/_gencols"
+
+  private def genColsDir(tablePath: String, version: Long): String =
+    s"${genColsRoot(tablePath)}/v$version"
+
+  /** The generated columns GOVERNING `version` as (name, exprSql)
+    * pairs — same versioned-sidecar family as constraints. */
+  def generatedColumnsAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[(String, String)] =
+    sidecarResolve(spark, genColsRoot(tablePath), version).map {
+      case (_, dir) =>
+        spark.read.schema(constraintSchema).parquet(dir)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+          .sortBy(_._1).toSeq
+    }.getOrElse(Seq.empty)
+
+  private def writeGenCols(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      set: Seq[(String, String)]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        set.map(c => Row(c._1, c._2)), 1), constraintSchema)
+      .coalesce(1)
+      .write.mode("errorifexists")
+      .parquet(genColsDir(tablePath, version))
+
+  /** Materialize the governing generated columns into a fresh batch —
+    * or, when the writer supplied the column itself, VALIDATE it
+    * against the defining expression inside the write job (the same
+    * zero-extra-pass assert_true shape as [[constraintGuard]]; a
+    * writer-supplied wrong value is a refused batch, Delta's
+    * semantics). Runs BEFORE the constraint guard so constraints may
+    * reference generated columns, and before the physical translation
+    * so expressions speak logical names. */
+  private def genColumnsApply(
+      spark: SparkSession,
+      tablePath: String,
+      parent: Option[Long],
+      df: DataFrame): DataFrame = {
+    val gens = parent
+      .map(generatedColumnsAsOf(spark, tablePath, _)).getOrElse(Seq.empty)
+    gens.foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else d.filter(assert_true(col(n) <=> expr(e),
+        lit(s"generated column '$n' violated its definition: $e")).isNull)
+    }
+  }
+
+  /** Declare a generated column: from this version on, every ingest
+    * materializes `name = exprSql` when the batch lacks the column and
+    * validates it when supplied. Metadata-only (parent files verbatim);
+    * history is untouched — earlier files null-fill the column by
+    * schema evolution once a later batch carries it. */
+  def addGeneratedColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      exprSql: String): Long = {
+    require(name.nonEmpty, "addGeneratedColumn needs a column name")
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"addGeneratedColumn: $tablePath has no committed versions"))
+    storedSchema(spark, tablePath, observed).foreach(st =>
+      require(!st.fieldNames.contains(name),
+        s"addGeneratedColumn: '$name' already exists as a data column"))
+    val active = generatedColumnsAsOf(spark, tablePath, observed)
+    require(!active.exists(_._1 == name),
+      s"addGeneratedColumn: '$name' is already generated")
+    val (fileRows, schemaJson) = headGeneration(spark, tablePath, observed)
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    writeGenCols(spark, tablePath, version, active :+ (name -> exprSql))
+    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+  }
+
+  /** Stop generating `name` — already-written data keeps the column
+    * (drop it from the schema separately via [[dropColumn]]). */
+  def dropGeneratedColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropGeneratedColumn: $tablePath has no committed versions"))
+    val active = generatedColumnsAsOf(spark, tablePath, observed)
+    require(active.exists(_._1 == name),
+      s"dropGeneratedColumn: no generated column '$name' on $tablePath")
+    val (fileRows, schemaJson) = headGeneration(spark, tablePath, observed)
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    writeGenCols(spark, tablePath, version, active.filterNot(_._1 == name))
+    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+  }
+
+  /** The shared ingest preparation every data-writing verb runs:
+    * generated columns materialize/validate, CHECK constraints guard,
+    * the column mapping translates to physical names — in that order
+    * (constraints may reference generated columns; both speak logical
+    * names). */
+  private def prepareBatch(
+      spark: SparkSession,
+      tablePath: String,
+      parent: Option[Long],
+      df: DataFrame): DataFrame =
+    constraintGuard(spark, tablePath, parent,
+      genColumnsApply(spark, tablePath, parent, df))
 
   // ------------------------------------------------------------------
   // Column mapping — RENAME/DROP COLUMN as pure metadata (field-ids)
@@ -1785,6 +1916,10 @@ object Snapshots {
     if (fs(spark, tablePath).exists(new Path(colMapRoot(tablePath))))
       writeColMap(spark, tablePath, version,
         colMapAsOf(spark, tablePath, toVersion))
+    // and for generated columns
+    if (fs(spark, tablePath).exists(new Path(genColsRoot(tablePath))))
+      writeGenCols(spark, tablePath, version,
+        generatedColumnsAsOf(spark, tablePath, toVersion))
     publishRows(spark, tablePath, version, rows, schemaJson, ts)
   }
 
@@ -1837,6 +1972,9 @@ object Snapshots {
     val srcColMap = colMapAsOf(spark, srcTable, version)
     if (srcColMap.nonEmpty)
       writeColMap(spark, dstTable, v, srcColMap)
+    val srcGen = generatedColumnsAsOf(spark, srcTable, version)
+    if (srcGen.nonEmpty)
+      writeGenCols(spark, dstTable, v, srcGen)
     publishRows(spark, dstTable, v, rows, schemaJson, None)
   }
 
@@ -2121,13 +2259,13 @@ object Snapshots {
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
     val dataPath = s"$tablePath/$DataDir/v$version"
-    toPhysical(spark, tablePath, observed,
-      constraintGuard(spark, tablePath, observed, df))
+    val prepared = prepareBatch(spark, tablePath, observed, df)
+    toPhysical(spark, tablePath, observed, prepared)
       .write.mode("errorifexists").parquet(dataPath)
     val l2pAud = logicalToPhysical(observed
       .map(v => colMapAsOf(spark, tablePath, v)).getOrElse(Seq.empty))
     val staged = fromPhysical(spark.read
-      .schema(physicalSchema(nullableTop(df.schema), l2pAud))
+      .schema(physicalSchema(nullableTop(prepared.schema), l2pAud))
       .parquet(dataPath), l2pAud)
     val report = audit(staged)
     require(report.columns.contains("n_violations"),
@@ -2144,7 +2282,7 @@ object Snapshots {
       val fresh = footerCounts(spark,
         listDataFiles(spark, dataPath).map((_, null: String)))
       Right(publish(spark, tablePath, version, fresh,
-        if (append) observed else None, df.schema, ts))
+        if (append) observed else None, prepared.schema, ts))
     }
   }
 

@@ -1077,6 +1077,56 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("generated columns: materialized when absent, validated when " +
+    "supplied (wrong values refuse), may feed constraints; drop stops " +
+    "generating; rollback restores the target's set") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("id", "amt"),
+      tbl, append = false)
+    Snapshots.addGeneratedColumn(spark, tbl, "bucket", "amt DIV 10")
+    // constraints may reference the generated column (gen runs first)
+    Snapshots.addConstraint(spark, tbl, "bucket_small", "bucket < 100")
+    val vA = Snapshots.commit(spark, Seq((2L, 25L)).toDF("id", "amt"),
+      tbl, append = true)
+    val face = Snapshots.readAsOf(spark, tbl, vA)
+      .select($"id", $"bucket").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sortBy(_._1).toSeq
+    // the pre-declaration file null-fills; the new batch materialized
+    assert(face == Seq((1L, -1L), (2L, 2L)))
+    // writer-supplied CORRECT values pass, wrong values refuse
+    Snapshots.commit(spark, Seq((3L, 31L, 3L)).toDF("id", "amt", "bucket"),
+      tbl, append = true)
+    val boom = intercept[Exception] {
+      Snapshots.commit(spark,
+        Seq((4L, 31L, 99L)).toDF("id", "amt", "bucket"),
+        tbl, append = true)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(boom).exists(m => m != null && m.contains("bucket")))
+    // the constraint over the generated column also bites
+    intercept[Exception] {
+      Snapshots.commit(spark, Seq((5L, 5000L)).toDF("id", "amt"),
+        tbl, append = true)
+    }
+    // drop stops generating
+    Snapshots.dropGeneratedColumn(spark, tbl, "bucket")
+    Snapshots.dropConstraint(spark, tbl, "bucket_small")
+    val vPlain = Snapshots.commit(spark, Seq((6L, 70L)).toDF("id", "amt"),
+      tbl, append = true)
+    val b6 = Snapshots.readAsOf(spark, tbl, vPlain)
+      .filter($"id" === 6L).select($"bucket").collect()
+    assert(b6.head.isNullAt(0), "dropped generator must stop firing")
+    // rollback to the generating era restores materialization
+    Snapshots.rollback(spark, tbl, vA)
+    val vR = Snapshots.commit(spark, Seq((7L, 42L)).toDF("id", "amt"),
+      tbl, append = true)
+    assert(Snapshots.readAsOf(spark, tbl, vR)
+      .filter($"id" === 7L).select($"bucket")
+      .collect().head.getLong(0) == 4L)
+  }
+
   test("optimizeClustered: compaction that keeps range skipping — the " +
     "rewritten version prunes files by key interval, and DV deletes " +
     "compact away physically") {
