@@ -810,6 +810,41 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q59_multi_table_asof" -> ((s, dir) => {
+      // CROSS-TABLE consistent time travel: fact and dimension are
+      // separate snapshot tables, each stamping its commits with the
+      // same upstream LOGICAL watermark — so "the warehouse as of
+      // ts=250" is one versionAt resolution per table and the join is
+      // consistent by construction (fact slices 100+200 against the
+      // dimension's ts=100 face; the dimension's ts=300 append is
+      // invisible), the poor-engineer's multi-table transaction that
+      // needs no cross-table lock, only a shared watermark discipline.
+      val fact = s"$artifactRoot/snap_mt_fact"
+      val dim = s"$artifactRoot/snap_mt_dim"
+      Snapshots.init(s, fact); Snapshots.init(s, dim)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        fact, append = false, ts = Some(100L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        fact, append = true, ts = Some(200L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        fact, append = true, ts = Some(300L))
+      Snapshots.commit(s, cust.filter(col("c_custkey") % 2 === 0),
+        dim, append = false, ts = Some(100L))
+      Snapshots.commit(s, cust.filter(col("c_custkey") % 2 === 1),
+        dim, append = true, ts = Some(300L))
+      Snapshots.readAsOfTimestamp(s, fact, 250L)
+        .join(Snapshots.readAsOfTimestamp(s, dim, 250L),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value_cents"), col("c_mktsegment"))
+        .orderBy(col("event_id"))
+    }),
+
     "q58_generated_columns" -> ((s, dir) => {
       // generated columns: declared once as a metadata-only commit,
       // then MATERIALIZED inside every subsequent ingest's write job
@@ -3530,6 +3565,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_ks_drift" -> ((s, dir) => {
+      // exact-integer two-sample KS distance per event type between the
+      // even and odd event halves — the distribution-shift alarm, with
+      // the IEEE ECDF division cross-multiplied away: ks_scaled =
+      // max |cumA·n_b − cumB·n_a| over count-by-value integers, the
+      // same argmax bit-for-bit in both engines. Count-by-value FIRST,
+      // so the cumulative window ranks each type's value DOMAIN, never
+      // its row stream.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("cents"),
+          (col("event_id") % 2).as("side"))
+      Stats.ksScaled(ev, Seq("event_type"), "cents", "side")
+        .orderBy(col("event_type"))
+    }),
+
     "ev_seasonal" -> ((s, dir) => {
       // seasonal detrending: every event's exact-integer deviation from
       // its (event_type, day-of-week, hour) cell mean — "abnormal FOR a
@@ -5670,6 +5720,15 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
 
+      // the warehouse as of ts=250: fact slices 0+1, even-custkey dim
+      "q59_multi_table_asof" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents,
+          | c_mktsegment
+          |FROM events JOIN customer ON user_id = c_custkey
+          |WHERE event_id % 3 IN (0, 1) AND c_custkey % 2 = 0
+          |ORDER BY event_id""".stripMargin,
+
       // pre-declaration rows null-fill, post-declaration rows computed
       "q58_generated_columns" ->
         """SELECT event_id, user_id, event_type,
@@ -7726,6 +7785,29 @@ object SparkEntry {
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM s GROUP BY user_id, session_idx
           |ORDER BY user_id, start_us""".stripMargin,
+
+      // the cross-multiplied KS: max |cumA*nb - cumB*na| over the
+      // count-by-value frame, exact integers end to end
+      "ev_ks_drift" ->
+        """WITH ev AS (SELECT event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS cents,
+          |  event_id % 2 AS side FROM events),
+          |c AS (SELECT event_type, cents,
+          |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          | FROM ev GROUP BY 1, 2),
+          |x AS (SELECT event_type,
+          |  sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+          |  sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+          |  sum(ca) OVER (PARTITION BY event_type) AS na,
+          |  sum(cb) OVER (PARTITION BY event_type) AS nb
+          | FROM c)
+          |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+          | CAST(max(nb) AS BIGINT) AS n_b,
+          | CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_scaled
+          |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
 
       // same cell arithmetic: dow 0=Sunday, UTC hours, scaled-int mean
       "ev_seasonal" ->

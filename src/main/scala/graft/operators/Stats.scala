@@ -400,4 +400,44 @@ object Stats {
       .withColumn("twa",
         when(col("den") > 0, col("num").cast("double") / col("den")))
   }
+
+  /** Exact-integer two-sample Kolmogorov–Smirnov distance per key —
+    * the distribution-shift alarm for a data pipeline ("did this
+    * week's purchase sizes drift from last week's"), with zero
+    * floating point: instead of `max |F_a(x) − F_b(x)|` over IEEE
+    * ECDFs, the cross-multiplied `ks_scaled = max |cumA·n_b − cumB·n_a|`
+    * over integer counts — the same argmax, bit-identical across
+    * engines (divide by `n_a·n_b` yourself for the textbook statistic).
+    *
+    * Shape at scale: count-by-value FIRST (one map-side-combinable
+    * aggregation), then the cumulative window ranks the per-key value
+    * DOMAIN, never the row stream — the `ev_median_mad` lesson; a
+    * per-key reducer holds distinct values, not rows. `sideCol` must
+    * be 0/1. Output: (keys…, n_a, n_b, ks_scaled). Callers keep
+    * `max(cum)·max(n)` inside a long — counts up to ~3·10⁹ rows per
+    * side are safe. */
+  def ksScaled(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "ksScaled needs at least one key column")
+    val keys = keyCols.map(col)
+    val counts = df.groupBy((keys :+ col(valueCol)): _*)
+      .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("__cb"))
+    val byVal = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val full = Window.partitionBy(keys: _*)
+    counts
+      .withColumn("__cum_a", sum(col("__ca"))
+        .over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__cum_b", sum(col("__cb"))
+        .over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__na", sum(col("__ca")).over(full))
+      .withColumn("__nb", sum(col("__cb")).over(full))
+      .groupBy(keys: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cum_a") * col("__nb") -
+          col("__cum_b") * col("__na"))).as("ks_scaled"))
+  }
 }

@@ -262,4 +262,21 @@ class StatsSpec extends SparkSuite {
       ("a", 4L, 1L, Some(10L), Some(30L), 2L, 2.0),
       ("b", 2L, 2L, None, None, 0L, 0.0)))
   }
+
+  test("ksScaled: exact cross-multiplied KS — known two-sample answer, " +
+    "invariant under row order") {
+    // A = {1,2}, B = {2,3}: ECDFs differ by 1/2 at x=1 and x=2 ->
+    // ks_scaled = max|cumA*nb - cumB*na| = 2 (= 0.5 * (2*2))
+    val rows = Seq(
+      ("k", 1L, 0L), ("k", 2L, 0L), ("k", 2L, 1L), ("k", 3L, 1L))
+      .toDF("g", "v", "side")
+    val got = graft.operators.Stats.ksScaled(rows, Seq("g"), "v", "side")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("k", 2L, 2L, 2L)))
+    val re = graft.operators.Stats
+      .ksScaled(rows.repartition(5), Seq("g"), "v", "side")
+      .collect().map(r => r.getLong(3)).toSeq
+    assert(re == Seq(2L))
+  }
 }
