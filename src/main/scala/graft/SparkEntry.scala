@@ -810,6 +810,26 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q60_snapshot_zorder" -> ((s, dir) => {
+      // Z-order × time travel: lineitem committed Morton-clustered on
+      // (l_orderkey, l_partkey) with per-file min/max RECTANGLES in the
+      // stats sidecar — a 2-D box scan admits only intersecting files
+      // (metadata-decided on both dimensions at once; SnapshotsSpec
+      // pins the file subset AND that 1-D range scans prune on either
+      // column of the same sidecar — the pruning a 1-D clustering can
+      // only give its own key). Oracle: the plain box filter.
+      val tbl = s"$artifactRoot/snap_zorder_table"
+      Snapshots.init(s, tbl)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val v0 = Snapshots.commitZordered(s, li, tbl,
+        "l_orderkey", "l_partkey", numFiles = 16, append = false)
+      Snapshots.scanBoxAsOf(s, tbl, v0,
+        "l_orderkey", 1000L, 3000L, "l_partkey", 100L, 300L)
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    }),
+
     "q59_multi_table_asof" -> ((s, dir) => {
       // CROSS-TABLE consistent time travel: fact and dimension are
       // separate snapshot tables, each stamping its commits with the
@@ -3565,6 +3585,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "ev_stream_ks" -> ((s, dir) => {
+      // the KS alarm at INGEST, split at its algebraic seam: the stream
+      // maintains only the Complete-mode (type, cents, side) counts —
+      // domain-sized state, map-side-combined — and the batch finish
+      // runs the cumulative-window arithmetic over the drained frame.
+      // Shares ev_ks_drift's oracle verbatim: batch-equal on replay.
+      import org.apache.spark.sql.streaming.OutputMode
+      val counted = Tables.streamEvents(s, dir)
+        .select(col("event_type"), cents(col("value")).as("cents"),
+          (col("event_id") % 2).as("side"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+      val drained = Sessionize.runToMemory(s, counted, "ev_stream_ks",
+        OutputMode.Complete, statePartitions = 8)
+      Stats.ksScaledFromCounts(drained, Seq("event_type"), "cents",
+        "ca", "cb")
+        .orderBy(col("event_type"))
+    }),
+
     "ev_ks_drift" -> ((s, dir) => {
       // exact-integer two-sample KS distance per event type between the
       // even and odd event halves — the distribution-shift alarm, with
@@ -5719,6 +5759,15 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // the box as a plain 2-D filter; skipping may only skip bytes
+      "q60_snapshot_zorder" ->
+        """SELECT l_orderkey, l_partkey, l_linenumber,
+          | CAST(l_quantity AS BIGINT) AS qty
+          |FROM lineitem
+          |WHERE l_orderkey BETWEEN 1000 AND 3000
+          | AND l_partkey BETWEEN 100 AND 300
+          |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
 
       // the warehouse as of ts=250: fact slices 0+1, even-custkey dim
       "q59_multi_table_asof" ->
@@ -9083,6 +9132,7 @@ object SparkEntry {
       ("q27_mv_refresh" -> base("q24_mv_rewrite")) +
       ("ev_stream_histogram" -> base("ev_histogram")) +
       ("ev_stream_seasonal" -> base("ev_seasonal")) +
+      ("ev_stream_ks" -> base("ev_ks_drift")) +
       ("ev_stream_profile" -> base("ev_profile")) +
       // optimize moves bytes, never rows — q22's source-preservation
       // oracle verbatim

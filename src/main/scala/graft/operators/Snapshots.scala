@@ -1697,6 +1697,83 @@ object Snapshots {
     * sidecar-less and [[scanPointAsOf]] refuses (loud, but a
     * maintenance regression). Old versions keep their own sidecars
     * until vacuum. Returns the minted version. */
+  /** [[commitClustered]]'s TWO-dimensional sibling: the batch lays out
+    * Z-ordered on `(xCol, yCol)` ([[Layout.clusterByZOrder]] — Morton
+    * interleave + one range exchange), and the per-file stats sidecar
+    * carries min/max for BOTH columns, so each file's statistics cover
+    * a compact rectangle and a selective predicate on EITHER dimension
+    * — or a 2-D box ([[scanBoxAsOf]]) — prunes most files, where a
+    * layout clustered on x alone can only ever prune x.
+    * [[scanRangeAsOf]] works as-is on either column (it reads
+    * `min_<col>`/`max_<col>` by name). Flat commits only; appends
+    * reuse the parent's stats rows like the 1-D verb. */
+  def commitZordered(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int,
+      append: Boolean): Long = {
+    require(numFiles >= 1, "numFiles must be positive")
+    requireNoColMap(spark, tablePath, "commitZordered")
+    val observed = latestVersion(spark, tablePath)
+    val version = commit(spark,
+      Layout.clusterByZOrder(df, xCol, yCol, numFiles).drop("zkey"),
+      tablePath, append)
+    val fresh = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file")).collect().map(_.getString(0))
+      .filter(_.contains(s"/$DataDir/v$version/"))
+    val freshStats = spark.read.parquet(fresh.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as(s"min_$xCol"), max(col(xCol)).as(s"max_$xCol"),
+        min(col(yCol)).as(s"min_$yCol"), max(col(yCol)).as(s"max_$yCol"))
+    val stats =
+      if (append && observed.isDefined)
+        spark.read.parquet(statsDir(tablePath, observed.get))
+          .unionByName(freshStats)
+      else freshStats
+    stats.coalesce(1).write.mode("errorifexists")
+      .parquet(statsDir(tablePath, version))
+    version
+  }
+
+  /** 2-D box scan AS OF `version` over a [[commitZordered]] layout:
+    * the stats sidecar admits only files whose min/max RECTANGLE
+    * intersects the box — metadata-decided on both dimensions at once,
+    * the pruning a Z-order layout exists to enable — and the exact
+    * predicate clears the interior. */
+  def scanBoxAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      xCol: String, loX: Any, hiX: Any,
+      yCol: String, loY: Any, hiY: Any): DataFrame = {
+    requireNoColMap(spark, tablePath, "scanBoxAsOf")
+    val sd = statsDir(tablePath, version)
+    require(fs(spark, tablePath).exists(new Path(sd)),
+      s"no stats manifest for version $version of $tablePath — not " +
+        "committed via commitZordered, or expired by vacuum")
+    val admitted = spark.read.parquet(sd)
+      .filter(col(s"max_$xCol") >= lit(loX) && col(s"min_$xCol") <= lit(hiX)
+        && col(s"max_$yCol") >= lit(loY) && col(s"min_$yCol") <= lit(hiY))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    val base =
+      if (admitted.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          readAsOf(spark, tablePath, version).schema)
+      else {
+        val dv = dvSet(spark, tablePath, version)
+        val scan = spark.read.parquet(admitted: _*)
+        dv.fold(scan)(d =>
+          applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
+      }
+    base.filter(col(xCol) >= lit(loX) && col(xCol) <= lit(hiX)
+      && col(yCol) >= lit(loY) && col(yCol) <= lit(hiY))
+  }
+
   /** OPTIMIZE that preserves RANGE skipping — [[optimizeBloom]]'s
     * min/max sibling: the latest snapshot rewrites range-clustered on
     * `keyCol` with a fresh `_stats` sidecar, so [[scanRangeAsOf]]

@@ -426,15 +426,31 @@ object Stats {
     val counts = df.groupBy((keys :+ col(valueCol)): _*)
       .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("__cb"))
+    ksScaledFromCounts(counts, keyCols, valueCol, "__ca", "__cb")
+  }
+
+  /** [[ksScaled]]'s finishing half over an already-built count-by-value
+    * frame — the algebraic seam its streaming twin splits at: a
+    * Complete-mode per-(key, value, side) count is exactly the state a
+    * stream can maintain (domain-sized, map-side-combined), and this
+    * window pass over the drained counts is the batch finish. */
+  def ksScaledFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      caCol: String,
+      cbCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "ksScaledFromCounts needs a key column")
+    val keys = keyCols.map(col)
     val byVal = Window.partitionBy(keys: _*).orderBy(col(valueCol))
     val full = Window.partitionBy(keys: _*)
     counts
-      .withColumn("__cum_a", sum(col("__ca"))
+      .withColumn("__cum_a", sum(col(caCol))
         .over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__cum_b", sum(col("__cb"))
+      .withColumn("__cum_b", sum(col(cbCol))
         .over(byVal.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__na", sum(col("__ca")).over(full))
-      .withColumn("__nb", sum(col("__cb")).over(full))
+      .withColumn("__na", sum(col(caCol)).over(full))
+      .withColumn("__nb", sum(col(cbCol)).over(full))
       .groupBy(keys: _*)
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         max(abs(col("__cum_a") * col("__nb") -

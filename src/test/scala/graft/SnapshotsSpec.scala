@@ -1077,6 +1077,30 @@ class SnapshotsSpec extends SparkSuite {
       Snapshots.readAsOf(spark, tbl, v).count() == 3L))
   }
 
+  test("commitZordered/scanBoxAsOf: per-file rectangles prune on BOTH " +
+    "dimensions; scanRangeAsOf prunes on either column alone; the box " +
+    "answer is the exact filter") {
+    val tbl = freshTable()
+    // a 64x64 grid: Z-order packs each file into a compact rectangle
+    val grid = spark.range(0, 4096L)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS v")
+    val v0 = Snapshots.commitZordered(spark, grid, tbl, "x", "y",
+      numFiles = 16, append = false)
+    val box = Snapshots.scanBoxAsOf(spark, tbl, v0,
+      "x", 0L, 7L, "y", 0L, 7L)
+    assert(box.select($"v").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 7L).flatMap(y => (0L to 7L).map(x => y * 64 + x)).sorted)
+    val all = Snapshots.manifest(spark, tbl)
+      .filter($"version" === v0).count()
+    assert(box.inputFiles.length < all,
+      s"an 1/64th box must prune: ${box.inputFiles.length} of $all files")
+    // 1-D range scans prune on EITHER column of the same sidecar
+    val byY = Snapshots.scanRangeAsOf(spark, tbl, v0, "y", 0L, 3L)
+    assert(byY.count() == 4L * 64L)
+    assert(byY.inputFiles.length < all,
+      "a y-range over the z-layout must prune files too")
+  }
+
   test("generated columns: materialized when absent, validated when " +
     "supplied (wrong values refuse), may feed constraints; drop stops " +
     "generating; rollback restores the target's set") {
