@@ -810,6 +810,36 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "q61_correlated_scalar" -> ((s, dir) => {
+      // correlated SCALAR subquery surface (TPC-H Q2's shape): each
+      // part keeps its row iff it carries its brand's minimum retail
+      // price — Catalyst de-correlates the subquery into an aggregate
+      // + join (no per-row re-execution, the rewrite that makes the
+      // declarative form scale); DuckDB runs the identical SQL.
+      t(s, dir, "part").createOrReplaceTempView("part_q61")
+      s.sql(
+        """SELECT p_partkey, p_brand,
+          | CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+          |FROM part_q61 p
+          |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+          |  FROM part_q61 p2 WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    "q62_correlated_exists" -> ((s, dir) => {
+      // correlated NOT EXISTS surface: suppliers with no shipment on
+      // or after 2001-10-25 (the fixture's final fortnight) — planned as a left-anti join (q06's
+      // physical shape reached from the correlated-subquery SQL form).
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q62")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q62")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier_q62 s
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem_q62 l
+          |  WHERE l.l_suppkey = s.s_suppkey
+          |   AND l.l_shipdate >= TIMESTAMP '2001-10-25 00:00:00')
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     "q60_snapshot_zorder" -> ((s, dir) => {
       // Z-order × time travel: lineitem committed Morton-clustered on
       // (l_orderkey, l_partkey) with per-file min/max RECTANGLES in the
@@ -5759,6 +5789,22 @@ object SparkEntry {
         """SELECT event_id, user_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
+
+      // identical correlated SQL, DuckDB's own decorrelation
+      "q61_correlated_scalar" ->
+        """SELECT p_partkey, p_brand,
+          | CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+          |FROM part p
+          |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+          |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin,
+
+      "q62_correlated_exists" ->
+        """SELECT s_suppkey, s_name FROM supplier s
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+          |  WHERE l.l_suppkey = s.s_suppkey
+          |   AND l.l_shipdate >= TIMESTAMP '2001-10-25 00:00:00')
+          |ORDER BY s_suppkey""".stripMargin,
 
       // the box as a plain 2-D filter; skipping may only skip bytes
       "q60_snapshot_zorder" ->
