@@ -4140,6 +4140,41 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_stream_ingest_audited" -> ((s, dir) => {
+      // audited streaming ingest with a dead-letter queue: the real
+      // stream's batch passes the expectation suite and publishes; a
+      // poisoned batch (negated cents) is REFUSED — never visible to a
+      // table reader — and quarantined verbatim under the DLQ for
+      // triage, while the stream keeps moving. Replays of both kinds
+      // are exactly-once (spec-pinned: manifest stamp for published
+      // ids, DLQ-dir existence for refused ones). Face 1 = the audited
+      // table head, face 2 = the quarantined batch.
+      import org.apache.spark.sql.streaming.OutputMode
+      val tbl = s"$artifactRoot/snap_ingest_audited"
+      val dlq = s"$artifactRoot/snap_ingest_dlq"
+      Snapshots.init(s, tbl); Snapshots.init(s, dlq)
+      val audit = (df: DataFrame) => Stats.expectRows(df,
+        Seq(("neg_cents", col("value_cents") < 0L)))
+      val feed = Tables.streamEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val q = SnapshotStream.ingestAudited(feed, tbl, dlq, audit,
+        "ev_stream_ingest_audited")
+      q.processAllAvailable(); q.stop()
+      val poisoned = t(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (-cents(col("value")) - 1L).as("value_cents"))
+      val refused = SnapshotStream.appendBatchAudited(
+        s, tbl, dlq, audit, 1L, poisoned)
+      require(refused.isEmpty, "the poisoned batch must be refused")
+      val latest = Snapshots.latestVersion(s, tbl).get
+      Snapshots.readAsOf(s, tbl, latest).withColumn("face", lit(1L))
+        .unionByName(
+          s.read.parquet(s"$dlq/b1").withColumn("face", lit(2L)))
+        .orderBy(col("face"), col("event_id"))
+    }),
+
     "ev_stream_snapshot_ingest" -> ((s, dir) => {
       // streaming ingest into the lakehouse table, exactly-once: each
       // micro-batch publishes one append generation stamped
@@ -5782,6 +5817,20 @@ object SparkEntry {
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events WHERE event_id IN (7, 123, 777)
           |ORDER BY event_id""".stripMargin,
+
+      // face 1 = the audited head (everything, the fixture is clean);
+      // face 2 = the quarantined poisoned batch, verbatim
+      "ev_stream_ingest_audited" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |  CAST(round(value*100,0) AS BIGINT) AS value_cents
+          | FROM events)
+          |SELECT event_id, user_id, event_type, value_cents,
+          | CAST(1 AS BIGINT) AS face FROM ev
+          |UNION ALL
+          |SELECT event_id, user_id, event_type,
+          | -value_cents - 1 AS value_cents, CAST(2 AS BIGINT) AS face
+          |FROM ev WHERE event_id % 2 = 0
+          |ORDER BY face, event_id""".stripMargin,
 
       // the streamed table's head face must equal the plain batch
       // table — exactly-once means nothing lost AND nothing doubled

@@ -57,6 +57,41 @@ object SnapshotStream {
       ts = Some(batchId)))
   }
 
+  /** [[appendBatchExactlyOnce]] behind a WRITE-AUDIT-PUBLISH gate with
+    * a DEAD-LETTER QUEUE — the production streaming-quality shape: a
+    * micro-batch that fails the expectation suite never publishes
+    * (the table's consumers see only audited generations), but the
+    * stream must not stall on bad data either, so the refused batch
+    * lands VERBATIM under `dlqPath/b<batchId>` for offline triage and
+    * the stream moves on. Replays stay exactly-once on BOTH sides:
+    * a published batch id skips via the manifest stamp; a refused one
+    * skips via its DLQ directory's existence (directories are created
+    * errorifexists, so a racing replay cannot double-write either).
+    * Returns Some(version) on publish, None on skip or refusal. */
+  def appendBatchAudited(
+      spark: SparkSession,
+      tablePath: String,
+      dlqPath: String,
+      audit: DataFrame => DataFrame,
+      batchId: Long,
+      df: DataFrame): Option[Long] = {
+    val seen = Snapshots.manifest(spark, tablePath)
+      .filter(col("commit_ts") === batchId)
+      .limit(1).collect().nonEmpty
+    val dlqDir = s"$dlqPath/b$batchId"
+    val hadoop = new org.apache.hadoop.fs.Path(dlqDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (seen || hadoop.exists(new org.apache.hadoop.fs.Path(dlqDir))) None
+    else Snapshots.commitAudited(spark, df, tablePath, audit,
+      append = Snapshots.latestVersion(spark, tablePath).isDefined,
+      ts = Some(batchId)) match {
+      case Right(v) => Some(v)
+      case Left(_) =>
+        df.write.mode("errorifexists").parquet(dlqDir)
+        None
+    }
+  }
+
   /** Run a streaming frame into the snapshot table: one append
     * generation per micro-batch via [[appendBatchExactlyOnce]], so the
     * table's version history IS the stream's batch history — every
@@ -73,6 +108,24 @@ object SnapshotStream {
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         appendBatchExactlyOnce(batch.sparkSession, tablePath, id, batch)
+        ()
+      }
+      .start()
+
+  /** [[ingest]] behind the audit gate: refused micro-batches land in
+    * the dead-letter queue, clean ones publish, the stream never
+    * stalls. See [[appendBatchAudited]]. */
+  def ingestAudited(
+      stream: DataFrame,
+      tablePath: String,
+      dlqPath: String,
+      audit: DataFrame => DataFrame,
+      queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatchAudited(batch.sparkSession, tablePath, dlqPath,
+          audit, id, batch)
         ()
       }
       .start()

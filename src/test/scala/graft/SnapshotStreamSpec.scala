@@ -43,6 +43,44 @@ class SnapshotStreamSpec extends SparkSuite {
     assert(stamps == Seq((0L, 0L), (1L, 1L)))
   }
 
+  test("audited ingest with a dead-letter queue: clean batches publish, " +
+    "a refused batch lands verbatim in the DLQ and never in the table, " +
+    "and replays of BOTH kinds are exactly-once") {
+    val root = Files.createTempDirectory("snap_stream_").toString
+    val tbl = s"$root/tbl"; val dlq = s"$root/dlq"
+    Snapshots.init(spark, tbl)
+    val audit = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Stats.expectRows(df,
+        Seq(("neg_amt", $"amt" < 0L)))
+    val b0 = Seq((1L, 10L), (2L, 20L)).toDF("id", "amt")
+    val bad = Seq((3L, -5L), (4L, 30L)).toDF("id", "amt")
+    assert(SnapshotStream.appendBatchAudited(
+      spark, tbl, dlq, audit, 0L, b0).contains(0L))
+    assert(SnapshotStream.appendBatchAudited(
+      spark, tbl, dlq, audit, 1L, bad).isEmpty)
+    // the table saw only the audited generation
+    assert(Snapshots.latestVersion(spark, tbl).contains(0L))
+    assert(Snapshots.readAsOf(spark, tbl, 0L).count() == 2L)
+    // the refused batch is quarantined verbatim for triage
+    assert(spark.read.parquet(s"$dlq/b1")
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // replays: the published id skips via the manifest stamp, the
+    // refused id skips via its DLQ directory — nothing doubles
+    assert(SnapshotStream.appendBatchAudited(
+      spark, tbl, dlq, audit, 0L, b0).isEmpty)
+    assert(SnapshotStream.appendBatchAudited(
+      spark, tbl, dlq, audit, 1L, bad).isEmpty)
+    assert(Snapshots.latestVersion(spark, tbl).contains(0L))
+    assert(spark.read.parquet(s"$dlq/b1").count() == 2L)
+    // the stream keeps moving: a later clean batch publishes (as v2 —
+    // the refused batch BURNED claim 1 before refusing, the documented
+    // benign gap every crashed committer leaves)
+    assert(SnapshotStream.appendBatchAudited(
+      spark, tbl, dlq, audit, 2L, Seq((5L, 50L)).toDF("id", "amt"))
+      .contains(2L))
+  }
+
   test("replay semantics: a re-delivered batch id is skipped without " +
     "touching the table (crash-after-publish); an id the manifest " +
     "never saw commits (crash-before-publish retry)") {
