@@ -2711,6 +2711,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("island"))
     }),
 
+    "text_split_decontaminated" -> ((s, dir) => {
+      // contamination-aware train/test split: a deterministic md5 gate
+      // proposes ~16% test, then any proposed test doc sharing even one
+      // 8-gram with any train doc MOVES to train — the held-out set has
+      // zero 8-gram overlap by construction (the GPT-3 split
+      // discipline, applied at split time). Long grams so only genuine
+      // near-dup leakage evicts, not shared idiom; the fixture's
+      // planted near-dups make the eviction set nontrivial.
+      val docs = par(s)(t(s, dir, "documents"))
+      Dedup.splitDecontaminated(docs)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_selfdedup_spans" -> ((s, dir) => {
       // exact-substring SELF-dedup (Lee et al. EXACTSUBSTR): every word
       // 3-gram repeated anywhere in the corpus is redacted at all but
@@ -7562,6 +7575,30 @@ object SparkEntry {
            | max(e) - min(s) AS covered_words
            |FROM g GROUP BY doc_id, island
            |ORDER BY doc_id, island""".stripMargin,
+
+      // the same gate + 8-gram eviction replayed; w bound once per level
+      "text_split_decontaminated" -> {
+        val w = duckWords
+        val g8 = s"(CASE WHEN len($w) < 8 THEN [$duckNorm] ELSE " +
+          s"list_transform(range(1, len($w)-6), i -> " +
+          s"$w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] || ' ' || $w[i+3]" +
+          s" || ' ' || $w[i+4] || ' ' || $w[i+5] || ' ' || $w[i+6]" +
+          s" || ' ' || $w[i+7]) END)"
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN substr(md5('tsplit:' || CAST(doc_id AS VARCHAR)), 1, 2)
+           |   < '29' THEN 'test' ELSE 'train' END AS split0,
+           |  $g8 AS gs FROM documents),
+           |tg AS (SELECT DISTINCT unnest(gs) AS gram FROM d
+           |  WHERE split0 = 'train'),
+           |lk AS (SELECT DISTINCT doc_id FROM
+           |  (SELECT doc_id, unnest(gs) AS gram FROM d
+           |   WHERE split0 = 'test') x JOIN tg USING (gram))
+           |SELECT d.doc_id,
+           | CASE WHEN d.split0 = 'test' AND lk.doc_id IS NULL
+           |  THEN 'test' ELSE 'train' END AS split
+           |FROM d LEFT JOIN lk USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       // exact-substring self-dedup: grams with corpus-wide count >= 2,
       // all occurrences except the global (doc,pos)-min survivor become

@@ -1515,6 +1515,49 @@ object Dedup {
         col("covered").as("covered_words"))
   }
 
+  /** Contamination-aware train/test SPLIT — the GPT-3-style eval-split
+    * discipline applied at split time rather than after the fact: a
+    * deterministic md5 gate proposes the test set (rerun/repartition-
+    * stable, the [[TextAnalysis]] sampling-gate construction), then any
+    * proposed test doc sharing even ONE word `n`-gram with any train
+    * doc is MOVED TO TRAIN — long grams (default 8) so only genuine
+    * near-dup leakage trips the eviction, not shared idiom. Moving
+    * (not dropping) is the standard fix: the doc is still clean
+    * training data, it just cannot be trusted as held-out. The result
+    * is a test set with zero `n`-gram overlap against train, by
+    * construction.
+    *
+    * Scale shape: the train gram set is corpus-scale (no broadcast
+    * pretense) — one gram-keyed semi-join shuffle whose PROBE side is
+    * only the proposed test slice's grams (the small fraction), and
+    * distinct-shingle explode bounds both sides by vocabulary, not
+    * occurrences. Output: (idCol, split) for every document. */
+  def splitDecontaminated(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8,
+      gatePrefix: String = "tsplit:",
+      gateBelow: String = "29"): DataFrame = {
+    val gate = substring(
+      md5(concat(lit(gatePrefix), col(idCol).cast("string"))), 1, 2)
+      .< (lit(gateBelow))
+    val tagged = docs.select(col(idCol),
+      when(gate, "test").otherwise("train").as("__split0"), col(textCol))
+    val grams = tagged.select(col(idCol), col("__split0"),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val trainGrams = grams.filter(col("__split0") === "train")
+      .select(col("gram")).distinct()
+    val leaky = grams.filter(col("__split0") === "test")
+      .join(trainGrams, Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__leak", lit(1))
+    tagged.join(leaky, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__split0") === "test" && col("__leak").isNull, "test")
+          .otherwise("train").as("split"))
+  }
+
   // ------------------------------------------------------------------
   // Segment-level boilerplate removal (line-level dedup, generalized)
   // ------------------------------------------------------------------

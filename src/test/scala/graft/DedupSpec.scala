@@ -727,6 +727,35 @@ class DedupSpec extends SparkSuite {
       (3L, 1L, 0L, 3L, 1L, 3L)))
   }
 
+  test("splitDecontaminated: a gated test doc sharing an 8-gram with " +
+    "train moves to train; a clean test doc stays; the final test set " +
+    "has zero 8-gram overlap by construction") {
+    // gate (md5('tsplit:'||id)[0,2) < '29'): ids 1, 3, 12 -> test;
+    // 2, 4 -> train. doc 3 shares its full 8-gram run with train doc 2
+    // -> evicted; doc 1 and 12 are clean 8-plus-word docs -> stay.
+    val leakRun = "q w e r t y u i"
+    val docs = Seq(
+      (1L, "one clean held out document with enough words"),
+      (2L, s"train page carrying the run $leakRun verbatim"),
+      (3L, s"test page quoting the run $leakRun too"),
+      (4L, "another train document with its own words here"),
+      (12L, "second clean held out document of eight words plus"))
+      .toDF("doc_id", "text")
+    val got = Dedup.splitDecontaminated(docs)
+      .orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "test"), (2L, "train"), (3L, "train"),
+      (4L, "train"), (12L, "test")))
+    // the invariant the operator exists for: no 8-gram crosses sides
+    val sides = Dedup.splitDecontaminated(docs)
+      .join(docs, Seq("doc_id"))
+      .select($"split", explode(array_distinct(
+        Dedup.shingles($"text", 8))).as("gram"))
+    val crossed = sides.filter($"split" === "test")
+      .join(sides.filter($"split" === "train"), Seq("gram"), "left_semi")
+    assert(crossed.isEmpty, "a test 8-gram leaked into train")
+  }
+
   test("selfDedupSpans: cross-doc repeats redact every occurrence but " +
     "the global (doc,pos)-min survivor; intra-doc repeats keep the " +
     "earlier copy; clean docs emit nothing") {
