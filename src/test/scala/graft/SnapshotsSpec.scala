@@ -1243,6 +1243,26 @@ class SnapshotsSpec extends SparkSuite {
       Seq(1L, 4L))
   }
 
+  test("deletion vectors: the governing set applies as a BROADCAST " +
+    "anti-join — the fact scan never shuffles for its deletes") {
+    // the DV sidecar is a file-backed relation with known size, so the
+    // planner broadcast-sizes it statically; at 100 TB the refinement
+    // is per-file bitmaps in the scan, but the plan shape here is the
+    // contract: no exchange on the fact side for the delete
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      spark.range(0, 1000L).selectExpr("id", "id * 3 AS v"),
+      tbl, append = false)
+    val v = Snapshots.deleteWhere(spark, tbl, $"id" % 97L === 0L)
+    val face = Snapshots.readAsOf(spark, tbl, v)
+    assert(face.count() == 1000L - 11L)
+    val plan = face.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV apply must be a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side shuffled for its deletes:\n$plan")
+  }
+
   test("readChangesBetween: O(delta) CDC — fresh rows '+', DV deletes " +
     "'-' on pre-existing rows only, an intra-interval add+delete nets " +
     "to zero, a rollback resurrection comes back as '+'") {
