@@ -1008,6 +1008,31 @@ object Snapshots {
       .coalesce(1)
       .write.mode("errorifexists").parquet(dvDir(tablePath, version))
 
+  /** Does ANY deletion-vector entry reference a file some manifest
+    * generation still lists? Metadata-scale (every DV dir is bounded
+    * by deletes); the guard for verbs whose answers would silently go
+    * wrong under live row-level deletes. Dead entries (files already
+    * replaced or compacted away) don't count. */
+  private def liveDvEntriesExist(
+      spark: SparkSession,
+      tablePath: String,
+      manifestFiles: Seq[String]): Boolean = {
+    val f = fs(spark, tablePath)
+    val root = new Path(dvRoot(tablePath))
+    if (!f.exists(root)) false
+    else {
+      val dirs = f.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.toString)
+      dirs.nonEmpty && {
+        val filesDf = spark.createDataFrame(
+          manifestFiles.distinct.map(Tuple1(_))).toDF("file")
+        spark.read.schema(dvSchema).parquet(dirs.toIndexedSeq: _*)
+          .join(filesDf, Seq("file"), "left_semi")
+          .limit(1).collect().nonEmpty
+      }
+    }
+  }
+
   /** Anti-join `df` (carrying the [[DvFileCol]]/[[DvPosCol]] row
     * identity) against a DV set. The DV side is a file-based relation
     * with known size, so the planner broadcasts it statically whenever
@@ -2098,6 +2123,12 @@ object Snapshots {
     require(m.filter(col("rows").isNull).limit(1).collect().isEmpty,
       s"$tablePath carries generations without footer counts — " +
         "tableStats would undercount; recommit those versions")
+    // footer counts are PHYSICAL; live deletion vectors would make
+    // them silently overcount — refuse toward the DV-aware countAsOf
+    require(!liveDvEntriesExist(spark, tablePath,
+      m.select(col("file")).collect().map(_.getString(0)).toSeq),
+      s"$tablePath carries live deletion vectors — tableStats' footer " +
+        "counts would overcount deleted rows; use countAsOf per version")
     m.groupBy(col("version"), col("part"))
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
   }
@@ -2116,6 +2147,10 @@ object Snapshots {
     require(m.filter(col("rows").isNull).limit(1).collect().isEmpty,
       s"$tablePath carries generations without footer counts — " +
         "tableHistory would undercount; recommit those versions")
+    require(!liveDvEntriesExist(spark, tablePath,
+      m.select(col("file")).collect().map(_.getString(0)).toSeq),
+      s"$tablePath carries live deletion vectors — tableHistory's " +
+        "footer counts would overcount deleted rows; use countAsOf")
     m.groupBy(col("version"))
       .agg(max(col("commit_ts")).as("commit_ts"),
         count(lit(1)).as("n_files"),
@@ -2410,27 +2445,12 @@ object Snapshots {
     // any DV entry references a manifest file — compact the deletes
     // away first (optimize + vacuum) or extend purge with DV
     // remapping. (Dead entries — files already replaced — are fine.)
-    locally {
-      val f0 = fs(spark, tablePath)
-      val root = new Path(dvRoot(tablePath))
-      if (f0.exists(root)) {
-        val dirs = f0.listStatus(root).filter(_.isDirectory)
-          .map(_.getPath.toString)
-        if (dirs.nonEmpty) {
-          val manifestFilesDf = spark.createDataFrame(
-            m.map(r => Tuple1(r.getString(1))).toSeq.distinct).toDF("file")
-          val liveDvEntries = spark.read.schema(dvSchema)
-            .parquet(dirs.toIndexedSeq: _*)
-            .join(manifestFilesDf, Seq("file"), "left_semi")
-            .limit(1).collect()
-          require(liveDvEntries.isEmpty,
-            s"purgeKeys: $tablePath carries live deletion-vector " +
-              "entries — rewritten files would orphan them and " +
-              "resurrect deleted rows; compact deletes first " +
-              "(optimize, then vacuum) or remap the DV sidecars")
-        }
-      }
-    }
+    require(!liveDvEntriesExist(spark, tablePath,
+      m.map(_.getString(1)).toSeq),
+      s"purgeKeys: $tablePath carries live deletion-vector entries — " +
+        "rewritten files would orphan them and resurrect deleted rows; " +
+        "compact deletes first (optimize, then vacuum) or remap the " +
+        "DV sidecars")
     def norm(p: String) = new Path(p).toUri.getPath
     val k = keys.select(keyCols.map(col): _*).distinct()
     val keySchema = org.apache.spark.sql.types.StructType(

@@ -928,6 +928,15 @@ class SnapshotsSpec extends SparkSuite {
     val v3 = Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"),
       tbl, append = true)
     assert(ids(v3) == Seq(1L, 9L))
+    // physical-count views refuse under live DVs instead of silently
+    // overcounting — countAsOf is the DV-aware number
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.tableStats(spark, tbl).collect()
+    }
+    assert(err.getMessage.contains("countAsOf"))
+    intercept[IllegalArgumentException] {
+      Snapshots.tableHistory(spark, tbl).collect()
+    }
   }
 
   test("deleteWhere composes with optimize (physical drop), rollback " +
