@@ -1490,16 +1490,19 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3): DataFrame = {
-    // materialized ONCE: both the gram aggregate and the join-back
-    // consume this frame, and without the checkpoint each would
-    // re-run the normalize/split/shingle regex chain over the corpus
-    // (measured 11 s → ~5 s at sf0.1)
-    val occ = Materialize(docs
+    // NOT Materialize'd although two consumers share it: measured at
+    // sf0.1, the localCheckpoint write costs ~9 s while the second
+    // cold evaluation it would save costs ~5 s and the engine's
+    // shuffle-file reuse already makes the re-read warm — the
+    // checkpoint trade only wins when the shared frame's recompute
+    // dwarfs its byte size (the CC/LSH iterative frames), which a
+    // one-explode projection does not
+    val occ = docs
       .select(col(idCol),
         size(TextAnalysis.words(col(textCol))).cast("long").as("wc"),
         posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("wc"), col("pos").cast("long").as("pos"),
-        col("gram")))
+        col("gram"))
     val dup = occ
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("__cnt"),
