@@ -2008,7 +2008,10 @@ object SparkEntry {
       // that regime: on a 3660-doc zipfian-vocabulary corpus the prefix
       // index shrinks Σ df² ~100× and the candidate set ~80×, and wins
       // wall-clock against the full index join at the same threshold
-      // with identical output pairs.
+      // with identical output pairs. Bench history is BIMODAL (±2.5 s
+      // at identical plans — README "Performance notes" has the r17
+      // plan-diff); the structural floor after the materialized ranked
+      // index + pre-aggregated gram-df is ~6 s at sf0.1.
       Dedup.ngramJaccardPairsPrefix(par(s)(t(s, dir, "documents")), n = 2,
         threshold = 0.25, maxGramDf = 500)
         .orderBy(col("doc_a"), col("doc_b"))

@@ -1123,12 +1123,21 @@ object Dedup {
       cappedGramIndex(df, textCol, idCol, blockCol, n, maxGramDf), idCol)
 
   /** The capped, MATERIALIZED inverted-index input every n-gram pair
-    * operator starts from: per-block distinct gram explode → optional
-    * hot-gram df cap (one count window over (block, gram)) → one eager
+    * operator starts from: per-block distinct gram explode → gram
+    * document frequency → optional hot-gram df cap → one eager
     * materialization (the lambda-built shingles defeat plan
     * canonicalization, so without it every downstream self-join re-runs
     * the normalize→shingle→explode→cap chain per side — see the
-    * Jaccard scaladoc). Rows: (blk, gram, idCol). */
+    * Jaccard scaladoc). The df is computed as a partial-aggregated
+    * `groupBy(blk, gram)` joined back to the stream, NOT as a count
+    * window: the window shuffles AND sorts the full gram stream by
+    * (blk, gram), while the aggregate's shuffle carries only the
+    * map-side-combined distinct-gram frame — vocabulary-scale, which
+    * AQE then broadcasts for the join-back. Rows: (blk, gram, idCol,
+    * __gdf), the df column riding along so [[jaccardPrefixIndex]] can
+    * skip recomputing it (post-cap df equals pre-cap df for every
+    * surviving gram — the cap removes whole grams, never rows within
+    * one). */
   private def cappedGramIndex(
       df: DataFrame,
       textCol: String,
@@ -1136,17 +1145,15 @@ object Dedup {
       blockCol: String,
       n: Int,
       maxGramDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = df
       .select(col(blockCol).as("blk"), col(idCol),
         explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    Materialize(
-      if (maxGramDf <= 0) grams
-      else grams
-        .withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
-        .filter(col("__df") <= maxGramDf)
-        .drop("__df"))
+    val dfs = grams.groupBy(col("blk"), col("gram"))
+      .agg(count(lit(1)).as("__gdf"))
+    val capped = if (maxGramDf <= 0) dfs
+      else dfs.filter(col("__gdf") <= maxGramDf)
+    Materialize(grams.join(capped, Seq("blk", "gram"))
+      .select(col("blk"), col(idCol), col("gram"), col("__gdf")))
   }
 
   /** The full inverted-index pair core over a prebuilt [[cappedGramIndex]]
@@ -1218,9 +1225,13 @@ object Dedup {
       idCol: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    kept
-      .withColumn("__gdf",
+    // a [[cappedGramIndex]] input already carries each gram's df; a
+    // bare (blk, gram, id) frame pays the count window here
+    val withDf =
+      if (kept.columns.contains("__gdf")) kept
+      else kept.withColumn("__gdf",
         count(lit(1)).over(Window.partitionBy(col("blk"), col("gram"))))
+    withDf
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__gdf"), col("gram"))))
       .withColumn("__sz",
@@ -1260,8 +1271,13 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs threshold in (0,1], got $threshold")
     val kept = cappedGramIndex(df, textCol, idCol, blockCol, n, maxGramDf)
+    // the prefix index is consumed twice (both sides of the candidate
+    // self-join); unmaterialized, each side re-runs its three window
+    // passes over `kept` — the same reuse the auto arm already gets
+    // because its cost probe forces the materialization
     prefixPairsFrom(kept,
-      jaccardPrefixIndex(kept, idCol, threshold), idCol, threshold)
+      Materialize(jaccardPrefixIndex(kept, idCol, threshold)),
+      idCol, threshold)
   }
 
   /** The prefix arm's pair pipeline over a prebuilt capped index and
