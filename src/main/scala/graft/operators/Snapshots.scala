@@ -30,20 +30,55 @@ import org.apache.spark.sql.functions._
   * check-then-create, so object-store deployments must serialize
   * commits through a catalog or lock service instead. The claim is
   * retried upward on collision, so two racing committers always mint
-  * DISTINCT versions and both survive. What the claim does NOT provide
-  * is serializable append lineage: an append commit takes as parent the
-  * latest PUBLISHED manifest OBSERVED before its claim (never the
-  * claimed number minus one — a crashed claim or an unpublished racer
-  * leaves a numeric gap there, and resolving the parent through the
-  * gap would silently drop the whole table history from the new
-  * lineage), so an append racing another append may not include the
-  * racer's rows (its parent manifest wasn't published yet) — a gap
-  * costs at most the unpublished racer's rows. Serializing appends is
-  * a catalog's job — the same boundary [[Compaction]]'s scaladoc
-  * draws; a crashed claim leaves a version gap, which [[readAsOf]]
+  * DISTINCT versions and both survive. On top of the claim, the
+  * publish tail RECONCILES lineage by commit class:
+  *
+  *  - APPEND commits rebase: at publish time the actual latest
+  *    published head is re-read and becomes the new generation's
+  *    parent file set (appends commute with anything that leaves the
+  *    head current — racing appends stack, an append over a racing
+  *    replace lands its rows in the post-replace table), verified by a
+  *    post-publish check that publishes a corrective generation if a
+  *    racer landed inside the check-to-publish window. The one rebase
+  *    precondition is WRITE GOVERNANCE: the batch was generated,
+  *    constraint-checked and physically translated under the observed
+  *    head's constraint/column-mapping/generated-column sidecars, so
+  *    if the moved head changed any of those, the append is refused
+  *    with a retry-able [[ConcurrentCommitException]] (the retry
+  *    re-prepares under the new governance).
+  *  - Blind REPLACE commits ([[commit]] with `append = false`) carry
+  *    content independent of the head, so last-writer-wins is their
+  *    contract: no conflict check, racing replaces both publish and
+  *    the higher version is the head.
+  *  - DERIVED commits — verbs whose content is COMPUTED FROM the
+  *    observed head ([[merge]], [[optimize]], [[rollback]],
+  *    [[deleteWhere]], [[replacePartitions]], constraint /
+  *    generated-column / column-mapping changes) — refuse with a
+  *    retry-able [[ConcurrentCommitException]] when the head moved
+  *    past the version they derived from, checked immediately before
+  *    publish and verified again after it (a racer landing inside the
+  *    narrow check-to-publish window is reported loudly rather than
+  *    silently losing its commit).
+  *
+  * Whole-manifest maintenance ([[vacuum]], [[purgeKeys]]) remains
+  * single-maintenance-writer: it refuses when the head moved before
+  * its swap, but must not race data commits. A refused or crashed
+  * commit leaves orphaned data files and a burned version number — a
+  * benign gap ([[removeOrphans]]' territory) which [[readAsOf]]
   * reports loudly. Readers never block: snapshots are immutable and
   * vacuum only deletes files no retained generation references.
   */
+
+/** Optimistic-concurrency refusal: a commit observed one published head
+  * but the table's head moved before (or while) the commit published —
+  * see the commit-class contract on [[Snapshots]]. Always RETRY-ABLE:
+  * re-read the head, re-derive (or re-prepare) the content against it,
+  * commit again. The refused attempt's data files and version claim are
+  * left behind as a benign numeric gap ([[Snapshots.removeOrphans]]'
+  * territory); nothing half-visible is ever published. */
+class ConcurrentCommitException(message: String)
+  extends RuntimeException(message)
+
 object Snapshots {
 
   private val DataDir = "data"
@@ -105,7 +140,7 @@ object Snapshots {
   }
 
   /** The manifest frame: one row per (version, file, part,
-    * schema_json, rows, commit_ts) — `part` is the hive-style partition path
+    * schema_json, rows, commit_ts, parent) — `part` is the hive-style partition path
     * fragment (`"event_date=2024-01-03"`) for files written by
     * [[commitPartitioned]], null for flat commits; `schema_json` is
     * the SNAPSHOT's full read schema (identical on every row of a
@@ -119,7 +154,12 @@ object Snapshots {
     * (event-time watermark — e.g. the batch's max event ts — never
     * wall clock, so every read replays deterministically), constant
     * per generation, which [[versionAt]]/[[readAsOfTimestamp]] resolve
-    * AS OF TIMESTAMP queries against.
+    * AS OF TIMESTAMP queries against; `parent` is the version this
+    * generation's content BUILT ON (the rebased append parent or the
+    * version a derived verb computed from — null for blind replaces,
+    * first commits, and pre-lineage layouts), constant per generation,
+    * which the publish-time reconciliation walks to tell a successor
+    * that SAW a commit from a racer that did not.
     * Empty (with the right schema) when the table has no commits yet.
     * The `_`-prefixed manifest dir hides it from any scan of the TABLE
     * root (the `_delta_log` convention), so it is read here by its
@@ -127,33 +167,67 @@ object Snapshots {
     * trips Spark's hidden-path filter (warning today, possibly an error
     * in a future release). */
   def manifest(spark: SparkSession, tablePath: String): DataFrame = {
+    manifestReads.incrementAndGet()
     recoverManifestSwap(spark, tablePath)
     val dir = s"$tablePath/$VersionsDir"
-    val parts =
-      if (fs(spark, tablePath).exists(new Path(dir)))
-        listDataFiles(spark, dir)
-      else Seq.empty
-    if (parts.nonEmpty) {
-      val m = spark.read.option("mergeSchema", "true").parquet(parts: _*)
-      // manifests written by earlier layouts may lack the partition,
-      // schema, row-count, and/or commit-ts columns; normalize so
-      // every consumer sees six
-      Seq("part" -> "string", "schema_json" -> "string", "rows" -> "long",
-        "commit_ts" -> "long")
-        .foldLeft(m) { case (df, (c, tpe)) =>
-          if (df.columns.contains(c)) df
-          else df.withColumn(c, lit(null).cast(tpe))
-        }
-    } else {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("version", LongType, nullable = false),
-          StructField("file", StringType, nullable = false),
-          StructField("part", StringType, nullable = true),
-          StructField("schema_json", StringType, nullable = true),
-          StructField("rows", LongType, nullable = true),
-          StructField("commit_ts", LongType, nullable = true))))
+    def isFileGone(e: Throwable): Boolean = {
+      var c = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            (c.getMessage.contains("FileNotFoundException") ||
+              c.getMessage.contains("does not exist"))))
+          return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
     }
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < 4) {
+      attempt += 1
+      val parts =
+        if (fs(spark, tablePath).exists(new Path(dir)))
+          listDataFiles(spark, dir)
+        else Seq.empty
+      if (parts.isEmpty) {
+        import org.apache.spark.sql.types._
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("version", LongType, nullable = false),
+            StructField("file", StringType, nullable = true),
+            StructField("part", StringType, nullable = true),
+            StructField("schema_json", StringType, nullable = true),
+            StructField("rows", LongType, nullable = true),
+            StructField("commit_ts", LongType, nullable = true),
+            StructField("parent", LongType, nullable = true))))
+      }
+      try {
+        val m = spark.read.option("mergeSchema", "true").parquet(parts: _*)
+        // manifests written by earlier layouts may lack the partition,
+        // schema, row-count, lineage and/or commit-ts columns;
+        // normalize so every consumer sees seven, in one fixed order
+        val norm = Seq("part" -> "string", "schema_json" -> "string",
+          "rows" -> "long", "commit_ts" -> "long", "parent" -> "long")
+          .foldLeft(m) { case (df, (c, tpe)) =>
+            if (df.columns.contains(c)) df
+            else df.withColumn(c, lit(null).cast(tpe))
+          }
+          .select(col("version"), col("file"), col("part"),
+            col("schema_json"), col("rows"), col("commit_ts"),
+            col("parent"))
+        // materialized EAGERLY (metadata-scale by design): a lazy frame
+        // whose action runs after a racing committer RETRACTS a
+        // generation fails mid-scan on the vanished file; the eager
+        // read retries against a fresh listing instead — a read is a
+        // point-in-time snapshot of the manifest, never a torn one
+        val rows = norm.collect()
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), norm.schema)
+      } catch {
+        case e: Throwable if isFileGone(e) => lastErr = e
+      }
+    }
+    throw lastErr
   }
 
   /** Latest committed version, or None for an empty table. Driver-side
@@ -171,13 +245,34 @@ object Snapshots {
       .filter(col("version") === version)
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
+  /** The files generation `version` ADDED relative to its recorded
+    * lineage parent — the reconciliation-safe "fresh files of this
+    * commit" (a `data/v<N>/` path filter breaks when [[publishAppend]]
+    * publishes a corrective lap under a higher version than the dir
+    * the batch was written to). A parent-less generation (first
+    * commit, blind replace) is wholly fresh; a derived replace's
+    * parent files left the lineage, so subtracting them is a no-op. */
+  private def freshFilesOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[String] = {
+    val gen = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("parent")).collect()
+    val parentFiles = gen.headOption
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      .map(p => manifestFiles(spark, tablePath, p).toSet)
+      .getOrElse(Set.empty[String])
+    gen.map(_.getString(0)).filterNot(parentFiles).toSeq
+  }
+
   /** Atomically claim the next free version number at or above `from`:
     * `create(marker, overwrite = false)` either creates the marker —
     * the claim — or throws because a racing (or crashed) committer owns
     * that number, in which case the next number is tried. This is the
     * CAS that makes concurrent commits mint DISTINCT versions instead
     * of silently merging their file sets under one number. */
-  private def claimVersion(
+  private[graft] def claimVersion(
       spark: SparkSession,
       tablePath: String,
       from: Long): Long = {
@@ -229,7 +324,232 @@ object Snapshots {
       .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
       .getOrElse(nullableTop(freshSchema))
     publishRows(spark, tablePath, version, parentRows ++ fresh,
-      schema.json, commitTs)
+      schema.json, commitTs, parent)
+  }
+
+  /** version → recorded lineage parent of every published generation
+    * (None for blind replaces, first commits, and pre-lineage
+    * layouts). Driver-side over the metadata-scale manifest. */
+  private def parentChain(
+      spark: SparkSession,
+      tablePath: String): Map[Long, Option[Long]] =
+    manifest(spark, tablePath)
+      .select(col("version"), col("parent")).distinct().collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+  /** Is `anc` on the recorded parent lineage of `from` (inclusive)?
+    * A chain break — a retracted, vacuumed, blind-replace, or
+    * pre-lineage generation — answers false: reconciliation treats an
+    * unprovable ancestry as a conflict, never as consent. */
+  private def inLineage(
+      chain: Map[Long, Option[Long]],
+      anc: Long,
+      from: Long): Boolean = {
+    var v = from
+    while (true) {
+      if (v == anc) return true
+      chain.get(v).flatten match {
+        case Some(p) if p < v => v = p
+        case _ => return false
+      }
+    }
+    false // unreachable; p < v bounds the walk
+  }
+
+  /** Withdraw a generation attempt: its manifest file (if it
+    * published) and every version-keyed sidecar dir its verb may have
+    * written before the refusal — without this, a refused
+    * [[deleteWhere]]'s `_dv/v<N>` sidecar would keep GOVERNING later
+    * reads through latest-at-or-below resolution, applying deletes
+    * that were never committed. Data files stay ([[removeOrphans]]'
+    * territory) and the claim marker stays burned (a benign numeric
+    * gap — claims must never be re-mintable). */
+  private def retractVersion(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Unit = {
+    val f = fs(spark, tablePath)
+    f.delete(new Path(s"$tablePath/$VersionsDir/gen-v$version.parquet"),
+      false)
+    Seq(dvDir(tablePath, version), constraintsDir(tablePath, version),
+      colMapDir(tablePath, version), genColsDir(tablePath, version),
+      statsDir(tablePath, version), bloomDir(tablePath, version))
+      .foreach(d => f.delete(new Path(d), true))
+  }
+
+  /** The write-governance fingerprint of `version`: the sidecar
+    * generations whose content [[prepareBatch]]/[[toPhysical]] bake
+    * into a batch (CHECK constraints, column mapping, generated
+    * columns — deletion vectors govern reads, not batch preparation).
+    * An append may rebase onto a moved head exactly when this
+    * fingerprint is unchanged; otherwise its already-written files
+    * were prepared under governance the new head revoked. */
+  private def prepGovernanceAt(
+      spark: SparkSession,
+      tablePath: String,
+      version: Option[Long]): Seq[Option[Long]] =
+    version match {
+      case None => Seq(None, None, None)
+      case Some(v) =>
+        Seq(constraintsRoot(tablePath), colMapRoot(tablePath),
+          genColsRoot(tablePath))
+          .map(r => sidecarResolve(spark, r, v).map(_._1))
+    }
+
+  /** The APPEND commit tail with publish-time reconciliation (see the
+    * commit-class contract in the object scaladoc). Each lap takes ONE
+    * eager point-in-time manifest snapshot and derives everything from
+    * it — the head, the rebase parent's file rows and schema, the
+    * settle verdict — so a racer's publish or retraction lands between
+    * laps, never inside one. A publish SETTLES when the head descends
+    * from it AND no racer's generation sits strictly between its
+    * recorded parent and it; that contiguity check is what catches the
+    * claims-inverted window (a racer with a LOWER claim publishing
+    * after our head-read lands below us, invisible to any head-only
+    * check). An unsettled publish is RETRACTED and the next lap
+    * rebases the same fresh files onto the then-current head, so no
+    * generation ever unions content it cannot see whole. Converges
+    * because each publish is a filesystem-serialized rename and the
+    * racer population is finite; the lap bound is a loud backstop, not
+    * a correctness device. */
+  private[graft] def publishAppend(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fresh: Seq[(String, String, Option[Long])],
+      observed: Option[Long],
+      freshSchema: org.apache.spark.sql.types.StructType,
+      ts: Option[Long]): Long = {
+    val freshFiles = fresh.map(_._1).toSet
+    val prepGov = prepGovernanceAt(spark, tablePath, observed)
+    var claimed = version
+    var published = -1L
+    var parentUsed: Option[Long] = None
+    var laps = 0
+    while (laps < 16) {
+      laps += 1
+      val snap = manifest(spark, tablePath)
+        .select(col("version"), col("file"), col("part"), col("rows"),
+          col("schema_json"), col("parent")).collect()
+      val head =
+        if (snap.isEmpty) None else Some(snap.map(_.getLong(0)).max)
+      val retractedThisLap =
+        if (published < 0) false
+        else {
+          val chain = snap.map(r => r.getLong(0) ->
+            (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+          val shadowed = snap.exists(r =>
+            r.getLong(0) > parentUsed.getOrElse(-1L) &&
+              r.getLong(0) < published)
+          if (!shadowed && head.exists { h =>
+            h == published || inLineage(chain, published, h) ||
+              freshFiles.subsetOf(snap.filter(_.getLong(0) == h)
+                .map(_.getString(1)).toSet)
+          }) return published
+          // shadowed, or superseded without our rows: withdraw and
+          // rebase next lap (the retracted number stays burned; the
+          // next lap's snapshot sees the retraction)
+          retractVersion(spark, tablePath, published)
+          published = -1L
+          true
+        }
+      if (!retractedThisLap) {
+        if (head != observed &&
+          prepGovernanceAt(spark, tablePath, head) != prepGov) {
+          throw new ConcurrentCommitException(
+            s"append to $tablePath was prepared under the constraint/" +
+              s"column-mapping/generated-column governance of version " +
+              s"${observed.fold("<empty>")(_.toString)}, but the " +
+              s"published head moved to " +
+              s"${head.fold("<empty>")(_.toString)} under different " +
+              "governance — re-prepare and retry")
+        }
+        // a head at or above our claimed number would leave this
+        // generation below the maximum and invisible — re-claim above
+        // it (the superseded claim burns as a benign gap)
+        if (head.exists(_ >= claimed))
+          claimed = claimVersion(spark, tablePath, head.get + 1L)
+        parentUsed = head
+        // the rebase parent's rows and schema come from THE SAME
+        // snapshot that elected it head — a parent re-read here could
+        // observe a racer's retraction and silently truncate the table
+        val headRows = head.map(h => snap.filter(_.getLong(0) == h))
+          .getOrElse(Array.empty[Row]).toSeq
+        val parentRows = headRows.map(r => (r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        val schema = headRows.find(!_.isNullAt(4))
+          .map(r => org.apache.spark.sql.types.DataType
+            .fromJson(r.getString(4))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
+          .getOrElse(nullableTop(freshSchema))
+        published = publishRows(spark, tablePath, claimed,
+          parentRows ++ fresh, schema.json, ts, head)
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"append to $tablePath did not reconcile — 16 corrective laps " +
+        "lost to racing commits; retry")
+  }
+
+  /** The DERIVED commit tail (see the commit-class contract in the
+    * object scaladoc): content computed FROM `derivedFrom` may publish
+    * only while `derivedFrom` is still the head — checked immediately
+    * before the publish rename, and verified again after it by looking
+    * for a racer's generation strictly between `derivedFrom` and
+    * `version` (a lower claim landing inside the check-to-publish
+    * window). Either refusal retracts this attempt's manifest
+    * generation and sidecars and throws the retry-able
+    * [[ConcurrentCommitException]] — the loser is told loudly, never
+    * silently shadowed. */
+  private[graft] def publishDerived(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fileRows: Seq[(String, String, Option[Long])],
+      schemaJson: String,
+      ts: Option[Long],
+      derivedFrom: Long,
+      verb: String): Long = {
+    val pre = latestVersion(spark, tablePath)
+    if (!pre.contains(derivedFrom)) {
+      retractVersion(spark, tablePath, version)
+      throw new ConcurrentCommitException(
+        s"$verb derived its content from version $derivedFrom of " +
+          s"$tablePath, but the published head is now " +
+          s"${pre.fold("<empty>")(_.toString)} — re-read and retry")
+    }
+    publishRows(spark, tablePath, version, fileRows, schemaJson, ts,
+      Some(derivedFrom))
+    val shadowed = manifest(spark, tablePath)
+      .filter(col("version") > derivedFrom && col("version") < version)
+      .select(col("version")).limit(1).collect()
+    if (shadowed.nonEmpty) {
+      retractVersion(spark, tablePath, version)
+      throw new ConcurrentCommitException(
+        s"$verb published version $version of $tablePath derived from " +
+          s"$derivedFrom, but version ${shadowed.head.getLong(0)} " +
+          "landed concurrently in between — retracted; re-read and retry")
+    }
+    // the symmetric window: a racer with a HIGHER claim whose whole
+    // check-publish-check sequence ran between our pre-check and our
+    // publish settles without ever seeing us (we were unpublished at
+    // its between-check) — if the head does not descend from us, we
+    // are the shadowed one and must withdraw
+    val after = latestVersion(spark, tablePath)
+    if (!after.contains(version) && !after.exists(h =>
+      inLineage(parentChain(spark, tablePath), version, h))) {
+      retractVersion(spark, tablePath, version)
+      throw new ConcurrentCommitException(
+        s"$verb published version $version of $tablePath derived from " +
+          s"$derivedFrom, but the head moved to " +
+          s"${after.fold("<empty>")(_.toString)} without descending " +
+          "from it — retracted; re-read and retry")
+    }
+    version
   }
 
   /** The stored read schema of one generation, if its manifest carries
@@ -333,9 +653,10 @@ object Snapshots {
       version: Long,
       fileRows: Seq[(String, String, Option[Long])],
       schemaJson: String,
-      commitTs: Option[Long]): Long = {
+      commitTs: Option[Long],
+      parent: Option[Long]): Long = {
     val rows = fileRows.map { case (f, p, n) =>
-      (version, f, p, schemaJson, n, commitTs) }
+      (version, f, p, schemaJson, n, commitTs, parent) }
     // one generation = one manifest file, staged in a version-unique
     // temp dir and RENAMED in — never `mode("append")` into the shared
     // manifest dir, whose job-commit staging (`_temporary/0`) is a
@@ -345,7 +666,8 @@ object Snapshots {
     val f = fs(spark, tablePath)
     val tmp = s"$tablePath/${VersionsDir}_tmp_v$version"
     spark.createDataFrame(rows)
-      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts")
+      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts",
+        "parent")
       .coalesce(1)
       .write.mode("errorifexists").parquet(tmp)
     val staged = listDataFiles(spark, tmp)
@@ -363,17 +685,24 @@ object Snapshots {
 
   /** Commit `df` as the next version. `append = true` makes the new
     * snapshot the parent's files PLUS the newly written ones (no data
-    * rewritten — the O(delta) fast path); `append = false` makes it
-    * exactly the newly written files (replace: corrections, deletes,
-    * compactions). The version number comes from [[claimVersion]]'s
-    * CAS, so racing committers both land, on distinct versions.
-    * Returns the minted version. */
+    * rewritten — the O(delta) fast path), reconciled against racing
+    * commits by [[publishAppend]]; `append = false` makes it exactly
+    * the newly written files (replace: corrections, deletes,
+    * compactions) — blind last-writer-wins, unless `derivedFrom` names
+    * the head version the replacement content was COMPUTED from, which
+    * makes it a derived commit ([[publishDerived]]): refused with a
+    * retry-able [[ConcurrentCommitException]] if the head moved. The
+    * version number comes from [[claimVersion]]'s CAS, so racing
+    * committers always mint distinct versions. Returns the minted
+    * version. */
   def commit(
       spark: SparkSession,
       df: DataFrame,
       tablePath: String,
       append: Boolean,
-      ts: Option[Long] = None): Long = {
+      ts: Option[Long] = None,
+      derivedFrom: Option[Long] = None,
+      verb: String = "commit"): Long = {
     val observed = latestVersion(spark, tablePath)
     val version = claimVersion(spark, tablePath,
       observed.map(_ + 1L).getOrElse(0L))
@@ -383,8 +712,17 @@ object Snapshots {
       .write.mode("errorifexists").parquet(dataPath)
     val fresh = footerCounts(spark,
       listDataFiles(spark, dataPath).map((_, null: String)))
-    publish(spark, tablePath, version, fresh,
-      if (append) observed else None, prepared.schema, ts)
+    if (append)
+      publishAppend(spark, tablePath, version, fresh, observed,
+        prepared.schema, ts)
+    else derivedFrom match {
+      case Some(d) =>
+        publishDerived(spark, tablePath, version, fresh,
+          nullableTop(prepared.schema).json, ts, d, verb)
+      case None =>
+        publish(spark, tablePath, version, fresh, None, prepared.schema,
+          ts)
+    }
   }
 
   /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
@@ -403,7 +741,9 @@ object Snapshots {
       tablePath: String,
       partCol: String,
       append: Boolean,
-      ts: Option[Long] = None): Long = {
+      ts: Option[Long] = None,
+      derivedFrom: Option[Long] = None,
+      verb: String = "commitPartitioned"): Long = {
     require(df.columns.contains(partCol),
       s"commitPartitioned: frame has no column '$partCol'")
     val observed = latestVersion(spark, tablePath)
@@ -413,9 +753,18 @@ object Snapshots {
     val prepared = prepareBatch(spark, tablePath, observed, df)
     toPhysical(spark, tablePath, observed, prepared)
       .write.mode("errorifexists").partitionBy(partCol).parquet(dataPath)
-    publish(spark, tablePath, version,
-      footerCounts(spark, listPartitionedFiles(spark, dataPath)),
-      if (append) observed else None, prepared.schema, ts)
+    val fresh = footerCounts(spark, listPartitionedFiles(spark, dataPath))
+    if (append)
+      publishAppend(spark, tablePath, version, fresh, observed,
+        prepared.schema, ts)
+    else derivedFrom match {
+      case Some(d) =>
+        publishDerived(spark, tablePath, version, fresh,
+          nullableTop(prepared.schema).json, ts, d, verb)
+      case None =>
+        publish(spark, tablePath, version, fresh, None, prepared.schema,
+          ts)
+    }
   }
 
   /** (file, fragment) rows of a freshly written partitioned batch. */
@@ -536,10 +885,10 @@ object Snapshots {
     val schema = parentSchema
       .map(ps => mergeSchemas(ps, nullableTop(prepared.schema)))
       .getOrElse(nullableTop(prepared.schema))
-    publishRows(spark, tablePath, version,
+    publishDerived(spark, tablePath, version,
       untouched ++
         footerCounts(spark, listPartitionedFiles(spark, dataPath)),
-      schema.json, None)
+      schema.json, None, latest, "mergePartitioned")
   }
 
   /** DYNAMIC PARTITION OVERWRITE into a partitioned snapshot table —
@@ -584,10 +933,10 @@ object Snapshots {
     val schema = parentSchema
       .map(ps => mergeSchemas(ps, nullableTop(prepared.schema)))
       .getOrElse(nullableTop(prepared.schema))
-    publishRows(spark, tablePath, version,
+    publishDerived(spark, tablePath, version,
       untouched ++
         footerCounts(spark, listPartitionedFiles(spark, dataPath)),
-      schema.json, None)
+      schema.json, None, latest, "replacePartitions")
   }
 
   /** Reject unknown verbs in an op column before any data moves — a
@@ -633,7 +982,7 @@ object Snapshots {
       .join(updates.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
     commit(spark, survivors.unionByName(inserts), tablePath,
-      append = false)
+      append = false, derivedFrom = Some(latest), verb = "merge")
   }
 
   /** Read snapshot `version` — exactly the files its manifest
@@ -646,18 +995,12 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       version: Long): DataFrame = {
-    val rows = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("part")).collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
-    require(rows.nonEmpty,
-      s"snapshot version $version of $tablePath is not in the manifest " +
-        "(never committed, or expired by vacuum)")
-    val dv = dvSet(spark, tablePath, version)
-    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
-    val base = readFileRows(spark, rows.toSeq,
-      storedSchema(spark, tablePath, version).map(physicalSchema(_, l2p)),
-      withMeta = dv.isDefined)
+    val (rows, stored) = generationOf(spark, tablePath, version)
+    val gens = resolveSidecars(spark, tablePath, version)
+    val dv = dvSetOf(spark, gens)
+    val l2p = logicalToPhysical(colMapOf(spark, gens))
+    val base = readFileRows(spark, rows,
+      stored.map(physicalSchema(_, l2p)), withMeta = dv.isDefined)
     val logical = fromPhysical(base, l2p)
     dv.fold(logical)(d => applyDv(logical, d).drop(DvFileCol, DvPosCol))
   }
@@ -707,13 +1050,7 @@ object Snapshots {
       version: Long,
       partCol: String,
       value: Any): DataFrame = {
-    val all = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("part")).collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
-    require(all.nonEmpty,
-      s"snapshot version $version of $tablePath is not in the manifest " +
-        "(never committed, or expired by vacuum)")
+    val (all, stored) = generationOf(spark, tablePath, version)
     // under PARTITION EVOLUTION a generation mixes layouts: files not
     // keyed on partCol (another key, or flat) may still CONTAIN the
     // requested rows, and a fragment-only answer would silently drop
@@ -725,15 +1062,15 @@ object Snapshots {
         "scanPartitionEvolved, which scans them with a data filter")
     val frag = partFragment(partCol, String.valueOf(value))
     val hit = all.filter(_._2 == frag)
-    val stored = storedSchema(spark, tablePath, version)
     if (hit.isEmpty) {
       // the stored schema answers "what would this scan's columns be"
       // without opening a single data file
       val schema = stored.getOrElse(readAsOf(spark, tablePath, version).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
-      val dv = dvSet(spark, tablePath, version)
-      val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
+      val gens = resolveSidecars(spark, tablePath, version)
+      val dv = dvSetOf(spark, gens)
+      val l2p = logicalToPhysical(colMapOf(spark, gens))
       val scan = fromPhysical(readPartedFiles(spark, hit.toSeq,
         stored.map(physicalSchema(_, l2p)), withMeta = dv.isDefined), l2p)
       dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
@@ -761,20 +1098,14 @@ object Snapshots {
       version: Long,
       partCol: String,
       value: Any): DataFrame = {
-    val all = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("part")).collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
-    require(all.nonEmpty,
-      s"snapshot version $version of $tablePath is not in the manifest " +
-        "(never committed, or expired by vacuum)")
+    val (all, stored) = generationOf(spark, tablePath, version)
     val frag = partFragment(partCol, String.valueOf(value))
-    val hit = all.filter(_._2 == frag).toSeq
+    val hit = all.filter(_._2 == frag)
     val fallback = all.filter(r =>
-      r._2 == null || !r._2.startsWith(s"$partCol=")).toSeq
-    val stored = storedSchema(spark, tablePath, version)
-    val dv = dvSet(spark, tablePath, version)
-    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
+      r._2 == null || !r._2.startsWith(s"$partCol="))
+    val gens = resolveSidecars(spark, tablePath, version)
+    val dv = dvSetOf(spark, gens)
+    val l2p = logicalToPhysical(colMapOf(spark, gens))
     val phys = stored.map(physicalSchema(_, l2p))
     val legs =
       (if (hit.nonEmpty)
@@ -813,7 +1144,8 @@ object Snapshots {
   private def swapManifest(
       spark: SparkSession,
       tablePath: String,
-      rows: Seq[(Long, String, String, String, Option[Long], Option[Long])])
+      rows: Seq[(Long, String, String, String, Option[Long], Option[Long],
+        Option[Long])])
       : Unit = {
     val f = fs(spark, tablePath)
     val live = new Path(s"$tablePath/$VersionsDir")
@@ -822,7 +1154,8 @@ object Snapshots {
     if (f.exists(staged)) f.delete(staged, true)
     if (f.exists(prev)) f.delete(prev, true) // inert leftover of a crash
     spark.createDataFrame(rows)
-      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts")
+      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts",
+        "parent")
       .coalesce(1)
       .write.parquet(staged.toString)
     require(f.rename(live, prev),
@@ -841,7 +1174,7 @@ object Snapshots {
     val m = manifest(spark, tablePath)
     val keptRows = m.filter(col("version") >= keepFrom)
       .select(col("version"), col("file"), col("part"), col("schema_json"),
-        col("rows"), col("commit_ts"))
+        col("rows"), col("commit_ts"), col("parent"))
       .collect()
     require(keptRows.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would retain no versions of $tablePath")
@@ -861,7 +1194,11 @@ object Snapshots {
         if (r.isNullAt(2)) null else r.getString(2),
         if (r.isNullAt(3)) null else r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
-        if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        // a parent expired by this vacuum keeps its number: lineage
+        // below keepFrom is historical fact, and inLineage treats the
+        // resulting chain break as a conflict, which is the safe side
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))))
 
     // EXTERNAL files (a clone's pointers into its source) only drop
     // from the manifest — the source table still owns and references
@@ -969,16 +1306,124 @@ object Snapshots {
       rootDir: String,
       version: Long): Option[(Long, String)] = {
     val f = fs(spark, rootDir)
-    val root = new Path(rootDir)
-    if (!f.exists(root)) None
-    else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    if (!f.exists(new Path(rootDir))) None
+    else pickAtOrBelow(sidecarFamilyListed(f, rootDir), version)
+  }
+
+  /** One LISTING of a sidecar family root: every `v<N>` generation dir,
+    * sorted by version — the shared I/O both [[sidecarResolve]] and the
+    * combined [[resolveSidecars]] pass pick from (and count, for the
+    * listing-budget spec). */
+  private def sidecarFamilyListed(
+      f: org.apache.hadoop.fs.FileSystem,
+      rootDir: String): Seq[(Long, String)] = {
+    sidecarListings.incrementAndGet()
+    f.listStatus(new Path(rootDir)).filter(_.isDirectory).map(_.getPath)
       .flatMap { p =>
         val n = p.getName
         if (n.startsWith("v"))
           scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p.toString)
         else None
       }
-      .filter(_._1 <= version).sortBy(_._1).lastOption
+      .sortBy(_._1).toSeq
+  }
+
+  private def pickAtOrBelow(
+      family: Seq[(Long, String)],
+      version: Long): Option[(Long, String)] =
+    family.filter(_._1 <= version).lastOption
+
+  // ------------------------------------------------------------------
+  // Combined per-verb resolution — one listing pass, one manifest read
+  // ------------------------------------------------------------------
+
+  /** Instrumentation: sidecar-family directory listings and eager
+    * manifest reads issued since process start — `private[graft]` so
+    * the listing-budget spec pins "one read verb = one combined
+    * resolution pass" as a counted fact instead of a wall-clock guess.
+    * Monotone; tests snapshot-and-diff around a verb. */
+  private[graft] val sidecarListings =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Every versioned sidecar family's generation governing `version`,
+    * resolved in ONE pass: a single listing of the table root discovers
+    * which families exist at all — on a table with no sidecars (the
+    * common case) that is the resolution's ONLY I/O — then exactly one
+    * listing per PRESENT family finds its latest-at-or-below dir. Read
+    * verbs used to pay an exists+list pair PER FAMILY PER CALL, a
+    * constant that grew with every sidecar family the engine accrued
+    * (the r16 q25/q28 read-path creep); this caps it at 1 + families
+    * actually present, however many verbs stack. */
+  private[graft] final case class SidecarGens(
+      dv: Option[(Long, String)],
+      colMap: Option[(Long, String)],
+      constraints: Option[(Long, String)],
+      genCols: Option[(Long, String)])
+
+  private[graft] def resolveSidecars(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): SidecarGens = {
+    val f = fs(spark, tablePath)
+    sidecarListings.incrementAndGet()
+    val present = f.listStatus(new Path(tablePath))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    def fam(root: String): Option[(Long, String)] = {
+      val name = root.substring(root.lastIndexOf('/') + 1)
+      if (!present.contains(name)) None
+      else pickAtOrBelow(sidecarFamilyListed(f, root), version)
+    }
+    SidecarGens(
+      fam(dvRoot(tablePath)),
+      fam(colMapRoot(tablePath)),
+      fam(constraintsRoot(tablePath)),
+      fam(genColsRoot(tablePath)))
+  }
+
+  /** The governing DV frame from an already-resolved [[SidecarGens]] —
+    * zero further listings. */
+  private def dvSetOf(
+      spark: SparkSession,
+      gens: SidecarGens): Option[DataFrame] =
+    gens.dv.map { case (_, dir) =>
+      spark.read.schema(dvSchema).parquet(dir)
+    }
+
+  /** The governing column mapping from an already-resolved
+    * [[SidecarGens]] — zero further listings. */
+  private def colMapOf(
+      spark: SparkSession,
+      gens: SidecarGens): Seq[(String, Option[String])] =
+    gens.colMap.map { case (_, dir) =>
+      spark.read.schema(colMapSchema).parquet(dir)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1))))
+        .sortBy(_._1).toSeq
+    }.getOrElse(Seq.empty)
+
+  /** (file, part) rows + stored schema of ONE generation from a single
+    * eager manifest read — the verbs that once called [[manifest]]
+    * twice per answer (rows, then [[storedSchema]]) derive both from
+    * the same point-in-time snapshot. */
+  private def generationOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long)
+      : (Seq[(String, String)],
+        Option[org.apache.spark.sql.types.StructType]) = {
+    val rows = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("file"), col("part"), col("schema_json")).collect()
+    require(rows.nonEmpty,
+      s"snapshot version $version of $tablePath is not in the manifest " +
+        "(never committed, or expired by vacuum)")
+    val stored = rows.find(!_.isNullAt(2)).map(r =>
+      org.apache.spark.sql.types.DataType.fromJson(r.getString(2))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (rows.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq, stored)
   }
 
   /** See [[sidecarResolve]] — the deletion-vector instance. */
@@ -1095,7 +1540,8 @@ object Snapshots {
     val full = prior.fold(fresh)(p =>
       p.select(col("file"), col("row_index")).unionByName(fresh))
     writeDvSet(spark, tablePath, version, full)
-    publishRows(spark, tablePath, version, fileRows, schemaJson, ts)
+    publishDerived(spark, tablePath, version, fileRows, schemaJson, ts,
+      observed, "deleteWhere")
   }
 
   // ------------------------------------------------------------------
@@ -1225,7 +1671,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath, observed + 1L)
     writeConstraints(spark, tablePath, version,
       active :+ (name -> exprSql))
-    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+    publishDerived(spark, tablePath, version, fileRows, schemaJson, None,
+      observed, "addConstraint")
   }
 
   /** ALTER TABLE DROP CONSTRAINT — the metadata-only inverse. Past
@@ -1246,7 +1693,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath, observed + 1L)
     writeConstraints(spark, tablePath, version,
       active.filterNot(_._1 == name))
-    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+    publishDerived(spark, tablePath, version, fileRows, schemaJson, None,
+      observed, "dropConstraint")
   }
 
   // ------------------------------------------------------------------
@@ -1328,7 +1776,8 @@ object Snapshots {
     val (fileRows, schemaJson) = headGeneration(spark, tablePath, observed)
     val version = claimVersion(spark, tablePath, observed + 1L)
     writeGenCols(spark, tablePath, version, active :+ (name -> exprSql))
-    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+    publishDerived(spark, tablePath, version, fileRows, schemaJson, None,
+      observed, "addGeneratedColumn")
   }
 
   /** Stop generating `name` — already-written data keeps the column
@@ -1346,7 +1795,8 @@ object Snapshots {
     val (fileRows, schemaJson) = headGeneration(spark, tablePath, observed)
     val version = claimVersion(spark, tablePath, observed + 1L)
     writeGenCols(spark, tablePath, version, active.filterNot(_._1 == name))
-    publishRows(spark, tablePath, version, fileRows, schemaJson, None)
+    publishDerived(spark, tablePath, version, fileRows, schemaJson, None,
+      observed, "dropGeneratedColumn")
   }
 
   /** The shared ingest preparation every data-writing verb runs:
@@ -1470,8 +1920,11 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       verb: String): Unit = {
-    val governed = latestVersion(spark, tablePath)
-      .map(v => colMapAsOf(spark, tablePath, v)).getOrElse(Seq.empty)
+    // resolved at Long.MaxValue = the latest mapping generation —
+    // identical to resolving at the head version (sidecar generations
+    // never outlive their commit: a refused commit retracts its dirs)
+    // without the manifest read a latestVersion() would cost
+    val governed = colMapAsOf(spark, tablePath, Long.MaxValue)
     require(governed.forall { case (p, l) => l.contains(p) },
       s"$verb: a column rename/drop mapping governs $tablePath — " +
         "this verb addresses physical file columns by name and is not " +
@@ -1515,7 +1968,8 @@ object Snapshots {
       stored.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     val version = claimVersion(spark, tablePath, observed + 1L)
     writeColMap(spark, tablePath, version, newMap)
-    publishRows(spark, tablePath, version, fileRows, newSchema.json, None)
+    publishDerived(spark, tablePath, version, fileRows, newSchema.json,
+      None, observed, "renameColumn")
   }
 
   /** ALTER TABLE DROP COLUMN as a metadata-only commit: the field
@@ -1549,7 +2003,8 @@ object Snapshots {
       stored.fields.filterNot(_.name == name))
     val version = claimVersion(spark, tablePath, observed + 1L)
     writeColMap(spark, tablePath, version, newMap)
-    publishRows(spark, tablePath, version, fileRows, newSchema.json, None)
+    publishDerived(spark, tablePath, version, fileRows, newSchema.json,
+      None, observed, "dropColumn")
   }
 
   /** Render a partition value the way Spark's writer renders it into a
@@ -1580,7 +2035,9 @@ object Snapshots {
       tablePath: String,
       keyCol: String,
       numFiles: Int,
-      append: Boolean): Long = {
+      append: Boolean,
+      derivedFrom: Option[Long] = None,
+      verb: String = "commitClustered"): Long = {
     require(numFiles >= 1, "numFiles must be positive")
     requireNoColMap(spark, tablePath, "commitClustered")
     val clustered = df
@@ -1591,11 +2048,9 @@ object Snapshots {
     // same reason publish() resolves its parent that way — a crashed
     // claim leaves a numeric gap with no stats dir behind it
     val observed = latestVersion(spark, tablePath)
-    val version = commit(spark, clustered, tablePath, append)
-    val fresh = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file")).collect().map(_.getString(0))
-      .filter(_.contains(s"/$DataDir/v$version/"))
+    val version =
+      commit(spark, clustered, tablePath, append, None, derivedFrom, verb)
+    val fresh = freshFilesOf(spark, tablePath, version)
     val freshStats = spark.read.parquet(fresh.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1636,9 +2091,10 @@ object Snapshots {
     val base =
       if (admitted.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          readAsOf(spark, tablePath, version).schema)
+          generationOf(spark, tablePath, version)._2
+            .getOrElse(readAsOf(spark, tablePath, version).schema))
       else {
-        val dv = dvSet(spark, tablePath, version)
+        val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
         val scan = spark.read.parquet(admitted: _*)
         dv.fold(scan)(d =>
           applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
@@ -1676,10 +2132,7 @@ object Snapshots {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val observed = latestVersion(spark, tablePath)
     val version = commit(spark, df, tablePath, append, ts)
-    val fresh = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file")).collect().map(_.getString(0))
-      .filter(_.contains(s"/$DataDir/v$version/"))
+    val fresh = freshFilesOf(spark, tablePath, version)
     val freshBloom =
       bloomRowsOf(spark, fresh.toIndexedSeq, keyCol, expectedPerFile, fpp)
     val sidecar =
@@ -1746,10 +2199,7 @@ object Snapshots {
     val version = commit(spark,
       Layout.clusterByZOrder(df, xCol, yCol, numFiles).drop("zkey"),
       tablePath, append)
-    val fresh = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file")).collect().map(_.getString(0))
-      .filter(_.contains(s"/$DataDir/v$version/"))
+    val fresh = freshFilesOf(spark, tablePath, version)
     val freshStats = spark.read.parquet(fresh.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1788,9 +2238,10 @@ object Snapshots {
     val base =
       if (admitted.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          readAsOf(spark, tablePath, version).schema)
+          generationOf(spark, tablePath, version)._2
+            .getOrElse(readAsOf(spark, tablePath, version).schema))
       else {
-        val dv = dvSet(spark, tablePath, version)
+        val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
         val scan = spark.read.parquet(admitted: _*)
         dv.fold(scan)(d =>
           applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
@@ -1814,7 +2265,8 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"optimizeClustered: $tablePath has no committed versions"))
     commitClustered(spark, readAsOf(spark, tablePath, latest),
-      tablePath, keyCol, numFiles, append = false)
+      tablePath, keyCol, numFiles, append = false,
+      derivedFrom = Some(latest), verb = "optimizeClustered")
   }
 
   def optimizeBloom(
@@ -1851,7 +2303,7 @@ object Snapshots {
       s"no bloom sidecar for version $version of $tablePath — not " +
         "committed via commitBloom, or expired by vacuum")
     val admitted = Skipping.pruneFilesPoint(spark, bd, value)
-    val stored = storedSchema(spark, tablePath, version)
+    val stored = generationOf(spark, tablePath, version)._2
     val base =
       if (admitted.isEmpty) {
         val schema = stored.getOrElse(
@@ -1861,7 +2313,7 @@ object Snapshots {
         val rd = spark.read
         val scan = stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
           .parquet(admitted: _*)
-        val dv = dvSet(spark, tablePath, version)
+        val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
         dv.fold(scan)(d =>
           applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
       }
@@ -1895,7 +2347,8 @@ object Snapshots {
     // uniform files; re-partitioning afterwards is commitPartitioned's
     // job if wanted.
     commit(spark, readAsOf(spark, tablePath, latest).repartition(n),
-      tablePath, append = false)
+      tablePath, append = false, derivedFrom = Some(latest),
+      verb = "optimize")
   }
 
   /** Delete data files NO manifest generation references — the
@@ -1961,7 +2414,8 @@ object Snapshots {
         s"version $latest of $tablePath carries flat files")
     commitPartitioned(spark,
       readAsOf(spark, tablePath, latest).repartition(col(partCol)),
-      tablePath, partCol, append = false)
+      tablePath, partCol, append = false,
+      derivedFrom = Some(latest), verb = "optimizePartitioned")
   }
 
   /** ROLLBACK: make `toVersion`'s content the table's new head by
@@ -2022,7 +2476,8 @@ object Snapshots {
     if (fs(spark, tablePath).exists(new Path(genColsRoot(tablePath))))
       writeGenCols(spark, tablePath, version,
         generatedColumnsAsOf(spark, tablePath, toVersion))
-    publishRows(spark, tablePath, version, rows, schemaJson, ts)
+    publishDerived(spark, tablePath, version, rows, schemaJson, ts,
+      observed, "rollback")
   }
 
   /** ZERO-COPY shallow clone: fork `srcTable`'s snapshot `version` as
@@ -2077,7 +2532,7 @@ object Snapshots {
     val srcGen = generatedColumnsAsOf(spark, srcTable, version)
     if (srcGen.nonEmpty)
       writeGenCols(spark, dstTable, v, srcGen)
-    publishRows(spark, dstTable, v, rows, schemaJson, None)
+    publishRows(spark, dstTable, v, rows, schemaJson, None, None)
   }
 
   /** COUNT(*) AS OF `version`, answered from the manifest's per-file
@@ -2102,10 +2557,11 @@ object Snapshots {
     // referencing files outside this generation (replaced or compacted
     // away) are dead and must not be counted. Still zero DATA files
     // opened — the DV sidecar is metadata-scale (bounded by deletes).
-    dvSet(spark, tablePath, version).fold(base) { dv =>
-      val files = spark.createDataFrame(rows.map(r => Tuple1(r._1)))
-        .toDF("file")
-      base - dv.join(files, Seq("file"), "left_semi").count()
+    dvSetOf(spark, resolveSidecars(spark, tablePath, version)).fold(base) {
+      dv =>
+        val files = spark.createDataFrame(rows.map(r => Tuple1(r._1)))
+          .toDF("file")
+        base - dv.join(files, Seq("file"), "left_semi").count()
     }
   }
 
@@ -2209,7 +2665,17 @@ object Snapshots {
     * MERGE, or OPTIMIZE in between rewrote history — "what was added"
     * is ill-defined at file granularity — and is refused loudly; use
     * [[diff]] for the row-level audit there. `fromVersion ==
-    * toVersion` is the empty delta (with the snapshot's schema). */
+    * toVersion` is the empty delta (with the snapshot's schema).
+    *
+    * DV-AWARE: the destination's governing deletion vectors apply to
+    * the fresh rows, so a row appended and then DV-deleted INSIDE the
+    * interval is never replayed as live (a fresh file cannot carry a
+    * pre-interval DV entry — the file did not exist yet — so filtering
+    * the fresh scan by `toVersion`'s set is exactly the interval's
+    * deletes on it). Deletes that hit PRE-EXISTING rows stay invisible
+    * here by design: this is the inserts-only feed; a consumer that
+    * must see retractions polls [[readChangesBetween]], the `'+'/'-'`
+    * CDC feed over the same checkpoint discipline. */
   def readAppendsBetween(
       spark: SparkSession,
       tablePath: String,
@@ -2217,14 +2683,9 @@ object Snapshots {
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"readAppendsBetween: fromVersion $fromVersion > toVersion $toVersion")
-    val from = manifestRows(spark, tablePath, fromVersion)
-    val to = manifestRows(spark, tablePath, toVersion)
-    require(from.nonEmpty,
-      s"snapshot version $fromVersion of $tablePath is not in the " +
-        "manifest (never committed, or expired by vacuum)")
-    require(to.nonEmpty,
-      s"snapshot version $toVersion of $tablePath is not in the " +
-        "manifest (never committed, or expired by vacuum)")
+    val (from, to, stored) =
+      generationPair(spark, tablePath, fromVersion, toVersion,
+        "readAppendsBetween")
     val toFiles = to.map(_._1).toSet
     val dropped = from.filterNot(r => toFiles.contains(r._1))
     require(dropped.isEmpty,
@@ -2234,18 +2695,54 @@ object Snapshots {
         "OPTIMIZE); use diff() for the row-level audit")
     val fromFiles = from.map(_._1).toSet
     val fresh = to.filterNot(r => fromFiles.contains(r._1))
-      .map { case (f, p, _) => (f, p) }
-    val stored = storedSchema(spark, tablePath, toVersion)
     if (fresh.isEmpty) {
       val schema = stored.getOrElse(
         readAsOf(spark, tablePath, toVersion).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
-      val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, toVersion))
-      fromPhysical(
-        readFileRows(spark, fresh, stored.map(physicalSchema(_, l2p))),
+      val gens = resolveSidecars(spark, tablePath, toVersion)
+      val dv = dvSetOf(spark, gens)
+      val l2p = logicalToPhysical(colMapOf(spark, gens))
+      val scan = fromPhysical(
+        readFileRows(spark, fresh, stored.map(physicalSchema(_, l2p)),
+          withMeta = dv.isDefined),
         l2p)
+      dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
     }
+  }
+
+  /** (file, part) rows of TWO generations plus the destination's
+    * stored schema, from a single eager manifest read — the interval
+    * verbs' resolution (they used to pay three manifest reads each).
+    * Loud per missing version, naming the verb's contract. */
+  private def generationPair(
+      spark: SparkSession,
+      tablePath: String,
+      fromVersion: Long,
+      toVersion: Long,
+      verb: String)
+      : (Seq[(String, String)], Seq[(String, String)],
+        Option[org.apache.spark.sql.types.StructType]) = {
+    val rows = manifest(spark, tablePath)
+      .filter(col("version") === fromVersion ||
+        col("version") === toVersion)
+      .select(col("version"), col("file"), col("part"),
+        col("schema_json")).collect()
+    def of(v: Long): Seq[(String, String)] =
+      rows.filter(_.getLong(0) == v).map(r => (r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    val (from, to) = (of(fromVersion), of(toVersion))
+    require(from.nonEmpty,
+      s"snapshot version $fromVersion of $tablePath is not in the " +
+        "manifest (never committed, or expired by vacuum)")
+    require(to.nonEmpty,
+      s"snapshot version $toVersion of $tablePath is not in the " +
+        "manifest (never committed, or expired by vacuum)")
+    val stored = rows.filter(r => r.getLong(0) == toVersion &&
+      !r.isNullAt(3)).headOption.map(r =>
+      org.apache.spark.sql.types.DataType.fromJson(r.getString(3))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (from, to, stored)
   }
 
   /** Row-level CDC feed between two versions, O(delta) — the
@@ -2270,11 +2767,9 @@ object Snapshots {
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"readChangesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    val from = manifestRows(spark, tablePath, fromVersion)
-    val to = manifestRows(spark, tablePath, toVersion)
-    require(from.nonEmpty && to.nonEmpty,
-      s"readChangesBetween: version $fromVersion or $toVersion of " +
-        s"$tablePath is not in the manifest")
+    val (from, to, stored) =
+      generationPair(spark, tablePath, fromVersion, toVersion,
+        "readChangesBetween")
     val toFiles = to.map(_._1).toSet
     val dropped = from.filterNot(r => toFiles.contains(r._1))
     require(dropped.isEmpty,
@@ -2282,16 +2777,25 @@ object Snapshots {
         s"$tablePath are not append+delete lineage — ${dropped.size} " +
         "file(s) were rewritten in between; use diff() for the " +
         "row-level audit")
-    val stored = storedSchema(spark, tablePath, toVersion)
-    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, toVersion))
+    // both versions' governing DV generations from ONE family listing
+    val f = fs(spark, tablePath)
+    val dvFam =
+      if (f.exists(new Path(dvRoot(tablePath))))
+        sidecarFamilyListed(f, dvRoot(tablePath))
+      else Seq.empty
+    val gens = resolveSidecars(spark, tablePath, toVersion)
+    val l2p = logicalToPhysical(colMapOf(spark, gens))
     val phys = stored.map(physicalSchema(_, l2p))
     def rowsOf(files: Seq[(String, String)], withMeta: Boolean) =
       fromPhysical(readFileRows(spark, files, phys, withMeta), l2p)
 
     val emptyDv =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema)
-    val dTo = dvSet(spark, tablePath, toVersion).getOrElse(emptyDv)
-    val dFrom = dvSet(spark, tablePath, fromVersion).getOrElse(emptyDv)
+    def dvAt(v: Long) = pickAtOrBelow(dvFam, v)
+      .map { case (_, dir) => spark.read.schema(dvSchema).parquet(dir) }
+      .getOrElse(emptyDv)
+    val dTo = dvAt(toVersion)
+    val dFrom = dvAt(fromVersion)
     // DV sets are exact (file, row_index) id sets — set difference is
     // the interval's delete/resurrect delta, metadata-scale
     val newlyDeleted = dTo.exceptAll(dFrom)
@@ -2299,7 +2803,6 @@ object Snapshots {
 
     val fromFileSet = from.map(_._1).toSet
     val freshFiles = to.filterNot(r => fromFileSet.contains(r._1))
-      .map { case (f, p, _) => (f, p) }
     // materialize rows addressed by a DV-id frame: scan ONLY the
     // files that carry them, semi-join on the row identity
     def materialize(ids: DataFrame, tag: String): Option[DataFrame] = {
@@ -2308,7 +2811,6 @@ object Snapshots {
       if (files.isEmpty) None
       else {
         val rows = to.filter(r => files.contains(r._1))
-          .map { case (f, p, _) => (f, p) }
         val scan = rowsOf(rows, withMeta = true)
         Some(scan.join(ids,
           scan(DvFileCol) === ids("file") &&
@@ -2393,8 +2895,12 @@ object Snapshots {
     } else {
       val fresh = footerCounts(spark,
         listDataFiles(spark, dataPath).map((_, null: String)))
-      Right(publish(spark, tablePath, version, fresh,
-        if (append) observed else None, prepared.schema, ts))
+      Right(
+        if (append)
+          publishAppend(spark, tablePath, version, fresh, observed,
+            prepared.schema, ts)
+        else publish(spark, tablePath, version, fresh, None,
+          prepared.schema, ts))
     }
   }
 
@@ -2493,12 +2999,13 @@ object Snapshots {
         val part = if (r.isNullAt(2)) null else r.getString(2)
         val schemaJson = if (r.isNullAt(3)) null else r.getString(3)
         val ts = if (r.isNullAt(5)) None else Some(r.getLong(5))
+        val par = if (r.isNullAt(6)) None else Some(r.getLong(6))
         mapping.get(norm(r.getString(1))) match {
           case Some((nf, nRows)) =>
-            (r.getLong(0), nf, part, schemaJson, Some(nRows), ts)
+            (r.getLong(0), nf, part, schemaJson, Some(nRows), ts, par)
           case None =>
             (r.getLong(0), r.getString(1), part, schemaJson,
-              if (r.isNullAt(4)) None else Some(r.getLong(4)), ts)
+              if (r.isNullAt(4)) None else Some(r.getLong(4)), ts, par)
         }
       })
       // per-version sidecars (clustered min/max stats, bloom

@@ -95,11 +95,25 @@ object SnapshotStream {
   /** Run a streaming frame into the snapshot table: one append
     * generation per micro-batch via [[appendBatchExactlyOnce]], so the
     * table's version history IS the stream's batch history — every
-    * prefix of the stream stays time-travel-readable, and a downstream
-    * incremental consumer polls
-    * [[graft.operators.Snapshots.readAppendsBetween]] for O(delta)
-    * follow-up. Caller stops the query (or `processAllAvailable` +
-    * `stop` for a bounded source). */
+    * prefix of the stream stays time-travel-readable. A downstream
+    * incremental consumer has a DOCUMENTED choice of O(delta) poll
+    * feed, both checkpointing the last version processed:
+    *
+    *  - [[graft.operators.Snapshots.readAppendsBetween]] — the
+    *    inserts-only feed. DV-aware: a row ingested and then
+    *    [[graft.operators.Snapshots.deleteWhere]]-deleted BETWEEN two
+    *    polls is never replayed as a live row (the destination's
+    *    governing set filters the fresh files); deletes that hit rows
+    *    a PREVIOUS poll already delivered are invisible here — the
+    *    consumer saw them live, and an inserts-only feed cannot
+    *    retract.
+    *  - [[graft.operators.Snapshots.readChangesBetween]] — the full
+    *    `'+'/'-'` CDC feed: the same fresh-file adds PLUS a `'-'` row
+    *    for every pre-existing row a mid-interval delete doomed, so a
+    *    consumer maintaining downstream state can retract.
+    *
+    * Caller stops the query (or `processAllAvailable` + `stop` for a
+    * bounded source). */
   def ingest(
       stream: DataFrame,
       tablePath: String,

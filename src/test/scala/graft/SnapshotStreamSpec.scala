@@ -103,4 +103,36 @@ class SnapshotStreamSpec extends SparkSuite {
       .select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
   }
+
+  test("downstream poll feeds are DV-aware: a delete landing BETWEEN " +
+    "polls is never replayed as a live row — the inserts-only feed " +
+    "drops it, the CDC feed retracts it") {
+    val tbl = freshTable()
+    assert(SnapshotStream.appendBatchExactlyOnce(spark, tbl, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")).contains(0L))
+    // the consumer's first poll checkpoint
+    val seen = Snapshots.latestVersion(spark, tbl).get
+    // between polls: a batch lands AND a delete dooms one of its rows
+    // plus one the consumer already saw live
+    assert(SnapshotStream.appendBatchExactlyOnce(spark, tbl, 1L,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v")).contains(1L))
+    Snapshots.deleteWhere(spark, tbl,
+      org.apache.spark.sql.functions.col("id").isin(2L, 3L))
+    val head = Snapshots.latestVersion(spark, tbl).get
+
+    // inserts-only feed: id 3 (ingested AND deleted inside the
+    // interval) must NOT replay as live; id 4 arrives; id 2's delete
+    // is invisible (it was delivered live by the previous poll — an
+    // inserts-only feed cannot retract)
+    val appends = Snapshots.readAppendsBetween(spark, tbl, seen, head)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(appends == Seq(4L),
+      s"a mid-interval delete replayed as live: $appends")
+
+    // CDC feed: same add, plus the retraction of the already-seen row
+    val changes = Snapshots.readChangesBetween(spark, tbl, seen, head)
+      .select($"change", $"id").as[(String, Long)].collect().toSet
+    assert(changes == Set(("+", 4L), ("-", 2L)),
+      s"CDC feed wrong: $changes")
+  }
 }
