@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Catalog, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage, OrcStage}
 import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, IntervalJoinStream, PhashStream, Sessionize, SnapshotStream, StreamCdc, StreamDedup, StreamGate}
 
@@ -838,6 +838,90 @@ object SparkEntry {
           |  WHERE l.l_suppkey = s.s_suppkey
           |   AND l.l_shipdate >= TIMESTAMP '2001-10-25 00:00:00')
           |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    "q65_catalog_join" -> ((s, dir) => {
+      // the NAMED CATALOG layer: two pipelines share tables by NAME —
+      // fact and dimension live as snapshot tables under roots neither
+      // query hard-codes, the catalog resolves names with per-table
+      // properties (CatalogSpec pins loud unknowns, metadata-only
+      // re-pointing, and the maintenance sweep that closes the
+      // DV-growth loop). Oracle: the plain join aggregate — the
+      // catalog may only change WHERE bytes come from, never values.
+      val cat = s"$artifactRoot/catalog_root"
+      Snapshots.init(s, cat) // wipe for rerun stability
+      val facts = s"$cat/storage/fact_events"
+      val dims = s"$cat/storage/dim_customer"
+      Snapshots.init(s, facts); Snapshots.init(s, dims)
+      Snapshots.commit(s,
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          cents(col("value")).as("value_cents")),
+        facts, append = false)
+      Snapshots.commit(s,
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment")),
+        dims, append = false)
+      Catalog.register(s, cat, "fact_events", facts,
+        Map("owner" -> "pipeline-a"))
+      Catalog.register(s, cat, "dim_customer", dims,
+        Map("retain_versions" -> "8"))
+      Catalog.table(s, cat, "fact_events")
+        .join(Catalog.table(s, cat, "dim_customer"),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q63_schema_widen" -> ((s, dir) => {
+      // schema TYPE WIDENING as pure metadata: v0 commits okey as
+      // int32; the append's okey is int64 with values no int32 can
+      // hold, and the merge PROMOTES the column (int→long — the
+      // Iceberg/Delta type-promotion rule) instead of refusing — zero
+      // bytes rewritten, the Spark 4 vectorized parquet reader
+      // up-casts the old files at scan time, and time travel below the
+      // widening commit still answers int32 (spec-pinned). Oracle: the
+      // two eras unioned with explicit casts.
+      val tbl = s"$artifactRoot/snap_widen_table"
+      Snapshots.init(s, tbl)
+      val li = t(s, dir, "lineitem")
+      Snapshots.commit(s,
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").cast("int").as("okey"),
+            col("l_linenumber").cast("int").as("lineno"),
+            col("l_quantity").cast("int").as("qty")),
+        tbl, append = false)
+      val v1 = Snapshots.commit(s,
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select((col("l_orderkey") + lit(3000000000L)).as("okey"),
+            col("l_linenumber").cast("int").as("lineno"),
+            col("l_quantity").cast("int").as("qty")),
+        tbl, append = true)
+      Snapshots.readAsOf(s, tbl, v1)
+        .orderBy(col("okey"), col("lineno"))
+    }),
+
+    "q64_zorder3" -> ((s, dir) => {
+      // N-dimensional Z-order: lineitem committed Morton-clustered on
+      // THREE keys (l_orderkey, l_partkey, l_suppkey) — per-file
+      // min/max covers a compact 3-rectangle, so a box over ANY SUBSET
+      // of the keys prunes files (SnapshotsMaintenanceSpec pins the
+      // strict file subset on each single key); here the scan
+      // constrains only (l_partkey, l_suppkey), leaving l_orderkey
+      // free — the subset-pruning a 1-D clustering cannot give.
+      // Oracle: the plain 2-of-3 filter.
+      val tbl = s"$artifactRoot/snap_zorder3_table"
+      Snapshots.init(s, tbl)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+      val v0 = Snapshots.commitZorderedN(s, li, tbl,
+        Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        numFiles = 16, append = false)
+      Snapshots.scanBoxAsOfN(s, tbl, v0,
+        Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 50L)))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     "q60_snapshot_zorder" -> ((s, dir) => {
@@ -5870,6 +5954,38 @@ object SparkEntry {
           |  WHERE l.l_suppkey = s.s_suppkey
           |   AND l.l_shipdate >= TIMESTAMP '2001-10-25 00:00:00')
           |ORDER BY s_suppkey""".stripMargin,
+
+      // names resolve to the same bytes: the plain join aggregate
+      "q65_catalog_join" ->
+        """SELECT c_mktsegment,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin,
+
+      // the two eras unioned; the widened column as explicit BIGINT
+      "q63_schema_widen" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS okey,
+          | CAST(l_linenumber AS INT) AS lineno,
+          | CAST(l_quantity AS INT) AS qty
+          |FROM lineitem WHERE l_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT l_orderkey + 3000000000 AS okey,
+          | CAST(l_linenumber AS INT) AS lineno,
+          | CAST(l_quantity AS INT) AS qty
+          |FROM lineitem WHERE l_orderkey % 2 = 1
+          |ORDER BY okey, lineno""".stripMargin,
+
+      // the 2-of-3 subset box as a plain filter; skipping only skips
+      "q64_zorder3" ->
+        """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          | CAST(l_quantity AS BIGINT) AS qty
+          |FROM lineitem
+          |WHERE l_partkey BETWEEN 100 AND 300
+          | AND l_suppkey BETWEEN 10 AND 50
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       // the box as a plain 2-D filter; skipping may only skip bytes
       "q60_snapshot_zorder" ->

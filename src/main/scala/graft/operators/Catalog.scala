@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A NAMED CATALOG over [[Snapshots]] tables: the thin layer that turns
+  * raw table-root paths into names with per-table PROPERTIES, so two
+  * pipelines can share a table without hard-coding storage layout, and
+  * a maintenance scheduler can sweep "every table I own" instead of a
+  * hand-kept path list. Deliberately metadata-thin — the Hive-metastore
+  * / Iceberg-REST-catalog role reduced to what the snapshot layer
+  * actually consumes:
+  *
+  *  - `register(name) -> tableRoot` with properties (string→string;
+  *    the layer understands `retain_versions` — how many newest
+  *    generations a [[maintenance]] sweep keeps — and `dv_compact_at`,
+  *    the [[Snapshots.dvStats]] threshold; anything else rides along
+  *    uninterpreted, e.g. ownership or SLA tags).
+  *  - `resolve(name)` for every read/write verb; `table(name)` sugar
+  *    for the head read. Unknown names refuse loudly with the known
+  *    set — never a silent empty table.
+  *  - `maintenance()` — ONE metadata-scale sweep over every registered
+  *    table returning a recommendation frame (deletion pressure via
+  *    [[Snapshots.dvStats]], version count vs retention) a scheduler
+  *    acts on; `maintain()` optionally EXECUTES the compact+vacuum
+  *    recommendations, the auto-OPTIMIZE loop closed.
+  *
+  * Storage is one generation-versioned parquet doc per catalog change
+  * under `_catalog/v<N>` (the same latest-generation resolution
+  * discipline as the table sidecars, entries carried whole per
+  * generation), so the catalog itself time-travels and a torn write
+  * can never half-publish; renames are O(1) metadata. Registration
+  * points at EXISTING roots — the catalog never owns data placement,
+  * so adopting it (or abandoning it) costs nothing, which is the
+  * property that lets path-based pipelines migrate incrementally.
+  *
+  * Spark-first note: this intentionally does NOT plug into
+  * `spark.sql("SELECT ... FROM name")` catalog APIs — the snapshot
+  * layer's verbs are version-addressed (AS OF, box scans, CDC), which
+  * SQL's flat TABLE namespace cannot express without a full
+  * DataSourceV2 TableCatalog + options plumbing; the function surface
+  * keeps every verb first-class. */
+object Catalog {
+
+  private val CatalogDir = "_catalog"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("root",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("prop_key",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("prop_value",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** One catalog entry: the table root plus its property map. */
+  final case class Entry(root: String, props: Map[String, String])
+
+  /** The latest catalog generation as name → [[Entry]] — one listing,
+    * one metadata-scale parquet read. Empty map for a fresh catalog. */
+  def entries(
+      spark: SparkSession,
+      catalogRoot: String): Map[String, Entry] = {
+    val dir = new Path(s"$catalogRoot/$CatalogDir")
+    val f = fs(spark, catalogRoot)
+    if (!f.exists(dir)) return Map.empty
+    val latest = f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v"))
+          scala.util.Try(n.drop(1).toLong).toOption.map(_ -> p.toString)
+        else None
+      }.sortBy(_._1).lastOption
+    latest match {
+      case None => Map.empty
+      case Some((_, d)) =>
+        spark.read.schema(docSchema).parquet(d).collect()
+          .groupBy(_.getString(0))
+          .map { case (name, rows) =>
+            name -> Entry(rows.head.getString(1),
+              rows.flatMap(r =>
+                if (r.isNullAt(2)) None
+                else Some(r.getString(2) -> r.getString(3))).toMap)
+          }
+    }
+  }
+
+  /** Publish `next` as the new catalog generation — one staged parquet
+    * dir renamed to `v<N+1>`; the rename is the publish point, so a
+    * reader never sees a torn catalog. Single-catalog-writer contract
+    * (catalog changes are rare administrative acts; racing ones mint
+    * distinct dirs and the higher number wins, nothing tears). */
+  private def publish(
+      spark: SparkSession,
+      catalogRoot: String,
+      next: Map[String, Entry]): Unit = {
+    val f = fs(spark, catalogRoot)
+    val dir = new Path(s"$catalogRoot/$CatalogDir")
+    val latest =
+      if (!f.exists(dir)) -1L
+      else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    val rows = next.toSeq.flatMap { case (name, e) =>
+      if (e.props.isEmpty) Seq(Row(name, e.root, null, null))
+      else e.props.toSeq.map { case (k, v) => Row(name, e.root, k, v) }
+    }
+    val tmp = s"$catalogRoot/${CatalogDir}_tmp_v${latest + 1}"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), docSchema)
+      .coalesce(1).write.mode("errorifexists").parquet(tmp)
+    require(f.rename(new Path(tmp),
+      new Path(s"$catalogRoot/$CatalogDir/v${latest + 1}")),
+      s"catalog publish failed for $catalogRoot — staged doc left at $tmp")
+  }
+
+  /** Register (or re-point) `name` at an existing table root. The
+    * catalog never creates or moves data — callers init/commit through
+    * [[Snapshots]] as ever; registration is adoption, not ownership. */
+  def register(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String,
+      tableRoot: String,
+      props: Map[String, String] = Map.empty): Unit = {
+    require(name.nonEmpty && !name.contains("/"),
+      s"catalog names are flat identifiers, got '$name'")
+    publish(spark, catalogRoot,
+      entries(spark, catalogRoot) + (name -> Entry(tableRoot, props)))
+  }
+
+  /** Merge `props` into `name`'s property map (null-valued keys are
+    * not expressible — set a tombstone value by convention or
+    * re-register). */
+  def alterProperties(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String,
+      props: Map[String, String]): Unit = {
+    val all = entries(spark, catalogRoot)
+    val e = resolveEntry(all, name, catalogRoot)
+    publish(spark, catalogRoot,
+      all + (name -> e.copy(props = e.props ++ props)))
+  }
+
+  /** Drop the NAME — the table's data and manifest are untouched (the
+    * catalog never owned them); re-register to re-adopt. */
+  def dropTable(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String): Unit = {
+    val all = entries(spark, catalogRoot)
+    resolveEntry(all, name, catalogRoot) // loud on unknown
+    publish(spark, catalogRoot, all - name)
+  }
+
+  private def resolveEntry(
+      all: Map[String, Entry],
+      name: String,
+      catalogRoot: String): Entry =
+    all.getOrElse(name, throw new IllegalArgumentException(
+      s"table '$name' is not registered in catalog $catalogRoot — " +
+        s"known: ${all.keys.toSeq.sorted.mkString(", ")}"))
+
+  /** The table root behind `name` — what every [[Snapshots]] verb
+    * takes. Loud on unknown names. */
+  def resolve(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String): String =
+    resolveEntry(entries(spark, catalogRoot), name, catalogRoot).root
+
+  /** Head read by name — `readAsOf(resolve(name), latest)` sugar. */
+  def table(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String): DataFrame = {
+    val root = resolve(spark, catalogRoot, name)
+    val head = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$name' ($root) has no committed versions"))
+    Snapshots.readAsOf(spark, root, head)
+  }
+
+  /** ONE maintenance sweep over every registered table, all from
+    * metadata: a recommendation frame with one row per table —
+    * (name, versions, head_version, dv_fraction, compact_due,
+    * vacuum_from) where `compact_due` applies the table's own
+    * `dv_compact_at` property (default 0.1) to [[Snapshots.dvStats]]
+    * and `vacuum_from` is the keepFrom that enforces the table's
+    * `retain_versions` property (null when nothing to expire or no
+    * retention set). The scheduler's poll surface: WHICH tables need
+    * OPTIMIZE/VACUUM next, decided without opening one data file. */
+  def maintenance(
+      spark: SparkSession,
+      catalogRoot: String): DataFrame = {
+    val rows = entries(spark, catalogRoot).toSeq.sortBy(_._1)
+      .map { case (name, e) =>
+        val versions = Snapshots.manifest(spark, e.root)
+          .select(col("version")).distinct().collect()
+          .map(_.getLong(0)).sorted
+        val head = versions.lastOption
+        val compactAt =
+          e.props.get("dv_compact_at").map(_.toDouble).getOrElse(0.1)
+        val dvFrac = head.map { _ =>
+          Snapshots.dvStats(spark, e.root, compactAt)
+            .select(col("dv_fraction")).collect().head.getDouble(0)
+        }.getOrElse(0.0)
+        val vacuumFrom = e.props.get("retain_versions").map(_.toInt)
+          .filter(k => versions.length > k)
+          .map(k => versions(versions.length - k))
+        Row(name, versions.length.toLong,
+          head.map(java.lang.Long.valueOf).orNull,
+          dvFrac, dvFrac >= compactAt,
+          vacuumFrom.map(java.lang.Long.valueOf).orNull)
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("versions", LongType, nullable = false),
+        StructField("head_version", LongType, nullable = true),
+        StructField("dv_fraction", DoubleType, nullable = false),
+        StructField("compact_due", BooleanType, nullable = false),
+        StructField("vacuum_from", LongType, nullable = true))))
+  }
+
+  /** EXECUTE the [[maintenance]] recommendations: compact every
+    * `compact_due` table (clearing its deletion pressure) then vacuum
+    * every table below its retention — the closed auto-OPTIMIZE loop
+    * the growth trigger exists to feed. Returns the actions taken as
+    * (name, action, arg) rows, empty when the fleet is healthy. */
+  def maintain(
+      spark: SparkSession,
+      catalogRoot: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val plan = maintenance(spark, catalogRoot).collect()
+    val all = entries(spark, catalogRoot)
+    val did = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    plan.foreach { r =>
+      val name = r.getString(0)
+      val e = all(name)
+      if (r.getBoolean(4)) {
+        val v = Snapshots.optimize(spark, e.root, targetBytes)
+        did += ((name, "optimize", v))
+      }
+      // retention re-derives from the POST-optimize version list — a
+      // compaction bumped the head, and burned claims leave numeric
+      // gaps, so the keepFrom is positional, never arithmetic
+      e.props.get("retain_versions").map(_.toInt).foreach { k =>
+        val versions = Snapshots.manifest(spark, e.root)
+          .select(col("version")).distinct().collect()
+          .map(_.getLong(0)).sorted
+        if (versions.length > k) {
+          val keepFrom = versions(versions.length - k)
+          Snapshots.vacuum(spark, e.root, keepFrom)
+          did += ((name, "vacuum", keepFrom))
+        }
+      }
+    }
+    spark.createDataFrame(did.toSeq).toDF("name", "action", "arg")
+  }
+}

@@ -33,14 +33,33 @@ object Layout {
     * `bits` past the magnitude and pre-offset if they need monotone
     * order. (Callers size `bits` to the key domain — the reduction only
     * guards against overflow, it is not a hash.) */
-  def zValue2(x: Column, y: Column, bits: Int = 21): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  def zValue2(x: Column, y: Column, bits: Int = 21): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** The N-dimensional Morton interleave: bit k of key i lands at
+    * position N·k + i, so every key contributes equally at every scale
+    * and rows close in ALL keys land close on the curve. Same exact
+    * integer arithmetic as the 2-D form (a fixed sum of N·bits
+    * multiply-adds, codegen'd, no UDF); `N·bits` must fit the 63
+    * positive long bits, so higher dimensions trade per-key resolution
+    * (3 keys → up to 21 bits each, 4 → 15) — the right trade, since
+    * file-level min/max pruning only needs the TOP bits to separate
+    * files. Past ~4 keys the curve's locality decays (every key's bits
+    * spread N apart); a Hilbert curve preserves locality better at
+    * high dims but costs state-machine arithmetic — N ≤ 4 is where
+    * lakehouse OPTIMIZE ZORDER lives in practice. */
+  def zValueN(keys: Seq[Column], bits: Int = 21): Column = {
+    val n = keys.size
+    require(n >= 2, s"zValueN needs at least 2 keys, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n keys × $bits bits = ${n * bits} interleaved bits — must fit " +
+        "the 63 positive long bits (lower `bits` for more keys)")
     val mask = 1L << bits
-    val xm = pmod(x.cast("long"), lit(mask))
-    val ym = pmod(y.cast("long"), lit(mask))
-    (0 until bits).map { k =>
-      shiftleft(shiftright(xm, k).bitwiseAND(lit(1L)), 2 * k) +
-        shiftleft(shiftright(ym, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    val reduced = keys.map(k => pmod(k.cast("long"), lit(mask)))
+    (0 until bits).flatMap { k =>
+      reduced.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, k).bitwiseAND(lit(1L)), n * k + i)
+      }
     }.reduce(_ + _)
   }
 
@@ -56,11 +75,23 @@ object Layout {
       kyCol: String,
       numPartitions: Int,
       bits: Int = 21,
+      zCol: String = "zkey"): DataFrame =
+    clusterByZOrderN(df, Seq(kxCol, kyCol), numPartitions, bits, zCol)
+
+  /** [[clusterByZOrder]] over N cluster keys ([[zValueN]]) — written
+    * out as parquet, each file's per-key min/max statistics cover a
+    * compact N-rectangle, so a selective predicate on ANY key (or any
+    * subset box) prunes most files. One exchange. */
+  def clusterByZOrderN(
+      df: DataFrame,
+      keyCols: Seq[String],
+      numPartitions: Int,
+      bits: Int = 21,
       zCol: String = "zkey"): DataFrame = {
     require(numPartitions >= 1, "numPartitions must be positive")
     require(!df.columns.contains(zCol),
       s"input already carries a '$zCol' column")
-    df.withColumn(zCol, zValue2(col(kxCol), col(kyCol), bits))
+    df.withColumn(zCol, zValueN(keyCols.map(col), bits))
       .repartitionByRange(numPartitions, col(zCol))
   }
 }

@@ -574,25 +574,46 @@ object Snapshots {
     org.apache.spark.sql.types.StructType(
       s.fields.map(_.copy(nullable = true)))
 
-  /** Append-evolution schema merge: parent columns keep their position
-    * and type, fresh-only columns join at the end. A type CHANGE is
-    * refused loudly — rewriting history's types is a replace commit's
-    * job, not an append's. */
+  /** Append-evolution schema merge: parent columns keep their position,
+    * fresh-only columns join at the end. A shared column's type must
+    * match OR be a SAFE WIDENING pair — int→long, float→double, in
+    * EITHER direction (the merged schema carries the wide type; the
+    * Spark 4 vectorized parquet reader up-casts the narrow files at
+    * scan time, so history is read through the widened schema with
+    * zero rewrite — the Iceberg/Delta type-promotion rule, metadata
+    * only). Past generations keep their own stored schema, so time
+    * travel below the widening commit still answers the narrow type.
+    * Any other retype is refused loudly — rewriting history's types is
+    * a replace commit's job, not an append's. */
   private def mergeSchemas(
       parent: org.apache.spark.sql.types.StructType,
       fresh: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    parent.fields.foreach { pf =>
-      fresh.fields.find(_.name == pf.name).foreach { ff =>
-        require(ff.dataType == pf.dataType,
-          s"append cannot change column '${pf.name}' from " +
-            s"${pf.dataType.simpleString} to ${ff.dataType.simpleString} " +
-            "— commit a replace version to retype")
+    import org.apache.spark.sql.types._
+    def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+      case _ if a == b => Some(a)
+      case (IntegerType, LongType) | (LongType, IntegerType) =>
+        Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+    val merged = parent.fields.map { pf =>
+      fresh.fields.find(_.name == pf.name) match {
+        case None => pf
+        case Some(ff) =>
+          val w = widened(pf.dataType, ff.dataType)
+          require(w.isDefined,
+            s"append cannot change column '${pf.name}' from " +
+              s"${pf.dataType.simpleString} to ${ff.dataType.simpleString} " +
+              "— only int→long and float→double widen as metadata; " +
+              "commit a replace version to retype")
+          pf.copy(dataType = w.get)
       }
     }
     val known = parent.fieldNames.toSet
     org.apache.spark.sql.types.StructType(
-      parent.fields ++ fresh.fields.filterNot(f => known.contains(f.name)))
+      merged ++ fresh.fields.filterNot(f => known.contains(f.name)))
   }
 
   /** (file, part, rows) rows of one manifest generation — `rows` is
@@ -1141,6 +1162,29 @@ object Snapshots {
     * staged swap ([[recoverManifestSwap]]'s contract): staged write →
     * live moved aside → staged renamed in → aside deleted, so a
     * COMPLETE manifest exists on disk at every instant. */
+  /** Maintenance guard: the whole-manifest swap verbs ([[vacuum]],
+    * [[purgeKeys]]) rewrite EVERY generation's rows from a
+    * point-in-time snapshot — a commit racing past that snapshot would
+    * be silently ERASED by the swap. Checked immediately before the
+    * swap, refusing retry-ably; the residual check-to-swap window is
+    * the single-maintenance-writer contract (maintenance must not race
+    * data commits), which this guard narrows from the whole
+    * rewrite job to one rename. */
+  private[graft] def requireHeadUnmoved(
+      spark: SparkSession,
+      tablePath: String,
+      observed: Option[Long],
+      verb: String): Unit = {
+    val now = latestVersion(spark, tablePath)
+    if (now != observed)
+      throw new ConcurrentCommitException(
+        s"$verb took its manifest snapshot at head " +
+          s"${observed.fold("<empty>")(_.toString)} of $tablePath, but " +
+          s"the published head is now ${now.fold("<empty>")(_.toString)}" +
+          " — a commit raced the maintenance rewrite and would be " +
+          "erased by the swap; re-read and retry")
+  }
+
   private def swapManifest(
       spark: SparkSession,
       tablePath: String,
@@ -1189,6 +1233,9 @@ object Snapshots {
         .filter(_ < keepFrom)
 
     val f = fs(spark, tablePath)
+    requireHeadUnmoved(spark, tablePath,
+      Some(m.select(col("version")).collect().map(_.getLong(0)).max),
+      "vacuum")
     swapManifest(spark, tablePath,
       keptRows.toSeq.map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
@@ -2043,26 +2090,13 @@ object Snapshots {
     val clustered = df
       .repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
-    // observed BEFORE the commit mints its version: the stats parent
-    // must be the latest PUBLISHED generation, not version−1, for the
-    // same reason publish() resolves its parent that way — a crashed
-    // claim leaves a numeric gap with no stats dir behind it
-    val observed = latestVersion(spark, tablePath)
     val version =
       commit(spark, clustered, tablePath, append, None, derivedFrom, verb)
-    val fresh = freshFilesOf(spark, tablePath, version)
-    val freshStats = spark.read.parquet(fresh.toIndexedSeq: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(keyCol)).as(s"min_$keyCol"),
-        max(col(keyCol)).as(s"max_$keyCol"))
-    val stats =
-      if (append && observed.isDefined)
-        spark.read.parquet(statsDir(tablePath, observed.get))
-          .unionByName(freshStats)
-      else freshStats
-    stats.coalesce(1).write.mode("errorifexists")
-      .parquet(statsDir(tablePath, version))
+    // the stats parent is the generation's RECORDED lineage parent
+    // (writeKeyStats reads it from the manifest) — never version−1 (a
+    // crashed claim leaves a numeric gap with no stats dir) and never
+    // the pre-claim observed head (reconciliation may have rebased)
+    writeKeyStats(spark, tablePath, version, Seq(keyCol), append)
     version
   }
 
@@ -2192,27 +2226,79 @@ object Snapshots {
       xCol: String,
       yCol: String,
       numFiles: Int,
-      append: Boolean): Long = {
+      append: Boolean): Long =
+    commitZorderedN(spark, df, tablePath, Seq(xCol, yCol), numFiles,
+      append)
+
+  /** [[commitZordered]] over N cluster keys: the batch lays out on the
+    * N-dimensional Morton curve ([[Layout.clusterByZOrderN]]) and the
+    * stats sidecar carries min/max for EVERY key, so each file's
+    * statistics cover a compact N-rectangle — a selective predicate on
+    * ANY single key ([[scanRangeAsOf]], which reads `min_<col>`/
+    * `max_<col>` by name), or a box over ANY SUBSET of the keys
+    * ([[scanBoxAsOfN]]), prunes files where a 1-D clustering serves
+    * only its own key. `bits` per key must fit N×bits ≤ 63
+    * ([[Layout.zValueN]] — 3 keys at the default 21, 4 at 15); real
+    * layout tuning runs 3-4 keys, past which Morton locality decays
+    * and a Hilbert option would be the refinement. Flat commits only;
+    * appends reuse the parent's stats rows like the 1-D verb. */
+  def commitZorderedN(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      numFiles: Int,
+      append: Boolean,
+      bits: Int = 21): Long = {
     require(numFiles >= 1, "numFiles must be positive")
-    requireNoColMap(spark, tablePath, "commitZordered")
-    val observed = latestVersion(spark, tablePath)
+    require(keyCols.distinct.size == keyCols.size,
+      s"commitZorderedN: duplicate cluster keys in $keyCols")
+    requireNoColMap(spark, tablePath, "commitZorderedN")
     val version = commit(spark,
-      Layout.clusterByZOrder(df, xCol, yCol, numFiles).drop("zkey"),
+      Layout.clusterByZOrderN(df, keyCols, numFiles, bits).drop("zkey"),
       tablePath, append)
+    writeKeyStats(spark, tablePath, version, keyCols, append)
+    version
+  }
+
+  /** The per-file min/max stats sidecar of a freshly committed
+    * generation over `keyCols`, parent rows carried on appends — the
+    * shared tail of the clustered/Z-ordered commit verbs. */
+  private def writeKeyStats(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCols: Seq[String],
+      append: Boolean): Unit = {
     val fresh = freshFilesOf(spark, tablePath, version)
+    val aggs = count(lit(1)).as("n_rows") +:
+      keyCols.flatMap(k =>
+        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
     val freshStats = spark.read.parquet(fresh.toIndexedSeq: _*)
       .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(xCol)).as(s"min_$xCol"), max(col(xCol)).as(s"max_$xCol"),
-        min(col(yCol)).as(s"min_$yCol"), max(col(yCol)).as(s"max_$yCol"))
-    val stats =
-      if (append && observed.isDefined)
-        spark.read.parquet(statsDir(tablePath, observed.get))
-          .unionByName(freshStats)
-      else freshStats
+      .agg(aggs.head, aggs.tail: _*)
+    // the recorded lineage parent (not the pre-claim observed head —
+    // reconciliation may have rebased the append) carries the stats
+    // rows the shared files keep; a parent WITHOUT a stats sidecar
+    // refuses loudly — its files would silently vanish from pruning
+    val parent = manifest(spark, tablePath)
+      .filter(col("version") === version)
+      .select(col("parent")).limit(1).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .filter(_ => append)
+    val stats = parent match {
+      case Some(p) =>
+        val dir = statsDir(tablePath, p)
+        require(fs(spark, tablePath).exists(new Path(dir)),
+          s"stats append onto version $p of $tablePath, which carries " +
+            "no stats sidecar — the parent's files would silently " +
+            "vanish from range/box pruning; commit the parent through " +
+            "a clustered/Z-ordered verb first")
+        spark.read.parquet(dir).unionByName(freshStats)
+      case None => freshStats
+    }
     stats.coalesce(1).write.mode("errorifexists")
       .parquet(statsDir(tablePath, version))
-    version
   }
 
   /** 2-D box scan AS OF `version` over a [[commitZordered]] layout:
@@ -2225,15 +2311,33 @@ object Snapshots {
       tablePath: String,
       version: Long,
       xCol: String, loX: Any, hiX: Any,
-      yCol: String, loY: Any, hiY: Any): DataFrame = {
-    requireNoColMap(spark, tablePath, "scanBoxAsOf")
+      yCol: String, loY: Any, hiY: Any): DataFrame =
+    scanBoxAsOfN(spark, tablePath, version,
+      Seq((xCol, loX, hiX), (yCol, loY, hiY)))
+
+  /** [[scanBoxAsOf]] over ANY SUBSET of a [[commitZorderedN]] layout's
+    * keys: each (col, lo, hi) bound intersects the stats sidecar's
+    * per-file rectangle on that dimension — a file prunes when ANY
+    * bound misses it — and the exact predicate clears the interior.
+    * A single-element bounds list is [[scanRangeAsOf]]; unconstrained
+    * keys simply don't appear in `bounds` (the Z-layout's point: every
+    * key subset prunes, where clustering on one key serves only
+    * itself). */
+  def scanBoxAsOfN(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    require(bounds.nonEmpty, "scanBoxAsOfN: no bounds given")
+    requireNoColMap(spark, tablePath, "scanBoxAsOfN")
     val sd = statsDir(tablePath, version)
     require(fs(spark, tablePath).exists(new Path(sd)),
       s"no stats manifest for version $version of $tablePath — not " +
         "committed via commitZordered, or expired by vacuum")
-    val admitted = spark.read.parquet(sd)
-      .filter(col(s"max_$xCol") >= lit(loX) && col(s"min_$xCol") <= lit(hiX)
-        && col(s"max_$yCol") >= lit(loY) && col(s"min_$yCol") <= lit(hiY))
+    val admit = bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val admitted = spark.read.parquet(sd).filter(admit)
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
     val base =
       if (admitted.isEmpty)
@@ -2246,8 +2350,9 @@ object Snapshots {
         dv.fold(scan)(d =>
           applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
       }
-    base.filter(col(xCol) >= lit(loX) && col(xCol) <= lit(hiX)
-      && col(yCol) >= lit(loY) && col(yCol) <= lit(hiY))
+    base.filter(bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _))
   }
 
   /** OPTIMIZE that preserves RANGE skipping — [[optimizeBloom]]'s
@@ -2584,7 +2689,8 @@ object Snapshots {
     require(!liveDvEntriesExist(spark, tablePath,
       m.select(col("file")).collect().map(_.getString(0)).toSeq),
       s"$tablePath carries live deletion vectors — tableStats' footer " +
-        "counts would overcount deleted rows; use countAsOf per version")
+        "counts would overcount deleted rows; use countAsOf per " +
+        "version, and dvStats for the deletion pressure gauge")
     m.groupBy(col("version"), col("part"))
       .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("n_rows"))
   }
@@ -2611,6 +2717,50 @@ object Snapshots {
       .agg(max(col("commit_ts")).as("commit_ts"),
         count(lit(1)).as("n_files"),
         sum(col("rows")).as("n_rows"))
+  }
+
+  /** Deletion-vector PRESSURE on the head version — the growth trigger
+    * for the merge-on-read half of the delete design: each
+    * [[deleteWhere]] grows the governing (file, row_index) set, every
+    * read pays the anti-join against it, and nothing shrinks it until
+    * a compacting [[optimize]] rewrites through the DV-applied read
+    * and commits fresh DV-free files. One row, all from metadata (the
+    * manifest's footer counts + the DV sidecar — zero data files
+    * opened): `physical_rows` (footer sum of the head), `dv_rows`
+    * (LIVE governing entries — entries on files the head no longer
+    * references are dead and don't count, so an OPTIMIZE clears the
+    * gauge by construction), `dv_fraction`, and `compaction_due` once
+    * the fraction crosses `compactAt` (default 10%, the
+    * Delta-ish maintenance heuristic) — the signal a table-maintenance
+    * scheduler polls to know WHICH tables to OPTIMIZE next, instead of
+    * discovering the anti-join tax in query latency. Refuses on
+    * generations predating row-count manifests, like [[tableStats]]. */
+  def dvStats(
+      spark: SparkSession,
+      tablePath: String,
+      compactAt: Double = 0.1): DataFrame = {
+    require(compactAt > 0 && compactAt <= 1,
+      s"compactAt must be in (0, 1], got $compactAt")
+    val head = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"dvStats: $tablePath has no committed versions"))
+    val rows = manifestRows(spark, tablePath, head)
+    require(rows.forall(_._3.isDefined),
+      s"version $head of $tablePath predates row-count manifests — " +
+        "dvStats needs footer counts; recommit the version")
+    val physical = rows.map(_._3.get).sum
+    val dvRows = dvSetOf(spark, resolveSidecars(spark, tablePath, head))
+      .map { dv =>
+        val files = spark.createDataFrame(rows.map(r => Tuple1(r._1)))
+          .toDF("file")
+        dv.join(files, Seq("file"), "left_semi").count()
+      }.getOrElse(0L)
+    val frac =
+      if (physical == 0L) 0.0 else dvRows.toDouble / physical.toDouble
+    spark.createDataFrame(Seq(
+      (head, physical, dvRows, frac, frac >= compactAt)))
+      .toDF("version", "physical_rows", "dv_rows", "dv_fraction",
+        "compaction_due")
   }
 
   /** Resolve AS OF TIMESTAMP to a version: the LATEST version (in
@@ -2995,6 +3145,8 @@ object Snapshots {
           purged += oldRows - newRows
           old -> (fresh.head, newRows)
       }.toMap
+      requireHeadUnmoved(spark, tablePath,
+        Some(m.map(_.getLong(0)).max), "purgeKeys")
       swapManifest(spark, tablePath, m.toSeq.map { r =>
         val part = if (r.isNullAt(2)) null else r.getString(2)
         val schemaJson = if (r.isNullAt(3)) null else r.getString(3)

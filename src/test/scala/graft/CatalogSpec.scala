@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, Snapshots}
+
+/** The named catalog over snapshot tables: name→root resolution with
+  * per-table properties, loud unknowns, O(1) metadata re-pointing, and
+  * the fleet-wide maintenance sweep that closes the DV-growth-trigger
+  * loop ([[Catalog.maintenance]] recommends, [[Catalog.maintain]]
+  * executes). */
+class CatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("catalog_").toString
+
+  test("register/resolve/table: names resolve to roots, unknown names " +
+    "refuse with the known set, re-pointing is metadata-only") {
+    val cat = freshRoot()
+    val t1 = s"$cat/storage/t1"; val t2 = s"$cat/storage/t2"
+    Snapshots.init(spark, t1); Snapshots.init(spark, t2)
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      t1, append = false)
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"),
+      t2, append = false)
+    Catalog.register(spark, cat, "events", t1,
+      Map("owner" -> "pipeline-a"))
+    Catalog.register(spark, cat, "users", t2)
+    assert(Catalog.resolve(spark, cat, "events") == t1)
+    assert(Catalog.table(spark, cat, "users")
+      .select($"v").as[String].collect().toSeq == Seq("b"))
+    val e = intercept[IllegalArgumentException](
+      Catalog.resolve(spark, cat, "ghost"))
+    assert(e.getMessage.contains("events") &&
+      e.getMessage.contains("users"),
+      "an unknown name must name the known set")
+    // re-point the NAME; neither table's data moves
+    Catalog.register(spark, cat, "events", t2)
+    assert(Catalog.table(spark, cat, "events")
+      .select($"v").as[String].collect().toSeq == Seq("b"))
+    assert(Snapshots.readAsOf(spark, t1, 0L).count() == 1L,
+      "re-pointing must not touch the old root")
+    // drop removes the NAME only
+    Catalog.dropTable(spark, cat, "events")
+    intercept[IllegalArgumentException](
+      Catalog.resolve(spark, cat, "events"))
+    assert(Snapshots.readAsOf(spark, t2, 0L).count() == 1L)
+    // properties merge, survive re-publication
+    Catalog.alterProperties(spark, cat, "users",
+      Map("retain_versions" -> "2"))
+    assert(Catalog.entries(spark, cat)("users").props ==
+      Map("retain_versions" -> "2"))
+  }
+
+  test("maintenance sweep: the DV gauge and retention surface per " +
+    "table; maintain() compacts the pressured table and vacuums past " +
+    "retention, leaving the healthy one untouched") {
+    val cat = freshRoot()
+    val hot = s"$cat/storage/hot"; val cold = s"$cat/storage/cold"
+    Snapshots.init(spark, hot); Snapshots.init(spark, cold)
+    Snapshots.commit(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v"),
+      hot, append = false)
+    Snapshots.deleteWhere(spark, hot, col("id") <= 20L) // 20% pressure
+    (0 until 4).foreach { i =>
+      Snapshots.commit(spark, Seq((i.toLong, "x")).toDF("id", "v"),
+        cold, append = if (i > 0) true else false)
+    }
+    Catalog.register(spark, cat, "hot", hot,
+      Map("dv_compact_at" -> "0.1"))
+    Catalog.register(spark, cat, "cold", cold,
+      Map("retain_versions" -> "2"))
+    val rec = Catalog.maintenance(spark, cat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rec("hot").getBoolean(4), "20% DV pressure must flag compact")
+    assert(rec("hot").isNullAt(5), "no retention set on hot")
+    assert(!rec("cold").getBoolean(4))
+    assert(rec("cold").getLong(5) == 2L,
+      "retain 2 of versions 0..3 → vacuum keepFrom 2")
+    val did = Catalog.maintain(spark, cat).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(did == Set(("hot", "optimize"), ("cold", "vacuum")),
+      s"wrong actions: $did")
+    // the loop is closed: a second sweep finds a healthy fleet
+    val after = Catalog.maintenance(spark, cat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!after("hot").getBoolean(4),
+      "optimize must clear the deletion pressure")
+    assert(after("cold").getLong(1) == 2L &&
+      Snapshots.countAsOf(spark, cold,
+        Snapshots.latestVersion(spark, cold).get) == 4L,
+      "vacuum keeps the newest two versions and the head face intact")
+    assert(Catalog.maintain(spark, cat).isEmpty,
+      "a healthy fleet takes no actions")
+    // the compacted table still answers correctly
+    assert(Catalog.table(spark, cat, "hot").count() == 80L)
+  }
+}

@@ -198,6 +198,27 @@ class SnapshotsConcurrencySpec extends SparkSuite {
     assert(Snapshots.latestVersion(spark, tbl).contains(1L))
   }
 
+  test("whole-manifest maintenance refuses when a commit raced its " +
+    "snapshot — the pre-swap guard, driven through its seam") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, base, tbl, append = false) // v0
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"),
+      tbl, append = true) // v1 — the commit the maintenance job missed
+    // the stale-snapshot window with the observed head a real
+    // vacuum/purgeKeys race would hold (both call this immediately
+    // before their manifest swap; the residual check-to-swap window is
+    // the documented single-maintenance-writer contract)
+    val e = intercept[ConcurrentCommitException] {
+      Snapshots.requireHeadUnmoved(spark, tbl, Some(0L), "vacuum")
+    }
+    assert(e.getMessage.contains("erased by the swap"))
+    // the guard passes when the snapshot IS current, and vacuum's own
+    // use of it leaves a clean run untouched
+    Snapshots.requireHeadUnmoved(spark, tbl, Some(1L), "vacuum")
+    Snapshots.vacuum(spark, tbl, keepFrom = 1L)
+    assert(headValues(tbl) == Set("a", "b", "c"))
+  }
+
   test("the manifest records lineage parents by commit class") {
     val tbl = freshTable()
     Snapshots.commit(spark, base, tbl, append = false) // blind replace

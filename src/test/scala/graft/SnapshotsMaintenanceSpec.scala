@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Snapshots
+
+/** Round-17 lakehouse maintenance surfaces: the deletion-vector growth
+  * trigger ([[Snapshots.dvStats]]), metadata-only schema type widening
+  * (int→long, float→double through [[Snapshots]]' append merge), and
+  * the N-dimensional Z-order layout
+  * ([[Snapshots.commitZorderedN]]/[[Snapshots.scanBoxAsOfN]]). */
+class SnapshotsMaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val p = Files.createTempDirectory("snap_maint_").toString + "/tbl"
+    Snapshots.init(spark, p)
+    p
+  }
+
+  test("dvStats: repeated deleteWhere grows the gauge past the " +
+    "threshold, optimize clears it — all from metadata") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v"),
+      tbl, append = false)
+    def gauge() = {
+      val r = Snapshots.dvStats(spark, tbl, compactAt = 0.1).collect().head
+      (r.getLong(1), r.getLong(2), r.getBoolean(4))
+    }
+    assert(gauge() == ((100L, 0L, false)), "a DV-free table reads zero")
+    Snapshots.deleteWhere(spark, tbl, col("id") <= 5L)
+    assert(gauge() == ((100L, 5L, false)), "5% is below the 10% trigger")
+    Snapshots.deleteWhere(spark, tbl, col("id") > 5L && col("id") <= 15L)
+    val (phys, dvRows, due) = gauge()
+    assert(phys == 100L && dvRows == 15L && due,
+      s"15% must trip the trigger: $phys/$dvRows/$due")
+    // the logical face never lies while the gauge is hot
+    assert(Snapshots.countAsOf(spark, tbl,
+      Snapshots.latestVersion(spark, tbl).get) == 85L)
+    // OPTIMIZE rewrites through the DV-applied read: fresh DV-free
+    // files, dead entries drop out of the gauge by construction
+    Snapshots.optimize(spark, tbl, targetBytes = 1L << 30)
+    assert(gauge() == ((85L, 0L, false)),
+      "optimize must clear the deletion pressure")
+  }
+
+  test("schema widening: an append may promote int→long and " +
+    "float→double as pure metadata — history reads through the wide " +
+    "type, time travel keeps the narrow one, other retypes refuse") {
+    val tbl = freshTable()
+    val narrow = Seq((1, 1.5f), (2, 2.5f)).toDF("n", "x")
+    Snapshots.commit(spark, narrow, tbl, append = false) // v0: int, float
+    // the widening batch carries values an int32/float32 cannot hold
+    val wide = Seq((3000000000L, 1e40)).toDF("n", "x")
+    val v1 = Snapshots.commit(spark, wide, tbl, append = true)
+    val head = Snapshots.readAsOf(spark, tbl, v1)
+    assert(head.schema("n").dataType == LongType &&
+      head.schema("x").dataType == DoubleType,
+      s"head must read the widened types, got ${head.schema}")
+    assert(head.select($"n").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3000000000L),
+      "old int32 files must up-cast under the widened schema")
+    assert(head.filter($"x" > 1e39).count() == 1L)
+    // time travel below the widening commit answers the NARROW schema
+    val v0Face = Snapshots.readAsOf(spark, tbl, 0L)
+    assert(v0Face.schema("n").dataType == IntegerType &&
+      v0Face.schema("x").dataType == FloatType,
+      s"v0 must keep its own stored types, got ${v0Face.schema}")
+    // the NARROW side of the pair may also arrive after the wide one
+    val v2 = Snapshots.commit(spark, Seq((7, 7.5f)).toDF("n", "x"),
+      tbl, append = true)
+    val after = Snapshots.readAsOf(spark, tbl, v2)
+    assert(after.schema("n").dataType == LongType &&
+      after.select(sum($"n")).as[Long].head() == 3000000010L)
+    // anything beyond the two safe pairs still refuses
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq(("s", 1.0)).toDF("n", "x"),
+        tbl, append = true)
+    }
+    assert(ex.getMessage.contains("cannot change column"))
+  }
+
+  test("3-key Z-order: scanBoxAsOfN prunes a strict file subset on " +
+    "EACH single key and on subset boxes, with exact answers") {
+    val tbl = freshTable()
+    // three independent axes so no single sort order could serve all
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i * 37) % 64).toLong, ((i * 101) % 64).toLong,
+        ((i * 13) % 64).toLong)
+    }.toDF("row", "a", "b", "c")
+    val v = Snapshots.commitZorderedN(spark, df, tbl,
+      Seq("a", "b", "c"), numFiles = 16, append = false)
+    val total = Snapshots.manifest(spark, tbl)
+      .filter(col("version") === v).count()
+    assert(total == 16L, s"expected 16 files, got $total")
+    def admitted(bounds: Seq[(String, Any, Any)]): Long = {
+      val scan = Snapshots.scanBoxAsOfN(spark, tbl, v, bounds)
+      scan.count() // force planning
+      scan.inputFiles.length.toLong
+    }
+    // every SINGLE key prunes a strict subset — the N-D layout's point
+    Seq("a", "b", "c").foreach { k =>
+      val files = admitted(Seq((k, 0L, 7L)))
+      assert(files > 0L && files < total,
+        s"single-key box on '$k' admitted $files of $total files — " +
+          "no pruning")
+    }
+    // a 2-of-3 subset box prunes at least as hard as its weaker key
+    val two = admitted(Seq(("a", 0L, 7L), ("c", 0L, 7L)))
+    assert(two > 0L && two < total)
+    // exactness: the box answer equals the brute-force filter
+    val expect = df.filter($"a" <= 7L && $"c" <= 7L)
+      .select($"row").as[Long].collect().sorted.toSeq
+    val got = Snapshots.scanBoxAsOfN(spark, tbl, v,
+      Seq(("a", 0L, 7L), ("c", 0L, 7L)))
+      .select($"row").as[Long].collect().sorted.toSeq
+    assert(got == expect, "box scan must be exact, not just pruned")
+    // appends carry the parent's stats rows; the widened sidecar keeps
+    // serving all three keys
+    val v2 = Snapshots.commitZorderedN(spark,
+      Seq((9999L, 1L, 1L, 1L)).toDF("row", "a", "b", "c"),
+      tbl, Seq("a", "b", "c"), numFiles = 1, append = true)
+    val after = Snapshots.scanBoxAsOfN(spark, tbl, v2,
+      Seq(("b", 1L, 1L)))
+    assert(after.filter($"row" === 9999L).count() == 1L)
+  }
+}
