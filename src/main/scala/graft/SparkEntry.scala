@@ -899,7 +899,7 @@ object SparkEntry {
             col("l_quantity").cast("int").as("qty")),
         tbl, append = true)
       Snapshots.readAsOf(s, tbl, v1)
-        .orderBy(col("okey"), col("lineno"))
+        .orderBy(col("okey"), col("lineno"), col("qty"))
     }),
 
     "q64_zorder3" -> ((s, dir) => {
@@ -921,7 +921,8 @@ object SparkEntry {
         numFiles = 16, append = false)
       Snapshots.scanBoxAsOfN(s, tbl, v0,
         Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 50L)))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("qty"))
     }),
 
     "q60_snapshot_zorder" -> ((s, dir) => {
@@ -5976,7 +5977,7 @@ object SparkEntry {
           | CAST(l_linenumber AS INT) AS lineno,
           | CAST(l_quantity AS INT) AS qty
           |FROM lineitem WHERE l_orderkey % 2 = 1
-          |ORDER BY okey, lineno""".stripMargin,
+          |ORDER BY okey, lineno, qty""".stripMargin,
 
       // the 2-of-3 subset box as a plain filter; skipping only skips
       "q64_zorder3" ->
@@ -5985,7 +5986,7 @@ object SparkEntry {
           |FROM lineitem
           |WHERE l_partkey BETWEEN 100 AND 300
           | AND l_suppkey BETWEEN 10 AND 50
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, qty""".stripMargin,
 
       // the box as a plain 2-D filter; skipping may only skip bytes
       "q60_snapshot_zorder" ->

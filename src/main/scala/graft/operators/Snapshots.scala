@@ -255,15 +255,25 @@ object Snapshots {
   private def freshFilesOf(
       spark: SparkSession,
       tablePath: String,
-      version: Long): Seq[String] = {
-    val gen = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("parent")).collect()
-    val parentFiles = gen.headOption
-      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
-      .map(p => manifestFiles(spark, tablePath, p).toSet)
+      version: Long): Seq[String] =
+    freshFilesFrom(manifest(spark, tablePath)
+      .select(col("version"), col("file"), col("parent")).collect(),
+      version)._1
+
+  /** [[freshFilesOf]] over an ALREADY-COLLECTED (version, file, parent)
+    * manifest snapshot — zero further reads (the commit tails stack
+    * several lineage questions; each eager manifest read is a real job,
+    * so they share one). Returns (fresh files, lineage parent). */
+  private def freshFilesFrom(
+      snap: Array[Row],
+      version: Long): (Seq[String], Option[Long]) = {
+    val gen = snap.filter(_.getLong(0) == version)
+    val parent = gen.headOption
+      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val parentFiles = parent
+      .map(p => snap.filter(_.getLong(0) == p).map(_.getString(1)).toSet)
       .getOrElse(Set.empty[String])
-    gen.map(_.getString(0)).filterNot(parentFiles).toSeq
+    (gen.map(_.getString(1)).filterNot(parentFiles).toSeq, parent)
   }
 
   /** Atomically claim the next free version number at or above `from`:
@@ -279,20 +289,39 @@ object Snapshots {
     val f = fs(spark, tablePath)
     var v = from
     while (true) {
-      val marker = new Path(s"$tablePath/$CommitsDir/v$v")
-      try {
-        f.create(marker, false).close()
+      if (tryCreateExclusive(f, new Path(s"$tablePath/$CommitsDir/v$v")))
         return v
-      } catch {
-        case e: java.io.IOException =>
-          // only an existing marker is a benign collision; a real IO
-          // failure must not spin the claim loop forever
-          if (!f.exists(marker)) throw e
-          v += 1L
-      }
+      v += 1L
     }
     v // unreachable
   }
+
+  /** Atomically create the claim marker, false on a benign collision.
+    * HDFS `create(overwrite = false)` IS atomic, but the LOCAL
+    * FileSystem's is check-then-create — two racing claimants can BOTH
+    * "succeed" on one marker and mint the SAME version (surfacing
+    * later as a spurious errorifexists collision on the staging dirs)
+    * — so `file://` routes through POSIX O_CREAT|O_EXCL
+    * (`File.createNewFile`), which is atomic. Object stores without
+    * atomic create serialize commits through a catalog or lock service
+    * (the standing note on [[Snapshots]]). */
+  private def tryCreateExclusive(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    if ("file" == f.getUri.getScheme) {
+      val local = new java.io.File(p.toUri.getPath)
+      val dir = local.getParentFile
+      if (dir != null) dir.mkdirs()
+      local.createNewFile() // atomic; false = a racer owns the number
+    } else {
+      try { f.create(p, false).close(); true }
+      catch {
+        case e: java.io.IOException =>
+          // only an existing marker is a benign collision; a real IO
+          // failure must not spin the claim loop forever
+          if (f.exists(p)) false else throw e
+      }
+    }
 
   /** Shared commit tail: the observed parent generation's rows (for
     * append) plus fresh rows under one claimed version, published as
@@ -326,18 +355,6 @@ object Snapshots {
     publishRows(spark, tablePath, version, parentRows ++ fresh,
       schema.json, commitTs, parent)
   }
-
-  /** version → recorded lineage parent of every published generation
-    * (None for blind replaces, first commits, and pre-lineage
-    * layouts). Driver-side over the metadata-scale manifest. */
-  private def parentChain(
-      spark: SparkSession,
-      tablePath: String): Map[Long, Option[Long]] =
-    manifest(spark, tablePath)
-      .select(col("version"), col("parent")).distinct().collect()
-      .map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .toMap
 
   /** Is `anc` on the recorded parent lineage of `from` (inclusive)?
     * A chain break — a retracted, vacuumed, blind-replace, or
@@ -524,14 +541,18 @@ object Snapshots {
     }
     publishRows(spark, tablePath, version, fileRows, schemaJson, ts,
       Some(derivedFrom))
-    val shadowed = manifest(spark, tablePath)
-      .filter(col("version") > derivedFrom && col("version") < version)
-      .select(col("version")).limit(1).collect()
-    if (shadowed.nonEmpty) {
+    // ONE post-publish snapshot answers BOTH window checks — each
+    // eager manifest read is a real job, and this tail runs on every
+    // derived commit
+    val snap = manifest(spark, tablePath)
+      .select(col("version"), col("parent")).distinct().collect()
+    val shadowed = snap.map(_.getLong(0))
+      .find(v => v > derivedFrom && v < version)
+    if (shadowed.isDefined) {
       retractVersion(spark, tablePath, version)
       throw new ConcurrentCommitException(
         s"$verb published version $version of $tablePath derived from " +
-          s"$derivedFrom, but version ${shadowed.head.getLong(0)} " +
+          s"$derivedFrom, but version ${shadowed.get} " +
           "landed concurrently in between — retracted; re-read and retry")
     }
     // the symmetric window: a racer with a HIGHER claim whose whole
@@ -539,9 +560,12 @@ object Snapshots {
     // publish settles without ever seeing us (we were unpublished at
     // its between-check) — if the head does not descend from us, we
     // are the shadowed one and must withdraw
-    val after = latestVersion(spark, tablePath)
-    if (!after.contains(version) && !after.exists(h =>
-      inLineage(parentChain(spark, tablePath), version, h))) {
+    val after =
+      if (snap.isEmpty) None else Some(snap.map(_.getLong(0)).max)
+    val chain = snap.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    if (!after.contains(version) &&
+      !after.exists(h => inLineage(chain, version, h))) {
       retractVersion(spark, tablePath, version)
       throw new ConcurrentCommitException(
         s"$verb published version $version of $tablePath derived from " +
@@ -2270,7 +2294,11 @@ object Snapshots {
       version: Long,
       keyCols: Seq[String],
       append: Boolean): Unit = {
-    val fresh = freshFilesOf(spark, tablePath, version)
+    // ONE eager manifest read answers both lineage questions (fresh
+    // files of the generation, recorded parent) — each read is a job
+    val snap = manifest(spark, tablePath)
+      .select(col("version"), col("file"), col("parent")).collect()
+    val (fresh, recordedParent) = freshFilesFrom(snap, version)
     val aggs = count(lit(1)).as("n_rows") +:
       keyCols.flatMap(k =>
         Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
@@ -2281,11 +2309,7 @@ object Snapshots {
     // reconciliation may have rebased the append) carries the stats
     // rows the shared files keep; a parent WITHOUT a stats sidecar
     // refuses loudly — its files would silently vanish from pruning
-    val parent = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("parent")).limit(1).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-      .filter(_ => append)
+    val parent = recordedParent.filter(_ => append)
     val stats = parent match {
       case Some(p) =>
         val dir = statsDir(tablePath, p)
@@ -2438,10 +2462,14 @@ object Snapshots {
       tablePath: String,
       targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val latest = latestVersion(spark, tablePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"optimize: $tablePath has no committed versions"))
-    val files = manifestFiles(spark, tablePath, latest)
+    // one manifest read answers head + its file set
+    val snap = manifest(spark, tablePath)
+      .select(col("version"), col("file")).collect()
+    require(snap.nonEmpty,
+      s"optimize: $tablePath has no committed versions")
+    val latest = snap.map(_.getLong(0)).max
+    val files = snap.filter(_.getLong(0) == latest)
+      .map(_.getString(1)).toSeq
     val f = fs(spark, tablePath)
     val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
