@@ -81,7 +81,12 @@ object Layout {
   /** [[clusterByZOrder]] over N cluster keys ([[zValueN]]) — written
     * out as parquet, each file's per-key min/max statistics cover a
     * compact N-rectangle, so a selective predicate on ANY key (or any
-    * subset box) prunes most files. One exchange. */
+    * subset box) prunes most files. Rows also SORT by the Z-value
+    * inside each partition (free — it rides the range exchange's
+    * local sort), so parquet ROW-GROUP statistics tighten the same
+    * way: at 100 TB a file is many row groups, and the group-level
+    * min/max skip is where most of the scan reduction lives once the
+    * file-level prune has done its part. One exchange. */
   def clusterByZOrderN(
       df: DataFrame,
       keyCols: Seq[String],
@@ -93,5 +98,6 @@ object Layout {
       s"input already carries a '$zCol' column")
     df.withColumn(zCol, zValueN(keyCols.map(col), bits))
       .repartitionByRange(numPartitions, col(zCol))
+      .sortWithinPartitions(col(zCol))
   }
 }
