@@ -356,6 +356,33 @@ object Snapshots {
       schema.json, commitTs, parent)
   }
 
+  /** The sanctioned retry loop of the optimistic-concurrency contract:
+    * run `body` — a commit attempt that RE-READS the head and
+    * RE-DERIVES its content on every call, which is what makes a
+    * [[ConcurrentCommitException]] retry-able at all — until it
+    * publishes or `maxAttempts` conflicts burn (then the LAST conflict
+    * rethrows). Appends rarely need it ([[publishAppend]] rebases
+    * internally); it exists for the DERIVED verbs (merge, optimize,
+    * deleteWhere, replacePartitions, metadata changes) whose content
+    * must be recomputed against the moved head, and for the
+    * maintenance verbs' pre-swap refusals. Every refused attempt
+    * already retracted its staged generation and sidecars, so a retry
+    * never sees half-published state — pass the WHOLE derive-and-commit
+    * step as `body`, never a pre-derived frame captured outside it. */
+  def retryOnConflict[T](maxAttempts: Int = 5)(body: => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be positive")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Is `anc` on the recorded parent lineage of `from` (inclusive)?
     * A chain break — a retracted, vacuumed, blind-replace, or
     * pre-lineage generation — answers false: reconciliation treats an

@@ -198,6 +198,48 @@ class SnapshotsConcurrencySpec extends SparkSuite {
     assert(Snapshots.latestVersion(spark, tbl).contains(1L))
   }
 
+  test("retryOnConflict closes the loop: two racing merges BOTH land " +
+    "when the loser re-derives and retries — no update is ever lost") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, base, tbl, append = false)
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(update: (Long, String)) = pool.submit(new Callable[Long] {
+      def call(): Long = {
+        gate.await(10, TimeUnit.SECONDS)
+        // the WHOLE derive-and-commit step is the retried body: merge
+        // re-reads the head and recomputes survivors on every attempt
+        Snapshots.retryOnConflict() {
+          Snapshots.merge(spark, tbl,
+            Seq(update).toDF("id", "v"), Seq("id"))
+        }
+      }
+    })
+    val (fa, fb) = (racer((1L, "ax")), racer((2L, "by")))
+    gate.countDown()
+    val (va, vb) = (fa.get(180, TimeUnit.SECONDS),
+      fb.get(180, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(va != vb)
+    val head = Snapshots.latestVersion(spark, tbl).get
+    val vals = Snapshots.readAsOf(spark, tbl, head)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(vals == Map(1L -> "ax", 2L -> "by"),
+      s"a retried merge lost an update: $vals")
+    // zero attempts left = the last conflict rethrows untouched
+    Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"), tbl,
+      append = true)
+    val e = intercept[ConcurrentCommitException] {
+      Snapshots.retryOnConflict(maxAttempts = 2) {
+        // derived from a PERMANENTLY stale version: never succeeds
+        Snapshots.publishDerived(spark, tbl,
+          Snapshots.claimVersion(spark, tbl, 99L),
+          Seq.empty, base.schema.json, None, 0L, "merge")
+      }
+    }
+    assert(e.getMessage.contains("re-read and retry"))
+  }
+
   test("whole-manifest maintenance refuses when a commit raced its " +
     "snapshot — the pre-swap guard, driven through its seam") {
     val tbl = freshTable()
