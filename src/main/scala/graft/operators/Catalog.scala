@@ -234,8 +234,12 @@ object Catalog {
   /** EXECUTE the [[maintenance]] recommendations: compact every
     * `compact_due` table (clearing its deletion pressure) then vacuum
     * every table below its retention — the closed auto-OPTIMIZE loop
-    * the growth trigger exists to feed. Returns the actions taken as
-    * (name, action, arg) rows, empty when the fleet is healthy. */
+    * the growth trigger exists to feed. Compaction runs through
+    * [[Snapshots.optimizePreserving]], so a blind fleet sweep never
+    * degrades a table's layout contract: partitioned heads keep their
+    * fragments, stats-governed heads keep range/box skipping. Returns
+    * the actions taken as (name, action, arg) rows, empty when the
+    * fleet is healthy. */
   def maintain(
       spark: SparkSession,
       catalogRoot: String,
@@ -247,7 +251,7 @@ object Catalog {
       val name = r.getString(0)
       val e = all(name)
       if (r.getBoolean(4)) {
-        val v = Snapshots.optimize(spark, e.root, targetBytes)
+        val v = Snapshots.optimizePreserving(spark, e.root, targetBytes)
         did += ((name, "optimize", v))
       }
       // retention re-derives from the POST-optimize version list — a

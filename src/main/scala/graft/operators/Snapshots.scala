@@ -2300,14 +2300,16 @@ object Snapshots {
       keyCols: Seq[String],
       numFiles: Int,
       append: Boolean,
-      bits: Int = 21): Long = {
+      bits: Int = 21,
+      derivedFrom: Option[Long] = None,
+      verb: String = "commitZorderedN"): Long = {
     require(numFiles >= 1, "numFiles must be positive")
     require(keyCols.distinct.size == keyCols.size,
       s"commitZorderedN: duplicate cluster keys in $keyCols")
     requireNoColMap(spark, tablePath, "commitZorderedN")
     val version = commit(spark,
       Layout.clusterByZOrderN(df, keyCols, numFiles, bits).drop("zkey"),
-      tablePath, append)
+      tablePath, append, None, derivedFrom, verb)
     writeKeyStats(spark, tablePath, version, keyCols, append)
     version
   }
@@ -2509,6 +2511,82 @@ object Snapshots {
     commit(spark, readAsOf(spark, tablePath, latest).repartition(n),
       tablePath, append = false, derivedFrom = Some(latest),
       verb = "optimize")
+  }
+
+  /** OPTIMIZE that preserves the table's LAYOUT CONTRACT — the verb a
+    * maintenance scheduler may run blindly where the plain [[optimize]]
+    * silently DEGRADES an indexed table (its flat rewrite leaves the
+    * new head sidecar-less, so [[scanRangeAsOf]]/[[scanBoxAsOfN]]
+    * refuse and [[scanPartitionAsOf]] loses its fragments): a
+    * hive-partitioned head compacts via [[optimizePartitioned]] (one
+    * file per partition, fragments survive), a stats-governed head
+    * rewrites through [[commitClustered]] / [[commitZorderedN]] on the
+    * sidecar's OWN key columns (read off its `min_*` schema — range
+    * and box skipping survive compaction), a bloom-governed head
+    * refuses toward [[optimizeBloom]] (the bloom sidecar does not
+    * record its key column), and a plain head takes the plain
+    * [[optimize]]. Returns the minted version. */
+  def optimizePreserving(
+      spark: SparkSession,
+      tablePath: String,
+      targetBytes: Long): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val snap = manifest(spark, tablePath)
+      .select(col("version"), col("file"), col("part")).collect()
+    require(snap.nonEmpty,
+      s"optimizePreserving: $tablePath has no committed versions")
+    val head = snap.map(_.getLong(0)).max
+    val rows = snap.filter(_.getLong(0) == head)
+    val f = fs(spark, tablePath)
+    if (rows.forall(r => !r.isNullAt(2))) {
+      // fragment key precedes '='; hive escaping applies to VALUES only
+      val partCol = rows.head.getString(2).takeWhile(_ != '=')
+      return optimizePartitioned(spark, tablePath, partCol)
+    }
+    // a stats generation GOVERNS the head when it still DESCRIBES
+    // every head file — true across file-preserving commits
+    // (deleteWhere, constraint/colmap/gencol changes repoint files
+    // verbatim without minting a stats dir of their own), false after
+    // a plain replace buried the clustered era. Key names come off
+    // the sidecar's min_* schema; the rewrite re-clusters on them and
+    // mints a FRESH sidecar at the new head.
+    // sidecar `file` strings come from input_file_name() (full URI),
+    // manifest rows from listStatus paths — normalize both (the same
+    // mismatch purgeKeys' repointing normalizes)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val headFiles = rows.map(r => norm(r.getString(1)))
+    def describes(dir: String): Boolean = {
+      val described = spark.read.parquet(dir)
+        .select(col("file")).collect().map(r => norm(r.getString(0)))
+        .toSet
+      headFiles.forall(described)
+    }
+    val statsGen = sidecarResolve(spark, s"$tablePath/_stats", head)
+      .filter { case (_, dir) => describes(dir) }
+    statsGen.foreach { case (_, dir) =>
+      val keys = spark.read.parquet(dir).schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.substring(4))
+      val bytes = rows
+        .map(r => f.getFileStatus(new Path(r.getString(1))).getLen).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      return keys match {
+        case Seq(one) =>
+          commitClustered(spark, readAsOf(spark, tablePath, head),
+            tablePath, one, n, append = false,
+            derivedFrom = Some(head), verb = "optimizePreserving")
+        case many =>
+          commitZorderedN(spark, readAsOf(spark, tablePath, head),
+            tablePath, many, n, append = false,
+            derivedFrom = Some(head), verb = "optimizePreserving")
+      }
+    }
+    val bloomGoverns = sidecarResolve(spark, s"$tablePath/_bloom", head)
+      .exists { case (_, dir) => describes(dir) }
+    require(!bloomGoverns,
+      s"optimizePreserving: version $head of $tablePath is " +
+        "bloom-governed and the sidecar does not record its key " +
+        "column — run optimizeBloom(keyCol) explicitly")
+    optimize(spark, tablePath, targetBytes)
   }
 
   /** Delete data files NO manifest generation references — the

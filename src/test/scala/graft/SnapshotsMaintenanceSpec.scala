@@ -84,6 +84,73 @@ class SnapshotsMaintenanceSpec extends SparkSuite {
     assert(ex.getMessage.contains("cannot change column"))
   }
 
+  test("optimizePreserving keeps the layout contract under blind " +
+    "maintenance: clustered heads keep range skipping, Z-ordered " +
+    "heads keep box skipping, partitioned heads keep fragments, " +
+    "bloom heads refuse toward optimizeBloom") {
+    // clustered + deletion pressure: the compaction must both clear
+    // the DVs and leave the new head range-scannable
+    val t1 = freshTable()
+    Snapshots.commitClustered(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("k", "v"),
+      t1, "k", numFiles = 4, append = false)
+    Snapshots.deleteWhere(spark, t1, col("k") <= 20L)
+    val v1 = Snapshots.optimizePreserving(spark, t1, targetBytes = 2048L)
+    val got = Snapshots.scanRangeAsOf(spark, t1, v1, "k", 30L, 40L)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == (30L to 40L), s"range scan broken after compaction: $got")
+    assert(Snapshots.countAsOf(spark, t1, v1) == 80L)
+    assert(Snapshots.dvStats(spark, t1).collect().head.getLong(2) == 0L,
+      "compaction must clear the deletion pressure")
+
+    // Z-ordered (multi-key stats): box skipping survives, on the
+    // sidecar's own keys read off its schema
+    val t2 = freshTable()
+    Snapshots.commitZorderedN(spark,
+      (0 until 512).map(i =>
+        (i.toLong, (i % 16).toLong, ((i * 7) % 16).toLong))
+        .toDF("row", "a", "b"),
+      t2, Seq("a", "b"), numFiles = 8, append = false)
+    val v2 = Snapshots.optimizePreserving(spark, t2, targetBytes = 4096L)
+    val expect = (0 until 512).filter(i =>
+      i % 16 <= 3 && (i * 7) % 16 <= 3).map(_.toLong).sorted
+    val box = Snapshots.scanBoxAsOfN(spark, t2, v2,
+      Seq(("a", 0L, 3L), ("b", 0L, 3L)))
+      .select($"row").as[Long].collect().sorted.toSeq
+    assert(box == expect, "box scan broken after compaction")
+
+    // partitioned: fragments survive, one file per partition value
+    val t3 = freshTable()
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "x", "d1"), (2L, "y", "d2")).toDF("id", "v", "day"),
+      t3, "day", append = false)
+    Snapshots.commitPartitioned(spark,
+      Seq((3L, "z", "d1")).toDF("id", "v", "day"),
+      t3, "day", append = true)
+    val v3 = Snapshots.optimizePreserving(spark, t3, targetBytes = 1L << 20)
+    val d1 = Snapshots.scanPartitionAsOf(spark, t3, v3, "day", "d1")
+    assert(d1.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(d1.inputFiles.length == 1,
+      "partitioned compaction must leave one file per partition")
+
+    // bloom: the sidecar cannot name its key column — refuse loudly
+    val t4 = freshTable()
+    Snapshots.commitBloom(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t4, "id",
+      append = false)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.optimizePreserving(spark, t4, 1L << 20))
+    assert(e.getMessage.contains("optimizeBloom"))
+
+    // plain: falls through to the plain optimize
+    val t5 = freshTable()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      t5, append = false)
+    val v5 = Snapshots.optimizePreserving(spark, t5, 1L << 20)
+    assert(Snapshots.readAsOf(spark, t5, v5).count() == 1L)
+  }
+
   test("3-key Z-order: scanBoxAsOfN prunes a strict file subset on " +
     "EACH single key and on subset boxes, with exact answers") {
     val tbl = freshTable()
