@@ -2151,13 +2151,49 @@ object Snapshots {
     version
   }
 
+  /** The sidecar generation GOVERNING a stats/bloom scan of `version`:
+    * the exact `v<version>` dir when the generation minted one (the
+    * zero-manifest-read fast path), else the latest-at-or-below dir
+    * that still DESCRIBES every file of the generation — which is how
+    * the index survives the FILE-PRESERVING metadata verbs
+    * (deleteWhere, constraint / generated-column changes) that repoint
+    * the parent's files verbatim without minting sidecar dirs of their
+    * own. Coverage is the proof, checked on the metadata-scale sidecar
+    * itself: a generation whose files left the described set (replace,
+    * OPTIMIZE, purge) answers None rather than pruning with bounds
+    * that no longer speak for the data; an unknown version answers
+    * None (nothing can describe files that do not exist). */
+  private def describingSidecarDir(
+      spark: SparkSession,
+      tablePath: String,
+      family: String,
+      version: Long): Option[String] = {
+    val f = fs(spark, tablePath)
+    val exact = s"$tablePath/$family/v$version"
+    if (f.exists(new Path(exact))) return Some(exact)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val rows = manifestRows(spark, tablePath, version)
+    if (rows.isEmpty) return None
+    sidecarResolve(spark, s"$tablePath/$family", version)
+      .filter { case (_, dir) =>
+        val described = spark.read.parquet(dir)
+          .select(col("file")).collect()
+          .map(r => norm(r.getString(0))).toSet
+        rows.forall(r => described.contains(norm(r._1)))
+      }.map(_._2)
+  }
+
   /** Stats-pruned key-range scan AS OF `version`: the version's stats
     * manifest admits only the files whose [min, max] interval meets
     * [lo, hi]; the exact row filter clears file-level false positives
     * (stats are necessary, not sufficient). Zero admitted files is an
     * answer (empty frame with the snapshot's schema), a missing stats
     * manifest (version unknown, vacuumed, or committed without
-    * clustering) is an error. */
+    * clustering) is an error. A version whose files the latest stats
+    * generation still fully describes — a deleteWhere or constraint
+    * change repointed them verbatim — scans through that generation
+    * ([[describingSidecarDir]]), composed with its own deletion
+    * vectors. */
   def scanRangeAsOf(
       spark: SparkSession,
       tablePath: String,
@@ -2166,10 +2202,10 @@ object Snapshots {
       lo: Any,
       hi: Any): DataFrame = {
     requireNoColMap(spark, tablePath, "scanRangeAsOf")
-    val sd = statsDir(tablePath, version)
-    require(fs(spark, tablePath).exists(new Path(sd)),
-      s"no stats manifest for version $version of $tablePath — not " +
-        "committed via commitClustered, or expired by vacuum")
+    val sd = describingSidecarDir(spark, tablePath, "_stats", version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no stats manifest for version $version of $tablePath — not " +
+          "committed via commitClustered, or expired by vacuum"))
     val admitted = spark.read.parquet(sd)
       .filter(col(s"max_$keyCol") >= lit(lo) && col(s"min_$keyCol") <= lit(hi))
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
@@ -2383,10 +2419,10 @@ object Snapshots {
       bounds: Seq[(String, Any, Any)]): DataFrame = {
     require(bounds.nonEmpty, "scanBoxAsOfN: no bounds given")
     requireNoColMap(spark, tablePath, "scanBoxAsOfN")
-    val sd = statsDir(tablePath, version)
-    require(fs(spark, tablePath).exists(new Path(sd)),
-      s"no stats manifest for version $version of $tablePath — not " +
-        "committed via commitZordered, or expired by vacuum")
+    val sd = describingSidecarDir(spark, tablePath, "_stats", version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no stats manifest for version $version of $tablePath — not " +
+          "committed via commitZordered, or expired by vacuum"))
     val admit = bounds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
@@ -2456,10 +2492,10 @@ object Snapshots {
       keyCol: String,
       value: Any): DataFrame = {
     requireNoColMap(spark, tablePath, "scanPointAsOf")
-    val bd = bloomDir(tablePath, version)
-    require(fs(spark, tablePath).exists(new Path(bd)),
-      s"no bloom sidecar for version $version of $tablePath — not " +
-        "committed via commitBloom, or expired by vacuum")
+    val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no bloom sidecar for version $version of $tablePath — not " +
+          "committed via commitBloom, or expired by vacuum"))
     val admitted = Skipping.pruneFilesPoint(spark, bd, value)
     val stored = generationOf(spark, tablePath, version)._2
     val base =
@@ -2544,26 +2580,13 @@ object Snapshots {
       return optimizePartitioned(spark, tablePath, partCol)
     }
     // a stats generation GOVERNS the head when it still DESCRIBES
-    // every head file — true across file-preserving commits
-    // (deleteWhere, constraint/colmap/gencol changes repoint files
-    // verbatim without minting a stats dir of their own), false after
-    // a plain replace buried the clustered era. Key names come off
-    // the sidecar's min_* schema; the rewrite re-clusters on them and
-    // mints a FRESH sidecar at the new head.
-    // sidecar `file` strings come from input_file_name() (full URI),
-    // manifest rows from listStatus paths — normalize both (the same
-    // mismatch purgeKeys' repointing normalizes)
-    def norm(p: String) = new Path(p).toUri.getPath
-    val headFiles = rows.map(r => norm(r.getString(1)))
-    def describes(dir: String): Boolean = {
-      val described = spark.read.parquet(dir)
-        .select(col("file")).collect().map(r => norm(r.getString(0)))
-        .toSet
-      headFiles.forall(described)
-    }
-    val statsGen = sidecarResolve(spark, s"$tablePath/_stats", head)
-      .filter { case (_, dir) => describes(dir) }
-    statsGen.foreach { case (_, dir) =>
+    // every head file ([[describingSidecarDir]]) — true across
+    // file-preserving commits (deleteWhere, constraint/gencol changes
+    // repoint files verbatim without minting a stats dir of their
+    // own), false after a plain replace buried the clustered era. Key
+    // names come off the sidecar's min_* schema; the rewrite
+    // re-clusters on them and mints a FRESH sidecar at the new head.
+    describingSidecarDir(spark, tablePath, "_stats", head).foreach { dir =>
       val keys = spark.read.parquet(dir).schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.substring(4))
       val bytes = rows
@@ -2580,9 +2603,8 @@ object Snapshots {
             derivedFrom = Some(head), verb = "optimizePreserving")
       }
     }
-    val bloomGoverns = sidecarResolve(spark, s"$tablePath/_bloom", head)
-      .exists { case (_, dir) => describes(dir) }
-    require(!bloomGoverns,
+    require(
+      describingSidecarDir(spark, tablePath, "_bloom", head).isEmpty,
       s"optimizePreserving: version $head of $tablePath is " +
         "bloom-governed and the sidecar does not record its key " +
         "column — run optimizeBloom(keyCol) explicitly")

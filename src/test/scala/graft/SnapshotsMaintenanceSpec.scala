@@ -84,6 +84,36 @@ class SnapshotsMaintenanceSpec extends SparkSuite {
     assert(ex.getMessage.contains("cannot change column"))
   }
 
+  test("clustered stats survive file-preserving metadata verbs: a " +
+    "deleteWhere head range-scans through the governing generation " +
+    "(DV-applied), a replace buries it and the scan refuses") {
+    val tbl = freshTable()
+    Snapshots.commitClustered(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("k", "v"),
+      tbl, "k", numFiles = 4, append = false)
+    val vDel = Snapshots.deleteWhere(spark, tbl, col("k") <= 25L)
+    // the delete's generation minted no stats dir of its own, but its
+    // files are the parent's verbatim — the scan resolves the
+    // describing generation and composes with the deletion vectors
+    val got = Snapshots.scanRangeAsOf(spark, tbl, vDel, "k", 20L, 30L)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == (26L to 30L),
+      s"stats scan through a deleteWhere head wrong: $got")
+    // a constraint change repoints files verbatim too
+    Snapshots.addConstraint(spark, tbl, "k_nn", "k IS NOT NULL")
+    val vCon = Snapshots.latestVersion(spark, tbl).get
+    assert(Snapshots.scanRangeAsOf(spark, tbl, vCon, "k", 90L, 95L)
+      .count() == 6L)
+    // a plain replace leaves the described set — bounds no longer
+    // speak for the data, so the scan refuses rather than mis-pruning
+    Snapshots.commit(spark, Seq((999L, "z")).toDF("k", "v"),
+      tbl, append = false)
+    val head = Snapshots.latestVersion(spark, tbl).get
+    val e = intercept[IllegalArgumentException](
+      Snapshots.scanRangeAsOf(spark, tbl, head, "k", 0L, 1000L))
+    assert(e.getMessage.contains("no stats manifest"))
+  }
+
   test("optimizePreserving keeps the layout contract under blind " +
     "maintenance: clustered heads keep range skipping, Z-ordered " +
     "heads keep box skipping, partitioned heads keep fragments, " +
