@@ -201,9 +201,10 @@ object Catalog {
       catalogRoot: String): DataFrame = {
     val rows = entries(spark, catalogRoot).toSeq.sortBy(_._1)
       .map { case (name, e) =>
-        val versions = Snapshots.manifest(spark, e.root)
-          .select(col("version")).distinct().collect()
-          .map(_.getLong(0)).sorted
+        // version numbers come off the manifest directory LISTING —
+        // the whole fleet sweep reads zero manifest rows per healthy
+        // table (dvStats reads only the head generation's)
+        val versions = Snapshots.listGenerations(spark, e.root)
         val head = versions.lastOption
         val compactAt =
           e.props.get("dv_compact_at").map(_.toDouble).getOrElse(0.1)
@@ -258,9 +259,7 @@ object Catalog {
       // compaction bumped the head, and burned claims leave numeric
       // gaps, so the keepFrom is positional, never arithmetic
       e.props.get("retain_versions").map(_.toInt).foreach { k =>
-        val versions = Snapshots.manifest(spark, e.root)
-          .select(col("version")).distinct().collect()
-          .map(_.getLong(0)).sorted
+        val versions = Snapshots.listGenerations(spark, e.root)
         if (versions.length > k) {
           val keepFrom = versions(versions.length - k)
           Snapshots.vacuum(spark, e.root, keepFrom)

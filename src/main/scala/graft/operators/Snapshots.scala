@@ -170,18 +170,6 @@ object Snapshots {
     manifestReads.incrementAndGet()
     recoverManifestSwap(spark, tablePath)
     val dir = s"$tablePath/$VersionsDir"
-    def isFileGone(e: Throwable): Boolean = {
-      var c = e
-      while (c != null) {
-        if (c.isInstanceOf[java.io.FileNotFoundException] ||
-          (c.getMessage != null &&
-            (c.getMessage.contains("FileNotFoundException") ||
-              c.getMessage.contains("does not exist"))))
-          return true
-        c = if (c.getCause eq c) null else c.getCause
-      }
-      false
-    }
     var lastErr: Throwable = null
     var attempt = 0
     while (attempt < 4) {
@@ -190,37 +178,17 @@ object Snapshots {
         if (fs(spark, tablePath).exists(new Path(dir)))
           listDataFiles(spark, dir)
         else Seq.empty
-      if (parts.isEmpty) {
-        import org.apache.spark.sql.types._
-        return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField("version", LongType, nullable = false),
-            StructField("file", StringType, nullable = true),
-            StructField("part", StringType, nullable = true),
-            StructField("schema_json", StringType, nullable = true),
-            StructField("rows", LongType, nullable = true),
-            StructField("commit_ts", LongType, nullable = true),
-            StructField("parent", LongType, nullable = true))))
-      }
+      if (parts.isEmpty) return emptyManifest(spark)
       try {
-        val m = spark.read.option("mergeSchema", "true").parquet(parts: _*)
-        // manifests written by earlier layouts may lack the partition,
-        // schema, row-count, lineage and/or commit-ts columns;
-        // normalize so every consumer sees seven, in one fixed order
-        val norm = Seq("part" -> "string", "schema_json" -> "string",
-          "rows" -> "long", "commit_ts" -> "long", "parent" -> "long")
-          .foldLeft(m) { case (df, (c, tpe)) =>
-            if (df.columns.contains(c)) df
-            else df.withColumn(c, lit(null).cast(tpe))
-          }
-          .select(col("version"), col("file"), col("part"),
-            col("schema_json"), col("rows"), col("commit_ts"),
-            col("parent"))
+        val norm = normalizeManifest(
+          spark.read.option("mergeSchema", "true").parquet(parts: _*))
         // materialized EAGERLY (metadata-scale by design): a lazy frame
         // whose action runs after a racing committer RETRACTS a
         // generation fails mid-scan on the vanished file; the eager
         // read retries against a fresh listing instead — a read is a
         // point-in-time snapshot of the manifest, never a torn one
         val rows = norm.collect()
+        manifestRowsCollected.addAndGet(rows.length.toLong)
         return spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), norm.schema)
       } catch {
@@ -230,20 +198,179 @@ object Snapshots {
     throw lastErr
   }
 
-  /** Latest committed version, or None for an empty table. Driver-side
-    * over the metadata-scale manifest. */
-  def latestVersion(spark: SparkSession, tablePath: String): Option[Long] = {
-    val m = manifest(spark, tablePath).agg(max(col("version"))).head()
-    if (m.isNullAt(0)) None else Some(m.getLong(0))
+  /** Manifests written by earlier layouts may lack the partition,
+    * schema, row-count, lineage and/or commit-ts columns; normalize so
+    * every consumer sees seven, in one fixed order: version(0),
+    * file(1), part(2), schema_json(3), rows(4), commit_ts(5),
+    * parent(6) — the positions every `Array[Row]` consumer below
+    * indexes by. */
+  private def normalizeManifest(m: DataFrame): DataFrame =
+    Seq("part" -> "string", "schema_json" -> "string",
+      "rows" -> "long", "commit_ts" -> "long", "parent" -> "long")
+      .foldLeft(m) { case (df, (c, tpe)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(tpe))
+      }
+      .select(col("version"), col("file"), col("part"),
+        col("schema_json"), col("rows"), col("commit_ts"),
+        col("parent"))
+
+  private def emptyManifest(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("version", LongType, nullable = false),
+        StructField("file", StringType, nullable = true),
+        StructField("part", StringType, nullable = true),
+        StructField("schema_json", StringType, nullable = true),
+        StructField("rows", LongType, nullable = true),
+        StructField("commit_ts", LongType, nullable = true),
+        StructField("parent", LongType, nullable = true))))
   }
+
+  private def isFileGone(e: Throwable): Boolean = {
+    var c = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+        (c.getMessage != null &&
+          (c.getMessage.contains("FileNotFoundException") ||
+            c.getMessage.contains("does not exist"))))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  /** One manifest generation = one file, its version IN THE NAME —
+    * the index that lets every per-version verb read O(files of v)
+    * manifest rows instead of the whole history ([[publishRows]]
+    * mints the name; [[swapManifest]] preserves it through
+    * vacuum/purge rewrites). */
+  private val GenFileName = "gen-v(\\d+)\\.parquet".r
+
+  private def genFilePath(tablePath: String, version: Long): String =
+    s"$tablePath/$VersionsDir/gen-v$version.parquet"
+
+  /** Every committed generation number, ascending, from ONE listing of
+    * the manifest directory — no parquet footer opened, no row
+    * collected. The head-resolution primitive: at a year of hourly
+    * commits this is one directory listing, where a manifest READ
+    * would materialize O(versions × files) rows to the driver. */
+  private[graft] def listGenerations(
+      spark: SparkSession,
+      tablePath: String): Seq[Long] = {
+    recoverManifestSwap(spark, tablePath)
+    val dir = s"$tablePath/$VersionsDir"
+    if (!fs(spark, tablePath).exists(new Path(dir))) Seq.empty
+    else listDataFiles(spark, dir).map(p => new Path(p).getName).map {
+      case GenFileName(v) => v.toLong
+      case other => throw new IllegalStateException(
+        s"manifest file '$other' in $dir does not carry its generation " +
+          "number (gen-v<N>.parquet) — written by a foreign tool? The " +
+          "version-bounded reads cannot resolve it")
+    }.sorted
+  }
+
+  /** The manifest rows of ONE generation, read from that generation's
+    * own file alone — the version-bounded read every per-version verb
+    * plans from: O(files of the version) rows collected, however long
+    * the history (normalized column positions per
+    * [[normalizeManifest]]). EMPTY when the generation does not exist —
+    * never committed, retracted by a racing rebase between a listing
+    * and this read, or expired by vacuum — callers turn that into
+    * their own loud error (or a corrective lap). */
+  private def manifestFor(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Array[Row] = {
+    manifestReads.incrementAndGet()
+    recoverManifestSwap(spark, tablePath)
+    val path = genFilePath(tablePath, version)
+    if (!fs(spark, tablePath).exists(new Path(path)))
+      return Array.empty[Row]
+    try {
+      val rows = normalizeManifest(spark.read.parquet(path)).collect()
+      manifestRowsCollected.addAndGet(rows.length.toLong)
+      rows
+    } catch {
+      // the generation vanished between the exists check and the read
+      // (a racer's retraction) — gone is gone, same answer as above
+      case e: Throwable if isFileGone(e) => Array.empty[Row]
+    }
+  }
+
+  /** One row PER GENERATION — (version, commit_ts, parent) — with the
+    * per-file fan-out dropped in the EXECUTORS: the distinct runs
+    * before the collect, so the driver materializes O(generations)
+    * rows however many files each snapshot carries. The timeline /
+    * lineage-chain read ([[versionAt]], the reconciliation tails'
+    * contested laps, the streaming sink's replay check). */
+  private[graft] def manifestMeta(
+      spark: SparkSession,
+      tablePath: String): Array[Row] = {
+    manifestReads.incrementAndGet()
+    recoverManifestSwap(spark, tablePath)
+    val dir = s"$tablePath/$VersionsDir"
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < 4) {
+      attempt += 1
+      val parts =
+        if (fs(spark, tablePath).exists(new Path(dir)))
+          listDataFiles(spark, dir)
+        else Seq.empty
+      if (parts.isEmpty) return Array.empty[Row]
+      try {
+        val rows = normalizeManifest(
+          spark.read.option("mergeSchema", "true").parquet(parts: _*))
+          .select(col("version"), col("commit_ts"), col("parent"))
+          .distinct().collect()
+        manifestRowsCollected.addAndGet(rows.length.toLong)
+        return rows
+      } catch {
+        case e: Throwable if isFileGone(e) => lastErr = e
+      }
+    }
+    throw lastErr
+  }
+
+  /** version → recorded lineage parent for every generation, from
+    * [[manifestMeta]] — what [[inLineage]] walks. Read only on
+    * CONTESTED reconciliation laps; the settled common case resolves
+    * from the listing alone. */
+  private def manifestChain(
+      spark: SparkSession,
+      tablePath: String): Map[Long, Option[Long]] =
+    manifestMeta(spark, tablePath).map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+
+  /** Latest committed version, or None for an empty table — resolved
+    * from the manifest directory LISTING alone (the generation numbers
+    * live in the filenames), zero rows read. */
+  def latestVersion(spark: SparkSession, tablePath: String): Option[Long] =
+    listGenerations(spark, tablePath).lastOption
 
   private def manifestFiles(
       spark: SparkSession,
       tablePath: String,
       version: Long): Seq[String] =
-    manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    manifestFor(spark, tablePath, version).map(_.getString(1)).toSeq
+
+  /** The recorded lineage parent of an already-read generation
+    * (constant per generation by construction). */
+  private def parentOf(gen: Array[Row]): Option[Long] =
+    gen.headOption.flatMap(r =>
+      if (r.isNullAt(6)) None else Some(r.getLong(6)))
+
+  /** The stored schema JSON of an already-read generation, if any. */
+  private def schemaJsonOf(gen: Array[Row]): Option[String] =
+    gen.find(!_.isNullAt(3)).map(_.getString(3))
+
+  /** (file, part, rows) triples of an already-read generation. */
+  private def fileRowsOf(
+      gen: Array[Row]): Seq[(String, String, Option[Long])] =
+    gen.map(r => (r.getString(1),
+      if (r.isNullAt(2)) null else r.getString(2),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
 
   /** The files generation `version` ADDED relative to its recorded
     * lineage parent — the reconciliation-safe "fresh files of this
@@ -251,29 +378,18 @@ object Snapshots {
     * publishes a corrective lap under a higher version than the dir
     * the batch was written to). A parent-less generation (first
     * commit, blind replace) is wholly fresh; a derived replace's
-    * parent files left the lineage, so subtracting them is a no-op. */
+    * parent files left the lineage, so subtracting them is a no-op.
+    * Two single-generation reads (the version's, its parent's) — never
+    * the history. */
   private def freshFilesOf(
       spark: SparkSession,
       tablePath: String,
-      version: Long): Seq[String] =
-    freshFilesFrom(manifest(spark, tablePath)
-      .select(col("version"), col("file"), col("parent")).collect(),
-      version)._1
-
-  /** [[freshFilesOf]] over an ALREADY-COLLECTED (version, file, parent)
-    * manifest snapshot — zero further reads (the commit tails stack
-    * several lineage questions; each eager manifest read is a real job,
-    * so they share one). Returns (fresh files, lineage parent). */
-  private def freshFilesFrom(
-      snap: Array[Row],
-      version: Long): (Seq[String], Option[Long]) = {
-    val gen = snap.filter(_.getLong(0) == version)
-    val parent = gen.headOption
-      .flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
-    val parentFiles = parent
-      .map(p => snap.filter(_.getLong(0) == p).map(_.getString(1)).toSet)
+      version: Long): Seq[String] = {
+    val gen = manifestFor(spark, tablePath, version)
+    val parentFiles = parentOf(gen)
+      .map(p => manifestFor(spark, tablePath, p).map(_.getString(1)).toSet)
       .getOrElse(Set.empty[String])
-    (gen.map(_.getString(1)).filterNot(parentFiles).toSeq, parent)
+    gen.map(_.getString(1)).filterNot(parentFiles).toSeq
   }
 
   /** Atomically claim the next free version number at or above `from`:
@@ -342,14 +458,20 @@ object Snapshots {
       parent: Option[Long],
       freshSchema: org.apache.spark.sql.types.StructType,
       commitTs: Option[Long] = None): Long = {
-    val parentRows =
-      parent.map(v => manifestRows(spark, tablePath, v)).getOrElse(Seq.empty)
+    // ONE single-generation read answers the parent's file rows AND
+    // its stored schema
+    val parentGen =
+      parent.map(v => manifestFor(spark, tablePath, v))
+        .getOrElse(Array.empty[Row])
+    val parentRows = fileRowsOf(parentGen)
     // the generation's read schema: an append's is the parent schema
     // merged with the fresh batch's (schema evolution — new columns
     // join the table, parent rows null-fill), a replace's is the fresh
     // batch's alone. Persisted per generation so readers never
     // footer-merge.
-    val schema = parent.flatMap(v => storedSchema(spark, tablePath, v))
+    val schema = schemaJsonOf(parentGen)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
       .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
       .getOrElse(nullableTop(freshSchema))
     publishRows(spark, tablePath, version, parentRows ++ fresh,
@@ -443,16 +565,22 @@ object Snapshots {
     }
 
   /** The APPEND commit tail with publish-time reconciliation (see the
-    * commit-class contract in the object scaladoc). Each lap takes ONE
-    * eager point-in-time manifest snapshot and derives everything from
-    * it — the head, the rebase parent's file rows and schema, the
-    * settle verdict — so a racer's publish or retraction lands between
-    * laps, never inside one. A publish SETTLES when the head descends
-    * from it AND no racer's generation sits strictly between its
-    * recorded parent and it; that contiguity check is what catches the
-    * claims-inverted window (a racer with a LOWER claim publishing
-    * after our head-read lands below us, invisible to any head-only
-    * check). An unsettled publish is RETRACTED and the next lap
+    * commit-class contract in the object scaladoc). Each lap's
+    * point-in-time view is ONE listing of the manifest directory (the
+    * version numbers) plus ONE single-generation read (the head's own
+    * file) — O(files of the head) rows, never the history. A racer's
+    * publish or retraction landing between the listing and the head
+    * read surfaces as an EMPTY head read, which costs one corrective
+    * lap instead of a torn union (a publish rebased on a vanished head
+    * would silently truncate the table — the guard below). A publish
+    * SETTLES when the head descends from it AND no racer's generation
+    * sits strictly between its recorded parent and it; that contiguity
+    * check is what catches the claims-inverted window (a racer with a
+    * LOWER claim publishing after our head-read lands below us,
+    * invisible to any head-only check) — and it reads NOTHING on the
+    * common uncontested lap (head == published settles from the
+    * listing alone; the lineage chain is consulted only when
+    * contested). An unsettled publish is RETRACTED and the next lap
     * rebases the same fresh files onto the then-current head, so no
     * generation ever unions content it cannot see whole. Converges
     * because each publish is a filesystem-serialized rename and the
@@ -474,27 +602,22 @@ object Snapshots {
     var laps = 0
     while (laps < 16) {
       laps += 1
-      val snap = manifest(spark, tablePath)
-        .select(col("version"), col("file"), col("part"), col("rows"),
-          col("schema_json"), col("parent")).collect()
-      val head =
-        if (snap.isEmpty) None else Some(snap.map(_.getLong(0)).max)
+      val versions = listGenerations(spark, tablePath)
+      val head = versions.lastOption
       val retractedThisLap =
         if (published < 0) false
         else {
-          val chain = snap.map(r => r.getLong(0) ->
-            (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
-          val shadowed = snap.exists(r =>
-            r.getLong(0) > parentUsed.getOrElse(-1L) &&
-              r.getLong(0) < published)
+          val shadowed = versions.exists(v =>
+            v > parentUsed.getOrElse(-1L) && v < published)
           if (!shadowed && head.exists { h =>
-            h == published || inLineage(chain, published, h) ||
-              freshFiles.subsetOf(snap.filter(_.getLong(0) == h)
-                .map(_.getString(1)).toSet)
+            h == published ||
+              inLineage(manifestChain(spark, tablePath), published, h) ||
+              freshFiles.subsetOf(
+                manifestFor(spark, tablePath, h).map(_.getString(1)).toSet)
           }) return published
           // shadowed, or superseded without our rows: withdraw and
           // rebase next lap (the retracted number stays burned; the
-          // next lap's snapshot sees the retraction)
+          // next lap's listing sees the retraction)
           retractVersion(spark, tablePath, published)
           published = -1L
           true
@@ -515,23 +638,22 @@ object Snapshots {
         // it (the superseded claim burns as a benign gap)
         if (head.exists(_ >= claimed))
           claimed = claimVersion(spark, tablePath, head.get + 1L)
-        parentUsed = head
-        // the rebase parent's rows and schema come from THE SAME
-        // snapshot that elected it head — a parent re-read here could
-        // observe a racer's retraction and silently truncate the table
-        val headRows = head.map(h => snap.filter(_.getLong(0) == h))
-          .getOrElse(Array.empty[Row]).toSeq
-        val parentRows = headRows.map(r => (r.getString(1),
-          if (r.isNullAt(2)) null else r.getString(2),
-          if (r.isNullAt(3)) None else Some(r.getLong(3))))
-        val schema = headRows.find(!_.isNullAt(4))
-          .map(r => org.apache.spark.sql.types.DataType
-            .fromJson(r.getString(4))
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
-          .getOrElse(nullableTop(freshSchema))
-        published = publishRows(spark, tablePath, claimed,
-          parentRows ++ fresh, schema.json, ts, head)
+        val headRows = head.map(h => manifestFor(spark, tablePath, h))
+          .getOrElse(Array.empty[Row])
+        if (head.isDefined && headRows.isEmpty) {
+          // the listed head was retracted between the listing and its
+          // read — rebasing on it would publish only the fresh files,
+          // silently truncating the table; take a fresh lap instead
+        } else {
+          parentUsed = head
+          val schema = schemaJsonOf(headRows)
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
+            .getOrElse(nullableTop(freshSchema))
+          published = publishRows(spark, tablePath, claimed,
+            fileRowsOf(headRows) ++ fresh, schema.json, ts, head)
+        }
       }
     }
     throw new ConcurrentCommitException(
@@ -568,13 +690,12 @@ object Snapshots {
     }
     publishRows(spark, tablePath, version, fileRows, schemaJson, ts,
       Some(derivedFrom))
-    // ONE post-publish snapshot answers BOTH window checks — each
-    // eager manifest read is a real job, and this tail runs on every
-    // derived commit
-    val snap = manifest(spark, tablePath)
-      .select(col("version"), col("parent")).distinct().collect()
-    val shadowed = snap.map(_.getLong(0))
-      .find(v => v > derivedFrom && v < version)
+    // ONE post-publish LISTING answers both window checks on the
+    // uncontested path (version numbers alone); the lineage chain — a
+    // per-generation projection, O(generations) rows — is read only
+    // when the head moved past us
+    val versions = listGenerations(spark, tablePath)
+    val shadowed = versions.find(v => v > derivedFrom && v < version)
     if (shadowed.isDefined) {
       retractVersion(spark, tablePath, version)
       throw new ConcurrentCommitException(
@@ -587,12 +708,10 @@ object Snapshots {
     // publish settles without ever seeing us (we were unpublished at
     // its between-check) — if the head does not descend from us, we
     // are the shadowed one and must withdraw
-    val after =
-      if (snap.isEmpty) None else Some(snap.map(_.getLong(0)).max)
-    val chain = snap.map(r => r.getLong(0) ->
-      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val after = versions.lastOption
     if (!after.contains(version) &&
-      !after.exists(h => inLineage(chain, version, h))) {
+      !after.exists(h =>
+        inLineage(manifestChain(spark, tablePath), version, h))) {
       retractVersion(spark, tablePath, version)
       throw new ConcurrentCommitException(
         s"$verb published version $version of $tablePath derived from " +
@@ -610,10 +729,8 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       version: Long): Option[org.apache.spark.sql.types.StructType] =
-    manifest(spark, tablePath)
-      .filter(col("version") === version && col("schema_json").isNotNull)
-      .select(col("schema_json")).limit(1).collect().headOption
-      .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
+    schemaJsonOf(manifestFor(spark, tablePath, version))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Top-level nullable copy (parquet reads surface every column as
@@ -668,18 +785,13 @@ object Snapshots {
   }
 
   /** (file, part, rows) rows of one manifest generation — `rows` is
-    * None only for generations written by pre-row-count layouts. */
+    * None only for generations written by pre-row-count layouts. One
+    * single-generation read. */
   private def manifestRows(
       spark: SparkSession,
       tablePath: String,
       version: Long): Seq[(String, String, Option[Long])] =
-    manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("part"), col("rows")).collect()
-      .map(r => (r.getString(0),
-        if (r.isNullAt(1)) null else r.getString(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2))))
-      .toSeq
+    fileRowsOf(manifestFor(spark, tablePath, version))
 
   /** Per-file record counts read from the parquet FOOTERS of freshly
     * committed files — O(new files) metadata reads at commit time,
@@ -1246,13 +1358,39 @@ object Snapshots {
     val live = new Path(s"$tablePath/$VersionsDir")
     val staged = new Path(s"$tablePath/${VersionsDir}_staged")
     val prev = new Path(s"$tablePath/${VersionsDir}_prev")
+    val raw = new Path(s"$tablePath/${VersionsDir}_staging_raw")
     if (f.exists(staged)) f.delete(staged, true)
     if (f.exists(prev)) f.delete(prev, true) // inert leftover of a crash
+    if (f.exists(raw)) f.delete(raw, true)
+    // the rewritten manifest keeps ONE FILE PER GENERATION under the
+    // canonical gen-v<N>.parquet name — the invariant every
+    // version-bounded read ([[manifestFor]], [[listGenerations]])
+    // indexes by, which a single coalesced file would destroy for the
+    // whole retained history. One partitioned write job stages every
+    // generation (`gen` duplicates `version` because partitionBy
+    // consumes its column), then each part renames to its canonical
+    // name inside the staged dir BEFORE the live swap, so the staged
+    // dir is complete and correctly named at the moment it can become
+    // live ([[recoverManifestSwap]]'s contract).
     spark.createDataFrame(rows)
       .toDF("version", "file", "part", "schema_json", "rows", "commit_ts",
         "parent")
-      .coalesce(1)
-      .write.parquet(staged.toString)
+      .withColumn("gen", col("version"))
+      .repartition(col("gen"))
+      .write.partitionBy("gen").parquet(raw.toString)
+    f.mkdirs(staged)
+    f.listStatus(raw).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("gen=")).foreach { d =>
+      val v = d.getPath.getName.stripPrefix("gen=").toLong
+      val parts = listDataFiles(spark, d.getPath.toString)
+      require(parts.length == 1,
+        s"manifest rewrite staged ${parts.length} files for generation " +
+          s"$v of $tablePath — expected exactly one")
+      require(f.rename(new Path(parts.head),
+        new Path(s"$staged/gen-v$v.parquet")),
+        s"manifest rewrite could not stage generation $v of $tablePath")
+    }
+    f.delete(raw, true)
     require(f.rename(live, prev),
       s"manifest swap failed for $tablePath — live manifest could not " +
         s"be moved aside; staged manifest left at $staged, data intact")
@@ -1445,6 +1583,14 @@ object Snapshots {
   private[graft] val manifestReads =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Manifest ROWS materialized to the driver since process start —
+    * the scale gauge the version-bounded reads exist for: a read verb
+    * must collect O(files of the queried generation), never
+    * O(versions × files of the history) (the counter
+    * [[SnapshotsResolutionSpec]] pins that bound with). */
+  private[graft] val manifestRowsCollected =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Every versioned sidecar family's generation governing `version`,
     * resolved in ONE pass: a single listing of the table root discovers
     * which families exist at all — on a table with no sidecars (the
@@ -1511,17 +1657,15 @@ object Snapshots {
       version: Long)
       : (Seq[(String, String)],
         Option[org.apache.spark.sql.types.StructType]) = {
-    val rows = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("part"), col("schema_json")).collect()
+    val rows = manifestFor(spark, tablePath, version)
     require(rows.nonEmpty,
       s"snapshot version $version of $tablePath is not in the manifest " +
         "(never committed, or expired by vacuum)")
-    val stored = rows.find(!_.isNullAt(2)).map(r =>
-      org.apache.spark.sql.types.DataType.fromJson(r.getString(2))
+    val stored = schemaJsonOf(rows).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    (rows.map(r => (r.getString(0),
-      if (r.isNullAt(1)) null else r.getString(1))).toSeq, stored)
+    (rows.map(r => (r.getString(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSeq, stored)
   }
 
   /** See [[sidecarResolve]] — the deletion-vector instance. */
@@ -1616,20 +1760,20 @@ object Snapshots {
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"deleteWhere: $tablePath has no committed versions"))
-    val gen = manifest(spark, tablePath)
-      .filter(col("version") === observed)
-      .select(col("file"), col("part"), col("rows"), col("schema_json"))
-      .collect()
-    val fileRows = gen.map(r => (r.getString(0),
-      if (r.isNullAt(1)) null else r.getString(1),
-      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-    val schemaJson =
-      if (gen.head.isNullAt(3)) null else gen.head.getString(3)
+    val gen = manifestFor(spark, tablePath, observed)
+    require(gen.nonEmpty,
+      s"deleteWhere: version $observed of $tablePath vanished between " +
+        "the head resolution and its read — a racing retraction; retry")
+    val fileRows = fileRowsOf(gen)
+    val schemaJson = schemaJsonOf(gen).orNull
+    val stored = schemaJsonOf(gen).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val prior = dvSet(spark, tablePath, observed)
     val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, observed))
     val base = fromPhysical(readFileRows(spark,
       fileRows.map(r => (r._1, r._2)),
-      storedSchema(spark, tablePath, observed).map(physicalSchema(_, l2p)),
+      stored.map(physicalSchema(_, l2p)),
       withMeta = true), l2p)
     val live = prior.fold(base)(applyDv(base, _))
     val fresh = live.filter(predicate)
@@ -1720,14 +1864,11 @@ object Snapshots {
       tablePath: String,
       version: Long)
       : (Seq[(String, String, Option[Long])], String) = {
-    val gen = manifest(spark, tablePath)
-      .filter(col("version") === version)
-      .select(col("file"), col("part"), col("rows"), col("schema_json"))
-      .collect()
-    (gen.map(r => (r.getString(0),
-      if (r.isNullAt(1)) null else r.getString(1),
-      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq,
-      if (gen.head.isNullAt(3)) null else gen.head.getString(3))
+    val gen = manifestFor(spark, tablePath, version)
+    require(gen.nonEmpty,
+      s"snapshot version $version of $tablePath is not in the manifest " +
+        "(never committed, or expired by vacuum)")
+    (fileRowsOf(gen), schemaJsonOf(gen).orNull)
   }
 
   /** ALTER TABLE ADD CONSTRAINT: a metadata-only commit (parent files
@@ -2359,11 +2500,14 @@ object Snapshots {
       version: Long,
       keyCols: Seq[String],
       append: Boolean): Unit = {
-    // ONE eager manifest read answers both lineage questions (fresh
-    // files of the generation, recorded parent) — each read is a job
-    val snap = manifest(spark, tablePath)
-      .select(col("version"), col("file"), col("parent")).collect()
-    val (fresh, recordedParent) = freshFilesFrom(snap, version)
+    // two single-generation reads answer both lineage questions (fresh
+    // files of the generation, recorded parent) — never the history
+    val gen = manifestFor(spark, tablePath, version)
+    val recordedParent = parentOf(gen)
+    val parentFiles = recordedParent
+      .map(p => manifestFor(spark, tablePath, p).map(_.getString(1)).toSet)
+      .getOrElse(Set.empty[String])
+    val fresh = gen.map(_.getString(1)).filterNot(parentFiles).toSeq
     val aggs = count(lit(1)).as("n_rows") +:
       keyCols.flatMap(k =>
         Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
@@ -2527,14 +2671,12 @@ object Snapshots {
       tablePath: String,
       targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    // one manifest read answers head + its file set
-    val snap = manifest(spark, tablePath)
-      .select(col("version"), col("file")).collect()
-    require(snap.nonEmpty,
-      s"optimize: $tablePath has no committed versions")
-    val latest = snap.map(_.getLong(0)).max
-    val files = snap.filter(_.getLong(0) == latest)
-      .map(_.getString(1)).toSeq
+    // one listing resolves the head, one single-generation read its
+    // file set
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize: $tablePath has no committed versions"))
+    val files = manifestFiles(spark, tablePath, latest)
     val f = fs(spark, tablePath)
     val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -2567,12 +2709,14 @@ object Snapshots {
       tablePath: String,
       targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val snap = manifest(spark, tablePath)
-      .select(col("version"), col("file"), col("part")).collect()
-    require(snap.nonEmpty,
-      s"optimizePreserving: $tablePath has no committed versions")
-    val head = snap.map(_.getLong(0)).max
-    val rows = snap.filter(_.getLong(0) == head)
+    val head = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimizePreserving: $tablePath has no committed versions"))
+    val rows = manifestFor(spark, tablePath, head)
+    require(rows.nonEmpty,
+      s"optimizePreserving: version $head of $tablePath vanished " +
+        "between the head resolution and its read — a racing " +
+        "retraction; retry")
     val f = fs(spark, tablePath)
     if (rows.forall(r => !r.isNullAt(2))) {
       // fragment key precedes '='; hive escaping applies to VALUES only
@@ -2698,18 +2842,12 @@ object Snapshots {
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"rollback: $tablePath has no committed versions"))
-    val gen = manifest(spark, tablePath)
-      .filter(col("version") === toVersion)
-      .select(col("file"), col("part"), col("rows"), col("schema_json"))
-      .collect()
+    val gen = manifestFor(spark, tablePath, toVersion)
     require(gen.nonEmpty,
       s"rollback: snapshot version $toVersion of $tablePath is not in " +
         "the manifest (never committed, or expired by vacuum)")
-    val rows = gen.map(r => (r.getString(0),
-      if (r.isNullAt(1)) null else r.getString(1),
-      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-    val schemaJson =
-      if (gen.head.isNullAt(3)) null else gen.head.getString(3)
+    val rows = fileRowsOf(gen)
+    val schemaJson = schemaJsonOf(gen).orNull
     val version = claimVersion(spark, tablePath, observed + 1L)
     // a rollback RESTORES content: re-materialize the TARGET's
     // governing DV set (possibly empty) at the new version, masking
@@ -2764,18 +2902,12 @@ object Snapshots {
       dstTable: String): Long = {
     require(latestVersion(spark, dstTable).isEmpty,
       s"cloneTable: destination $dstTable already has commits")
-    val gen = manifest(spark, srcTable)
-      .filter(col("version") === version)
-      .select(col("file"), col("part"), col("rows"), col("schema_json"))
-      .collect()
+    val gen = manifestFor(spark, srcTable, version)
     require(gen.nonEmpty,
       s"cloneTable: snapshot version $version of $srcTable is not in " +
         "the manifest (never committed, or expired by vacuum)")
-    val rows = gen.map(r => (r.getString(0),
-      if (r.isNullAt(1)) null else r.getString(1),
-      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-    val schemaJson =
-      if (gen.head.isNullAt(3)) null else gen.head.getString(3)
+    val rows = fileRowsOf(gen)
+    val schemaJson = schemaJsonOf(gen).orNull
     val v = claimVersion(spark, dstTable, 0L)
     // the source's governing DV set transfers with the pointers —
     // a clone of a deleted-from snapshot must not resurrect its rows
@@ -2933,8 +3065,7 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       ts: Long): Long = {
-    val gens = manifest(spark, tablePath)
-      .select(col("version"), col("commit_ts")).distinct().collect()
+    val gens = manifestMeta(spark, tablePath)
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1))))
     require(gens.nonEmpty, s"$tablePath has no committed versions")
@@ -3017,8 +3148,9 @@ object Snapshots {
   }
 
   /** (file, part) rows of TWO generations plus the destination's
-    * stored schema, from a single eager manifest read — the interval
-    * verbs' resolution (they used to pay three manifest reads each).
+    * stored schema, from a single eager read of exactly those TWO
+    * generations' manifest files — the interval verbs' resolution:
+    * O(files of from + files of to) rows collected, never the history.
     * Loud per missing version, naming the verb's contract. */
   private def generationPair(
       spark: SparkSession,
@@ -3028,11 +3160,24 @@ object Snapshots {
       verb: String)
       : (Seq[(String, String)], Seq[(String, String)],
         Option[org.apache.spark.sql.types.StructType]) = {
-    val rows = manifest(spark, tablePath)
-      .filter(col("version") === fromVersion ||
-        col("version") === toVersion)
-      .select(col("version"), col("file"), col("part"),
-        col("schema_json")).collect()
+    manifestReads.incrementAndGet()
+    recoverManifestSwap(spark, tablePath)
+    val f = fs(spark, tablePath)
+    val paths = Seq(fromVersion, toVersion).distinct
+      .map(genFilePath(tablePath, _))
+      .filter(p => f.exists(new Path(p)))
+    val rows =
+      if (paths.isEmpty) Array.empty[Row]
+      else try {
+        val r = normalizeManifest(spark.read
+          .option("mergeSchema", "true").parquet(paths: _*)).collect()
+        manifestRowsCollected.addAndGet(r.length.toLong)
+        r
+      } catch {
+        // an endpoint vanished mid-read (racing retraction/vacuum) —
+        // same loud answer as a missing generation below
+        case e: Throwable if isFileGone(e) => Array.empty[Row]
+      }
     def of(v: Long): Seq[(String, String)] =
       rows.filter(_.getLong(0) == v).map(r => (r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2))).toSeq

@@ -48,9 +48,11 @@ object SnapshotStream {
       tablePath: String,
       batchId: Long,
       df: DataFrame): Option[Long] = {
-    val seen = Snapshots.manifest(spark, tablePath)
-      .filter(col("commit_ts") === batchId)
-      .limit(1).collect().nonEmpty
+    // one row per GENERATION (the distinct runs in the executors), so
+    // the replay check collects O(versions) rows per micro-batch —
+    // never the manifest's O(versions × files) fan-out
+    val seen = Snapshots.manifestMeta(spark, tablePath)
+      .exists(r => !r.isNullAt(1) && r.getLong(1) == batchId)
     if (seen) None
     else Some(Snapshots.commit(spark, df, tablePath,
       append = Snapshots.latestVersion(spark, tablePath).isDefined,
@@ -75,9 +77,8 @@ object SnapshotStream {
       audit: DataFrame => DataFrame,
       batchId: Long,
       df: DataFrame): Option[Long] = {
-    val seen = Snapshots.manifest(spark, tablePath)
-      .filter(col("commit_ts") === batchId)
-      .limit(1).collect().nonEmpty
+    val seen = Snapshots.manifestMeta(spark, tablePath)
+      .exists(r => !r.isNullAt(1) && r.getLong(1) == batchId)
     val dlqDir = s"$dlqPath/b$batchId"
     val hadoop = new org.apache.hadoop.fs.Path(dlqDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

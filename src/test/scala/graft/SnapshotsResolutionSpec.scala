@@ -35,6 +35,13 @@ class SnapshotsResolutionSpec extends SparkSuite {
       Snapshots.sidecarListings.get - l0)
   }
 
+  /** (result, manifest ROWS collected) around `body`. */
+  private def rowsCounted[T](body: => T): (T, Long) = {
+    val r0 = Snapshots.manifestRowsCollected.get
+    val r = body
+    (r, Snapshots.manifestRowsCollected.get - r0)
+  }
+
   test("readAsOf budget: one manifest read, one combined resolution — " +
     "1 listing with no sidecars, 1 + families-present with them") {
     val tbl = freshTable()
@@ -81,6 +88,92 @@ class SnapshotsResolutionSpec extends SparkSuite {
     assert(lr <= 2L,
       s"scanRangeAsOf took $lr sidecar listings, budget 2 (colmap guard " +
         "+ combined resolution root)")
+  }
+
+  test("manifest rows collected are bounded by the QUERIED generation, " +
+    "not the history — the O(versions × files) full-history collect " +
+    "is gone from every read verb") {
+    val tbl = freshTable()
+    // a deep history: 12 single-file append generations, so generation
+    // v carries v+1 files and the WHOLE manifest holds Σ(v+1) = 78
+    // rows — an unbounded reader would collect all 78 per verb
+    var head = Snapshots.commit(spark,
+      Seq((0L, "r0")).toDF("id", "v").coalesce(1), tbl,
+      append = false, ts = Some(0L))
+    (1L to 11L).foreach { i =>
+      head = Snapshots.commit(spark,
+        Seq((i, s"r$i")).toDF("id", "v").coalesce(1), tbl,
+        append = true, ts = Some(i))
+    }
+    val headFiles = 12L
+    val historyRows = (1L to 12L).sum // 78
+
+    val ((), latestRows) = rowsCounted {
+      assert(Snapshots.latestVersion(spark, tbl).contains(head)); ()
+    }
+    assert(latestRows == 0L,
+      s"latestVersion collected $latestRows manifest rows — the head " +
+        "must resolve from the directory listing alone")
+
+    val (n, readRows) = rowsCounted(
+      Snapshots.readAsOf(spark, tbl, head).count())
+    assert(n == 12L)
+    assert(readRows == headFiles,
+      s"readAsOf(head) collected $readRows manifest rows over a " +
+        s"$historyRows-row history — budget: the generation's own " +
+        s"$headFiles")
+
+    val (c, countRows) = rowsCounted(Snapshots.countAsOf(spark, tbl, head))
+    assert(c == 12L)
+    assert(countRows == headFiles,
+      s"countAsOf(head) collected $countRows manifest rows, budget " +
+        s"$headFiles")
+
+    // an OLD generation's read is bounded by ITS file count, not the
+    // head's and not the history's
+    val (c3, oldRows) = rowsCounted(Snapshots.countAsOf(spark, tbl, 2L))
+    assert(c3 == 3L)
+    assert(oldRows == 3L,
+      s"countAsOf(v2) collected $oldRows manifest rows, budget 3")
+
+    // the timeline verb collects one row per GENERATION (the distinct
+    // runs in the executors), never the per-file fan-out
+    val (vAt, tsRows) = rowsCounted(Snapshots.versionAt(spark, tbl, 5L))
+    assert(vAt == 5L)
+    assert(tsRows == 12L,
+      s"versionAt collected $tsRows manifest rows, budget 12 (one per " +
+        "generation)")
+
+    // an append COMMIT reads its rebase parent's generation (and the
+    // stats-free publish tail), never the history
+    val (_, commitRows) = rowsCounted(
+      Snapshots.commit(spark, Seq((99L, "z")).toDF("id", "v").coalesce(1),
+        tbl, append = true, ts = Some(99L)))
+    assert(commitRows <= 2L * headFiles,
+      s"an append commit collected $commitRows manifest rows over a " +
+        s"$historyRows-row history — budget 2×${headFiles} (rebase " +
+        "parent + publish tail)")
+  }
+
+  test("partition scans AS OF stay inside the per-generation rows " +
+    "budget") {
+    val tbl = freshTable()
+    val df = (1L to 40L).map(i => (i, s"d${i % 4}")).toDF("id", "day")
+    val v0 = Snapshots.commitPartitioned(spark, df, tbl, "day",
+      append = false)
+    (1 to 5).foreach { i =>
+      Snapshots.commitPartitioned(spark,
+        Seq((100L + i, "d1")).toDF("id", "day"), tbl, "day", append = true)
+    }
+    val head = Snapshots.latestVersion(spark, tbl).get
+    val headFileCount =
+      Snapshots.readAsOf(spark, tbl, head).inputFiles.length.toLong
+    val (n, rows) = rowsCounted(
+      Snapshots.scanPartitionAsOf(spark, tbl, head, "day", "d1").count())
+    assert(n == 15L && v0 == 0L)
+    assert(rows == headFileCount,
+      s"scanPartitionAsOf collected $rows manifest rows, budget " +
+        s"$headFileCount (the head generation's own files)")
   }
 
   test("the interval verbs resolve BOTH endpoints from one manifest " +

@@ -590,15 +590,21 @@ class SnapshotsSpec extends SparkSuite {
     val tbl = freshTable()
     Snapshots.commit(spark, rows0, tbl, append = false)
     // simulate a pre-row-count layout: rewrite the live manifest
-    // without the rows column (the normalizer will null-fill it)
+    // without the rows column (the normalizer will null-fill it),
+    // keeping the canonical gen-v<N>.parquet name the version-bounded
+    // reads index by
     val legacy = Snapshots.manifest(spark, tbl).drop("rows")
     val fs = new org.apache.hadoop.fs.Path(tbl)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$tbl/_versions_legacy_tmp"
     legacy.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tbl/_versions"), true))
-    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$tbl/_versions")))
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tbl/_versions")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      new org.apache.hadoop.fs.Path(s"$tbl/_versions/gen-v0.parquet")))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(tmp), true))
     val e = intercept[IllegalArgumentException](
       Snapshots.countAsOf(spark, tbl, 0L))
     assert(e.getMessage.contains("row-count"))
