@@ -104,6 +104,8 @@ object Catalog {
     val latest =
       if (!f.exists(dir)) -1L
       else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("v")) // match entries(): a stray dir whose
+        // tail parses as a number must not skew the next version
         .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
         .foldLeft(-1L)(math.max)
     val rows = next.toSeq.flatMap { case (name, e) =>
@@ -238,35 +240,51 @@ object Catalog {
     * the growth trigger exists to feed. Compaction runs through
     * [[Snapshots.optimizePreserving]], so a blind fleet sweep never
     * degrades a table's layout contract: partitioned heads keep their
-    * fragments, stats-governed heads keep range/box skipping. Returns
-    * the actions taken as (name, action, arg) rows, empty when the
-    * fleet is healthy. */
+    * fragments, stats-governed heads keep range/box skipping,
+    * bloom-governed heads keep their point index. ONE refusing table
+    * must not strand the rest of the fleet: a layout-contract refusal
+    * or a commit racing the maintenance verb (vacuum retries through
+    * [[Snapshots.retryOnConflict]] first) records a `refused` row with
+    * the reason and the sweep continues. Returns the actions taken as
+    * (name, action, detail) rows — detail is the minted version for
+    * optimize, the keepFrom for vacuum, the reason for refused — empty
+    * when the fleet is healthy. */
   def maintain(
       spark: SparkSession,
       catalogRoot: String,
       targetBytes: Long = 128L << 20): DataFrame = {
     val plan = maintenance(spark, catalogRoot).collect()
     val all = entries(spark, catalogRoot)
-    val did = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val did =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     plan.foreach { r =>
       val name = r.getString(0)
       val e = all(name)
-      if (r.getBoolean(4)) {
-        val v = Snapshots.optimizePreserving(spark, e.root, targetBytes)
-        did += ((name, "optimize", v))
-      }
-      // retention re-derives from the POST-optimize version list — a
-      // compaction bumped the head, and burned claims leave numeric
-      // gaps, so the keepFrom is positional, never arithmetic
-      e.props.get("retain_versions").map(_.toInt).foreach { k =>
-        val versions = Snapshots.listGenerations(spark, e.root)
-        if (versions.length > k) {
-          val keepFrom = versions(versions.length - k)
-          Snapshots.vacuum(spark, e.root, keepFrom)
-          did += ((name, "vacuum", keepFrom))
+      try {
+        if (r.getBoolean(4)) {
+          val v = Snapshots.optimizePreserving(spark, e.root, targetBytes)
+          did += ((name, "optimize", v.toString))
         }
+        // retention re-derives from the POST-optimize version list — a
+        // compaction bumped the head, and burned claims leave numeric
+        // gaps, so the keepFrom is positional, never arithmetic
+        e.props.get("retain_versions").map(_.toInt).foreach { k =>
+          val versions = Snapshots.listGenerations(spark, e.root)
+          if (versions.length > k) {
+            val keepFrom = versions(versions.length - k)
+            Snapshots.retryOnConflict() {
+              Snapshots.vacuum(spark, e.root, keepFrom)
+            }
+            did += ((name, "vacuum", keepFrom.toString))
+          }
+        }
+      } catch {
+        case ex @ (_: IllegalArgumentException |
+                   _: IllegalStateException |
+                   _: ConcurrentCommitException) =>
+          did += ((name, "refused", ex.getMessage))
       }
     }
-    spark.createDataFrame(did.toSeq).toDF("name", "action", "arg")
+    spark.createDataFrame(did.toSeq).toDF("name", "action", "detail")
   }
 }

@@ -2279,6 +2279,7 @@ object Snapshots {
       verb: String = "commitClustered"): Long = {
     require(numFiles >= 1, "numFiles must be positive")
     requireNoColMap(spark, tablePath, "commitClustered")
+    preflightStatsParent(spark, tablePath, append, "commitClustered")
     val clustered = df
       .repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
@@ -2393,22 +2394,74 @@ object Snapshots {
     require(expectedPerFile > 0, "expectedPerFile must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val observed = latestVersion(spark, tablePath)
+    // pre-flight the parent's sidecar BEFORE the commit publishes — a
+    // post-publish refusal would leave a committed head with no bloom
+    // sidecar and a misleading "commit the parent first" error (the
+    // observed head may differ from the post-rebase recorded parent
+    // under an active race; the post-commit resolve below remains the
+    // authoritative check for that residual window)
+    if (append) observed.foreach { h =>
+      require(describingSidecarDir(spark, tablePath, "_bloom", h).isDefined,
+        s"commitBloom append onto version $h of $tablePath, which no " +
+          "bloom sidecar describes — the parent's files would silently " +
+          "vanish from point pruning; commit the parent through " +
+          "commitBloom first (refused before publishing; the table is " +
+          "untouched)")
+    }
     val version = commit(spark, df, tablePath, append, ts)
-    val fresh = freshFilesOf(spark, tablePath, version)
+    // fresh files and the RECORDED lineage parent from the generation's
+    // own manifest rows (mirror writeKeyStats): the reconciliation may
+    // have REBASED the append onto a racer's head, and unioning the
+    // pre-claim observed head's sidecar would omit the racer's files —
+    // the exact-dir fast path in describingSidecarDir would then skip
+    // the coverage check and scanPointAsOf would silently never scan
+    // them (dropped rows)
+    val gen = manifestFor(spark, tablePath, version)
+    val recordedParent = parentOf(gen)
+    val parentFiles = recordedParent
+      .map(p => manifestFor(spark, tablePath, p).map(_.getString(1)).toSet)
+      .getOrElse(Set.empty[String])
+    val fresh = gen.map(_.getString(1)).filterNot(parentFiles).toSeq
     val freshBloom =
       bloomRowsOf(spark, fresh.toIndexedSeq, keyCol, expectedPerFile, fpp)
-    val sidecar =
-      if (append && observed.isDefined)
-        spark.read.parquet(bloomDir(tablePath, observed.get))
-          .unionByName(freshBloom)
-      else freshBloom
+    val sidecar = recordedParent.filter(_ => append) match {
+      case Some(p) =>
+        val dir = describingSidecarDir(spark, tablePath, "_bloom", p)
+          .getOrElse(throw new IllegalStateException(
+            s"commitBloom published version $version of $tablePath, but " +
+              s"its recorded parent $p carries no describing bloom " +
+              "sidecar (a racer rebased the append onto an unindexed " +
+              "head) — rebuild the index with optimizeBloom"))
+        // a describing dir may conservatively cover MORE files than the
+        // parent generation still lists — inherit rows for the parent's
+        // own files only, so the minted sidecar stays exactly the
+        // snapshot's file set
+        filterSidecarToFiles(spark.read.parquet(dir), parentFiles)
+          .unionByName(freshBloom, allowMissingColumns = true)
+      case None => freshBloom
+    }
     sidecar.coalesce(1).write.mode("errorifexists")
       .parquet(bloomDir(tablePath, version))
     version
   }
 
-  /** One (file, n_rows, bf) sidecar row per listed file — one grouped
-    * data pass, map-side combined. */
+  /** Restrict a (file, …) sidecar frame to rows describing `files`,
+    * scheme-normalized on both sides (`input_file_name()` URIs vs
+    * `listStatus` path strings differ in scheme rendering). The frame
+    * is metadata-scale; the normalization runs executor-side so sketch
+    * bytes never ship to the driver. */
+  private def filterSidecarToFiles(
+      df: DataFrame,
+      files: Set[String]): DataFrame = {
+    val keep = files.map(normPath)
+    val inSet = udf((f: String) => keep.contains(new Path(f).toUri.getPath))
+    df.filter(inSet(col("file")))
+  }
+
+  /** One (file, n_rows, bf, key) sidecar row per listed file — one
+    * grouped data pass, map-side combined. `key` records the indexed
+    * column so maintenance ([[optimizePreserving]]) can rebuild the
+    * index without being told it. */
   private def bloomRowsOf(
       spark: SparkSession,
       files: Seq[String],
@@ -2428,6 +2481,7 @@ object Snapshots {
     spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), agg.as("bf"))
+      .withColumn("key", lit(keyCol))
   }
 
   /** [[optimize]] for a BLOOM-indexed table: the small-file rewrite
@@ -2484,6 +2538,7 @@ object Snapshots {
     require(keyCols.distinct.size == keyCols.size,
       s"commitZorderedN: duplicate cluster keys in $keyCols")
     requireNoColMap(spark, tablePath, "commitZorderedN")
+    preflightStatsParent(spark, tablePath, append, "commitZorderedN")
     val version = commit(spark,
       Layout.clusterByZOrderN(df, keyCols, numFiles, bits).drop("zkey"),
       tablePath, append, None, derivedFrom, verb)
@@ -2516,23 +2571,50 @@ object Snapshots {
       .agg(aggs.head, aggs.tail: _*)
     // the recorded lineage parent (not the pre-claim observed head —
     // reconciliation may have rebased the append) carries the stats
-    // rows the shared files keep; a parent WITHOUT a stats sidecar
-    // refuses loudly — its files would silently vanish from pruning
+    // rows the shared files keep, resolved through the DESCRIBING
+    // generation so an append onto a file-preserving metadata head
+    // (deleteWhere, constraint change — no exact stats dir of its own)
+    // inherits the covering sidecar instead of refusing; a parent no
+    // stats generation describes refuses loudly — its files would
+    // silently vanish from pruning (callers pre-flight this before the
+    // commit publishes; this residual check catches a racer's rebase)
     val parent = recordedParent.filter(_ => append)
     val stats = parent match {
       case Some(p) =>
-        val dir = statsDir(tablePath, p)
-        require(fs(spark, tablePath).exists(new Path(dir)),
-          s"stats append onto version $p of $tablePath, which carries " +
-            "no stats sidecar — the parent's files would silently " +
-            "vanish from range/box pruning; commit the parent through " +
-            "a clustered/Z-ordered verb first")
-        spark.read.parquet(dir).unionByName(freshStats)
+        val dir = describingSidecarDir(spark, tablePath, "_stats", p)
+          .getOrElse(throw new IllegalStateException(
+            s"stats append onto version $p of $tablePath, which no " +
+              "stats sidecar describes — the parent's files would " +
+              "silently vanish from range/box pruning; commit the " +
+              "parent through a clustered/Z-ordered verb first"))
+        filterSidecarToFiles(spark.read.parquet(dir), parentFiles)
+          .unionByName(freshStats)
       case None => freshStats
     }
     stats.coalesce(1).write.mode("errorifexists")
       .parquet(statsDir(tablePath, version))
   }
+
+  /** The shared pre-flight of the stats-sidecar commit verbs: refuse
+    * an append onto a head no stats generation describes BEFORE the
+    * commit publishes — a post-publish refusal would leave a committed
+    * head with no sidecar and a misleading "commit the parent first"
+    * error (the observed head may differ from the post-rebase recorded
+    * parent under an active race; [[writeKeyStats]]' resolve remains
+    * the authoritative check for that residual window). */
+  private def preflightStatsParent(
+      spark: SparkSession,
+      tablePath: String,
+      append: Boolean,
+      verb: String): Unit =
+    if (append) latestVersion(spark, tablePath).foreach { h =>
+      require(describingSidecarDir(spark, tablePath, "_stats", h).isDefined,
+        s"$verb append onto version $h of $tablePath, which no stats " +
+          "sidecar describes — the parent's files would silently " +
+          "vanish from range/box pruning; commit the parent through a " +
+          "clustered/Z-ordered verb first (refused before publishing; " +
+          "the table is untouched)")
+    }
 
   /** 2-D box scan AS OF `version` over a [[commitZordered]] layout:
     * the stats sidecar admits only files whose min/max RECTANGLE
@@ -2701,9 +2783,10 @@ object Snapshots {
     * rewrites through [[commitClustered]] / [[commitZorderedN]] on the
     * sidecar's OWN key columns (read off its `min_*` schema — range
     * and box skipping survive compaction), a bloom-governed head
-    * refuses toward [[optimizeBloom]] (the bloom sidecar does not
-    * record its key column), and a plain head takes the plain
-    * [[optimize]]. Returns the minted version. */
+    * rebuilds its point index via [[optimizeBloom]] on the key column
+    * the sidecar records (legacy keyless sidecars refuse toward the
+    * explicit verb), and a plain head takes the plain [[optimize]].
+    * Returns the minted version. */
   def optimizePreserving(
       spark: SparkSession,
       tablePath: String,
@@ -2747,11 +2830,24 @@ object Snapshots {
             derivedFrom = Some(head), verb = "optimizePreserving")
       }
     }
-    require(
-      describingSidecarDir(spark, tablePath, "_bloom", head).isEmpty,
-      s"optimizePreserving: version $head of $tablePath is " +
-        "bloom-governed and the sidecar does not record its key " +
-        "column — run optimizeBloom(keyCol) explicitly")
+    // a bloom-governed head rebuilds its point index over the
+    // compacted files — the sidecar records its own key column, so the
+    // fleet sweep needs no out-of-band knowledge. A legacy sidecar
+    // without the key (or with conflicting keys) refuses toward the
+    // explicit verb rather than guessing.
+    describingSidecarDir(spark, tablePath, "_bloom", head).foreach { dir =>
+      val sc = spark.read.parquet(dir)
+      val keys =
+        if (!sc.columns.contains("key")) Seq.empty
+        else sc.select(col("key")).filter(col("key").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSeq
+      require(keys.size == 1,
+        s"optimizePreserving: version $head of $tablePath is " +
+          "bloom-governed but the sidecar does not record ONE key " +
+          s"column (found ${keys.mkString(", ")}) — run " +
+          "optimizeBloom(keyCol) explicitly")
+      return optimizeBloom(spark, tablePath, keys.head, targetBytes)
+    }
     optimize(spark, tablePath, targetBytes)
   }
 

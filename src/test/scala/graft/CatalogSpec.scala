@@ -98,4 +98,44 @@ class CatalogSpec extends SparkSuite {
     // the compacted table still answers correctly
     assert(Catalog.table(spark, cat, "hot").count() == 80L)
   }
+
+  test("maintain survives a refusing table: the refusal is recorded " +
+    "with its reason and the sweep continues to later tables") {
+    val cat = freshRoot()
+    val bad = s"$cat/storage/bad"; val cold = s"$cat/storage/cold"
+    Snapshots.init(spark, bad); Snapshots.init(spark, cold)
+    // bad: bloom-governed with a LEGACY keyless sidecar plus deletion
+    // pressure — optimizePreserving cannot pick the rebuild key and
+    // refuses
+    Snapshots.commitBloom(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v").repartition(4),
+      bad, "id", append = false)
+    Snapshots.deleteWhere(spark, bad, col("id") <= 20L)
+    val f = new org.apache.hadoop.fs.Path(bad)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bloomDir = s"$bad/_bloom/v0"
+    val keyless = spark.read.parquet(bloomDir).drop("key")
+    keyless.coalesce(1).write.parquet(s"$bad/_bloom/tmp")
+    assert(f.delete(new org.apache.hadoop.fs.Path(bloomDir), true))
+    assert(f.rename(new org.apache.hadoop.fs.Path(s"$bad/_bloom/tmp"),
+      new org.apache.hadoop.fs.Path(bloomDir)))
+    // cold: healthy but past retention — it must still be vacuumed
+    // AFTER bad's refusal ('bad' sorts first in the sweep)
+    (0 until 4).foreach { i =>
+      Snapshots.commit(spark, Seq((i.toLong, "x")).toDF("id", "v"),
+        cold, append = i > 0)
+    }
+    Catalog.register(spark, cat, "bad", bad, Map("dv_compact_at" -> "0.1"))
+    Catalog.register(spark, cat, "cold", cold,
+      Map("retain_versions" -> "2"))
+    val did = Catalog.maintain(spark, cat).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(did.map(d => (d._1, d._2)).toSet ==
+      Set(("bad", "refused"), ("cold", "vacuum")),
+      s"wrong sweep actions: ${did.toSeq}")
+    assert(did.find(_._1 == "bad").get._3.contains("optimizeBloom"),
+      "the refusal row must carry the reason")
+    assert(Snapshots.listGenerations(spark, cold).length == 2,
+      "the refusing table must not strand the rest of the fleet")
+  }
 }

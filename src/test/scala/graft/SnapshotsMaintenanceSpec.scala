@@ -164,11 +164,30 @@ class SnapshotsMaintenanceSpec extends SparkSuite {
     assert(d1.inputFiles.length == 1,
       "partitioned compaction must leave one file per partition")
 
-    // bloom: the sidecar cannot name its key column — refuse loudly
+    // bloom: the sidecar records its key column, so the fleet sweep
+    // rebuilds the point index over the compacted files
     val t4 = freshTable()
     Snapshots.commitBloom(spark,
-      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t4, "id",
-      append = false)
+      (1L to 40L).map(i => (i, s"r$i")).toDF("id", "v").repartition(4),
+      t4, "id", append = false)
+    val v4 = Snapshots.optimizePreserving(spark, t4, 1L << 20)
+    val hit = Snapshots.scanPointAsOf(spark, t4, v4, "id", 7L)
+      .select($"v").as[String].collect().toSeq
+    assert(hit == Seq("r7"),
+      s"point lookup broken after bloom compaction: $hit")
+    assert(Snapshots.countAsOf(spark, t4, v4) == 40L)
+
+    // a LEGACY sidecar without the recorded key still refuses toward
+    // the explicit verb rather than guessing the column
+    val f = new org.apache.hadoop.fs.Path(t4)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bloomDir = s"$t4/_bloom/v$v4"
+    val keyless = spark.read.parquet(bloomDir).drop("key")
+    val tmp = s"$t4/_bloom/keyless_tmp"
+    keyless.coalesce(1).write.parquet(tmp)
+    assert(f.delete(new org.apache.hadoop.fs.Path(bloomDir), true))
+    assert(f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(bloomDir)))
     val e = intercept[IllegalArgumentException](
       Snapshots.optimizePreserving(spark, t4, 1L << 20))
     assert(e.getMessage.contains("optimizeBloom"))
@@ -179,6 +198,49 @@ class SnapshotsMaintenanceSpec extends SparkSuite {
       t5, append = false)
     val v5 = Snapshots.optimizePreserving(spark, t5, 1L << 20)
     assert(Snapshots.readAsOf(spark, t5, v5).count() == 1L)
+  }
+
+  test("sidecar appends resolve the RECORDED lineage parent through " +
+    "its describing generation: a bloom/clustered append onto a " +
+    "file-preserving metadata head inherits the covering sidecar; an " +
+    "append onto an undescribed head refuses BEFORE publishing") {
+    // bloom append onto a deleteWhere head: the delete minted no bloom
+    // dir of its own, but v0's sidecar still describes its files — the
+    // append must union THROUGH it (reading the parent's exact dir
+    // would crash on a missing path; unioning the pre-claim observed
+    // head's dir is the rebase bug the recorded parent fixes)
+    val t1 = freshTable()
+    Snapshots.commitBloom(spark,
+      (1L to 40L).map(i => (i, s"r$i")).toDF("id", "v").repartition(4),
+      t1, "id", append = false)
+    Snapshots.deleteWhere(spark, t1, col("id") > 38L)
+    val v2 = Snapshots.commitBloom(spark,
+      Seq((100L, "fresh")).toDF("id", "v"), t1, "id", append = true)
+    // the minted sidecar must admit BOTH eras' files (old-file lookup,
+    // fresh-file lookup), composed with the governing deletes
+    assert(Snapshots.scanPointAsOf(spark, t1, v2, "id", 7L)
+      .select($"v").as[String].collect().toSeq == Seq("r7"))
+    assert(Snapshots.scanPointAsOf(spark, t1, v2, "id", 100L)
+      .select($"v").as[String].collect().toSeq == Seq("fresh"))
+    assert(Snapshots.scanPointAsOf(spark, t1, v2, "id", 39L).isEmpty,
+      "DV-deleted rows must stay deleted through the inherited sidecar")
+
+    // an append onto a head NO stats generation describes refuses
+    // before the commit publishes — the head must not move
+    val t2 = freshTable()
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("k", "v"), t2,
+      append = false)
+    val headBefore = Snapshots.latestVersion(spark, t2)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commitClustered(spark, Seq((2L, "b")).toDF("k", "v"),
+        t2, "k", numFiles = 1, append = true))
+    assert(e1.getMessage.contains("before publishing"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.commitBloom(spark, Seq((3L, "c")).toDF("k", "v"),
+        t2, "k", append = true))
+    assert(e2.getMessage.contains("before publishing"))
+    assert(Snapshots.latestVersion(spark, t2) == headBefore,
+      "a pre-flight refusal must leave the table untouched")
   }
 
   test("3-key Z-order: scanBoxAsOfN prunes a strict file subset on " +
