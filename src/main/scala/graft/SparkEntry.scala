@@ -874,6 +874,51 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q66_sql_catalog" -> ((s, dir) => {
+      // the SQL face of the lakehouse layer: a DataSource V2
+      // TableCatalog (graft.sources.v2.GraftCatalog) over the named
+      // catalog, so registered snapshot tables are reachable from
+      // PLAIN SQL by name — including time travel, `VERSION AS OF 0`
+      // here reading the fact table's first era while the head carries
+      // both. The scan plans from the manifest file list (file-exact,
+      // pushdown-preserving — GraftCatalogSpec pins both, plus the
+      // honest refusals for DV/colmap/multi-root faces). Oracle: the
+      // same join over the v0 era expressed as a filter — the catalog
+      // may only change WHERE bytes come from, never values.
+      val cat = s"$artifactRoot/sqlcat_root"
+      Snapshots.init(s, cat)
+      val facts = s"$cat/storage/sql_fact"
+      val dims = s"$cat/storage/sql_dim"
+      Snapshots.init(s, facts); Snapshots.init(s, dims)
+      val ev = t(s, dir, "events")
+      Snapshots.commit(s,
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"),
+            cents(col("value")).as("value_cents")),
+        facts, append = false)
+      Snapshots.commit(s,
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"),
+            cents(col("value")).as("value_cents")),
+        facts, append = true)
+      Snapshots.commit(s,
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment")),
+        dims, append = false)
+      Catalog.register(s, cat, "sql_fact", facts)
+      Catalog.register(s, cat, "sql_dim", dims)
+      s.conf.set("spark.sql.catalog.gsql", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsql.root", cat)
+      s.sql(
+        """SELECT d.c_mktsegment,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(f.value_cents) AS BIGINT) AS sum_cents
+          |FROM gsql.sql_fact VERSION AS OF 0 AS f
+          |JOIN gsql.sql_dim AS d ON f.user_id = d.c_custkey
+          |GROUP BY d.c_mktsegment
+          |ORDER BY d.c_mktsegment""".stripMargin)
+    }),
+
     "q63_schema_widen" -> ((s, dir) => {
       // schema TYPE WIDENING as pure metadata: v0 commits okey as
       // int32; the append's okey is int64 with values no int32 can
@@ -5978,6 +6023,18 @@ object SparkEntry {
           | CAST(l_quantity AS INT) AS qty
           |FROM lineitem WHERE l_orderkey % 2 = 1
           |ORDER BY okey, lineno, qty""".stripMargin,
+
+      // VERSION AS OF 0 = the even era; the SQL catalog may only
+      // change WHERE bytes come from, never values
+      "q66_sql_catalog" ->
+        """SELECT c_mktsegment,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events JOIN customer ON user_id = c_custkey
+          |WHERE event_id % 2 = 0
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin,
 
       // the 2-of-3 subset box as a plain filter; skipping only skips
       "q64_zorder3" ->

@@ -1651,6 +1651,16 @@ object Snapshots {
     * eager manifest read — the verbs that once called [[manifest]]
     * twice per answer (rows, then [[storedSchema]]) derive both from
     * the same point-in-time snapshot. */
+  /** [[generationOf]] for the package's other faces (the SQL catalog
+    * plans scans from exactly these file rows). */
+  private[graft] def generationFiles(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long)
+      : (Seq[(String, String)],
+        Option[org.apache.spark.sql.types.StructType]) =
+    generationOf(spark, tablePath, version)
+
   private def generationOf(
       spark: SparkSession,
       tablePath: String,

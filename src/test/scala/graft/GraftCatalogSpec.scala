@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, Snapshots}
+
+/** The DataSource V2 SQL face ([[graft.sources.v2.GraftCatalog]]):
+  * catalog-registered snapshot tables reachable from plain SQL by
+  * name, with `VERSION AS OF` / `TIMESTAMP AS OF` time travel planned
+  * from the manifest file list — plus the honest refusals for faces a
+  * plain parquet scan cannot represent (deletion vectors, column
+  * mappings, multi-root partitioned lineages). */
+class GraftCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private var n = 0
+  /** A fresh catalog ROOT and a fresh catalog NAME per test — Spark
+    * caches catalog instances by name once resolved, so reusing a name
+    * would pin the first test's root. */
+  private def freshCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("sqlcat_").toString
+    n += 1
+    val name = s"gtest$n"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (name, root)
+  }
+
+  /** The files a DSv2 plan's parquet scan admits — `inputFiles` only
+    * surfaces for raw FileTable relations, and the catalog wraps one
+    * (read-only), so the assertion reads the physical scan's index. */
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          .fileIndex.inputFiles.toSet
+    }.flatten.toSet
+
+  test("SELECT by name + VERSION AS OF / TIMESTAMP AS OF: the SQL scan " +
+    "plans exactly the generation's manifest files") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/t"
+    Snapshots.init(spark, tbl)
+    // logical commit stamps in MICROS so TIMESTAMP AS OF travels
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl,
+      append = false, ts = Some(1000000L)) // 1970-01-01T00:00:01
+    val v1 = Snapshots.commit(spark,
+      Seq((3L, "c")).toDF("id", "v"), tbl,
+      append = true, ts = Some(2000000L)) // :02
+    Catalog.register(spark, root, "t", tbl)
+
+    val head = spark.sql(s"SELECT id, v FROM $cat.t ORDER BY id")
+    assert(head.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the scan plans from the manifest: exactly the head generation's
+    // files, never a directory listing of other versions
+    val v1Files = Snapshots.readAsOf(spark, tbl, v1).inputFiles.toSet
+    assert(scanFiles(head) == v1Files,
+      "the SQL scan must plan exactly the version's manifest files")
+
+    val v0 = spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 0 ORDER BY id")
+    assert(v0.as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(scanFiles(v0) ==
+      Snapshots.readAsOf(spark, tbl, 0L).inputFiles.toSet)
+
+    val asOfTs = spark.sql(s"SELECT id FROM $cat.t TIMESTAMP AS OF " +
+      "'1970-01-01 00:00:01' ORDER BY id")
+    assert(asOfTs.as[Long].collect().toSeq == Seq(1L, 2L),
+      "TIMESTAMP AS OF must resolve through the logical commit timeline")
+
+    // filter pushdown reaches the parquet scan (Spark's own
+    // ParquetScanBuilder serves the plan)
+    val filtered = spark.sql(s"SELECT v FROM $cat.t WHERE id = 3")
+    assert(filtered.as[String].collect().toSeq == Seq("c"))
+    assert(filtered.queryExecution.sparkPlan.toString
+      .contains("PushedFilters"),
+      "the SQL scan must push filters into the parquet scan")
+  }
+
+  test("joins across two catalog tables answer the plain-join values") {
+    val (cat, root) = freshCatalog()
+    val facts = s"$root/storage/f"; val dims = s"$root/storage/d"
+    Snapshots.init(spark, facts); Snapshots.init(spark, dims)
+    Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "uid"),
+      facts, append = false)
+    Snapshots.commit(spark,
+      Seq((10L, "gold"), (20L, "blue")).toDF("uid", "seg"),
+      dims, append = false)
+    Catalog.register(spark, root, "f", facts)
+    Catalog.register(spark, root, "d", dims)
+    val got = spark.sql(
+      s"""SELECT d.seg, count(*) AS n FROM $cat.f f
+         |JOIN $cat.d d ON f.uid = d.uid
+         |GROUP BY d.seg ORDER BY d.seg""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("blue", 1L), ("gold", 2L)))
+  }
+
+  test("a single-root partitioned generation reads with its partition " +
+    "column reconstructed; a multi-root lineage refuses toward the " +
+    "function verbs") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/p"
+    Snapshots.init(spark, tbl)
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day"),
+      tbl, "day", append = false)
+    Catalog.register(spark, root, "p", tbl)
+    val got = spark.sql(
+      s"SELECT id, day FROM $cat.p WHERE day = 'd1' ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "d1"), (2L, "d1")),
+      "the path-encoded partition column must reconstruct")
+    // a second partitioned append puts files under a second commit
+    // root — one basePath cannot reconstruct both; refuse loudly
+    Snapshots.commitPartitioned(spark,
+      Seq((4L, "d2")).toDF("id", "day"), tbl, "day", append = true)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.p").collect())
+    assert(e.getMessage.contains("optimizePartitioned"),
+      s"multi-root partitioned lineage must refuse, got: ${e.getMessage}")
+    // compacting restores the single root — the SQL face returns
+    Snapshots.optimizePartitioned(spark, tbl, "day")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.p").as[Long].head() == 4L)
+  }
+
+  test("DV-governed versions refuse; pre-delete versions still serve; " +
+    "unknown names raise the SQL not-found error; DROP TABLE " +
+    "unregisters the name only") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/dv"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"), tbl,
+      append = false)
+    val vDel = Snapshots.deleteWhere(spark, tbl, col("id") <= 3L)
+    Catalog.register(spark, root, "dv", tbl)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.dv").collect())
+    assert(e.getMessage.contains("deletion vectors"),
+      s"a DV-governed head must refuse the SQL scan: ${e.getMessage}")
+    // time travel BELOW the delete still serves (nothing governs v0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dv VERSION AS OF 0")
+      .as[Long].head() == 10L && vDel > 0L)
+    // compaction clears the vectors; the head face returns to SQL
+    Snapshots.optimize(spark, tbl, 1L << 30)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dv").as[Long].head() == 7L)
+
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.ghost"))
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1))
+      .toSeq == Seq("dv"))
+    spark.sql(s"DROP TABLE $cat.dv")
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.dv"))
+    assert(Snapshots.readAsOf(spark, tbl,
+      Snapshots.latestVersion(spark, tbl).get).count() == 7L,
+      "DROP TABLE unregisters the name; the data is untouched")
+  }
+}
