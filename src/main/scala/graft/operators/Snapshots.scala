@@ -1053,15 +1053,12 @@ object Snapshots {
     val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, latest))
     val survivors =
       if (touchedFiles.isEmpty) inserts.limit(0)
-      else {
-        val scan = fromPhysical(readPartedFiles(spark,
+      else
+        readWithDv(spark,
           touchedFiles.map { case (f, p, _) => (f, p) },
-          parentSchema.map(physicalSchema(_, l2p)),
-          withMeta = dv.isDefined), l2p)
-        dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
+          parentSchema, dv, l2p)
           .join(updates.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
-      }
     val prepared = prepareBatch(spark, tablePath, Some(latest),
       survivors.unionByName(inserts))
     toPhysical(spark, tablePath, Some(latest), prepared)
@@ -1183,10 +1180,7 @@ object Snapshots {
     val gens = resolveSidecars(spark, tablePath, version)
     val dv = dvSetOf(spark, gens)
     val l2p = logicalToPhysical(colMapOf(spark, gens))
-    val base = readFileRows(spark, rows,
-      stored.map(physicalSchema(_, l2p)), withMeta = dv.isDefined)
-    val logical = fromPhysical(base, l2p)
-    dv.fold(logical)(d => applyDv(logical, d).drop(DvFileCol, DvPosCol))
+    readWithDv(spark, rows, stored, dv, l2p)
   }
 
   /** Plan a read over (file, fragment) manifest rows: flat files read
@@ -1255,9 +1249,7 @@ object Snapshots {
       val gens = resolveSidecars(spark, tablePath, version)
       val dv = dvSetOf(spark, gens)
       val l2p = logicalToPhysical(colMapOf(spark, gens))
-      val scan = fromPhysical(readPartedFiles(spark, hit.toSeq,
-        stored.map(physicalSchema(_, l2p)), withMeta = dv.isDefined), l2p)
-      dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
+      readWithDv(spark, hit.toSeq, stored, dv, l2p)
     }
   }
 
@@ -1290,25 +1282,22 @@ object Snapshots {
     val gens = resolveSidecars(spark, tablePath, version)
     val dv = dvSetOf(spark, gens)
     val l2p = logicalToPhysical(colMapOf(spark, gens))
-    val phys = stored.map(physicalSchema(_, l2p))
+    // each leg plans its own file-level DV split (clean files join
+    // nothing); the exact-value filter commutes with the anti-join
     val legs =
       (if (hit.nonEmpty)
-        Seq(fromPhysical(readPartedFiles(spark, hit, phys,
-          withMeta = dv.isDefined), l2p))
+        Seq(readWithDv(spark, hit, stored, dv, l2p))
       else Seq.empty) ++
         (if (fallback.nonEmpty)
-          Seq(fromPhysical(readFileRows(spark, fallback, phys,
-            withMeta = dv.isDefined), l2p)
+          Seq(readWithDv(spark, fallback, stored, dv, l2p)
             .filter(col(partCol) === lit(value)))
         else Seq.empty)
     if (legs.isEmpty) {
       val schema = stored.getOrElse(readAsOf(spark, tablePath, version).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else {
-      val scan = legs.reduceLeft((a, b) =>
+    } else
+      legs.reduceLeft((a, b) =>
         a.unionByName(b, allowMissingColumns = true))
-      dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
-    }
   }
 
   /** Expire every version below `keepFrom`: drop their manifest
@@ -1741,6 +1730,54 @@ object Snapshots {
     df.join(dv,
       df(DvFileCol) === dv("file") && df(DvPosCol) === dv("row_index"),
       "left_anti")
+
+  /** The DISTINCT files a governing DV set touches, scheme-normalized —
+    * metadata-scale (bounded by files CONTAINING deletes, never by the
+    * table), resolved once at plan time. */
+  private def dvFileSet(dv: DataFrame): Set[String] =
+    dv.select(col("file")).distinct().collect()
+      .map(r => normPath(r.getString(0))).toSet
+
+  /** Plan a (possibly DV-governed) read over manifest file rows with
+    * FILE-LEVEL DV PUSHDOWN: the admitted files split at METADATA time
+    * into DV-clean and DV-dirty via the governing set's distinct
+    * `file` column, and only the dirty files' scan carries the
+    * `_metadata` row identity and pays the anti-join — the clean
+    * files' subplan is a plain scan with NO JOIN AT ALL (spec-pinned).
+    * On a 100-TB table where deletes touch a handful of files, the
+    * bulk of the scan keeps its undisturbed whole-stage-codegen shape
+    * and the join cost scales with the DELETES' blast radius, not the
+    * table; a generation whose governing entries are all dead (files
+    * replaced or compacted away) plans zero joins. One metadata-scale
+    * collect per DV-governed read resolves the split. */
+  private def readWithDv(
+      spark: SparkSession,
+      rows: Seq[(String, String)],
+      stored: Option[org.apache.spark.sql.types.StructType],
+      dv: Option[DataFrame],
+      l2p: Map[String, String]): DataFrame = {
+    val phys = stored.map(physicalSchema(_, l2p))
+    dv match {
+      case None =>
+        fromPhysical(readFileRows(spark, rows, phys), l2p)
+      case Some(d) =>
+        val dirtySet = dvFileSet(d)
+        val (dirty, clean) = rows.partition(r =>
+          dirtySet.contains(normPath(r._1)))
+        val legs =
+          (if (clean.nonEmpty)
+            Seq(fromPhysical(readFileRows(spark, clean, phys), l2p))
+          else Seq.empty) ++
+            (if (dirty.nonEmpty)
+              Seq(applyDv(
+                fromPhysical(
+                  readFileRows(spark, dirty, phys, withMeta = true), l2p),
+                d).drop(DvFileCol, DvPosCol))
+            else Seq.empty)
+        legs.reduceLeft((a, b) =>
+          a.unionByName(b, allowMissingColumns = true))
+    }
+  }
 
   /** Row-level DELETE as a metadata commit — deletion vectors, the
     * merge-on-read half of the lakehouse delete design space: the new
@@ -2368,9 +2405,8 @@ object Snapshots {
             .getOrElse(readAsOf(spark, tablePath, version).schema))
       else {
         val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
-        val scan = spark.read.parquet(admitted: _*)
-        dv.fold(scan)(d =>
-          applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
+        readWithDv(spark, admitted.map((_, null: String)), None, dv,
+          Map.empty)
       }
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
@@ -2671,9 +2707,8 @@ object Snapshots {
             .getOrElse(readAsOf(spark, tablePath, version).schema))
       else {
         val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
-        val scan = spark.read.parquet(admitted: _*)
-        dv.fold(scan)(d =>
-          applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
+        readWithDv(spark, admitted.map((_, null: String)), None, dv,
+          Map.empty)
       }
     base.filter(bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
@@ -2740,12 +2775,9 @@ object Snapshots {
           readAsOf(spark, tablePath, version).schema)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       } else {
-        val rd = spark.read
-        val scan = stored.fold(rd.option("mergeSchema", "true"))(rd.schema)
-          .parquet(admitted: _*)
         val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
-        dv.fold(scan)(d =>
-          applyDv(attachRowMeta(scan), d).drop(DvFileCol, DvPosCol))
+        readWithDv(spark, admitted.map((_, null: String)), stored, dv,
+          Map.empty)
       }
     base.filter(col(keyCol) === lit(value))
   }
@@ -3245,11 +3277,7 @@ object Snapshots {
       val gens = resolveSidecars(spark, tablePath, toVersion)
       val dv = dvSetOf(spark, gens)
       val l2p = logicalToPhysical(colMapOf(spark, gens))
-      val scan = fromPhysical(
-        readFileRows(spark, fresh, stored.map(physicalSchema(_, l2p)),
-          withMeta = dv.isDefined),
-        l2p)
-      dv.fold(scan)(d => applyDv(scan, d).drop(DvFileCol, DvPosCol))
+      readWithDv(spark, fresh, stored, dv, l2p)
     }
   }
 

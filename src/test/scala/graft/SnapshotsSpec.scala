@@ -1258,6 +1258,53 @@ class SnapshotsSpec extends SparkSuite {
       Seq(1L, 4L))
   }
 
+  test("file-level DV pushdown: the admitted file set splits into " +
+    "clean and dirty at metadata time — one delete in one file leaves " +
+    "the other files' subplan JOIN-FREE, and all-dead entries plan " +
+    "zero joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val tbl = freshTable()
+    // four files, keys clustered so the delete hits EXACTLY one file
+    Snapshots.commit(spark,
+      (1L to 40L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      tbl, append = false)
+    assert(Snapshots.readAsOf(spark, tbl, 0L).inputFiles.length == 4)
+    val vDel = Snapshots.deleteWhere(spark, tbl, $"id" === 5L)
+    val face = Snapshots.readAsOf(spark, tbl, vDel)
+    assert(face.count() == 39L)
+    assert(face.filter($"id" === 5L).isEmpty)
+    val plan = face.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected ONE anti-join (dirty leg): $plan")
+    // the join's scan admits ONLY the dirty file; the clean leg scans
+    // the other three with no join above it
+    def dataFiles(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case r: LogicalRelation => r.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation].location.inputFiles.toSeq
+      }.flatten.filterNot(_.contains("/_dv/")) // the DV sidecar is a relation too
+    val joinScan = dataFiles(joins.head)
+    assert(joinScan.length == 1,
+      s"the anti-join must scan only the DV-dirty file, got $joinScan")
+    val allScans = dataFiles(plan)
+    assert(allScans.length == 4,
+      s"the union must still cover every admitted file: $allScans")
+
+    // a replace buries the old files: the governing set's entries are
+    // all DEAD, and the new face plans NO join at all
+    Snapshots.commit(spark, Seq((99L, "z")).toDF("id", "v"),
+      tbl, append = false)
+    val head = Snapshots.latestVersion(spark, tbl).get
+    val clean = Snapshots.readAsOf(spark, tbl, head)
+    assert(clean.count() == 1L)
+    assert(clean.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }.isEmpty, "all-dead DV entries must plan zero joins")
+  }
+
   test("deletion vectors: the governing set applies as a BROADCAST " +
     "anti-join — the fact scan never shuffles for its deletes") {
     // the DV sidecar is a file-backed relation with known size, so the
