@@ -177,16 +177,95 @@ object Catalog {
       name: String): String =
     resolveEntry(entries(spark, catalogRoot), name, catalogRoot).root
 
-  /** Head read by name — `readAsOf(resolve(name), latest)` sugar. */
+  /** Reserved property key: the snapshot version catalog READERS
+    * resolve for this table instead of its physical head — the handle
+    * [[commitAtomic]] moves for N tables in ONE catalog-generation
+    * rename, which is what makes a cross-table commit atomic to every
+    * reader that resolves through the catalog. Absent = the head. */
+  private[graft] val PinnedProp = "pinned_version"
+
+  private def pinnedVersion(e: Entry): Option[Long] =
+    e.props.get(PinnedProp).map(_.toLong)
+
+  /** The snapshot version a catalog read of `name` resolves: the
+    * pinned version when a [[commitAtomic]] governs the table, else
+    * the physical head. */
+  def tableVersion(
+      spark: SparkSession,
+      catalogRoot: String,
+      name: String): Long = {
+    val e = resolveEntry(entries(spark, catalogRoot), name, catalogRoot)
+    pinnedVersion(e).orElse(Snapshots.latestVersion(spark, e.root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$name' (${e.root}) has no committed versions"))
+  }
+
+  /** Catalog read by name — `readAsOf(resolve(name), tableVersion)`:
+    * pinned tables serve their pinned snapshot (the cross-table
+    * consistent face), unpinned tables their head. */
   def table(
       spark: SparkSession,
       catalogRoot: String,
       name: String): DataFrame = {
-    val root = resolve(spark, catalogRoot, name)
-    val head = Snapshots.latestVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(
-        s"table '$name' ($root) has no committed versions"))
-    Snapshots.readAsOf(spark, root, head)
+    val e = resolveEntry(entries(spark, catalogRoot), name, catalogRoot)
+    val v = pinnedVersion(e).orElse(Snapshots.latestVersion(spark, e.root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$name' (${e.root}) has no committed versions"))
+    Snapshots.readAsOf(spark, e.root, v)
+  }
+
+  /** MULTI-TABLE ATOMIC COMMIT — the cross-table consistency the
+    * logical-watermark discipline alone cannot give (a fact table and
+    * its MV state table that must move together): each write lands as
+    * its own snapshot commit (per-table generations, per-table
+    * reconciliation — nothing about the single-table contract
+    * changes), and then ONE catalog generation re-pins every written
+    * table to its minted version. The catalog publish is a single
+    * staged-dir rename, so every reader that resolves through the
+    * catalog ([[table]]/[[tableVersion]]) sees ALL the new versions or
+    * NONE:
+    *
+    *  - a crash (or a refused commit) BETWEEN the table commits leaves
+    *    the catalog generation unpublished — catalog readers stay on
+    *    the old consistent pair, and the already-committed tables'
+    *    generations are merely unpinned (visible to path-direct reads,
+    *    the documented boundary; their data would be reclaimed by
+    *    retention like any superseded head).
+    *  - a crash between the last table commit and the catalog publish
+    *    is the same: old pair, retry re-runs the writes.
+    *
+    * Writes are `(name, frame, append)`; every name must be
+    * registered. Returns name → minted version (the published pins).
+    * Single-catalog-writer contract, like every catalog change. */
+  def commitAtomic(
+      spark: SparkSession,
+      catalogRoot: String,
+      writes: Seq[(String, DataFrame, Boolean)]): Map[String, Long] = {
+    require(writes.nonEmpty, "commitAtomic: no writes given")
+    require(writes.map(_._1).distinct.size == writes.size,
+      "commitAtomic: one write per table per commit")
+    val all = entries(spark, catalogRoot)
+    writes.foreach { case (name, _, _) =>
+      resolveEntry(all, name, catalogRoot)
+    }
+    val minted = writes.map { case (name, df, append) =>
+      val e = all(name)
+      val v =
+        if (append) {
+          // branch from the CATALOG-RESOLVED version (the pin when one
+          // governs), not the physical head: after a torn atomic
+          // commit the head may be a generation no catalog reader ever
+          // saw, and appending onto it would double its rows on retry
+          val parent = pinnedVersion(e)
+            .orElse(Snapshots.latestVersion(spark, e.root))
+          Snapshots.commitOntoParent(spark, df, e.root, parent)
+        } else Snapshots.commit(spark, df, e.root, append = false)
+      name -> v
+    }.toMap
+    publish(spark, catalogRoot, all ++ minted.map { case (n, v) =>
+      n -> all(n).copy(props = all(n).props + (PinnedProp -> v.toString))
+    })
+    minted
   }
 
   /** ONE maintenance sweep over every registered table, all from
@@ -271,7 +350,11 @@ object Catalog {
         e.props.get("retain_versions").map(_.toInt).foreach { k =>
           val versions = Snapshots.listGenerations(spark, e.root)
           if (versions.length > k) {
-            val keepFrom = versions(versions.length - k)
+            // a pinned version is a catalog reader's LIVE face —
+            // retention must never expire it out from under them
+            val keepFrom = pinnedVersion(e)
+              .fold(versions(versions.length - k))(
+                _ min versions(versions.length - k))
             Snapshots.retryOnConflict() {
               Snapshots.vacuum(spark, e.root, keepFrom)
             }

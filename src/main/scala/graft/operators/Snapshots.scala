@@ -909,6 +909,48 @@ object Snapshots {
     }
   }
 
+  /** Append `df` onto an EXPLICIT parent generation rather than the
+    * physical head — the cross-table atomic commit's convergence verb
+    * ([[graft.operators.Catalog.commitAtomic]]): after a torn
+    * multi-table commit, a table's physical head may be a generation
+    * NO catalog reader ever saw (committed, never pinned), and a
+    * plain append-retry would double its rows into the table. This
+    * verb BRANCHES OVER such generations: the new generation's
+    * manifest rows are the stated parent's plus the fresh files', its
+    * recorded lineage parent is the stated one, and the batch is
+    * prepared under the PARENT's governance (the pinned lineage's
+    * constraints/mapping/generated columns — a governance change
+    * committed outside the pinned lineage is branched over with the
+    * data, the same boundary). The version still claims above the
+    * physical head so the generation is the new maximum. The
+    * branched-over generation's rows stay unpinned and die by
+    * retention. Single-logical-writer per table (the catalog commit's
+    * own contract); racing path-direct appends may interleave their
+    * rows out of the branch, which is exactly what pinning readers to
+    * catalog generations is for. */
+  def commitOntoParent(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      parent: Option[Long],
+      ts: Option[Long] = None): Long = {
+    parent.foreach { p =>
+      require(manifestFor(spark, tablePath, p).nonEmpty,
+        s"commitOntoParent: parent version $p of $tablePath is not in " +
+          "the manifest (never committed, or expired by vacuum)")
+    }
+    val head = latestVersion(spark, tablePath)
+    val version = claimVersion(spark, tablePath,
+      head.map(_ + 1L).getOrElse(0L))
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    val prepared = prepareBatch(spark, tablePath, parent, df)
+    toPhysical(spark, tablePath, parent, prepared)
+      .write.mode("errorifexists").parquet(dataPath)
+    val fresh = footerCounts(spark,
+      listDataFiles(spark, dataPath).map((_, null: String)))
+    publish(spark, tablePath, version, fresh, parent, prepared.schema, ts)
+  }
+
   /** [[commit]] over a HIVE-PARTITIONED layout: the batch is written
     * `partitionBy(partCol)` (one `partCol=value/` directory per value),
     * and every manifest row carries its partition fragment — so

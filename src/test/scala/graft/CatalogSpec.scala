@@ -99,6 +99,69 @@ class CatalogSpec extends SparkSuite {
     assert(Catalog.table(spark, cat, "hot").count() == 80L)
   }
 
+  test("commitAtomic: N tables move together in ONE catalog publish — " +
+    "a crash between the table commits leaves catalog readers on the " +
+    "old consistent pair; a failed write pins nothing") {
+    val cat = freshRoot()
+    val fact = s"$cat/storage/fact"; val mv = s"$cat/storage/mv"
+    Snapshots.init(spark, fact); Snapshots.init(spark, mv)
+    Catalog.register(spark, cat, "fact", fact)
+    Catalog.register(spark, cat, "mv", mv)
+    // epoch 1: fact rows + their aggregate land as one atomic pair
+    val v1 = Catalog.commitAtomic(spark, cat, Seq(
+      ("fact", Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), false),
+      ("mv", Seq(("sum_x", 30L)).toDF("metric", "value"), false)))
+    assert(v1 == Map("fact" -> 0L, "mv" -> 0L))
+    assert(Catalog.table(spark, cat, "fact").count() == 2L)
+    assert(Catalog.table(spark, cat, "mv")
+      .select($"value").as[Long].head() == 30L)
+
+    // the CRASH WINDOW: epoch 2's fact commit lands, the process dies
+    // before the mv commit and the catalog publish — simulated by
+    // doing exactly what commitAtomic does up to the crash point
+    Snapshots.commit(spark, Seq((3L, 70L)).toDF("id", "x"),
+      fact, append = true)
+    // path-direct readers see the new fact generation…
+    assert(Snapshots.readAsOf(spark, fact,
+      Snapshots.latestVersion(spark, fact).get).count() == 3L)
+    // …but CATALOG readers stay on the old CONSISTENT pair: fact still
+    // answers epoch 1, matching the mv that was computed from it
+    assert(Catalog.table(spark, cat, "fact").count() == 2L,
+      "a torn cross-table commit must not surface through the catalog")
+    assert(Catalog.table(spark, cat, "mv")
+      .select($"value").as[Long].head() == 30L)
+    assert(Catalog.tableVersion(spark, cat, "fact") == 0L)
+
+    // the retry re-runs the whole epoch: the append BRANCHES OVER the
+    // torn (never-pinned) generation — no double rows — and both pins
+    // advance together
+    val v2 = Catalog.commitAtomic(spark, cat, Seq(
+      ("fact", Seq((3L, 70L)).toDF("id", "x"), true),
+      ("mv", Seq(("sum_x", 100L)).toDF("metric", "value"), false)))
+    assert(Catalog.table(spark, cat, "fact").count() == 3L,
+      "the retry must not replay the torn generation's rows")
+    assert(Catalog.table(spark, cat, "mv")
+      .select($"value").as[Long].head() == 100L)
+    assert(Catalog.tableVersion(spark, cat, "fact") == v2("fact"))
+
+    // a REFUSED write inside the batch pins nothing: an illegal
+    // schema retype aborts the fact commit — the mv table never
+    // commits, the catalog view stays on epoch 2 whole
+    intercept[Exception] {
+      Catalog.commitAtomic(spark, cat, Seq(
+        ("fact", Seq((4L, "oops")).toDF("id", "x"), true),
+        ("mv", Seq(("sum_x", 99L)).toDF("metric", "value"), false)))
+    }
+    assert(Catalog.table(spark, cat, "fact").count() == 3L)
+    assert(Catalog.table(spark, cat, "mv")
+      .select($"value").as[Long].head() == 100L)
+    // unknown names refuse BEFORE any table commits
+    intercept[IllegalArgumentException] {
+      Catalog.commitAtomic(spark, cat, Seq(
+        ("ghost", Seq((1L, 1L)).toDF("id", "x"), false)))
+    }
+  }
+
   test("maintain survives a refusing table: the refusal is recorded " +
     "with its reason and the sweep continues to later tables") {
     val cat = freshRoot()
