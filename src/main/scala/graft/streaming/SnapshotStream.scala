@@ -93,12 +93,55 @@ object SnapshotStream {
     }
   }
 
+  /** Every-N-batches MAINTENANCE riding the ingest sink: one
+    * generation per micro-batch is exactly the small-file and
+    * DV-pressure shape [[graft.operators.Catalog.maintenance]]
+    * detects, and a streamed table nobody sweeps degrades one commit
+    * at a time — so the sink itself compacts every `maintainEvery`
+    * batches through the layout-contract-safe
+    * [[Snapshots.optimizePreserving]] and (optionally) vacuums down to
+    * `retainVersions`, both under [[Snapshots.retryOnConflict]] so a
+    * maintenance verb racing a concurrent committer retries instead of
+    * failing the stream. Notes: the compaction is a REPLACE
+    * generation, so the O(delta) poll feeds span append runs BETWEEN
+    * maintenance points (a consumer checkpoints and re-bases at each
+    * compaction — the same rule as any OPTIMIZE); `retainVersions`
+    * must be ≥ 2 so a crash-replayed batch still finds its
+    * exactly-once stamp in a retained generation. */
+  private[streaming] def maintainIfDue(
+      spark: SparkSession,
+      tablePath: String,
+      batchId: Long,
+      maintainEvery: Int,
+      targetBytes: Long,
+      retainVersions: Int): Unit =
+    if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0) {
+      Snapshots.retryOnConflict() {
+        Snapshots.optimizePreserving(spark, tablePath, targetBytes)
+      }
+      if (retainVersions > 0) {
+        require(retainVersions >= 2,
+          "retainVersions must be >= 2 — a crash-replayed batch needs " +
+            "its exactly-once stamp in a retained generation")
+        Snapshots.retryOnConflict() {
+          val versions = Snapshots.listGenerations(spark, tablePath)
+          if (versions.length > retainVersions)
+            Snapshots.vacuum(spark, tablePath,
+              versions(versions.length - retainVersions))
+        }
+      }
+    }
+
   /** Run a streaming frame into the snapshot table: one append
     * generation per micro-batch via [[appendBatchExactlyOnce]], so the
     * table's version history IS the stream's batch history — every
-    * prefix of the stream stays time-travel-readable. A downstream
-    * incremental consumer has a DOCUMENTED choice of O(delta) poll
-    * feed, both checkpointing the last version processed:
+    * prefix of the stream stays time-travel-readable. With
+    * `maintainEvery > 0` the sink also runs [[maintainIfDue]]'s
+    * compaction/retention loop every N batches — the auto-maintenance
+    * a table fed one micro-batch at a time otherwise never gets. A
+    * downstream incremental consumer has a DOCUMENTED choice of
+    * O(delta) poll feed, both checkpointing the last version
+    * processed:
     *
     *  - [[graft.operators.Snapshots.readAppendsBetween]] — the
     *    inserts-only feed. DV-aware: a row ingested and then
@@ -118,11 +161,16 @@ object SnapshotStream {
   def ingest(
       stream: DataFrame,
       tablePath: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      maintainEvery: Int = 0,
+      targetBytes: Long = 128L << 20,
+      retainVersions: Int = 0): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         appendBatchExactlyOnce(batch.sparkSession, tablePath, id, batch)
+        maintainIfDue(batch.sparkSession, tablePath, id, maintainEvery,
+          targetBytes, retainVersions)
         ()
       }
       .start()

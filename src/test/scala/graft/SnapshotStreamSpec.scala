@@ -135,4 +135,51 @@ class SnapshotStreamSpec extends SparkSuite {
     assert(changes == Set(("+", 4L), ("-", 2L)),
       s"CDC feed wrong: $changes")
   }
+
+  test("the ingest sink's maintenance hook: a 20-batch stream ends " +
+    "bounded in versions AND files, content exact, feeds green across " +
+    "the post-compaction append run") {
+    val tbl = freshTable()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = SnapshotStream.ingest(stream.toDF.toDF("id", "v"), tbl,
+      "snap_ingest_maint_spec",
+      maintainEvery = 5, targetBytes = 1L << 30, retainVersions = 6)
+    (0 until 20).foreach { i =>
+      stream.addData(Seq((i.toLong, s"r$i")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // content: every batch's row, exactly once
+    val head = Snapshots.latestVersion(spark, tbl).get
+    assert(Snapshots.readAsOf(spark, tbl, head)
+      .select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 20L))
+    // bounded: ≤ retainVersions + maintainEvery generations survive
+    // (retention trims at each maintenance point, appends accumulate
+    // between them), and the head carries the last compaction's ONE
+    // file plus at most maintainEvery per-batch files — a maintained
+    // stream, not 20 generations of 20 files
+    val versions = Snapshots.listGenerations(spark, tbl)
+    assert(versions.length <= 6 + 5,
+      s"unmaintained version growth: ${versions.length} generations")
+    val headFiles = Snapshots.readAsOf(spark, tbl, head).inputFiles.length
+    assert(headFiles <= 1 + 5,
+      s"unmaintained file growth: $headFiles files at the head")
+    // the O(delta) feed serves the post-compaction append run: from
+    // the last maintenance's replace generation to the head
+    val sinceCompact = Snapshots.tableHistory(spark, tbl)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter(_._2.isEmpty).map(_._1).max // compactions carry no stamp
+    val delta = Snapshots.readAppendsBetween(spark, tbl, sinceCompact, head)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(delta == (16L until 20L), // the compaction at batch 15 ran
+      // AFTER its append, so 15's row is inside the compacted files
+      s"post-compaction incremental feed wrong: $delta")
+    // exactly-once replay survives maintenance: batch 19's stamp is in
+    // a retained generation, so a crash-replay skips it
+    assert(SnapshotStream.appendBatchExactlyOnce(spark, tbl, 19L,
+      Seq((19L, "r19")).toDF("id", "v")).isEmpty,
+      "a replayed batch id must skip — its stamp is retained")
+  }
 }
