@@ -2097,6 +2097,37 @@ object SparkEntry {
             .as("precision"))
     }),
 
+    "dedup_recall_hamming" -> ((s, dir) => {
+      // the hamming family's tuning mirror of dedup_recall_minhash:
+      // 48-bit simhash, maxDist 3 → four 12-bit pigeonhole chunks. The
+      // banding is LOSSLESS by construction, so recall against the
+      // BRUTE cross-product truth must read exactly 1.0 — measured
+      // here at corpus scale, not assumed — and the deploy-time
+      // quantity is PRECISION: candidate pairs per true near-dup, the
+      // in-bucket expansion the deployed chunk width admits. Counts
+      // are exact longs, the ratios one IEEE division each.
+      val docs = par(s)(t(s, dir, "documents"))
+      val sig = docs.select(col("doc_id"),
+        Dedup.simhash(col("text"), bits = 48).as("sh"))
+      val aa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val bb = sig.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      val truth = aa.join(bb, col("doc_a") < col("doc_b"))
+        .filter(Dedup.hammingDistance(col("sha"), col("shb")) <= 3)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.hammingCandidatePairs(sig, "doc_id", "sh",
+        bits = 48, maxDist = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // 48-bit long signatures: the corpus-scale default — a 2^48 value
       // space keeps pigeonhole buckets selective at >=10^8 docs, where
@@ -6730,6 +6761,34 @@ object SparkEntry {
            |FROM s a JOIN s b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sh, b.sh)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // truth = brute O(n²) hamming scan; candidates = the same 12-bit
+      // pigeonhole chunks in SQL. Lossless banding means recall reads
+      // EXACTLY 1.0 — the invariant is under oracle test, not assumed
+      "dedup_recall_hamming" ->
+        s"""WITH s AS MATERIALIZED (SELECT doc_id, $duckSimhash48 AS sh
+           |  FROM documents),
+           |ch AS MATERIALIZED (SELECT doc_id, c.ci AS ci,
+           |  (sh >> (c.ci * 12)) & 4095 AS cv
+           | FROM s, (SELECT unnest(range(4)) AS ci) c),
+           |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a,
+           |  b.doc_id AS doc_b
+           | FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv
+           |  AND a.doc_id < b.doc_id),
+           |truth AS MATERIALIZED (SELECT a.doc_id AS doc_a,
+           |  b.doc_id AS doc_b
+           | FROM s a JOIN s b ON a.doc_id < b.doc_id
+           | WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+           |hit AS MATERIALIZED (SELECT t.doc_a FROM truth t
+           | JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+           |SELECT
+           | (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           | (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+           | (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           | (SELECT count(*) FROM hit)::DOUBLE
+           |  / (SELECT count(*) FROM truth)::DOUBLE AS recall,
+           | (SELECT count(*) FROM hit)::DOUBLE
+           |  / (SELECT count(*) FROM cand)::DOUBLE AS precision""".stripMargin,
 
       // the inverted-index shape in SQL, including the engine's hot-gram
       // cap (maxGramDf = 500): grams with per-source df above the cap are

@@ -477,6 +477,36 @@ object Dedup {
       .distinct()
   }
 
+  /** The pigeonhole CANDIDATE pairs of [[hammingNearDupPairs]] BEFORE
+    * the exact distance filter — the hamming family's deploy-time
+    * measurement surface (`dedup_recall_minhash`'s sibling): at
+    * `chunks = maxDist + 1` the banding is LOSSLESS by pigeonhole, so
+    * recall against the brute cross-product truth reads EXACTLY 1.0
+    * (the invariant the recall row and `DedupSpec` pin as measured
+    * fact, not assumption), and the quantity a deployment actually
+    * tunes is PRECISION — candidate pairs per true near-dup, the
+    * in-bucket expansion the chunk width admits and the exact check
+    * then pays for. Returns distinct (id_a, id_b, dist). */
+  def hammingCandidatePairs(
+      sigFrame: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bits: Int,
+      maxDist: Int): DataFrame = {
+    val banded = hammingChunkKeys(
+      Materialize(sigFrame.select(col(idCol), col(sigCol).as("sh"))),
+      idCol, "sh", bits, maxDist)
+    val l = banded.select(col("ci"), col("cv"),
+      col(idCol).as("id_a"), col("sh").as("sha"))
+    val r = banded.select(col("ci"), col("cv"),
+      col(idCol).as("id_b"), col("sh").as("shb"))
+    l.join(r, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sha"), col("shb")).as("dist"))
+      .distinct()
+  }
+
   /** The pigeonhole chunk projection shared by [[hammingNearDupPairs]]
     * and the streaming image-dedup twin: one row per (id, signature,
     * chunk index, chunk value), `maxDist + 1` balanced chunks. Chunk c

@@ -136,6 +136,40 @@ class DedupSpec extends SparkSuite {
     assert(blocked == brute)
   }
 
+  test("hammingCandidatePairs: the banding is LOSSLESS at the deployed " +
+    "chunk count — candidates cover the brute truth exactly (recall " +
+    "1.0), and the verified pairs are the candidates' within-threshold " +
+    "slice") {
+    val docs = (1 to 40).map { i =>
+      val words = (0 until 8).map(j => s"w${(i + j * 3) % 15}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sig = docs.select($"doc_id", Dedup.simhash($"text", 48).as("sh"))
+    val cand = Dedup.hammingCandidatePairs(sig, "doc_id", "sh",
+      bits = 48, maxDist = 3)
+    val candSet = cand.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    val truth = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        Dedup.hammingDistance($"a.sh", $"b.sh").as("d"))
+      .filter($"d" <= 3)
+      .select($"da", $"db")
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain true near-dups")
+    assert(truth.subsetOf(candSet),
+      s"pigeonhole banding at chunks = maxDist+1 must be lossless — " +
+        s"missed ${truth -- candSet}")
+    // the verified pair set IS the candidates' within-threshold slice
+    val verified = Dedup.hammingNearDupPairs(sig, "doc_id", "sh",
+      bits = 48, maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(verified == truth)
+    val candWithin = cand.filter($"dist" <= 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(candWithin == truth)
+  }
+
   test("simhash near-dup pairs: pigeonhole blocking matches brute force") {
     val docs = (1 to 40).map { i =>
       // overlapping word sets so some pairs land within hamming distance

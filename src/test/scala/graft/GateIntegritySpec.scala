@@ -26,7 +26,8 @@ class GateIntegritySpec extends SparkSuite {
     // Single-row GLOBAL aggregates are exempt — one row has one order
     val singleRow = Set(
       "alma_nomatch_count", "dedup_jaccard", "dedup_recall_minhash",
-      "text_corpus_stats", "text_corpus_stats_approx")
+      "dedup_recall_hamming", "text_corpus_stats",
+      "text_corpus_stats_approx")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
       // a TOP-LEVEL ORDER BY, not substring containment — a window's
