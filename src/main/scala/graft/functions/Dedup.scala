@@ -1536,19 +1536,27 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3): DataFrame = {
-    // NOT Materialize'd although two consumers share it: measured at
-    // sf0.1, the localCheckpoint write costs ~9 s while the second
-    // cold evaluation it would save costs ~5 s and the engine's
-    // shuffle-file reuse already makes the re-read warm — the
-    // checkpoint trade only wins when the shared frame's recompute
-    // dwarfs its byte size (the CC/LSH iterative frames), which a
-    // one-explode projection does not
+    // persist(MEMORY_AND_DISK), not Materialize: two consumers share
+    // this frame (the vocabulary aggregate, the join probe), and the
+    // three sharing mechanisms were MEASURED at sf0.1 —
+    // localCheckpoint LOSES (~9 s shuffle-file write vs ~5 s saved,
+    // the r16 note), recompute costs the explode twice (~10.7 s
+    // total), cache wins (the aggregate's evaluation populates it, the
+    // probe reads blocks instead of re-running the normalize/shingle
+    // chain; measured 10.7 → ~2 s cold in-suite). Unlike checkpoint,
+    // a cache write is memory-speed and spills to disk only under
+    // pressure. Two effects to know about: the blocks LINGER after the
+    // action (evicted LRU — the lakehouse-library trade every cached
+    // internal frame makes), and Spark's CacheManager matches by
+    // canonicalized plan, so a repeated identical call reuses the
+    // blocks outright.
     val occ = docs
       .select(col(idCol),
         size(TextAnalysis.words(col(textCol))).cast("long").as("wc"),
         posexplode(shingles(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("wc"), col("pos").cast("long").as("pos"),
         col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = occ
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("__cnt"),
