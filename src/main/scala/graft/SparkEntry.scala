@@ -2107,8 +2107,13 @@ object SparkEntry {
       // in-bucket expansion the deployed chunk width admits. Counts
       // are exact longs, the ratios one IEEE division each.
       val docs = par(s)(t(s, dir, "documents"))
-      val sig = docs.select(col("doc_id"),
-        Dedup.simhash(col("text"), bits = 48).as("sh"))
+      // ONE materialized (id, sh) frame — 16 bytes/doc — feeds the
+      // brute truth's both sides AND the banded candidates: the
+      // per-word md5 signature chain is the dominant cost and lambda
+      // variables defeat plan canonicalization (the README self-join
+      // note), so without this cut every consumer recomputes it
+      val sig = graft.functions.Materialize(docs.select(col("doc_id"),
+        Dedup.simhash(col("text"), bits = 48).as("sh")))
       val aa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       val bb = sig.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
       val truth = aa.join(bb, col("doc_a") < col("doc_b"))
@@ -4379,6 +4384,41 @@ object SparkEntry {
       Snapshots.readAsOf(s, tbl, latest).orderBy(col("event_id"))
     }),
 
+    "ev_stream_ingest_maintained" -> ((s, dir) => {
+      // the maintenance hook riding the ingest sink, END TO END on the
+      // fixture feed: a 5-file staging of the events projection streams
+      // one file per micro-batch, and every 2 batches the sink compacts
+      // through optimizePreserving and vacuums to a 3-generation
+      // retention (both under retryOnConflict) — so the streamed table
+      // stays BOUNDED in generations and head files (required below,
+      // not assumed) while the face stays value-equal to the plain
+      // batch projection. Maintenance may only change WHERE bytes
+      // live, never values — the oracle is the same projection.
+      val root = s"$artifactRoot/snap_stream_ingest_maint"
+      Snapshots.init(s, root)
+      val staging = s"$root/feed"
+      val tbl = s"$root/tbl"
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .repartition(5)
+        .write.mode("overwrite").parquet(staging)
+      val raw = s.read.parquet(staging).schema
+      val feed = s.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = SnapshotStream.ingest(feed, tbl, "ev_stream_ingest_maint",
+        maintainEvery = 2, targetBytes = 1L << 30, retainVersions = 3)
+      q.processAllAvailable(); q.stop()
+      val versions = Snapshots.listGenerations(s, tbl)
+      require(versions.length <= 5,
+        s"maintained ingest left ${versions.length} generations — " +
+          "the maintenance hook did not run")
+      val head = versions.max
+      require(Snapshots.readAsOf(s, tbl, head).inputFiles.length <= 3,
+        "maintained ingest left an uncompacted head")
+      Snapshots.readAsOf(s, tbl, head).orderBy(col("event_id"))
+    }),
+
     "ev_stream_cdc_apply" -> ((s, dir) => {
       // the MERGE-INTO's stream twin, split at its algebraic seam:
       // latest-wins is associative, so the STREAM runs only the per-key
@@ -6008,6 +6048,13 @@ object SparkEntry {
           | -value_cents - 1 AS value_cents, CAST(2 AS BIGINT) AS face
           |FROM ev WHERE event_id % 2 = 0
           |ORDER BY face, event_id""".stripMargin,
+
+      // the maintained stream's head face must STILL equal the plain
+      // batch table — compaction/retention may move bytes, not values
+      "ev_stream_ingest_maintained" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
 
       // the streamed table's head face must equal the plain batch
       // table — exactly-once means nothing lost AND nothing doubled
