@@ -970,6 +970,31 @@ object SparkEntry {
           col("l_partkey"), col("l_suppkey"), col("qty"))
     }),
 
+    "q67_hilbert" -> ((s, dir) => {
+      // the HILBERT layout (q64's locality refinement): lineitem
+      // committed Hilbert-clustered on the same THREE keys — identical
+      // stats sidecar and read path (pruning reads only min_*/max_*
+      // bounds, never the curve), but consecutive curve indexes are
+      // grid-ADJACENT, so per-file rectangles stay compact where
+      // Morton's bit spreading fattens them as keys grow
+      // (HilbertIndex's bijection + unit-step walk is spec-pinned over
+      // full 2-D/3-D grids; LayoutSpec). A DIFFERENT subset box than
+      // q64 so the two layouts' answers are independently oracled.
+      // Oracle: the plain 2-of-3 filter.
+      val tbl = s"$artifactRoot/snap_hilbert_table"
+      Snapshots.init(s, tbl)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+      val v0 = Snapshots.commitHilbertN(s, li, tbl,
+        Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        numFiles = 16, append = false)
+      Snapshots.scanBoxAsOfN(s, tbl, v0,
+        Seq(("l_orderkey", 1000L, 4000L), ("l_suppkey", 5L, 40L)))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("qty"))
+    }),
+
     "q60_snapshot_zorder" -> ((s, dir) => {
       // Z-order × time travel: lineitem committed Morton-clustered on
       // (l_orderkey, l_partkey) with per-file min/max RECTANGLES in the
@@ -6113,6 +6138,16 @@ object SparkEntry {
           |WHERE event_id % 2 = 0
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin,
+
+      // the Hilbert layout's 2-of-3 subset box as a plain filter —
+      // the curve only moves bytes, never rows
+      "q67_hilbert" ->
+        """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          | CAST(l_quantity AS BIGINT) AS qty
+          |FROM lineitem
+          |WHERE l_orderkey BETWEEN 1000 AND 4000
+          | AND l_suppkey BETWEEN 5 AND 40
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, qty""".stripMargin,
 
       // the 2-of-3 subset box as a plain filter; skipping only skips
       "q64_zorder3" ->

@@ -63,6 +63,45 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** The N-dimensional HILBERT index of the keys — [[zValueN]]'s
+    * locality refinement for 3+ keys (see
+    * [[graft.functions.HilbertIndex]]): same `pmod` reduction into
+    * [0, 2^bits), same N·bits ≤ 63 budget, but consecutive index
+    * values are grid-ADJACENT, so curve ranges stay compact in every
+    * key where Morton's bit spreading fattens file rectangles as N
+    * grows. Evaluated by a native codegen'd expression (the transform
+    * is a per-row state machine no fixed column arithmetic unrolls). */
+  def hilbertValueN(keys: Seq[Column], bits: Int = 21): Column = {
+    val n = keys.size
+    require(n >= 2, s"hilbertValueN needs at least 2 keys, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n keys × $bits bits = ${n * bits} index bits — must fit the " +
+        "63 positive long bits (lower `bits` for more keys)")
+    val mask = 1L << bits
+    val reduced = keys.map(k => pmod(k.cast("long"), lit(mask)))
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.HilbertIndex(
+        org.apache.spark.sql.GraftSqlShim.expression(
+          array(reduced: _*)),
+        bits))
+  }
+
+  /** [[clusterByZOrderN]] on the Hilbert curve — identical exchange
+    * and in-partition sort, better range compactness at 3+ keys. */
+  def clusterByHilbertN(
+      df: DataFrame,
+      keyCols: Seq[String],
+      numPartitions: Int,
+      bits: Int = 21,
+      hCol: String = "hkey"): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be positive")
+    require(!df.columns.contains(hCol),
+      s"input already carries a '$hCol' column")
+    df.withColumn(hCol, hilbertValueN(keyCols.map(col), bits))
+      .repartitionByRange(numPartitions, col(hCol))
+      .sortWithinPartitions(col(hCol))
+  }
+
   /** Re-layout `df` so co-Z-ordered rows are co-located: append the
     * Z-value of the two cluster keys and range-partition on it. Written
     * out as parquet, each file's (kx, ky) min/max statistics then cover

@@ -2634,6 +2634,36 @@ object Snapshots {
     version
   }
 
+  /** [[commitZorderedN]] on the HILBERT curve
+    * ([[Layout.clusterByHilbertN]]) — same stats sidecar, same
+    * [[scanBoxAsOfN]]/[[scanRangeAsOf]] read path (pruning reads only
+    * `min_*`/`max_*` bounds, never the curve), better per-file
+    * rectangle compactness at 3+ keys where Morton's bit spreading
+    * fattens them (consecutive Hilbert indexes are grid-adjacent —
+    * the locality the N-D layout exists for). Flat commits only;
+    * appends reuse the recorded lineage parent's stats rows. */
+  def commitHilbertN(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      keyCols: Seq[String],
+      numFiles: Int,
+      append: Boolean,
+      bits: Int = 21,
+      derivedFrom: Option[Long] = None,
+      verb: String = "commitHilbertN"): Long = {
+    require(numFiles >= 1, "numFiles must be positive")
+    require(keyCols.distinct.size == keyCols.size,
+      s"commitHilbertN: duplicate cluster keys in $keyCols")
+    requireNoColMap(spark, tablePath, "commitHilbertN")
+    preflightStatsParent(spark, tablePath, append, "commitHilbertN")
+    val version = commit(spark,
+      Layout.clusterByHilbertN(df, keyCols, numFiles, bits).drop("hkey"),
+      tablePath, append, None, derivedFrom, verb)
+    writeKeyStats(spark, tablePath, version, keyCols, append)
+    version
+  }
+
   /** The per-file min/max stats sidecar of a freshly committed
     * generation over `keyCols`, parent rows carried on appends — the
     * shared tail of the clustered/Z-ordered commit verbs. */

@@ -102,4 +102,67 @@ class LayoutSpec extends SparkSuite {
       .scanPoint(spark, store, bm, "k", 999999L).count() == 0L,
       "an absent key is an empty answer, not an error")
   }
+
+  test("hilbertValueN: bijection onto [0, 2^(n*bits)) and UNIT-STEP " +
+    "adjacency — consecutive indexes are grid neighbors, the locality " +
+    "Morton loses at higher dimensions") {
+    // 2-D, 4 bits: the full 16x16 grid through the ENGINE's expression
+    // (codegen path), pinned cell by cell
+    val grid2 = (0 until 16).flatMap(x => (0 until 16).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val h2 = grid2.select($"x", $"y",
+      Layout.hilbertValueN(Seq($"x", $"y"), bits = 4).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(h2.map(_._3).sorted.toSeq == (0L until 256L),
+      "2-D Hilbert must be a bijection onto 0..255")
+    val byIdx2 = h2.map(r => r._3 -> ((r._1, r._2))).toMap
+    (0L until 255L).foreach { h =>
+      val (x1, y1) = byIdx2(h); val (x2, y2) = byIdx2(h + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"indexes $h and ${h + 1} are not grid-adjacent")
+    }
+    // 3-D, 3 bits: the full 8x8x8 cube
+    val grid3 = (0 until 8).flatMap(x => (0 until 8).flatMap(y =>
+      (0 until 8).map(z => (x.toLong, y.toLong, z.toLong)))).toDF("x", "y", "z")
+    val h3 = grid3.select($"x", $"y", $"z",
+      Layout.hilbertValueN(Seq($"x", $"y", $"z"), bits = 3).as("h"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h3.map(_._4).sorted.toSeq == (0L until 512L),
+      "3-D Hilbert must be a bijection onto 0..511")
+    val byIdx3 = h3.map(r => r._4 -> ((r._1, r._2, r._3))).toMap
+    (0L until 511L).foreach { h =>
+      val (a, b) = (byIdx3(h), byIdx3(h + 1))
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs(a._3 - b._3) == 1,
+        s"indexes $h and ${h + 1} are not cube-adjacent")
+    }
+    // null propagation mirrors the Morton arithmetic
+    val n = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(Layout.hilbertValueN(Seq($"x", $"y"), 4).as("h"))
+      .collect().head
+    assert(n.isNullAt(0), "a null key must yield a null index")
+  }
+
+  test("clusterByHilbertN: physical RangePartitioning on the hkey; " +
+    "negative keys wrap via pmod like the Morton form") {
+    val df = (0 until 256).map(i =>
+      (i.toLong, (i % 16).toLong, ((i * 7) % 16).toLong))
+      .toDF("row", "a", "b")
+    val clustered = Layout.clusterByHilbertN(df, Seq("a", "b"),
+      numPartitions = 4, bits = 4)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"),
+      s"expected a range exchange on hkey:\n$plan")
+    assert(clustered.drop("hkey").except(df).isEmpty &&
+      df.except(clustered.drop("hkey")).isEmpty,
+      "clustering must re-arrange rows, never change them")
+    val neg = Seq((-1L, 3L)).toDF("x", "y")
+      .select(Layout.hilbertValueN(Seq($"x", $"y"), 4).as("h"))
+      .as[Long].head()
+    val wrapped = Seq((15L, 3L)).toDF("x", "y")
+      .select(Layout.hilbertValueN(Seq($"x", $"y"), 4).as("h"))
+      .as[Long].head()
+    assert(neg == wrapped, "-1 must wrap to 2^bits - 1 under pmod")
+  }
 }

@@ -243,6 +243,43 @@ class SnapshotsMaintenanceSpec extends SparkSuite {
       "a pre-flight refusal must leave the table untouched")
   }
 
+  test("3-key HILBERT layout: the same stats sidecar and box read " +
+    "path prune a strict file subset on EACH single key, answers " +
+    "exact — and optimizePreserving re-clusters it like any " +
+    "stats-governed head") {
+    val tbl = freshTable()
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i * 37) % 64).toLong, ((i * 101) % 64).toLong,
+        ((i * 13) % 64).toLong)
+    }.toDF("row", "a", "b", "c")
+    val v = Snapshots.commitHilbertN(spark, df, tbl,
+      Seq("a", "b", "c"), numFiles = 16, append = false)
+    def admitted(bounds: Seq[(String, Any, Any)]): Long = {
+      val scan = Snapshots.scanBoxAsOfN(spark, tbl, v, bounds)
+      scan.count()
+      scan.inputFiles.length.toLong
+    }
+    Seq("a", "b", "c").foreach { k =>
+      val files = admitted(Seq((k, 0L, 7L)))
+      assert(files > 0L && files < 16L,
+        s"single-key box on '$k' admitted $files of 16 files — no pruning")
+    }
+    val expect = df.filter($"b" <= 7L && $"c" <= 7L)
+      .select($"row").as[Long].collect().sorted.toSeq
+    val got = Snapshots.scanBoxAsOfN(spark, tbl, v,
+      Seq(("b", 0L, 7L), ("c", 0L, 7L)))
+      .select($"row").as[Long].collect().sorted.toSeq
+    assert(got == expect, "Hilbert box scan must be exact")
+    // the fleet sweep treats a Hilbert head like any stats-governed
+    // one: re-cluster on the sidecar's own keys, skipping survives
+    val v2 = Snapshots.optimizePreserving(spark, tbl, targetBytes = 4096L)
+    val after = Snapshots.scanBoxAsOfN(spark, tbl, v2,
+      Seq(("b", 0L, 7L), ("c", 0L, 7L)))
+      .select($"row").as[Long].collect().sorted.toSeq
+    assert(after == expect, "box scan broken after compaction")
+  }
+
   test("3-key Z-order: scanBoxAsOfN prunes a strict file subset on " +
     "EACH single key and on subset boxes, with exact answers") {
     val tbl = freshTable()
