@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Description, Fuzzy, Kmv, Multimodal, Similarity, TextAnalysis}
 import graft.model.{AlmaSchema, CodeTables}
-import graft.operators.{Anomaly, Attribution, Basket, Catalog, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
+import graft.operators.{Anomaly, Attribution, Basket, Catalog, Changes, Compaction, FillStage, FormatStage, Funnel, IncrementalAgg, IncrementalJoin, Intervals, Layout, Mirror, RollingAgg, Skew, Skipping, Skyline, Snapshots, SplitStage, Stats, TemporalJoin, YearInference}
 import graft.sources.{AlmaXml, CsvStage, JsonStage, OrcStage}
 import graft.streaming.{AttributionStream, CoverageStream, FunnelStream, IntervalJoinStream, PhashStream, Sessionize, SnapshotStream, StreamCdc, StreamDedup, StreamGate}
 
@@ -63,6 +63,11 @@ object SparkEntry {
     * half-overwritten store. A temp dir per process ends that. */
   private lazy val artifactRoot: String =
     java.nio.file.Files.createTempDirectory("graft_artifacts_").toString
+
+  /** Unique SQL catalog names per invocation — Spark caches catalog
+    * instances by name once resolved, so a bench pass re-running a
+    * query with a fresh root must also mint a fresh name. */
+  private val sqlCatN = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Single-file stream-source glob — see [[Tables.streamGlob]] (one
     * shared definition on purpose). */
@@ -993,6 +998,139 @@ object SparkEntry {
         Seq(("l_orderkey", 1000L, 4000L), ("l_suppkey", 5L, 40L)))
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("qty"))
+    }),
+
+    "q68_snapshot_mirror" -> ((s, dir) => {
+      // incremental table MIRRORING over the appends feed: the
+      // replication offset IS the destination's own commit stamp, so
+      // each poll is exactly-once by the atomic-manifest-publish
+      // argument (no side ledger, MirrorSpec pins the crash window).
+      // Seed on the source's first commit, then TWO source appends
+      // ship as ONE O(delta) poll; the caught-up rerun no-ops — both
+      // pinned here by require, values by the oracle (a mirror may
+      // only move bytes, never values). Fresh roots per invocation:
+      // the mirror offset is stateful by design.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mirror_q68_").toString
+      val src = s"$root/src"; val dst = s"$root/dst"
+      Snapshots.init(s, src); Snapshots.init(s, dst)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        src, append = false)
+      require(Mirror.mirrorAppends(s, src, dst).nonEmpty,
+        "the seed poll must mint the destination's v0")
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        src, append = true)
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        src, append = true)
+      require(Mirror.mirrorAppends(s, src, dst).nonEmpty,
+        "the delta poll must ship both source appends as one commit")
+      require(Mirror.mirrorAppends(s, src, dst).isEmpty,
+        "a caught-up rerun must no-op — exactly-once replication")
+      Snapshots.readAsOf(s, dst,
+        Snapshots.latestVersion(s, dst).get)
+        .orderBy(col("event_id"))
+    }),
+
+    "q69_mirror_cdc" -> ((s, dir) => {
+      // the CDC mirror — replication that survives DELETES: the source
+      // removes rows through deletion vectors and appends new ones;
+      // one poll over the '+'/'-' row-level feed (readChangesBetween)
+      // applies both to the destination as a keyed MERGE stamped with
+      // the new offset. The appends feed structurally cannot express
+      // the deletes; the oracle is the surviving-row set. Fresh roots
+      // per invocation (stateful offset).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mirror_q69_").toString
+      val src = s"$root/src"; val dst = s"$root/dst"
+      Snapshots.init(s, src); Snapshots.init(s, dst)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        src, append = false)
+      require(Mirror.mirrorChanges(s, src, dst, Seq("event_id")).nonEmpty)
+      Snapshots.deleteWhere(s, src, col("user_id") % 20 === 0)
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        src, append = true)
+      require(Mirror.mirrorChanges(s, src, dst, Seq("event_id")).nonEmpty,
+        "one poll must replicate the deletes AND the appended rows")
+      require(Mirror.mirrorChanges(s, src, dst, Seq("event_id")).isEmpty,
+        "a caught-up rerun must no-op")
+      Snapshots.readAsOf(s, dst,
+        Snapshots.latestVersion(s, dst).get)
+        .orderBy(col("event_id"))
+    }),
+
+    "q70_sql_insert" -> ((s, dir) => {
+      // the SQL WRITE path: INSERT INTO a catalog table is an append
+      // commit through the snapshot verbs (V1Write bridge) — the
+      // manifest generation, racer reconciliation, and
+      // constraint/generated-column enforcement all ride the SQL verb
+      // (GraftCatalogSpec pins the refusals and the O(delta) file
+      // sharing). Era 0 commits through the function verb, era 1
+      // arrives via INSERT INTO ... SELECT; the aggregate must equal
+      // the plain whole-table rollup. Fresh catalog name + root per
+      // invocation: Spark caches catalog instances by name.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlins_").toString
+      val tbl = s"$root/storage/ins"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Catalog.register(s, root, "ins", tbl)
+      val cat = s"gins${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      ev.filter(col("event_id") % 2 === 1)
+        .createOrReplaceTempView("q70_insert_src")
+      s.sql(s"INSERT INTO $cat.ins " +
+        "SELECT event_id, user_id, value_cents FROM q70_insert_src")
+      require(Snapshots.latestVersion(s, tbl).contains(1L),
+        "INSERT INTO must mint exactly one append generation")
+      s.sql(
+        s"""SELECT user_id,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.ins
+           |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    "q71_sql_meta" -> ((s, dir) => {
+      // SQL METADATA TABLES (the Iceberg shape): one extra identifier
+      // part under a registered name serves the commit timeline —
+      // `<cat>.<t>.history` — from the manifest alone, no data file
+      // opened (`<t>.files` is its per-generation sibling,
+      // GraftCatalogSpec pins both + the files VERSION AS OF travel).
+      // Three stamped commits; history rows carry (version, stamp,
+      // cumulative row count — append generations point at their
+      // parent's files too). Oracle: the counts recomputed from the
+      // slices. Fresh catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlmeta_").toString
+      val tbl = s"$root/storage/mt"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false, ts = Some(100L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true, ts = Some(200L))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true, ts = Some(300L))
+      Catalog.register(s, root, "mt", tbl)
+      val cat = s"gmeta${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(
+        s"""SELECT version, commit_ts, n_rows
+           |FROM $cat.mt.history ORDER BY version""".stripMargin)
     }),
 
     "q60_snapshot_zorder" -> ((s, dir) => {
@@ -6148,6 +6286,50 @@ object SparkEntry {
           |WHERE l_orderkey BETWEEN 1000 AND 4000
           | AND l_suppkey BETWEEN 5 AND 40
           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, qty""".stripMargin,
+
+      // a mirror may only move bytes: the caught-up destination is the
+      // whole source content, i.e. all three event slices
+      "q68_snapshot_mirror" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // the CDC mirror's destination = the source's surviving rows:
+      // the even era minus the deleted subjects, plus the odd era
+      // (appended AFTER the delete, so its subjects survive)
+      "q69_mirror_cdc" ->
+        """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events
+          |WHERE (event_id % 2 = 0 AND user_id % 20 <> 0)
+          |   OR event_id % 2 = 1
+          |ORDER BY event_id""".stripMargin,
+
+      // both eras (function-verb commit + SQL INSERT) together are the
+      // whole events table — the SQL write may only add its era
+      "q70_sql_insert" ->
+        """SELECT user_id,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // the history face recomputed from the slices: append
+      // generations carry their parent's files, so row counts are
+      // cumulative per version
+      "q71_sql_meta" ->
+        """SELECT CAST(0 AS BIGINT) AS version,
+          | CAST(100 AS BIGINT) AS commit_ts,
+          | (SELECT CAST(count(*) AS BIGINT) FROM events
+          |   WHERE event_id % 3 = 0) AS n_rows
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT), CAST(200 AS BIGINT),
+          | (SELECT CAST(count(*) AS BIGINT) FROM events
+          |   WHERE event_id % 3 IN (0, 1))
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), CAST(300 AS BIGINT),
+          | (SELECT CAST(count(*) AS BIGINT) FROM events)
+          |ORDER BY version""".stripMargin,
 
       // the 2-of-3 subset box as a plain filter; skipping only skips
       "q64_zorder3" ->

@@ -1193,7 +1193,8 @@ object Snapshots {
       tablePath: String,
       updates: DataFrame,
       keyCols: Seq[String],
-      opCol: Option[String] = None): Long = {
+      opCol: Option[String] = None,
+      ts: Option[Long] = None): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
     requireValidOps(updates, opCol)
     val latest = latestVersion(spark, tablePath).getOrElse(
@@ -1205,7 +1206,7 @@ object Snapshots {
       .join(updates.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
     commit(spark, survivors.unionByName(inserts), tablePath,
-      append = false, derivedFrom = Some(latest), verb = "merge")
+      append = false, ts = ts, derivedFrom = Some(latest), verb = "merge")
   }
 
   /** Read snapshot `version` — exactly the files its manifest
@@ -1691,6 +1692,24 @@ object Snapshots {
       : (Seq[(String, String)],
         Option[org.apache.spark.sql.types.StructType]) =
     generationOf(spark, tablePath, version)
+
+  /** (file, partition fragment, footer row count) of ONE generation —
+    * the SQL catalog's `files` metadata-table face, read from that
+    * generation's own manifest file alone (O(files of v), never the
+    * history). Null count = a legacy generation predating row-count
+    * manifests. */
+  private[graft] def generationFileMeta(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[(String, String, Option[Long])] = {
+    val rows = manifestFor(spark, tablePath, version)
+    require(rows.nonEmpty,
+      s"snapshot version $version of $tablePath is not in the manifest " +
+        "(never committed, or expired by vacuum)")
+    rows.map(r => (r.getString(1),
+      if (r.isNullAt(2)) null else r.getString(2),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+  }
 
   private def generationOf(
       spark: SparkSession,

@@ -5,15 +5,20 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.{Catalog, Snapshots}
 
@@ -88,21 +93,77 @@ class GraftCatalog extends TableCatalog {
       Catalog.entries(spark, catalogRoot).contains(ident.name)
 
   override def loadTable(ident: Identifier): Table =
-    snapshotTable(ident, None)
+    if (isMetaIdent(ident)) metaTable(ident, None)
+    else snapshotTable(ident, None)
 
   /** `VERSION AS OF <v>` — the version string is the snapshot number. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    snapshotTable(ident,
-      Some(scala.util.Try(version.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"VERSION AS OF '$version' on $catName.${ident.name}: graft " +
-            "snapshot versions are integers"))))
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF '$version' on $catName.${ident.name}: graft " +
+          "snapshot versions are integers"))
+    if (isMetaIdent(ident)) metaTable(ident, Some(v))
+    else snapshotTable(ident, Some(v))
+  }
 
   /** `TIMESTAMP AS OF <ts>` — micros, resolved over the table's
     * logical commit timeline by [[Snapshots.versionAt]]. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val root = rootOf(ident)
-    snapshotTable(ident, Some(Snapshots.versionAt(spark, root, timestamp)))
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    if (isMetaIdent(ident)) {
+      val root = rootOf(baseIdent(ident))
+      metaTable(ident, Some(Snapshots.versionAt(spark, root, timestamp)))
+    } else {
+      val root = rootOf(ident)
+      snapshotTable(ident,
+        Some(Snapshots.versionAt(spark, root, timestamp)))
+    }
+
+  /** `graft.<table>.history` / `graft.<table>.files` — the Iceberg
+    * metadata-table shape: one extra identifier part under a
+    * registered table name serves that table's commit timeline /
+    * manifest file list from METADATA alone (no data file opened). */
+  private def isMetaIdent(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      MetaNames.contains(ident.name) &&
+      Catalog.entries(spark, catalogRoot).contains(ident.namespace.head)
+
+  private val MetaNames = Set("history", "files")
+
+  private def baseIdent(ident: Identifier): Identifier =
+    Identifier.of(Array.empty[String], ident.namespace.head)
+
+  private def metaTable(ident: Identifier, version: Option[Long]): Table = {
+    val root = rootOf(baseIdent(ident))
+    val s = spark
+    val qualified = s"$catName.${ident.namespace.head}.${ident.name}"
+    ident.name match {
+      case "history" =>
+        // the whole (version, commit_ts, n_files, n_rows) timeline —
+        // time travel addresses DATA faces, not the timeline itself
+        require(version.isEmpty,
+          s"$qualified is the whole commit timeline — VERSION/TIMESTAMP " +
+            "AS OF addresses the data table and the files face")
+        val rows = Snapshots.tableHistory(s, root)
+          .orderBy("version").collect().map { r =>
+            new GenericInternalRow(Array[Any](
+              r.getLong(0),
+              if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+              r.getLong(2), r.getLong(3))): InternalRow
+          }
+        new GraftMetaTable(qualified, GraftMetaTables.HistorySchema, rows)
+      case "files" =>
+        val v = version.orElse(Snapshots.latestVersion(s, root))
+          .getOrElse(throw new NoSuchTableException(ident))
+        val rows = Snapshots.generationFileMeta(s, root, v)
+          .map { case (f, p, n) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(f),
+              if (p == null) null else UTF8String.fromString(p),
+              n.map(Long.box).orNull)): InternalRow
+          }.toArray
+        new GraftMetaTable(qualified, GraftMetaTables.FilesSchema, rows)
+      case _ => throw new NoSuchTableException(ident)
+    }
   }
 
   private def rootOf(ident: Identifier): String = {
@@ -213,20 +274,130 @@ private[v2] object GraftSnapshotTable {
             "(or compact with optimizePartitioned)")
         Map("basePath" -> roots.head)
       }
-    new GraftSnapshotTable(tableName,
+    new GraftSnapshotTable(tableName, root,
       ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(options.asJava),
         files.toIndexedSeq, stored, classOf[ParquetFileFormat]))
   }
 }
 
+/** The resolved snapshot as a V2 table. Reads plan file-exact through
+  * Spark's own parquet table; WRITES route through the snapshot verbs
+  * via the V1Write bridge — `INSERT INTO` is [[Snapshots.commit]] with
+  * `append = true` (an O(delta) manifest append, reconciled against
+  * racing committers, constraints/generated columns enforced inside
+  * the write job) and `INSERT OVERWRITE` is the replace commit. Either
+  * way the table's history stays time-travelable — a SQL writer gets
+  * the full lakehouse contract, never a bare directory write. */
 private[v2] class GraftSnapshotTable(
     tableName: String,
-    delegate: ParquetTable) extends Table with SupportsRead {
+    root: String,
+    delegate: ParquetTable) extends Table with SupportsRead
+    with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(o)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(tableName, root, overwrite = false)
+}
+
+/** `INSERT INTO` → append commit; `INSERT OVERWRITE` (Spark plans it
+  * as truncate + insert on a table with no overwrite-by-filter) →
+  * replace commit. The commit itself claims the version, reconciles
+  * racers, and enforces the table's governing constraints/generated
+  * columns ([[Snapshots.commit]]'s contract); SQL inserts carry no
+  * logical commit stamp, so a table whose timeline is addressed by
+  * TIMESTAMP AS OF should ingest through the stamped function verbs.
+  * A hive-partitioned head refuses: a flat SQL append would mix
+  * layouts under the single-basePath SQL read — route to
+  * [[Snapshots.commitPartitioned]]. */
+private[v2] class GraftWriteBuilder(
+    tableName: String,
+    root: String,
+    overwrite: Boolean) extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(tableName, root, overwrite = true)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: Dataset[Row], ignored: Boolean): Unit = {
+          val s = data.sparkSession
+          if (!overwrite)
+            Snapshots.latestVersion(s, root).foreach { head =>
+              val (rows, _) = Snapshots.generationFiles(s, root, head)
+              require(rows.forall(_._2 == null),
+                s"INSERT INTO $tableName: the head generation is " +
+                  "hive-partitioned — a flat SQL append would mix " +
+                  "layouts under the SQL scan's single basePath; " +
+                  "ingest through Snapshots.commitPartitioned (or " +
+                  "INSERT OVERWRITE to replace the layout)")
+            }
+          Snapshots.commit(s, data.toDF(), root, append = !overwrite)
+        }
+      }
+  }
+}
+
+private[v2] object GraftMetaTables {
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("commit_ts", LongType, nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("partition", StringType, nullable = true),
+    StructField("n_rows", LongType, nullable = true)))
+}
+
+/** A driver-materialized metadata relation (`history`/`files`): the
+  * rows are metadata-scale by construction — O(generations) for the
+  * timeline, O(files of v) for a generation's file list — so ONE
+  * in-memory partition is the honest plan; no data file is ever
+  * opened. */
+private[v2] class GraftMetaTable(
+    tableName: String,
+    metaSchema: StructType,
+    rows: Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = metaSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftMetaScan(metaSchema, rows)
+    }
+}
+
+private[v2] class GraftMetaScan(
+    metaSchema: StructType,
+    rows: Array[InternalRow]) extends Scan with Batch {
+  override def readSchema(): StructType = metaSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftMetaPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftMetaReaderFactory
+}
+
+private[v2] case class GraftMetaPartition(rows: Array[InternalRow])
+    extends InputPartition
+
+private[v2] class GraftMetaReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[GraftMetaPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
 }

@@ -162,4 +162,113 @@ class GraftCatalogSpec extends SparkSuite {
       Snapshots.latestVersion(spark, tbl).get).count() == 7L,
       "DROP TABLE unregisters the name; the data is untouched")
   }
+
+  test("INSERT INTO is an append commit; INSERT OVERWRITE a replace — " +
+    "both mint manifest generations, history stays time-travelable") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/w"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      tbl, append = false)
+    Catalog.register(spark, root, "w", tbl)
+
+    spark.sql(s"INSERT INTO $cat.w VALUES (2, 'b'), (3, 'c')")
+    assert(Snapshots.latestVersion(spark, tbl).contains(1L),
+      "INSERT INTO must mint ONE append generation")
+    assert(spark.sql(s"SELECT id FROM $cat.w ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT id FROM $cat.w VERSION AS OF 0")
+      .as[Long].collect().toSeq == Seq(1L),
+      "the pre-insert face must stay time-travelable")
+    // the append SHARES the parent's files (O(delta), nothing rewritten)
+    val v0Files = Snapshots.readAsOf(spark, tbl, 0L).inputFiles.toSet
+    val v1Files = Snapshots.readAsOf(spark, tbl, 1L).inputFiles.toSet
+    assert(v0Files.subsetOf(v1Files),
+      "INSERT INTO must carry the parent's files as pointers")
+
+    spark.sql(s"INSERT OVERWRITE $cat.w VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT id, v FROM $cat.w")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(spark.sql(s"SELECT id FROM $cat.w VERSION AS OF 1 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L),
+      "the replaced face must stay time-travelable")
+  }
+
+  test("SQL inserts run under the table's governing constraints; a " +
+    "violating INSERT refuses before anything publishes") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/c"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("id", "amt"),
+      tbl, append = false)
+    Snapshots.addConstraint(spark, tbl, "amt_pos", "amt > 0")
+    Catalog.register(spark, root, "c", tbl)
+    val head = Snapshots.latestVersion(spark, tbl).get
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.c VALUES (2, -5)"))
+    assert(e.getMessage.contains("amt_pos") ||
+      e.getCause != null && e.getCause.getMessage.contains("amt_pos"),
+      s"the constraint must refuse the SQL insert by name: $e")
+    assert(Snapshots.latestVersion(spark, tbl).contains(head),
+      "a refused INSERT must not publish a generation")
+    spark.sql(s"INSERT INTO $cat.c VALUES (2, 5)")
+    assert(spark.sql(s"SELECT sum(amt) FROM $cat.c").as[Long].head() == 15L)
+  }
+
+  test("INSERT INTO a hive-partitioned head refuses toward " +
+    "commitPartitioned — a flat append would break the SQL read") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/pw"
+    Snapshots.init(spark, tbl)
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"), tbl, "day",
+      append = false)
+    Catalog.register(spark, root, "pw", tbl)
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.pw VALUES (3, 'd1')"))
+    assert(e.getMessage.contains("commitPartitioned") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("commitPartitioned"),
+      s"partitioned heads must refuse flat SQL appends: $e")
+  }
+
+  test("metadata tables: <t>.history serves the commit timeline and " +
+    "<t>.files the generation's manifest list — no data file opened") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/m"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      tbl, append = false, ts = Some(100L))
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"),
+      tbl, append = true, ts = Some(200L))
+    Catalog.register(spark, root, "m", tbl)
+
+    val hist = spark.sql(
+      s"SELECT version, commit_ts, n_rows FROM $cat.m.history " +
+        "ORDER BY version").as[(Long, Long, Long)].collect().toSeq
+    assert(hist == Seq((0L, 100L, 2L), (1L, 200L, 3L)),
+      s"history must carry (version, stamp, row count): $hist")
+
+    def norm(f: String): String =
+      new org.apache.hadoop.fs.Path(f).toUri.getPath
+    val headFiles = spark.sql(s"SELECT file FROM $cat.m.files")
+      .as[String].collect().toSet.map(norm)
+    assert(headFiles == Snapshots.readAsOf(spark, tbl, 1L)
+      .inputFiles.toSet.map(norm),
+      "files must list exactly the head generation's manifest files")
+    val v0Files = spark.sql(
+      s"SELECT file FROM $cat.m.files VERSION AS OF 0")
+      .as[String].collect().toSet.map(norm)
+    assert(v0Files.subsetOf(headFiles) && v0Files.size < headFiles.size,
+      "files VERSION AS OF must serve that generation's list")
+    assert(spark.sql(s"SELECT sum(n_rows) FROM $cat.m.files")
+      .as[Long].head() == 3L,
+      "manifest footer counts must ride the files face")
+    // time travel does not address the timeline itself
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.m.history VERSION AS OF 0")
+        .collect())
+    assert(e.getMessage.contains("timeline") ||
+      e.getCause != null && e.getCause.getMessage.contains("timeline"))
+  }
 }
