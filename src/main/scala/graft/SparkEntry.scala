@@ -1101,6 +1101,84 @@ object SparkEntry {
            |GROUP BY user_id ORDER BY user_id""".stripMargin)
     }),
 
+    "q72_sql_call" -> ((s, dir) => {
+      // SQL-DRIVEN MAINTENANCE (Spark 4's native CALL + a
+      // ProcedureCatalog, the Iceberg `CALL catalog.system.*` shape):
+      // a two-commit table compacts layout-preservingly through
+      // `CALL system.optimize`, then expires its pre-compaction
+      // history through `CALL system.vacuum` — the whole maintenance
+      // loop from plain SQL, no library call. The procedures report
+      // their actions as rows (version minted / files deleted,
+      // require-pinned); the oracle is the table rollup — maintenance
+      // may move bytes, never values. Fresh catalog name + root per
+      // invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlcall_").toString
+      val tbl = s"$root/storage/sc"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        tbl, append = true)
+      Catalog.register(s, root, "sc", tbl)
+      val cat = s"gcall${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val opt = s.sql(s"CALL $cat.system.optimize('sc')").collect()
+      require(opt.length == 1 && opt.head.getLong(1) == 2L,
+        "CALL optimize must mint the compaction version")
+      val vac = s.sql(s"CALL $cat.system.vacuum('sc', 2)").collect()
+      require(vac.head.getLong(1) >= 1L,
+        "CALL vacuum must delete the expired versions' files")
+      s.sql(
+        s"""SELECT user_id,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.sc
+           |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    "q73_sql_ctas" -> ((s, dir) => {
+      // atomic CTAS (StagingTableCatalog): CREATE TABLE AS SELECT
+      // births a snapshot table — the query result commits as version
+      // 0 of a fresh root under the catalog's own storage/, and the
+      // NAME registration is the publish point (abort deletes the
+      // staged root; readers can never see a half-created table — the
+      // WAP argument at DDL scope). The born table carries the full
+      // snapshot contract from birth: INSERT INTO appends a
+      // generation, VERSION AS OF 0 still answers the CTAS face
+      // (require-pinned). Oracle: the same per-type rollup computed
+      // straight from events. Fresh catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlctas_").toString
+      Snapshots.init(s, root)
+      val cat = s"gctas${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .createOrReplaceTempView("q73_ctas_src")
+      s.sql(s"CREATE TABLE $cat.born AS " +
+        "SELECT * FROM q73_ctas_src WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO $cat.born " +
+        "SELECT * FROM q73_ctas_src WHERE event_id % 2 = 1")
+      require(s.sql(s"SELECT count(*) FROM $cat.born VERSION AS OF 0")
+        .collect().head.getLong(0) <
+        s.sql(s"SELECT count(*) FROM $cat.born")
+          .collect().head.getLong(0),
+        "the CTAS face must stay time-travelable below the insert")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.born
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     "q71_sql_meta" -> ((s, dir) => {
       // SQL METADATA TABLES (the Iceberg shape): one extra identifier
       // part under a registered name serves the commit timeline —
@@ -6313,6 +6391,24 @@ object SparkEntry {
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
           |  AS sum_cents
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // maintenance may only move bytes: the post-optimize,
+      // post-vacuum face is still the whole-table rollup
+      "q72_sql_call" ->
+        """SELECT user_id,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // CTAS era + INSERT era together are the whole events table;
+      // the rollup is engine-portable exact-cents arithmetic
+      "q73_sql_ctas" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // the history face recomputed from the slices: append
       // generations carry their parent's files, so row counts are

@@ -9,9 +9,10 @@ import org.apache.spark.sql.{Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -57,8 +58,24 @@ import graft.operators.{Catalog, Snapshots}
   * catalog adopts existing roots, it never owns data — matching
   * [[Catalog.dropTable]]); renames re-point the name. `CREATE TABLE`
   * refuses — tables are born from [[Snapshots.commit]] and adopted
-  * via [[Catalog.register]]. */
-class GraftCatalog extends TableCatalog {
+  * via [[Catalog.register]].
+  *
+  * MAINTENANCE runs from SQL too (the Iceberg `CALL` shape, Spark 4's
+  * native stored-procedure surface): `CALL graft.system.optimize('t')`
+  * compacts layout-preservingly, `system.vacuum` expires versions,
+  * `system.rollback` reverts a head, `system.remove_orphans` reclaims
+  * crash debris, and `system.maintain()` executes the whole fleet
+  * sweep — each returning its action report as rows.
+  *
+  * `CREATE TABLE ... AS SELECT` IS allowed (unlike bare CREATE — a
+  * CTAS-born table has a first commit): the staged-table protocol
+  * writes the query result as version 0 of a fresh root under the
+  * catalog's own `storage/`, and the NAME registration is the publish
+  * point — a failed CTAS aborts by deleting the staged root, and
+  * readers can never see a half-created table (the WAP argument at
+  * DDL scope). */
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catName: String = "graft"
   private var catalogRoot: String = _
@@ -189,9 +206,37 @@ class GraftCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      s"CREATE TABLE on catalog '$catName': graft tables are born from " +
-        "Snapshots.commit and adopted by name via Catalog.register — " +
-        "the SQL catalog never owns data placement")
+      s"CREATE TABLE on catalog '$catName': a bare CREATE has no first " +
+        "commit — graft tables are born from Snapshots.commit (or " +
+        "CREATE TABLE ... AS SELECT) and adopted by name via " +
+        "Catalog.register")
+
+  /** Atomic CTAS: stage a fresh root under the catalog's `storage/`,
+    * let the query result commit as version 0, and make the NAME
+    * registration the publish point — abort deletes the staged root,
+    * so readers never see a half-created table. */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    requireFlatNs(ident.namespace)
+    require(partitions.isEmpty,
+      s"CTAS PARTITIONED BY on catalog '$catName': partitioned snapshot " +
+        "tables are born from Snapshots.commitPartitioned and adopted " +
+        "via Catalog.register")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val root = s"$catalogRoot/storage/${ident.name}"
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!f.exists(p),
+      s"CTAS $catName.${ident.name}: placement $root already exists " +
+        "(crashed-CTAS debris, or an unregistered table) — remove it, " +
+        "or adopt it explicitly via Catalog.register")
+    Snapshots.init(spark, root)
+    new GraftStagedTable(s"$catName.${ident.name}", ident.name, root,
+      catalogRoot, schema)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -216,6 +261,161 @@ class GraftCatalog extends TableCatalog {
     val e = all(from.name)
     Catalog.register(spark, catalogRoot, to.name, e.root, e.props)
     Catalog.dropTable(spark, catalogRoot, from.name)
+  }
+
+  // ------------------------------------------------- system procedures
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Ns))
+      GraftProcedures.Names
+        .map(Identifier.of(GraftProcedures.Ns, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(GraftProcedures.Ns) &&
+      GraftProcedures.Names.contains(ident.name),
+      s"catalog '$catName' has no procedure " +
+        s"${(ident.namespace :+ ident.name).mkString(".")} — known: " +
+        GraftProcedures.Names.map(n => s"system.$n").mkString(", "))
+    GraftProcedures.load(ident.name, catName, catalogRoot,
+      n => rootOf(Identifier.of(Array.empty[String], n)))
+  }
+}
+
+/** The `system.*` stored procedures (Spark 4's native `CALL` surface,
+  * the Iceberg procedure shape): the snapshot layer's maintenance
+  * verbs reachable from plain SQL, each returning its action report as
+  * rows through the same metadata-scale in-memory scan the metadata
+  * tables use. All procedures are non-deterministic by contract (they
+  * commit). */
+private[v2] object GraftProcedures {
+
+  val Ns: Array[String] = Array("system")
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "rollback", "remove_orphans", "maintain")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def str(v: String): Any = UTF8String.fromString(v)
+
+  def load(
+      name: String,
+      catName: String,
+      catalogRoot: String,
+      rootOf: String => String): UnboundProcedure = name match {
+
+    case "optimize" =>
+      // layout-preserving compaction: partitioned heads stay one file
+      // per partition, stats/Z-order/Hilbert heads re-cluster on their
+      // sidecar's own keys, bloom heads rebuild their index
+      new Proc("optimize",
+        "Compact the table's head layout-preservingly " +
+          "(Snapshots.optimizePreserving); returns the minted version",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_bytes", LongType)
+            .defaultValue((128L << 20).toString).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val v = Snapshots.optimizePreserving(spark, rootOf(t),
+            in.getLong(1))
+          Array(new GenericInternalRow(Array[Any](str(t), v)))
+        }
+      }
+
+    case "vacuum" =>
+      new Proc("vacuum",
+        "Expire versions below keep_from and delete exactly the files " +
+          "no retained generation references; returns the delete count",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_from", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("deleted_files", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val n = Snapshots.vacuum(spark, rootOf(t), in.getLong(1))
+          Array(new GenericInternalRow(Array[Any](str(t), n)))
+        }
+      }
+
+    case "rollback" =>
+      new Proc("rollback",
+        "Revert the table's head to a past version as a metadata-only " +
+          "commit (the botch stays AS OF-readable); returns the new head",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("to_version", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val v = Snapshots.rollback(spark, rootOf(t), in.getLong(1))
+          Array(new GenericInternalRow(Array[Any](str(t), v)))
+        }
+      }
+
+    case "remove_orphans" =>
+      new Proc("remove_orphans",
+        "Delete data files referenced by NO manifest generation and " +
+          "older than the safety window (crash debris); returns the count",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("deleted_files", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val n = Snapshots.removeOrphans(spark, rootOf(t), in.getLong(1))
+          Array(new GenericInternalRow(Array[Any](str(t), n)))
+        }
+      }
+
+    case "maintain" =>
+      new Proc("maintain",
+        "Execute the catalog's whole maintenance sweep " +
+          "(Catalog.maintain): compact pressured tables, vacuum past " +
+          "retention; returns the per-table action report",
+        Array(
+          ProcedureParameter.in("target_bytes", LongType)
+            .defaultValue((128L << 20).toString).build()),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("action", StringType, nullable = false),
+          StructField("detail", StringType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] =
+          Catalog.maintain(spark, catalogRoot, in.getLong(0))
+            .orderBy("name", "action").collect().map { r =>
+              new GenericInternalRow(Array[Any](
+                str(r.getString(0)), str(r.getString(1)),
+                str(r.getString(2)))): InternalRow
+            }
+      }
+  }
+
+  /** One class per procedure is noise — the shared shape: unbound =
+    * bound (the parameters are static), the result rides ONE
+    * metadata-scale in-memory scan. */
+  private abstract class Proc(
+      procName: String,
+      desc: String,
+      params: Array[ProcedureParameter],
+      out: StructType) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Array[InternalRow]
+    override def call(input: InternalRow): util.Iterator[Scan] =
+      util.Collections.singletonList[Scan](
+        new GraftMetaScan(out, run(input))).iterator()
   }
 }
 
@@ -344,6 +544,46 @@ private[v2] class GraftWriteBuilder(
   }
 }
 
+/** The CTAS staging table: the query result commits as version 0 of
+  * the staged root (full snapshot contract from birth); the name
+  * registration in [[GraftStagedTable.commitStagedChanges]] is the
+  * atomic publish point. */
+private[v2] class GraftStagedTable(
+    tableName: String,
+    regName: String,
+    root: String,
+    catalogRoot: String,
+    ctasSchema: StructType) extends StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+  override def schema(): StructType = ctasSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: Dataset[Row], o: Boolean): Unit =
+              Snapshots.commit(data.sparkSession, data.toDF(), root,
+                append = false)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    Catalog.register(spark, catalogRoot, regName, root)
+
+  override def abortStagedChanges(): Unit = {
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+  }
+}
+
 private[v2] object GraftMetaTables {
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -375,13 +615,17 @@ private[v2] class GraftMetaTable(
     }
 }
 
+/** Both a `LocalScan` (what `CALL` procedure output requires — the
+  * rows are already on the driver) and a `Batch` (what a table read
+  * plans through); same rows either way. */
 private[v2] class GraftMetaScan(
     metaSchema: StructType,
-    rows: Array[InternalRow]) extends Scan with Batch {
+    metaRows: Array[InternalRow]) extends LocalScan with Batch {
   override def readSchema(): StructType = metaSchema
+  override def rows(): Array[InternalRow] = metaRows
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftMetaPartition(rows))
+    Array(GraftMetaPartition(metaRows))
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMetaReaderFactory
 }

@@ -271,4 +271,82 @@ class GraftCatalogSpec extends SparkSuite {
     assert(e.getMessage.contains("timeline") ||
       e.getCause != null && e.getCause.getMessage.contains("timeline"))
   }
+
+  test("CTAS births a snapshot table atomically — the name " +
+    "registration is the publish point; bare CREATE and duplicate " +
+    "CTAS refuse") {
+    val (cat, root) = freshCatalog()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $cat.born AS SELECT * FROM ctas_src")
+    assert(spark.sql(s"SELECT id FROM $cat.born ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // the born table has the FULL snapshot contract from version 0
+    spark.sql(s"INSERT INTO $cat.born VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT id FROM $cat.born VERSION AS OF 0 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L),
+      "a CTAS-born table must time-travel like any snapshot table")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.born").as[Long].head() == 3L)
+    // CTAS onto an existing name refuses (no silent replace)
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.born AS SELECT * FROM ctas_src"))
+    // bare CREATE refuses — no first commit to stage
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.bare (id BIGINT) USING parquet"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("AS SELECT") || msgs.contains("first commit"),
+      s"bare CREATE must refuse toward CTAS/register: $msgs")
+  }
+
+  test("CALL system.optimize/rollback/vacuum/maintain: the maintenance " +
+    "verbs run from SQL and report their actions as rows") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/sp"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      tbl, append = false)
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"),
+      tbl, append = true)
+    Catalog.register(spark, root, "sp", tbl)
+
+    // optimize (positional arg; target_bytes rides its DEFAULT)
+    val opt = spark.sql(s"CALL $cat.system.optimize('sp')").collect()
+    assert(opt.length == 1 && opt.head.getString(0) == "sp")
+    val vOpt = opt.head.getLong(1)
+    assert(Snapshots.latestVersion(spark, tbl).contains(vOpt))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sp").as[Long].head() == 3L,
+      "compaction may only move bytes")
+
+    // rollback by named args (Spark's CALL supports both)
+    val rb = spark.sql(
+      s"CALL $cat.system.rollback(table => 'sp', to_version => 0)")
+      .collect()
+    assert(rb.head.getLong(1) > vOpt, "rollback mints a NEW head")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sp").as[Long].head() == 2L,
+      "the head must answer the rolled-back face")
+
+    // vacuum everything below the rollback head
+    val keep = Snapshots.latestVersion(spark, tbl).get
+    val vac = spark.sql(
+      s"CALL $cat.system.vacuum('sp', $keep)").collect()
+    assert(vac.head.getLong(1) >= 1L,
+      "expiring the pre-rollback history must delete files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sp").as[Long].head() == 2L)
+
+    // the fleet sweep runs and reports (a healthy fleet = no actions)
+    val mt = spark.sql(s"CALL $cat.system.maintain()")
+    assert(mt.columns.toSeq == Seq("name", "action", "detail"))
+    assert(!mt.collect().exists(_.getString(1) == "refused"),
+      "a healthy fleet sweep must not refuse")
+
+    // unknown procedures refuse loudly (Spark wraps the loader error
+    // as FAILED_TO_LOAD_ROUTINE; our known-set message is the cause)
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.ghost('sp')"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("system.optimize"),
+      s"unknown procedure must name the known set: $msgs")
+  }
 }
