@@ -1141,6 +1141,42 @@ object SparkEntry {
            |GROUP BY user_id ORDER BY user_id""".stripMargin)
     }),
 
+    "q74_sql_delete" -> ((s, dir) => {
+      // the merge-on-read DELETE loop entirely from SQL: DELETE FROM
+      // is a deletion-vector commit (zero data files rewritten,
+      // require-pinned via the version count — one metadata
+      // generation), the DV-governed face then refuses SQL scans
+      // toward CALL system.optimize, and the compaction restores the
+      // SQL face minus the subjects. Oracle: the surviving rows'
+      // rollup. Fresh catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqldel_").toString
+      val tbl = s"$root/storage/del"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Catalog.register(s, root, "del", tbl)
+      val cat = s"gdel${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // the predicate must translate to source filters (attribute
+      // comparisons/IN/AND/OR — Spark's DELETE pushdown contract);
+      // expression predicates route to Snapshots.deleteWhere
+      s.sql(s"DELETE FROM $cat.del WHERE user_id <= 30")
+      require(Snapshots.latestVersion(s, tbl).contains(1L),
+        "DELETE FROM must mint exactly one metadata generation")
+      s.sql(s"CALL $cat.system.optimize('del')")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.del
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     "q73_sql_ctas" -> ((s, dir) => {
       // atomic CTAS (StagingTableCatalog): CREATE TABLE AS SELECT
       // births a snapshot table — the query result commits as version
@@ -6400,6 +6436,17 @@ object SparkEntry {
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
           |  AS sum_cents
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // the post-delete, post-optimize face = the even era minus the
+      // deleted subjects
+      "q74_sql_delete" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events
+          |WHERE event_id % 2 = 0 AND user_id > 30
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // CTAS era + INSERT era together are the whole events table;
       // the rollup is engine-portable exact-cents arithmetic

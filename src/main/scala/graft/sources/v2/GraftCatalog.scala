@@ -9,14 +9,15 @@ import org.apache.spark.sql.{Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{Filter => SourceFilter, InsertableRelation}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -426,6 +427,39 @@ private[v2] object GraftSnapshotTable {
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
+  /** V1 source filters → Column predicates for the snapshot delete —
+    * None for shapes the translation doesn't cover (canDeleteWhere
+    * reports them untranslatable, so Spark falls back to an error
+    * instead of a silent partial delete). */
+  private[v2] def filterToColumn(f: SourceFilter): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   def resolve(
       spark: SparkSession,
       tableName: String,
@@ -435,22 +469,25 @@ private[v2] object GraftSnapshotTable {
     val files = rows.map(_._1)
     // honest-refusal guards: faces the plain parquet scan cannot
     // represent route to the function verbs instead of serving
-    // silently wrong rows
-    val dvDir = new Path(s"$root/_dv")
-    val fsys = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(dvDir)) {
-      val dirs = fsys.listStatus(dvDir).filter(_.isDirectory)
-        .map(_.getPath)
-        .flatMap(p => scala.util.Try(p.getName.stripPrefix("v").toLong)
-          .toOption.map(_ -> p.toString))
-        .filter(_._1 <= version)
-      dirs.sortBy(_._1).lastOption.foreach { case (_, dir) =>
-        val dvFiles = spark.read.parquet(dir).select("file").distinct()
-          .collect().map(r => norm(r.getString(0))).toSet
-        require(!files.exists(f => dvFiles.contains(norm(f))),
-          s"$tableName VERSION AS OF $version is governed by live " +
-            "deletion vectors — the SQL scan cannot apply them; read " +
-            "through Snapshots.readAsOf (or compact with optimize)")
+    // silently wrong rows. The deletion-vector check is EVALUATED here
+    // (metadata-scale) but ENFORCED at scan build — DML verbs (DELETE
+    // FROM, INSERT INTO) legitimately target a DV-governed table
+    // without ever scanning it through the SQL face.
+    val dvGoverned: Boolean = {
+      val dvDir = new Path(s"$root/_dv")
+      val fsys =
+        dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.exists(dvDir) && {
+        val dirs = fsys.listStatus(dvDir).filter(_.isDirectory)
+          .map(_.getPath)
+          .flatMap(p => scala.util.Try(p.getName.stripPrefix("v").toLong)
+            .toOption.map(_ -> p.toString))
+          .filter(_._1 <= version)
+        dirs.sortBy(_._1).lastOption.exists { case (_, dir) =>
+          val dvFiles = spark.read.parquet(dir).select("file").distinct()
+            .collect().map(r => norm(r.getString(0))).toSet
+          files.exists(f => dvFiles.contains(norm(f)))
+        }
       }
     }
     val cmap = Snapshots.colMapAsOf(spark, root, version)
@@ -474,7 +511,7 @@ private[v2] object GraftSnapshotTable {
             "(or compact with optimizePartitioned)")
         Map("basePath" -> roots.head)
       }
-    new GraftSnapshotTable(tableName, root,
+    new GraftSnapshotTable(tableName, root, version, dvGoverned,
       ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(options.asJava),
         files.toIndexedSeq, stored, classOf[ParquetFileFormat]))
@@ -486,23 +523,59 @@ private[v2] object GraftSnapshotTable {
   * via the V1Write bridge — `INSERT INTO` is [[Snapshots.commit]] with
   * `append = true` (an O(delta) manifest append, reconciled against
   * racing committers, constraints/generated columns enforced inside
-  * the write job) and `INSERT OVERWRITE` is the replace commit. Either
-  * way the table's history stays time-travelable — a SQL writer gets
-  * the full lakehouse contract, never a bare directory write. */
+  * the write job) and `INSERT OVERWRITE` is the replace commit.
+  * `DELETE FROM ... WHERE` is [[Snapshots.deleteWhere]] — a row-level
+  * delete as a METADATA commit (deletion vectors, zero rows
+  * rewritten); after it the head is DV-governed, so SQL SCANS refuse
+  * toward `CALL system.optimize` while further DML keeps working (the
+  * refusal is enforced at scan build, not table load, exactly so).
+  * Either way the table's history stays time-travelable — a SQL
+  * writer gets the full lakehouse contract, never a bare directory
+  * write. */
 private[v2] class GraftSnapshotTable(
     tableName: String,
     root: String,
+    version: Long,
+    dvGoverned: Boolean,
     delegate: ParquetTable) extends Table with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite with SupportsDelete {
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(o)
+    if (!dvGoverned) delegate.newScanBuilder(o)
+    else new ScanBuilder {
+      // DML planning (DELETE FROM's optimizer pass) builds a scan it
+      // never executes — so a DV-governed face refuses at EXECUTION
+      // (toBatch), not at plan construction
+      private val inner = delegate.newScanBuilder(o)
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = inner.build().readSchema()
+        override def toBatch: Batch = throw new IllegalArgumentException(
+          s"$tableName VERSION AS OF $version is governed by live " +
+            "deletion vectors — the SQL scan cannot apply them; read " +
+            "through Snapshots.readAsOf (or compact with CALL " +
+            "system.optimize)")
+      }
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableName, root, overwrite = false)
+
+  override def canDeleteWhere(filters: Array[SourceFilter]): Boolean =
+    filters.forall(f => GraftSnapshotTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[SourceFilter]): Unit = {
+    val preds = filters.map(f =>
+      GraftSnapshotTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE FROM $tableName: predicate $f is not translatable " +
+            "to the snapshot delete — use Snapshots.deleteWhere")))
+    val pred = preds.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshots.deleteWhere(SparkSession.active, root, pred)
+  }
 }
 
 /** `INSERT INTO` → append commit; `INSERT OVERWRITE` (Spark plans it

@@ -272,6 +272,43 @@ class GraftCatalogSpec extends SparkSuite {
       e.getCause != null && e.getCause.getMessage.contains("timeline"))
   }
 
+  test("DELETE FROM is a deletion-vector commit: zero rows rewritten, " +
+    "SQL scans refuse until optimize, further DML keeps working") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/del"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"), tbl,
+      append = false)
+    Catalog.register(spark, root, "del", tbl)
+    val v0Files = Snapshots.readAsOf(spark, tbl, 0L).inputFiles.toSet
+
+    spark.sql(s"DELETE FROM $cat.del WHERE id <= 3 OR v = 'r10'")
+    val head = Snapshots.latestVersion(spark, tbl).get
+    assert(head == 1L, "DELETE must mint one metadata generation")
+    // inputFiles also lists the _dv sidecar the anti-join reads —
+    // the DATA files must be exactly v0's (zero rewritten)
+    assert(Snapshots.readAsOf(spark, tbl, head).inputFiles.toSet
+      .filter(_.contains("/data/")) == v0Files,
+      "DELETE must rewrite ZERO data files (deletion vectors)")
+    assert(Snapshots.readAsOf(spark, tbl, head)
+      .select("id").as[Long].collect().sorted.toSeq == (4L to 9L))
+
+    // the DV-governed head refuses SQL SCANS (toward CALL optimize)...
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.del").collect())
+    assert(e.getMessage.contains("deletion vectors"))
+    // ...but further DML still works — a second DELETE composes, and
+    // an INSERT appends under the inherited vectors
+    spark.sql(s"DELETE FROM $cat.del WHERE id = 9")
+    spark.sql(s"INSERT INTO $cat.del VALUES (11, 'r11')")
+    // the whole loop closes from SQL: compact, then scan
+    spark.sql(s"CALL $cat.system.optimize('del')")
+    assert(spark.sql(s"SELECT id FROM $cat.del ORDER BY id")
+      .as[Long].collect().toSeq == Seq(4L, 5L, 6L, 7L, 8L, 11L),
+      "post-optimize the SQL face must serve the surviving rows")
+  }
+
   test("CTAS births a snapshot table atomically — the name " +
     "registration is the publish point; bare CREATE and duplicate " +
     "CTAS refuse") {
