@@ -4634,6 +4634,43 @@ object SparkEntry {
         .orderBy(col("face"), col("event_id"))
     }),
 
+    "ev_stream_table_feed" -> ((s, dir) => {
+      // the snapshot table as a STREAMING SOURCE — the other half of
+      // the lakehouse streaming loop (SnapshotStream is the sink):
+      // `readStream.format("graft-snapshot")` subscribes to a table,
+      // versions ARE the offsets, and each un-served append interval
+      // plans the manifest file-set difference of exactly two
+      // generations — O(delta) per micro-batch through Spark's own
+      // parquet reader, exactly-once across checkpointed restarts
+      // because manifests are immutable (SnapshotSourceSpec pins the
+      // restart, startingVersion, and the replace/DV/schema-change
+      // refusals). Three commits drain as the stream's full content;
+      // the oracle is the plain union. Fresh dirs + sink name per
+      // invocation (stateful checkpoint).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tablefeed_").toString
+      val tbl = s"$root/tbl"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 0),
+        tbl, append = false)
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 1),
+        tbl, append = true)
+      Snapshots.commit(s, ev.filter(col("event_id") % 3 === 2),
+        tbl, append = true)
+      val sink = s"tablefeed_${sqlCatN.incrementAndGet()}"
+      val q = s.readStream.format("graft-snapshot")
+        .option("path", tbl).load()
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("event_id"))
+    }),
+
     "ev_stream_snapshot_ingest" -> ((s, dir) => {
       // streaming ingest into the lakehouse table, exactly-once: each
       // micro-batch publishes one append generation stamped
@@ -6330,6 +6367,13 @@ object SparkEntry {
       // batch table — compaction/retention may move bytes, not values
       "ev_stream_ingest_maintained" ->
         """SELECT event_id, user_id, event_type,
+          | CAST(round(value*100,0) AS BIGINT) AS value_cents
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // a table FEED may only move bytes: the drained stream is the
+      // three committed slices, i.e. all events
+      "ev_stream_table_feed" ->
+        """SELECT event_id, event_type,
           | CAST(round(value*100,0) AS BIGINT) AS value_cents
           |FROM events ORDER BY event_id""".stripMargin,
 

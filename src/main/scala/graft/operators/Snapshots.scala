@@ -1760,6 +1760,18 @@ object Snapshots {
     * by deletes); the guard for verbs whose answers would silently go
     * wrong under live row-level deletes. Dead entries (files already
     * replaced or compacted away) don't count. */
+  /** True when ANY deletion-vector sidecar entry (any generation, live
+    * or expired-but-undeleted) touches one of `files` — the
+    * conservative gate the streaming table feed uses: a stream scan
+    * cannot anti-join vectors mid-flight, and over-refusing a dead
+    * entry is safe where under-refusing a live one replays deleted
+    * rows. */
+  private[graft] def dvEntriesTouch(
+      spark: SparkSession,
+      tablePath: String,
+      files: Seq[String]): Boolean =
+    liveDvEntriesExist(spark, tablePath, files)
+
   private def liveDvEntriesExist(
       spark: SparkSession,
       tablePath: String,

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Snapshots
+
+/** The snapshot table as a STREAMING SOURCE
+  * ([[graft.sources.v2.GraftSnapshotStreamSource]]): versions are the
+  * offsets, each append commit arrives as one O(delta) micro-batch,
+  * exactly-once across checkpointed restarts, with the honest refusals
+  * (replace lineage, deletion vectors, partitioned fresh files,
+  * mid-stream schema change). */
+class SnapshotSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private var n = 0
+  private def fresh(): (String, String, String) = {
+    val root = Files.createTempDirectory("snapsrc_").toString
+    n += 1
+    (s"$root/tbl", s"$root/cp", s"$root/out")
+  }
+
+  /** Drain to a PARQUET sink (the memory sink refuses checkpoint
+    * recovery, and restart semantics are exactly what this spec
+    * tests). */
+  private def drainOnce(tbl: String, cp: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", tbl).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def drained(out: String): Seq[(Long, String)] =
+    spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+
+  test("versions are offsets: the head serves as the first batch, each " +
+    "append as one delta batch, replays are exactly-once across a " +
+    "checkpointed restart") {
+    val (tbl, cp, out) = fresh()
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      tbl, append = false)
+    drainOnce(tbl, cp, out)
+    assert(drained(out) == Seq((1L, "a"), (2L, "b")))
+
+    // two appends while the stream is DOWN: the restart serves exactly
+    // the un-served delta, never re-delivering the first batch
+    Snapshots.commit(spark, Seq((3L, "c")).toDF("id", "v"),
+      tbl, append = true)
+    Snapshots.commit(spark, Seq((4L, "d")).toDF("id", "v"),
+      tbl, append = true)
+    drainOnce(tbl, cp, out)
+    assert(drained(out) ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "the delta must arrive exactly once")
+    // an idle restart delivers nothing
+    drainOnce(tbl, cp, out)
+    assert(drained(out).size == 4)
+  }
+
+  test("startingVersion skips the history at or below it") {
+    val (tbl, cp, out) = fresh()
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      tbl, append = false)
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"),
+      tbl, append = true)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", tbl).option("startingVersion", "0").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(drained(out) == Seq((2L, "b")),
+      "only versions ABOVE startingVersion may be served")
+  }
+
+  test("a replace in the un-served interval refuses loudly; deletion " +
+    "vectors on fresh files refuse; a mid-stream schema change refuses") {
+    val (tbl, cp, out) = fresh()
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      tbl, append = false)
+    drainOnce(tbl, cp, out)
+    Snapshots.optimize(spark, tbl, 1L << 30) // replace lineage
+    val e = intercept[Exception](drainOnce(tbl, cp, out))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("append lineage"), s"got: $msgs")
+
+    // deletion vectors: fresh files carrying DV entries cannot stream
+    val (tbl2, cp2, out2) = fresh()
+    Snapshots.init(spark, tbl2)
+    Snapshots.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      tbl2, append = false)
+    Snapshots.deleteWhere(spark, tbl2, col("id") === 1L)
+    val e2 = intercept[Exception](drainOnce(tbl2, cp2, out2))
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs2.contains("deletion vectors"), s"got: $msgs2")
+  }
+}
