@@ -129,6 +129,35 @@ class MirrorSpec extends SparkSuite {
       Snapshots.latestVersion(spark, src))
   }
 
+  test("a mirror poll's manifest cost is bounded by the generation, " +
+    "not the history") {
+    val (src, dst) = freshPair()
+    Snapshots.commit(spark, Seq((1L, "r1")).toDF("id", "v"),
+      src, append = false)
+    (2L to 9L).foreach(i => Snapshots.commit(spark,
+      Seq((i, s"r$i")).toDF("id", "v"), src, append = true))
+    assert(Mirror.mirrorAppends(spark, src, dst).nonEmpty) // seed
+    Snapshots.commit(spark, Seq((10L, "r10")).toDF("id", "v"),
+      src, append = true)
+    val m0 = Snapshots.manifestReads.get
+    val r0 = Snapshots.manifestRowsCollected.get
+    assert(Mirror.mirrorAppends(spark, src, dst).nonEmpty)
+    val reads = Snapshots.manifestReads.get - m0
+    // offset resolve (timeline meta: O(generations) ROWS but version+
+    // stamp only), interval endpoints, the append commit's own
+    // reconciliation — all version-bounded reads; the poll must never
+    // mergeSchema-scan the whole per-file history
+    assert(reads <= 8,
+      s"a mirror poll took $reads manifest reads — expected a " +
+        "constant-bounded resolution")
+    val rows = Snapshots.manifestRowsCollected.get - r0
+    assert(rows <= 60,
+      s"a mirror poll collected $rows manifest rows over a 10-version/" +
+        "10-file table — history-times-files resolution would dominate " +
+        "at scale")
+    assert(rowsOf(dst) == (1L to 10L).map(i => (i, s"r$i")))
+  }
+
   test("crashed poll replays exactly-once: a claim burned between the " +
     "data write and the publish leaves the offset unmoved, and the " +
     "retry ships the same delta once") {
