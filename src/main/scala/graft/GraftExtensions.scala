@@ -189,6 +189,21 @@ object GraftExtensions {
           val bits = litInt("z_value", "bits", children(2))
           expr(graft.operators.Layout.zValue2(
             col(children.head), col(children(1)), bits))
+        }),
+      (
+        new FunctionIdentifier("hilbert_index"),
+        info("hilbert_index", "math_funcs",
+          "hilbert_index(keys, bits) - Hilbert-curve index of an " +
+            "array<long> of N non-negative keys, each already in " +
+            "[0, 2^bits) (bits a literal; N*bits <= 63): consecutive " +
+            "indexes are grid-ADJACENT, the locality refinement over " +
+            "the Morton interleave that keeps per-file bounding " +
+            "rectangles compact as the key count grows."),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "hilbert_index takes exactly 2 arguments")
+          val bits = litInt("hilbert_index", "bits", children(1))
+          graft.functions.HilbertIndex(children.head, bits)
         }))
 
   /** Register into an already-built session (tests, notebooks). */

@@ -296,6 +296,28 @@ class PlanSpec extends SparkSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("hilbert_index available from SQL, equal to the Column API; " +
+    "bits must be a literal") {
+    GraftExtensions.register(spark)
+    // 2-D, 2 bits: the curve visits (0,0)->(1,0)->(1,1)->(0,1) in the
+    // first quadrant — index of (0,1) is 3 (LayoutSpec pins the full
+    // grid walk; this pins the SQL reach)
+    val viaSql = spark.sql(
+      "SELECT hilbert_index(array(0L, 1L), 2) AS h").collect().head
+    val viaApi = spark.range(1).select(
+      graft.operators.Layout.hilbertValueN(
+        Seq(org.apache.spark.sql.functions.lit(0L),
+          org.apache.spark.sql.functions.lit(1L)), 2).as("h"))
+      .collect().head
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT hilbert_index(array(1L, 2L), cast(rand() * 4 as int))")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("vec_quantize_int8 available from SQL, equal to the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._
