@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MV redirection (graft.plans.MvRewrite): a no-op until a view is
     // registered, gated by spark.graft.mv.rewrite
     ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // SQL UPDATE / MERGE INTO for graft catalog tables: the resolved
+    // DML plans route onto the snapshot layer's file-exact
+    // copy-on-write verbs (graft.plans.GraftDml)
+    ext.injectResolutionRule(_ => graft.plans.GraftDmlRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
   }
 }
 

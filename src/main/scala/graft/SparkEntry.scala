@@ -1177,6 +1177,183 @@ object SparkEntry {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    "q75_sql_update" -> ((s, dir) => {
+      // SQL row-level UPDATE as FILE-EXACT copy-on-write
+      // (graft.plans.GraftDmlRule → Snapshots.updateWhere): one
+      // predicate-pushed pass finds the files containing a matching
+      // row, ONLY those rewrite (require-pinned via manifest file
+      // sharing — the table is range-laid-out on the predicate key, so
+      // the blast radius is a file subset, the 100-TB shape), carried
+      // rows byte-equal, history stays below. Oracle: the CASE WHEN
+      // face of the same update. Fresh catalog name + root per
+      // invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlupd_").toString
+      val tbl = s"$root/storage/u"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+        .repartitionByRange(8, col("user_id"))
+      val v0 = Snapshots.commit(s, ev, tbl, append = false)
+      Catalog.register(s, root, "u", tbl)
+      val cat = s"gupd${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"UPDATE $cat.u SET value_cents = value_cents + 100000, " +
+        "event_type = 'boosted' WHERE user_id <= 25")
+      val v1 = Snapshots.latestVersion(s, tbl).get
+      require(v1 == v0 + 1,
+        "SQL UPDATE must mint exactly one generation")
+      val shared = Snapshots.generationFiles(s, tbl, v0)._1.map(_._1).toSet
+        .intersect(Snapshots.generationFiles(s, tbl, v1)._1.map(_._1).toSet)
+      require(shared.nonEmpty,
+        "file-exact UPDATE must repoint the untouched range files " +
+          "verbatim — a whole-table rewrite shared nothing")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.u
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    "q76_sql_merge" -> ((s, dir) => {
+      // ANSI MERGE INTO from SQL (GraftDmlRule → Snapshots.mergeInto):
+      // matched targets update from the source, unmatched source rows
+      // insert, in ONE reconciled commit with the ANSI cardinality
+      // check riding the verb. Target = the even-id era; source = the
+      // %3 rows carrying value_cents+7. Oracle: the union face of the
+      // same merge. Fresh catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlmrg_").toString
+      val tbl = s"$root/storage/mg"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Catalog.register(s, root, "mg", tbl)
+      val cat = s"gmrg${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value_cents", col("value_cents") + 7)
+        .createOrReplaceTempView("q76_merge_src")
+      s.sql(
+        s"""MERGE INTO $cat.mg AS tgt USING q76_merge_src AS src
+           |ON tgt.event_id = src.event_id
+           |WHEN MATCHED THEN UPDATE SET value_cents = src.value_cents * 2
+           |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type,
+           |  value_cents) VALUES (src.event_id, src.user_id,
+           |  src.event_type, src.value_cents)""".stripMargin)
+      require(Snapshots.latestVersion(s, tbl).contains(v0 + 1),
+        "SQL MERGE must mint exactly one generation")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.mg
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    "q77_sql_tag" -> ((s, dir) => {
+      // TAGS — named version pointers (the Iceberg tag shape): a
+      // human-stable time-travel address (`VERSION AS OF 'baseline'`)
+      // that doubles as a RETENTION PIN — `CALL system.expire_snapshots`
+      // REFUSES while a tag pins an expiring version (require-pinned),
+      // and proceeds once the tag drops. The `.tags` metadata table
+      // serves the live listing from metadata alone. Oracle: the
+      // whole-table rollup (retention may only move bytes). Fresh
+      // catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqltag_").toString
+      val tbl = s"$root/storage/tg"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      // two REPLACE eras: expiry of era 0 then has files of its own to
+      // delete (an append would share them and expiry would be a no-op)
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Snapshots.tag(s, tbl, "baseline", 0L)
+      Snapshots.commit(s, ev, tbl, append = false)
+      Catalog.register(s, root, "tg", tbl)
+      val cat = s"gtag${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val eraN = s.sql(
+        s"SELECT count(*) FROM $cat.tg VERSION AS OF 'baseline'")
+        .collect().head.getLong(0)
+      val allN = s.sql(s"SELECT count(*) FROM $cat.tg")
+        .collect().head.getLong(0)
+      require(eraN > 0 && eraN < allN,
+        "VERSION AS OF '<tag>' must answer the tagged era, not the head")
+      val listed = s.sql(s"SELECT tag, version FROM $cat.tg.tags")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(listed == Seq(("baseline", 0L)),
+        s"the .tags metadata table must list the live tag, got $listed")
+      val refused = scala.util.Try(
+        s.sql(s"CALL $cat.system.expire_snapshots('tg', 1)").collect())
+      require(refused.isFailure &&
+        refused.failed.get.getMessage.contains("tagged"),
+        "expire_snapshots must refuse while a tag pins the expiring era")
+      s.sql(s"CALL $cat.system.remove_tag('tg', 'baseline')")
+      val exp = s.sql(s"CALL $cat.system.expire_snapshots('tg', 1)")
+        .collect().head
+      require(exp.getLong(2) >= 1L,
+        "with the pin gone, expiry must delete the era-0-only files")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.tg
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    "q78_sql_alter" -> ((s, dir) => {
+      // SQL DDL over the metadata-only schema verbs: ALTER TABLE ADD
+      // COLUMNS widens the stored schema in ONE metadata generation —
+      // zero bytes move, the era-0 files null-fill the new column at
+      // scan time (the same stored-schema read path an evolving append
+      // uses), and time travel below the DDL still answers the narrow
+      // face (require-pinned). The inserted era then carries real
+      // values. Oracle: the coalesced rollup recomputed from events.
+      // Fresh catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlalter_").toString
+      val tbl = s"$root/storage/al"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Catalog.register(s, root, "al", tbl)
+      val cat = s"galt${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"ALTER TABLE $cat.al ADD COLUMNS (bonus_cents BIGINT)")
+      require(Snapshots.latestVersion(s, tbl).contains(1L),
+        "ADD COLUMN must mint exactly one metadata generation")
+      require(!s.sql(s"SELECT * FROM $cat.al VERSION AS OF 0")
+        .columns.contains("bonus_cents"),
+        "time travel below the DDL must answer the narrow face")
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("bonus_cents", col("user_id").cast("long"))
+        .createOrReplaceTempView("q78_alter_src")
+      s.sql(s"INSERT INTO $cat.al SELECT event_id, user_id, " +
+        "event_type, value_cents, bonus_cents FROM q78_alter_src")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(coalesce(bonus_cents, 0)) AS BIGINT) AS sum_bonus
+           |FROM $cat.al
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     "q73_sql_ctas" -> ((s, dir) => {
       // atomic CTAS (StagingTableCatalog): CREATE TABLE AS SELECT
       // births a snapshot table — the query result commits as version
@@ -2393,12 +2570,18 @@ object SparkEntry {
         Dedup.simhash(col("text"), bits = 48).as("sh")))
       val aa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       val bb = sig.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      val truth = aa.join(bb, col("doc_a") < col("doc_b"))
-        .filter(Dedup.hammingDistance(col("sha"), col("shb")) <= 3)
-        .select(col("doc_a"), col("doc_b"))
-      val cand = Dedup.hammingCandidatePairs(sig, "doc_id", "sh",
-        bits = 48, maxDist = 3)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      // truth and candidates each feed TWO consumers (their own count
+      // + the hit join) — materialize both or the quadratic brute pass
+      // and the banded pass run twice (the same double-evaluation cut
+      // as `sig` itself; r18 bench: 5.7 s → the pair frames are tiny)
+      val truth = graft.functions.Materialize(
+        aa.join(bb, col("doc_a") < col("doc_b"))
+          .filter(Dedup.hammingDistance(col("sha"), col("shb")) <= 3)
+          .select(col("doc_a"), col("doc_b")))
+      val cand = graft.functions.Materialize(
+        Dedup.hammingCandidatePairs(sig, "doc_id", "sh",
+          bits = 48, maxDist = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       val hit = truth.join(cand, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -6490,6 +6673,57 @@ object SparkEntry {
           |  AS sum_cents
           |FROM events
           |WHERE event_id % 2 = 0 AND user_id > 30
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the evolved face: era-0 rows null-fill the added column
+      // (coalesce 0), the inserted era carries user_id as its bonus
+      "q78_sql_alter" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CASE WHEN event_id % 2 = 1
+          |   THEN user_id ELSE 0 END) AS BIGINT) AS sum_bonus
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // retention may only move bytes: the post-expiry head is the
+      // whole-table rollup
+      "q77_sql_tag" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the updated face as a CASE WHEN: boosted rows move bucket and
+      // gain the constant, every other row is untouched
+      "q75_sql_update" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(new_cents) AS BIGINT) AS sum_cents
+          |FROM (
+          | SELECT
+          |  CASE WHEN user_id <= 25 THEN 'boosted'
+          |       ELSE event_type END AS event_type,
+          |  CASE WHEN user_id <= 25
+          |       THEN CAST(round(value*100,0) AS BIGINT) + 100000
+          |       ELSE CAST(round(value*100,0) AS BIGINT) END AS new_cents
+          | FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the merged face as a union: matched evens (id%6=0) doubled
+      // from the source's +7 cents, unmatched evens untouched,
+      // odd source rows (id%3=0, odd) inserted with their +7 cents
+      "q76_sql_merge" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(new_cents) AS BIGINT) AS sum_cents
+          |FROM (
+          | SELECT event_type,
+          |  CASE WHEN event_id % 6 = 0
+          |       THEN (CAST(round(value*100,0) AS BIGINT) + 7) * 2
+          |       ELSE CAST(round(value*100,0) AS BIGINT) END AS new_cents
+          | FROM events WHERE event_id % 2 = 0
+          | UNION ALL
+          | SELECT event_type,
+          |  CAST(round(value*100,0) AS BIGINT) + 7 AS new_cents
+          | FROM events WHERE event_id % 3 = 0 AND event_id % 2 = 1)
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // CTAS era + INSERT era together are the whole events table;

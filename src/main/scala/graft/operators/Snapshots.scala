@@ -1444,6 +1444,14 @@ object Snapshots {
     require(keptRows.nonEmpty,
       s"vacuum(keepFrom=$keepFrom) would retain no versions of $tablePath")
     val kept = keptRows.map(_.getString(1)).toSet
+    // a TAG is a retention pin (the Iceberg contract): expiring a
+    // tagged version would turn its name into a dangling pointer —
+    // refuse loudly; drop the tag or raise keepFrom
+    val pinnedBelow = tags(spark, tablePath).filter(_._2 < keepFrom)
+    require(pinnedBelow.isEmpty,
+      s"vacuum(keepFrom=$keepFrom) would expire tagged version(s) " +
+        pinnedBelow.map { case (n, v) => s"'$n'→$v" }.mkString(", ") +
+        s" of $tablePath — removeTag first, or keep from lower")
     val all = m.select(col("file")).distinct().collect()
       .map(_.getString(0))
     val doomed = all.filterNot(kept)
@@ -1532,6 +1540,110 @@ object Snapshots {
     deleted.toLong
   }
 
+  // ------------------------------------------------------------------
+  // TAGS — named version pointers (the Iceberg tag shape)
+  // ------------------------------------------------------------------
+
+  private def tagsRoot(tablePath: String): String = s"$tablePath/_tags"
+
+  private def requireTagName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name '$name': letters, digits, '.', '_', '-' only — the " +
+        "name is a filesystem path fragment")
+
+  /** Name `version` — a human-stable address for time travel
+    * (`readTag`, SQL `VERSION AS OF '<name>'`) and a RETENTION PIN
+    * ([[vacuum]] refuses to expire a tagged version). Re-tagging an
+    * existing name repoints it (single-maintenance-writer, like every
+    * metadata sweep verb). The version must be committed and
+    * unexpired. */
+  def tag(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      version: Long): Unit = {
+    requireTagName(name)
+    require(manifestFor(spark, tablePath, version).nonEmpty,
+      s"tag '$name': version $version of $tablePath is not in the " +
+        "manifest (never committed, or expired by vacuum)")
+    val f = fs(spark, tablePath)
+    val dir = new Path(tagsRoot(tablePath))
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val out = f.create(new Path(s"${tagsRoot(tablePath)}/$name"), true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All (name, version) tags of the table — one directory listing
+    * plus one tiny read per tag; metadata-scale by construction. */
+  def tags(spark: SparkSession, tablePath: String): Seq[(String, Long)] = {
+    val f = fs(spark, tablePath)
+    val dir = new Path(tagsRoot(tablePath))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.isFile).toSeq.map { st =>
+      val in = f.open(st.getPath)
+      val body =
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8").trim
+        } finally in.close()
+      st.getPath.getName -> body.toLong
+    }.sortBy(_._1)
+  }
+
+  /** The version a tag names, if the tag exists. */
+  def tagVersion(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Option[Long] = {
+    requireTagName(name)
+    tags(spark, tablePath).collectFirst { case (`name`, v) => v }
+  }
+
+  /** Drop a tag (the version stays readable by number; its retention
+    * pin is gone). True when the tag existed. */
+  def removeTag(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Boolean = {
+    requireTagName(name)
+    val f = fs(spark, tablePath)
+    val p = new Path(s"${tagsRoot(tablePath)}/$name")
+    f.exists(p) && f.delete(p, false)
+  }
+
+  /** [[readAsOf]] addressed by tag name. */
+  def readTag(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): DataFrame =
+    readAsOf(spark, tablePath,
+      tagVersion(spark, tablePath, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no tag '$name' on $tablePath — known: " +
+            tags(spark, tablePath).map(_._1).mkString(", "))))
+
+  /** Retention-policy sugar over [[vacuum]]: keep exactly the LAST
+    * `retainLast` versions (tags still pin — vacuum's own guard
+    * refuses to expire a tagged version, loudly). Already within
+    * policy is a no-op. Returns (keepFrom, deletedFiles). */
+  def expireSnapshots(
+      spark: SparkSession,
+      tablePath: String,
+      retainLast: Int): (Long, Long) = {
+    require(retainLast >= 1,
+      s"expireSnapshots: retainLast must be >= 1, got $retainLast")
+    val versions = listGenerations(spark, tablePath)
+    if (versions.length <= retainLast)
+      (versions.headOption.getOrElse(0L), 0L)
+    else {
+      val keepFrom = versions.takeRight(retainLast).head
+      (keepFrom, vacuum(spark, tablePath, keepFrom))
+    }
+  }
+
   private def statsDir(tablePath: String, version: Long): String =
     s"$tablePath/_stats/v$version"
 
@@ -1553,6 +1665,7 @@ object Snapshots {
     * equality is exact without any path normalization. */
   private val DvFileCol = "__dv_file"
   private val DvPosCol = "__dv_pos"
+  private val MergeSrcSentinel = "__merge_src"
 
   private def dvSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("file",
@@ -1904,6 +2017,322 @@ object Snapshots {
     writeDvSet(spark, tablePath, version, full)
     publishDerived(spark, tablePath, version, fileRows, schemaJson, ts,
       observed, "deleteWhere")
+  }
+
+  /** Row-level UPDATE as FILE-EXACT copy-on-write — the other half of
+    * the lakehouse DML design space from [[deleteWhere]]'s
+    * merge-on-read: one predicate-pushed pass over the live face finds
+    * the DISTINCT files that contain a matching row, and ONLY those
+    * files are rewritten (matching rows with `assignments` applied —
+    * each value cast to its column's stored type, the SQL UPDATE
+    * contract — carried rows byte-equal); every untouched file's
+    * manifest row repoints verbatim. At 100 TB the rewrite cost scales
+    * with the predicate's file blast radius, never the table — a
+    * selective update on a clustered key rewrites a handful of files,
+    * and the discovery pass itself prunes to the predicate's columns
+    * (parquet pushdown + row-group skipping).
+    *
+    * Composition: the governing DELETION VECTORS apply to both passes
+    * (a rewrite that read raw files would resurrect DV-deleted rows
+    * into fresh files), and the rewritten files' DV entries are
+    * physically dropped — the new version's sidecar carries only the
+    * untouched files' surviving entries. CHECK constraints and
+    * generated-column definitions govern the updated rows exactly as
+    * they govern ingest ([[prepareBatch]]); a column-mapping face
+    * translates both ways. Updated columns keep their stored type
+    * (assignments cast; a type-changing update is a replace commit's
+    * job). Hive-partitioned generations refuse toward
+    * [[mergePartitioned]] — rewriting a partitioned file flat would
+    * lose its path-encoded fragment. A stats/bloom-governed table
+    * KEEPS ITS PRUNING INDEXES LIVE: [[maintainIndexSidecars]] mints
+    * the new version's sidecar from the parent's surviving rows plus
+    * one fresh-files-only data pass, so range/box/point scans keep
+    * pruning across selective updates instead of refusing. A predicate
+    * matching nothing is a no-op: no generation minted, the head
+    * version returns unchanged. Returns the head after the verb. */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      ts: Option[Long] = None): Long = {
+    require(assignments.nonEmpty, "updateWhere needs SET assignments")
+    require(assignments.map(_._1).distinct.length == assignments.length,
+      "updateWhere: duplicate assignment for column " +
+        assignments.groupBy(_._1).collect { case (c, as) if as.length > 1 => c }
+          .mkString(", "))
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"updateWhere: $tablePath has no committed versions"))
+    val gen = manifestFor(spark, tablePath, observed)
+    require(gen.nonEmpty,
+      s"updateWhere: version $observed of $tablePath vanished between " +
+        "the head resolution and its read — a racing retraction; retry")
+    val fileRows = fileRowsOf(gen)
+    require(fileRows.forall(_._2 == null),
+      s"updateWhere: version $observed of $tablePath carries " +
+        "hive-partitioned files — a flat rewrite would lose their " +
+        "path-encoded fragments; partition-scoped copy-on-write is " +
+        "mergePartitioned's job")
+    val schemaJson = schemaJsonOf(gen).orNull
+    val stored = schemaJsonOf(gen).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, observed))
+    val prior = dvSet(spark, tablePath, observed)
+    def liveWithMeta(rows: Seq[(String, String, Option[Long])]): DataFrame = {
+      val base = fromPhysical(readFileRows(spark,
+        rows.map(r => (r._1, r._2)),
+        stored.map(physicalSchema(_, l2p)), withMeta = true), l2p)
+      prior.fold(base)(applyDv(base, _))
+    }
+    // pass 1 — the predicate's file blast radius: reads only the
+    // predicate's columns (+ row identity), row-group stats skip
+    if (fileRows.isEmpty) return observed // an empty face updates to itself
+    val dirtySet = liveWithMeta(fileRows)
+      .filter(predicate)
+      .select(col(DvFileCol)).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    if (dirtySet.isEmpty) return observed
+    val (dirtyRows, cleanRows) =
+      fileRows.partition(r => dirtySet.contains(normPath(r._1)))
+    // pass 2 — rewrite exactly the dirty files
+    val dirtyLive = liveWithMeta(dirtyRows).drop(DvFileCol, DvPosCol)
+    val colType: Map[String, org.apache.spark.sql.types.DataType] =
+      stored.getOrElse(dirtyLive.schema)
+        .fields.map(f => f.name -> f.dataType).toMap
+    val updated = assignments.foldLeft(dirtyLive) { case (d, (c, v)) =>
+      require(colType.contains(c),
+        s"updateWhere: no column '$c' in $tablePath (columns: " +
+          s"${colType.keys.toSeq.sorted.mkString(", ")})")
+      d.withColumn(c,
+        when(predicate, v.cast(colType(c))).otherwise(col(c)))
+    }
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    val prepared = prepareBatch(spark, tablePath, Some(observed), updated)
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    toPhysical(spark, tablePath, Some(observed), prepared)
+      .write.mode("errorifexists").parquet(dataPath)
+    val fresh = footerCounts(spark,
+      listDataFiles(spark, dataPath).map((_, null: String)))
+    // the new version's DV sidecar: untouched files' entries survive,
+    // rewritten files' entries died physically with the rewrite — an
+    // empty survivor set still writes (it supersedes the parent's)
+    prior.foreach { p =>
+      val survivingFiles = p.select(col("file")).distinct().collect()
+        .map(_.getString(0))
+        .filter(f => !dirtySet.contains(normPath(f)))
+      writeDvSet(spark, tablePath, version,
+        if (survivingFiles.isEmpty) p.limit(0)
+        else p.filter(col("file").isin(survivingFiles.toIndexedSeq: _*)))
+    }
+    maintainIndexSidecars(spark, tablePath, observed, version,
+      cleanRows.map(_._1), fresh.map(_._1))
+    publishDerived(spark, tablePath, version, cleanRows ++ fresh,
+      schemaJson, ts, observed, "updateWhere")
+  }
+
+  /** One WHEN clause of [[mergeInto]] — the SQL MERGE action shapes.
+    * `cond` is the clause's extra predicate (beyond the ON match),
+    * evaluated over BOTH sides' columns; columns of the target
+    * qualify as `t.<col>`, the source as `s.<col>` (unqualified names
+    * resolve only while unambiguous). */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... */
+  case class MergeUpdate(
+      cond: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  case class MergeDelete(
+      cond: Option[org.apache.spark.sql.Column]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols...) VALUES (...) */
+  case class MergeInsert(
+      cond: Option[org.apache.spark.sql.Column],
+      values: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
+
+  /** ANSI MERGE INTO as FILE-EXACT copy-on-write — the general
+    * source-driven upsert over a flat snapshot table, completing
+    * [[merge]]'s keyed shape and [[mergePartitioned]]'s
+    * partition-scoped shape. One semi-join pass finds the target
+    * files containing ANY ON-matched row (the match blast radius —
+    * only those rewrite; every untouched file repoints verbatim), a
+    * cardinality aggregate enforces the ANSI contract that no target
+    * row matches two source rows (refused loudly, never
+    * last-source-wins), and ONE fresh write carries the rewritten
+    * survivors plus the not-matched inserts. Matched clauses apply
+    * first-match-wins in declaration order (the SQL contract);
+    * matched rows hit by no clause carry unchanged. Deletion vectors,
+    * constraints, generated columns and column mappings compose
+    * exactly as in [[updateWhere]]. The source is evaluated exactly
+    * TWICE (blast radius + rewrite join) — cache it if expensive.
+    * Returns the head after the verb (unchanged when the source
+    * matches nothing and inserts nothing). */
+  def mergeInto(
+      spark: SparkSession,
+      tablePath: String,
+      source: DataFrame,
+      on: org.apache.spark.sql.Column,
+      clauses: Seq[MergeClause],
+      ts: Option[Long] = None): Long = {
+    require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    val matched = clauses.collect {
+      case u: MergeUpdate => u: MergeClause
+      case d: MergeDelete => d: MergeClause
+    }
+    val inserts = clauses.collect { case i: MergeInsert => i }
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeInto: $tablePath has no committed versions"))
+    val gen = manifestFor(spark, tablePath, observed)
+    require(gen.nonEmpty,
+      s"mergeInto: version $observed of $tablePath vanished between " +
+        "the head resolution and its read — a racing retraction; retry")
+    val fileRows = fileRowsOf(gen)
+    require(fileRows.forall(_._2 == null),
+      s"mergeInto: version $observed of $tablePath carries " +
+        "hive-partitioned files — partition-scoped copy-on-write is " +
+        "mergePartitioned's job")
+    val schemaJson = schemaJsonOf(gen).orNull
+    val stored = schemaJsonOf(gen).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, observed))
+    val prior = dvSet(spark, tablePath, observed)
+    def liveWithMeta(rows: Seq[(String, String, Option[Long])]): DataFrame = {
+      val base = fromPhysical(readFileRows(spark,
+        rows.map(r => (r._1, r._2)),
+        stored.map(physicalSchema(_, l2p)), withMeta = true), l2p)
+      prior.fold(base)(applyDv(base, _))
+    }
+    // the sentinel marks "the left join FOUND a source row" without
+    // guessing at a non-null source column — MERGE's matched test
+    val src = source.withColumn(MergeSrcSentinel, lit(1)).alias("s")
+    // pass 1 — the match blast radius + the ANSI cardinality check in
+    // ONE aggregate: per matched target row identity, how many source
+    // rows matched
+    val dirtySet: Set[String] =
+      // no matched clause → no file rewrites (and the ANSI cardinality
+      // contract binds only update/delete — Spark and Iceberg agree);
+      // an empty face has nothing to match either way
+      if (fileRows.isEmpty || matched.isEmpty) Set.empty
+      else {
+        val matchCounts = liveWithMeta(fileRows).alias("t")
+          .join(src, on, "inner")
+          .groupBy(col(DvFileCol), col(DvPosCol))
+          .agg(count(lit(1)).as("n_matches"))
+        val ambiguous = matchCounts.filter(col("n_matches") > 1)
+          .limit(1).collect()
+        require(ambiguous.isEmpty,
+          s"mergeInto: a target row of $tablePath matches more than one " +
+            "source row — the ANSI MERGE cardinality contract; " +
+            "deduplicate the source on the ON keys first")
+        matchCounts.select(col(DvFileCol)).distinct()
+          .collect().map(r => normPath(r.getString(0))).toSet
+      }
+    val (dirtyRows, cleanRows) =
+      fileRows.partition(r => dirtySet.contains(normPath(r._1)))
+    val colType: Map[String, org.apache.spark.sql.types.DataType] =
+      stored.map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    def castTo(c: String, v: org.apache.spark.sql.Column) =
+      colType.get(c).map(v.cast).getOrElse(v)
+    val targetCols: Seq[String] = stored.map(_.fieldNames.toSeq)
+      .getOrElse {
+        require(fileRows.nonEmpty,
+          s"mergeInto: version $observed of $tablePath is empty and " +
+            "carries no stored schema — the insert face is unknowable")
+        fromPhysical(readFileRows(spark,
+          fileRows.take(1).map(r => (r._1, r._2)), None), l2p)
+          .columns.toSeq
+      }
+    // pass 2 — rewrite the dirty files: left-join their live rows to
+    // the source, apply the first matching WHEN clause per row
+    val rewritten: Option[DataFrame] =
+      if (dirtyRows.isEmpty) None
+      else {
+        val withSentinel = liveWithMeta(dirtyRows).alias("t")
+          .join(src, on, "left_outer")
+        val isMatched = col(MergeSrcSentinel).isNotNull
+        // first-match-wins across matched clauses: fold into one
+        // CASE WHEN chain per output column + a keep/delete flag
+        var keep: org.apache.spark.sql.Column = lit(true)
+        var decided: org.apache.spark.sql.Column = lit(false)
+        val colExprs = scala.collection.mutable.LinkedHashMap[String,
+          org.apache.spark.sql.Column]()
+        targetCols.foreach(c => colExprs(c) = col(s"t.$c"))
+        matched.foreach {
+          case MergeUpdate(cond, set) =>
+            val fires = isMatched && !decided && cond.getOrElse(lit(true))
+            set.foreach { case (c, v) =>
+              require(targetCols.contains(c),
+                s"mergeInto: UPDATE SET names no column '$c' of " +
+                  s"$tablePath (columns: ${targetCols.mkString(", ")})")
+              colExprs(c) = when(fires, castTo(c, v)).otherwise(colExprs(c))
+            }
+            decided = decided || (isMatched && cond.getOrElse(lit(true)))
+          case MergeDelete(cond) =>
+            val fires = isMatched && !decided && cond.getOrElse(lit(true))
+            keep = keep && !fires
+            decided = decided || (isMatched && cond.getOrElse(lit(true)))
+          case _: MergeInsert => ()
+        }
+        Some(withSentinel
+          .filter(keep)
+          .select(targetCols.map(c => colExprs(c).as(c)): _*))
+      }
+    // not-matched inserts: source rows with NO target match at all
+    val inserted: Option[DataFrame] =
+      if (inserts.isEmpty) None
+      else {
+        val unmatched =
+          if (fileRows.isEmpty) src
+          else src.join(liveWithMeta(fileRows).alias("t"), on, "left_anti")
+        var decided: org.apache.spark.sql.Column = lit(false)
+        val legs = inserts.map { case MergeInsert(cond, values) =>
+          values.foreach { case (c, _) =>
+            require(targetCols.contains(c),
+              s"mergeInto: INSERT names no column '$c' of $tablePath " +
+                s"(columns: ${targetCols.mkString(", ")})")
+          }
+          val fires = !decided && cond.getOrElse(lit(true))
+          decided = decided || cond.getOrElse(lit(true))
+          val byName = values.toMap
+          unmatched.filter(fires).select(targetCols.map(c =>
+            byName.get(c).map(v => castTo(c, v))
+              .getOrElse(lit(null).cast(colType.getOrElse(c,
+                org.apache.spark.sql.types.StringType))).as(c)): _*)
+        }
+        legs.reduceLeftOption(_.unionByName(_))
+      }
+    val freshFrame = (rewritten, inserted) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (r, i) => r.orElse(i)
+    }
+    // short-circuits: the insert-emptiness probe job runs only when no
+    // file rewrites force a commit anyway
+    val anythingToWrite = freshFrame.isDefined &&
+      (dirtyRows.nonEmpty || inserted.exists(!_.isEmpty))
+    if (!anythingToWrite) return observed
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    val prepared = prepareBatch(spark, tablePath, Some(observed),
+      freshFrame.get)
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    toPhysical(spark, tablePath, Some(observed), prepared)
+      .write.mode("errorifexists").parquet(dataPath)
+    val fresh = footerCounts(spark,
+      listDataFiles(spark, dataPath).map((_, null: String)))
+    prior.foreach { p =>
+      val survivingFiles = p.select(col("file")).distinct().collect()
+        .map(_.getString(0))
+        .filter(f => !dirtySet.contains(normPath(f)))
+      writeDvSet(spark, tablePath, version,
+        if (survivingFiles.isEmpty) p.limit(0)
+        else p.filter(col("file").isin(survivingFiles.toIndexedSeq: _*)))
+    }
+    maintainIndexSidecars(spark, tablePath, observed, version,
+      cleanRows.map(_._1), fresh.map(_._1))
+    publishDerived(spark, tablePath, version, cleanRows ++ fresh,
+      schemaJson, ts, observed, "mergeInto")
   }
 
   // ------------------------------------------------------------------
@@ -2366,6 +2795,46 @@ object Snapshots {
       None, observed, "dropColumn")
   }
 
+  /** ALTER TABLE ADD COLUMN as a metadata-only commit: the field joins
+    * the stored logical schema at the END (nullable by contract — a
+    * retroactive NOT NULL would be a lie about history) and every
+    * existing file null-fills it at scan time through the stored-schema
+    * read path, the same mechanism an evolving append uses; no byte of
+    * data moves. Past versions keep their own schema (time travel below
+    * answers without the column). The name must not collide with a live
+    * column OR a renamed/dropped column's tombstoned physical name —
+    * re-adding a tombstone would alias old file data on read. */
+  def addColumn(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(name.nonEmpty, "addColumn needs a column name")
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"addColumn: $tablePath has no committed versions"))
+    val stored = storedSchema(spark, tablePath, observed).getOrElse(
+      throw new IllegalArgumentException(
+        s"addColumn: version $observed of $tablePath predates " +
+          "manifest-carried schemas — recommit first"))
+    require(!stored.fieldNames.contains(name),
+      s"addColumn: '$name' already exists")
+    val cmap = colMapAsOf(spark, tablePath, observed)
+    require(!cmap.map(_._1).contains(name),
+      s"addColumn: '$name' collides with a renamed or dropped column's " +
+        "physical name — a tombstoned name cannot be re-added")
+    require(!generatedColumnsAsOf(spark, tablePath, observed)
+      .exists(_._1 == name),
+      s"addColumn: '$name' is a generated column")
+    val (fileRows, _) = headGeneration(spark, tablePath, observed)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      stored.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    publishDerived(spark, tablePath, version, fileRows, newSchema.json,
+      None, observed, "addColumn")
+  }
+
   /** Render a partition value the way Spark's writer renders it into a
     * directory name: hive path-escaping ('=', ':', '%', '/', … become
     * `%XX`). Manifest fragments are recorded from the written
@@ -2742,6 +3211,69 @@ object Snapshots {
     }
     stats.coalesce(1).write.mode("errorifexists")
       .parquet(statsDir(tablePath, version))
+  }
+
+  /** Keep a stats/bloom-governed table's PRUNING INDEXES LIVE across a
+    * file-swapping DML commit ([[updateWhere]], [[mergeInto]]): when a
+    * sidecar describes the parent, mint the new version's sidecar as
+    * the parent's rows for the surviving files plus freshly computed
+    * rows for the fresh files — one data pass over the FRESH files
+    * only (the DML's own blast radius), never the table. The sidecar's
+    * own metadata names its keys (stats: the `min_<k>` columns; bloom:
+    * the recorded `key` column), so no caller has to remember how the
+    * table is indexed. Skips silently when nothing describes the
+    * parent (the table was never index-governed), when a column
+    * mapping governs (the stats verbs are not mapping-aware — scans
+    * already refuse loudly), or when a legacy bloom sidecar predates
+    * the recorded key; in those cases the new head is simply
+    * non-described, exactly as every pre-maintenance DML commit was.
+    * Runs BEFORE the publish so a refused commit retracts the staged
+    * sidecar with the generation. */
+  private def maintainIndexSidecars(
+      spark: SparkSession,
+      tablePath: String,
+      parent: Long,
+      version: Long,
+      keptFiles: Seq[String],
+      freshFiles: Seq[String]): Unit = {
+    val mapped = colMapAsOf(spark, tablePath, parent)
+      .exists { case (p, l) => !l.contains(p) }
+    if (mapped) return
+    val kept = keptFiles.toSet
+    describingSidecarDir(spark, tablePath, "_stats", parent).foreach { dir =>
+      val side = spark.read.parquet(dir)
+      val keyCols = side.columns.filter(_.startsWith("min_"))
+        .map(_.stripPrefix("min_")).toSeq
+      if (keyCols.nonEmpty) {
+        val aggs = count(lit(1)).as("n_rows") +:
+          keyCols.flatMap(k =>
+            Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+        val freshStats =
+          if (freshFiles.isEmpty) filterSidecarToFiles(side, Set.empty)
+          else spark.read.parquet(freshFiles.toIndexedSeq: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+        filterSidecarToFiles(side, kept).unionByName(freshStats)
+          .coalesce(1).write.mode("errorifexists")
+          .parquet(statsDir(tablePath, version))
+      }
+    }
+    describingSidecarDir(spark, tablePath, "_bloom", parent).foreach { dir =>
+      val side = spark.read.parquet(dir)
+      if (side.columns.contains("key")) {
+        side.select(col("key")).limit(1).collect().headOption
+          .map(_.getString(0)).foreach { keyCol =>
+            val freshBloom =
+              if (freshFiles.isEmpty) filterSidecarToFiles(side, Set.empty)
+              else bloomRowsOf(spark, freshFiles.toIndexedSeq, keyCol,
+                100000L, 0.01)
+            filterSidecarToFiles(side, kept)
+              .unionByName(freshBloom, allowMissingColumns = true)
+              .coalesce(1).write.mode("errorifexists")
+              .parquet(bloomDir(tablePath, version))
+          }
+      }
+    }
   }
 
   /** The shared pre-flight of the stats-sidecar commit verbs: refuse

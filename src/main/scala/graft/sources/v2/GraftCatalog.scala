@@ -114,14 +114,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (isMetaIdent(ident)) metaTable(ident, None)
     else snapshotTable(ident, None)
 
-  /** `VERSION AS OF <v>` — the version string is the snapshot number. */
+  /** `VERSION AS OF <v>` — an integer is the snapshot number, any
+    * other string resolves as a TAG name ([[Snapshots.tagVersion]]),
+    * the Iceberg branch/tag travel shape. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"VERSION AS OF '$version' on $catName.${ident.name}: graft " +
-          "snapshot versions are integers"))
-    if (isMetaIdent(ident)) metaTable(ident, Some(v))
-    else snapshotTable(ident, Some(v))
+    def resolve(root: String): Long =
+      version.toLongOption
+        .orElse(Snapshots.tagVersion(spark, root, version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' on $catName.${ident.name}: not a " +
+            "snapshot number, and the table carries no such tag (known: " +
+            Snapshots.tags(spark, root).map(_._1).mkString(", ") + ")"))
+    if (isMetaIdent(ident)) metaTable(ident, Some(resolve(rootOf(baseIdent(ident)))))
+    else snapshotTable(ident, Some(resolve(rootOf(ident))))
   }
 
   /** `TIMESTAMP AS OF <ts>` — micros, resolved over the table's
@@ -145,7 +150,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       MetaNames.contains(ident.name) &&
       Catalog.entries(spark, catalogRoot).contains(ident.namespace.head)
 
-  private val MetaNames = Set("history", "files")
+  private val MetaNames = Set("history", "files", "tags")
 
   private def baseIdent(ident: Identifier): Identifier =
     Identifier.of(Array.empty[String], ident.namespace.head)
@@ -180,6 +185,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               n.map(Long.box).orNull)): InternalRow
           }.toArray
         new GraftMetaTable(qualified, GraftMetaTables.FilesSchema, rows)
+      case "tags" =>
+        require(version.isEmpty,
+          s"$qualified is the live tag listing — tags themselves are " +
+            "the travel addresses (VERSION AS OF '<tag>')")
+        val rows = Snapshots.tags(s, root).map { case (n, v) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), v)): InternalRow
+        }.toArray
+        new GraftMetaTable(qualified, GraftMetaTables.TagsSchema, rows)
       case _ => throw new NoSuchTableException(ident)
     }
   }
@@ -239,10 +253,60 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       catalogRoot, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE on catalog '$catName': schema changes are snapshot " +
-        "commits — use Snapshots.renameColumn/dropColumn/addConstraint")
+  /** SQL DDL over the metadata-only schema verbs — each change mints
+    * one snapshot generation (time travel below answers the old
+    * schema): `ADD COLUMN` widens the stored schema (existing files
+    * null-fill at scan, nullable by contract — NOT NULL refuses),
+    * `RENAME COLUMN` / `DROP COLUMN` write the column mapping. Nested
+    * fields, repositioning, retypes and property changes refuse
+    * loudly toward the function verbs. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"ALTER TABLE $catName.${ident.name} $what: nested field " +
+          s"'${fieldNames.mkString(".")}' — graft schema verbs are " +
+          "top-level only")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val col = topLevel(a.fieldNames, "ADD COLUMN")
+        require(a.isNullable,
+          s"ALTER TABLE $catName.${ident.name} ADD COLUMN $col NOT " +
+            "NULL: existing rows null-fill the new column — a " +
+            "retroactive NOT NULL would be a lie about history")
+        require(a.position() == null,
+          s"ALTER TABLE $catName.${ident.name} ADD COLUMN $col " +
+            "FIRST/AFTER: added columns join at the end (the stored " +
+            "schema is positional metadata, not data)")
+        Snapshots.addColumn(spark, root, col, a.dataType())
+      case r: TableChange.RenameColumn =>
+        Snapshots.renameColumn(spark, root,
+          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        Snapshots.dropColumn(spark, root,
+          topLevel(d.fieldNames, "DROP COLUMN"))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE on catalog '$catName': $other — only ADD/" +
+            "RENAME/DROP COLUMN are SQL verbs; constraints and " +
+            "generated columns are Snapshots.addConstraint/" +
+            "addGeneratedColumn")
+    }
+    // the DDL result is name + schema only — resolving the full scan
+    // face here would (rightly) refuse under the fresh column mapping
+    // AFTER the commit already landed, failing a succeeded DDL
+    val head = Snapshots.latestVersion(spark, root).get
+    val post = Snapshots.storedSchema(spark, root, head)
+      .getOrElse(StructType(Nil))
+    new Table {
+      override def name(): String = s"$catName.${ident.name}"
+      override def schema(): StructType = post
+      override def capabilities(): util.Set[TableCapability] =
+        util.Collections.emptySet()
+    }
+  }
 
   /** Unregisters the NAME; the table's data and manifest are untouched
     * (adoption, not ownership — [[Catalog.dropTable]]'s contract). */
@@ -293,7 +357,8 @@ private[v2] object GraftProcedures {
 
   val Ns: Array[String] = Array("system")
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "rollback", "remove_orphans", "maintain")
+    Seq("optimize", "vacuum", "rollback", "remove_orphans", "maintain",
+      "tag", "remove_tag", "expire_snapshots")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -375,6 +440,74 @@ private[v2] object GraftProcedures {
           val t = in.getUTF8String(0).toString
           val n = Snapshots.removeOrphans(spark, rootOf(t), in.getLong(1))
           Array(new GenericInternalRow(Array[Any](str(t), n)))
+        }
+      }
+
+    case "tag" =>
+      new Proc("tag",
+        "Name a snapshot version (default -1 = the head) for " +
+          "VERSION AS OF '<name>' travel; a tag also PINS its version " +
+          "against vacuum/expire_snapshots",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val n = in.getUTF8String(1).toString
+          val root = rootOf(t)
+          val v =
+            if (in.getLong(2) >= 0) in.getLong(2)
+            else Snapshots.latestVersion(spark, root).getOrElse(
+              throw new IllegalArgumentException(
+                s"tag: $t has no committed versions"))
+          Snapshots.tag(spark, root, n, v)
+          Array(new GenericInternalRow(Array[Any](str(t), str(n), v)))
+        }
+      }
+
+    case "remove_tag" =>
+      new Proc("remove_tag",
+        "Drop a tag (the version stays readable by number; its " +
+          "retention pin is gone); returns whether the tag existed",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("existed", org.apache.spark.sql.types.BooleanType,
+            nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val existed = Snapshots.removeTag(spark, rootOf(t),
+            in.getUTF8String(1).toString)
+          Array(new GenericInternalRow(Array[Any](str(t),
+            Boolean.box(existed))))
+        }
+      }
+
+    case "expire_snapshots" =>
+      new Proc("expire_snapshots",
+        "Keep exactly the last retain_last versions (tags refuse — a " +
+          "tagged version never expires); returns keep_from and the " +
+          "delete count",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("retain_last", LongType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("keep_from", LongType, nullable = false),
+          StructField("deleted_files", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val (keepFrom, n) = Snapshots.expireSnapshots(spark, rootOf(t),
+            in.getLong(1).toInt)
+          Array(new GenericInternalRow(Array[Any](str(t), keepFrom, n)))
         }
       }
 
@@ -490,11 +623,12 @@ private[v2] object GraftSnapshotTable {
         }
       }
     }
+    // evaluated here (metadata-scale), ENFORCED at scan build like the
+    // DV guard — DDL and DML verbs legitimately load a mapped table
+    // (ALTER TABLE DROP COLUMN after a RENAME must plan) without ever
+    // scanning it through the SQL face
     val cmap = Snapshots.colMapAsOf(spark, root, version)
-    require(cmap.forall { case (p, l) => l.contains(p) },
-      s"$tableName VERSION AS OF $version is governed by a column " +
-        "rename/drop mapping — the SQL scan cannot translate physical " +
-        "names; read through Snapshots.readAsOf")
+    val colMapped = !cmap.forall { case (p, l) => l.contains(p) }
     val parted = rows.filter(_._2 != null)
     val options: Map[String, String] =
       if (parted.isEmpty) Map.empty
@@ -512,6 +646,7 @@ private[v2] object GraftSnapshotTable {
         Map("basePath" -> roots.head)
       }
     new GraftSnapshotTable(tableName, root, version, dvGoverned,
+      colMapped,
       ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(options.asJava),
         files.toIndexedSeq, stored, classOf[ParquetFileFormat]))
@@ -532,32 +667,42 @@ private[v2] object GraftSnapshotTable {
   * Either way the table's history stays time-travelable — a SQL
   * writer gets the full lakehouse contract, never a bare directory
   * write. */
-private[v2] class GraftSnapshotTable(
+private[graft] class GraftSnapshotTable(
     tableName: String,
     root: String,
     version: Long,
     dvGoverned: Boolean,
+    colMapped: Boolean,
     delegate: ParquetTable) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete {
+  /** The snapshot root — the SQL DML rules ([[graft.plans.GraftDmlRule]])
+    * route UPDATE/MERGE through the snapshot verbs against it. */
+  private[graft] def snapshotRoot: String = root
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    if (!dvGoverned) delegate.newScanBuilder(o)
+    if (!dvGoverned && !colMapped) delegate.newScanBuilder(o)
     else new ScanBuilder {
-      // DML planning (DELETE FROM's optimizer pass) builds a scan it
-      // never executes — so a DV-governed face refuses at EXECUTION
-      // (toBatch), not at plan construction
+      // DML/DDL planning (DELETE FROM's optimizer pass, ALTER TABLE's
+      // loadTable) builds scans it never executes — so a DV-governed
+      // or column-mapped face refuses at EXECUTION (toBatch), not at
+      // plan construction or table load
       private val inner = delegate.newScanBuilder(o)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = inner.build().readSchema()
         override def toBatch: Batch = throw new IllegalArgumentException(
-          s"$tableName VERSION AS OF $version is governed by live " +
-            "deletion vectors — the SQL scan cannot apply them; read " +
-            "through Snapshots.readAsOf (or compact with CALL " +
-            "system.optimize)")
+          if (dvGoverned)
+            s"$tableName VERSION AS OF $version is governed by live " +
+              "deletion vectors — the SQL scan cannot apply them; read " +
+              "through Snapshots.readAsOf (or compact with CALL " +
+              "system.optimize)"
+          else
+            s"$tableName VERSION AS OF $version is governed by a " +
+              "column rename/drop mapping — the SQL scan cannot " +
+              "translate physical names; read through Snapshots.readAsOf")
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -667,6 +812,9 @@ private[v2] object GraftMetaTables {
     StructField("file", StringType, nullable = false),
     StructField("partition", StringType, nullable = true),
     StructField("n_rows", LongType, nullable = true)))
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 }
 
 /** A driver-materialized metadata relation (`history`/`files`): the

@@ -23,4 +23,14 @@ object GraftSqlShim {
     * function builder must return. */
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** A DataFrame over an already-resolved logical plan — what a command
+    * node captured at analysis time (Spark 4 hides `Dataset.ofRows`
+    * behind the classic package). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -386,4 +386,70 @@ class GraftCatalogSpec extends SparkSuite {
     assert(msgs.contains("system.optimize"),
       s"unknown procedure must name the known set: $msgs")
   }
+
+  test("ALTER TABLE ADD COLUMN is one metadata generation: old files " +
+    "null-fill at scan, time travel below answers the narrow face, " +
+    "NOT NULL / nested / positioned adds refuse") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/al"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, append = false)
+    Catalog.register(spark, root, "al", tbl)
+    spark.sql(s"ALTER TABLE $cat.al ADD COLUMNS (score BIGINT)")
+    assert(Snapshots.latestVersion(spark, tbl).contains(1L),
+      "ADD COLUMN must mint exactly one generation, no data rewrite")
+    assert(Snapshots.generationFiles(spark, tbl, 0L)._1.map(_._1).toSet ==
+      Snapshots.generationFiles(spark, tbl, 1L)._1.map(_._1).toSet,
+      "the files must repoint verbatim")
+    val evolved = spark.sql(s"SELECT id, score FROM $cat.al ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(evolved.toSeq == Seq((1L, true), (2L, true)),
+      "existing rows must null-fill the added column")
+    assert(!spark.sql(s"SELECT * FROM $cat.al VERSION AS OF 0")
+      .columns.contains("score"))
+    spark.sql(s"INSERT INTO $cat.al VALUES (3, 'c', 30)")
+    assert(spark.sql(s"SELECT sum(coalesce(score, 0)) FROM $cat.al")
+      .collect().head.getLong(0) == 30L)
+    val notNull = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.al ADD COLUMNS (hard BIGINT NOT NULL)")
+    }
+    assert(notNull.getMessage.contains("null-fill"))
+    // nested adds (`ADD COLUMNS (s.inner BIGINT)`) die in Spark's own
+    // resolution before reaching the catalog — no struct column exists
+    // to anchor them; the top-level guard in alterTable covers the
+    // remaining path (a struct-typed table would resolve past Spark)
+    val positioned = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.al ADD COLUMNS (early BIGINT FIRST)")
+    }
+    assert(positioned.getMessage.contains("at the end"))
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN route to the column-mapping " +
+    "verbs; the mapped face then refuses the SQL scan toward readAsOf") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/rn"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "w"),
+      tbl, append = false)
+    Catalog.register(spark, root, "rn", tbl)
+    spark.sql(s"ALTER TABLE $cat.rn RENAME COLUMN v TO label")
+    val mapped = Snapshots.readAsOf(spark, tbl,
+      Snapshots.latestVersion(spark, tbl).get)
+    assert(mapped.columns.toSeq == Seq("id", "label", "w"))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.rn").collect()
+    }
+    assert(e.getMessage.contains("rename/drop mapping"),
+      s"the mapped face must refuse the SQL scan, got: ${e.getMessage}")
+    spark.sql(s"ALTER TABLE $cat.rn DROP COLUMN w")
+    assert(Snapshots.readAsOf(spark, tbl,
+      Snapshots.latestVersion(spark, tbl).get).columns.toSeq ==
+      Seq("id", "label"))
+    val unsupported = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.rn SET TBLPROPERTIES ('k'='v')")
+    }
+    assert(unsupported.getMessage.contains("ALTER TABLE"))
+  }
 }

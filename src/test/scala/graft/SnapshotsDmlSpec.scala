@@ -1,0 +1,321 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, Snapshots}
+
+/** Row-level UPDATE and ANSI MERGE INTO as FILE-EXACT copy-on-write
+  * ([[Snapshots.updateWhere]] / [[Snapshots.mergeInto]]), plus their
+  * SQL faces routed through [[graft.plans.GraftDmlRule]]: only the
+  * files containing a matching row rewrite (manifest-pinned), deletion
+  * vectors / constraints compose, the ANSI cardinality contract
+  * refuses loudly, and history stays time-travelable. */
+class SnapshotsDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val p = Files.createTempDirectory("snap_dml_").toString + "/tbl"
+    Snapshots.init(spark, p)
+    p
+  }
+
+  /** ids 1..12 over exactly 4 files, 3 rows each (sorted ranges). */
+  private def seed(tbl: String): Long = {
+    val df = (1L to 12L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "amt")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    Snapshots.commit(spark, df, tbl, append = false)
+  }
+
+  private def filesOf(tbl: String, v: Long): Set[String] =
+    Snapshots.generationFiles(spark, tbl, v)._1.map(_._1).toSet
+
+  test("updateWhere rewrites ONLY the predicate's files; carried rows " +
+    "byte-equal; history time-travels") {
+    val tbl = freshTable()
+    val v0 = seed(tbl)
+    val v1 = Snapshots.updateWhere(spark, tbl,
+      col("id") === 5L, Seq("amt" -> lit(999L)))
+    assert(v1 == v0 + 1)
+    val (f0, f1) = (filesOf(tbl, v0), filesOf(tbl, v1))
+    assert((f0 -- f1).size == 1,
+      s"exactly ONE parent file (id=5's) must leave the manifest, got " +
+        s"${(f0 -- f1).size}")
+    assert((f0 intersect f1).size == 3,
+      "the three untouched files must repoint verbatim")
+    val now = Snapshots.readAsOf(spark, tbl, v1)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(now(5L) == 999L && now(4L) == 40L && now(6L) == 60L)
+    assert(now.size == 12)
+    val before = Snapshots.readAsOf(spark, tbl, v0)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(before(5L) == 50L, "time travel below the update is MVCC")
+  }
+
+  test("updateWhere: assignments cast to the stored column type; " +
+    "expressions may reference other columns") {
+    val tbl = freshTable()
+    seed(tbl)
+    val v = Snapshots.updateWhere(spark, tbl,
+      col("id") <= 2L,
+      Seq("amt" -> (col("amt") + 1), // int literal + long col
+        "v" -> concat(col("v"), lit("!"))))
+    val rows = Snapshots.readAsOf(spark, tbl, v)
+      .filter(col("id") <= 3L).orderBy("id")
+      .select("v", "amt").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("v1!", 11L), ("v2!", 21L), ("v3", 30L)))
+  }
+
+  test("updateWhere matching nothing is a NO-OP: no generation minted") {
+    val tbl = freshTable()
+    val v0 = seed(tbl)
+    val v = Snapshots.updateWhere(spark, tbl,
+      col("id") > 100L, Seq("amt" -> lit(0L)))
+    assert(v == v0)
+    assert(Snapshots.latestVersion(spark, tbl).contains(v0))
+  }
+
+  test("updateWhere composes with deletion vectors: deleted rows never " +
+    "resurrect, the rewritten file's DV entries die, untouched files' " +
+    "survive") {
+    val tbl = freshTable()
+    seed(tbl)
+    // DV-delete id=4 (file 2) and id=10 (file 4)
+    Snapshots.deleteWhere(spark, tbl, col("id").isin(4L, 10L))
+    // update id=5 → rewrites file 2 (ids 4,5,6): its DV entry must die
+    // physically; file 4's entry must survive the new version
+    val v2 = Snapshots.updateWhere(spark, tbl,
+      col("id") === 5L, Seq("amt" -> lit(555L)))
+    val now = Snapshots.readAsOf(spark, tbl, v2)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(!now.contains(4L) && !now.contains(10L),
+      "DV-deleted rows must stay deleted through the rewrite")
+    assert(now(5L) == 555L && now.size == 10)
+    // a further delete + update keeps composing
+    Snapshots.deleteWhere(spark, tbl, col("id") === 1L)
+    val v4 = Snapshots.updateWhere(spark, tbl,
+      col("id") === 2L, Seq("v" -> lit("two")))
+    val after = Snapshots.readAsOf(spark, tbl, v4)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(!after.contains(1L) && after(2L) == "two" && after.size == 9)
+  }
+
+  test("updateWhere refuses a hive-partitioned head toward " +
+    "mergePartitioned") {
+    val tbl = freshTable()
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
+      tbl, "p", append = false)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, tbl, col("id") === 1L,
+        Seq("v" -> lit("x")))
+    }
+    assert(e.getMessage.contains("mergePartitioned"))
+  }
+
+  test("updateWhere enforces governing CHECK constraints on the " +
+    "updated rows") {
+    val tbl = freshTable()
+    seed(tbl)
+    Snapshots.addConstraint(spark, tbl, "amt_pos", "amt >= 0")
+    val e = intercept[Exception] {
+      Snapshots.updateWhere(spark, tbl, col("id") === 3L,
+        Seq("amt" -> lit(-1L)))
+    }
+    assert(e.getMessage.contains("amt_pos"))
+    // and a lawful update passes
+    val v = Snapshots.updateWhere(spark, tbl, col("id") === 3L,
+      Seq("amt" -> lit(7L)))
+    assert(Snapshots.readAsOf(spark, tbl, v)
+      .filter(col("id") === 3L).select("amt").as[Long].head() == 7L)
+  }
+
+  test("mergeInto: update + insert in one commit; only matched files " +
+    "rewrite; cardinality violation refuses loudly") {
+    val tbl = freshTable()
+    val v0 = seed(tbl)
+    val src = Seq((5L, 500L), (6L, 600L), (99L, 990L))
+      .toDF("sid", "samt")
+    val v1 = Snapshots.mergeInto(spark, tbl, src,
+      col("t.id") === col("s.sid"),
+      Seq(
+        Snapshots.MergeUpdate(None, Seq("amt" -> col("s.samt"))),
+        Snapshots.MergeInsert(None, Seq(
+          "id" -> col("s.sid"), "v" -> lit("new"),
+          "amt" -> col("s.samt")))))
+    assert(v1 == v0 + 1)
+    val (f0, f1) = (filesOf(tbl, v0), filesOf(tbl, v1))
+    assert((f0 intersect f1).size == 3,
+      "ids 5,6 share one file — the other three repoint verbatim")
+    val now = Snapshots.readAsOf(spark, tbl, v1)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(now(5L) == 500L && now(6L) == 600L && now(99L) == 990L)
+    assert(now.size == 13 && now(7L) == 70L)
+    // ANSI cardinality: two source rows hitting one target row refuse
+    val dup = Seq((5L, 1L), (5L, 2L)).toDF("sid", "samt")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, tbl, dup,
+        col("t.id") === col("s.sid"),
+        Seq(Snapshots.MergeUpdate(None, Seq("amt" -> col("s.samt")))))
+    }
+    assert(e.getMessage.contains("more than one source row"))
+  }
+
+  test("mergeInto: clause conditions, first-match-wins, DELETE clause, " +
+    "conditional insert") {
+    val tbl = freshTable()
+    seed(tbl)
+    val src = Seq((1L, "del"), (2L, "upd"), (50L, "ins"), (60L, "skip"))
+      .toDF("sid", "op")
+    val v = Snapshots.mergeInto(spark, tbl, src,
+      col("t.id") === col("s.sid"),
+      Seq(
+        Snapshots.MergeDelete(Some(col("s.op") === "del")),
+        Snapshots.MergeUpdate(Some(col("s.op") === "upd"),
+          Seq("v" -> lit("updated"))),
+        Snapshots.MergeInsert(Some(col("s.op") === "ins"), Seq(
+          "id" -> col("s.sid"), "v" -> col("s.op"), "amt" -> lit(0L)))))
+    val now = Snapshots.readAsOf(spark, tbl, v)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(!now.contains(1L), "matched del row must delete")
+    assert(now(2L) == "updated")
+    assert(now(50L) == "ins")
+    assert(!now.contains(60L), "insert condition must gate")
+    assert(now.size == 12)
+  }
+
+  test("mergeInto insert-only rewrites NO files (pure append shape)") {
+    val tbl = freshTable()
+    val v0 = seed(tbl)
+    val src = Seq((200L, "x", 1L)).toDF("id", "v", "amt")
+    val v1 = Snapshots.mergeInto(spark, tbl, src,
+      col("t.id") === col("s.id"),
+      Seq(Snapshots.MergeInsert(None, Seq(
+        "id" -> col("s.id"), "v" -> col("s.v"), "amt" -> col("s.amt")))))
+    val (f0, f1) = (filesOf(tbl, v0), filesOf(tbl, v1))
+    assert(f0.subsetOf(f1), "every parent file must repoint verbatim " +
+      "even though some contain ON-matchable ids")
+    assert((f1 -- f0).nonEmpty)
+  }
+
+  test("updateWhere keeps a CLUSTERED table's stats sidecar live: " +
+    "range scans prune on the new head, fresh files get real bounds") {
+    val tbl = freshTable()
+    val df = (1L to 12L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "amt")
+    Snapshots.commitClustered(spark, df, tbl, "id",
+      numFiles = 4, append = false)
+    val v1 = Snapshots.updateWhere(spark, tbl,
+      col("id") === 5L, Seq("amt" -> lit(999L)))
+    // the governed scan still answers (no refusal) and still prunes
+    val hit = Snapshots.scanRangeAsOf(spark, tbl, v1, "id", 5L, 5L)
+    assert(hit.select("amt").as[Long].collect().toSeq == Seq(999L))
+    assert(hit.inputFiles.length < filesOf(tbl, v1).size,
+      "the range scan must still PRUNE after the update — the fresh " +
+        "file's bounds must be real, not a refusal or a full scan")
+    // an id untouched by the update scans from a verbatim parent file
+    assert(Snapshots.scanRangeAsOf(spark, tbl, v1, "id", 11L, 11L)
+      .select("amt").as[Long].collect().toSeq == Seq(110L))
+  }
+
+  test("mergeInto keeps a BLOOM-governed table's point lookups live") {
+    val tbl = freshTable()
+    val df = (1L to 12L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "amt")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    Snapshots.commitBloom(spark, df, tbl, "id", append = false)
+    val src = Seq((5L, 500L), (99L, 990L)).toDF("sid", "samt")
+    val v1 = Snapshots.mergeInto(spark, tbl, src,
+      col("t.id") === col("s.sid"),
+      Seq(
+        Snapshots.MergeUpdate(None, Seq("amt" -> col("s.samt"))),
+        Snapshots.MergeInsert(None, Seq(
+          "id" -> col("s.sid"), "v" -> lit("new"),
+          "amt" -> col("s.samt")))))
+    assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 5L)
+      .select("amt").as[Long].collect().toSeq == Seq(500L))
+    assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 99L)
+      .select("amt").as[Long].collect().toSeq == Seq(990L),
+      "the INSERTED row must be bloom-indexed too")
+    assert(Snapshots.scanPointAsOf(spark, tbl, v1, "id", 11L)
+      .select("amt").as[Long].collect().toSeq == Seq(110L))
+  }
+
+  test("SQL UPDATE on a catalog table routes through updateWhere " +
+    "(file-exact, not whole-table)") {
+    val root = Files.createTempDirectory("graft_dmlsql_").toString
+    val tbl = s"$root/storage/t"
+    Snapshots.init(spark, tbl)
+    val v0 = seed(tbl)
+    Catalog.register(spark, root, "t", tbl)
+    val cat = "gdmlu"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"UPDATE $cat.t SET amt = amt + 1000, v = 'sql' " +
+      "WHERE id IN (7, 8)")
+    val v1 = Snapshots.latestVersion(spark, tbl).get
+    assert(v1 == v0 + 1, "SQL UPDATE must mint exactly one generation")
+    val (f0, f1) = (filesOf(tbl, v0), filesOf(tbl, v1))
+    assert((f0 intersect f1).size == 3,
+      "ids 7,8 live in one file — SQL UPDATE must stay file-exact")
+    val now = spark.sql(s"SELECT id, v, amt FROM $cat.t WHERE id IN (6,7,8)")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(now == Seq((6L, "v6", 60L), (7L, "sql", 1070L),
+      (8L, "sql", 1080L)))
+  }
+
+  test("SQL MERGE INTO on a catalog table: matched update + not-matched " +
+    "insert, then VERSION AS OF still answers the pre-merge face") {
+    val root = Files.createTempDirectory("graft_dmlsql_").toString
+    val tbl = s"$root/storage/m"
+    Snapshots.init(spark, tbl)
+    val v0 = seed(tbl)
+    Catalog.register(spark, root, "m", tbl)
+    val cat = "gdmlm"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Seq((11L, "merged", 1100L), (300L, "born", 3000L))
+      .toDF("id", "v", "amt").createOrReplaceTempView("dml_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.m AS tgt USING dml_merge_src AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v, amt = src.amt
+         |WHEN NOT MATCHED THEN INSERT (id, v, amt)
+         |  VALUES (src.id, src.v, src.amt)""".stripMargin)
+    val now = spark.sql(s"SELECT id, v, amt FROM $cat.m " +
+      "WHERE id IN (11, 12, 300)")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(now == Seq((11L, "merged", 1100L), (12L, "v12", 120L),
+      (300L, "born", 3000L)))
+    val before = spark.sql(
+      s"SELECT count(*) FROM $cat.m VERSION AS OF $v0")
+      .as[Long].head()
+    assert(before == 12L, "the pre-merge face must stay addressable")
+  }
+
+  test("SQL MERGE INTO UPDATE SET * / INSERT * expand by name") {
+    val root = Files.createTempDirectory("graft_dmlsql_").toString
+    val tbl = s"$root/storage/st"
+    Snapshots.init(spark, tbl)
+    seed(tbl)
+    Catalog.register(spark, root, "st", tbl)
+    val cat = "gdmls"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Seq((3L, "star", 333L), (400L, "new", 4L))
+      .toDF("id", "v", "amt").createOrReplaceTempView("dml_star_src")
+    spark.sql(
+      s"""MERGE INTO $cat.st USING dml_star_src AS src
+         |ON st.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = spark.sql(
+      s"SELECT id, v, amt FROM $cat.st WHERE id IN (3, 400)")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(now == Seq((3L, "star", 333L), (400L, "new", 4L)))
+  }
+}

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSuite {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
