@@ -1354,6 +1354,55 @@ object SparkEntry {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    "q79_sql_branch" -> ((s, dir) => {
+      // BRANCHES — write-audit-publish at LINEAGE scope (the Iceberg
+      // branch shape on the zero-copy clone): `CALL
+      // system.create_branch` forks an isolated writable lineage,
+      // commits stage invisibly to main (require-pinned: main's head
+      // never moves), `VERSION AS OF '<branch>'` serves the audit
+      // face from SQL, and `CALL system.fast_forward` publishes the
+      // whole staged lineage as ONE metadata-only main generation.
+      // Oracle: the whole-table rollup — the published face must be
+      // exactly what a direct write would have produced. Fresh
+      // catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlbr_").toString
+      val tbl = s"$root/storage/br"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      Catalog.register(s, root, "br", tbl)
+      val cat = s"gbr${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val bRoot = s.sql(s"CALL $cat.system.create_branch('br', 'wap')")
+        .collect().head.getString(2)
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 1),
+        bRoot, append = true)
+      require(Snapshots.latestVersion(s, tbl).contains(0L),
+        "staged branch commits must be invisible to main")
+      val audit = s.sql(
+        s"SELECT count(*) FROM $cat.br VERSION AS OF 'wap'")
+        .collect().head.getLong(0)
+      val mainN = s.sql(s"SELECT count(*) FROM $cat.br")
+        .collect().head.getLong(0)
+      require(audit > mainN,
+        "the SQL audit face must be the branch head, not main")
+      val ff = s.sql(s"CALL $cat.system.fast_forward('br', 'wap')")
+        .collect().head
+      require(ff.getLong(1) == 1L,
+        "the publish must be exactly one main generation")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.br
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     "q73_sql_ctas" -> ((s, dir) => {
       // atomic CTAS (StagingTableCatalog): CREATE TABLE AS SELECT
       // births a snapshot table — the query result commits as version
@@ -6674,6 +6723,15 @@ object SparkEntry {
           |FROM events
           |WHERE event_id % 2 = 0 AND user_id > 30
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the published face after the WAP loop is the whole table —
+      // branching may only stage bytes, never change values
+      "q79_sql_branch" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // the evolved face: era-0 rows null-fill the added column
       // (coalesce 0), the inserted era carries user_id as its bonus

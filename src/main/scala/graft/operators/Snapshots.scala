@@ -2041,9 +2041,11 @@ object Snapshots {
     * they govern ingest ([[prepareBatch]]); a column-mapping face
     * translates both ways. Updated columns keep their stored type
     * (assignments cast; a type-changing update is a replace commit's
-    * job). Hive-partitioned generations refuse toward
-    * [[mergePartitioned]] — rewriting a partitioned file flat would
-    * lose its path-encoded fragment. A stats/bloom-governed table
+    * job). Hive-partitioned generations rewrite `partitionBy`, so
+    * fragments re-derive from the data — an update that moves a row's
+    * partition value moves the row's fragment with it (mixed-layout
+    * generations refuse toward [[optimizePartitioned]]). A
+    * stats/bloom-governed table
     * KEEPS ITS PRUNING INDEXES LIVE: [[maintainIndexSidecars]] mints
     * the new version's sidecar from the parent's surviving rows plus
     * one fresh-files-only data pass, so range/box/point scans keep
@@ -2069,11 +2071,8 @@ object Snapshots {
       s"updateWhere: version $observed of $tablePath vanished between " +
         "the head resolution and its read — a racing retraction; retry")
     val fileRows = fileRowsOf(gen)
-    require(fileRows.forall(_._2 == null),
-      s"updateWhere: version $observed of $tablePath carries " +
-        "hive-partitioned files — a flat rewrite would lose their " +
-        "path-encoded fragments; partition-scoped copy-on-write is " +
-        "mergePartitioned's job")
+    val partCol = dmlPartitionCol(fileRows, observed, tablePath,
+      "updateWhere")
     val schemaJson = schemaJsonOf(gen).orNull
     val stored = schemaJsonOf(gen).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
@@ -2110,11 +2109,8 @@ object Snapshots {
     }
     val version = claimVersion(spark, tablePath, observed + 1L)
     val prepared = prepareBatch(spark, tablePath, Some(observed), updated)
-    val dataPath = s"$tablePath/$DataDir/v$version"
-    toPhysical(spark, tablePath, Some(observed), prepared)
-      .write.mode("errorifexists").parquet(dataPath)
-    val fresh = footerCounts(spark,
-      listDataFiles(spark, dataPath).map((_, null: String)))
+    val fresh = writeDmlFiles(spark, tablePath, observed, version,
+      prepared, partCol)
     // the new version's DV sidecar: untouched files' entries survive,
     // rewritten files' entries died physically with the rewrite — an
     // empty survivor set still writes (it supersedes the parent's)
@@ -2130,6 +2126,58 @@ object Snapshots {
       cleanRows.map(_._1), fresh.map(_._1))
     publishDerived(spark, tablePath, version, cleanRows ++ fresh,
       schemaJson, ts, observed, "updateWhere")
+  }
+
+  /** The partition column a file-swapping DML commit must preserve:
+    * None for a flat generation, the single fragment key for a
+    * uniformly hive-partitioned one (the rewrite then writes
+    * `partitionBy` so fragments — including rows an UPDATE moved
+    * across partitions — re-derive from the data). A MIXED layout
+    * (partition evolution mid-flight) refuses: fragment-scoped
+    * answers over it are undefined until [[optimizePartitioned]]. */
+  private def dmlPartitionCol(
+      fileRows: Seq[(String, String, Option[Long])],
+      version: Long,
+      tablePath: String,
+      verb: String): Option[String] = {
+    if (fileRows.isEmpty || fileRows.forall(_._2 == null)) None
+    else {
+      require(fileRows.forall(_._2 != null),
+        s"$verb: version $version of $tablePath mixes flat and " +
+          "partitioned files (partition evolution) — compact with " +
+          "optimizePartitioned first")
+      val keys = fileRows.map(_._2.split("=", 2)(0)).distinct
+      require(keys.length == 1,
+        s"$verb: version $version of $tablePath carries fragments on " +
+          s"multiple keys (${keys.mkString(", ")}) — compact with " +
+          "optimizePartitioned first")
+      Some(keys.head)
+    }
+  }
+
+  /** Write a DML verb's fresh files — flat or `partitionBy` to match
+    * the generation's layout — and return their manifest rows. */
+  private def writeDmlFiles(
+      spark: SparkSession,
+      tablePath: String,
+      parent: Long,
+      version: Long,
+      prepared: DataFrame,
+      partCol: Option[String]): Seq[(String, String, Option[Long])] = {
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    val w = toPhysical(spark, tablePath, Some(parent), prepared)
+      .write.mode("errorifexists")
+    partCol match {
+      case Some(pc) =>
+        require(prepared.columns.contains(pc),
+          s"DML rewrite of $tablePath lost partition column '$pc'")
+        w.partitionBy(pc).parquet(dataPath)
+        footerCounts(spark, listPartitionedFiles(spark, dataPath))
+      case None =>
+        w.parquet(dataPath)
+        footerCounts(spark,
+          listDataFiles(spark, dataPath).map((_, null: String)))
+    }
   }
 
   /** One WHEN clause of [[mergeInto]] — the SQL MERGE action shapes.
@@ -2151,7 +2199,9 @@ object Snapshots {
       values: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
 
   /** ANSI MERGE INTO as FILE-EXACT copy-on-write — the general
-    * source-driven upsert over a flat snapshot table, completing
+    * source-driven upsert over a flat or hive-partitioned snapshot
+    * table (partitioned rewrites go `partitionBy`, fragments
+    * re-derive from the data), completing
     * [[merge]]'s keyed shape and [[mergePartitioned]]'s
     * partition-scoped shape. One semi-join pass finds the target
     * files containing ANY ON-matched row (the match blast radius —
@@ -2188,10 +2238,8 @@ object Snapshots {
       s"mergeInto: version $observed of $tablePath vanished between " +
         "the head resolution and its read — a racing retraction; retry")
     val fileRows = fileRowsOf(gen)
-    require(fileRows.forall(_._2 == null),
-      s"mergeInto: version $observed of $tablePath carries " +
-        "hive-partitioned files — partition-scoped copy-on-write is " +
-        "mergePartitioned's job")
+    val partCol = dmlPartitionCol(fileRows, observed, tablePath,
+      "mergeInto")
     val schemaJson = schemaJsonOf(gen).orNull
     val stored = schemaJsonOf(gen).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
@@ -2316,11 +2364,8 @@ object Snapshots {
     val version = claimVersion(spark, tablePath, observed + 1L)
     val prepared = prepareBatch(spark, tablePath, Some(observed),
       freshFrame.get)
-    val dataPath = s"$tablePath/$DataDir/v$version"
-    toPhysical(spark, tablePath, Some(observed), prepared)
-      .write.mode("errorifexists").parquet(dataPath)
-    val fresh = footerCounts(spark,
-      listDataFiles(spark, dataPath).map((_, null: String)))
+    val fresh = writeDmlFiles(spark, tablePath, observed, version,
+      prepared, partCol)
     prior.foreach { p =>
       val survivingFiles = p.select(col("file")).distinct().collect()
         .map(_.getString(0))
@@ -3698,6 +3743,196 @@ object Snapshots {
     if (srcGen.nonEmpty)
       writeGenCols(spark, dstTable, v, srcGen)
     publishRows(spark, dstTable, v, rows, schemaJson, None, None)
+  }
+
+  // ------------------------------------------------------------------
+  // BRANCHES — writable isolated lineages (the Iceberg branch / WAP
+  // shape, built on the zero-copy clone)
+  // ------------------------------------------------------------------
+
+  /** The branch's own table root — a full snapshot table: every verb
+    * (clustered commits, deletes, constraints, MERGE, time travel
+    * WITHIN the branch) works on it unchanged. */
+  def branchPath(tablePath: String, name: String): String =
+    s"$tablePath/_branches/$name"
+
+  private def forkMarker(tablePath: String, name: String): Path =
+    new Path(s"$tablePath/_branches/$name.fork")
+
+  private def readFork(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Option[Long] = {
+    val f = fs(spark, tablePath)
+    val p = forkMarker(tablePath, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  private def writeFork(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      version: Long): Unit = {
+    val f = fs(spark, tablePath)
+    val out = f.create(forkMarker(tablePath, name), true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Fork an ISOLATED WRITABLE lineage off `fromVersion` (default the
+    * head): a zero-copy clone under the table's own `_branches/<name>`
+    * plus a fork marker recording the main version it left from. Main
+    * readers NEVER see branch commits (the branch has its own manifest
+    * space); the branch is a full snapshot table — write to it with
+    * any verb against [[branchPath]], audit it with [[readBranch]],
+    * and publish it back atomically with [[fastForward]]. This is
+    * write-audit-publish at LINEAGE scope: stage any number of
+    * commits, not one. The clone caveat applies while a branch is
+    * open: main's [[vacuum]] does not know about branches, so
+    * retention policy must outlive them. Returns the branch's own
+    * version 0. */
+  def createBranch(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      fromVersion: Option[Long] = None): Long = {
+    requireTagName(name)
+    require(readFork(spark, tablePath, name).isEmpty,
+      s"branch '$name' already exists on $tablePath")
+    val from = fromVersion.orElse(latestVersion(spark, tablePath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"createBranch: $tablePath has no committed versions"))
+    val root = branchPath(tablePath, name)
+    init(spark, root)
+    val v = cloneTable(spark, tablePath, from, root)
+    writeFork(spark, tablePath, name, from)
+    v
+  }
+
+  /** All (name, forkVersion, branchHead) branches of the table. */
+  def branches(
+      spark: SparkSession,
+      tablePath: String): Seq[(String, Long, Long)] = {
+    val f = fs(spark, tablePath)
+    val dir = new Path(s"$tablePath/_branches")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".fork")).toSeq.map { st =>
+      val name = st.getPath.getName.stripSuffix(".fork")
+      (name,
+        readFork(spark, tablePath, name).get,
+        latestVersion(spark, branchPath(tablePath, name)).getOrElse(-1L))
+    }.sortBy(_._1)
+  }
+
+  /** The branch's current face. */
+  def readBranch(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): DataFrame = {
+    val root = branchPath(tablePath, name)
+    readAsOf(spark, root, latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $tablePath — known: " +
+          branches(spark, tablePath).map(_._1).mkString(", "))))
+  }
+
+  /** Publish the branch's head onto main as ONE metadata-only commit —
+    * the branch's manifest rows repoint verbatim (files stay where
+    * they are, under the branch's `data/`; main owns everything under
+    * its root, so its vacuum lifecycle covers them) and the branch's
+    * governing DV/constraint/mapping/generated-column sets transfer
+    * exactly as [[rollback]] restores a target's (the branch face IS
+    * the published face, deletes and invariants included). REFUSES
+    * when main's head moved past the fork — a fast-forward is only
+    * fast-forward onto the lineage it left; recreate the branch to
+    * rebase (the same retry contract every derived commit has). The
+    * fork marker advances to the published version, so the branch
+    * remains usable for the next audit cycle. Stats/bloom sidecars do
+    * not transfer (the clone contract) — re-cluster after merging if
+    * the table is index-governed. Returns the minted main version. */
+  def fastForward(
+      spark: SparkSession,
+      tablePath: String,
+      name: String,
+      ts: Option[Long] = None): Long = {
+    val fork = readFork(spark, tablePath, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $tablePath — known: " +
+          branches(spark, tablePath).map(_._1).mkString(", ")))
+    val observed = latestVersion(spark, tablePath)
+    require(observed.contains(fork),
+      s"fastForward('$name'): $tablePath's head is " +
+        s"${observed.fold("<empty>")(_.toString)} but the branch forked " +
+        s"from $fork — main moved; recreate the branch from the new " +
+        "head to rebase its changes")
+    val root = branchPath(tablePath, name)
+    val bHead = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"fastForward('$name'): the branch has no commits"))
+    val gen = manifestFor(spark, root, bHead)
+    require(gen.nonEmpty,
+      s"fastForward('$name'): branch head $bHead vanished — a racing " +
+        "retraction; retry")
+    val rows = fileRowsOf(gen)
+    val schemaJson = schemaJsonOf(gen).orNull
+    val version = claimVersion(spark, tablePath, fork + 1L)
+    // the branch's governing sidecar sets become main's at the
+    // published version (the rollback restore pattern: the face being
+    // published carries its own deletes and invariants)
+    dvSet(spark, root, bHead).foreach(d =>
+      writeDvSet(spark, tablePath, version, d))
+    val bCons = constraintsAsOf(spark, root, bHead)
+    if (bCons.nonEmpty || fs(spark, tablePath).exists(
+      new Path(constraintsRoot(tablePath))))
+      writeConstraints(spark, tablePath, version, bCons)
+    val bMap = colMapAsOf(spark, root, bHead)
+    if (bMap.nonEmpty || fs(spark, tablePath).exists(
+      new Path(colMapRoot(tablePath))))
+      writeColMap(spark, tablePath, version, bMap)
+    val bGen = generatedColumnsAsOf(spark, root, bHead)
+    if (bGen.nonEmpty || fs(spark, tablePath).exists(
+      new Path(genColsRoot(tablePath))))
+      writeGenCols(spark, tablePath, version, bGen)
+    val published = publishDerived(spark, tablePath, version, rows,
+      schemaJson, ts, fork, "fastForward")
+    writeFork(spark, tablePath, name, published)
+    published
+  }
+
+  /** Drop a branch: its manifest space and its OWN data files go; a
+    * branch whose files a retained MAIN generation references (it was
+    * fast-forwarded) refuses toward [[optimize]]-then-vacuum first —
+    * deleting them would corrupt main's history. */
+  def dropBranch(
+      spark: SparkSession,
+      tablePath: String,
+      name: String): Boolean = {
+    requireTagName(name)
+    val f = fs(spark, tablePath)
+    val marker = forkMarker(tablePath, name)
+    if (!f.exists(marker)) return false
+    val root = branchPath(tablePath, name)
+    val prefix = normPath(root) + "/"
+    val borrowed = manifest(spark, tablePath)
+      .select(col("file")).distinct().collect().map(_.getString(0))
+      .exists(file => normPath(file).startsWith(prefix))
+    require(!borrowed,
+      s"dropBranch('$name'): a retained main generation references " +
+        "files under the branch root (it was fast-forwarded) — " +
+        "optimize main (rewriting them under main's own data/) and " +
+        "vacuum the referencing versions first")
+    f.delete(new Path(root), true)
+    f.delete(marker, false)
+    true
   }
 
   /** COUNT(*) AS OF `version`, answered from the manifest's per-file

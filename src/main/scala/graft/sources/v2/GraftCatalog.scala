@@ -115,18 +115,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     else snapshotTable(ident, None)
 
   /** `VERSION AS OF <v>` — an integer is the snapshot number, any
-    * other string resolves as a TAG name ([[Snapshots.tagVersion]]),
-    * the Iceberg branch/tag travel shape. */
+    * other string resolves as a TAG name ([[Snapshots.tagVersion]])
+    * or, failing that, a BRANCH name (the branch's head face) — the
+    * Iceberg ref-travel shape. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    def refuse(root: String): Nothing =
+      throw new IllegalArgumentException(
+        s"VERSION AS OF '$version' on $catName.${ident.name}: not a " +
+          "snapshot number, tag, or branch (tags: " +
+          Snapshots.tags(spark, root).map(_._1).mkString(", ") +
+          "; branches: " +
+          Snapshots.branches(spark, root).map(_._1).mkString(", ") + ")")
     def resolve(root: String): Long =
       version.toLongOption
         .orElse(Snapshots.tagVersion(spark, root, version))
-        .getOrElse(throw new IllegalArgumentException(
-          s"VERSION AS OF '$version' on $catName.${ident.name}: not a " +
-            "snapshot number, and the table carries no such tag (known: " +
-            Snapshots.tags(spark, root).map(_._1).mkString(", ") + ")"))
-    if (isMetaIdent(ident)) metaTable(ident, Some(resolve(rootOf(baseIdent(ident)))))
-    else snapshotTable(ident, Some(resolve(rootOf(ident))))
+        .getOrElse(refuse(root))
+    if (isMetaIdent(ident))
+      metaTable(ident, Some(resolve(rootOf(baseIdent(ident)))))
+    else {
+      val root = rootOf(ident)
+      version.toLongOption
+        .orElse(Snapshots.tagVersion(spark, root, version)) match {
+        case Some(v) => snapshotTable(ident, Some(v))
+        case None
+          if Snapshots.branches(spark, root).exists(_._1 == version) =>
+          val bRoot = Snapshots.branchPath(root, version)
+          GraftSnapshotTable.resolve(spark,
+            s"$catName.${ident.name}@$version", bRoot,
+            Snapshots.latestVersion(spark, bRoot).getOrElse(refuse(root)))
+        case None => refuse(root)
+      }
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` — micros, resolved over the table's
@@ -150,7 +169,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       MetaNames.contains(ident.name) &&
       Catalog.entries(spark, catalogRoot).contains(ident.namespace.head)
 
-  private val MetaNames = Set("history", "files", "tags")
+  private val MetaNames = Set("history", "files", "tags", "branches")
 
   private def baseIdent(ident: Identifier): Identifier =
     Identifier.of(Array.empty[String], ident.namespace.head)
@@ -185,6 +204,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               n.map(Long.box).orNull)): InternalRow
           }.toArray
         new GraftMetaTable(qualified, GraftMetaTables.FilesSchema, rows)
+      case "branches" =>
+        require(version.isEmpty,
+          s"$qualified is the live branch listing — branch names are " +
+            "the travel addresses (VERSION AS OF '<branch>')")
+        val rows = Snapshots.branches(s, root).map {
+          case (n, fork, head) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(n), fork, head)): InternalRow
+        }.toArray
+        new GraftMetaTable(qualified, GraftMetaTables.BranchesSchema, rows)
       case "tags" =>
         require(version.isEmpty,
           s"$qualified is the live tag listing — tags themselves are " +
@@ -358,7 +387,8 @@ private[v2] object GraftProcedures {
   val Ns: Array[String] = Array("system")
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "rollback", "remove_orphans", "maintain",
-      "tag", "remove_tag", "expire_snapshots")
+      "tag", "remove_tag", "expire_snapshots",
+      "create_branch", "fast_forward", "drop_branch")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -511,6 +541,70 @@ private[v2] object GraftProcedures {
         }
       }
 
+    case "create_branch" =>
+      new Proc("create_branch",
+        "Fork an isolated writable lineage off the given version " +
+          "(default -1 = the head); write to it via its own root, " +
+          "audit via VERSION AS OF '<name>', publish via fast_forward",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("from_version", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("branch", StringType, nullable = false),
+          StructField("branch_root", StringType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val n = in.getUTF8String(1).toString
+          val root = rootOf(t)
+          val from =
+            if (in.getLong(2) >= 0) Some(in.getLong(2)) else None
+          Snapshots.createBranch(spark, root, n, from)
+          Array(new GenericInternalRow(Array[Any](str(t), str(n),
+            str(Snapshots.branchPath(root, n)))))
+        }
+      }
+
+    case "fast_forward" =>
+      new Proc("fast_forward",
+        "Publish the branch's head onto main as one metadata-only " +
+          "commit; refuses when main's head moved past the fork",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val v = Snapshots.fastForward(spark, rootOf(t),
+            in.getUTF8String(1).toString)
+          Array(new GenericInternalRow(Array[Any](str(t), v)))
+        }
+      }
+
+    case "drop_branch" =>
+      new Proc("drop_branch",
+        "Drop a branch and its own data files; refuses while a " +
+          "retained main generation references them",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(
+          StructField("table", StringType, nullable = false),
+          StructField("existed", org.apache.spark.sql.types.BooleanType,
+            nullable = false)))) {
+        override def run(in: InternalRow): Array[InternalRow] = {
+          val t = in.getUTF8String(0).toString
+          val existed = Snapshots.dropBranch(spark, rootOf(t),
+            in.getUTF8String(1).toString)
+          Array(new GenericInternalRow(Array[Any](str(t),
+            Boolean.box(existed))))
+        }
+      }
+
     case "maintain" =>
       new Proc("maintain",
         "Execute the catalog's whole maintenance sweep " +
@@ -630,23 +724,22 @@ private[v2] object GraftSnapshotTable {
     val cmap = Snapshots.colMapAsOf(spark, root, version)
     val colMapped = !cmap.forall { case (p, l) => l.contains(p) }
     val parted = rows.filter(_._2 != null)
+    // partition columns are path-encoded; Spark reconstructs them from
+    // ONE basePath — the single commit root every file of a freshly
+    // written or compacted partitioned generation shares. A MULTI-ROOT
+    // lineage (a partitioned table after file-swapping DML) cannot,
+    // so it refuses — at SCAN EXECUTION like the DV/mapping guards,
+    // because UPDATE/MERGE/optimize on such a table must still plan.
+    val partRoots =
+      if (parted.isEmpty) Seq.empty
+      else files.map(f => new Path(f).getParent.getParent.toString).distinct
+    val multiRoot = parted.nonEmpty &&
+      (parted.length != rows.length || partRoots.length != 1)
     val options: Map[String, String] =
-      if (parted.isEmpty) Map.empty
-      else {
-        // partition columns are path-encoded; Spark reconstructs them
-        // from ONE basePath — the single commit root every file of a
-        // freshly written or compacted partitioned generation shares
-        val roots = files
-          .map(f => new Path(f).getParent.getParent.toString).distinct
-        require(parted.length == rows.length && roots.length == 1,
-          s"$tableName VERSION AS OF $version mixes partition roots or " +
-            "layouts — the SQL scan cannot reconstruct its partition " +
-            "column from one basePath; read through Snapshots.readAsOf " +
-            "(or compact with optimizePartitioned)")
-        Map("basePath" -> roots.head)
-      }
+      if (parted.isEmpty || multiRoot) Map.empty
+      else Map("basePath" -> partRoots.head)
     new GraftSnapshotTable(tableName, root, version, dvGoverned,
-      colMapped,
+      colMapped, multiRoot,
       ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(options.asJava),
         files.toIndexedSeq, stored, classOf[ParquetFileFormat]))
@@ -673,6 +766,7 @@ private[graft] class GraftSnapshotTable(
     version: Long,
     dvGoverned: Boolean,
     colMapped: Boolean,
+    multiRoot: Boolean,
     delegate: ParquetTable) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete {
   /** The snapshot root — the SQL DML rules ([[graft.plans.GraftDmlRule]])
@@ -684,7 +778,7 @@ private[graft] class GraftSnapshotTable(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    if (!dvGoverned && !colMapped) delegate.newScanBuilder(o)
+    if (!dvGoverned && !colMapped && !multiRoot) delegate.newScanBuilder(o)
     else new ScanBuilder {
       // DML/DDL planning (DELETE FROM's optimizer pass, ALTER TABLE's
       // loadTable) builds scans it never executes — so a DV-governed
@@ -699,10 +793,16 @@ private[graft] class GraftSnapshotTable(
               "deletion vectors — the SQL scan cannot apply them; read " +
               "through Snapshots.readAsOf (or compact with CALL " +
               "system.optimize)"
-          else
+          else if (colMapped)
             s"$tableName VERSION AS OF $version is governed by a " +
               "column rename/drop mapping — the SQL scan cannot " +
-              "translate physical names; read through Snapshots.readAsOf")
+              "translate physical names; read through Snapshots.readAsOf"
+          else
+            s"$tableName VERSION AS OF $version mixes partition roots " +
+              "or layouts — the SQL scan cannot reconstruct its " +
+              "partition column from one basePath; read through " +
+              "Snapshots.readAsOf (or compact with " +
+              "optimizePartitioned / CALL system.optimize)")
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -815,6 +915,10 @@ private[v2] object GraftMetaTables {
   val TagsSchema: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
+  val BranchesSchema: StructType = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("fork_version", LongType, nullable = false),
+    StructField("head_version", LongType, nullable = false)))
 }
 
 /** A driver-materialized metadata relation (`history`/`files`): the

@@ -452,4 +452,29 @@ class GraftCatalogSpec extends SparkSuite {
     }
     assert(unsupported.getMessage.contains("ALTER TABLE"))
   }
+
+  test("SQL UPDATE on a partitioned table: fragments follow the data, " +
+    "the multi-root face refuses scans at execution toward optimize, " +
+    "and the compacted face serves again") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/pu"
+    Snapshots.init(spark, tbl)
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, 10L, "p1"), (2L, 20L, "p2"), (3L, 30L, "p2"))
+        .toDF("id", "amt", "p"),
+      tbl, "p", append = false)
+    Catalog.register(spark, root, "pu", tbl)
+    spark.sql(s"UPDATE $cat.pu SET amt = amt + 5 WHERE id = 2")
+    assert(Snapshots.latestVersion(spark, tbl).contains(1L))
+    // the head now mixes data/v0 and data/v1 roots: scans refuse at
+    // EXECUTION (DML/DDL planning still worked — that is the point)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.pu").collect()
+    }
+    assert(e.getMessage.contains("partition roots"))
+    spark.sql(s"CALL $cat.system.optimize('pu')")
+    assert(spark.sql(s"SELECT id, amt, p FROM $cat.pu ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((1L, 10L, "p1"), (2L, 25L, "p2"), (3L, 30L, "p2")))
+  }
 }

@@ -103,17 +103,33 @@ class SnapshotsDmlSpec extends SparkSuite {
     assert(!after.contains(1L) && after(2L) == "two" && after.size == 9)
   }
 
-  test("updateWhere refuses a hive-partitioned head toward " +
-    "mergePartitioned") {
+  test("updateWhere on a hive-partitioned head rewrites partitionBy: " +
+    "untouched partitions repoint, fragments follow moved rows, " +
+    "partition pruning survives") {
     val tbl = freshTable()
     Snapshots.commitPartitioned(spark,
-      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
+      Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3"))
+        .toDF("id", "v", "p"),
       tbl, "p", append = false)
-    val e = intercept[IllegalArgumentException] {
-      Snapshots.updateWhere(spark, tbl, col("id") === 1L,
-        Seq("v" -> lit("x")))
-    }
-    assert(e.getMessage.contains("mergePartitioned"))
+    // update id=1 (partition p1) AND move id=2 from p2 to p9
+    val v1 = Snapshots.updateWhere(spark, tbl,
+      col("id") === 1L, Seq("v" -> lit("A")))
+    val v2 = Snapshots.updateWhere(spark, tbl,
+      col("id") === 2L, Seq("p" -> lit("p9")))
+    val rows2 = Snapshots.generationFiles(spark, tbl, v2)._1
+    assert(rows2.forall(_._2 != null),
+      "every manifest row must keep a partition fragment")
+    assert(rows2.exists(_._2 == "p=p9"),
+      "the moved row's fragment must re-derive from the data")
+    assert(!rows2.exists(_._2 == "p=p2"))
+    // untouched p3 repoints verbatim across BOTH updates
+    val f0 = filesOf(tbl, 0L)
+    assert((f0 intersect filesOf(tbl, v2)).nonEmpty)
+    // fragment-scoped time travel still answers
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, v2, "p", "p9")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, v1, "p", "p1")
+      .select("v").as[String].collect().toSeq == Seq("A"))
   }
 
   test("updateWhere enforces governing CHECK constraints on the " +
