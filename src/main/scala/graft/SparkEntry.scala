@@ -1354,6 +1354,48 @@ object SparkEntry {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    "q80_sql_merge_sync" -> ((s, dir) => {
+      // the FULL-SYNC MERGE (WHEN NOT MATCHED BY SOURCE — the
+      // replication shape): after the statement the target IS the
+      // source's face — present keys update, absent keys DELETE, new
+      // keys insert — in ONE reconciled commit whose by-source blast
+      // radius is its own condition-pruned anti-join pass. Target =
+      // whole events; source = the %3 rows with value_cents+3; final
+      // face = exactly the source. Oracle: recomputed from events.
+      // Fresh catalog name + root per invocation.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlsync_").toString
+      val tbl = s"$root/storage/sy"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val v0 = Snapshots.commit(s, ev, tbl, append = false)
+      Catalog.register(s, root, "sy", tbl)
+      val cat = s"gsy${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value_cents", col("value_cents") + 3)
+        .createOrReplaceTempView("q80_sync_src")
+      s.sql(
+        s"""MERGE INTO $cat.sy AS tgt USING q80_sync_src AS src
+           |ON tgt.event_id = src.event_id
+           |WHEN MATCHED THEN UPDATE SET value_cents = src.value_cents
+           |WHEN NOT MATCHED THEN INSERT (event_id, user_id,
+           |  event_type, value_cents) VALUES (src.event_id,
+           |  src.user_id, src.event_type, src.value_cents)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      require(Snapshots.latestVersion(s, tbl).contains(v0 + 1),
+        "the full-sync MERGE must be exactly one commit")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.sy
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     "q79_sql_branch" -> ((s, dir) => {
       // BRANCHES — write-audit-publish at LINEAGE scope (the Iceberg
       // branch shape on the zero-copy clone): `CALL
@@ -6722,6 +6764,16 @@ object SparkEntry {
           |  AS sum_cents
           |FROM events
           |WHERE event_id % 2 = 0 AND user_id > 30
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // after the full-sync merge the target IS the source's face:
+      // the %3 rows with their +3 cents
+      "q80_sql_merge_sync" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT) + 3) AS BIGINT)
+          |  AS sum_cents
+          |FROM events WHERE event_id % 3 = 0
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // the published face after the WAP loop is the whole table —

@@ -2197,6 +2197,17 @@ object Snapshots {
   case class MergeInsert(
       cond: Option[org.apache.spark.sql.Column],
       values: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... —
+    * target rows NO source row matched; expressions reference the
+    * target side only (the ANSI restriction). */
+  case class MergeUpdateBySource(
+      cond: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — the
+    * full-sync / replication clause: target rows the source stopped
+    * carrying leave the table. */
+  case class MergeDeleteBySource(
+      cond: Option[org.apache.spark.sql.Column]) extends MergeClause
 
   /** ANSI MERGE INTO as FILE-EXACT copy-on-write — the general
     * source-driven upsert over a flat or hive-partitioned snapshot
@@ -2210,8 +2221,12 @@ object Snapshots {
     * row matches two source rows (refused loudly, never
     * last-source-wins), and ONE fresh write carries the rewritten
     * survivors plus the not-matched inserts. Matched clauses apply
-    * first-match-wins in declaration order (the SQL contract);
-    * matched rows hit by no clause carry unchanged. Deletion vectors,
+    * first-match-wins in declaration order (the SQL contract), and so
+    * do the WHEN NOT MATCHED BY SOURCE clauses over the target rows
+    * the source stopped carrying — their blast radius is its own
+    * condition-pruned anti-join pass, so a full-sync MERGE rewrites
+    * only the files its deletes and updates actually touch. Rows hit
+    * by no clause carry unchanged. Deletion vectors,
     * constraints, generated columns and column mappings compose
     * exactly as in [[updateWhere]]. The source is evaluated exactly
     * TWICE (blast radius + rewrite join) — cache it if expensive.
@@ -2230,6 +2245,10 @@ object Snapshots {
       case d: MergeDelete => d: MergeClause
     }
     val inserts = clauses.collect { case i: MergeInsert => i }
+    val bySource = clauses.collect {
+      case u: MergeUpdateBySource => u: MergeClause
+      case d: MergeDeleteBySource => d: MergeClause
+    }
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"mergeInto: $tablePath has no committed versions"))
@@ -2258,10 +2277,10 @@ object Snapshots {
     // pass 1 — the match blast radius + the ANSI cardinality check in
     // ONE aggregate: per matched target row identity, how many source
     // rows matched
-    val dirtySet: Set[String] =
-      // no matched clause → no file rewrites (and the ANSI cardinality
-      // contract binds only update/delete — Spark and Iceberg agree);
-      // an empty face has nothing to match either way
+    val dirtyMatched: Set[String] =
+      // no matched clause → no matched-file rewrites (and the ANSI
+      // cardinality contract binds only update/delete — Spark and
+      // Iceberg agree); an empty face has nothing to match either way
       if (fileRows.isEmpty || matched.isEmpty) Set.empty
       else {
         val matchCounts = liveWithMeta(fileRows).alias("t")
@@ -2277,6 +2296,24 @@ object Snapshots {
         matchCounts.select(col(DvFileCol)).distinct()
           .collect().map(r => normPath(r.getString(0))).toSet
       }
+    // the NOT MATCHED BY SOURCE blast radius: files containing a
+    // target row with NO match that some by-source clause would hit —
+    // one anti-join pass, pruned by the clauses' own conditions
+    val dirtyBySource: Set[String] =
+      if (fileRows.isEmpty || bySource.isEmpty) Set.empty
+      else {
+        val anyCond = bySource.map {
+          case MergeUpdateBySource(c, _) => c.getOrElse(lit(true))
+          case MergeDeleteBySource(c) => c.getOrElse(lit(true))
+          case _ => lit(false)
+        }.reduce(_ || _)
+        liveWithMeta(fileRows).alias("t")
+          .join(src, on, "left_anti")
+          .filter(anyCond)
+          .select(col(DvFileCol)).distinct()
+          .collect().map(r => normPath(r.getString(0))).toSet
+      }
+    val dirtySet = dirtyMatched ++ dirtyBySource
     val (dirtyRows, cleanRows) =
       fileRows.partition(r => dirtySet.contains(normPath(r._1)))
     val colType: Map[String, org.apache.spark.sql.types.DataType] =
@@ -2301,27 +2338,47 @@ object Snapshots {
         val withSentinel = liveWithMeta(dirtyRows).alias("t")
           .join(src, on, "left_outer")
         val isMatched = col(MergeSrcSentinel).isNotNull
-        // first-match-wins across matched clauses: fold into one
-        // CASE WHEN chain per output column + a keep/delete flag
+        // first-match-wins per row set: matched rows walk the matched
+        // clauses in declaration order, unmatched-by-source rows the
+        // by-source clauses — two independent CASE WHEN chains folded
+        // per output column + one keep/delete flag
         var keep: org.apache.spark.sql.Column = lit(true)
         var decided: org.apache.spark.sql.Column = lit(false)
+        var decidedBs: org.apache.spark.sql.Column = lit(false)
         val colExprs = scala.collection.mutable.LinkedHashMap[String,
           org.apache.spark.sql.Column]()
         targetCols.foreach(c => colExprs(c) = col(s"t.$c"))
-        matched.foreach {
+        def setCols(
+            fires: org.apache.spark.sql.Column,
+            set: Seq[(String, org.apache.spark.sql.Column)],
+            verb: String): Unit =
+          set.foreach { case (c, v) =>
+            require(targetCols.contains(c),
+              s"mergeInto: $verb names no column '$c' of " +
+                s"$tablePath (columns: ${targetCols.mkString(", ")})")
+            colExprs(c) = when(fires, castTo(c, v)).otherwise(colExprs(c))
+          }
+        clauses.foreach {
           case MergeUpdate(cond, set) =>
             val fires = isMatched && !decided && cond.getOrElse(lit(true))
-            set.foreach { case (c, v) =>
-              require(targetCols.contains(c),
-                s"mergeInto: UPDATE SET names no column '$c' of " +
-                  s"$tablePath (columns: ${targetCols.mkString(", ")})")
-              colExprs(c) = when(fires, castTo(c, v)).otherwise(colExprs(c))
-            }
+            setCols(fires, set, "UPDATE SET")
             decided = decided || (isMatched && cond.getOrElse(lit(true)))
           case MergeDelete(cond) =>
             val fires = isMatched && !decided && cond.getOrElse(lit(true))
             keep = keep && !fires
             decided = decided || (isMatched && cond.getOrElse(lit(true)))
+          case MergeUpdateBySource(cond, set) =>
+            val fires =
+              !isMatched && !decidedBs && cond.getOrElse(lit(true))
+            setCols(fires, set, "UPDATE SET (not matched by source)")
+            decidedBs = decidedBs ||
+              (!isMatched && cond.getOrElse(lit(true)))
+          case MergeDeleteBySource(cond) =>
+            val fires =
+              !isMatched && !decidedBs && cond.getOrElse(lit(true))
+            keep = keep && !fires
+            decidedBs = decidedBs ||
+              (!isMatched && cond.getOrElse(lit(true)))
           case _: MergeInsert => ()
         }
         Some(withSentinel

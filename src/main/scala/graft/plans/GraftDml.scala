@@ -65,10 +65,6 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         graftTable(m.targetTable) match {
           case None => m
           case Some(table) =>
-            require(m.notMatchedBySourceActions.isEmpty,
-              "MERGE INTO a graft table: WHEN NOT MATCHED BY SOURCE is " +
-                "not supported — express source-absence deletes as " +
-                "Snapshots.deleteWhere over an anti-join")
             require(!m.withSchemaEvolution,
               "MERGE INTO a graft table: WITH SCHEMA EVOLUTION is not " +
                 "supported — schema evolution is the append commit's job")
@@ -91,6 +87,18 @@ object GraftDmlRule extends Rule[LogicalPlan] {
                 s"MERGE INTO a graft table: unsupported WHEN MATCHED " +
                   s"action $other")
             }
+            val bySourceClauses = m.notMatchedBySourceActions.map {
+              case UpdateAction(c, assigns, _) =>
+                Snapshots.MergeUpdateBySource(c.map(reb),
+                  assigns.map(a =>
+                    (assignKey(a.key, "MERGE UPDATE SET (by source)"),
+                      reb(a.value))))
+              case DeleteAction(c) =>
+                Snapshots.MergeDeleteBySource(c.map(reb))
+              case other => throw new IllegalArgumentException(
+                s"MERGE INTO a graft table: unsupported WHEN NOT " +
+                  s"MATCHED BY SOURCE action $other")
+            }
             val insertClauses = m.notMatchedActions.map {
               case InsertAction(c, assigns) =>
                 Snapshots.MergeInsert(c.map(reb),
@@ -104,7 +112,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
                   s"MATCHED action $other")
             }
             GraftMergeIntoCommand(table.snapshotRoot, m.sourceTable, on,
-              matchedClauses ++ insertClauses)
+              matchedClauses ++ bySourceClauses ++ insertClauses)
         }
     }
 

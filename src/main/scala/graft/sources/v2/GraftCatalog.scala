@@ -107,11 +107,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty &&
-      Catalog.entries(spark, catalogRoot).contains(ident.name)
+    (ident.namespace.isEmpty &&
+      Catalog.entries(spark, catalogRoot).contains(ident.name)) ||
+      isBranchIdent(ident)
 
   override def loadTable(ident: Identifier): Table =
     if (isMetaIdent(ident)) metaTable(ident, None)
+    else if (isBranchIdent(ident)) branchTable(ident)
     else snapshotTable(ident, None)
 
   /** `VERSION AS OF <v>` — an integer is the snapshot number, any
@@ -170,6 +172,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       Catalog.entries(spark, catalogRoot).contains(ident.namespace.head)
 
   private val MetaNames = Set("history", "files", "tags", "branches")
+
+  /** `graft.<table>.branch_<name>` — the branch's WRITABLE SQL face
+    * (the Iceberg branch-ident shape): SELECT serves the branch head,
+    * and INSERT INTO / UPDATE / MERGE INTO / DELETE FROM commit to the
+    * branch's own lineage — the whole write-audit-publish loop runs
+    * from plain SQL, fast_forward included. */
+  private def isBranchIdent(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      ident.name.startsWith("branch_") &&
+      Catalog.entries(spark, catalogRoot).contains(ident.namespace.head) &&
+      Snapshots.branches(spark, rootOf(baseIdent(ident)))
+        .exists(_._1 == ident.name.stripPrefix("branch_"))
+
+  private def branchTable(ident: Identifier): Table = {
+    val name = ident.name.stripPrefix("branch_")
+    val bRoot = Snapshots.branchPath(rootOf(baseIdent(ident)), name)
+    GraftSnapshotTable.resolve(spark,
+      s"$catName.${ident.namespace.head}.${ident.name}", bRoot,
+      Snapshots.latestVersion(spark, bRoot).getOrElse(
+        throw new NoSuchTableException(ident)))
+  }
 
   private def baseIdent(ident: Identifier): Identifier =
     Identifier.of(Array.empty[String], ident.namespace.head)

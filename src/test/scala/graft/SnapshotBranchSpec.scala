@@ -159,4 +159,33 @@ class SnapshotBranchSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq == Seq(("wap", 1L, 1L)))
   }
+
+  test("the branch's WRITABLE SQL face (<t>.branch_<name>): INSERT, " +
+    "UPDATE and SELECT hit the branch lineage; main stays put until " +
+    "fast_forward") {
+    val root = Files.createTempDirectory("graft_brw_").toString
+    val tbl = s"$root/storage/w"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "amt"), tbl, append = false)
+    Catalog.register(spark, root, "w", tbl)
+    val cat = "gbrw"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CALL $cat.system.create_branch('w', 'stage')")
+    spark.sql(s"INSERT INTO $cat.w.branch_stage VALUES (3, 30)")
+    spark.sql(s"UPDATE $cat.w.branch_stage SET amt = 99 WHERE id = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.w").head().getLong(0) == 2L,
+      "main must not see SQL writes to the branch face")
+    assert(spark.sql(
+      s"SELECT id, amt FROM $cat.w.branch_stage ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 99L), (2L, 20L), (3L, 30L)),
+      "the branch face serves the staged lineage")
+    spark.sql(s"CALL $cat.system.fast_forward('w', 'stage')")
+    assert(spark.sql(s"SELECT id, amt FROM $cat.w ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 99L), (2L, 20L), (3L, 30L)),
+      "fast_forward publishes the whole staged lineage")
+  }
 }

@@ -217,6 +217,47 @@ class SnapshotsDmlSpec extends SparkSuite {
     assert((f1 -- f0).nonEmpty)
   }
 
+  test("mergeInto WHEN NOT MATCHED BY SOURCE: the full-sync shape — " +
+    "absent keys delete, present keys update, new keys insert, and " +
+    "only the touched files rewrite") {
+    val tbl = freshTable()
+    val v0 = seed(tbl) // ids 1..12 over 4 range files
+    // source carries ids 4..6 (file 2, updated) and 99 (new); ids in
+    // file 2's range that vanished (none) and every other file's ids
+    // are unmatched-by-source — but the DELETE clause is CONDITIONED
+    // to ids <= 3, so only file 1 joins the by-source blast radius
+    val src = Seq((4L, 400L), (5L, 500L), (6L, 600L), (99L, 990L))
+      .toDF("sid", "samt")
+    val v1 = Snapshots.mergeInto(spark, tbl, src,
+      col("t.id") === col("s.sid"),
+      Seq(
+        Snapshots.MergeUpdate(None, Seq("amt" -> col("s.samt"))),
+        Snapshots.MergeDeleteBySource(Some(col("t.id") <= 3L)),
+        Snapshots.MergeInsert(None, Seq(
+          "id" -> col("s.sid"), "v" -> lit("new"),
+          "amt" -> col("s.samt")))))
+    val now = Snapshots.readAsOf(spark, tbl, v1)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(!now.contains(1L) && !now.contains(2L) && !now.contains(3L),
+      "unmatched rows hit by the by-source DELETE must leave")
+    assert(now(4L) == 400L && now(5L) == 500L && now(6L) == 600L)
+    assert(now(99L) == 990L && now(7L) == 70L && now.size == 10)
+    val (f0, f1) = (filesOf(tbl, v0), filesOf(tbl, v1))
+    assert((f0 intersect f1).size == 2,
+      "files 3 and 4 (ids 7..12, unmatched but outside the DELETE " +
+        "condition) must repoint verbatim")
+    // by-source UPDATE: unmatched survivors get flagged in one pass
+    val v2 = Snapshots.mergeInto(spark, tbl,
+      Seq(Tuple1(7L)).toDF("sid"),
+      col("t.id") === col("s.sid"),
+      Seq(Snapshots.MergeUpdateBySource(Some(col("t.id") <= 8L),
+        Seq("v" -> lit("stale")))))
+    val vs = Snapshots.readAsOf(spark, tbl, v2)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(vs(8L) == "stale" && vs(7L) == "v7" && vs(9L) == "v9",
+      "only unmatched rows inside the condition update")
+  }
+
   test("updateWhere keeps a CLUSTERED table's stats sidecar live: " +
     "range scans prune on the new head, fresh files get real bounds") {
     val tbl = freshTable()
