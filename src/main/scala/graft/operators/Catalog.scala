@@ -367,6 +367,42 @@ object Catalog {
                    _: ConcurrentCommitException) =>
           did += ((name, "refused", ex.getMessage))
       }
+      // the table's BRANCHES are tables too — streaming ingest or DML
+      // staged on a branch builds the same small-file/DV pressure, and
+      // an unswept branch stays unhealthy until its fast-forward. Same
+      // props, same per-target error isolation; branch vacuums are
+      // parent-safe by Snapshots' own guard (fast-forwarded files
+      // main references never die with the branch's generations).
+      Snapshots.branches(spark, e.root).foreach { case (bName, _, _) =>
+        val bRoot = Snapshots.branchPath(e.root, bName)
+        val label = s"$name@$bName"
+        try {
+          val compactAt =
+            e.props.get("dv_compact_at").map(_.toDouble).getOrElse(0.1)
+          val due = Snapshots.dvStats(spark, bRoot, compactAt)
+            .select(org.apache.spark.sql.functions.col("compaction_due"))
+            .collect().head.getBoolean(0)
+          if (due) {
+            val v = Snapshots.optimizePreserving(spark, bRoot, targetBytes)
+            did += ((label, "optimize", v.toString))
+          }
+          e.props.get("retain_versions").map(_.toInt).foreach { k =>
+            val versions = Snapshots.listGenerations(spark, bRoot)
+            if (versions.length > k) {
+              val keepFrom = versions(versions.length - k)
+              Snapshots.retryOnConflict() {
+                Snapshots.vacuum(spark, bRoot, keepFrom)
+              }
+              did += ((label, "vacuum", keepFrom.toString))
+            }
+          }
+        } catch {
+          case ex @ (_: IllegalArgumentException |
+                     _: IllegalStateException |
+                     _: ConcurrentCommitException) =>
+            did += ((label, "refused", ex.getMessage))
+        }
+      }
     }
     spark.createDataFrame(did.toSeq).toDF("name", "action", "detail")
   }

@@ -1478,9 +1478,14 @@ object Snapshots {
 
     // EXTERNAL files (a clone's pointers into its source) only drop
     // from the manifest — the source table still owns and references
-    // them; deleting would corrupt it
+    // them; deleting would corrupt it. A BRANCH root's vacuum
+    // additionally spares files its PARENT table's manifest references
+    // (a fast-forward published them into main's history): the branch
+    // dropped them, but main now owns their lifecycle.
+    val parentRef = parentTableRefs(spark, tablePath)
     val deleted = doomed.count { file =>
-      ownsFile(tablePath, file) && { f.delete(new Path(file), false); true }
+      ownsFile(tablePath, file) && !parentRef.contains(normPath(file)) &&
+        { f.delete(new Path(file), false); true }
     }
 
     // deletion-vector sidecars do NOT simply ride their version: a
@@ -1538,6 +1543,25 @@ object Snapshots {
       if (f.exists(mk)) f.delete(mk, false)
     }
     deleted.toLong
+  }
+
+  /** When `tablePath` is a BRANCH root (`<parent>/_branches/<name>`),
+    * the normalized files the parent table's manifest references — a
+    * fast-forward publishes branch files into main's history, so the
+    * branch's own destructive verbs must never delete them. Empty for
+    * ordinary roots; metadata-scale for branches (one parent manifest
+    * file-list read, the price of a destructive verb). */
+  private def parentTableRefs(
+      spark: SparkSession,
+      tablePath: String): Set[String] = {
+    val p = new Path(tablePath)
+    if (p.getParent == null || p.getParent.getName != "_branches")
+      Set.empty
+    else {
+      val parentRoot = p.getParent.getParent.toString
+      manifest(spark, parentRoot).select(col("file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+    }
   }
 
   // ------------------------------------------------------------------
@@ -3657,9 +3681,13 @@ object Snapshots {
       f.listStatus(p).toSeq.flatMap { s =>
         if (s.isDirectory) walk(s.getPath) else Seq(s)
       }
+    // a branch root's sweep spares files the PARENT table's manifest
+    // references (published by a fast-forward — main's, not orphans)
+    val parentRef = parentTableRefs(spark, tablePath)
     val orphans = walk(dataRoot).filter { s =>
       !s.getPath.getName.startsWith("_") &&
         !referenced.contains(s.getPath.toString) &&
+        !parentRef.contains(normPath(s.getPath.toString)) &&
         s.getModificationTime <= cutoff
     }
     orphans.foreach(s => f.delete(s.getPath, false))

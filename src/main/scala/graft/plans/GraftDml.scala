@@ -154,7 +154,16 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       e: Expression,
       tgtIds: Set[ExprId],
       srcIds: Set[ExprId],
-      bare: Boolean = false): Column =
+      bare: Boolean = false): Column = {
+    e.foreach {
+      case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new IllegalArgumentException(
+          "DML on a graft table: subqueries in conditions/assignments " +
+            s"are not supported ($sub) — materialize the subquery as a " +
+            "source relation and MERGE on it, or compute the predicate " +
+            "into a temp view first")
+      case _ => ()
+    }
     GraftSqlShim.column(e.transform {
       case a: AttributeReference if tgtIds.contains(a.exprId) =>
         UnresolvedAttribute(if (bare) Seq(a.name) else Seq("t", a.name))
@@ -164,6 +173,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         s"DML on a graft table: expression references '${a.name}' from " +
           "outside the statement's target/source relations")
     })
+  }
 }
 
 /** The analyzed face of a graft `UPDATE` — a leaf command holding the

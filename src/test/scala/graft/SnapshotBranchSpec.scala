@@ -188,4 +188,54 @@ class SnapshotBranchSpec extends SparkSuite {
       Seq((1L, 99L), (2L, 20L), (3L, 30L)),
       "fast_forward publishes the whole staged lineage")
   }
+
+  test("branch vacuum/removeOrphans are PARENT-SAFE: files a " +
+    "fast-forward published into main never die with the branch's " +
+    "own generations") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, "a")).toDF("id", "v"), tbl, append = false)
+    Snapshots.createBranch(spark, tbl, "pub")
+    val bRoot = Snapshots.branchPath(tbl, "pub")
+    Snapshots.commit(spark, Seq((2L, "b")).toDF("id", "v"),
+      bRoot, append = true)
+    val v = Snapshots.fastForward(spark, tbl, "pub")
+    // the branch moves on: a replace drops its earlier generations'
+    // claim on the published file
+    Snapshots.commit(spark, Seq((9L, "z")).toDF("id", "v"),
+      bRoot, append = false)
+    Snapshots.vacuum(spark, bRoot,
+      Snapshots.latestVersion(spark, bRoot).get)
+    Snapshots.removeOrphans(spark, bRoot, 0L)
+    // main's published face must still read back whole
+    assert(Snapshots.readAsOf(spark, tbl, v)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "the fast-forwarded file must survive the branch's own " +
+        "destructive verbs")
+  }
+
+  test("Catalog.maintain sweeps BRANCHES too: a DV-pressured staged " +
+    "branch compacts under the table's own props") {
+    val root = Files.createTempDirectory("graft_brmaint_").toString
+    val tbl = s"$root/storage/m"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
+      tbl, append = false)
+    Catalog.register(spark, root, "m", tbl,
+      Map("dv_compact_at" -> "0.1"))
+    Snapshots.createBranch(spark, tbl, "hot")
+    val bRoot = Snapshots.branchPath(tbl, "hot")
+    // stage a delete on the branch: 30% DV pressure there, none on main
+    Snapshots.deleteWhere(spark, bRoot, col("id") <= 3L)
+    val did = Catalog.maintain(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(did.contains(("m@hot", "optimize")),
+      s"the branch sweep must compact the pressured branch, got $did")
+    assert(!did.exists(d => d._1 == "m" && d._2 == "optimize"),
+      "main itself carries no pressure — only the branch compacts")
+    assert(Snapshots.readBranch(spark, tbl, "hot")
+      .select("id").as[Long].collect().sorted.toSeq == (4L to 10L),
+      "the compacted branch face keeps the staged delete")
+  }
 }
