@@ -2109,10 +2109,15 @@ object Snapshots {
         stored.map(physicalSchema(_, l2p)), withMeta = true), l2p)
       prior.fold(base)(applyDv(base, _))
     }
-    // pass 1 — the predicate's file blast radius: reads only the
-    // predicate's columns (+ row identity), row-group stats skip
+    // pass 1 — the predicate's file blast radius: stats-sidecar
+    // pruning drops provably-clean files before any data file opens
+    // ([[statsPrunedForDml]]), then the scan reads only the
+    // predicate's columns (+ row identity) with row-group stats skip
     if (fileRows.isEmpty) return observed // an empty face updates to itself
-    val dirtySet = liveWithMeta(fileRows)
+    val discovery = statsPrunedForDml(spark, tablePath, observed,
+      fileRows, predicate)
+    if (discovery.isEmpty) return observed // stats prove nothing matches
+    val dirtySet = liveWithMeta(discovery)
       .filter(predicate)
       .select(col(DvFileCol)).distinct()
       .collect().map(r => normPath(r.getString(0))).toSet
@@ -2202,6 +2207,105 @@ object Snapshots {
         footerCounts(spark,
           listDataFiles(spark, dataPath).map((_, null: String)))
     }
+  }
+
+  /** STATS-PRUNE a DML verb's DISCOVERY pass: when a stats sidecar
+    * describes the parent generation, files whose per-file [min, max]
+    * intervals PROVABLY cannot contain a predicate-matching row drop
+    * from the discovery scan before any data file opens — so a
+    * selective `UPDATE ... WHERE key BETWEEN ...` on a clustered or
+    * Z-ordered 100-TB table reads only the admitted files even to FIND
+    * its blast radius. Strictly conservative: the predicate is split
+    * into top-level AND conjuncts, each simple comparison / IN on a
+    * stats-keyed column maps to an interval test, and every shape the
+    * translator does not recognize (OR trees, functions, other
+    * columns) is simply ignored — ignoring a conjunct only WIDENS
+    * admission, and the exact predicate still runs row-level inside
+    * the discovery scan. Returns the input rows untouched when no
+    * sidecar describes the generation, a column mapping governs, or
+    * nothing translates. */
+  private[graft] def statsPrunedForDml(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fileRows: Seq[(String, String, Option[Long])],
+      predicate: org.apache.spark.sql.Column)
+      : Seq[(String, String, Option[Long])] = {
+    if (fileRows.isEmpty) return fileRows
+    if (colMapAsOf(spark, tablePath, version)
+      .exists { case (p, l) => !l.contains(p) }) return fileRows
+    val sd = describingSidecarDir(spark, tablePath, "_stats", version)
+      .getOrElse(return fileRows)
+    val side = spark.read.parquet(sd)
+    val statKeys = side.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSet
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    // the Column DSL converts to UNRESOLVED function nodes ('and, '=,
+    // '>=…) while the SQL DML rule hands over RESOLVED typed trees —
+    // match both faces of each shape
+    object Fn {
+      def unapply(e: Expression): Option[(String, Seq[Expression])] =
+        e match {
+          case f: UnresolvedFunction if f.nameParts.length == 1 =>
+            Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              f.arguments))
+          case _ => None
+        }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case Fn("and", Seq(l, r)) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def keyOf(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length == 1 &&
+        statKeys.contains(u.nameParts.head) => Some(u.nameParts.head)
+      case a: Attribute if statKeys.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    def litCol(l: CLit): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftSqlShim.column(l)
+    // a file whose key stats are all-null cannot satisfy a comparison
+    // (null comparisons are never TRUE row-level), so a null interval
+    // test dropping it is exact, not just conservative
+    def admitOne(e: Expression): Option[org.apache.spark.sql.Column] =
+      e match {
+        case CEq(k, l: CLit) => keyOf(k).map(c =>
+          col(s"min_$c") <= litCol(l) && col(s"max_$c") >= litCol(l))
+        case CEq(l: CLit, k) => keyOf(k).map(c =>
+          col(s"min_$c") <= litCol(l) && col(s"max_$c") >= litCol(l))
+        case CGt(k, l: CLit) => keyOf(k).map(c => col(s"max_$c") > litCol(l))
+        case CGt(l: CLit, k) => keyOf(k).map(c => col(s"min_$c") < litCol(l))
+        case CGe(k, l: CLit) => keyOf(k).map(c => col(s"max_$c") >= litCol(l))
+        case CGe(l: CLit, k) => keyOf(k).map(c => col(s"min_$c") <= litCol(l))
+        case CLt(k, l: CLit) => keyOf(k).map(c => col(s"min_$c") < litCol(l))
+        case CLt(l: CLit, k) => keyOf(k).map(c => col(s"max_$c") > litCol(l))
+        case CLe(k, l: CLit) => keyOf(k).map(c => col(s"min_$c") <= litCol(l))
+        case CLe(l: CLit, k) => keyOf(k).map(c => col(s"max_$c") >= litCol(l))
+        case CIn(k, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
+          keyOf(k).map { c =>
+            vs.map(v => col(s"min_$c") <= litCol(v.asInstanceOf[CLit]) &&
+              col(s"max_$c") >= litCol(v.asInstanceOf[CLit]))
+              .reduce(_ || _)
+          }
+        case Fn("=" | "==", Seq(a, b)) => admitOne(CEq(a, b))
+        case Fn(">", Seq(a, b)) => admitOne(CGt(a, b))
+        case Fn(">=", Seq(a, b)) => admitOne(CGe(a, b))
+        case Fn("<", Seq(a, b)) => admitOne(CLt(a, b))
+        case Fn("<=", Seq(a, b)) => admitOne(CLe(a, b))
+        case Fn("in", k +: vs) if vs.nonEmpty => admitOne(CIn(k, vs))
+        case _ => None
+      }
+    val admits = conjuncts(
+      org.apache.spark.sql.GraftSqlShim.eagerExpression(predicate))
+      .flatMap(admitOne)
+    if (admits.isEmpty) return fileRows
+    val admitted = filterSidecarToFiles(side, fileRows.map(_._1).toSet)
+      .filter(admits.reduce(_ && _))
+      .select(col("file")).collect()
+      .map(r => normPath(r.getString(0))).toSet
+    fileRows.filter(r => admitted.contains(normPath(r._1)))
   }
 
   /** One WHEN clause of [[mergeInto]] — the SQL MERGE action shapes.

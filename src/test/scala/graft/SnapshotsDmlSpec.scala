@@ -431,4 +431,40 @@ class SnapshotsDmlSpec extends SparkSuite {
       e.getMessage.toLowerCase.contains("unsupported"),
       s"got: ${e.getMessage}")
   }
+
+  test("statsPrunedForDml: the discovery pass admits only the files " +
+    "whose [min,max] can contain a match — conservative on shapes it " +
+    "cannot read, exact-empty when stats disprove the predicate") {
+    val tbl = freshTable()
+    val df = (1L to 12L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "amt")
+    Snapshots.commitClustered(spark, df, tbl, "id",
+      numFiles = 4, append = false)
+    val rows = Snapshots.generationFiles(spark, tbl, 0L)._1
+      .map { case (f, p) => (f, p, None: Option[Long]) }
+    def admitted(pred: org.apache.spark.sql.Column): Int =
+      Snapshots.statsPrunedForDml(spark, tbl, 0L, rows, pred).length
+    assert(admitted(col("id") === 5L) == 1,
+      "a point predicate on the clustered key admits ONE file")
+    assert(admitted(col("id") >= 4L && col("id") <= 7L) == 2)
+    assert(admitted(col("id").isin(2L, 11L)) == 2)
+    assert(admitted(col("id") > 100L) == 0,
+      "stats disprove the predicate entirely")
+    // unreadable shapes stay conservative: everything admits
+    assert(admitted(concat(col("v"), lit("x")) === "v5x") == 4)
+    assert(admitted(col("id") === 5L || col("amt") === 10L) == 4,
+      "a top-level OR is not a conjunct — admit all")
+    // mixed: the readable conjunct prunes, the opaque one is ignored
+    assert(admitted(col("id") === 5L && concat(col("v"), lit("")) =!= "q")
+      == 1)
+    // end-to-end: the pruned discovery still yields the right answer,
+    // and a stats-disproven UPDATE is a no-op commit-wise
+    val v0 = Snapshots.latestVersion(spark, tbl).get
+    assert(Snapshots.updateWhere(spark, tbl, col("id") > 100L,
+      Seq("amt" -> lit(0L))) == v0)
+    val v1 = Snapshots.updateWhere(spark, tbl, col("id") === 5L,
+      Seq("amt" -> lit(999L)))
+    assert(Snapshots.readAsOf(spark, tbl, v1)
+      .filter(col("id") === 5L).select("amt").as[Long].head() == 999L)
+  }
 }
