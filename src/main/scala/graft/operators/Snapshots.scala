@@ -2114,9 +2114,10 @@ object Snapshots {
     // ([[statsPrunedForDml]]), then the scan reads only the
     // predicate's columns (+ row identity) with row-group stats skip
     if (fileRows.isEmpty) return observed // an empty face updates to itself
-    val discovery = statsPrunedForDml(spark, tablePath, observed,
-      fileRows, predicate)
-    if (discovery.isEmpty) return observed // stats prove nothing matches
+    val discovery = bloomPrunedForDml(spark, tablePath, observed,
+      statsPrunedForDml(spark, tablePath, observed, fileRows, predicate),
+      predicate)
+    if (discovery.isEmpty) return observed // skipping disproves a match
     val dirtySet = liveWithMeta(discovery)
       .filter(predicate)
       .select(col(DvFileCol)).distinct()
@@ -2306,6 +2307,80 @@ object Snapshots {
       .select(col("file")).collect()
       .map(r => normPath(r.getString(0))).toSet
     fileRows.filter(r => admitted.contains(normPath(r._1)))
+  }
+
+  /** [[statsPrunedForDml]]'s point-lookup sibling: when a BLOOM
+    * sidecar describes the parent generation and the predicate carries
+    * an equality or IN conjunct on the sidecar's recorded key, only
+    * the files whose bloom might contain one of the values stay in the
+    * DML discovery scan — `UPDATE ... WHERE event_id = x` on a
+    * bloom-indexed 100-TB table opens a handful of files to find its
+    * blast radius. Same conservative contract: unrecognized shapes
+    * widen admission, blooms never produce false negatives, and the
+    * exact predicate still runs row-level. */
+  private[graft] def bloomPrunedForDml(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fileRows: Seq[(String, String, Option[Long])],
+      predicate: org.apache.spark.sql.Column)
+      : Seq[(String, String, Option[Long])] = {
+    if (fileRows.isEmpty) return fileRows
+    if (colMapAsOf(spark, tablePath, version)
+      .exists { case (p, l) => !l.contains(p) }) return fileRows
+    val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
+      .getOrElse(return fileRows)
+    val side = spark.read.parquet(bd)
+    if (!side.columns.contains("key")) return fileRows
+    val keyCol = side.select(col("key")).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse(return fileRows)
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, In => CIn, Literal => CLit}
+    object Fn {
+      def unapply(e: Expression): Option[(String, Seq[Expression])] =
+        e match {
+          case f: UnresolvedFunction if f.nameParts.length == 1 =>
+            Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              f.arguments))
+          case _ => None
+        }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case Fn("and", Seq(l, r)) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case u: UnresolvedAttribute =>
+        u.nameParts.length == 1 && u.nameParts.head == keyCol
+      case a: Attribute => a.name == keyCol
+      case _ => false
+    }
+    def scalaValue(l: CLit): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+    def pointValues(e: Expression): Option[Seq[Any]] = e match {
+      case CEq(k, l: CLit) if isKey(k) => Some(Seq(scalaValue(l)))
+      case CEq(l: CLit, k) if isKey(k) => Some(Seq(scalaValue(l)))
+      case CIn(k, vs) if isKey(k) && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[CLit]) =>
+        Some(vs.map(v => scalaValue(v.asInstanceOf[CLit])))
+      case Fn("=" | "==", Seq(a, b)) => pointValues(CEq(a, b))
+      case Fn("in", k +: vs) if vs.nonEmpty => pointValues(CIn(k, vs))
+      case _ => None
+    }
+    // the FIRST point conjunct suffices (conjuncts intersect): a row
+    // matching the whole predicate must match it
+    conjuncts(org.apache.spark.sql.GraftSqlShim
+      .eagerExpression(predicate))
+      .flatMap(pointValues).headOption match {
+      case None => fileRows
+      case Some(values) =>
+        val admitted = values
+          .flatMap(v => Skipping.pruneFilesPoint(spark, bd, v))
+          .map(normPath).toSet
+        fileRows.filter(r => admitted.contains(normPath(r._1)))
+    }
   }
 
   /** One WHEN clause of [[mergeInto]] — the SQL MERGE action shapes.

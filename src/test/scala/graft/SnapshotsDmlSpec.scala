@@ -467,4 +467,30 @@ class SnapshotsDmlSpec extends SparkSuite {
     assert(Snapshots.readAsOf(spark, tbl, v1)
       .filter(col("id") === 5L).select("amt").as[Long].head() == 999L)
   }
+
+  test("bloomPrunedForDml: a point/IN predicate on the recorded bloom " +
+    "key shrinks the discovery set; other shapes stay conservative") {
+    val tbl = freshTable()
+    val df = (1L to 12L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "amt")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    Snapshots.commitBloom(spark, df, tbl, "id", append = false)
+    val rows = Snapshots.generationFiles(spark, tbl, 0L)._1
+      .map { case (f, p) => (f, p, None: Option[Long]) }
+    def admitted(pred: org.apache.spark.sql.Column): Int =
+      Snapshots.bloomPrunedForDml(spark, tbl, 0L, rows, pred).length
+    assert(admitted(col("id") === 5L) <= 2 && admitted(col("id") === 5L) >= 1,
+      "a point predicate must bloom-prune to the containing file(s)")
+    assert(admitted(col("id").isin(2L, 11L) && col("amt") > 0L) <= 3)
+    assert(admitted(col("id") === -999L) == 0,
+      "an absent key admits nothing (no false negatives needed)")
+    assert(admitted(col("amt") === 50L) == 4,
+      "a predicate off the recorded key admits everything")
+    // end-to-end: the bloom-pruned UPDATE lands and keeps the index
+    val v = Snapshots.updateWhere(spark, tbl, col("id") === 5L,
+      Seq("amt" -> lit(555L)))
+    assert(Snapshots.scanPointAsOf(spark, tbl, v, "id", 5L)
+      .select("amt").as[Long].collect().toSeq == Seq(555L))
+  }
 }
