@@ -2383,6 +2383,84 @@ object Snapshots {
     }
   }
 
+  /** Prune [[mergeInto]]'s MATCHED-pass target scan by the SOURCE's
+    * key range: when the ON condition carries a plain `t.<col> =
+    * s.<col>` equality and a stats sidecar describes the target's
+    * parent generation, ONE small aggregate computes the source key's
+    * [min, max] and only target files whose interval intersects it
+    * stay in the match scan — a MERGE whose source covers one day of
+    * a date-clustered 100-TB table reads that day's files to find its
+    * matches, not the table. Conservative as always: no sidecar, no
+    * recognizable equality, or an all-null source key → no pruning;
+    * rows outside the admitted files cannot match (their key interval
+    * misses every source key), so the join answer is unchanged. */
+  private[graft] def mergeSourcePruned(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      fileRows: Seq[(String, String, Option[Long])],
+      source: DataFrame,
+      on: org.apache.spark.sql.Column)
+      : Seq[(String, String, Option[Long])] = {
+    if (fileRows.isEmpty) return fileRows
+    if (colMapAsOf(spark, tablePath, version)
+      .exists { case (p, l) => !l.contains(p) }) return fileRows
+    val sd = describingSidecarDir(spark, tablePath, "_stats", version)
+      .getOrElse(return fileRows)
+    val side = spark.read.parquet(sd)
+    val statKeys = side.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSet
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression}
+    object Fn {
+      def unapply(e: Expression): Option[(String, Seq[Expression])] =
+        e match {
+          case f: UnresolvedFunction if f.nameParts.length == 1 =>
+            Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              f.arguments))
+          case _ => None
+        }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case Fn("and", Seq(l, r)) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def sided(e: Expression): Option[(String, String)] = e match {
+      // (alias, column) of a two-part attribute — the verbs' own
+      // t./s. aliases, whichever way the equality was written
+      case u: UnresolvedAttribute if u.nameParts.length == 2 =>
+        Some((u.nameParts.head, u.nameParts.last))
+      case _ => None
+    }
+    def eqKey(e: Expression): Option[(String, String)] = e match {
+      case CEq(a, b) =>
+        (sided(a), sided(b)) match {
+          case (Some(("t", tc)), Some(("s", sc))) => Some((tc, sc))
+          case (Some(("s", sc)), Some(("t", tc))) => Some((tc, sc))
+          case _ => None
+        }
+      case Fn("=" | "==", Seq(a, b)) => eqKey(CEq(a, b))
+      case _ => None
+    }
+    val key = conjuncts(
+      org.apache.spark.sql.GraftSqlShim.eagerExpression(on))
+      .flatMap(eqKey).find { case (tc, sc) =>
+        statKeys.contains(tc) && source.columns.contains(sc)
+      }
+      .getOrElse(return fileRows)
+    val (tCol, sCol) = key
+    val bounds = source.agg(
+      min(col(sCol)).as("lo"), max(col(sCol)).as("hi")).collect().head
+    if (bounds.isNullAt(0)) return fileRows // all-null source key
+    val admitted = filterSidecarToFiles(side, fileRows.map(_._1).toSet)
+      .filter(col(s"max_$tCol") >= lit(bounds.get(0)) &&
+        col(s"min_$tCol") <= lit(bounds.get(1)))
+      .select(col("file")).collect()
+      .map(r => normPath(r.getString(0))).toSet
+    fileRows.filter(r => admitted.contains(normPath(r._1)))
+  }
+
   /** One WHEN clause of [[mergeInto]] — the SQL MERGE action shapes.
     * `cond` is the clause's extra predicate (beyond the ON match),
     * evaluated over BOTH sides' columns; columns of the target
@@ -2486,18 +2564,25 @@ object Snapshots {
       // Iceberg agree); an empty face has nothing to match either way
       if (fileRows.isEmpty || matched.isEmpty) Set.empty
       else {
-        val matchCounts = liveWithMeta(fileRows).alias("t")
-          .join(src, on, "inner")
-          .groupBy(col(DvFileCol), col(DvPosCol))
-          .agg(count(lit(1)).as("n_matches"))
-        val ambiguous = matchCounts.filter(col("n_matches") > 1)
-          .limit(1).collect()
-        require(ambiguous.isEmpty,
-          s"mergeInto: a target row of $tablePath matches more than one " +
-            "source row — the ANSI MERGE cardinality contract; " +
-            "deduplicate the source on the ON keys first")
-        matchCounts.select(col(DvFileCol)).distinct()
-          .collect().map(r => normPath(r.getString(0))).toSet
+        // target files whose stats interval misses the source's whole
+        // key range cannot contain a match — prune the match scan
+        val matchScan = mergeSourcePruned(spark, tablePath, observed,
+          fileRows, source, on)
+        if (matchScan.isEmpty) Set.empty // stats disprove any match
+        else {
+          val matchCounts = liveWithMeta(matchScan).alias("t")
+            .join(src, on, "inner")
+            .groupBy(col(DvFileCol), col(DvPosCol))
+            .agg(count(lit(1)).as("n_matches"))
+          val ambiguous = matchCounts.filter(col("n_matches") > 1)
+            .limit(1).collect()
+          require(ambiguous.isEmpty,
+            s"mergeInto: a target row of $tablePath matches more than " +
+              "one source row — the ANSI MERGE cardinality contract; " +
+              "deduplicate the source on the ON keys first")
+          matchCounts.select(col(DvFileCol)).distinct()
+            .collect().map(r => normPath(r.getString(0))).toSet
+        }
       }
     // the NOT MATCHED BY SOURCE blast radius: files containing a
     // target row with NO match that some by-source clause would hit —

@@ -493,4 +493,32 @@ class SnapshotsDmlSpec extends SparkSuite {
     assert(Snapshots.scanPointAsOf(spark, tbl, v, "id", 5L)
       .select("amt").as[Long].collect().toSeq == Seq(555L))
   }
+
+  test("mergeSourcePruned: the matched pass on a clustered target " +
+    "admits only files intersecting the source's key range; the merge " +
+    "answer is unchanged") {
+    val tbl = freshTable()
+    val df = (1L to 12L).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "v", "amt")
+    Snapshots.commitClustered(spark, df, tbl, "id",
+      numFiles = 4, append = false)
+    val rows = Snapshots.generationFiles(spark, tbl, 0L)._1
+      .map { case (f, p) => (f, p, None: Option[Long]) }
+    val narrow = Seq((4L, 1L), (5L, 2L)).toDF("sid", "samt")
+    val admitted = Snapshots.mergeSourcePruned(spark, tbl, 0L, rows,
+      narrow, col("t.id") === col("s.sid"))
+    assert(admitted.length == 1,
+      s"source keys 4..5 live in ONE range file, got ${admitted.length}")
+    // no stats key in the ON clause → conservative, everything stays
+    assert(Snapshots.mergeSourcePruned(spark, tbl, 0L, rows,
+      narrow, col("t.amt") === col("s.samt")).length == 4)
+    // end-to-end on the pruned path: values land, untouched rows stay
+    val v = Snapshots.mergeInto(spark, tbl, narrow,
+      col("t.id") === col("s.sid"),
+      Seq(Snapshots.MergeUpdate(None, Seq("amt" -> col("s.samt")))))
+    val now = Snapshots.readAsOf(spark, tbl, v)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(now(4L) == 1L && now(5L) == 2L && now(6L) == 60L &&
+      now(12L) == 120L && now.size == 12)
+  }
 }
