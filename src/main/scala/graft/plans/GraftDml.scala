@@ -61,6 +61,20 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             GraftUpdateTableCommand(table.snapshotRoot, cond, assigns)
         }
 
+      case d: DeleteFromTable if d.resolved =>
+        graftTable(d.table) match {
+          case None => d
+          case Some(table) =>
+            // Spark's own SupportsDelete path refuses predicates that
+            // don't translate to V2 source filters (expressions,
+            // functions) — the snapshot delete takes any Column, so
+            // EVERY graft DELETE routes here and stays a deletion-
+            // vector metadata commit
+            val tgtIds = d.table.outputSet.map(_.exprId).toSet
+            GraftDeleteFromTableCommand(table.snapshotRoot,
+              rebind(d.condition, tgtIds, Set.empty, bare = true))
+        }
+
       case m: MergeIntoTable if m.resolved =>
         graftTable(m.targetTable) match {
           case None => m
@@ -186,6 +200,15 @@ case class GraftUpdateTableCommand(
   override def output: Seq[Attribute] = Nil
 }
 
+/** The analyzed face of a graft `DELETE FROM` — any predicate shape,
+  * not just V2-source-filter-translatable ones; executes as the
+  * deletion-vector metadata commit ([[Snapshots.deleteWhere]]). */
+case class GraftDeleteFromTableCommand(
+    root: String,
+    condition: Column) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** The analyzed face of a graft `MERGE INTO`: the source plan rides
   * RESOLVED (re-planned by the verb via its own QueryExecution); the
   * clauses carry rebound `t.`/`s.` columns. */
@@ -203,6 +226,11 @@ object GraftDmlStrategy extends SparkStrategy {
     case GraftUpdateTableCommand(root, cond, assigns) =>
       GraftDmlExec("UPDATE", root, () => {
         Snapshots.updateWhere(SparkSession.active, root, cond, assigns)
+        ()
+      }) :: Nil
+    case GraftDeleteFromTableCommand(root, cond) =>
+      GraftDmlExec("DELETE FROM", root, () => {
+        Snapshots.deleteWhere(SparkSession.active, root, cond)
         ()
       }) :: Nil
     case GraftMergeIntoCommand(root, source, on, clauses) =>

@@ -521,4 +521,28 @@ class SnapshotsDmlSpec extends SparkSuite {
     assert(now(4L) == 1L && now(5L) == 2L && now(6L) == 60L &&
       now(12L) == 120L && now.size == 12)
   }
+
+  test("SQL DELETE FROM takes ANY predicate shape (expression deletes " +
+    "route through the DV verb, not just source-filter-translatable " +
+    "comparisons)") {
+    val root = Files.createTempDirectory("graft_dmldel_").toString
+    val tbl = s"$root/storage/xd"
+    Snapshots.init(spark, tbl)
+    seed(tbl)
+    Catalog.register(spark, root, "xd", tbl)
+    val cat = "gdmlxd"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // an expression predicate no V2 source filter can carry
+    spark.sql(s"DELETE FROM $cat.xd WHERE id % 5 = 0 AND length(v) > 1")
+    assert(Snapshots.latestVersion(spark, tbl).contains(1L),
+      "the expression delete must be ONE metadata generation")
+    assert(Snapshots.generationFiles(spark, tbl, 0L)._1.map(_._1).toSet ==
+      Snapshots.generationFiles(spark, tbl, 1L)._1.map(_._1).toSet,
+      "a deletion-vector commit rewrites no data file")
+    val left = Snapshots.readAsOf(spark, tbl, 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(left == (1L to 12L).filterNot(_ % 5 == 0),
+      s"ids 5 and 10 must be DV-deleted, got $left")
+  }
 }
