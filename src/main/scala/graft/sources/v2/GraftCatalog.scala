@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -791,7 +791,22 @@ private[graft] class GraftSnapshotTable(
     colMapped: Boolean,
     multiRoot: Boolean,
     delegate: ParquetTable) extends Table with SupportsRead
-    with SupportsWrite with SupportsDelete {
+    with SupportsWrite with SupportsDelete with TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one empty REPLACE generation derived from the
+    * head: past versions stay time-travelable (their files die later
+    * via vacuum), the schema survives, and a racing commit refuses
+    * through the derived-commit contract. */
+  override def truncateTable(): Boolean = {
+    val s = SparkSession.active
+    val head = Snapshots.latestVersion(s, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"TRUNCATE TABLE $tableName: no committed versions"))
+    val empty = Snapshots.readAsOf(s, root, head).limit(0)
+    Snapshots.commit(s, empty, root, append = false,
+      derivedFrom = Some(head), verb = "truncateTable")
+    true
+  }
   /** The snapshot root — the SQL DML rules ([[graft.plans.GraftDmlRule]])
     * route UPDATE/MERGE through the snapshot verbs against it. */
   private[graft] def snapshotRoot: String = root

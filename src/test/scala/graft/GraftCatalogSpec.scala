@@ -477,4 +477,24 @@ class GraftCatalogSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toSeq == Seq((1L, 10L, "p1"), (2L, 25L, "p2"), (3L, 30L, "p2")))
   }
+
+  test("TRUNCATE TABLE is one empty replace generation: the head " +
+    "empties, history below stays time-travelable, inserts refill") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/tr"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, append = false)
+    Catalog.register(spark, root, "tr", tbl)
+    spark.sql(s"TRUNCATE TABLE $cat.tr")
+    assert(Snapshots.latestVersion(spark, tbl).contains(1L),
+      "TRUNCATE must mint exactly one generation")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tr").as[Long].head() == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tr VERSION AS OF 0")
+      .as[Long].head() == 2L,
+      "the pre-truncate face must stay addressable")
+    spark.sql(s"INSERT INTO $cat.tr VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT id FROM $cat.tr").as[Long].collect()
+      .toSeq == Seq(9L), "the truncated table keeps its schema")
+  }
 }
