@@ -1481,10 +1481,16 @@ object Snapshots {
     // them; deleting would corrupt it. A BRANCH root's vacuum
     // additionally spares files its PARENT table's manifest references
     // (a fast-forward published them into main's history): the branch
-    // dropped them, but main now owns their lifecycle.
+    // dropped them, but main now owns their lifecycle. Symmetrically,
+    // MAIN's vacuum spares files a LIVE branch's manifest still
+    // references — a branch forked below keepFrom (or fast-forwarded
+    // files under the branch's own data dir) must survive main's
+    // retention until the branch is dropped.
     val parentRef = parentTableRefs(spark, tablePath)
+    val branchRef = liveBranchRefs(spark, tablePath)
     val deleted = doomed.count { file =>
       ownsFile(tablePath, file) && !parentRef.contains(normPath(file)) &&
+        !branchRef.contains(normPath(file)) &&
         { f.delete(new Path(file), false); true }
     }
 
@@ -1564,17 +1570,42 @@ object Snapshots {
     }
   }
 
+  /** The mirror guard of [[parentTableRefs]]: every normalized file a
+    * LIVE branch's manifest still references. Main's destructive verbs
+    * (vacuum, removeOrphans) must spare these — a branch forked at v5
+    * keeps reading v5's files after main expires v5, and a
+    * fast-forward repoints main at files physically under the branch's
+    * own data dir that the branch history also still needs. Recursive
+    * so nested branches are covered; metadata-scale (one manifest
+    * file-list read per live branch, only on destructive verbs). */
+  private def liveBranchRefs(
+      spark: SparkSession,
+      tablePath: String): Set[String] =
+    branches(spark, tablePath).flatMap { case (name, _, _) =>
+      val root = branchPath(tablePath, name)
+      manifest(spark, root).select(col("file")).distinct()
+        .collect().map(r => normPath(r.getString(0))) ++
+        liveBranchRefs(spark, root)
+    }.toSet
+
   // ------------------------------------------------------------------
   // TAGS — named version pointers (the Iceberg tag shape)
   // ------------------------------------------------------------------
 
   private def tagsRoot(tablePath: String): String = s"$tablePath/_tags"
 
-  private def requireTagName(name: String): Unit =
+  private def requireTagName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"tag name '$name': letters, digits, '.', '_', '-' only — the " +
         "name is a filesystem path fragment")
+    // SQL `VERSION AS OF '<ref>'` resolves a numeric ref as a snapshot
+    // number FIRST, so an all-digit tag/branch name would be accepted
+    // here yet permanently shadowed from SQL travel — refuse it
+    require(!name.forall(_.isDigit),
+      s"tag name '$name': all-digit names are reserved for snapshot " +
+        "version numbers (VERSION AS OF would never resolve the tag)")
+  }
 
   /** Name `version` — a human-stable address for time travel
     * (`readTag`, SQL `VERSION AS OF '<name>'`) and a RETENTION PIN
@@ -2130,13 +2161,27 @@ object Snapshots {
     val colType: Map[String, org.apache.spark.sql.types.DataType] =
       stored.getOrElse(dirtyLive.schema)
         .fields.map(f => f.name -> f.dataType).toMap
-    val updated = assignments.foldLeft(dirtyLive) { case (d, (c, v)) =>
+    assignments.foreach { case (c, _) =>
       require(colType.contains(c),
         s"updateWhere: no column '$c' in $tablePath (columns: " +
           s"${colType.keys.toSeq.sorted.mkString(", ")})")
-      d.withColumn(c,
-        when(predicate, v.cast(colType(c))).otherwise(col(c)))
     }
+    // ANSI UPDATE: every SET expression and the WHERE predicate see the
+    // PRE-update row. The predicate lands once in a flag column, then a
+    // single select builds all outputs against the original frame — so
+    // `SET a = b, b = a` swaps and a later RHS never observes an
+    // earlier assignment's result.
+    val predFlag = "__graft_update_pred"
+    val assigned = assignments.toMap
+    val outCols = dirtyLive.columns.map { c =>
+      assigned.get(c) match {
+        case Some(v) =>
+          when(col(predFlag), v.cast(colType(c))).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val updated = dirtyLive.withColumn(predFlag, predicate)
+      .select(outCols.toIndexedSeq: _*)
     val version = claimVersion(spark, tablePath, observed + 1L)
     val prepared = prepareBatch(spark, tablePath, Some(observed), updated)
     val fresh = writeDmlFiles(spark, tablePath, observed, version,
@@ -2669,8 +2714,19 @@ object Snapshots {
               (!isMatched && cond.getOrElse(lit(true)))
           case _: MergeInsert => ()
         }
-        Some(withSentinel
-          .filter(keep)
+        // With no WHEN MATCHED clause the ANSI cardinality check never
+        // ran, yet a by-source clause can dirty files that ALSO hold
+        // matched rows; the left_outer join fans those out per source
+        // match. Every such row's outputs depend on target columns
+        // only (by-source SET is target-side by the ANSI restriction,
+        // matched rows carry unchanged), so collapsing on the row
+        // identity is exact. With matched clauses present the
+        // cardinality check above already refused any fan-out.
+        val applied = withSentinel.filter(keep)
+        val collapsed =
+          if (matched.isEmpty) applied.dropDuplicates(DvFileCol, DvPosCol)
+          else applied
+        Some(collapsed
           .select(targetCols.map(c => colExprs(c).as(c)): _*))
       }
     // not-matched inserts: source rows with NO target match at all
@@ -3946,12 +4002,17 @@ object Snapshots {
         if (s.isDirectory) walk(s.getPath) else Seq(s)
       }
     // a branch root's sweep spares files the PARENT table's manifest
-    // references (published by a fast-forward — main's, not orphans)
+    // references (published by a fast-forward — main's, not orphans),
+    // and main's sweep spares files a LIVE branch still references
+    // (main's manifest may have expired the forked-from version while
+    // the branch keeps reading its files)
     val parentRef = parentTableRefs(spark, tablePath)
+    val branchRef = liveBranchRefs(spark, tablePath)
     val orphans = walk(dataRoot).filter { s =>
       !s.getPath.getName.startsWith("_") &&
         !referenced.contains(s.getPath.toString) &&
         !parentRef.contains(normPath(s.getPath.toString)) &&
+        !branchRef.contains(normPath(s.getPath.toString)) &&
         s.getModificationTime <= cutoff
     }
     orphans.foreach(s => f.delete(s.getPath, false))
@@ -4144,9 +4205,10 @@ object Snapshots {
     * any verb against [[branchPath]], audit it with [[readBranch]],
     * and publish it back atomically with [[fastForward]]. This is
     * write-audit-publish at LINEAGE scope: stage any number of
-    * commits, not one. The clone caveat applies while a branch is
-    * open: main's [[vacuum]] does not know about branches, so
-    * retention policy must outlive them. Returns the branch's own
+    * commits, not one. While a branch is open, main's [[vacuum]] and
+    * [[removeOrphans]] spare every file the branch's manifest still
+    * references (the [[liveBranchRefs]] guard) — dropping the branch
+    * releases them to the next sweep. Returns the branch's own
     * version 0. */
   def createBranch(
       spark: SparkSession,

@@ -321,6 +321,51 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "top-level only")
       fieldNames.head
     }
+    // pre-validate the WHOLE statement against the projected schema
+    // before applying anything: each change below commits its own
+    // snapshot generation, and a failure on a later change must not
+    // leave an earlier one already published (half-applied DDL)
+    Snapshots.latestVersion(spark, root)
+      .flatMap(Snapshots.storedSchema(spark, root, _))
+      .foreach { pre =>
+        var projected: Seq[String] = pre.fieldNames.toSeq
+        changes.foreach {
+          case a: TableChange.AddColumn =>
+            val c = topLevel(a.fieldNames, "ADD COLUMN")
+            require(!projected.contains(c),
+              s"ALTER TABLE $catName.${ident.name} ADD COLUMN $c: " +
+                "already exists (statement refused whole — no change " +
+                "applied)")
+            projected :+= c
+          case r: TableChange.RenameColumn =>
+            val from = topLevel(r.fieldNames, "RENAME COLUMN")
+            require(projected.contains(from),
+              s"ALTER TABLE $catName.${ident.name} RENAME COLUMN " +
+                s"$from: no such column (statement refused whole — no " +
+                "change applied)")
+            require(!projected.contains(r.newName),
+              s"ALTER TABLE $catName.${ident.name} RENAME COLUMN " +
+                s"$from TO ${r.newName}: target exists (statement " +
+                "refused whole — no change applied)")
+            projected = projected.map(c => if (c == from) r.newName else c)
+          case d: TableChange.DeleteColumn =>
+            val c = topLevel(d.fieldNames, "DROP COLUMN")
+            require(projected.contains(c),
+              s"ALTER TABLE $catName.${ident.name} DROP COLUMN $c: " +
+                "no such column (statement refused whole — no change " +
+                "applied)")
+            require(projected.length > 1,
+              s"ALTER TABLE $catName.${ident.name} DROP COLUMN $c: " +
+                "cannot drop the last column")
+            projected = projected.filterNot(_ == c)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE on catalog '$catName': $other — only ADD/" +
+                "RENAME/DROP COLUMN are SQL verbs; constraints and " +
+                "generated columns are Snapshots.addConstraint/" +
+                "addGeneratedColumn")
+        }
+      }
     changes.foreach {
       case a: TableChange.AddColumn =>
         val col = topLevel(a.fieldNames, "ADD COLUMN")

@@ -425,6 +425,33 @@ class GraftCatalogSpec extends SparkSuite {
     assert(positioned.getMessage.contains("at the end"))
   }
 
+  test("ALTER TABLE with several changes is ATOMIC: a later invalid " +
+    "change refuses the whole statement before any generation mints") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/at"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, append = false)
+    Catalog.register(spark, root, "at", tbl)
+    // the second ADD collides with an existing column — the FIRST add
+    // must not land either (no half-applied DDL)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.at ADD COLUMNS (x BIGINT, id STRING)")
+    }
+    assert(e.getMessage.contains("already exists") ||
+      e.getMessage.contains("EXISTS"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, tbl).contains(0L),
+      "the refused statement must mint NO generation")
+    assert(!Snapshots.storedSchema(spark, tbl, 0L).get
+      .fieldNames.contains("x"),
+      "the first change of the refused statement must not apply")
+    // the valid multi-add still works whole
+    spark.sql(s"ALTER TABLE $cat.at ADD COLUMNS (x BIGINT, y STRING)")
+    assert(Snapshots.storedSchema(spark, tbl,
+      Snapshots.latestVersion(spark, tbl).get).get.fieldNames.toSeq ==
+      Seq("id", "v", "x", "y"))
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN route to the column-mapping " +
     "verbs; the mapped face then refuses the SQL scan toward readAsOf") {
     val (cat, root) = freshCatalog()

@@ -238,4 +238,28 @@ class SnapshotBranchSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted.toSeq == (4L to 10L),
       "the compacted branch face keeps the staged delete")
   }
+
+  test("main's vacuum and removeOrphans SPARE files a live branch " +
+    "still references; dropping the branch releases them to the next " +
+    "sweep") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, append = false)
+    Snapshots.createBranch(spark, tbl, "audit")
+    // main moves on: a replace commit writes fresh files, then main's
+    // retention expires v0 — the version the branch forked from
+    Snapshots.commit(spark,
+      Seq((9L, "z")).toDF("id", "v"), tbl, append = false)
+    Snapshots.vacuum(spark, tbl, keepFrom = 1L)
+    Snapshots.removeOrphans(spark, tbl, olderThanMs = 0L)
+    assert(Snapshots.readBranch(spark, tbl, "audit")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "the branch must keep reading its forked-from files after " +
+        "main's retention expired them")
+    // the guard is scoped to LIVE branches: dropping releases the
+    // files, and the next orphan sweep reclaims the storage
+    assert(Snapshots.dropBranch(spark, tbl, "audit"))
+    assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 0L) > 0L,
+      "post-drop, the spared files are ordinary orphans and must die")
+  }
 }

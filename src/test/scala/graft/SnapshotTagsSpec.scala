@@ -51,6 +51,15 @@ class SnapshotTagsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Snapshots.tag(spark, tbl, "a/b", 1L) // path fragment
     }
+    // all-digit names are reserved for version numbers: SQL
+    // `VERSION AS OF '7'` resolves the NUMBER first, so such a tag
+    // would be permanently shadowed — refused at creation
+    intercept[IllegalArgumentException] {
+      Snapshots.tag(spark, tbl, "7", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.createBranch(spark, tbl, "123")
+    }
   }
 
   test("a tag PINS its version: vacuum refuses, removeTag releases; " +

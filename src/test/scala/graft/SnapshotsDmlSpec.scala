@@ -545,4 +545,48 @@ class SnapshotsDmlSpec extends SparkSuite {
     assert(left == (1L to 12L).filterNot(_ % 5 == 0),
       s"ids 5 and 10 must be DV-deleted, got $left")
   }
+
+  test("updateWhere is ANSI: every SET expression and the WHERE " +
+    "predicate evaluate against the PRE-update row — SET a=b,b=a " +
+    "swaps, and an assignment to the predicate column never masks a " +
+    "later assignment") {
+    val tbl = freshTable()
+    seed(tbl)
+    // swap: both RHS must see the original row
+    val v1 = Snapshots.updateWhere(spark, tbl, col("id") === 7L,
+      Seq("id" -> col("amt"), "amt" -> col("id")))
+    val swapped = Snapshots.readAsOf(spark, tbl, v1)
+      .filter(col("amt") === 7L)
+      .select("id", "amt").as[(Long, Long)].collect().toSeq
+    assert(swapped == Seq((70L, 7L)),
+      s"SET id=amt, amt=id must SWAP (sequential application would " +
+        s"yield (70,70)), got $swapped")
+    // the predicate column updated FIRST: the second assignment still
+    // fires for rows the ORIGINAL predicate admitted
+    val v2 = Snapshots.updateWhere(spark, tbl, col("amt") === 30L,
+      Seq("amt" -> lit(0L), "v" -> lit("hit")))
+    val row3 = Snapshots.readAsOf(spark, tbl, v2)
+      .filter(col("id") === 3L)
+      .select("v", "amt").as[(String, Long)].collect().toSeq
+    assert(row3 == Seq(("hit", 0L)),
+      s"both assignments must fire against the pre-update row, got $row3")
+  }
+
+  test("mergeInto with ONLY by-source clauses never duplicates a " +
+    "matched target row the source matches more than once (the " +
+    "rewrite join's fan-out collapses on row identity)") {
+    val tbl = freshTable()
+    seed(tbl)
+    // duplicate source matches for ids 5 and 6 — legal ANSI when no
+    // matched clause exists; file 2 (ids 4,5,6) dirties via the
+    // by-source DELETE of id=4
+    val src = Seq(5L, 5L, 6L, 6L, 6L).toDF("sid")
+    val v = Snapshots.mergeInto(spark, tbl, src,
+      col("t.id") === col("s.sid"),
+      Seq(Snapshots.MergeDeleteBySource(Some(col("t.id") === 4L))))
+    val ids = Snapshots.readAsOf(spark, tbl, v)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 12L).filterNot(_ == 4L),
+      s"matched rows must carry exactly once, got $ids")
+  }
 }
