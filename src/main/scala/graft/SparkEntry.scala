@@ -5301,6 +5301,32 @@ object SparkEntry {
         .orderBy(col("win_start_us"), col("event_type"))
     }),
 
+    "ev_stream_windowed_agg_append" -> ((s, dir) => {
+      // the PRODUCTION shape of the streaming windowed aggregation:
+      // event-time tumbling windows under a WATERMARK in APPEND mode.
+      // Each window emits exactly once when the watermark passes its
+      // end, and its state row expires with the emit — state is
+      // bounded by (group keys × windows inside the watermark horizon)
+      // where Complete mode re-emits and retains the WHOLE domain
+      // every batch (unbounded at a 100-TB feed's lifetime; the
+      // bounded-state contract is pinned in SessionizeSpec). The
+      // oracle is the batch aggregation restricted to FINALIZED
+      // windows — win_end ≤ max(ts) − delay — because windows the
+      // final watermark never cleared are still open and unemitted by
+      // the Append contract.
+      import org.apache.spark.sql.streaming.OutputMode
+      val agg = Tables.streamEvents(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("value_cents"))
+      Sessionize.runToMemory(s, agg, "ev_stream_win_append",
+        OutputMode.Append, statePartitions = 8)
+        .orderBy(col("win_start_us"), col("event_type"))
+    }),
+
     "ev_stream_range_join" -> ((s, dir) => {
       // stream-stream bounded range join: all events within ±30 min of
       // each signup, as raw pairs. Inner join emits when both sides have
@@ -9734,6 +9760,18 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+      // Append mode emits exactly the FINALIZED windows: those whose
+      // end the final watermark (max event time − 30 min, at Spark's
+      // millisecond watermark granularity) passed
+      "ev_stream_windowed_agg_append" ->
+        """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+          | event_type, count(*) AS n,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events
+          |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          |  <= (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
+          |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
       "mm_payload_stats" ->
         """SELECT doc_id AS asset_id,

@@ -174,12 +174,14 @@ object Snapshots {
     var attempt = 0
     while (attempt < 4) {
       attempt += 1
+      manifestDirListings.incrementAndGet()
       val parts =
         if (fs(spark, tablePath).exists(new Path(dir)))
-          listDataFiles(spark, dir)
+          genFilesOf(listDataFiles(spark, dir))
         else Seq.empty
       if (parts.isEmpty) return emptyManifest(spark)
       try {
+        manifestFilesOpened.addAndGet(parts.length.toLong)
         val norm = normalizeManifest(
           spark.read.option("mergeSchema", "true").parquet(parts: _*))
         // materialized EAGERLY (metadata-scale by design): a lazy frame
@@ -259,9 +261,11 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String): Seq[Long] = {
     recoverManifestSwap(spark, tablePath)
+    manifestDirListings.incrementAndGet()
     val dir = s"$tablePath/$VersionsDir"
     if (!fs(spark, tablePath).exists(new Path(dir))) Seq.empty
-    else listDataFiles(spark, dir).map(p => new Path(p).getName).map {
+    else genFilesOf(listDataFiles(spark, dir))
+      .map(p => new Path(p).getName).map {
       case GenFileName(v) => v.toLong
       case other => throw new IllegalStateException(
         s"manifest file '$other' in $dir does not carry its generation " +
@@ -288,6 +292,7 @@ object Snapshots {
     if (!fs(spark, tablePath).exists(new Path(path)))
       return Array.empty[Row]
     try {
+      manifestFilesOpened.incrementAndGet()
       val rows = normalizeManifest(spark.read.parquet(path)).collect()
       manifestRowsCollected.addAndGet(rows.length.toLong)
       rows
@@ -298,12 +303,126 @@ object Snapshots {
     }
   }
 
-  /** One row PER GENERATION — (version, commit_ts, parent) — with the
-    * per-file fan-out dropped in the EXECUTORS: the distinct runs
-    * before the collect, so the driver materializes O(generations)
-    * rows however many files each snapshot carries. The timeline /
-    * lineage-chain read ([[versionAt]], the reconciliation tails'
-    * contested laps, the streaming sink's replay check). */
+  // ------------------------------------------------------------------
+  // MANIFEST CHECKPOINT — the Delta `_last_checkpoint` shape: every
+  // [[CheckpointIntervalConf]] commits, (version, commit_ts, parent)
+  // for ALL generations rolls into ONE `_checkpoint-v<N>.parquet`, so
+  // timeline reads ([[manifestMeta]]: versionAt, contested
+  // reconciliation laps, the streaming sink's replay check) open
+  // 1 + O(commits since the checkpoint) manifest files instead of
+  // O(versions) footers. The `_` prefix hides checkpoint artifacts
+  // from [[listDataFiles]], so generation listings and full-history
+  // reads never confuse them with gen files. Correct under vacuum
+  // WITHOUT a rewrite: readers filter checkpoint rows to the LIVE
+  // generation set (one listing they already hold), and a generation's
+  // meta is immutable once committed, so stale checkpoints can only
+  // over-cover, never lie. A missing/corrupt checkpoint falls back to
+  // the full per-file scan — the checkpoint is an accelerator, never a
+  // correctness dependency ([[swapManifest]]'s whole-dir swap drops it;
+  // the next Nth commit re-rolls).
+  // ------------------------------------------------------------------
+
+  /** Auto-checkpoint period in COMMITTED VERSIONS (0 disables). The
+    * session conf knob lets the soak spec shrink it; 16 keeps the
+    * amortized commit cost negligible while bounding every timeline
+    * read to ≤ 17 manifest file opens at any history length. */
+  private val CheckpointIntervalConf = "graft.manifest.checkpointInterval"
+  private val CheckpointIntervalDefault = 16
+
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption(CheckpointIntervalConf)
+      .map(_.toInt).getOrElse(CheckpointIntervalDefault)
+
+  /** NOT `_`-prefixed: Spark's hidden-path filter would refuse to read
+    * it back; [[genFilesOf]] excludes it from generation listings by
+    * name instead. */
+  private def ckptFilePath(tablePath: String, version: Long): String =
+    s"$tablePath/$VersionsDir/checkpoint-v$version.parquet"
+
+  private def isCkptFile(name: String): Boolean =
+    name.startsWith("checkpoint-v")
+
+  /** The generation files of a manifest directory listing — checkpoint
+    * artifacts excluded. */
+  private def genFilesOf(parts: Seq[String]): Seq[String] =
+    parts.filterNot(p => isCkptFile(new Path(p).getName))
+
+  private def ckptPointerPath(tablePath: String): Path =
+    new Path(s"$tablePath/$VersionsDir/_last_checkpoint")
+
+  /** The `_last_checkpoint` pointer's target version, if a readable
+    * pointer exists — a dangling or corrupt pointer answers None (the
+    * reader falls back to the full scan, never fails). */
+  private[graft] def lastCheckpointVersion(
+      spark: SparkSession,
+      tablePath: String): Option[Long] = {
+    val f = fs(spark, tablePath)
+    val p = ckptPointerPath(tablePath)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLongOption
+        } finally in.close()
+      }
+    } catch {
+      case e: Throwable if isFileGone(e) => None
+    }
+  }
+
+  /** Roll the whole timeline's (version, commit_ts, parent) into one
+    * checkpoint file at the current head and repoint
+    * `_last_checkpoint` — idempotent, and itself accelerated by the
+    * previous checkpoint (reads 1 + O(since) files, not the history).
+    * Superseded checkpoint files are dropped best-effort after the new
+    * pointer lands. Returns the checkpointed head, None on an empty
+    * table. */
+  private[graft] def checkpointManifest(
+      spark: SparkSession,
+      tablePath: String): Option[Long] = {
+    val meta = manifestMeta(spark, tablePath)
+    if (meta.isEmpty) return None
+    val cv = meta.map(_.getLong(0)).max
+    val f = fs(spark, tablePath)
+    val tmp = s"$tablePath/${VersionsDir}_ckpt_tmp_v$cv"
+    val rows = meta.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    spark.createDataFrame(rows).toDF("version", "commit_ts", "parent")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val staged = listDataFiles(spark, tmp)
+    require(staged.length == 1,
+      s"manifest checkpoint for $tablePath staged ${staged.length} " +
+        "files — expected exactly one")
+    val dest = new Path(ckptFilePath(tablePath, cv))
+    f.delete(dest, false) // re-checkpointing the same head is idempotent
+    require(f.rename(new Path(staged.head), dest),
+      s"manifest checkpoint publish failed for $tablePath at v$cv")
+    f.delete(new Path(tmp), true)
+    val out = f.create(ckptPointerPath(tablePath), true)
+    try out.write(cv.toString.getBytes("UTF-8"))
+    finally out.close()
+    val dir = new Path(s"$tablePath/$VersionsDir")
+    f.listStatus(dir)
+      .filter(s => s.isFile && isCkptFile(s.getPath.getName) &&
+        s.getPath.getName != dest.getName)
+      .foreach(s => f.delete(s.getPath, false))
+    Some(cv)
+  }
+
+  /** One row PER GENERATION — (version, commit_ts, parent). With a
+    * checkpoint present this opens ONE checkpoint file plus the gen
+    * files NEWER than it (≤ the checkpoint interval, however long the
+    * history) — checkpoint rows are filtered to the generations the
+    * directory listing still carries, so vacuum/retraction need no
+    * checkpoint rewrite. Without one (young table, post-vacuum), the
+    * full per-file scan with the fan-out dropped in the EXECUTORS.
+    * The timeline / lineage-chain read ([[versionAt]], the
+    * reconciliation tails' contested laps, the streaming sink's
+    * replay check). */
   private[graft] def manifestMeta(
       spark: SparkSession,
       tablePath: String): Array[Row] = {
@@ -314,18 +433,59 @@ object Snapshots {
     var attempt = 0
     while (attempt < 4) {
       attempt += 1
+      manifestDirListings.incrementAndGet()
       val parts =
         if (fs(spark, tablePath).exists(new Path(dir)))
-          listDataFiles(spark, dir)
+          genFilesOf(listDataFiles(spark, dir))
         else Seq.empty
       if (parts.isEmpty) return Array.empty[Row]
+      val byVersion: Map[Long, String] = parts.map { p =>
+        new Path(p).getName match {
+          case GenFileName(v) => v.toLong -> p
+          case other => throw new IllegalStateException(
+            s"manifest file '$other' in $dir does not carry its " +
+              "generation number (gen-v<N>.parquet) — written by a " +
+              "foreign tool? The version-bounded reads cannot resolve it")
+        }
+      }.toMap
       try {
-        val rows = normalizeManifest(
-          spark.read.option("mergeSchema", "true").parquet(parts: _*))
-          .select(col("version"), col("commit_ts"), col("parent"))
-          .distinct().collect()
-        manifestRowsCollected.addAndGet(rows.length.toLong)
-        return rows
+        val ckpt: Option[(Long, Array[Row])] =
+          lastCheckpointVersion(spark, tablePath).flatMap { cv =>
+            val cp = ckptFilePath(tablePath, cv)
+            try {
+              if (!fs(spark, tablePath).exists(new Path(cp))) None
+              else {
+                manifestFilesOpened.incrementAndGet()
+                val r = spark.read.parquet(cp)
+                  .select(col("version"), col("commit_ts"), col("parent"))
+                  .collect()
+                manifestRowsCollected.addAndGet(r.length.toLong)
+                Some((cv, r))
+              }
+            } catch {
+              // a vanished, torn or unreadable checkpoint falls back
+              // to the full per-file scan — never a read failure
+              case scala.util.control.NonFatal(_) => None
+            }
+          }
+        val (base, newerPaths) = ckpt match {
+          case Some((cv, rows)) =>
+            (rows.filter(r => byVersion.contains(r.getLong(0))),
+              byVersion.view.filterKeys(_ > cv).values.toSeq.sorted)
+          case None => (Array.empty[Row], parts)
+        }
+        val newer =
+          if (newerPaths.isEmpty) Array.empty[Row]
+          else {
+            manifestFilesOpened.addAndGet(newerPaths.length.toLong)
+            val r = normalizeManifest(spark.read
+              .option("mergeSchema", "true").parquet(newerPaths: _*))
+              .select(col("version"), col("commit_ts"), col("parent"))
+              .distinct().collect()
+            manifestRowsCollected.addAndGet(r.length.toLong)
+            r
+          }
+        return base ++ newer
       } catch {
         case e: Throwable if isFileGone(e) => lastErr = e
       }
@@ -864,6 +1024,13 @@ object Snapshots {
       new Path(s"$tablePath/$VersionsDir/gen-v$version.parquet")),
       s"manifest publish failed for version $version of $tablePath")
     f.delete(new Path(tmp), true)
+    // every Nth version rolls the timeline into a fresh checkpoint —
+    // an accelerator only: a failure here must never fail the commit
+    // that already published (the stale checkpoint stays valid)
+    val interval = checkpointInterval(spark)
+    if (interval > 0 && version > 0 && version % interval == 0)
+      try checkpointManifest(spark, tablePath)
+      catch { case scala.util.control.NonFatal(_) => () }
     version
   }
 
@@ -1789,6 +1956,21 @@ object Snapshots {
     * O(versions × files of the history) (the counter
     * [[SnapshotsResolutionSpec]] pins that bound with). */
   private[graft] val manifestRowsCollected =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Manifest FILES OPENED (gen files + checkpoint files whose rows
+    * were actually read) since process start — the checkpoint's budget
+    * gauge: a timeline read must open 1 + O(commits since the last
+    * checkpoint) files, never O(versions) footers, however long the
+    * history ([[SnapshotsResolutionSpec]] pins that bound). */
+  private[graft] val manifestFilesOpened =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Manifest DIRECTORY listings since process start (head resolution
+    * + manifest reads) — with rows, files-opened and sidecar listings
+    * this completes the metadata-plane budget family the soak spec
+    * fences. */
+  private[graft] val manifestDirListings =
     new java.util.concurrent.atomic.AtomicLong
 
   /** Every versioned sidecar family's generation governing `version`,
@@ -4584,6 +4766,7 @@ object Snapshots {
     val rows =
       if (paths.isEmpty) Array.empty[Row]
       else try {
+        manifestFilesOpened.addAndGet(paths.length.toLong)
         val r = normalizeManifest(spark.read
           .option("mergeSchema", "true").parquet(paths: _*)).collect()
         manifestRowsCollected.addAndGet(r.length.toLong)

@@ -329,4 +329,76 @@ class SessionizeSpec extends SparkSuite {
       spark.sql("DROP VIEW IF EXISTS wincounts_test")
     }
   }
+
+  test("append-mode windowed aggregation holds BOUNDED state — " +
+    "emitted windows expire with the watermark, retained rows never " +
+    "exceed keys × open windows — while Complete mode retains the " +
+    "whole domain") {
+    implicit val sqlCtx = spark.sqlContext
+    def agg(stream: MemoryStream[Event]) = stream.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // 10 hours × 2 event types = 20 windows of history
+    def feed(stream: MemoryStream[Event]): Unit =
+      (0 until 10).foreach { h =>
+        stream.addData(
+          Event(h * 2L, ts(h * 60L), 1L, "view", 1.0),
+          Event(h * 2L + 1, ts(h * 60L + 30), 1L, "click", 1.0))
+      }
+
+    // the batch twin decides which (window, type) groups the final
+    // watermark (max event ts − 10 min) FINALIZED — the same contract
+    // the driver oracle for ev_stream_windowed_agg_append pins
+    val all = (0 until 10).flatMap(h => Seq(
+      Event(h * 2L, ts(h * 60L), 1L, "view", 1.0),
+      Event(h * 2L + 1, ts(h * 60L + 30), 1L, "click", 1.0)))
+    val groups = all.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.end").as("win_end"))
+      .as[Timestamp].collect()
+    val wm = new Timestamp(all.map(_.ts.getTime).max - 10 * 60000L)
+    val finalized = groups.count(_.getTime <= wm.getTime).toLong
+    val open = groups.length - finalized
+    assert(finalized > 0 && open > 0, "fixture must leave windows open")
+
+    val s1 = MemoryStream[Event]
+    val q1 = agg(s1).writeStream.format("memory")
+      .queryName("win_append_state").outputMode(OutputMode.Append).start()
+    try {
+      feed(s1)
+      q1.processAllAvailable()
+      assert(spark.table("win_append_state").count() == finalized,
+        "append mode emits exactly the finalized windows")
+      val appendState = Option(q1.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(appendState.contains(open.toLong),
+        s"append-mode state must hold ONLY the $open open window " +
+          s"group(s) inside the horizon, got $appendState — emitted " +
+          "windows must expire")
+    } finally {
+      q1.stop(); spark.sql("DROP VIEW IF EXISTS win_append_state")
+    }
+
+    val s2 = MemoryStream[Event]
+    val q2 = agg(s2).writeStream.format("memory")
+      .queryName("win_complete_state").outputMode(OutputMode.Complete)
+      .start()
+    try {
+      feed(s2)
+      q2.processAllAvailable()
+      // Complete mode re-emits and RETAINS every window ever seen —
+      // state grows with the domain, the shape that cannot run
+      // indefinitely at feed scale
+      assert(spark.table("win_complete_state").count() == groups.length)
+      val completeState = Option(q2.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(completeState.contains(groups.length.toLong),
+        s"Complete-mode state retains the whole domain " +
+          s"(${groups.length} windows), got $completeState")
+    } finally {
+      q2.stop(); spark.sql("DROP VIEW IF EXISTS win_complete_state")
+    }
+  }
 }

@@ -195,4 +195,134 @@ class SnapshotsResolutionSpec extends SparkSuite {
     assert(l <= 3L,
       s"readChangesBetween took $l sidecar listings, budget 3")
   }
+
+  /** (result, manifest FILES opened) around `body`. */
+  private def opensCounted[T](body: => T): (T, Long) = {
+    val o0 = Snapshots.manifestFilesOpened.get
+    val r = body
+    (r, Snapshots.manifestFilesOpened.get - o0)
+  }
+
+  test("manifest checkpoint: timeline reads open 1 + (commits since " +
+    "the checkpoint) manifest files — CONSTANT-bounded as the history " +
+    "grows; vacuum stays correct with no checkpoint rewrite") {
+    val tbl = freshTable()
+    spark.conf.set("graft.manifest.checkpointInterval", "8")
+    try {
+      var head = Snapshots.commit(spark,
+        Seq((0L, "r0")).toDF("id", "v").coalesce(1), tbl,
+        append = false, ts = Some(0L))
+      (1L to 19L).foreach { i =>
+        head = Snapshots.commit(spark,
+          Seq((i, s"r$i")).toDF("id", "v").coalesce(1), tbl,
+          append = false, ts = Some(i), derivedFrom = Some(head))
+      }
+      assert(Snapshots.lastCheckpointVersion(spark, tbl).contains(16L),
+        "the 16th commit must roll a checkpoint (interval 8)")
+      val (vAt, opens1) = opensCounted(Snapshots.versionAt(spark, tbl, 5L))
+      assert(vAt == 5L)
+      assert(opens1 == 1L + 3L,
+        s"versionAt opened $opens1 manifest files with the checkpoint " +
+          "at v16 and 3 newer generations — budget 4")
+      // DOUBLE the history: the budget must not grow with it
+      (20L to 39L).foreach { i =>
+        head = Snapshots.commit(spark,
+          Seq((i, s"r$i")).toDF("id", "v").coalesce(1), tbl,
+          append = false, ts = Some(i), derivedFrom = Some(head))
+      }
+      assert(Snapshots.lastCheckpointVersion(spark, tbl).contains(32L))
+      val (vAt2, opens2) = opensCounted(Snapshots.versionAt(spark, tbl, 5L))
+      assert(vAt2 == 5L)
+      assert(opens2 == 1L + 7L,
+        s"versionAt opened $opens2 manifest files at 40 generations — " +
+          "budget 8 (checkpoint at v32 + 7 newer), NOT 40 footers")
+      // the answers are checkpoint-invariant across the whole timeline
+      assert(Snapshots.versionAt(spark, tbl, 33L) == 33L)
+      assert(Snapshots.readAsOfTimestamp(spark, tbl, 10L)
+        .select("id").as[Long].head() == 10L)
+      // vacuum swaps the manifest dir whole (checkpoint + pointer go
+      // with it) and the READ PATH survives on the fallback: expired
+      // generations vanish from the timeline, retained ones answer
+      Snapshots.vacuum(spark, tbl, keepFrom = 35L)
+      assert(Snapshots.versionAt(spark, tbl, 37L) == 37L)
+      intercept[IllegalArgumentException] {
+        Snapshots.versionAt(spark, tbl, 5L) // every admissible gen expired
+      }
+      assert(Snapshots.readAsOf(spark, tbl, head)
+        .select("id").as[Long].head() == 39L)
+      // the next interval-th commit re-rolls a fresh checkpoint
+      head = Snapshots.commit(spark,
+        Seq((40L, "r40")).toDF("id", "v").coalesce(1), tbl,
+        append = false, ts = Some(40L), derivedFrom = Some(head))
+      assert(Snapshots.lastCheckpointVersion(spark, tbl).contains(40L),
+        "v40 (interval 8) must re-checkpoint after the vacuum dropped " +
+          "the old one")
+      val (vAt4, opens4) = opensCounted(Snapshots.versionAt(spark, tbl, 40L))
+      assert(vAt4 == 40L && opens4 == 1L,
+        s"post-re-checkpoint versionAt opened $opens4 files, budget 1")
+    } finally spark.conf.unset("graft.manifest.checkpointInterval")
+  }
+
+  test("metadata-plane soak: a 200-generation table answers head, " +
+    "deep-history and timeline verbs inside budgets CONSTANT in the " +
+    "history length — listings, file opens, rows collected, sidecar " +
+    "listings all pinned") {
+    val tbl = freshTable()
+    // default checkpoint interval (16) — the production shape
+    var head = Snapshots.commit(spark,
+      Seq((0L, "r0")).toDF("id", "v").coalesce(1), tbl,
+      append = false, ts = Some(0L))
+    (1L to 199L).foreach { i =>
+      head = Snapshots.commit(spark,
+        Seq((i, s"r$i")).toDF("id", "v").coalesce(1), tbl,
+        append = false, ts = Some(i), derivedFrom = Some(head))
+    }
+    assert(head == 199L)
+    assert(Snapshots.lastCheckpointVersion(spark, tbl).contains(192L))
+    def fullBudget[T](body: => T): (T, Long, Long, Long, Long) = {
+      val (d0, o0, r0, s0) = (Snapshots.manifestDirListings.get,
+        Snapshots.manifestFilesOpened.get,
+        Snapshots.manifestRowsCollected.get,
+        Snapshots.sidecarListings.get)
+      val r = body
+      (r, Snapshots.manifestDirListings.get - d0,
+        Snapshots.manifestFilesOpened.get - o0,
+        Snapshots.manifestRowsCollected.get - r0,
+        Snapshots.sidecarListings.get - s0)
+    }
+    // head resolution: one listing, ZERO files opened, ZERO rows
+    val (h, dl, fo, rc, sl) = fullBudget(
+      Snapshots.latestVersion(spark, tbl))
+    assert(h.contains(199L))
+    assert(dl == 1L && fo == 0L && rc == 0L && sl == 0L,
+      s"latestVersion budget: listings=$dl opens=$fo rows=$rc " +
+        s"sidecars=$sl — expected 1/0/0/0")
+    // a HEAD read: 1 listing lap + 1 gen file + its own rows + 1 root
+    // sidecar listing
+    val (n1, dl1, fo1, rc1, sl1) = fullBudget(
+      Snapshots.readAsOf(spark, tbl, 199L).count())
+    assert(n1 == 1L)
+    assert(dl1 <= 2L && fo1 == 1L && rc1 == 1L && sl1 == 1L,
+      s"readAsOf(head) budget: listings=$dl1 opens=$fo1 rows=$rc1 " +
+        s"sidecars=$sl1 — expected ≤2/1/1/1 on a 200-generation table")
+    // a DEEP-HISTORY read (v1): the SAME budget — depth is free
+    val (n2, dl2, fo2, rc2, sl2) = fullBudget(
+      Snapshots.readAsOf(spark, tbl, 1L).count())
+    assert(n2 == 1L)
+    assert(dl2 <= 2L && fo2 == 1L && rc2 == 1L && sl2 == 1L,
+      s"readAsOf(v1) budget: listings=$dl2 opens=$fo2 rows=$rc2 " +
+        s"sidecars=$sl2 — expected ≤2/1/1/1: reading 200 versions deep " +
+        "must cost the same as reading the head")
+    // the TIMELINE verb: checkpoint + ≤ interval newer gen files; rows
+    // one per generation (that is the verb's answer), opens constant
+    val (vAt, dl3, fo3, rc3, _) = fullBudget(
+      Snapshots.versionAt(spark, tbl, 100L))
+    assert(vAt == 100L)
+    assert(fo3 == 1L + 7L,
+      s"versionAt opened $fo3 manifest files on a 200-generation " +
+        "table — budget 8 (one checkpoint + 7 post-checkpoint gens)")
+    assert(dl3 == 1L && rc3 <= 200L + 16L,
+      s"versionAt budget: listings=$dl3 rows=$rc3 — one listing, one " +
+        "row per generation (never the per-file fan-out)")
+  }
 }
