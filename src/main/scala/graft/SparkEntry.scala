@@ -1354,6 +1354,94 @@ object SparkEntry {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    "q82_sql_replace_where" -> ((s, dir) => {
+      // SQL REPLACE WHERE — the predicate-scoped INSERT OVERWRITE
+      // (Delta's replaceWhere spelling) over commitReplaceWhere: ONE
+      // derived generation whose face is (old face WHERE NOT pred) ∪
+      // batch, FILE-EXACT blast radius require-pinned below — the
+      // table is clustered on the predicate column, so exactly the
+      // matching files rewrite and every clean file repoints
+      // verbatim. A batch row outside the predicate's scope refuses
+      // the whole statement (idempotent-reload contract), also pinned.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlrw_").toString
+      val tbl = s"$root/storage/rw"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commitClustered(s, ev, tbl, "event_type",
+        numFiles = 6, append = false)
+      val v0 = Snapshots.latestVersion(s, tbl).get
+      val f0 = Snapshots.generationFiles(s, tbl, v0)._1.map(_._1).toSet
+      Catalog.register(s, root, "rw", tbl)
+      val cat = s"grw${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // the corrected reload: click rows at doubled cents
+      ev.filter(col("event_type") === "click")
+        .withColumn("value_cents", col("value_cents") * 2)
+        .createOrReplaceTempView("q82_reload")
+      // a batch leaking OUTSIDE the predicate refuses whole
+      val leak = scala.util.Try(s.sql(
+        s"""INSERT INTO $cat.rw REPLACE WHERE event_type = 'view'
+           |SELECT * FROM q82_reload""".stripMargin))
+      require(leak.isFailure && Snapshots.latestVersion(s, tbl)
+        .contains(v0), "an out-of-scope batch must refuse whole")
+      s.sql(
+        s"""INSERT INTO $cat.rw REPLACE WHERE event_type = 'click'
+           |SELECT * FROM q82_reload""".stripMargin)
+      val v1 = Snapshots.latestVersion(s, tbl).get
+      require(v1 == v0 + 1,
+        "REPLACE WHERE must be exactly ONE derived generation")
+      val f1 = Snapshots.generationFiles(s, tbl, v1)._1.map(_._1).toSet
+      require((f0 -- f1).nonEmpty && (f0 intersect f1).nonEmpty,
+        s"file-exact blast radius: only the click-carrying files may " +
+          s"rewrite (rewrote ${(f0 -- f1).size} of ${f0.size})")
+      s.sql(
+        s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.rw GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
+    }),
+
+    "q81_runtime_filter" -> ((s, dir) => {
+      // RUNTIME FILE PRUNING for a selective dim⋈fact join — the
+      // dynamic-file-pruning leg Spark's DPP cannot reach inside a
+      // manifest-planned snapshot scan: the dim side's key domain
+      // (bounds + distinct keys at plan time) prunes the fact FILE
+      // SET through the stats sidecar before any fact file opens,
+      // require-pinned below to admit strictly fewer files than the
+      // face carries while the join answer is byte-identical to the
+      // plain join (the oracle). At 100× the fact only grows more
+      // files of the same key-disjoint layout, so the admitted
+      // fraction — not the file count — is the scan cost.
+      val tbl = s"$artifactRoot/snap_runtime_filter"
+      Snapshots.init(s, tbl)
+      Snapshots.commitClustered(s,
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          cents(col("value")).as("value_cents")),
+        tbl, "user_id", numFiles = 16, append = false)
+      val head = Snapshots.latestVersion(s, tbl).get
+      val total = Snapshots.readAsOf(s, tbl, head).inputFiles.length
+      val cut = t(s, dir, "events")
+        .agg(max(col("user_id"))).head().getLong(0) / 5L
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey") <= cut &&
+          col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val fact = Snapshots.scanJoinPruned(s, tbl, head, "user_id",
+        dim.select(col("c_custkey")))
+      require(fact.inputFiles.length < total,
+        s"the dim side's key range must prune the fact file set " +
+          s"(${fact.inputFiles.length} of $total admitted)")
+      fact.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q80_sql_merge_sync" -> ((s, dir) => {
       // the FULL-SYNC MERGE (WHEN NOT MATCHED BY SOURCE — the
       // replication shape): after the statement the target IS the
@@ -5039,6 +5127,68 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "ev_stream_cdc_mor" -> ((s, dir) => {
+      // MERGE-ON-READ CDC apply (the Iceberg v2 equality-delete /
+      // Flink upsert-sink shape): each micro-batch commits keyed
+      // tombstones + its winning rows as ONE metadata generation —
+      // zero pre-existing data files rewritten per sync, require-
+      // pinned below via manifest file-set containment across the
+      // whole stream. Winners resolve ts-aware against the current
+      // MOR face with deletes riding as soft rows, so an unordered
+      // multi-batch feed converges to exactly the batch applyCdc
+      // face (the ev_cdc_apply oracle). foldEqDeletes then
+      // materializes the same face copy-on-write; the folded count is
+      // require-pinned against the MOR read before the fold.
+      val tbl = s"$artifactRoot/snap_cdc_mor"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("value_cents"))
+      val base = Changes.latestByKey(ev.filter(col("event_id") % 2 === 0),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+        .withColumn("op", lit("u"))
+      Snapshots.commit(s, base, tbl, append = false)
+      // the change feed stages as 4 files → 4 micro-batches, split
+      // WITHOUT regard to event time (arrival order must not matter)
+      val staging = s"$artifactRoot/snap_cdc_mor_feed"
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("op",
+          when(col("event_id") % 17 === 0, lit("d")).otherwise(lit("u")))
+        .repartition(4)
+        .write.mode("overwrite").parquet(staging)
+      val schema = s.read.parquet(staging).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val q = SnapshotStream.upsertMor(feed, tbl, "ev_stream_cdc_mor_q",
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+      q.processAllAvailable(); q.stop()
+      val head = Snapshots.latestVersion(s, tbl).get
+      require(head >= 4L,
+        s"the 4-file feed must commit one MOR generation per " +
+          s"micro-batch, head is v$head")
+      // ZERO-REWRITE pin: every sync's generation carries every file
+      // of its parent verbatim (tombstones + fresh files only)
+      (1L to head).foreach { v =>
+        val prev = Snapshots.generationFiles(s, tbl, v - 1)._1
+          .map(_._1).toSet
+        val cur = Snapshots.generationFiles(s, tbl, v)._1.map(_._1).toSet
+        require(prev.subsetOf(cur),
+          s"MOR sync v$v of the CDC stream rewrote a pre-existing file")
+      }
+      val morCount = Snapshots.readMorAsOf(s, tbl, head, Seq("user_id"))
+        .count()
+      val folded = Snapshots.foldEqDeletes(s, tbl, Seq("user_id"))
+      val face = Snapshots.readAsOf(s, tbl, folded)
+      require(face.count() == morCount,
+        "the folded copy-on-write face must carry exactly the " +
+          "merge-on-read rows")
+      face.filter(col("op") =!= "d").drop("op")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "ev_asof_join" -> ((s, dir) => {
       // backward as-of: each click picks up the user's most recent
       // purchase at or before it (union-window shape, one shuffle+sort).
@@ -6791,6 +6941,33 @@ object SparkEntry {
           |FROM events
           |WHERE event_id % 2 = 0 AND user_id > 30
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the post-replace face: clicks at doubled cents, everything
+      // else untouched
+      "q82_sql_replace_where" ->
+        """WITH face AS (
+          | SELECT event_type, CAST(round(value*100,0) AS BIGINT)
+          |   AS value_cents
+          |  FROM events WHERE event_type <> 'click'
+          | UNION ALL
+          | SELECT event_type, CAST(round(value*100,0) AS BIGINT) * 2
+          |  FROM events WHERE event_type = 'click')
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+          |FROM face GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // runtime file pruning may only change WHICH files are opened,
+      // never the join's values — the plain selective join
+      "q81_runtime_filter" ->
+        """WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer
+          | WHERE c_custkey <= (SELECT max(user_id) FROM events) // 5
+          |   AND c_mktsegment = 'BUILDING')
+          |SELECT c_mktsegment,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events JOIN dim ON user_id = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       // after the full-sync merge the target IS the source's face:
       // the %3 rows with their +3 cents
@@ -10323,6 +10500,8 @@ object SparkEntry {
       ("ev_stream_retention" -> base("ev_retention")) +
       ("ev_stream_agg_incremental" -> base("ev_agg_incremental")) +
       ("ev_stream_cdc_apply" -> base("ev_cdc_apply")) +
+      // the merge-on-read apply converges to the same latest-wins face
+      ("ev_stream_cdc_mor" -> base("ev_cdc_apply")) +
       ("text_decontaminate_bloom" -> base("text_decontaminate")) +
       ("dedup_jaccard_prefix" -> base("dedup_jaccard")) +
       ("dedup_jaccard_auto" -> base("dedup_jaccard")) +

@@ -701,7 +701,8 @@ object Snapshots {
       false)
     Seq(dvDir(tablePath, version), constraintsDir(tablePath, version),
       colMapDir(tablePath, version), genColsDir(tablePath, version),
-      statsDir(tablePath, version), bloomDir(tablePath, version))
+      statsDir(tablePath, version), bloomDir(tablePath, version),
+      eqDir(tablePath, version))
       .foreach(d => f.delete(new Path(d), true))
   }
 
@@ -1603,6 +1604,11 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       keepFrom: Long): Long = {
+    // retained MOR versions resolve tombstone sidecars CUMULATIVELY
+    // below themselves — expiring any part of that chain would
+    // silently resurrect deletes; fold first
+    latestVersion(spark, tablePath).foreach(h =>
+      requireNotEqGoverned(spark, tablePath, h, "vacuum"))
     val m = manifest(spark, tablePath)
     val keptRows = m.filter(col("version") >= keepFrom)
       .select(col("version"), col("file"), col("part"), col("schema_json"),
@@ -1937,6 +1943,266 @@ object Snapshots {
     family.filter(_._1 <= version).lastOption
 
   // ------------------------------------------------------------------
+  // EQUALITY DELETES — merge-on-read upsert (the Iceberg v2
+  // equality-delete shape): a CDC micro-batch commits O(batch)
+  // metadata — keyed tombstones + its own fresh files — and NO
+  // existing data file is opened or rewritten; readers resolve the
+  // tombstones at scan time. Unlike the superseding DV family, `_eq`
+  // generations ACCUMULATE: the read unions every tombstone set at or
+  // below the queried version, scoping each to rows from files OLDER
+  // than its commit (each sidecar records its commit's own fresh
+  // files, so per-file age derives from O(batches-since-fold) tiny
+  // lists, never a history walk). [[foldEqDeletes]] materializes the
+  // resolved face as one copy-on-write replace and drops the
+  // tombstones — the compaction that bounds read-side join depth.
+  // Governed faces refuse every plain read/DML verb loudly
+  // ([[resolveSidecars]]' allowEq gate + [[requireNotEqGoverned]]);
+  // history inside a folded window refuses too (the tombstones that
+  // defined those faces are gone — a raw answer would be a lie).
+  // ------------------------------------------------------------------
+
+  private def eqRoot(tablePath: String): String = s"$tablePath/_eq"
+
+  private def eqDir(tablePath: String, version: Long): String =
+    s"${eqRoot(tablePath)}/v$version"
+
+  private def eqFoldMarker(tablePath: String): Path =
+    new Path(s"${eqRoot(tablePath)}/folded")
+
+  /** (earliest eq version ever folded, fold version) — the window of
+    * versions whose MOR faces are expired. */
+  private def readEqFoldMarker(
+      f: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[(Long, Long)] = {
+    val p = eqFoldMarker(tablePath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](128)
+        val n = in.read(buf)
+        val parts = new String(buf, 0, math.max(n, 0), "UTF-8")
+          .trim.split(" ")
+        Some((parts(0).toLong, parts(1).toLong))
+      } finally in.close()
+    }
+  }
+
+  private def eqKeysSchema(stored: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      keyCols.map(k => stored.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality-delete key '$k' is not a stored column"))))
+
+  private val eqFreshSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Is `version`'s face governed by equality-delete tombstones — or
+    * inside a fold-expired window? The SQL catalog's scan guard: a
+    * plain parquet scan of either would resurrect deleted keys. */
+  private[graft] def eqGovernedAt(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Boolean = {
+    val f = fs(spark, tablePath)
+    f.exists(new Path(eqRoot(tablePath))) && (
+      sidecarResolve(spark, eqRoot(tablePath), version).isDefined ||
+        readEqFoldMarker(f, tablePath).exists { case (minEq, foldV) =>
+          version >= minEq && version < foldV })
+  }
+
+  /** The DML-side guard: copy-on-write verbs on a tombstone-governed
+    * face would rewrite rows WITHOUT applying the tombstones,
+    * resurrecting deleted keys. */
+  private def requireNotEqGoverned(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      verb: String): Unit =
+    require(sidecarResolve(spark, eqRoot(tablePath), version).isEmpty,
+      s"$verb: version $version of $tablePath is governed by " +
+        "equality-delete tombstones — foldEqDeletes materializes the " +
+        "merge-on-read face before copy-on-write verbs apply")
+
+  /** ONE merge-on-read upsert commit: append `upserts` as fresh files
+    * and record `tombstones` (rows of exactly `keyCols`) in the
+    * version's `_eq` sidecar — O(batch) data written, O(batch)
+    * metadata committed, ZERO existing files opened or rewritten,
+    * whatever the table size. The tombstones kill matching-key rows
+    * in files OLDER than this commit only, so this batch's own
+    * upserts (and any later batch's) survive their own keys' deletes —
+    * the Flink→Iceberg upsert-sink contract. Blind by design: the
+    * caller decides winners (an unordered feed resolves them against
+    * [[readMorAsOf]] first — a key-pruned READ, still zero rewrites).
+    * Plain flat append lineages only (DV/column-mapping/generated-
+    * column governance refuses toward the copy-on-write verbs). */
+  def commitEqUpsert(
+      spark: SparkSession,
+      tablePath: String,
+      upserts: DataFrame,
+      tombstones: DataFrame,
+      keyCols: Seq[String],
+      ts: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "commitEqUpsert needs key columns")
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitEqUpsert: $tablePath has no committed versions — " +
+          "commit the base face first"))
+    val gen = manifestFor(spark, tablePath, observed)
+    require(gen.nonEmpty,
+      s"commitEqUpsert: version $observed of $tablePath vanished " +
+        "between the head resolution and its read — retry")
+    val fileRows = fileRowsOf(gen)
+    require(fileRows.forall(_._2 == null),
+      s"commitEqUpsert: $tablePath carries hive-partitioned files — " +
+        "the MOR upsert lineage is flat (partition the key into the " +
+        "data and rely on stats skipping)")
+    val gens = resolveSidecars(spark, tablePath, observed, allowEq = true)
+    require(gens.dv.isEmpty && gens.colMap.isEmpty &&
+      gens.genCols.isEmpty && gens.constraints.isEmpty,
+      s"commitEqUpsert: $tablePath carries DV/column-mapping/" +
+        "generated-column/constraint governance — the MOR lineage " +
+        "composes with plain append faces only")
+    val stored = schemaJsonOf(gen).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitEqUpsert: version $observed of $tablePath carries no " +
+          "stored schema — recommit the base first"))
+    require(upserts.columns.sorted.sameElements(
+      stored.fieldNames.sorted),
+      s"commitEqUpsert: upsert columns ${upserts.columns.sorted.mkString(",")} " +
+        s"must match the stored face ${stored.fieldNames.sorted.mkString(",")}")
+    val keysSchema = eqKeysSchema(stored, keyCols)
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    // the batch's fresh data files (possibly none — a delete-only sync)
+    val dataPath = s"$tablePath/$DataDir/v$version"
+    upserts.select(stored.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("errorifexists").parquet(dataPath)
+    val fresh = footerCounts(spark,
+      listDataFiles(spark, dataPath).map((_, null: String)))
+    // the sidecar: keyed tombstones + this commit's own fresh files
+    // (the age index readMorAsOf scopes each tombstone set with)
+    tombstones.select(keyCols.map(c =>
+        col(c).cast(keysSchema(c).dataType)).toIndexedSeq: _*)
+      .distinct().coalesce(1)
+      .write.mode("errorifexists").parquet(s"${eqDir(tablePath, version)}/keys")
+    spark.createDataFrame(
+      java.util.Arrays.asList(fresh.map(r => Row(r._1)): _*),
+      eqFreshSchema).coalesce(1)
+      .write.mode("errorifexists").parquet(s"${eqDir(tablePath, version)}/fresh")
+    publishDerived(spark, tablePath, version, fileRows ++ fresh,
+      stored.json, ts, observed, "commitEqUpsert")
+  }
+
+  /** The MERGE-ON-READ face of `version`: the raw appended rows with
+    * every governing equality-delete tombstone resolved at scan time.
+    * Each file group reads with its ADD SEQUENCE (base files = before
+    * the first tombstone commit; each sidecar's own fresh list = its
+    * commit), and ONE broadcast anti-join drops rows whose key a
+    * STRICTLY-NEWER tombstone names — so re-upserted keys survive
+    * their own batch's delete and all earlier ones. Join depth is one;
+    * tombstone volume is O(deletes since the last fold), which
+    * [[foldEqDeletes]] bounds. Refuses mid-lineage non-MOR commits
+    * loudly (their files' age against the tombstones is unknowable). */
+  def readMorAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "readMorAsOf needs key columns")
+    val (rows, stored) = generationOf(spark, tablePath, version)
+    val gens = resolveSidecars(spark, tablePath, version, allowEq = true)
+    require(gens.dv.isEmpty && gens.colMap.isEmpty && gens.genCols.isEmpty,
+      s"readMorAsOf: $tablePath carries DV/column-mapping/generated-" +
+        "column governance — the MOR lineage composes with plain " +
+        "append faces only")
+    val f = fs(spark, tablePath)
+    val eqDirs =
+      if (!f.exists(new Path(eqRoot(tablePath)))) Seq.empty
+      else sidecarFamilyListed(f, eqRoot(tablePath)).filter(_._1 <= version)
+    if (eqDirs.isEmpty)
+      return readWithDv(spark, rows, stored, None, Map.empty)
+    val eqVs = eqDirs.map(_._1).toSet
+    val firstEq = eqDirs.map(_._1).min
+    val foreign = listGenerations(spark, tablePath)
+      .filter(g => g >= firstEq && g <= version && !eqVs.contains(g))
+    require(foreign.isEmpty,
+      s"readMorAsOf: version(s) ${foreign.mkString(",")} of $tablePath " +
+        "landed mid-MOR-lineage from non-MOR verbs — their files' age " +
+        "against the tombstones is unknowable; foldEqDeletes first")
+    // per-file add sequence from the sidecars' own fresh lists —
+    // O(batches since fold) tiny metadata reads, never a history walk
+    val freshOf: Seq[(Long, Set[String])] = eqDirs.map { case (n, dir) =>
+      n -> spark.read.schema(eqFreshSchema).parquet(s"$dir/fresh")
+        .collect().map(r => normPath(r.getString(0))).toSet
+    }
+    val claimed = freshOf.flatMap(_._2).toSet
+    val seqCol = "__eq_seq"
+    val legs = ((Long.MinValue,
+      rows.filterNot(r => claimed.contains(normPath(r._1)))) +:
+      freshOf.map { case (n, files) =>
+        n -> rows.filter(r => files.contains(normPath(r._1)))
+      }).filter(_._2.nonEmpty).map { case (n, group) =>
+      readFileRows(spark, group, stored).withColumn(seqCol, lit(n))
+    }
+    if (legs.isEmpty) {
+      val schema = stored.getOrElse(
+        throw new IllegalStateException(
+          s"readMorAsOf: empty face of $tablePath with no stored schema"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    val data = legs.reduceLeft(_ unionByName _)
+    val tombSeq = "__eq_tomb_seq"
+    val tombs = eqDirs.map { case (n, dir) =>
+      spark.read.parquet(s"$dir/keys")
+        .toDF(keyCols.map(k => s"__eq_t_$k"): _*)
+        .withColumn(tombSeq, lit(n))
+    }.reduceLeft(_ unionByName _)
+    val cond = keyCols.map(k =>
+      data(k) <=> col(s"__eq_t_$k")).reduce(_ && _) &&
+      col(tombSeq) > col(seqCol)
+    data.join(broadcast(tombs), cond, "left_anti").drop(seqCol)
+  }
+
+  /** COMPACTION for the MOR lineage: materialize [[readMorAsOf]]'s
+    * head face as ONE copy-on-write replace commit, then drop every
+    * tombstone sidecar — bounding the read-side tombstone volume and
+    * returning the table to the plain-verb surface. The fold marker
+    * records the expired window: time travel INSIDE it refuses loudly
+    * (those faces' tombstones are gone; a raw answer would resurrect
+    * deletes), while pre-MOR history below and the folded face above
+    * keep serving. */
+  def foldEqDeletes(
+      spark: SparkSession,
+      tablePath: String,
+      keyCols: Seq[String]): Long = {
+    val head = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"foldEqDeletes: $tablePath has no committed versions"))
+    val f = fs(spark, tablePath)
+    val eqAll =
+      if (!f.exists(new Path(eqRoot(tablePath)))) Seq.empty
+      else sidecarFamilyListed(f, eqRoot(tablePath))
+    require(eqAll.nonEmpty,
+      s"foldEqDeletes: $tablePath carries no equality-delete sidecars")
+    val face = readMorAsOf(spark, tablePath, head, keyCols)
+    val v = commit(spark, face, tablePath, append = false,
+      derivedFrom = Some(head), verb = "foldEqDeletes")
+    // marker FIRST: a crash between marker and dir deletion leaves
+    // over-refusal (safe), never a raw answer for a governed version
+    val minEq = readEqFoldMarker(f, tablePath).map(_._1)
+      .fold(eqAll.map(_._1).min)(m => math.min(m, eqAll.map(_._1).min))
+    val out = f.create(eqFoldMarker(tablePath), true)
+    try out.write(s"$minEq $v".getBytes("UTF-8"))
+    finally out.close()
+    eqAll.foreach { case (_, dir) => f.delete(new Path(dir), true) }
+    v
+  }
+
+  // ------------------------------------------------------------------
   // Combined per-verb resolution — one listing pass, one manifest read
   // ------------------------------------------------------------------
 
@@ -1986,12 +2252,14 @@ object Snapshots {
       dv: Option[(Long, String)],
       colMap: Option[(Long, String)],
       constraints: Option[(Long, String)],
-      genCols: Option[(Long, String)])
+      genCols: Option[(Long, String)],
+      eq: Option[(Long, String)] = None)
 
   private[graft] def resolveSidecars(
       spark: SparkSession,
       tablePath: String,
-      version: Long): SidecarGens = {
+      version: Long,
+      allowEq: Boolean = false): SidecarGens = {
     val f = fs(spark, tablePath)
     sidecarListings.incrementAndGet()
     val present = f.listStatus(new Path(tablePath))
@@ -2001,11 +2269,32 @@ object Snapshots {
       if (!present.contains(name)) None
       else pickAtOrBelow(sidecarFamilyListed(f, root), version)
     }
+    val eqPick =
+      if (!present.contains("_eq")) None
+      else {
+        // a folded MOR lineage expired its tombstone history: versions
+        // inside the fold window have NO servable face at all — refuse
+        // toward the fold point instead of silently answering raw rows
+        readEqFoldMarker(f, tablePath).foreach { case (minEq, foldV) =>
+          require(version >= foldV || version < minEq,
+            s"version $version of $tablePath was merge-on-read " +
+              s"governed and its equality-delete history folded away " +
+              s"at v$foldV — no face exists below the fold; read " +
+              s"v$foldV or later, or a pre-MOR version below v$minEq")
+        }
+        pickAtOrBelow(sidecarFamilyListed(f, eqRoot(tablePath)), version)
+      }
+    require(allowEq || eqPick.isEmpty,
+      s"version $version of $tablePath is governed by equality-delete " +
+        "tombstones (merge-on-read) — a plain scan would resurrect " +
+        "deleted keys; read via readMorAsOf, or foldEqDeletes to " +
+        "materialize a copy-on-write face")
     SidecarGens(
       fam(dvRoot(tablePath)),
       fam(colMapRoot(tablePath)),
       fam(constraintsRoot(tablePath)),
-      fam(genColsRoot(tablePath)))
+      fam(genColsRoot(tablePath)),
+      eqPick)
   }
 
   /** The governing DV frame from an already-resolved [[SidecarGens]] —
@@ -2230,6 +2519,7 @@ object Snapshots {
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"deleteWhere: $tablePath has no committed versions"))
+    requireNotEqGoverned(spark, tablePath, observed, "deleteWhere")
     val gen = manifestFor(spark, tablePath, observed)
     require(gen.nonEmpty,
       s"deleteWhere: version $observed of $tablePath vanished between " +
@@ -2303,6 +2593,7 @@ object Snapshots {
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"updateWhere: $tablePath has no committed versions"))
+    requireNotEqGoverned(spark, tablePath, observed, "updateWhere")
     val gen = manifestFor(spark, tablePath, observed)
     require(gen.nonEmpty,
       s"updateWhere: version $observed of $tablePath vanished between " +
@@ -2383,6 +2674,107 @@ object Snapshots {
       cleanRows.map(_._1), fresh.map(_._1))
     publishDerived(spark, tablePath, version, cleanRows ++ fresh,
       schemaJson, ts, observed, "updateWhere")
+  }
+
+  /** REPLACE WHERE — Delta's `replaceWhere` / the predicate-scoped
+    * INSERT OVERWRITE, and [[replacePartitions]]' general-predicate
+    * sibling: ONE derived commit whose face is (old face WHERE NOT
+    * predicate) ∪ `df`. FILE-EXACT like every DML verb here: the
+    * stats/bloom-pruned discovery pass finds the files containing a
+    * matching row, only those rewrite (minus their matching rows),
+    * every clean file repoints verbatim, and the replacement batch
+    * lands as fresh files — so an idempotent daily reload scoped by
+    * its predicate converges however many times it lands. Every
+    * replacement row must itself satisfy the predicate (Delta's
+    * constraint — refused loudly BEFORE anything publishes, else a
+    * re-run would double rows outside the scope). Deletion vectors,
+    * constraints, generated columns and hive partitioning compose as
+    * in [[updateWhere]]; the SQL face is
+    * `INSERT INTO <t> REPLACE WHERE <pred> SELECT …` (q82). */
+  def commitReplaceWhere(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      ts: Option[Long] = None): Long = {
+    val observed = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitReplaceWhere: $tablePath has no committed versions"))
+    requireNotEqGoverned(spark, tablePath, observed, "commitReplaceWhere")
+    val gen = manifestFor(spark, tablePath, observed)
+    require(gen.nonEmpty,
+      s"commitReplaceWhere: version $observed of $tablePath vanished " +
+        "between the head resolution and its read — retry")
+    val fileRows = fileRowsOf(gen)
+    val partCol = dmlPartitionCol(fileRows, observed, tablePath,
+      "commitReplaceWhere")
+    val schemaJson = schemaJsonOf(gen).orNull
+    val stored = schemaJsonOf(gen).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    stored.foreach { st =>
+      require(df.columns.sorted.sameElements(st.fieldNames.sorted),
+        s"commitReplaceWhere: batch columns ${df.columns.sorted.mkString(",")} " +
+          s"must match the stored face ${st.fieldNames.sorted.mkString(",")}")
+    }
+    // Delta's replaceWhere contract: a replacement row OUTSIDE the
+    // predicate's scope would survive the next re-run's replace and
+    // double — refuse the whole statement before anything publishes
+    val offending = df.filter(!coalesce(predicate, lit(false)))
+      .limit(1).collect()
+    require(offending.isEmpty,
+      s"commitReplaceWhere: the batch carries rows NOT satisfying the " +
+        "REPLACE WHERE predicate — the reload would not be idempotent; " +
+        "widen the predicate or filter the batch")
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, observed))
+    val prior = dvSet(spark, tablePath, observed)
+    def liveWithMeta(rows: Seq[(String, String, Option[Long])]): DataFrame = {
+      val base = fromPhysical(readFileRows(spark,
+        rows.map(r => (r._1, r._2)),
+        stored.map(physicalSchema(_, l2p)), withMeta = true), l2p)
+      prior.fold(base)(applyDv(base, _))
+    }
+    // discovery: the predicate's file blast radius, sidecar-pruned
+    // before any data file opens
+    val dirtySet: Set[String] =
+      if (fileRows.isEmpty) Set.empty
+      else {
+        val discovery = bloomPrunedForDml(spark, tablePath, observed,
+          statsPrunedForDml(spark, tablePath, observed, fileRows,
+            predicate), predicate)
+        if (discovery.isEmpty) Set.empty
+        else liveWithMeta(discovery).filter(predicate)
+          .select(col(DvFileCol)).distinct()
+          .collect().map(r => normPath(r.getString(0))).toSet
+      }
+    val (dirtyRows, cleanRows) =
+      fileRows.partition(r => dirtySet.contains(normPath(r._1)))
+    val colOrder = stored.map(_.fieldNames.toSeq).getOrElse(
+      df.columns.toSeq)
+    val survivors =
+      if (dirtyRows.isEmpty) None
+      else Some(liveWithMeta(dirtyRows).drop(DvFileCol, DvPosCol)
+        .filter(!coalesce(predicate, lit(false)))
+        .select(colOrder.map(col): _*))
+    val replaced = survivors
+      .map(_.unionByName(df.select(colOrder.map(col): _*)))
+      .getOrElse(df.select(colOrder.map(col): _*))
+    val version = claimVersion(spark, tablePath, observed + 1L)
+    val prepared = prepareBatch(spark, tablePath, Some(observed), replaced)
+    val fresh = writeDmlFiles(spark, tablePath, observed, version,
+      prepared, partCol)
+    prior.foreach { p =>
+      val survivingFiles = p.select(col("file")).distinct().collect()
+        .map(_.getString(0))
+        .filter(f => !dirtySet.contains(normPath(f)))
+      writeDvSet(spark, tablePath, version,
+        if (survivingFiles.isEmpty) p.limit(0)
+        else p.filter(col("file").isin(survivingFiles.toIndexedSeq: _*)))
+    }
+    maintainIndexSidecars(spark, tablePath, observed, version,
+      cleanRows.map(_._1), fresh.map(_._1))
+    publishDerived(spark, tablePath, version, cleanRows ++ fresh,
+      schemaJson, ts, observed, "commitReplaceWhere")
   }
 
   /** The partition column a file-swapping DML commit must preserve:
@@ -2760,6 +3152,7 @@ object Snapshots {
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"mergeInto: $tablePath has no committed versions"))
+    requireNotEqGoverned(spark, tablePath, observed, "mergeInto")
     val gen = manifestFor(spark, tablePath, observed)
     require(gen.nonEmpty,
       s"mergeInto: version $observed of $tablePath vanished between " +
@@ -3579,6 +3972,83 @@ object Snapshots {
           Map.empty)
       }
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** RUNTIME FILTER into a snapshot scan — the dynamic-file-pruning
+    * leg Spark's DPP cannot give a manifest-planned union scan: for a
+    * selective dim⋈fact join, the DIM side's key domain prunes the
+    * FACT FILE SET through the fact's own sidecars BEFORE any data
+    * file opens. Two plan-time dim passes (the broadcast-side
+    * contract — the dim is small by assumption): (1) one aggregate
+    * for [min, max] + exact distinct count, admitted against the
+    * STATS sidecar's per-file intervals; (2) when the distinct count
+    * is within `maxPointKeys` and a BLOOM sidecar governs, the key
+    * set's hashes probe every file's sketch in ONE executor pass
+    * (sketch bytes never reach the driver) — scattered keys then
+    * prune what interval logic cannot. Returns the fact face over
+    * exactly the admitted files (DV-resolved); the caller applies the
+    * join — every surviving row still meets the join exactly, the
+    * filter only removes files that provably cannot match. Requires
+    * at least one governing sidecar (an unindexed fact has nothing to
+    * prune with — refused loudly rather than silently scanning
+    * everything). */
+  def scanJoinPruned(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCol: String,
+      dimKeys: DataFrame,
+      maxPointKeys: Int = 4096): DataFrame = {
+    requireNoColMap(spark, tablePath, "scanJoinPruned")
+    require(dimKeys.columns.length == 1,
+      s"scanJoinPruned: dimKeys must carry exactly the join key " +
+        s"column, got ${dimKeys.columns.mkString(", ")}")
+    val dimCol = dimKeys.columns.head
+    val (rows, stored) = generationOf(spark, tablePath, version)
+    def emptyFace = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      stored.getOrElse(readAsOf(spark, tablePath, version).schema))
+    val sd = describingSidecarDir(spark, tablePath, "_stats", version)
+    val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
+    require(sd.isDefined || bd.isDefined,
+      s"scanJoinPruned: version $version of $tablePath carries no " +
+        "stats or bloom sidecar — nothing answers file admission; " +
+        "commit via commitClustered/commitBloom (or join the plain " +
+        "readAsOf face)")
+    val bounds = dimKeys.agg(min(col(dimCol)).as("lo"),
+      max(col(dimCol)).as("hi"),
+      count_distinct(col(dimCol)).as("n")).collect().head
+    if (bounds.isNullAt(0)) return emptyFace // no dim keys at all
+    var admitted: Set[String] = rows.map(r => normPath(r._1)).toSet
+    sd.foreach { d =>
+      val hit = spark.read.parquet(d)
+        .filter(col(s"max_$keyCol") >= lit(bounds.get(0)) &&
+          col(s"min_$keyCol") <= lit(bounds.get(1)))
+        .select(col("file")).collect()
+        .map(r => normPath(r.getString(0))).toSet
+      admitted = admitted.intersect(hit)
+    }
+    if (bd.isDefined && bounds.getLong(2) <= maxPointKeys &&
+      admitted.nonEmpty) {
+      val hashes = dimKeys.select(xxhash64(col(dimCol))).distinct()
+        .collect().map(_.getLong(0))
+      val admits = udf { (bf: Array[Byte]) =>
+        val sk = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bf))
+        hashes.exists(sk.mightContainLong)
+      }
+      val hit = spark.read.parquet(bd.get)
+        .filter(admits(col("bf")))
+        .select(col("file")).collect()
+        .map(r => normPath(r.getString(0))).toSet
+      admitted = admitted.intersect(hit)
+    }
+    val files = rows.filter(r => admitted.contains(normPath(r._1)))
+    if (files.isEmpty) emptyFace
+    else {
+      val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
+      readWithDv(spark, files, stored, dv, Map.empty)
+    }
   }
 
   /** [[commit]] plus a per-file BLOOM sidecar on `keyCol` — the

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Sta
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{Filter => SourceFilter, InsertableRelation}
@@ -806,8 +806,11 @@ private[v2] object GraftSnapshotTable {
     val options: Map[String, String] =
       if (parted.isEmpty || multiRoot) Map.empty
       else Map("basePath" -> partRoots.head)
+    // equality-delete tombstones (merge-on-read) — same
+    // enforce-at-scan-build shape as the DV guard
+    val eqGoverned = Snapshots.eqGovernedAt(spark, root, version)
     new GraftSnapshotTable(tableName, root, version, dvGoverned,
-      colMapped, multiRoot,
+      colMapped, multiRoot, eqGoverned,
       ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(options.asJava),
         files.toIndexedSeq, stored, classOf[ParquetFileFormat]))
@@ -835,6 +838,7 @@ private[graft] class GraftSnapshotTable(
     dvGoverned: Boolean,
     colMapped: Boolean,
     multiRoot: Boolean,
+    eqGoverned: Boolean,
     delegate: ParquetTable) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable {
 
@@ -859,9 +863,11 @@ private[graft] class GraftSnapshotTable(
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    if (!dvGoverned && !colMapped && !multiRoot) delegate.newScanBuilder(o)
+    if (!dvGoverned && !colMapped && !multiRoot && !eqGoverned)
+      delegate.newScanBuilder(o)
     else new ScanBuilder {
       // DML/DDL planning (DELETE FROM's optimizer pass, ALTER TABLE's
       // loadTable) builds scans it never executes — so a DV-governed
@@ -880,6 +886,11 @@ private[graft] class GraftSnapshotTable(
             s"$tableName VERSION AS OF $version is governed by a " +
               "column rename/drop mapping — the SQL scan cannot " +
               "translate physical names; read through Snapshots.readAsOf"
+          else if (eqGoverned)
+            s"$tableName VERSION AS OF $version is governed by " +
+              "equality-delete tombstones (merge-on-read) — the SQL " +
+              "scan would resurrect deleted keys; read through " +
+              "Snapshots.readMorAsOf, or foldEqDeletes to materialize"
           else
             s"$tableName VERSION AS OF $version mixes partition roots " +
               "or layouts — the SQL scan cannot reconstruct its " +
@@ -908,38 +919,64 @@ private[graft] class GraftSnapshotTable(
 
 /** `INSERT INTO` → append commit; `INSERT OVERWRITE` (Spark plans it
   * as truncate + insert on a table with no overwrite-by-filter) →
-  * replace commit. The commit itself claims the version, reconciles
+  * replace commit; `INSERT INTO … REPLACE WHERE <pred>` (the scoped
+  * overwrite — Delta's replaceWhere spelling) →
+  * [[Snapshots.commitReplaceWhere]], one file-exact derived commit.
+  * The commit itself claims the version, reconciles
   * racers, and enforces the table's governing constraints/generated
   * columns ([[Snapshots.commit]]'s contract); SQL inserts carry no
   * logical commit stamp, so a table whose timeline is addressed by
   * TIMESTAMP AS OF should ingest through the stamped function verbs.
-  * A hive-partitioned head refuses: a flat SQL append would mix
-  * layouts under the single-basePath SQL read — route to
-  * [[Snapshots.commitPartitioned]]. */
+  * A hive-partitioned head refuses a plain INSERT INTO: a flat SQL
+  * append would mix layouts under the single-basePath SQL read —
+  * route to [[Snapshots.commitPartitioned]]. */
 private[v2] class GraftWriteBuilder(
     tableName: String,
     root: String,
-    overwrite: Boolean) extends WriteBuilder with SupportsTruncate {
+    overwrite: Boolean,
+    replaceWhere: Option[org.apache.spark.sql.Column] = None)
+  extends WriteBuilder with SupportsOverwrite {
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(tableName, root, overwrite = true)
+
+  override def overwrite(filters: Array[SourceFilter]): WriteBuilder =
+    if (filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncate()
+    else {
+      val preds = filters.map(f =>
+        GraftSnapshotTable.filterToColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"INSERT … REPLACE WHERE on $tableName: predicate $f is " +
+              "not translatable to the snapshot replace — use " +
+              "Snapshots.commitReplaceWhere with an expression")))
+      new GraftWriteBuilder(tableName, root, overwrite = false,
+        Some(preds.reduce(_ && _)))
+    }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: Dataset[Row], ignored: Boolean): Unit = {
           val s = data.sparkSession
-          if (!overwrite)
-            Snapshots.latestVersion(s, root).foreach { head =>
-              val (rows, _) = Snapshots.generationFiles(s, root, head)
-              require(rows.forall(_._2 == null),
-                s"INSERT INTO $tableName: the head generation is " +
-                  "hive-partitioned — a flat SQL append would mix " +
-                  "layouts under the SQL scan's single basePath; " +
-                  "ingest through Snapshots.commitPartitioned (or " +
-                  "INSERT OVERWRITE to replace the layout)")
-            }
-          Snapshots.commit(s, data.toDF(), root, append = !overwrite)
+          replaceWhere match {
+            case Some(pred) =>
+              Snapshots.commitReplaceWhere(s, root, data.toDF(), pred)
+            case None =>
+              if (!overwrite)
+                Snapshots.latestVersion(s, root).foreach { head =>
+                  val (rows, _) = Snapshots.generationFiles(s, root, head)
+                  require(rows.forall(_._2 == null),
+                    s"INSERT INTO $tableName: the head generation is " +
+                      "hive-partitioned — a flat SQL append would mix " +
+                      "layouts under the SQL scan's single basePath; " +
+                      "ingest through Snapshots.commitPartitioned (or " +
+                      "INSERT OVERWRITE to replace the layout)")
+                }
+              Snapshots.commit(s, data.toDF(), root, append = !overwrite)
+          }
+          ()
         }
       }
   }

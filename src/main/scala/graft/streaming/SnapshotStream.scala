@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.Snapshots
+import graft.operators.{Changes, Snapshots}
 
 /** Streaming ingest into a [[graft.operators.Snapshots]] table with
   * EXACTLY-ONCE commits — the `writeStream → lakehouse table` leg that
@@ -171,6 +171,74 @@ object SnapshotStream {
         appendBatchExactlyOnce(batch.sparkSession, tablePath, id, batch)
         maintainIfDue(batch.sparkSession, tablePath, id, maintainEvery,
           targetBytes, retainVersions)
+        ()
+      }
+      .start()
+
+  /** ONE CDC micro-batch applied MERGE-ON-READ
+    * ([[Snapshots.commitEqUpsert]]): the batch compacts to its latest
+    * change per key, winners resolve TS-AWARE against the current
+    * merge-on-read face — a change replaces a key's row only when its
+    * (ts, tie) order beats it, so arrival order never matters and an
+    * unordered feed still converges to global latest-wins — and the
+    * sync commits as ONE equality-delete generation: keyed tombstones
+    * plus the winners' fresh files, O(batch) metadata, ZERO existing
+    * data files rewritten whatever the table size. DELETES RIDE AS
+    * SOFT ROWS (`opCol` preserved in the face, readers filter): a
+    * tombstone alone would forget the delete's event time and let an
+    * older late change resurrect the key. The resolution read is the
+    * merge-on-read scan itself; [[Snapshots.foldEqDeletes]] bounds its
+    * tombstone volume on the maintenance cadence. Exactly-once via
+    * the same manifest `commit_ts` stamp as the append sink. Returns
+    * the minted version, None on a replayed batch. */
+  def upsertBatchMor(
+      spark: SparkSession,
+      tablePath: String,
+      batchId: Long,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCols: Seq[String] = Nil,
+      opCol: String = "op"): Option[Long] = {
+    val seen = Snapshots.manifestMeta(spark, tablePath)
+      .exists(r => !r.isNullAt(1) && r.getLong(1) == batchId)
+    if (seen) return None
+    val head = Snapshots.latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"upsertBatchMor: $tablePath has no committed base face"))
+    val latest = Changes.latestByKey(changes, keyCols, tsCol, tieCols)
+    val ordCols = (tsCol +: tieCols).map(col)
+    val cur = Snapshots.readMorAsOf(spark, tablePath, head, keyCols)
+      .select((keyCols.map(col) :+
+        struct(ordCols: _*).as("__cur_ord")).toIndexedSeq: _*)
+    val won = latest.join(cur, keyCols, "left")
+      .filter(col("__cur_ord").isNull ||
+        struct(ordCols: _*) > col("__cur_ord"))
+      .drop("__cur_ord")
+    Some(Snapshots.commitEqUpsert(spark, tablePath,
+      upserts = won,
+      tombstones = won.select(keyCols.map(col).toIndexedSeq: _*),
+      keyCols = keyCols, ts = Some(batchId)))
+  }
+
+  /** Run a CDC change stream into the snapshot table merge-on-read:
+    * one equality-delete generation per micro-batch via
+    * [[upsertBatchMor]] — the Flink→Iceberg upsert-sink shape. The
+    * table face is [[Snapshots.readMorAsOf]] filtered on `opCol`
+    * (soft deletes); fold on the maintenance cadence. */
+  def upsertMor(
+      changes: DataFrame,
+      tablePath: String,
+      queryName: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCols: Seq[String] = Nil,
+      opCol: String = "op"): StreamingQuery =
+    changes.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertBatchMor(batch.sparkSession, tablePath, id, batch,
+          keyCols, tsCol, tieCols, opCol)
         ()
       }
       .start()

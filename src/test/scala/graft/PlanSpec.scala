@@ -402,4 +402,68 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("decimal(19,0)"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("scanJoinPruned: a selective dim side prunes the fact FILE SET " +
+    "through the stats and bloom sidecars (runtime filter) with the " +
+    "join answer unchanged; an unindexed fact refuses") {
+    import org.apache.spark.sql.SparkSession
+    import graft.operators.Snapshots
+    val s: SparkSession = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("plan_rtf_").toString
+
+    // STATS leg: key-clustered fact, dim keys in a narrow range
+    val statsTbl = s"$base/stats_fact"
+    Snapshots.init(spark, statsTbl)
+    Snapshots.commitClustered(spark,
+      (1L to 1000L).map(k => (k, k * 3L)).toDF("k", "v"),
+      statsTbl, "k", numFiles = 10, append = false)
+    val sv = Snapshots.latestVersion(spark, statsTbl).get
+    val dimRange = (150L to 180L).toDF("k")
+    val prunedS = Snapshots.scanJoinPruned(spark, statsTbl, sv, "k",
+      dimRange)
+    val allFiles =
+      Snapshots.readAsOf(spark, statsTbl, sv).inputFiles.length
+    assert(prunedS.inputFiles.length < allFiles &&
+      prunedS.inputFiles.length >= 1,
+      s"stats leg admitted ${prunedS.inputFiles.length} of $allFiles")
+    val got = prunedS.join(dimRange, Seq("k")).agg(sum($"v")).head.getLong(0)
+    assert(got == (150L to 180L).map(_ * 3).sum,
+      "pruning must never change the join answer")
+
+    // BLOOM leg: unclustered high-card key — interval logic admits
+    // everything, the dim key set's bloom probe prunes
+    val bloomTbl = s"$base/bloom_fact"
+    Snapshots.init(spark, bloomTbl)
+    // shuffled so each file spans the whole key domain
+    Snapshots.commitBloom(spark,
+      (1L to 2000L).map(k => (k, k * 7L)).toDF("k", "v")
+        .repartition(8, $"k"),
+      bloomTbl, "k", append = false, expectedPerFile = 300L)
+    val bv = Snapshots.latestVersion(spark, bloomTbl).get
+    val dimPoints = Seq(13L, 77L).toDF("k")
+    val prunedB = Snapshots.scanJoinPruned(spark, bloomTbl, bv, "k",
+      dimPoints)
+    val allB = Snapshots.readAsOf(spark, bloomTbl, bv).inputFiles.length
+    assert(prunedB.inputFiles.length < allB,
+      s"bloom leg admitted ${prunedB.inputFiles.length} of $allB — " +
+        "the scattered key set must prune what intervals cannot")
+    val gotB = prunedB.join(dimPoints, Seq("k")).agg(sum($"v"))
+      .head.getLong(0)
+    assert(gotB == (13L + 77L) * 7L)
+    // an EMPTY dim side is an empty face, zero files opened
+    assert(Snapshots.scanJoinPruned(spark, bloomTbl, bv, "k",
+      Seq.empty[Long].toDF("k")).count() == 0L)
+
+    // no sidecar at all → loud refusal, never a silent full scan
+    val plainTbl = s"$base/plain_fact"
+    Snapshots.init(spark, plainTbl)
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("k", "v"),
+      plainTbl, append = false)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.scanJoinPruned(spark, plainTbl, 0L, "k", dimPoints)
+    }
+    assert(e.getMessage.contains("stats or bloom"), e.getMessage)
+  }
 }

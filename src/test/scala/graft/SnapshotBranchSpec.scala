@@ -239,6 +239,38 @@ class SnapshotBranchSpec extends SparkSuite {
       "the compacted branch face keeps the staged delete")
   }
 
+  test("fleet maintenance BOUNDS branch histories under the table's " +
+    "retention: after the sweep the branch carries ≤ retain_versions " +
+    "generations with its face intact, while main's history is " +
+    "untouched — the budget that keeps an unswept staging branch " +
+    "from accumulating generations forever") {
+    val root = Files.createTempDirectory("graft_brret_").toString
+    val tbl = s"$root/storage/r"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark, Seq((0L, "m")).toDF("id", "v"),
+      tbl, append = false)
+    Catalog.register(spark, root, "r", tbl,
+      Map("retain_versions" -> "3"))
+    Snapshots.createBranch(spark, tbl, "stage")
+    val bRoot = Snapshots.branchPath(tbl, "stage")
+    (1L to 8L).foreach(i => Snapshots.commit(spark,
+      Seq((i, s"b$i")).toDF("id", "v"), bRoot, append = true))
+    assert(Snapshots.listGenerations(spark, bRoot).length == 9)
+    val did = Catalog.maintain(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(did.contains(("r@stage", "vacuum")),
+      s"the sweep must expire the branch's history, got $did")
+    val gens = Snapshots.listGenerations(spark, bRoot)
+    assert(gens.length <= 3,
+      s"branch history must be bounded by retain_versions=3, got " +
+        s"${gens.length} generations")
+    assert(Snapshots.readBranch(spark, tbl, "stage")
+      .select("id").as[Long].collect().sorted.toSeq == (0L to 8L),
+      "retention expires history, never the branch's face")
+    assert(Snapshots.listGenerations(spark, tbl) == Seq(0L),
+      "main's own history is not the branch's to expire")
+  }
+
   test("main's vacuum and removeOrphans SPARE files a live branch " +
     "still references; dropping the branch releases them to the next " +
     "sweep") {

@@ -572,6 +572,53 @@ class SnapshotsDmlSpec extends SparkSuite {
       s"both assignments must fire against the pre-update row, got $row3")
   }
 
+  test("commitReplaceWhere: one derived generation, file-exact blast " +
+    "radius, survivors outside the predicate carry, out-of-scope " +
+    "batch rows refuse whole, partitioned layout preserved") {
+    val tbl = freshTable()
+    val v0 = seed(tbl) // ids 1..12 over 4 files of 3
+    // replace ids 4..6 (file 2) with two corrected rows
+    val batch = Seq((4L, "four", 400L), (5L, "five", 500L))
+      .toDF("id", "v", "amt")
+    val v1 = Snapshots.commitReplaceWhere(spark, tbl,
+      batch, col("id").between(4L, 6L))
+    assert(v1 == v0 + 1)
+    val (f0, f1) = (filesOf(tbl, v0), filesOf(tbl, v1))
+    assert((f0 -- f1).size == 1 && (f0 intersect f1).size == 3,
+      "exactly the matching file rewrites; clean files repoint")
+    val now = Snapshots.readAsOf(spark, tbl, v1)
+      .select("id", "amt").as[(Long, Long)].collect().toMap
+    assert(now == ((1L to 12L).filterNot(i => i >= 4 && i <= 6)
+      .map(i => i -> i * 10L) ++ Seq(4L -> 400L, 5L -> 500L)).toMap,
+      s"face wrong: $now")
+    // an out-of-scope batch row refuses BEFORE anything publishes
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitReplaceWhere(spark, tbl,
+        Seq((7L, "seven", 700L)).toDF("id", "v", "amt"),
+        col("id") === 4L)
+    }
+    assert(e.getMessage.contains("idempotent"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, tbl).contains(v1))
+    // hive-partitioned: the untouched partitions repoint verbatim and
+    // the layout survives (fragments re-derive from the data)
+    val ptbl = freshTable()
+    Snapshots.commitPartitioned(spark,
+      (1L to 12L).map(i => (i, s"d${i % 3}")).toDF("id", "day"),
+      ptbl, "day", append = false)
+    val pv0 = Snapshots.latestVersion(spark, ptbl).get
+    val pv1 = Snapshots.commitReplaceWhere(spark, ptbl,
+      Seq((100L, "d1"), (101L, "d1")).toDF("id", "day"),
+      col("day") === "d1")
+    val p0 = filesOf(ptbl, pv0); val p1 = filesOf(ptbl, pv1)
+    assert((p0 intersect p1).nonEmpty && (p0 -- p1).nonEmpty,
+      "only d1's files may rewrite")
+    assert(Snapshots.scanPartitionAsOf(spark, ptbl, pv1, "day", "d1")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(100L, 101L),
+      "the replaced partition serves the batch; pruning survives")
+    assert(Snapshots.scanPartitionAsOf(spark, ptbl, pv1, "day", "d0")
+      .count() == 4L, "untouched partitions carry")
+  }
+
   test("mergeInto with ONLY by-source clauses never duplicates a " +
     "matched target row the source matches more than once (the " +
     "rewrite join's fan-out collapses on row identity)") {
