@@ -2991,9 +2991,14 @@ object SparkEntry {
       // LSH candidate pairs play yesterday's graph (CC → labels), the
       // rest arrive as today's delta, and the star-collapsed
       // incremental fold must reproduce the full recompute exactly —
-      // dedup_clusters' oracle verbatim.
-      val edges = Dedup.minhashCandidates(par(s)(t(s, dir, "documents")),
-        k = 8, bands = 4)
+      // dedup_clusters' oracle verbatim. The candidate frame is
+      // MATERIALIZED once: its two filter consumers (base, delta) sit
+      // under different filter nodes, so ReuseExchange cannot unify
+      // the expensive LSH self-join below them and an unshared plan
+      // runs the minhash banding twice — the pair set itself is tiny.
+      val edges = graft.functions.Materialize(
+        Dedup.minhashCandidates(par(s)(t(s, dir, "documents")),
+          k = 8, bands = 4))
       val isDelta = (col("doc_a") + col("doc_b")) % 4 === 0
       val baseLabels = Dedup.connectedComponents(edges.filter(!isDelta))
       Dedup.incrementalComponents(baseLabels, edges.filter(isDelta))
