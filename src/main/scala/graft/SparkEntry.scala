@@ -5153,13 +5153,13 @@ object SparkEntry {
         keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
         .withColumn("op", lit("u"))
       Snapshots.commit(s, base, tbl, append = false)
-      // the change feed stages as 4 files → 4 micro-batches, split
+      // the change feed stages as 3 files → 3 micro-batches, split
       // WITHOUT regard to event time (arrival order must not matter)
       val staging = s"$artifactRoot/snap_cdc_mor_feed"
       ev.filter(col("event_id") % 2 === 1)
         .withColumn("op",
           when(col("event_id") % 17 === 0, lit("d")).otherwise(lit("u")))
-        .repartition(4)
+        .repartition(3)
         .write.mode("overwrite").parquet(staging)
       val schema = s.read.parquet(staging).schema
       val feed = s.readStream.schema(schema)
@@ -5168,8 +5168,8 @@ object SparkEntry {
         keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
       q.processAllAvailable(); q.stop()
       val head = Snapshots.latestVersion(s, tbl).get
-      require(head >= 4L,
-        s"the 4-file feed must commit one MOR generation per " +
+      require(head >= 3L,
+        s"the 3-file feed must commit one MOR generation per " +
           s"micro-batch, head is v$head")
       // ZERO-REWRITE pin: every sync's generation carries every file
       // of its parent verbatim (tombstones + fresh files only)

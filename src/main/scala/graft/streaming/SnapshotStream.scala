@@ -211,10 +211,14 @@ object SnapshotStream {
     val cur = Snapshots.readMorAsOf(spark, tablePath, head, keyCols)
       .select((keyCols.map(col) :+
         struct(ordCols: _*).as("__cur_ord")).toIndexedSeq: _*)
-    val won = latest.join(cur, keyCols, "left")
-      .filter(col("__cur_ord").isNull ||
-        struct(ordCols: _*) > col("__cur_ord"))
-      .drop("__cur_ord")
+    // materialized ONCE: the winner frame feeds TWO consumers (the
+    // upsert write and the tombstone sidecar), and its lineage is the
+    // face-scan join — the sync's dominant cost
+    val won = graft.functions.Materialize(
+      latest.join(cur, keyCols, "left")
+        .filter(col("__cur_ord").isNull ||
+          struct(ordCols: _*) > col("__cur_ord"))
+        .drop("__cur_ord"))
     Some(Snapshots.commitEqUpsert(spark, tablePath,
       upserts = won,
       tombstones = won.select(keyCols.map(col).toIndexedSeq: _*),

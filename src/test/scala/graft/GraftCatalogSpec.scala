@@ -425,6 +425,26 @@ class GraftCatalogSpec extends SparkSuite {
     assert(positioned.getMessage.contains("at the end"))
   }
 
+  test("SHOW TABLES lists the registered names and DESCRIBE TABLE " +
+    "serves the stored schema — the first statements a SQL user types") {
+    val (cat, root) = freshCatalog()
+    Seq("alpha", "beta").foreach { n =>
+      val tbl = s"$root/storage/$n"
+      Snapshots.init(spark, tbl)
+      Snapshots.commit(spark,
+        Seq((1L, "x")).toDF("id", "v"), tbl, append = false)
+      Catalog.register(spark, root, n, tbl)
+    }
+    val shown = spark.sql(s"SHOW TABLES IN $cat")
+      .select("tableName").as[String].collect().toSet
+    assert(shown == Set("alpha", "beta"), s"got $shown")
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.alpha")
+      .select("col_name", "data_type").as[(String, String)]
+      .collect().toMap
+    assert(desc.get("id").contains("bigint") &&
+      desc.get("v").contains("string"), s"got $desc")
+  }
+
   test("ALTER TABLE with several changes is ATOMIC: a later invalid " +
     "change refuses the whole statement before any generation mints") {
     val (cat, root) = freshCatalog()
