@@ -1999,6 +1999,32 @@ object Snapshots {
     org.apache.spark.sql.types.StructField("file",
       org.apache.spark.sql.types.StringType)))
 
+  /** The eq-delete sidecar dirs at or below `version` whose version is
+    * a LIVE generation — the only dirs that GOVERN. Tombstones commit
+    * WITH their generation: a crashed commitEqUpsert (version claimed,
+    * sidecar written, publish never landed) leaves a dir no manifest
+    * references, and honoring its tombstones would apply a batch that
+    * never happened (the replay re-commits under a fresh version,
+    * possibly with different winners). Stale dirs are crash debris —
+    * ignored here, swept by [[removeOrphans]]. One family listing +
+    * one generation listing, both metadata-scale. */
+  private def liveEqDirs(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[(Long, String)] = {
+    val f = fs(spark, tablePath)
+    if (!f.exists(new Path(eqRoot(tablePath)))) Seq.empty
+    else {
+      val fam = sidecarFamilyListed(f, eqRoot(tablePath))
+        .filter(_._1 <= version)
+      if (fam.isEmpty) Seq.empty
+      else {
+        val live = listGenerations(spark, tablePath).toSet
+        fam.filter(d => live.contains(d._1))
+      }
+    }
+  }
+
   /** Is `version`'s face governed by equality-delete tombstones — or
     * inside a fold-expired window? The SQL catalog's scan guard: a
     * plain parquet scan of either would resurrect deleted keys. */
@@ -2008,7 +2034,7 @@ object Snapshots {
       version: Long): Boolean = {
     val f = fs(spark, tablePath)
     f.exists(new Path(eqRoot(tablePath))) && (
-      sidecarResolve(spark, eqRoot(tablePath), version).isDefined ||
+      liveEqDirs(spark, tablePath, version).nonEmpty ||
         readEqFoldMarker(f, tablePath).exists { case (minEq, foldV) =>
           version >= minEq && version < foldV })
   }
@@ -2021,7 +2047,7 @@ object Snapshots {
       tablePath: String,
       version: Long,
       verb: String): Unit =
-    require(sidecarResolve(spark, eqRoot(tablePath), version).isEmpty,
+    require(liveEqDirs(spark, tablePath, version).isEmpty,
       s"$verb: version $version of $tablePath is governed by " +
         "equality-delete tombstones — foldEqDeletes materializes the " +
         "merge-on-read face before copy-on-write verbs apply")
@@ -2119,10 +2145,7 @@ object Snapshots {
       s"readMorAsOf: $tablePath carries DV/column-mapping/generated-" +
         "column governance — the MOR lineage composes with plain " +
         "append faces only")
-    val f = fs(spark, tablePath)
-    val eqDirs =
-      if (!f.exists(new Path(eqRoot(tablePath)))) Seq.empty
-      else sidecarFamilyListed(f, eqRoot(tablePath)).filter(_._1 <= version)
+    val eqDirs = liveEqDirs(spark, tablePath, version)
     if (eqDirs.isEmpty)
       return readWithDv(spark, rows, stored, None, Map.empty)
     val eqVs = eqDirs.map(_._1).toSet
@@ -2175,6 +2198,9 @@ object Snapshots {
     * (those faces' tombstones are gone; a raw answer would resurrect
     * deletes), while pre-MOR history below and the folded face above
     * keep serving. */
+  private def eqFoldIntent(tablePath: String): Path =
+    new Path(s"${eqRoot(tablePath)}/folding")
+
   def foldEqDeletes(
       spark: SparkSession,
       tablePath: String,
@@ -2188,10 +2214,39 @@ object Snapshots {
       else sidecarFamilyListed(f, eqRoot(tablePath))
     require(eqAll.nonEmpty,
       s"foldEqDeletes: $tablePath carries no equality-delete sidecars")
-    val face = readMorAsOf(spark, tablePath, head, keyCols)
-    val v = commit(spark, face, tablePath, append = false,
-      derivedFrom = Some(head), verb = "foldEqDeletes")
-    // marker FIRST: a crash between marker and dir deletion leaves
+    // TWO-PHASE against the crash between the replace commit and the
+    // marker/cleanup: the intent records which head the fold derived
+    // from, so a re-run whose head is the crashed fold's OWN replace
+    // commit (parent == intent, not an eq generation) just FINISHES —
+    // re-deriving from it would refuse on its own mid-lineage commit
+    val intentFrom: Option[Long] = {
+      val p = eqFoldIntent(tablePath)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLongOption
+        } finally in.close()
+      }
+    }
+    val eqVs = eqAll.map(_._1).toSet
+    val crashedFoldLanded = intentFrom.exists { from =>
+      head > from && !eqVs.contains(head) &&
+        parentOf(manifestFor(spark, tablePath, head)).contains(from)
+    }
+    val v =
+      if (crashedFoldLanded) head
+      else {
+        val out0 = f.create(eqFoldIntent(tablePath), true)
+        try out0.write(head.toString.getBytes("UTF-8"))
+        finally out0.close()
+        val face = readMorAsOf(spark, tablePath, head, keyCols)
+        commit(spark, face, tablePath, append = false,
+          derivedFrom = Some(head), verb = "foldEqDeletes")
+      }
+    // marker BEFORE dir deletion: a crash in between leaves
     // over-refusal (safe), never a raw answer for a governed version
     val minEq = readEqFoldMarker(f, tablePath).map(_._1)
       .fold(eqAll.map(_._1).min)(m => math.min(m, eqAll.map(_._1).min))
@@ -2199,6 +2254,7 @@ object Snapshots {
     try out.write(s"$minEq $v".getBytes("UTF-8"))
     finally out.close()
     eqAll.foreach { case (_, dir) => f.delete(new Path(dir), true) }
+    f.delete(eqFoldIntent(tablePath), false)
     v
   }
 
@@ -2282,7 +2338,9 @@ object Snapshots {
               s"at v$foldV — no face exists below the fold; read " +
               s"v$foldV or later, or a pre-MOR version below v$minEq")
         }
-        pickAtOrBelow(sidecarFamilyListed(f, eqRoot(tablePath)), version)
+        // LIVE dirs only: a crashed upsert's unpublished sidecar is
+        // debris, not governance (removeOrphans sweeps it)
+        liveEqDirs(spark, tablePath, version).lastOption
       }
     require(allowEq || eqPick.isEmpty,
       s"version $version of $tablePath is governed by equality-delete " +
@@ -4668,7 +4726,20 @@ object Snapshots {
         s.getModificationTime <= cutoff
     }
     orphans.foreach(s => f.delete(s.getPath, false))
-    orphans.length.toLong
+    // a crashed commitEqUpsert's sidecar dir (version claimed, publish
+    // never landed) is orphan metadata too: it never governs (the live
+    // filter ignores it) but it accumulates — same safety window
+    val staleEq =
+      if (!f.exists(new Path(eqRoot(tablePath)))) Seq.empty
+      else {
+        val live = listGenerations(spark, tablePath).toSet
+        sidecarFamilyListed(f, eqRoot(tablePath))
+          .filterNot(d => live.contains(d._1))
+          .map(d => new Path(d._2))
+          .filter(p => f.getFileStatus(p).getModificationTime <= cutoff)
+      }
+    staleEq.foreach(p => f.delete(p, true))
+    (orphans.length + staleEq.length).toLong
   }
 
   /** [[optimize]] for a HIVE-PARTITIONED snapshot table, preserving

@@ -169,6 +169,58 @@ class SnapshotMorSpec extends SparkSuite {
     assert(e.getMessage.contains("mid-MOR-lineage"), e.getMessage)
   }
 
+  test("crash model: a crashed upsert's unpublished sidecar NEVER " +
+    "governs (tombstones of a batch that never happened), reads stay " +
+    "plain, removeOrphans sweeps the debris; a fold that crashed " +
+    "between its replace commit and cleanup FINISHES on re-run") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, append = false)
+    // simulate the crashed commitEqUpsert: version 1 claimed (marker),
+    // sidecar written, publish never landed
+    val f = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$tbl/_commits"))
+    f.create(new org.apache.hadoop.fs.Path(s"$tbl/_commits/v1"), false)
+      .close()
+    Seq(1L).toDF("id").write.parquet(s"$tbl/_eq/v1/keys")
+    spark.createDataFrame(Seq.empty[Tuple1[String]]).toDF("file")
+      .write.parquet(s"$tbl/_eq/v1/fresh")
+    // the replayed batch re-commits under the NEXT version
+    val v2 = Snapshots.commitEqUpsert(spark, tbl,
+      upserts = Seq((3L, "c")).toDF("id", "v"),
+      tombstones = Seq(3L).toDF("id"), keyCols = Seq("id"))
+    assert(v2 == 2L)
+    val face = Snapshots.readMorAsOf(spark, tbl, v2, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(face == Seq(1L, 2L, 3L),
+      s"the crashed batch's tombstone (id=1) must NOT apply: $face")
+    // ...and the debris sweeps (the live v2 sidecar survives)
+    assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 0L) >= 1L)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$tbl/_eq/v1")))
+    assert(Snapshots.readMorAsOf(spark, tbl, v2, Seq("id"))
+      .count() == 3L, "the live sidecar must survive the sweep")
+
+    // crashed FOLD: intent written, the replace commit landed, cleanup
+    // never ran — the poisoned state where re-deriving would refuse on
+    // the fold's own mid-lineage commit
+    val head = Snapshots.latestVersion(spark, tbl).get
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$tbl/_eq/folding"), true)
+    out.write(head.toString.getBytes("UTF-8")); out.close()
+    Snapshots.commit(spark,
+      Snapshots.readMorAsOf(spark, tbl, head, Seq("id")),
+      tbl, append = false, derivedFrom = Some(head))
+    intercept[IllegalArgumentException] {
+      Snapshots.readMorAsOf(spark, tbl, head + 1, Seq("id")).count()
+    }
+    val folded = Snapshots.foldEqDeletes(spark, tbl, Seq("id"))
+    assert(folded == head + 1,
+      "the re-run must FINISH the crashed fold, not mint a new face")
+    assert(Snapshots.readAsOf(spark, tbl, folded)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("upsertBatchMor resolves ts-aware against the current face: an " +
     "OLDER change arriving in a later batch never overwrites, a newer " +
     "delete sticks against late upserts, replays skip exactly-once") {
