@@ -760,6 +760,7 @@ object Snapshots {
     var claimed = version
     var published = -1L
     var parentUsed: Option[Long] = None
+    var parentOfParent: Option[Long] = None
     var laps = 0
     while (laps < 16) {
       laps += 1
@@ -770,12 +771,29 @@ object Snapshots {
         else {
           val shadowed = versions.exists(v =>
             v > parentUsed.getOrElse(-1L) && v < published)
-          if (!shadowed && head.exists { h =>
+          // the PARENT we rebased on may itself have been shadowed by a
+          // racer whose lower-claimed generation renamed in after our
+          // rebase read — its publisher will retract it, and our
+          // generation would carry a file set missing the shadow's
+          // settled rows. Settling anyway is exactly how a committed
+          // row gets lost; withdraw and rebase onto the post-retraction
+          // head instead.
+          // (a PARENTLESS rebase parent — first commit or blind
+          // replace — cannot be shadowed: blind is last-writer-wins
+          // by contract, so lower generations are superseded, not
+          // shadows)
+          val parentShadowed = parentUsed.exists(p =>
+            versions.contains(p) && parentOfParent.exists(pp =>
+              versions.exists(v => v > pp && v < p)))
+          if (!shadowed && !parentShadowed && head.exists { h =>
             h == published ||
               inLineage(manifestChain(spark, tablePath), published, h) ||
               freshFiles.subsetOf(
                 manifestFor(spark, tablePath, h).map(_.getString(1)).toSet)
-          }) return published
+          }) {
+            maybeCheckpointManifest(spark, tablePath, published)
+            return published
+          }
           // shadowed, or superseded without our rows: withdraw and
           // rebase next lap (the retracted number stays burned; the
           // next lap's listing sees the retraction)
@@ -801,19 +819,36 @@ object Snapshots {
           claimed = claimVersion(spark, tablePath, head.get + 1L)
         val headRows = head.map(h => manifestFor(spark, tablePath, h))
           .getOrElse(Array.empty[Row])
+        val headParent = parentOf(headRows)
         if (head.isDefined && headRows.isEmpty) {
           // the listed head was retracted between the listing and its
           // read — rebasing on it would publish only the fresh files,
           // silently truncating the table; take a fresh lap instead
+          Thread.sleep(20L)
+        } else if (head.isDefined && headParent.exists(p =>
+          versions.exists(v => v > p && v < head.get))) {
+          // the listed head is VISIBLY SHADOWED — a lower-claimed
+          // racer's generation sits between it and its recorded
+          // parent, so its publisher is about to retract it. Rebasing
+          // on it would inherit a file set missing the shadow's rows
+          // (the lost-append hole); lap until the retraction lands.
+          Thread.sleep(20L)
         } else {
           parentUsed = head
+          parentOfParent = headParent
           val schema = schemaJsonOf(headRows)
             .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
             .map(ps => mergeSchemas(ps, nullableTop(freshSchema)))
             .getOrElse(nullableTop(freshSchema))
+          // a relap after someone built on our retracted generation
+          // could find our fresh paths already in the head — filter
+          // them so a manifest row never duplicates (belt-and-braces;
+          // the rebase guard above prevents the cause)
           published = publishRows(spark, tablePath, claimed,
-            fileRowsOf(headRows) ++ fresh, schema.json, ts, head)
+            fileRowsOf(headRows).filterNot(r =>
+              freshFiles.contains(r._1)) ++ fresh,
+            schema.json, ts, head)
         }
       }
     }
@@ -849,6 +884,22 @@ object Snapshots {
           s"$tablePath, but the published head is now " +
           s"${pre.fold("<empty>")(_.toString)} — re-read and retry")
     }
+    // content computed from a SHADOWED head bakes its doomed file set
+    // (missing the shadow's settled rows) into the replace — the same
+    // lost-append hole the rebase guard closes; checked against the
+    // recorded parent both before and after the publish rename
+    val dfParent = parentOf(manifestFor(spark, tablePath, derivedFrom))
+    def derivedFromShadowed(versions: Seq[Long]): Option[Long] =
+      if (!versions.contains(derivedFrom)) None
+      else dfParent.flatMap(p =>
+        versions.find(v => v > p && v < derivedFrom))
+    derivedFromShadowed(listGenerations(spark, tablePath)).foreach { s =>
+      retractVersion(spark, tablePath, version)
+      throw new ConcurrentCommitException(
+        s"$verb derived its content from version $derivedFrom of " +
+          s"$tablePath, which racing commit $s shadows — its publisher " +
+          "is retracting it; re-read and retry")
+    }
     publishRows(spark, tablePath, version, fileRows, schemaJson, ts,
       Some(derivedFrom))
     // ONE post-publish LISTING answers both window checks on the
@@ -857,12 +908,14 @@ object Snapshots {
     // when the head moved past us
     val versions = listGenerations(spark, tablePath)
     val shadowed = versions.find(v => v > derivedFrom && v < version)
+      .orElse(derivedFromShadowed(versions))
     if (shadowed.isDefined) {
       retractVersion(spark, tablePath, version)
       throw new ConcurrentCommitException(
         s"$verb published version $version of $tablePath derived from " +
           s"$derivedFrom, but version ${shadowed.get} " +
-          "landed concurrently in between — retracted; re-read and retry")
+          "landed concurrently in between or below it — retracted; " +
+          "re-read and retry")
     }
     // the symmetric window: a racer with a HIGHER claim whose whole
     // check-publish-check sequence ran between our pre-check and our
@@ -880,6 +933,7 @@ object Snapshots {
           s"${after.fold("<empty>")(_.toString)} without descending " +
           "from it — retracted; re-read and retry")
     }
+    maybeCheckpointManifest(spark, tablePath, version)
     version
   }
 
@@ -1025,14 +1079,24 @@ object Snapshots {
       new Path(s"$tablePath/$VersionsDir/gen-v$version.parquet")),
       s"manifest publish failed for version $version of $tablePath")
     f.delete(new Path(tmp), true)
-    // every Nth version rolls the timeline into a fresh checkpoint —
-    // an accelerator only: a failure here must never fail the commit
-    // that already published (the stale checkpoint stays valid)
+    version
+  }
+
+  /** Every Nth version rolls the timeline into a fresh checkpoint — an
+    * accelerator only (a failure must never fail the commit that
+    * already published; the stale checkpoint stays valid). Called at
+    * SETTLE points, never inside [[publishRows]]: a checkpoint write
+    * inside the publish-to-settle window widens the doomed-head race
+    * the reconciliation guards from microseconds to a full Spark job
+    * (found by the checkpoint race spec). */
+  private def maybeCheckpointManifest(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Unit = {
     val interval = checkpointInterval(spark)
     if (interval > 0 && version > 0 && version % interval == 0)
       try checkpointManifest(spark, tablePath)
       catch { case scala.util.control.NonFatal(_) => () }
-    version
   }
 
   /** Commit `df` as the next version. `append = true` makes the new

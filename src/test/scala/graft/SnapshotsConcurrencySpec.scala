@@ -78,6 +78,60 @@ class SnapshotsConcurrencySpec extends SparkSuite {
       "the losing racer's rows vanished from the head")
   }
 
+  test("checkpoints under RACING appends: rolls fire mid-race from " +
+    "whichever committer crosses the interval, no row is lost, and " +
+    "the checkpointed timeline answers AS OF exactly") {
+    val tbl = freshTable()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    try {
+      Snapshots.commit(spark, base, tbl, append = false, ts = Some(0L))
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def racer(tag: String, n: Int) = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          gate.await(10, TimeUnit.SECONDS)
+          (1 to n).map { i =>
+            Snapshots.retryOnConflict() {
+              Snapshots.commit(spark,
+                Seq((100L + i, s"$tag$i")).toDF("id", "v"), tbl,
+                append = true, ts = Some(50L))
+            }
+          }.last
+        }
+      })
+      val (fa, fb) = (racer("x", 6), racer("y", 6))
+      gate.countDown()
+      fa.get(240, TimeUnit.SECONDS); fb.get(240, TimeUnit.SECONDS)
+      pool.shutdown()
+      // 12 appends + base: every row present however the race went
+      val expect: Set[String] =
+        Set("a", "b") ++ (1 to 6).flatMap(i => Seq(s"x$i", s"y$i"))
+      val got = headValues(tbl)
+      if (got != expect) {
+        // DIAGNOSTIC dump: the full manifest timeline + per-file tags
+        val m = Snapshots.manifest(spark, tbl)
+          .select($"version", $"file", $"parent")
+          .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+        m.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, rows) =>
+          val tags = rows.map(_._2).distinct.map { f =>
+            spark.read.parquet(f).select($"v").as[String]
+              .collect().mkString("+")
+          }
+          println(s"GEN v$v parent=${rows.head._3} files=${rows.length} tags=${tags.sorted.mkString(",")}")
+        }
+      }
+      assert(got == expect,
+        "a racer's rows vanished under checkpointing")
+      // at least one interval boundary was crossed mid-race
+      assert(Snapshots.lastCheckpointVersion(spark, tbl).isDefined,
+        "no checkpoint rolled across >= 12 generations at interval 4")
+      // the checkpointed timeline resolves both eras
+      val head = Snapshots.latestVersion(spark, tbl).get
+      assert(Snapshots.versionAt(spark, tbl, 50L) == head)
+      assert(Snapshots.versionAt(spark, tbl, 0L) == 0L)
+    } finally spark.conf.unset("graft.manifest.checkpointInterval")
+  }
+
   test("stale-observed append REBASES onto the actual head at publish " +
     "time — the racer that published first loses nothing") {
     val tbl = freshTable()
