@@ -132,6 +132,57 @@ class SnapshotsConcurrencySpec extends SparkSuite {
     } finally spark.conf.unset("graft.manifest.checkpointInterval")
   }
 
+  test("mixed verbs racing under checkpoint rolls: appends and " +
+    "DV deletes from two threads converge to the exact face — no row " +
+    "lost, none resurrected, every delete applied") {
+    val tbl = freshTable()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    try {
+      Snapshots.commit(spark,
+        (1L to 8L).map(i => (i, s"base$i")).toDF("id", "v"),
+        tbl, append = false, ts = Some(0L))
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      // thread A: 6 appends; thread B: 3 appends interleaved with 3
+      // DV deletes of base rows — the derived verb racing the appends
+      val fa = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          gate.await(10, TimeUnit.SECONDS)
+          (1 to 6).foreach { i =>
+            Snapshots.retryOnConflict(maxAttempts = 12) {
+              Snapshots.commit(spark,
+                Seq((100L + i, s"x$i")).toDF("id", "v"), tbl,
+                append = true, ts = Some(50L))
+            }
+          }
+        }
+      })
+      val fb = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          gate.await(10, TimeUnit.SECONDS)
+          (1 to 3).foreach { i =>
+            Snapshots.retryOnConflict(maxAttempts = 12) {
+              Snapshots.commit(spark,
+                Seq((200L + i, s"y$i")).toDF("id", "v"), tbl,
+                append = true, ts = Some(50L))
+            }
+            Snapshots.retryOnConflict(maxAttempts = 12) {
+              Snapshots.deleteWhere(spark, tbl, col("id") === i.toLong)
+            }
+          }
+        }
+      })
+      gate.countDown()
+      fa.get(300, TimeUnit.SECONDS); fb.get(300, TimeUnit.SECONDS)
+      pool.shutdown()
+      val expect: Set[String] =
+        ((4L to 8L).map(i => s"base$i") ++
+          (1 to 6).map(i => s"x$i") ++ (1 to 3).map(i => s"y$i")).toSet
+      assert(headValues(tbl) == expect,
+        "the mixed race must land every append and apply every delete")
+    } finally spark.conf.unset("graft.manifest.checkpointInterval")
+  }
+
   test("stale-observed append REBASES onto the actual head at publish " +
     "time — the racer that published first loses nothing") {
     val tbl = freshTable()
