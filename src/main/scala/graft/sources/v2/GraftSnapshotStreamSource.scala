@@ -176,6 +176,16 @@ private[v2] class GraftMicroBatchStream(
       s"graft-snapshot stream on $root: live deletion vectors govern " +
         "the interval's fresh files — the stream cannot apply them; " +
         "compact with optimize, or poll readChangesBetween in batch")
+    // equality-delete tombstones are the same impossibility one layer
+    // up: an eq generation's fresh rows SUPERSEDE older keys, and an
+    // inserts-only feed that cannot retract would hand the consumer
+    // both the stale and the new row per key
+    require(!Snapshots.eqGovernedAt(spark, root, e),
+      s"graft-snapshot stream on $root: the interval ends on an " +
+        "equality-delete (merge-on-read) governed version — the " +
+        "inserts-only feed cannot retract the keys its upserts " +
+        "supersede; foldEqDeletes first, or consume readMorAsOf faces " +
+        "in batch")
     val tbl = ParquetTable(s"graft-snapshot(`$root`)@$s..$e", spark,
       CaseInsensitiveStringMap.empty(),
       fresh.map(_._1).toIndexedSeq, Some(streamSchema),

@@ -169,6 +169,29 @@ class SnapshotMorSpec extends SparkSuite {
     assert(e.getMessage.contains("mid-MOR-lineage"), e.getMessage)
   }
 
+  test("the snapshot STREAMING source refuses an eq-governed " +
+    "interval: an inserts-only feed cannot retract superseded keys") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl, append = false)
+    Snapshots.commitEqUpsert(spark, tbl,
+      upserts = Seq((1L, "a2")).toDF("id", "v"),
+      tombstones = Seq(1L).toDF("id"), keyCols = Seq("id"))
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", tbl).load()
+      .writeStream.format("memory").queryName("mor_feed_refuse")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("equality-delete") ||
+        Option(e.getCause).exists(_.getMessage.contains("equality-delete")),
+        s"got: ${e.getMessage}")
+    } finally {
+      q.stop(); spark.sql("DROP VIEW IF EXISTS mor_feed_refuse")
+    }
+  }
+
   test("crash model: a crashed upsert's unpublished sidecar NEVER " +
     "governs (tombstones of a batch that never happened), reads stay " +
     "plain, removeOrphans sweeps the debris; a fold that crashed " +
