@@ -761,6 +761,12 @@ object Snapshots {
     var published = -1L
     var parentUsed: Option[Long] = None
     var parentOfParent: Option[Long] = None
+    // interior generations KNOWN at rebase time — a commitOntoParent
+    // branch-over's permanent skipped generations, accepted after the
+    // bounded wait below; only interiors that appear AFTER the rebase
+    // read are genuine shadows
+    var parentInterior: Set[Long] = Set.empty
+    var shadowWait: Option[(Long, Int)] = None
     var laps = 0
     while (laps < 16) {
       laps += 1
@@ -781,10 +787,12 @@ object Snapshots {
           // (a PARENTLESS rebase parent — first commit or blind
           // replace — cannot be shadowed: blind is last-writer-wins
           // by contract, so lower generations are superseded, not
-          // shadows)
+          // shadows; interiors already known at rebase time are a
+          // branch-over's deliberate skips, not shadows)
           val parentShadowed = parentUsed.exists(p =>
             versions.contains(p) && parentOfParent.exists(pp =>
-              versions.exists(v => v > pp && v < p)))
+              versions.exists(v => v > pp && v < p &&
+                !parentInterior.contains(v))))
           if (!shadowed && !parentShadowed && head.exists { h =>
             h == published ||
               inLineage(manifestChain(spark, tablePath), published, h) ||
@@ -820,22 +828,38 @@ object Snapshots {
         val headRows = head.map(h => manifestFor(spark, tablePath, h))
           .getOrElse(Array.empty[Row])
         val headParent = parentOf(headRows)
+        val interior: Set[Long] = headParent.map(p =>
+          versions.filter(v => v > p && v < head.get).toSet)
+          .getOrElse(Set.empty)
         if (head.isDefined && headRows.isEmpty) {
           // the listed head was retracted between the listing and its
           // read — rebasing on it would publish only the fresh files,
           // silently truncating the table; take a fresh lap instead
+          shadowWait = None
           Thread.sleep(20L)
-        } else if (head.isDefined && headParent.exists(p =>
-          versions.exists(v => v > p && v < head.get))) {
-          // the listed head is VISIBLY SHADOWED — a lower-claimed
-          // racer's generation sits between it and its recorded
-          // parent, so its publisher is about to retract it. Rebasing
-          // on it would inherit a file set missing the shadow's rows
-          // (the lost-append hole); lap until the retraction lands.
-          Thread.sleep(20L)
+        } else if (head.isDefined && interior.nonEmpty && {
+          // the listed head LOOKS shadowed — a generation sits between
+          // it and its recorded parent. Either a lower-claimed racer's
+          // publish just landed and the head's publisher is about to
+          // retract it (rebasing would inherit a file set missing the
+          // shadow's settled rows — the lost-append hole), or this is
+          // commitOntoParent's DELIBERATE branch-over, whose interior
+          // generations are permanent and unpinned-dead by contract.
+          // A doomed head retracts within its publisher's settle lap;
+          // wait a few laps, and a head still standing is a branch-over
+          val waited = shadowWait match {
+            case Some((h, n)) if head.contains(h) => n + 1
+            case _ => 1
+          }
+          shadowWait = Some((head.get, waited))
+          waited < 8
+        }) {
+          Thread.sleep(50L)
         } else {
           parentUsed = head
           parentOfParent = headParent
+          parentInterior = interior
+          shadowWait = None
           val schema = schemaJsonOf(headRows)
             .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -887,18 +911,30 @@ object Snapshots {
     // content computed from a SHADOWED head bakes its doomed file set
     // (missing the shadow's settled rows) into the replace — the same
     // lost-append hole the rebase guard closes; checked against the
-    // recorded parent both before and after the publish rename
+    // recorded parent both before and after the publish rename. An
+    // interior generation that SURVIVES a bounded wait is
+    // commitOntoParent's deliberate branch-over (permanent, its rows
+    // unpinned-dead by contract) — accepted, and only interiors that
+    // appear AFTER it refuse.
     val dfParent = parentOf(manifestFor(spark, tablePath, derivedFrom))
-    def derivedFromShadowed(versions: Seq[Long]): Option[Long] =
-      if (!versions.contains(derivedFrom)) None
-      else dfParent.flatMap(p =>
-        versions.find(v => v > p && v < derivedFrom))
-    derivedFromShadowed(listGenerations(spark, tablePath)).foreach { s =>
-      retractVersion(spark, tablePath, version)
-      throw new ConcurrentCommitException(
-        s"$verb derived its content from version $derivedFrom of " +
-          s"$tablePath, which racing commit $s shadows — its publisher " +
-          "is retracting it; re-read and retry")
+    def interiorOf(versions: Seq[Long]): Set[Long] =
+      dfParent.map(p =>
+        versions.filter(v => v > p && v < derivedFrom).toSet)
+        .getOrElse(Set.empty)
+    var preInterior = interiorOf(listGenerations(spark, tablePath))
+    var waitLaps = 0
+    while (preInterior.nonEmpty && waitLaps < 8) {
+      waitLaps += 1
+      Thread.sleep(50L)
+      val vs = listGenerations(spark, tablePath)
+      if (!vs.contains(derivedFrom)) {
+        retractVersion(spark, tablePath, version)
+        throw new ConcurrentCommitException(
+          s"$verb derived its content from version $derivedFrom of " +
+            s"$tablePath, which a racing commit shadowed and its " +
+            "publisher retracted — re-read and retry")
+      }
+      preInterior = interiorOf(vs)
     }
     publishRows(spark, tablePath, version, fileRows, schemaJson, ts,
       Some(derivedFrom))
@@ -908,7 +944,10 @@ object Snapshots {
     // when the head moved past us
     val versions = listGenerations(spark, tablePath)
     val shadowed = versions.find(v => v > derivedFrom && v < version)
-      .orElse(derivedFromShadowed(versions))
+      .orElse(
+        if (versions.contains(derivedFrom))
+          (interiorOf(versions) -- preInterior).headOption
+        else None)
     if (shadowed.isDefined) {
       retractVersion(spark, tablePath, version)
       throw new ConcurrentCommitException(

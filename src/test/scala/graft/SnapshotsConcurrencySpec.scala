@@ -132,6 +132,31 @@ class SnapshotsConcurrencySpec extends SparkSuite {
     } finally spark.conf.unset("graft.manifest.checkpointInterval")
   }
 
+  test("a commitOntoParent BRANCH-OVER is not a shadow: the head's " +
+    "permanent interior generation admits appends and derived verbs " +
+    "after the bounded wait, and the branched-over rows stay dead") {
+    val tbl = freshTable()
+    Snapshots.commit(spark, base, tbl, append = false) // v0: a, b
+    // v1: committed but never pinned by any catalog reader (the torn
+    // multi-table commit's dangling half)
+    Snapshots.commit(spark, Seq((7L, "torn")).toDF("id", "v"),
+      tbl, append = true)
+    // the convergence verb BRANCHES OVER v1: v2's lineage parent is v0
+    val v2 = Snapshots.commitOntoParent(spark,
+      Seq((8L, "retry")).toDF("id", "v"), tbl, parent = Some(0L))
+    assert(v2 == 2L)
+    // a plain append must rebase on the branch-over head (not spin on
+    // its interior generation), carrying exactly v2's face
+    val v3 = Snapshots.commit(spark, Seq((9L, "next")).toDF("id", "v"),
+      tbl, append = true)
+    assert(v3 == 3L)
+    assert(headValues(tbl) == Set("a", "b", "retry", "next"),
+      "the branched-over generation's rows stay dead; the append lands")
+    // a derived verb over the branch-over lineage works too
+    Snapshots.deleteWhere(spark, tbl, col("id") === 8L)
+    assert(headValues(tbl) == Set("a", "b", "next"))
+  }
+
   test("mixed verbs racing under checkpoint rolls: appends and " +
     "DV deletes from two threads converge to the exact face — no row " +
     "lost, none resurrected, every delete applied") {
