@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DML plans route onto the snapshot layer's file-exact
     // copy-on-write verbs (graft.plans.GraftDml)
     ext.injectResolutionRule(_ => graft.plans.GraftDmlRule)
+    // governed-face SQL reads (graft.plans.GraftGovernedRead): SELECT
+    // over a DV-/mapping-/multi-root-governed snapshot serves the
+    // resolved face instead of refusing toward CALL system.optimize
+    ext.injectResolutionRule(_ => graft.plans.GraftGovernedReadRule)
     ext.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
   }
 }

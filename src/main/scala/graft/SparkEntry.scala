@@ -1177,6 +1177,44 @@ object SparkEntry {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    "q83_sql_read_dv" -> ((s, dir) => {
+      // SELECT straight after DELETE FROM, NO compaction: the
+      // governed-read rule (graft.plans.GraftGovernedReadRule)
+      // substitutes readAsOf's clean/dirty split for the plain scan —
+      // files no deletion vector touches keep their pushed-down
+      // parquet scan, only the dirty files pay the broadcast
+      // anti-join. Require-pins: the DELETE minted ONE metadata
+      // generation and rewrote ZERO data files, and the SELECT ran
+      // with no CALL system.optimize. Oracle: the same survivors'
+      // rollup q74 checks post-compaction — here served pre-compaction.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlrdv_").toString
+      val tbl = s"$root/storage/rdv"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev.filter(col("event_id") % 2 === 0),
+        tbl, append = false)
+      val v0Files = Snapshots.readAsOf(s, tbl, 0L).inputFiles.toSet
+      Catalog.register(s, root, "rdv", tbl)
+      val cat = s"grdv${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"DELETE FROM $cat.rdv WHERE user_id <= 30")
+      require(Snapshots.latestVersion(s, tbl).contains(1L),
+        "DELETE FROM must mint exactly one metadata generation")
+      require(Snapshots.readAsOf(s, tbl, 1L).inputFiles.toSet
+        .filter(_.contains("/data/")) == v0Files,
+        "DELETE FROM must rewrite ZERO data files (deletion vectors)")
+      s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.rdv
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     "q75_sql_update" -> ((s, dir) => {
       // SQL row-level UPDATE as FILE-EXACT copy-on-write
       // (graft.plans.GraftDmlRule → Snapshots.updateWhere): one
@@ -6939,6 +6977,17 @@ object SparkEntry {
       // the post-delete, post-optimize face = the even era minus the
       // deleted subjects
       "q74_sql_delete" ->
+        """SELECT event_type,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events
+          |WHERE event_id % 2 = 0 AND user_id > 30
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // the SAME survivors' rollup as q74 — served straight off the
+      // DV-governed face, no compaction between DELETE and SELECT
+      "q83_sql_read_dv" ->
         """SELECT event_type,
           | CAST(count(*) AS BIGINT) AS n_events,
           | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)

@@ -271,12 +271,18 @@ object Catalog {
   /** ONE maintenance sweep over every registered table, all from
     * metadata: a recommendation frame with one row per table —
     * (name, versions, head_version, dv_fraction, compact_due,
-    * vacuum_from) where `compact_due` applies the table's own
-    * `dv_compact_at` property (default 0.1) to [[Snapshots.dvStats]]
-    * and `vacuum_from` is the keepFrom that enforces the table's
-    * `retain_versions` property (null when nothing to expire or no
-    * retention set). The scheduler's poll surface: WHICH tables need
-    * OPTIMIZE/VACUUM next, decided without opening one data file. */
+    * vacuum_from, eq_fraction, fold_due) where `compact_due` applies
+    * the table's own `dv_compact_at` property (default 0.1) to
+    * [[Snapshots.dvStats]], `vacuum_from` is the keepFrom that
+    * enforces the table's `retain_versions` property (null when
+    * nothing to expire or no retention set), and `fold_due` applies
+    * `eq_fold_at` (default 0.1) to [[Snapshots.eqStats]] on
+    * merge-on-read heads — the gauge that keeps an unattended
+    * CDC-upserted table's tombstone volume bounded (an eq-governed
+    * head gauges its EQ pressure instead of the DV gauge, which its
+    * lineage refuses by contract). The scheduler's poll surface:
+    * WHICH tables need OPTIMIZE/VACUUM/FOLD next, decided without
+    * opening one data file. */
   def maintenance(
       spark: SparkSession,
       catalogRoot: String): DataFrame = {
@@ -289,7 +295,19 @@ object Catalog {
         val head = versions.lastOption
         val compactAt =
           e.props.get("dv_compact_at").map(_.toDouble).getOrElse(0.1)
-        val dvFrac = head.map { _ =>
+        val foldAt =
+          e.props.get("eq_fold_at").map(_.toDouble).getOrElse(0.1)
+        // an eq-governed (merge-on-read) head refuses every DV-family
+        // verb by contract — gauge ITS pressure instead: unattended,
+        // readMorAsOf's broadcast anti-join grows with every CDC sync
+        // until a fold, so the sweep is exactly where the gauge belongs
+        val eqGoverned = head.exists(h =>
+          Snapshots.eqGovernedAt(spark, e.root, h))
+        val eqFrac =
+          if (!eqGoverned) 0.0
+          else Snapshots.eqStats(spark, e.root, foldAt)
+            .select(col("eq_fraction")).collect().head.getDouble(0)
+        val dvFrac = head.filter(_ => !eqGoverned).map { _ =>
           Snapshots.dvStats(spark, e.root, compactAt)
             .select(col("dv_fraction")).collect().head.getDouble(0)
         }.getOrElse(0.0)
@@ -299,7 +317,8 @@ object Catalog {
         Row(name, versions.length.toLong,
           head.map(java.lang.Long.valueOf).orNull,
           dvFrac, dvFrac >= compactAt,
-          vacuumFrom.map(java.lang.Long.valueOf).orNull)
+          vacuumFrom.map(java.lang.Long.valueOf).orNull,
+          eqFrac, eqGoverned && eqFrac >= foldAt)
       }
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -310,13 +329,17 @@ object Catalog {
         StructField("head_version", LongType, nullable = true),
         StructField("dv_fraction", DoubleType, nullable = false),
         StructField("compact_due", BooleanType, nullable = false),
-        StructField("vacuum_from", LongType, nullable = true))))
+        StructField("vacuum_from", LongType, nullable = true),
+        StructField("eq_fraction", DoubleType, nullable = false),
+        StructField("fold_due", BooleanType, nullable = false))))
   }
 
-  /** EXECUTE the [[maintenance]] recommendations: compact every
-    * `compact_due` table (clearing its deletion pressure) then vacuum
-    * every table below its retention — the closed auto-OPTIMIZE loop
-    * the growth trigger exists to feed. Compaction runs through
+  /** EXECUTE the [[maintenance]] recommendations: fold every
+    * `fold_due` merge-on-read table ([[Snapshots.foldEqDeletes]] —
+    * run FIRST, since an eq-governed head refuses the other verbs),
+    * compact every `compact_due` table (clearing its deletion
+    * pressure) then vacuum every table below its retention — the
+    * closed auto-OPTIMIZE loop the growth trigger exists to feed. Compaction runs through
     * [[Snapshots.optimizePreserving]], so a blind fleet sweep never
     * degrades a table's layout contract: partitioned heads keep their
     * fragments, stats-governed heads keep range/box skipping,
@@ -340,6 +363,15 @@ object Catalog {
       val name = r.getString(0)
       val e = all(name)
       try {
+        // fold FIRST: an eq-governed head refuses optimize/vacuum by
+        // contract, and the fold's materialized copy-on-write face is
+        // exactly what returns the table to the plain-verb surface
+        // (the key columns come off the sidecar itself — the sweep
+        // never needs to know the CDC pipeline's key choice)
+        if (r.getBoolean(7)) {
+          val v = Snapshots.foldEqDeletes(spark, e.root)
+          did += ((name, "fold", v.toString))
+        }
         if (r.getBoolean(4)) {
           val v = Snapshots.optimizePreserving(spark, e.root, targetBytes)
           did += ((name, "optimize", v.toString))

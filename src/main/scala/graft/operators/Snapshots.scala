@@ -684,6 +684,26 @@ object Snapshots {
     false // unreachable; p < v bounds the walk
   }
 
+  /** Presence-only marker naming generation `version` a DELIBERATE
+    * [[commitOntoParent]] branch-over: the generations between its
+    * recorded parent and it were skipped on purpose and are permanent
+    * (unpinned-dead by the atomic-commit contract), NOT a racing
+    * publish about to retract. Readers that find interior generations
+    * classify by this marker DETERMINISTICALLY instead of by a bounded
+    * wait — the wait survives only as the liveness fallback for the
+    * genuinely ambiguous case (a crashed publisher's unmarked doomed
+    * head). `_`-prefixed so generation listings never see it; written
+    * BEFORE the branch-over's manifest rename so any reader that sees
+    * the generation also sees the marker. */
+  private def branchOverMarker(tablePath: String, version: Long): Path =
+    new Path(s"$tablePath/$VersionsDir/_branchover-v$version")
+
+  private[graft] def isBranchOver(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Boolean =
+    fs(spark, tablePath).exists(branchOverMarker(tablePath, version))
+
   /** Withdraw a generation attempt: its manifest file (if it
     * published) and every version-keyed sidecar dir its verb may have
     * written before the refusal — without this, a refused
@@ -699,6 +719,7 @@ object Snapshots {
     val f = fs(spark, tablePath)
     f.delete(new Path(s"$tablePath/$VersionsDir/gen-v$version.parquet"),
       false)
+    f.delete(branchOverMarker(tablePath, version), false)
     Seq(dvDir(tablePath, version), constraintsDir(tablePath, version),
       colMapDir(tablePath, version), genColsDir(tablePath, version),
       statsDir(tablePath, version), bloomDir(tablePath, version),
@@ -837,7 +858,8 @@ object Snapshots {
           // silently truncating the table; take a fresh lap instead
           shadowWait = None
           Thread.sleep(20L)
-        } else if (head.isDefined && interior.nonEmpty && {
+        } else if (head.isDefined && interior.nonEmpty &&
+          !isBranchOver(spark, tablePath, head.get) && {
           // the listed head LOOKS shadowed — a generation sits between
           // it and its recorded parent. Either a lower-claimed racer's
           // publish just landed and the head's publisher is about to
@@ -845,8 +867,12 @@ object Snapshots {
           // shadow's settled rows — the lost-append hole), or this is
           // commitOntoParent's DELIBERATE branch-over, whose interior
           // generations are permanent and unpinned-dead by contract.
-          // A doomed head retracts within its publisher's settle lap;
-          // wait a few laps, and a head still standing is a branch-over
+          // A marked branch-over classifies instantly above; the
+          // bounded wait below survives only for UNMARKED heads — a
+          // doomed head retracts within its publisher's settle lap,
+          // and one still standing after the wait is treated as
+          // permanent (the liveness fallback for a publisher that
+          // crashed between its publish and its retraction).
           val waited = shadowWait match {
             case Some((h, n)) if head.contains(h) => n + 1
             case _ => 1
@@ -923,6 +949,10 @@ object Snapshots {
         .getOrElse(Set.empty)
     var preInterior = interiorOf(listGenerations(spark, tablePath))
     var waitLaps = 0
+    // a MARKED derivedFrom is a deliberate branch-over: its interiors
+    // are permanent by contract — classify instantly, no wait lap paid
+    if (preInterior.nonEmpty && isBranchOver(spark, tablePath, derivedFrom))
+      waitLaps = 8
     while (preInterior.nonEmpty && waitLaps < 8) {
       waitLaps += 1
       Thread.sleep(50L)
@@ -1219,6 +1249,16 @@ object Snapshots {
       .write.mode("errorifexists").parquet(dataPath)
     val fresh = footerCounts(spark,
       listDataFiles(spark, dataPath).map((_, null: String)))
+    // branching over the physical head (parent != head) skips interior
+    // generations PERMANENTLY — mark the generation BEFORE its manifest
+    // publishes, so any reader that sees it classifies its interiors as
+    // deliberate instead of waiting out the doomed-racer heuristic
+    if (head != parent) {
+      val f = fs(spark, tablePath)
+      val live = new Path(s"$tablePath/$VersionsDir")
+      if (!f.exists(live)) f.mkdirs(live)
+      f.create(branchOverMarker(tablePath, version), true).close()
+    }
     publish(spark, tablePath, version, fresh, parent, prepared.schema, ts)
   }
 
@@ -1694,6 +1734,18 @@ object Snapshots {
         s"manifest rewrite could not stage generation $v of $tablePath")
     }
     f.delete(raw, true)
+    // branch-over markers are presence-only — stage copies for the
+    // RETAINED generations so the swap doesn't silently demote their
+    // readers to the timing fallback (a crash mid-swap loses them,
+    // which degrades to that same safe fallback, never to a wrong
+    // classification)
+    val kept = rows.map(_._1).toSet
+    f.listStatus(live).map(_.getPath.getName)
+      .filter(_.startsWith("_branchover-v"))
+      .flatMap(n => n.stripPrefix("_branchover-v").toLongOption)
+      .filter(kept.contains)
+      .foreach(v => f.create(new Path(s"$staged/_branchover-v$v"),
+        true).close())
     require(f.rename(live, prev),
       s"manifest swap failed for $tablePath — live manifest could not " +
         s"be moved aside; staged manifest left at $staged, data intact")
@@ -2072,24 +2124,37 @@ object Snapshots {
   private def eqFoldMarker(tablePath: String): Path =
     new Path(s"${eqRoot(tablePath)}/folded")
 
-  /** (earliest eq version ever folded, fold version) — the window of
-    * versions whose MOR faces are expired. */
-  private def readEqFoldMarker(
+  /** The per-fold expiry windows, one `(firstEqVersion, foldVersion)`
+    * line per fold ever run: version v's MOR face is expired iff some
+    * window holds `firstEq <= v < foldV`. PER-FOLD, not one global
+    * window — a second fold must not retroactively swallow the first
+    * fold's materialized copy-on-write face (or plain commits between
+    * folds), which a single `(globalMin, latestFold)` pair would. */
+  private def readEqFoldWindows(
       f: org.apache.hadoop.fs.FileSystem,
-      tablePath: String): Option[(Long, Long)] = {
+      tablePath: String): Seq[(Long, Long)] = {
     val p = eqFoldMarker(tablePath)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) Seq.empty
     else {
       val in = f.open(p)
       try {
-        val buf = new Array[Byte](128)
-        val n = in.read(buf)
-        val parts = new String(buf, 0, math.max(n, 0), "UTF-8")
-          .trim.split(" ")
-        Some((parts(0).toLong, parts(1).toLong))
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").linesIterator
+          .map(_.trim).filter(_.nonEmpty).map { line =>
+            val parts = line.split(" ")
+            (parts(0).toLong, parts(1).toLong)
+          }.toSeq
       } finally in.close()
     }
   }
+
+  private def inEqFoldWindow(
+      windows: Seq[(Long, Long)], version: Long): Boolean =
+    windows.exists { case (minEq, foldV) =>
+      version >= minEq && version < foldV }
 
   private def eqKeysSchema(stored: org.apache.spark.sql.types.StructType,
       keyCols: Seq[String]): org.apache.spark.sql.types.StructType =
@@ -2138,8 +2203,7 @@ object Snapshots {
     val f = fs(spark, tablePath)
     f.exists(new Path(eqRoot(tablePath))) && (
       liveEqDirs(spark, tablePath, version).nonEmpty ||
-        readEqFoldMarker(f, tablePath).exists { case (minEq, foldV) =>
-          version >= minEq && version < foldV })
+        inEqFoldWindow(readEqFoldWindows(f, tablePath), version))
   }
 
   /** The DML-side guard: copy-on-write verbs on a tombstone-governed
@@ -2205,6 +2269,19 @@ object Snapshots {
       s"commitEqUpsert: upsert columns ${upserts.columns.sorted.mkString(",")} " +
         s"must match the stored face ${stored.fieldNames.sorted.mkString(",")}")
     val keysSchema = eqKeysSchema(stored, keyCols)
+    // a lineage's tombstone sidecars must all share ONE key set —
+    // readMorAsOf anti-joins every live sidecar against the same
+    // keyCols, so a sync keyed differently than its predecessors would
+    // poison every subsequent read; refuse it before anything publishes
+    liveEqDirs(spark, tablePath, observed).lastOption.foreach {
+      case (n, dir) =>
+        val prev = spark.read.parquet(s"$dir/keys").columns.sorted
+        require(prev.sameElements(keyCols.sorted),
+          s"commitEqUpsert: $tablePath's live tombstone sidecar v$n " +
+            s"is keyed on (${prev.mkString(",")}) — a sync keyed on " +
+            s"(${keyCols.sorted.mkString(",")}) cannot join the same " +
+            "merge-on-read lineage; foldEqDeletes first")
+    }
     val version = claimVersion(spark, tablePath, observed + 1L)
     // the batch's fresh data files (possibly none — a delete-only sync)
     val dataPath = s"$tablePath/$DataDir/v$version"
@@ -2283,8 +2360,19 @@ object Snapshots {
     val data = legs.reduceLeft(_ unionByName _)
     val tombSeq = "__eq_tomb_seq"
     val tombs = eqDirs.map { case (n, dir) =>
-      spark.read.parquet(s"$dir/keys")
-        .toDF(keyCols.map(k => s"__eq_t_$k"): _*)
+      val side = spark.read.parquet(s"$dir/keys")
+      // BY NAME, never positionally: the sidecar's parquet columns are
+      // the keyCols of ITS commit — a caller passing a different order
+      // (or a different key set than the syncs used) must resolve to
+      // the right columns or refuse loudly, not silently cross-wire
+      // the anti-join
+      require(side.columns.sorted.sameElements(keyCols.sorted),
+        s"readMorAsOf: tombstone sidecar v$n of $tablePath is keyed " +
+          s"on (${side.columns.sorted.mkString(",")}) but the read " +
+          s"asked for (${keyCols.sorted.mkString(",")}) — the key " +
+          "sets must match")
+      side.select(keyCols.map(k =>
+          col(k).as(s"__eq_t_$k")).toIndexedSeq: _*)
         .withColumn(tombSeq, lit(n))
     }.reduceLeft(_ unionByName _)
     val cond = keyCols.map(k =>
@@ -2350,11 +2438,15 @@ object Snapshots {
           derivedFrom = Some(head), verb = "foldEqDeletes")
       }
     // marker BEFORE dir deletion: a crash in between leaves
-    // over-refusal (safe), never a raw answer for a governed version
-    val minEq = readEqFoldMarker(f, tablePath).map(_._1)
-      .fold(eqAll.map(_._1).min)(m => math.min(m, eqAll.map(_._1).min))
+    // over-refusal (safe), never a raw answer for a governed version.
+    // APPEND a per-fold window — rewriting one global (min, latest)
+    // pair would retroactively refuse the previous fold's materialized
+    // face and any plain commits that landed between folds.
+    val windows = readEqFoldWindows(f, tablePath) :+
+      (eqAll.map(_._1).min, v)
     val out = f.create(eqFoldMarker(tablePath), true)
-    try out.write(s"$minEq $v".getBytes("UTF-8"))
+    try out.write(windows.map { case (a, b) => s"$a $b" }
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     eqAll.foreach { case (_, dir) => f.delete(new Path(dir), true) }
     f.delete(eqFoldIntent(tablePath), false)
@@ -2434,13 +2526,16 @@ object Snapshots {
         // a folded MOR lineage expired its tombstone history: versions
         // inside the fold window have NO servable face at all — refuse
         // toward the fold point instead of silently answering raw rows
-        readEqFoldMarker(f, tablePath).foreach { case (minEq, foldV) =>
-          require(version >= foldV || version < minEq,
-            s"version $version of $tablePath was merge-on-read " +
-              s"governed and its equality-delete history folded away " +
-              s"at v$foldV — no face exists below the fold; read " +
-              s"v$foldV or later, or a pre-MOR version below v$minEq")
-        }
+        readEqFoldWindows(f, tablePath)
+          .find { case (minEq, foldV) =>
+            version >= minEq && version < foldV }
+          .foreach { case (minEq, foldV) =>
+            throw new IllegalArgumentException(
+              s"version $version of $tablePath was merge-on-read " +
+                s"governed and its equality-delete history folded away " +
+                s"at v$foldV — no face exists inside [$minEq, $foldV); " +
+                s"read v$foldV or later, or a version outside the window")
+          }
         // LIVE dirs only: a crashed upsert's unpublished sidecar is
         // debris, not governance (removeOrphans sweeps it)
         liveEqDirs(spark, tablePath, version).lastOption
@@ -4189,8 +4284,21 @@ object Snapshots {
         .map(r => normPath(r.getString(0))).toSet
       admitted = admitted.intersect(hit)
     }
-    if (bd.isDefined && bounds.getLong(2) <= maxPointKeys &&
-      admitted.nonEmpty) {
+    // the bloom sketch hashes the SIDECAR'S recorded key column — a
+    // probe with a different join key would falsely prune files that
+    // do contain matching rows (the sketch answers "might contain a
+    // value of `key`", not of an arbitrary column). Skip the leg
+    // unless the recorded key IS the join key (the stats leg above
+    // already name-addresses min_/max_ columns, so it cannot
+    // cross-wire the same way).
+    val bloomKeyMatches = bd.exists { d =>
+      val side = spark.read.parquet(d)
+      side.columns.contains("key") &&
+        side.select(col("key")).limit(1).collect()
+          .headOption.exists(_.getString(0) == keyCol)
+    }
+    if (bd.isDefined && bloomKeyMatches &&
+      bounds.getLong(2) <= maxPointKeys && admitted.nonEmpty) {
       val hashes = dimKeys.select(xxhash64(col(dimCol))).distinct()
         .collect().map(_.getLong(0))
       val admits = udf { (bf: Array[Byte]) =>
@@ -5294,6 +5402,67 @@ object Snapshots {
       .toDF("version", "physical_rows", "dv_rows", "dv_fraction",
         "compaction_due")
   }
+
+  /** The equality-delete PRESSURE GAUGE — [[dvStats]]' merge-on-read
+    * sibling, closing the same growth-trigger loop for MOR lineages:
+    * live tombstone rows vs the head's physical rows, all
+    * metadata-scale (each keys sidecar is a coalesced single file the
+    * size of its sync batch; the physical count comes off the
+    * manifest's footer counts — no data file opens). Without a fold,
+    * [[readMorAsOf]]'s broadcast anti-join grows with every sync;
+    * `fold_due` is the fleet scheduler's signal to run
+    * [[foldEqDeletes]] — the eq analog of `dv_fraction` →
+    * `optimize`. A table with no live eq sidecars gauges zero. */
+  def eqStats(
+      spark: SparkSession,
+      tablePath: String,
+      foldAt: Double = 0.1): DataFrame = {
+    require(foldAt > 0 && foldAt <= 1,
+      s"foldAt must be in (0, 1], got $foldAt")
+    val head = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"eqStats: $tablePath has no committed versions"))
+    val eqDirs = liveEqDirs(spark, tablePath, head)
+    val tombRows = eqDirs.map { case (_, dir) =>
+      spark.read.parquet(s"$dir/keys").count()
+    }.sum
+    val rows = manifestRows(spark, tablePath, head)
+    require(rows.forall(_._3.isDefined),
+      s"version $head of $tablePath predates row-count manifests — " +
+        "eqStats needs footer counts; recommit the version")
+    val physical = rows.map(_._3.get).sum
+    val frac =
+      if (physical == 0L) { if (tombRows > 0L) 1.0 else 0.0 }
+      else tombRows.toDouble / physical.toDouble
+    spark.createDataFrame(Seq(
+      (head, physical, tombRows, eqDirs.length.toLong, frac,
+        frac >= foldAt)))
+      .toDF("version", "physical_rows", "eq_tombstones", "eq_sidecars",
+        "eq_fraction", "fold_due")
+  }
+
+  /** The live tombstone sidecars' recorded key columns (the newest
+    * live sidecar's keys-parquet column names — one footer read), or
+    * None when nothing governs: what lets a fleet sweep fold a MOR
+    * table it never created. */
+  def eqLiveKeyCols(
+      spark: SparkSession,
+      tablePath: String): Option[Seq[String]] =
+    latestVersion(spark, tablePath).flatMap(h =>
+      liveEqDirs(spark, tablePath, h).lastOption.map { case (_, dir) =>
+        spark.read.parquet(s"$dir/keys").columns.toSeq
+      })
+
+  /** [[foldEqDeletes]] with the key columns derived from the newest
+    * live sidecar itself — the maintenance-sweep entry point (the
+    * sweep knows the table, not its CDC pipeline's key choice).
+    * Refuses when nothing governs. */
+  def foldEqDeletes(spark: SparkSession, tablePath: String): Long =
+    foldEqDeletes(spark, tablePath,
+      eqLiveKeyCols(spark, tablePath).getOrElse(
+        throw new IllegalArgumentException(
+          s"foldEqDeletes: $tablePath carries no live equality-delete " +
+            "sidecars — nothing to fold")))
 
   /** Resolve AS OF TIMESTAMP to a version: the LATEST version (in
     * commit order, the Iceberg rule) whose `commit_ts` is at or before

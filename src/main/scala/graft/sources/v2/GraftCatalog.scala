@@ -859,6 +859,21 @@ private[graft] class GraftSnapshotTable(
   /** The snapshot root — the SQL DML rules ([[graft.plans.GraftDmlRule]])
     * route UPDATE/MERGE through the snapshot verbs against it. */
   private[graft] def snapshotRoot: String = root
+
+  /** The resolved snapshot version this table pins. */
+  private[graft] def snapshotVersion: Long = version
+
+  /** True when the face needs [[graft.operators.Snapshots.readAsOf]]'s
+    * resolution to serve correctly from SQL (live deletion vectors, a
+    * column mapping, or a multi-root partition layout) — the
+    * analyzer rule [[graft.plans.GraftGovernedReadRule]] substitutes
+    * that read for the plain scan in READ position, so `SELECT` works
+    * right after `DELETE FROM` with no `CALL system.optimize`.
+    * Equality-delete governance stays excluded: a MOR face needs key
+    * columns the catalog does not carry, so it keeps refusing toward
+    * readMorAsOf/foldEqDeletes. */
+  private[graft] def needsResolvedRead: Boolean =
+    (dvGoverned || colMapped || multiRoot) && !eqGoverned
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =

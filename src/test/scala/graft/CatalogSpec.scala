@@ -99,6 +99,51 @@ class CatalogSpec extends SparkSuite {
     assert(Catalog.table(spark, cat, "hot").count() == 80L)
   }
 
+  test("eq-tombstone pressure gauge + auto-fold: a 10-sync MOR table " +
+    "crosses eq_fold_at, the sweep folds it (keys read off the " +
+    "sidecar), a second sweep is quiet, and the folded face answers " +
+    "the resolved rows") {
+    val cat = freshRoot()
+    val mor = s"$cat/storage/mor"
+    Snapshots.init(spark, mor)
+    Snapshots.commit(spark,
+      (1L to 50L).map(i => (i, s"r$i")).toDF("id", "v"),
+      mor, append = false)
+    // 10 CDC syncs, each re-upserting two keys (tombstone + fresh row)
+    (0 until 10).foreach { s =>
+      val k1 = (s * 2 + 1).toLong; val k2 = (s * 2 + 2).toLong
+      Snapshots.commitEqUpsert(spark, mor,
+        upserts = Seq((k1, s"u$s-a"), (k2, s"u$s-b")).toDF("id", "v"),
+        tombstones = Seq(k1, k2).toDF("id"), keyCols = Seq("id"))
+    }
+    Catalog.register(spark, cat, "mor", mor,
+      Map("eq_fold_at" -> "0.1"))
+    val rec = Catalog.maintenance(spark, cat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rec("mor").getDouble(6) > 0.1 && rec("mor").getBoolean(7),
+      s"20 tombstones / 70 physical rows must flag fold_due: " +
+        s"${rec("mor").getDouble(6)}")
+    assert(!rec("mor").getBoolean(4),
+      "an eq-governed head must gauge EQ pressure, not the DV gauge")
+
+    val did = Catalog.maintain(spark, cat).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(did.contains(("mor", "fold")), s"wrong actions: $did")
+    // the loop is closed: pressure cleared, second sweep takes nothing
+    val after = Catalog.maintenance(spark, cat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(after("mor").getDouble(6) == 0.0 && !after("mor").getBoolean(7),
+      "the fold must clear the tombstone pressure")
+    assert(!Catalog.maintain(spark, cat).collect()
+      .exists(r => r.getString(0) == "mor"),
+      "a folded table takes no further action")
+    // the folded face = every key's LAST upsert, keys 21..50 untouched
+    val face = Catalog.table(spark, cat, "mor")
+    assert(face.count() == 50L)
+    assert(face.filter(col("id") === 1L).select("v").as[String].head()
+      == "u0-a", "the fold must materialize the resolved winners")
+  }
+
   test("commitAtomic: N tables move together in ONE catalog publish — " +
     "a crash between the table commits leaves catalog readers on the " +
     "old consistent pair; a failed write pins nothing") {

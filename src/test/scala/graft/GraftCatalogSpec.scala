@@ -104,8 +104,8 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("a single-root partitioned generation reads with its partition " +
-    "column reconstructed; a multi-root lineage refuses toward the " +
-    "function verbs") {
+    "column reconstructed; a multi-root lineage serves through the " +
+    "resolved read (GraftGovernedReadRule)") {
     val (cat, root) = freshCatalog()
     val tbl = s"$root/storage/p"
     Snapshots.init(spark, tbl)
@@ -119,21 +119,24 @@ class GraftCatalogSpec extends SparkSuite {
     assert(got == Seq((1L, "d1"), (2L, "d1")),
       "the path-encoded partition column must reconstruct")
     // a second partitioned append puts files under a second commit
-    // root — one basePath cannot reconstruct both; refuse loudly
+    // root — one basePath cannot reconstruct both, so the plain scan
+    // cannot serve; the analyzer rule substitutes readAsOf's per-root
+    // basePath groups and the SELECT answers anyway
     Snapshots.commitPartitioned(spark,
       Seq((4L, "d2")).toDF("id", "day"), tbl, "day", append = true)
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.p").collect())
-    assert(e.getMessage.contains("optimizePartitioned"),
-      s"multi-root partitioned lineage must refuse, got: ${e.getMessage}")
-    // compacting restores the single root — the SQL face returns
+    assert(spark.sql(s"SELECT id, day FROM $cat.p ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d2")),
+      "the multi-root face must serve through the resolved read")
+    // compacting restores the single root — the plain file-exact scan
+    // returns (no rule substitution needed)
     Snapshots.optimizePartitioned(spark, tbl, "day")
     assert(spark.sql(s"SELECT count(*) FROM $cat.p").as[Long].head() == 4L)
   }
 
-  test("DV-governed versions refuse; pre-delete versions still serve; " +
-    "unknown names raise the SQL not-found error; DROP TABLE " +
-    "unregisters the name only") {
+  test("DV-governed versions serve the resolved face from SQL; " +
+    "pre-delete versions still plan file-exact; unknown names raise " +
+    "the SQL not-found error; DROP TABLE unregisters the name only") {
     val (cat, root) = freshCatalog()
     val tbl = s"$root/storage/dv"
     Snapshots.init(spark, tbl)
@@ -142,14 +145,16 @@ class GraftCatalogSpec extends SparkSuite {
       append = false)
     val vDel = Snapshots.deleteWhere(spark, tbl, col("id") <= 3L)
     Catalog.register(spark, root, "dv", tbl)
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.dv").collect())
-    assert(e.getMessage.contains("deletion vectors"),
-      s"a DV-governed head must refuse the SQL scan: ${e.getMessage}")
-    // time travel BELOW the delete still serves (nothing governs v0)
+    // the DV-governed head serves the RESOLVED face directly — no
+    // CALL system.optimize needed before the first post-delete SELECT
+    assert(spark.sql(s"SELECT id FROM $cat.dv ORDER BY id")
+      .as[Long].collect().toSeq == (4L to 10L),
+      "the DV-governed head must serve the deletion-resolved rows")
+    // time travel BELOW the delete still serves (nothing governs v0,
+    // so it plans through the plain file-exact scan)
     assert(spark.sql(s"SELECT count(*) FROM $cat.dv VERSION AS OF 0")
       .as[Long].head() == 10L && vDel > 0L)
-    // compaction clears the vectors; the head face returns to SQL
+    // compaction still restores the plain scan
     Snapshots.optimize(spark, tbl, 1L << 30)
     assert(spark.sql(s"SELECT count(*) FROM $cat.dv").as[Long].head() == 7L)
 
@@ -273,7 +278,8 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("DELETE FROM is a deletion-vector commit: zero rows rewritten, " +
-    "SQL scans refuse until optimize, further DML keeps working") {
+    "SELECT serves the resolved face at once, further DML keeps " +
+    "working") {
     val (cat, root) = freshCatalog()
     val tbl = s"$root/storage/del"
     Snapshots.init(spark, tbl)
@@ -294,11 +300,12 @@ class GraftCatalogSpec extends SparkSuite {
     assert(Snapshots.readAsOf(spark, tbl, head)
       .select("id").as[Long].collect().sorted.toSeq == (4L to 9L))
 
-    // the DV-governed head refuses SQL SCANS (toward CALL optimize)...
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.del").collect())
-    assert(e.getMessage.contains("deletion vectors"))
-    // ...but further DML still works — a second DELETE composes, and
+    // the DV-governed head serves the survivors straight from SQL —
+    // the first statement a user types after DELETE FROM...
+    assert(spark.sql(s"SELECT id FROM $cat.del ORDER BY id")
+      .as[Long].collect().toSeq == (4L to 9L),
+      "SELECT right after DELETE FROM must serve the DV-resolved face")
+    // ...and further DML still works — a second DELETE composes, and
     // an INSERT appends under the inherited vectors
     spark.sql(s"DELETE FROM $cat.del WHERE id = 9")
     spark.sql(s"INSERT INTO $cat.del VALUES (11, 'r11')")
@@ -307,6 +314,46 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql(s"SELECT id FROM $cat.del ORDER BY id")
       .as[Long].collect().toSeq == Seq(4L, 5L, 6L, 7L, 8L, 11L),
       "post-optimize the SQL face must serve the surviving rows")
+  }
+
+  test("the governed SQL read keeps the CLEAN files' leg a plain " +
+    "pushed-down parquet scan: one anti-join over the DV-dirty file " +
+    "only, filters reach both legs' scans") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/split"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      (1L to 40L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      tbl, append = false)
+    assert(Snapshots.readAsOf(spark, tbl, 0L).inputFiles.length == 4)
+    Catalog.register(spark, root, "split", tbl)
+    spark.sql(s"DELETE FROM $cat.split WHERE id = 5")
+
+    val df = spark.sql(s"SELECT id FROM $cat.split WHERE id > 2")
+    assert(df.as[Long].collect().sorted.toSeq == ((3L to 4L) ++ (6L to 40L)),
+      "the substituted read must serve the DV-resolved, filtered face")
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1,
+      s"expected ONE anti-join (the dirty leg only): $plan")
+    def dataFiles(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation].location.inputFiles.toSeq
+      }.flatten.filterNot(_.contains("/_dv/"))
+    assert(dataFiles(joins.head).length == 1,
+      "the anti-join must scan only the DV-dirty file")
+    assert(dataFiles(plan).length == 4,
+      "the union must still cover every admitted file")
+    // the WHERE pushes into the parquet scans of BOTH legs
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("GreaterThan(id,2)"),
+      s"the filter must reach the parquet scans:\n$formatted")
   }
 
   test("CTAS births a snapshot table atomically — the name " +
@@ -473,7 +520,7 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN route to the column-mapping " +
-    "verbs; the mapped face then refuses the SQL scan toward readAsOf") {
+    "verbs; the mapped face serves its logical names from SQL") {
     val (cat, root) = freshCatalog()
     val tbl = s"$root/storage/rn"
     Snapshots.init(spark, tbl)
@@ -485,11 +532,11 @@ class GraftCatalogSpec extends SparkSuite {
     val mapped = Snapshots.readAsOf(spark, tbl,
       Snapshots.latestVersion(spark, tbl).get)
     assert(mapped.columns.toSeq == Seq("id", "label", "w"))
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.rn").collect()
-    }
-    assert(e.getMessage.contains("rename/drop mapping"),
-      s"the mapped face must refuse the SQL scan, got: ${e.getMessage}")
+    // the mapped face serves from SQL under its LOGICAL names — the
+    // analyzer rule substitutes readAsOf's mapping-translated read
+    assert(spark.sql(s"SELECT id, label FROM $cat.rn ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")),
+      "the mapped face must serve logical names from SQL")
     spark.sql(s"ALTER TABLE $cat.rn DROP COLUMN w")
     assert(Snapshots.readAsOf(spark, tbl,
       Snapshots.latestVersion(spark, tbl).get).columns.toSeq ==
@@ -501,8 +548,8 @@ class GraftCatalogSpec extends SparkSuite {
   }
 
   test("SQL UPDATE on a partitioned table: fragments follow the data, " +
-    "the multi-root face refuses scans at execution toward optimize, " +
-    "and the compacted face serves again") {
+    "the multi-root face serves through the resolved read, and the " +
+    "compacted face plans file-exact again") {
     val (cat, root) = freshCatalog()
     val tbl = s"$root/storage/pu"
     Snapshots.init(spark, tbl)
@@ -513,12 +560,14 @@ class GraftCatalogSpec extends SparkSuite {
     Catalog.register(spark, root, "pu", tbl)
     spark.sql(s"UPDATE $cat.pu SET amt = amt + 5 WHERE id = 2")
     assert(Snapshots.latestVersion(spark, tbl).contains(1L))
-    // the head now mixes data/v0 and data/v1 roots: scans refuse at
-    // EXECUTION (DML/DDL planning still worked — that is the point)
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.pu").collect()
-    }
-    assert(e.getMessage.contains("partition roots"))
+    // the head now mixes data/v0 and data/v1 roots: the plain
+    // single-basePath scan cannot serve it, so the analyzer rule
+    // substitutes readAsOf's per-root groups — the SELECT answers the
+    // post-update face immediately
+    assert(spark.sql(s"SELECT id, amt, p FROM $cat.pu ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((1L, 10L, "p1"), (2L, 25L, "p2"), (3L, 30L, "p2")),
+      "the multi-root post-UPDATE face must serve through the rule")
     spark.sql(s"CALL $cat.system.optimize('pu')")
     assert(spark.sql(s"SELECT id, amt, p FROM $cat.pu ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
