@@ -1480,6 +1480,66 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q84_sql_runtime_filter" -> ((s, dir) => {
+      // q81's runtime file pruning, now on a PLAIN SQL catalog join —
+      // no function verb in sight: the stats-governed fact scan
+      // declares its clustered key runtime-filterable
+      // (SupportsRuntimeV2Filtering), Spark's dynamic-pruning rule
+      // wires the selective dim's key set into the scan at execution
+      // (reusing the join's own broadcast), and the sidecar admission
+      // re-plans the fact FILE LIST before any data file opens.
+      // Require-pinned: the executed scan admitted strictly fewer
+      // files than the face carries; the answer is byte-identical to
+      // the plain join (the oracle). The commonest BI query shape —
+      // SELECT ... FROM fact JOIN dim — now pays sidecar-pruned scans
+      // straight from SQL.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlrtf_").toString
+      val factT = s"$root/storage/fact"; val dimT = s"$root/storage/dim"
+      Snapshots.init(s, factT); Snapshots.init(s, dimT)
+      Snapshots.commitClustered(s,
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          cents(col("value")).as("value_cents")),
+        factT, "user_id", numFiles = 16, append = false)
+      val total = Snapshots.readAsOf(s, factT,
+        Snapshots.latestVersion(s, factT).get).inputFiles.length
+      val cut = t(s, dir, "events")
+        .agg(max(col("user_id"))).head().getLong(0) / 5L
+      Snapshots.commit(s, t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        dimT, append = false)
+      Catalog.register(s, root, "fact", factT)
+      Catalog.register(s, root, "dim", dimT)
+      val cat = s"grtf${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val q = s.sql(
+        s"""SELECT d.c_mktsegment,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(f.value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.fact f JOIN $cat.dim d ON f.user_id = d.c_custkey
+           |WHERE d.c_custkey <= $cut AND d.c_mktsegment = 'BUILDING'
+           |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin)
+      q.collect() // execute THIS instance — the probe below reads it
+      def prunedScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.GraftRuntimePrunedScan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          prunedScans(a.executedPlan)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          prunedScans(st.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[org.apache.spark.sql.GraftRuntimePrunedScan]
+          => Seq(b.scan.asInstanceOf[org.apache.spark.sql.GraftRuntimePrunedScan])
+        case other => other.children.flatMap(prunedScans)
+      }
+      val admitted = prunedScans(q.queryExecution.executedPlan)
+        .flatMap(_.admittedFiles)
+      require(admitted.nonEmpty && admitted.head < total,
+        s"the SQL join's runtime filter must prune the fact file set " +
+          s"($admitted of $total admitted)")
+      q
+    }),
+
     "q80_sql_merge_sync" -> ((s, dir) => {
       // the FULL-SYNC MERGE (WHEN NOT MATCHED BY SOURCE — the
       // replication shape): after the statement the target IS the
@@ -7013,6 +7073,19 @@ object SparkEntry {
       // runtime file pruning may only change WHICH files are opened,
       // never the join's values — the plain selective join
       "q81_runtime_filter" ->
+        """WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer
+          | WHERE c_custkey <= (SELECT max(user_id) FROM events) // 5
+          |   AND c_mktsegment = 'BUILDING')
+          |SELECT c_mktsegment,
+          | CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+          |  AS sum_cents
+          |FROM events JOIN dim ON user_id = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      // the SQL face of the runtime filter may only change WHICH
+      // files open, never the join's values — same plain join as q81
+      "q84_sql_runtime_filter" ->
         """WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer
           | WHERE c_custkey <= (SELECT max(user_id) FROM events) // 5
           |   AND c_mktsegment = 'BUILDING')

@@ -320,6 +320,31 @@ object Snapshots {
   // the full per-file scan — the checkpoint is an accelerator, never a
   // correctness dependency ([[swapManifest]]'s whole-dir swap drops it;
   // the next Nth commit re-rolls).
+  //
+  // WHY [[listGenerations]] still lists the WHOLE directory (the one
+  // O(versions) surface left — pagination cost on an object store at
+  // 10k+ generations, nothing more): a `startAfter`-bounded listing
+  // that takes liveness-below-the-floor from the checkpoint is NOT
+  // sound against this layer's own concurrency model, on three
+  // independent grounds. (1) A checkpoint captures the listing AT ROLL
+  // TIME, which can include a racer's published-but-unsettled
+  // generation that its publisher retracts moments later — the
+  // live-listing filter in [[manifestMeta]] exists precisely because
+  // checkpoint rows may be RETRACTED rows, and a listing that trusted
+  // them would resurrect a generation whose content was deliberately
+  // withdrawn (the lost-append class of bug the r19 race work closed).
+  // (2) The settled lineage CHAIN cannot stand in for liveness either:
+  // blind replaces and [[commitOntoParent]] branch-overs are
+  // deliberate chain breaks, so chain-walk liveness would truncate
+  // legitimate time-travel history at every replace. (3) gen-v<N>
+  // names are not zero-padded, so object-store lexicographic
+  // `startAfter` does not even order them numerically — a bounded
+  // tail listing needs a layout migration (padded names) plus
+  // retraction tombstones that survive the checkpoint floor. The
+  // honest fix is that THREE-part change (padded names, retraction
+  // tombstones ordered after the floor, settled-only checkpoint
+  // capture) — deferred as a deliberate decision rather than
+  // half-shipped against the reconciliation protocol's guarantees.
   // ------------------------------------------------------------------
 
   /** Auto-checkpoint period in COMMITTED VERSIONS (0 disables). The
@@ -2229,15 +2254,19 @@ object Snapshots {
     * the Flink→Iceberg upsert-sink contract. Blind by design: the
     * caller decides winners (an unordered feed resolves them against
     * [[readMorAsOf]] first — a key-pruned READ, still zero rewrites).
-    * Plain flat append lineages only (DV/column-mapping/generated-
-    * column governance refuses toward the copy-on-write verbs). */
+    * Composes with hive partitioning (`partCol` — fragments follow
+    * the sync batches, pruning survives) and CHECK constraints
+    * (enforced per sync batch inside the write job); DV/column-
+    * mapping/generated-column governance still refuses toward the
+    * copy-on-write verbs. */
   def commitEqUpsert(
       spark: SparkSession,
       tablePath: String,
       upserts: DataFrame,
       tombstones: DataFrame,
       keyCols: Seq[String],
-      ts: Option[Long] = None): Long = {
+      ts: Option[Long] = None,
+      partCol: Option[String] = None): Long = {
     require(keyCols.nonEmpty, "commitEqUpsert needs key columns")
     val observed = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
@@ -2248,16 +2277,28 @@ object Snapshots {
       s"commitEqUpsert: version $observed of $tablePath vanished " +
         "between the head resolution and its read — retry")
     val fileRows = fileRowsOf(gen)
-    require(fileRows.forall(_._2 == null),
-      s"commitEqUpsert: $tablePath carries hive-partitioned files — " +
-        "the MOR upsert lineage is flat (partition the key into the " +
-        "data and rely on stats skipping)")
+    // the MOR lineage composes with hive partitioning: a partitioned
+    // base face syncs `partitionBy(partCol)` batches (fragments follow
+    // the data; partition pruning survives the lineage — see
+    // [[readMorPartitionAsOf]]); a flat base refuses a partCol and
+    // vice versa, so one lineage never mixes layouts
+    partCol match {
+      case Some(pc) =>
+        require(fileRows.forall(r =>
+            r._2 != null && r._2.startsWith(s"$pc=")),
+          s"commitEqUpsert: $tablePath's base face is not " +
+            s"hive-partitioned on '$pc' — commit it via " +
+            "commitPartitioned first (one layout per MOR lineage)")
+      case None =>
+        require(fileRows.forall(_._2 == null),
+          s"commitEqUpsert: $tablePath carries hive-partitioned " +
+            "files — pass partCol so the sync batches keep the layout")
+    }
     val gens = resolveSidecars(spark, tablePath, observed, allowEq = true)
-    require(gens.dv.isEmpty && gens.colMap.isEmpty &&
-      gens.genCols.isEmpty && gens.constraints.isEmpty,
+    require(gens.dv.isEmpty && gens.colMap.isEmpty && gens.genCols.isEmpty,
       s"commitEqUpsert: $tablePath carries DV/column-mapping/" +
-        "generated-column/constraint governance — the MOR lineage " +
-        "composes with plain append faces only")
+        "generated-column governance — the MOR lineage composes with " +
+        "append faces and CHECK constraints only")
     val stored = schemaJsonOf(gen).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
@@ -2283,12 +2324,25 @@ object Snapshots {
             "merge-on-read lineage; foldEqDeletes first")
     }
     val version = claimVersion(spark, tablePath, observed + 1L)
-    // the batch's fresh data files (possibly none — a delete-only sync)
+    // the batch's fresh data files (possibly none — a delete-only
+    // sync), written under the lineage's layout, with the table's
+    // governing CHECK constraints enforced INSIDE the write job — a
+    // violating sync fails by constraint name before anything
+    // publishes (the ingest path is exactly the one you want
+    // constrained; the claimed number burns as a benign gap)
     val dataPath = s"$tablePath/$DataDir/v$version"
-    upserts.select(stored.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("errorifexists").parquet(dataPath)
-    val fresh = footerCounts(spark,
-      listDataFiles(spark, dataPath).map((_, null: String)))
+    val prepared = constraintGuard(spark, tablePath, Some(observed),
+      upserts.select(stored.fieldNames.map(col).toIndexedSeq: _*))
+    val fresh = partCol match {
+      case Some(pc) =>
+        prepared.write.mode("errorifexists").partitionBy(pc)
+          .parquet(dataPath)
+        footerCounts(spark, listPartitionedFiles(spark, dataPath))
+      case None =>
+        prepared.write.mode("errorifexists").parquet(dataPath)
+        footerCounts(spark,
+          listDataFiles(spark, dataPath).map((_, null: String)))
+    }
     // the sidecar: keyed tombstones + this commit's own fresh files
     // (the age index readMorAsOf scopes each tombstone set with)
     tombstones.select(keyCols.map(c =>
@@ -2317,9 +2371,16 @@ object Snapshots {
       spark: SparkSession,
       tablePath: String,
       version: Long,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String],
+      fragFilter: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "readMorAsOf needs key columns")
-    val (rows, stored) = generationOf(spark, tablePath, version)
+    val (allRows, stored) = generationOf(spark, tablePath, version)
+    // partition scope ([[readMorPartitionAsOf]]): metadata-level
+    // fragment pruning of EVERY leg's file list, before any read plans
+    val rows = fragFilter.fold(allRows)(f => allRows.filter(_._2 == f))
+    if (rows.isEmpty) // an absent partition answers empty, schema intact
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        stored.getOrElse(readAsOf(spark, tablePath, version).schema))
     val gens = resolveSidecars(spark, tablePath, version, allowEq = true)
     require(gens.dv.isEmpty && gens.colMap.isEmpty && gens.genCols.isEmpty,
       s"readMorAsOf: $tablePath carries DV/column-mapping/generated-" +
@@ -2381,6 +2442,25 @@ object Snapshots {
     data.join(broadcast(tombs), cond, "left_anti").drop(seqCol)
   }
 
+  /** [[readMorAsOf]] scoped to ONE hive partition — the composition
+    * that keeps partition pruning alive on a partitioned MOR lineage:
+    * every leg's FILE LIST is fragment-filtered in metadata before a
+    * single file opens (base files and each sync's fresh files alike),
+    * and only then does the tombstone anti-join run. Tombstones stay
+    * GLOBAL — a key's delete applies wherever the key lives — but
+    * rows of other partitions are never read to prove it. */
+  def readMorPartitionAsOf(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCols: Seq[String],
+      partCol: String,
+      value: Any): DataFrame = {
+    val frag = partFragment(partCol, String.valueOf(value))
+    readMorAsOf(spark, tablePath, version, keyCols,
+      fragFilter = Some(frag))
+  }
+
   /** COMPACTION for the MOR lineage: materialize [[readMorAsOf]]'s
     * head face as ONE copy-on-write replace commit, then drop every
     * tombstone sidecar — bounding the read-side tombstone volume and
@@ -2434,8 +2514,22 @@ object Snapshots {
         try out0.write(head.toString.getBytes("UTF-8"))
         finally out0.close()
         val face = readMorAsOf(spark, tablePath, head, keyCols)
-        commit(spark, face, tablePath, append = false,
-          derivedFrom = Some(head), verb = "foldEqDeletes")
+        // a partitioned MOR lineage folds through the partitioned
+        // commit — the materialized face keeps its layout (and its
+        // partition pruning) instead of silently flattening
+        val headFrags = manifestFor(spark, tablePath, head)
+          .map(r => if (r.isNullAt(2)) null else r.getString(2)).toSeq
+        headFrags.headOption.filter(_ != null)
+          .map(_.takeWhile(_ != '=')) match {
+          case Some(pc) if headFrags.forall(p =>
+            p != null && p.startsWith(s"$pc=")) =>
+            commitPartitioned(spark, face, tablePath, pc,
+              append = false, derivedFrom = Some(head),
+              verb = "foldEqDeletes")
+          case _ =>
+            commit(spark, face, tablePath, append = false,
+              derivedFrom = Some(head), verb = "foldEqDeletes")
+        }
       }
     // marker BEFORE dir deletion: a crash in between leaves
     // over-refusal (safe), never a raw answer for a governed version.
@@ -4144,7 +4238,6 @@ object Snapshots {
       derivedFrom: Option[Long] = None,
       verb: String = "commitClustered"): Long = {
     require(numFiles >= 1, "numFiles must be positive")
-    requireNoColMap(spark, tablePath, "commitClustered")
     preflightStatsParent(spark, tablePath, append, "commitClustered")
     val clustered = df
       .repartitionByRange(numFiles, col(keyCol))
@@ -4154,8 +4247,13 @@ object Snapshots {
     // the stats parent is the generation's RECORDED lineage parent
     // (writeKeyStats reads it from the manifest) — never version−1 (a
     // crashed claim leaves a numeric gap with no stats dir) and never
-    // the pre-claim observed head (reconciliation may have rebased)
-    writeKeyStats(spark, tablePath, version, Seq(keyCol), append)
+    // the pre-claim observed head (reconciliation may have rebased).
+    // MAPPING-AWARE: stats aggregate over the RAW FILES, whose columns
+    // carry physical names — the sidecar records min_/max_ under the
+    // key's physical name ([[scanRangeAsOf]] translates back)
+    val statsKey = logicalToPhysical(
+      colMapAsOf(spark, tablePath, version)).getOrElse(keyCol, keyCol)
+    writeKeyStats(spark, tablePath, version, Seq(statsKey), append)
     version
   }
 
@@ -4209,23 +4307,33 @@ object Snapshots {
       keyCol: String,
       lo: Any,
       hi: Any): DataFrame = {
-    requireNoColMap(spark, tablePath, "scanRangeAsOf")
+    // MAPPING-AWARE: sidecar min_/max_ columns carry the key's
+    // PHYSICAL name forever (stats are computed over raw files); a
+    // renamed key resolves logical→physical for the sidecar probe and
+    // the row filter runs on the logical face — a rename costs the
+    // table nothing, not even its data skipping (the Iceberg field-id
+    // composition, reduced to names)
+    val gens = resolveSidecars(spark, tablePath, version)
+    val l2p = logicalToPhysical(colMapOf(spark, gens))
+    val phys = l2p.getOrElse(keyCol, keyCol)
     val sd = describingSidecarDir(spark, tablePath, "_stats", version)
       .getOrElse(throw new IllegalArgumentException(
         s"no stats manifest for version $version of $tablePath — not " +
           "committed via commitClustered, or expired by vacuum"))
     val admitted = spark.read.parquet(sd)
-      .filter(col(s"max_$keyCol") >= lit(lo) && col(s"min_$keyCol") <= lit(hi))
+      .filter(col(s"max_$phys") >= lit(lo) && col(s"min_$phys") <= lit(hi))
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    // the manifest is read ONLY on the empty-answer path (for the
+    // schema) — the happy path stays at zero manifest reads, the
+    // budget [[SnapshotsResolutionSpec]] pins
     val base =
       if (admitted.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           generationOf(spark, tablePath, version)._2
             .getOrElse(readAsOf(spark, tablePath, version).schema))
       else {
-        val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
-        readWithDv(spark, admitted.map((_, null: String)), None, dv,
-          Map.empty)
+        val dv = dvSetOf(spark, gens)
+        readWithDv(spark, admitted.map((_, null: String)), None, dv, l2p)
       }
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
@@ -4259,23 +4367,66 @@ object Snapshots {
     require(dimKeys.columns.length == 1,
       s"scanJoinPruned: dimKeys must carry exactly the join key " +
         s"column, got ${dimKeys.columns.mkString(", ")}")
-    val dimCol = dimKeys.columns.head
     val (rows, stored) = generationOf(spark, tablePath, version)
     def emptyFace = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       stored.getOrElse(readAsOf(spark, tablePath, version).schema))
+    val admitted = sidecarAdmission(spark, tablePath, version, keyCol,
+      dimKeys, maxPointKeys, rows.map(_._1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"scanJoinPruned: version $version of $tablePath carries no " +
+          s"stats or bloom sidecar applicable to '$keyCol' — nothing " +
+          "answers file admission; commit via commitClustered/" +
+          "commitBloom on that key (or join the plain readAsOf face)"))
+    val files = rows.filter(r => admitted.contains(normPath(r._1)))
+    if (files.isEmpty) emptyFace
+    else {
+      val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
+      readWithDv(spark, files, stored, dv, Map.empty)
+    }
+  }
+
+  /** The STATS/BLOOM admission core shared by [[scanJoinPruned]] (the
+    * explicit verb) and the SQL catalog scan's
+    * `SupportsRuntimeV2Filtering` path: which of `files` can a bounded
+    * join-key set NOT rule out? None when no sidecar APPLICABLE TO
+    * `keyCol` governs `version` (stats must carry min_/max_ columns
+    * for the key; a bloom's recorded key column must BE the key — a
+    * probe against a sketch of a different column would falsely prune
+    * files containing matching rows); the caller decides whether that
+    * refuses loudly (the verb) or scans everything (the transparent
+    * SQL path). Some(admitted) is scheme-NORMALIZED paths. Two dim
+    * passes at most: one bounds aggregate, one executor-side sketch
+    * probe when the distinct count is within `maxPointKeys`. */
+  private[graft] def sidecarAdmission(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCol: String,
+      dimKeys: DataFrame,
+      maxPointKeys: Int,
+      files: Seq[String]): Option[Set[String]] = {
+    if (colMapAsOf(spark, tablePath, version)
+      .exists { case (p, l) => !l.contains(p) }) return None
+    val dimCol = dimKeys.columns.head
     val sd = describingSidecarDir(spark, tablePath, "_stats", version)
+      .filter { d =>
+        val cs = spark.read.parquet(d).columns
+        cs.contains(s"min_$keyCol") && cs.contains(s"max_$keyCol")
+      }
     val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
-    require(sd.isDefined || bd.isDefined,
-      s"scanJoinPruned: version $version of $tablePath carries no " +
-        "stats or bloom sidecar — nothing answers file admission; " +
-        "commit via commitClustered/commitBloom (or join the plain " +
-        "readAsOf face)")
+      .filter { d =>
+        val side = spark.read.parquet(d)
+        side.columns.contains("key") &&
+          side.select(col("key")).limit(1).collect()
+            .headOption.exists(_.getString(0) == keyCol)
+      }
+    if (sd.isEmpty && bd.isEmpty) return None
     val bounds = dimKeys.agg(min(col(dimCol)).as("lo"),
       max(col(dimCol)).as("hi"),
       count_distinct(col(dimCol)).as("n")).collect().head
-    if (bounds.isNullAt(0)) return emptyFace // no dim keys at all
-    var admitted: Set[String] = rows.map(r => normPath(r._1)).toSet
+    if (bounds.isNullAt(0)) return Some(Set.empty) // no dim keys at all
+    var admitted: Set[String] = files.map(normPath).toSet
     sd.foreach { d =>
       val hit = spark.read.parquet(d)
         .filter(col(s"max_$keyCol") >= lit(bounds.get(0)) &&
@@ -4284,21 +4435,8 @@ object Snapshots {
         .map(r => normPath(r.getString(0))).toSet
       admitted = admitted.intersect(hit)
     }
-    // the bloom sketch hashes the SIDECAR'S recorded key column — a
-    // probe with a different join key would falsely prune files that
-    // do contain matching rows (the sketch answers "might contain a
-    // value of `key`", not of an arbitrary column). Skip the leg
-    // unless the recorded key IS the join key (the stats leg above
-    // already name-addresses min_/max_ columns, so it cannot
-    // cross-wire the same way).
-    val bloomKeyMatches = bd.exists { d =>
-      val side = spark.read.parquet(d)
-      side.columns.contains("key") &&
-        side.select(col("key")).limit(1).collect()
-          .headOption.exists(_.getString(0) == keyCol)
-    }
-    if (bd.isDefined && bloomKeyMatches &&
-      bounds.getLong(2) <= maxPointKeys && admitted.nonEmpty) {
+    if (bd.isDefined && bounds.getLong(2) <= maxPointKeys &&
+      admitted.nonEmpty) {
       val hashes = dimKeys.select(xxhash64(col(dimCol))).distinct()
         .collect().map(_.getLong(0))
       val admits = udf { (bf: Array[Byte]) =>
@@ -4312,11 +4450,60 @@ object Snapshots {
         .map(r => normPath(r.getString(0))).toSet
       admitted = admitted.intersect(hit)
     }
-    val files = rows.filter(r => admitted.contains(normPath(r._1)))
-    if (files.isEmpty) emptyFace
-    else {
-      val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
-      readWithDv(spark, files, stored, dv, Map.empty)
+    Some(admitted)
+  }
+
+  /** The key columns whose sidecars can answer runtime file admission
+    * for `version` — what the SQL catalog scan declares as
+    * `filterAttributes` so Spark's dynamic-pruning rule wires the dim
+    * side's runtime filter to it. Empty under a non-trivial column
+    * mapping (sidecar columns are physical names) and when no sidecar
+    * governs; metadata-scale (footer reads + one 1-row probe). */
+  private[graft] def runtimeFilterKeys(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long): Seq[String] = {
+    if (colMapAsOf(spark, tablePath, version)
+      .exists { case (p, l) => !l.contains(p) }) return Seq.empty
+    val statsKeys = describingSidecarDir(spark, tablePath, "_stats",
+      version).toSeq.flatMap(d =>
+      spark.read.parquet(d).columns
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")))
+    val bloomKey = describingSidecarDir(spark, tablePath, "_bloom",
+      version).toSeq.flatMap { d =>
+      val side = spark.read.parquet(d)
+      if (!side.columns.contains("key")) Seq.empty
+      else side.select(col("key")).limit(1).collect()
+        .headOption.map(_.getString(0)).toSeq
+    }
+    (statsKeys ++ bloomKey).distinct
+  }
+
+  /** The SQL runtime-filter bridge: the data files of `version` an
+    * IN-set of `values` on `keyCol` admits, spelled EXACTLY as the
+    * manifest lists them (what the catalog's ParquetTable was built
+    * from — the caller rebuilds its file index over the subset
+    * verbatim). None when nothing applicable governs or the set is
+    * unusably large; never a false prune (both sidecar legs are
+    * conservative). */
+  def runtimeAdmittedFiles(
+      spark: SparkSession,
+      tablePath: String,
+      version: Long,
+      keyCol: String,
+      values: Seq[Any],
+      valueType: org.apache.spark.sql.types.DataType,
+      maxPointKeys: Int = 4096): Option[Seq[String]] = {
+    if (values.isEmpty) return Some(Seq.empty)
+    if (values.length > 65536) return None // DPP IN-set beyond sanity
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol, valueType)))
+    val dimKeys = spark.createDataFrame(
+      java.util.Arrays.asList(values.map(Row(_)): _*), schema)
+    val (rows, _) = generationOf(spark, tablePath, version)
+    sidecarAdmission(spark, tablePath, version, keyCol, dimKeys,
+      maxPointKeys, rows.map(_._1)).map { admitted =>
+      rows.map(_._1).filter(f => admitted.contains(normPath(f)))
     }
   }
 
@@ -4692,13 +4879,17 @@ object Snapshots {
       version: Long,
       bounds: Seq[(String, Any, Any)]): DataFrame = {
     require(bounds.nonEmpty, "scanBoxAsOfN: no bounds given")
-    requireNoColMap(spark, tablePath, "scanBoxAsOfN")
+    // MAPPING-AWARE like [[scanRangeAsOf]]: each bound's sidecar probe
+    // resolves logical→physical; the row filter runs on the logical face
+    val gens = resolveSidecars(spark, tablePath, version)
+    val l2p = logicalToPhysical(colMapOf(spark, gens))
     val sd = describingSidecarDir(spark, tablePath, "_stats", version)
       .getOrElse(throw new IllegalArgumentException(
         s"no stats manifest for version $version of $tablePath — not " +
           "committed via commitZordered, or expired by vacuum"))
     val admit = bounds.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      val p = l2p.getOrElse(c, c)
+      col(s"max_$p") >= lit(lo) && col(s"min_$p") <= lit(hi)
     }.reduce(_ && _)
     val admitted = spark.read.parquet(sd).filter(admit)
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
@@ -4708,9 +4899,8 @@ object Snapshots {
           generationOf(spark, tablePath, version)._2
             .getOrElse(readAsOf(spark, tablePath, version).schema))
       else {
-        val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
-        readWithDv(spark, admitted.map((_, null: String)), None, dv,
-          Map.empty)
+        val dv = dvSetOf(spark, gens)
+        readWithDv(spark, admitted.map((_, null: String)), None, dv, l2p)
       }
     base.filter(bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
@@ -4764,11 +4954,25 @@ object Snapshots {
       version: Long,
       keyCol: String,
       value: Any): DataFrame = {
-    requireNoColMap(spark, tablePath, "scanPointAsOf")
+    // MAPPING-AWARE like [[scanRangeAsOf]]: the bloom sidecar records
+    // the key's PHYSICAL name; a renamed key resolves through the
+    // mapping, and a key the sidecar does not index refuses loudly
+    // (probing a sketch of a different column would falsely prune)
+    val gens = resolveSidecars(spark, tablePath, version)
+    val l2p = logicalToPhysical(colMapOf(spark, gens))
+    val phys = l2p.getOrElse(keyCol, keyCol)
     val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
       .getOrElse(throw new IllegalArgumentException(
         s"no bloom sidecar for version $version of $tablePath — not " +
           "committed via commitBloom, or expired by vacuum"))
+    val side = spark.read.parquet(bd)
+    if (side.columns.contains("key"))
+      side.select(col("key")).limit(1).collect()
+        .headOption.map(_.getString(0)).foreach(recorded =>
+          require(recorded == phys,
+            s"scanPointAsOf: the bloom sidecar of $tablePath indexes " +
+              s"'$recorded', not '$keyCol' — a probe against it would " +
+              "falsely prune files; commitBloom on the queried key"))
     val admitted = Skipping.pruneFilesPoint(spark, bd, value)
     val stored = generationOf(spark, tablePath, version)._2
     val base =
@@ -4777,9 +4981,9 @@ object Snapshots {
           readAsOf(spark, tablePath, version).schema)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       } else {
-        val dv = dvSetOf(spark, resolveSidecars(spark, tablePath, version))
+        val dv = dvSetOf(spark, gens)
         readWithDv(spark, admitted.map((_, null: String)), stored, dv,
-          Map.empty)
+          l2p)
       }
     base.filter(col(keyCol) === lit(value))
   }

@@ -809,11 +809,21 @@ private[v2] object GraftSnapshotTable {
     // equality-delete tombstones (merge-on-read) — same
     // enforce-at-scan-build shape as the DV guard
     val eqGoverned = Snapshots.eqGovernedAt(spark, root, version)
+    // stats/bloom-governed plain faces declare their sidecar keys as
+    // runtime-filterable: Spark's dynamic-pruning rule then routes a
+    // selective dim join's key set into the scan, which re-plans its
+    // file list through the sidecars (GraftRuntimePrunedScan) — the
+    // SQL face of scanJoinPruned. Governed faces skip it (they read
+    // through the analyzer-substituted readAsOf plan instead).
+    val runtimeKeys =
+      if (dvGoverned || colMapped || multiRoot || eqGoverned) Seq.empty
+      else Snapshots.runtimeFilterKeys(spark, root, version)
     new GraftSnapshotTable(tableName, root, version, dvGoverned,
       colMapped, multiRoot, eqGoverned,
       ParquetTable(tableName, spark,
         new CaseInsensitiveStringMap(options.asJava),
-        files.toIndexedSeq, stored, classOf[ParquetFileFormat]))
+        files.toIndexedSeq, stored, classOf[ParquetFileFormat]),
+      runtimeKeys)
   }
 }
 
@@ -839,7 +849,8 @@ private[graft] class GraftSnapshotTable(
     colMapped: Boolean,
     multiRoot: Boolean,
     eqGoverned: Boolean,
-    delegate: ParquetTable) extends Table with SupportsRead
+    delegate: ParquetTable,
+    runtimeKeys: Seq[String] = Seq.empty) extends Table with SupportsRead
     with SupportsWrite with SupportsDelete with TruncatableTable {
 
   /** `TRUNCATE TABLE` — one empty REPLACE generation derived from the
@@ -881,8 +892,19 @@ private[graft] class GraftSnapshotTable(
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    if (!dvGoverned && !colMapped && !multiRoot && !eqGoverned)
-      delegate.newScanBuilder(o)
+    if (!dvGoverned && !colMapped && !multiRoot && !eqGoverned) {
+      val inner = delegate.newScanBuilder(o)
+      inner match {
+        // a sidecar-governed face exposes its keys for runtime file
+        // pruning (SupportsRuntimeV2Filtering) — the SQL join's
+        // dynamic filter then prunes the manifest-planned file list
+        case f: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+          if runtimeKeys.nonEmpty =>
+          new org.apache.spark.sql.GraftRuntimePruneScanBuilder(
+            f, SparkSession.active, root, version, runtimeKeys)
+        case other => other
+      }
+    }
     else new ScanBuilder {
       // DML/DDL planning (DELETE FROM's optimizer pass, ALTER TABLE's
       // loadTable) builds scans it never executes — so a DV-governed

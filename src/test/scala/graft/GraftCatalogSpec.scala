@@ -356,6 +356,58 @@ class GraftCatalogSpec extends SparkSuite {
       s"the filter must reach the parquet scans:\n$formatted")
   }
 
+  test("runtime file pruning on a SQL catalog join: a selective dim's " +
+    "key set prunes the stats-governed fact's FILE list at execution " +
+    "(SupportsRuntimeV2Filtering), answer unchanged") {
+    val (cat, root) = freshCatalog()
+    val fact = s"$root/storage/fact"; val dim = s"$root/storage/dim"
+    Snapshots.init(spark, fact); Snapshots.init(spark, dim)
+    // 8 range-clustered fact files on k; the dim filter selects keys
+    // living in exactly one of them
+    Snapshots.commitClustered(spark,
+      (1L to 800L).map(i => (i, i * 3L)).toDF("k", "v"),
+      fact, "k", numFiles = 8, append = false)
+    Snapshots.commit(spark,
+      (1L to 800L by 50L).map(i => (i, if (i <= 100L) "hot" else "cold"))
+        .toDF("k", "seg"), dim, append = false)
+    Catalog.register(spark, root, "fact", fact)
+    Catalog.register(spark, root, "dim", dim)
+
+    val q = spark.sql(
+      s"""SELECT CAST(sum(f.v) AS BIGINT) AS s
+         |FROM $cat.fact f JOIN $cat.dim d ON f.k = d.k
+         |WHERE d.seg = 'hot'""".stripMargin)
+    // hot keys: 1, 51 → sum(v) = 3 + 153 (collect on q ITSELF — a
+    // derived Dataset would re-plan with a fresh scan instance and the
+    // admission probe below would inspect the wrong one)
+    assert(q.collect().head.getLong(0) == 156L,
+      "the pruned join must answer exactly the unpruned values")
+    // AQE nests scans inside executed query stages — walk through them
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(s.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[org.apache.spark.sql.GraftRuntimePrunedScan]
+          => Seq(b)
+        case other => other.children.flatMap(scansOf)
+      }
+    val scans = scansOf(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "the fact scan must be the runtime-pruned " +
+      s"scan:\n${q.queryExecution.executedPlan}")
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "Spark must wire the dim side's runtime filter to the fact scan " +
+        s"(filterAttributes declared):\n${q.queryExecution.executedPlan}")
+    val pruned = scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.GraftRuntimePrunedScan]
+    assert(pruned.admittedFiles.exists(n => n >= 1 && n < 8),
+      s"the runtime filter must prune the 8-file fact to fewer files, " +
+        s"admitted ${pruned.admittedFiles}")
+  }
+
   test("CTAS births a snapshot table atomically — the name " +
     "registration is the publish point; bare CREATE and duplicate " +
     "CTAS refuse") {

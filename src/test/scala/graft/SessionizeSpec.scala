@@ -401,4 +401,76 @@ class SessionizeSpec extends SparkSuite {
       q2.stop(); spark.sql("DROP VIEW IF EXISTS win_complete_state")
     }
   }
+
+  test("Complete-mode stream twins hold DOMAIN-bounded state: ks " +
+    "counts, kmv sketches, fixed-width histograms and group profiles " +
+    "retain one state row per group/bin — never per input row") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2000 input rows over a TINY domain: 2 groups × 10 distinct
+    // values — the Complete-mode families' structural claim is that
+    // state scales with THIS, not with the 2000
+    val n = 2000
+    def completeState(name: String,
+        out: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      try {
+        q.processAllAvailable()
+        (spark.table(name).count(),
+          Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum)
+            .getOrElse(-1L))
+      } finally { q.stop(); spark.sql(s"DROP VIEW IF EXISTS $name") }
+    }
+
+    // ks family (ev_stream_ks): groupBy(type, value) side counts —
+    // state = |types × distinct values| = 20
+    val ks = MemoryStream[(String, Long, Long)]
+    ks.addData((0 until n).map(i =>
+      (s"t${i % 2}", ((i / 2) % 10).toLong, (i % 2).toLong)): _*)
+    val ksAgg = ks.toDF().toDF("event_type", "cents", "side")
+      .groupBy($"event_type", $"cents")
+      .agg(sum(when($"side" === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when($"side" === 1, 1L).otherwise(0L)).as("cb"))
+    val (ksRows, ksState) = completeState("ks_state_pin", ksAgg)
+    assert(ksRows == 20L && ksState == 20L,
+      s"ks state must be the 20-pair domain, got rows=$ksRows " +
+        s"state=$ksState for $n inputs")
+
+    // kmv family (text_stream_kmv): one sketch row per source — state
+    // = |sources| = 2, each holding ≤ k mins whatever the word count
+    val kmv = MemoryStream[(String, String)]
+    kmv.addData((0 until n).map(i => (s"s${i % 2}", s"w${i % 500}")): _*)
+    val kmvAgg = graft.functions.Kmv.kmvDistinct(
+      kmv.toDF().toDF("source", "word"), "source", "word", k = 64)
+    val (kmvRows, kmvState) = completeState("kmv_state_pin", kmvAgg)
+    assert(kmvRows == 2L && kmvState == 2L,
+      s"kmv state must be one sketch row per source, got " +
+        s"rows=$kmvRows state=$kmvState for $n inputs")
+
+    // histogram family (ev_stream_histogram): width-5 bins over the
+    // 0..9 domain — state = |types × bins| = 4
+    val hist = MemoryStream[(String, Long)]
+    hist.addData((0 until n).map(i =>
+      (s"t${i % 2}", (i % 10).toLong)): _*)
+    val histAgg = graft.operators.Stats.histogram(
+      hist.toDF().toDF("event_type", "cents"), "cents",
+      Seq("event_type"), width = 5L)
+    val (hRows, hState) = completeState("hist_state_pin", histAgg)
+    assert(hRows == 4L && hState == 4L,
+      s"histogram state must be the bin domain (4), got rows=$hRows " +
+        s"state=$hState for $n inputs")
+
+    // profile family (ev_stream_profile): one profile row per group —
+    // state = |types| = 2
+    val prof = MemoryStream[(String, Long)]
+    prof.addData((0 until n).map(i =>
+      (s"t${i % 2}", (i % 10).toLong)): _*)
+    val profAgg = graft.operators.Stats.profileByGroup(
+      prof.toDF().toDF("event_type", "v"), "event_type", "v", k = 64)
+    val (pRows, pState) = completeState("prof_state_pin", profAgg)
+    assert(pRows == 2L && pState == 2L,
+      s"profile state must be one row per group, got rows=$pRows " +
+        s"state=$pState for $n inputs")
+  }
 }

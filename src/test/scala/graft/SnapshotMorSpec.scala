@@ -278,4 +278,85 @@ class SnapshotMorSpec extends SparkSuite {
       keyCols = Seq("id"), tsCol = "ts").isEmpty)
     assert(Snapshots.latestVersion(spark, tbl).contains(v2))
   }
+
+  test("partitioned MOR: syncs keep the hive layout (zero rewrites " +
+    "pinned), readMorPartitionAsOf opens ONLY the partition's files, " +
+    "and the fold materializes a still-partitioned face") {
+    val tbl = freshTable()
+    Snapshots.commitPartitioned(spark,
+      Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+        .toDF("id", "p", "v"),
+      tbl, "p", append = false)
+    // a flat sync on a partitioned base refuses toward the layout
+    val eFlat = intercept[IllegalArgumentException](
+      Snapshots.commitEqUpsert(spark, tbl,
+        upserts = Seq((1L, "p1", "a2")).toDF("id", "p", "v"),
+        tombstones = Seq(1L).toDF("id"), keyCols = Seq("id")))
+    assert(eFlat.getMessage.contains("partCol"), eFlat.getMessage)
+    // sync 1: re-key id=1 in p1, delete id=3 (p2), insert id=4 in p2
+    val v1 = Snapshots.commitEqUpsert(spark, tbl,
+      upserts = Seq((1L, "p1", "a2"), (4L, "p2", "d"))
+        .toDF("id", "p", "v"),
+      tombstones = Seq(1L, 3L, 4L).toDF("id"),
+      keyCols = Seq("id"), partCol = Some("p"))
+    assert(filesOf(tbl, 0L).subsetOf(filesOf(tbl, v1)),
+      "a partitioned eq-upsert must rewrite NOTHING")
+    val face = Snapshots.readMorAsOf(spark, tbl, v1, Seq("id"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(face == Map(1L -> "a2", 2L -> "b", 4L -> "d"), s"$face")
+    // the partition-scoped read: answer correct AND only p2 files open
+    val p2 = Snapshots.readMorPartitionAsOf(spark, tbl, v1, Seq("id"),
+      "p", "p2")
+    assert(p2.select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(4L -> "d"))
+    // inputFiles also lists the _eq sidecar the anti-join reads — the
+    // DATA files must all be the requested partition's
+    assert(p2.inputFiles.filter(_.contains("/data/"))
+      .forall(_.contains("p=p2")),
+      s"partition pruning must survive the MOR lineage: " +
+        s"${p2.inputFiles.toSeq}")
+    // the fold keeps the layout: every materialized file re-fragments
+    val vF = Snapshots.foldEqDeletes(spark, tbl, Seq("id"))
+    val foldedRows = Snapshots.generationFiles(spark, tbl, vF)._1
+    assert(foldedRows.nonEmpty && foldedRows.forall(r =>
+      r._2 != null && r._2.startsWith("p=")),
+      s"the fold must materialize a partitioned face: $foldedRows")
+    assert(Snapshots.scanPartitionAsOf(spark, tbl, vF, "p", "p1")
+      .select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("constraint-governed MOR: every sync batch runs under the " +
+    "table's CHECK constraints — a violating sync refuses BY NAME " +
+    "with nothing published; clean syncs and the fold compose") {
+    val tbl = freshTable()
+    Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "amt"), tbl, append = false)
+    Snapshots.addConstraint(spark, tbl, "amt_positive", "amt > 0")
+    val base = Snapshots.latestVersion(spark, tbl).get
+    // a clean sync passes under the constraint
+    val v1 = Snapshots.commitEqUpsert(spark, tbl,
+      upserts = Seq((1L, 11L)).toDF("id", "amt"),
+      tombstones = Seq(1L).toDF("id"), keyCols = Seq("id"))
+    assert(Snapshots.readMorAsOf(spark, tbl, v1, Seq("id"))
+      .select("id", "amt").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 11L, 2L -> 20L))
+    // a violating sync fails BY NAME before anything publishes
+    val e = intercept[Exception](
+      Snapshots.commitEqUpsert(spark, tbl,
+        upserts = Seq((5L, -3L)).toDF("id", "amt"),
+        tombstones = Seq(5L).toDF("id"), keyCols = Seq("id")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("amt_positive")),
+      s"the refusal must name the constraint: ${msgs(e)}")
+    assert(Snapshots.latestVersion(spark, tbl).contains(v1),
+      "a refused sync must publish NO generation")
+    // the MOR face is untouched by the refusal; the fold still works
+    val vF = Snapshots.foldEqDeletes(spark, tbl, Seq("id"))
+    assert(Snapshots.readAsOf(spark, tbl, vF)
+      .select("id", "amt").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 11L, 2L -> 20L) && base >= 1L)
+  }
 }

@@ -1458,14 +1458,56 @@ class SnapshotsSpec extends SparkSuite {
     assert(face.select($"id", $"amount").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
       Seq((1L, 5L), (3L, 7L), (4L, 9L)))
-    // stats/bloom/purge address physical file columns by name — refuse
-    intercept[IllegalArgumentException] {
-      Snapshots.commitClustered(spark, rows, tbl, "id", 2, append = true)
-    }
+    // purge still addresses physical file columns by name — refuses
+    // (clustered stats and range/point/box scans are mapping-aware now)
     intercept[IllegalArgumentException] {
       Snapshots.purgeKeys(spark, tbl, Seq(Tuple1(1L)).toDF("id"),
         Seq("id"))
     }
+  }
+
+  test("mapping-aware data skipping: cluster on k, rename k→key — the " +
+    "range/box scans on the LOGICAL name still prune files, a " +
+    "post-rename clustered commit keeps pruning, and a bloom probe " +
+    "refuses a key its sidecar does not index") {
+    val tbl = freshTable()
+    Snapshots.commitClustered(spark,
+      (1L to 400L).map(i => (i, i * 2L)).toDF("k", "v"),
+      tbl, "k", numFiles = 4, append = false)
+    Snapshots.renameColumn(spark, tbl, "k", "key")
+    val vR = Snapshots.latestVersion(spark, tbl).get
+    val scan = Snapshots.scanRangeAsOf(spark, tbl, vR, "key", 10L, 50L)
+    assert(scan.inputFiles.count(_.contains("/data/")) < 4,
+      s"the rename must not cost the table its range skipping: " +
+        s"${scan.inputFiles.toSeq}")
+    assert(scan.select($"key").as[Long].collect().sorted.toSeq ==
+      (10L to 50L), "the mapped range scan must answer logical rows")
+    // the box scan translates each bound's column independently
+    val box = Snapshots.scanBoxAsOfN(spark, tbl, vR,
+      Seq(("key", 10L, 50L)))
+    assert(box.inputFiles.count(_.contains("/data/")) < 4 &&
+      box.select($"key").as[Long].collect().sorted.toSeq == (10L to 50L))
+    // a clustered commit AFTER the rename records stats under the
+    // PHYSICAL name; the logical-name scan keeps pruning
+    val vC = Snapshots.commitClustered(spark,
+      (1L to 400L).map(i => (i, i * 3L)).toDF("key", "v"),
+      tbl, "key", numFiles = 4, append = false)
+    val scan2 = Snapshots.scanRangeAsOf(spark, tbl, vC, "key", 10L, 50L)
+    assert(scan2.inputFiles.count(_.contains("/data/")) < 4 &&
+      scan2.select($"key").as[Long].collect().sorted.toSeq ==
+        (10L to 50L))
+    // a bloom sidecar indexes ONE recorded key — probing another
+    // column refuses loudly instead of falsely pruning
+    val tblB = freshTable()
+    Snapshots.commitBloom(spark,
+      (1L to 100L).map(i => (i, i * 2L)).toDF("k", "v"),
+      tblB, "k", append = false)
+    val vB = Snapshots.latestVersion(spark, tblB).get
+    val e = intercept[IllegalArgumentException](
+      Snapshots.scanPointAsOf(spark, tblB, vB, "v", 10L))
+    assert(e.getMessage.contains("indexes"), e.getMessage)
+    assert(Snapshots.scanPointAsOf(spark, tblB, vB, "k", 7L)
+      .select($"v").as[Long].collect().toSeq == Seq(14L))
   }
 
   test("deleteWhere on a partitioned lineage: scanPartitionAsOf " +
