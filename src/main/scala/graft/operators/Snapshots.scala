@@ -3278,6 +3278,29 @@ object Snapshots {
     fileRows.filter(r => admitted.contains(normPath(r._1)))
   }
 
+  /** The `key` column a bloom sidecar dir records — memoized per
+    * DIRECTORY, because the read is a (tiny) Spark job and the probe
+    * sits on hot paths (point scans, runtime-filter admission, DML
+    * discovery, loadTable). Sound to cache: sidecar dirs are
+    * immutable once published (`errorifexists` writes, version-named);
+    * a retracted/vacuumed dir's stale entry can only describe a read
+    * that fails loudly on the missing files anyway. Cleared wholesale
+    * if it ever grows silly (a process touches few distinct dirs). */
+  private val bloomKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  private def bloomRecordedKey(
+      spark: SparkSession,
+      dir: String): Option[String] = {
+    if (bloomKeyCache.size > 4096) bloomKeyCache.clear()
+    bloomKeyCache.computeIfAbsent(dir, d => {
+      val side = spark.read.parquet(d)
+      if (!side.columns.contains("key")) None
+      else side.select(col("key")).limit(1).collect()
+        .headOption.map(_.getString(0))
+    })
+  }
+
   /** [[statsPrunedForDml]]'s point-lookup sibling: when a BLOOM
     * sidecar describes the parent generation and the predicate carries
     * an equality or IN conjunct on the sidecar's recorded key, only
@@ -3299,10 +3322,7 @@ object Snapshots {
       .exists { case (p, l) => !l.contains(p) }) return fileRows
     val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
       .getOrElse(return fileRows)
-    val side = spark.read.parquet(bd)
-    if (!side.columns.contains("key")) return fileRows
-    val keyCol = side.select(col("key")).limit(1).collect()
-      .headOption.map(_.getString(0)).getOrElse(return fileRows)
+    val keyCol = bloomRecordedKey(spark, bd).getOrElse(return fileRows)
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, In => CIn, Literal => CLit}
     object Fn {
@@ -4415,12 +4435,7 @@ object Snapshots {
         cs.contains(s"min_$keyCol") && cs.contains(s"max_$keyCol")
       }
     val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
-      .filter { d =>
-        val side = spark.read.parquet(d)
-        side.columns.contains("key") &&
-          side.select(col("key")).limit(1).collect()
-            .headOption.exists(_.getString(0) == keyCol)
-      }
+      .filter(d => bloomRecordedKey(spark, d).contains(keyCol))
     if (sd.isEmpty && bd.isEmpty) return None
     val bounds = dimKeys.agg(min(col(dimCol)).as("lo"),
       max(col(dimCol)).as("hi"),
@@ -4470,12 +4485,7 @@ object Snapshots {
       spark.read.parquet(d).columns
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_")))
     val bloomKey = describingSidecarDir(spark, tablePath, "_bloom",
-      version).toSeq.flatMap { d =>
-      val side = spark.read.parquet(d)
-      if (!side.columns.contains("key")) Seq.empty
-      else side.select(col("key")).limit(1).collect()
-        .headOption.map(_.getString(0)).toSeq
-    }
+      version).toSeq.flatMap(d => bloomRecordedKey(spark, d).toSeq)
     (statsKeys ++ bloomKey).distinct
   }
 
@@ -4965,14 +4975,11 @@ object Snapshots {
       .getOrElse(throw new IllegalArgumentException(
         s"no bloom sidecar for version $version of $tablePath — not " +
           "committed via commitBloom, or expired by vacuum"))
-    val side = spark.read.parquet(bd)
-    if (side.columns.contains("key"))
-      side.select(col("key")).limit(1).collect()
-        .headOption.map(_.getString(0)).foreach(recorded =>
-          require(recorded == phys,
-            s"scanPointAsOf: the bloom sidecar of $tablePath indexes " +
-              s"'$recorded', not '$keyCol' — a probe against it would " +
-              "falsely prune files; commitBloom on the queried key"))
+    bloomRecordedKey(spark, bd).foreach(recorded =>
+      require(recorded == phys,
+        s"scanPointAsOf: the bloom sidecar of $tablePath indexes " +
+          s"'$recorded', not '$keyCol' — a probe against it would " +
+          "falsely prune files; commitBloom on the queried key"))
     val admitted = Skipping.pruneFilesPoint(spark, bd, value)
     val stored = generationOf(spark, tablePath, version)._2
     val base =
