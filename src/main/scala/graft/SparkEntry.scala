@@ -1540,6 +1540,50 @@ object SparkEntry {
       q
     }),
 
+    "q85_sql_read_mor" -> ((s, dir) => {
+      // SELECT on the table a CDC pipeline is upserting into, with NO
+      // fold in between: the governed-read rule substitutes
+      // readMorAsOf — tombstone keys read off the sidecar itself —
+      // so the SQL face equals the merge-on-read resolution (deleted
+      // keys gone, re-upserted keys surviving their own batch's
+      // tombstone). Require-pins: the sync rewrote ZERO pre-existing
+      // files and the tombstone sidecar is still LIVE at the SELECT
+      // (no fold ran). Oracle: the resolved face recomputed from
+      // events (the %5 keys re-keyed at +7 cents, the rest verbatim).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlmor_").toString
+      val tbl = s"$root/storage/mor"
+      Snapshots.init(s, tbl)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      Snapshots.commit(s, ev, tbl, append = false)
+      def filesOf(v: Long) =
+        Snapshots.generationFiles(s, tbl, v)._1.map(_._1).toSet
+      val changed = ev.filter(col("event_id") % 5 === 0)
+      val v1 = Snapshots.commitEqUpsert(s, tbl,
+        upserts = changed.withColumn("value_cents",
+          col("value_cents") + 7L),
+        tombstones = changed.select(col("event_id")),
+        keyCols = Seq("event_id"))
+      require(filesOf(0L).subsetOf(filesOf(v1)),
+        "the CDC sync must rewrite ZERO pre-existing files")
+      Catalog.register(s, root, "mor", tbl)
+      val cat = s"gmor${sqlCatN.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val out = s.sql(
+        s"""SELECT event_type,
+           | CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(sum(value_cents) AS BIGINT) AS sum_cents
+           |FROM $cat.mor
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      val rows = out.collect()
+      require(Snapshots.eqGovernedAt(s, tbl, v1) && rows.nonEmpty,
+        "the SELECT must have served a STILL-GOVERNED face (no fold)")
+      out
+    }),
+
     "q80_sql_merge_sync" -> ((s, dir) => {
       // the FULL-SYNC MERGE (WHEN NOT MATCHED BY SOURCE — the
       // replication shape): after the statement the target IS the
@@ -7095,6 +7139,19 @@ object SparkEntry {
           |  AS sum_cents
           |FROM events JOIN dim ON user_id = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      // the SQL face of a live MOR lineage = the merge-on-read
+      // resolution: %5 keys re-keyed at +7 cents, the rest verbatim
+      "q85_sql_read_mor" ->
+        """WITH face AS (
+          | SELECT event_type, CAST(round(value*100,0) AS BIGINT) AS c
+          |  FROM events WHERE event_id % 5 <> 0
+          | UNION ALL
+          | SELECT event_type, CAST(round(value*100,0) AS BIGINT) + 7
+          |  FROM events WHERE event_id % 5 = 0)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(sum(c) AS BIGINT) AS sum_cents
+          |FROM face GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // after the full-sync merge the target IS the source's face:
       // the %3 rows with their +3 cents

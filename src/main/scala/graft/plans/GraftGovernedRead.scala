@@ -27,22 +27,31 @@ import graft.sources.v2.GraftSnapshotTable
   * optimizes straight through it: predicate pushdown and column pruning
   * reach the underlying parquet scans of both legs.
   *
+  * An EQUALITY-DELETE (merge-on-read) face substitutes
+  * [[Snapshots.readMorAsOf]] instead — the tombstone key set reads
+  * off the newest live sidecar (one key set per lineage is
+  * commit-enforced, so any sidecar's columns speak for all), which is
+  * how a SQL user reads the table a CDC stream is upserting into with
+  * no fold in between. A face the resolved read itself refuses (a
+  * fold-expired history window, a mid-lineage foreign commit) keeps
+  * the loud `toBatch` refusal.
+  *
   * DML targets are exempt (collected by reference before the
   * transform): `DELETE FROM` / `UPDATE` / `MERGE INTO` / `INSERT` plan
-  * against the original relation, whose verbs own the DV/mapping
-  * composition — only true read occurrences rewrite. Equality-delete
-  * (merge-on-read) governance keeps refusing at `toBatch`: its face
-  * needs key columns the catalog does not carry
-  * ([[Snapshots.readMorAsOf]] / `foldEqDeletes` are the route). The
-  * `toBatch` refusal itself also stays, as the backstop for sessions
-  * built WITHOUT [[graft.GraftExtensions]]. */
+  * against the original relation, whose verbs own the DV/mapping/MOR
+  * composition — only true read occurrences rewrite. The `toBatch`
+  * refusal itself also stays, as the backstop for sessions built
+  * WITHOUT [[graft.GraftExtensions]]. */
 object GraftGovernedReadRule extends Rule[LogicalPlan] {
+
+  private def servable(t: GraftSnapshotTable): Boolean =
+    t.needsResolvedRead || t.isEqGoverned
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val governed = plan.collect {
       case r: DataSourceV2Relation
         if r.table.isInstanceOf[GraftSnapshotTable] &&
-          r.table.asInstanceOf[GraftSnapshotTable].needsResolvedRead => r
+          servable(r.table.asInstanceOf[GraftSnapshotTable]) => r
     }
     if (governed.isEmpty) return plan
     // WRITE/DML-position relations, by reference — a MERGE whose source
@@ -64,23 +73,38 @@ object GraftGovernedReadRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case r: DataSourceV2Relation
         if r.table.isInstanceOf[GraftSnapshotTable] &&
-          r.table.asInstanceOf[GraftSnapshotTable].needsResolvedRead &&
+          servable(r.table.asInstanceOf[GraftSnapshotTable]) &&
           !exempt.exists(_ eq r) =>
         val t = r.table.asInstanceOf[GraftSnapshotTable]
-        val resolved = Snapshots
-          .readAsOf(spark, t.snapshotRoot, t.snapshotVersion)
-          .queryExecution.analyzed
-        val byName = resolved.output.map(a => a.name -> a).toMap
-        val aligned = r.output.forall(o =>
-          byName.get(o.name).exists(a =>
-            org.apache.spark.sql.types.DataType
-              .equalsIgnoreNullability(a.dataType, o.dataType)))
-        // a face whose resolved read surfaces different columns than
-        // the catalog schema (shouldn't happen; belt-and-braces) keeps
-        // the loud toBatch refusal instead of a silently-wrong rebind
-        if (!aligned) r
-        else Project(r.output.map(o =>
-          Alias(byName(o.name), o.name)(exprId = o.exprId)), resolved)
+        // a face the resolved read itself refuses (fold-expired
+        // window, foreign mid-lineage commit) keeps the loud toBatch
+        // refusal rather than failing analysis with a stack
+        val resolved = scala.util.Try {
+          val df =
+            if (t.isEqGoverned)
+              Snapshots.readMorAsOf(spark, t.snapshotRoot,
+                t.snapshotVersion,
+                Snapshots.eqLiveKeyCols(spark, t.snapshotRoot)
+                  .getOrElse(throw new IllegalStateException(
+                    "eq-governed face with no live sidecar")))
+            else Snapshots.readAsOf(spark, t.snapshotRoot,
+              t.snapshotVersion)
+          df.queryExecution.analyzed
+        }.toOption
+        val substituted = resolved.flatMap { res =>
+          val byName = res.output.map(a => a.name -> a).toMap
+          val aligned = r.output.forall(o =>
+            byName.get(o.name).exists(a =>
+              org.apache.spark.sql.types.DataType
+                .equalsIgnoreNullability(a.dataType, o.dataType)))
+          // a resolved read surfacing different columns than the
+          // catalog schema (shouldn't happen; belt-and-braces) keeps
+          // the loud refusal instead of a silently-wrong rebind
+          if (!aligned) None
+          else Some(Project(r.output.map(o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId)), res))
+        }
+        substituted.getOrElse(r)
     }
   }
 }

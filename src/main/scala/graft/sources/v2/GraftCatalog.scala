@@ -879,12 +879,17 @@ private[graft] class GraftSnapshotTable(
     * column mapping, or a multi-root partition layout) — the
     * analyzer rule [[graft.plans.GraftGovernedReadRule]] substitutes
     * that read for the plain scan in READ position, so `SELECT` works
-    * right after `DELETE FROM` with no `CALL system.optimize`.
-    * Equality-delete governance stays excluded: a MOR face needs key
-    * columns the catalog does not carry, so it keeps refusing toward
-    * readMorAsOf/foldEqDeletes. */
+    * right after `DELETE FROM` with no `CALL system.optimize`. */
   private[graft] def needsResolvedRead: Boolean =
     (dvGoverned || colMapped || multiRoot) && !eqGoverned
+
+  /** True when the face is governed by equality-delete tombstones —
+    * the rule substitutes [[graft.operators.Snapshots.readMorAsOf]]
+    * (key columns read off the sidecar itself; one key set per
+    * lineage is commit-enforced, so any live sidecar's columns
+    * speak for all); a fold-expired window has no servable face and
+    * keeps the loud `toBatch` refusal. */
+  private[graft] def isEqGoverned: Boolean = eqGoverned
   override def name(): String = tableName
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =

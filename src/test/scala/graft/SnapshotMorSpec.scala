@@ -128,8 +128,10 @@ class SnapshotMorSpec extends SparkSuite {
     assert(Snapshots.readAsOf(spark, tbl, 0L).count() == 3L)
   }
 
-  test("the SQL catalog scan refuses an eq-governed face at scan " +
-    "execution — a plain parquet read would resurrect deleted keys") {
+  test("the SQL catalog serves an eq-governed face through the " +
+    "merge-on-read resolution — keys read off the sidecar, deleted " +
+    "rows gone, no fold required; a fold-expired window keeps " +
+    "refusing") {
     val root = Files.createTempDirectory("graft_morsql_").toString
     val tbl = s"$root/storage/m"
     Snapshots.init(spark, tbl)
@@ -142,15 +144,29 @@ class SnapshotMorSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.m")
       .head.getLong(0) == 2L)
     Snapshots.commitEqUpsert(spark, tbl,
-      upserts = spark.emptyDataset[(Long, String)].toDF("id", "v"),
-      tombstones = Seq(2L).toDF("id"), keyCols = Seq("id"))
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT count(*) FROM $cat.m").collect()
-    }
-    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+      upserts = Seq((3L, "c")).toDF("id", "v"),
+      tombstones = Seq(2L, 3L).toDF("id"), keyCols = Seq("id"))
+    // the governed face serves from SQL at once: id=2 deleted, id=3
+    // upserted (surviving its own batch's tombstone)
+    assert(spark.sql(s"SELECT id FROM $cat.m ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L),
+      "SQL must serve the MOR-resolved face with no fold")
     // pre-MOR time travel still serves from SQL
     assert(spark.sql(s"SELECT count(*) FROM $cat.m VERSION AS OF 0")
       .head.getLong(0) == 2L)
+    // a fold expires the tombstone history: the window's versions
+    // have NO servable face — the SQL scan keeps refusing loudly
+    val eqV = Snapshots.latestVersion(spark, tbl).get
+    Snapshots.foldEqDeletes(spark, tbl)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.m VERSION AS OF $eqV")
+        .collect()
+    }
+    assert(e.getMessage.contains("equality-delete") ||
+      e.getMessage.contains("folded away"), e.getMessage)
+    // the folded head serves as a plain face
+    assert(spark.sql(s"SELECT id FROM $cat.m ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
   test("readMorAsOf refuses a mid-lineage NON-MOR commit (its files' " +
