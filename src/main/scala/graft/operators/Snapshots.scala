@@ -4542,7 +4542,6 @@ object Snapshots {
       expectedPerFile: Long = 100000L,
       fpp: Double = 0.01,
       ts: Option[Long] = None): Long = {
-    requireNoColMap(spark, tablePath, "commitBloom")
     require(expectedPerFile > 0, "expectedPerFile must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val observed = latestVersion(spark, tablePath)
@@ -4574,8 +4573,14 @@ object Snapshots {
       .map(p => manifestFor(spark, tablePath, p).map(_.getString(1)).toSet)
       .getOrElse(Set.empty[String])
     val fresh = gen.map(_.getString(1)).filterNot(parentFiles).toSeq
+    // MAPPING-AWARE like [[commitClustered]]: the sketch aggregates
+    // over the raw files' physical column and records the PHYSICAL
+    // name as its key ([[scanPointAsOf]] translates the probe back)
+    val bloomKey = logicalToPhysical(
+      colMapAsOf(spark, tablePath, version)).getOrElse(keyCol, keyCol)
     val freshBloom =
-      bloomRowsOf(spark, fresh.toIndexedSeq, keyCol, expectedPerFile, fpp)
+      bloomRowsOf(spark, fresh.toIndexedSeq, bloomKey, expectedPerFile,
+        fpp)
     val sidecar = recordedParent.filter(_ => append) match {
       case Some(p) =>
         val dir = describingSidecarDir(spark, tablePath, "_bloom", p)
@@ -4689,12 +4694,15 @@ object Snapshots {
     require(numFiles >= 1, "numFiles must be positive")
     require(keyCols.distinct.size == keyCols.size,
       s"commitZorderedN: duplicate cluster keys in $keyCols")
-    requireNoColMap(spark, tablePath, "commitZorderedN")
     preflightStatsParent(spark, tablePath, append, "commitZorderedN")
     val version = commit(spark,
       Layout.clusterByZOrderN(df, keyCols, numFiles, bits).drop("zkey"),
       tablePath, append, None, derivedFrom, verb)
-    writeKeyStats(spark, tablePath, version, keyCols, append)
+    // MAPPING-AWARE like [[commitClustered]]: stats aggregate over the
+    // raw files' physical columns ([[scanBoxAsOfN]] translates back)
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
+    writeKeyStats(spark, tablePath, version,
+      keyCols.map(k => l2p.getOrElse(k, k)), append)
     version
   }
 
@@ -4719,12 +4727,14 @@ object Snapshots {
     require(numFiles >= 1, "numFiles must be positive")
     require(keyCols.distinct.size == keyCols.size,
       s"commitHilbertN: duplicate cluster keys in $keyCols")
-    requireNoColMap(spark, tablePath, "commitHilbertN")
     preflightStatsParent(spark, tablePath, append, "commitHilbertN")
     val version = commit(spark,
       Layout.clusterByHilbertN(df, keyCols, numFiles, bits).drop("hkey"),
       tablePath, append, None, derivedFrom, verb)
-    writeKeyStats(spark, tablePath, version, keyCols, append)
+    // MAPPING-AWARE like [[commitClustered]]
+    val l2p = logicalToPhysical(colMapAsOf(spark, tablePath, version))
+    writeKeyStats(spark, tablePath, version,
+      keyCols.map(k => l2p.getOrElse(k, k)), append)
     version
   }
 
@@ -4945,7 +4955,9 @@ object Snapshots {
       fpp: Double = 0.01): Long = {
     val version = optimize(spark, tablePath, targetBytes)
     val files = manifestRows(spark, tablePath, version).map(_._1)
-    bloomRowsOf(spark, files, keyCol, expectedPerFile, fpp)
+    val bloomKey = logicalToPhysical(
+      colMapAsOf(spark, tablePath, version)).getOrElse(keyCol, keyCol)
+    bloomRowsOf(spark, files, bloomKey, expectedPerFile, fpp)
       .coalesce(1).write.mode("errorifexists")
       .parquet(bloomDir(tablePath, version))
     version

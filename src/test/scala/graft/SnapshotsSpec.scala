@@ -1496,6 +1496,16 @@ class SnapshotsSpec extends SparkSuite {
     assert(scan2.inputFiles.count(_.contains("/data/")) < 4 &&
       scan2.select($"key").as[Long].collect().sorted.toSeq ==
         (10L to 50L))
+    // a Z-ordered commit AFTER the rename: stats under physical names,
+    // the box scan on the logical name still prunes
+    val vZ = Snapshots.commitZorderedN(spark,
+      (1L to 400L).map(i => (i, i * 5L)).toDF("key", "v"),
+      tbl, Seq("key", "v"), numFiles = 4, append = false)
+    val zbox = Snapshots.scanBoxAsOfN(spark, tbl, vZ,
+      Seq(("key", 20L, 60L)))
+    assert(zbox.inputFiles.count(_.contains("/data/")) < 4 &&
+      zbox.select($"key").as[Long].collect().sorted.toSeq == (20L to 60L))
+
     // a bloom sidecar indexes ONE recorded key — probing another
     // column refuses loudly instead of falsely pruning
     val tblB = freshTable()
@@ -1508,6 +1518,19 @@ class SnapshotsSpec extends SparkSuite {
     assert(e.getMessage.contains("indexes"), e.getMessage)
     assert(Snapshots.scanPointAsOf(spark, tblB, vB, "k", 7L)
       .select($"v").as[Long].collect().toSeq == Seq(14L))
+    // renaming the bloom key translates the probe (recorded key stays
+    // physical); a bloom committed AFTER the rename does too
+    Snapshots.renameColumn(spark, tblB, "k", "kk")
+    val vBR = Snapshots.latestVersion(spark, tblB).get
+    assert(Snapshots.scanPointAsOf(spark, tblB, vBR, "kk", 7L)
+      .select($"v").as[Long].collect().toSeq == Seq(14L),
+      "the renamed bloom key must translate for the probe")
+    val vB2 = Snapshots.commitBloom(spark,
+      (1L to 100L).map(i => (i, i * 9L)).toDF("kk", "v"),
+      tblB, "kk", append = false)
+    assert(Snapshots.scanPointAsOf(spark, tblB, vB2, "kk", 7L)
+      .select($"v").as[Long].collect().toSeq == Seq(63L),
+      "a post-rename bloom commit must index the physical key")
   }
 
   test("deleteWhere on a partitioned lineage: scanPartitionAsOf " +
