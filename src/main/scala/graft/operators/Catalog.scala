@@ -79,14 +79,19 @@ object Catalog {
     latest match {
       case None => Map.empty
       case Some((_, d)) =>
-        spark.read.schema(docSchema).parquet(d).collect()
-          .groupBy(_.getString(0))
-          .map { case (name, rows) =>
-            name -> Entry(rows.head.getString(1),
-              rows.flatMap(r =>
-                if (r.isNullAt(2)) None
-                else Some(r.getString(2) -> r.getString(3))).toMap)
-          }
+        // memoized per published catalog generation (rename-published,
+        // immutable): the SQL catalog resolves EVERY statement's table
+        // references through entries(), a driver Spark job otherwise
+        Snapshots.memoizedMeta(f, new Path(d), "catalog") {
+          spark.read.schema(docSchema).parquet(d).collect()
+            .groupBy(_.getString(0))
+            .map { case (name, rows) =>
+              name -> Entry(rows.head.getString(1),
+                rows.flatMap(r =>
+                  if (r.isNullAt(2)) None
+                  else Some(r.getString(2) -> r.getString(3))).toMap)
+            }
+        }
     }
   }
 
@@ -303,13 +308,24 @@ object Catalog {
         // until a fold, so the sweep is exactly where the gauge belongs
         val eqGoverned = head.exists(h =>
           Snapshots.eqGovernedAt(spark, e.root, h))
+        // per-table error isolation: ONE table whose gauge refuses
+        // (e.g. a legacy manifest lacking footer row counts makes
+        // eqStats throw 'recommit the version') must not take down the
+        // whole fleet's poll surface — it reports NaN (fold/compact
+        // not due; the operator sees the odd fraction) and the sweep
+        // continues over the other tables
         val eqFrac =
           if (!eqGoverned) 0.0
-          else Snapshots.eqStats(spark, e.root, foldAt)
-            .select(col("eq_fraction")).collect().head.getDouble(0)
+          else
+            try Snapshots.eqStats(spark, e.root, foldAt)
+              .select(col("eq_fraction")).collect().head.getDouble(0)
+            catch { case _: IllegalArgumentException |
+                         _: IllegalStateException => Double.NaN }
         val dvFrac = head.filter(_ => !eqGoverned).map { _ =>
-          Snapshots.dvStats(spark, e.root, compactAt)
+          try Snapshots.dvStats(spark, e.root, compactAt)
             .select(col("dv_fraction")).collect().head.getDouble(0)
+          catch { case _: IllegalArgumentException |
+                       _: IllegalStateException => Double.NaN }
         }.getOrElse(0.0)
         val vacuumFrom = e.props.get("retain_versions").map(_.toInt)
           .filter(k => versions.length > k)

@@ -99,6 +99,50 @@ object Snapshots {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** JVM-wide memo for PATH-ADDRESSED metadata artifacts — one
+    * manifest generation file, one published sidecar dir, one catalog
+    * doc dir. Entries are keyed by the artifact's `FileStatus`
+    * (modificationTime, length) ALONGSIDE the path, so the memo
+    * self-invalidates whenever the path is rewritten — including the
+    * drop-table-and-recreate-the-same-path loop, where version
+    * numbers restart and `v0` names a DIFFERENT artifact (the r20
+    * advice against path-only cache keys, which could let a stale
+    * bloom key silently false-prune). Artifacts are immutable once
+    * published (`errorifexists` writes, rename publishes), so a
+    * matching status can only describe the same bytes; a hit costs
+    * one getFileStatus RPC where the computed read costs a driver
+    * Spark job — the difference that makes per-STATEMENT SQL
+    * resolution (loadTable + governed-read substitution, the r20
+    * q73–q80 regression cluster) O(RPC) instead of O(jobs). Cached
+    * values must be immutable; callers never mutate them. */
+  private val metaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), AnyRef]
+
+  private[graft] def memoizedMeta[T <: AnyRef](
+      f: org.apache.hadoop.fs.FileSystem,
+      path: Path,
+      tag: String)(compute: => T): T = {
+    val st =
+      try f.getFileStatus(path)
+      catch { case _: java.io.FileNotFoundException => null }
+    if (st == null) return compute // absent: nothing stable to key on
+    // wholesale bound, like the bloom-key memo it generalizes: a
+    // process touches few distinct artifacts, and a clear only costs
+    // re-reads
+    if (metaMemo.size > 8192) metaMemo.clear()
+    // `tag` namespaces DIFFERENT derivations of the same artifact
+    // (e.g. a stats dir's described-file set vs its key columns)
+    val key = (tag + ":" + path.toString, st.getModificationTime,
+      st.getLen)
+    val hit = metaMemo.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = compute
+      metaMemo.put(key, v.asInstanceOf[AnyRef])
+      v
+    }
+  }
+
   /** Wipe the table root — a fresh snapshot lineage. (Harness queries
     * rebuild their fixture lineage per run; real tables call this
     * never.) */
@@ -289,17 +333,26 @@ object Snapshots {
     manifestReads.incrementAndGet()
     recoverManifestSwap(spark, tablePath)
     val path = genFilePath(tablePath, version)
-    if (!fs(spark, tablePath).exists(new Path(path)))
+    val f = fs(spark, tablePath)
+    if (!f.exists(new Path(path)))
       return Array.empty[Row]
-    try {
-      manifestFilesOpened.incrementAndGet()
-      val rows = normalizeManifest(spark.read.parquet(path)).collect()
-      manifestRowsCollected.addAndGet(rows.length.toLong)
-      rows
-    } catch {
-      // the generation vanished between the exists check and the read
-      // (a racer's retraction) — gone is gone, same answer as above
-      case e: Throwable if isFileGone(e) => Array.empty[Row]
+    // memoized per (path, FileStatus): a generation file is immutable
+    // once published (vacuum/purge REPLACE it via swapManifest — new
+    // status, fresh read), so repeated per-version resolution (every
+    // SQL statement's loadTable + governed-read substitution) pays the
+    // driver Spark job once, not per statement
+    memoizedMeta(f, new Path(path), "gen") {
+      try {
+        manifestFilesOpened.incrementAndGet()
+        val rows = normalizeManifest(spark.read.parquet(path)).collect()
+        manifestRowsCollected.addAndGet(rows.length.toLong)
+        rows
+      } catch {
+        // the generation vanished between the exists check and the read
+        // (a racer's retraction) — gone is gone, same answer as above;
+        // the stale status key can never be consulted again
+        case e: Throwable if isFileGone(e) => Array.empty[Row]
+      }
     }
   }
 
@@ -2398,10 +2451,15 @@ object Snapshots {
         "landed mid-MOR-lineage from non-MOR verbs — their files' age " +
         "against the tombstones is unknowable; foldEqDeletes first")
     // per-file add sequence from the sidecars' own fresh lists —
-    // O(batches since fold) tiny metadata reads, never a history walk
+    // O(batches since fold) tiny metadata reads, never a history walk;
+    // memoized per published sidecar (every governed SQL statement
+    // re-resolves this read)
     val freshOf: Seq[(Long, Set[String])] = eqDirs.map { case (n, dir) =>
-      n -> spark.read.schema(eqFreshSchema).parquet(s"$dir/fresh")
-        .collect().map(r => normPath(r.getString(0))).toSet
+      n -> memoizedMeta(fs(spark, dir),
+        new Path(s"$dir/fresh"), "eqfresh") {
+        spark.read.schema(eqFreshSchema).parquet(s"$dir/fresh")
+          .collect().map(r => normPath(r.getString(0))).toSet
+      }
     }
     val claimed = freshOf.flatMap(_._2).toSet
     val seqCol = "__eq_seq"
@@ -2421,18 +2479,18 @@ object Snapshots {
     val data = legs.reduceLeft(_ unionByName _)
     val tombSeq = "__eq_tomb_seq"
     val tombs = eqDirs.map { case (n, dir) =>
-      val side = spark.read.parquet(s"$dir/keys")
+      val sideCols = eqSidecarKeyCols(spark, dir)
       // BY NAME, never positionally: the sidecar's parquet columns are
       // the keyCols of ITS commit — a caller passing a different order
       // (or a different key set than the syncs used) must resolve to
       // the right columns or refuse loudly, not silently cross-wire
       // the anti-join
-      require(side.columns.sorted.sameElements(keyCols.sorted),
+      require(sideCols.sorted.sameElements(keyCols.sorted),
         s"readMorAsOf: tombstone sidecar v$n of $tablePath is keyed " +
-          s"on (${side.columns.sorted.mkString(",")}) but the read " +
+          s"on (${sideCols.sorted.mkString(",")}) but the read " +
           s"asked for (${keyCols.sorted.mkString(",")}) — the key " +
           "sets must match")
-      side.select(keyCols.map(k =>
+      spark.read.parquet(s"$dir/keys").select(keyCols.map(k =>
           col(k).as(s"__eq_t_$k")).toIndexedSeq: _*)
         .withColumn(tombSeq, lit(n))
     }.reduceLeft(_ unionByName _)
@@ -2661,12 +2719,22 @@ object Snapshots {
   private def colMapOf(
       spark: SparkSession,
       gens: SidecarGens): Seq[(String, Option[String])] =
-    gens.colMap.map { case (_, dir) =>
+    gens.colMap.map { case (_, dir) => colMapRead(spark, dir) }
+      .getOrElse(Seq.empty)
+
+  /** One colmap sidecar dir's rows — memoized per published dir
+    * ([[memoizedMeta]]): the mapping is consulted by every SQL
+    * statement's loadTable (the colMapped guard) and by every read/DML
+    * verb, and the dir is immutable once published. */
+  private def colMapRead(
+      spark: SparkSession,
+      dir: String): Seq[(String, Option[String])] =
+    memoizedMeta(fs(spark, dir), new Path(dir), "colmap") {
       spark.read.schema(colMapSchema).parquet(dir)
         .collect().map(r => (r.getString(0),
           if (r.isNullAt(1)) None else Some(r.getString(1))))
         .sortBy(_._1).toSeq
-    }.getOrElse(Seq.empty)
+    }
 
   /** (file, part) rows + stored schema of ONE generation from a single
     * eager manifest read — the verbs that once called [[manifest]]
@@ -2733,6 +2801,20 @@ object Snapshots {
       version: Long): Option[DataFrame] =
     resolveDvDir(spark, tablePath, version).map { case (_, dir) =>
       spark.read.schema(dvSchema).parquet(dir)
+    }
+
+  /** The normalized file set one DV sidecar dir records — the SQL
+    * catalog's dv-governed probe ([[graft.sources.v2.GraftCatalog]]
+    * resolves EVERY statement's table references through it), memoized
+    * per published dir ([[memoizedMeta]]): a driver Spark job
+    * otherwise repeated per statement. */
+  private[graft] def dvRecordedFiles(
+      spark: SparkSession,
+      dir: String): Set[String] =
+    memoizedMeta(fs(spark, dir), new Path(dir), "dvfiles") {
+      spark.read.schema(dvSchema).parquet(dir)
+        .select(col("file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
     }
 
   private def writeDvSet(
@@ -3279,27 +3361,25 @@ object Snapshots {
   }
 
   /** The `key` column a bloom sidecar dir records — memoized per
-    * DIRECTORY, because the read is a (tiny) Spark job and the probe
-    * sits on hot paths (point scans, runtime-filter admission, DML
-    * discovery, loadTable). Sound to cache: sidecar dirs are
-    * immutable once published (`errorifexists` writes, version-named);
-    * a retracted/vacuumed dir's stale entry can only describe a read
-    * that fails loudly on the missing files anyway. Cleared wholesale
-    * if it ever grows silly (a process touches few distinct dirs). */
-  private val bloomKeyCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
-
+    * directory through [[memoizedMeta]], because the read is a (tiny)
+    * Spark job and the probe sits on hot paths (point scans,
+    * runtime-filter admission, DML discovery, loadTable). The
+    * FileStatus in the memo key closes the r20-advice hole a
+    * path-only key left open: dropping a table directory and
+    * re-initializing the SAME path restarts versions at 0, recreating
+    * e.g. `_bloom/v0` with a DIFFERENT key — under a path-only key
+    * the stale entry would let admission probe sketches built over
+    * another column, a silent false prune. The recreated dir's status
+    * differs, so it re-reads. */
   private def bloomRecordedKey(
       spark: SparkSession,
-      dir: String): Option[String] = {
-    if (bloomKeyCache.size > 4096) bloomKeyCache.clear()
-    bloomKeyCache.computeIfAbsent(dir, d => {
-      val side = spark.read.parquet(d)
+      dir: String): Option[String] =
+    memoizedMeta(fs(spark, dir), new Path(dir), "bloomkey") {
+      val side = spark.read.parquet(dir)
       if (!side.columns.contains("key")) None
       else side.select(col("key")).limit(1).collect()
         .headOption.map(_.getString(0))
-    })
-  }
+    }
 
   /** [[statsPrunedForDml]]'s point-lookup sibling: when a BLOOM
     * sidecar describes the parent generation and the predicate carries
@@ -4024,11 +4104,7 @@ object Snapshots {
       tablePath: String,
       version: Long): Seq[(String, Option[String])] =
     sidecarResolve(spark, colMapRoot(tablePath), version).map {
-      case (_, dir) =>
-        spark.read.schema(colMapSchema).parquet(dir)
-          .collect().map(r => (r.getString(0),
-            if (r.isNullAt(1)) None else Some(r.getString(1))))
-          .sortBy(_._1).toSeq
+      case (_, dir) => colMapRead(spark, dir)
     }.getOrElse(Seq.empty)
 
   private def writeColMap(
@@ -4297,17 +4373,26 @@ object Snapshots {
     val f = fs(spark, tablePath)
     val exact = s"$tablePath/$family/v$version"
     if (f.exists(new Path(exact))) return Some(exact)
-    def norm(p: String) = new Path(p).toUri.getPath
     val rows = manifestRows(spark, tablePath, version)
     if (rows.isEmpty) return None
     sidecarResolve(spark, s"$tablePath/$family", version)
       .filter { case (_, dir) =>
-        val described = spark.read.parquet(dir)
-          .select(col("file")).collect()
-          .map(r => norm(r.getString(0))).toSet
-        rows.forall(r => described.contains(norm(r._1)))
+        val described = sidecarDescribedFiles(spark, dir)
+        rows.forall(r => described.contains(normPath(r._1)))
       }.map(_._2)
   }
+
+  /** The normalized `file` set a stats/bloom sidecar dir describes —
+    * the coverage-proof read of [[describingSidecarDir]], memoized per
+    * published dir ([[memoizedMeta]]) because it is a driver Spark job
+    * on every resolve of a sidecar-governed table. */
+  private def sidecarDescribedFiles(
+      spark: SparkSession,
+      dir: String): Set[String] =
+    memoizedMeta(fs(spark, dir), new Path(dir), "described") {
+      spark.read.parquet(dir).select(col("file")).collect()
+        .map(r => normPath(r.getString(0))).toSet
+    }
 
   /** Stats-pruned key-range scan AS OF `version`: the version's stats
     * manifest admits only the files whose [min, max] interval meets
@@ -4430,10 +4515,7 @@ object Snapshots {
       .exists { case (p, l) => !l.contains(p) }) return None
     val dimCol = dimKeys.columns.head
     val sd = describingSidecarDir(spark, tablePath, "_stats", version)
-      .filter { d =>
-        val cs = spark.read.parquet(d).columns
-        cs.contains(s"min_$keyCol") && cs.contains(s"max_$keyCol")
-      }
+      .filter(d => statsSidecarKeys(spark, d).contains(keyCol))
     val bd = describingSidecarDir(spark, tablePath, "_bloom", version)
       .filter(d => bloomRecordedKey(spark, d).contains(keyCol))
     if (sd.isEmpty && bd.isEmpty) return None
@@ -4481,13 +4563,23 @@ object Snapshots {
     if (colMapAsOf(spark, tablePath, version)
       .exists { case (p, l) => !l.contains(p) }) return Seq.empty
     val statsKeys = describingSidecarDir(spark, tablePath, "_stats",
-      version).toSeq.flatMap(d =>
-      spark.read.parquet(d).columns
-        .filter(_.startsWith("min_")).map(_.stripPrefix("min_")))
+      version).toSeq.flatMap(d => statsSidecarKeys(spark, d))
     val bloomKey = describingSidecarDir(spark, tablePath, "_bloom",
       version).toSeq.flatMap(d => bloomRecordedKey(spark, d).toSeq)
     (statsKeys ++ bloomKey).distinct
   }
+
+  /** The key columns a stats sidecar dir carries min_/max_ intervals
+    * for — memoized per published dir (a footer read otherwise
+    * repeated by every statement's loadTable and every admission). */
+  private def statsSidecarKeys(
+      spark: SparkSession,
+      dir: String): Seq[String] =
+    memoizedMeta(fs(spark, dir), new Path(dir), "statskeys") {
+      val cs = spark.read.parquet(dir).columns
+      cs.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        .filter(k => cs.contains(s"max_$k")).toSeq
+    }
 
   /** The SQL runtime-filter bridge: the data files of `version` an
     * IN-set of `values` on `keyCol` admits, spelled EXACTLY as the
@@ -5673,8 +5765,19 @@ object Snapshots {
       tablePath: String): Option[Seq[String]] =
     latestVersion(spark, tablePath).flatMap(h =>
       liveEqDirs(spark, tablePath, h).lastOption.map { case (_, dir) =>
-        spark.read.parquet(s"$dir/keys").columns.toSeq
+        eqSidecarKeyCols(spark, dir)
       })
+
+  /** One tombstone sidecar's recorded key columns (its keys-parquet
+    * column names) — memoized per published dir: a footer read
+    * otherwise repeated by every governed SQL statement's
+    * substitution. */
+  private def eqSidecarKeyCols(
+      spark: SparkSession,
+      dir: String): Seq[String] =
+    memoizedMeta(fs(spark, dir), new Path(s"$dir/keys"), "eqkeycols") {
+      spark.read.parquet(s"$dir/keys").columns.toSeq
+    }
 
   /** [[foldEqDeletes]] with the key columns derived from the newest
     * live sidecar itself — the maintenance-sweep entry point (the

@@ -78,19 +78,26 @@ object GraftGovernedReadRule extends Rule[LogicalPlan] {
         val t = r.table.asInstanceOf[GraftSnapshotTable]
         // a face the resolved read itself refuses (fold-expired
         // window, foreign mid-lineage commit) keeps the loud toBatch
-        // refusal rather than failing analysis with a stack
-        val resolved = scala.util.Try {
-          val df =
-            if (t.isEqGoverned)
-              Snapshots.readMorAsOf(spark, t.snapshotRoot,
-                t.snapshotVersion,
-                Snapshots.eqLiveKeyCols(spark, t.snapshotRoot)
-                  .getOrElse(throw new IllegalStateException(
-                    "eq-governed face with no live sidecar")))
-            else Snapshots.readAsOf(spark, t.snapshotRoot,
-              t.snapshotVersion)
-          df.queryExecution.analyzed
-        }.toOption
+        // refusal rather than failing analysis with a stack. ONLY the
+        // refusal types degrade — a genuine IO/listing failure must
+        // propagate, or the toBatch message ('deletion vectors' /
+        // 'equality-delete') would misdiagnose the real fault
+        val resolved =
+          try {
+            val df =
+              if (t.isEqGoverned)
+                Snapshots.readMorAsOf(spark, t.snapshotRoot,
+                  t.snapshotVersion,
+                  Snapshots.eqLiveKeyCols(spark, t.snapshotRoot)
+                    .getOrElse(throw new IllegalStateException(
+                      "eq-governed face with no live sidecar")))
+              else Snapshots.readAsOf(spark, t.snapshotRoot,
+                t.snapshotVersion)
+            Some(df.queryExecution.analyzed)
+          } catch {
+            case _: IllegalArgumentException => None
+            case _: IllegalStateException => None
+          }
         val substituted = resolved.flatMap { res =>
           val byName = res.output.map(a => a.name -> a).toMap
           val aligned = r.output.forall(o =>

@@ -779,8 +779,9 @@ private[v2] object GraftSnapshotTable {
             .toOption.map(_ -> p.toString))
           .filter(_._1 <= version)
         dirs.sortBy(_._1).lastOption.exists { case (_, dir) =>
-          val dvFiles = spark.read.parquet(dir).select("file").distinct()
-            .collect().map(r => norm(r.getString(0))).toSet
+          // memoized per published dir — this probe runs on EVERY
+          // statement's loadTable
+          val dvFiles = Snapshots.dvRecordedFiles(spark, dir)
           files.exists(f => dvFiles.contains(norm(f)))
         }
       }

@@ -47,9 +47,16 @@ class GraftRuntimePruneScanBuilder(
     inner.pushFilters(filters)
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
   override def build(): Scan = inner.build() match {
-    case ps: ParquetScan =>
+    // a scan with a non-empty readPartitionSchema reconstructs
+    // partition-column values from the file index's partition spec —
+    // the swapped bare InMemoryFileIndex in `filter` would lose that
+    // reconstruction and mis-serve the partition column. Unreachable
+    // today (partitioned faces never get covering stats/bloom
+    // sidecars), but guard EXPLICITLY so a future partitioned+sidecar
+    // composition degrades to unpruned, never to wrong values
+    case ps: ParquetScan if ps.readPartitionSchema.isEmpty =>
       new GraftRuntimePrunedScan(ps, spark, tablePath, version, keys)
-    case other => other // non-parquet delegate: no pruning hook
+    case other => other // non-parquet/partitioned delegate: no hook
   }
 }
 
@@ -92,26 +99,38 @@ class GraftRuntimePrunedScan(
   override def filterAttributes(): Array[NamedReference] =
     keys.map(k => FieldReference(Seq(k))).toArray
 
-  override def filter(predicates: Array[Predicate]): Unit =
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // admission derives FRESH from `inner` on every filter round —
+    // intersection only ACROSS THIS CALL's predicates. A re-executed
+    // scan instance handed a DIFFERENT runtime key set (reused
+    // exchange, re-optimized AQE stage) must not inherit the previous
+    // round's admission: a stale monotonic intersect could silently
+    // under-admit files the new key set needs
+    var kept: Option[Seq[String]] = None
     predicates.foreach { p =>
       extractIn(p).foreach { case (key, values, dt) =>
         graft.operators.Snapshots.runtimeAdmittedFiles(
           spark, tablePath, version, key, values, dt).foreach { adm =>
-          // intersect with any previous predicate's admission — both
-          // in manifest spelling; conservative legs make order moot
-          val kept = admitted.fold(adm)(prev =>
-            adm.filter(prev.toSet.contains))
-          val before =
-            admitted.fold(inner.fileIndex.inputFiles.length)(_.length)
-          if (kept.length < before) {
-            admitted = Some(kept)
-            current = current.copy(fileIndex = new InMemoryFileIndex(
-              spark, kept.map(new Path(_)),
-              Map.empty[String, String], Some(current.dataSchema)))
-          }
+          // both in manifest spelling; conservative legs make order moot
+          kept = Some(kept.fold(adm)(prev =>
+            adm.filter(prev.toSet.contains)))
         }
       }
     }
+    kept match {
+      case Some(k) if k.length < inner.fileIndex.inputFiles.length =>
+        admitted = Some(k)
+        current = inner.copy(fileIndex = new InMemoryFileIndex(
+          spark, k.map(new Path(_)),
+          Map.empty[String, String], Some(inner.dataSchema)))
+      case Some(_) => // admitted everything: serve the stock scan
+        admitted = None
+        current = inner
+      case None => // no applicable predicate this round: unfiltered
+        admitted = None
+        current = inner
+    }
+  }
 
   /** (key, scala values, type) of an `IN(col, lit...)` or
     * `= (col, lit)` runtime predicate on a single top-level column —

@@ -246,4 +246,52 @@ class CatalogSpec extends SparkSuite {
     assert(Snapshots.listGenerations(spark, cold).length == 2,
       "the refusing table must not strand the rest of the fleet")
   }
+
+  test("maintenance gauge isolation: ONE table whose eq gauge refuses " +
+    "(legacy manifest without footer counts) reports NaN and the " +
+    "sweep still serves every other table") {
+    val cat = freshRoot()
+    val mor = s"$cat/storage/mor"; val ok = s"$cat/storage/ok"
+    Snapshots.init(spark, mor); Snapshots.init(spark, ok)
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
+      mor, append = false)
+    Snapshots.commitEqUpsert(spark, mor,
+      upserts = Seq((1L, "u")).toDF("id", "v"),
+      tombstones = Seq(1L).toDF("id"), keyCols = Seq("id"))
+    Snapshots.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      ok, append = false)
+    // simulate a pre-row-count layout on the MOR table: rewrite each
+    // live generation without the rows column, keeping the canonical
+    // gen-v<N>.parquet names (eqStats then refuses 'recommit the
+    // version' — exactly the per-table fault the sweep must isolate)
+    val f = new org.apache.hadoop.fs.Path(mor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.listGenerations(spark, mor).foreach { v =>
+      val legacy = spark.read
+        .parquet(s"$mor/_versions/gen-v$v.parquet").drop("rows")
+      val tmp = s"$mor/_vtmp$v"
+      legacy.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .filter(p => p.isFile && p.getName.endsWith(".parquet")).head
+      assert(f.delete(new org.apache.hadoop.fs.Path(
+        s"$mor/_versions/gen-v$v.parquet"), false))
+      assert(f.rename(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(
+          s"$mor/_versions/gen-v$v.parquet")))
+      assert(f.delete(new org.apache.hadoop.fs.Path(tmp), true))
+    }
+    Catalog.register(spark, cat, "mor", mor)
+    Catalog.register(spark, cat, "ok", ok)
+    intercept[IllegalArgumentException](Snapshots.eqStats(spark, mor))
+    val rec = Catalog.maintenance(spark, cat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rec.keySet == Set("mor", "ok"),
+      "one refusing gauge must not take down the fleet poll surface")
+    assert(rec("mor").getDouble(6).isNaN && !rec("mor").getBoolean(7),
+      "the refusing table reports NaN, never a phantom fold_due")
+    assert(rec("ok").getDouble(6) == 0.0 && !rec("ok").getBoolean(4),
+      "the healthy table's row must be served as ever")
+  }
 }

@@ -645,4 +645,83 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql(s"SELECT id FROM $cat.tr").as[Long].collect()
       .toSeq == Seq(9L), "the truncated table keeps its schema")
   }
+
+  test("governed-read resolution is memoized: a SECOND SELECT over the " +
+    "same DV-governed version opens ZERO additional manifest files, " +
+    "answers byte-identically, and a NEW commit invalidates the memo") {
+    val (cat, root) = freshCatalog()
+    val tbl = s"$root/storage/memo"
+    Snapshots.init(spark, tbl)
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
+      tbl, append = false)
+    Catalog.register(spark, root, "memo", tbl)
+    spark.sql(s"DELETE FROM $cat.memo WHERE id <= 3")
+    // first governed SELECT: pays the resolution (manifest + sidecars)
+    val first = spark.sql(s"SELECT id, v FROM $cat.memo ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(first == (4L to 10L).map(i => (i, s"r$i")))
+    // the SECOND statement over the SAME immutable face: every
+    // per-statement resolution (loadTable's generation read + DV probe,
+    // the governed-read rule's readAsOf) answers from the status-keyed
+    // memo — zero manifest files opened (the r20 q73–q80 analysis-time
+    // cost, removed)
+    val o0 = Snapshots.manifestFilesOpened.get
+    val second = spark.sql(s"SELECT id, v FROM $cat.memo ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    val opened = Snapshots.manifestFilesOpened.get - o0
+    assert(second == first,
+      "the memoized resolution must serve the identical face")
+    assert(opened == 0L,
+      s"a repeated governed SELECT opened $opened manifest files — " +
+        "the (path, FileStatus)-keyed memo must answer all of them")
+    // invalidation: a NEW DELETE moves the head to a fresh generation
+    // file and a fresh DV sidecar — the next SELECT must serve the new
+    // face, never the memoized old one
+    spark.sql(s"DELETE FROM $cat.memo WHERE id = 10")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.memo")
+      .as[Long].head() == 6L,
+      "a commit after the memoized read must invalidate the memo")
+  }
+
+  test("runtime-filter admission derives fresh per filter round: a " +
+    "re-executed scan instance handed a DIFFERENT key set must not " +
+    "inherit the previous round's intersection") {
+    val (cat, root) = freshCatalog()
+    val fact = s"$root/storage/refact"
+    Snapshots.init(spark, fact)
+    // 8 range-clustered files: k=1 lives only in file 1, k=799 only in
+    // file 8 — a stale cross-round intersection would be EMPTY
+    Snapshots.commitClustered(spark,
+      (1L to 800L).map(i => (i, i * 3L)).toDF("k", "v"),
+      fact, "k", numFiles = 8, append = false)
+    Catalog.register(spark, root, "refact", fact)
+    val df = spark.sql(s"SELECT k, v FROM $cat.refact")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[org.apache.spark.sql.GraftRuntimePrunedScan]
+        => b.scan.asInstanceOf[org.apache.spark.sql.GraftRuntimePrunedScan]
+    }.head
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def inPred(vals: Seq[Long]) = new Predicate("IN",
+      (Expressions.column("k") +:
+        vals.map(v => Expressions.literal(Long.box(v)))).toArray[
+        org.apache.spark.sql.connector.expressions.Expression])
+    scan.filter(Array(inPred(Seq(1L))))
+    val round1 = scan.admittedFiles
+    assert(round1.exists(n => n >= 1 && n < 8),
+      s"round 1 must prune the 8-file fact on k=1, admitted $round1")
+    // the SAME scan instance re-filtered with a DISJOINT key set (the
+    // reused-exchange / re-optimized-AQE-stage shape): admission must
+    // derive from the FULL file list again — the old monotonic
+    // intersection would admit ZERO files and silently drop k=799
+    scan.filter(Array(inPred(Seq(799L))))
+    val round2 = scan.admittedFiles
+    assert(round2.exists(n => n >= 1 && n < 8),
+      s"round 2 must admit k=799's file from the FULL list, not the " +
+        s"previous round's intersection — admitted $round2")
+    assert(scan.planInputPartitions().nonEmpty,
+      "the re-filtered scan must still plan k=799's file")
+  }
 }

@@ -115,17 +115,21 @@ class SnapshotsResolutionSpec extends SparkSuite {
       s"latestVersion collected $latestRows manifest rows — the head " +
         "must resolve from the directory listing alone")
 
+    // UPPER bounds since r21: the status-keyed generation memo can
+    // answer a repeat of an already-read generation with ZERO rows
+    // collected — the budget contract (never the history) holds either
+    // way
     val (n, readRows) = rowsCounted(
       Snapshots.readAsOf(spark, tbl, head).count())
     assert(n == 12L)
-    assert(readRows == headFiles,
+    assert(readRows <= headFiles,
       s"readAsOf(head) collected $readRows manifest rows over a " +
         s"$historyRows-row history — budget: the generation's own " +
         s"$headFiles")
 
     val (c, countRows) = rowsCounted(Snapshots.countAsOf(spark, tbl, head))
     assert(c == 12L)
-    assert(countRows == headFiles,
+    assert(countRows <= headFiles,
       s"countAsOf(head) collected $countRows manifest rows, budget " +
         s"$headFiles")
 
@@ -133,7 +137,7 @@ class SnapshotsResolutionSpec extends SparkSuite {
     // head's and not the history's
     val (c3, oldRows) = rowsCounted(Snapshots.countAsOf(spark, tbl, 2L))
     assert(c3 == 3L)
-    assert(oldRows == 3L,
+    assert(oldRows <= 3L,
       s"countAsOf(v2) collected $oldRows manifest rows, budget 3")
 
     // the timeline verb collects one row per GENERATION (the distinct
@@ -171,7 +175,9 @@ class SnapshotsResolutionSpec extends SparkSuite {
     val (n, rows) = rowsCounted(
       Snapshots.scanPartitionAsOf(spark, tbl, head, "day", "d1").count())
     assert(n == 15L && v0 == 0L)
-    assert(rows == headFileCount,
+    // ≤ since r21: the status-keyed generation memo can answer a
+    // generation the commits already read with ZERO rows collected
+    assert(rows <= headFileCount,
       s"scanPartitionAsOf collected $rows manifest rows, budget " +
         s"$headFileCount (the head generation's own files)")
   }
@@ -297,22 +303,24 @@ class SnapshotsResolutionSpec extends SparkSuite {
     assert(dl == 1L && fo == 0L && rc == 0L && sl == 0L,
       s"latestVersion budget: listings=$dl opens=$fo rows=$rc " +
         s"sidecars=$sl — expected 1/0/0/0")
-    // a HEAD read: 1 listing lap + 1 gen file + its own rows + 1 root
-    // sidecar listing
+    // a HEAD read: 1 listing lap + AT MOST 1 gen file + its own rows +
+    // 1 root sidecar listing (≤ since r21: the status-keyed generation
+    // memo answers a re-read of a generation some commit's
+    // reconciliation already opened with ZERO opens)
     val (n1, dl1, fo1, rc1, sl1) = fullBudget(
       Snapshots.readAsOf(spark, tbl, 199L).count())
     assert(n1 == 1L)
-    assert(dl1 <= 2L && fo1 == 1L && rc1 == 1L && sl1 == 1L,
+    assert(dl1 <= 2L && fo1 <= 1L && rc1 <= 1L && sl1 == 1L,
       s"readAsOf(head) budget: listings=$dl1 opens=$fo1 rows=$rc1 " +
-        s"sidecars=$sl1 — expected ≤2/1/1/1 on a 200-generation table")
+        s"sidecars=$sl1 — expected ≤2/≤1/≤1/1 on a 200-generation table")
     // a DEEP-HISTORY read (v1): the SAME budget — depth is free
     val (n2, dl2, fo2, rc2, sl2) = fullBudget(
       Snapshots.readAsOf(spark, tbl, 1L).count())
     assert(n2 == 1L)
-    assert(dl2 <= 2L && fo2 == 1L && rc2 == 1L && sl2 == 1L,
+    assert(dl2 <= 2L && fo2 <= 1L && rc2 <= 1L && sl2 == 1L,
       s"readAsOf(v1) budget: listings=$dl2 opens=$fo2 rows=$rc2 " +
-        s"sidecars=$sl2 — expected ≤2/1/1/1: reading 200 versions deep " +
-        "must cost the same as reading the head")
+        s"sidecars=$sl2 — expected ≤2/≤1/≤1/1: reading 200 versions " +
+        "deep must cost the same as reading the head")
     // the TIMELINE verb: checkpoint + ≤ interval newer gen files; rows
     // one per generation (that is the verb's answer), opens constant
     val (vAt, dl3, fo3, rc3, _) = fullBudget(
