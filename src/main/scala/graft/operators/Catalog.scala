@@ -114,14 +114,21 @@ object Catalog {
         .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
         .foldLeft(-1L)(math.max)
     val rows = next.toSeq.flatMap { case (name, e) =>
-      if (e.props.isEmpty) Seq(Row(name, e.root, null, null))
-      else e.props.toSeq.map { case (k, v) => Row(name, e.root, k, v) }
+      if (e.props.isEmpty) Seq(Seq[Any](name, e.root, null, null))
+      else e.props.toSeq.map { case (k, v) => Seq[Any](name, e.root, k, v) }
     }
-    val tmp = s"$catalogRoot/${CatalogDir}_tmp_v${latest + 1}"
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), docSchema)
-      .coalesce(1).write.mode("errorifexists").parquet(tmp)
-    require(f.rename(new Path(tmp),
+    // driver-side single-file write (Snapshots.writeMetaParquet): the
+    // doc rows are a driver Seq, and a Spark job per catalog publish —
+    // one per pin/registration, i.e. per SQL DML statement — put
+    // ~170 ms of job overhead on every statement
+    val tmp = new Path(s"$catalogRoot/${CatalogDir}_tmp_v${latest + 1}")
+    if (f.exists(tmp)) throw new IllegalStateException(
+      s"catalog staging dir $tmp already exists — racing publish?")
+    Snapshots.writeMetaParquet(spark.sparkContext.hadoopConfiguration,
+      new Path(tmp, "part-00000.parquet"),
+      Seq("name" -> false, "root" -> false,
+        "prop_key" -> false, "prop_value" -> false), rows)
+    require(f.rename(tmp,
       new Path(s"$catalogRoot/$CatalogDir/v${latest + 1}")),
       s"catalog publish failed for $catalogRoot — staged doc left at $tmp")
   }

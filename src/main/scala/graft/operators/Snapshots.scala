@@ -143,6 +143,83 @@ object Snapshots {
     }
   }
 
+  /** Driver-side single-file parquet write for TINY, DRIVER-HELD
+    * metadata rows — manifest generations, checkpoints, catalog docs,
+    * constraint/mapping sidecars. The metadata plane must not pay a
+    * Spark job (scheduler round + task launch + job-commit staging —
+    * measured ~170 ms local per write, a multipart commit dance on an
+    * object store) to persist rows the driver already holds in a Seq;
+    * Delta writes its JSON actions and Iceberg its avro manifests
+    * driver-side for exactly this reason. Columns are the nullable
+    * long/string shapes every graft metadata schema uses; the written
+    * types (optional int64 / optional binary UTF8) read back under
+    * Spark as the same long/string columns the Spark-written files
+    * carried, and every reader goes through an explicit schema or
+    * [[normalizeManifest]] anyway. CREATE mode refuses an existing
+    * destination — the `errorifexists` the Spark writes used. */
+  private[graft] def writeMetaParquet(
+      conf: org.apache.hadoop.conf.Configuration,
+      dest: Path,
+      cols: Seq[(String, Boolean)], // (name, isLong); false = string
+      rows: Iterable[Seq[Any]]): Unit = {
+    import org.apache.parquet.schema.{MessageType, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val fields = cols.map { case (n, isLong) =>
+      if (isLong) Types.optional(INT64).named(n)
+      else Types.optional(BINARY).as(stringType()).named(n)
+    }
+    val schema = new MessageType("meta",
+      fields.toArray[org.apache.parquet.schema.Type]: _*)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(dest, conf))
+      .withConf(conf).withType(schema).build()
+    try rows.foreach { r =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      r.zip(cols).foreach { case (v, (n, _)) =>
+        v match {
+          case null | None => ()
+          case Some(x: Long) => g.add(n, x)
+          case Some(s: String) => g.add(n, s)
+          case x: Long => g.add(n, x)
+          case x: java.lang.Long => g.add(n, x.longValue)
+          case s: String => g.add(n, s)
+          case other => throw new IllegalArgumentException(
+            s"writeMetaParquet: column $n got unsupported value " +
+              s"$other (${other.getClass}) — long/string metadata only")
+        }
+      }
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** [[writeMetaParquet]] into a DIRECTORY-shaped destination (the
+    * sidecar layout Spark's own writer produced: a dir holding one
+    * part file), refusing an existing dir — the `errorifexists`
+    * contract the Spark writes had. The version-unique dir names are
+    * CAS-claimed, so the check-then-write is as race-free as the
+    * job-commit rename was. */
+  private def writeMetaDir(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[(String, Boolean)],
+      rows: Iterable[Seq[Any]]): Unit = {
+    val f = fs(spark, dir)
+    val d = new Path(dir)
+    if (f.exists(d)) throw new IllegalStateException(
+      s"metadata sidecar $dir already exists — refusing to overwrite")
+    writeMetaParquet(spark.sparkContext.hadoopConfiguration,
+      new Path(d, "part-00000.parquet"), cols, rows)
+  }
+
+  /** The manifest generation file's column layout for
+    * [[writeMetaParquet]] — matches [[normalizeManifest]]'s order. */
+  private val ManifestCols: Seq[(String, Boolean)] = Seq(
+    "version" -> true, "file" -> false, "part" -> false,
+    "schema_json" -> false, "rows" -> true, "commit_ts" -> true,
+    "parent" -> true)
+
   /** Wipe the table root — a fresh snapshot lineage. (Harness queries
     * rebuild their fixture lineage per run; real tables call this
     * never.) */
@@ -465,21 +542,17 @@ object Snapshots {
     if (meta.isEmpty) return None
     val cv = meta.map(_.getLong(0)).max
     val f = fs(spark, tablePath)
-    val tmp = s"$tablePath/${VersionsDir}_ckpt_tmp_v$cv"
-    val rows = meta.map(r => (r.getLong(0),
-      if (r.isNullAt(1)) None else Some(r.getLong(1)),
-      if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-    spark.createDataFrame(rows).toDF("version", "commit_ts", "parent")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val staged = listDataFiles(spark, tmp)
-    require(staged.length == 1,
-      s"manifest checkpoint for $tablePath staged ${staged.length} " +
-        "files — expected exactly one")
+    val tmp = new Path(s"$tablePath/${VersionsDir}_ckpt_tmp_v$cv")
+    f.delete(tmp, true) // overwrite semantics: a crashed stage re-stages
+    writeMetaParquet(spark.sparkContext.hadoopConfiguration, tmp,
+      Seq("version" -> true, "commit_ts" -> true, "parent" -> true),
+      meta.map(r => Seq[Any](r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq)
     val dest = new Path(ckptFilePath(tablePath, cv))
     f.delete(dest, false) // re-checkpointing the same head is idempotent
-    require(f.rename(new Path(staged.head), dest),
+    require(f.rename(tmp, dest),
       s"manifest checkpoint publish failed for $tablePath at v$cv")
-    f.delete(new Path(tmp), true)
     val out = f.create(ckptPointerPath(tablePath), true)
     try out.write(cv.toString.getBytes("UTF-8"))
     finally out.close()
@@ -1168,6 +1241,11 @@ object Snapshots {
     * config every task-side reader uses). */
   private val FooterFanoutThreshold = 16
 
+  /** [[swapManifest]] stages ≤ this many retained generations
+    * driver-side; past it the partitioned write job's executor fan-out
+    * beats a sequential driver loop. */
+  private val SwapManifestFanoutThreshold = 64
+
   private def footerCounts(
       spark: SparkSession,
       files: Seq[(String, String)]): Seq[(String, String, Option[Long])] = {
@@ -1201,31 +1279,25 @@ object Snapshots {
       schemaJson: String,
       commitTs: Option[Long],
       parent: Option[Long]): Long = {
-    val rows = fileRows.map { case (f, p, n) =>
-      (version, f, p, schemaJson, n, commitTs, parent) }
-    // one generation = one manifest file, staged in a version-unique
-    // temp dir and RENAMED in — never `mode("append")` into the shared
+    // one generation = one manifest file, staged at a version-unique
+    // temp name and RENAMED in — never `mode("append")` into the shared
     // manifest dir, whose job-commit staging (`_temporary/0`) is a
     // single name that concurrent committers would clobber. The rename
     // is the atomic publish: a racing reader sees the generation
-    // entirely or not at all.
+    // entirely or not at all. Written DRIVER-SIDE ([[writeMetaParquet]]):
+    // the rows are already a driver Seq, and a Spark job per commit
+    // put ~170 ms of scheduler+commit-protocol overhead on every
+    // statement's critical path.
     val f = fs(spark, tablePath)
-    val tmp = s"$tablePath/${VersionsDir}_tmp_v$version"
-    spark.createDataFrame(rows)
-      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts",
-        "parent")
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(tmp)
-    val staged = listDataFiles(spark, tmp)
-    require(staged.length == 1,
-      s"manifest generation for version $version staged ${staged.length} " +
-        "files — expected exactly one")
+    val tmp = new Path(s"$tablePath/${VersionsDir}_tmp_v$version")
+    writeMetaParquet(spark.sparkContext.hadoopConfiguration, tmp,
+      ManifestCols, fileRows.map { case (file, p, n) =>
+        Seq[Any](version, file, p, schemaJson, n, commitTs, parent) })
     val live = new Path(s"$tablePath/$VersionsDir")
     if (!f.exists(live)) f.mkdirs(live)
-    require(f.rename(new Path(staged.head),
+    require(f.rename(tmp,
       new Path(s"$tablePath/$VersionsDir/gen-v$version.parquet")),
       s"manifest publish failed for version $version of $tablePath")
-    f.delete(new Path(tmp), true)
     version
   }
 
@@ -1787,31 +1859,45 @@ object Snapshots {
     // canonical gen-v<N>.parquet name — the invariant every
     // version-bounded read ([[manifestFor]], [[listGenerations]])
     // indexes by, which a single coalesced file would destroy for the
-    // whole retained history. One partitioned write job stages every
-    // generation (`gen` duplicates `version` because partitionBy
-    // consumes its column), then each part renames to its canonical
-    // name inside the staged dir BEFORE the live swap, so the staged
-    // dir is complete and correctly named at the moment it can become
-    // live ([[recoverManifestSwap]]'s contract).
-    spark.createDataFrame(rows)
-      .toDF("version", "file", "part", "schema_json", "rows", "commit_ts",
-        "parent")
-      .withColumn("gen", col("version"))
-      .repartition(col("gen"))
-      .write.partitionBy("gen").parquet(raw.toString)
-    f.mkdirs(staged)
-    f.listStatus(raw).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("gen=")).foreach { d =>
-      val v = d.getPath.getName.stripPrefix("gen=").toLong
-      val parts = listDataFiles(spark, d.getPath.toString)
-      require(parts.length == 1,
-        s"manifest rewrite staged ${parts.length} files for generation " +
-          s"$v of $tablePath — expected exactly one")
-      require(f.rename(new Path(parts.head),
-        new Path(s"$staged/gen-v$v.parquet")),
-        s"manifest rewrite could not stage generation $v of $tablePath")
+    // whole retained history. Small retained histories stage each
+    // generation DRIVER-SIDE ([[writeMetaParquet]] — the rows are a
+    // driver Seq already, and the partitioned write job costs a
+    // shuffle plus job-commit staging per vacuum); past the fan-out
+    // threshold one partitioned write job stages every generation
+    // (`gen` duplicates `version` because partitionBy consumes its
+    // column) and each part renames to its canonical name. Either way
+    // the staged dir is complete and correctly named BEFORE the live
+    // swap ([[recoverManifestSwap]]'s contract).
+    val byGen = rows.groupBy(_._1)
+    if (byGen.size <= SwapManifestFanoutThreshold) {
+      f.mkdirs(staged)
+      val conf = spark.sparkContext.hadoopConfiguration
+      byGen.toSeq.sortBy(_._1).foreach { case (v, genRows) =>
+        writeMetaParquet(conf, new Path(s"$staged/gen-v$v.parquet"),
+          ManifestCols, genRows.map { case (ver, file, p, sj, n, ts, par) =>
+            Seq[Any](ver, file, p, sj, n, ts, par) })
+      }
+    } else {
+      spark.createDataFrame(rows)
+        .toDF("version", "file", "part", "schema_json", "rows", "commit_ts",
+          "parent")
+        .withColumn("gen", col("version"))
+        .repartition(col("gen"))
+        .write.partitionBy("gen").parquet(raw.toString)
+      f.mkdirs(staged)
+      f.listStatus(raw).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("gen=")).foreach { d =>
+        val v = d.getPath.getName.stripPrefix("gen=").toLong
+        val parts = listDataFiles(spark, d.getPath.toString)
+        require(parts.length == 1,
+          s"manifest rewrite staged ${parts.length} files for generation " +
+            s"$v of $tablePath — expected exactly one")
+        require(f.rename(new Path(parts.head),
+          new Path(s"$staged/gen-v$v.parquet")),
+          s"manifest rewrite could not stage generation $v of $tablePath")
+      }
+      f.delete(raw, true)
     }
-    f.delete(raw, true)
     // branch-over markers are presence-only — stage copies for the
     // RETAINED generations so the swap doesn't silently demote their
     // readers to the timing fallback (a crash mid-swap loses them,
@@ -3844,12 +3930,9 @@ object Snapshots {
       tablePath: String,
       version: Long,
       set: Seq[(String, String)]): Unit =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        set.map(c => Row(c._1, c._2)), 1), constraintSchema)
-      .coalesce(1)
-      .write.mode("errorifexists")
-      .parquet(constraintsDir(tablePath, version))
+    writeMetaDir(spark, constraintsDir(tablePath, version),
+      Seq("name" -> false, "expr" -> false),
+      set.map(c => Seq[Any](c._1, c._2)))
 
   /** Wrap a fresh batch in its governing CHECK constraints as an
     * `assert_true` filter that RIDES the write job — Delta's
@@ -3983,12 +4066,9 @@ object Snapshots {
       tablePath: String,
       version: Long,
       set: Seq[(String, String)]): Unit =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        set.map(c => Row(c._1, c._2)), 1), constraintSchema)
-      .coalesce(1)
-      .write.mode("errorifexists")
-      .parquet(genColsDir(tablePath, version))
+    writeMetaDir(spark, genColsDir(tablePath, version),
+      Seq("name" -> false, "expr" -> false),
+      set.map(c => Seq[Any](c._1, c._2)))
 
   /** Materialize the governing generated columns into a fresh batch —
     * or, when the writer supplied the column itself, VALIDATE it
@@ -4112,12 +4192,9 @@ object Snapshots {
       tablePath: String,
       version: Long,
       set: Seq[(String, Option[String])]): Unit =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        set.map(c => Row(c._1, c._2.orNull)), 1), colMapSchema)
-      .coalesce(1)
-      .write.mode("errorifexists")
-      .parquet(colMapDir(tablePath, version))
+    writeMetaDir(spark, colMapDir(tablePath, version),
+      Seq("physical" -> false, "logical" -> false),
+      set.map(c => Seq[Any](c._1, c._2)))
 
   private def logicalToPhysical(
       cmap: Seq[(String, Option[String])]): Map[String, String] =
