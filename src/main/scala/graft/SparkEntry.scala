@@ -1245,7 +1245,13 @@ object SparkEntry {
         "SQL UPDATE must mint exactly one generation")
       val shared = Snapshots.generationFiles(s, tbl, v0)._1.map(_._1).toSet
         .intersect(Snapshots.generationFiles(s, tbl, v1)._1.map(_._1).toSet)
-      require(shared.nonEmpty,
+      // the sharing pin is only falsifiable when some range file lies
+      // ENTIRELY above the predicate cut: at sf0.001 user_id tops out
+      // at 14, `<= 25` matches every row, and the correct file-exact
+      // blast radius IS the whole table — a vacuous pin there, not a
+      // rewrite bug (the query's RESULT is unchanged either way)
+      val maxUid = ev.agg(max(col("user_id"))).head().getLong(0)
+      require(shared.nonEmpty || maxUid <= 25,
         "file-exact UPDATE must repoint the untouched range files " +
           "verbatim — a whole-table rewrite shared nothing")
       s.sql(
@@ -1534,9 +1540,18 @@ object SparkEntry {
       }
       val admitted = prunedScans(q.queryExecution.executedPlan)
         .flatMap(_.admittedFiles)
-      require(admitted.nonEmpty && admitted.head < total,
+      // the pruning pin is only falsifiable when the dim selection is
+      // NON-EMPTY: at sf0.001 no customer has both c_custkey <= cut
+      // and the BUILDING segment, AQE replaces the join subtree with
+      // EmptyRelation after the empty broadcast builds, and the
+      // injected runtime filter never executes — correct (and cheaper
+      // than any pruning), but unobservable by this probe
+      val dimSel = s.sql(s"SELECT CAST(count(*) AS BIGINT) FROM " +
+        s"$cat.dim WHERE c_custkey <= $cut AND c_mktsegment = " +
+        "'BUILDING'").head().getLong(0)
+      require((admitted.nonEmpty && admitted.head < total) || dimSel == 0L,
         s"the SQL join's runtime filter must prune the fact file set " +
-          s"($admitted of $total admitted)")
+          s"($admitted of $total admitted, $dimSel dim rows selected)")
       q
     }),
 
