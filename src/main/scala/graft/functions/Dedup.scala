@@ -615,6 +615,7 @@ object Dedup {
       val nextM = Materialize(next)
       changed = Option(obs.get.apply("changed"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Materialize.drop(labels) // superseded round frame: blocks dead
       labels = nextM.select(col("node"), col("new_lbl").as("lbl"))
       it += 1
     }
@@ -622,6 +623,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           s"raise maxIter (graph diameter exceeds it)")
+    Materialize.drop(symM) // final labels are materialized
     labels.select(col("node"), col("lbl").as("component"))
   }
 
@@ -664,9 +666,14 @@ object Dedup {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
+    // node count rides the checkpoint action via observe() — the
+    // connectedComponents convergence pattern, zero extra jobs (applied
+    // to every count this loop takes below)
+    val nodesObs = org.apache.spark.sql.Observation()
     var nodes = Materialize(
       rem.select(col("src").as("node"))
-        .unionByName(rem.select(col("dst").as("node"))).distinct())
+        .unionByName(rem.select(col("dst").as("node"))).distinct()
+        .observe(nodesObs, count(lit(1)).as("n")))
     val spark = edges.sparkSession
     var done = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -676,7 +683,17 @@ object Dedup {
         org.apache.spark.sql.types.StructField("scc",
           org.apache.spark.sql.types.LongType, nullable = false))))
     var outer = 0
-    var remaining = nodes.count()
+    var remaining = Option(nodesObs.get.apply("n"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // superseded survivor/edge frames are dead once their replacement
+    // materialized — release the blocks (trimmed/confirmed frames stay:
+    // `done` reads them at the final action)
+    def replaceNodes(next: DataFrame): Unit = {
+      Materialize.drop(nodes); nodes = next
+    }
+    def replaceRem(next: DataFrame): Unit = {
+      Materialize.drop(rem); rem = next
+    }
     while (remaining > 0 && outer < maxIter) {
       // 1. trim to fixpoint: sources/sinks are singleton SCCs
       var trimming = true
@@ -684,20 +701,24 @@ object Dedup {
       while (trimming && inner < maxIter) {
         val hasOut = rem.select(col("src").as("node")).distinct()
         val hasIn = rem.select(col("dst").as("node")).distinct()
+        val tObs = org.apache.spark.sql.Observation()
         val trimmed = Materialize(
           nodes.join(hasOut, Seq("node"), "left_anti")
             .unionByName(nodes.join(hasIn, Seq("node"), "left_anti"))
-            .distinct())
-        val t = trimmed.count()
+            .distinct()
+            .observe(tObs, count(lit(1)).as("n")))
+        val t = Option(tObs.get.apply("n"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         if (t == 0) trimming = false
         else {
           done = done.unionByName(
             trimmed.select(col("node"), col("node").as("scc")))
-          nodes = Materialize(nodes.join(trimmed, Seq("node"), "left_anti"))
-          rem = Materialize(rem
+          replaceNodes(Materialize(
+            nodes.join(trimmed, Seq("node"), "left_anti")))
+          replaceRem(Materialize(rem
             .join(nodes.select(col("node").as("src")), Seq("src"))
             .join(nodes.select(col("node").as("dst")), Seq("dst"))
-            .select(col("src"), col("dst")))
+            .select(col("src"), col("dst"))))
           remaining -= t
         }
         inner += 1
@@ -708,25 +729,32 @@ object Dedup {
         // 2. color: forward and backward min-reachability labels
         val f = minReachLabels(rem, "src", "dst", nodes, maxIter)
         val b = minReachLabels(rem, "dst", "src", nodes, maxIter)
+        val cObs = org.apache.spark.sql.Observation()
         val confirmed = Materialize(
           f.join(b.select(col("node"), col("lbl").as("blbl")), Seq("node"))
             .filter(col("lbl") === col("blbl"))
-            .select(col("node"), col("lbl").as("scc")))
-        val c = confirmed.count()
+            .select(col("node"), col("lbl").as("scc"))
+            .observe(cObs, count(lit(1)).as("n")))
+        val c = Option(cObs.get.apply("n"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        Materialize.drop(f)
+        Materialize.drop(b)
         require(c > 0,
           "SCC coloring confirmed nothing — impossible on a trimmed " +
             "residue; corrupted edge frame?")
         done = done.unionByName(confirmed.select(col("node"), col("scc")))
-        nodes = Materialize(
-          nodes.join(confirmed.select(col("node")), Seq("node"), "left_anti"))
-        rem = Materialize(rem
+        replaceNodes(Materialize(
+          nodes.join(confirmed.select(col("node")), Seq("node"), "left_anti")))
+        replaceRem(Materialize(rem
           .join(nodes.select(col("node").as("src")), Seq("src"))
           .join(nodes.select(col("node").as("dst")), Seq("dst"))
-          .select(col("src"), col("dst")))
+          .select(col("src"), col("dst"))))
         remaining -= c
       }
       outer += 1
     }
+    Materialize.drop(nodes) // empty at convergence; `done` reads only
+    Materialize.drop(rem)   // the trimmed/confirmed frames
     if (remaining > 0)
       throw new IllegalStateException(
         s"stronglyConnectedComponents did not converge in $maxIter " +
@@ -769,6 +797,7 @@ object Dedup {
       val nextM = Materialize(next)
       changed = Option(obs.get.apply("changed"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      Materialize.drop(labels) // superseded round frame: blocks dead
       labels = nextM.select(col("node"), col("new_lbl").as("lbl"))
       it += 1
     }
@@ -833,11 +862,14 @@ object Dedup {
         .select(col("dst").as("node"),
           (lit(15L * Scale / 100) +
             expr("(85 * in_sum) div 100")).as("r"))
-      ranks = Materialize(
+      val next = Materialize(
         if (i == iterations) stepped
         else stepped.join(
           deg.select(col("src").as("node"), col("deg")), Seq("node")))
+      Materialize.drop(ranks) // superseded round frame: blocks dead
+      ranks = next
     }
+    Materialize.drop(symM) // final ranks are materialized
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
 
@@ -872,10 +904,17 @@ object Dedup {
       val counts = symM
         .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("n"))
-      labels = Materialize(counts.groupBy(col("dst"))
+      val next = Materialize(counts.groupBy(col("dst"))
         .agg(min(struct((-col("n")).as("negn"), col("lbl").as("l"))).as("m"))
         .select(col("dst").as("node"), col("m.l").as("lbl")))
+      // the superseded round's label blocks are dead once the next
+      // round materialized — release them instead of letting them crowd
+      // the storage pool until the context cleaner catches up
+      Materialize.drop(labels)
+      labels = next
     }
+    Materialize.drop(symM) // final labels are materialized; the edge
+    // frame is dead once the loop ends
     labels.select(col("node"), col("lbl").as("community"))
   }
 
@@ -931,12 +970,20 @@ object Dedup {
     while (cur != prev && it < maxIter) {
       val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      live = Materialize(live
+      // the surviving-edge count rides the checkpoint action itself via
+      // observe() (the connectedComponents convergence pattern) — the
+      // fixpoint test costs zero extra jobs per peel round
+      val obs = org.apache.spark.sql.Observation()
+      val next = Materialize(live
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")))
+        .select(col("src"), col("dst"))
+        .observe(obs, count(lit(1)).as("n")))
+      Materialize.drop(live) // superseded peel round: blocks dead
+      live = next
       prev = cur
-      cur = live.count()
+      cur = Option(obs.get.apply("n"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       it += 1
     }
     if (cur != prev)
@@ -955,8 +1002,10 @@ object Dedup {
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull).distinct())
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
+    // explode, not self-union (see symmetrizedEdges): one read of the
+    // canonical edge blocks instead of two, half the degree stage's
+    // map tasks, identical (node) multiset
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // total order (deg, id): strict because ids are distinct per edge
     val uFirst = col("du") < col("dv") ||
@@ -966,6 +1015,9 @@ object Dedup {
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst")))
+    Materialize.drop(und) // both consumers (degree, orientation) are
+    // inside the oriented plan just materialized; the canonical list is
+    // dead past this point
     val adj = Materialize(oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs")))
     // sinks (dst with no out-edges) drop at the inner join — their
@@ -1019,10 +1071,18 @@ object Dedup {
 
   private def symmetrizedEdges(
       edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    // explode, not self-union: the union form reads the (often
+    // shuffle-produced) edge subtree twice and doubles the map tasks of
+    // the materializing stage; one explode pass emits exactly the same
+    // (src, dst) ∪ (dst, src) rows from a single read (guide §2.3 —
+    // fewer bytes through the exchange, same multiset out)
     Materialize(edges
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst")))
 
   /** Jaccard similarity of two (already distinct) string arrays. */
   def jaccard(a: Column, b: Column): Column = {

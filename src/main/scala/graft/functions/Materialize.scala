@@ -35,4 +35,25 @@ object Materialize {
       df.checkpoint()
     } else df.localCheckpoint()
   }
+
+  /** Release the storage blocks behind a frame this object materialized,
+    * once it is provably dead — an iterative loop's superseded round
+    * frame, or a loop-local base after the final frame materialized.
+    * Without this, every round's checkpoint blocks linger in the
+    * BlockManager until the driver GCs the Dataset and the async
+    * ContextCleaner catches up; across a many-query process the stale
+    * blocks crowd the storage pool and every later query pays the
+    * eviction + GC churn (guide §5: unpersist when done). Callers must
+    * only pass frames whose blocks no LIVE frame still reads: a
+    * localCheckpoint's lineage is REPLACED by its blocks, so any frame
+    * derived from a still-held materialized frame is safe, but the
+    * dropped frame itself must never be executed again. No-op for
+    * reliable checkpoints (their files are managed by the checkpoint
+    * cleaner, and unpersist of an unpersisted RDD does nothing). */
+  def drop(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
