@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (strictly `array<float>` —
@@ -523,12 +523,19 @@ object Similarity {
     * distances remain approximable per-subspace, k^m effective cells
     * from m·k stored centroids where one flat codebook would need k^m.
     *
-    * Each subspace trains via [[kmeansTrain]] on the SLICED corpus —
-    * same fixed-point determinism, same empty-cell/seed rules, m
-    * driver-side loops each collecting only k×(d/m) means per round.
-    * The corpus is scanned once per round per subspace; at production
-    * scale the m loops share cached input or run concurrently — the
-    * codebooks are independent by construction. */
+    * The m subspaces are independent by construction, so every round
+    * runs ALL of them in ONE distributed job: the m sliced
+    * [[kmeansStep]]s union into a single (book, cell, dim, mean) frame
+    * and one collect feeds all m codebooks' next round. One seed
+    * collect (the first k FULL vectors, sliced driver-side — the same
+    * floats [[ivfCentroids]] on a sliced corpus returns) replaces m
+    * seed jobs. Per-book arithmetic is untouched — same fixed-point
+    * sums, same empty-cell/seed rules, and a book already at its exact
+    * fixpoint recomputes to itself — so the trained codebooks are
+    * bit-identical to the former m independent [[kmeansTrain]] loops
+    * while a train pays 1 job per round + 1 seed job instead of
+    * m·(rounds+1): the driver-loop job overhead, not the scan cost,
+    * dominates a small-k training round. */
   def pqTrain(
       corpus: DataFrame,
       d: Int,
@@ -540,13 +547,46 @@ object Similarity {
       scale: Long = 1000000L): Seq[Seq[Seq[Float]]] = {
     require(m >= 1, "need at least one subspace")
     require(d % m == 0, s"d=$d must split evenly into m=$m subspaces")
+    require(maxIters >= 0, "maxIters must be non-negative")
     val sub = d / m
-    (0 until m).map { j =>
-      kmeansTrain(
-        corpus.select(col(idCol),
-          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
-        k, maxIters, 0.0, idCol, vecCol, scale)
+    val seed = ivfCentroids(corpus, k, idCol, vecCol)
+    require(seed.nonEmpty,
+      "pqTrain: corpus has no vectors to seed a codebook from")
+    var books: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => seed.map(_.slice(j * sub, j * sub + sub)))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val rows = (0 until m).map { j =>
+        kmeansStep(
+          corpus.select(slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+          books(j), vecCol, scale)
+          .select(lit(j).as("book"), col("cell"), col("dim"), col("mean"))
+      }.reduce(_ unionByName _).collect()
+      val byBook = rows.groupBy(_.getInt(0))
+      var allConverged = true
+      books = books.zipWithIndex.map { case (old, j) =>
+        val byCell = byBook.getOrElse(j, Array.empty[Row])
+          .groupBy(_.getLong(1))
+        val next = old.zipWithIndex.map { case (oc, cid) =>
+          byCell.get(cid.toLong) match {
+            case Some(rs) =>
+              rs.sortBy(_.getLong(2)).map(_.getDouble(3).toFloat).toSeq
+            case None => oc // empty cell: keep its centroid
+          }
+        }
+        val shift = old.zip(next).map { case (a, b) =>
+          a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+            val dd = x.toDouble - y.toDouble; acc + dd * dd
+          }
+        }.max
+        if (shift > 0.0) allConverged = false
+        next
+      }
+      iter += 1
+      converged = allConverged
     }
+    books
   }
 
   /** PQ ENCODING: the m nearest-sub-centroid ids for a vector, as an
