@@ -114,9 +114,25 @@ object Snapshots {
     * Spark job — the difference that makes per-STATEMENT SQL
     * resolution (loadTable + governed-read substitution, the r20
     * q73–q80 regression cluster) O(RPC) instead of O(jobs). Cached
-    * values must be immutable; callers never mutate them. */
-  private val metaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), AnyRef]
+    * values must be immutable; callers never mutate them.
+    *
+    * Bounded by LRU EVICTION (access-ordered LinkedHashMap behind a
+    * synchronized wrapper), not the former wholesale `clear()` at the
+    * cap: a long-lived driver serving many tables crossed the cap
+    * periodically and every crossing forced a full re-read storm over
+    * EVERY live artifact; evicting only the least-recently-used entry
+    * keeps the hot working set warm at any table count. The lock is a
+    * driver-side metadata map guarding O(1) operations — never on a
+    * per-row path. */
+  private val MetaMemoMax = 8192
+  private val metaMemo: java.util.Map[(String, Long, Long), AnyRef] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), AnyRef](
+        1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), AnyRef])
+            : Boolean = size() > MetaMemoMax
+      })
 
   private[graft] def memoizedMeta[T <: AnyRef](
       f: org.apache.hadoop.fs.FileSystem,
@@ -126,10 +142,6 @@ object Snapshots {
       try f.getFileStatus(path)
       catch { case _: java.io.FileNotFoundException => null }
     if (st == null) return compute // absent: nothing stable to key on
-    // wholesale bound, like the bloom-key memo it generalizes: a
-    // process touches few distinct artifacts, and a clear only costs
-    // re-reads
-    if (metaMemo.size > 8192) metaMemo.clear()
     // `tag` namespaces DIFFERENT derivations of the same artifact
     // (e.g. a stats dir's described-file set vs its key columns)
     val key = (tag + ":" + path.toString, st.getModificationTime,
@@ -290,35 +302,25 @@ object Snapshots {
   def manifest(spark: SparkSession, tablePath: String): DataFrame = {
     manifestReads.incrementAndGet()
     recoverManifestSwap(spark, tablePath)
-    val dir = s"$tablePath/$VersionsDir"
-    var lastErr: Throwable = null
-    var attempt = 0
-    while (attempt < 4) {
-      attempt += 1
-      manifestDirListings.incrementAndGet()
-      val parts =
-        if (fs(spark, tablePath).exists(new Path(dir)))
-          genFilesOf(listDataFiles(spark, dir))
-        else Seq.empty
-      if (parts.isEmpty) return emptyManifest(spark)
-      try {
-        manifestFilesOpened.addAndGet(parts.length.toLong)
-        val norm = normalizeManifest(
-          spark.read.option("mergeSchema", "true").parquet(parts: _*))
-        // materialized EAGERLY (metadata-scale by design): a lazy frame
-        // whose action runs after a racing committer RETRACTS a
-        // generation fails mid-scan on the vanished file; the eager
-        // read retries against a fresh listing instead — a read is a
-        // point-in-time snapshot of the manifest, never a torn one
-        val rows = norm.collect()
-        manifestRowsCollected.addAndGet(rows.length.toLong)
-        return spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), norm.schema)
-      } catch {
-        case e: Throwable if isFileGone(e) => lastErr = e
-      }
-    }
-    throw lastErr
+    // Assembled from PER-GENERATION reads, each served by the same
+    // status-keyed memo [[manifestFor]] uses: a repeated full-history
+    // read (meta tables, maintenance verbs) costs the directory listing
+    // plus zero file opens once warm, and history growth re-reads only
+    // the new generations — where the former whole-directory
+    // mergeSchema read paid one driver job over O(versions) footers on
+    // EVERY call. Still materialized EAGERLY (metadata-scale by
+    // design): the frame is built from collected rows, so a read is a
+    // point-in-time snapshot of the manifest, never a torn one. A
+    // generation retracted between the listing and its read answers
+    // empty rows ([[manifestFor]]'s contract) — the same outcome the
+    // old retry-against-a-fresh-listing loop converged to. Row order
+    // is generation-ascending; consumers filter/aggregate and never
+    // depend on order (a DataFrame promises none).
+    val gens = listGenerations(spark, tablePath)
+    if (gens.isEmpty) return emptyManifest(spark)
+    val rows = gens.flatMap(v => manifestFor(spark, tablePath, v))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), emptyManifest(spark).schema)
   }
 
   /** Manifests written by earlier layouts may lack the partition,

@@ -67,6 +67,21 @@ class GraftRuntimePruneScanBuilder(
   * metadata-scale jobs run once per scan execution — after the dim
   * side's broadcast already materialized (DPP reuses it; the filter
   * is free on the dim side). */
+object GraftRuntimePrunedScan {
+  /** Observability for the admission-shape question: every predicate
+    * name Spark hands to [[GraftRuntimePrunedScan.filter]] lands here
+    * (spec-pinned in GraftCatalogSpec). Range admission (`>`/`<` via
+    * the stats sidecar's min/max) stays UNWRITTEN until this queue
+    * ever shows Spark emitting such a shape: Spark's runtime V2
+    * filtering is dynamic partition/file pruning over an EQUI-join's
+    * key values — `InSubqueryExec` materialized as IN (or = for a
+    * single value) — and a non-equi join plans no runtime filter at
+    * all, so a range branch in [[GraftRuntimePrunedScan.extractIn]]
+    * would be dead code guarding nothing. */
+  val observedFilterShapes =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+}
+
 class GraftRuntimePrunedScan(
     inner: ParquetScan,
     spark: SparkSession,
@@ -107,6 +122,8 @@ class GraftRuntimePrunedScan(
     // round's admission: a stale monotonic intersect could silently
     // under-admit files the new key set needs
     var kept: Option[Seq[String]] = None
+    predicates.foreach(p =>
+      GraftRuntimePrunedScan.observedFilterShapes.add(p.name()))
     predicates.foreach { p =>
       extractIn(p).foreach { case (key, values, dt) =>
         graft.operators.Snapshots.runtimeAdmittedFiles(

@@ -724,4 +724,53 @@ class GraftCatalogSpec extends SparkSuite {
     assert(scan.planInputPartitions().nonEmpty,
       "the re-filtered scan must still plan k=799's file")
   }
+
+  test("runtime-filter shapes: an equi-join hands IN/= predicates to " +
+    "the scan; a RANGE join plans no runtime filter at all — range " +
+    "admission via stats min/max would be unreachable code") {
+    val (cat, root) = freshCatalog()
+    val fact = s"$root/storage/shfact"; val dim = s"$root/storage/shdim"
+    Snapshots.init(spark, fact); Snapshots.init(spark, dim)
+    Snapshots.commitClustered(spark,
+      (1L to 800L).map(i => (i, i * 3L)).toDF("k", "v"),
+      fact, "k", numFiles = 8, append = false)
+    Snapshots.commit(spark,
+      (1L to 800L by 50L).map(i => (i, if (i <= 100L) "hot" else "cold"))
+        .toDF("k", "seg"), dim, append = false)
+    Catalog.register(spark, root, "shfact", fact)
+    Catalog.register(spark, root, "shdim", dim)
+    val shapes = org.apache.spark.sql.GraftRuntimePrunedScan
+      .observedFilterShapes
+    shapes.clear()
+    // equi-join: Spark's dynamic pruning DOES fire and the arriving
+    // shapes are exactly what extractIn admits (IN, or = for a
+    // single-value set) — never a range predicate
+    val eq = spark.sql(
+      s"""SELECT CAST(sum(f.v) AS BIGINT) AS s
+         |FROM $cat.shfact f JOIN $cat.shdim d ON f.k = d.k
+         |WHERE d.seg = 'hot'""".stripMargin)
+    assert(eq.collect().head.getLong(0) == 156L)
+    import scala.jdk.CollectionConverters._
+    val eqShapes = shapes.asScala.toSet
+    assert(eqShapes.nonEmpty && eqShapes.subsetOf(Set("IN", "=")),
+      s"equi-join runtime filter shapes were $eqShapes — the IN/= " +
+        "contract extractIn is written against")
+    // RANGE join on the same governed tables: Spark plans NO runtime
+    // V2 filter (dynamic pruning is equi-key-only), so no predicate of
+    // any shape reaches the scan — pinning why extractIn carries no
+    // range branch (the stats sidecar could answer min/max admission,
+    // but Spark never asks)
+    shapes.clear()
+    val rg = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n
+         |FROM $cat.shfact f JOIN $cat.shdim d ON f.k < d.k
+         |WHERE d.seg = 'hot'""".stripMargin)
+    // hot dim keys 1 and 51: fact rows with k < 1 (none) plus k < 51
+    // (50) = 50 joined rows
+    assert(rg.collect().head.getLong(0) == 50L)
+    assert(shapes.isEmpty,
+      s"range join handed ${shapes.asScala.toSeq} to the scan — if " +
+        "Spark ever starts emitting range runtime filters, extractIn " +
+        "can now justify a min/max admission leg")
+  }
 }

@@ -333,4 +333,77 @@ class SnapshotsResolutionSpec extends SparkSuite {
       s"versionAt budget: listings=$dl3 rows=$rc3 — one listing, one " +
         "row per generation (never the per-file fan-out)")
   }
+
+  test("full-history manifest() is served by the generation memo: a " +
+    "repeat read opens ZERO files, history growth re-reads only the " +
+    "new generation, and a vacuum swap invalidates wholesale") {
+    val tbl = freshTable()
+    var head = Snapshots.commit(spark,
+      Seq((0L, "r0")).toDF("id", "v").coalesce(1), tbl,
+      append = false, ts = Some(0L))
+    (1L to 9L).foreach { i =>
+      head = Snapshots.commit(spark,
+        Seq((i, s"r$i")).toDF("id", "v").coalesce(1), tbl,
+        append = false, ts = Some(i), derivedFrom = Some(head))
+    }
+    // warm pass (commits themselves memoized some generations; the
+    // exact split is not the contract — the REPEAT budget is)
+    val all = Snapshots.manifest(spark, tbl).collect()
+    assert(all.map(_.getLong(0)).distinct.sorted.toSeq == (0L to 9L))
+    val (again, o1) = opensCounted(Snapshots.manifest(spark, tbl).collect())
+    assert(again.length == all.length &&
+      again.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        all.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq,
+      "repeat full-history read must answer the same rows")
+    assert(o1 == 0L,
+      s"repeat full-history manifest() opened $o1 files — the " +
+        "generation memo must serve all of them")
+    // one more commit: only ITS generation is newly read
+    head = Snapshots.commit(spark,
+      Seq((10L, "r10")).toDF("id", "v").coalesce(1), tbl,
+      append = false, ts = Some(10L), derivedFrom = Some(head))
+    val (grown, o2) = opensCounted(Snapshots.manifest(spark, tbl).collect())
+    assert(grown.map(_.getLong(0)).max == 10L)
+    assert(o2 <= 1L,
+      s"post-commit full-history manifest() opened $o2 files — only " +
+        "the new generation may miss the memo")
+    // vacuum swaps the manifest dir whole: every surviving generation
+    // file is REWRITTEN (new status), so the memo must re-read them
+    // all rather than serve the pre-vacuum rows
+    Snapshots.vacuum(spark, tbl, keepFrom = 8L)
+    val (kept, o3) = opensCounted(Snapshots.manifest(spark, tbl).collect())
+    assert(kept.map(_.getLong(0)).distinct.sorted.toSeq == (8L to 10L),
+      "post-vacuum manifest must carry exactly the retained versions")
+    assert(o3 == 3L,
+      s"post-vacuum manifest() opened $o3 files — the swap mints new " +
+        "statuses, so all 3 retained generations re-read (never stale)")
+  }
+
+  test("metadata memo overflow evicts LRU, not wholesale: the hot " +
+    "working set stays warm past the cap and answers stay correct") {
+    // one real artifact, distinct derivation tags — each (tag, status)
+    // is its own memo entry, so tags alone overflow the 8192 cap
+    val dir = Files.createTempDirectory("memo_lru_")
+    val fPath = dir.resolve("artifact").toString
+    Files.writeString(dir.resolve("artifact"), "x")
+    val p = new org.apache.hadoop.fs.Path(s"file:$fPath")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var computes = 0
+    def read(i: Int): String =
+      Snapshots.memoizedMeta(f, p, s"lru_t$i") { computes += 1; s"v$i" }
+    val n = 9500 // > the 8192 cap: forces evictions
+    (0 until n).foreach(i => assert(read(i) == s"v$i"))
+    assert(computes == n)
+    // the RECENT window must still be warm: under the former wholesale
+    // clear() the cap crossing emptied everything and this window
+    // would recompute (a full re-read storm on a live driver)
+    val recomputesBefore = computes
+    ((n - 4000) until n).foreach(i => assert(read(i) == s"v$i"))
+    assert(computes == recomputesBefore,
+      s"recent-window re-access recomputed ${computes - recomputesBefore}" +
+        " entries — LRU eviction must keep the hot set warm past the cap")
+    // the OLDEST entries were evicted and recompute correctly
+    assert(read(0) == "v0")
+    assert(computes == recomputesBefore + 1)
+  }
 }
